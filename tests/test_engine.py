@@ -1,0 +1,122 @@
+"""Engine lifecycle API tests — the reference's scan/DDL test surface
+(reference tests/tests/scan.rs, explain.rs, settings.rs) re-expressed."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_analytics_spark.errors import DataTypeMismatch, EngineError
+
+from .conftest import SF_DIR
+
+
+def test_attach_and_count(engine):
+    # Flagship demo: attach parquet + COUNT(*) (reference README.md:98-118).
+    n = engine.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0][0]
+    assert n > 0
+
+
+def test_attach_idempotent(engine):
+    # Re-attach replaces the registration (reference trigger.rs:139-143).
+    df1 = engine.attach("li2", f"{SF_DIR}/lineitem.parquet")
+    df2 = engine.attach("li2", f"{SF_DIR}/lineitem.parquet")
+    assert df1.columns == df2.columns
+    engine.detach("li2")
+
+
+def test_attach_declared_columns_numeric_cast(engine):
+    # Permissive numeric casts (reference cell.rs:754-757): double→int ok.
+    df = engine.attach(
+        "li_cast",
+        f"{SF_DIR}/lineitem.parquet",
+        columns={"l_quantity": "integer"},
+    )
+    assert dict(df.dtypes)["l_quantity"] == "int"
+    engine.detach("li_cast")
+
+
+def test_attach_declared_columns_mismatch(engine):
+    # Non-castable pair raises a named error (reference cell.rs:1404-1417).
+    with pytest.raises(DataTypeMismatch):
+        engine.attach(
+            "li_bad",
+            f"{SF_DIR}/lineitem.parquet",
+            columns={"l_shipdate": "boolean"},
+        )
+
+
+def test_views_nested(engine):
+    # Nested views (reference tests/tests/scan.rs:652-691).
+    engine.create_view("v_orders", "SELECT * FROM orders WHERE o_totalprice > 100")
+    engine.create_view("v_orders2", "SELECT o_orderkey FROM v_orders LIMIT 5")
+    assert engine.sql("SELECT COUNT(*) AS n FROM v_orders2").collect()[0][0] <= 5
+
+
+def test_prepare_execute_deallocate(engine):
+    # PREPARE/EXECUTE lifecycle (reference utility/prepare.rs:27-119).
+    engine.prepare("p1", "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = :rk")
+    n = engine.execute("p1", {"rk": 1}).collect()[0][0]
+    assert n > 0
+    engine.deallocate("p1")
+    with pytest.raises(EngineError):
+        engine.execute("p1")
+
+
+def test_parameterized_sql(engine):
+    # $1-style parameters (reference tests/tests/scan.rs:579-592) → :name.
+    df = engine.sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = :k", args={"k": 0}
+    )
+    assert df.count() == 1
+
+
+def test_explain_styles(engine):
+    # Two EXPLAIN styles (reference utility/explain.rs:39-96, 148-155).
+    pg = engine.explain("SELECT COUNT(*) FROM lineitem", style="pg")
+    assert pg.startswith("Spark Scan:")
+    full = engine.explain("SELECT COUNT(*) FROM lineitem", style="duckdb")
+    assert "Physical Plan" in full
+    timed = engine.explain("SELECT COUNT(*) FROM nation", style="pg", analyze=True)
+    assert "Execution Time:" in timed
+
+
+def test_settings_and_set(engine):
+    # duckdb_settings analog (reference api/duckdb.rs:32-66, settings.rs tests).
+    engine.set("spark.sql.shuffle.partitions", 4)
+    df = engine.settings()
+    assert {"key", "value", "meaning"} <= set(df.columns)
+    assert (
+        engine.spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    )
+
+
+def test_describe_and_schema(engine):
+    # DESCRIBE path (reference trigger.rs DESCRIBE; api/parquet.rs:113-190).
+    rows = {r["col_name"]: r["data_type"] for r in engine.describe("lineitem").collect()}
+    assert rows["l_orderkey"] == "bigint"
+    assert engine.schema("lineitem")["l_quantity"].dataType.typeName() == "double"
+
+
+def test_parquet_schema_and_describe(engine):
+    meta = engine.parquet_schema(f"{SF_DIR}/region.parquet").collect()
+    assert {r["name"] for r in meta} == {"r_regionkey", "r_name"}
+    desc = {
+        r["column_name"]: r["column_type"]
+        for r in engine.parquet_describe(f"{SF_DIR}/region.parquet").collect()
+    }
+    assert desc["r_regionkey"] == "int"
+
+
+def test_execute_raw(engine):
+    # duckdb_execute escape hatch (reference api/duckdb.rs:26-29).
+    assert engine.execute_raw("SELECT 1 AS one").collect()[0][0] == 1
+
+
+def test_events_nanos_repaired(engine):
+    # TIMESTAMP(NANOS) parquet must surface as a usable timestamp column.
+    dtypes = dict(engine.spark.table("events").dtypes)
+    assert dtypes["ts"] == "timestamp_ntz"
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '1970-01-01'"
+    ).collect()[0][0]
+    assert n > 0
