@@ -1,0 +1,67 @@
+"""Workload registry plumbing + cross-engine determinism helpers.
+
+Every query the engine claims (SURVEY §2 coverage) registers here as a
+(Spark implementation, DuckDB oracle SQL) pair; the driver hash-compares
+them at sf0.01 (BASELINE.md t2 gate).
+
+Float determinism contract
+--------------------------
+SUM/AVG over doubles is order-dependent; Spark's partial aggregation
+and DuckDB's sequential scan would differ in the last bits.  Every
+money/quantity aggregate therefore sums in DECIMAL (exact, associative
+→ bit-identical in both engines) and casts the final value to DOUBLE.
+Products of 2-decimal factors are computed in exact decimal arithmetic
+(cast each FACTOR to a narrow decimal, never the double product —
+double→decimal tie rounding is HALF_UP in Spark vs half-even in DuckDB).
+Cross-engine deterministic hashing uses md5 (identical hex in both).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.sources import load_source
+
+
+@dataclass
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table through the engine's source layer
+    (handles TIMESTAMP(NANOS) repair for `events`)."""
+    return load_source(spark, f"{sf_dir}/{name}.parquet", "parquet")
+
+
+def _dec(col, p=28, s=6):
+    """Exact-sum staging cast (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def dsum(col, p=28, s=6):
+    """SUM in exact decimal, surfaced as double — bit-identical cross-engine."""
+    return F.sum(_dec(col, p, s)).cast("double")
+
+
+def davg(col, p=28, s=6):
+    """AVG as exact-decimal sum / count — bit-identical cross-engine."""
+    return F.sum(_dec(col, p, s)).cast("double") / F.count("*")

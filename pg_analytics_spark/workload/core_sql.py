@@ -1,0 +1,800 @@
+"""Core SQL surface — the reference's delegated query capabilities.
+
+The reference pushes arbitrary SELECTs to DuckDB
+(reference src/hooks/executor.rs:71); parity means our SQL entry point
+covers the analytic-SQL surface listed in SURVEY §2.2: scalar and
+grouped aggregation, per-type filters, joins (inner/semi/anti),
+windows, set ops, grouping sets, CTEs, subqueries, date/time and JSON
+functions, ORDER BY/LIMIT/OFFSET.  Each query pairs a DataFrame-API
+implementation with its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.workload.base import _dec, davg, dsum, register, table
+
+# --------------------------------------------------------------------- #
+# Q1 — pricing summary (flagship; TPC-H Q1 shape over lineitem)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Scan+filter+group-agg (SURVEY §2.2 aggregation rows; generalizes the "
+    "reference's COUNT demo, README.md:113-117).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(10,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "count_star",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    doc="Scalar aggregate / UNGROUPED_AGGREGATE (reference tests/tests/scan.rs:67-68; "
+    "explain fixture tests/tests/explain.rs:220-224).",
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------- #
+# Q3 — shipping priority (join + agg + top-N)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="3-way join + group + deterministic top-N (SURVEY §2.2 join rows; the "
+    "reference's foreign×foreign join surface, tests/tests/scan.rs:676-689).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            l.l_orderkey.alias("o_orderkey"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Q5 — local supplier volume (6-way join)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="6-way star join with dimension filters; dims broadcast "
+    "(SURVEY §2.2 joins; 100TB note: only lineitem/orders shuffle).",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    revenue = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Per-type predicate matrix + complex boolean nesting
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "filter_types",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_linenumber = 1
+      AND l_quantity > 45.0
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    doc="Per-type predicates: string eq, int eq, double range, timestamp range "
+    "(reference per-type matrix, tests/tests/scan.rs:336-420).",
+)
+def filter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_linenumber") == 1)
+        & (F.col("l_quantity") > 45.0)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@register(
+    "filter_boolean_nesting",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+       OR (o_orderstatus = 'O' AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+           AND NOT (o_totalprice < 50000.0))
+    """,
+    doc="Complex AND/OR/NOT nesting (reference tests/tests/scan.rs:422-501).",
+)
+def filter_boolean_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0))
+        | (
+            (F.col("o_orderstatus") == "O")
+            & (
+                (F.col("o_orderpriority") == "1-URGENT")
+                | (F.col("o_orderpriority") == "2-HIGH")
+            )
+            & ~(F.col("o_totalprice") < 50000.0)
+        )
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------- #
+# Joins: dim chain, semi, anti
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "join_dim_chain",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Fact→dim→dim chain with broadcast dims (reference federated join "
+    "surface, tests/tests/explain.rs:86-95).",
+)
+def join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum(_dec("c_acctbal", 18, 4)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+    doc="LEFT SEMI join / EXISTS (SURVEY §2.2 semi/anti row).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join / NOT EXISTS (SURVEY §2.2 semi/anti row).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_outer_coalesce",
+    oracle="""
+    SELECT n.n_name, COALESCE(s.cnt, 0) AS suppliers
+    FROM nation n
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey) s
+      ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="LEFT OUTER join + COALESCE over pre-aggregated subquery "
+    "(reference Hash Right Join fixture, tests/tests/explain.rs:86-95).",
+)
+def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
+        "n_name", F.coalesce("cnt", F.lit(0)).alias("suppliers")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Window functions
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="Window rank / per-group top-N (SURVEY §2.2 window row — additive: "
+    "no in-reference test exercises windows).",
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Running aggregate window with explicit ROWS frame (SURVEY §2.2).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice", 18, 4)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+    FROM orders
+    """,
+    doc="LAG/LEAD navigation windows (SURVEY §2.2).",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Set operations, grouping sets, distinct
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+    """,
+    doc="EXCEPT set op — nations without a high-balance supplier "
+    "(SURVEY §2.2 set-op row — additive coverage).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    # EXCEPT has set (distinct) semantics: subtract(), not exceptAll().
+    return n.subtract(s)
+
+
+@register(
+    "set_ops_union_intersect",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) u
+    WHERE nationkey IN (SELECT c_nationkey FROM customer
+                        INTERSECT
+                        SELECT s_nationkey FROM supplier)
+    GROUP BY nationkey
+    """,
+    doc="UNION ALL + INTERSECT composition (SURVEY §2.2).",
+)
+def set_ops_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s)
+    return (
+        c.unionAll(s)
+        .join(both, "nationkey", "left_semi")
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "grouping_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets (SURVEY §2.2 grouping-sets row).",
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("total"),
+    )
+
+
+@register(
+    "grouping_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (SURVEY §2.2).",
+)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT projection (SURVEY §2.2).",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS parts, COUNT(DISTINCT l_suppkey) AS supps
+    FROM lineitem
+    """,
+    doc="Multi COUNT(DISTINCT) (SURVEY §2.2; exact twin of approx_count_distinct).",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("parts"),
+        F.count_distinct("l_suppkey").alias("supps"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines → rows-only check
+    doc="approx_count_distinct — the scale path for COUNT(DISTINCT) at 100TB "
+    "(SURVEY §2.2 'everything else' row). No oracle: sketch estimates are "
+    "engine-specific; correctness is bounded-error, asserted in tests.",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("parts_approx"),
+        F.approx_count_distinct("l_suppkey").alias("supps_approx"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Subqueries, CTEs
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                       FROM customer)
+    """,
+    doc="Scalar subquery in predicate (SURVEY §2.2; decimal-staged avg so the "
+    "threshold is bit-identical cross-engine).",
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.agg(
+        (F.sum(_dec("c_acctbal", 18, 4)).cast("double") / F.count("*")).alias("a")
+    ).collect()[0][0]
+    return c.filter(F.col("c_acctbal") > avg_bal).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    """,
+    doc="IN subquery → semi join (SURVEY §2.2).",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    machinery = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return o.join(
+        machinery, o.o_custkey == machinery.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "cte_top_customers",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, s.total
+    FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+    ORDER BY s.total DESC, c.c_custkey
+    LIMIT 15
+    """,
+    doc="CTE + join + deterministic top-N (SURVEY §2.2 CTE coverage).",
+)
+def cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice", 18, 4)).cast("double").alias("total")
+    )
+    return (
+        spend.join(c, c.c_custkey == spend.o_custkey)
+        .select("c_custkey", "c_name", "total")
+        .orderBy(F.desc("total"), F.asc("c_custkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "correlated_exists_bigorders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) >= 5
+    """,
+    doc="Correlated aggregate subquery, decorrelated to a join by both engines "
+    "(SURVEY §4 subquery-decorrelation row).",
+)
+def correlated_exists_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_orderkey").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 5
+    )
+    return o.join(counts, o.o_orderkey == counts.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------- #
+# ORDER BY / LIMIT / OFFSET, expressions, functions
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    doc="Sort + limit + offset pushdown surface (reference src/fdw/base.rs:107-119; "
+    "offset folded into limit there, native offset here).",
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "case_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                WHEN o_totalprice < 150000.0 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="CASE expression + grouping on computed column (SURVEY §2.2).",
+)
+def case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000.0, "small")
+        .when(F.col("o_totalprice") < 150000.0, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTR(p_name, 1, 10) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_name LIKE '%ol%'
+    """,
+    doc="String function battery + LIKE (SURVEY §2.2 string-fn row).",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%ol%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25.0) AS qty_dev,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+           l_orderkey % 10 AS key_mod
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    doc="Math function battery — abs/floor/ceil/mod on IEEE-deterministic "
+    "expressions (SURVEY §2.2 math-fn row).",
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil7"),
+        (F.col("l_orderkey") % 10).alias("key_mod"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Date/time + JSON (events table)
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "date_trunc_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="date_trunc aggregation (reference tests/tests/datetime.rs:55-57); "
+    "result cast to DATE so ns-vs-µs physical types can't skew the hash.",
+)
+def date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value", 18, 4)).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(props->>'k' AS BIGINT) AS k
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) > 90
+    """,
+    doc="JSON access operators on a JSON-string column (reference "
+    "tests/tests/json.rs:294-312 ->> semantics).",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") > 90)
+    )
+
+
+@register(
+    "interval_shift",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    WHERE o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1998-11-01 00:00:00'
+    """,
+    doc="Interval arithmetic on timestamps (SURVEY §1.2 interval row; "
+    "reference datetime converters src/schema/datetime.rs:63-149).",
+)
+def interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    due = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    return (
+        o.select("o_orderkey", "o_orderdate", due.alias("due_date"))
+        .filter(due > F.lit("1998-11-01 00:00:00").cast("timestamp_ntz"))
+    )
+
+
+@register(
+    "datetime_parts",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="EXTRACT date parts + grouping (SURVEY §2.2 date-fn row).",
+)
+def datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.count("*").alias("n"))

@@ -73,7 +73,7 @@ def assert_df_matches_oracle(df, con, sql, float_tol=1e-9):
     norm_o = sorted([_norm([r[i] for i in oidx]) for r in ora_rows])
     assert len(norm_s) == len(norm_o), f"row count {len(norm_s)} vs {len(norm_o)}"
     for a, b in zip(norm_s, norm_o):
-        for x, y in zip(a, b):
+        for (_, x), (_, y) in zip(a, b):
             if isinstance(x, float) and isinstance(y, float):
                 assert (
                     math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol)
@@ -94,5 +94,5 @@ def _norm(vals):
             v = v.replace(tzinfo=None).isoformat()
         elif isinstance(v, dt.date):
             v = v.isoformat()
-        out.append(v)
+        out.append((v is None, v))  # NULLs sort deterministically
     return tuple(out)

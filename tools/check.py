@@ -50,7 +50,10 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    # (is_null, value) per cell so rows with NULLs sort deterministically
+    return sorted(
+        tuple((r[i] is None, norm_cell(r[i])) for i in order) for r in rows
+    )
 
 
 def main():
