@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side only.
+
+Dot products fold left-to-right in float64 via ``aggregate`` +
+``zip_with`` (no Python round trip, whole-stage codegen).  Determinism
+note: a left fold has a fixed summation order, so results are
+reproducible run-to-run and machine-to-machine — unlike a parallel
+reduction.  Cross-engine (DuckDB oracle) agreement additionally
+requires rounding displayed similarities (~1e-16 fold-order noise);
+DuckDB's native list_cosine_similarity computes in float32 and is NOT
+comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_product(a, b) -> Column:
+    """Σ aᵢ·bᵢ in float64 (left fold)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a, b) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖) in float64."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

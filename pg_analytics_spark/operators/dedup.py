@@ -1,0 +1,206 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB contract):
+* exact   — one hash-aggregate on a fingerprint; fully map-side
+            combinable, no skew (md5 keys are uniform).
+* minhash — per-row signature in codegen → explode b band keys →
+            self-equi-join on (band, hash) → verify only candidates.
+            Shuffle volume is b rows per doc, never |docs|².
+* simhash — same banding trick over four 16-bit sub-keys; candidates
+            verified by Hamming distance.
+* ngram   — exact Jaccard via shingle-explode + pair aggregation;
+            quadratic only within identical-shingle buckets.  This is
+            the *oracle-friendly exact* path; minhash is the scale path.
+* embedding — exact cosine over all pairs (quadratic; small inputs /
+            verification tier) — the ANN path lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.functions.hashing import (
+    band_hashes,
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from pg_analytics_spark.functions.text import char_shingles, fingerprint, tokens
+from pg_analytics_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+
+    Output: (id_col, text_col, dup_count).  One shuffle (hash-agg on
+    the md5 fingerprint); partial aggregation makes it map-side
+    combinable at any scale.
+    """
+    return (
+        df.select(
+            F.col(id_col), F.col(text_col), fingerprint(text_col).alias("_fp")
+        )
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_fp")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact shingle Jaccard ≥ threshold.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 decimals.  md5-based hashing keeps the whole pipeline
+    deterministic and cross-engine reproducible.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(text_col, shingle_k).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            band_hashes(minhash_signature("_sh", num_hashes), bands, rows_per_band)
+        ).alias("_bh"),
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_bh"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_bh"
+    )
+    cand = (
+        a.join(b, on="_bh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (no hashing, no misses).
+
+    Shingle-explode → pair counting on shared shingles → Jaccard.
+    Quadratic only within a shared-shingle bucket; the exact tier for
+    verification or small corpora — the scale tier is minhash_lsh_pairs.
+    Output matches minhash_lsh_pairs' shape: (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), char_shingles(text_col, shingle_k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    pairs = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), on="_s")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.round(
+        F.col("_inter").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash with banded candidate search.
+
+    Pigeonhole: two hashes within Hamming distance 3 agree on at least
+    one of four 16-bit sub-keys → join on (band, subkey), verify exact
+    Hamming ≤ max_hamming.  Output: (id_a, id_b, hamming).
+    """
+    h = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(tokens(text_col)).alias("_h"),
+    )
+    subkeys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_h"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                .alias("k"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = h.select("_id", "_h", F.explode(subkeys).alias("_bk"))
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "_bk")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "_bk")
+    return (
+        a.join(b, on="_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("h_a", "h_b").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs over an embedding column.
+
+    All-pairs (quadratic) — the verification tier.  At scale, bucket
+    first with similarity.lsh_ann_topk's hyperplane signatures and run
+    this within buckets.  Output: (id_a, id_b, cosine) rounded to 6.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = F.round(cosine_similarity("va", "vb"), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,360 @@
+"""LLM-data-pipeline workload: dedup, similarity search, text analysis,
+multimodal plumbing — over the `documents` and `embeddings` tables.
+
+Additive scope beyond the reference (BASELINE.json north star).  The
+oracles replicate each algorithm in DuckDB SQL — including the full
+MinHash+LSH pipeline, which is only possible because the hash family is
+md5 (identical hex cross-engine, functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pg_analytics_spark.operators.multimodal import decode_media, fake_decode
+from pg_analytics_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from pg_analytics_spark.functions import text as X
+from pg_analytics_spark.workload.base import register, table
+
+# SQL fragments mirroring functions/text.py exactly -------------------- #
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SHINGLES = (
+    f"list_distinct([substring(t, i+1, 5) for i in range(0, length(t)-4)])"
+)
+_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    mins = ", ".join(
+        f"list_min([md5(CAST({i} AS VARCHAR) || '|' || x) for x in s])"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+_MINHASH_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM norm WHERE length(t) >= 5
+), sig AS (
+  SELECT doc_id, s, {_minhash_sig_sql(12)} AS sig FROM sh
+), bh AS (
+  SELECT doc_id, s, b,
+         CASE b {" ".join(f"WHEN {b} THEN md5(" + " || '|' || ".join(f"sig[{b*3+j+1}]" for j in range(3)) + ")" for b in range(4))} END AS h
+  FROM sig, (SELECT unnest(range(4)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.s AS sa, b.s AS sb
+  FROM bh a JOIN bh b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sa, sb))::DOUBLE /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE, 6) AS jaccard
+FROM cand
+WHERE ROUND(len(list_intersect(sa, sb))::DOUBLE /
+            (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE, 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id,
+           arg_min(text, doc_id) AS text,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+    doc="Exact dedup via md5 fingerprint hash-agg; min-id representative. "
+    "Scale: one map-side-combinable shuffle on a uniform key.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash(12 md5 hashes)+LSH(4 bands×3) candidate pairs verified by "
+    "exact shingle Jaccard ≥ 0.5. Oracle replicates the full pipeline in "
+    "SQL — possible because the hash family is md5. Scale: banding makes "
+    "candidates an equi-join, never |docs|².",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=12, bands=4, shingle_k=5, threshold=0.5,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM norm WHERE length(t) >= 5
+    ), sizes AS (
+      SELECT doc_id, len(s) AS n FROM sh
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS sgl FROM sh
+    ), pairs AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex x JOIN ex y ON x.sgl = y.sgl AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter::DOUBLE / (na.n + nb.n - inter)::DOUBLE, 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE ROUND(inter::DOUBLE / (na.n + nb.n - inter)::DOUBLE, 6) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard pairs (no hashing, zero misses) — the "
+    "verification tier for minhash; quadratic only within shared-shingle "
+    "buckets.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_k=5, threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is engine-specific; invariants tested in pytest
+    doc="64-bit SimHash near-dup pairs, banded 4×16-bit candidate search, "
+    "Hamming ≤ 3 verify. Engine-internal hash (xxhash64) → rows-only gate.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip(a.embedding, b.embedding)]) /
+             (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding])) *
+              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in b.embedding]))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip(a.embedding, b.embedding)]) /
+             (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding])) *
+              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in b.embedding]))), 6) >= 0.9
+    """,
+    doc="Embedding cosine near-dup pairs ≥ 0.9, float64 fold both engines "
+    "(DuckDB's native list_cosine_similarity is float32 — not used). "
+    "All-pairs exact tier; ANN tier is sim_ann_lsh.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.9
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(
+             list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip(embedding, qe)]) /
+             (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) *
+              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in qe]))), 6) AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 20
+    """,
+    doc="Brute-force cosine top-20 for vec_id=0's embedding: scan + fold + "
+    "TakeOrdered, no shuffle. The exact baseline for ANN.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, "embedding", "vec_id", qvec, k=20)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # approximate by construction; recall asserted in pytest
+    doc="Hyperplane-LSH ANN top-10: 16 seeded planes, 8-bit prefix bucket, "
+    "exact re-rank within bucket. The 100TB path — bucket filter replaces "
+    "the full scan.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_ann_topk(emb, "embedding", "vec_id", qvec, k=10)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                     / length(text)::DOUBLE END AS punct_ratio,
+           CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                ELSE len(list_filter({_TOKS},
+                         x -> list_contains(['the','and','of','to','is','in','that','with','a','an','it','on','for','as','at','by'], x)))::DOUBLE
+                     / len({_TOKS})::DOUBLE END AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-document text metrics: char/token/BPE-ish counts, punctuation "
+    "and stopword ratios — all codegen built-ins, no UDF.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, x -> list_contains([{markers}], x)))"
+
+
+_LANGS = list(X.LANG_MARKERS)
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} >= greatest({', '.join('s_' + lo for lo in _LANGS[i + 1:])}) THEN '{lang}'"
+    for i, lang in enumerate(_LANGS[:-1])
+) + f" ELSE '{_LANGS[-1]}' END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+      FROM documents
+    )
+    SELECT lang, {_LANG_CASE} AS predicted, COUNT(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="Wordlist language-ID heuristic: marker-token hit counts per "
+    "language, argmax with fixed tie order; confusion counts vs the "
+    "labeled lang column.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", X.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKS})::DOUBLE AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text)::DOUBLE END AS punct,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOKS},
+                           x -> list_contains(['the','and','of','to','is','in','that','with','a','an','it','on','for','as','at','by'], x)))::DOUBLE
+                       / len({_TOKS})::DOUBLE END AS stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ((least(n_tok / 100.0, 1.0)
+             + least(stop * 4.0, 1.0)
+             + (1.0 - least(punct * 4.0, 1.0))) / 3.0) AS quality
+    FROM m
+    """,
+    doc="Composite quality score in [0,1] (length/stopword/punct terms); "
+    "rational arithmetic only so the oracle matches bit-for-bit.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp, length({_NORM}) AS n_chars_norm
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of normalized text (the dedup key) + "
+    "normalized length.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        F.length(X.normalize("text")).alias("n_chars_norm"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash,
+           64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS fake_width,
+           64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS fake_height
+    FROM documents
+    """,
+    doc="Multimodal metadata plumbing: text payloads as opaque binary blobs "
+    "with byte_len + content-hash + deterministic fake-decode dimensions "
+    "(md5-derived, matching operators/multimodal.fake_decode). Real codecs "
+    "are stubbed — absent in this container.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    h = F.md5(blob)
+    def _hexbyte(pos: int):
+        return F.conv(F.substring(h, pos, 2), 16, 10).cast("int")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("byte_len"),
+        h.alias("content_hash"),
+        (F.lit(64) + _hexbyte(1) % 192).alias("fake_width"),
+        (F.lit(64) + _hexbyte(3) % 192).alias("fake_height"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle=None,  # mapInPandas plumbing; fake-decode values tested in pytest
+    doc="Arrow-batched mapInPandas decode pass over binary payloads "
+    "(operators/multimodal.decode_media with the deterministic fake codec; "
+    "real image/audio libs are stubbed behind NotImplementedError).",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return decode_media(d, "blob", "doc_id", "image", decoder=fake_decode)

@@ -1,0 +1,112 @@
+"""Operator-level tests for the LLM-pipeline components: properties the
+oracle can't check (approximate operators, engine-internal hashes,
+mapInPandas plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from pg_analytics_spark.operators.multimodal import (
+    decode_media,
+    fake_decode,
+    real_decode,
+    with_media_meta,
+)
+from pg_analytics_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    # plant exact and near duplicates with known ids
+    dup = base.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = base.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near)
+
+
+def test_exact_dedup_collapses_planted_dup(docs_with_dups):
+    out = exact_dedup(docs_with_dups, "text", "doc_id")
+    assert out.count() == 51  # 50 base + near-dup; exact dup collapsed
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["dup_count"] == 2
+
+
+def test_minhash_finds_planted_near_dup(docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, "text", "doc_id", threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in found  # exact dup: jaccard 1.0, always banded together
+    assert (1, 200001) in found  # near dup: tiny suffix edit
+
+
+def test_simhash_exact_dup_distance_zero(docs_with_dups):
+    pairs = simhash_pairs(docs_with_dups, "text", "doc_id", max_hamming=3)
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert by_pair.get((0, 100000)) == 0
+
+
+def test_lsh_ann_subset_of_bruteforce_universe(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = brute_force_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    assert exact[0]["vec_id"] == 0 and exact[0]["sim"] == 1.0
+    approx = lsh_ann_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    # the query vector always lands in its own bucket
+    assert approx and approx[0]["vec_id"] == 0
+    # approximate sims must be genuine cosine values (subset of universe)
+    exact_all = {
+        r["vec_id"]: r["sim"]
+        for r in brute_force_topk(
+            emb, "embedding", "vec_id", q, k=emb.count()
+        ).collect()
+    }
+    for r in approx:
+        assert exact_all[r["vec_id"]] == r["sim"]
+
+
+def test_multimodal_meta_and_decode(spark):
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(20)
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    meta = with_media_meta(d, "blob", "image")
+    row = meta.select("media_meta.*").collect()[0]
+    assert row["modality"] == "image" and row["byte_len"] > 0
+
+    decoded = decode_media(d, "blob", "doc_id", "image", decoder=fake_decode)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert r["n_frames"] == 1 and r["ok"]
+
+    # deterministic: same input → same fake dimensions
+    again = {r["id"]: (r["width"], r["height"]) for r in decoded.collect()}
+    assert {r["id"]: (r["width"], r["height"]) for r in rows} == again
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00", "image")
+
+
+def test_approx_count_distinct_bounded_error(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.agg(F.count_distinct("l_partkey")).collect()[0][0]
+    approx = li.agg(F.approx_count_distinct("l_partkey")).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
