@@ -65,11 +65,11 @@ def _restore_nanos(df: DataFrame, ns_cols: list[str]) -> DataFrame:
     """Convert nanosAsLong-surfaced columns back to TIMESTAMP_NTZ (µs)."""
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer `div`, not `/`: ns values (~1.7e18) exceed double's
+            # 2^53 mantissa, and DuckDB/the reference truncate ns→µs.
             df = df.withColumn(
                 c,
-                F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
     return df
 

@@ -1,0 +1,162 @@
+"""Structured Streaming over the events table.
+
+Streaming versions of the batch twins in workload/stream.py:
+
+* ``stream_hourly_counts``   — tumbling window + watermark (late data
+                               beyond 2h dropped deterministically).
+* ``stream_sessionize``      — native session_window with 30-min gap.
+* ``stream_stateful_user_profile`` — custom stateful operator via
+                               applyInPandasWithState: running per-user
+                               profile with explicit GroupState.
+
+All sources are file streams (parquet dirs) so the same code runs
+against a Kafka source by swapping ``read_event_stream``; tests drive
+them with Trigger.AvailableNow into memory sinks — the incremental
+execution path is real, only the trigger is bounded.
+
+Scale notes: the watermark bounds state; session/window state is
+per-key and spills via RocksDB state store on a real cluster
+(`spark.sql.streaming.stateStore.providerClass`).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    StringType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream with the canonical schema.
+
+    The batch table carries TIMESTAMP(NANOS); for streaming we read ts
+    as long (nanosAsLong) and repair to µs — identical semantics to the
+    batch path (sources/parquet.py).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", LongType())
+            for f in EVENT_SCHEMA.fields
+        ]
+    )
+    reader = spark.readStream.schema(ns_schema)
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        # file streams require a directory; narrow with a glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    # integer `div` truncation, matching the batch path (sources/parquet.py).
+    # Watermarks require TIMESTAMP (LTZ) — with the engine's pinned UTC
+    # session timezone the wall times equal the batch path's NTZ values.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h counts per event type with a watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows keyed by user with an inactivity gap."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_PROFILE_SCHEMA = (
+    "user_id long, n_events long, total_value double, last_event string"
+)
+_STATE_SCHEMA = "n long, total double, last string"
+
+
+def _update_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last = state.get
+    else:
+        n, total, last = 0, 0.0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last = str(pdf["event_type"].iloc[-1])
+    state.update((n, total, last))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "total_value": total, "last_event": last}]
+    )
+
+
+def stream_stateful_user_profile(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user profile with explicit
+    GroupState (the applyInPandasWithState escape hatch for semantics
+    session_window can't express)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=_PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available into an in-memory table and
+    stop — the bounded-trigger harness used by tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if "profile" in query_name else "complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

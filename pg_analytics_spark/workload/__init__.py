@@ -17,6 +17,7 @@ from pg_analytics_spark.workload.base import REGISTRY, QueryDef, table
 # Import for side effect: each registers its queries.
 from pg_analytics_spark.workload import core_sql  # noqa: E402,F401
 from pg_analytics_spark.workload import llm  # noqa: E402,F401
+from pg_analytics_spark.workload import stream  # noqa: E402,F401
 from pg_analytics_spark.workload.core_sql import q1_pricing_summary  # noqa: F401
 
 
