@@ -42,6 +42,18 @@ from pyspark.sql import functions as F
 from pg_analytics_spark.errors import fallback_warning
 from pg_analytics_spark.sources.base import _truthy, apply_common
 
+
+def _columns_to_ddl(columns: dict) -> str:
+    """User-declared columns use DuckDB/Postgres type names (reference
+    csv.rs `columns` option); translate through the D2 rewriter so e.g.
+    bare `varchar`/`text`/`hugeint` parse."""
+    from pg_analytics_spark.types import duckdb_type_to_spark
+
+    return ", ".join(
+        f"{name} {duckdb_type_to_spark(typ).simpleString()}"
+        for name, typ in dict(columns).items()
+    )
+
 _DIRECT = {
     "delim": "sep",
     "sep": "sep",
@@ -75,7 +87,7 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     schema_ddl = None
     columns = opts.get("columns")
     if columns:
-        schema_ddl = ", ".join(f"{name} {typ}" for name, typ in dict(columns).items())
+        schema_ddl = _columns_to_ddl(columns)
     elif _truthy(opts.get("all_varchar")):
         reader_opts["inferSchema"] = "false"
     elif _truthy(opts.get("auto_detect", True)):

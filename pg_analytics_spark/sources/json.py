@@ -49,7 +49,9 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     schema_ddl = None
     columns = opts.get("columns")
     if columns:
-        schema_ddl = ", ".join(f"{name} {typ}" for name, typ in dict(columns).items())
+        from pg_analytics_spark.sources.csv import _columns_to_ddl
+
+        schema_ddl = _columns_to_ddl(columns)
 
     df = spark.read.options(**reader_opts).json(files, schema=schema_ddl)
     return apply_common(df, opts)

@@ -1,0 +1,231 @@
+"""Source option-surface tests: the Spark analog of the reference's
+per-format SQL-generation unit tests (reference src/duckdb/csv.rs:288-454,
+parquet.rs:121-215, json.rs:107-188, secret.rs:219-359)."""
+
+from __future__ import annotations
+
+import json as jsonlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.errors import MissingDependency, UnsupportedFormat
+from pg_analytics_spark.sources import load_source, split_files
+from pg_analytics_spark.sources.secrets import secret_to_hadoop_conf
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def csv_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv")
+    p = d / "people.csv"
+    p.write_text(
+        "id;name;score;joined\n"
+        "1;alice;9.5;2024-01-02\n"
+        "2;bob;NA;2024-02-03\n"
+        "3;Carol Smith;7.25;2024-03-04\n"
+    )
+    return str(d)
+
+
+def test_split_files_comma_semantics():
+    # comma-split of the files option (reference src/duckdb/utils.rs:18-31)
+    assert split_files("a.parquet, b.parquet ,c.parquet") == [
+        "a.parquet", "b.parquet", "c.parquet",
+    ]
+    assert split_files(["x", "y"]) == ["x", "y"]
+
+
+def test_csv_options_delim_header_null(spark, csv_dir):
+    df = load_source(
+        spark,
+        f"{csv_dir}/people.csv",
+        "csv",
+        {"delim": ";", "header": True, "nullstr": "NA", "auto_detect": True},
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["score"] is None  # NA → null
+    assert rows[1]["score"] == 9.5  # inferSchema → double
+
+
+def test_csv_declared_columns_schema(spark, csv_dir):
+    df = load_source(
+        spark,
+        f"{csv_dir}/people.csv",
+        "csv",
+        {
+            "delim": ";",
+            "header": True,
+            "columns": {"id": "int", "name": "varchar", "score": "double",
+                        "joined": "date"},
+        },
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "string", "double", "date",
+    ]
+
+
+def test_csv_names_types_normalize(spark, csv_dir):
+    df = load_source(
+        spark,
+        f"{csv_dir}/people.csv",
+        "csv",
+        {"delim": ";", "header": True, "names": ["Person ID", "Full Name"],
+         "normalize_names": True},
+    )
+    assert df.columns[:2] == ["person_id", "full_name"]
+
+
+def test_csv_select_and_filename(spark, csv_dir):
+    df = load_source(
+        spark,
+        f"{csv_dir}/people.csv",
+        "csv",
+        {"delim": ";", "header": True, "filename": True, "select": "id, name"},
+    )
+    assert df.columns == ["id", "name"]
+    df2 = load_source(
+        spark, f"{csv_dir}/people.csv", "csv",
+        {"delim": ";", "header": True, "filename": True},
+    )
+    assert df2.collect()[0]["filename"].endswith("people.csv")
+
+
+@pytest.fixture(scope="module")
+def json_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("json")
+    nl = d / "events.ndjson"
+    nl.write_text(
+        '{"id": 1, "tag": "a", "v": 1.5}\n{"id": 2, "tag": "b", "v": 2.5}\n'
+    )
+    arr = d / "events_array.json"
+    arr.write_text(jsonlib.dumps([{"id": 3, "tag": "c"}, {"id": 4, "tag": "d"}]))
+    return str(d)
+
+
+def test_json_newline_delimited(spark, json_dir):
+    df = load_source(spark, f"{json_dir}/events.ndjson", "json", {"format": "nl"})
+    assert df.count() == 2 and set(df.columns) == {"id", "tag", "v"}
+
+
+def test_json_array_format(spark, json_dir):
+    df = load_source(spark, f"{json_dir}/events_array.json", "json", {"format": "array"})
+    assert df.count() == 2
+    assert {r["id"] for r in df.collect()} == {3, 4}
+
+
+def test_json_declared_columns(spark, json_dir):
+    df = load_source(
+        spark, f"{json_dir}/events.ndjson", "json",
+        {"format": "nl", "columns": {"id": "bigint", "v": "double"}},
+    )
+    assert set(df.columns) == {"id", "v"}
+
+
+def test_parquet_union_by_name_and_row_number(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pq")
+    spark.range(3).select(F.col("id"), F.lit("x").alias("a")).write.parquet(
+        str(d / "p1")
+    )
+    spark.range(3).select(F.col("id"), F.lit(1.5).alias("b")).write.parquet(
+        str(d / "p2")
+    )
+    df = load_source(
+        spark, [f"{d}/p1", f"{d}/p2"], "parquet", {"union_by_name": True}
+    )
+    assert {"id", "a", "b"} <= set(df.columns)
+    df2 = load_source(
+        spark, f"{d}/p1", "parquet", {"file_row_number": True}
+    )
+    assert {r["file_row_number"] for r in df2.collect()} <= {0, 1, 2}
+
+
+def test_parquet_binary_as_string(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pqb")
+    spark.sql("SELECT CAST('abc' AS BINARY) AS b").write.parquet(str(d / "t"))
+    df = load_source(spark, f"{d}/t", "parquet", {"binary_as_string": True})
+    assert dict(df.dtypes)["b"] == "string"
+    assert df.collect()[0]["b"] == "abc"
+
+
+def test_hive_partitioning_discovery(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hive")
+    spark.range(4).withColumn("part", F.col("id") % 2).write.partitionBy(
+        "part"
+    ).parquet(str(d / "t"))
+    df = load_source(spark, f"{d}/t", "parquet", {})
+    assert "part" in df.columns  # automatic discovery (S1 hive_partitioning)
+    df_flat = load_source(spark, f"{d}/t", "parquet", {"hive_partitioning": False})
+    assert "part" not in df_flat.columns
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(UnsupportedFormat):
+        load_source(spark, "x.avro", "avro", {})
+
+
+def test_delta_iceberg_gated(spark):
+    # lazy INSTALL/LOAD analog: clear MissingDependency, not a crash
+    with pytest.raises(MissingDependency):
+        load_source(spark, "/tmp/nonexistent_delta", "delta", {})
+    with pytest.raises(MissingDependency):
+        load_source(spark, "/tmp/nonexistent_iceberg", "iceberg", {})
+
+
+def test_spatial_geojson(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("geo")
+    p = d / "places.geojson"
+    p.write_text(jsonlib.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {"name": "origin"}},
+        ],
+    }))
+    df = load_source(spark, str(p), "spatial", {})
+    row = df.collect()[0]
+    assert row["geometry"]["type"] == "Point"
+    assert row["properties"]["name"] == "origin"
+
+
+# ------------------------------------------------------------------ #
+# Secrets → Hadoop conf translation (reference secret.rs:219-359 style)
+# ------------------------------------------------------------------ #
+
+
+def test_s3_secret_per_bucket():
+    conf = secret_to_hadoop_conf(
+        "s3",
+        {"key_id": "AK", "secret": "SK", "endpoint": "minio:9000",
+         "url_style": "path", "use_ssl": False, "region": "us-east-1"},
+        bucket="demo",
+    )
+    assert conf["fs.s3a.bucket.demo.access.key"] == "AK"
+    assert conf["fs.s3a.bucket.demo.secret.key"] == "SK"
+    assert conf["fs.s3a.bucket.demo.endpoint"] == "minio:9000"
+    assert conf["fs.s3a.bucket.demo.path.style.access"] == "true"
+    assert conf["fs.s3a.bucket.demo.connection.ssl.enabled"] == "false"
+
+
+def test_r2_secret_builds_endpoint():
+    conf = secret_to_hadoop_conf(
+        "r2", {"key_id": "AK", "secret": "SK", "account_id": "acct123"}
+    )
+    assert conf["fs.s3a.endpoint"].startswith("https://acct123.")
+
+
+def test_azure_and_gcs_secrets():
+    az = secret_to_hadoop_conf(
+        "azure", {"account_name": "acc", "account_key": "KEY"}
+    )
+    assert az["fs.azure.account.key.acc.dfs.core.windows.net"] == "KEY"
+    gs = secret_to_hadoop_conf("gcs", {"key_id": "GK", "secret": "GS"})
+    assert gs["fs.gs.auth.access.key"] == "GK"
+
+
+def test_unknown_secret_type():
+    with pytest.raises(UnsupportedFormat):
+        secret_to_hadoop_conf("ftp", {})
