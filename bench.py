@@ -21,10 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pg_analytics_spark import get_spark
 from pg_analytics_spark.workload import REGISTRY
 
-#: headline queries; grows as the workload grows.
+#: headline queries: the scan/join/window/dedup/similarity/stream mix.
 HEADLINE = [
-    "q1_pricing_summary",
     "count_star",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank_topn",
+    "grouping_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "events_hourly_window",
+    "events_sessionize",
 ]
 
 

@@ -40,16 +40,28 @@ def minhash_signature(shingles, num_hashes: int = 12) -> Column:
 
 def band_hashes(signature, bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, h:string>> LSH band keys: band b hashes
-    signature[b*r : (b+1)*r] with md5."""
-    entries = []
-    for b in range(bands):
-        parts = [
-            F.element_at(_c(signature), b * rows_per_band + j + 1)
-            for j in range(rows_per_band)
-        ]
-        h = F.md5(F.concat_ws("|", *parts).cast("binary"))
-        entries.append(F.struct(F.lit(b).alias("band"), h.alias("h")))
-    return F.array(*entries)
+    signature[b*r : (b+1)*r] with md5.
+
+    The signature expression is bound ONCE via a single-element
+    ``transform`` lambda: lambda variables are computed values, so the
+    b×r ``element_at`` references don't re-evaluate the (expensive)
+    signature — Catalyst has no cross-reference CSE here and would
+    otherwise compute it bands×rows times.
+    """
+
+    def _bands(sig: Column) -> Column:
+        entries = []
+        for b in range(bands):
+            parts = [
+                F.element_at(sig, b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ]
+            h = F.md5(F.concat_ws("|", *parts).cast("binary"))
+            entries.append(F.struct(F.lit(b).alias("band"), h.alias("h")))
+        return F.array(*entries)
+
+    bound = F.transform(F.array(_c(signature)), _bands)
+    return F.flatten(bound)
 
 
 #: 2^j as signed 64-bit values (j=63 wraps to Long.MIN_VALUE — correct

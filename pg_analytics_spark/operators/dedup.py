@@ -73,30 +73,31 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         char_shingles(text_col, shingle_k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
+    # Banding rows are narrow (id, band, hash) — the shingle arrays are
+    # re-joined only for the (small) verified candidate set, so the
+    # self-join shuffles longs+hashes, not 500-element string arrays.
     banded = sh.select(
         "_id",
-        "_sh",
         F.explode(
             band_hashes(minhash_signature("_sh", num_hashes), bands, rows_per_band)
         ).alias("_bh"),
     )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_bh"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_bh"
-    )
     cand = (
-        a.join(b, on="_bh")
+        banded.select(F.col("_id").alias("id_a"), "_bh")
+        .join(banded.select(F.col("_id").alias("id_b"), "_bh"), on="_bh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sh_a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.round(inter / union, 6)
     return (
-        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
