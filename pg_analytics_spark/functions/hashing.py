@@ -1,11 +1,16 @@
 """Hashing primitives for near-duplicate detection.
 
-MinHash uses md5 as the hash family — md5(seed || '|' || shingle) with
-the *lexicographically minimal hex digest* as the signature component.
-md5 produces identical hex in Spark and DuckDB, which makes the whole
-MinHash+LSH pipeline oracle-checkable cross-engine (a property no
-engine-specific hash like xxhash64 has).  SimHash uses xxhash64
-(Spark-native, 10×+ faster) since sketches are engine-internal.
+MinHash hashes each shingle ONCE with md5 (identical hex in Spark and
+DuckDB — the property that makes the pipeline oracle-checkable
+cross-engine), takes the first 32 bits as an integer, and derives the
+k-member hash family with affine maps h_i(x) = (a_i·x + b_i) mod P over
+a prime P > 2^32.  All arithmetic stays under 2^63 (x < 2^32, a_i <
+2^30) so both engines compute it exactly in BIGINT — DuckDB *errors* on
+signed-overflow rather than wrapping, so staying in range is a
+correctness requirement, not a style choice.  One md5 per shingle
+instead of k keeps the dominant cost linear in corpus size, not k×.
+SimHash uses xxhash64 (Spark-native, 10×+ faster) since its sketches
+are engine-internal.
 
 Scale notes (100 TB): signatures/bands are computed per-row in
 whole-stage codegen; the LSH candidate step is an equi-join on
@@ -15,32 +20,63 @@ key, no cross product anywhere.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: prime just above 2^32 — the affine family's modulus.
+MINHASH_P = 4_294_967_311
+
+#: fixed-seed affine coefficients (a_i, b_i), shared verbatim with the
+#: DuckDB oracle SQL.  a_i ∈ [1, 2^30), b_i ∈ [0, 2^30).
+_rng = random.Random(0x5BA8C)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30)) for _ in range(64)
+]
 
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def minhash_signature(shingles, num_hashes: int = 12) -> Column:
-    """array<string> minhash signature: element i is
-    min(md5(i || '|' || s) for s in shingles)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    _c(shingles), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary"))
-                )
-            )
-            for i in range(num_hashes)
-        ]
+def _affine(a: int, b: int):
+    # NB: a closure factory, not `lambda h, a=a: ...` — a second lambda
+    # parameter (even defaulted) makes PySpark treat it as the
+    # (value, index) higher-order-function form.
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def shingle_hash32(shingle: Column) -> Column:
+    """First 32 bits of md5(shingle) as a BIGINT — cross-engine stable
+    (DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(shingle.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
     )
 
 
+def minhash_signature(shingles, num_hashes: int = 12) -> Column:
+    """array<bigint> minhash signature over a string-shingle array:
+    element i is min((a_i·h32(s) + b_i) mod P for s in shingles).
+
+    The h32 array is bound once as a lambda variable before the
+    per-family mins — referencing the expression directly inside the 12
+    transforms would make Catalyst recompute every md5 12×.
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+
+    def _sig(hs: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(hs, _affine(a, b))) for a, b in coeffs]
+        )
+
+    h32 = F.transform(_c(shingles), shingle_hash32)
+    return F.element_at(F.transform(F.array(h32), _sig), 1)
+
+
 def band_hashes(signature, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, h:string>> LSH band keys: band b hashes
-    signature[b*r : (b+1)*r] with md5.
+    """array<struct<band:int, h:string>> LSH band keys: band b's key is
+    the '|'-joined slice signature[b*r : (b+1)*r].
 
     The signature expression is bound ONCE via a single-element
     ``transform`` lambda: lambda variables are computed values, so the
@@ -53,10 +89,10 @@ def band_hashes(signature, bands: int, rows_per_band: int) -> Column:
         entries = []
         for b in range(bands):
             parts = [
-                F.element_at(sig, b * rows_per_band + j + 1)
+                F.element_at(sig, b * rows_per_band + j + 1).cast("string")
                 for j in range(rows_per_band)
             ]
-            h = F.md5(F.concat_ws("|", *parts).cast("binary"))
+            h = F.concat_ws("|", *parts)
             entries.append(F.struct(F.lit(b).alias("band"), h.alias("h")))
         return F.array(*entries)
 

@@ -64,14 +64,23 @@ def char_shingles(col, k: int = 5) -> Column:
     Texts shorter than k yield an empty set — guarded explicitly because
     Spark's sequence(0, negative) would step *descending* instead of
     producing an empty array.
+
+    The normalized text is bound ONCE as a lambda variable (computed
+    value) before the per-index substring transform.  Referencing the
+    normalize() expression directly inside the lambda would make
+    Catalyst re-evaluate the regexp_replace for EVERY shingle (~len(t)
+    times per row — measured 15s for 5k docs vs <1s bound).
     """
-    t = normalize(col)
-    idx = F.when(
-        F.length(t) >= k, F.sequence(F.lit(0), F.length(t) - k)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.substring(t, F.lit(1) + i, F.lit(k)))
-    )
+
+    def _one(t: Column) -> Column:
+        idx = F.when(
+            F.length(t) >= k, F.sequence(F.lit(0), F.length(t) - k)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(t, F.lit(1) + i, F.lit(k)))
+        )
+
+    return F.element_at(F.transform(F.array(normalize(col)), _one), 1)
 
 
 def punct_ratio(col) -> Column:

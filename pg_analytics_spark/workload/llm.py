@@ -27,16 +27,25 @@ from pg_analytics_spark.workload.base import register, table
 # SQL fragments mirroring functions/text.py exactly -------------------- #
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
-_SHINGLES = (
-    f"list_distinct([substring(t, i+1, 5) for i in range(0, length(t)-4)])"
-)
+
+
+def _shingles_sql(k: int) -> str:
+    return f"list_distinct([substring(t, i+1, {k}) for i in range(0, length(t)-{k - 1})])"
+
+
+_SHINGLES = _shingles_sql(5)
 _TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 
 def _minhash_sig_sql(num_hashes: int) -> str:
+    # mirrors functions/hashing.py: h32 = first 32 md5 bits as BIGINT,
+    # family member i = (a_i*h32 + b_i) mod P.  Same fixed coefficients.
+    from pg_analytics_spark.functions.hashing import MINHASH_COEFFS, MINHASH_P
+
+    h32 = "(('0x' || substr(md5(x), 1, 8))::BIGINT)"
     mins = ", ".join(
-        f"list_min([md5(CAST({i} AS VARCHAR) || '|' || x) for x in s])"
-        for i in range(num_hashes)
+        f"list_min([({h32} * {a} + {b}) % {MINHASH_P} for x in s])"
+        for a, b in MINHASH_COEFFS[:num_hashes]
     )
     return f"[{mins}]"
 
@@ -45,12 +54,12 @@ _MINHASH_ORACLE = f"""
 WITH norm AS (
   SELECT doc_id, {_NORM} AS t FROM documents
 ), sh AS (
-  SELECT doc_id, {_SHINGLES} AS s FROM norm WHERE length(t) >= 5
+  SELECT doc_id, {_shingles_sql(9)} AS s FROM norm WHERE length(t) >= 9
 ), sig AS (
   SELECT doc_id, s, {_minhash_sig_sql(12)} AS sig FROM sh
 ), bh AS (
   SELECT doc_id, s, b,
-         CASE b {" ".join(f"WHEN {b} THEN md5(" + " || '|' || ".join(f"sig[{b*3+j+1}]" for j in range(3)) + ")" for b in range(4))} END AS h
+         CASE b {" ".join(f"WHEN {b} THEN " + " || '|' || ".join(f"sig[{b*3+j+1}]::VARCHAR" for j in range(3)) for b in range(4))} END AS h
   FROM sig, (SELECT unnest(range(4)) AS b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -85,15 +94,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=_MINHASH_ORACLE,
-    doc="MinHash(12 md5 hashes)+LSH(4 bands×3) candidate pairs verified by "
-    "exact shingle Jaccard ≥ 0.5. Oracle replicates the full pipeline in "
+    doc="MinHash(md5→32-bit→12 affine maps mod prime)+LSH(4 bands×3) pairs verified by "
+    "exact 9-gram Jaccard ≥ 0.5. Oracle replicates the full pipeline in "
     "SQL — possible because the hash family is md5. Scale: banding makes "
-    "candidates an equi-join, never |docs|².",
+    "candidates an equi-join, never |docs|²; k=9 shingles keep background "
+    "similarity (and hence false candidates) low on this corpus.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id",
-        num_hashes=12, bands=4, shingle_k=5, threshold=0.5,
+        num_hashes=12, bands=4, shingle_k=9, threshold=0.5,
     )
 
 
