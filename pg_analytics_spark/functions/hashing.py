@@ -9,8 +9,8 @@ a prime P > 2^32.  All arithmetic stays under 2^63 (x < 2^32, a_i <
 signed-overflow rather than wrapping, so staying in range is a
 correctness requirement, not a style choice.  One md5 per shingle
 instead of k keeps the dominant cost linear in corpus size, not k×.
-SimHash uses xxhash64 (Spark-native, 10×+ faster) since its sketches
-are engine-internal.
+SimHash derives its 64 bits from the same md5 digests (two 32-bit
+halves), so its pipeline is oracle-checkable too.
 
 Scale notes (100 TB): signatures/bands are computed per-row in
 whole-stage codegen; the LSH candidate step is an equi-join on
@@ -106,12 +106,16 @@ _POW2 = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
 
 def simhash64(tokens_col) -> Column:
-    """64-bit SimHash over a token array.
+    """64-bit SimHash over a token array, md5-based for cross-engine
+    reproducibility: bits 0-31 come from md5 hex chars 9-16, bits 32-63
+    from chars 1-8 (two independent 32-bit halves — a single 64-bit
+    parse would overflow signed BIGINT, which DuckDB rejects).  Bit j
+    set contributes +1 to slot j, else -1; the final hash sets bit j
+    where the count is >= 0.
 
-    Per token: h = xxhash64(token); bit j contributes +1 if set else -1.
     The per-row fold keeps a 64-slot accumulator array and runs entirely
-    in codegen (aggregate + zip_with), no Python.  Bit positions are
-    Python-int literals (shiftleft/shiftright only take literal counts).
+    JVM-side (aggregate + zip_with), no Python.  Duplicate tokens count
+    each occurrence.  Bit positions are Python-int literals.
     """
     toks = _c(tokens_col)
     counts = F.aggregate(
@@ -133,16 +137,31 @@ def simhash64(tokens_col) -> Column:
 
 
 def _bit_contributions(token: Column) -> Column:
-    h = F.xxhash64(token)
-    return F.array(
-        *[
-            F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")) == 1,
+    """±1 contribution array for one token's 64 hash bits.
+
+    The (hi, lo) halves are bound ONCE as a struct lambda variable —
+    referencing the md5 expressions directly in the 64 bit tests would
+    recompute the digest 64×.
+    """
+    digest = F.md5(token.cast("binary"))
+    halves = F.struct(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def _bits(p: Column) -> Column:
+        def bit(word: Column, j: int) -> Column:
+            return F.when(
+                F.shiftright(word, j).bitwiseAND(F.lit(1).cast("long")) == 1,
                 F.lit(1).cast("long"),
             ).otherwise(F.lit(-1).cast("long"))
-            for j in range(64)
-        ]
-    )
+
+        return F.array(
+            *[bit(p["lo"], j) for j in range(32)],
+            *[bit(p["hi"], j) for j in range(32)],
+        )
+
+    return F.element_at(F.transform(F.array(halves), _bits), 1)
 
 
 def hamming64(a, b) -> Column:

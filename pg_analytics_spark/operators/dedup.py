@@ -195,11 +195,11 @@ def simhash_pairs(
     one of four 16-bit sub-keys → join on (band, subkey), verify exact
     Hamming ≤ max_hamming.  Output: (id_a, id_b, hamming).
     """
-    h = _spread(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    ).select(
-        F.col("_id"),
-        simhash64(tokens("_t")).alias("_h"),
+    h = (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select(F.col("_id"), tokens(F.lower("_t")).alias("_tk"))
+        .filter(F.size("_tk") > 0)  # mirror the oracle's unnest, which drops token-less docs
+        .select("_id", simhash64("_tk").alias("_h"))
     )
     subkeys = F.array(
         *[
@@ -218,7 +218,7 @@ def simhash_pairs(
     return (
         a.join(b, on="_bk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64("h_a", "h_b").alias("hamming"))
+        .select("id_a", "id_b", hamming64("h_a", "h_b").cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

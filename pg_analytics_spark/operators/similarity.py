@@ -87,10 +87,17 @@ def lsh_ann_topk(
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
+    # Sequential left-to-right fold, NOT np.dot: BLAS may reorder the
+    # summation, and a near-zero dot whose sign flips in the last bit
+    # would put the query in a different bucket than the engines' own
+    # sequential folds (Spark F.aggregate / DuckDB list_sum) compute.
+    q = [float(x) for x in query_vec]
     q_sig = 0
     for p, plane in enumerate(planes):
-        if float(np.dot(q, plane)) >= 0:
+        acc = 0.0
+        for x, w in zip(q, plane):
+            acc += x * float(w)
+        if acc >= 0.0:
             q_sig |= 1 << p
     mask = (1 << prefix_bits) - 1
     bucket = signature_col(vec_col, planes).bitwiseAND(F.lit(mask).cast("long"))

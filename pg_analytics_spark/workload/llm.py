@@ -141,11 +141,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), bits AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+), counts AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j ELSE hi >> (j - 32) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS cnt
+  FROM bits, (SELECT unnest(range(64)) AS j)
+  GROUP BY doc_id, j
+), sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 0
+                  THEN (CASE WHEN j = 63 THEN -9223372036854775808 ELSE 1::BIGINT << j END)
+                  ELSE 0 END)::BIGINT AS h
+  FROM counts GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, h, b, (h >> (16 * b::INT)) & 65535 AS k
+  FROM sh, (SELECT unnest(range(4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+FROM banded a JOIN banded b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 is engine-specific; invariants tested in pytest
-    doc="64-bit SimHash near-dup pairs, banded 4×16-bit candidate search, "
-    "Hamming ≤ 3 verify. Engine-internal hash (xxhash64) → rows-only gate.",
+    oracle=_SIMHASH_ORACLE,
+    doc="64-bit SimHash near-dup pairs, banded 4×16-bit candidate search "
+    "(pigeonhole: Hamming ≤ 3 ⇒ one sub-key equal), exact Hamming verify. "
+    "Bits derive from md5 halves so the oracle replicates the full "
+    "pipeline — unnest+group in SQL vs per-row array fold in Spark.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(table(spark, sf_dir, "documents"), "text", "doc_id")
@@ -198,12 +231,48 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, "embedding", "vec_id", qvec, k=20)
 
 
+def _plane_sql(plane) -> str:
+    return "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+
+
+def _bucket_sql(col: str) -> str:
+    """8-bit hyperplane bucket of a dim-64 vector — first prefix_bits
+    planes of operators/similarity.hyperplanes(64, 16, seed=42), signs
+    folded exactly like Spark's F.aggregate / DuckDB's list_sum."""
+    from pg_analytics_spark.operators.similarity import hyperplanes
+
+    terms = []
+    for p, plane in enumerate(hyperplanes(64, 16, 42)[:8]):
+        dot = (
+            f"list_sum([x[1]::DOUBLE * x[2] for x in "
+            f"list_zip({col}, {_plane_sql(plane)})])"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_COS = (
+    "ROUND(list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip(embedding, qe)]) /"
+    " (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) *"
+    "  sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in qe]))), 6)"
+)
+
+
 @register(
     "sim_ann_lsh",
-    oracle=None,  # approximate by construction; recall asserted in pytest
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_ANN_COS} AS sim
+    FROM embeddings e, q
+    WHERE {_bucket_sql('e.embedding')} = {_bucket_sql('qe')}
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
     doc="Hyperplane-LSH ANN top-10: 16 seeded planes, 8-bit prefix bucket, "
     "exact re-rank within bucket. The 100TB path — bucket filter replaces "
-    "the full scan.",
+    "the full scan. Oracle replicates the plane dots (literal Gaussian "
+    "planes, sequential folds) so even the approximate path is value-"
+    "checked, not rows-only.",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
