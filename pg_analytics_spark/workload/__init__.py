@@ -4,6 +4,7 @@ Submodules register queries into base.REGISTRY on import:
     core_sql — the reference's delegated SQL surface (SURVEY §2.2)
     tpch     — TPC-H-derived decision-support shapes (q4/q6/q10/...)
     llm      — LLM-data-pipeline operators (dedup/similarity/text)
+    temporal — as-of join / banded range join over events
     stream   — event-stream analytics (batch twins of streaming ops)
 """
 
@@ -19,6 +20,7 @@ from pg_analytics_spark.workload.base import REGISTRY, QueryDef, table
 from pg_analytics_spark.workload import core_sql  # noqa: E402,F401
 from pg_analytics_spark.workload import tpch  # noqa: E402,F401
 from pg_analytics_spark.workload import llm  # noqa: E402,F401
+from pg_analytics_spark.workload import temporal  # noqa: E402,F401
 from pg_analytics_spark.workload import stream  # noqa: E402,F401
 from pg_analytics_spark.workload.core_sql import q1_pricing_summary  # noqa: F401
 
