@@ -14,6 +14,13 @@ Products of 2-decimal factors are computed in exact decimal arithmetic
 (cast each FACTOR to a narrow decimal, never the double product —
 double→decimal tie rounding is HALF_UP in Spark vs half-even in DuckDB).
 Cross-engine deterministic hashing uses md5 (identical hex in both).
+
+One more trap: DuckDB's decimal→DOUBLE cast double-rounds (int128 →
+double, then /10^scale) and can drift one ulp from Spark's correctly-
+rounded BigDecimal conversion once the decimal's UNSCALED value exceeds
+2^53.  Oracles whose sums can get that large (e.g. sums of squared
+prices) must bridge through VARCHAR: CAST(CAST(x AS VARCHAR) AS DOUBLE)
+— exact digits, one correctly-rounded parse, both engines agree.
 """
 
 from __future__ import annotations

@@ -798,3 +798,151 @@ def datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("bigint").alias("yr"),
         F.month("o_orderdate").cast("bigint").alias("mo"),
     ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------- #
+# Grouping sets / range-frame windows / array agg / exact stats moments
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "events_multires_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, date_trunc('hour', ts) AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts)::TIMESTAMP, event_type),
+      (date_trunc('day', ts)::TIMESTAMP, date_trunc('hour', ts), event_type)
+    )
+    """,
+    doc="Hypertable-style multi-resolution rollup: day-level and hour-level "
+    "aggregates of the same measures in ONE pass via GROUPING SETS (a "
+    "continuous-aggregate pattern; SURVEY §2.2 grouping-sets row). One "
+    "shuffle computes both resolutions — at 100 TB that halves the scan "
+    "cost vs two queries.",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        ev.select(day, hour, "event_type", "value")
+        .groupingSets(
+            [["day", "event_type"], ["day", "hour", "event_type"]],
+            "day", "hour", "event_type",
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM orders
+    """,
+    doc="RANGE-frame window: per customer, trailing-30-day order revenue at "
+    "each order. Spark orders the frame by exact epoch-µs longs with a "
+    "rangeBetween of -30d in µs — identical tie semantics (all equal-ts "
+    "rows join the frame) to the oracle's INTERVAL frame.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(us)
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rev_30d"),
+    )
+
+
+@register(
+    "array_agg_per_group",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           list_sort(list(l_returnflag)) AS flags,
+           len(list(l_linenumber)) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="Array aggregation: per-order sorted line-number and flag lists "
+    "(SURVEY §1.2: ArrayType is native, richer than the reference's "
+    "List→JSON degradation, cell.rs:330-440). collect_list order is "
+    "nondeterministic in a distributed engine, so both sides sort.",
+)
+def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_sort(F.collect_list("l_returnflag")).alias("flags"),
+        F.count("l_linenumber").alias("n_lines"),
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    WITH g AS (
+      -- decimal→VARCHAR→DOUBLE, not decimal→DOUBLE: DuckDB's direct cast
+      -- double-rounds (int128→double, then /10^scale) and drifts one ulp
+      -- from Spark's correctly-rounded BigDecimal conversion once the
+      -- unscaled value exceeds 2^53 (price² sums do).  The string bridge
+      -- is exact digits → one correctly-rounded parse in both engines.
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS spp,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sq / n AS mean_qty,
+           sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+           (n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price
+    FROM g ORDER BY l_returnflag
+    """,
+    doc="Statistical moments (mean/sample-stddev/correlation) computed from "
+    "EXACT decimal power sums, finalized in double with the identical "
+    "expression both engines — native stddev/corr are order-dependent "
+    "float folds that can never hash-match across engines. The map-side-"
+    "combinable power sums are also the right 100 TB plan (one pass).",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+    )
+    n, sq, sqq, sp, spp, sqp = (F.col(c) for c in ("n", "sq", "sqq", "sp", "spp", "sqp"))
+    return g.select(
+        "l_returnflag",
+        "n",
+        (sq / n).alias("mean_qty"),
+        F.sqrt((sqq - sq * sq / n) / (n - F.lit(1))).alias("stddev_qty"),
+        (
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -58,3 +58,44 @@ def test_limit_not_full_sort(spark):
     from pg_analytics_spark.plans import explain_formatted
 
     assert "TakeOrderedAndProject" in explain_formatted(df)
+
+
+def test_q6_all_predicates_pushed(spark):
+    from pg_analytics_spark.workload.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    cols = set(read_schema_columns(df))
+    assert "l_orderkey" not in cols and "l_tax" not in cols, cols
+
+
+def test_q10_q14_broadcast_dimensions(spark):
+    from pg_analytics_spark.workload.tpch import (
+        q10_returned_items,
+        q14_promo_revenue,
+    )
+
+    assert uses_broadcast_join(q10_returned_items(spark, SF_DIR))
+    assert uses_broadcast_join(q14_promo_revenue(spark, SF_DIR))
+
+
+def test_asof_join_single_shuffle(spark):
+    # the union+window formulation must shuffle exactly once (on the key)
+    from pg_analytics_spark.plans import explain_formatted
+    from pg_analytics_spark.workload.temporal import asof_purchase_attribution
+
+    import re
+
+    plan = explain_formatted(asof_purchase_attribution(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from pg_analytics_spark.plans import explain_formatted
+    from pg_analytics_spark.workload.temporal import range_join_error_context
+
+    plan = explain_formatted(range_join_error_context(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
