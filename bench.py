@@ -27,14 +27,19 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "window_rank_topn",
     "grouping_rollup",
+    "stats_moments",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_stats",
     "events_hourly_window",
     "events_sessionize",
+    "asof_purchase_attribution",
+    "range_join_error_context",
 ]
 
 

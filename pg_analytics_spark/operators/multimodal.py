@@ -94,3 +94,124 @@ def decode_media(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(_decode, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "id long, width int, height int, resized binary, resized_len int, ok boolean"
+)
+
+FRAME_SCHEMA = "id long, frame_idx int, frame binary, frame_hash string"
+
+EMBED_DIM = 8
+EMBED_SCHEMA = f"id long, embedding array<float>"
+
+
+def fake_resize(blob: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a pixel resampler: md5-keyed stream of
+    the requested size (w*h bytes, capped at 4096 for tests)."""
+    n = min(w * h, 4096)
+    out = bytearray()
+    seed = hashlib.md5(blob + f"|{w}x{h}".encode()).digest()
+    while len(out) < n:
+        seed = hashlib.md5(seed).digest()
+        out.extend(seed)
+    return bytes(out[:n])
+
+
+def real_resize(blob: bytes, w: int, h: int) -> bytes:
+    raise NotImplementedError(
+        "image resampling requires PIL/opencv, not present in this "
+        "container; pass resizer=fake_resize"
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Arrow-batched resize pass: one output row per input payload with
+    the re-encoded bytes.  Payloads never shuffle — mapInPandas runs on
+    the scan partitioning."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                try:
+                    resized = resizer(payload, width, height)
+                    rows.append(
+                        {"id": _id, "width": width, "height": height,
+                         "resized": resized, "resized_len": len(resized),
+                         "ok": True}
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        {"id": _id, "width": width, "height": height,
+                         "resized": b"", "resized_len": 0, "ok": False}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    max_frames: int = 4,
+    decoder: Callable[[bytes, str], dict] = fake_decode,
+) -> DataFrame:
+    """Frame sampling for video payloads: one OUTPUT ROW PER FRAME
+    (row-explosion inside mapInPandas — the output batch is larger than
+    the input batch, which is exactly what mapInPandas allows and
+    applyInPandas per-group semantics would not need).
+
+    Samples evenly: min(max_frames, n_frames) indices spread over
+    [0, n_frames).  Frame payloads are decoder-derived; with the fake
+    codec each frame is the md5 stream keyed by (payload, index).
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                n = decoder(payload, "video")["n_frames"]
+                k = min(max_frames, n)
+                for i in range(k):
+                    idx = (i * n) // k
+                    frame = hashlib.md5(payload + f"|frame{idx}".encode()).digest()
+                    rows.append(
+                        {"id": _id, "frame_idx": idx, "frame": frame,
+                         "frame_hash": frame.hex()}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def embed_media(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Feature extraction to a fixed-dim embedding column (the shape the
+    similarity operators consume).  Deterministic fake: EMBED_DIM floats
+    from the payload md5, scaled to [-1, 1)."""
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                h = hashlib.md5(payload).digest()
+                vec = [(h[i] - 128) / 128.0 for i in range(EMBED_DIM)]
+                rows.append({"id": _id, "embedding": vec})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(_embed, EMBED_SCHEMA)

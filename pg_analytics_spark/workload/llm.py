@@ -19,7 +19,11 @@ from pg_analytics_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from pg_analytics_spark.operators.multimodal import decode_media, fake_decode
+from pg_analytics_spark.operators.multimodal import (
+    decode_media,
+    fake_decode,
+    sample_frames,
+)
 from pg_analytics_spark.operators.similarity import brute_force_topk, lsh_ann_topk
 from pg_analytics_spark.functions import text as X
 from pg_analytics_spark.workload.base import register, table
@@ -437,3 +441,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     return decode_media(d, "blob", "doc_id", "image", decoder=fake_decode)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # mapInPandas row-explosion; shape/determinism in pytest
+    doc="Frame sampling over video-modality payloads: mapInPandas pass that "
+    "EXPANDS rows (≤4 evenly-spaced frames per payload) — the batch-shape "
+    "contract real codecs need; frames are deterministic md5 streams "
+    "(codec libs stubbed, absent in this container).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return sample_frames(d, "blob", "doc_id", max_frames=4)

@@ -110,3 +110,48 @@ def test_approx_count_distinct_bounded_error(spark):
     exact = li.agg(F.count_distinct("l_partkey")).collect()[0][0]
     approx = li.agg(F.approx_count_distinct("l_partkey")).collect()[0][0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_multimodal_resize_and_embed_plumbing(spark):
+    from pg_analytics_spark.operators.multimodal import (
+        EMBED_DIM,
+        embed_media,
+        fake_resize,
+        resize_media,
+        sample_frames,
+    )
+
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(20)
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    resized = resize_media(d, "blob", "doc_id", 32, 32).collect()
+    assert len(resized) == 20
+    assert all(r["resized_len"] == 32 * 32 and r["ok"] for r in resized)
+    # deterministic: same payload + dims → same bytes
+    one = [r for r in resized if r["id"] == resized[0]["id"]][0]
+    again = resize_media(d, "blob", "doc_id", 32, 32).collect()
+    assert [r for r in again if r["id"] == one["id"]][0]["resized"] == one["resized"]
+
+    emb = embed_media(d, "blob", "doc_id").collect()
+    assert len(emb) == 20 and all(len(r["embedding"]) == EMBED_DIM for r in emb)
+    assert all(-1.0 <= float(x) < 1.0 for r in emb for x in r["embedding"])
+
+
+def test_multimodal_frame_sampling_explodes_rows(spark):
+    from pg_analytics_spark.operators.multimodal import sample_frames
+
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(10)
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    frames = sample_frames(d, "blob", "doc_id", max_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["id"], []).append(r["frame_idx"])
+    assert set(per_doc) == {r["doc_id"] for r in d.select("doc_id").collect()}
+    for idxs in per_doc.values():
+        assert 1 <= len(idxs) <= 4
+        assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
