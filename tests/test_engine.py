@@ -120,3 +120,17 @@ def test_events_nanos_repaired(engine):
         "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '1970-01-01'"
     ).collect()[0][0]
     assert n > 0
+
+
+def test_sniff_csv(engine, tmp_path):
+    p = tmp_path / "dialect.csv"
+    p.write_text(
+        "id;name;price\n1;widget;9.99\n2;gadget;12.50\n3;sprocket;0.25\n"
+    )
+    sniffed = engine.sniff_csv(str(p))
+    assert sniffed["delimiter"] == ";"
+    assert sniffed["has_header"] is True
+    names = [c["name"] for c in sniffed["columns"]]
+    assert names == ["id", "name", "price"]
+    types = {c["name"]: c["type"] for c in sniffed["columns"]}
+    assert types["id"] in ("int", "bigint") and types["price"] == "double"
