@@ -946,3 +946,27 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "set_ops_all_variants",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 49
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F' AND l_quantity >= 49
+    """,
+    doc="Multiset set ops (INTERSECT ALL / EXCEPT ALL — duplicate-preserving "
+    "bag semantics, SURVEY §2.2 set-op row). DataFrame intersectAll/"
+    "exceptAll chain left-associated exactly like the SQL.",
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 49).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    c = (
+        li.filter((F.col("l_linestatus") == "F") & (F.col("l_quantity") >= 49))
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    return a.intersectAll(b).exceptAll(c)
