@@ -970,3 +970,102 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("suppkey"))
     )
     return a.intersectAll(b).exceptAll(c)
+
+
+# --------------------------------------------------------------------- #
+# Raw-SQL-text passthrough — the reference's core mechanism was handing
+# the user's SQL string to the embedded engine verbatim
+# (src/hooks/executor.rs:71).  These queries run ONE shared-dialect ANSI
+# string on BOTH engines: Spark executes the identical text the oracle
+# executes, demonstrating dialect-level parity (not just semantic).
+# --------------------------------------------------------------------- #
+
+_PASSTHROUGH_AGG = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_PASSTHROUGH_WINDOW = """
+SELECT c_custkey, c_acctbal,
+       RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS r,
+       c_mktsegment
+FROM customer
+WHERE c_acctbal > 9000.0
+"""
+
+_PASSTHROUGH_JOIN = """
+SELECT n.n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING COUNT(*) > 2
+ORDER BY n.n_name
+"""
+
+
+def _passthrough(sql_text: str, tables: list[str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql_text)
+
+    return run
+
+
+for _name, _sql, _tables in (
+    ("sql_passthrough_agg", _PASSTHROUGH_AGG, ["orders"]),
+    ("sql_passthrough_window", _PASSTHROUGH_WINDOW, ["customer"]),
+    ("sql_passthrough_join_having", _PASSTHROUGH_JOIN, ["supplier", "nation"]),
+):
+    register(
+        _name,
+        oracle=_sql,
+        doc="Raw-SQL-text passthrough: the IDENTICAL ANSI string executes on "
+        "Spark and on the oracle (the reference's executor.rs:71 delegation "
+        "model — here one engine, same text).",
+    )(_passthrough(_sql, _tables))
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Skew-mitigated join: lineitem×orders through operators/skew."
+    "salted_join (8 deterministic salts; dim replicated per salt) then "
+    "salted two-stage aggregation — bit-identical to the plain join+agg "
+    "the oracle runs, but a hot orderkey's rows spread over 8 reducers. "
+    "The explicit-salt plan for skew AQE can't fix.",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.skew import salted_aggregate, salted_join
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on="l_orderkey", n_salts=8)
+    return (
+        salted_aggregate(
+            joined,
+            "o_orderpriority",
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "sum_qty": (
+                    F.sum(F.col("l_quantity").cast("decimal(28,6)")),
+                    F.sum("sum_qty"),
+                ),
+            },
+            n_salts=8,
+        )
+        .select("o_orderpriority", "n", F.col("sum_qty").cast("double").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )
