@@ -1069,3 +1069,67 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n", F.col("sum_qty").cast("double").alias("sum_qty"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="PIVOT: per-day event counts spread into one column per event type "
+    "(DataFrame groupBy().pivot() with an EXPLICIT value list — an "
+    "unlisted-values pivot needs a distinct-scan first and is "
+    "nondeterministic in column order; oracle uses FILTER aggregation).",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; the FILTER oracle counts 0
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
+@register(
+    "lateral_posexplode_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n,
+           list_min(embedding)::DOUBLE AS mn,
+           list_max(embedding)::DOUBLE AS mx,
+           embedding[1]::DOUBLE AS first_elem,
+           embedding[64]::DOUBLE AS last_elem
+    FROM embeddings
+    """,
+    doc="Lateral explode: posexplode over the embedding array re-aggregated "
+    "to per-vector order-free stats (count/min/max + positional picks) — "
+    "the generator/LATERAL path of SURVEY §2.2; oracle reads the list "
+    "directly, proving the explode→agg round trip is lossless.",
+)
+def lateral_posexplode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").cast("double").alias("mn"),
+            F.max("v").cast("double").alias("mx"),
+            F.min(F.when(F.col("pos") == 0, F.col("v"))).cast("double").alias("first_elem"),
+            F.min(F.when(F.col("pos") == 63, F.col("v"))).cast("double").alias("last_elem"),
+        )
+    )
