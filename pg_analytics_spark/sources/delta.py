@@ -2,28 +2,167 @@
 
 The reference registers ``delta_scan('<path>')`` with options
 files/select/preserve_casing.  Spark's native integration is the
-``delta`` format from the delta-spark package; it is optional in this
-environment so the import is gated (MissingDependency when absent),
-mirroring the reference's lazy ``INSTALL/LOAD delta``
-(src/duckdb/connection.rs:116-128).
+``delta`` format from the delta-spark package; when that is absent
+(this environment), a built-in MINIMAL log reader takes over: it
+replays the public Delta transaction log (_delta_log JSON commits on
+top of the latest parquet checkpoint) to resolve the table's active
+file set and partition values, then reads those parquet files
+directly.
+
+Supported by the fallback: append/overwrite tables, partitioned
+tables (partition columns reconstructed from add-action
+partitionValues, typed via the metaData schemaString), checkpoints.
+NOT supported (raises): deletion vectors, column mapping — those need
+the real delta-spark runtime.
+
+Scale note: the log replay is driver-side metadata work (exactly like
+delta-spark's snapshot resolution); the data read is a plain parquet
+scan over the active files — pushdown/pruning apply as usual.  Files
+sharing identical partition values are read in one reader call.
 """
 
 from __future__ import annotations
 
+import json
+import os
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pg_analytics_spark.errors import MissingDependency
 from pg_analytics_spark.sources.base import apply_common
+from pg_analytics_spark.types import duckdb_type_to_spark
 
 
 def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     if len(files) != 1:
         raise MissingDependency("delta source takes exactly one table path")
+    path = files[0]
     try:
-        df = spark.read.format("delta").load(files[0])
-    except Exception as exc:  # delta-spark jars not on classpath here
-        raise MissingDependency(
-            "delta format requires the delta-spark package on the classpath "
-            "(io.delta:delta-spark_2.13); not available in this environment"
-        ) from exc
+        df = spark.read.format("delta").load(path)
+    except Exception:
+        df = _load_via_log(spark, path)
     return apply_common(df, opts)
+
+
+# ------------------------------------------------------------------ #
+# Minimal transaction-log reader (public Delta protocol)
+# ------------------------------------------------------------------ #
+
+
+def _load_via_log(spark: SparkSession, table_path: str) -> DataFrame:
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise MissingDependency(
+            f"not a Delta table (no _delta_log): {table_path}"
+        )
+    active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise MissingDependency(f"Delta log has no metaData action: {table_path}")
+    part_cols = meta.get("partitionColumns", [])
+    part_types = _partition_types(meta, part_cols)
+
+    # group active files by partition values → one reader call per group
+    groups: dict[tuple, list[str]] = {}
+    for add in active.values():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, add["path"])
+        )
+    if not groups:
+        raise MissingDependency(f"Delta table has no active files: {table_path}")
+
+    out: DataFrame | None = None
+    for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.parquet(*paths)
+        for c, v in zip(part_cols, key):
+            lit = F.lit(v).cast(part_types[c])
+            df = df.withColumn(c, lit)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _replay_log(log_dir: str) -> tuple[dict[str, dict], dict | None]:
+    """Replay checkpoint + JSON commits → (active add-actions by path,
+    latest metaData action)."""
+    start_version = -1
+    active: dict[str, dict] = {}
+    meta: dict | None = None
+
+    last_cp = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_cp):
+        with open(last_cp) as fh:
+            cp = json.load(fh)
+        version = int(cp["version"])
+        parts = cp.get("parts")
+        names = (
+            [f"{version:020d}.checkpoint.parquet"]
+            if not parts
+            else [
+                f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                for i in range(parts)
+            ]
+        )
+        for name in names:
+            a, m = _read_checkpoint(os.path.join(log_dir, name))
+            active.update(a)
+            meta = m or meta
+        start_version = version
+
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+        and int(f[:20]) > start_version
+    )
+    for name in commits:
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action: dict[str, Any] = json.loads(line)
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    add = action["add"]
+                    if add.get("deletionVector"):
+                        raise MissingDependency(
+                            "Delta deletion vectors need delta-spark"
+                        )
+                    active[add["path"]] = add
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+    return active, meta
+
+
+def _read_checkpoint(path: str) -> tuple[dict[str, dict], dict | None]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    cols = tbl.to_pylist()
+    active: dict[str, dict] = {}
+    meta: dict | None = None
+    for row in cols:
+        add = row.get("add")
+        if add and add.get("path"):
+            if add.get("deletionVector"):
+                raise MissingDependency("Delta deletion vectors need delta-spark")
+            active[add["path"]] = add
+        md = row.get("metaData")
+        if md and md.get("id"):
+            meta = md
+    return active, meta
+
+
+def _partition_types(meta: dict, part_cols: list[str]) -> dict[str, Any]:
+    """Partition column Spark types from the metaData schemaString."""
+    types: dict[str, Any] = {c: "string" for c in part_cols}
+    schema_string = meta.get("schemaString")
+    if schema_string:
+        schema = json.loads(schema_string)
+        for field in schema.get("fields", []):
+            if field["name"] in types and isinstance(field["type"], str):
+                types[field["name"]] = duckdb_type_to_spark(field["type"])
+    return types

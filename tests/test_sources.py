@@ -229,3 +229,76 @@ def test_azure_and_gcs_secrets():
 def test_unknown_secret_type():
     with pytest.raises(UnsupportedFormat):
         secret_to_hadoop_conf("ftp", {})
+
+
+def _write_delta_fixture(spark, root, partitioned=False):
+    """Handcraft a minimal public-protocol Delta table: two commits,
+    one file removed in the second."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(f"{root}/_delta_log", exist_ok=True)
+
+    def _part(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = [f for f in _os.listdir(f"{root}/_tmp") if f.endswith(".parquet")][0]
+        _os.replace(f"{root}/_tmp/{src}", f"{root}/{name}")
+
+    _part(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), "part-0.parquet")
+    _part(spark.range(5, 8).selectExpr("id", "id * 2 AS v"), "part-1.parquet")
+    _part(spark.range(8, 10).selectExpr("id", "id * 2 AS v"), "part-2.parquet")
+
+    fields = [{"name": "id", "type": "long", "nullable": True, "metadata": {}},
+              {"name": "v", "type": "long", "nullable": True, "metadata": {}}]
+    part_cols = []
+    if partitioned:
+        fields.append({"name": "region", "type": "integer", "nullable": True, "metadata": {}})
+        part_cols = ["region"]
+    meta = {
+        "id": "11111111-2222-3333-4444-555555555555",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": part_cols,
+        "configuration": {},
+    }
+
+    def _add(path, pv):
+        return {"add": {"path": path, "partitionValues": pv, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    pv0 = {"region": "1"} if partitioned else {}
+    pv1 = {"region": "2"} if partitioned else {}
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        fh.write(_json.dumps({"metaData": meta}) + "\n")
+        fh.write(_json.dumps(_add("part-0.parquet", pv0)) + "\n")
+        fh.write(_json.dumps(_add("part-1.parquet", pv1)) + "\n")
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as fh:
+        # compaction-style commit: part-1 removed, part-2 takes over
+        fh.write(_json.dumps({"remove": {"path": "part-1.parquet", "dataChange": True}}) + "\n")
+        fh.write(_json.dumps(_add("part-2.parquet", pv1)) + "\n")
+
+
+def test_delta_fallback_log_replay(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    _write_delta_fixture(spark, root)
+    df = load_source(spark, root, "delta")
+    got = sorted(r["id"] for r in df.collect())
+    # part-0 (0-4) + part-2 (8-9); removed part-1 (5-7) must be gone
+    assert got == [0, 1, 2, 3, 4, 8, 9]
+
+
+def test_delta_fallback_partition_columns(spark, tmp_path):
+    root = str(tmp_path / "dlp")
+    _write_delta_fixture(spark, root, partitioned=True)
+    df = load_source(spark, root, "delta")
+    assert dict(df.dtypes)["region"] == "int"
+    regions = {r["region"] for r in df.select("region").distinct().collect()}
+    assert regions == {1, 2}
+
+
+def test_delta_fallback_rejects_non_delta_dir(spark, tmp_path):
+    from pg_analytics_spark.errors import MissingDependency
+
+    with pytest.raises(MissingDependency):
+        load_source(spark, str(tmp_path), "delta")
