@@ -431,10 +431,20 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    oracle=None,  # mapInPandas plumbing; fake-decode values tested in pytest
+    oracle="""
+    SELECT doc_id AS id, 'image' AS modality,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash,
+           64 + (('0x' || substr(md5(text), 1, 2))::INT % 192) AS width,
+           64 + (('0x' || substr(md5(text), 3, 2))::INT % 192) AS height,
+           1 AS n_frames, TRUE AS ok
+    FROM documents
+    """,
     doc="Arrow-batched mapInPandas decode pass over binary payloads "
-    "(operators/multimodal.decode_media with the deterministic fake codec; "
-    "real image/audio libs are stubbed behind NotImplementedError).",
+    "(operators/multimodal.decode_media). Real codecs are stubbed behind "
+    "NotImplementedError; the deterministic fake codec is md5-derived, "
+    "which makes even the Python mapInPandas path fully oracle-checkable "
+    "in SQL — the oracle recomputes the fake decode per row.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
@@ -445,11 +455,29 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # mapInPandas row-explosion; shape/determinism in pytest
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             1 + (('0x' || substr(md5(text), 5, 2))::INT % 128) AS n
+      FROM documents
+    ), k AS (
+      SELECT doc_id, text, n, least(4, n) AS k FROM base
+    ), idx AS (
+      SELECT doc_id, text, unnest([(i * n) // k FOR i IN range(k)]) AS frame_idx
+      FROM k
+    )
+    -- md5 of the UTF-8 text + ASCII suffix == Python md5 of payload bytes
+    SELECT doc_id AS id, frame_idx::INT AS frame_idx,
+           unhex(md5(text || '|frame' || frame_idx)) AS frame,
+           md5(text || '|frame' || frame_idx) AS frame_hash
+    FROM idx
+    """,
     doc="Frame sampling over video-modality payloads: mapInPandas pass that "
     "EXPANDS rows (≤4 evenly-spaced frames per payload) — the batch-shape "
-    "contract real codecs need; frames are deterministic md5 streams "
-    "(codec libs stubbed, absent in this container).",
+    "contract real codecs need. The fake frames are md5 streams keyed by "
+    "(payload, index), so the row-exploding Python path is oracle-checked "
+    "too: the oracle rebuilds the sampled index list with a range "
+    "comprehension.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
