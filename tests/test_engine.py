@@ -134,3 +134,24 @@ def test_sniff_csv(engine, tmp_path):
     assert names == ["id", "name", "price"]
     types = {c["name"]: c["type"] for c in sniffed["columns"]}
     assert types["id"] in ("int", "bigint") and types["price"] == "double"
+
+
+def test_ctas_materialization(engine, tmp_path):
+    """CTAS (SURVEY §2.2 CTAS row; reference tests/tests/scan.rs:314-333
+    materializes foreign-table scans into a heap table)."""
+    loc = str(tmp_path / "ctas_out")
+    engine.sql(
+        f"CREATE TABLE ctas_cheap USING parquet LOCATION '{loc}' AS "
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 3"
+    )
+    try:
+        back = engine.sql("SELECT COUNT(*) AS n FROM ctas_cheap").collect()[0]["n"]
+        direct = engine.sql(
+            "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 3"
+        ).collect()[0]["n"]
+        assert back == direct > 0
+        # the files are plain parquet, re-readable without the catalog
+        again = engine.spark.read.parquet(loc).count()
+        assert again == direct
+    finally:
+        engine.sql("DROP TABLE IF EXISTS ctas_cheap")
