@@ -146,15 +146,75 @@ def stream_stateful_user_profile(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_purchase_join(
+    events: DataFrame, max_lag: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding `max_lag` — the streaming twin of
+    the batch banded range join (operators/temporal.py).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both, so Spark can evict click state once the watermark
+    passes purchase_ts: state is O(users × clicks-in-lag-window), not
+    unbounded.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = F.expr(
+        f"p_user_id = c_user_id AND "
+        f"click_ts >= purchase_ts - INTERVAL {max_lag} AND "
+        f"click_ts < purchase_ts"
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming dedup: first event per (user_id,
+    event_type) within the watermark horizon survives
+    (dropDuplicatesWithinWatermark — state for a key is dropped once
+    the watermark passes it, so dedup state is bounded, unlike plain
+    dropDuplicates on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str | None = None,
 ) -> None:
     """Drain everything currently available into an in-memory table and
     stop — the bounded-trigger harness used by tests."""
+    if output_mode is None:
+        output_mode = "update" if "profile" in query_name else "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update" if "profile" in query_name else "complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -95,3 +95,44 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("error_id", "user_id", "error_ts").agg(
         F.count("_match_click_ts").alias("n_clicks_5m")
     )
+
+
+@register(
+    "events_click_purchase_pairs",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <  p.ts
+    """,
+    doc="Batch twin of streaming/events.stream_click_purchase_join (stream-"
+    "stream interval join): purchase×click pairs of the same user within "
+    "30 minutes, via the banded equi-join — test_streaming reconciles the "
+    "watermarked streaming path against exactly this relation.",
+)
+def events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = banded_range_join(
+        purchases, clicks,
+        on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        lower_seconds=-1800.0, upper_seconds=0.0,
+        right_cols=["click_id"], how="inner",
+    )
+    return joined.select(
+        "purchase_id", "user_id", "purchase_ts",
+        F.col("_match_click_id").alias("click_id"),
+        F.col("_match_click_ts").alias("click_ts"),
+    )

@@ -80,3 +80,54 @@ def test_stream_stateful_profile_matches_batch(spark, event_stream):
         for r in events_user_activity(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream):
+    from pg_analytics_spark.streaming.events import stream_click_purchase_join
+    from pg_analytics_spark.workload.base import table
+
+    _drain(stream_click_purchase_join(event_stream), "ssj", "append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ssj").collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user_id = c_user_id AND "
+                "click_ts >= purchase_ts - INTERVAL 30 MINUTES AND "
+                "click_ts < purchase_ts"
+            ),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_stream_dedup_within_watermark(spark, event_stream):
+    from pg_analytics_spark.streaming.events import stream_dedup
+    from pg_analytics_spark.workload.base import table
+
+    _drain(stream_dedup(event_stream), "sdd", "append")
+    rows = spark.table("sdd").collect()
+    keys = {(r["user_id"], r["event_type"]) for r in rows}
+    # one survivor per key, and every key survives
+    assert len(rows) == len(keys)
+    ev = table(spark, SF_DIR, "events")
+    expected_keys = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == expected_keys
