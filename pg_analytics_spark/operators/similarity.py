@@ -109,3 +109,75 @@ def lsh_ann_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical centroids (seeded Gaussian directions,
+    L2-normalized).  A trained k-means codebook drops in here at
+    production time; seeded directions keep the operator deterministic
+    and oracle-checkable without an iterative training job."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_col(vec_col: str, centroids: np.ndarray) -> F.Column:
+    """1-based index of the best (max-dot) centroid — ties to the first,
+    via array_position(scores, array_max(scores)), which both engines
+    resolve identically."""
+    scores = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(w)) for w in c]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(scores, F.array_max(scores))
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probes: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors assigned to their best centroid
+    cell; the query probes its n_probes best cells and re-ranks exactly
+    within them.  At 100 TB the cell id is a partition/bucketing column
+    so probing prunes files; recall grows with n_probes (n_probes =
+    n_cells degrades to exact brute force).
+
+    Query-side cell scores use the same sequential fold as the engines
+    (see lsh_ann_topk for why np.dot is not acceptable here).
+    """
+    dim = len(query_vec)
+    cents = ivf_centroids(dim, n_cells, seed)
+    q = [float(x) for x in query_vec]
+    q_scores = []
+    for c in cents:
+        acc = 0.0
+        for x, w in zip(q, c):
+            acc += x * float(w)
+        q_scores.append(acc)
+    probe_cells = [
+        i + 1 for i in sorted(range(n_cells), key=lambda i: -q_scores[i])[:n_probes]
+    ]
+    sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
+    return (
+        df.withColumn("_cell", _cell_col(vec_col, cents))
+        .filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -24,7 +24,11 @@ from pg_analytics_spark.operators.multimodal import (
     fake_decode,
     sample_frames,
 )
-from pg_analytics_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from pg_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from pg_analytics_spark.functions import text as X
 from pg_analytics_spark.workload.base import register, table
 
@@ -484,3 +488,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     return sample_frames(d, "blob", "doc_id", max_frames=4)
+
+
+def _ivf_cell_sql(col: str) -> str:
+    """1-based argmax-centroid cell of a dim-64 vector, mirroring
+    operators/similarity._cell_col with the same seeded centroids."""
+    from pg_analytics_spark.operators.similarity import ivf_centroids
+
+    dots = ", ".join(
+        f"list_sum([x[1]::DOUBLE * x[2] for x in list_zip({col}, {_plane_sql(c)})])"
+        for c in ivf_centroids(64, 8, 7)
+    )
+    return f"list_position([{dots}], list_max([{dots}]))"
+
+
+def _register_sim_ann_ivf():
+    # the probe cells depend only on centroid literals + the query
+    # vector, but the oracle must be static SQL: compute the query's
+    # cell scores IN SQL and probe the top-2 via a rank over cells.
+    cell = _ivf_cell_sql("e.embedding")
+    qcell_scores = ", ".join(
+        f"list_sum([x[1]::DOUBLE * x[2] for x in list_zip(qe, {_plane_sql(c)})])"
+        for c in __import__(
+            "pg_analytics_spark.operators.similarity", fromlist=["ivf_centroids"]
+        ).ivf_centroids(64, 8, 7)
+    )
+    oracle = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT u.cell_idx
+      FROM q, (SELECT unnest(range(1, 9)) AS cell_idx) u
+      ORDER BY ([{qcell_scores}])[u.cell_idx] DESC, u.cell_idx
+      LIMIT 2
+    )
+    SELECT e.vec_id, {_ANN_COS} AS sim
+    FROM embeddings e, q
+    WHERE {cell} IN (SELECT cell_idx FROM probe)
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+    @register(
+        "sim_ann_ivf",
+        oracle=oracle,
+        doc="IVF-style ANN top-10: corpus assigned to 8 deterministic "
+        "spherical cells (seeded directions standing in for a k-means "
+        "codebook), query probes its 2 best cells, exact cosine re-rank "
+        "within. The second ANN tier next to hyperplane LSH; at scale the "
+        "cell id becomes a partition column so probes prune files. Oracle "
+        "recomputes cells and probe ranking from the same literals.",
+    )
+    def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_ann_topk(emb, "embedding", "vec_id", qvec, k=10)
+
+
+_register_sim_ann_ivf()

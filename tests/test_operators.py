@@ -155,3 +155,19 @@ def test_multimodal_frame_sampling_explodes_rows(spark):
     for idxs in per_doc.values():
         assert 1 <= len(idxs) <= 4
         assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+
+
+def test_ivf_ann_subset_of_bruteforce_universe(spark):
+    from pg_analytics_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    approx = ivf_ann_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    # the query vector's own cell is always probed first
+    assert approx and approx[0]["vec_id"] == 0 and approx[0]["sim"] == 1.0
+    exact_all = {
+        r["vec_id"]: r["sim"]
+        for r in brute_force_topk(emb, "embedding", "vec_id", q, k=emb.count()).collect()
+    }
+    for r in approx:
+        assert exact_all[r["vec_id"]] == r["sim"]
