@@ -1133,3 +1133,55 @@ def lateral_posexplode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("pos") == 63, F.col("v"))).cast("double").alias("last_elem"),
         )
     )
+
+
+@register(
+    "geo_customers_near_hub",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_nationkey,
+             ((c_custkey * 37) % 160) - 80 + 0.5 AS lat,
+             ((c_custkey * 73) % 360) - 180 + 0.5 AS lon
+      FROM customer
+    ), d AS (
+      SELECT c_custkey, c_nationkey,
+             ROUND(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(48.8566 - lat) / 2) * sin(radians(48.8566 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(48.8566))
+                 * sin(radians(2.3522 - lon) / 2) * sin(radians(2.3522 - lon) / 2)
+             )), 6) AS dist_km
+      FROM pts
+      WHERE lat BETWEEN 30.0 AND 70.0 AND lon BETWEEN -20.0 AND 40.0
+    )
+    SELECT c_custkey, c_nationkey, dist_km
+    FROM d WHERE dist_km <= 2500.0
+    ORDER BY dist_km, c_custkey
+    """,
+    doc="Geospatial compute without an engine extension: deterministic "
+    "synthetic (lat,lon) per customer, bbox prefilter (cheap, SARGable at "
+    "scale) then haversine distance ≤ 2500km of Paris, rounded to 6 "
+    "decimals (libm trig is not correctly-rounded cross-engine — ulp "
+    "policy as cosine). functions/geo.py; ingestion side is "
+    "sources/spatial.py st_read.",
+)
+def geo_customers_near_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.functions.geo import haversine_km, in_bbox
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        "c_nationkey",
+        (((F.col("c_custkey") * 37) % 160) - 80 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360) - 180 + 0.5).alias("lon"),
+    )
+    d = (
+        pts.filter(in_bbox("lat", "lon", 30.0, -20.0, 70.0, 40.0))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(haversine_km("lat", "lon", F.lit(48.8566), F.lit(2.3522)), 6).alias(
+                "dist_km"
+            ),
+        )
+    )
+    return d.filter(F.col("dist_km") <= 2500.0).orderBy("dist_km", "c_custkey")
