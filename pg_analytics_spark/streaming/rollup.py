@@ -1,0 +1,77 @@
+"""Incrementally-maintained materialized rollup (continuous-aggregate
+pattern): a parquet table of hourly per-type aggregates kept up to
+date by a streaming job, so dashboards read a tiny rollup instead of
+re-scanning the raw event log.
+
+Mechanism: file-source stream → watermarked tumbling-window aggregate
+in UPDATE mode → foreachBatch upsert into the rollup directory (merge
+on the (window_start, event_type) key: keep unaffected rows, replace
+updated ones).  Each incremental run processes only files the
+checkpoint hasn't seen; at 100 TB/day of events the per-trigger work
+is proportional to NEW data, and the upsert rewrites only the rollup
+(tiny).  Swap the parquet upsert for a Delta/Iceberg MERGE when those
+runtimes are attached — the dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.streaming.events import read_event_stream
+
+ROLLUP_KEY = ["window_start", "event_type"]
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _upsert(rollup_dir: str):
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = batch_df.dropDuplicates(ROLLUP_KEY)  # defensive; keys unique per batch
+        if os.path.isdir(rollup_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(rollup_dir)
+        ):
+            existing = spark.read.parquet(rollup_dir)
+            keep = existing.join(updates.select(*ROLLUP_KEY), ROLLUP_KEY, "left_anti")
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        # rows are few (one per hour×type); collect-then-rewrite avoids
+        # reading from the same path being overwritten
+        rows = merged.collect()
+        out = spark.createDataFrame(rows, merged.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(rollup_dir)
+
+    return apply
+
+
+def maintain_hourly_rollup(
+    spark: SparkSession, source: str, rollup_dir: str, checkpoint_dir: str
+) -> None:
+    """One availableNow increment: process files the checkpoint hasn't
+    seen and upsert the affected (hour, type) rows into rollup_dir."""
+    ev = read_event_stream(spark, source)
+    q = (
+        hourly_rollup_stream(ev)
+        .writeStream.outputMode("update")
+        .foreachBatch(_upsert(rollup_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

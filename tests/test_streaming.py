@@ -131,3 +131,54 @@ def test_stream_dedup_within_watermark(spark, event_stream):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert keys == expected_keys
+
+
+def test_incremental_rollup_maintenance(spark, tmp_path):
+    """Two incremental runs: the second processes ONLY the new file and
+    the rollup still equals the batch aggregate over everything."""
+    import shutil
+
+    from pg_analytics_spark.streaming.rollup import maintain_hourly_rollup
+    from pg_analytics_spark.workload.base import table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    maintain_hourly_rollup(spark, str(src), rollup, ckpt)
+    first = spark.read.parquet(rollup)
+    ev = table(spark, SF_DIR, "events")
+    batch1 = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got1 = {(r["window_start"], r["event_type"]): r["n"] for r in first.collect()}
+    exp1 = {(r["window_start"], r["event_type"]): r["n"] for r in batch1.collect()}
+    assert got1 == exp1
+
+    # incremental append must carry ADVANCING event time — re-feeding
+    # old timestamps is late data beyond the watermark and is rightly
+    # dropped.  Shift the copy 30 days forward (raw ns longs, matching
+    # the stream's nanosAsLong schema).
+    shifted = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.col("ts") + F.lit(30 * 86400 * 10**9))
+    )
+    shifted.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b_stage"))
+    import glob
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "b_stage" / "*.parquet"))[0], src / "b.parquet"
+    )
+    maintain_hourly_rollup(spark, str(src), rollup, ckpt)
+    second = spark.read.parquet(rollup)
+    got2 = {(r["window_start"], r["event_type"]): r["n"] for r in second.collect()}
+    import datetime as dt
+
+    shifted_exp = {
+        (k[0] + dt.timedelta(days=30), k[1]): v for k, v in exp1.items()
+    }
+    assert got2 == {**exp1, **shifted_exp}
