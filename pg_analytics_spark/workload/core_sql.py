@@ -1185,3 +1185,45 @@ def geo_customers_near_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.filter(F.col("dist_km") <= 2500.0).orderBy("dist_km", "c_custkey")
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS top_cust,
+           NTH_VALUE(c_custkey, 2) OVER w AS second_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Window distribution functions (ntile/percent_rank/cume_dist/"
+    "first_value/nth_value) over a fully-deterministic ordering — the "
+    "remaining §2.2 window surface beyond rank/lag/running sums. The "
+    "explicit unbounded frame makes nth_value see the whole partition in "
+    "both engines.",
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # ranking fns take the ORDER BY frame implicitly; value fns use the
+    # explicit unbounded frame
+    wo = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(wo).alias("quartile"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("top_cust"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_cust"),
+    )

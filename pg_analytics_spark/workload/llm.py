@@ -545,3 +545,43 @@ def _register_sim_ann_ivf():
 
 
 _register_sim_ann_ivf()
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Fuzzy near-dup names: edit-distance ≤ 2 pairs, blocked by nation "
+    "key so the quadratic comparison runs within blocks, never across the "
+    "whole table — the blocking+verify shape every fuzzy-dedup pipeline "
+    "uses at scale (levenshtein is built-in JVM-side in Spark and native "
+    "in DuckDB).",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a = c.select(
+        F.col("c_nationkey").alias("_k"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("_k"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
