@@ -391,3 +391,574 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q7/q8/q9/q11/q12/q16/q19/q20/q21), adapted to
+# the testdata star schema: there is no partsupp table and lineitem lacks
+# commit/receipt dates and shipmode, so each query keeps its structural
+# signature (the plan shape the reference would delegate to DuckDB,
+# src/hooks/executor.rs:71) with schema-available stand-ins, documented
+# per query.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM part p, supplier s, lineitem l, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE' AND p.p_size = 15 AND p.p_type = 'LARGE'
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM supplier s2, lineitem l2, nation n2, region r2
+        WHERE p.p_partkey = l2.l_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    """,
+    doc="TPC-H Q2 shape: per-part correlated MIN subquery over a 4-way "
+    "join, re-expressed as a window MIN over the deduplicated "
+    "(part, supplier) pairs. Adapted: no partsupp → the supply "
+    "relationship is DISTINCT (l_partkey, l_suppkey) from lineitem, and "
+    "min supplycost → min s_acctbal. Scale: dims broadcast; the distinct "
+    "pair set is orders of magnitude smaller than lineitem; the window "
+    "partitions by partkey after the filters prune to a few parts.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    s = table(spark, sf_dir, "supplier")
+    eu_sup = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    cand = (
+        p.join(pairs, p.p_partkey == pairs.l_partkey)
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mn", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+             {_REV_SQL} AS volume
+      FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+      WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+        AND c.c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: bilateral trade volume between two nations by year — "
+    "a 6-way join with a symmetric OR pair predicate. Scale: both nation "
+    "copies broadcast; the OR predicate prunes suppliers and customers "
+    "BEFORE the fact joins (semi-join pushdown via the broadcast hash "
+    "join), so only the two nations' rows shuffle.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("_snk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("_cnk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             {_REV_SQL} AS volume, n2.n_name AS nation
+      FROM part p, supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+        AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8: a nation's market share inside a region's market by "
+    "year — 8-way join feeding a conditional-sum ratio. Sums stay in "
+    "exact decimal until the final double division, so the ratio is "
+    "bit-identical cross-engine. Scale: all dims broadcast; only "
+    "lineitem/orders/customer shuffle, each pre-filtered.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n1 = F.broadcast(table(spark, sf_dir, "nation"))
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+        )
+    )
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    asia_cust = (
+        c.join(n1, c.c_nationkey == n1.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    nat_sup = s.join(n2, s.s_nationkey == F.col("_snk")).select(
+        "s_suppkey", "nation"
+    )
+    share = F.when(F.col("nation") == "NATION_2", F.col("_vol"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(nat_sup), l.l_suppkey == F.col("s_suppkey"))
+        .withColumn("_vol", _rev())
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(share).cast("double") / F.sum("_vol").cast("double")
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             {_REV_SQL}
+               - CAST(p.p_retailprice AS DECIMAL(10,2))
+                 * CAST(l.l_quantity AS DECIMAL(10,2)) AS amount
+      FROM part p, supplier s, lineitem l, orders o, nation n
+      WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+        AND l.l_orderkey = o.o_orderkey AND s.s_nationkey = n.n_nationkey
+        AND p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit by supplier-nation and year for parts "
+    "matching a name pattern. Adapted: no partsupp.ps_supplycost → cost "
+    "proxy is p_retailprice × quantity (kept in exact decimal, so the "
+    "profit sum is bit-identical). Scale: part filtered by LIKE then "
+    "broadcast; nation broadcast; one shuffle for the group-by.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    amount = _rev() - F.col("p_retailprice").cast("decimal(10,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(10,2)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(n, s.s_nationkey == F.col("_nk"))),
+              l.l_suppkey == F.col("s_suppkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_value",
+    oracle=f"""
+    SELECT l_partkey AS ps_partkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS value
+    FROM lineitem l, supplier s, nation n
+    WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+      AND n.n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING CAST(SUM({_REV_SQL}) AS DOUBLE) > (
+      SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) * 0.001
+      FROM lineitem l2, supplier s2, nation n2
+      WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_name = 'NATION_3'
+    )
+    ORDER BY value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape: per-part value for one nation's suppliers, "
+    "kept only above a fraction-of-global-total threshold (HAVING vs a "
+    "scalar subquery over the same relation). Adapted: no partsupp → "
+    "value = revenue from lineitem. Both sides of the comparison go "
+    "through the same exact-decimal sum → double cast, so the threshold "
+    "is bit-identical. Scale: the grouped relation is computed once and "
+    "reused for both the per-part sums and the global total; threshold "
+    "broadcast.",
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    nat_sup = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    )
+    l = table(spark, sf_dir, "lineitem").join(
+        nat_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = l.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(_rev()).cast("double").alias("value")
+    )
+    total = per_part.agg(
+        (F.sum(F.col("value").cast("decimal(28,6)")).cast("double") * F.lit(0.001)).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus AS shipgroup,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY shipgroup ORDER BY shipgroup
+    """,
+    doc="TPC-H Q12 shape: priority split of late shipments by group. "
+    "Adapted: no l_shipmode/commit/receipt dates → group = l_linestatus, "
+    "late = shipped ≥30 days after order date. Scale: the date-range "
+    "predicates push to the lineitem scan; the join-key shuffle carries "
+    "only the filtered year.",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy(F.col("l_linestatus").alias("shipgroup"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipgroup")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct supplier counts per part attribute "
+    "combo, excluding a NOT-IN supplier blacklist. Adapted: no partsupp "
+    "→ supply pairs from lineitem; complaint filter → negative account "
+    "balance. Scale: blacklist is tiny → broadcast anti join; COUNT "
+    "DISTINCT goes through Spark's two-phase distinct aggregation.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+    )
+    bad = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunction of three conjunctive brand/size/"
+    "quantity bands over a join — the classic OR-of-ANDs pushdown test. "
+    "Adapted: container/shipmode predicates → size bands (columns "
+    "available). Scale: Catalyst factors the common l_quantity bounds "
+    "into the lineitem scan and the brand/size bounds into the part "
+    "scan before the broadcast join evaluates the full disjunction.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    l = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_6')
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 300
+      )
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape: nested IN subqueries — suppliers who moved "
+    ">300 units of name-matched parts in a year, restricted to two "
+    "nations. Adapted: no partsupp/availqty → the excess-stock HAVING "
+    "is over shipped quantity (integral doubles, exactly associative). "
+    "Scale: inner partkey set broadcast into the lineitem scan; the "
+    "HAVING output (few suppkeys) broadcast-semi-joins supplier.",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = F.broadcast(
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    heavy = (
+        l.join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_suppkey")
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_6")
+        )
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+      AND n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape: the sole-late-supplier double-correlation "
+    "(EXISTS another supplier on the order, NOT EXISTS another LATE "
+    "supplier), re-expressed as one per-order aggregate: distinct "
+    "suppliers ≥ 2 AND distinct late suppliers = 1. Adapted: late = "
+    "shipped >60 days after order date (no commit/receipt dates). "
+    "Scale: one extra aggregation over finished orders replaces two "
+    "correlated self-joins of lineitem — strictly fewer shuffles than "
+    "the literal EXISTS plan at any SF.",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_nsupp"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_nlate"
+        ),
+    )
+    sole_late = (
+        lo.filter(F.col("_late"))
+        .join(
+            stats.filter((F.col("_nsupp") >= 2) & (F.col("_nlate") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    )
+    s = table(spark, sf_dir, "supplier")
+    nat_sup = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(nat_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
