@@ -99,3 +99,40 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = explain_formatted(range_join_error_context(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_partially_pushed(spark):
+    # OR-of-ANDs: the common quantity bound (1..30) must still reach the
+    # lineitem scan even though the full disjunction references part columns
+    from pg_analytics_spark.workload.tpch import q19_discounted_revenue
+
+    df = q19_discounted_revenue(spark, SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    assert "l_quantity" in filters, filters
+    assert uses_broadcast_join(df)
+
+
+def test_q7_q9_broadcast_dims_single_fact_shuffle_free_dims(spark):
+    from pg_analytics_spark.workload.tpch import (
+        q7_volume_shipping,
+        q9_product_type_profit,
+    )
+
+    assert uses_broadcast_join(q7_volume_shipping(spark, SF_DIR))
+    assert uses_broadcast_join(q9_product_type_profit(spark, SF_DIR))
+
+
+def test_q21_no_cartesian_and_bounded_shuffles(spark):
+    # the EXISTS/NOT-EXISTS rewrite must stay an aggregation + semi join,
+    # never a correlated nested loop
+    import re
+
+    from pg_analytics_spark.plans import explain_formatted
+    from pg_analytics_spark.workload.tpch import q21_suppliers_kept_waiting
+
+    plan = explain_formatted(q21_suppliers_kept_waiting(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem⋈orders, per-order agg, semi join, final agg + sort —
+    # a handful of exchanges, not one per correlated subquery evaluation
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6, plan
