@@ -28,13 +28,20 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
     "q18_large_volume_customer",
+    "q21_suppliers_kept_waiting",
     "window_rank_topn",
     "grouping_rollup",
     "stats_moments",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_fuzzy_names",
     "sim_topk_bruteforce",
+    "sim_ann_ivf",
     "text_stats",
     "events_hourly_window",
     "events_sessionize",

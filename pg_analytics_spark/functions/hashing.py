@@ -154,10 +154,12 @@ def _bit_contributions(token: Column) -> Column:
 
     def _bits(p: Column) -> Column:
         def bit(word: Column, j: int) -> Column:
-            return F.when(
-                F.shiftright(word, j).bitwiseAND(F.lit(1).cast("long")) == 1,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long"))
+            # branch-free ±1: (bit<<1) - 1
+            return (
+                F.shiftright(word, j).bitwiseAND(F.lit(1).cast("long"))
+                * F.lit(2).cast("long")
+                - F.lit(1).cast("long")
+            )
 
         return F.array(
             *[bit(p["lo"], j) for j in range(32)],
@@ -170,3 +172,51 @@ def _bit_contributions(token: Column) -> Column:
 def hamming64(a, b) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
     return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def simhash64_agg(df, id_col: str, tokens_col: str):
+    """SimHash via explode + 64 vectorized SUM aggregates — the scale
+    path, bit-identical to :func:`simhash64`.
+
+    The HOF formulation folds a fresh 64-element array per token
+    (allocation-bound: |tokens| boxed-long arrays).  Here each token
+    explodes to one row carrying its two md5 half-words, and bit j's
+    set-count is ``SUM((word >> j) & 1)`` — 64 plain long sums that
+    whole-stage codegen vectorizes with zero allocations, partially
+    aggregated map-side before the one narrow shuffle on the id.
+
+    ``count_j = 2*sum_j - n`` (±1 contributions), so bit j of the final
+    hash is set iff ``2*sum_j >= n``.  Duplicate tokens count each
+    occurrence, matching the fold and the DuckDB oracle.
+
+    Returns a DataFrame (id_col, simhash) with one row per input row
+    that has at least one token.
+    """
+    # All expressions are built as SQL strings (one JVM parse each):
+    # constructing 128 Column trees through py4j costs seconds of driver
+    # time per call, the strings are ~free.
+    tok = (
+        df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("_t"))
+        .selectExpr(id_col, "md5(cast(_t AS binary)) AS _d")
+        .selectExpr(
+            id_col,
+            "CAST(conv(substring(_d, 1, 8), 16, 10) AS bigint) AS _hi",
+            "CAST(conv(substring(_d, 9, 8), 16, 10) AS bigint) AS _lo",
+        )
+    )
+    sums = [
+        F.expr(f"sum(shiftright(_lo, {j}) & 1) AS _s{j}") for j in range(32)
+    ] + [
+        F.expr(f"sum(shiftright(_hi, {j - 32}) & 1) AS _s{j}")
+        for j in range(32, 64)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums, F.expr("count(*) AS _n"))
+    # bit 63 wraps to Long.MIN_VALUE; -9223372036854775808 doesn't parse
+    # as a single long literal, so spell it as MIN+(-1)
+    terms = " + ".join(
+        f"(CASE WHEN 2 * _s{j} >= _n THEN "
+        + (f"{_POW2[j]}L" if j < 63 else "-9223372036854775807L - 1L")
+        + " ELSE 0L END)"
+        for j in range(64)
+    )
+    return agg.select(F.col(id_col), F.expr(f"{terms} AS simhash"))

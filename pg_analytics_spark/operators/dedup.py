@@ -18,6 +18,8 @@ Scale design (the 100 TB contract):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
@@ -27,9 +29,38 @@ from pg_analytics_spark.functions.hashing import (
     hamming64,
     minhash_signature,
     simhash64,
+    simhash64_agg,
 )
 from pg_analytics_spark.functions.text import char_shingles, fingerprint, tokens
 from pg_analytics_spark.functions.vectors import cosine_similarity
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimate the scan's partition count from file metadata.
+
+    `df.rdd.getNumPartitions()` is exact but forces full physical
+    planning + RDD conversion (~0.8s of driver time per call);
+    `inputFiles()` is a catalog lookup (~30ms).  Parquet splits at
+    spark.sql.files.maxPartitionBytes (default 128 MiB), so
+    max(#files, total_bytes/128Mi) is the right order of magnitude —
+    all the spread heuristic needs.  Non-file sources fall back to the
+    exact probe.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            f = f[5:]
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return df.rdd.getNumPartitions()
+    return max(len(files), total // (128 << 20) + (1 if total else 0))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -43,7 +74,7 @@ def _spread(df: DataFrame) -> DataFrame:
     no-op — no shuffle is added.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _estimated_scan_partitions(df) < target:
         return df.repartition(target)
     return df
 
@@ -195,11 +226,20 @@ def simhash_pairs(
     one of four 16-bit sub-keys → join on (band, subkey), verify exact
     Hamming ≤ max_hamming.  Output: (id_a, id_b, hamming).
     """
-    h = (
+    toks = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
         .select(F.col("_id"), tokens(F.lower("_t")).alias("_tk"))
         .filter(F.size("_tk") > 0)  # mirror the oracle's unnest, which drops token-less docs
-        .select("_id", simhash64("_tk").alias("_h"))
+    )
+    # explode+sum formulation (simhash64_agg): vectorized bit-count sums,
+    # no per-token array allocations — ~6x faster than the HOF fold.
+    # Persisted because both sides of the candidate self-join read it;
+    # without persist the whole hash subtree executes twice.  The
+    # relation is tiny ((id, hash) per doc) at any corpus size.
+    h = (
+        simhash64_agg(toks, "_id", "_tk")
+        .withColumnRenamed("simhash", "_h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     subkeys = F.array(
         *[

@@ -561,7 +561,11 @@ _register_sim_ann_ivf()
     "key so the quadratic comparison runs within blocks, never across the "
     "whole table — the blocking+verify shape every fuzzy-dedup pipeline "
     "uses at scale (levenshtein is built-in JVM-side in Spark and native "
-    "in DuckDB).",
+    "in DuckDB).  Two semantics-preserving prunes keep the in-block cost "
+    "down: |len(a)-len(b)| ≤ 2 (edit distance is bounded below by the "
+    "length gap) is checked before the DP runs, and Spark's thresholded "
+    "levenshtein(l, r, 2) runs the banded O(n·k) DP that bails out early "
+    "instead of filling the full O(n²) matrix.",
 )
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
@@ -569,19 +573,25 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("_k"),
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
+        F.length("c_name").alias("len_a"),
     )
     b = c.select(
         F.col("c_nationkey").alias("_k"),
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
+        F.length("c_name").alias("len_b"),
     )
     return (
         a.join(b, "_k")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        )
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            # thresholded variant: exact distance when <= 2, else -1
+            F.levenshtein("name_a", "name_b", 2).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.col("edit_dist") >= 0)
     )
