@@ -2,31 +2,166 @@
 
 The reference registers ``iceberg_scan(path, allow_moved_paths, …)``
 with a lazy ``INSTALL/LOAD iceberg`` (src/duckdb/connection.rs:130-142).
-Spark's integration is the iceberg-spark-runtime catalog; optional here,
-so gated behind MissingDependency.  ``skip_schema_inference`` and
-``metadata_compression_codec`` are catalog-level in Spark and accepted
-but ignored with a warning.
+Spark's native integration is the iceberg-spark-runtime catalog; when
+that is absent (this environment), a built-in MINIMAL metadata reader
+takes over, mirroring the Delta fallback (delta.py): it replays the
+public Iceberg table format (spec: https://iceberg.apache.org/spec/)
+driver-side —
+
+  table/metadata/v*.metadata.json  (or version-hint.text)
+    → current snapshot → manifest list (Avro, sources/avro.py)
+    → manifests (Avro) → live parquet data files
+    → spark.read.parquet(*files)
+
+Supported: format v1 and v2 append/overwrite tables, multiple
+snapshots (current via current-snapshot-id), deflate-compressed
+metadata avro, ``allow_moved_paths`` (the reference's option,
+iceberg.rs:52-56: resolve absolute file paths relative to the moved
+table root).  NOT supported (raises MissingDependency): v2 row-level
+deletes (delete manifests with live files), which need the real
+runtime's merge-on-read.
+
+Scale note: like delta-spark/iceberg-runtime snapshot resolution, the
+replay is driver-side KB-scale metadata work; the data read is a plain
+parquet scan over the live files, so pushdown/pruning apply as usual.
 """
 
 from __future__ import annotations
+
+import json
+import os
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_analytics_spark.errors import MissingDependency, fallback_warning
 from pg_analytics_spark.sources.base import apply_common
+from pg_analytics_spark.sources.avro import read_container
 
 
 def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     if len(files) != 1:
         raise MissingDependency("iceberg source takes exactly one table path")
-    for k in ("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"):
+    for k in ("metadata_compression_codec", "skip_schema_inference"):
         if k in opts:
             fallback_warning(f"iceberg option {k} handled by the Spark catalog; ignored")
     try:
         df = spark.read.format("iceberg").load(files[0])
-    except Exception as exc:
-        raise MissingDependency(
-            "iceberg format requires iceberg-spark-runtime on the classpath; "
-            "not available in this environment"
-        ) from exc
+    except Exception:
+        df = _load_via_metadata(
+            spark,
+            files[0],
+            allow_moved_paths=str(opts.get("allow_moved_paths", "false")).lower()
+            in ("true", "1"),
+        )
     return apply_common(df, opts)
+
+
+# ------------------------------------------------------------------ #
+# Minimal metadata replay (public Iceberg table spec)
+# ------------------------------------------------------------------ #
+
+
+def _latest_metadata_file(table_path: str) -> str:
+    meta_dir = os.path.join(table_path, "metadata")
+    if not os.path.isdir(meta_dir):
+        raise MissingDependency(
+            f"not an Iceberg table (no metadata dir): {table_path}"
+        )
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.isfile(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.isfile(cand):
+            return cand
+    metas = sorted(
+        f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+    )
+    if not metas:
+        raise MissingDependency(f"no *.metadata.json under {meta_dir}")
+    return os.path.join(meta_dir, metas[-1])
+
+
+def _resolve(path: str, table_path: str, allow_moved: bool) -> str:
+    """Map a file URI from the metadata to a local path; with
+    allow_moved_paths, re-root absolute paths that no longer exist under
+    the current table location (reference iceberg.rs:52-56 semantics)."""
+    p = path
+    if p.startswith("file:"):
+        p = p[5:]
+    if os.path.exists(p):
+        return p
+    if allow_moved:
+        # take the suffix starting at the last known table-dir marker
+        for marker in ("/metadata/", "/data/"):
+            if marker in p:
+                return os.path.join(
+                    table_path, p[p.index(marker) + 1 :]
+                )
+    return p
+
+
+def _load_via_metadata(
+    spark: SparkSession, table_path: str, allow_moved_paths: bool = False
+) -> DataFrame:
+    meta_file = _latest_metadata_file(table_path)
+    with open(meta_file) as fh:
+        meta: dict[str, Any] = json.load(fh)
+    snap_id = meta.get("current-snapshot-id")
+    snapshots = meta.get("snapshots") or []
+    if snap_id is None or snap_id == -1 or not snapshots:
+        raise MissingDependency(
+            f"Iceberg table has no current snapshot: {table_path}"
+        )
+    snap = next(
+        (s for s in snapshots if s.get("snapshot-id") == snap_id), None
+    )
+    if snap is None:
+        raise MissingDependency(
+            f"current snapshot {snap_id} not in metadata: {meta_file}"
+        )
+    manifest_list = _resolve(
+        snap["manifest-list"], table_path, allow_moved_paths
+    )
+    _, manifests = read_container(manifest_list)
+    data_files: list[str] = []
+    for m in manifests:
+        # v2 manifest-list entries carry content: 0=data, 1=deletes
+        if m.get("content", 0) == 1:
+            _check_no_live_deletes(m, table_path, allow_moved_paths)
+            continue
+        mpath = _resolve(m["manifest_path"], table_path, allow_moved_paths)
+        _, entries = read_container(mpath)
+        for e in entries:
+            # manifest-entry status: 0=EXISTING, 1=ADDED, 2=DELETED
+            if e.get("status", 0) == 2:
+                continue
+            df_rec = e["data_file"]
+            fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise MissingDependency(
+                    f"iceberg fallback reads parquet data files only, got {fmt}"
+                )
+            data_files.append(
+                _resolve(df_rec["file_path"], table_path, allow_moved_paths)
+            )
+    if not data_files:
+        raise MissingDependency(
+            f"Iceberg snapshot {snap_id} has no live data files"
+        )
+    return spark.read.parquet(*sorted(set(data_files)))
+
+
+def _check_no_live_deletes(
+    m: dict, table_path: str, allow_moved: bool
+) -> None:
+    """A delete manifest is tolerable only if all its entries are
+    status=DELETED (i.e. no live position/equality deletes)."""
+    mpath = _resolve(m["manifest_path"], table_path, allow_moved)
+    _, entries = read_container(mpath)
+    if any(e.get("status", 0) != 2 for e in entries):
+        raise MissingDependency(
+            "Iceberg v2 row-level deletes require iceberg-spark-runtime; "
+            "the metadata fallback cannot apply delete files"
+        )

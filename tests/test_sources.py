@@ -302,3 +302,222 @@ def test_delta_fallback_rejects_non_delta_dir(spark, tmp_path):
 
     with pytest.raises(MissingDependency):
         load_source(spark, str(tmp_path), "delta")
+
+
+# ------------------------------------------------------------------ #
+# Avro reader/writer + Iceberg metadata-replay fallback
+# ------------------------------------------------------------------ #
+
+
+def test_avro_container_roundtrip(tmp_path):
+    from pg_analytics_spark.sources.avro import read_container, write_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 3}},
+            {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["RED", "BLUE"]}},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+        ],
+    }
+    rows = [
+        {
+            "s": "héllo",
+            "n": None,
+            "d": -1.5,
+            "b": True,
+            "raw": b"\x00\xff",
+            "fx": b"abc",
+            "e": "BLUE",
+            "arr": [0, -1, 2**40],
+            "m": {"k1": "v1", "k2": "v2"},
+            "nested": {"x": -7},
+        },
+        {
+            "s": "",
+            "n": 42,
+            "d": 0.0,
+            "b": False,
+            "raw": b"",
+            "fx": b"xyz",
+            "e": "RED",
+            "arr": [],
+            "m": {},
+            "nested": {"x": 0},
+        },
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_container(schema, rows, p, codec=codec)
+        _, got = read_container(p)
+        assert got == rows, codec
+
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _write_iceberg_fixture(root, moved_prefix=None, with_live_deletes=False):
+    """Hand-built Iceberg v2 table per the public spec: parquet data
+    files + avro manifest/manifest-list + metadata JSON."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.avro import write_container
+
+    os.makedirs(f"{root}/data", exist_ok=True)
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+
+    def _data_file(name, ids):
+        p = f"{root}/data/{name}"
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), p)
+        return p
+
+    f1 = _data_file("f1.parquet", [0, 1, 2])
+    f2 = _data_file("f2.parquet", [3, 4])
+    f3 = _data_file("f3.parquet", [9, 9, 9])  # DELETED entry → invisible
+
+    def _entry(status, path):
+        return {
+            "status": status,
+            "snapshot_id": 77,
+            "data_file": {
+                "content": 0,
+                "file_path": (moved_prefix + "/data/" + os.path.basename(path))
+                if moved_prefix
+                else path,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    man1 = f"{root}/metadata/man1.avro"
+    write_container(
+        _MANIFEST_ENTRY_SCHEMA,
+        [_entry(1, f1), _entry(0, f2), _entry(2, f3)],
+        man1,
+        codec="deflate",
+    )
+    manifests = [
+        {
+            "manifest_path": (moved_prefix + "/metadata/man1.avro")
+            if moved_prefix
+            else man1,
+            "manifest_length": os.path.getsize(man1),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": 77,
+        }
+    ]
+    if with_live_deletes:
+        mdel = f"{root}/metadata/man_del.avro"
+        write_container(
+            _MANIFEST_ENTRY_SCHEMA, [_entry(1, f2)], mdel, codec="null"
+        )
+        manifests.append(
+            {
+                "manifest_path": mdel,
+                "manifest_length": os.path.getsize(mdel),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": 77,
+            }
+        )
+    mlist = f"{root}/metadata/snap-77.avro"
+    write_container(_MANIFEST_LIST_SCHEMA, manifests, mlist)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": root,
+        "current-snapshot-id": 77,
+        "snapshots": [
+            {
+                "snapshot-id": 77,
+                "manifest-list": (moved_prefix + "/metadata/snap-77.avro")
+                if moved_prefix
+                else mlist,
+            }
+        ],
+    }
+    with open(f"{root}/metadata/v2.metadata.json", "w") as fh:
+        jsonlib.dump(meta, fh)
+    with open(f"{root}/metadata/version-hint.text", "w") as fh:
+        fh.write("2")
+
+
+def test_iceberg_fallback_metadata_replay(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    _write_iceberg_fixture(root)
+    df = load_source(spark, root, "iceberg")
+    got = sorted(r["id"] for r in df.collect())
+    # ADDED f1 (0,1,2) + EXISTING f2 (3,4); DELETED f3 gone
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_iceberg_fallback_allow_moved_paths(spark, tmp_path):
+    root = str(tmp_path / "ice_moved")
+    # metadata records paths under a location that no longer exists
+    _write_iceberg_fixture(root, moved_prefix="/old/warehouse/tbl")
+    from pg_analytics_spark.errors import MissingDependency
+
+    with pytest.raises(Exception):
+        load_source(spark, root, "iceberg").collect()
+    df = load_source(spark, root, "iceberg", {"allow_moved_paths": "true"})
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_iceberg_fallback_rejects_live_deletes(spark, tmp_path):
+    root = str(tmp_path / "ice_del")
+    _write_iceberg_fixture(root, with_live_deletes=True)
+    from pg_analytics_spark.errors import MissingDependency
+
+    with pytest.raises(MissingDependency):
+        load_source(spark, root, "iceberg")
