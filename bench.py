@@ -43,6 +43,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "text_stats",
+    "text_tfidf_top_terms",
     "events_hourly_window",
     "events_sessionize",
     "asof_purchase_attribution",

@@ -595,3 +595,127 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY tf DESC, tok
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary building: token explode -> (term frequency, "
+    "document frequency) -> top-100. The first step of any tokenizer/"
+    "BPE training pipeline. Scale: explode is pipelined into a partial "
+    "hash-agg before the single shuffle on token; top-N via "
+    "TakeOrdered, no global sort.",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.lower("text"))).alias("tok")
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok)
+    SELECT doc_id, tok,
+           ROUND(tf * ln(n / df), 6) AS tfidf
+    FROM (
+      SELECT t.doc_id, t.tok,
+             t.tf, d.df, n.n,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(n.n / d.df) DESC, t.tok
+             ) AS rk
+      FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, tok
+    """,
+    doc="Per-document top-3 tf-idf terms: per-doc term counts, corpus "
+    "document frequencies, idf = ln(N/df), window top-k with a "
+    "deterministic tie-break. The keyword-extraction / feature-"
+    "weighting primitive. Scale: two shuffles (doc-term agg, token df "
+    "agg) + a broadcast of the tiny df relation is NOT possible in "
+    "general (vocab ~ corpus-sized), so the df join shuffles on token "
+    "-- uniform key, no skew; N is a broadcast scalar. tf*ln(N/df) is "
+    "integer*double with exact int inputs -> bit-identical.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.lower("text"))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .withColumn(
+            "_s", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", F.round("_s", 6).alias("tfidf"))
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+           length(text) - length(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS delta_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing: email and phone-number patterns replaced with "
+    "typed placeholders — the pre-training redaction pass. The regexes "
+    "use only syntax shared by Java (Spark) and RE2 (DuckDB) so both "
+    "engines transform identically. Scale: pure narrow map, whole-stage "
+    "codegen, no shuffle.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    red = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length("text") - F.length(red)).alias("delta_chars"),
+    ).orderBy("doc_id")
