@@ -719,3 +719,164 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         (F.length("text") - F.length(red)).alias("delta_chars"),
     ).orderBy("doc_id")
+
+
+def _register_embed_kmeans_iter():
+    cell = _ivf_cell_sql("e.embedding")
+    oracle = f"""
+    WITH assigned AS (
+      SELECT e.vec_id, e.embedding, {cell} AS cell
+      FROM embeddings e
+    )
+    SELECT cell, d.dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean
+    FROM assigned, (SELECT unnest(range(64)) AS dim) d
+    GROUP BY cell, d.dim
+    ORDER BY cell, d.dim
+    """
+
+    @register(
+        "embed_kmeans_iter",
+        oracle=oracle,
+        doc="One distributed k-means iteration over the embedding corpus: "
+        "assign every vector to its argmax-dot centroid (the same seeded "
+        "IVF codebook as sim_ann_ivf), then recompute per-cell per-"
+        "dimension means. The E+M step of Lloyd's algorithm — and of IVF "
+        "codebook training — as a posexplode + one hash aggregation on "
+        "(cell, dim). Per-dimension sums stage in DECIMAL(20,10) so the "
+        "means are bit-identical cross-engine (unscaled sums stay far "
+        "below 2^53). Scale: assignment is a narrow map against broadcast "
+        "centroid literals; the single shuffle carries (cell, dim) keys — "
+        "512 groups, map-side combined; driver never sees vectors.",
+    )
+    def embed_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.similarity import ivf_centroids, _cell_col
+
+        e = table(spark, sf_dir, "embeddings")
+        cents = ivf_centroids(64, 8, 7)
+        assigned = e.select(
+            _cell_col("embedding", cents).alias("cell"),
+            F.posexplode("embedding").alias("dim", "_v"),
+        )
+        return (
+            assigned.groupBy("cell", "dim")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(
+                        F.col("_v").cast("double").cast("decimal(20,10)")
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mean"),
+            )
+            .orderBy("cell", "dim")
+        )
+
+
+_register_embed_kmeans_iter()
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH rep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ), m AS (
+      SELECT d.doc_id, d.lang, d.source,
+             len({_TOKS}) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text)::DOUBLE END AS punct,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOKS},
+                           x -> list_contains(['the','and','of','to','is','in','that','with','a','an','it','on','for','as','at','by'], x)))::DOUBLE
+                       / len({_TOKS})::DOUBLE END AS stop
+      FROM documents d JOIN rep USING (doc_id)
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           ((least(n_tokens::DOUBLE / 100.0, 1.0)
+             + least(stop * 4.0, 1.0)
+             + (1.0 - least(punct * 4.0, 1.0))) / 3.0) AS quality
+    FROM m
+    WHERE n_tokens BETWEEN 5 AND 2000
+      AND ((least(n_tokens::DOUBLE / 100.0, 1.0)
+            + least(stop * 4.0, 1.0)
+            + (1.0 - least(punct * 4.0, 1.0))) / 3.0) >= 0.5
+    ORDER BY doc_id
+    """,
+    doc="End-to-end corpus curation: exact-dedup (min-id representative "
+    "per normalized-text fingerprint) -> token-count band [5, 2000] -> "
+    "composite quality >= 0.5. The canonical pre-training filter chain "
+    "composed from the engine's dedup + text-analysis primitives in one "
+    "declarative plan. Scale: one hash-agg shuffle for the dedup "
+    "representative set (semi join back on doc_id), then a pure narrow "
+    "filter map — quality terms never shuffle.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rep = (
+        d.select("doc_id", X.fingerprint("text").alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = d.join(rep, "doc_id", "left_semi")
+    q = X.quality_score("text")
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            "source",
+            X.token_count("text").alias("n_tokens"),
+            q.alias("quality"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 2000)
+            & (F.col("quality") >= 0.5)
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_split_hash",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n
+    FROM s GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    doc="Deterministic train/val/test split (80/10/10) by md5(doc_id) "
+    "bucket, reported as per-language counts. Hash splitting is the "
+    "scale-correct way to partition a corpus: stable under reruns, "
+    "re-shards, and appends — no global sort, no sampling state, no "
+    "driver involvement; stratification is verified by the per-lang "
+    "histogram this returns.",
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
