@@ -880,3 +880,122 @@ def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "split")
     )
+
+
+#: word 5-grams of the token list `t`, deduplicated (DuckDB fragment)
+_WGRAMS = (
+    "list_distinct([array_to_string(t[i+1:i+5], ' ') "
+    "for i in range(0, len(t) - 4)])"
+)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source, {_WGRAMS} AS g
+      FROM toks WHERE len(t) >= 5
+    ), bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source = 'src0'
+    ), train AS (
+      SELECT doc_id, unnest(g) AS gram, len(g) AS n_grams
+      FROM grams WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, COUNT(*) AS n_hits, t.n_grams,
+           ROUND(COUNT(*)::DOUBLE / t.n_grams::DOUBLE, 6) AS overlap
+    FROM train t JOIN bench b ON t.gram = b.gram
+    GROUP BY t.doc_id, t.n_grams
+    ORDER BY overlap DESC, t.doc_id
+    """,
+    doc="Benchmark-contamination check: distinct word 5-grams of the "
+    "held-out set (source='src0' stands in for the eval benchmark) are "
+    "matched against every training document's 5-grams; reports hit "
+    "count and overlap ratio per contaminated doc. The decontamination "
+    "pass every serious pre-training pipeline runs. Scale: the benchmark "
+    "gram set is small relative to the corpus -> broadcast join against "
+    "the exploded training grams; per-doc ratio via one hash agg. "
+    "Spark's 5-gram construction (transform over sequence + slice) "
+    "mirrors the oracle's list comprehension exactly.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", X.tokens(F.lower("text")).alias("_t")
+    ).filter(F.size("_t") >= 5)
+    grams_col = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - 5),
+            lambda i: F.concat_ws(" ", F.slice("_t", i + 1, 5)),
+        )
+    )
+    grams = toks.select("doc_id", "source", grams_col.alias("_g"))
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    train = grams.filter(F.col("source") != "src0").select(
+        "doc_id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_grams",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("overlap"),
+        )
+        .orderBy(F.desc("overlap"), "doc_id")
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(COUNT(*)::DOUBLE / SUM(c)::DOUBLE, 6) AS distinct_ratio,
+           ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_token_share
+    FROM per_tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Repetition quality signal: distinct-token ratio and the share "
+    "of the single most frequent token — the standard degenerate-text "
+    "detectors (boilerplate, keyword stuffing, decoding loops). Scale: "
+    "explode -> two stacked hash aggs, both map-side combinable; no "
+    "joins. SUM(c) in DuckDB returns HUGEINT, so the oracle's ratios "
+    "divide through DOUBLE casts that match Spark's long/long exactly.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(X.tokens(F.lower("text"))).alias("tok"))
+    per_tok = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(
+                F.count("*").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("distinct_ratio"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_token_share"),
+        )
+        .orderBy("doc_id")
+    )
