@@ -1227,3 +1227,69 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first("c_custkey").over(w).alias("top_cust"),
         F.nth_value("c_custkey", 2).over(w).alias("second_cust"),
     )
+
+
+@register(
+    "stats_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Exact linear-interpolated percentiles (median/p90/p99) per "
+    "group — Spark's percentile() and DuckDB's quantile_cont() share "
+    "the definition x_lo + (x_hi - x_lo)*frac over exactly-representable "
+    "money doubles, verified bit-identical. Scale: exact percentile "
+    "requires a per-group sort; for 100 TB dashboards swap in "
+    "approx_percentile (t-digest) — this is the exact tier.",
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(*)::DOUBLE AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+             MAX(o_totalprice) AS max_value
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, total_value, max_value))
+    ORDER BY o_orderpriority, metric
+    """,
+    doc="UNPIVOT (wide metrics -> long rows) over a per-priority order "
+    "summary — the §2.2 relational surface's reshaping op, dual of the "
+    "pivot query. Scale: unpivot is a narrow row-expansion (x3) after "
+    "the aggregation, no extra shuffle.",
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+        F.max("o_totalprice").alias("max_value"),
+    )
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_orders", "total_value", "max_value"],
+        "metric",
+        "value",
+    ).orderBy("o_orderpriority", "metric")

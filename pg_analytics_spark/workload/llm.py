@@ -999,3 +999,54 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "domain_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(len({_TOKS})) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs, n_tokens, sqrt(n_tokens::DOUBLE) AS raw_w
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(SUM(CAST(raw_w AS DECIMAL(28,12))) AS DOUBLE) AS total_w FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           raw_w / total_w AS weight,
+           ROUND(10000.0 * raw_w / total_w, 6) AS docs_at_10k
+    FROM w, tot
+    ORDER BY source
+    """,
+    doc="Temperature-weighted domain mixture (alpha = 0.5): per-source "
+    "token counts -> sampling weight proportional to sqrt(tokens), "
+    "normalized — the standard upsample-the-tail mixing rule for "
+    "pre-training corpora. sqrt is IEEE-correctly-rounded in both "
+    "engines (unlike pow, which is why alpha is 0.5 and not 0.7), and "
+    "the normalizer sums in DECIMAL, so weights are bit-identical. "
+    "Scale: one hash-agg on source + a broadcast scalar total.",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(X.tokens(F.lower("text")))).alias("n_tokens"),
+    )
+    w = per_src.withColumn("raw_w", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("raw_w").cast("decimal(28,12)")).cast("double").alias("total_w")
+    )
+    return (
+        w.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("raw_w") / F.col("total_w")).alias("weight"),
+            F.round(F.lit(10000.0) * F.col("raw_w") / F.col("total_w"), 6).alias(
+                "docs_at_10k"
+            ),
+        )
+        .orderBy("source")
+    )
