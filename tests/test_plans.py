@@ -136,3 +136,25 @@ def test_q21_no_cartesian_and_bounded_shuffles(spark):
     # lineitem⋈orders, per-order agg, semi join, final agg + sort —
     # a handful of exchanges, not one per correlated subquery evaluation
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    from pg_analytics_spark.workload.llm import contamination_check
+
+    assert uses_broadcast_join(contamination_check(spark, SF_DIR))
+
+
+def test_kmeans_iter_single_shuffle_no_vectors_in_exchange(spark):
+    # assignment must be a narrow map; the only exchange carries
+    # (cell, dim) partial sums — never the embedding arrays
+    import re
+
+    from pg_analytics_spark.plans import explain_formatted
+    from pg_analytics_spark.workload import REGISTRY
+
+    plan = explain_formatted(REGISTRY["embed_kmeans_iter"].spark(spark, SF_DIR))
+    exchanges = re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?", plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    # no exchange row should contain the embedding column
+    for ex in re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "embedding" not in ex, ex
