@@ -1,0 +1,136 @@
+"""Physical-layout scale levers: hive partition pruning and bucketed
+(shuffle-free) joins.
+
+These are the two layout tools the 100 TB design leans on (SCALE.md):
+a date/tenant-partitioned lake prunes files before the scan, and
+bucketing both sides of a recurring join on its key removes the
+per-query shuffle entirely.  Neither is exercised by the single-file
+testdata, so these tests build small partitioned/bucketed copies and
+assert the PLAN (PartitionFilters, absence of Exchange) — the property
+that actually transfers to a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.plans import explain_formatted
+from pg_analytics_spark.sources import load_source
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_by_day"))
+    ev = load_source(spark, f"{SF_DIR}/events.parquet", "parquet")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def test_partition_pruning_reaches_scan(spark, part_dir):
+    df = spark.read.parquet(part_dir).filter(
+        F.col("event_date") == "2024-01-03"
+    )
+    plan = explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # the partition predicate must NOT appear as a data filter
+    assert "PushedFilters: [IsNotNull(event_date)" not in plan
+
+
+def _scanned_files(df) -> int:
+    """numFiles metric of the executed scan node (post-pruning)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        name = node.nodeName()
+        if "Scan" in name:
+            metrics = node.metrics()
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    return int(kv._2().value())
+        n = node.children().size()
+        for i in range(n):
+            got = walk(node.children().apply(i))
+            if got is not None:
+                return got
+        return None
+
+    return walk(plan)
+
+
+def test_partition_pruning_reads_fewer_files(spark, part_dir):
+    total_days = (
+        spark.read.parquet(part_dir).select("event_date").distinct().count()
+    )
+    assert total_days > 1
+    n = _scanned_files(
+        spark.read.parquet(part_dir).filter(F.col("event_date") == "2024-01-03")
+    )
+    n_all = _scanned_files(spark.read.parquet(part_dir))
+    assert n is not None and n_all is not None
+    assert 0 < n < n_all
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    o = load_source(spark, f"{SF_DIR}/orders.parquet", "parquet")
+    l = load_source(spark, f"{SF_DIR}/lineitem.parquet", "parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a crashed earlier run can leave orphaned managed-table dirs that
+    # DROP TABLE (no catalog entry) won't clean
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        o.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        l.write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    # at sf0.001 Catalyst would broadcast the tiny table — force the
+    # sort-merge path the bucketing exists for (at scale neither side
+    # broadcasts and SMJ is what Catalyst picks on its own)
+    joined = (
+        spark.table("orders_b")
+        .hint("merge")
+        .join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    # co-located bucketed join: the join itself must not shuffle — the
+    # only exchange allowed is the final tiny aggregation on priority
+    plan = explain_formatted(joined)
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", join_section))
+    assert n_exchanges == 0, join_section
+    # and it still answers correctly
+    n = joined.agg(F.sum("n")).collect()[0][0]
+    assert n == l.count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
