@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_analytics_spark.errors import UnsupportedFormat
+from pg_analytics_spark.sources.base import localize_remote
 from pg_analytics_spark.sources import csv as _csv
 from pg_analytics_spark.sources import delta as _delta
 from pg_analytics_spark.sources import iceberg as _iceberg
@@ -38,14 +39,16 @@ def load_source(
 
     ``files`` accepts a single path/glob, a comma-separated list (the
     reference's ``files`` option splits on commas — src/duckdb/utils.rs:18-31)
-    or a Python list.
+    or a Python list.  ``http(s)://`` URLs are fetched to a local cache
+    first (base.localize_remote — the reference's httpfs analog).
     """
     fmt = format.lower()
     if fmt not in _LOADERS:
         raise UnsupportedFormat(
             f"format {format!r}; supported: {sorted(_LOADERS)}"
         )
-    return _LOADERS[fmt](spark, split_files(files), dict(options or {}))
+    paths = localize_remote(split_files(files))
+    return _LOADERS[fmt](spark, paths, dict(options or {}))
 
 
 def split_files(files: str | list[str]) -> list[str]:

@@ -55,3 +55,50 @@ def pop_keys(opts: dict, keys: list[str]) -> dict:
         if k in opts:
             out[k] = opts.pop(k)
     return out
+
+
+def localize_remote(files: list[str]) -> list[str]:
+    """Fetch ``http(s)://`` inputs to a local cache, pass others through.
+
+    The reference reads HTTP(S) URLs via DuckDB's httpfs extension
+    (README.md:98-118 demo; secrets/connection plumbing
+    src/duckdb/connection.rs:46-49).  Spark has no HTTP Hadoop
+    filesystem, so the engine downloads once to a content-addressed
+    cache (md5 of URL) and scans the local copy — the same
+    single-node convenience path httpfs provides.  Files are assumed
+    immutable (lake semantics): a cached copy is reused.
+
+    Scale note: this is a driver-side convenience for ad-hoc remote
+    files.  Cluster-scale data belongs on an object store with a real
+    Hadoop connector (s3a/gs/abfs — see sources/secrets.py), where
+    every executor reads its own split; an HTTP URL has no splits.
+    """
+    import hashlib
+    import os
+    import tempfile
+    import urllib.request
+
+    out = []
+    for f in files:
+        if not f.startswith(("http://", "https://")):
+            out.append(f)
+            continue
+        cache_dir = os.path.join(
+            tempfile.gettempdir(), "pg_analytics_spark_http_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        suffix = os.path.splitext(f.split("?")[0])[1] or ".bin"
+        local = os.path.join(
+            cache_dir, hashlib.md5(f.encode()).hexdigest() + suffix
+        )
+        if not os.path.exists(local):
+            tmp = local + ".part"
+            with urllib.request.urlopen(f) as resp, open(tmp, "wb") as fh:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    fh.write(chunk)
+            os.replace(tmp, local)  # atomic: no torn cache on crash
+        out.append(local)
+    return out

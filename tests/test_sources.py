@@ -521,3 +521,34 @@ def test_iceberg_fallback_rejects_live_deletes(spark, tmp_path):
 
     with pytest.raises(MissingDependency):
         load_source(spark, root, "iceberg")
+
+
+def test_http_source_fetch_and_cache(spark, tmp_path):
+    """http(s):// inputs are downloaded once and scanned locally —
+    the reference's httpfs demo path (README.md:98-118)."""
+    import functools
+    import http.server
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], pa.int64())}),
+        str(tmp_path / "remote.parquet"),
+    )
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/remote.parquet"
+        df = load_source(spark, url, "parquet")
+        assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+        # second load hits the cache (server down would still work)
+        srv.shutdown()
+        df2 = load_source(spark, url, "parquet")
+        assert df2.count() == 3
+    finally:
+        srv.server_close()
