@@ -57,6 +57,30 @@ def pop_keys(opts: dict, keys: list[str]) -> dict:
     return out
 
 
+def hf_to_https(url: str) -> str:
+    """``hf://`` path → huggingface.co resolve URL (public scheme the
+    reference reads via DuckDB httpfs, README.md:44-53).
+
+    ``hf://datasets/org/name[@rev]/path`` →
+    ``https://huggingface.co/datasets/org/name/resolve/rev/path``
+    (rev defaults to ``main``); same for ``hf://org/name/path`` model
+    repos without the ``datasets/`` prefix.
+    """
+    rest = url[len("hf://") :]
+    kind = ""
+    if rest.startswith(("datasets/", "spaces/")):
+        kind, rest = rest.split("/", 1)
+        kind += "/"
+    parts = rest.split("/")
+    if len(parts) < 3:
+        raise ValueError(f"hf:// path needs org/name/file: {url!r}")
+    org, name, path = parts[0], parts[1], "/".join(parts[2:])
+    rev = "main"
+    if "@" in name:
+        name, rev = name.split("@", 1)
+    return f"https://huggingface.co/{kind}{org}/{name}/resolve/{rev}/{path}"
+
+
 def localize_remote(files: list[str]) -> list[str]:
     """Fetch ``http(s)://`` inputs to a local cache, pass others through.
 
@@ -80,6 +104,8 @@ def localize_remote(files: list[str]) -> list[str]:
 
     out = []
     for f in files:
+        if f.startswith("hf://"):
+            f = hf_to_https(f)
         if not f.startswith(("http://", "https://")):
             out.append(f)
             continue

@@ -39,10 +39,16 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     if len(files) != 1:
         raise MissingDependency("delta source takes exactly one table path")
     path = files[0]
+    version = opts.get("version_as_of", opts.get("versionAsOf"))
     try:
-        df = spark.read.format("delta").load(path)
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", int(version))
+        df = reader.load(path)
     except Exception:
-        df = _load_via_log(spark, path)
+        df = _load_via_log(
+            spark, path, version=None if version is None else int(version)
+        )
     return apply_common(df, opts)
 
 
@@ -51,13 +57,15 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
 # ------------------------------------------------------------------ #
 
 
-def _load_via_log(spark: SparkSession, table_path: str) -> DataFrame:
+def _load_via_log(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise MissingDependency(
             f"not a Delta table (no _delta_log): {table_path}"
         )
-    active, meta = _replay_log(log_dir)
+    active, meta = _replay_log(log_dir, version=version)
     if meta is None:
         raise MissingDependency(f"Delta log has no metaData action: {table_path}")
     part_cols = meta.get("partitionColumns", [])
@@ -84,24 +92,30 @@ def _load_via_log(spark: SparkSession, table_path: str) -> DataFrame:
     return out
 
 
-def _replay_log(log_dir: str) -> tuple[dict[str, dict], dict | None]:
+def _replay_log(
+    log_dir: str, version: int | None = None
+) -> tuple[dict[str, dict], dict | None]:
     """Replay checkpoint + JSON commits → (active add-actions by path,
-    latest metaData action)."""
+    latest metaData action).  ``version`` replays only commits ≤ that
+    version (time travel, delta-spark's versionAsOf); a checkpoint
+    beyond the requested version is skipped and the JSON commits are
+    replayed from 0 instead.
+    """
     start_version = -1
     active: dict[str, dict] = {}
     meta: dict | None = None
 
     last_cp = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(last_cp):
+    if os.path.exists(last_cp) and version is None:
         with open(last_cp) as fh:
             cp = json.load(fh)
-        version = int(cp["version"])
+        cp_version = int(cp["version"])
         parts = cp.get("parts")
         names = (
-            [f"{version:020d}.checkpoint.parquet"]
+            [f"{cp_version:020d}.checkpoint.parquet"]
             if not parts
             else [
-                f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                f"{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
                 for i in range(parts)
             ]
         )
@@ -109,13 +123,20 @@ def _replay_log(log_dir: str) -> tuple[dict[str, dict], dict | None]:
             a, m = _read_checkpoint(os.path.join(log_dir, name))
             active.update(a)
             meta = m or meta
-        start_version = version
+        start_version = cp_version
 
     commits = sorted(
         f for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:20].isdigit()
         and int(f[:20]) > start_version
+        and (version is None or int(f[:20]) <= version)
     )
+    if version is not None:
+        available = {int(f[:20]) for f in commits}
+        if not available or max(available) < version:
+            raise MissingDependency(
+                f"Delta version {version} not present in {log_dir}"
+            )
     for name in commits:
         with open(os.path.join(log_dir, name)) as fh:
             for line in fh:

@@ -45,14 +45,19 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     for k in ("metadata_compression_codec", "skip_schema_inference"):
         if k in opts:
             fallback_warning(f"iceberg option {k} handled by the Spark catalog; ignored")
+    snapshot_id = opts.get("snapshot_id")
     try:
-        df = spark.read.format("iceberg").load(files[0])
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", int(snapshot_id))
+        df = reader.load(files[0])
     except Exception:
         df = _load_via_metadata(
             spark,
             files[0],
             allow_moved_paths=str(opts.get("allow_moved_paths", "false")).lower()
             in ("true", "1"),
+            snapshot_id=None if snapshot_id is None else int(snapshot_id),
         )
     return apply_common(df, opts)
 
@@ -103,12 +108,20 @@ def _resolve(path: str, table_path: str, allow_moved: bool) -> str:
 
 
 def _load_via_metadata(
-    spark: SparkSession, table_path: str, allow_moved_paths: bool = False
+    spark: SparkSession,
+    table_path: str,
+    allow_moved_paths: bool = False,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     meta_file = _latest_metadata_file(table_path)
     with open(meta_file) as fh:
         meta: dict[str, Any] = json.load(fh)
-    snap_id = meta.get("current-snapshot-id")
+    # time travel: an explicit snapshot_id overrides the current one
+    snap_id = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
     snapshots = meta.get("snapshots") or []
     if snap_id is None or snap_id == -1 or not snapshots:
         raise MissingDependency(

@@ -552,3 +552,48 @@ def test_http_source_fetch_and_cache(spark, tmp_path):
         assert df2.count() == 3
     finally:
         srv.server_close()
+
+
+def test_delta_fallback_time_travel(spark, tmp_path):
+    root = str(tmp_path / "dl_tt")
+    _write_delta_fixture(spark, root)
+    # fixture: commit 0 adds part-0 (0-4) and part-1 (5-7);
+    # commit 1 removes part-1 and adds part-2 (8-9)
+    v0 = load_source(spark, root, "delta", {"version_as_of": 0})
+    assert sorted(r["id"] for r in v0.collect()) == [0, 1, 2, 3, 4, 5, 6, 7]
+    v1 = load_source(spark, root, "delta", {"version_as_of": 1})
+    assert sorted(r["id"] for r in v1.collect()) == [0, 1, 2, 3, 4, 8, 9]
+    from pg_analytics_spark.errors import MissingDependency
+
+    with pytest.raises(MissingDependency):
+        load_source(spark, root, "delta", {"version_as_of": 9})
+
+
+def test_iceberg_fallback_snapshot_id(spark, tmp_path):
+    root = str(tmp_path / "ice_tt")
+    _write_iceberg_fixture(root)
+    df = load_source(spark, root, "iceberg", {"snapshot_id": 77})
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+    from pg_analytics_spark.errors import MissingDependency
+
+    with pytest.raises(MissingDependency):
+        load_source(spark, root, "iceberg", {"snapshot_id": 12345})
+
+
+def test_hf_url_mapping():
+    from pg_analytics_spark.sources.base import hf_to_https
+
+    assert (
+        hf_to_https("hf://datasets/acme/corpus/data/part-0.parquet")
+        == "https://huggingface.co/datasets/acme/corpus/resolve/main/data/part-0.parquet"
+    )
+    assert (
+        hf_to_https("hf://datasets/acme/corpus@v2/d.parquet")
+        == "https://huggingface.co/datasets/acme/corpus/resolve/v2/d.parquet"
+    )
+    assert (
+        hf_to_https("hf://acme/model/weights.bin")
+        == "https://huggingface.co/acme/model/resolve/main/weights.bin"
+    )
+    with pytest.raises(ValueError):
+        hf_to_https("hf://justorg/file")
