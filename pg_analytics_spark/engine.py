@@ -136,6 +136,59 @@ class Engine:
         self.spark.sql(query).createOrReplaceTempView(name)
 
     # ------------------------------------------------------------------ #
+    # Materialization (CTAS — the reference's only write path,
+    # tests/tests/scan.rs:314-333) with the physical-layout levers the
+    # 100 TB design leans on (SCALE.md: partition pruning, bucketed
+    # shuffle-free joins).
+    # ------------------------------------------------------------------ #
+
+    def materialize(
+        self,
+        name: str,
+        query: str,
+        path: str | None = None,
+        format: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: str | list[str] | None = None,
+        bucket_by: tuple[int, str | list[str]] | None = None,
+        sort_by: str | list[str] | None = None,
+    ) -> DataFrame:
+        """CREATE TABLE AS SELECT.
+
+        With ``path``: writes files there (optionally hive-partitioned
+        by ``partition_by``) and re-attaches them under ``name`` — the
+        external-table path; downstream queries get file-level partition
+        pruning.  Without ``path``: saves a managed table, where
+        ``bucket_by=(n, cols)`` + ``sort_by`` lay the data out for
+        shuffle-free co-located joins on the bucket key.
+        Returns the materialized table's DataFrame.
+        """
+        df = self.sql(query)
+        as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+        if path is not None:
+            writer = df.write.format(format).mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*as_list(partition_by))
+            if bucket_by:
+                raise ValueError(
+                    "bucket_by requires a managed table (omit path): Spark "
+                    "bucketing metadata lives in the catalog"
+                )
+            writer.save(path)
+            self.attach(name, files=path, format=format)
+        else:
+            writer = df.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*as_list(partition_by))
+            if bucket_by:
+                n, cols = bucket_by
+                writer = writer.bucketBy(int(n), *as_list(cols))
+                if sort_by:
+                    writer = writer.sortBy(*as_list(sort_by))
+            writer.saveAsTable(name)
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------------ #
     # EXPLAIN (U1 — src/hooks/utility/explain.rs:39-96)
     # ------------------------------------------------------------------ #
 

@@ -155,3 +155,54 @@ def test_ctas_materialization(engine, tmp_path):
         assert again == direct
     finally:
         engine.sql("DROP TABLE IF EXISTS ctas_cheap")
+
+
+def test_materialize_external_partitioned(engine, tmp_path):
+    import os
+
+    out = str(tmp_path / "curated")
+    df = engine.materialize(
+        "curated_orders",
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
+        path=out,
+        partition_by="o_orderpriority",
+    )
+    assert df.count() == engine.sql("SELECT COUNT(*) c FROM orders").collect()[0]["c"]
+    # hive layout on disk + re-attached under the new name
+    assert any(d.startswith("o_orderpriority=") for d in os.listdir(out))
+    n = engine.sql(
+        "SELECT COUNT(*) c FROM curated_orders WHERE o_orderpriority = '1-URGENT'"
+    ).collect()[0]["c"]
+    assert n > 0
+    engine.detach("curated_orders")
+
+
+def test_materialize_managed_bucketed(engine):
+    import shutil
+
+    engine.spark.sql("DROP TABLE IF EXISTS orders_mat_b")
+    wh = engine.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/orders_mat_b", ignore_errors=True)
+    df = engine.materialize(
+        "orders_mat_b",
+        "SELECT o_orderkey, o_custkey FROM orders",
+        bucket_by=(4, "o_orderkey"),
+        sort_by="o_orderkey",
+    )
+    assert df.count() > 0
+    desc = engine.spark.sql("DESCRIBE TABLE EXTENDED orders_mat_b").collect()
+    txt = "\n".join(f"{r['col_name']} {r['data_type']}" for r in desc)
+    assert "Num Buckets" in txt and "4" in txt, txt
+    engine.spark.sql("DROP TABLE orders_mat_b")
+
+
+def test_materialize_rejects_bucket_with_path(engine, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.materialize(
+            "x",
+            "SELECT 1 AS a",
+            path=str(tmp_path / "x"),
+            bucket_by=(4, "a"),
+        )
