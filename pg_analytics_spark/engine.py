@@ -370,6 +370,35 @@ class Engine:
     ) -> dict[str, str]:
         return apply_secret(self.spark, secret_type, options, bucket)
 
+    # ------------------------------------------------------------------ #
+    # Interrupts (C1 — the reference's signal listener calls
+    # conn.interrupt(), src/duckdb/connection.rs:32-110)
+    # ------------------------------------------------------------------ #
+
+    def cancel_all(self) -> None:
+        """Cancel every running Spark job on this session — the analog
+        of DuckDB ``conn.interrupt()``."""
+        self.spark.sparkContext.cancelAllJobs()
+
+    def install_interrupt_handler(self, signals=None) -> None:
+        """Route SIGINT/SIGTERM (by default) to :meth:`cancel_all`, then
+        re-raise the default behavior for SIGTERM — mirroring the
+        reference's listener thread (connection.rs:57-64).  Call once
+        from long-running drivers; safe to call repeatedly.
+        """
+        import signal as _signal
+
+        sigs = signals or (_signal.SIGINT, _signal.SIGTERM)
+        for s in sigs:
+            prev = _signal.getsignal(s)
+
+            def _handler(signum, frame, _prev=prev):
+                self.cancel_all()
+                if callable(_prev):
+                    _prev(signum, frame)
+
+            _signal.signal(s, _handler)
+
 
 def _probe_delta() -> bool:
     import importlib.util

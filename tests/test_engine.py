@@ -206,3 +206,34 @@ def test_materialize_rejects_bucket_with_path(engine, tmp_path):
             path=str(tmp_path / "x"),
             bucket_by=(4, "a"),
         )
+
+
+def test_cancel_all_interrupts_running_job(engine):
+    """C1 parity: cancel_all() kills an in-flight job; the session stays
+    usable afterwards (the reference interrupts DuckDB on signals,
+    connection.rs:57-64)."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    errors = []
+
+    def slow_job():
+        try:
+            # ~minutes of work if not cancelled
+            engine.spark.range(3_000_000_000).select(
+                F.sum(F.sha2(F.col("id").cast("string"), 256).substr(1, 2).cast("long"))
+            ).collect()
+        except Exception as e:
+            errors.append(e)
+
+    t = threading.Thread(target=slow_job)
+    t.start()
+    time.sleep(2)
+    engine.cancel_all()
+    t.join(timeout=60)
+    assert not t.is_alive(), "job did not cancel"
+    assert errors, "cancelled job should raise"
+    # session still works
+    assert engine.sql("SELECT 1 AS x").collect()[0]["x"] == 1
