@@ -94,3 +94,99 @@ def test_range_join_matches_naive(spark, case):
         if rk == k and s - 60 <= rs < s
     }
     assert got == expected
+
+
+# ------------------------------------------------------------------ #
+# Dedup / text-operator invariants
+# ------------------------------------------------------------------ #
+
+_texts = st.lists(
+    st.text(
+        alphabet="ab .,!x",  # small alphabet → real duplicates occur
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """exact_dedup is a partition of the input: dup_counts sum to the
+    corpus size, representatives are distinct normalized texts, and the
+    representative id is the minimum of its group."""
+    import re as _re
+
+    from pg_analytics_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = exact_dedup(df, "text", "doc_id").collect()
+    assert sum(r["dup_count"] for r in got) == len(texts)
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    groups = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    assert len(got) == len(groups)
+    for r in got:
+        g = groups[norm(r["text"])]
+        assert r["doc_id"] == min(g)
+        assert r["dup_count"] == len(g)
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_simhash_pairs_symmetric_and_verified(spark, texts):
+    """Every reported pair has id_a < id_b and hamming <= 3, and
+    identical token sequences always pair (distance 0 survives any
+    banding)."""
+    from pg_analytics_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = simhash_pairs(df, "text", "doc_id").collect()
+    seen = set()
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 3
+        seen.add((r["id_a"], r["id_b"]))
+
+    def toks(t):
+        return tuple(x for x in t.lower().split() if x)
+
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            if toks(a) and toks(a) == toks(texts[j]):
+                assert (i, j) in seen, (a, texts[j])
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_hash_split_is_deterministic_and_total(spark, texts):
+    """Every doc lands in exactly one split, and re-running yields the
+    identical assignment (the append-stability property)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(len(texts))], "doc_id long"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    a = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    assert a == b
+    assert set(a) == set(range(len(texts)))
+    assert set(a.values()) <= {"train", "val", "test"}
