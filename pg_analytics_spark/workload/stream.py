@@ -151,3 +151,95 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
         F.sum(_dec("value", 18, 4)).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "events_rolling_1h_stats",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Trailing 1-hour per-user window stats (count + exact-decimal "
+    "sum) — the continuous rolling aggregate of a hypertable/time-series "
+    "engine, expressed as a RANGE frame over epoch seconds in Spark and "
+    "RANGE INTERVAL in DuckDB (identical frame: [ts-3600s, ts]). Scale: "
+    "one shuffle on user_id; the frame is evaluated with a sliding "
+    "accumulator within each sorted partition, state bounded by the "
+    "window width. Tie semantics: RANGE groups equal-ts rows together "
+    "in both engines.",
+)
+def events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT g.hour, COALESCE(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    ORDER BY g.hour
+    """,
+    doc="Gap-filled hourly series: a generated hour grid left-joined to "
+    "the sparse aggregate, empty buckets surfaced as zero — the "
+    "time_bucket_gapfill of time-series engines. Scale: the grid is "
+    "hours-between-bounds (tiny at any data scale) -> broadcast to the "
+    "aggregate side; the event scan aggregates map-side first.",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        grid.join(agg, "hour", "left")
+        .select("hour", F.coalesce(F.col("_n"), F.lit(0)).alias("n"))
+        .orderBy("hour")
+    )
