@@ -243,3 +243,59 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour", F.coalesce(F.col("_n"), F.lit(0)).alias("n"))
         .orderBy("hour")
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT hour, v,
+           last_value(v IGNORE NULLS) OVER (
+             ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_locf
+    FROM (SELECT g.hour, a.v FROM grid g LEFT JOIN agg a ON g.hour = a.hour)
+    ORDER BY hour
+    """,
+    doc="Gap-filled series with last-observation-carried-forward: empty "
+    "buckets inherit the previous hour's value via last_value IGNORE "
+    "NULLS over an unbounded-preceding frame — identical semantics in "
+    "Spark and DuckDB. The locf() interpolation of time-series engines. "
+    "Scale: the single-partition ordered window runs over the tiny hour "
+    "grid (hours-between-bounds), never the raw events.",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(agg, "hour", "left")
+        .select(
+            "hour",
+            "v",
+            F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        )
+        .orderBy("hour")
+    )
