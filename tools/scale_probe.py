@@ -1,0 +1,96 @@
+"""Scaling probe: run the heavy operators at 1x and ~10x the sf0.1
+corpus and report the wall-clock growth factor.
+
+Usage: python tools/scale_probe.py [multiplier]
+
+A sub-linear-to-linear factor (≤ ~multiplier) means the operator's
+cost is driven by per-row work; a super-linear factor exposes a
+quadratic candidate explosion or a skew cliff that the 100 TB design
+must not have.  The 10x corpus is synthesized by unioning shifted-id
+copies of documents/embeddings/customer, so duplicates-per-doc (and
+hence candidate density) stays constant — the honest scaling axis for
+dedup: corpus grows, near-dup rate doesn't.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from pg_analytics_spark import get_spark
+from pg_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from pg_analytics_spark.sources import load_source
+
+
+def _xcopies(df, id_col: str, mult: int, text_col: str | None = None):
+    """mult shifted-id copies; text perturbed per copy so cross-copy
+    rows are not global duplicates."""
+    span = 10_000_000
+    parts = []
+    for i in range(mult):
+        d = df.withColumn(id_col, F.col(id_col) + F.lit(i * span))
+        if text_col and i > 0:
+            d = d.withColumn(
+                text_col, F.concat(F.col(text_col), F.lit(f" c{i}"))
+            )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _wall(fn) -> float:
+    t0 = time.perf_counter()
+    fn().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf = "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_source(spark, f"{sf}/documents.parquet", "parquet").select(
+        "doc_id", "text"
+    )
+    docs_big = _xcopies(docs, "doc_id", mult, "text").persist()
+    cust = load_source(spark, f"{sf}/customer.parquet", "parquet").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    print(f"docs 1x={docs.count()} {mult}x={docs_big.count()}")
+
+    cases = {
+        "dedup_exact": (
+            lambda: exact_dedup(docs, "text", "doc_id"),
+            lambda: exact_dedup(docs_big, "text", "doc_id"),
+        ),
+        "dedup_minhash_lsh": (
+            lambda: minhash_lsh_pairs(docs, "text", "doc_id", shingle_k=9),
+            lambda: minhash_lsh_pairs(docs_big, "text", "doc_id", shingle_k=9),
+        ),
+        "dedup_simhash": (
+            lambda: simhash_pairs(docs, "text", "doc_id"),
+            lambda: simhash_pairs(docs_big, "text", "doc_id"),
+        ),
+    }
+    for name, (one, big) in cases.items():
+        w1 = _wall(one)
+        wN = _wall(big)
+        print(
+            f"{name:22s} 1x {w1:6.2f}s   {mult}x {wN:7.2f}s   "
+            f"factor {wN / w1:5.2f} (linear would be ~{mult})"
+        )
+    docs_big.unpersist()
+
+
+if __name__ == "__main__":
+    main()
