@@ -1293,3 +1293,37 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("o_orderpriority", "metric")
+
+
+@register(
+    "string_agg_per_group",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS members,
+           COUNT(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9900
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="Ordered string aggregation per group (string_agg / listagg "
+    "shape): members concatenated in deterministic sorted order — "
+    "collect_list + array_sort + array_join in Spark, which makes the "
+    "result order-insensitive to partitioning (collect_list alone is "
+    "NOT deterministic under shuffles; the sort is what makes this "
+    "cluster-safe). Scale: filter prunes first; nation broadcast.",
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "members"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_name")
+    )
