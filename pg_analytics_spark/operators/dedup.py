@@ -285,3 +285,68 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def neardup_clusters(
+    nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components over near-dup pairs → cluster assignment.
+
+    ``nodes``: one row per document id; ``pairs``: (id_a, id_b) edges
+    from any pair-producing dedup operator.  Returns (id_col,
+    cluster_id) where cluster_id is the MINIMUM member id of the
+    component — deterministic, and the conventional keep-lowest-id
+    dedup rule falls out as ``id == cluster_id``.
+
+    Algorithm: min-label propagation to fixpoint.  Each iteration is
+    one shuffle join + aggregate (both distributed); the number of
+    iterations is bounded by the component diameter, which for
+    near-dup clusters is tiny (dup groups are cliques or short chains
+    through a shared representative).  The driver only coordinates the
+    loop and reads a one-row convergence count — no data is collected.
+    At 100 TB this is the standard large-graph CC recipe (label
+    propagation; alternating-star variants only pay off on
+    web-graph-scale diameters).
+    """
+    ids = nodes.select(F.col(id_col).alias("_u")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("_u"), F.col("id_a").alias("_v")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = ids.select("_u", F.col("_u").alias("_lbl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges._v == labels._u)
+            .groupBy(edges._u.alias("_u"))
+            .agg(F.min("_lbl").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "_u", "left")
+            .select(
+                "_u",
+                F.least(F.col("_lbl"), F.coalesce("_nl", "_lbl")).alias("_lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_u")
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("_u").alias(id_col), F.col("_lbl").alias("cluster_id")
+    )

@@ -1050,3 +1050,57 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _register_dedup_clusters():
+    # cluster over the exact-duplicate graph (md5 fingerprint pairs):
+    # deterministic edges both engines can derive, non-trivial clusters
+    oracle = f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5({_NORM}) AS f FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS doc_id, MIN(lbl) AS cluster_id
+    FROM walk GROUP BY u
+    ORDER BY doc_id
+    """
+
+    @register(
+        "dedup_clusters",
+        oracle=oracle,
+        doc="Connected components over the duplicate graph -> cluster "
+        "assignment (cluster_id = min member id; keep-one rule is "
+        "doc_id == cluster_id). Spark runs distributed min-label "
+        "propagation to fixpoint (iterations ~ component diameter, "
+        "driver reads only a convergence count); the oracle walks the "
+        "same graph with a recursive CTE. Edges here come from the "
+        "exact-fingerprint pairs so both engines derive the identical "
+        "graph; the operator accepts any pair relation (minhash, "
+        "simhash, fuzzy).",
+    )
+    def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.functions.text import fingerprint
+        from pg_analytics_spark.operators.dedup import neardup_clusters
+
+        d = table(spark, sf_dir, "documents")
+        fp = d.select("doc_id", fingerprint("text").alias("_f"))
+        a = fp.select(F.col("_f"), F.col("doc_id").alias("id_a"))
+        b = fp.select(F.col("_f"), F.col("doc_id").alias("id_b"))
+        pairs = (
+            a.join(b, "_f")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        return neardup_clusters(d, pairs, "doc_id").orderBy("doc_id")
+
+
+_register_dedup_clusters()

@@ -190,3 +190,45 @@ def test_hash_split_is_deterministic_and_total(spark, texts):
     assert a == b
     assert set(a) == set(range(len(texts)))
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_neardup_clusters_match_naive_components(spark, edges):
+    """Min-label propagation == naive union-find on random graphs."""
+    from pg_analytics_spark.operators.dedup import neardup_clusters
+
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    ).filter("id_a < id_b")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(comp[find(i)]) for i in range(n)}
+    assert got == want
