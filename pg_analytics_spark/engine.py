@@ -371,6 +371,37 @@ class Engine:
         return apply_secret(self.spark, secret_type, options, bucket)
 
     # ------------------------------------------------------------------ #
+    # Result iteration (E2/E3 — Arrow→tuple sink and batched FDW
+    # iter_scan, src/hooks/query.rs:134-194, src/fdw/base.rs:125-178)
+    # ------------------------------------------------------------------ #
+
+    def fetch(self, query: str, args: dict | None = None):
+        """Run SQL and return all rows (the full-pushdown sink path,
+        E2).  Arrow-accelerated under the hood for pandas interchange;
+        use :meth:`iter_rows` for results larger than driver memory."""
+        return self.sql(query, args).collect()
+
+    def iter_rows(self, query: str, args: dict | None = None):
+        """Run SQL and stream rows lazily, one executor partition at a
+        time — the analog of the reference's batched ``iter_scan``
+        cursor (E3): the driver holds one batch, never the full result.
+        """
+        return self.sql(query, args).toLocalIterator()
+
+    # ------------------------------------------------------------------ #
+    # Namespace (C2 — search_path sync, src/hooks/query.rs:81-117):
+    # attached names live in the session's temp-view namespace, which
+    # shadows catalog databases; ``use`` switches the catalog database
+    # for managed tables (materialize without path).
+    # ------------------------------------------------------------------ #
+
+    def use(self, database: str) -> None:
+        self.spark.catalog.setCurrentDatabase(database)
+
+    def current_database(self) -> str:
+        return self.spark.catalog.currentDatabase()
+
+    # ------------------------------------------------------------------ #
     # Interrupts (C1 — the reference's signal listener calls
     # conn.interrupt(), src/duckdb/connection.rs:32-110)
     # ------------------------------------------------------------------ #

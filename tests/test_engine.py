@@ -237,3 +237,22 @@ def test_cancel_all_interrupts_running_job(engine):
     assert errors, "cancelled job should raise"
     # session still works
     assert engine.sql("SELECT 1 AS x").collect()[0]["x"] == 1
+
+
+def test_fetch_and_iter_rows(engine):
+    rows = engine.fetch("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+    assert len(rows) == 25 and rows[0]["n_nationkey"] == 0
+    it = engine.iter_rows("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    first = next(iter(it))
+    assert first["n_nationkey"] == 0
+
+
+def test_use_database_roundtrip(engine):
+    assert engine.current_database() == "default"
+    engine.spark.sql("CREATE DATABASE IF NOT EXISTS scratch")
+    engine.use("scratch")
+    assert engine.current_database() == "scratch"
+    # temp views still resolve regardless of current database (C2 note)
+    assert engine.sql("SELECT COUNT(*) c FROM nation").collect()[0]["c"] == 25
+    engine.use("default")
+    engine.spark.sql("DROP DATABASE scratch")
