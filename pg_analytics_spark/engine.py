@@ -152,6 +152,7 @@ class Engine:
         partition_by: str | list[str] | None = None,
         bucket_by: tuple[int, str | list[str]] | None = None,
         sort_by: str | list[str] | None = None,
+        options: dict | None = None,
     ) -> DataFrame:
         """CREATE TABLE AS SELECT.
 
@@ -167,6 +168,8 @@ class Engine:
         as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
         if path is not None:
             writer = df.write.format(format).mode(mode)
+            if options:
+                writer = writer.options(**options)
             if partition_by:
                 writer = writer.partitionBy(*as_list(partition_by))
             if bucket_by:
@@ -178,6 +181,8 @@ class Engine:
             self.attach(name, files=path, format=format)
         else:
             writer = df.write.mode(mode)
+            if options:
+                writer = writer.options(**options)
             if partition_by:
                 writer = writer.partitionBy(*as_list(partition_by))
             if bucket_by:

@@ -256,3 +256,20 @@ def test_use_database_roundtrip(engine):
     assert engine.sql("SELECT COUNT(*) c FROM nation").collect()[0]["c"] == 25
     engine.use("default")
     engine.spark.sql("DROP DATABASE scratch")
+
+
+def test_materialize_writer_options(engine, tmp_path):
+    out = str(tmp_path / "zstd_out")
+    engine.materialize(
+        "zstd_t",
+        "SELECT n_nationkey, n_name FROM nation",
+        path=out,
+        options={"compression": "zstd"},
+    )
+    import glob
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{out}/*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+    engine.detach("zstd_t")
