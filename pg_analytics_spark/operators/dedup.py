@@ -350,3 +350,159 @@ def neardup_clusters(
     return labels.select(
         F.col("_u").alias(id_col), F.col("_lbl").alias("cluster_id")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance pairs with a LOSSLESS PassJoin-style
+    candidate filter (Li et al., "PassJoin: A Partition-based Method
+    for Similarity Joins", VLDB 2011 — public algorithm).
+
+    Instead of running the DP on every in-block pair, each string is
+    partitioned into ``max_dist+1`` segments; for a pair within edit
+    distance τ, at most τ segments are touched by edits, so at least
+    one segment of `a` occurs VERBATIM in `b`, at its own position
+    shifted by at most τ (net indel drift).  Candidates are therefore
+    an equi-join on (block, partner-length, segment-index, content)
+    where the probe side enumerates partner lengths within ±τ and
+    position shifts within ±τ — O(τ²·(τ+1)) keys per row, constant —
+    and only candidates run the thresholded DP.
+
+    Strings shorter than ``2*(max_dist+1)`` get degenerate (empty)
+    segments, so pairs where either side is that short go through a
+    plain length-banded all-pairs path instead (a vanishing fraction
+    of any real corpus).
+
+    Output: (id_a, id_b, edit_dist) with id_a < id_b, distance ≤ τ.
+    Scale: the candidate join shuffles constant-per-row keys, never
+    |block|² pairs; uniform-content segments keep buckets small, and
+    degenerate low-entropy segments (shared prefixes) only cost extra
+    *candidates*, never correctness.
+    """
+    tau = int(max_dist)
+    nseg = tau + 1
+    min_len = 2 * nseg
+    raw = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_raw"),
+    )
+    # Strip each block's longest common prefix before segmenting.
+    # Stripping an identical prefix from both strings preserves edit
+    # distance (the DP aligns equal prefixes on the diagonal), and it
+    # is what keeps the filter selective on templated corpora: a shared
+    # "Customer#"-style prefix would otherwise make segment 0
+    # zero-entropy and degrade the candidate join to all-pairs.
+    # LCP of a set == LCP of its lexicographic (min, max).
+    lcp = raw.groupBy("_blk").agg(
+        F.min("_raw").alias("_mn"), F.max("_raw").alias("_mx")
+    ).selectExpr(
+        "_blk",
+        """IF(least(length(_mn), length(_mx)) = 0, 0,
+           aggregate(
+             sequence(1, least(length(_mn), length(_mx))),
+             0,
+             (acc, i) -> IF(acc = i - 1
+                            AND substring(_mn, i, 1) = substring(_mx, i, 1),
+                            i, acc)
+           )) AS _lcp""",
+    )
+    base = (
+        raw.join(F.broadcast(lcp), "_blk")
+        .selectExpr(
+            "_blk",
+            "_id",
+            "_raw",
+            "substring(_raw, _lcp + 1) AS _txt",
+            "length(_raw) - _lcp AS _len",
+        )
+    )
+
+    # seg boundary arithmetic for partner length l (SQL fragments):
+    # base b = l div n, remainder r = l % n; seg i (0-based) starts at
+    # i*b + least(i, r) and has length b + (i < r)
+    def _pos(l: str, i: int) -> str:
+        return f"({i} * ({l} DIV {nseg}) + LEAST({i}, {l} % {nseg}))"
+
+    def _slen(l: str, i: int) -> str:
+        return f"(({l} DIV {nseg}) + CAST({i} < ({l} % {nseg}) AS INT))"
+
+    long_side = base.filter(F.col("_len") >= min_len)
+    # index side: its own segments at their true positions
+    seg_structs = ", ".join(
+        f"named_struct('l', _len, 'i', {i}, "
+        f"'s', substring(_txt, {_pos('_len', i)} + 1, {_slen('_len', i)}))"
+        for i in range(nseg)
+    )
+    idx = long_side.selectExpr(
+        "_blk", "_id AS id_a", "_txt AS txt_a", f"explode(array({seg_structs})) AS _k"
+    )
+    # probe side: for each partner length l within ±tau and shift
+    # within ±tau, the substring at the partner's segment position
+    probe_structs = []
+    for off in range(-tau, tau + 1):
+        l = f"(_len + {off})"
+        for i in range(nseg):
+            for d in range(-tau, tau + 1):
+                p = f"({_pos(l, i)} + {d})"
+                probe_structs.append(
+                    f"IF({l} >= {min_len} AND {p} >= 0, "
+                    f"named_struct('l', {l}, 'i', {i}, "
+                    f"'s', substring(_txt, {p} + 1, {_slen(l, i)})), NULL)"
+                )
+    probe = long_side.selectExpr(
+        "_blk",
+        "_id AS id_b",
+        "_txt AS txt_b",
+        f"explode(array({', '.join(probe_structs)})) AS _k",
+    ).filter("_k IS NOT NULL")
+    cand_long = (
+        idx.join(probe, ["_blk", "_k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "txt_a", "txt_b")
+        .distinct()
+    )
+
+    # short-string path: all pairs where either side is short (partner
+    # bounded by short_len + tau), length-banded
+    shorts = base.filter(F.col("_len") < min_len)
+    partners = base.filter(F.col("_len") < min_len + tau)
+    cand_short = (
+        shorts.selectExpr("_blk", "_id AS id_a", "_txt AS txt_a", "_len AS la")
+        .join(
+            partners.selectExpr(
+                "_blk", "_id AS id_b", "_txt AS txt_b", "_len AS lb"
+            ),
+            "_blk",
+        )
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= tau)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("txt_a"))
+            .otherwise(F.col("txt_b"))
+            .alias("txt_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("txt_b"))
+            .otherwise(F.col("txt_a"))
+            .alias("txt_b"),
+        )
+        .distinct()
+    )
+
+    cand = cand_long.unionByName(cand_short).distinct()
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("txt_a", "txt_b", tau).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

@@ -558,43 +558,24 @@ _register_sim_ann_ivf()
     WHERE levenshtein(a.c_name, b.c_name) <= 2
     """,
     doc="Fuzzy near-dup names: edit-distance ≤ 2 pairs, blocked by nation "
-    "key so the quadratic comparison runs within blocks, never across the "
-    "whole table — the blocking+verify shape every fuzzy-dedup pipeline "
-    "uses at scale (levenshtein is built-in JVM-side in Spark and native "
-    "in DuckDB).  Two semantics-preserving prunes keep the in-block cost "
-    "down: |len(a)-len(b)| ≤ 2 (edit distance is bounded below by the "
-    "length gap) is checked before the DP runs, and Spark's thresholded "
-    "levenshtein(l, r, 2) runs the banded O(n·k) DP that bails out early "
-    "instead of filling the full O(n²) matrix.",
+    "key, candidates via the LOSSLESS PassJoin segment filter "
+    "(operators/dedup.edit_distance_pairs: a pair within distance τ "
+    "must share one of τ+1 segments verbatim at a ±τ-shifted position) "
+    "— only candidates run the thresholded banded DP, so in-block cost "
+    "is near-linear instead of quadratic. The DuckDB oracle runs the "
+    "plain quadratic blocked join; identical output proves the filter "
+    "lossless on this corpus (and tests/test_properties.py proves it on "
+    "random strings).",
 )
 def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
-    a = c.select(
-        F.col("c_nationkey").alias("_k"),
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
-        F.length("c_name").alias("len_a"),
+    from pg_analytics_spark.operators.dedup import edit_distance_pairs
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
     )
-    b = c.select(
-        F.col("c_nationkey").alias("_k"),
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
-        F.length("c_name").alias("len_b"),
-    )
-    return (
-        a.join(b, "_k")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
-        )
-        .select(
-            "id_a",
-            "id_b",
-            # thresholded variant: exact distance when <= 2, else -1
-            F.levenshtein("name_a", "name_b", 2).alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") >= 0)
-    )
+    return edit_distance_pairs(
+        c, "c_name", "c_custkey", "c_nationkey", max_dist=2
+    ).selectExpr("id_a", "id_b", "edit_dist")
 
 
 @register(

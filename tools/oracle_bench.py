@@ -1,0 +1,55 @@
+"""Run the bench HEADLINE queries' DuckDB oracles at the same SF and
+print per-query walls — the single-node engine this repo must match or
+beat (BASELINE.md's operative gate is 2×).
+
+Usage: python tools/oracle_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from bench import HEADLINE
+from pg_analytics_spark.workload import REGISTRY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    timings = {}
+    for name in HEADLINE:
+        qd = REGISTRY.get(name)
+        if qd is None or not qd.oracle:
+            continue
+        t0 = time.perf_counter()
+        con.execute(qd.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
