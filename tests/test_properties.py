@@ -232,3 +232,45 @@ def test_neardup_clusters_match_naive_components(spark, edges):
         comp.setdefault(find(i), []).append(i)
     want = {i: min(comp[find(i)]) for i in range(n)}
     assert got == want
+
+
+def _naive_lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev = d[0]
+        d[0] = i
+        for j in range(1, n + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[n]
+
+
+@given(
+    strs=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=14), min_size=2, max_size=14
+    ),
+    prefix=st.sampled_from(["", "Customer#"]),
+)
+@_SETTINGS
+def test_passjoin_edit_distance_lossless(spark, strs, prefix):
+    """edit_distance_pairs (PassJoin filter + LCP stripping) finds
+    EXACTLY the naive-DP pairs with distance <= 2 — no false dismissals
+    from segmenting, shifting, short-string routing, or prefix
+    stripping."""
+    import itertools
+
+    from pg_analytics_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, prefix + s, i % 2) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id long, t string, blk int")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(df, "t", "id", "blk").collect()
+    }
+    want = {}
+    for (i, a, ba), (j, b, bb) in itertools.combinations(rows, 2):
+        if ba == bb and _naive_lev(a, b) <= 2:
+            want[(min(i, j), max(i, j))] = _naive_lev(a, b)
+    assert got == want
