@@ -299,3 +299,61 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ), staged AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click > t_view
+               AND t_purchase > t_click AS s3
+      FROM per_user
+    )
+    SELECT COUNT(*) FILTER (s1) AS n_view,
+           COUNT(*) FILTER (s2) AS n_view_click,
+           COUNT(*) FILTER (s3) AS n_view_click_purchase,
+           ROUND(COUNT(*) FILTER (s3)::DOUBLE
+                 / NULLIF(COUNT(*) FILTER (s1), 0)::DOUBLE, 6) AS conversion
+    FROM staged
+    """,
+    doc="Ordered conversion funnel (view -> later click -> later "
+    "purchase) per user, counted at each stage plus end-to-end "
+    "conversion rate — the event-sequence-pattern shape (MATCH_"
+    "RECOGNIZE-lite) expressed as first-occurrence timestamps + ordered "
+    "comparisons, which is how it stays one hash-agg instead of a "
+    "per-row NFA. NULL comparisons (missing stage) are falsy in both "
+    "engines' boolean semantics via the IS NOT NULL guards. Scale: one "
+    "shuffle on user_id with map-side conditional-MIN combine; the "
+    "funnel logic itself is a narrow map over the per-user row.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(s1, 1)).alias("n_view"),
+        F.count(F.when(s2, 1)).alias("n_view_click"),
+        F.count(F.when(s3, 1)).alias("n_view_click_purchase"),
+        F.round(
+            F.count(F.when(s3, 1)).cast("double")
+            / F.nullif(F.count(F.when(s1, 1)), F.lit(0)).cast("double"),
+            6,
+        ).alias("conversion"),
+    )
