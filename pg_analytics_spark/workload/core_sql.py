@@ -1327,3 +1327,44 @@ def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "histogram_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Equi-width value histogram (12 buckets over [0, 600k), "
+    "width_bucket semantics: 1-based with under/overflow buckets 0 and "
+    "n+1) — the distribution-profiling primitive. The bucket arithmetic "
+    "is spelled out identically on both engines (DuckDB has no "
+    "width_bucket) so the boundary FP behavior is shared. Scale: one "
+    "map-side-combinable hash agg on a 13-value key.",
+)
+def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 0.0, F.lit(0).cast("long"))
+        .when(F.col("o_totalprice") >= 600000.0, F.lit(13).cast("long"))
+        .otherwise(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long") + 1
+        )
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
