@@ -461,6 +461,16 @@ def edit_distance_pairs(
         "_txt AS txt_b",
         f"explode(array({', '.join(probe_structs)})) AS _k",
     ).filter("_k IS NOT NULL")
+    # probe-side pruning: a probe key for partner length l is useless
+    # if no index string of length l exists in the block.  The per-block
+    # length set is tiny → broadcast; the filter runs in the explode
+    # stage, BEFORE the candidate join's shuffle (on a fixed-length
+    # corpus this drops probe shuffle volume (2τ+1)×).
+    blk_lens = long_side.select("_blk", F.col("_len").alias("_kl")).distinct()
+    probe = probe.join(
+        F.broadcast(blk_lens),
+        (probe._blk == blk_lens._blk) & (F.col("_k.l") == F.col("_kl")),
+    ).select(probe._blk, "id_b", "txt_b", "_k")
     cand_long = (
         idx.join(probe, ["_blk", "_k"])
         .filter(F.col("id_a") < F.col("id_b"))
