@@ -181,8 +181,8 @@ def events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
     )
     return (
         e.select(
@@ -356,4 +356,80 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.count(F.when(s1, 1)), F.lit(0)).cast("double"),
             6,
         ).alias("conversion"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    WHERE datediff('day', c.cohort_day, CAST(e.ts AS DATE)) <= 7
+    GROUP BY c.cohort_day, day_offset
+    ORDER BY c.cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "distinct-active counts at each day offset (first week) — the "
+    "standard product-analytics retention shape. Scale: cohort "
+    "assignment is one agg on user_id; the fact join is on the same "
+    "key (co-partitioned shuffle); the final distinct-count agg keys "
+    "on (cohort, offset) — small and uniform.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff(F.to_date("ts"), F.col("cohort_day")))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_rolling_distinct_users",
+    oracle="""
+    SELECT event_id, ts, event_type,
+           COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS du_1h
+    FROM events
+    ORDER BY event_type, ts, event_id
+    """,
+    doc="Trailing 1-hour distinct-user count per event type — the "
+    "sliding-cardinality signal (active-user gauges, rate anomaly "
+    "detection). Spark has no DISTINCT window aggregate, so it's "
+    "size(collect_set() OVER range-frame) — same semantics as DuckDB's "
+    "windowed COUNT(DISTINCT). Scale: one shuffle on event_type (5 "
+    "partitions here — on a real deployment partition by (type, "
+    "time-bucket) to parallelize within types); state per frame is the "
+    "distinct-user set, bounded by the window width.",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.size(F.collect_set("user_id").over(w)).cast("long").alias("du_1h"),
+        )
+        .orderBy("event_type", "ts", "event_id")
     )
