@@ -53,6 +53,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "events_hourly_window",
     "events_sessionize",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "basket_part_pairs",
+    "dedup_clusters",
     "asof_purchase_attribution",
     "range_join_error_context",
 ]

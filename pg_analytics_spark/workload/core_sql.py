@@ -1368,3 +1368,81 @@ def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+    ), part_freq AS (
+      SELECT l_partkey, COUNT(*) AS f FROM baskets GROUP BY l_partkey
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS together,
+           ROUND(COUNT(*)::DOUBLE / n.n::DOUBLE, 6) AS support,
+           ROUND((COUNT(*)::DOUBLE * n.n::DOUBLE)
+                 / (fa.f::DOUBLE * fb.f::DOUBLE), 6) AS lift
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+    CROSS JOIN n_orders n
+    JOIN part_freq fa ON fa.l_partkey = a.l_partkey
+    JOIN part_freq fb ON fb.l_partkey = b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey, n.n, fa.f, fb.f
+    HAVING COUNT(*) >= 3
+    ORDER BY lift DESC, part_a, part_b
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing in the same "
+    "order, with support and lift, kept at together >= 3 — the "
+    "association-rule primitive. Scale: the self-join explodes only "
+    "within orders (<= lines-per-order^2 per basket, bounded and "
+    "skew-free here); frequencies and the order count are broadcast "
+    "scalars/dims. At retail-scale basket widths, cap or sample basket "
+    "size before pairing — the quadratic is per basket, never global.",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select(F.count_distinct("l_orderkey").alias("n"))
+    part_freq = baskets.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "_ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("f").alias("_fa")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("f").alias("_fb")
+    )
+    return (
+        pairs.join(F.broadcast(n_orders))
+        .join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(
+                F.col("together").cast("double") / F.col("n").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                (F.col("together").cast("double") * F.col("n").cast("double"))
+                / (F.col("_fa").cast("double") * F.col("_fb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+    )

@@ -433,3 +433,69 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "ts", "event_id")
     )
+
+
+@register(
+    "events_hourly_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, hour, n,
+             CAST(SUM(CAST(n AS DECIMAL(20,0))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(19,0))) OVER w AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS k
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n,
+           ROUND((n - s1 / k) / sqrt(GREATEST(s2 / k - (s1 / k) * (s1 / k), 1e-9)), 6) AS zscore
+    FROM stats
+    WHERE k >= 12
+    ORDER BY event_type, hour
+    """,
+    doc="Trailing-window z-score anomaly detection on hourly event "
+    "counts: mean/variance over the previous 24 closed hours (current "
+    "hour excluded), flagged once 12 hours of history exist. Moments "
+    "are staged as exact decimal window sums (counts are integers, so "
+    "s1/s2 are exact in both engines) and the z arithmetic is the same "
+    "double expression — bit-identical. Scale: one shuffle to hourly "
+    "counts (map-side combined), then a per-type ordered window over "
+    "~hours rows; the raw events never enter the window.",
+)
+def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    s1 = F.sum(F.col("n").cast("decimal(20,0)")).over(w).cast("double")
+    s2 = (
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n").cast("decimal(19,0)"))
+        .over(w)
+        .cast("double")
+    )
+    k = F.count("*").over(w)
+    mean = s1 / k
+    var = F.greatest(s2 / k - mean * mean, F.lit(1e-9))
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            "n",
+            F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+            k.alias("_k"),
+        )
+        .filter(F.col("_k") >= 12)
+        .drop("_k")
+        .orderBy("event_type", "hour")
+    )
