@@ -358,6 +358,7 @@ def edit_distance_pairs(
     id_col: str,
     block_col: str,
     max_dist: int = 2,
+    verify_via_ids: bool = False,
 ) -> DataFrame:
     """Blocked edit-distance pairs with a LOSSLESS PassJoin-style
     candidate filter (Li et al., "PassJoin: A Partition-based Method
@@ -507,7 +508,20 @@ def edit_distance_pairs(
         .distinct()
     )
 
-    cand = cand_long.unionByName(cand_short).distinct()
+    if verify_via_ids:
+        # long-text mode: candidates shuffle only id pairs; the two
+        # texts are joined back once for the final DP — the candidate
+        # distinct never carries document bodies
+        cand = (
+            cand_long.select("id_a", "id_b")
+            .unionByName(cand_short.select("id_a", "id_b"))
+            .distinct()
+        )
+        ta = base.select(F.col("_id").alias("id_a"), F.col("_txt").alias("txt_a"))
+        tb = base.select(F.col("_id").alias("id_b"), F.col("_txt").alias("txt_b"))
+        cand = cand.join(ta, "id_a").join(tb, "id_b")
+    else:
+        cand = cand_long.unionByName(cand_short).distinct()
     return (
         cand.select(
             "id_a",

@@ -171,3 +171,29 @@ def test_ivf_ann_subset_of_bruteforce_universe(spark):
     }
     for r in approx:
         assert exact_all[r["vec_id"]] == r["sim"]
+
+
+def test_edit_distance_pairs_verify_modes_agree(spark):
+    """verify_via_ids (long-text mode) must produce the identical pair
+    set as the inline-text mode."""
+    from pg_analytics_spark.operators.dedup import edit_distance_pairs
+    from pg_analytics_spark.workload.base import table
+
+    from .conftest import SF_DIR
+
+    c = table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    inline = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(
+            c, "c_name", "c_custkey", "c_nationkey"
+        ).collect()
+    }
+    via_ids = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(
+            c, "c_name", "c_custkey", "c_nationkey", verify_via_ids=True
+        ).collect()
+    }
+    assert inline == via_ids and inline
