@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_fuzzy_names",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
+    "sim_knn_join",
     "text_stats",
     "text_tfidf_top_terms",
     "events_hourly_window",

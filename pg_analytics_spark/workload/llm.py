@@ -1085,3 +1085,58 @@ def _register_dedup_clusters():
 
 
 _register_dedup_clusters()
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id % 100 = 0
+    )
+    SELECT q_id, neighbor_id, sim
+    FROM (
+      SELECT q.q_id, e.vec_id AS neighbor_id, {_ANN_COS} AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {_ANN_COS} DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.q_id
+    )
+    WHERE rk <= 3
+    ORDER BY q_id, sim DESC, neighbor_id
+    """,
+    doc="Batch k-NN join: every query vector (a deterministic 1% id "
+    "slice) gets its top-3 cosine neighbors from the corpus — the "
+    "retrieval-eval / dedup-against-reference-set shape, vs the single-"
+    "query top-k of sim_topk_bruteforce. Scale: the query set "
+    "broadcasts against the corpus scan (it is the small side by "
+    "construction); per-query top-k is a window over the query "
+    "partition. The exact tier — swap the corpus scan for IVF cell "
+    "probes (sim_ann_ivf) when the corpus no longer fits a full pass.",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pg_analytics_spark.functions.vectors import cosine_similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    sim = F.round(cosine_similarity("embedding", "qe"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("_sim", sim)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_sim").alias("sim"),
+        )
+        .orderBy("q_id", F.desc("sim"), "neighbor_id")
+    )
