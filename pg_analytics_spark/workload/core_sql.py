@@ -872,8 +872,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_per_group",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
-           list_sort(list(l_returnflag)) AS flags,
+           CAST(to_json(list_sort(list(l_linenumber))) AS VARCHAR) AS line_numbers,
+           CAST(to_json(list_sort(list(l_returnflag))) AS VARCHAR) AS flags,
            len(list(l_linenumber)) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
@@ -881,13 +881,18 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array aggregation: per-order sorted line-number and flag lists "
     "(SURVEY §1.2: ArrayType is native, richer than the reference's "
     "List→JSON degradation, cell.rs:330-440). collect_list order is "
-    "nondeterministic in a distributed engine, so both sides sort.",
+    "nondeterministic in a distributed engine, so both sides sort; the "
+    "aggregated arrays are surfaced as canonical JSON strings so "
+    "list-typed cells never reach the comparison harness (whose pandas "
+    "canonicalizer cannot sort/hash python lists).",
 )
 def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
-        F.array_sort(F.collect_list("l_returnflag")).alias("flags"),
+        F.to_json(F.array_sort(F.collect_list("l_linenumber"))).alias(
+            "line_numbers"
+        ),
+        F.to_json(F.array_sort(F.collect_list("l_returnflag"))).alias("flags"),
         F.count("l_linenumber").alias("n_lines"),
     )
 
