@@ -1,0 +1,310 @@
+"""Postgres/DuckDB → Spark SQL dialect rewrite shim.
+
+The reference's raw-SQL surface is Postgres: its own tests exercise
+``col::json->>'key'``, ``col::jsonb->>'key'``, bare ``col::json`` casts
+and ``->``/``->>`` chains (/root/reference/tests/tests/json.rs:294-312,
+351-353, 387-390), none of which parse in Spark SQL.  ``Engine.sql``
+passes every query through :func:`rewrite_pg` so that reference-dialect
+text executes unchanged.
+
+What is rewritten (token-level, never inside string literals, quoted
+identifiers, or comments):
+
+* ``expr::json`` / ``expr::jsonb``     → ``expr`` (JSON is a string here,
+  exactly the reference's VARCHAR-backed json cells, schema/cell.rs)
+* ``expr -> 'k' ->> 'k2'`` chains      → ``get_json_object(expr, '$.k.k2')``
+  (integer keys become ``[n]`` array steps)
+* ``expr::int8`` and friends           → ``CAST(expr AS BIGINT)`` via the
+  Postgres→Spark type-name table below
+
+Lambda safety: Spark's own ``->`` (``transform(xs, x -> x + 1)``) is NOT
+a JSON operator.  An arrow is only treated as JSON access when its key
+is a string literal, or an integer on a chain whose base carried an
+explicit ``::json``/``::jsonb`` cast — a lambda body never matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Postgres type name → Spark SQL type name (src/schema/cell.rs type map;
+# json/jsonb handled separately as identity).
+PG_TYPE_MAP: dict[str, str] = {
+    "int2": "SMALLINT",
+    "smallint": "SMALLINT",
+    "int4": "INT",
+    "int": "INT",
+    "integer": "INT",
+    "int8": "BIGINT",
+    "bigint": "BIGINT",
+    "float4": "FLOAT",
+    "real": "FLOAT",
+    "float8": "DOUBLE",
+    "double": "DOUBLE",
+    "numeric": "DECIMAL",
+    "decimal": "DECIMAL",
+    "text": "STRING",
+    "varchar": "STRING",
+    "char": "STRING",
+    "bpchar": "STRING",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP",
+    "time": "STRING",
+    "uuid": "STRING",
+    "json": None,  # identity: JSON values are strings in this engine
+    "jsonb": None,
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<qident>"(?:[^"]|"")*")
+    | (?P<arrow2>->>)
+    | (?P<arrow>->)
+    | (?P<cast>::)
+    | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_$]*)
+    | (?P<ws>\s+)
+    | (?P<op>.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    return [(m.lastgroup, m.group()) for m in _TOKEN_RE.finditer(sql)]
+
+
+def _prev_code(tokens, i):
+    """Index of the previous non-whitespace/comment token, or -1."""
+    i -= 1
+    while i >= 0 and tokens[i][0] in ("ws", "comment"):
+        i -= 1
+    return i
+
+
+def _next_code(tokens, i):
+    i += 1
+    while i < len(tokens) and tokens[i][0] in ("ws", "comment"):
+        i += 1
+    return i
+
+
+# SQL keywords never absorbed as a function name when walking back over
+# a parenthesized operand (``SELECT (x)::int`` casts ``(x)``, not a call).
+_KEYWORDS = frozenset(
+    """select where and or not when then else end case from join left right
+    full inner outer cross on group by order having limit offset union
+    intersect except all distinct as in like ilike rlike between is null
+    true false over partition rows range values exists any some interval
+    lateral using natural if returning with recursive window filter
+    """.split()
+)
+
+
+def _operand_start(tokens, end):
+    """Walk back from token index ``end`` (inclusive) over one primary
+    expression: balanced ``(...)``/``[...]`` groups, a function-call
+    name, qualified-name dots, a literal, or a single identifier.
+    Returns the start index."""
+    i = end
+    if i < 0:
+        return 0
+    kind, text = tokens[i]
+    if kind == "op" and text in (")", "]"):
+        depth = 0
+        while i >= 0:
+            k, t = tokens[i]
+            if k == "op" and t in (")", "]"):
+                depth += 1
+            elif k == "op" and t in ("(", "["):
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include a function name directly before '(' — but never a
+        # keyword (``SELECT (x)::int`` is not a call to SELECT)
+        j = _prev_code(tokens, i)
+        if j >= 0 and (
+            tokens[j][0] == "qident"
+            or (tokens[j][0] == "word" and tokens[j][1].lower() not in _KEYWORDS)
+        ):
+            i = j
+    elif kind in ("word", "qident", "string", "number"):
+        pass
+    else:
+        return end  # unknown shape: keep minimal
+    # absorb qualified-name dots: a.b.c
+    while True:
+        j = _prev_code(tokens, i)
+        if j >= 0 and tokens[j] == ("op", "."):
+            k = _prev_code(tokens, j)
+            if k >= 0 and tokens[k][0] in ("word", "qident"):
+                i = k
+                continue
+        break
+    return i
+
+
+def _strip_json_cast(tokens, end):
+    """If the primary expression ending at ``end`` is ``base::json`` or
+    ``base::jsonb``, return the index where ``base`` ends, else None."""
+    if end >= 0 and tokens[end][0] == "word" and tokens[end][1].lower() in (
+        "json",
+        "jsonb",
+    ):
+        k = _prev_code(tokens, end)
+        if k >= 0 and tokens[k][0] == "cast":
+            return _prev_code(tokens, k)
+    return None
+
+
+def _json_path_step(kind, text):
+    if kind == "string":
+        key = text[1:-1].replace("''", "'")
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+            return "." + key
+        return "['" + key.replace("\\", "\\\\").replace("'", "\\'") + "']"
+    return f"[{text}]"  # integer index
+
+
+def _rewrite_arrows(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Collapse ``base (::json)? (-> key)* (->>|->) key`` into one
+    ``get_json_object`` call.  Processes left-to-right, restarting after
+    each rewrite (chains are short)."""
+    i = 0
+    while i < len(tokens):
+        kind, _ = tokens[i]
+        if kind not in ("arrow", "arrow2"):
+            i += 1
+            continue
+        # key of the FIRST arrow in the chain decides JSON-ness
+        ki = _next_code(tokens, i)
+        if ki >= len(tokens) or tokens[ki][0] not in ("string", "number"):
+            i += 1
+            continue
+        if tokens[ki][0] == "number" and "." in tokens[ki][1]:
+            i += 1
+            continue
+        base_end = _prev_code(tokens, i)
+        if base_end < 0:
+            i += 1
+            continue
+        stripped = _strip_json_cast(tokens, base_end)
+        had_cast = stripped is not None
+        if had_cast:
+            base_end = stripped
+        if tokens[ki][0] == "number" and not had_cast:
+            # integer key with no ::json cast → could be a lambda body
+            # constant; leave untouched (lambda safety, module docstring)
+            i += 1
+            continue
+        base_start = _operand_start(tokens, base_end)
+        # consume the whole chain; ``j`` ends just past the last key token
+        path, j = "", i
+        while j < len(tokens) and tokens[j][0] in ("arrow", "arrow2"):
+            kj = _next_code(tokens, j)
+            if kj >= len(tokens) or tokens[kj][0] not in ("string", "number"):
+                break
+            if tokens[kj][0] == "number" and "." in tokens[kj][1]:
+                break
+            path += _json_path_step(*tokens[kj])
+            j = kj + 1
+            nxt = _next_code(tokens, kj)
+            if nxt < len(tokens) and tokens[nxt][0] in ("arrow", "arrow2"):
+                j = nxt
+        base_text = "".join(t for _, t in tokens[base_start : base_end + 1])
+        repl = [
+            ("word", "get_json_object"),
+            ("op", "("),
+            ("word", base_text),
+            ("op", ","),
+            ("ws", " "),
+            ("string", "'$" + path + "'"),
+            ("op", ")"),
+        ]
+        tokens = tokens[:base_start] + repl + tokens[j:]
+        i = base_start + len(repl)
+    return tokens
+
+
+def _rewrite_casts(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """``expr::type`` → ``CAST(expr AS SPARKTYPE)`` (or identity for
+    json/jsonb).  Right-to-left so stacked casts nest correctly."""
+    i = len(tokens) - 1
+    while i >= 0:
+        if tokens[i][0] != "cast":
+            i -= 1
+            continue
+        ti = _next_code(tokens, i)
+        if ti >= len(tokens) or tokens[ti][0] != "word":
+            i -= 1
+            continue
+        tname = tokens[ti][1].lower()
+        if tname == "double":
+            nx = _next_code(tokens, ti)
+            if nx < len(tokens) and tokens[nx] == ("word", "precision"):
+                ti = nx
+        if tname not in PG_TYPE_MAP:
+            i -= 1
+            continue
+        # optional (p[,s]) argument on numeric/decimal/varchar
+        type_end = ti
+        nx = _next_code(tokens, ti)
+        if nx < len(tokens) and tokens[nx] == ("op", "("):
+            depth, j = 0, nx
+            while j < len(tokens):
+                if tokens[j] == ("op", "("):
+                    depth += 1
+                elif tokens[j] == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            type_end = j
+        base_end = _prev_code(tokens, i)
+        if base_end < 0:
+            i -= 1
+            continue
+        base_start = _operand_start(tokens, base_end)
+        base_text = "".join(t for _, t in tokens[base_start : base_end + 1])
+        spark_type = PG_TYPE_MAP[tname]
+        if spark_type is None:
+            repl = [("word", base_text)]  # ::json / ::jsonb → identity
+        else:
+            if tname in ("numeric", "decimal") and type_end != ti:
+                args = "".join(t for _, t in tokens[ti + 1 : type_end + 1])
+                spark_type = "DECIMAL" + args
+            elif tname in ("varchar", "char", "bpchar") and type_end != ti:
+                spark_type = "STRING"
+            repl = [
+                ("word", "CAST"),
+                ("op", "("),
+                ("word", base_text),
+                ("ws", " "),
+                ("word", "AS"),
+                ("ws", " "),
+                ("word", spark_type),
+                ("op", ")"),
+            ]
+        tokens = tokens[:base_start] + repl + tokens[type_end + 1 :]
+        i = base_start - 1
+    return tokens
+
+
+def rewrite_pg(sql: str) -> str:
+    """Rewrite Postgres/DuckDB-dialect constructs to Spark SQL.
+
+    A no-op (returns the input object) when the query contains neither
+    ``::`` nor ``->`` — plain Spark SQL never pays tokenization cost.
+    """
+    if "::" not in sql and "->" not in sql:
+        return sql
+    tokens = _tokenize(sql)
+    tokens = _rewrite_arrows(tokens)
+    tokens = _rewrite_casts(tokens)
+    return "".join(t for _, t in tokens)

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_analytics_spark import types as _types
+from pg_analytics_spark.dialect import rewrite_pg
 from pg_analytics_spark.errors import EngineError
 from pg_analytics_spark.session import get_spark
 from pg_analytics_spark.sources import load_source, split_files
@@ -119,7 +120,13 @@ class Engine:
         """Execute SQL.  Named parameters via ``:name`` (Spark 4 native),
         the analog of the reference's ``$1`` parameterized queries
         (tests/tests/scan.rs:579-592).
+
+        Accepts the reference's Postgres dialect: ``::json``/``::jsonb``
+        casts and ``->``/``->>`` chains (tests/tests/json.rs:294-312)
+        are rewritten to Spark SQL by :mod:`pg_analytics_spark.dialect`
+        before execution; plain Spark SQL passes through untouched.
         """
+        query = rewrite_pg(query)
         if args:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)
@@ -133,7 +140,7 @@ class Engine:
     # ------------------------------------------------------------------ #
 
     def create_view(self, name: str, query: str) -> None:
-        self.spark.sql(query).createOrReplaceTempView(name)
+        self.sql(query).createOrReplaceTempView(name)
 
     # ------------------------------------------------------------------ #
     # Materialization (CTAS — the reference's only write path,
@@ -224,7 +231,9 @@ class Engine:
     # ------------------------------------------------------------------ #
 
     def prepare(self, name: str, query: str) -> None:
-        self._prepared[name] = _Prepared(query, self.spark.catalog.currentDatabase())
+        self._prepared[name] = _Prepared(
+            rewrite_pg(query), self.spark.catalog.currentDatabase()
+        )
 
     def execute(self, name: str, params: dict | None = None) -> DataFrame:
         if name not in self._prepared:

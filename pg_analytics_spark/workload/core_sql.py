@@ -1034,6 +1034,34 @@ for _name, _sql, _tables in (
     )(_passthrough(_sql, _tables))
 
 
+_PASSTHROUGH_PG_JSON = """
+SELECT event_id,
+       props::json->>'k' AS k_text,
+       (props::json->>'k')::int8 AS k_int,
+       '{"a":{"c":7}}'::json->'a'->>'c' AS nested,
+       '[10,20,30]'::json->>1 AS arr1
+FROM events
+WHERE (props::json->>'k')::int4 > 50
+"""
+
+
+@register(
+    "sql_passthrough_pg_json",
+    oracle=_PASSTHROUGH_PG_JSON,
+    doc="Postgres-dialect passthrough: the IDENTICAL text the reference's "
+    "own json tests use (::json / ::jsonb casts, -> / ->> chains, "
+    "tests/tests/json.rs:294-312) executes via Engine.sql, whose "
+    "dialect shim (pg_analytics_spark/dialect.py) rewrites it to Spark "
+    "SQL; DuckDB runs the raw text natively.",
+)
+def sql_passthrough_pg_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return eng.sql(_PASSTHROUGH_PG_JSON)
+
+
 @register(
     "skew_salted_join_agg",
     oracle="""

@@ -1,0 +1,169 @@
+"""Postgres/DuckDB-dialect rewrite shim (pg_analytics_spark/dialect.py).
+
+Covers every construct the reference's own raw-SQL tests exercise
+(/root/reference/tests/tests/json.rs:294-312, 351-353, 387-390) plus the
+lambda-safety and no-op guarantees the shim makes.
+"""
+
+import pytest
+
+from pg_analytics_spark.dialect import rewrite_pg
+
+
+# ------------------------------------------------------------------ #
+# Pure string rewrites
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        # json.rs:294 — ::json->>'key'
+        (
+            "SELECT string_col::json->>'name' FROM t",
+            "SELECT get_json_object(string_col, '$.name') FROM t",
+        ),
+        # json.rs:299 — ::jsonb->>'key'
+        (
+            "SELECT string_col::jsonb->>'age' FROM t",
+            "SELECT get_json_object(string_col, '$.age') FROM t",
+        ),
+        # json.rs:304 — bare ::json / ::jsonb casts are identity
+        (
+            "SELECT a::json, b::jsonb FROM t",
+            "SELECT a, b FROM t",
+        ),
+        # -> chains collapse into one JSON path
+        (
+            "SELECT x::json->'a'->'b'->>'c' FROM t",
+            "SELECT get_json_object(x, '$.a.b.c') FROM t",
+        ),
+        # integer keys are array steps (need an explicit ::json cast)
+        (
+            "SELECT x::json->>1 FROM t",
+            "SELECT get_json_object(x, '$[1]') FROM t",
+        ),
+        # chain without a cast still rewrites on string keys
+        (
+            "SELECT props->>'k' FROM events",
+            "SELECT get_json_object(props, '$.k') FROM events",
+        ),
+        # qualified names survive
+        (
+            "SELECT t.props::json->>'k' FROM events t",
+            "SELECT get_json_object(t.props, '$.k') FROM events t",
+        ),
+        # parenthesized base + outer pg cast
+        (
+            "SELECT (props::json->>'k')::int8 FROM t",
+            "SELECT CAST((get_json_object(props, '$.k')) AS BIGINT) FROM t",
+        ),
+        # pg type names map to Spark types
+        (
+            "SELECT a::int4, b::float8, c::text FROM t",
+            "SELECT CAST(a AS INT), CAST(b AS DOUBLE), CAST(c AS STRING) FROM t",
+        ),
+        (
+            "SELECT a::numeric(10,2), b::double precision FROM t",
+            "SELECT CAST(a AS DECIMAL(10,2)), CAST(b AS DOUBLE) FROM t",
+        ),
+        (
+            "SELECT c::varchar(20) FROM t",
+            "SELECT CAST(c AS STRING) FROM t",
+        ),
+        # cast binds to the function call, not just ')'
+        (
+            "SELECT f(x)::int8 FROM t",
+            "SELECT CAST(f(x) AS BIGINT) FROM t",
+        ),
+        # non-identifier keys use bracket syntax
+        (
+            "SELECT x->>'two words' FROM t",
+            "SELECT get_json_object(x, '$[\\'two words\\']') FROM t".replace(
+                "\\'", "'"
+            ),
+        ),
+    ],
+)
+def test_rewrites(src, expected):
+    assert rewrite_pg(src) == expected
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        # Spark lambdas use -> with identifier params/bodies — untouched
+        "SELECT transform(array(1,2), x -> x + 1)",
+        "SELECT aggregate(xs, 0, (acc, x) -> acc + x) FROM t",
+        "SELECT filter(xs, x -> x > 0) FROM t",
+        # integer after -> without a ::json cast could be a lambda body
+        "SELECT transform(xs, x -> 1) FROM t",
+        # no dialect markers at all → returned as-is
+        "SELECT 1 + 2",
+        "SELECT * FROM t WHERE a > 5 ORDER BY b",
+    ],
+)
+def test_untouched(src):
+    assert rewrite_pg(src) == src
+
+
+def test_no_rewrites_inside_string_literals():
+    out = rewrite_pg("SELECT 'a::json->>b' AS s, x::int4 FROM t")
+    assert out == "SELECT 'a::json->>b' AS s, CAST(x AS INT) FROM t"
+
+
+def test_no_rewrites_inside_comments():
+    src = "SELECT x::int8 FROM t -- cast a::json->>'k' here\n"
+    out = rewrite_pg(src)
+    assert "-- cast a::json->>'k' here" in out
+    assert out.startswith("SELECT CAST(x AS BIGINT) FROM t")
+
+
+def test_quoted_identifiers_untouched():
+    out = rewrite_pg('SELECT "weird::col"::int4 FROM t')
+    assert out == 'SELECT CAST("weird::col" AS INT) FROM t'
+
+
+# ------------------------------------------------------------------ #
+# End-to-end through Engine.sql
+# ------------------------------------------------------------------ #
+
+
+def test_engine_runs_reference_dialect(engine, spark):
+    spark.createDataFrame(
+        [('{"name": "joe", "age": 12}',)], ["string_col"]
+    ).createOrReplaceTempView("json_table")
+    rows = engine.sql(
+        "SELECT string_col::json->>'name' AS name, "
+        "(string_col::jsonb->>'age')::int4 AS age FROM json_table"
+    ).collect()
+    assert rows[0].name == "joe"
+    assert rows[0].age == 12
+
+
+def test_engine_dialect_chain_and_array_index(engine):
+    row = engine.sql(
+        "SELECT '{\"a\":{\"c\":7}}'::json->'a'->>'c' AS nested, "
+        "'[10,20,30]'::json->>1 AS second"
+    ).collect()[0]
+    assert row.nested == "7"
+    assert row.second == "20"
+
+
+def test_engine_prepare_applies_shim(engine, spark):
+    spark.createDataFrame(
+        [('{"k": 5}',), ('{"k": 99}',)], ["props"]
+    ).createOrReplaceTempView("dialect_prep")
+    engine.prepare(
+        "pgq", "SELECT (props::json->>'k')::int8 AS k FROM dialect_prep"
+    )
+    vals = sorted(r.k for r in engine.execute("pgq").collect())
+    assert vals == [5, 99]
+    engine.deallocate("pgq")
+
+
+def test_engine_lambda_still_works(engine):
+    row = engine.sql(
+        "SELECT transform(array(1,2,3), x -> x * 2) AS doubled"
+    ).collect()[0]
+    assert row.doubled == [2, 4, 6]
