@@ -34,6 +34,31 @@ from pg_analytics_spark.functions.hashing import (
 from pg_analytics_spark.functions.text import char_shingles, fingerprint, tokens
 from pg_analytics_spark.functions.vectors import cosine_similarity
 
+# Sketch relations persisted by the pair-producing operators below.
+# Persisting is load-bearing (each feeds both sides of a self-join and
+# the verify joins — without it Spark recomputes the sketch subtree per
+# consumer), but a long-lived session accumulating MEMORY_AND_DISK
+# entries across many calls needs a release valve: call
+# :func:`release_sketch_caches` once the returned plan has been consumed.
+_SKETCH_CACHES: list[DataFrame] = []
+
+
+def _persist_sketch(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SKETCH_CACHES.append(df)
+    return df
+
+
+def release_sketch_caches() -> int:
+    """Unpersist every sketch relation cached by minhash/simhash/LSH
+    pair operators in this session.  Returns the number released.
+    Safe to call at any time — consumed plans simply recompute if
+    re-executed later."""
+    n = len(_SKETCH_CACHES)
+    while _SKETCH_CACHES:
+        _SKETCH_CACHES.pop().unpersist()
+    return n
+
 
 def _estimated_scan_partitions(df: DataFrame) -> int:
     """Estimate the scan's partition count from file metadata.
@@ -125,6 +150,12 @@ def minhash_lsh_pairs(
     volume is the whole game — pick k against the corpus' background
     similarity, not by convention.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): trailing signature hashes would be silently "
+            "ignored by the banding"
+        )
     rows_per_band = num_hashes // bands
     sh = _spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
@@ -138,17 +169,21 @@ def minhash_lsh_pairs(
     # is the canonical Spark pattern for sketch reuse — at 100 TB the
     # shingle relation is ~the corpus size, exactly what MEMORY_AND_DISK
     # is for.  Spark's cache manager dedupes identical plans, so
-    # repeated calls share one entry.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # repeated calls share one entry; release_sketch_caches() frees them.
+    sh = _persist_sketch(sh)
     # Banding rows are narrow (id, band, hash) — the shingle arrays are
     # re-joined only for the (small) verified candidate set, so the
     # self-join shuffles longs+hashes, not 500-element string arrays.
-    banded = sh.select(
-        "_id",
-        F.explode(
-            band_hashes(minhash_signature("_sh", num_hashes), bands, rows_per_band)
-        ).alias("_bh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _persist_sketch(
+        sh.select(
+            "_id",
+            F.explode(
+                band_hashes(
+                    minhash_signature("_sh", num_hashes), bands, rows_per_band
+                )
+            ).alias("_bh"),
+        )
+    )
     cand = (
         banded.select(F.col("_id").alias("id_a"), "_bh")
         .join(banded.select(F.col("_id").alias("id_b"), "_bh"), on="_bh")
@@ -236,10 +271,8 @@ def simhash_pairs(
     # Persisted because both sides of the candidate self-join read it;
     # without persist the whole hash subtree executes twice.  The
     # relation is tiny ((id, hash) per doc) at any corpus size.
-    h = (
-        simhash64_agg(toks, "_id", "_tk")
-        .withColumnRenamed("simhash", "_h")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    h = _persist_sketch(
+        simhash64_agg(toks, "_id", "_tk").withColumnRenamed("simhash", "_h")
     )
     subkeys = F.array(
         *[
@@ -287,6 +320,77 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH banding — the scale
+    tier of :func:`embedding_neardup_pairs`.
+
+    ``bands × bits_per_band`` seeded Gaussian hyperplanes
+    (similarity.hyperplanes) give each vector one sign-bit key per
+    band; candidate pairs agree on ALL bits of at least one band
+    (equi-join on (band, key) — shuffle volume is ``bands`` narrow rows
+    per vector, never |corpus|²), then candidates are verified with
+    exact cosine ≥ threshold.  Approximate in RECALL only (a true pair
+    may bucket apart — P[band agree] = (1-θ/π)^bits per band); every
+    emitted pair is exactly verified.  Recall rises with ``bands``,
+    candidate volume falls with ``bits_per_band``.
+
+    At 100 TB: the banded relation is (id, band, key) longs; the
+    vectors themselves are re-joined only for the candidate set.
+    Output: (id_a, id_b, cosine) with id_a < id_b, rounded to 6 —
+    identical shape to the all-pairs verifier.
+    """
+    from pg_analytics_spark.operators.similarity import (
+        hyperplanes,
+        signature_col,
+    )
+
+    planes = hyperplanes(dim, bands * bits_per_band, seed)
+    e = _persist_sketch(
+        _spread(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        )
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                signature_col(
+                    "_v", planes[b * bits_per_band : (b + 1) * bits_per_band]
+                ).alias("k"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = _persist_sketch(
+        e.select("_id", F.explode(band_keys).alias("_bk"))
+    )
+    cand = (
+        banded.select(F.col("_id").alias("id_a"), "_bk")
+        .join(banded.select(F.col("_id").alias("id_b"), "_bk"), on="_bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    cos = F.round(cosine_similarity("va", "vb"), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def neardup_clusters(
     nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -322,7 +426,9 @@ def neardup_clusters(
     labels = ids.select("_u", F.col("_u").alias("_lbl")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    iteration = 0
     while True:
+        iteration += 1
         neighbor_min = (
             edges.join(labels, edges._v == labels._u)
             .groupBy(edges._u.alias("_u"))
@@ -336,6 +442,16 @@ def neardup_clusters(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if iteration % 5 == 0:
+            # Persist keeps each iteration's DATA from recomputing, but
+            # the logical plan still grows one join per iteration —
+            # planning time and lineage-recovery depth degrade on
+            # high-diameter components.  localCheckpoint truncates the
+            # lineage to the materialized blocks every 5 iterations, so
+            # plan depth stays O(5) regardless of diameter.
+            cp = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = cp
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "_u")

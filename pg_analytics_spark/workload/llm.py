@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pg_analytics_spark.operators.dedup import (
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -214,6 +215,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.9
+    )
+
+
+def _lsh_band_sql(col: str, band: int, bits: int = 8, n_planes: int = 32) -> str:
+    """Band ``band``'s sign-bit key over dim-64 vectors — planes
+    [band*bits, (band+1)*bits) of similarity.hyperplanes(64, n_planes,
+    seed=42), bit p of the band = sign of dot with plane band*bits+p,
+    folded sequentially exactly like Spark's F.aggregate."""
+    from pg_analytics_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes, 42)[band * bits : (band + 1) * bits]
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+        dot = (
+            f"list_sum([x[1]::DOUBLE * x[2] for x in "
+            f"list_zip({col}, {lit})])"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_EMB_COS_AB = (
+    "ROUND(list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in "
+    "list_zip(ea.embedding, eb.embedding)]) / "
+    "(sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in ea.embedding])) * "
+    "sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in eb.embedding]))), 6)"
+)
+
+
+def _emb_lsh_oracle() -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS b, {_lsh_band_sql('embedding', b)} AS k "
+        "FROM embeddings"
+        for b in range(4)
+    )
+    return f"""
+    WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM banded a JOIN banded c ON a.b = c.b AND a.k = c.k
+                                  AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, {_EMB_COS_AB} AS cosine
+    FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+              JOIN embeddings eb ON eb.vec_id = cand.id_b
+    WHERE {_EMB_COS_AB} >= 0.4
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_emb_lsh_oracle(),
+    doc="Embedding near-dup pairs via hyperplane-LSH banding (4 bands × "
+    "8 sign bits, seeded planes) + exact cosine verify — the 100 TB "
+    "tier of dedup_embedding_cosine: the (band, key) equi-join shuffles "
+    "4 narrow rows per vector, never |corpus|² pairs.  Threshold 0.4 "
+    "because the synthetic embeddings are near-random (max pairwise "
+    "cosine ≈ 0.51) — 0.9 would be trivially empty; 0.4 exercises "
+    "bucketing AND verification with a non-empty result.  The oracle "
+    "replicates the literal planes and sequential folds, so the "
+    "approximate path is value-checked, not rows-only.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs_lsh(
+        table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        dim=64,
+        threshold=0.4,
     )
 
 

@@ -197,3 +197,62 @@ def test_edit_distance_pairs_verify_modes_agree(spark):
         ).collect()
     }
     assert inline == via_ids and inline
+
+
+def test_embedding_lsh_pairs_subset_of_exact_and_no_crossjoin(spark):
+    from pg_analytics_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            emb, "embedding", "vec_id", threshold=0.3
+        ).collect()
+    }
+    lsh = embedding_neardup_pairs_lsh(
+        emb, "embedding", "vec_id", dim=64, threshold=0.3
+    )
+    # the scale path must be a bucket equi-join, never a cartesian product
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b): r.cosine for r in lsh.collect()}
+    # every LSH pair is exactly verified → must appear in the exact set
+    # with the identical cosine (subset: recall < 1 by design)
+    for pair, cos in got.items():
+        assert exact[pair] == cos
+    assert len(got) > 0
+
+
+def test_minhash_rejects_indivisible_banding(docs_with_dups):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(
+            docs_with_dups, "text", "doc_id", num_hashes=10, bands=4
+        )
+
+
+def test_release_sketch_caches(docs_with_dups):
+    from pg_analytics_spark.operators.dedup import release_sketch_caches
+
+    release_sketch_caches()  # drain anything earlier tests left behind
+    minhash_lsh_pairs(docs_with_dups, "text", "doc_id").collect()
+    assert release_sketch_caches() >= 2  # shingle + banded relations
+    assert release_sketch_caches() == 0
+
+
+def test_neardup_clusters_chain_component(spark):
+    """A 16-node chain (diameter 15) exercises the localCheckpoint path
+    (lineage truncation every 5 iterations) and min-label convergence."""
+    from pg_analytics_spark.operators.dedup import neardup_clusters
+
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = neardup_clusters(nodes, chain, "doc_id").collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 for r in out)
