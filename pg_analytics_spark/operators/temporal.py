@@ -64,27 +64,41 @@ def asof_join(
     `tolerance_seconds` additionally voids matches older than
     left_ts - tolerance (pandas merge_asof-style), keeping the left row
     with NULLs.
+
+    All right payload columns (plus the matched right_ts) travel as ONE
+    struct carried by a single last(ignorenulls=True) — per-column
+    carries would silently substitute an OLDER right row's value
+    wherever the matched row holds a genuine NULL, mixing columns
+    across rows and diverging from ASOF JOIN semantics.
     """
+    from pyspark.sql.types import StructField, StructType
+
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on]
-    carried = [f"_r_{c}" for c in right_cols]
 
+    l_struct_t = StructType(
+        [StructField(c, left.schema[c].dataType) for c in left.columns]
+    )
+    r_struct_t = StructType(
+        [StructField("_mts", right.schema[right_ts].dataType)]
+        + [StructField(f"_r_{c}", right.schema[c].dataType) for c in right_cols]
+    )
     l_marked = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(rc)
-            for c, rc in zip(right_cols, carried)
-        ],
+        F.lit(None).cast(r_struct_t).alias("_rrow"),
     )
     r_marked = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(l_marked.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+        F.lit(None).cast(l_struct_t).alias("_lrow"),
+        F.struct(
+            F.col(right_ts).alias("_mts"),
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        ).alias("_rrow"),
     )
     # marker orders right (0) before left (1) at equal ts → "<=" match.
     w = (
@@ -99,30 +113,24 @@ def asof_join(
             "_ts",
             "_is_left",
             "_lrow",
-            F.last(
-                F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
-            )
-            .over(w)
-            .alias("_match_ts"),
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+            F.last("_rrow", ignorenulls=True).over(w).alias("_rpick"),
         )
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
-        stale = F.col("_match_ts").isNull() | (
-            _us("_ts") - _us("_match_ts") > F.lit(tol_us)
+        stale = F.col("_rpick").isNull() | (
+            _us("_ts") - _us(F.col("_rpick._mts")) > F.lit(tol_us)
         )
         picked = picked.select(
             "_lrow",
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
-                for c in carried
-            ],
+            F.when(stale, F.lit(None).cast(r_struct_t))
+            .otherwise(F.col("_rpick"))
+            .alias("_rpick"),
         )
     return picked.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(rc).alias(c) for c, rc in zip(right_cols, carried)],
+        *[F.col(f"_rpick._r_{c}").alias(c) for c in right_cols],
     )
 
 

@@ -16,15 +16,26 @@ reader (options not natively expressible are emulated or warn+ignore):
 | dateformat           | dateFormat                                       |
 | timestampformat      | timestampFormat                                  |
 | sample_size          | samplingRatio (approximated) for inference       |
-| skip                 | skipRows emulation via comment/filter (warn)     |
-| max_line_size        | maxCharsPerColumn                                |
+| skip                 | SINGLE file only: deterministic text pre-pass    |
+|                      | (zipWithIndex line numbers) drops N physical     |
+|                      | lines before the header; >1 file → raises        |
+|                      | UnsupportedFormat (per-file line skipping is     |
+|                      | not expressible across a multi-file scan)        |
+| max_line_size        | maxCharsPerColumn (approx.: DuckDB bounds the    |
+|                      | LINE, Spark bounds each COLUMN — both reject     |
+|                      | runaway unquoted fields, the option's purpose)   |
 | new_line             | lineSep                                          |
 | ignore_errors        | mode=DROPMALFORMED                               |
 | all_varchar          | inferSchema=false (all string)                   |
 | auto_detect          | inferSchema                                      |
+| auto_type_candidates | post-inference: columns whose inferred type is   |
+|                      | outside the candidate set fall back to VARCHAR   |
+|                      | (always a candidate in DuckDB, csv.rs:44-48)     |
 | normalize_names      | lowercase + [^a-z0-9_]→_ rename                  |
 | null_padding         | Spark pads missing trailing columns natively     |
-| parallel             | always parallel in Spark (no-op)                 |
+| parallel             | accepted no-op (Spark reads are always           |
+|                      | parallel); parallel=false warns — single-        |
+|                      | threaded reads are not expressible               |
 | decimal_separator    | locale-dependent — warn unless '.'               |
 | allow_quoted_nulls   | emulated post-read (quoted empty → null off)     |
 | force_not_null       | post-read coalesce('')                           |
@@ -101,20 +112,71 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     if _truthy(opts.get("ignore_errors")):
         reader_opts["mode"] = "DROPMALFORMED"
 
-    if "skip" in opts:
-        # Spark 4 CSV has no skipRows; DuckDB skips N physical lines.
-        fallback_warning("csv skip=N emulated by dropping first N rows of first file")
+    if "parallel" in opts and not _truthy(opts.get("parallel", True)):
+        fallback_warning(
+            "csv parallel=false ignored: Spark reads are always parallel"
+        )
 
     if opts.get("decimal_separator", ".") != ".":
         fallback_warning("csv decimal_separator other than '.' not supported; ignored")
 
     reader = spark.read.options(**reader_opts)
-    df = reader.csv(files, schema=schema_ddl)
+    skip_n = int(opts.get("skip", 0))
+    if skip_n > 0:
+        # DuckDB's skip=N drops N PHYSICAL lines before the header.
+        # Spark 4 CSV has no skipRows, and DataFrame offset() is order-
+        # nondeterministic across files/partitions — so: exactly one
+        # file, read as text, exact line numbers via zipWithIndex
+        # (contiguous indices in partition order = file-offset order for
+        # a single file), drop the first N, parse the remainder.
+        import glob as _g
 
-    if "skip" in opts:
-        n = int(opts["skip"])
-        if n > 0:
-            df = df.offset(n)
+        real: list[str] = []
+        for pat in files:
+            real.extend(sorted(_g.glob(pat)) or [pat])
+        if len(real) != 1:
+            from pg_analytics_spark.errors import UnsupportedFormat
+
+            raise UnsupportedFormat(
+                "csv skip=N supports exactly one input file (physical "
+                f"line skipping is per-file); got {len(real)} files"
+            )
+        body = (
+            spark.read.text(real[0])
+            .rdd.zipWithIndex()
+            .filter(lambda t: t[1] >= skip_n)
+            .map(lambda t: t[0].value)
+        )
+        df = reader.csv(body, schema=schema_ddl)
+    else:
+        df = reader.csv(files, schema=schema_ddl)
+
+    candidates = opts.get("auto_type_candidates")
+    if candidates:
+        # DuckDB restricts which types inference may PRODUCE (VARCHAR is
+        # always allowed, csv.rs:44-48).  Spark's inference can't be
+        # restricted, so emulate post-hoc: keep columns whose inferred
+        # type is a candidate; widen integrals/fractionals to a same-
+        # family candidate when one exists; otherwise fall back VARCHAR.
+        from pg_analytics_spark.types import duckdb_type_to_spark
+
+        allowed = {
+            duckdb_type_to_spark(str(t)).simpleString() for t in candidates
+        } | {"string"}
+        _int_rank = ["tinyint", "smallint", "int", "bigint"]
+        _frac_rank = ["float", "double"]
+
+        def _widen(typ: str) -> str:
+            for rank in (_int_rank, _frac_rank):
+                if typ in rank:
+                    for wider in rank[rank.index(typ):]:
+                        if wider in allowed:
+                            return wider
+            return "string"
+
+        for name, typ in df.dtypes:
+            if typ not in allowed:
+                df = df.withColumn(name, F.col(name).cast(_widen(typ)))
 
     names = opts.get("names")
     if names:

@@ -97,33 +97,47 @@ def _replay_log(
 ) -> tuple[dict[str, dict], dict | None]:
     """Replay checkpoint + JSON commits → (active add-actions by path,
     latest metaData action).  ``version`` replays only commits ≤ that
-    version (time travel, delta-spark's versionAsOf); a checkpoint
-    beyond the requested version is skipped and the JSON commits are
-    replayed from 0 instead.
+    version (time travel, delta-spark's versionAsOf), based on the
+    NEWEST checkpoint at or before the requested version — early
+    commits may have been cleaned up after checkpointing, so replaying
+    from 0 would silently drop files.  Commits from the replay base to
+    the requested version must be contiguous or the travel fails
+    loudly.
     """
     start_version = -1
     active: dict[str, dict] = {}
     meta: dict | None = None
 
-    last_cp = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(last_cp) and version is None:
-        with open(last_cp) as fh:
-            cp = json.load(fh)
-        cp_version = int(cp["version"])
-        parts = cp.get("parts")
-        names = (
-            [f"{cp_version:020d}.checkpoint.parquet"]
-            if not parts
-            else [
-                f"{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
-                for i in range(parts)
+    cp_paths: list[str] = []
+    if version is None:
+        last_cp = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.exists(last_cp):
+            with open(last_cp) as fh:
+                cp = json.load(fh)
+            cp_version = int(cp["version"])
+            parts = cp.get("parts")
+            cp_paths = [
+                os.path.join(log_dir, name)
+                for name in (
+                    [f"{cp_version:020d}.checkpoint.parquet"]
+                    if not parts
+                    else [
+                        f"{cp_version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                        for i in range(parts)
+                    ]
+                )
             ]
-        )
-        for name in names:
-            a, m = _read_checkpoint(os.path.join(log_dir, name))
-            active.update(a)
-            meta = m or meta
-        start_version = cp_version
+            start_version = cp_version
+    else:
+        checkpoints = _list_checkpoints(log_dir)
+        usable = [v for v in checkpoints if v <= version]
+        if usable:
+            start_version = max(usable)
+            cp_paths = checkpoints[start_version]
+    for cp_path in cp_paths:
+        a, m = _read_checkpoint(cp_path)
+        active.update(a)
+        meta = m or meta
 
     commits = sorted(
         f for f in os.listdir(log_dir)
@@ -132,10 +146,15 @@ def _replay_log(
         and (version is None or int(f[:20]) <= version)
     )
     if version is not None:
-        available = {int(f[:20]) for f in commits}
-        if not available or max(available) < version:
+        have = {int(f[:20]) for f in commits}
+        need = set(range(start_version + 1, version + 1))
+        missing = need - have
+        if missing:
             raise MissingDependency(
-                f"Delta version {version} not present in {log_dir}"
+                f"Delta time travel to version {version} incomplete: "
+                f"commit version(s) {sorted(missing)} missing from "
+                f"{log_dir} (log cleaned up?); replay base is "
+                f"{'checkpoint ' + str(start_version) if start_version >= 0 else 'version 0'}"
             )
     for name in commits:
         with open(os.path.join(log_dir, name)) as fh:
@@ -158,6 +177,23 @@ def _replay_log(
     return active, meta
 
 
+def _list_checkpoints(log_dir: str) -> dict[int, list[str]]:
+    """All checkpoint versions present on disk → their file paths
+    (single-file and multi-part forms), independent of _last_checkpoint
+    — time travel needs older checkpoints the pointer no longer names."""
+    import re
+
+    out: dict[int, list[str]] = {}
+    pat = re.compile(r"^(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet$")
+    for f in os.listdir(log_dir):
+        m = pat.match(f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(os.path.join(log_dir, f))
+    for v in out:
+        out[v].sort()
+    return out
+
+
 def _read_checkpoint(path: str) -> tuple[dict[str, dict], dict | None]:
     import pyarrow.parquet as pq
 
@@ -170,6 +206,9 @@ def _read_checkpoint(path: str) -> tuple[dict[str, dict], dict | None]:
         if add and add.get("path"):
             if add.get("deletionVector"):
                 raise MissingDependency("Delta deletion vectors need delta-spark")
+            pv = add.get("partitionValues")
+            if isinstance(pv, list):  # pyarrow renders map<k,v> as pairs
+                add["partitionValues"] = dict(pv)
             active[add["path"]] = add
         md = row.get("metaData")
         if md and md.get("id"):

@@ -597,3 +597,183 @@ def test_hf_url_mapping():
     )
     with pytest.raises(ValueError):
         hf_to_https("hf://justorg/file")
+
+
+def test_delta_time_travel_uses_checkpoint_base(spark, tmp_path):
+    """After checkpointing + log cleanup (early commits deleted), time
+    travel to a checkpointed version must replay from the newest
+    checkpoint <= version; travel to a vacuumed version fails loudly
+    instead of returning a silently incomplete file set (ADVICE r1)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.errors import MissingDependency
+
+    root = str(tmp_path / "dlcp")
+    _write_delta_fixture(spark, root)
+    log = f"{root}/_delta_log"
+    with open(f"{log}/{0:020d}.json") as fh:
+        meta = _json.loads(fh.readlines()[1])["metaData"]
+
+    def _add(path):
+        # real checkpoints type partitionValues as map<string,string>
+        return {
+            "path": path,
+            "partitionValues": None,
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    rows = [
+        {"add": _add("part-0.parquet"), "metaData": None},
+        {"add": _add("part-2.parquet"), "metaData": None},
+        {"add": None, "metaData": meta},
+    ]
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ]
+    )
+    rows = [
+        {
+            "add": r["add"],
+            "metaData": None
+            if r["metaData"] is None
+            else {k: meta[k] for k in ("id", "schemaString", "partitionColumns")},
+        }
+        for r in rows
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows, schema=pa.schema([("add", add_t), ("metaData", meta_t)])
+        ),
+        f"{log}/{1:020d}.checkpoint.parquet",
+    )
+    with open(f"{log}/_last_checkpoint", "w") as fh:
+        fh.write(_json.dumps({"version": 1}))
+    # log cleanup: commits at or before the checkpoint are gone
+    _os.remove(f"{log}/{0:020d}.json")
+    _os.remove(f"{log}/{1:020d}.json")
+
+    v1 = load_source(spark, root, "delta", {"version_as_of": 1})
+    assert sorted(r["id"] for r in v1.collect()) == [0, 1, 2, 3, 4, 8, 9]
+    latest = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in latest.collect()) == [0, 1, 2, 3, 4, 8, 9]
+    with pytest.raises(MissingDependency, match="incomplete"):
+        load_source(spark, root, "delta", {"version_as_of": 0})
+
+
+# ------------------------------------------------------------------ #
+# CSV option long-tail: skip / parallel / auto_type_candidates /
+# max_line_size / force_not_null (reference csv.rs:26-104)
+# ------------------------------------------------------------------ #
+
+
+def test_csv_skip_drops_physical_lines_before_header(spark, tmp_path):
+    p = tmp_path / "skippy.csv"
+    p.write_text(
+        "junk preamble line 1\n"
+        "junk preamble line 2\n"
+        "id,name\n"
+        "1,alice\n"
+        "2,bob\n"
+    )
+    df = load_source(
+        spark, str(p), "csv", {"skip": 2, "header": True, "auto_detect": True}
+    )
+    assert df.columns == ["id", "name"]
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_csv_skip_rejects_multiple_files(spark, tmp_path):
+    from pg_analytics_spark.errors import UnsupportedFormat
+
+    for i in (1, 2):
+        (tmp_path / f"f{i}.csv").write_text("id\n1\n")
+    with pytest.raises(UnsupportedFormat, match="exactly one"):
+        load_source(
+            spark,
+            [str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")],
+            "csv",
+            {"skip": 1},
+        )
+
+
+def test_csv_parallel_accepted_noop(spark, csv_dir, caplog):
+    # parallel=true: accepted silently (Spark is always parallel);
+    # parallel=false: logged fallback warning, read still succeeds
+    import logging
+
+    df = load_source(
+        spark, f"{csv_dir}/people.csv", "csv",
+        {"delim": ";", "parallel": True},
+    )
+    assert df.count() == 3
+    with caplog.at_level(logging.WARNING, logger="pg_analytics_spark"):
+        df = load_source(
+            spark, f"{csv_dir}/people.csv", "csv",
+            {"delim": ";", "parallel": False},
+        )
+    assert any("parallel" in r.message for r in caplog.records)
+    assert df.count() == 3
+
+
+def test_csv_auto_type_candidates_restricts_inference(spark, csv_dir):
+    # score would infer as double; double is not a candidate → VARCHAR
+    df = load_source(
+        spark, f"{csv_dir}/people.csv", "csv",
+        {
+            "delim": ";",
+            "auto_detect": True,
+            "auto_type_candidates": ["BIGINT", "DATE"],
+        },
+    )
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint"  # candidate type kept
+    assert types["score"] == "string"  # non-candidate fell back
+    assert types["joined"] == "date"
+
+
+def test_csv_max_line_size_maps_to_max_chars(spark, tmp_path):
+    p = tmp_path / "long.csv"
+    p.write_text("id,blob\n1," + "x" * 100 + "\n")
+    # generous bound reads fine
+    df = load_source(
+        spark, str(p), "csv", {"max_line_size": 4096, "auto_detect": True}
+    )
+    assert df.count() == 1
+    # bound smaller than the field errors loudly — DuckDB's max_line_size
+    # default behavior is also an error on over-long lines
+    df = load_source(
+        spark, str(p), "csv", {"max_line_size": 10, "auto_detect": False}
+    )
+    with pytest.raises(Exception, match="(?i)malformed|exceeds|read"):
+        # collect, not count: CSV count() short-circuits field parsing
+        df.collect()
+
+
+def test_csv_force_not_null_coalesces_empty(spark, tmp_path):
+    p = tmp_path / "nulls.csv"
+    p.write_text("id,note\n1,\n2,hello\n")
+    df = load_source(
+        spark, str(p), "csv",
+        {"auto_detect": False, "force_not_null": ["note"]},
+    )
+    vals = {r["id"]: r["note"] for r in df.collect()}
+    assert vals["1"] == ""  # forced to empty string, not NULL
+    assert vals["2"] == "hello"

@@ -100,3 +100,21 @@ def test_range_join_spans_bucket_boundary(spark):
         lower_seconds=-120.0, upper_seconds=0.0, how="inner",
     ).collect()
     assert [(r["lid"], r["_match_rid"]) for r in out] == [(1, 10)]
+
+
+def test_asof_null_payload_not_backfilled_from_older_row(spark):
+    """The matched right row's genuine NULLs must survive: per-column
+    last(ignorenulls) carries would substitute the older row's value
+    (ADVICE r1) — the struct carry keeps all columns from one row."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([("k", t(10))], ["key", "lts"])
+    right = spark.createDataFrame(
+        [("k", t(1), "old_a", "old_b"), ("k", t(5), None, "new_b")],
+        ["key", "rts", "a", "b"],
+    )
+    row = asof_join(left, right, "key", "lts", "rts").collect()[0]
+    # matched row is t(5): a is genuinely NULL there, not 'old_a'
+    assert row.b == "new_b"
+    assert row.a is None
