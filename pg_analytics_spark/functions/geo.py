@@ -14,6 +14,9 @@ the cosine-similarity operators.
 
 from __future__ import annotations
 
+import struct as _struct
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -44,3 +47,129 @@ def in_bbox(lat, lon, south: float, west: float, north: float, east: float) -> C
         & (_c(lon) >= F.lit(west))
         & (_c(lon) <= F.lit(east))
     )
+
+
+# ------------------------------------------------------------------ #
+# WKT (text geometry) — codegen-only parse/construct
+# ------------------------------------------------------------------ #
+
+_NUM_RE = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+
+
+def wkt_point(lon, lat) -> Column:
+    """``POINT (lon lat)`` WKT from coordinate columns — string CAST so
+    the text matches the oracle engine's double→VARCHAR rendering."""
+    return F.concat(
+        F.lit("POINT ("),
+        _c(lon).cast("string"),
+        F.lit(" "),
+        _c(lat).cast("string"),
+        F.lit(")"),
+    )
+
+
+def wkt_numbers(wkt) -> Column:
+    """All numeric tokens of a WKT geometry in order, as array<double>.
+    Coordinates alternate x(lon), y(lat) for 2-D geometries of any type
+    (POINT/LINESTRING/POLYGON/MULTI*)."""
+    return F.transform(
+        F.regexp_extract_all(_c(wkt), F.lit(_NUM_RE), F.lit(0)),
+        lambda v: v.cast("double"),
+    )
+
+
+def wkt_envelope(wkt) -> Column:
+    """Bounding box struct (minx, miny, maxx, maxy) of any 2-D WKT
+    geometry — pure codegen (regexp + array HOFs), no geo library."""
+    nums = wkt_numbers(wkt)
+    xs = F.filter(nums, lambda v, i: i % 2 == F.lit(0))
+    ys = F.filter(nums, lambda v, i: i % 2 == F.lit(1))
+    return F.struct(
+        F.array_min(xs).alias("minx"),
+        F.array_min(ys).alias("miny"),
+        F.array_max(xs).alias("maxx"),
+        F.array_max(ys).alias("maxy"),
+    )
+
+
+def envelope_intersects(
+    env: Column, minx: float, miny: float, maxx: float, maxy: float
+) -> Column:
+    """Envelope-overlap predicate — GDAL's spatial_filter_box semantics
+    (bbox intersection prefilter, st_read docs)."""
+    return (
+        (env["minx"] <= F.lit(maxx))
+        & (env["maxx"] >= F.lit(minx))
+        & (env["miny"] <= F.lit(maxy))
+        & (env["maxy"] >= F.lit(miny))
+    )
+
+
+def geojson_envelope(geometry) -> Column:
+    """Bounding box of a GeoJSON geometry STRUCT column (as read by
+    sources/spatial.py): flattens the coordinates array to numeric
+    tokens — x,y alternate at every nesting depth for 2-D geometries."""
+    g = _c(geometry)
+    nums = F.transform(
+        F.regexp_extract_all(
+            F.to_json(g.getField("coordinates")), F.lit(_NUM_RE), F.lit(0)
+        ),
+        lambda v: v.cast("double"),
+    )
+    xs = F.filter(nums, lambda v, i: i % 2 == F.lit(0))
+    ys = F.filter(nums, lambda v, i: i % 2 == F.lit(1))
+    return F.struct(
+        F.array_min(xs).alias("minx"),
+        F.array_min(ys).alias("miny"),
+        F.array_max(xs).alias("maxx"),
+        F.array_max(ys).alias("maxy"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# WKB (binary geometry) — Arrow-batched decode/encode (Spark has no
+# IEEE-754 reinterpret builtin, so binary geometry is the one geo path
+# that needs Python; pandas UDFs keep it vectorized)
+# ------------------------------------------------------------------ #
+
+
+def wkb_point_xy(wkb) -> Column:
+    """Decode WKB POINT → struct(lon, lat).  Honors the per-value
+    byte-order flag; raises on non-point geometry types."""
+
+    @F.pandas_udf("struct<lon:double,lat:double>")
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        lons, lats = [], []
+        for b in s:
+            if b is None:
+                lons.append(None)
+                lats.append(None)
+                continue
+            order = "<" if b[0] == 1 else ">"
+            (gtype,) = _struct.unpack_from(order + "I", b, 1)
+            if gtype & 0xFF != 1:
+                raise ValueError(f"WKB geometry type {gtype} is not a POINT")
+            x, y = _struct.unpack_from(order + "dd", b, 5)
+            lons.append(x)
+            lats.append(y)
+        return pd.DataFrame({"lon": lons, "lat": lats})
+
+    return _decode(_c(wkb))
+
+
+def to_wkb_point(lon, lat) -> Column:
+    """Encode (lon, lat) → little-endian WKB POINT bytes."""
+
+    @F.pandas_udf("binary")
+    def _encode(x: pd.Series, y: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv in zip(x, y):
+            if xv is None or yv is None:
+                out.append(None)
+            else:
+                out.append(
+                    b"\x01" + _struct.pack("<I", 1) + _struct.pack("<dd", xv, yv)
+                )
+        return pd.Series(out)
+
+    return _encode(_c(lon), _c(lat))

@@ -532,15 +532,20 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FROM customer)
     """,
     doc="Scalar subquery in predicate (SURVEY §2.2; decimal-staged avg so the "
-    "threshold is bit-identical cross-engine).",
+    "threshold is bit-identical cross-engine).  The scalar is a broadcast "
+    "crossJoin on the one-row aggregate — ONE job, no driver collect.",
 )
 def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     avg_bal = c.agg(
-        (F.sum(_dec("c_acctbal", 18, 4)).cast("double") / F.count("*")).alias("a")
-    ).collect()[0][0]
-    return c.filter(F.col("c_acctbal") > avg_bal).select(
-        "c_custkey", "c_name", "c_acctbal"
+        (F.sum(_dec("c_acctbal", 18, 4)).cast("double") / F.count("*")).alias(
+            "_avg_bal"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
     )
 
 
@@ -1218,6 +1223,127 @@ def geo_customers_near_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.filter(F.col("dist_km") <= 2500.0).orderBy("dist_km", "c_custkey")
+
+
+_GEO_NUM_RE = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+
+
+@register(
+    "geo_wkt_roundtrip_bbox",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((c_custkey * 37) % 160) - 80 + 0.5 AS lat,
+             ((c_custkey * 73) % 360) - 180 + 0.5 AS lon
+      FROM customer
+    ), w AS (
+      SELECT c_custkey,
+             'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS wkt
+      FROM pts
+    ), parsed AS (
+      SELECT c_custkey, wkt,
+             regexp_extract_all(wkt, '{_GEO_NUM_RE}')[1]::DOUBLE AS lon2,
+             regexp_extract_all(wkt, '{_GEO_NUM_RE}')[2]::DOUBLE AS lat2
+      FROM w
+    )
+    SELECT c_custkey, wkt, lon2, lat2
+    FROM parsed
+    WHERE lat2 BETWEEN 30.0 AND 70.0 AND lon2 BETWEEN -20.0 AND 40.0
+    """,
+    doc="WKT geometry columns without a geo extension (S6 breadth): "
+    "construct POINT WKT text from coordinates, parse it back via "
+    "regexp numeric-token extraction (functions/geo.wkt_point / "
+    "wkt_numbers — pure codegen), filter by bbox on the PARSED coords. "
+    "Coordinates are *.5 exactly, so double→string→double round-trips "
+    "bit-exact in both engines.",
+)
+def geo_wkt_roundtrip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.functions.geo import wkt_numbers, wkt_point
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 160) - 80 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360) - 180 + 0.5).alias("lon"),
+    )
+    w = pts.select("c_custkey", wkt_point("lon", "lat").alias("wkt"))
+    nums = wkt_numbers("wkt")
+    parsed = w.select(
+        "c_custkey",
+        "wkt",
+        nums.getItem(0).alias("lon2"),
+        nums.getItem(1).alias("lat2"),
+    )
+    return parsed.filter(
+        F.col("lat2").between(30.0, 70.0) & F.col("lon2").between(-20.0, 40.0)
+    )
+
+
+_GEO_HUBS = [
+    ("paris", 48.8566, 2.3522),
+    ("nyc", 40.7128, -74.006),
+    ("tokyo", 35.6762, 139.6503),
+    ("sydney", -33.8688, 151.2093),
+]
+
+
+@register(
+    "geo_nearest_hub",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((c_custkey * 37) % 160) - 80 + 0.5 AS lat,
+             ((c_custkey * 73) % 360) - 180 + 0.5 AS lon
+      FROM customer
+    ), hubs(hub, hlat, hlon) AS (
+      VALUES {", ".join(f"('{h}', {la}, {lo})" for h, la, lo in _GEO_HUBS)}
+    ), d AS (
+      SELECT c_custkey, hub,
+             ROUND(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(hlat - lat) / 2) * sin(radians(hlat - lat) / 2)
+               + cos(radians(lat)) * cos(radians(hlat))
+                 * sin(radians(hlon - lon) / 2) * sin(radians(hlon - lon) / 2)
+             )), 6) AS dist_km
+      FROM pts CROSS JOIN hubs
+    ), ranked AS (
+      SELECT c_custkey, hub, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_km, hub) AS rn
+      FROM d
+    )
+    SELECT c_custkey, hub, dist_km FROM ranked WHERE rn = 1
+    """,
+    doc="Nearest-hub assignment: customers × 4 broadcast hub literals, "
+    "rounded haversine, min per customer via ROW_NUMBER (ties break on "
+    "hub name — deterministic both engines).  The 100 TB shape: tiny "
+    "dim broadcast, NO shuffle for the distance compute; the only "
+    "shuffle is the per-customer window.",
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pg_analytics_spark.functions.geo import haversine_km
+
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 160) - 80 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 73) % 360) - 180 + 0.5).alias("lon"),
+    )
+    hubs = F.broadcast(
+        c.sparkSession.createDataFrame(_GEO_HUBS, ["hub", "hlat", "hlon"])
+    )
+    d = pts.crossJoin(hubs).select(
+        "c_custkey",
+        "hub",
+        F.round(haversine_km("lat", "lon", "hlat", "hlon"), 6).alias("dist_km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "hub")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "hub", "dist_km")
+    )
 
 
 @register(

@@ -777,3 +777,102 @@ def test_csv_force_not_null_coalesces_empty(spark, tmp_path):
     vals = {r["id"]: r["note"] for r in df.collect()}
     assert vals["1"] == ""  # forced to empty string, not NULL
     assert vals["2"] == "hello"
+
+
+# ------------------------------------------------------------------ #
+# Spatial S6 breadth: st_read option surface, spatial_filter_box,
+# WKT/WKB column helpers (reference spatial.rs:29-82)
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture(scope="module")
+def geo_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("geo2")
+    p = d / "shapes.geojson"
+    p.write_text(jsonlib.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {"name": "near"}},
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [50.0, 60.0]},
+             "properties": {"name": "far"}},
+            {"type": "Feature",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0.0, 0.0], [4.0, 0.0],
+                                           [4.0, 4.0], [0.0, 4.0],
+                                           [0.0, 0.0]]]},
+             "properties": {"name": "square"}},
+        ],
+    }))
+    return str(p)
+
+
+def test_spatial_filter_box_envelope_intersection(spark, geo_fixture):
+    df = load_source(
+        spark, geo_fixture, "spatial", {"spatial_filter_box": "0,0,5,5"}
+    )
+    names = sorted(r["properties"]["name"] for r in df.collect())
+    # point (1,2) and the polygon envelope intersect; (50,60) filtered
+    assert names == ["near", "square"]
+
+
+def test_spatial_gdal_only_options_rejected(spark, geo_fixture):
+    from pg_analytics_spark.errors import UnsupportedFormat
+
+    for opt in ("layer", "open_options", "allowed_drivers",
+                "sibling_files", "sequential_layer_scan", "spatial_filter"):
+        with pytest.raises(UnsupportedFormat, match=opt):
+            load_source(spark, geo_fixture, "spatial", {opt: "x"})
+
+
+def test_spatial_filter_box_malformed_value(spark, geo_fixture):
+    from pg_analytics_spark.errors import UnsupportedFormat
+
+    with pytest.raises(UnsupportedFormat, match="spatial_filter_box"):
+        load_source(spark, geo_fixture, "spatial", {"spatial_filter_box": "1,2,3"})
+
+
+def test_wkt_envelope_and_wkb_roundtrip(spark):
+    from pg_analytics_spark.functions.geo import (
+        envelope_intersects,
+        to_wkb_point,
+        wkb_point_xy,
+        wkt_envelope,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "POINT (2.5 -3.5)", 2.5, -3.5),
+            (2, "LINESTRING (0 0, 10 20)", 10.0, 20.0),
+        ],
+        ["id", "wkt", "lon", "lat"],
+    )
+    env = df.select("id", wkt_envelope("wkt").alias("e")).collect()
+    by_id = {r.id: r.e for r in env}
+    assert by_id[1].minx == 2.5 and by_id[1].maxy == -3.5
+    assert by_id[2] == (0.0, 0.0, 10.0, 20.0)
+
+    hits = df.filter(
+        envelope_intersects(wkt_envelope("wkt"), 5.0, 5.0, 15.0, 25.0)
+    ).collect()
+    assert [r.id for r in hits] == [2]
+
+    rt = df.select(
+        "id", "lon", "lat", wkb_point_xy(to_wkb_point("lon", "lat")).alias("p")
+    ).collect()
+    for r in rt:
+        assert r.p.lon == r.lon and r.p.lat == r.lat
+
+
+def test_wkb_point_xy_rejects_non_point(spark):
+    import struct as _struct
+
+    # little-endian WKB LINESTRING header (type=2), zero points
+    bad = b"\x01" + _struct.pack("<I", 2) + _struct.pack("<I", 0)
+    df = spark.createDataFrame([(bad,)], "g: binary")
+    from pg_analytics_spark.functions.geo import wkb_point_xy
+
+    with pytest.raises(Exception, match="not a POINT"):
+        df.select(wkb_point_xy("g")).collect()
