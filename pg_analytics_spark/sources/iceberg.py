@@ -17,9 +17,13 @@ Supported: format v1 and v2 append/overwrite tables, multiple
 snapshots (current via current-snapshot-id), deflate-compressed
 metadata avro, ``allow_moved_paths`` (the reference's option,
 iceberg.rs:52-56: resolve absolute file paths relative to the moved
-table root).  NOT supported (raises MissingDependency): v2 row-level
-deletes (delete manifests with live files), which need the real
-runtime's merge-on-read.
+table root), and v2 POSITIONAL deletes: delete parquet files
+(file_path, pos per spec §position-delete-files) are anti-joined
+against the scan on (file, row position) via Spark's parquet
+``_metadata.row_index`` — fully distributed merge-on-read; AQE
+broadcasts the delete side when it is small (the common case).
+NOT supported (raises MissingDependency): v2 EQUALITY deletes, which
+need the runtime's sequence-number-aware value matching.
 
 Scale note: like delta-spark/iceberg-runtime snapshot resolution, the
 replay is driver-side KB-scale metadata work; the data read is a plain
@@ -32,7 +36,8 @@ import json
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pg_analytics_spark.errors import MissingDependency, fallback_warning
 from pg_analytics_spark.sources.base import apply_common
@@ -139,13 +144,11 @@ def _load_via_metadata(
     )
     _, manifests = read_container(manifest_list)
     data_files: list[str] = []
+    pos_delete_files: list[str] = []
     for m in manifests:
-        # v2 manifest-list entries carry content: 0=data, 1=deletes
-        if m.get("content", 0) == 1:
-            _check_no_live_deletes(m, table_path, allow_moved_paths)
-            continue
         mpath = _resolve(m["manifest_path"], table_path, allow_moved_paths)
         _, entries = read_container(mpath)
+        is_delete_manifest = m.get("content", 0) == 1
         for e in entries:
             # manifest-entry status: 0=EXISTING, 1=ADDED, 2=DELETED
             if e.get("status", 0) == 2:
@@ -156,25 +159,55 @@ def _load_via_metadata(
                 raise MissingDependency(
                     f"iceberg fallback reads parquet data files only, got {fmt}"
                 )
-            data_files.append(
-                _resolve(df_rec["file_path"], table_path, allow_moved_paths)
-            )
+            path = _resolve(df_rec["file_path"], table_path, allow_moved_paths)
+            if is_delete_manifest:
+                # data_file.content: 1=position deletes, 2=equality deletes
+                if df_rec.get("content", 1) == 2:
+                    raise MissingDependency(
+                        "Iceberg v2 equality deletes require "
+                        "iceberg-spark-runtime; the metadata fallback "
+                        "applies positional deletes only"
+                    )
+                pos_delete_files.append(path)
+            else:
+                data_files.append(path)
     if not data_files:
         raise MissingDependency(
             f"Iceberg snapshot {snap_id} has no live data files"
         )
-    return spark.read.parquet(*sorted(set(data_files)))
-
-
-def _check_no_live_deletes(
-    m: dict, table_path: str, allow_moved: bool
-) -> None:
-    """A delete manifest is tolerable only if all its entries are
-    status=DELETED (i.e. no live position/equality deletes)."""
-    mpath = _resolve(m["manifest_path"], table_path, allow_moved)
-    _, entries = read_container(mpath)
-    if any(e.get("status", 0) != 2 for e in entries):
-        raise MissingDependency(
-            "Iceberg v2 row-level deletes require iceberg-spark-runtime; "
-            "the metadata fallback cannot apply delete files"
+    data = spark.read.parquet(*sorted(set(data_files)))
+    if pos_delete_files:
+        data = _apply_positional_deletes(
+            spark, data_files, pos_delete_files
         )
+    return data
+
+
+def _delete_key(col) -> Column:
+    """Join key for positional deletes: the path suffix from the table's
+    data/ dir, scheme-normalized — delete files record the path as
+    WRITTEN in metadata, while _metadata.file_path is the resolved local
+    URI, and allow_moved_paths may have re-rooted one but not the other."""
+    c = F.regexp_replace(col, "^file:/+", "/")
+    return F.regexp_replace(c, r"^.*/(?=data/)", "")
+
+
+def _apply_positional_deletes(
+    spark: SparkSession, data_files: list[str], pos_delete_files: list[str]
+) -> DataFrame:
+    """Merge-on-read: drop (file, pos) rows named by position-delete
+    parquet files (spec: columns file_path, pos).  Distributed anti-join
+    keyed on parquet _metadata.row_index — no driver-side state; AQE
+    picks a broadcast when the delete set is small."""
+    data = spark.read.parquet(*sorted(set(data_files))).select(
+        "*",
+        _delete_key(F.col("_metadata.file_path")).alias("_ice_file"),
+        F.col("_metadata.row_index").alias("_ice_pos"),
+    )
+    dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
+        _delete_key(F.col("file_path")).alias("_ice_file"),
+        F.col("pos").cast("long").alias("_ice_pos"),
+    )
+    return data.join(dels, ["_ice_file", "_ice_pos"], "left_anti").drop(
+        "_ice_file", "_ice_pos"
+    )

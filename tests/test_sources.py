@@ -404,9 +404,13 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
-def _write_iceberg_fixture(root, moved_prefix=None, with_live_deletes=False):
+def _write_iceberg_fixture(
+    root, moved_prefix=None, with_pos_deletes=False, with_eq_deletes=False
+):
     """Hand-built Iceberg v2 table per the public spec: parquet data
-    files + avro manifest/manifest-list + metadata JSON."""
+    files + avro manifest/manifest-list + metadata JSON; optionally a
+    position-delete file (spec §position-delete-files) or an
+    equality-delete entry."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -424,12 +428,12 @@ def _write_iceberg_fixture(root, moved_prefix=None, with_live_deletes=False):
     f2 = _data_file("f2.parquet", [3, 4])
     f3 = _data_file("f3.parquet", [9, 9, 9])  # DELETED entry → invisible
 
-    def _entry(status, path):
+    def _entry(status, path, content=0):
         return {
             "status": status,
             "snapshot_id": 77,
             "data_file": {
-                "content": 0,
+                "content": content,
                 "file_path": (moved_prefix + "/data/" + os.path.basename(path))
                 if moved_prefix
                 else path,
@@ -457,10 +461,24 @@ def _write_iceberg_fixture(root, moved_prefix=None, with_live_deletes=False):
             "added_snapshot_id": 77,
         }
     ]
-    if with_live_deletes:
+    if with_pos_deletes or with_eq_deletes:
+        # positional delete parquet: drops f1 rows at positions 0 and 2
+        dpath = f"{root}/data/del-1.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([f1, f1], pa.string()),
+                    "pos": pa.array([0, 2], pa.int64()),
+                }
+            ),
+            dpath,
+        )
         mdel = f"{root}/metadata/man_del.avro"
         write_container(
-            _MANIFEST_ENTRY_SCHEMA, [_entry(1, f2)], mdel, codec="null"
+            _MANIFEST_ENTRY_SCHEMA,
+            [_entry(1, dpath, content=2 if with_eq_deletes else 1)],
+            mdel,
+            codec="null",
         )
         manifests.append(
             {
@@ -514,12 +532,20 @@ def test_iceberg_fallback_allow_moved_paths(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
 
 
-def test_iceberg_fallback_rejects_live_deletes(spark, tmp_path):
+def test_iceberg_fallback_applies_positional_deletes(spark, tmp_path):
     root = str(tmp_path / "ice_del")
-    _write_iceberg_fixture(root, with_live_deletes=True)
+    _write_iceberg_fixture(root, with_pos_deletes=True)
+    df = load_source(spark, root, "iceberg")
+    # f1 (0,1,2) loses positions 0 and 2 → only id 1 survives; f2 intact
+    assert sorted(r["id"] for r in df.collect()) == [1, 3, 4]
+
+
+def test_iceberg_fallback_rejects_equality_deletes(spark, tmp_path):
+    root = str(tmp_path / "ice_eqdel")
+    _write_iceberg_fixture(root, with_eq_deletes=True)
     from pg_analytics_spark.errors import MissingDependency
 
-    with pytest.raises(MissingDependency):
+    with pytest.raises(MissingDependency, match="equality"):
         load_source(spark, root, "iceberg")
 
 
