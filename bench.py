@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_fuzzy_names",
+    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "sim_knn_join",
