@@ -348,10 +348,7 @@ def embedding_neardup_pairs_lsh(
     Output: (id_a, id_b, cosine) with id_a < id_b, rounded to 6 —
     identical shape to the all-pairs verifier.
     """
-    from pg_analytics_spark.operators.similarity import (
-        hyperplanes,
-        signature_col,
-    )
+    from pg_analytics_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, bands * bits_per_band, seed)
     e = _persist_sketch(
@@ -359,19 +356,30 @@ def embedding_neardup_pairs_lsh(
             df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         )
     )
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                signature_col(
-                    "_v", planes[b * bits_per_band : (b + 1) * bits_per_band]
-                ).alias("k"),
-            )
-            for b in range(bands)
-        ]
+    # All plane dots in ONE data-driven transform over a 2-D literal
+    # array (one small codegen template looping over planes), then band
+    # keys read signs out of the dots array — vs inlining bands×bits
+    # aggregate trees, this cuts generated-code size ~32× (cold JIT)
+    # and plan-build py4j traffic to two expr strings.  Fold order per
+    # dot is the same sequential left-to-right the oracle replays.
+    plane_rows = ", ".join(
+        "array(" + ", ".join(f"{float(w)!r}D" for w in p) + ")" for p in planes
+    )
+    dots = (
+        f"transform(array({plane_rows}), p -> "
+        "aggregate(zip_with(_v, p, (x, w) -> cast(x AS double) * w), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+    band_keys = (
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        "'b', b, 'k', "
+        f"aggregate(sequence(0, {bits_per_band - 1}), 0L, (acc, i) -> "
+        f"acc + IF(element_at(_dots, b * {bits_per_band} + i + 1) >= 0.0D, "
+        "shiftleft(1L, i), 0L))))"
     )
     banded = _persist_sketch(
-        e.select("_id", F.explode(band_keys).alias("_bk"))
+        e.withColumn("_dots", F.expr(dots))
+        .select("_id", F.explode(F.expr(band_keys)).alias("_bk"))
     )
     cand = (
         banded.select(F.col("_id").alias("id_a"), "_bk")

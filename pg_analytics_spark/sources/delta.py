@@ -11,9 +11,13 @@ directly.
 
 Supported by the fallback: append/overwrite tables, partitioned
 tables (partition columns reconstructed from add-action
-partitionValues, typed via the metaData schemaString), checkpoints.
-NOT supported (raises): deletion vectors, column mapping — those need
-the real delta-spark runtime.
+partitionValues, typed via the metaData schemaString), checkpoints,
+and DELETION VECTORS — decoded from the public formats (Z85 +
+portable RoaringBitmapArray, sources/delta_dv.py) and applied as a
+distributed anti-join on parquet ``_metadata.row_index``, the same
+merge-on-read shape as the Iceberg positional-delete path.
+NOT supported (raises): column mapping — that needs the real
+delta-spark runtime.
 
 Scale note: the log replay is driver-side metadata work (exactly like
 delta-spark's snapshot resolution); the data read is a plain parquet
@@ -73,22 +77,43 @@ def _load_via_log(
 
     # group active files by partition values → one reader call per group
     groups: dict[tuple, list[str]] = {}
+    deletions: list[tuple[str, int]] = []  # (abs file path, row index)
     for add in active.values():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(table_path, add["path"])
-        )
+        abs_path = os.path.abspath(os.path.join(table_path, add["path"]))
+        groups.setdefault(key, []).append(abs_path)
+        dv = add.get("deletionVector")
+        if dv:
+            from pg_analytics_spark.sources.delta_dv import dv_deleted_rows
+
+            deletions.extend(
+                (abs_path, int(r)) for r in dv_deleted_rows(table_path, dv)
+            )
     if not groups:
         raise MissingDependency(f"Delta table has no active files: {table_path}")
 
+    with_meta = bool(deletions)
     out: DataFrame | None = None
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.parquet(*paths)
+        if with_meta:
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
         for c, v in zip(part_cols, key):
             lit = F.lit(v).cast(part_types[c])
             df = df.withColumn(c, lit)
         out = df if out is None else out.unionByName(df)
+    if with_meta:
+        dels = spark.createDataFrame(deletions, ["_dv_file", "_dv_pos"])
+        out = out.join(
+            F.broadcast(dels), ["_dv_file", "_dv_pos"], "left_anti"
+        ).drop("_dv_file", "_dv_pos")
     return out
 
 
@@ -166,12 +191,7 @@ def _replay_log(
                 if "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    add = action["add"]
-                    if add.get("deletionVector"):
-                        raise MissingDependency(
-                            "Delta deletion vectors need delta-spark"
-                        )
-                    active[add["path"]] = add
+                    active[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
     return active, meta
@@ -204,8 +224,6 @@ def _read_checkpoint(path: str) -> tuple[dict[str, dict], dict | None]:
     for row in cols:
         add = row.get("add")
         if add and add.get("path"):
-            if add.get("deletionVector"):
-                raise MissingDependency("Delta deletion vectors need delta-spark")
             pv = add.get("partitionValues")
             if isinstance(pv, list):  # pyarrow renders map<k,v> as pairs
                 add["partitionValues"] = dict(pv)

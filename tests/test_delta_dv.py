@@ -1,0 +1,183 @@
+"""Delta deletion-vector decode + application (sources/delta_dv.py).
+
+Formats are implemented from the public specs (delta.io PROTOCOL.md
+"Deletion Vectors", RoaringFormatSpec, ZeroMQ RFC 32 Z85); without
+delta-spark in the environment the fixtures use the module's own
+spec-faithful writer, so these tests prove internal consistency plus
+end-to-end application through the native log replay."""
+
+from __future__ import annotations
+
+import json
+import struct
+import uuid
+
+import pytest
+
+from pg_analytics_spark.errors import MissingDependency
+from pg_analytics_spark.sources import load_source
+from pg_analytics_spark.sources.delta_dv import (
+    ROARING_MAGIC,
+    decode_roaring_array,
+    dv_deleted_rows,
+    encode_roaring_array,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+def test_z85_roundtrip_and_reference_vector():
+    # ZeroMQ RFC 32's published test vector
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    data = bytes(range(40))
+    assert z85_decode(z85_encode(data)) == data
+
+
+def test_roaring_array_roundtrip_array_and_bitmap_containers():
+    small = [0, 1, 2, 65536, 2**32 + 5, 2**33 + 70000]
+    assert decode_roaring_array(encode_roaring_array(small)) == sorted(small)
+    # >4096 in one 16-bit container → bitmap container path
+    big = list(range(0, 10000, 2))
+    assert decode_roaring_array(encode_roaring_array(big)) == big
+
+
+def test_roaring_run_container_decode():
+    # hand-crafted: one bitmap, cookie 12347, 1 container (run), runs
+    # [5..9] and [100..100]
+    container = struct.pack("<H", 2) + struct.pack("<HH", 5, 4) + struct.pack(
+        "<HH", 100, 0
+    )
+    bitmap = (
+        struct.pack("<i", (0 << 16) | 12347)  # 1 container
+        + b"\x01"  # run flag for container 0
+        + struct.pack("<HH", 0, 6 - 1)  # key 0, cardinality 6
+        + container  # < NO_OFFSET_THRESHOLD containers → no offsets
+    )
+    data = struct.pack("<i", ROARING_MAGIC) + struct.pack("<q", 1) + bitmap
+    assert decode_roaring_array(data) == [5, 6, 7, 8, 9, 100]
+
+
+def test_dv_descriptor_inline_and_file(tmp_path):
+    rows = [0, 2, 7]
+    data = encode_roaring_array(rows)
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": 3,
+    }
+    assert dv_deleted_rows(str(tmp_path), inline) == rows
+
+    u = uuid.uuid4()
+    path = tmp_path / f"deletion_vector_{u}.bin"
+    offset = write_dv_file(str(path), data)
+    by_uuid = {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": offset,
+        "sizeInBytes": len(data),
+        "cardinality": 3,
+    }
+    assert dv_deleted_rows(str(tmp_path), by_uuid) == rows
+
+    by_path = dict(by_uuid, storageType="p", pathOrInlineDv=str(path))
+    assert dv_deleted_rows(str(tmp_path), by_path) == rows
+
+
+def test_dv_corruption_detected(tmp_path):
+    data = encode_roaring_array([1])
+    path = tmp_path / "dv.bin"
+    offset = write_dv_file(str(path), data)
+    raw = bytearray(path.read_bytes())
+    raw[offset + 5] ^= 0xFF  # flip a payload byte
+    path.write_bytes(bytes(raw))
+    with pytest.raises(MissingDependency, match="checksum"):
+        dv_deleted_rows(
+            str(tmp_path),
+            {"storageType": "p", "pathOrInlineDv": str(path), "offset": offset},
+        )
+    with pytest.raises(MissingDependency, match="cardinality"):
+        dv_deleted_rows(
+            str(tmp_path),
+            {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(data),
+                "cardinality": 99,
+            },
+        )
+
+
+def test_delta_replay_applies_deletion_vectors(spark, tmp_path):
+    """End-to-end: native log replay reads a DV table — add action with
+    a deletionVector descriptor drops exactly the flagged rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "dv_table")
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11, 12, 13, 14], pa.int64())}),
+        f"{root}/part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([20, 21], pa.int64())}),
+        f"{root}/part-1.parquet",
+    )
+    data = encode_roaring_array([1, 3])  # drop 11 and 13
+    u = uuid.uuid4()
+    offset = write_dv_file(f"{root}/deletion_vector_{u}.bin", data)
+    meta = {
+        "id": "9999",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"metaData": meta},
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(u.bytes),
+                    "offset": offset,
+                    "sizeInBytes": len(data),
+                    "cardinality": 2,
+                },
+            }
+        },
+        {
+            "add": {
+                "path": "part-1.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    df = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in df.collect()) == [10, 12, 14, 20, 21]
