@@ -12,12 +12,15 @@ directly.
 Supported by the fallback: append/overwrite tables, partitioned
 tables (partition columns reconstructed from add-action
 partitionValues, typed via the metaData schemaString), checkpoints,
-and DELETION VECTORS — decoded from the public formats (Z85 +
-portable RoaringBitmapArray, sources/delta_dv.py) and applied as a
-distributed anti-join on parquet ``_metadata.row_index``, the same
-merge-on-read shape as the Iceberg positional-delete path.
-NOT supported (raises): column mapping — that needs the real
-delta-spark runtime.
+DELETION VECTORS — decoded from the public formats (Z85 + portable
+RoaringBitmapArray, sources/delta_dv.py) and applied as a distributed
+anti-join on parquet ``_metadata.row_index``, the same merge-on-read
+shape as the Iceberg positional-delete path — and COLUMN MAPPING
+(modes ``name``/``id``): physical parquet names resolve to logical
+names via the schemaString's ``delta.columnMapping.physicalName``
+metadata; nested struct/array/map fields are renamed in one positional
+cast to the logical Spark type (physical field order in the files is
+the schemaString order, per the protocol).
 
 Scale note: the log replay is driver-side metadata work (exactly like
 delta-spark's snapshot resolution); the data read is a plain parquet
@@ -74,13 +77,16 @@ def _load_via_log(
         raise MissingDependency(f"Delta log has no metaData action: {table_path}")
     part_cols = meta.get("partitionColumns", [])
     part_types = _partition_types(meta, part_cols)
+    mapping = _column_mapping(meta)  # logical name → (physical, Column)
+    phys_of = {c: mapping[c][0] for c in mapping} if mapping else {}
 
     # group active files by partition values → one reader call per group
+    # (partitionValues keys are PHYSICAL names under column mapping)
     groups: dict[tuple, list[str]] = {}
     deletions: list[tuple[str, int]] = []  # (abs file path, row index)
     for add in active.values():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys_of.get(c, c)) for c in part_cols)
         abs_path = os.path.abspath(os.path.join(table_path, add["path"]))
         groups.setdefault(key, []).append(abs_path)
         dv = add.get("deletionVector")
@@ -94,17 +100,22 @@ def _load_via_log(
         raise MissingDependency(f"Delta table has no active files: {table_path}")
 
     with_meta = bool(deletions)
+    meta_cols = [
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "_dv_file"
+        ),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    ]
     out: DataFrame | None = None
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.parquet(*paths)
-        if with_meta:
-            df = df.select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("_dv_file"),
-                F.col("_metadata.row_index").alias("_dv_pos"),
-            )
+        if mapping:
+            data_cols = [
+                mapping[c][1] for c in mapping if c not in part_cols
+            ]
+            df = df.select(*data_cols, *(meta_cols if with_meta else []))
+        elif with_meta:
+            df = df.select("*", *meta_cols)
         for c, v in zip(part_cols, key):
             lit = F.lit(v).cast(part_types[c])
             df = df.withColumn(c, lit)
@@ -114,6 +125,63 @@ def _load_via_log(
         out = out.join(
             F.broadcast(dels), ["_dv_file", "_dv_pos"], "left_anti"
         ).drop("_dv_file", "_dv_pos")
+    return out
+
+
+def _delta_type_to_spark(t):
+    """Delta schemaString type JSON → Spark DataType (with LOGICAL
+    nested field names — a positional cast onto this type renames every
+    nested level in one expression)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(t, str):
+        return duckdb_type_to_spark(t)
+    kind = t["type"]
+    if kind == "struct":
+        return StructType(
+            [
+                StructField(
+                    f["name"],
+                    _delta_type_to_spark(f["type"]),
+                    f.get("nullable", True),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "array":
+        return ArrayType(
+            _delta_type_to_spark(t["elementType"]), t.get("containsNull", True)
+        )
+    if kind == "map":
+        return MapType(
+            _delta_type_to_spark(t["keyType"]),
+            _delta_type_to_spark(t["valueType"]),
+            t.get("valueContainsNull", True),
+        )
+    raise MissingDependency(f"unsupported Delta type {t!r}")
+
+
+def _column_mapping(meta: dict) -> dict[str, tuple[str, F.Column]] | None:
+    """Column-mapping resolution (delta.columnMapping.mode name|id):
+    logical name → (physical top-level name, select Column that reads
+    the physical column and positionally casts nested levels to the
+    logical schema).  None when the table has no mapping."""
+    cfg = meta.get("configuration") or {}
+    if cfg.get("delta.columnMapping.mode", "none") not in ("name", "id"):
+        return None
+    schema = json.loads(meta["schemaString"])
+    out: dict[str, tuple[str, F.Column]] = {}
+    for f in schema.get("fields", []):
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        col = F.col(phys).cast(_delta_type_to_spark(f["type"])).alias(f["name"])
+        out[f["name"]] = (phys, col)
     return out
 
 

@@ -181,3 +181,94 @@ def test_delta_replay_applies_deletion_vectors(spark, tmp_path):
 
     df = load_source(spark, root, "delta")
     assert sorted(r["id"] for r in df.collect()) == [10, 12, 14, 20, 21]
+
+
+def test_delta_replay_column_mapping(spark, tmp_path):
+    """Column-mapping mode=name: physical col-<uuid> parquet names (top
+    level AND nested struct fields) resolve to logical names via the
+    schemaString physicalName metadata + positional cast."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cm_table")
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "col-aaaa": pa.array([1, 2], pa.int64()),
+                "col-bbbb": pa.array(
+                    [{"col-cccc": "x"}, {"col-cccc": "y"}],
+                    pa.struct([("col-cccc", pa.string())]),
+                ),
+            }
+        ),
+        f"{root}/part-0.parquet",
+    )
+    meta = {
+        "id": "8888",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "id",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 1,
+                            "delta.columnMapping.physicalName": "col-aaaa",
+                        },
+                    },
+                    {
+                        "name": "props",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "tag",
+                                    "type": "string",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.columnMapping.id": 3,
+                                        "delta.columnMapping.physicalName": "col-cccc",
+                                    },
+                                }
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 2,
+                            "delta.columnMapping.physicalName": "col-bbbb",
+                        },
+                    },
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    df = load_source(spark, root, "delta")
+    assert df.columns == ["id", "props"]
+    assert df.schema["props"].dataType.fieldNames() == ["tag"]
+    rows = {r["id"]: r["props"]["tag"] for r in df.collect()}
+    assert rows == {1: "x", 2: "y"}
