@@ -121,22 +121,30 @@ def ivf_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> np.ndarray:
 def _cell_col(vec_col: str, centroids: np.ndarray) -> F.Column:
     """1-based index of the best (max-dot) centroid — ties to the first,
     via array_position(scores, array_max(scores)), which both engines
-    resolve identically."""
-    scores = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(w)) for w in c]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+    resolve identically.  One SQL expr over a 2-D centroid literal
+    (data-driven transform → small codegen, cheap plan build — see
+    signature_col)."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(w)!r}D" for w in c) + ")"
+        for c in centroids
     )
-    return F.array_position(scores, F.array_max(scores))
+    scores = (
+        f"transform(array({rows}), c -> "
+        f"aggregate(zip_with({vec_col}, c, (x, w) -> cast(x AS double) * w), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+    # single-pass argmax fold (strict > keeps the FIRST max, identical
+    # to array_position(scores, array_max(scores)) — but scores is
+    # evaluated once, not twice)
+    return F.expr(
+        f"aggregate({scores}, "
+        "named_struct('i', 0L, 'best', cast('-Infinity' AS double), 'pos', 0L), "
+        "(acc, s) -> named_struct("
+        "'i', acc.i + 1L, "
+        "'best', IF(s > acc.best, s, acc.best), "
+        "'pos', IF(s > acc.best, acc.i + 1L, acc.pos))"
+        ").pos"
+    )
 
 
 def ivf_ann_topk(

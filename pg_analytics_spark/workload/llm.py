@@ -942,6 +942,65 @@ _WGRAMS = (
 
 
 @register(
+    "dedup_span_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(t[i*10+1:i*10+10], ' '))
+                     for i in range(0, (len(t)+9)//10)]) AS fp
+      FROM toks WHERE len(t) > 0
+    ), freq AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS dup_fraction
+    FROM chunks c JOIN freq f USING (fp)
+    GROUP BY c.doc_id
+    """,
+    doc="Span-level exact dedup signal (RefinedWeb/C4-style): each doc "
+    "splits into consecutive 10-token chunks; a chunk is duplicated "
+    "when its md5 fingerprint occurs in more than one document.  "
+    "Reports per-doc chunk counts and duplicated-chunk fraction — the "
+    "signal pipelines threshold to drop boilerplate-heavy docs.  "
+    "Scale: chunks shuffle as md5 fingerprints (16 bytes), never "
+    "chunk text; one agg for corpus frequencies + one join back + one "
+    "per-doc agg.  Chunking is stride=width (linear in corpus size); "
+    "sliding-window variants multiply volume by the window width and "
+    "belong behind minhash prefilters.",
+)
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.lower("text")).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    chunk_fps = F.transform(
+        F.sequence(
+            F.lit(0), ((F.size("_t") + F.lit(9)) / F.lit(10)).cast("int") - 1
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i * 10 + 1, 10))),
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_fps).alias("fp"))
+    freq = chunks.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        chunks.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
     "contamination_check",
     oracle=f"""
     WITH toks AS (
