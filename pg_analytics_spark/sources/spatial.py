@@ -63,6 +63,12 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
                 f"st_read option {k!r} requires the GDAL driver stack "
                 "(reference spatial.rs:29-39), unavailable here"
             )
+    if all(f.lower().endswith(".xlsx") for f in files):
+        # GDAL's st_read reads spreadsheets as attribute-only tables;
+        # sources/xlsx.py is the dependency-free equivalent
+        from pg_analytics_spark.sources import xlsx as _xlsx
+
+        return _xlsx.load(spark, files, opts)
     if all(f.lower().endswith((".geojson", ".json")) for f in files):
         df = spark.read.option("multiLine", "true").json(files)
         # GeoJSON FeatureCollection → one row per feature
