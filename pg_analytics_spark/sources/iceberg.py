@@ -17,13 +17,21 @@ Supported: format v1 and v2 append/overwrite tables, multiple
 snapshots (current via current-snapshot-id), deflate-compressed
 metadata avro, ``allow_moved_paths`` (the reference's option,
 iceberg.rs:52-56: resolve absolute file paths relative to the moved
-table root), and v2 POSITIONAL deletes: delete parquet files
-(file_path, pos per spec §position-delete-files) are anti-joined
-against the scan on (file, row position) via Spark's parquet
-``_metadata.row_index`` — fully distributed merge-on-read; AQE
-broadcasts the delete side when it is small (the common case).
-NOT supported (raises MissingDependency): v2 EQUALITY deletes, which
-need the runtime's sequence-number-aware value matching.
+table root), and v2 row-level deletes, both kinds:
+
+* POSITIONAL: delete parquet files (file_path, pos per spec
+  §position-delete-files) anti-join the scan on (file, row position)
+  via Spark's parquet ``_metadata.row_index``.
+* EQUALITY: delete parquet rows anti-join the scan on the delete
+  file's own columns, restricted by the spec's sequence rule — an
+  equality delete with data sequence number S applies only to data
+  files with sequence number < S (positional deletes use ≤ and name
+  files explicitly, so they need no sequence check).  Sequence
+  numbers come from the manifest-list entries (inherited by their
+  entries when not explicit).
+
+Both are fully distributed merge-on-read; AQE broadcasts the delete
+side when it is small (the common case).
 
 Scale note: like delta-spark/iceberg-runtime snapshot resolution, the
 replay is driver-side KB-scale metadata work; the data read is a plain
@@ -143,12 +151,14 @@ def _load_via_metadata(
         snap["manifest-list"], table_path, allow_moved_paths
     )
     _, manifests = read_container(manifest_list)
-    data_files: list[str] = []
+    data_files: dict[str, int] = {}  # path → sequence number
     pos_delete_files: list[str] = []
+    eq_delete_files: list[tuple[str, int]] = []  # (path, sequence number)
     for m in manifests:
         mpath = _resolve(m["manifest_path"], table_path, allow_moved_paths)
         _, entries = read_container(mpath)
         is_delete_manifest = m.get("content", 0) == 1
+        m_seq = m.get("sequence_number") or 0
         for e in entries:
             # manifest-entry status: 0=EXISTING, 1=ADDED, 2=DELETED
             if e.get("status", 0) == 2:
@@ -160,31 +170,30 @@ def _load_via_metadata(
                     f"iceberg fallback reads parquet data files only, got {fmt}"
                 )
             path = _resolve(df_rec["file_path"], table_path, allow_moved_paths)
+            seq = e.get("sequence_number")
+            seq = m_seq if seq is None else seq
             if is_delete_manifest:
                 # data_file.content: 1=position deletes, 2=equality deletes
                 if df_rec.get("content", 1) == 2:
-                    raise MissingDependency(
-                        "Iceberg v2 equality deletes require "
-                        "iceberg-spark-runtime; the metadata fallback "
-                        "applies positional deletes only"
-                    )
-                pos_delete_files.append(path)
+                    eq_delete_files.append((path, int(seq)))
+                else:
+                    pos_delete_files.append(path)
             else:
-                data_files.append(path)
+                data_files[path] = int(seq)
     if not data_files:
         raise MissingDependency(
             f"Iceberg snapshot {snap_id} has no live data files"
         )
-    data = spark.read.parquet(*sorted(set(data_files)))
-    if pos_delete_files:
-        data = _apply_positional_deletes(
-            spark, data_files, pos_delete_files
-        )
-    return data
+    paths = sorted(data_files)
+    if not (pos_delete_files or eq_delete_files):
+        return spark.read.parquet(*paths)
+    return _apply_row_deletes(
+        spark, data_files, pos_delete_files, eq_delete_files
+    )
 
 
 def _delete_key(col) -> Column:
-    """Join key for positional deletes: the path suffix from the table's
+    """Join key for row deletes: the path suffix from the table's
     data/ dir, scheme-normalized — delete files record the path as
     WRITTEN in metadata, while _metadata.file_path is the resolved local
     URI, and allow_moved_paths may have re-rooted one but not the other."""
@@ -192,22 +201,49 @@ def _delete_key(col) -> Column:
     return F.regexp_replace(c, r"^.*/(?=data/)", "")
 
 
-def _apply_positional_deletes(
-    spark: SparkSession, data_files: list[str], pos_delete_files: list[str]
+def _delete_key_py(path: str) -> str:
+    import re
+
+    p = re.sub("^file:/+", "/", path)
+    i = p.rfind("/data/")
+    return p[i + 1 :] if i >= 0 else p
+
+
+def _apply_row_deletes(
+    spark: SparkSession,
+    data_files: dict[str, int],
+    pos_delete_files: list[str],
+    eq_delete_files: list[tuple[str, int]],
 ) -> DataFrame:
-    """Merge-on-read: drop (file, pos) rows named by position-delete
-    parquet files (spec: columns file_path, pos).  Distributed anti-join
-    keyed on parquet _metadata.row_index — no driver-side state; AQE
-    picks a broadcast when the delete set is small."""
-    data = spark.read.parquet(*sorted(set(data_files))).select(
+    """Merge-on-read: positional deletes anti-join on (file,
+    _metadata.row_index); equality deletes anti-join on the delete
+    file's own columns (null-safe, per spec), applied only to data
+    files whose sequence number is BELOW the delete's.  Everything is
+    a distributed join — no driver-side row state; AQE broadcasts
+    small delete sides."""
+    data = spark.read.parquet(*sorted(data_files)).select(
         "*",
         _delete_key(F.col("_metadata.file_path")).alias("_ice_file"),
         F.col("_metadata.row_index").alias("_ice_pos"),
     )
-    dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
-        _delete_key(F.col("file_path")).alias("_ice_file"),
-        F.col("pos").cast("long").alias("_ice_pos"),
-    )
-    return data.join(dels, ["_ice_file", "_ice_pos"], "left_anti").drop(
-        "_ice_file", "_ice_pos"
-    )
+    if pos_delete_files:
+        dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
+            _delete_key(F.col("file_path")).alias("_ice_file"),
+            F.col("pos").cast("long").alias("_ice_pos"),
+        )
+        data = data.join(dels, ["_ice_file", "_ice_pos"], "left_anti")
+    if eq_delete_files:
+        seq_map = spark.createDataFrame(
+            [(_delete_key_py(p), s) for p, s in data_files.items()],
+            ["_ice_file", "_ice_seq"],
+        )
+        data = data.join(F.broadcast(seq_map), "_ice_file", "left")
+        for dpath, dseq in sorted(eq_delete_files):
+            d = data.alias("d")
+            x = spark.read.parquet(dpath).alias("x")
+            cond = F.col("d._ice_seq") < F.lit(int(dseq))
+            for c in x.columns:
+                cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"x.{c}"))
+            data = d.join(x, cond, "left_anti")
+        data = data.drop("_ice_seq")
+    return data.drop("_ice_file", "_ice_pos")

@@ -399,18 +399,24 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
 
 
 def _write_iceberg_fixture(
-    root, moved_prefix=None, with_pos_deletes=False, with_eq_deletes=False
+    root,
+    moved_prefix=None,
+    with_pos_deletes=False,
+    with_eq_deletes=False,
+    eq_delete_seq=2,
 ):
     """Hand-built Iceberg v2 table per the public spec: parquet data
-    files + avro manifest/manifest-list + metadata JSON; optionally a
-    position-delete file (spec §position-delete-files) or an
-    equality-delete entry."""
+    files (sequence number 1) + avro manifest/manifest-list + metadata
+    JSON; optionally a position-delete file (spec
+    §position-delete-files) or an equality-delete file at
+    ``eq_delete_seq``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -458,21 +464,27 @@ def _write_iceberg_fixture(
             "manifest_length": os.path.getsize(man1),
             "partition_spec_id": 0,
             "content": 0,
+            "sequence_number": 1,
             "added_snapshot_id": 77,
         }
     ]
     if with_pos_deletes or with_eq_deletes:
-        # positional delete parquet: drops f1 rows at positions 0 and 2
-        dpath = f"{root}/data/del-1.parquet"
-        pq.write_table(
-            pa.table(
-                {
-                    "file_path": pa.array([f1, f1], pa.string()),
-                    "pos": pa.array([0, 2], pa.int64()),
-                }
-            ),
-            dpath,
-        )
+        if with_eq_deletes:
+            # equality delete parquet: drops every row with id = 3
+            dpath = f"{root}/data/del-eq.parquet"
+            pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), dpath)
+        else:
+            # positional delete parquet: drops f1 rows at positions 0 and 2
+            dpath = f"{root}/data/del-1.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array([f1, f1], pa.string()),
+                        "pos": pa.array([0, 2], pa.int64()),
+                    }
+                ),
+                dpath,
+            )
         mdel = f"{root}/metadata/man_del.avro"
         write_container(
             _MANIFEST_ENTRY_SCHEMA,
@@ -486,6 +498,7 @@ def _write_iceberg_fixture(
                 "manifest_length": os.path.getsize(mdel),
                 "partition_spec_id": 0,
                 "content": 1,
+                "sequence_number": eq_delete_seq if with_eq_deletes else 2,
                 "added_snapshot_id": 77,
             }
         )
@@ -540,13 +553,21 @@ def test_iceberg_fallback_applies_positional_deletes(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [1, 3, 4]
 
 
-def test_iceberg_fallback_rejects_equality_deletes(spark, tmp_path):
+def test_iceberg_fallback_applies_equality_deletes(spark, tmp_path):
     root = str(tmp_path / "ice_eqdel")
     _write_iceberg_fixture(root, with_eq_deletes=True)
-    from pg_analytics_spark.errors import MissingDependency
+    df = load_source(spark, root, "iceberg")
+    # delete seq 2 > data seq 1 → id=3 removed from f2
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 4]
 
-    with pytest.raises(MissingDependency, match="equality"):
-        load_source(spark, root, "iceberg")
+
+def test_iceberg_equality_delete_sequence_rule(spark, tmp_path):
+    root = str(tmp_path / "ice_eqseq")
+    # delete at the SAME sequence number as the data files: spec says
+    # equality deletes apply only to strictly OLDER data → no effect
+    _write_iceberg_fixture(root, with_eq_deletes=True, eq_delete_seq=1)
+    df = load_source(spark, root, "iceberg")
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
 
 
 def test_http_source_fetch_and_cache(spark, tmp_path):
