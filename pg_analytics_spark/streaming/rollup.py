@@ -51,8 +51,12 @@ def _upsert(rollup_dir: str):
             merged = keep.unionByName(updates)
         else:
             merged = updates
-        # rows are few (one per hour×type); collect-then-rewrite avoids
-        # reading from the same path being overwritten
+        # collect-then-rewrite avoids reading from the same path being
+        # overwritten.  Driver-side cardinality is BOUNDED at
+        # |hours-of-retention| × |event types| (one row per key — e.g.
+        # 1 year × 100 types ≈ 876k rows), independent of input volume;
+        # the scale answer past that bound is a transactional MERGE
+        # sink (Delta/Iceberg upsert), which this environment lacks.
         rows = merged.collect()
         out = spark.createDataFrame(rows, merged.schema)
         out.coalesce(1).write.mode("overwrite").parquet(rollup_dir)
