@@ -942,6 +942,53 @@ _WGRAMS = (
 
 
 @register(
+    "corpus_sample_stratified",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS b
+      FROM documents
+    ), sampled AS (
+      SELECT doc_id, lang FROM s
+      WHERE b < CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 1000 END
+    )
+    SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic stratified downsampling: per-language rates "
+    "(en 20%, de 50%, rest 100%) applied via md5(doc_id) bucketing — "
+    "no RNG state, stable under reruns/re-shards/appends, and "
+    "composable with the hash train/val/test split (a doc's sample "
+    "fate never depends on partitioning).  The standard way to "
+    "rebalance a pre-training mixture at 100 TB: one scan, the rate "
+    "predicate is a per-row expression (no shuffle before the "
+    "reporting agg).",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 200)
+        .when(F.col("lang") == "de", 500)
+        .otherwise(1000)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "dedup_span_chunks",
     oracle=f"""
     WITH toks AS (

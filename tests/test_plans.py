@@ -158,3 +158,53 @@ def test_kmeans_iter_single_shuffle_no_vectors_in_exchange(spark):
     # no exchange row should contain the embedding column
     for ex in re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
         assert "embedding" not in ex, ex
+
+
+def test_geo_nearest_hub_broadcasts_hub_dim(spark):
+    from pg_analytics_spark.workload.core_sql import geo_nearest_hub
+
+    df = geo_nearest_hub(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # keyless 4-row dim → broadcast nested-loop CROSS join (the right
+    # plan: customers never shuffle for the distance compute; the only
+    # Exchange is the per-customer window)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_span_chunks_shuffles_fingerprints_not_text(spark):
+    from pg_analytics_spark.workload.llm import dedup_span_chunks
+
+    df = dedup_span_chunks(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the exchange carries md5 fingerprints; raw text never shuffles
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex, ex
+
+
+def test_stratified_sample_filter_before_shuffle(spark):
+    from pg_analytics_spark.workload.llm import corpus_sample_stratified
+
+    df = corpus_sample_stratified(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly the two agg/sort exchanges — the sampling predicate is a
+    # per-row filter on the scan side, not a separate shuffle stage
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_embedding_lsh_candidate_join_is_hash_join(spark):
+    from pg_analytics_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+        release_sketch_caches,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = embedding_neardup_pairs_lsh(emb, "embedding", "vec_id", dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_sketch_caches()
