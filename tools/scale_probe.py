@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 from pg_analytics_spark import get_spark
 from pg_analytics_spark.operators.dedup import (
+    embedding_neardup_pairs_lsh,
     exact_dedup,
     minhash_lsh_pairs,
+    release_sketch_caches,
     simhash_pairs,
 )
 from pg_analytics_spark.sources import load_source
@@ -66,6 +68,28 @@ def main() -> None:
     cust = load_source(spark, f"{sf}/customer.parquet", "parquet").select(
         "c_custkey", "c_nationkey", "c_name"
     )
+    emb = load_source(spark, f"{sf}/embeddings.parquet", "parquet").select(
+        "vec_id", "embedding"
+    )
+    # perturb dim 0 per copy so copies land in different LSH buckets —
+    # keeps candidate density constant as the corpus grows (the honest
+    # axis, mirroring the text perturbation above)
+    emb_parts = [emb]
+    for i in range(1, mult):
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, j) -> "
+                    f"IF(j = 0, cast(x + {i * 0.37} AS float), x))"
+                ),
+            )
+        )
+    emb_big = emb_parts[0]
+    for p in emb_parts[1:]:
+        emb_big = emb_big.unionByName(p)
+    emb_big = emb_big.persist()
     print(f"docs 1x={docs.count()} {mult}x={docs_big.count()}")
 
     cases = {
@@ -81,15 +105,25 @@ def main() -> None:
             lambda: simhash_pairs(docs, "text", "doc_id"),
             lambda: simhash_pairs(docs_big, "text", "doc_id"),
         ),
+        "dedup_embedding_lsh": (
+            lambda: embedding_neardup_pairs_lsh(
+                emb, "embedding", "vec_id", dim=64, threshold=0.99
+            ),
+            lambda: embedding_neardup_pairs_lsh(
+                emb_big, "embedding", "vec_id", dim=64, threshold=0.99
+            ),
+        ),
     }
     for name, (one, big) in cases.items():
         w1 = _wall(one)
         wN = _wall(big)
+        release_sketch_caches()
         print(
             f"{name:22s} 1x {w1:6.2f}s   {mult}x {wN:7.2f}s   "
             f"factor {wN / w1:5.2f} (linear would be ~{mult})"
         )
     docs_big.unpersist()
+    emb_big.unpersist()
 
 
 if __name__ == "__main__":
