@@ -942,6 +942,56 @@ _WGRAMS = (
 
 
 @register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_TOKS}) AS n FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), b AS (
+      SELECT lang, (cum - n) // 2048 AS bin, n FROM c
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           SUM(n) AS total_tokens,
+           ROUND(SUM(n)::DOUBLE / 2048.0, 6) AS fill_ratio
+    FROM b GROUP BY lang, bin
+    """,
+    doc="Sequence packing for training: docs are packed into 2048-token "
+    "context-window bins by cumulative token count, sharded per "
+    "language (each shard packs independently — the distributed "
+    "formulation: one window per shard, no global sort).  A doc whose "
+    "cumsum crosses a boundary starts the next bin (first-fit on the "
+    "deterministic doc_id order), so bins can overfill by at most one "
+    "doc — the standard approximation; exact packing is inherently "
+    "sequential.  Output: per-bin doc counts, token totals, fill "
+    "ratios.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", X.token_count("text").alias("n"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n").over(w))
+    b = c.select(
+        "lang", F.expr("(cum - n) DIV 2048").alias("bin"), "n"
+    )
+    return b.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.sum("n").cast("double") / 2048.0, 6).alias("fill_ratio"),
+    )
+
+
+@register(
     "corpus_sample_stratified",
     oracle="""
     WITH s AS (
