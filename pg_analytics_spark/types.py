@@ -67,6 +67,7 @@ _DUCKDB_TO_SPARK: dict[str, T.DataType] = {
     "interval": T.DayTimeIntervalType(),
     "uuid": T.StringType(),  # canonical lowercase string, cell.rs:640-661
     "json": T.StringType(),
+    "jsonb": T.StringType(),
     "geometry": T.BinaryType(),  # WKB, trigger.rs:243-256
     "null": T.NullType(),
 }
@@ -111,8 +112,13 @@ def normalize_columns(df: DataFrame, declared: dict[str, str]) -> DataFrame:
     Numeric→numeric: silent cast (permissive rule, cell.rs:754-757).
     String→anything / anything→string: silent cast (DuckDB VARCHAR round
     trips, cell.rs:442-465).  Temporal widenings (date↔timestamp,
-    cell.rs:1259-1312): silent cast.  Everything else incompatible:
-    DataTypeMismatch naming column + both types (cell.rs:1404-1417).
+    cell.rs:1259-1312): silent cast.  Complex (array/struct/map)
+    declared as json/jsonb: canonical ``to_json`` text — the
+    reference's List/Struct→JSON degradation (cell.rs:330-440); note
+    equality against such a column is TEXTUAL here (canonical JSON, no
+    spaces), not Postgres's parsed jsonb semantic equality.
+    Everything else incompatible: DataTypeMismatch naming column +
+    both types (cell.rs:1404-1417).
     """
     physical = {f.name.lower(): f.dataType for f in df.schema.fields}
     for col_name, type_name in declared.items():
@@ -125,6 +131,13 @@ def normalize_columns(df: DataFrame, declared: dict[str, str]) -> DataFrame:
         if phys is None:
             raise DataTypeMismatch(col_name, "<missing>", str(target))
         if phys == target:
+            continue
+        if (
+            isinstance(type_name, str)
+            and type_name.strip().lower() in ("json", "jsonb")
+            and isinstance(phys, (T.ArrayType, T.StructType, T.MapType))
+        ):
+            df = df.withColumn(col_name, F.to_json(col_name))
             continue
         if not _castable(phys, target):
             raise DataTypeMismatch(col_name, phys.simpleString(), target.simpleString())

@@ -167,3 +167,37 @@ def test_engine_lambda_still_works(engine):
         "SELECT transform(array(1,2,3), x -> x * 2) AS doubled"
     ).collect()[0]
     assert row.doubled == [2, 4, 6]
+
+
+def test_jsonb_declared_array_column_end_to_end(engine, spark, tmp_path):
+    """The reference's json.rs:351-390 shape: a parquet LIST column
+    attached with a declared jsonb type becomes canonical JSON text,
+    filterable by (textual) equality and addressable with the pg
+    dialect's arrow operators."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "json_list.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "int8_array": pa.array([[None, 3], [7, 8]], pa.list_(pa.int64())),
+            }
+        ),
+        p,
+    )
+    engine.attach("json_table", p, columns={"k": "bigint", "int8_array": "jsonb"})
+    df = engine.sql("SELECT k, int8_array FROM json_table")
+    assert dict(df.dtypes)["int8_array"] == "string"
+    vals = {r.k: r.int8_array for r in df.collect()}
+    assert vals[1] == "[null,3]"  # canonical to_json text (documented)
+    row = engine.sql(
+        "SELECT k FROM json_table WHERE int8_array = '[null,3]'"
+    ).collect()
+    assert [r.k for r in row] == [1]
+    second = engine.sql(
+        "SELECT int8_array::json->>1 AS second FROM json_table WHERE k = 2"
+    ).collect()[0]
+    assert second.second == "8"
+    engine.detach("json_table")
