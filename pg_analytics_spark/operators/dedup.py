@@ -654,3 +654,99 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+# ------------------------------------------------------------------ #
+# Bloom-filter membership — incremental dedup against a history
+# ------------------------------------------------------------------ #
+
+#: Bloom words are 32-bit (stored in BIGINT): shiftleft stays positive
+#: in both engines, so the bit math is cross-engine exact — a 64-bit
+#: word would need 1<<63, which wraps in Spark and overflows in DuckDB.
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos_sql(h: str, i: int, m_bits: int) -> str:
+    """SQL for hash i's bit position of a 32-bit item hash `h`:
+    affine map over the shared md5-derived family (functions/hashing.py)
+    reduced mod m_bits.  All intermediates < 2^62 — exact BIGINT in
+    Spark and DuckDB (which errors on overflow rather than wrapping)."""
+    from pg_analytics_spark.functions.hashing import MINHASH_COEFFS, MINHASH_P
+
+    a, b = MINHASH_COEFFS[i]
+    return f"((({a} * {h} + {b}) % {MINHASH_P}) % {m_bits})"
+
+
+def _bloom_wm_sql(h: str, num_hashes: int, m_bits: int) -> str:
+    """SQL array<struct<word:int, mask:bigint>> of the item's Bloom
+    slots; one entry per hash."""
+    entries = []
+    for i in range(num_hashes):
+        p = _bloom_pos_sql(h, i, m_bits)
+        entries.append(
+            f"struct(CAST(({p} div {BLOOM_WORD_BITS}) AS INT) AS word, "
+            f"SHIFTLEFT(CAST(1 AS BIGINT), "
+            f"CAST({p} % {BLOOM_WORD_BITS} AS INT)) AS mask)"
+        )
+    return f"array({', '.join(entries)})"
+
+
+def bloom_bits(
+    items: DataFrame,
+    hash_col: str,
+    *,
+    m_bits: int = 1 << 19,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Distributed Bloom filter build over an item-hash column.
+
+    `hash_col` must hold 32-bit non-negative item hashes as BIGINT
+    (first 32 bits of md5 — `functions.hashing.shingle_hash32`).
+    Returns the filter as a relation (word:int, bits:bigint) with at
+    most m_bits/32 rows.
+
+    Scale (100 TB): the ONLY shuffle is the final hash-agg on `word`,
+    whose key space is m_bits/32 (a few thousand rows) — bit_or is
+    map-side combinable, so each task emits at most one partial word
+    table no matter how many items it scans.  The history corpus is
+    never re-shuffled and never carried past its hash column.
+    """
+    if m_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
+    wm = items.selectExpr(
+        f"inline({_bloom_wm_sql(hash_col, num_hashes, m_bits)})"
+    )
+    return wm.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_probe(
+    probe: DataFrame,
+    hash_col: str,
+    bits: DataFrame,
+    key_cols: list[str],
+    *,
+    m_bits: int = 1 << 19,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Probe a Bloom filter built by :func:`bloom_bits`.
+
+    `key_cols` must uniquely identify probe rows.  Returns one row per
+    probe row: (key_cols..., bloom_hit) where bloom_hit is true iff all
+    num_hashes bits are set — i.e. the item is POSSIBLY in the history
+    (no false negatives; false-positive rate set by m_bits/num_hashes).
+
+    Scale: the filter relation is m_bits/32 rows -> broadcast; the
+    probe side explodes to num_hashes narrow (key, word, mask) rows and
+    aggregates straight back, so membership against an arbitrarily
+    large history costs ONE map-side broadcast join over the probe
+    shard only — the history itself is not touched at probe time.
+    """
+    wm = probe.selectExpr(
+        *key_cols, f"inline({_bloom_wm_sql(hash_col, num_hashes, m_bits)})"
+    )
+    j = wm.join(F.broadcast(bits), "word", "left")
+    return j.groupBy(*key_cols).agg(
+        F.expr(
+            "bool_and((coalesce(bits, CAST(0 AS BIGINT)) & mask) = mask)"
+        ).alias("bloom_hit")
+    )

@@ -1367,3 +1367,114 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", F.desc("sim"), "neighbor_id")
     )
+
+
+def _register_dedup_bloom():
+    from pg_analytics_spark.functions.hashing import MINHASH_COEFFS, MINHASH_P
+
+    M = 1 << 19  # bloom bits; ~30k history chunks at sf0.1 -> fpp < 1e-2
+    K = 7
+    ks_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS[:K])
+    )
+    pos = f"(((ks.a * c.h32 + ks.b) % {MINHASH_P}) % {M})"
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, source, c.i AS ci, c.fp AS fp,
+             ('0x' || substr(c.fp, 1, 8))::BIGINT AS h32
+      FROM (
+        SELECT doc_id, source,
+               unnest([struct_pack(i := i,
+                       fp := md5(array_to_string(t[i*10+1:i*10+10], ' ')))
+                       for i in range(0, (len(t)+9)//10)]) AS c
+        FROM toks WHERE len(t) > 0)
+    ), ks(i, a, b) AS (VALUES {ks_rows}),
+    hist_wm AS (
+      SELECT ({pos} // 32)::INT AS word,
+             (1::BIGINT << ({pos} % 32)::INT) AS mask
+      FROM chunks c, ks WHERE c.source <> 'src0'
+    ), bloom AS (
+      SELECT word, bit_or(mask) AS bits FROM hist_wm GROUP BY word
+    ), probe_pos AS (
+      SELECT c.doc_id, c.ci, c.fp,
+             ({pos} // 32)::INT AS word,
+             (1::BIGINT << ({pos} % 32)::INT) AS mask
+      FROM chunks c, ks WHERE c.source = 'src0'
+    ), probe_chunk AS (
+      SELECT p.doc_id, p.ci, p.fp,
+             bool_and((coalesce(b.bits, 0) & p.mask) = p.mask) AS bloom_hit
+      FROM probe_pos p LEFT JOIN bloom b USING (word)
+      GROUP BY p.doc_id, p.ci, p.fp
+    ), histfp AS (
+      SELECT DISTINCT fp FROM chunks WHERE source <> 'src0'
+    )
+    SELECT pc.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN pc.bloom_hit THEN 1 ELSE 0 END) AS n_bloom_hits,
+           SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_exact_hits
+    FROM probe_chunk pc LEFT JOIN histfp h USING (fp)
+    GROUP BY pc.doc_id
+    ORDER BY doc_id
+    """
+
+    @register(
+        "dedup_bloom_incremental",
+        oracle=oracle,
+        doc="Incremental span-dedup against a historical corpus via a "
+        "distributed Bloom filter: 10-token chunk fingerprints of the "
+        "history (source<>'src0') OR into a (word, bits) relation "
+        "(m=2^19 bits, k=7 md5-affine hashes, functions/hashing.py "
+        "family); the incoming shard (source='src0') probes it with a "
+        "broadcast join and reports per-doc chunk hit counts next to "
+        "exact membership (the verification tier; bloom has no false "
+        "negatives, so n_bloom_hits >= n_exact_hits).  THE shape for "
+        "continuous-ingest dedup at 100 TB: the history is scanned "
+        "once into a few-thousand-row filter and never re-shuffled; "
+        "each new shard pays one broadcast map-join, not a join "
+        "against the full corpus.  Oracle replicates the identical "
+        "bit math (32-bit words keep shifts exact in both engines).",
+    )
+    def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
+
+        d = table(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id", "source", X.tokens(F.lower("text")).alias("_t")
+        ).filter(F.size("_t") > 0)
+        chunk_fps = F.transform(
+            F.sequence(
+                F.lit(0), ((F.size("_t") + F.lit(9)) / F.lit(10)).cast("int") - 1
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i * 10 + 1, 10))),
+        )
+        chunks = toks.select(
+            "doc_id", "source", F.posexplode(chunk_fps).alias("ci", "fp")
+        ).selectExpr(
+            "doc_id", "source", "ci", "fp",
+            "CAST(conv(substr(fp, 1, 8), 16, 10) AS BIGINT) AS h32",
+        )
+        hist = chunks.filter(F.col("source") != "src0")
+        probe = chunks.filter(F.col("source") == "src0")
+        bits = bloom_bits(hist, "h32", m_bits=M, num_hashes=K)
+        hits = bloom_probe(
+            probe, "h32", bits, ["doc_id", "ci"], m_bits=M, num_hashes=K
+        )
+        histfp = hist.select("fp").distinct().withColumn("_e", F.lit(1))
+        flags = probe.join(histfp, "fp", "left").select(
+            "doc_id", "ci", F.coalesce("_e", F.lit(0)).alias("_e")
+        )
+        return (
+            hits.join(flags, ["doc_id", "ci"])
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom_hits"),
+                F.sum("_e").alias("n_exact_hits"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_dedup_bloom()

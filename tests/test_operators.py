@@ -256,3 +256,33 @@ def test_neardup_clusters_chain_component(spark):
     out = neardup_clusters(nodes, chain, "doc_id").collect()
     assert len(out) == n
     assert all(r.cluster_id == 0 for r in out)
+
+
+def test_bloom_no_false_negatives_and_plan_broadcasts(spark):
+    from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
+    from pg_analytics_spark.plans import explain_formatted
+
+    hist = spark.range(0, 2000).selectExpr(
+        "CAST(conv(substr(md5(cast(id AS string)), 1, 8), 16, 10) AS BIGINT)"
+        " AS h32"
+    )
+    bits = bloom_bits(hist, "h32", m_bits=1 << 15, num_hashes=5)
+    # probe: 0..999 are members, 100000..100499 are not
+    probe = spark.range(0, 1000).union(
+        spark.range(100000, 100500)
+    ).selectExpr(
+        "id",
+        "CAST(conv(substr(md5(cast(id AS string)), 1, 8), 16, 10) AS BIGINT)"
+        " AS h32",
+    )
+    out = bloom_probe(probe, "h32", bits, ["id"], m_bits=1 << 15, num_hashes=5)
+    rows = {r["id"]: r["bloom_hit"] for r in out.collect()}
+    assert len(rows) == 1500
+    # no false negatives: every member hits
+    assert all(rows[i] for i in range(1000))
+    # the filter is sized so non-members mostly miss (fpp well under 50%)
+    misses = sum(not rows[i] for i in range(100000, 100500))
+    assert misses > 250
+    # scale contract: the bits relation joins as a broadcast
+    plan = explain_formatted(out)
+    assert "BroadcastHashJoin" in plan
