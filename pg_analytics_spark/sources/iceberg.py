@@ -50,6 +50,12 @@ from pyspark.sql import functions as F
 from pg_analytics_spark.errors import MissingDependency, fallback_warning
 from pg_analytics_spark.sources.base import apply_common
 from pg_analytics_spark.sources.avro import read_container
+from pg_analytics_spark.sources.iceberg_prune import (
+    file_may_match,
+    parse_partition_filter,
+    schema_field_types,
+    spec_fields_for,
+)
 
 
 def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
@@ -59,11 +65,16 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
         if k in opts:
             fallback_warning(f"iceberg option {k} handled by the Spark catalog; ignored")
     snapshot_id = opts.get("snapshot_id")
+    as_of = opts.get("as_of_timestamp_ms")
+    pfilter = parse_partition_filter(opts.get("partition_filter"))
     try:
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", int(snapshot_id))
+        if as_of is not None:
+            reader = reader.option("as-of-timestamp", int(as_of))
         df = reader.load(files[0])
+        df = _apply_row_predicate(df, pfilter)
     except Exception:
         df = _load_via_metadata(
             spark,
@@ -71,8 +82,38 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
             allow_moved_paths=str(opts.get("allow_moved_paths", "false")).lower()
             in ("true", "1"),
             snapshot_id=None if snapshot_id is None else int(snapshot_id),
+            as_of_timestamp_ms=None if as_of is None else int(as_of),
+            partition_filter=pfilter,
         )
     return apply_common(df, opts)
+
+
+def _apply_row_predicate(df: DataFrame, predicate: list | None) -> DataFrame:
+    """partition_filter is a predicate on SOURCE columns; after the
+    (may-match) file pruning, re-apply it to rows so the result is
+    exact.  Catalyst then pushes these conjuncts into the parquet scan
+    as usual — the manifest pruning only saved opening the files."""
+    if not predicate:
+        return df
+    cond = None
+    for col, op, val in predicate:
+        if col not in df.columns:
+            continue
+        c = F.col(col)
+        if op == "in":
+            term = c.isin(list(val))
+        elif op == "=":
+            term = c == F.lit(val)
+        elif op == "<":
+            term = c < F.lit(val)
+        elif op == "<=":
+            term = c <= F.lit(val)
+        elif op == ">":
+            term = c > F.lit(val)
+        else:
+            term = c >= F.lit(val)
+        cond = term if cond is None else cond & term
+    return df if cond is None else df.filter(cond)
 
 
 # ------------------------------------------------------------------ #
@@ -120,19 +161,40 @@ def _resolve(path: str, table_path: str, allow_moved: bool) -> str:
     return p
 
 
+def _snapshot_at(meta: dict, ts_ms: int) -> int:
+    """Latest snapshot whose commit timestamp is <= ts_ms, per the
+    snapshot-log (falling back to snapshots' own timestamp-ms)."""
+    log = meta.get("snapshot-log") or [
+        {"timestamp-ms": s.get("timestamp-ms"), "snapshot-id": s["snapshot-id"]}
+        for s in (meta.get("snapshots") or [])
+        if s.get("timestamp-ms") is not None
+    ]
+    eligible = [e for e in log if e.get("timestamp-ms") is not None and e["timestamp-ms"] <= ts_ms]
+    if not eligible:
+        raise MissingDependency(
+            f"no Iceberg snapshot at or before timestamp {ts_ms}"
+        )
+    return max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
+
+
 def _load_via_metadata(
     spark: SparkSession,
     table_path: str,
     allow_moved_paths: bool = False,
     snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filter: list | None = None,
 ) -> DataFrame:
     meta_file = _latest_metadata_file(table_path)
     with open(meta_file) as fh:
         meta: dict[str, Any] = json.load(fh)
-    # time travel: an explicit snapshot_id overrides the current one
+    # time travel: an explicit snapshot_id overrides the current one;
+    # as_of_timestamp_ms resolves through the snapshot log
     snap_id = (
         snapshot_id
         if snapshot_id is not None
+        else _snapshot_at(meta, as_of_timestamp_ms)
+        if as_of_timestamp_ms is not None
         else meta.get("current-snapshot-id")
     )
     snapshots = meta.get("snapshots") or []
@@ -151,6 +213,8 @@ def _load_via_metadata(
         snap["manifest-list"], table_path, allow_moved_paths
     )
     _, manifests = read_container(manifest_list)
+    types, names = schema_field_types(meta)
+    pruned = 0
     data_files: dict[str, int] = {}  # path → sequence number
     pos_delete_files: list[str] = []
     eq_delete_files: list[tuple[str, int]] = []  # (path, sequence number)
@@ -159,6 +223,9 @@ def _load_via_metadata(
         _, entries = read_container(mpath)
         is_delete_manifest = m.get("content", 0) == 1
         m_seq = m.get("sequence_number") or 0
+        spec_fields = spec_fields_for(
+            meta, m.get("partition_spec_id", 0), names
+        )
         for e in entries:
             # manifest-entry status: 0=EXISTING, 1=ADDED, 2=DELETED
             if e.get("status", 0) == 2:
@@ -179,16 +246,34 @@ def _load_via_metadata(
                 else:
                     pos_delete_files.append(path)
             else:
+                # transform-aware manifest pruning (may-match superset;
+                # the residual row predicate restores exactness below)
+                if partition_filter and not file_may_match(
+                    e["data_file"].get("partition"),
+                    spec_fields,
+                    types,
+                    partition_filter,
+                ):
+                    pruned += 1
+                    continue
                 data_files[path] = int(seq)
+    if partition_filter and not data_files:
+        # every file pruned: an empty relation with the table's schema
+        # still needs the schema — read zero rows of any pruned file is
+        # impossible, so surface the situation clearly instead
+        raise MissingDependency(
+            "partition_filter pruned every data file; relax the filter"
+        )
     if not data_files:
         raise MissingDependency(
             f"Iceberg snapshot {snap_id} has no live data files"
         )
     paths = sorted(data_files)
     if not (pos_delete_files or eq_delete_files):
-        return spark.read.parquet(*paths)
-    return _apply_row_deletes(
-        spark, data_files, pos_delete_files, eq_delete_files
+        return _apply_row_predicate(spark.read.parquet(*paths), partition_filter)
+    return _apply_row_predicate(
+        _apply_row_deletes(spark, data_files, pos_delete_files, eq_delete_files),
+        partition_filter,
     )
 
 

@@ -923,3 +923,250 @@ def test_wkb_point_xy_rejects_non_point(spark):
 
     with pytest.raises(Exception, match="not a POINT"):
         df.select(wkb_point_xy("g")).collect()
+
+
+def test_iceberg_bucket_hash_matches_spec_appendix_b():
+    """The spec's reference values (Appendix B) pin the bucket hash:
+    any deviation silently prunes the wrong files."""
+    import struct
+
+    from pg_analytics_spark.sources.iceberg_prune import (
+        murmur3_x86_32,
+        transform_value,
+    )
+
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+    assert murmur3_x86_32(struct.pack("<q", 17486)) == -653330422
+    assert murmur3_x86_32(struct.pack("<q", 1510871468000000)) == -2047944441
+    # transform semantics from the spec's examples
+    assert transform_value("truncate[10]", -1, "int") == -10
+    assert transform_value("truncate[3]", "iceberg", "string") == "ice"
+    assert transform_value("day", "2017-11-16T22:31:08", "timestamp") == 17486
+    assert transform_value("month", "2017-11-16", "date") == 574
+
+
+def _write_partitioned_iceberg_fixture(root):
+    """v2 table partitioned by (bucket[4](id), truncate[2](cat)): four
+    data files with partition tuples recorded in the manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.avro import write_container
+    from pg_analytics_spark.sources.iceberg_prune import transform_value
+
+    os.makedirs(f"{root}/data", exist_ok=True)
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+
+    part_schema = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": "id_bucket", "type": ["null", "int"]},
+            {"name": "cat_tr", "type": ["null", "string"]},
+        ],
+    }
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": part_schema},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+    groups = {}
+    for i, cat in [(1, "aa1"), (2, "aa2"), (6, "bb1"), (7, "cc3")]:
+        b = transform_value("bucket[4]", i, "long")
+        groups.setdefault((b, cat[:2]), []).append((i, cat))
+    entries = []
+    for n, ((b, tr), rows) in enumerate(sorted(groups.items())):
+        p = f"{root}/data/p{n}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "cat": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 9,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {"id_bucket": b, "cat_tr": tr},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+    man = f"{root}/metadata/man1.avro"
+    write_container(entry_schema, entries, man)
+    mlist = f"{root}/metadata/snap-9.avro"
+    write_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 9,
+            }
+        ],
+        mlist,
+    )
+    meta = {
+        "format-version": 2,
+        "location": root,
+        "current-snapshot-id": 9,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "type": "long"},
+                    {"id": 2, "name": "cat", "type": "string"},
+                ],
+            }
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "id_bucket",
+                        "transform": "bucket[4]",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    },
+                    {
+                        "name": "cat_tr",
+                        "transform": "truncate[2]",
+                        "source-id": 2,
+                        "field-id": 1001,
+                    },
+                ],
+            }
+        ],
+        "snapshots": [{"snapshot-id": 9, "manifest-list": mlist}],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as fh:
+        jsonlib.dump(meta, fh)
+    with open(f"{root}/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+
+def test_iceberg_partition_pruning_bucket_and_truncate(spark, tmp_path):
+    root = str(tmp_path / "icep")
+    _write_partitioned_iceberg_fixture(root)
+    # no filter: all rows
+    assert load_source(spark, root, "iceberg").count() == 4
+    # bucket[4] equality on id=6 (bucket 1 — unique among the files)
+    # prunes to the single matching file
+    df = load_source(
+        spark, root, "iceberg", {"partition_filter": '[["id", "=", 6]]'}
+    )
+    assert [r["id"] for r in df.collect()] == [6]
+    assert len(df.inputFiles()) == 1
+    # truncate[2] range predicate on cat: cat >= 'bb' keeps bb/cc files
+    df2 = load_source(
+        spark, root, "iceberg", {"partition_filter": [["cat", ">=", "bb"]]}
+    )
+    assert sorted(r["cat"] for r in df2.collect()) == ["bb1", "cc3"]
+    assert len(df2.inputFiles()) == 2
+    # pruning everything is surfaced, not an empty mystery
+    with pytest.raises(MissingDependency):
+        load_source(
+            spark, root, "iceberg",
+            {"partition_filter": [["cat", ">", "zz"]]},
+        )
+
+
+def test_iceberg_as_of_timestamp_time_travel(spark, tmp_path):
+    root = str(tmp_path / "icet")
+    _write_iceberg_fixture(root)
+    # add a second, later snapshot (id 88) whose manifest only has f1
+    from pg_analytics_spark.sources.avro import write_container
+
+    meta_path = f"{root}/metadata/v2.metadata.json"
+    with open(meta_path) as fh:
+        meta = jsonlib.load(fh)
+    man2 = f"{root}/metadata/man2.avro"
+    write_container(
+        _MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 0,
+                "snapshot_id": 88,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{root}/data/f1.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 3,
+                    "file_size_in_bytes": os.path.getsize(
+                        f"{root}/data/f1.parquet"
+                    ),
+                },
+            }
+        ],
+        man2,
+    )
+    mlist2 = f"{root}/metadata/snap-88.avro"
+    write_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man2,
+                "manifest_length": os.path.getsize(man2),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 2,
+                "added_snapshot_id": 88,
+            }
+        ],
+        mlist2,
+    )
+    meta["snapshots"][0]["timestamp-ms"] = 1000
+    meta["snapshots"].append(
+        {"snapshot-id": 88, "manifest-list": mlist2, "timestamp-ms": 2000}
+    )
+    meta["current-snapshot-id"] = 88
+    meta["snapshot-log"] = [
+        {"timestamp-ms": 1000, "snapshot-id": 77},
+        {"timestamp-ms": 2000, "snapshot-id": 88},
+    ]
+    with open(meta_path, "w") as fh:
+        jsonlib.dump(meta, fh)
+    # as-of 1500 resolves to snapshot 77 (both files)
+    assert load_source(
+        spark, root, "iceberg", {"as_of_timestamp_ms": 1500}
+    ).count() == 5
+    # as-of 2500 resolves to snapshot 88 (f1 only)
+    assert load_source(
+        spark, root, "iceberg", {"as_of_timestamp_ms": 2500}
+    ).count() == 3
+    # before the first snapshot: clear error
+    with pytest.raises(MissingDependency):
+        load_source(spark, root, "iceberg", {"as_of_timestamp_ms": 10})
