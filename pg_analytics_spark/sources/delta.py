@@ -47,16 +47,83 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
         raise MissingDependency("delta source takes exactly one table path")
     path = files[0]
     version = opts.get("version_as_of", opts.get("versionAsOf"))
+    ts = opts.get("timestamp_as_of", opts.get("timestampAsOf"))
+    if version is not None and ts is not None:
+        raise ValueError(
+            "specify either version_as_of or timestamp_as_of, not both"
+        )
     try:
         reader = spark.read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", int(version))
+        if ts is not None:
+            reader = reader.option("timestampAsOf", str(ts))
         df = reader.load(path)
+    except (ValueError, TypeError):
+        raise
     except Exception:
+        if ts is not None:
+            version = _resolve_timestamp(
+                os.path.join(path, "_delta_log"), _ts_ms(ts)
+            )
         df = _load_via_log(
             spark, path, version=None if version is None else int(version)
         )
     return apply_common(df, opts)
+
+
+def _ts_ms(ts) -> int:
+    """timestamp_as_of value → epoch millis (int millis, or an ISO
+    datetime string, naive = UTC — delta-spark's timestampAsOf shape)."""
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    s = str(ts)
+    if s.isdigit():
+        return int(s)
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(s)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp() * 1000)
+
+
+def _resolve_timestamp(log_dir: str, ts_ms: int) -> int:
+    """Latest commit version whose timestamp is <= ts_ms.  Timestamps
+    come from each commit's commitInfo action (file mtime as the
+    protocol-permitted fallback); per the protocol they are
+    monotonically non-decreasing across versions."""
+    if not os.path.isdir(log_dir):
+        raise MissingDependency(f"not a Delta table (no _delta_log): {log_dir}")
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    best = None
+    for v in versions:
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        t = None
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and "timestamp" in ci:
+                    t = int(ci["timestamp"])
+                    break
+        if t is None:
+            t = int(os.path.getmtime(p) * 1000)
+        if t <= ts_ms:
+            best = v
+        else:
+            break
+    if best is None:
+        raise MissingDependency(
+            f"no Delta commit at or before timestamp {ts_ms} in {log_dir}"
+        )
+    return best
 
 
 # ------------------------------------------------------------------ #

@@ -1478,3 +1478,111 @@ def _register_dedup_bloom():
 
 
 _register_dedup_bloom()
+
+
+@register(
+    "text_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(f.f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_tok_freq,
+           MIN(f.f) AS min_freq,
+           SUM(CASE WHEN f.f = 1 THEN 1 ELSE 0 END) AS n_hapax
+    FROM toks t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Corpus-statistics quality signal: per-doc mean corpus "
+    "frequency of its tokens, rarest-token frequency, and hapax count "
+    "— the no-LM stand-in for perplexity filtering (rare-token-heavy "
+    "docs are OOD/noise candidates; all-common-token docs are "
+    "boilerplate candidates).  Deliberately rational arithmetic only: "
+    "exact integer counts and one correctly-rounded division, so the "
+    "score is bit-identical cross-engine (a log-based surprisal would "
+    "hit libm ulp differences between engines).  Scale: one "
+    "token-frequency agg (map-side combinable, uniform md5-free key), "
+    "one join back (freq relation ~ vocab size, broadcastable), one "
+    "per-doc agg.",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.lower("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum("f").cast("double") / F.count("*").cast("double")
+            ).alias("mean_tok_freq"),
+            F.min("f").alias("min_freq"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _register_dedup_near_keep():
+    # the minhash pairs oracle nests as a derived table; the recursive
+    # component walk must sit on the TOP-level WITH
+    inner = _MINHASH_ORACLE.strip()
+    oracle = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({inner})
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+    ), lab AS (
+      SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN lab USING (doc_id)
+    WHERE lab.doc_id = lab.cluster_id
+    ORDER BY doc_id
+    """
+
+    @register(
+        "dedup_near_keep",
+        oracle=oracle,
+        doc="END-TO-END near-dedup: the deduplicated corpus itself — "
+        "MinHash+LSH candidate pairs (Jaccard >= 0.5) become the "
+        "duplicate graph, connected components assign cluster ids, and "
+        "only each cluster's min-id representative survives.  This is "
+        "the operator a pre-training pipeline actually runs (pairs and "
+        "clusters are diagnostics; the deliverable is the kept "
+        "corpus).  Scale: banding bounds candidate generation, label "
+        "propagation is iterations~diameter distributed joins with "
+        "periodic localCheckpoint, and the final keep is one join — "
+        "no stage touches |docs|² anywhere.",
+    )
+    def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.dedup import neardup_clusters
+
+        d = table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            d, "text", "doc_id",
+            num_hashes=12, bands=4, shingle_k=9, threshold=0.5,
+        ).select("id_a", "id_b")
+        clusters = neardup_clusters(d, pairs, "doc_id")
+        return (
+            clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+            .join(d, "doc_id")
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id")
+        )
+
+
+_register_dedup_near_keep()

@@ -1170,3 +1170,27 @@ def test_iceberg_as_of_timestamp_time_travel(spark, tmp_path):
     # before the first snapshot: clear error
     with pytest.raises(MissingDependency):
         load_source(spark, root, "iceberg", {"as_of_timestamp_ms": 10})
+
+
+def test_delta_timestamp_as_of(spark, tmp_path):
+    root = str(tmp_path / "dl_ts")
+    _write_delta_fixture(spark, root)
+    # stamp commitInfo timestamps: v0 at t=1000, v1 at t=2000
+    for v, t in [(0, 1000), (1, 2000)]:
+        p = f"{root}/_delta_log/{v:020d}.json"
+        with open(p) as fh:
+            body = fh.read()
+        with open(p, "w") as fh:
+            fh.write(jsonlib.dumps({"commitInfo": {"timestamp": t}}) + "\n")
+            fh.write(body)
+    ts = load_source(spark, root, "delta", {"timestamp_as_of": 1500})
+    assert sorted(r["id"] for r in ts.collect()) == [0, 1, 2, 3, 4, 5, 6, 7]
+    ts2 = load_source(spark, root, "delta", {"timestamp_as_of": 2000})
+    assert sorted(r["id"] for r in ts2.collect()) == [0, 1, 2, 3, 4, 8, 9]
+    with pytest.raises(MissingDependency):
+        load_source(spark, root, "delta", {"timestamp_as_of": 10})
+    with pytest.raises(ValueError):
+        load_source(
+            spark, root, "delta",
+            {"timestamp_as_of": 1500, "version_as_of": 0},
+        )
