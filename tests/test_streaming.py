@@ -264,3 +264,68 @@ def test_streaming_corpus_ingest_matches_batch_curation(spark, tmp_path):
     want_ids = sorted(r["doc_id"] for r in want.collect())
     assert got_ids == want_ids
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_bloom_ingest_matches_batch(spark, tmp_path):
+    """Two micro-batches: the second batch's probe counts must equal
+    the batch operator run with batch 1 as history (probe-before-merge
+    semantics), and batch 1 must see an empty filter."""
+    import os
+    import time
+
+    from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
+    from pg_analytics_spark.streaming.bloom_ingest import (
+        M_BITS,
+        NUM_HASHES,
+        _chunk_hashes,
+        run_bloom_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b1 = docs.filter(F.col("source") != "src0")
+    b2 = docs.filter(F.col("source") == "src0")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    b1.coalesce(1).toPandas().to_parquet(f"{in_dir}/00000.parquet")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    b2.coalesce(1).toPandas().to_parquet(f"{in_dir}/00001.parquet")
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_bloom_ingest(spark, in_dir, state, out, ckpt)
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_bloom_hits"])
+        for r in spark.read.parquet(out)
+        .join(b2.select("doc_id"), "doc_id")
+        .collect()
+    }
+    # batch twin: probe b2 against b1's filter
+    hist_bits = bloom_bits(
+        _chunk_hashes(b1), "h32", m_bits=M_BITS, num_hashes=NUM_HASHES
+    )
+    chunks2 = _chunk_hashes(b2)
+    want = {
+        r["doc_id"]: (r["n_chunks"], r["n_bloom_hits"])
+        for r in bloom_probe(
+            chunks2, "h32", hist_bits, ["doc_id", "ci"],
+            m_bits=M_BITS, num_hashes=NUM_HASHES,
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom_hits"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(h for _, h in got.values()) > 0  # real cross-batch hits
+    # batch 1 probed an empty filter: zero hits
+    b1_hits = (
+        spark.read.parquet(out)
+        .join(b1.select("doc_id"), "doc_id")
+        .agg(F.sum("n_bloom_hits"))
+        .collect()[0][0]
+    )
+    assert b1_hits == 0
