@@ -296,15 +296,180 @@ def _rewrite_casts(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return tokens
 
 
+def _depths(tokens) -> list[int]:
+    """Paren depth at each token (the token's own open paren counts)."""
+    out, d = [], 0
+    for kind, text in tokens:
+        if kind == "op" and text == "(":
+            d += 1
+            out.append(d)
+        elif kind == "op" and text == ")":
+            out.append(d)
+            d -= 1
+        else:
+            out.append(d)
+    return out
+
+
+def _rewrite_exclude(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """DuckDB ``* EXCLUDE (a, b)`` / ``* EXCLUDE a`` → Spark
+    ``* EXCEPT (a, b)``.  Only fires when the previous code token is
+    ``*`` — a column actually named exclude stays untouched."""
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if kind == "word" and text.lower() == "exclude":
+            p = _prev_code(tokens, i)
+            if p >= 0 and tokens[p] == ("op", "*"):
+                tokens = list(tokens)
+                tokens[i] = ("word", "EXCEPT")
+                n = _next_code(tokens, i)
+                if n < len(tokens) and tokens[n] != ("op", "("):
+                    # single bare column (possibly qualified): add parens
+                    j = n
+                    while True:
+                        nx = _next_code(tokens, j)
+                        if (
+                            nx < len(tokens)
+                            and tokens[nx] == ("op", ".")
+                        ):
+                            k = _next_code(tokens, nx)
+                            if k < len(tokens) and tokens[k][0] in (
+                                "word",
+                                "qident",
+                            ):
+                                j = k
+                                continue
+                        break
+                    tokens = (
+                        tokens[:n]
+                        + [("op", "(")]
+                        + tokens[n : j + 1]
+                        + [("op", ")")]
+                        + tokens[j + 1 :]
+                    )
+        i += 1
+    return tokens
+
+
+#: clause keywords that end a QUALIFY predicate at the same depth
+_QUALIFY_STOP = frozenset(
+    "order limit offset union intersect except window".split()
+)
+
+
+def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """DuckDB/Snowflake ``QUALIFY pred`` → computed filter column:
+
+    ``SELECT <list> FROM ... QUALIFY pred [trailing]`` becomes
+    ``SELECT * EXCEPT (__qual) FROM (SELECT <list>, (pred) AS __qual
+    FROM ...) __qq WHERE __qual [trailing]``.
+
+    The predicate may contain window functions (computed in the inner
+    select list) or references to select-list aliases (Spark's lateral
+    column alias resolution).  Trailing ORDER BY/LIMIT stay outside the
+    wrap, where the inner aliases remain visible.  ``SELECT DISTINCT …
+    QUALIFY`` is left unrewritten (the computed column would change the
+    distinct key)."""
+    while True:
+        depths = _depths(tokens)
+        q = next(
+            (
+                i
+                for i, (k, t) in enumerate(tokens)
+                if k == "word" and t.lower() == "qualify"
+            ),
+            None,
+        )
+        if q is None:
+            return tokens
+        dq = depths[q]
+        sel = next(
+            (
+                i
+                for i in range(q - 1, -1, -1)
+                if depths[i] == dq
+                and tokens[i][0] == "word"
+                and tokens[i][1].lower() == "select"
+            ),
+            None,
+        )
+        if sel is None:
+            return tokens
+        nx = _next_code(tokens, sel)
+        if (
+            nx < len(tokens)
+            and tokens[nx][0] == "word"
+            and tokens[nx][1].lower() == "distinct"
+        ):
+            return tokens
+        frm = next(
+            (
+                i
+                for i in range(sel + 1, q)
+                if depths[i] == dq
+                and tokens[i][0] == "word"
+                and tokens[i][1].lower() == "from"
+            ),
+            None,
+        )
+        if frm is None:
+            return tokens
+        j = q + 1
+        while j < len(tokens):
+            if depths[j] < dq:
+                break
+            k, t = tokens[j]
+            if depths[j] == dq and k == "op" and t == ")":
+                break  # the paren closing this subquery's scope
+            if (
+                depths[j] == dq
+                and k == "word"
+                and t.lower() in _QUALIFY_STOP
+            ):
+                break
+            j += 1
+        pred = tokens[q + 1 : j]
+        inner = (
+            tokens[sel:frm]
+            + [("op", ","), ("ws", " "), ("op", "(")]
+            + pred
+            + [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "),
+               ("word", "__qual"), ("ws", " ")]
+            + tokens[frm:q]
+        )
+        repl = (
+            [
+                ("word", "SELECT"), ("ws", " "), ("op", "*"), ("ws", " "),
+                ("word", "EXCEPT"), ("ws", " "), ("op", "("),
+                ("word", "__qual"), ("op", ")"), ("ws", " "),
+                ("word", "FROM"), ("ws", " "), ("op", "("),
+            ]
+            + inner
+            + [
+                ("op", ")"), ("ws", " "), ("word", "__qq"), ("ws", " "),
+                ("word", "WHERE"), ("ws", " "), ("word", "__qual"),
+                ("ws", " "),
+            ]
+        )
+        tokens = tokens[:sel] + repl + tokens[j:]
+
+
+_EXTRA_RE = re.compile(r"\b(qualify|exclude)\b", re.IGNORECASE)
+
+
 def rewrite_pg(sql: str) -> str:
     """Rewrite Postgres/DuckDB-dialect constructs to Spark SQL.
 
     A no-op (returns the input object) when the query contains neither
-    ``::`` nor ``->`` — plain Spark SQL never pays tokenization cost.
+    ``::`` nor ``->`` nor a QUALIFY/EXCLUDE keyword — plain Spark SQL
+    never pays tokenization cost.
     """
-    if "::" not in sql and "->" not in sql:
+    if "::" not in sql and "->" not in sql and not _EXTRA_RE.search(sql):
         return sql
     tokens = _tokenize(sql)
     tokens = _rewrite_arrows(tokens)
     tokens = _rewrite_casts(tokens)
+    tokens = _rewrite_exclude(tokens)
+    tokens = _rewrite_qualify(tokens)
     return "".join(t for _, t in tokens)

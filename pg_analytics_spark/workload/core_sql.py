@@ -1067,6 +1067,33 @@ def sql_passthrough_pg_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_PASSTHROUGH_PG_JSON)
 
 
+_PASSTHROUGH_QUALIFY = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       row_number() OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+       ) AS rk
+FROM customer
+QUALIFY rk <= 3
+ORDER BY c_nationkey, rk
+"""
+
+
+@register(
+    "sql_passthrough_qualify",
+    oracle=_PASSTHROUGH_QUALIFY,
+    doc="DuckDB-dialect passthrough: QUALIFY (top-3 per nation) is not "
+    "Spark SQL; the dialect shim hoists the predicate into a computed "
+    "__qual column + wrapped filter (dialect.py), so the reference's "
+    "DuckDB SQL text runs unchanged.  DuckDB executes the raw text.",
+)
+def sql_passthrough_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return eng.sql(_PASSTHROUGH_QUALIFY)
+
+
 @register(
     "skew_salted_join_agg",
     oracle="""

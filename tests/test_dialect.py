@@ -201,3 +201,54 @@ def test_jsonb_declared_array_column_end_to_end(engine, spark, tmp_path):
     ).collect()[0]
     assert second.second == "8"
     engine.detach("json_table")
+
+
+def test_exclude_rewrites_to_except():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("SELECT * EXCLUDE (g) FROM t") == (
+        "SELECT * EXCEPT (g) FROM t"
+    )
+    assert rewrite_pg("SELECT * EXCLUDE g FROM t") == (
+        "SELECT * EXCEPT (g) FROM t"
+    )
+    assert rewrite_pg("SELECT t.* EXCLUDE t.g FROM t") == (
+        "SELECT t.* EXCEPT (t.g) FROM t"
+    )
+    # a column actually named exclude is untouched
+    assert rewrite_pg("SELECT exclude FROM t") == "SELECT exclude FROM t"
+
+
+def test_qualify_rewrites_and_runs(spark):
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView(
+        "qt"
+    )
+    # alias reference
+    n = spark.sql(
+        rewrite_pg(
+            "SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY id)"
+            " AS rn FROM qt QUALIFY rn = 1"
+        )
+    ).count()
+    assert n == 3
+    # raw window fn in the predicate + trailing ORDER BY/LIMIT outside
+    rows = spark.sql(
+        rewrite_pg(
+            "SELECT id, g FROM qt QUALIFY row_number() OVER "
+            "(PARTITION BY g ORDER BY id) = 1 ORDER BY id LIMIT 2"
+        )
+    ).collect()
+    assert [r["id"] for r in rows] == [0, 1]
+    # QUALIFY inside a subquery leaves the outer query intact
+    rows = spark.sql(
+        rewrite_pg(
+            "SELECT a FROM (SELECT id AS a, rank() OVER (ORDER BY id) r"
+            " FROM qt QUALIFY r <= 2) s WHERE a >= 0"
+        )
+    ).collect()
+    assert sorted(r["a"] for r in rows) == [0, 1]
+    # SELECT DISTINCT … QUALIFY is left unrewritten (documented out)
+    sql = "SELECT DISTINCT g FROM qt QUALIFY 1 = 1"
+    assert rewrite_pg(sql) == sql
