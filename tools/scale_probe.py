@@ -56,6 +56,24 @@ def _wall(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _bloom_case(history, probe_docs):
+    """Build the filter over `history`, probe a fixed shard against it."""
+    from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
+    from pg_analytics_spark.streaming.bloom_ingest import (
+        M_BITS,
+        NUM_HASHES,
+        _chunk_hashes,
+    )
+
+    bits = bloom_bits(
+        _chunk_hashes(history), "h32", m_bits=M_BITS, num_hashes=NUM_HASHES
+    )
+    return bloom_probe(
+        _chunk_hashes(probe_docs), "h32", bits, ["doc_id", "ci"],
+        m_bits=M_BITS, num_hashes=NUM_HASHES,
+    )
+
+
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf = "/root/testdata/sf0.1"
@@ -112,6 +130,13 @@ def main() -> None:
             lambda: embedding_neardup_pairs_lsh(
                 emb_big, "embedding", "vec_id", dim=64, threshold=0.99
             ),
+        ),
+        # bloom: HISTORY grows mult×, probe shard stays fixed — the
+        # continuous-ingest axis.  Near-flat factor expected: the probe
+        # cost is per-shard; only the filter build scans the history.
+        "dedup_bloom_probe": (
+            lambda: _bloom_case(docs, docs.limit(500)),
+            lambda: _bloom_case(docs_big, docs.limit(500)),
         ),
     }
     for name, (one, big) in cases.items():
