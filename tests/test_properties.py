@@ -274,3 +274,71 @@ def test_passjoin_edit_distance_lossless(spark, strs, prefix):
         if ba == bb and _naive_lev(a, b) <= 2:
             want[(min(i, j), max(i, j))] = _naive_lev(a, b)
     assert got == want
+
+
+@st.composite
+def bloom_case(draw):
+    items = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    )
+    hist = draw(st.sets(items, min_size=1, max_size=30))
+    probe = draw(st.sets(items, min_size=1, max_size=15)) | set(
+        list(hist)[:5]
+    )
+    return sorted(hist), sorted(probe)
+
+
+def _bloom_ref_bits(items, m_bits, k):
+    """Pure-Python replica of bloom_bits' bit math."""
+    import hashlib
+
+    from pg_analytics_spark.functions.hashing import MINHASH_COEFFS, MINHASH_P
+
+    words = {}
+    for s in items:
+        h32 = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        for a, b in MINHASH_COEFFS[:k]:
+            pos = ((a * h32 + b) % MINHASH_P) % m_bits
+            w, bit = pos // 32, pos % 32
+            words[w] = words.get(w, 0) | (1 << bit)
+    return words
+
+
+@given(case=bloom_case())
+@_SETTINGS
+def test_bloom_bits_exact_and_no_false_negatives(spark, case):
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
+
+    hist, probe = case
+    m_bits, k = 1 << 10, 5
+    hdf = spark.createDataFrame(
+        [(s,) for s in hist], "s STRING"
+    ).selectExpr(
+        "s",
+        "CAST(conv(substr(md5(cast(s AS binary)), 1, 8), 16, 10) AS BIGINT)"
+        " AS h32",
+    )
+    bits = bloom_bits(hdf, "h32", m_bits=m_bits, num_hashes=k)
+    got = {r["word"]: r["bits"] for r in bits.collect()}
+    assert got == _bloom_ref_bits(hist, m_bits, k)  # bit-exact build
+    pdf = spark.createDataFrame(
+        [(s,) for s in probe], "s STRING"
+    ).selectExpr(
+        "s",
+        "CAST(conv(substr(md5(cast(s AS binary)), 1, 8), 16, 10) AS BIGINT)"
+        " AS h32",
+    )
+    hits = {
+        r["s"]: r["bloom_hit"]
+        for r in bloom_probe(
+            pdf, "h32", bits, ["s"], m_bits=m_bits, num_hashes=k
+        ).collect()
+    }
+    hset = set(hist)
+    for s in probe:
+        if s in hset:
+            assert hits[s], f"false negative for {s!r}"
