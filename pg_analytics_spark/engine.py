@@ -200,6 +200,70 @@ class Engine:
             writer.saveAsTable(name)
         return self.spark.table(name)
 
+    def compact(
+        self,
+        path: str,
+        target_file_mb: int = 128,
+        partition_by: str | list[str] | None = None,
+        format: str = "parquet",
+    ) -> dict:
+        """Rewrite a small-file dataset into ~target_file_mb files —
+        the maintenance op every streaming/incremental sink needs (each
+        micro-batch append leaves small files; scan cost at 100 TB is
+        driven by file count as much as bytes).
+
+        Un-partitioned data repartitions to ceil(bytes/target); with
+        ``partition_by``, rows hash-route by the partition columns so
+        each hive partition is written by one task → one file per
+        partition dir.  The rewrite goes to a temp sibling directory
+        and swaps in via rename, so a concurrent reader sees either the
+        old or the new layout, never a half-written mix.
+        Returns {files_before, files_after, bytes}.
+        """
+        import math
+        import os
+        import shutil
+        import uuid
+
+        df = load_source(self.spark, path, format)
+        files = [
+            f[5:] if f.startswith("file:") else f for f in df.inputFiles()
+        ]
+        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        n_before = len(files)
+        tmp = os.path.join(
+            os.path.dirname(path.rstrip("/")),
+            f"_compact-{uuid.uuid4().hex}",
+        )
+        as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+        writer_df = df
+        if partition_by:
+            cols = as_list(partition_by)
+            n = max(
+                1, math.ceil(total / (target_file_mb * 1024 * 1024))
+            )
+            writer_df = df.repartition(n, *cols)
+            writer_df.write.format(format).mode("overwrite").partitionBy(
+                *cols
+            ).save(tmp)
+        else:
+            n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+            writer_df = df.repartition(n)
+            writer_df.write.format(format).mode("overwrite").save(tmp)
+        old = os.path.join(
+            os.path.dirname(path.rstrip("/")), f"_old-{uuid.uuid4().hex}"
+        )
+        os.replace(path.rstrip("/"), old)
+        os.replace(tmp, path.rstrip("/"))
+        shutil.rmtree(old, ignore_errors=True)
+        out = load_source(self.spark, path, format)
+        n_after = len(out.inputFiles())
+        return {
+            "files_before": n_before,
+            "files_after": n_after,
+            "bytes": total,
+        }
+
     # ------------------------------------------------------------------ #
     # EXPLAIN (U1 — src/hooks/utility/explain.rs:39-96)
     # ------------------------------------------------------------------ #

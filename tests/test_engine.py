@@ -273,3 +273,44 @@ def test_materialize_writer_options(engine, tmp_path):
     meta = pq.ParquetFile(f).metadata
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
     engine.detach("zstd_t")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "many")
+    # 16 tiny appended files, the streaming-sink pathology
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id % 3 AS g"
+        ).repartition(4).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    stats = eng.compact(path, target_file_mb=128)
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] == 1  # tiny data -> one target file
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert sorted(r["id"] for r in after.collect()) == sorted(
+        range(0, 400)
+    )
+
+
+def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "manyp")
+    for i in range(3):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "CAST(id % 2 AS INT) AS part"
+        ).repartition(3).write.mode("append").partitionBy("part").parquet(path)
+    stats = eng.compact(path, partition_by="part")
+    after = spark.read.parquet(path)
+    assert after.count() == 300
+    assert stats["files_after"] <= 2  # one per partition dir
+    assert {r["part"] for r in after.select("part").distinct().collect()} == {
+        0,
+        1,
+    }
