@@ -159,6 +159,7 @@ class Engine:
         partition_by: str | list[str] | None = None,
         bucket_by: tuple[int, str | list[str]] | None = None,
         sort_by: str | list[str] | None = None,
+        cluster_by: str | list[str] | tuple[int, str | list[str]] | None = None,
         options: dict | None = None,
     ) -> DataFrame:
         """CREATE TABLE AS SELECT.
@@ -169,10 +170,32 @@ class Engine:
         pruning.  Without ``path``: saves a managed table, where
         ``bucket_by=(n, cols)`` + ``sort_by`` lay the data out for
         shuffle-free co-located joins on the bucket key.
+
+        ``cluster_by`` (cols, or ``(n, cols)`` to pin the file count)
+        range-partitions + sorts rows by the given columns before
+        writing (either path), so each file/row-group owns a disjoint
+        key range: parquet min/max statistics then prune scans on
+        those columns — the zone-map lever that makes selective range
+        queries cheap at 100 TB without hive partitioning's small-file
+        explosion on high-cardinality keys.
         Returns the materialized table's DataFrame.
         """
         df = self.sql(query)
         as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+        if cluster_by:
+            # (n, cols) pins the file count (AQE otherwise coalesces
+            # small range shuffles); bare cols let AQE pick
+            if (
+                isinstance(cluster_by, tuple)
+                and len(cluster_by) == 2
+                and isinstance(cluster_by[0], int)
+            ):
+                n, ccols = cluster_by[0], as_list(cluster_by[1])
+                df = df.repartitionByRange(n, *ccols)
+            else:
+                ccols = as_list(cluster_by)
+                df = df.repartitionByRange(*ccols)
+            df = df.sortWithinPartitions(*ccols)
         if path is not None:
             writer = df.write.format(format).mode(mode)
             if options:

@@ -134,3 +134,41 @@ def test_bucketed_join_has_no_exchange(spark):
     assert n == l.count()
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_materialize_cluster_by_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts the write so parquet
+    min/max stats become zone maps: per-file key ranges must be
+    pairwise disjoint (verified from the actual footers)."""
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    spark.range(0, 100_000).selectExpr(
+        "CAST(hash(id) % 100000 AS BIGINT) AS k", "id AS v"
+    ).createOrReplaceTempView("zm_src")
+    path = str(tmp_path / "clustered")
+    df = eng.materialize(
+        "zm_tbl", "SELECT * FROM zm_src", path=path, cluster_by=(8, "k")
+    )
+    assert df.count() == 100_000
+    ranges = []
+    for f in [
+        p[5:] if p.startswith("file:") else p for p in df.inputFiles()
+    ]:
+        md = pq.ParquetFile(f).metadata
+        col = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }["k"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1  # clustering actually split the data
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
