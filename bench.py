@@ -44,6 +44,7 @@ HEADLINE = [
     "grouping_rollup",
     "stats_moments",
     "dedup_exact",
+    "dedup_bloom_incremental",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_fuzzy_names",
@@ -52,6 +53,7 @@ HEADLINE = [
     "sim_ann_ivf",
     "sim_knn_join",
     "text_stats",
+    "text_rarity_score",
     "text_tfidf_top_terms",
     "events_hourly_window",
     "events_sessionize",

@@ -473,3 +473,170 @@ def rewrite_pg(sql: str) -> str:
     tokens = _rewrite_exclude(tokens)
     tokens = _rewrite_qualify(tokens)
     return "".join(t for _, t in tokens)
+
+
+# ------------------------------------------------------------------ #
+# DuckDB table functions in raw SQL: read_parquet('...') / FROM 'x.csv'
+# ------------------------------------------------------------------ #
+
+#: table-function name → engine source format
+TABLE_FUNCTIONS: dict[str, str] = {
+    "read_parquet": "parquet",
+    "parquet_scan": "parquet",
+    "read_csv": "csv",
+    "read_csv_auto": "csv",
+    "read_json": "json",
+    "read_json_auto": "json",
+    "read_ndjson": "json",
+    "read_ndjson_auto": "json",
+    "delta_scan": "delta",
+    "iceberg_scan": "iceberg",
+    "st_read": "spatial",
+}
+
+#: bare FROM 'file.ext' extension → format
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".csv.gz": "csv",
+    ".json": "json",
+    ".ndjson": "json",
+    ".jsonl": "json",
+    ".geojson": "spatial",
+    ".xlsx": "xlsx",
+}
+
+#: FROM-context introducers for a bare file-path table
+_FROM_WORDS = frozenset(("from", "join"))
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace("''", "'")
+
+
+def _parse_tf_args(tokens, i):
+    """Parse ``(`` args ``)`` starting at the ``(`` token index.
+    Returns (files, options, end_index) — files from the leading string
+    literal or [list, of, literals]; named ``key = literal`` options
+    after it.  Raises ValueError on shapes we don't support."""
+    assert tokens[i] == ("op", "(")
+    j = _next_code(tokens, i)
+    files: list[str] = []
+    if j < len(tokens) and tokens[j][0] == "string":
+        files = [_unquote(tokens[j][1])]
+        j = _next_code(tokens, j)
+    elif j < len(tokens) and tokens[j] == ("op", "["):
+        j = _next_code(tokens, j)
+        while j < len(tokens) and tokens[j][0] == "string":
+            files.append(_unquote(tokens[j][1]))
+            j = _next_code(tokens, j)
+            if j < len(tokens) and tokens[j] == ("op", ","):
+                j = _next_code(tokens, j)
+        if j >= len(tokens) or tokens[j] != ("op", "]"):
+            raise ValueError("unterminated file list in table function")
+        j = _next_code(tokens, j)
+    else:
+        raise ValueError("table function requires a file path literal")
+    opts: dict = {}
+    while j < len(tokens) and tokens[j] == ("op", ","):
+        j = _next_code(tokens, j)
+        if j >= len(tokens) or tokens[j][0] != "word":
+            raise ValueError("expected option name in table function")
+        key = tokens[j][1].lower()
+        j = _next_code(tokens, j)
+        if j < len(tokens) and tokens[j][1] in ("=", ":="):
+            j = _next_code(tokens, j)
+        else:
+            raise ValueError(f"option {key} missing '='")
+        if j >= len(tokens):
+            raise ValueError(f"option {key} missing value")
+        k, t = tokens[j]
+        if k == "string":
+            opts[key] = _unquote(t)
+        elif k == "number":
+            opts[key] = float(t) if "." in t else int(t)
+        elif k == "word" and t.lower() in ("true", "false"):
+            opts[key] = t.lower() == "true"
+        else:
+            raise ValueError(f"unsupported option value for {key}: {t!r}")
+        j = _next_code(tokens, j)
+    if j >= len(tokens) or tokens[j] != ("op", ")"):
+        raise ValueError("unterminated table function call")
+    return files, opts, j
+
+
+def extract_table_functions(sql: str):
+    """Rewrite DuckDB table-function FROM targets and bare file-path
+    tables into generated view names.
+
+    Returns (rewritten_sql, attachments) where attachments is a list of
+    (view_name, files, format, options).  The caller (Engine.sql)
+    registers each as a temp view before executing.  Returns the input
+    unchanged when nothing matches.
+    """
+    low = sql.lower()
+    if not any(fn in low for fn in TABLE_FUNCTIONS) and not any(
+        e + "'" in low for e in _EXT_FORMAT
+    ):
+        return sql, []
+    tokens = _tokenize(sql)
+    attachments = []
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if (
+            kind == "word"
+            and text.lower() in TABLE_FUNCTIONS
+        ):
+            n = _next_code(tokens, i)
+            if n < len(tokens) and tokens[n] == ("op", "("):
+                try:
+                    files, opts, end = _parse_tf_args(tokens, n)
+                except ValueError:
+                    out.append(tokens[i])
+                    i += 1
+                    continue
+                name = f"__tf_{len(attachments)}"
+                attachments.append(
+                    (name, files, TABLE_FUNCTIONS[text.lower()], opts)
+                )
+                out.append(("word", name))
+                i = end + 1
+                continue
+        if (
+            kind == "string"
+            and out
+            and any(
+                _prev_word(out) == w for w in _FROM_WORDS
+            )
+        ):
+            path = _unquote(text)
+            fmt = _path_format(path)
+            if fmt is not None:
+                name = f"__tf_{len(attachments)}"
+                attachments.append((name, [path], fmt, {}))
+                out.append(("word", name))
+                i += 1
+                continue
+        out.append(tokens[i])
+        i += 1
+    if not attachments:
+        return sql, []
+    return "".join(t for _, t in out), attachments
+
+
+def _prev_word(out) -> str | None:
+    for k, t in reversed(out):
+        if k in ("ws", "comment"):
+            continue
+        return t.lower() if k == "word" else None
+    return None
+
+
+def _path_format(path: str) -> str | None:
+    p = path.lower()
+    for ext, fmt in _EXT_FORMAT.items():
+        if p.endswith(ext):
+            return fmt
+    return None

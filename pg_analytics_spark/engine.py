@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_analytics_spark import types as _types
-from pg_analytics_spark.dialect import rewrite_pg
+from pg_analytics_spark.dialect import extract_table_functions, rewrite_pg
 from pg_analytics_spark.errors import EngineError
 from pg_analytics_spark.session import get_spark
 from pg_analytics_spark.sources import load_source, split_files
@@ -125,8 +125,21 @@ class Engine:
         casts and ``->``/``->>`` chains (tests/tests/json.rs:294-312)
         are rewritten to Spark SQL by :mod:`pg_analytics_spark.dialect`
         before execution; plain Spark SQL passes through untouched.
+
+        DuckDB table functions work inline — ``FROM read_parquet('…')``
+        / ``read_csv`` / ``delta_scan`` / ``iceberg_scan`` / ``st_read``
+        and bare ``FROM 'file.parquet'`` targets (the SQL the reference
+        generates for its views, src/duckdb/*.rs create_view) are
+        registered through the source layer as temp views on the fly,
+        so their full option surface (hive partitioning, DV/column
+        mapping, time travel, …) applies.
         """
         query = rewrite_pg(query)
+        query, tf_views = extract_table_functions(query)
+        for name, files, fmt, opts in tf_views:
+            load_source(self.spark, files, fmt, opts).createOrReplaceTempView(
+                name
+            )
         if args:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)

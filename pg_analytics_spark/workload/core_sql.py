@@ -1095,6 +1095,38 @@ def sql_passthrough_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_passthrough_read_parquet",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="DuckDB table-function passthrough: the Spark side executes "
+    "`FROM read_parquet('<sf_dir>/lineitem.parquet')` — the literal "
+    "SQL shape the reference generates for every foreign table "
+    "(src/duckdb/parquet.rs create_view) — via Engine.sql's inline "
+    "table-function registration (dialect.extract_table_functions); "
+    "the oracle reads the same file through its registered view.",
+)
+def sql_passthrough_read_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.sql(f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 AS sum_qty
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+@register(
     "skew_salted_join_agg",
     oracle="""
     SELECT o.o_orderpriority,

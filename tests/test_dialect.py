@@ -252,3 +252,34 @@ def test_qualify_rewrites_and_runs(spark):
     # SELECT DISTINCT … QUALIFY is left unrewritten (documented out)
     sql = "SELECT DISTINCT g FROM qt QUALIFY 1 = 1"
     assert rewrite_pg(sql) == sql
+
+
+def test_sql_table_functions_inline(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "tf.parquet")
+    spark.range(5).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(p)
+    c = str(tmp_path / "tf.csv")
+    with open(c, "w") as fh:
+        fh.write("id;name\n1;a\n2;b\n")
+    # DuckDB table-function call with options
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM read_parquet('{p}')"
+    ).collect()[0]["n"]
+    assert n == 5
+    rows = eng.sql(
+        f"SELECT * FROM read_csv('{c}', header = true, delim = ';')"
+    ).collect()
+    assert {r["name"] for r in rows} == {"a", "b"}
+    # bare file path as a FROM target, joined to a table function
+    out = eng.sql(
+        f"SELECT t.id, t.v FROM '{p}' t "
+        f"JOIN read_parquet('{p}') u ON t.id = u.id ORDER BY t.id"
+    ).collect()
+    assert [r["id"] for r in out] == [0, 1, 2, 3, 4]
+    # a string literal NOT in FROM position is untouched
+    lit = eng.sql("SELECT 'x.parquet' AS s").collect()[0]["s"]
+    assert lit == "x.parquet"
