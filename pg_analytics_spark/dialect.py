@@ -455,7 +455,11 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
         tokens = tokens[:sel] + repl + tokens[j:]
 
 
-_EXTRA_RE = re.compile(r"\b(qualify|exclude)\b", re.IGNORECASE)
+_EXTRA_RE = re.compile(
+    r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
+    r"|string_to_array|starts_with|ends_with)\b",
+    re.IGNORECASE,
+)
 
 
 def rewrite_pg(sql: str) -> str:
@@ -472,6 +476,7 @@ def rewrite_pg(sql: str) -> str:
     tokens = _rewrite_casts(tokens)
     tokens = _rewrite_exclude(tokens)
     tokens = _rewrite_qualify(tokens)
+    tokens = _rewrite_fn_aliases(tokens)
     return "".join(t for _, t in tokens)
 
 
@@ -640,3 +645,56 @@ def _path_format(path: str) -> str | None:
         if p.endswith(ext):
             return fmt
     return None
+
+
+# ------------------------------------------------------------------ #
+# DuckDB function-name aliases (exact-semantics pairs only)
+# ------------------------------------------------------------------ #
+
+#: DuckDB name → Spark name.  Only functions whose argument order AND
+#: semantics match exactly; anything with divergent formats (strftime),
+#: ambiguous typing (len), or different null behavior stays out — a
+#: clear unresolved-function error beats a silently different answer.
+FN_ALIASES: dict[str, str] = {
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_distinct": "array_distinct",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_sort": "sort_array",
+    "list_filter": "filter",
+    "list_transform": "transform",
+    "list_value": "array",
+    "list_pack": "array",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_unique": "array_size",  # count of distinct: see note below
+    "array_to_string": "array_join",
+    "regexp_matches": "regexp_like",
+    "string_to_array": "split",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+}
+# Deliberately absent: list_unique (counts DISTINCT; Spark array_size
+# counts all), list_position (DuckDB returns NULL when missing; Spark
+# returns 0), len (array size vs string length ambiguity), strftime/
+# strptime (format-string languages differ).
+del FN_ALIASES["list_unique"]
+
+
+def _rewrite_fn_aliases(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    out = list(tokens)
+    for i, (kind, text) in enumerate(out):
+        if kind != "word":
+            continue
+        alias = FN_ALIASES.get(text.lower())
+        if alias is None:
+            continue
+        n = _next_code(out, i)
+        if n >= len(out) or out[n] != ("op", "("):
+            continue  # not a call
+        p = _prev_code(out, i)
+        if p >= 0 and out[p] == ("op", "."):
+            continue  # qualified: someone else's namespace
+        out[i] = ("word", alias)
+    return out

@@ -283,3 +283,26 @@ def test_sql_table_functions_inline(spark, tmp_path):
     # a string literal NOT in FROM position is untouched
     lit = eng.sql("SELECT 'x.parquet' AS s").collect()[0]["s"]
     assert lit == "x.parquet"
+
+
+def test_fn_aliases_rewrite_and_run(spark):
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    sql = rewrite_pg(
+        "SELECT list_min(xs) AS lo, list_sort(xs) AS s, "
+        "array_to_string(xs, '-') AS j, "
+        "list_filter(xs, x -> x > 1) AS f, "
+        "regexp_matches('abc', 'b') AS m "
+        "FROM (SELECT array(3, 1, 2) AS xs)"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row["lo"] == 1
+    assert row["s"] == [1, 2, 3]
+    assert row["j"] == "3-1-2"
+    assert row["f"] == [3, 2]
+    assert row["m"] is True
+    # qualified calls and bare identifiers are untouched
+    assert rewrite_pg("SELECT ns.list_min(x) FROM t") == (
+        "SELECT ns.list_min(x) FROM t"
+    )
+    assert rewrite_pg("SELECT list_min FROM t") == "SELECT list_min FROM t"
