@@ -14,8 +14,15 @@ driver-side —
     → spark.read.parquet(*files)
 
 Supported: format v1 and v2 append/overwrite tables, multiple
-snapshots (current via current-snapshot-id), deflate-compressed
-metadata avro, ``allow_moved_paths`` (the reference's option,
+snapshots (current via current-snapshot-id; ``snapshot_id`` and
+``as_of_timestamp_ms`` time travel via the snapshot log),
+NAME-based schema evolution (files grouped by physical schema and
+conformed to the current metadata schema — adds surface as typed
+NULLs, primitives cast to the declared type; renames need the
+runtime's field-id resolution), transform-aware manifest partition
+pruning (``partition_filter``, sources/iceberg_prune.py),
+deflate-compressed metadata avro, ``allow_moved_paths`` (the
+reference's option,
 iceberg.rs:52-56: resolve absolute file paths relative to the moved
 table root), and v2 row-level deletes, both kinds:
 
@@ -270,9 +277,14 @@ def _load_via_metadata(
         )
     paths = sorted(data_files)
     if not (pos_delete_files or eq_delete_files):
-        return _apply_row_predicate(spark.read.parquet(*paths), partition_filter)
+        return _apply_row_predicate(
+            _read_conformed(spark, paths, meta, with_meta_cols=False),
+            partition_filter,
+        )
     return _apply_row_predicate(
-        _apply_row_deletes(spark, data_files, pos_delete_files, eq_delete_files),
+        _apply_row_deletes(
+            spark, data_files, pos_delete_files, eq_delete_files, meta
+        ),
         partition_filter,
     )
 
@@ -299,6 +311,7 @@ def _apply_row_deletes(
     data_files: dict[str, int],
     pos_delete_files: list[str],
     eq_delete_files: list[tuple[str, int]],
+    meta: dict,
 ) -> DataFrame:
     """Merge-on-read: positional deletes anti-join on (file,
     _metadata.row_index); equality deletes anti-join on the delete
@@ -306,10 +319,8 @@ def _apply_row_deletes(
     files whose sequence number is BELOW the delete's.  Everything is
     a distributed join — no driver-side row state; AQE broadcasts
     small delete sides."""
-    data = spark.read.parquet(*sorted(data_files)).select(
-        "*",
-        _delete_key(F.col("_metadata.file_path")).alias("_ice_file"),
-        F.col("_metadata.row_index").alias("_ice_pos"),
+    data = _read_conformed(
+        spark, sorted(data_files), meta, with_meta_cols=True
     )
     if pos_delete_files:
         dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
@@ -332,3 +343,120 @@ def _apply_row_deletes(
             data = d.join(x, cond, "left_anti")
         data = data.drop("_ice_seq")
     return data.drop("_ice_file", "_ice_pos")
+
+
+# ------------------------------------------------------------------ #
+# Schema evolution (name-based) — conform files to the current schema
+# ------------------------------------------------------------------ #
+
+#: Iceberg primitive type name → Spark SQL type (spec §schemas)
+_ICE_TYPES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "time": "bigint",  # µs since midnight; Spark pre-TIME parity choice
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "string": "string",
+    "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _ice_to_spark_type(t) -> str | None:
+    """Spark SQL type string for an Iceberg type, or None when the
+    field should be left as the files deliver it (nested types)."""
+    if not isinstance(t, str):
+        return None  # struct/list/map records: keep the file's shape
+    if t in _ICE_TYPES:
+        return _ICE_TYPES[t]
+    if t.startswith("decimal("):
+        return t
+    if t.startswith("fixed"):
+        return "binary"
+    return None
+
+
+def _conform_to_schema(df: DataFrame, meta: dict) -> DataFrame:
+    """NAME-based schema evolution: project the scan to the table's
+    CURRENT schema — added columns missing from old files surface as
+    typed NULLs (mergeSchema handles the union; this pass fixes order,
+    presence, and types), dropped columns disappear, primitive types
+    cast to the metadata's declaration.  Renames need parquet field-id
+    resolution, which the plain reader cannot do — documented
+    limitation of the fallback (the Iceberg runtime handles it)."""
+    fields = []
+    if "schemas" in meta or "schema" in meta:
+        cur = meta.get("current-schema-id")
+        schema = None
+        for s in meta.get("schemas", []):
+            if s.get("schema-id") == cur:
+                schema = s
+                break
+        if schema is None:
+            schema = meta.get("schema") or (
+                meta["schemas"][-1] if meta.get("schemas") else {}
+            )
+        fields = schema.get("fields", [])
+    if not fields:
+        return df
+    cols = []
+    have = {c.lower(): c for c in df.columns}
+    for f in fields:
+        name = f["name"]
+        spark_t = _ice_to_spark_type(f.get("type"))
+        if name.lower() in have:
+            c = F.col(have[name.lower()])
+            cols.append(
+                (c.cast(spark_t) if spark_t else c).alias(name)
+            )
+        elif spark_t is not None:
+            cols.append(F.lit(None).cast(spark_t).alias(name))
+        # absent nested column in old files: cannot synthesize a typed
+        # null without the full nested type — skip (reader must add it)
+    internal = [c for c in df.columns if c.startswith("_ice_")]
+    return df.select(*cols, *internal)
+
+
+def _read_conformed(
+    spark: SparkSession, paths: list[str], meta: dict, with_meta_cols: bool
+) -> DataFrame:
+    """Scan data files conformed to the current table schema.
+
+    Single-schema tables take one reader call.  Tables whose metadata
+    carries multiple schemas (evolution happened) group files by their
+    PHYSICAL parquet schema (a driver-side footer read per file — the
+    same order of metadata work the runtime spends on manifests) and
+    union the conformed groups: this is what lets an int32-era file
+    coexist with its int64 successor, which Spark's own mergeSchema
+    refuses to merge."""
+    multi = len(meta.get("schemas") or []) > 1
+
+    def _with_cols(df: DataFrame) -> DataFrame:
+        if not with_meta_cols:
+            return df
+        return df.select(
+            "*",
+            _delete_key(F.col("_metadata.file_path")).alias("_ice_file"),
+            F.col("_metadata.row_index").alias("_ice_pos"),
+        )
+
+    if not multi:
+        return _conform_to_schema(_with_cols(spark.read.parquet(*paths)), meta)
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        key = tuple((f.name, str(f.type)) for f in pq.read_schema(p))
+        groups.setdefault(key, []).append(p)
+    parts = [
+        _conform_to_schema(_with_cols(spark.read.parquet(*ps)), meta)
+        for ps in groups.values()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

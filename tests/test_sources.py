@@ -1194,3 +1194,92 @@ def test_delta_timestamp_as_of(spark, tmp_path):
             spark, root, "delta",
             {"timestamp_as_of": 1500, "version_as_of": 0},
         )
+
+
+def test_iceberg_schema_evolution_add_and_type_widen(spark, tmp_path):
+    """Old files lack a later-added column and store `id` as int32; the
+    replay must conform to the CURRENT schema: typed NULLs for the add,
+    declared types for every primitive (name-based evolution; renames
+    are documented as needing the runtime's field-id resolution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.avro import write_container
+
+    root = str(tmp_path / "ice_evo")
+    os.makedirs(f"{root}/data", exist_ok=True)
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+    # old file: schema v0 (id int32); new file: schema v1 (id, note)
+    f_old = f"{root}/data/old.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int32())}), f_old)
+    f_new = f"{root}/data/new.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "note": pa.array(["x"], pa.string()),
+            }
+        ),
+        f_new,
+    )
+
+    def _entry(path):
+        return {
+            "status": 1,
+            "snapshot_id": 5,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    man = f"{root}/metadata/man.avro"
+    write_container(_MANIFEST_ENTRY_SCHEMA, [_entry(f_old), _entry(f_new)], man)
+    mlist = f"{root}/metadata/snap-5.avro"
+    write_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 5,
+            }
+        ],
+        mlist,
+    )
+    meta = {
+        "format-version": 2,
+        "location": root,
+        "current-snapshot-id": 5,
+        "current-schema-id": 1,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [{"id": 1, "name": "id", "type": "int"}],
+            },
+            {
+                "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "id", "type": "long"},
+                    {"id": 2, "name": "note", "type": "string"},
+                ],
+            },
+        ],
+        "snapshots": [{"snapshot-id": 5, "manifest-list": mlist}],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as fh:
+        jsonlib.dump(meta, fh)
+    with open(f"{root}/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    df = load_source(spark, root, "iceberg")
+    assert df.columns == ["id", "note"]
+    assert dict(df.dtypes)["id"] == "bigint"
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
