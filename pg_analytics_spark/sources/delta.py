@@ -20,7 +20,10 @@ shape as the Iceberg positional-delete path — and COLUMN MAPPING
 names via the schemaString's ``delta.columnMapping.physicalName``
 metadata; nested struct/array/map fields are renamed in one positional
 cast to the logical Spark type (physical field order in the files is
-the schemaString order, per the protocol).
+the schemaString order, per the protocol).  NAME-based schema
+evolution: each file group reads with mergeSchema and conforms to the
+CURRENT schemaString — columns added after a file was written surface
+as typed NULLs, primitives cast to their declared types.
 
 Scale note: the log replay is driver-side metadata work (exactly like
 delta-spark's snapshot resolution); the data read is a plain parquet
@@ -175,7 +178,10 @@ def _load_via_log(
     ]
     out: DataFrame | None = None
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.parquet(*paths)
+        # mergeSchema unions columns across files written under older
+        # schemas (ADD COLUMN evolution); _conform_delta then fixes
+        # presence, order, and declared types against schemaString
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if mapping:
             data_cols = [
                 mapping[c][1] for c in mapping if c not in part_cols
@@ -183,6 +189,7 @@ def _load_via_log(
             df = df.select(*data_cols, *(meta_cols if with_meta else []))
         elif with_meta:
             df = df.select("*", *meta_cols)
+        df = _conform_delta(df, meta, part_cols)
         for c, v in zip(part_cols, key):
             lit = F.lit(v).cast(part_types[c])
             df = df.withColumn(c, lit)
@@ -193,6 +200,30 @@ def _load_via_log(
             F.broadcast(dels), ["_dv_file", "_dv_pos"], "left_anti"
         ).drop("_dv_file", "_dv_pos")
     return out
+
+
+def _conform_delta(df: DataFrame, meta: dict, part_cols) -> DataFrame:
+    """NAME-based schema evolution: project to the CURRENT schemaString
+    — columns added after a file was written surface as typed NULLs,
+    dropped ones disappear, primitives cast to the declared type.
+    Internal _dv_* columns ride along untouched."""
+    schema = json.loads(meta["schemaString"])
+    fields = [
+        f for f in schema.get("fields", []) if f["name"] not in part_cols
+    ]
+    if not fields:
+        return df
+    have = {c.lower(): c for c in df.columns}
+    cols = []
+    for f in fields:
+        t = _delta_type_to_spark(f["type"])
+        name = f["name"]
+        if name.lower() in have:
+            cols.append(F.col(have[name.lower()]).cast(t).alias(name))
+        else:
+            cols.append(F.lit(None).cast(t).alias(name))
+    keep = [c for c in df.columns if c.startswith("_dv_")]
+    return df.select(*cols, *keep)
 
 
 def _delta_type_to_spark(t):

@@ -1283,3 +1283,57 @@ def test_iceberg_schema_evolution_add_and_type_widen(spark, tmp_path):
     assert dict(df.dtypes)["id"] == "bigint"
     rows = {r["id"]: r["note"] for r in df.collect()}
     assert rows == {1: None, 2: None, 3: "x"}
+
+
+def test_delta_schema_evolution_add_column(spark, tmp_path):
+    """A column added in commit 1: rows from the commit-0 file surface
+    it as typed NULL, per the current schemaString."""
+    import json as _json
+
+    root = str(tmp_path / "dl_evo")
+    _write_delta_fixture(spark, root)
+    # commit 2: evolve schema (add note STRING) + add a file that has it
+    spark.createDataFrame(
+        [(100, 200, "hello")], "id LONG, v LONG, note STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp2")
+    src = [
+        f for f in os.listdir(f"{root}/_tmp2") if f.endswith(".parquet")
+    ][0]
+    os.replace(f"{root}/_tmp2/{src}", f"{root}/part-3.parquet")
+    meta2 = {
+        "id": "11111111-2222-3333-4444-555555555555",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "v", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "note", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    with open(f"{root}/_delta_log/{2:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"metaData": meta2}) + "\n")
+        fh.write(
+            _json.dumps(
+                {"add": {"path": "part-3.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}}
+            )
+            + "\n"
+        )
+    df = load_source(spark, root, "delta")
+    assert df.columns == ["id", "v", "note"]
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows[100] == "hello"
+    assert rows[0] is None  # commit-0 file: added column is NULL
+    # time travel back to version 1: pre-evolution schema
+    v1 = load_source(spark, root, "delta", {"version_as_of": 1})
+    assert v1.columns == ["id", "v"]
