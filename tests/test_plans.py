@@ -208,3 +208,36 @@ def test_embedding_lsh_candidate_join_is_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_sketch_caches()
+
+
+def test_bloom_incremental_broadcasts_filter_no_cartesian(spark):
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["dedup_bloom_incremental"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the (word, bits) filter relation joins as a broadcast; the
+    # history corpus is never re-joined against the probe rows
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_keep_no_quadratic_joins(spark):
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["dedup_near_keep"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rarity_score_single_token_shuffle_pair(spark):
+    from pg_analytics_spark.workload.llm import text_rarity_score
+
+    df = text_rarity_score(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # freq agg + freq join + per-doc agg + output sort: the token
+    # relation is vocab-sized (NOT broadcast — uniform-key hash join);
+    # no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
