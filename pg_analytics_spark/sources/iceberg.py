@@ -380,27 +380,58 @@ def _ice_to_spark_type(t) -> str | None:
     return None
 
 
-def _conform_to_schema(df: DataFrame, meta: dict) -> DataFrame:
-    """NAME-based schema evolution: project the scan to the table's
-    CURRENT schema — added columns missing from old files surface as
-    typed NULLs (mergeSchema handles the union; this pass fixes order,
+def _current_fields(meta: dict) -> list[dict]:
+    """The table's CURRENT schema fields from v1 (`schema`) or v2
+    (`schemas` + `current-schema-id`) metadata."""
+    if "schemas" not in meta and "schema" not in meta:
+        return []
+    cur = meta.get("current-schema-id")
+    schema = None
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == cur:
+            schema = s
+            break
+    if schema is None:
+        schema = meta.get("schema") or (
+            meta["schemas"][-1] if meta.get("schemas") else {}
+        )
+    return schema.get("fields", [])
+
+
+def _arrow_field_ids(arrow_schema) -> dict[int, str]:
+    """Iceberg field id → physical column name, from the parquet
+    footer's field_id annotations (pyarrow surfaces them as field
+    metadata key ``PARQUET:field_id``).  Empty for files written
+    without ids (non-Iceberg writers) — callers then fall back to
+    name-based resolution."""
+    out: dict[int, str] = {}
+    for f in arrow_schema:
+        md = f.metadata or {}
+        raw = md.get(b"PARQUET:field_id")
+        if raw is not None:
+            try:
+                out[int(raw)] = f.name
+            except ValueError:
+                pass
+    return out
+
+
+def _conform_to_schema(
+    df: DataFrame, meta: dict, id_to_phys: dict[int, str] | None = None
+) -> DataFrame:
+    """Schema evolution: project the scan to the table's CURRENT
+    schema — added columns missing from old files surface as typed
+    NULLs (mergeSchema handles the union; this pass fixes order,
     presence, and types), dropped columns disappear, primitive types
-    cast to the metadata's declaration.  Renames need parquet field-id
-    resolution, which the plain reader cannot do — documented
-    limitation of the fallback (the Iceberg runtime handles it)."""
-    fields = []
-    if "schemas" in meta or "schema" in meta:
-        cur = meta.get("current-schema-id")
-        schema = None
-        for s in meta.get("schemas", []):
-            if s.get("schema-id") == cur:
-                schema = s
-                break
-        if schema is None:
-            schema = meta.get("schema") or (
-                meta["schemas"][-1] if meta.get("schemas") else {}
-            )
-        fields = schema.get("fields", [])
+    cast to the metadata's declaration.
+
+    Resolution is FIELD-ID-based when `id_to_phys` (parquet footer
+    field_id → physical column name) is supplied — this is what makes
+    renamed columns read correctly from files written under the old
+    name, matching the runtime's resolution rule (spec: "Columns in
+    data files are resolved by field id").  Without ids (plain
+    writers) it falls back to name matching."""
+    fields = _current_fields(meta)
     if not fields:
         return df
     cols = []
@@ -408,8 +439,15 @@ def _conform_to_schema(df: DataFrame, meta: dict) -> DataFrame:
     for f in fields:
         name = f["name"]
         spark_t = _ice_to_spark_type(f.get("type"))
-        if name.lower() in have:
-            c = F.col(have[name.lower()])
+        phys = None
+        if id_to_phys and f.get("id") in id_to_phys:
+            cand = id_to_phys[f["id"]]
+            if cand in df.columns:
+                phys = cand
+        if phys is None and name.lower() in have:
+            phys = have[name.lower()]
+        if phys is not None:
+            c = F.col(phys)
             cols.append(
                 (c.cast(spark_t) if spark_t else c).alias(name)
             )
