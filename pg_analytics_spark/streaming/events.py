@@ -50,30 +50,53 @@ EVENT_SCHEMA = StructType(
 )
 
 
+def _ts_unit_is_nanos(path: str) -> bool:
+    """Detect whether the ``ts`` column is TIMESTAMP(NANOS) by reading one
+    parquet footer driver-side — the streaming share of the batch path's
+    unit probe (sources/parquet.py::_nano_columns). µs fixtures must NOT
+    get the nanos→µs repair (dividing µs by 1000 lands in January 1970)."""
+    from ..sources.parquet import _nano_columns
+
+    return "ts" in _nano_columns([path])
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream with the canonical schema.
 
-    The batch table carries TIMESTAMP(NANOS); for streaming we read ts
-    as long (nanosAsLong) and repair to µs — identical semantics to the
-    batch path (sources/parquet.py).
+    The timestamp unit is probed from one parquet footer: TIMESTAMP(NANOS)
+    columns are read as long (nanosAsLong) and repaired to µs with integer
+    truncation — identical semantics to the batch path (sources/parquet.py)
+    — while µs/ms columns are read with the natural TimestampNTZ schema.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ns_schema = StructType(
-        [
-            f if f.name != "ts" else StructField("ts", LongType())
-            for f in EVENT_SCHEMA.fields
-        ]
-    )
-    reader = spark.readStream.schema(ns_schema)
+    glob_filter = None
+    probe = path
     if path.endswith(".parquet") and not os.path.isdir(path):
         # file streams require a directory; narrow with a glob filter
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        glob_filter = os.path.basename(path)
         path = os.path.dirname(path)
+    if _ts_unit_is_nanos(probe):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = StructType(
+            [
+                f if f.name != "ts" else StructField("ts", LongType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+        reader = spark.readStream.schema(ns_schema)
+        if glob_filter:
+            reader = reader.option("pathGlobFilter", glob_filter)
+        raw = reader.parquet(path)
+        # integer `div` truncation, matching the batch path.
+        # Watermarks require TIMESTAMP (LTZ) — with the engine's pinned UTC
+        # session timezone the wall times equal the batch path's NTZ values.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
     raw = reader.parquet(path)
-    # integer `div` truncation, matching the batch path (sources/parquet.py).
-    # Watermarks require TIMESTAMP (LTZ) — with the engine's pinned UTC
-    # session timezone the wall times equal the batch path's NTZ values.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ → LTZ for watermark eligibility; UTC session tz keeps wall times
+    # equal to the batch path's NTZ values.
+    return raw.withColumn("ts", F.to_timestamp("ts"))
 
 
 def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -161,12 +161,15 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
 
     # incremental append must carry ADVANCING event time — re-feeding
     # old timestamps is late data beyond the watermark and is rightly
-    # dropped.  Shift the copy 30 days forward (raw ns longs, matching
-    # the stream's nanosAsLong schema).
-    shifted = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.col("ts") + F.lit(30 * 86400 * 10**9))
-    )
+    # dropped.  Shift the copy 30 days forward, unit-agnostic: raw ns
+    # longs when the fixture is TIMESTAMP(NANOS) read via nanosAsLong,
+    # an INTERVAL otherwise.
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        shift = F.col("ts") + F.lit(30 * 86400 * 10**9)
+    else:
+        shift = F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    shifted = raw.withColumn("ts", shift)
     shifted.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b_stage"))
     import glob
 
