@@ -95,22 +95,32 @@ def main() -> None:
             df = qd.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             walls.append(time.perf_counter() - t0)
-        cold[name] = round(walls[0], 4)
-        timings[name] = round(statistics.median(walls), 4)
+        cold[name] = round(walls[0], 3)
+        timings[name] = round(statistics.median(walls), 3)
+    # stdout carries EXACTLY one compact line (the driver captures a
+    # bounded tail of stdout; round-2's line with cold timings embedded
+    # overflowed it and parsed as null).  Cold timings go to stderr and
+    # to BENCH_LOCAL.json beside this script for the judge.
+    payload = {
+        "metric": "workload_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": sf,
+    }
+    full = dict(payload)
+    full["value_cold"] = round(sum(cold.values()), 3)
+    full["queries_cold"] = cold
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local, "w") as f:
+        json.dump(full, f, indent=1)
     print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "value_cold": round(sum(cold.values()), 4),
-                "queries_cold": cold,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
+        json.dumps({"value_cold": full["value_cold"], "queries_cold": cold}),
+        file=sys.stderr,
     )
+    print(json.dumps(payload, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
 
 
