@@ -57,12 +57,27 @@ def _parse_box(value) -> tuple[float, float, float, float]:
 
 
 def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
+    if all(f.lower().endswith(".gpkg") for f in files):
+        # GeoPackage has a real layer model — `layer` is honored there
+        from pg_analytics_spark.sources import geopackage as _gpkg
+
+        for k in _GDAL_ONLY:
+            if k in opts and k != "layer":
+                raise UnsupportedFormat(
+                    f"st_read option {k!r} requires the GDAL driver stack "
+                    "(reference spatial.rs:29-39), unavailable here"
+                )
+        return _gpkg.load(spark, files, opts)
     for k in _GDAL_ONLY:
         if k in opts:
             raise UnsupportedFormat(
                 f"st_read option {k!r} requires the GDAL driver stack "
                 "(reference spatial.rs:29-39), unavailable here"
             )
+    if all(f.lower().endswith(".shp") for f in files):
+        from pg_analytics_spark.sources import shapefile as _shp
+
+        return _shp.load(spark, files, opts)
     if all(f.lower().endswith(".xlsx") for f in files):
         # GDAL's st_read reads spreadsheets as attribute-only tables;
         # sources/xlsx.py is the dependency-free equivalent

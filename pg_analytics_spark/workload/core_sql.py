@@ -1664,3 +1664,129 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "part_a", "part_b")
     )
+
+
+def _geo_fixture_dir(sf_dir: str) -> str:
+    import os as _os
+
+    d = _os.path.join(
+        "/tmp", "pgas_geo_fixtures", _os.path.basename(sf_dir.rstrip("/"))
+    )
+    _os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "geo_shapefile_nation_hubs",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           ROUND(2.0 * 6371.0 * asin(sqrt(
+             sin(radians(48.8566 - (((n_nationkey * 37) % 160) - 80 + 0.5)) / 2)
+               * sin(radians(48.8566 - (((n_nationkey * 37) % 160) - 80 + 0.5)) / 2)
+             + cos(radians(((n_nationkey * 37) % 160) - 80 + 0.5)) * cos(radians(48.8566))
+               * sin(radians(2.3522 - (((n_nationkey * 73) % 360) - 180 + 0.5)) / 2)
+               * sin(radians(2.3522 - (((n_nationkey * 73) % 360) - 180 + 0.5)) / 2)
+           )), 6) AS dist_km
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="Shapefile ingestion (S6: st_read's 'ESRI Shapefile' driver, "
+    "reference spatial.rs:57-82): a point shapefile is built "
+    "deterministically from the nation table (coords are *.5 so the "
+    "double→WKT→double round trip is bit-exact), read back through "
+    "sources/shapefile.py (.shp+.dbf binary specs, dependency-free), "
+    "geometry parsed from WKT, haversine distance to Paris computed in "
+    "codegen. The oracle recomputes from the parquet directly, proving "
+    "the shapefile round trip is lossless.",
+)
+def geo_shapefile_nation_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.functions.geo import haversine_km, wkt_numbers
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.shapefile import write_point_shapefile
+
+    t = _pq.read_table(f"{sf_dir}/nation.parquet").sort_by("n_nationkey")
+    keys = t.column("n_nationkey").to_pylist()
+    names = t.column("n_name").to_pylist()
+    pts = [
+        (((k * 73) % 360) - 180 + 0.5, ((k * 37) % 160) - 80 + 0.5) for k in keys
+    ]
+    base = _os.path.join(_geo_fixture_dir(sf_dir), "nations")
+    shp = write_point_shapefile(
+        base, pts, ["nk", "nname"], [(str(k), n) for k, n in zip(keys, names)]
+    )
+    df = load_source(spark, shp, "spatial")
+    nums = wkt_numbers("geometry_wkt")
+    return (
+        df.select(
+            F.col("nk").cast("int").alias("n_nationkey"),
+            F.col("nname").alias("n_name"),
+            nums.getItem(0).cast("double").alias("lon"),
+            nums.getItem(1).cast("double").alias("lat"),
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.round(
+                haversine_km("lat", "lon", F.lit(48.8566), F.lit(2.3522)), 6
+            ).alias("dist_km"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "geo_gpkg_region_nations",
+    oracle="""
+    SELECT r.r_name,
+           ((r.r_regionkey * 60) - 120 + 0.5)::DOUBLE AS lon,
+           ((r.r_regionkey * 20) - 40 + 0.5)::DOUBLE AS lat,
+           COUNT(n.n_nationkey) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, r.r_regionkey
+    ORDER BY r.r_name
+    """,
+    doc="GeoPackage ingestion (S6: st_read's GPKG driver, reference "
+    "spatial.rs:57-82): a point-feature .gpkg is built deterministically "
+    "from the region table, read back through sources/geopackage.py "
+    "(OGC 12-128r19 GeoPackageBinary parse over stdlib sqlite3), coords "
+    "parsed from WKT, then broadcast-joined to nation for per-region "
+    "counts — small-dim ingest joined to a big fact, the shape this "
+    "source serves at scale.",
+)
+def geo_gpkg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.functions.geo import wkt_numbers
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.geopackage import write_point_gpkg
+
+    t = _pq.read_table(f"{sf_dir}/region.parquet").sort_by("r_regionkey")
+    keys = t.column("r_regionkey").to_pylist()
+    names = t.column("r_name").to_pylist()
+    pts = [((k * 60) - 120 + 0.5, (k * 20) - 40 + 0.5) for k in keys]
+    gp = _os.path.join(_geo_fixture_dir(sf_dir), "regions.gpkg")
+    write_point_gpkg(
+        gp, "regions", pts, ["rk", "rname"], list(zip(map(str, keys), names))
+    )
+    regions = load_source(spark, gp, "spatial")
+    nums = wkt_numbers("geometry_wkt")
+    hubs = regions.select(
+        F.col("rk").cast("int").alias("r_regionkey"),
+        F.col("rname").alias("r_name"),
+        nums.getItem(0).cast("double").alias("lon"),
+        nums.getItem(1).cast("double").alias("lat"),
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(hubs), n.n_regionkey == hubs.r_regionkey)
+        .groupBy("r_name", "lon", "lat")
+        .agg(F.count("n_nationkey").alias("n_nations"))
+        .select("r_name", "lon", "lat", "n_nations")
+        .orderBy("r_name")
+    )

@@ -1,0 +1,167 @@
+"""Shapefile and GeoPackage readers (S6 breadth): round trips through
+the fixture writers, hand-crafted polyline/polygon records, bbox
+pushdown, real-WKB output, and the st_read dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pg_analytics_spark.errors import UnsupportedFormat
+from pg_analytics_spark.sources import load_source
+from pg_analytics_spark.sources.geom import (
+    envelope,
+    parse_wkb,
+    to_wkb,
+    to_wkt,
+)
+from pg_analytics_spark.sources.geopackage import write_point_gpkg
+from pg_analytics_spark.sources.shapefile import (
+    _SHAPE_POLYGON,
+    _SHAPE_POLYLINE,
+    _read_shp,
+    write_point_shapefile,
+)
+
+PTS = [(2.35, 48.85), (-0.12, 51.5), (13.4, 52.52), (151.2, -33.87)]
+RECS = [("paris", "fr"), ("london", "uk"), ("berlin", "de"), ("sydney", "au")]
+
+
+def test_geom_wkb_wkt_roundtrip():
+    geoms = [
+        ("POINT", (1.5, -2.5)),
+        ("MULTIPOINT", [(0, 0), (1, 1)]),
+        ("LINESTRING", [(0, 0), (1, 1), (2, 0)]),
+        ("MULTILINESTRING", [[(0, 0), (1, 1)], [(2, 2), (3, 3)]]),
+        ("POLYGON", [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]]),
+        (
+            "MULTIPOLYGON",
+            [[[(0, 0), (1, 0), (1, 1), (0, 0)]], [[(5, 5), (6, 5), (6, 6), (5, 5)]]],
+        ),
+    ]
+    for g in geoms:
+        assert parse_wkb(to_wkb(g)) == (
+            g
+            if g[0] != "MULTIPOINT"
+            else ("MULTIPOINT", [(0.0, 0.0), (1.0, 1.0)])
+        )
+        assert to_wkt(g).startswith(g[0])
+    assert to_wkt(("POINT", (1.5, -2.5))) == "POINT (1.5 -2.5)"
+    assert envelope(("LINESTRING", [(0, 0), (1, 5), (2, -3)])) == (0, -3, 2, 5)
+
+
+def test_geom_rejects_z_wkb():
+    bad = struct.pack("<BI", 1, 1001) + struct.pack("<3d", 1, 2, 3)
+    with pytest.raises(UnsupportedFormat, match="2D"):
+        parse_wkb(bad)
+
+
+def test_shapefile_point_roundtrip(spark, tmp_path):
+    shp = write_point_shapefile(
+        str(tmp_path / "cities"), PTS, ["name", "cc"], RECS
+    )
+    df = load_source(spark, shp, "spatial")
+    assert df.columns == ["name", "cc", "geometry_wkt"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["paris"]["geometry_wkt"] == "POINT (2.35 48.85)"
+    assert rows["sydney"]["cc"] == "au"
+    assert len(rows) == 4
+
+
+def test_shapefile_bbox_and_wkb(spark, tmp_path):
+    shp = write_point_shapefile(
+        str(tmp_path / "cities"), PTS, ["name", "cc"], RECS
+    )
+    df = load_source(
+        spark,
+        shp,
+        "spatial",
+        {"spatial_filter_box": "-10,40,20,60", "keep_wkb": True},
+    )
+    rows = df.collect()
+    assert {r["name"] for r in rows} == {"paris", "london", "berlin"}
+    # wkb_geometry is REAL little-endian ISO WKB
+    wkb = bytes(next(r for r in rows if r["name"] == "paris")["wkb_geometry"])
+    assert parse_wkb(wkb) == ("POINT", (2.35, 48.85))
+
+
+def test_shapefile_polyline_polygon_records(tmp_path):
+    """Hand-crafted .shp with a 2-part polyline and a 1-ring polygon."""
+
+    def rec(num, stype, parts, pts):
+        content = struct.pack("<i", stype)
+        content += struct.pack("<4d", 0, 0, 10, 10)  # bbox
+        content += struct.pack("<2i", len(parts), len(pts))
+        content += struct.pack(f"<{len(parts)}i", *parts)
+        for x, y in pts:
+            content += struct.pack("<2d", x, y)
+        return struct.pack(">2i", num, len(content) // 2) + content
+
+    body = rec(1, _SHAPE_POLYLINE, [0, 2], [(0, 0), (1, 1), (5, 5), (6, 6)])
+    body += rec(2, _SHAPE_POLYGON, [0], [(0, 0), (4, 0), (4, 4), (0, 0)])
+    header = (
+        struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+        + struct.pack(">i", (100 + len(body)) // 2)
+        + struct.pack("<2i", 1000, _SHAPE_POLYLINE)
+        + struct.pack("<8d", 0, 0, 10, 10, 0, 0, 0, 0)
+    )
+    p = tmp_path / "mixed.shp"
+    p.write_bytes(header + body)
+    geoms = list(_read_shp(str(p)))
+    assert geoms[0] == (
+        "MULTILINESTRING",
+        [[(0, 0), (1, 1)], [(5, 5), (6, 6)]],
+    )
+    assert geoms[1] == ("POLYGON", [[(0, 0), (4, 0), (4, 4), (0, 0)]])
+
+
+def test_gpkg_roundtrip_and_bbox(spark, tmp_path):
+    gp = str(tmp_path / "cities.gpkg")
+    write_point_gpkg(gp, "cities", PTS, ["name", "cc"], RECS)
+    df = load_source(spark, gp, "spatial")
+    assert df.columns == ["fid", "name", "cc", "geometry_wkt"]
+    assert df.count() == 4
+    boxed = load_source(
+        spark, gp, "spatial", {"spatial_filter_box": "-10,40,20,60", "keep_wkb": True}
+    )
+    rows = boxed.collect()
+    assert {r["name"] for r in rows} == {"paris", "london", "berlin"}
+    wkb = bytes(next(r for r in rows if r["name"] == "berlin")["wkb_geometry"])
+    assert parse_wkb(wkb) == ("POINT", (13.4, 52.52))
+
+
+def test_gpkg_layer_selection(spark, tmp_path):
+    gp = str(tmp_path / "multi.gpkg")
+    write_point_gpkg(gp, "a", PTS[:2], ["name"], [(r[0],) for r in RECS[:2]])
+    # add a second layer into the same file
+    import sqlite3
+
+    from pg_analytics_spark.sources.geom import to_wkb as _to_wkb
+
+    con = sqlite3.connect(gp)
+    con.execute('CREATE TABLE "b" (fid INTEGER PRIMARY KEY, geom BLOB, name TEXT)')
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id)"
+        " VALUES ('b', 'features', 'b', 4326)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES ('b', 'geom', 'POINT', 4326, 0, 0)"
+    )
+    blob = b"GP\x00\x01" + struct.pack("<i", 4326) + _to_wkb(("POINT", (9.0, 9.0)))
+    con.execute('INSERT INTO "b" VALUES (1, ?, ?)', (blob, "nine"))
+    con.commit()
+    con.close()
+
+    with pytest.raises(UnsupportedFormat, match="multiple feature layers"):
+        load_source(spark, gp, "spatial")
+    b = load_source(spark, gp, "spatial", {"layer": "b"})
+    assert [r["name"] for r in b.collect()] == ["nine"]
+    with pytest.raises(UnsupportedFormat, match="not in GeoPackage"):
+        load_source(spark, gp, "spatial", {"layer": "zzz"})
+
+
+def test_spatial_still_rejects_gdal_only_for_shapefile(spark, tmp_path):
+    shp = write_point_shapefile(str(tmp_path / "x"), PTS[:1], ["n"], [("a",)])
+    with pytest.raises(UnsupportedFormat, match="GDAL"):
+        load_source(spark, shp, "spatial", {"layer": "x"})
