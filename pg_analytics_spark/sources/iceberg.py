@@ -16,10 +16,13 @@ driver-side —
 Supported: format v1 and v2 append/overwrite tables, multiple
 snapshots (current via current-snapshot-id; ``snapshot_id`` and
 ``as_of_timestamp_ms`` time travel via the snapshot log),
-NAME-based schema evolution (files grouped by physical schema and
-conformed to the current metadata schema — adds surface as typed
-NULLs, primitives cast to the declared type; renames need the
-runtime's field-id resolution), transform-aware manifest partition
+schema evolution (files grouped by physical schema and conformed to
+the current metadata schema — adds surface as typed NULLs,
+primitives cast to the declared type; top-level RENAMES resolve via
+the parquet footers' field_id annotations, the spec's "columns are
+resolved by field id" rule — name matching applies only to files
+written without ids; nested-field renames remain out of scope, the
+runtime handles those), transform-aware manifest partition
 pruning (``partition_filter``, sources/iceberg_prune.py),
 deflate-compressed metadata avro, ``allow_moved_paths`` (the
 reference's option,
@@ -403,7 +406,12 @@ def _arrow_field_ids(arrow_schema) -> dict[int, str]:
     footer's field_id annotations (pyarrow surfaces them as field
     metadata key ``PARQUET:field_id``).  Empty for files written
     without ids (non-Iceberg writers) — callers then fall back to
-    name-based resolution."""
+    name-based resolution.
+
+    TOP-LEVEL fields only: nested struct members keep their physical
+    names (nested types pass through _conform_to_schema untouched), so
+    renames of nested fields are out of scope for the fallback reader.
+    """
     out: dict[int, str] = {}
     for f in arrow_schema:
         md = f.metadata or {}
@@ -444,7 +452,11 @@ def _conform_to_schema(
             cand = id_to_phys[f["id"]]
             if cand in df.columns:
                 phys = cand
-        if phys is None and name.lower() in have:
+        if phys is None and not id_to_phys and name.lower() in have:
+            # name fallback ONLY for files without field_id annotations
+            # (non-Iceberg writers): a file WITH ids that lacks this
+            # field's id does not contain the column — resolving its
+            # name would leak a dropped column into a re-added one.
             phys = have[name.lower()]
         if phys is not None:
             c = F.col(phys)
@@ -482,17 +494,38 @@ def _read_conformed(
             F.col("_metadata.row_index").alias("_ice_pos"),
         )
 
-    if not multi:
-        return _conform_to_schema(_with_cols(spark.read.parquet(*paths)), meta)
     import pyarrow.parquet as pq
 
+    if not multi:
+        try:
+            ids = _arrow_field_ids(pq.read_schema(paths[0]))
+        except Exception:
+            ids = {}
+        return _conform_to_schema(
+            _with_cols(spark.read.parquet(*paths)), meta, id_to_phys=ids or None
+        )
+
     groups: dict[tuple, list[str]] = {}
+    group_ids: dict[tuple, dict[int, str]] = {}
     for p in paths:
-        key = tuple((f.name, str(f.type)) for f in pq.read_schema(p))
+        arrow = pq.read_schema(p)
+        ids = _arrow_field_ids(arrow)
+        # field ids are part of the key: a drop-then-re-add leaves files
+        # with identical (name, type) but different ids, and those must
+        # not share one id→name map.
+        phys_to_id = {n: i for i, n in ids.items()}
+        key = tuple(
+            (f.name, str(f.type), phys_to_id.get(f.name)) for f in arrow
+        )
         groups.setdefault(key, []).append(p)
+        group_ids[key] = ids
     parts = [
-        _conform_to_schema(_with_cols(spark.read.parquet(*ps)), meta)
-        for ps in groups.values()
+        _conform_to_schema(
+            _with_cols(spark.read.parquet(*ps)),
+            meta,
+            id_to_phys=group_ids[key] or None,
+        )
+        for key, ps in groups.items()
     ]
     out = parts[0]
     for p in parts[1:]:

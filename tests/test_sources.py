@@ -1199,8 +1199,9 @@ def test_delta_timestamp_as_of(spark, tmp_path):
 def test_iceberg_schema_evolution_add_and_type_widen(spark, tmp_path):
     """Old files lack a later-added column and store `id` as int32; the
     replay must conform to the CURRENT schema: typed NULLs for the add,
-    declared types for every primitive (name-based evolution; renames
-    are documented as needing the runtime's field-id resolution)."""
+    declared types for every primitive (name-based evolution for files
+    without field_id annotations; renames resolve via field ids — see
+    test_iceberg_rename_column_field_id_resolution)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1337,3 +1338,178 @@ def test_delta_schema_evolution_add_column(spark, tmp_path):
     # time travel back to version 1: pre-evolution schema
     v1 = load_source(spark, root, "delta", {"version_as_of": 1})
     assert v1.columns == ["id", "v"]
+
+
+def test_iceberg_rename_column_field_id_resolution(spark, tmp_path):
+    """A column renamed in the current schema must read its values from
+    old files via parquet field_id resolution (spec: "Columns in data
+    files are resolved by field id"), not surface as NULLs.  Old file
+    stores field 1 as `qty`; the current schema calls field 1 `amount`.
+    A second file (post-rename) already uses the new name — and a third
+    field exercises drop-then-re-add: same name/type, NEW field id, so
+    the old file's column must NOT leak into the re-added field."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.avro import write_container
+
+    root = str(tmp_path / "ice_rename")
+    os.makedirs(f"{root}/data", exist_ok=True)
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+
+    def _fid(name, typ, fid):
+        return pa.field(name, typ, metadata={b"PARQUET:field_id": str(fid).encode()})
+
+    # old file: field 1 under its OLD name + field 2 (later dropped,
+    # then re-added as field 3 with the same name/type)
+    f_old = f"{root}/data/old.parquet"
+    pq.write_table(
+        pa.table(
+            [pa.array([10, 20], pa.int64()), pa.array(["a", "b"], pa.string())],
+            schema=pa.schema([_fid("qty", pa.int64(), 1), _fid("tag", pa.string(), 2)]),
+        ),
+        f_old,
+    )
+    # new file: post-rename names, re-added tag is field 3
+    f_new = f"{root}/data/new.parquet"
+    pq.write_table(
+        pa.table(
+            [pa.array([30], pa.int64()), pa.array(["c"], pa.string())],
+            schema=pa.schema(
+                [_fid("amount", pa.int64(), 1), _fid("tag", pa.string(), 3)]
+            ),
+        ),
+        f_new,
+    )
+
+    def _entry(path):
+        return {
+            "status": 1,
+            "snapshot_id": 5,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(path),
+            },
+        }
+
+    man = f"{root}/metadata/man.avro"
+    write_container(_MANIFEST_ENTRY_SCHEMA, [_entry(f_old), _entry(f_new)], man)
+    mlist = f"{root}/metadata/snap-5.avro"
+    write_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 5,
+            }
+        ],
+        mlist,
+    )
+    meta = {
+        "format-version": 2,
+        "location": root,
+        "current-snapshot-id": 5,
+        "current-schema-id": 1,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "qty", "type": "long"},
+                    {"id": 2, "name": "tag", "type": "string"},
+                ],
+            },
+            {
+                "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "amount", "type": "long"},
+                    {"id": 3, "name": "tag", "type": "string"},
+                ],
+            },
+        ],
+        "snapshots": [{"snapshot-id": 5, "manifest-list": mlist}],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as fh:
+        jsonlib.dump(meta, fh)
+    with open(f"{root}/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    df = load_source(spark, root, "iceberg")
+    assert df.columns == ["amount", "tag"]
+    rows = {r["amount"]: r["tag"] for r in df.collect()}
+    # renamed field 1 reads old values; dropped field 2 does NOT leak
+    # into re-added field 3 (old rows are NULL there)
+    assert rows == {10: None, 20: None, 30: "c"}
+
+
+def test_delta_rename_column_mapping(spark, tmp_path):
+    """Rename under delta.columnMapping.mode=name: the logical name in
+    schemaString changes, physicalName stays — old files keep reading
+    correctly under the new logical name."""
+    import json as _json
+
+    root = str(tmp_path / "dl_rename")
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    spark.createDataFrame([(1, "x"), (2, "y")], "`col-aaaa` LONG, `col-bbbb` STRING") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+    src = [f for f in os.listdir(f"{root}/_tmp") if f.endswith(".parquet")][0]
+    os.replace(f"{root}/_tmp/{src}", f"{root}/part-0.parquet")
+
+    def _schema(id_name, val_name):
+        return _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": id_name,
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 1,
+                            "delta.columnMapping.physicalName": "col-aaaa",
+                        },
+                    },
+                    {
+                        "name": val_name,
+                        "type": "string",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 2,
+                            "delta.columnMapping.physicalName": "col-bbbb",
+                        },
+                    },
+                ],
+            }
+        )
+
+    def _meta(schema_str):
+        return {
+            "id": "99999999-8888-7777-6666-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"metaData": _meta(_schema("id", "val"))}) + "\n")
+        fh.write(
+            _json.dumps(
+                {"add": {"path": "part-0.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0, "dataChange": True}}
+            )
+            + "\n"
+        )
+    # commit 1: rename val -> label (physicalName unchanged)
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"metaData": _meta(_schema("id", "label"))}) + "\n")
+
+    df = load_source(spark, root, "delta")
+    assert df.columns == ["id", "label"]
+    assert {r["id"]: r["label"] for r in df.collect()} == {1: "x", 2: "y"}
