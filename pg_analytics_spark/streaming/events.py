@@ -100,11 +100,21 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Tumbling 1h counts per event type with a watermark."""
+    """Tumbling 1h counts per event type with a watermark.
+
+    The value sum is staged in DECIMAL(18,4) and surfaced as double —
+    the same exact-sum convention as the batch twin (workload/base.dsum),
+    so the streaming result is bit-identical to the batch aggregate and
+    the DuckDB oracle regardless of micro-batch accumulation order."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
 

@@ -16,6 +16,8 @@ truncation is lossless.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -499,3 +501,90 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_k")
         .orderBy("event_type", "hour")
     )
+
+
+_STREAM_RUN_SEQ = itertools.count()
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="STRUCTURED STREAMING under the oracle gate: the real incremental "
+    "path (file-source readStream → watermarked tumbling window → memory "
+    "sink, Trigger.AvailableNow) must produce the batch aggregate "
+    "bit-exactly — counts AND decimal-staged value sums. The oracle is "
+    "the plain batch SQL; equality proves the watermark drops nothing on "
+    "in-order data and micro-batch accumulation order cannot leak into "
+    "the result.",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_analytics_spark.streaming.events import (
+        read_event_stream,
+        stream_hourly_counts,
+    )
+
+    name = f"reg_stream_hourly_{next(_STREAM_RUN_SEQ)}"
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_hourly_counts(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Watermarked streaming dedup (dropDuplicatesWithinWatermark) "
+    "under the oracle gate: the surviving KEY SET equals batch DISTINCT "
+    "(which row survives per key is arrival-order-dependent, so only "
+    "keys are asserted — the oracle-exact part of the contract). State "
+    "is bounded by the watermark horizon, unlike plain dropDuplicates "
+    "on a stream.",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_analytics_spark.streaming.events import (
+        read_event_stream,
+        stream_dedup,
+    )
+
+    name = f"reg_stream_dedup_{next(_STREAM_RUN_SEQ)}"
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_dedup(ev)
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")
