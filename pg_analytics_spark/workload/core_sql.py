@@ -1623,18 +1623,32 @@ def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
-    baskets = l.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select(F.count_distinct("l_orderkey").alias("n"))
-    part_freq = baskets.groupBy("l_partkey").agg(F.count("*").alias("f"))
-    a = baskets.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    # ONE shuffle builds the per-order part set; pairs, per-part
+    # frequencies, and the order count all derive from it — the
+    # previous shape (distinct + a-b self-join on orderkey) scanned
+    # lineitem three times and shuffled the basket relation twice.
+    # Pair generation is a codegen HOF over the sorted array: element i
+    # pairs with every later element, so part_a < part_b by
+    # construction and the quadratic stays bounded per basket.
+    lists = (
+        l.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("ps")
     )
-    b = baskets.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    lists = lists.persist()
+    n_orders = lists.select(F.count("*").alias("n"))
+    part_freq = (
+        lists.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("f"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (a, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), b -> struct(a, b))))"
     )
     pairs = (
-        a.join(b, "_ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        lists.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("together"))
         .filter(F.col("together") >= 3)
