@@ -16,6 +16,7 @@ which reproduces the reference's flagship demo (README.md:98-118).
 
 from __future__ import annotations
 
+import re as _re
 import time
 from collections.abc import Iterable
 from dataclasses import dataclass, field
@@ -305,16 +306,20 @@ class Engine:
     # ------------------------------------------------------------------ #
 
     def explain(self, query: str, style: str = "formatted", analyze: bool = False) -> str:
-        """Two styles like the reference: a one-line summary ('pg' style
-        prints 'DuckDB Scan: <sql>'; ours prints the engine + SQL) and
-        the full engine plan ('duckdb' style → Spark formatted plan).
+        """Styles like the reference (explain.rs:39-96): 'pg' prints the
+        one-line scan summary; 'duckdb' renders the physical plan as the
+        box art DuckDB's own EXPLAIN prints; 'formatted'/'extended'/
+        'cost'/'codegen' pass through to Spark's EXPLAIN modes.
         ``analyze`` times an actual execution (explain.rs:59-68).
         """
         out = []
         if style in ("pg", "simple"):
             out.append(f"Spark Scan: {query.strip()}")
+        elif style == "duckdb":
+            plan = self.spark.sql(f"EXPLAIN {query}").collect()[0][0]
+            out.append(_box_art(plan))
         else:
-            mode = {"duckdb": "formatted", "formatted": "formatted",
+            mode = {"formatted": "formatted",
                     "extended": "extended", "cost": "cost",
                     "codegen": "codegen"}.get(style, "formatted")
             plan = self.spark.sql(f"EXPLAIN {mode.upper()} {query}").collect()[0][0]
@@ -553,3 +558,78 @@ def _probe_delta() -> bool:
 
 def _probe_iceberg() -> bool:
     return False  # no iceberg runtime in this environment
+
+
+def _box_art(plan: str) -> str:
+    """Render a Spark physical-plan string as the box art DuckDB's own
+    EXPLAIN prints (reference explain.rs:70-80 returns DuckDB's output
+    verbatim; this is the cosmetic-parity equivalent for Spark plans).
+
+    Each operator becomes a bordered box; children hang beneath their
+    parent connected by a vertical bar, with a sibling's subtree
+    indented under its join — the same single-column layout DuckDB uses
+    for linear chains, and an indented column per extra child.
+    """
+    nodes: list[tuple[int, str]] = []  # (depth, label)
+    for raw in plan.splitlines():
+        line = raw.rstrip()
+        if not line or line.startswith(("==", "(")):
+            continue
+        # physical plans draw trees with ':-'/'+-' at 3 chars per level
+        m = _re.match(r"^(?P<tree>[\s:+*-]*)\s*(?P<rest>[A-Za-z].*)$", line)
+        if not m:
+            continue
+        tree = m.group("tree")
+        depth = (len(tree.replace("*", "").rstrip())) // 3
+        rest = m.group("rest")
+        head = rest.split("(", 1)[0].split("[", 1)[0].split(",", 1)[0].strip()
+        # operator name = leading tokens without '=' (drops flag text
+        # like "isFinalPlan=false" from the title row)
+        toks = []
+        for t in head.split():
+            if "=" in t:
+                break
+            toks.append(t)
+        name = "_".join(toks) if toks else head
+        if not name:
+            continue
+        label = name.upper()
+        detail = rest[len(head):].strip(" ([")
+        detail = detail[:24].rstrip(",] )")
+        nodes.append((depth, label if not detail else f"{label}|{detail}"))
+    if not nodes:
+        return plan
+    # DuckDB draws linear chains in ONE column; only extra children of a
+    # branching node (joins, unions) start an indented column.  Column =
+    # number of branching ancestors.
+    n_children = [0] * len(nodes)
+    parent = [None] * len(nodes)
+    for i, (d, _) in enumerate(nodes):
+        for j in range(i - 1, -1, -1):
+            if nodes[j][0] == d - 1:
+                parent[i] = j
+                n_children[j] += 1
+                break
+    cols = [0] * len(nodes)
+    for i in range(len(nodes)):
+        p = parent[i]
+        if p is None:
+            cols[i] = 0
+        else:
+            bump = 1 if n_children[p] > 1 else 0
+            cols[i] = cols[p] + bump
+    width = max(
+        (max(len(p) for p in lbl.split("|")) for _, lbl in nodes), default=20
+    ) + 4
+    width = max(width, 22)
+    out: list[str] = []
+    for i, (_, lbl) in enumerate(nodes):
+        pad = "   " * cols[i]
+        parts = lbl.split("|")
+        out.append(pad + "┌" + "─" * width + "┐")
+        for p in parts:
+            out.append(pad + "│" + p.center(width) + "│")
+        out.append(pad + "└" + "─" * width + "┘")
+        if i + 1 < len(nodes):
+            out.append("   " * cols[i + 1] + " " * (width // 2 + 1) + "│")
+    return "\n".join(out)

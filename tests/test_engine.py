@@ -71,10 +71,14 @@ def test_parameterized_sql(engine):
 
 
 def test_explain_styles(engine):
-    # Two EXPLAIN styles (reference utility/explain.rs:39-96, 148-155).
+    # Styles per reference utility/explain.rs:39-96, 148-155: pg one-liner,
+    # DuckDB-like box art, Spark formatted passthrough.
     pg = engine.explain("SELECT COUNT(*) FROM lineitem", style="pg")
     assert pg.startswith("Spark Scan:")
-    full = engine.explain("SELECT COUNT(*) FROM lineitem", style="duckdb")
+    box = engine.explain("SELECT COUNT(*) FROM lineitem", style="duckdb")
+    assert "┌" in box and "│" in box and "└" in box
+    assert "HASHAGGREGATE" in box.upper()
+    full = engine.explain("SELECT COUNT(*) FROM lineitem", style="formatted")
     assert "Physical Plan" in full
     timed = engine.explain("SELECT COUNT(*) FROM nation", style="pg", analyze=True)
     assert "Execution Time:" in timed
