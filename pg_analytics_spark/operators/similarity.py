@@ -173,6 +173,56 @@ def _cell_col(vec_col: str, centroids: np.ndarray) -> F.Column:
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    seed: int = 7,
+) -> np.ndarray:
+    """Distributed Lloyd's iterations that turn the seeded spherical
+    codebook into a TRAINED one: assignment is the same codegen argmax
+    fold the query path uses (`_cell_col`, centroids broadcast as a
+    literal), and the update is one shuffle of (cell, dim_pos) partial
+    sums — the driver only ever sees the n_cells×dim centroid matrix,
+    never a corpus vector.  Aligning cells with the corpus' real
+    clusters moves a given recall target to fewer probes
+    (SCALE.md's measured GMM table).
+
+    Empty cells keep their previous centroid.  Deterministic for a
+    fixed (corpus, seed, n_iters).
+    """
+    cents = ivf_centroids(dim, n_cells, seed)
+    for _ in range(n_iters):
+        assigned = df.select(
+            _cell_col(vec_col, cents).alias("_cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        sums = (
+            assigned.select(
+                "_cell", F.posexplode("_v").alias("_pos", "_x")
+            )
+            .groupBy("_cell", "_pos")
+            .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = np.zeros(n_cells)
+        acc = np.zeros_like(cents)
+        for r in sums:
+            acc[r["_cell"] - 1, r["_pos"]] = r["_s"]
+            counts[r["_cell"] - 1] = r["_n"]
+        for i in range(n_cells):
+            if counts[i] > 0:
+                v = acc[i] / counts[i]
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    new[i] = v / norm
+        cents = new
+    return cents
+
+
 def ivf_ann_topk(
     df: DataFrame,
     vec_col: str,
@@ -182,6 +232,7 @@ def ivf_ann_topk(
     n_cells: int = 8,
     n_probes: int = 2,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors assigned to their best centroid
     cell; the query probes its n_probes best cells and re-ranks exactly
@@ -191,9 +242,14 @@ def ivf_ann_topk(
 
     Query-side cell scores use the same sequential fold as the engines
     (see lsh_ann_topk for why np.dot is not acceptable here).
+
+    ``centroids`` overrides the seeded codebook with a trained one
+    (:func:`train_ivf_centroids`) — same plan, better cell/cluster
+    alignment.
     """
     dim = len(query_vec)
-    cents = ivf_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    n_cells = len(cents)
     q = [float(x) for x in query_vec]
     q_scores = []
     for c in cents:

@@ -286,3 +286,39 @@ def test_bloom_no_false_negatives_and_plan_broadcasts(spark):
     # scale contract: the bits relation joins as a broadcast
     plan = explain_formatted(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_ivf_centroids_aligns_cells_with_clusters(spark):
+    """Lloyd's iterations over a 2-cluster corpus must move the seeded
+    centroids onto the true cluster directions, deterministically, and
+    a trained p=1 probe must then retrieve the query's whole cluster."""
+    import numpy as np
+
+    from pg_analytics_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    c0 = np.array([1.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs = []
+    for i in range(200):
+        base = c0 if i % 2 == 0 else c1
+        v = base + 0.05 * rng.randn(4)
+        vecs.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    t1 = train_ivf_centroids(df, "embedding", 4, n_cells=2, n_iters=3)
+    t2 = train_ivf_centroids(df, "embedding", 4, n_cells=2, n_iters=3)
+    assert np.allclose(t1, t2)  # deterministic
+    # each true center has a trained centroid at cosine > 0.99
+    for c in (c0, c1):
+        assert max(float(np.dot(t, c)) for t in t1) > 0.99
+
+    q = vecs[0][1]
+    got = ivf_ann_topk(
+        df, "embedding", "vec_id", q, k=10, n_probes=1, centroids=t1
+    ).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] % 2 == 0 for r in got)  # all from cluster 0

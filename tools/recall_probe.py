@@ -100,6 +100,17 @@ def main() -> None:
             emb, "embedding", "vec_id", qv, k=k, n_probes=4
         ),
     }
+    if use_gmm:
+        from pg_analytics_spark.operators.similarity import train_ivf_centroids
+
+        dim = len(emb.select("embedding").first()[0])
+        trained = train_ivf_centroids(emb, "embedding", dim, n_cells=8, n_iters=3)
+        methods["ivf-trained p=1"] = lambda qv: ivf_ann_topk(
+            emb, "embedding", "vec_id", qv, k=k, n_probes=1, centroids=trained
+        )
+        methods["ivf-trained p=2"] = lambda qv: ivf_ann_topk(
+            emb, "embedding", "vec_id", qv, k=k, n_probes=2, centroids=trained
+        )
     stats = {m: [] for m in methods}
     walls = dict.fromkeys(["exact", *methods], 0.0)
     for q in qrows:
