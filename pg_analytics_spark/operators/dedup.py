@@ -750,3 +750,54 @@ def bloom_probe(
             "bool_and((coalesce(bits, CAST(0 AS BIGINT)) & mask) = mask)"
         ).alias("bloom_hit")
     )
+
+
+def embedding_semantic_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    seed: int = 7,
+    centroids=None,
+) -> DataFrame:
+    """Semantic dedup pairs (the SemDeDup pattern, Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest-centroid cell,
+    then compare pairs ONLY within a cell — near-duplicates are
+    near-identical in embedding space, so they land in the same cell
+    and the cross-cell quadratic disappears.
+
+    Scale: the self-join is an equi-join on the cell id — shuffle
+    volume is |corpus|, per-cell work is quadratic in CELL size, and at
+    100 TB the cell id is a partition column (write-time layout), so
+    each cell's pairs compute inside one partition with no global
+    shuffle at all.  A trained codebook (similarity.train_ivf_centroids)
+    shrinks cells toward true clusters, cutting the in-cell quadratic;
+    the seeded codebook keeps the operator deterministic without a
+    training job.  Recall boundary: a pair straddling a cell border is
+    missed — the documented trade of every blocked method (the minhash
+    family catches textual near-dups; this tier targets semantic ones).
+    """
+    from pg_analytics_spark.functions.vectors import cosine_similarity
+    from pg_analytics_spark.operators.similarity import (
+        _cell_col,
+        ivf_centroids,
+    )
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    cells = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _cell_col(vec_col, cents).alias("cell"),
+    )
+    a = cells.select("cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = cells.select("cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    sim = F.round(cosine_similarity("_va", "_vb"), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

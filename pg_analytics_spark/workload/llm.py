@@ -1586,3 +1586,43 @@ def _register_dedup_near_keep():
 
 
 _register_dedup_near_keep()
+
+
+def _register_dedup_semantic():
+    cell_a = _ivf_cell_sql("a.embedding")
+    cell_b = _ivf_cell_sql("b.embedding")
+    cos = """
+             list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip(a.embedding, b.embedding)]) /
+             (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding])) *
+              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in b.embedding])))"""
+    oracle = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT {cell_a} AS cell,
+           a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({cos}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {cell_a} = {cell_b}
+      AND ROUND({cos}, 6) >= 0.9
+    """
+
+    @register(
+        "dedup_semantic",
+        oracle=oracle,
+        doc="Semantic dedup (SemDeDup, arXiv:2303.09540): centroid-cell "
+        "blocking + exact in-cell cosine >= 0.9 — near-identical "
+        "embeddings share a cell, so the quadratic is per-cell, never "
+        "global; at scale the cell id is a partition column and each "
+        "cell's pairs compute inside one partition. The oracle "
+        "recomputes the argmax-cell fold from the same seeded centroid "
+        "literals and runs the blocked quadratic in SQL.",
+    )
+    def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.dedup import embedding_semantic_pairs
+
+        return embedding_semantic_pairs(
+            table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+            threshold=0.9,
+        )
+
+
+_register_dedup_semantic()
