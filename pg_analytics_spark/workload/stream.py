@@ -588,3 +588,81 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
+
+
+@register(
+    "streaming_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_event,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Native session_window sessionization on the REAL streaming path "
+    "under the value-exact oracle gate. session_window's end is "
+    "last-event-time + gap, so end - 30min == the batch twin's MAX(ts) "
+    "— asserting that identity per session proves the native operator "
+    "and the gaps-and-islands formulation segment identically, event "
+    "for event, sum for sum.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_analytics_spark.streaming.events import (
+        read_event_stream,
+        stream_sessionize,
+    )
+
+    name = f"reg_stream_sess_{next(_STREAM_RUN_SEQ)}"
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    # decimal-staged total like the batch twin (bit-exact cross-engine)
+    sess = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            (F.col("s.end") - F.expr("INTERVAL 30 MINUTES")).alias("last_event"),
+            "n_events",
+            "total_value",
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("last_event").cast("timestamp_ntz").alias("last_event"),
+        "n_events",
+        "total_value",
+    )
