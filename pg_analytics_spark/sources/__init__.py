@@ -18,6 +18,7 @@ from pg_analytics_spark.sources import iceberg as _iceberg
 from pg_analytics_spark.sources import json as _json
 from pg_analytics_spark.sources import parquet as _parquet
 from pg_analytics_spark.sources import spatial as _spatial
+from pg_analytics_spark.sources import avro as _avro
 from pg_analytics_spark.sources import xlsx as _xlsx
 
 _LOADERS = {
@@ -28,6 +29,7 @@ _LOADERS = {
     "iceberg": _iceberg.load,
     "spatial": _spatial.load,
     "xlsx": _xlsx.load,
+    "avro": _avro.load,
 }
 
 

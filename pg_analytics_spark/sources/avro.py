@@ -314,3 +314,82 @@ def write_container(
     w.write(sync)
     with open(path, "wb") as fh:
         fh.write(w.getvalue())
+
+
+# --------------------------------------------------------------------- #
+# Source-format adapter: Avro data files as attachable tables.
+# --------------------------------------------------------------------- #
+
+_AVRO_TO_SPARK = {
+    "null": "string",
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+def _avro_field_type(t) -> str:
+    """Avro schema type → Spark DDL type for the adapter's supported
+    subset (primitives, nullable unions, arrays/maps of primitives,
+    enums as strings)."""
+    if isinstance(t, list):  # union — nullable primitive is the norm
+        non_null = [x for x in t if x != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"unsupported avro union {t!r}")
+        return _avro_field_type(non_null[0])
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "array":
+            return f"array<{_avro_field_type(t['items'])}>"
+        if k == "map":
+            return f"map<string,{_avro_field_type(t['values'])}>"
+        if k == "enum":
+            return "string"
+        if k == "fixed":
+            return "binary"
+        if k in _AVRO_TO_SPARK:
+            return _AVRO_TO_SPARK[k]
+        raise ValueError(f"unsupported avro type {t!r}")
+    if t in _AVRO_TO_SPARK:
+        return _AVRO_TO_SPARK[t]
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def load(spark, files, opts: dict):
+    """Avro data files → DataFrame via the dependency-free container
+    reader.  Driver-side parse like the spreadsheet/spatial single-file
+    sources; on a real cluster with the spark-avro package attached,
+    ``spark.read.format("avro")`` takes over distributed reads — this
+    adapter keeps the format usable (and its option surface testable)
+    without that jar.  Top-level record schemas only."""
+    import glob as _glob
+
+    from pg_analytics_spark.sources.base import apply_common
+
+    paths: list[str] = []
+    for pattern in files:
+        paths.extend(sorted(_glob.glob(pattern)) or [pattern])
+    all_rows: list[tuple] = []
+    ddl: str | None = None
+    names: list[str] | None = None
+    for p in paths:
+        schema, records = read_container(p)
+        if schema.get("type") != "record":
+            raise ValueError(f"{p}: top-level avro schema must be a record")
+        f_names = [f["name"] for f in schema["fields"]]
+        f_ddl = ", ".join(
+            f"`{f['name']}` {_avro_field_type(f['type'])}"
+            for f in schema["fields"]
+        )
+        if ddl is None:
+            ddl, names = f_ddl, f_names
+        elif f_ddl != ddl:
+            raise ValueError("avro files in one load must share a schema")
+        for rec in records:
+            all_rows.append(tuple(rec.get(n) for n in names))
+    df = spark.createDataFrame(all_rows, ddl)
+    return apply_common(df, opts)

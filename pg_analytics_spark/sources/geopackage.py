@@ -156,9 +156,15 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
 def write_point_gpkg(path: str, layer: str, points, field_names, records) -> str:
     """Fixture-grade GeoPackage writer: one point-feature layer with
     string attributes, used by tests and the gpkg registry queries.
-    ``points`` is [(x, y)]; ``records`` is a list of value tuples."""
+    ``points`` is [(x, y)]; ``records`` is a list of value tuples.
+    Overwrites ``path`` (fixture semantics — registry queries rebuild
+    deterministically on every call)."""
+    import os
+
     from pg_analytics_spark.sources.geom import to_wkb
 
+    if os.path.exists(path):
+        os.remove(path)
     con = sqlite3.connect(path)
     try:
         con.executescript(

@@ -163,7 +163,7 @@ def test_hive_partitioning_discovery(spark, tmp_path_factory):
 
 def test_unknown_format_rejected(spark):
     with pytest.raises(UnsupportedFormat):
-        load_source(spark, "x.avro", "avro", {})
+        load_source(spark, "x.orc2", "orc2", {})
 
 
 def test_delta_iceberg_gated(spark):
@@ -1513,3 +1513,34 @@ def test_delta_rename_column_mapping(spark, tmp_path):
     df = load_source(spark, root, "delta")
     assert df.columns == ["id", "label"]
     assert {r["id"]: r["label"] for r in df.collect()} == {1: "x", 2: "y"}
+
+
+def test_avro_source_roundtrip(spark, tmp_path):
+    """Avro data files attach as tables through the dependency-free
+    container reader: primitives, nullable unions, arrays."""
+    from pg_analytics_spark.sources.avro import write_container
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    recs = [
+        {"id": 1, "name": "a", "score": 1.5, "tags": ["x", "y"]},
+        {"id": 2, "name": None, "score": -2.0, "tags": []},
+    ]
+    path = str(tmp_path / "rows.avro")
+    write_container(schema, recs, path)
+    df = load_source(spark, path, "avro")
+    assert df.columns == ["id", "name", "score", "tags"]
+    assert dict(df.dtypes) == {
+        "id": "bigint", "name": "string", "score": "double",
+        "tags": "array<string>",
+    }
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["tags"] == ["x", "y"] and rows[2]["name"] is None
