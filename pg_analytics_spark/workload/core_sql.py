@@ -1804,3 +1804,62 @@ def geo_gpkg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_name", "lon", "lat", "n_nations")
         .orderBy("r_name")
     )
+
+
+@register(
+    "avro_nation_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey IN (1, 2)
+    ORDER BY n_nationkey
+    """,
+    doc="Avro source round trip: the nation table is re-encoded as an "
+    "Avro object container (nullable-union fields, the dependency-free "
+    "writer in sources/avro.py) and attached back through "
+    "load_source(format='avro'); filter + order must match the parquet "
+    "original value-exactly, proving the container framing, zigzag "
+    "varints, and union branches decode losslessly.",
+)
+def avro_nation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.avro import write_container
+
+    t = _pq.read_table(f"{sf_dir}/nation.parquet").sort_by("n_nationkey")
+    schema = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_nationkey", "type": ["null", "long"]},
+            {"name": "n_name", "type": ["null", "string"]},
+            {"name": "n_regionkey", "type": ["null", "long"]},
+        ],
+    }
+    recs = [
+        {
+            "n_nationkey": int(k),
+            "n_name": str(n),
+            "n_regionkey": int(r),
+        }
+        for k, n, r in zip(
+            t.column("n_nationkey").to_pylist(),
+            t.column("n_name").to_pylist(),
+            t.column("n_regionkey").to_pylist(),
+        )
+    ]
+    path = _os.path.join(_geo_fixture_dir(sf_dir), "nation.avro")
+    write_container(schema, recs, path)
+    df = load_source(spark, path, "avro")
+    return (
+        df.filter(F.col("n_regionkey").isin(1, 2))
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -241,3 +241,30 @@ def test_rarity_score_single_token_shuffle_pair(spark):
     # no cartesian anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_is_cell_equijoin(spark):
+    """SemDeDup's pair join must be a hash equi-join on the cell id —
+    never a cartesian/nested-loop over the corpus."""
+    from pg_analytics_spark.operators.dedup import embedding_semantic_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = embedding_semantic_pairs(emb, "embedding", "vec_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_pairs_no_orderkey_self_join(spark):
+    """basket_part_pairs derives pairs from the per-order part array —
+    there must be NO join keyed on the raw orderkey (the old a⋈b
+    self-join shape); the only joins are the broadcast frequency/count
+    attachments on the aggregated pair relation."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["basket_part_pairs"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Join")[1:]:
+        keys = frag[:120]
+        assert "l_orderkey" not in keys, plan
+    assert "CartesianProduct" not in plan
