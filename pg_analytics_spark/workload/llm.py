@@ -1626,3 +1626,62 @@ def _register_dedup_semantic():
 
 
 _register_dedup_semantic()
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(words[i+1:i+8], ' ')
+                     FOR i IN range(greatest(len(words) - 7, 0))]) AS gram
+      FROM w
+    )
+    SELECT gram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    ORDER BY n_docs DESC, n_occurrences DESC, gram
+    LIMIT 20
+    """,
+    doc="Boilerplate detection — the standard pre-dedup diagnostic: word "
+    "8-grams shared by >= 3 distinct documents, ranked by document "
+    "reach. All codegen: sequence+transform+slice+array_join builds the "
+    "grams, explode feeds one hash aggregate (map-side partial), top-20 "
+    "via TakeOrdered. At 100 TB this is the query that finds the "
+    "headers/footers/licence blocks that should be stripped BEFORE "
+    "near-dup sketching (minhash treats boilerplate-heavy pairs as "
+    "near-dups; stripping first is the documented mitigation in "
+    "SCALE.md's minhash skew note). The oracle builds identical grams "
+    "with a DuckDB list comprehension.",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                # guard: sequence(0, stop) is DESCENDING for stop < 0, so
+                # sub-8-word docs must short-circuit to an empty array
+                "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 8), "
+                "i -> array_join(slice(split(text, ' '), i + 1, 8), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(20)
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pg_analytics_spark import get_spark
 from pg_analytics_spark.operators.dedup import (
     embedding_neardup_pairs_lsh,
+    embedding_semantic_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     release_sketch_caches,
@@ -137,6 +138,18 @@ def main() -> None:
         "dedup_bloom_probe": (
             lambda: _bloom_case(docs, docs.limit(500)),
             lambda: _bloom_case(docs_big, docs.limit(500)),
+        ),
+        # semantic: the per-cell quadratic is the risk axis — the corpus
+        # grows mult× and every cell grows with it, so the expected
+        # factor is ≤ mult² / n_cells; more cells (or a trained
+        # codebook) is the dial that restores linearity.
+        "dedup_semantic": (
+            lambda: embedding_semantic_pairs(
+                emb, "embedding", "vec_id", threshold=0.99
+            ),
+            lambda: embedding_semantic_pairs(
+                emb_big, "embedding", "vec_id", threshold=0.99
+            ),
         ),
     }
     for name, (one, big) in cases.items():
