@@ -780,18 +780,16 @@ def embedding_semantic_pairs(
     """
     from pg_analytics_spark.functions.vectors import cosine_similarity
     from pg_analytics_spark.operators.similarity import (
-        _cell_col,
+        cell_assignments,
         ivf_centroids,
     )
 
     first = df.select(vec_col).first()
     dim = len(first[0])
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
-    cells = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _cell_col(vec_col, cents).alias("cell"),
-    )
+    # both sides of the pair join read the assignment — persist it so
+    # the (possibly join-based, see cell_assignments) subtree runs once
+    cells = _persist_sketch(cell_assignments(df, vec_col, id_col, cents))
     a = cells.select("cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     b = cells.select("cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     sim = F.round(cosine_similarity("_va", "_vb"), 6)

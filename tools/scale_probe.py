@@ -139,16 +139,27 @@ def main() -> None:
             lambda: _bloom_case(docs, docs.limit(500)),
             lambda: _bloom_case(docs_big, docs.limit(500)),
         ),
-        # semantic: the per-cell quadratic is the risk axis — the corpus
-        # grows mult× and every cell grows with it, so the expected
-        # factor is ≤ mult² / n_cells; more cells (or a trained
-        # codebook) is the dial that restores linearity.
-        "dedup_semantic": (
+        # semantic: the per-cell quadratic is the risk axis.  With a
+        # FIXED codebook the factor degrades toward mult²/n_cells (each
+        # cell grows mult×); the operating rule is CELLS OF BOUNDED
+        # SIZE — n_cells scales with the corpus, so the 10× run uses
+        # 10× the cells and the factor should return to ~linear.  Both
+        # are measured: the fixed-codebook row demonstrates the cliff,
+        # the scaled row demonstrates the dial.
+        "dedup_semantic(8 cells)": (
             lambda: embedding_semantic_pairs(
-                emb, "embedding", "vec_id", threshold=0.99
+                emb, "embedding", "vec_id", threshold=0.99, n_cells=8
             ),
             lambda: embedding_semantic_pairs(
-                emb_big, "embedding", "vec_id", threshold=0.99
+                emb_big, "embedding", "vec_id", threshold=0.99, n_cells=8
+            ),
+        ),
+        "dedup_semantic(scaled)": (
+            lambda: embedding_semantic_pairs(
+                emb, "embedding", "vec_id", threshold=0.99, n_cells=8
+            ),
+            lambda: embedding_semantic_pairs(
+                emb_big, "embedding", "vec_id", threshold=0.99, n_cells=8 * mult
             ),
         ),
     }
