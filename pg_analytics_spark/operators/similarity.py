@@ -242,6 +242,7 @@ def train_ivf_centroids(
     n_cells: int = 8,
     n_iters: int = 3,
     seed: int = 7,
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's iterations that turn the seeded spherical
     codebook into a TRAINED one: assignment is the same codegen argmax
@@ -257,10 +258,17 @@ def train_ivf_centroids(
     """
     cents = ivf_centroids(dim, n_cells, seed)
     for _ in range(n_iters):
-        assigned = df.select(
-            _cell_col(vec_col, cents).alias("_cell"),
-            F.col(vec_col).alias("_v"),
-        )
+        if id_col is not None and n_cells > 16:
+            # join-based argmax past codegen's literal-fold limit
+            # (see cell_assignments — requires a unique row id)
+            assigned = cell_assignments(df, vec_col, id_col, cents).select(
+                F.col("cell").alias("_cell"), "_v"
+            )
+        else:
+            assigned = df.select(
+                _cell_col(vec_col, cents).alias("_cell"),
+                F.col(vec_col).alias("_v"),
+            )
         sums = (
             assigned.select(
                 "_cell", F.posexplode("_v").alias("_pos", "_x")
