@@ -1685,3 +1685,63 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
         .limit(20)
     )
+
+
+def _register_dedup_semantic_keep():
+    cell_a = _ivf_cell_sql("a.embedding")
+    cell_b = _ivf_cell_sql("b.embedding")
+    cos = """
+             list_sum([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip(a.embedding, b.embedding)]) /
+             (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in a.embedding])) *
+              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in b.embedding])))"""
+    oracle = f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {cell_a} = {cell_b}
+        AND ROUND({cos}, 6) >= 0.9
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(u, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e2.u, w.lbl FROM edges e2 JOIN walk w ON e2.v = w.u
+    ), lab AS (
+      SELECT u AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+    )
+    SELECT vec_id FROM lab WHERE vec_id = cluster_id ORDER BY vec_id
+    """
+
+    @register(
+        "dedup_semantic_keep",
+        oracle=oracle,
+        doc="END-TO-END semantic dedup: the kept corpus after SemDeDup "
+        "pruning — cell-blocked cosine pairs become the duplicate "
+        "graph, connected components assign cluster ids, each "
+        "cluster's min-id representative survives. Same composition "
+        "contract as dedup_near_keep (pairs and clusters are "
+        "diagnostics; the deliverable is the kept set); scale per "
+        "SCALE.md's semantic ledger entry (bounded-size cells, "
+        "label-propagation components).",
+    )
+    def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.dedup import (
+            embedding_semantic_pairs,
+            neardup_clusters,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        pairs = embedding_semantic_pairs(
+            e, "embedding", "vec_id", threshold=0.9
+        ).select("id_a", "id_b")
+        clusters = neardup_clusters(e, pairs, "vec_id")
+        return (
+            clusters.filter(F.col("vec_id") == F.col("cluster_id"))
+            .select("vec_id")
+            .orderBy("vec_id")
+        )
+
+
+_register_dedup_semantic_keep()
