@@ -173,3 +173,57 @@ def to_wkb_point(lon, lat) -> Column:
         return pd.Series(out)
 
     return _encode(_c(lon), _c(lat))
+
+
+def point_in_polygon(px, py, xs: list[float], ys: list[float]) -> Column:
+    """Ray-cast point-in-polygon as ONE codegen fold — no geo library.
+
+    ``xs``/``ys`` are the polygon ring's vertices (closed implicitly:
+    the last vertex connects back to the first).  Standard even-odd
+    rule: a horizontal ray from the point crosses an edge when the
+    edge's vertices straddle the point's y and the edge's x at that y
+    lies right of the point; odd crossing count = inside.  Boundary
+    points follow the raw IEEE comparisons (callers pick fixtures off
+    edges).  The identical arithmetic expression evaluates in DuckDB
+    via a list comprehension (see the geo_point_in_polygon oracle), so
+    membership is bit-reproducible cross-engine.
+    """
+    n = len(xs)
+    px_sql = px if isinstance(px, str) else str(px)
+    py_sql = py if isinstance(py, str) else str(py)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        x1, y1, x2, y2 = (
+            repr(float(xs[i])),
+            repr(float(ys[i])),
+            repr(float(xs[j])),
+            repr(float(ys[j])),
+        )
+        terms.append(
+            f"IF((({y1}D > {py_sql}) != ({y2}D > {py_sql})) AND "
+            f"({px_sql} < ({x2}D - {x1}D) * ({py_sql} - {y1}D) / "
+            f"({y2}D - {y1}D) + {x1}D), 1, 0)"
+        )
+    return F.expr("(" + " + ".join(terms) + ") % 2 = 1")
+
+
+def point_in_polygon_sql(px: str, py: str, xs: list[float], ys: list[float]) -> str:
+    """The DuckDB expression computing the SAME even-odd ray cast —
+    used by oracles to replay :func:`point_in_polygon` term for term."""
+    n = len(xs)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        x1, y1, x2, y2 = (
+            repr(float(xs[i])),
+            repr(float(ys[i])),
+            repr(float(xs[j])),
+            repr(float(ys[j])),
+        )
+        terms.append(
+            f"CASE WHEN (({y1} > {py}) != ({y2} > {py})) AND "
+            f"({px} < ({x2} - {x1}) * ({py} - {y1}) / "
+            f"({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

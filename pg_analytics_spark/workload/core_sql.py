@@ -1863,3 +1863,93 @@ def avro_nation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+#: two pentagons over the synthetic customer grid — vertices chosen off
+#: any *.5 lattice line so no point sits on an edge
+_PIP_ZONES = {
+    "euro_zone": (
+        [-12.3, 28.7, 31.9, 3.1, -19.8],
+        [36.2, 33.9, 58.4, 71.3, 57.1],
+    ),
+    "apac_zone": (
+        [88.2, 151.7, 179.3, 132.6, 95.4],
+        [-12.7, -45.2, -8.9, 21.3, 14.6],
+    ),
+}
+
+
+def _register_geo_point_in_polygon():
+    from pg_analytics_spark.functions.geo import (
+        point_in_polygon,
+        point_in_polygon_sql,
+    )
+
+    zone_sql = " ".join(
+        f"WHEN {point_in_polygon_sql('lon', 'lat', xs, ys)} THEN '{name}'"
+        for name, (xs, ys) in _PIP_ZONES.items()
+    )
+    oracle = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (((c_custkey * 37) % 160) - 80 + 0.5)::DOUBLE AS lat,
+             (((c_custkey * 73) % 360) - 180 + 0.5)::DOUBLE AS lon
+      FROM customer
+    ), zoned AS (
+      SELECT c_custkey, lat, lon,
+             CASE {zone_sql} ELSE NULL END AS zone
+      FROM pts
+    )
+    SELECT zone, COUNT(*) AS n_customers,
+           MIN(c_custkey) AS first_cust, MAX(c_custkey) AS last_cust
+    FROM zoned WHERE zone IS NOT NULL
+    GROUP BY zone ORDER BY zone
+    """
+
+    @register(
+        "geo_point_in_polygon",
+        oracle=oracle,
+        doc="Spatial containment join without a geo engine: even-odd "
+        "ray-cast point-in-polygon as a single codegen fold "
+        "(functions/geo.point_in_polygon), customers' synthetic "
+        "coordinates assigned to literal pentagon zones and aggregated "
+        "per zone. The oracle replays the identical IEEE arithmetic "
+        "term for term (point_in_polygon_sql), so membership is "
+        "bit-reproducible. Scale: polygons broadcast as literals — a "
+        "narrow map over the fact table, no shuffle before the final "
+        "per-zone agg; for thousands of polygons swap the CASE for an "
+        "R-tree-bucketed join (bbox prefilter then exact test), same "
+        "per-row fold.",
+    )
+    def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+        c = table(spark, sf_dir, "customer")
+        pts = c.select(
+            "c_custkey",
+            (((F.col("c_custkey") * 37) % 160) - 80 + 0.5)
+            .cast("double")
+            .alias("lat"),
+            (((F.col("c_custkey") * 73) % 360) - 180 + 0.5)
+            .cast("double")
+            .alias("lon"),
+        )
+        zone = None
+        expr = None
+        for name, (xs, ys) in _PIP_ZONES.items():
+            cond = point_in_polygon("lon", "lat", xs, ys)
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+                cond, F.lit(name)
+            )
+        zoned = pts.withColumn("zone", expr.otherwise(F.lit(None)))
+        return (
+            zoned.filter(F.col("zone").isNotNull())
+            .groupBy("zone")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.min("c_custkey").alias("first_cust"),
+                F.max("c_custkey").alias("last_cust"),
+            )
+            .orderBy("zone")
+        )
+
+
+_register_geo_point_in_polygon()

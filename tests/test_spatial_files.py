@@ -165,3 +165,32 @@ def test_spatial_still_rejects_gdal_only_for_shapefile(spark, tmp_path):
     shp = write_point_shapefile(str(tmp_path / "x"), PTS[:1], ["n"], [("a",)])
     with pytest.raises(UnsupportedFormat, match="GDAL"):
         load_source(spark, shp, "spatial", {"layer": "x"})
+
+
+def test_point_in_polygon_raycast(spark):
+    """Even-odd ray cast against a concave polygon: known inside /
+    outside / concavity-notch points."""
+    from pg_analytics_spark.functions.geo import point_in_polygon
+
+    # concave "C" shape
+    xs = [0.0, 10.0, 10.0, 4.0, 4.0, 10.0, 10.0, 0.0]
+    ys = [0.0, 0.0, 3.0, 3.0, 7.0, 7.0, 10.0, 10.0]
+    cases = [
+        (2.0, 5.0, True),    # left limb
+        (7.0, 1.5, True),    # bottom arm
+        (7.0, 5.0, False),   # inside the notch — concavity matters
+        (11.0, 5.0, False),  # right of everything
+        (5.0, 8.5, True),    # top arm
+        (-1.0, -1.0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y, _) in enumerate(cases)], "i long, x double, y double"
+    )
+    got = {
+        r["i"]: r["inside"]
+        for r in df.select(
+            "i", point_in_polygon("x", "y", xs, ys).alias("inside")
+        ).collect()
+    }
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i])
