@@ -666,3 +666,64 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "streaming_user_profile",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, n_events, event_type AS last_event
+    FROM ranked WHERE rn = 1
+    """,
+    doc="The custom stateful operator (applyInPandasWithState running "
+    "profile, streaming/events.py) under the value-exact oracle gate "
+    "via its deterministic columns: event counts and the last event "
+    "type under (ts, event_id) ordering. The float accumulator stays "
+    "out of the oracle row by design — pandas' pairwise float sum is "
+    "not bit-reproducible against a decimal-staged SQL sum, and the "
+    "equivalence test in test_streaming.py already covers it at "
+    "tolerance. In UPDATE mode the LAST update per user is the final "
+    "state; max_by(n_events) selects it engine-side.",
+)
+def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_analytics_spark.streaming.events import (
+        read_event_stream,
+        stream_stateful_user_profile,
+    )
+
+    name = f"reg_stream_profile_{next(_STREAM_RUN_SEQ)}"
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_stateful_user_profile(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    prof = spark.table(name)
+    # several update rows per user are possible if the file source
+    # split the drain into multiple micro-batches — the final state is
+    # the row with the highest running count
+    return (
+        prof.groupBy("user_id")
+        .agg(
+            F.expr("max_by(struct(n_events, last_event), n_events)").alias("_s")
+        )
+        .select(
+            "user_id",
+            F.col("_s.n_events").alias("n_events"),
+            F.col("_s.last_event").alias("last_event"),
+        )
+    )
