@@ -124,12 +124,25 @@ def main() -> None:
             lambda: simhash_pairs(docs, "text", "doc_id"),
             lambda: simhash_pairs(docs_big, "text", "doc_id"),
         ),
-        "dedup_embedding_lsh": (
+        # fixed bits_per_band: buckets are constant, so in-bucket
+        # candidate pairs grow quadratically with the corpus — the
+        # scaled row adds log2(mult)≈3 bits (buckets ×8) to keep
+        # expected bucket size constant, the operating rule at scale.
+        "dedup_embedding_lsh(8 bits)": (
             lambda: embedding_neardup_pairs_lsh(
                 emb, "embedding", "vec_id", dim=64, threshold=0.99
             ),
             lambda: embedding_neardup_pairs_lsh(
                 emb_big, "embedding", "vec_id", dim=64, threshold=0.99
+            ),
+        ),
+        "dedup_embedding_lsh(scaled)": (
+            lambda: embedding_neardup_pairs_lsh(
+                emb, "embedding", "vec_id", dim=64, threshold=0.99
+            ),
+            lambda: embedding_neardup_pairs_lsh(
+                emb_big, "embedding", "vec_id", dim=64, threshold=0.99,
+                bits_per_band=11,
             ),
         ),
         # bloom: HISTORY grows mult×, probe shard stays fixed — the
