@@ -322,3 +322,44 @@ def test_train_ivf_centroids_aligns_cells_with_clusters(spark):
     ).collect()
     assert len(got) == 10
     assert all(r["vec_id"] % 2 == 0 for r in got)  # all from cluster 0
+
+
+def test_auto_capacity_scales_with_corpus(spark):
+    """The 'auto' capacity rule: bucket bits / cell count grow with the
+    corpus so expected bucket size stays bounded (the SCALE.md cliff)."""
+    import numpy as np
+
+    from pg_analytics_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+        embedding_semantic_pairs,
+        release_sketch_caches,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    small = df.limit(200)
+
+    # auto semantic: 3000 vectors / target 512 → 6 → floor 8 cells;
+    # with target 100 → 30 cells (join-based assignment path)
+    out = embedding_semantic_pairs(
+        small, "embedding", "vec_id", threshold=0.999, n_cells="auto"
+    )
+    assert out.count() >= 0  # executes through the literal-fold path
+    out_big = embedding_semantic_pairs(
+        df, "embedding", "vec_id", threshold=0.999, n_cells="auto",
+        target_cell_size=100,
+    )
+    assert out_big.count() >= 0  # executes through the join path
+    # auto LSH: bits grow with n (3000/64 → ceil(log2 47) = 6 → floor 8;
+    # target 4 → ceil(log2 750) = 10 bits) — just assert it executes and
+    # produces a valid pair set either way
+    pairs = embedding_neardup_pairs_lsh(
+        df, "embedding", "vec_id", dim=8, threshold=0.999,
+        bits_per_band="auto", target_bucket_size=4,
+    )
+    assert pairs.columns == ["id_a", "id_b", "cosine"]
+    assert pairs.count() >= 0
+    release_sketch_caches()
