@@ -1745,3 +1745,56 @@ def _register_dedup_semantic_keep():
 
 
 _register_dedup_semantic_keep()
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([{
+               'chunk_idx': i,
+               'chunk': array_to_string(words[i * 24 + 1 : i * 24 + 32], ' ')
+             } FOR i IN range(((greatest(len(words) - 32, 0) + 23) // 24) + 1)])
+             AS c
+      FROM w
+    )
+    SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk,
+           len(string_split(c.chunk, ' ')) AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="RAG-style document chunking: 32-token windows with 8-token "
+    "overlap (stride 24) per document, inverse of pack_sequences. One "
+    "codegen transform builds the window starts, explode emits chunks "
+    "— no shuffle at all until a downstream consumer aggregates; at "
+    "100 TB chunking is a pure map stage that pipelines into the "
+    "embedding UDF. The final (possibly short) tail window is kept, "
+    "like every chunker that must not drop text. The oracle rebuilds "
+    "identical windows with a DuckDB list comprehension.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    window, stride = 32, 24
+    n_chunks = (
+        f"(CAST((greatest(size(split(text, ' ')) - {window}, 0) + {stride - 1}) "
+        f"/ {stride} AS INT)) + 1"
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks} - 1), "
+                f"i -> array_join(slice(split(text, ' '), i * {stride} + 1, {window}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.size(F.split("chunk", " ")).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -1544,3 +1544,22 @@ def test_avro_source_roundtrip(spark, tmp_path):
     }
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["tags"] == ["x", "y"] and rows[2]["name"] is None
+
+
+def test_gzip_csv_and_json_transparent(spark, tmp_path):
+    """Spark reads .gz text sources transparently — the compressed-
+    corpus ingestion path (jsonl.gz is the lingua franca of web-scale
+    text dumps)."""
+    import gzip
+
+    c = tmp_path / "part.csv.gz"
+    with gzip.open(c, "wt") as fh:
+        fh.write("id,name\n1,alpha\n2,beta\n")
+    df = load_source(spark, str(c), "csv", {"header": True})
+    assert {r["name"] for r in df.collect()} == {"alpha", "beta"}
+
+    j = tmp_path / "part.jsonl.gz"
+    with gzip.open(j, "wt") as fh:
+        fh.write('{"id": 1, "t": "x"}\n{"id": 2, "t": "y"}\n')
+    dj = load_source(spark, str(j), "json", {"format": "nl"})
+    assert dj.count() == 2
