@@ -65,6 +65,20 @@ HEADLINE = [
     "range_join_error_context",
 ]
 
+#: round-4 candidates — NOT in the headline yet (the 33-query set is
+#: frozen through round 3 per the round-2 verdict so round-over-round
+#: totals stay comparable); fold these in when the headline next
+#: reopens, so the new operator families get a perf signal too.
+HEADLINE_NEXT = [
+    "dedup_semantic",
+    "dedup_semantic_keep",
+    "geo_point_in_polygon",
+    "geo_shapefile_nation_hubs",
+    "streaming_hourly_counts",
+    "chunk_documents",
+    "text_boilerplate_ngrams",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -342,3 +342,46 @@ def test_bloom_bits_exact_and_no_false_negatives(spark, case):
     for s in probe:
         if s in hset:
             assert hits[s], f"false negative for {s!r}"
+
+
+_coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+_point = st.tuples(_coord, _coord)
+_ring = st.lists(_point, min_size=3, max_size=8)
+
+
+@st.composite
+def _geometry(draw):
+    kind = draw(st.sampled_from(
+        ["POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+         "POLYGON", "MULTIPOLYGON"]
+    ))
+    if kind == "POINT":
+        return (kind, draw(_point))
+    if kind == "MULTIPOINT":
+        return (kind, draw(st.lists(_point, min_size=1, max_size=6)))
+    if kind == "LINESTRING":
+        return (kind, draw(st.lists(_point, min_size=2, max_size=8)))
+    if kind == "MULTILINESTRING":
+        return (kind, draw(st.lists(
+            st.lists(_point, min_size=2, max_size=5), min_size=1, max_size=3
+        )))
+    if kind == "POLYGON":
+        return (kind, draw(st.lists(_ring, min_size=1, max_size=3)))
+    return (kind, draw(st.lists(
+        st.lists(_ring, min_size=1, max_size=2), min_size=1, max_size=2
+    )))
+
+
+@given(_geometry())
+@settings(max_examples=200, deadline=None)
+def test_wkb_roundtrip_lossless(geom):
+    """parse_wkb(to_wkb(g)) == g for every covered 2D geometry — the
+    codec the shapefile/GeoPackage sources rely on."""
+    from pg_analytics_spark.sources.geom import envelope, parse_wkb, to_wkb
+
+    back = parse_wkb(to_wkb(geom))
+    assert back == geom
+    # envelope is order-invariant under the round trip
+    assert envelope(back) == envelope(geom)
