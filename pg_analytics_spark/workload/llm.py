@@ -1798,3 +1798,30 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.size(F.split("chunk", " ")).alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "sim_ann_lsh_probe1",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT unnest([{_bucket_sql('qe')}] ||
+                    [xor({_bucket_sql('qe')}, 1 << i) FOR i IN range(8)]) AS pb
+      FROM q
+    )
+    SELECT e.vec_id, {_ANN_COS} AS sim
+    FROM embeddings e, q
+    WHERE {_bucket_sql('e.embedding')} IN (SELECT pb FROM probes)
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Multi-probe hyperplane-LSH ANN (radius 1): the query probes its "
+    "own bucket PLUS every single-bit neighbor — 9 of 256 buckets, the "
+    "recall dial measured in SCALE.md without touching the stored "
+    "layout. The oracle derives the same probe set by XOR-ing the "
+    "replayed bucket key, so the dial itself is value-checked.",
+)
+def sim_ann_lsh_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_ann_topk(emb, "embedding", "vec_id", qvec, k=10, probe_radius=1)
