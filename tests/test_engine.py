@@ -318,3 +318,23 @@ def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
         0,
         1,
     }
+
+
+def test_fetch_arrow_and_iter_arrow(engine):
+    """Arrow interchange parity (reference connection.rs:176-229): full
+    table fetch and the bounded-memory RecordBatch cursor agree."""
+    import pyarrow as pa
+
+    t = engine.fetch_arrow("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == 25 and t.column_names == ["n_nationkey", "n_name"]
+    batches = list(
+        engine.iter_arrow(
+            "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+            batch_rows=10,
+        )
+    )
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert [b.num_rows for b in batches] == [10, 10, 5]
+    joined = pa.Table.from_batches(batches)
+    assert joined.to_pydict() == t.to_pydict()
