@@ -70,8 +70,21 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
                 os.path.join(path, "_delta_log"), _ts_ms(ts)
             )
         df = _load_via_log(
-            spark, path, version=None if version is None else int(version)
+            spark,
+            path,
+            version=None if version is None else int(version),
+            stats_filter=opts.get("stats_filter"),
         )
+    # stats_filter is exact: files provably outside the range are
+    # skipped from the add-action stats (data skipping, what the
+    # runtime's pushdown does automatically), and the row predicate is
+    # re-applied so files kept conservatively cannot leak rows.  On the
+    # delta-spark path the same filter lets the runtime prune instead.
+    for c, (lo, hi) in dict(opts.get("stats_filter") or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
     return apply_common(df, opts)
 
 
@@ -134,8 +147,37 @@ def _resolve_timestamp(log_dir: str, ts_ms: int) -> int:
 # ------------------------------------------------------------------ #
 
 
+def _file_overlaps_stats(add: dict, phys_col: str, lo, hi) -> bool:
+    """Data-skipping check against the add action's JSON stats
+    (numRecords/minValues/maxValues, the public Delta stats shape).
+    Missing or unparsable stats keep the file — skipping must be
+    provably safe."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+        mn = (stats.get("minValues") or {}).get(phys_col)
+        mx = (stats.get("maxValues") or {}).get(phys_col)
+    except (ValueError, AttributeError):
+        return True
+    if mn is None or mx is None:
+        return True
+    try:
+        if hi is not None and type(mn)(hi) < mn:
+            return False
+        if lo is not None and type(mx)(lo) > mx:
+            return False
+    except (TypeError, ValueError):
+        return True
+    return True
+
+
 def _load_via_log(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
@@ -155,6 +197,11 @@ def _load_via_log(
     groups: dict[tuple, list[str]] = {}
     deletions: list[tuple[str, int]] = []  # (abs file path, row index)
     for add in active.values():
+        if stats_filter and not all(
+            _file_overlaps_stats(add, phys_of.get(c, c), lo, hi)
+            for c, (lo, hi) in dict(stats_filter).items()
+        ):
+            continue  # provably outside the requested range
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(phys_of.get(c, c)) for c in part_cols)
         abs_path = os.path.abspath(os.path.join(table_path, add["path"]))

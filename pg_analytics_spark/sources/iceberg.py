@@ -61,6 +61,7 @@ from pg_analytics_spark.errors import MissingDependency, fallback_warning
 from pg_analytics_spark.sources.base import apply_common
 from pg_analytics_spark.sources.avro import read_container
 from pg_analytics_spark.sources.iceberg_prune import (
+    file_bounds_may_match,
     file_may_match,
     parse_partition_filter,
     schema_field_types,
@@ -261,6 +262,17 @@ def _load_via_metadata(
                 if partition_filter and not file_may_match(
                     e["data_file"].get("partition"),
                     spec_fields,
+                    types,
+                    partition_filter,
+                ):
+                    pruned += 1
+                    continue
+                # column-bounds data skipping (data_file.lower_bounds/
+                # upper_bounds, Appendix-D values) — same may-match
+                # contract, same residual predicate for exactness
+                if partition_filter and not file_bounds_may_match(
+                    e["data_file"],
+                    {n: i for i, n in names.items()},
                     types,
                     partition_filter,
                 ):

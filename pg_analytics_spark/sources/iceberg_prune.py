@@ -300,3 +300,104 @@ def spec_fields_for(meta: dict, spec_id: int, names: dict[int, str]) -> list[dic
         g["_source_name"] = names.get(f.get("source-id"))
         out.append(g)
     return out
+
+
+# ------------------------------------------------------------------ #
+# Column-bounds file skipping (spec: data_file.lower_bounds /
+# upper_bounds, values in Appendix-D single-value binary encoding)
+# ------------------------------------------------------------------ #
+
+def _decode_bound(raw: bytes, ice_type: str):
+    """Appendix-D single-value binary → Python value for the primitive
+    types bounds carry.  Unknown types → None (no pruning on them)."""
+    if raw is None:
+        return None
+    b = bytes(raw)
+    try:
+        if ice_type in ("int", "date"):
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long" or ice_type.startswith("timestamp"):
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return b.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """Manifest bounds arrive either as an Avro k/v-pair array
+    (the spec's map<int, binary> encoding) or as a plain dict."""
+    if raw is None:
+        return {}
+    if isinstance(raw, dict):
+        out = {}
+        for k, v in raw.items():
+            try:
+                out[int(k)] = v
+            except (TypeError, ValueError):
+                continue
+        return out
+    return {
+        int(kv["key"]): kv["value"]
+        for kv in raw
+        if isinstance(kv, dict) and "key" in kv
+    }
+
+
+def file_bounds_may_match(
+    data_file: dict,
+    field_ids: dict[str, int],
+    field_types: dict[int, str],
+    predicate: list[tuple[str, str, Any]],
+) -> bool:
+    """Data skipping on column min/max bounds: the file survives unless
+    some predicate term is provably false for its [lower, upper] range.
+    Files without bounds for a column always survive (skipping must be
+    safe); `in` lists prune only when EVERY member misses the range."""
+    if not predicate:
+        return True
+    lowers = _bounds_map(data_file.get("lower_bounds"))
+    uppers = _bounds_map(data_file.get("upper_bounds"))
+    if not lowers and not uppers:
+        return True
+    for col, op, val in predicate:
+        fid = field_ids.get(col)
+        if fid is None:
+            continue
+        t = field_types.get(fid)
+        if t is None:
+            continue
+        lo = _decode_bound(lowers.get(fid), t)
+        hi = _decode_bound(uppers.get(fid), t)
+        if lo is None and hi is None:
+            continue
+
+        def _term_possible(v) -> bool:
+            try:
+                if op in ("=",):
+                    return not (
+                        (lo is not None and v < lo) or (hi is not None and v > hi)
+                    )
+                if op == "<":
+                    return lo is None or lo < v
+                if op == "<=":
+                    return lo is None or lo <= v
+                if op == ">":
+                    return hi is None or hi > v
+                if op == ">=":
+                    return hi is None or hi >= v
+            except TypeError:
+                return True
+            return True
+
+        if op == "in":
+            if not any(_term_possible(v) for v in list(val)):
+                return False
+        elif not _term_possible(val):
+            return False
+    return True

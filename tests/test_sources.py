@@ -1563,3 +1563,199 @@ def test_gzip_csv_and_json_transparent(spark, tmp_path):
         fh.write('{"id": 1, "t": "x"}\n{"id": 2, "t": "y"}\n')
     dj = load_source(spark, str(j), "json", {"format": "nl"})
     assert dj.count() == 2
+
+
+def test_delta_stats_filter_file_skipping(spark, tmp_path):
+    """Data skipping from add-action JSON stats: files provably outside
+    the range never reach the scan; files without stats are kept
+    (skipping must be safe); the row predicate re-applies for
+    exactness."""
+    import json as _json
+
+    root = str(tmp_path / "dl_stats")
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+
+    def _part(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/_tmp")
+        src = [f for f in os.listdir(f"{root}/_tmp") if f.endswith(".parquet")][0]
+        os.replace(f"{root}/_tmp/{src}", f"{root}/{name}")
+
+    _part(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), "part-0.parquet")
+    _part(spark.range(5, 8).selectExpr("id", "id * 2 AS v"), "part-1.parquet")
+    _part(spark.range(8, 10).selectExpr("id", "id * 2 AS v"), "part-2.parquet")
+    meta = {
+        "id": "aaaa1111-2222-3333-4444-555555555555",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+
+    def _add(path, stats):
+        a = {"path": path, "partitionValues": {}, "size": 1,
+             "modificationTime": 0, "dataChange": True}
+        if stats is not None:
+            a["stats"] = _json.dumps(stats)
+        return {"add": a}
+
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"metaData": meta}) + "\n")
+        fh.write(_json.dumps(_add(
+            "part-0.parquet",
+            {"numRecords": 5, "minValues": {"id": 0}, "maxValues": {"id": 4}},
+        )) + "\n")
+        fh.write(_json.dumps(_add(
+            "part-1.parquet",
+            {"numRecords": 3, "minValues": {"id": 5}, "maxValues": {"id": 7}},
+        )) + "\n")
+        fh.write(_json.dumps(_add("part-2.parquet", None)) + "\n")  # no stats
+
+    df = load_source(spark, root, "delta", {"stats_filter": {"id": (5, 6)}})
+    files = {os.path.basename(p) for p in df.inputFiles()}
+    # part-0 provably outside [5,6] → skipped; part-2 has no stats → kept
+    assert "part-0.parquet" not in files
+    assert "part-1.parquet" in files and "part-2.parquet" in files
+    assert sorted(r["id"] for r in df.collect()) == [5, 6]
+
+
+def test_iceberg_bounds_file_skipping(spark, tmp_path):
+    """Column-bounds data skipping in the native replay: files whose
+    [lower, upper] range provably misses the predicate never reach the
+    scan; files without bounds are kept; the residual row predicate
+    keeps the result exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import struct as _struct
+
+    from pg_analytics_spark.sources.avro import write_container
+
+    root = str(tmp_path / "ice_bounds")
+    os.makedirs(f"{root}/data", exist_ok=True)
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+    f_lo = f"{root}/data/lo.parquet"
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}), f_lo)
+    f_hi = f"{root}/data/hi.parquet"
+    pq.write_table(pa.table({"id": pa.array([10, 11], pa.int64())}), f_hi)
+    f_nb = f"{root}/data/nb.parquet"
+    pq.write_table(pa.table({"id": pa.array([6], pa.int64())}), f_nb)
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "rb",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "kv1",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            }],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "kv2",
+                                    "fields": [
+                                        {"name": "key", "type": "int"},
+                                        {"name": "value", "type": "bytes"},
+                                    ],
+                                },
+                            }],
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+    def _b(v):
+        return _struct.pack("<q", v)
+
+    def _entry(path, lo, hi):
+        d = {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        if lo is not None:
+            d["lower_bounds"] = [{"key": 1, "value": _b(lo)}]
+            d["upper_bounds"] = [{"key": 1, "value": _b(hi)}]
+        return {"status": 1, "snapshot_id": 5, "data_file": d}
+
+    man = f"{root}/metadata/man.avro"
+    write_container(
+        entry_schema,
+        [_entry(f_lo, 1, 3), _entry(f_hi, 10, 11), _entry(f_nb, None, None)],
+        man,
+    )
+    mlist = f"{root}/metadata/snap-5.avro"
+    write_container(
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": man,
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 5,
+            }
+        ],
+        mlist,
+    )
+    meta = {
+        "format-version": 2,
+        "location": root,
+        "current-snapshot-id": 5,
+        "current-schema-id": 0,
+        "schemas": [
+            {"schema-id": 0, "fields": [{"id": 1, "name": "id", "type": "long"}]}
+        ],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 5, "manifest-list": mlist}],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as fh:
+        jsonlib.dump(meta, fh)
+    with open(f"{root}/metadata/version-hint.text", "w") as fh:
+        fh.write("1")
+
+    df = load_source(
+        spark, root, "iceberg", {"partition_filter": [["id", ">=", 10]]}
+    )
+    files = {os.path.basename(p) for p in df.inputFiles()}
+    # lo.parquet provably misses id>=10 → skipped; nb has no bounds → kept
+    assert "lo.parquet" not in files
+    assert "hi.parquet" in files and "nb.parquet" in files
+    assert sorted(r["id"] for r in df.collect()) == [10, 11]
