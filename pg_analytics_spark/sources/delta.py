@@ -173,6 +173,34 @@ def _file_overlaps_stats(add: dict, phys_col: str, lo, hi) -> bool:
     return True
 
 
+def _partition_overlaps(
+    add: dict, part_cols: list[str], phys_of: dict, stats_filter: dict
+) -> bool:
+    """Partition-value pruning under the same stats_filter contract:
+    a file whose partitionValue for a filtered PARTITION column falls
+    outside [lo, hi] is skipped.  Non-numeric comparisons fall back to
+    string ordering only when both sides are strings; otherwise keep."""
+    pv = add.get("partitionValues") or {}
+    for c, (lo, hi) in dict(stats_filter).items():
+        if c not in part_cols:
+            continue
+        raw = pv.get(phys_of.get(c, c))
+        if raw is None:
+            continue
+        for bound, is_lo in ((lo, True), (hi, False)):
+            if bound is None:
+                continue
+            try:
+                v = type(bound)(raw)
+            except (TypeError, ValueError):
+                continue
+            if is_lo and v < bound:
+                return False
+            if not is_lo and v > bound:
+                return False
+    return True
+
+
 def _load_via_log(
     spark: SparkSession,
     table_path: str,
@@ -202,6 +230,10 @@ def _load_via_log(
             for c, (lo, hi) in dict(stats_filter).items()
         ):
             continue  # provably outside the requested range
+        if stats_filter and not _partition_overlaps(
+            add, part_cols, phys_of, stats_filter
+        ):
+            continue  # hive partition value outside the range
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(phys_of.get(c, c)) for c in part_cols)
         abs_path = os.path.abspath(os.path.join(table_path, add["path"]))

@@ -1759,3 +1759,15 @@ def test_iceberg_bounds_file_skipping(spark, tmp_path):
     assert "lo.parquet" not in files
     assert "hi.parquet" in files and "nb.parquet" in files
     assert sorted(r["id"] for r in df.collect()) == [10, 11]
+
+
+def test_delta_stats_filter_prunes_partitions(spark, tmp_path):
+    """stats_filter also prunes on hive partitionValues: partitions
+    outside the range never reach the scan."""
+    root = str(tmp_path / "dl_pstats")
+    _write_delta_fixture(spark, root, partitioned=True)
+    df = load_source(spark, root, "delta", {"stats_filter": {"region": (2, 2)}})
+    rows = df.collect()
+    assert rows and all(r["region"] == 2 for r in rows)
+    files = {os.path.basename(p) for p in df.inputFiles()}
+    assert "part-0.parquet" not in files  # region=1 partition pruned
