@@ -624,10 +624,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from pg_analytics_spark.streaming.events import (
-        read_event_stream,
-        stream_sessionize,
-    )
+    from pg_analytics_spark.streaming.events import read_event_stream
 
     name = f"reg_stream_sess_{next(_STREAM_RUN_SEQ)}"
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
