@@ -1953,3 +1953,69 @@ def _register_geo_point_in_polygon():
 
 
 _register_geo_point_in_polygon()
+
+
+@register(
+    "stats_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*)::DOUBLE AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           ROUND((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="Least-squares regression aggregates (slope/intercept/"
+    "correlation of extendedprice on quantity per returnflag) — the "
+    "regr_*/corr family of SURVEY §2.2, made bit-reproducible: the "
+    "moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in EXACT "
+    "decimal (map-side combinable, one shuffle), and only the final "
+    "closed-form arithmetic runs in doubles — identical inputs, "
+    "identical ops, identical bits in both engines. Built-in corr()/"
+    "regr_slope() are NOT used because each engine's one-pass "
+    "streaming formula rounds differently.",
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # (12,2) staging: the source values carry <= 2 decimals, products
+    # stay exact at (25,4), and DuckDB's decimal multiply keeps to its
+    # int64/hugeint fast path ((18,4) squares overflow it)
+    dx = F.col("l_quantity").cast("decimal(12,2)")
+    dy = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dx.cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(dy.cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(corr, 6).alias("corr"),
+    ).orderBy("l_returnflag")
