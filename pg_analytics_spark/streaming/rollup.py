@@ -26,10 +26,18 @@ ROLLUP_KEY = ["window_start", "event_type"]
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    # decimal-staged sum (workload/base.dsum convention): the rollup is
+    # bit-identical to the batch aggregate regardless of micro-batch
+    # accumulation order
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

@@ -724,3 +724,42 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.last_event").alias("last_event"),
         )
     )
+
+
+@register(
+    "streaming_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="The incrementally-maintained materialized rollup "
+    "(streaming/rollup.py: watermarked window aggregate in UPDATE mode "
+    "→ foreachBatch upsert into a parquet rollup) under the value-exact "
+    "oracle gate: one availableNow increment over the full fixture must "
+    "leave the rollup equal to the batch aggregate, counts AND "
+    "decimal-staged sums. The continuous-aggregate pattern a dashboard "
+    "reads instead of re-scanning the event log.",
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_analytics_spark.streaming.rollup import maintain_hourly_rollup
+
+    with tempfile.TemporaryDirectory() as work:
+        rollup = f"{work}/rollup"
+        maintain_hourly_rollup(
+            spark, f"{sf_dir}/events.parquet", rollup, f"{work}/ckpt"
+        )
+        out = spark.read.parquet(rollup)
+        return spark.createDataFrame(
+            out.collect(), out.schema
+        ).select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
