@@ -1825,3 +1825,42 @@ def sim_ann_lsh_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_ann_topk(emb, "embedding", "vec_id", qvec, k=10, probe_radius=1)
+
+
+def _register_streaming_corpus_ingest():
+    from pg_analytics_spark.workload.base import REGISTRY as _REG
+
+    @register(
+        "streaming_corpus_ingest",
+        oracle=_REG["corpus_curation"].oracle,
+        doc="The pre-training curation chain on the REAL streaming path "
+        "(streaming/corpus_ingest.py: readStream → token-band + "
+        "quality filters → per-batch min-id fingerprint dedup + "
+        "anti-join vs ingested set → append sink) under the value-"
+        "exact oracle gate: after one availableNow drain the curated "
+        "table must equal batch corpus_curation bit-for-bit. Filter-"
+        "then-dedup commutes with dedup-then-filter because the "
+        "fingerprint IS the normalized text.",
+    )
+    def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pg_analytics_spark.streaming.corpus_ingest import ingest_corpus
+
+        docs = table(spark, sf_dir, "documents")
+        with tempfile.TemporaryDirectory() as work:
+            out = f"{work}/curated"
+            ingest_corpus(
+                spark,
+                f"{sf_dir}/documents.parquet",
+                out,
+                f"{work}/ckpt",
+                docs.schema,
+            )
+            got = spark.read.parquet(out)
+            return spark.createDataFrame(got.collect(), got.schema).select(
+                "doc_id", "lang", "source", "n_tokens", "quality"
+            ).orderBy("doc_id")
+
+
+_register_streaming_corpus_ingest()

@@ -188,23 +188,17 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
 
 
 def test_streaming_corpus_ingest_matches_batch_curation(spark, tmp_path):
-    """End-to-end streaming ingest of a document corpus: readStream over
-    the parquet directory → stateless curation filters (token band +
-    quality) → exact-dedup inside foreachBatch (fingerprint anti-join
-    against the already-ingested set) → append sink.  The final curated
-    table must equal the batch corpus_curation result — the streaming
-    twin of the pre-training filter chain.
-    """
+    """End-to-end streaming ingest of a document corpus through
+    streaming/corpus_ingest.py (readStream → curation filters →
+    per-batch fingerprint dedup + anti-join vs the ingested set →
+    append sink): the final curated table must equal the batch
+    corpus_curation result — the streaming twin of the pre-training
+    filter chain.  (Also guarded value-exactly by the
+    streaming_corpus_ingest oracle row.)"""
     import shutil
 
-    from pyspark.sql import functions as F
-
-    from pg_analytics_spark.functions.text import (
-        fingerprint,
-        quality_score,
-        token_count,
-    )
     from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.corpus_ingest import ingest_corpus
     from .conftest import SF_DIR
 
     src_dir = str(tmp_path / "docs_src")
@@ -213,48 +207,7 @@ def test_streaming_corpus_ingest_matches_batch_curation(spark, tmp_path):
     docs = load_source(spark, f"{SF_DIR}/documents.parquet", "parquet")
     docs.write.parquet(src_dir)
 
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .parquet(src_dir)
-        .withColumn("n_tokens", token_count("text"))
-        .withColumn("quality", quality_score("text"))
-        .filter(
-            (F.col("n_tokens") >= 5)
-            & (F.col("n_tokens") <= 2000)
-            & (F.col("quality") >= 0.5)
-        )
-        .withColumn("_fp", fingerprint("text"))
-    )
-
-    def upsert(batch_df, batch_id):
-        from pyspark.sql import Window
-
-        # min-id representative per fingerprint (deterministic, unlike
-        # dropDuplicates which keeps an arbitrary row)
-        batch_df = (
-            batch_df.withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy("_fp").orderBy("doc_id")
-                ),
-            )
-            .filter("_r = 1")
-            .drop("_r")
-        )
-        try:
-            seen = batch_df.sparkSession.read.parquet(out_dir).select("_fp")
-            batch_df = batch_df.join(seen, "_fp", "left_anti")
-        except Exception:
-            pass  # first batch: sink empty
-        batch_df.write.mode("append").parquet(out_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ingest_corpus(spark, src_dir, out_dir, ckpt, docs.schema)
 
     got = spark.read.parquet(out_dir)
     from pg_analytics_spark.workload import REGISTRY
