@@ -507,6 +507,17 @@ class Engine:
         """
         return self.sql(query, args).toLocalIterator()
 
+    def summarize(self, table_or_query: str) -> DataFrame:
+        """DuckDB SUMMARIZE analog (reachable through duckdb_execute in
+        the reference): per-column min/max/approx_unique/avg/std/
+        quartiles/count/null% in ONE aggregate job.  Accepts a table
+        name or any SELECT."""
+        q = table_or_query.strip()
+        df = self.sql(q) if q.lower().startswith(("select", "with")) else (
+            self.spark.table(q)
+        )
+        return _summarize(self.spark, df)
+
     def fetch_arrow(self, query: str, args: dict | None = None):
         """Run SQL and return a ``pyarrow.Table`` — the direct analog of
         the reference's Arrow interchange unit (RecordBatches streamed
@@ -666,3 +677,65 @@ def _box_art(plan: str) -> str:
         if i + 1 < len(nodes):
             out.append("   " * cols[i + 1] + " " * (width // 2 + 1) + "│")
     return "\n".join(out)
+
+
+def _summarize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Build the SUMMARIZE result: one row per column with min/max/
+    approx_unique/avg/std/q25/q50/q75/count/null_percentage — the same
+    profile DuckDB's SUMMARIZE prints.  One aggregate job computes
+    every statistic (column-parallel exprs, no per-column scans)."""
+    import pyspark.sql.functions as F2
+
+    aggs = []
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    for f in df.schema.fields:
+        c, t = f.name, f.dataType.simpleString()
+        is_num = t in numeric or t.startswith("decimal")
+        aggs += [
+            F2.min(c).cast("string").alias(f"{c}!min"),
+            F2.max(c).cast("string").alias(f"{c}!max"),
+            F2.approx_count_distinct(c).alias(f"{c}!approx_unique"),
+            (
+                F2.avg(F2.col(c).cast("double")) if is_num else F2.lit(None)
+            ).alias(f"{c}!avg"),
+            (
+                F2.stddev(F2.col(c).cast("double")) if is_num else F2.lit(None)
+            ).alias(f"{c}!std"),
+            (
+                F2.percentile_approx(F2.col(c).cast("double"), [0.25, 0.5, 0.75])
+                if is_num
+                else F2.lit(None).cast("array<double>")
+            ).alias(f"{c}!q"),
+            F2.count(c).alias(f"{c}!count"),
+            F2.count(F2.when(F2.col(c).isNull(), 1)).alias(f"{c}!nulls"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    total = None
+    for f in df.schema.fields:
+        c = f.name
+        cnt = row[f"{c}!count"] + row[f"{c}!nulls"]
+        total = cnt if total is None else total
+        q = row[f"{c}!q"] or [None, None, None]
+        out.append(
+            (
+                c,
+                f.dataType.simpleString(),
+                row[f"{c}!min"],
+                row[f"{c}!max"],
+                row[f"{c}!approx_unique"],
+                None if row[f"{c}!avg"] is None else float(row[f"{c}!avg"]),
+                None if row[f"{c}!std"] is None else float(row[f"{c}!std"]),
+                q[0],
+                q[1],
+                q[2],
+                total,
+                round(100.0 * row[f"{c}!nulls"] / total, 2) if total else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column_name string, column_type string, min string, max string, "
+        "approx_unique long, avg double, std double, q25 double, q50 double, "
+        "q75 double, count long, null_percentage double",
+    )

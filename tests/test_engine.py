@@ -338,3 +338,18 @@ def test_fetch_arrow_and_iter_arrow(engine):
     assert [b.num_rows for b in batches] == [10, 10, 5]
     joined = pa.Table.from_batches(batches)
     assert joined.to_pydict() == t.to_pydict()
+
+
+def test_summarize_profile(engine):
+    """SUMMARIZE analog: one row per column, numeric stats only where
+    they make sense, null accounting exact."""
+    prof = {r["column_name"]: r for r in engine.summarize("orders").collect()}
+    assert set(prof) == set(engine.spark.table("orders").columns)
+    ok = prof["o_orderkey"]
+    assert ok["column_type"] == "bigint" and ok["count"] > 0
+    assert ok["avg"] is not None and ok["q50"] is not None
+    assert prof["o_orderpriority"]["avg"] is None  # string column
+    assert prof["o_orderkey"]["null_percentage"] == 0.0
+    # query form
+    q = engine.summarize("SELECT o_totalprice FROM orders WHERE o_totalprice > 0")
+    assert q.count() == 1
