@@ -518,6 +518,32 @@ class Engine:
         )
         return _summarize(self.spark, df)
 
+    def copy_to(
+        self,
+        query: str,
+        path: str,
+        format: str = "parquet",
+        options: dict | None = None,
+        single_file: bool = False,
+    ) -> int:
+        """DuckDB ``COPY (query) TO 'path' (FORMAT ...)`` analog
+        (reachable through duckdb_execute in the reference): write a
+        query result to parquet/csv/json files.  ``single_file``
+        coalesces to one output file (DuckDB's default shape) — leave
+        False at scale so every executor writes its own split.
+        Returns the row count written."""
+        fmt = format.lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise EngineError(f"copy_to format {format!r} not supported")
+        df = self.sql(query)
+        n = df.count()
+        out = df.coalesce(1) if single_file else df
+        writer = out.write.mode("overwrite").options(**(options or {}))
+        if fmt == "csv" and (options is None or "header" not in options):
+            writer = writer.option("header", True)
+        getattr(writer, fmt)(path)
+        return n
+
     def fetch_arrow(self, query: str, args: dict | None = None):
         """Run SQL and return a ``pyarrow.Table`` — the direct analog of
         the reference's Arrow interchange unit (RecordBatches streamed

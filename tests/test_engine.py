@@ -353,3 +353,26 @@ def test_summarize_profile(engine):
     # query form
     q = engine.summarize("SELECT o_totalprice FROM orders WHERE o_totalprice > 0")
     assert q.count() == 1
+
+
+def test_copy_to_roundtrip(engine, tmp_path):
+    """COPY TO analog: parquet and csv exports round-trip."""
+    n = engine.copy_to(
+        "SELECT n_nationkey, n_name FROM nation", str(tmp_path / "pq")
+    )
+    assert n == 25
+    assert engine.spark.read.parquet(str(tmp_path / "pq")).count() == 25
+    n2 = engine.copy_to(
+        "SELECT n_nationkey, n_name FROM nation",
+        str(tmp_path / "csv"),
+        format="csv",
+        single_file=True,
+    )
+    back = engine.spark.read.option("header", True).csv(str(tmp_path / "csv"))
+    assert back.count() == n2 == 25
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import EngineError
+
+    with _pytest.raises(EngineError):
+        engine.copy_to("SELECT 1", str(tmp_path / "x"), format="xml")
