@@ -31,6 +31,15 @@ from pg_analytics_spark.sources import load_source, split_files
 from pg_analytics_spark.sources.secrets import apply_secret
 
 
+#: DuckDB `COPY (query) TO 'path' [(FORMAT fmt ...)]` — the COPY text a
+#: reference user sends through duckdb_execute
+_COPY_RE = _re.compile(
+    r"^COPY\s*\((?P<q>.+)\)\s*TO\s*'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*FORMAT\s+(?P<fmt>\w+)[^)]*\))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
 @dataclass
 class _Attachment:
     name: str
@@ -135,6 +144,17 @@ class Engine:
         so their full option surface (hive partitioning, DV/column
         mapping, time travel, …) applies.
         """
+        m = _COPY_RE.match(query.strip())
+        if m:
+            # DuckDB `COPY (query) TO 'path' (FORMAT x)` text, verbatim
+            fmt = (m.group("fmt") or "").lower()
+            if not fmt:
+                p = m.group("path").lower()
+                fmt = "csv" if p.endswith(".csv") else (
+                    "json" if p.endswith((".json", ".ndjson")) else "parquet"
+                )
+            n = self.copy_to(m.group("q"), m.group("path"), format=fmt)
+            return self.spark.createDataFrame([(n,)], "count bigint")
         query = rewrite_pg(query)
         query, tf_views = extract_table_functions(query)
         for name, files, fmt, opts in tf_views:

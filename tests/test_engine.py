@@ -376,3 +376,13 @@ def test_copy_to_roundtrip(engine, tmp_path):
 
     with _pytest.raises(EngineError):
         engine.copy_to("SELECT 1", str(tmp_path / "x"), format="xml")
+
+
+def test_copy_sql_statement(engine, tmp_path):
+    """The reference's raw COPY text executes through Engine.sql."""
+    out = str(tmp_path / "copy_out")
+    res = engine.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out}' (FORMAT PARQUET)"
+    ).collect()
+    assert res[0]["count"] == 25
+    assert engine.spark.read.parquet(out).count() == 25
