@@ -67,6 +67,40 @@ def signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
     return F.expr("(" + " + ".join(terms) + ")")
 
 
+def _probe_buckets(
+    query_vec, planes: np.ndarray, prefix_bits: int, probe_radius: int
+) -> set[int]:
+    """The query's prefix bucket plus every bucket within Hamming
+    distance <= probe_radius — shared by the scan-time filter
+    (lsh_ann_topk) and the layout probe (lsh_ann_topk_pruned).
+
+    Sequential left-to-right fold, NOT np.dot: BLAS may reorder the
+    summation, and a near-zero dot whose sign flips in the last bit
+    would put the query in a different bucket than the engines' own
+    sequential folds (Spark F.aggregate / DuckDB list_sum) compute."""
+    q = [float(x) for x in query_vec]
+    q_sig = 0
+    for p, plane in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(q, plane):
+            acc += x * float(w)
+        if acc >= 0.0:
+            q_sig |= 1 << p
+    mask = (1 << prefix_bits) - 1
+    q_bucket = q_sig & mask
+    probe = {q_bucket}
+    if probe_radius >= 1:
+        for i in range(prefix_bits):
+            probe.add(q_bucket ^ (1 << i))
+    if probe_radius >= 2:
+        for i in range(prefix_bits):
+            for j in range(i + 1, prefix_bits):
+                probe.add(q_bucket ^ (1 << i) ^ (1 << j))
+    if probe_radius >= 3:
+        raise ValueError("probe_radius > 2 not supported; lower prefix_bits")
+    return probe
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,
@@ -99,30 +133,8 @@ def lsh_ann_topk(
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    # Sequential left-to-right fold, NOT np.dot: BLAS may reorder the
-    # summation, and a near-zero dot whose sign flips in the last bit
-    # would put the query in a different bucket than the engines' own
-    # sequential folds (Spark F.aggregate / DuckDB list_sum) compute.
-    q = [float(x) for x in query_vec]
-    q_sig = 0
-    for p, plane in enumerate(planes):
-        acc = 0.0
-        for x, w in zip(q, plane):
-            acc += x * float(w)
-        if acc >= 0.0:
-            q_sig |= 1 << p
+    probe = _probe_buckets(query_vec, planes, prefix_bits, probe_radius)
     mask = (1 << prefix_bits) - 1
-    q_bucket = q_sig & mask
-    probe = {q_bucket}
-    if probe_radius >= 1:
-        for i in range(prefix_bits):
-            probe.add(q_bucket ^ (1 << i))
-    if probe_radius >= 2:
-        for i in range(prefix_bits):
-            for j in range(i + 1, prefix_bits):
-                probe.add(q_bucket ^ (1 << i) ^ (1 << j))
-    if probe_radius >= 3:
-        raise ValueError("probe_radius > 2 not supported; lower prefix_bits")
     bucket = signature_col(vec_col, planes).bitwiseAND(F.lit(mask).cast("long"))
     sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
     return (
@@ -319,17 +331,7 @@ def ivf_ann_topk(
     """
     dim = len(query_vec)
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
-    n_cells = len(cents)
-    q = [float(x) for x in query_vec]
-    q_scores = []
-    for c in cents:
-        acc = 0.0
-        for x, w in zip(q, c):
-            acc += x * float(w)
-        q_scores.append(acc)
-    probe_cells = [
-        i + 1 for i in sorted(range(n_cells), key=lambda i: -q_scores[i])[:n_probes]
-    ]
+    probe_cells = _probe_cell_ids(query_vec, cents, n_probes)
     sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
     return (
         df.withColumn("_cell", _cell_col(vec_col, cents))
@@ -338,3 +340,156 @@ def ivf_ann_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _probe_cell_ids(query_vec, cents: np.ndarray, n_probes: int) -> list[int]:
+    """1-based ids of the query's n_probes best cells, ties to the
+    lowest id — the same sequential fold the corpus assignment uses
+    (see _probe_buckets for why np.dot is not acceptable)."""
+    q = [float(x) for x in query_vec]
+    q_scores = []
+    for c in cents:
+        acc = 0.0
+        for x, w in zip(q, c):
+            acc += x * float(w)
+        q_scores.append(acc)
+    n_cells = len(cents)
+    return [
+        i + 1 for i in sorted(range(n_cells), key=lambda i: -q_scores[i])[:n_probes]
+    ]
+
+
+# ------------------------------------------------------------------ #
+# Write-time layout: the 100 TB story made literal.  The claims above
+# ("at scale the cell/bucket id is a partition column so probes prune
+# files") are executed here: materialize the corpus hive-partitioned
+# by its IVF cell (or LSH bucket), and the probe becomes a partition
+# filter — the scan never opens non-probed cells' files.  Plan-asserted
+# in tests/test_partitioning.py (PartitionFilters + numFiles drop
+# ~ n_probes/n_cells).  Reference analog: partition-pruned parquet
+# scans, /root/reference/src/duckdb/parquet.rs:82-92.
+# ------------------------------------------------------------------ #
+
+
+def ivf_layout(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_path: str,
+    centroids=None,
+    n_cells: int = 8,
+    seed: int = 7,
+) -> None:
+    """Materialize (id, vec, cell) hive-partitioned by cell.
+
+    One shuffle (repartition by cell) so each cell directory is written
+    by one task → one file per cell here; at 100 TB drop the
+    repartition or widen it (repartition(n, "cell")) so each cell gets
+    ~file-sized splits — pruning works per-directory either way."""
+    cents = (
+        np.asarray(centroids)
+        if centroids is not None
+        else ivf_centroids(_vec_dim(df, vec_col), n_cells, seed)
+    )
+    cells = cell_assignments(df, vec_col, id_col, cents)
+    (
+        cells.select(
+            F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "cell"
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_path)
+    )
+
+
+def ivf_ann_topk_pruned(
+    spark,
+    layout_path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_probes: int = 2,
+    centroids=None,
+    n_cells: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF probe over an :func:`ivf_layout` table: `cell` is a hive
+    PARTITION column, so the isin filter prunes files before the scan —
+    identical results to :func:`ivf_ann_topk`, but the corpus bytes
+    read shrink by ~n_probes/n_cells."""
+    cents = (
+        np.asarray(centroids)
+        if centroids is not None
+        else ivf_centroids(len(query_vec), n_cells, seed)
+    )
+    probe_cells = _probe_cell_ids(query_vec, cents, n_probes)
+    df = spark.read.parquet(layout_path)
+    sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
+    return (
+        df.filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_layout(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_path: str,
+    n_planes: int = 16,
+    prefix_bits: int = 8,
+    seed: int = 42,
+) -> None:
+    """Materialize (id, vec, bucket) hive-partitioned by the LSH prefix
+    bucket — multi-probe then reads only the probed buckets' files."""
+    dim = _vec_dim(df, vec_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    mask = (1 << prefix_bits) - 1
+    bucket = signature_col(vec_col, planes).bitwiseAND(F.lit(mask).cast("long"))
+    (
+        df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+
+
+def lsh_ann_topk_pruned(
+    spark,
+    layout_path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 16,
+    prefix_bits: int = 8,
+    seed: int = 42,
+    probe_radius: int = 0,
+) -> DataFrame:
+    """Multi-probe LSH over an :func:`lsh_layout` table: recall tunes
+    per query by probing more PARTITIONS — no re-bucketing, and the
+    scan opens only probed buckets' files."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probe = _probe_buckets(query_vec, planes, prefix_bits, probe_radius)
+    df = spark.read.parquet(layout_path)
+    sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
+    return (
+        df.filter(F.col("bucket").isin(sorted(probe)))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (layout build time only, not a
+    per-query cost)."""
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError(f"cannot infer dim of empty {vec_col}")
+    return int(row[0]["d"])

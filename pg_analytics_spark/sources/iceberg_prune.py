@@ -377,27 +377,29 @@ def file_bounds_may_match(
         if lo is None and hi is None:
             continue
 
-        def _term_possible(v) -> bool:
+        def _term_possible(term_op, v) -> bool:
             try:
-                if op in ("=",):
+                if term_op == "=":
                     return not (
                         (lo is not None and v < lo) or (hi is not None and v > hi)
                     )
-                if op == "<":
+                if term_op == "<":
                     return lo is None or lo < v
-                if op == "<=":
+                if term_op == "<=":
                     return lo is None or lo <= v
-                if op == ">":
+                if term_op == ">":
                     return hi is None or hi > v
-                if op == ">=":
+                if term_op == ">=":
                     return hi is None or hi >= v
             except TypeError:
                 return True
             return True
 
         if op == "in":
-            if not any(_term_possible(v) for v in list(val)):
+            # Each member is an equality probe against [lo, hi]; the file
+            # is skippable only when every member misses the range.
+            if not any(_term_possible("=", v) for v in list(val)):
                 return False
-        elif not _term_possible(val):
+        elif not _term_possible(op, val):
             return False
     return True

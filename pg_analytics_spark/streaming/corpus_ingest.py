@@ -14,6 +14,18 @@ Filter-then-dedup commutes with the batch's dedup-then-filter because
 the fingerprint is the normalized text — every member of a fingerprint
 group shares the same tokens, quality, and therefore filter outcome.
 
+Cross-batch survivor semantics — FIRST ARRIVAL WINS: within a
+micro-batch the min-doc_id representative is kept (deterministic);
+across batches the first-arriving fingerprint's representative is
+final, because the sink is append-only parquet and streaming appends
+cannot be retracted.  This equals the batch twin's global MIN(doc_id)
+whenever the drain lands in one micro-batch (the availableNow fixture
+shape) or files arrive in doc_id order; under out-of-order multi-batch
+arrival the representative may differ by doc_id while the DEDUPED SET
+of fingerprints is identical.  For exact min-id semantics across
+batches use a Delta/Iceberg sink and MERGE (replace-on-smaller-id) in
+place of the append.
+
 Scale: the curation filters are a narrow map on the stream; the
 anti-join probes only the ingested FINGERPRINT column (at 100 TB swap
 the parquet read of `_fp` for the Bloom filter state of
@@ -24,6 +36,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -68,8 +81,17 @@ def _upsert(out_dir: str):
         try:
             seen = batch_df.sparkSession.read.parquet(out_dir).select("_fp")
             batch_df = batch_df.join(seen, "_fp", "left_anti")
-        except Exception:
-            pass  # first batch: sink empty
+        except AnalysisException as e:
+            # ONLY "sink not created yet" is expected; any other read
+            # failure must fail the batch — silently skipping the
+            # anti-join would append duplicates.
+            msg = str(e)
+            if (
+                "PATH_NOT_FOUND" not in msg
+                and "Path does not exist" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg
+            ):
+                raise
         batch_df.write.mode("append").parquet(out_dir)
 
     return apply

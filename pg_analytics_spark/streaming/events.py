@@ -54,9 +54,15 @@ def _ts_unit_is_nanos(path: str) -> bool:
     """Detect whether the ``ts`` column is TIMESTAMP(NANOS) by reading one
     parquet footer driver-side — the streaming share of the batch path's
     unit probe (sources/parquet.py::_nano_columns). µs fixtures must NOT
-    get the nanos→µs repair (dividing µs by 1000 lands in January 1970)."""
+    get the nanos→µs repair (dividing µs by 1000 lands in January 1970).
+
+    A directory (the normal file-stream shape) is probed via its first
+    ``*.parquet`` member — ``ParquetFile(dir)`` would raise and silently
+    take the µs path."""
     from ..sources.parquet import _nano_columns
 
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.parquet")
     return "ts" in _nano_columns([path])
 
 
@@ -75,6 +81,9 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         glob_filter = os.path.basename(path)
         path = os.path.dirname(path)
     if _ts_unit_is_nanos(probe):
+        # Must stay set for the lifetime of the stream: the conf is
+        # consulted at every micro-batch's parquet scan, same as the
+        # batch path (sources/parquet.py::load).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ns_schema = StructType(
             [
@@ -90,6 +99,16 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         # Watermarks require TIMESTAMP (LTZ) — with the engine's pinned UTC
         # session timezone the wall times equal the batch path's NTZ values.
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Non-nanos path: clear any nanosAsLong left behind by an earlier
+    # nanos read in this session so it cannot leak into later plain
+    # reads (a leaked `true` makes a future nanos file surface silently
+    # as long instead of raising for the caller to handle).  Caveat: a
+    # still-running nanos stream in the same session needs the conf —
+    # open the nanos stream second, or use separate sessions.
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)

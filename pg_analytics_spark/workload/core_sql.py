@@ -1630,12 +1630,17 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pair generation is a codegen HOF over the sorted array: element i
     # pairs with every later element, so part_a < part_b by
     # construction and the quadratic stays bounded per basket.
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
     lists = (
         l.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .select("ps")
     )
-    lists = lists.persist()
+    # tracked like the dedup sketch caches: release_sketch_caches()
+    # frees it, so repeated registry/bench runs in one session don't
+    # leak executor storage memory.
+    lists = _persist_sketch(lists)
     n_orders = lists.select(F.count("*").alias("n"))
     part_freq = (
         lists.select(F.explode("ps").alias("l_partkey"))

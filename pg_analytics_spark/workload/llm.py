@@ -614,8 +614,81 @@ def _register_sim_ann_ivf():
         qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ivf_ann_topk(emb, "embedding", "vec_id", qvec, k=10)
 
+    @register(
+        "sim_ann_ivf_pruned",
+        oracle=oracle,
+        doc="The SAME IVF probe over a WRITE-TIME LAYOUT: the corpus is "
+        "materialized hive-partitioned by its cell (operators/similarity."
+        "ivf_layout), so the probe's cell filter is a PARTITION filter — "
+        "files outside the 2 probed cells of 8 are never opened "
+        "(plan-asserted in tests/test_partitioning.py; bytes read shrink "
+        "~n_probes/n_cells). Identical results to sim_ann_ivf, same "
+        "oracle — the layout changes the plan, not the answer.",
+    )
+    def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.similarity import ivf_ann_topk_pruned
+
+        emb = table(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        layout = _ann_layout(spark, sf_dir, "ivf")
+        return ivf_ann_topk_pruned(
+            spark, layout, "embedding", "vec_id", qvec, k=10
+        )
+
 
 _register_sim_ann_ivf()
+
+
+# Layout dirs are a write-once artifact per (kind, sf_dir) — the cost
+# model of a real lakehouse, where the partitioned table is materialized
+# once and probed many times.  Cached per process; rebuilt if the temp
+# dir vanished.
+_ANN_LAYOUTS: dict[tuple[str, str], str] = {}
+
+
+def _ann_layout(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    import os
+    import tempfile
+
+    from pg_analytics_spark.operators.similarity import ivf_layout, lsh_layout
+
+    key = (kind, sf_dir)
+    path = _ANN_LAYOUTS.get(key)
+    if path and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix=f"ann_{kind}_layout_")
+    emb = table(spark, sf_dir, "embeddings")
+    if kind == "ivf":
+        ivf_layout(emb, "embedding", "vec_id", path)
+    else:
+        lsh_layout(emb, "embedding", "vec_id", path)
+    _ANN_LAYOUTS[key] = path
+    return path
+
+
+@register(
+    "sim_ann_lsh_pruned",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_ANN_COS} AS sim
+    FROM embeddings e, q
+    WHERE {_bucket_sql('e.embedding')} = {_bucket_sql('qe')}
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="sim_ann_lsh over a WRITE-TIME LAYOUT: corpus materialized "
+    "hive-partitioned by its 8-bit hyperplane bucket (operators/"
+    "similarity.lsh_layout); the bucket probe is a partition filter, so "
+    "multi-probe recall tuning reads only probed buckets' files. "
+    "Identical results and oracle as sim_ann_lsh.",
+)
+def sim_ann_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.similarity import lsh_ann_topk_pruned
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    layout = _ann_layout(spark, sf_dir, "lsh")
+    return lsh_ann_topk_pruned(spark, layout, "embedding", "vec_id", qvec, k=10)
 
 
 @register(

@@ -378,6 +378,30 @@ def test_copy_to_roundtrip(engine, tmp_path):
         engine.copy_to("SELECT 1", str(tmp_path / "x"), format="xml")
 
 
+def test_copy_to_single_execution(engine, tmp_path):
+    """copy_to runs the query ONCE: the count is an observed metric on
+    the write job, not a separate count() job.  An accumulator bumped
+    per evaluated row proves it — the old count()+write shape evaluates
+    every row twice."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    acc = engine.spark.sparkContext.accumulator(0)
+
+    def _tick(v):
+        acc.add(1)
+        return v
+
+    tick = F.udf(_tick, LongType())
+    engine.spark.range(100).select(tick("id").alias("id")).createOrReplaceTempView(
+        "_copy_once_src"
+    )
+    n = engine.copy_to("SELECT id FROM _copy_once_src", str(tmp_path / "once"))
+    assert n == 100
+    assert engine.spark.read.parquet(str(tmp_path / "once")).count() == 100
+    assert acc.value == 100  # one evaluation per row, not two
+
+
 def test_copy_sql_statement(engine, tmp_path):
     """The reference's raw COPY text executes through Engine.sql."""
     out = str(tmp_path / "copy_out")

@@ -136,6 +136,98 @@ def test_bucketed_join_has_no_exchange(spark):
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_ivf_layout_probe_prunes_files(spark, tmp_path):
+    """The 100×-scale ANN story end-to-end: corpus materialized
+    hive-partitioned by IVF cell, probe reads ONLY the probed cells'
+    files (PartitionFilters at the scan, numFiles = n_probes of
+    n_cells), and the answer equals the scan-time ivf_ann_topk."""
+    from pg_analytics_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_pruned,
+        ivf_layout,
+    )
+
+    emb = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    layout = str(tmp_path / "ivf_layout")
+    ivf_layout(emb, "embedding", "vec_id", layout)
+
+    pruned = ivf_ann_topk_pruned(
+        spark, layout, "embedding", "vec_id", qvec, k=10, n_probes=2
+    )
+    plan = explain_formatted(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+    n_cells_on_disk = (
+        spark.read.parquet(layout).select("cell").distinct().count()
+    )
+    assert n_cells_on_disk == 8  # every seeded cell is populated
+    n_probed = _scanned_files(
+        ivf_ann_topk_pruned(
+            spark, layout, "embedding", "vec_id", qvec, k=10, n_probes=2
+        )
+    )
+    n_all = _scanned_files(spark.read.parquet(layout))
+    # one file per cell (repartition-by-cell write) → exactly the
+    # probed share of files is opened
+    assert n_all == 8 and n_probed == 2, (n_probed, n_all)
+
+    got = [(r["vec_id"], r["sim"]) for r in pruned.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in ivf_ann_topk(
+            emb, "embedding", "vec_id", qvec, k=10, n_probes=2
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_lsh_layout_multiprobe_prunes_files(spark, tmp_path):
+    """Multi-probe LSH over the bucket layout: probing radius widens
+    the partition list, never rewrites the layout — numFiles scales
+    with the probe set, and results match the scan-time operator."""
+    from pg_analytics_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_ann_topk_pruned,
+        lsh_layout,
+    )
+
+    emb = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    layout = str(tmp_path / "lsh_layout")
+    lsh_layout(emb, "embedding", "vec_id", layout)
+
+    n_all = _scanned_files(spark.read.parquet(layout))
+    n_r0 = _scanned_files(
+        lsh_ann_topk_pruned(spark, layout, "embedding", "vec_id", qvec)
+    )
+    n_r1 = _scanned_files(
+        lsh_ann_topk_pruned(
+            spark, layout, "embedding", "vec_id", qvec, probe_radius=1
+        )
+    )
+    # r=0 probes exactly one bucket; r=1 probes ≤ 9 (some of the 8
+    # neighbor buckets may be empty on a small corpus); both prune
+    assert n_r0 >= 1 and n_r0 <= 2
+    assert n_r0 <= n_r1 <= min(9, n_all)
+    assert n_r1 < n_all
+
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in lsh_ann_topk_pruned(
+            spark, layout, "embedding", "vec_id", qvec, probe_radius=1
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in lsh_ann_topk(
+            emb, "embedding", "vec_id", qvec, probe_radius=1
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_materialize_cluster_by_disjoint_file_ranges(spark, tmp_path):
     """cluster_by range-partitions + sorts the write so parquet
     min/max stats become zone maps: per-file key ranges must be

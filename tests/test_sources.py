@@ -946,6 +946,38 @@ def test_iceberg_bucket_hash_matches_spec_appendix_b():
     assert transform_value("month", "2017-11-16", "date") == 574
 
 
+def test_iceberg_bounds_in_list_prunes():
+    """An `in` list prunes a file only when EVERY member misses its
+    [lower, upper] range — and it really does prune (the member probe
+    uses equality semantics, not the outer 'in' op)."""
+    import struct
+
+    from pg_analytics_spark.sources.iceberg_prune import file_bounds_may_match
+
+    def _b(v):
+        return struct.pack("<q", v)
+
+    data_file = {
+        "lower_bounds": [{"key": 1, "value": _b(10)}],
+        "upper_bounds": [{"key": 1, "value": _b(20)}],
+    }
+    fids = {"id": 1}
+    ftypes = {1: "long"}
+    # every member outside [10, 20] → file is skippable
+    assert not file_bounds_may_match(
+        data_file, fids, ftypes, [("id", "in", [1, 2, 30])]
+    )
+    # one member inside the range → file survives
+    assert file_bounds_may_match(
+        data_file, fids, ftypes, [("id", "in", [1, 15, 30])]
+    )
+    # boundary members count as hits
+    assert file_bounds_may_match(data_file, fids, ftypes, [("id", "in", [10])])
+    assert file_bounds_may_match(data_file, fids, ftypes, [("id", "in", [20])])
+    # file without bounds always survives
+    assert file_bounds_may_match({}, fids, ftypes, [("id", "in", [1])])
+
+
 def _write_partitioned_iceberg_fixture(root):
     """v2 table partitioned by (bucket[4](id), truncate[2](cat)): four
     data files with partition tuples recorded in the manifest."""

@@ -133,6 +133,32 @@ def test_stream_dedup_within_watermark(spark, event_stream):
     assert keys == expected_keys
 
 
+def test_stream_directory_source_probes_ts_unit(spark, tmp_path):
+    """A DIRECTORY of event files (the normal file-stream shape) must
+    probe the timestamp unit from a member file — ParquetFile(dir)
+    raises, and a silent µs fallback misreads TIMESTAMP(NANOS) fixtures
+    (every ts lands in January 1970)."""
+    import shutil
+
+    src = tmp_path / "events_dir"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+    stream = read_event_stream(spark, str(src))
+    _drain(stream_hourly_counts(stream), "t_hourly_dir", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("t_hourly_dir").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in events_hourly_window(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # sanity: no 1970 artifacts — window starts live in the fixture era
+    assert all(k[0].year > 1990 for k in got)
+
+
 def test_incremental_rollup_maintenance(spark, tmp_path):
     """Two incremental runs: the second processes ONLY the new file and
     the rollup still equals the batch aggregate over everything."""
