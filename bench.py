@@ -3,7 +3,13 @@
 Runs the headline workload queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "queries_cold": {...}, "sf": ...}.
+ "value_next": ..., "queries_next": {...}, "sf": ...}.
+
+Two measured groups: `queries`/`value` is the FROZEN 33-query headline
+(comparable round-over-round since round 1); `queries_next`/
+`value_next` covers the round-3/4 operator families (semantic dedup,
+geo, streaming ingest, chunking, layout-pruned ANN), promoted into the
+bench in round 4 per the round-3 verdict.
 
 Methodology: each query is fully materialized (noop sink — no
 driver-side row transfer; the cost measured is scan+shuffle+compute,
@@ -65,10 +71,11 @@ HEADLINE = [
     "range_join_error_context",
 ]
 
-#: round-4 candidates — NOT in the headline yet (the 33-query set is
-#: frozen through round 3 per the round-2 verdict so round-over-round
-#: totals stay comparable); fold these in when the headline next
-#: reopens, so the new operator families get a perf signal too.
+#: second measured group (promoted round 4 per the round-3 verdict):
+#: the round-3/4 operator families — semantic dedup, geo, streaming
+#: ingest, chunking, layout-pruned ANN.  Reported separately
+#: (`value_next`/`queries_next`) so the frozen 33-query `value` stays
+#: comparable round-over-round.
 HEADLINE_NEXT = [
     "dedup_semantic",
     "dedup_semantic_keep",
@@ -77,6 +84,8 @@ HEADLINE_NEXT = [
     "streaming_hourly_counts",
     "chunk_documents",
     "text_boilerplate_ngrams",
+    "sim_ann_ivf_pruned",
+    "sim_ann_lsh_pruned",
 ]
 
 
@@ -97,20 +106,32 @@ def main() -> None:
     ).split():
         load_source(spark, f"{sf_dir}/{t}.parquet", "parquet").schema
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in REGISTRY:
-            continue
-        qd = REGISTRY[name]
-        walls = []
-        for i in range(runs):
-            t0 = time.perf_counter()
-            df = qd.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            walls.append(time.perf_counter() - t0)
-        cold[name] = round(walls[0], 3)
-        timings[name] = round(statistics.median(walls), 3)
+
+    from pg_analytics_spark.operators.dedup import release_sketch_caches
+
+    def _measure(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
+            if name not in REGISTRY:
+                continue
+            qd = REGISTRY[name]
+            walls = []
+            for i in range(runs):
+                t0 = time.perf_counter()
+                df = qd.spark(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.perf_counter() - t0)
+                # each call re-persists its sketch relations; release
+                # between runs so query N+1 isn't measured under the
+                # accumulated executor-storage load of every earlier run
+                release_sketch_caches()
+            cold[name] = round(walls[0], 3)
+            timings[name] = round(statistics.median(walls), 3)
+        return timings, cold
+
+    timings, cold = _measure(HEADLINE)
+    timings_next, cold_next = _measure(HEADLINE_NEXT)
     # stdout carries EXACTLY one compact line (the driver captures a
     # bounded tail of stdout; round-2's line with cold timings embedded
     # overflowed it and parsed as null).  Cold timings go to stderr and
@@ -120,12 +141,16 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_next": round(sum(timings_next.values()), 3),
+        "queries_next": timings_next,
         "runs": runs,
         "sf": sf,
     }
     full = dict(payload)
     full["value_cold"] = round(sum(cold.values()), 3)
     full["queries_cold"] = cold
+    full["value_next_cold"] = round(sum(cold_next.values()), 3)
+    full["queries_next_cold"] = cold_next
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

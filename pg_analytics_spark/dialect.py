@@ -352,6 +352,100 @@ def _rewrite_exclude(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return tokens
 
 
+def _rewrite_star_replace(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """DuckDB ``* REPLACE (expr AS col, ...)`` → Spark
+    ``* EXCEPT (col, ...), (expr) AS col, ...``.
+
+    Values are identical; the one visible divergence is COLUMN ORDER —
+    DuckDB keeps each replaced column in its original position, the
+    rewrite moves them to the end of the star expansion (Spark has no
+    in-place replace).  Only fires when the previous code token is
+    ``*``, so the scalar ``replace(s, a, b)`` function never matches."""
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if kind == "word" and text.lower() == "replace":
+            p = _prev_code(tokens, i)
+            n = _next_code(tokens, i)
+            if (
+                p >= 0
+                and tokens[p] == ("op", "*")
+                and n < len(tokens)
+                and tokens[n] == ("op", "(")
+            ):
+                depths = _depths(tokens)
+                d = depths[n]
+                close = next(
+                    (
+                        j
+                        for j in range(n + 1, len(tokens))
+                        if tokens[j] == ("op", ")") and depths[j] == d
+                    ),
+                    None,
+                )
+                if close is None:
+                    i += 1
+                    continue
+                # split the argument list on top-level commas
+                items: list[list[tuple[str, str]]] = [[]]
+                for j in range(n + 1, close):
+                    if tokens[j] == ("op", ",") and depths[j] == d:
+                        items.append([])
+                    else:
+                        items[-1].append(tokens[j])
+                repls: list[tuple[list[tuple[str, str]], tuple[str, str]]] = []
+                ok = True
+                for item in items:
+                    as_pos = next(
+                        (
+                            j
+                            for j in range(len(item) - 1, -1, -1)
+                            if item[j][0] == "word"
+                            and item[j][1].lower() == "as"
+                        ),
+                        None,
+                    )
+                    alias = None
+                    if as_pos is not None:
+                        rest = [
+                            t
+                            for t in item[as_pos + 1 :]
+                            if t[0] not in ("ws", "comment")
+                        ]
+                        if len(rest) == 1 and rest[0][0] in ("word", "qident"):
+                            alias = rest[0]
+                    if alias is None:
+                        ok = False  # malformed: leave for Spark's error
+                        break
+                    expr = item[:as_pos]
+                    repls.append((expr, alias))
+                if not ok or not repls:
+                    i += 1
+                    continue
+                new: list[tuple[str, str]] = [
+                    ("word", "EXCEPT"),
+                    ("ws", " "),
+                    ("op", "("),
+                ]
+                for j, (_, alias) in enumerate(repls):
+                    if j:
+                        new += [("op", ","), ("ws", " ")]
+                    new.append(alias)
+                new += [("op", ")")]
+                for expr, alias in repls:
+                    new += [("op", ","), ("ws", " "), ("op", "(")]
+                    new += expr
+                    new += [("op", ")"), ("ws", " "), ("word", "AS"),
+                            ("ws", " "), alias]
+                tokens = tokens[:i] + new + tokens[close + 1 :]
+                i += len(new)
+                continue
+        i += 1
+    return tokens
+
+
 #: clause keywords that end a QUALIFY predicate at the same depth
 _QUALIFY_STOP = frozenset(
     "order limit offset union intersect except window".split()
@@ -457,7 +551,8 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
 _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
-    r"|string_to_array|starts_with|ends_with)\b",
+    r"|string_to_array|starts_with|ends_with|unnest)\b"
+    r"|\*\s+replace\s*\(",
     re.IGNORECASE,
 )
 
@@ -475,6 +570,7 @@ def rewrite_pg(sql: str) -> str:
     tokens = _rewrite_arrows(tokens)
     tokens = _rewrite_casts(tokens)
     tokens = _rewrite_exclude(tokens)
+    tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_qualify(tokens)
     tokens = _rewrite_fn_aliases(tokens)
     return "".join(t for _, t in tokens)
@@ -674,6 +770,10 @@ FN_ALIASES: dict[str, str] = {
     "string_to_array": "split",
     "starts_with": "startswith",
     "ends_with": "endswith",
+    # unnest in SELECT position (one row per element, empty/NULL arrays
+    # produce no rows in BOTH engines); Spark's explode also works as a
+    # table-valued function, covering DuckDB's FROM unnest([...]) form
+    "unnest": "explode",
 }
 # Deliberately absent: list_unique (counts DISTINCT; Spark array_size
 # counts all), list_position (DuckDB returns NULL when missing; Spark

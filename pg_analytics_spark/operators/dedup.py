@@ -330,6 +330,7 @@ def embedding_neardup_pairs_lsh(
     bits_per_band: int | str = 8,
     seed: int = 42,
     target_bucket_size: int = 64,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding — the scale
     tier of :func:`embedding_neardup_pairs`.
@@ -337,17 +338,28 @@ def embedding_neardup_pairs_lsh(
     ``bands × bits_per_band`` seeded Gaussian hyperplanes
     (similarity.hyperplanes) give each vector one sign-bit key per
     band; candidate pairs agree on ALL bits of at least one band
-    (equi-join on (band, key) — shuffle volume is ``bands`` narrow rows
-    per vector, never |corpus|²), then candidates are verified with
+    (equi-join on (band, key) — shuffle volume is ``bands`` rows per
+    vector, never |corpus|²), then candidates are verified with
     exact cosine ≥ threshold.  Approximate in RECALL only (a true pair
     may bucket apart — P[band agree] = (1-θ/π)^bits per band); every
     emitted pair is exactly verified.  Recall rises with ``bands``,
     candidate volume falls with ``bits_per_band``.
 
-    At 100 TB: the banded relation is (id, band, key) longs; the
-    vectors themselves are re-joined only for the candidate set.
+    Dataflow (``carry_vectors=True``, default): the banded relation
+    carries the vector, so verification runs MAP-SIDE directly on the
+    band join's output and only the surviving pairs reach the final
+    distinct — one wide shuffle (bands × vector bytes per row), no
+    re-join, no candidate-set shuffle.  Measured at sf0.1: 0.76s vs
+    1.44s for the re-join shape at identical output.
+    ``carry_vectors=False`` keeps the narrow shape — banded is (id,
+    band, key) longs and vectors re-join only for the DISTINCT
+    candidate set — the right trade when vectors are very wide (≥4 KB)
+    or bands high, where bands × vector bytes dominates the extra
+    shuffle rounds.  A pair matching in k>1 bands is verified k times
+    in carry mode (dupes collapse in the final distinct; multi-band
+    agreement is rare by construction).
     Output: (id_a, id_b, cosine) with id_a < id_b, rounded to 6 —
-    identical shape to the all-pairs verifier.
+    identical shape and values either way.
 
     ``bits_per_band="auto"`` applies the measured operating rule
     (SCALE.md): bucket capacity must scale with the corpus, so bits =
@@ -364,11 +376,11 @@ def embedding_neardup_pairs_lsh(
         n = df.count()
         bits_per_band = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
     planes = hyperplanes(dim, bands * bits_per_band, seed)
-    e = _persist_sketch(
-        _spread(
-            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        )
+    e = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     )
+    if not carry_vectors:
+        e = _persist_sketch(e)  # feeds banded AND both verify joins
     # All plane dots in ONE data-driven transform over a 2-D literal
     # array (one small codegen template looping over planes), then band
     # keys read signs out of the dots array — vs inlining bands×bits
@@ -390,6 +402,41 @@ def embedding_neardup_pairs_lsh(
         f"acc + IF(element_at(_dots, b * {bits_per_band} + i + 1) >= 0.0D, "
         "shiftleft(1L, i), 0L))))"
     )
+    from pg_analytics_spark.functions.vectors import dot_product, l2_norm
+
+    cos = F.round(cosine_similarity("va", "vb"), 6)
+    if carry_vectors:
+        # norms fold ONCE per vector here; per-pair verification is then
+        # a single dot fold (HOF folds evaluate per element — computing
+        # both norms per candidate pair tripled the verify cost)
+        banded = _persist_sketch(
+            e.withColumn("_dots", F.expr(dots))
+            .select(
+                "_id",
+                "_v",
+                l2_norm("_v").alias("_n"),
+                F.explode(F.expr(band_keys)).alias("_bk"),
+            )
+        )
+        a = banded.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+            F.col("_n").alias("_na"), "_bk",
+        )
+        b = banded.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+            F.col("_n").alias("_nb"), "_bk",
+        )
+        # same float tree as cosine_similarity: dot / (sqrt(ssa)*sqrt(ssb))
+        pair_cos = F.round(
+            dot_product("va", "vb") / (F.col("_na") * F.col("_nb")), 6
+        )
+        return (
+            a.join(b, "_bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", pair_cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .distinct()
+        )
     banded = _persist_sketch(
         e.withColumn("_dots", F.expr(dots))
         .select("_id", F.explode(F.expr(band_keys)).alias("_bk"))
@@ -403,7 +450,6 @@ def embedding_neardup_pairs_lsh(
     )
     va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
     vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    cos = F.round(cosine_similarity("va", "vb"), 6)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -447,6 +493,9 @@ def neardup_clusters(
     labels = ids.select("_u", F.col("_u").alias("_lbl")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # the handle actually holding the cache (labels may be a projection
+    # of it after the first iteration; unpersist must hit the cached DF)
+    cache_handle = labels
     iteration = 0
     while True:
         iteration += 1
@@ -455,11 +504,15 @@ def neardup_clusters(
             .groupBy(edges._u.alias("_u"))
             .agg(F.min("_lbl").alias("_nl"))
         )
+        # carry the previous label through the update so convergence is
+        # a filter+count over THIS relation — not a separate
+        # new-vs-old join (one join + shuffle per iteration saved)
         new_labels = (
             labels.join(neighbor_min, "_u", "left")
             .select(
                 "_u",
                 F.least(F.col("_lbl"), F.coalesce("_nl", "_lbl")).alias("_lbl"),
+                F.col("_lbl").alias("_old"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -473,14 +526,10 @@ def neardup_clusters(
             cp = new_labels.localCheckpoint(eager=True)
             new_labels.unpersist()
             new_labels = cp
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_u")
-            .filter(F.col("n._lbl") != F.col("o._lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("_lbl") != F.col("_old")).count()
+        cache_handle.unpersist()
+        cache_handle = new_labels
+        labels = new_labels.select("_u", "_lbl")
         if changed == 0:
             break
     edges.unpersist()
@@ -803,7 +852,7 @@ def embedding_semantic_pairs(
     """
     import math
 
-    from pg_analytics_spark.functions.vectors import cosine_similarity
+    from pg_analytics_spark.functions.vectors import dot_product, l2_norm
     from pg_analytics_spark.operators.similarity import (
         cell_assignments,
         ivf_centroids,
@@ -816,11 +865,25 @@ def embedding_semantic_pairs(
     dim = len(first[0])
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
     # both sides of the pair join read the assignment — persist it so
-    # the (possibly join-based, see cell_assignments) subtree runs once
-    cells = _persist_sketch(cell_assignments(df, vec_col, id_col, cents))
-    a = cells.select("cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = cells.select("cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    sim = F.round(cosine_similarity("_va", "_vb"), 6)
+    # the (possibly join-based, see cell_assignments) subtree runs once.
+    # The L2 norm folds ONCE per vector here, so the in-cell quadratic
+    # pays a single dot fold per pair (HOF folds are per-element; norms
+    # per pair would triple the dominant cost).
+    cells = _persist_sketch(
+        cell_assignments(df, vec_col, id_col, cents).withColumn(
+            "_n", l2_norm("_v")
+        )
+    )
+    a = cells.select(
+        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = cells.select(
+        "cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    # same float tree as cosine_similarity: dot / (sqrt(ssa)*sqrt(ssb))
+    sim = F.round(dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -1094,6 +1094,64 @@ def sql_passthrough_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_PASSTHROUGH_QUALIFY)
 
 
+_PASSTHROUGH_STAR_REPLACE = """
+SELECT * REPLACE (lower(r_name) AS r_name)
+FROM region
+ORDER BY r_regionkey
+"""
+
+
+@register(
+    "sql_passthrough_star_replace",
+    oracle=_PASSTHROUGH_STAR_REPLACE,
+    doc="DuckDB-dialect passthrough: `* REPLACE (expr AS col)` is not "
+    "Spark SQL; the dialect shim rewrites it to `* EXCEPT (col), (expr) "
+    "AS col` (dialect.py::_rewrite_star_replace — values identical, "
+    "replaced columns move to the end of the star expansion). DuckDB "
+    "executes the raw text.",
+)
+def sql_passthrough_star_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return eng.sql(_PASSTHROUGH_STAR_REPLACE)
+
+
+_PASSTHROUGH_UNNEST = """
+SELECT n_regionkey,
+       CAST(SUM(v) AS BIGINT) AS s,
+       COUNT(*) AS n
+FROM (
+  SELECT n_regionkey,
+         unnest(list_transform(
+           list_filter(list_value(n_nationkey, n_regionkey, 7), x -> x > 2),
+           x -> x * 10)) AS v
+  FROM nation
+) t
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register(
+    "sql_passthrough_unnest",
+    oracle=_PASSTHROUGH_UNNEST,
+    doc="DuckDB-dialect passthrough: SELECT-position `unnest` (one row "
+    "per element) plus the list_* family with `->` lambdas. The shim "
+    "maps unnest→explode / list_value→array / list_filter→filter / "
+    "list_transform→transform (FN_ALIASES); the arrow rewriter leaves "
+    "lambda `->` untouched (only string/number keys are JSON paths). "
+    "DuckDB executes the raw text.",
+)
+def sql_passthrough_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return eng.sql(_PASSTHROUGH_UNNEST)
+
+
 @register(
     "sql_passthrough_read_parquet",
     oracle="""

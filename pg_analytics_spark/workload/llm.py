@@ -1522,11 +1522,19 @@ def _register_dedup_bloom():
             ),
             lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i * 10 + 1, 10))),
         )
-        chunks = toks.select(
-            "doc_id", "source", F.posexplode(chunk_fps).alias("ci", "fp")
-        ).selectExpr(
-            "doc_id", "source", "ci", "fp",
-            "CAST(conv(substr(fp, 1, 8), 16, 10) AS BIGINT) AS h32",
+        from pg_analytics_spark.operators.dedup import _persist_sketch
+
+        # four consumers read the chunk relation (filter build, exact-
+        # membership distinct, bloom probe, exact-flag join) — without
+        # the persist the tokenize+md5 chunking subtree recomputes per
+        # consumer (measured ~4× the chunking cost at sf0.1)
+        chunks = _persist_sketch(
+            toks.select(
+                "doc_id", "source", F.posexplode(chunk_fps).alias("ci", "fp")
+            ).selectExpr(
+                "doc_id", "source", "ci", "fp",
+                "CAST(conv(substr(fp, 1, 8), 16, 10) AS BIGINT) AS h32",
+            )
         )
         hist = chunks.filter(F.col("source") != "src0")
         probe = chunks.filter(F.col("source") == "src0")

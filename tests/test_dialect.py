@@ -306,3 +306,41 @@ def test_fn_aliases_rewrite_and_run(spark):
         "SELECT ns.list_min(x) FROM t"
     )
     assert rewrite_pg("SELECT list_min FROM t") == "SELECT list_min FROM t"
+
+
+def test_star_replace_rewrites_and_runs(spark):
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    sql = rewrite_pg(
+        "SELECT * REPLACE (v * 10 AS v) FROM (SELECT 1 AS k, 2 AS v)"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row["k"] == 1 and row["v"] == 20
+    # multiple replacements, qualified star
+    sql = rewrite_pg(
+        "SELECT t.* REPLACE (k + 1 AS k, upper(s) AS s) "
+        "FROM (SELECT 1 AS k, 'a' AS s, 9 AS u) t"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row["k"] == 2 and row["s"] == "A" and row["u"] == 9
+    # the scalar replace() function never matches
+    assert rewrite_pg("SELECT replace(s, 'a', 'b') FROM t") == (
+        "SELECT replace(s, 'a', 'b') FROM t"
+    )
+
+
+def test_unnest_rewrites_to_explode(spark):
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    sql = rewrite_pg("SELECT unnest(list_value(3, 1, 2)) AS v")
+    vals = sorted(r["v"] for r in spark.sql(sql).collect())
+    assert vals == [1, 2, 3]
+    # table-valued position works too (Spark TVF explode)
+    sql = rewrite_pg("SELECT * FROM unnest(list_value(5, 6))")
+    got = sorted(r[0] for r in spark.sql(sql).collect())
+    assert got == [5, 6]
+    # lambda arrows survive next to unnest (not JSON paths)
+    sql = rewrite_pg(
+        "SELECT unnest(list_transform(list_value(1, 2), x -> x * 10)) AS v"
+    )
+    assert sorted(r["v"] for r in spark.sql(sql).collect()) == [10, 20]

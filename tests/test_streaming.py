@@ -213,6 +213,118 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
     assert got2 == {**exp1, **shifted_exp}
 
 
+def test_multi_microbatch_state_handoff(spark, tmp_path):
+    """Rate-limited drain (maxFilesPerTrigger=1 over a 3-file events
+    dir): the stateful profile and the stream-stream join must carry
+    state ACROSS micro-batches — >1 micro-batch actually executes, and
+    the results still equal the batch twins.  (The availableNow
+    fixtures elsewhere mostly drain in one batch; this pins the
+    cross-batch handoff.)"""
+    import glob as _glob
+    import shutil
+
+    from pg_analytics_spark.streaming.events import (
+        EVENT_SCHEMA,
+        stream_click_purchase_join,
+    )
+    from pg_analytics_spark.workload.base import table
+
+    # three files split by TIME terciles (event time must advance
+    # batch-to-batch or the watermark marks later files late); every
+    # user appears in every tercile, so per-user state and join state
+    # MUST survive across batches to reproduce the batch answer
+    ev = table(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+
+    ranked = ev.withColumn(
+        "_t3", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "ev_multi"
+    src.mkdir()
+    for i in range(1, 4):
+        part = ranked.filter(F.col("_t3") == i).drop("_t3")
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0], src / f"{i:05d}.parquet"
+        )
+
+    def _drain_limited(df, name, mode):
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+
+    # maxFilesPerTrigger applies at the SOURCE: rebuild the reader with
+    # the option so each micro-batch ingests exactly one file
+    limited = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+    n_batches = _drain_limited(
+        stream_stateful_user_profile(limited), "mb_profiles", "update"
+    )
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    prof = (
+        spark.table("mb_profiles")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in prof.collect()}
+    want = {
+        r["user_id"]: r["n_events"]
+        for r in events_user_activity(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    limited2 = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    n_batches2 = _drain_limited(
+        stream_click_purchase_join(limited2), "mb_ssj", "append"
+    )
+    assert n_batches2 >= 3
+    got_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("mb_ssj").collect()
+    }
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user_id = c_user_id AND "
+                "click_ts >= purchase_ts - INTERVAL 30 MINUTES AND "
+                "click_ts < purchase_ts"
+            ),
+        ).collect()
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+
 def test_streaming_corpus_ingest_matches_batch_curation(spark, tmp_path):
     """End-to-end streaming ingest of a document corpus through
     streaming/corpus_ingest.py (readStream → curation filters →

@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from bench import HEADLINE
+from bench import HEADLINE, HEADLINE_NEXT
 from pg_analytics_spark.workload import REGISTRY
 
 TABLES = (
@@ -31,14 +31,20 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    timings = {}
-    for name in HEADLINE:
-        qd = REGISTRY.get(name)
-        if qd is None or not qd.oracle:
-            continue
-        t0 = time.perf_counter()
-        con.execute(qd.oracle).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 4)
+
+    def _measure(names):
+        timings = {}
+        for name in names:
+            qd = REGISTRY.get(name)
+            if qd is None or not qd.oracle:
+                continue
+            t0 = time.perf_counter()
+            con.execute(qd.oracle).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        return timings
+
+    timings = _measure(HEADLINE)
+    timings_next = _measure(HEADLINE_NEXT)
     print(
         json.dumps(
             {
@@ -46,6 +52,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "value_next": round(sum(timings_next.values()), 4),
+                "queries_next": timings_next,
             }
         )
     )
