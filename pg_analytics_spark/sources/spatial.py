@@ -78,6 +78,10 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
         from pg_analytics_spark.sources import shapefile as _shp
 
         return _shp.load(spark, files, opts)
+    if all(f.lower().endswith((".kml", ".kmz")) for f in files):
+        from pg_analytics_spark.sources import kml as _kml
+
+        return _kml.load(spark, files, opts)
     if all(f.lower().endswith(".xlsx") for f in files):
         # GDAL's st_read reads spreadsheets as attribute-only tables;
         # sources/xlsx.py is the dependency-free equivalent

@@ -1816,6 +1816,62 @@ def geo_shapefile_nation_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_kml_placemark_hubs",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           (((n_nationkey * 73) % 360) - 180 + 0.5)::DOUBLE AS lon,
+           (((n_nationkey * 37) % 160) - 80 + 0.5)::DOUBLE AS lat
+    FROM nation
+    WHERE ((n_nationkey * 73) % 360) - 180 + 0.5 >= -100
+    ORDER BY n_nationkey
+    """,
+    doc="KML ingestion (S6: st_read's KML/LIBKML driver, reference "
+    "spatial.rs:57-82): a Placemark-per-nation KML document is built "
+    "deterministically (ExtendedData attributes, lon,lat coordinates "
+    "at *.5 so the double->WKT->double round trip is bit-exact), read "
+    "back through sources/kml.py (OGC KML 2.2 over stdlib xml.etree, "
+    "dependency-free) WITH a spatial_filter_box that drops the "
+    "westernmost hubs driver-side — the envelope prefilter is part of "
+    "the checked result. The oracle recomputes coordinates and the "
+    "box predicate from the parquet directly, proving the KML round "
+    "trip and the filter are lossless.",
+)
+def geo_kml_placemark_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.functions.geo import wkt_numbers
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.kml import write_point_kml
+
+    t = _pq.read_table(f"{sf_dir}/nation.parquet").sort_by("n_nationkey")
+    keys = t.column("n_nationkey").to_pylist()
+    names = t.column("n_name").to_pylist()
+    pts = [
+        (((k * 73) % 360) - 180 + 0.5, ((k * 37) % 160) - 80 + 0.5) for k in keys
+    ]
+    path = _os.path.join(_geo_fixture_dir(sf_dir), "nations.kml")
+    write_point_kml(
+        path, names, pts, ["nk", "nname"],
+        [(str(k), n) for k, n in zip(keys, names)],
+    )
+    df = load_source(
+        spark, path, "spatial", {"spatial_filter_box": "-100,-90,180,90"}
+    )
+    nums = wkt_numbers("geometry_wkt")
+    return (
+        df.select(
+            F.col("nk").cast("int").alias("n_nationkey"),
+            F.col("nname").alias("n_name"),
+            nums.getItem(0).cast("double").alias("lon"),
+            nums.getItem(1).cast("double").alias("lat"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "geo_gpkg_region_nations",
     oracle="""
     SELECT r.r_name,

@@ -194,3 +194,94 @@ def test_point_in_polygon_raycast(spark):
     }
     for i, (_, _, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i])
+
+
+_KML_NS = '<?xml version="1.0" encoding="UTF-8"?>\n<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+
+
+def _kml_doc(body: str) -> str:
+    return _KML_NS + body + "</Document></kml>"
+
+
+def test_kml_point_roundtrip_and_extended_data(spark, tmp_path):
+    from pg_analytics_spark.sources.kml import write_point_kml
+
+    p = str(tmp_path / "hubs.kml")
+    write_point_kml(
+        p, ["paris", "london"], PTS[:2], ["code", "cc"], RECS[:2]
+    )
+    df = load_source(spark, p, "spatial")
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"paris", "london"}
+    assert rows["paris"]["code"] == "paris" and rows["paris"]["cc"] == "fr"
+    assert rows["paris"]["geometry_wkt"] == "POINT (2.35 48.85)"
+
+
+def test_kml_polygon_multigeometry_and_folders(spark, tmp_path):
+    """Placemarks nested in Folders, a Polygon with an inner ring, and
+    a homogeneous MultiGeometry all parse; SchemaData attributes too."""
+    body = """
+    <Folder><name>f1</name>
+      <Placemark><name>square</name>
+        <ExtendedData><SchemaData schemaUrl="#s">
+          <SimpleData name="kind">poly</SimpleData>
+        </SchemaData></ExtendedData>
+        <Polygon>
+          <outerBoundaryIs><LinearRing>
+            <coordinates>0,0 4,0 4,4 0,4 0,0</coordinates>
+          </LinearRing></outerBoundaryIs>
+          <innerBoundaryIs><LinearRing>
+            <coordinates>1,1 2,1 2,2 1,1</coordinates>
+          </LinearRing></innerBoundaryIs>
+        </Polygon>
+      </Placemark>
+      <Placemark><name>pair</name>
+        <MultiGeometry>
+          <Point><coordinates>10,10</coordinates></Point>
+          <Point><coordinates>11,11</coordinates></Point>
+        </MultiGeometry>
+      </Placemark>
+    </Folder>"""
+    p = tmp_path / "mixed.kml"
+    p.write_text(_kml_doc(body))
+    df = load_source(spark, str(p), "spatial", {"keep_wkb": True})
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["square"]["kind"] == "poly"
+    assert rows["square"]["geometry_wkt"].startswith("POLYGON ((0 0, 4 0")
+    assert "1 1, 2 1" in rows["square"]["geometry_wkt"]  # inner ring kept
+    assert rows["pair"]["geometry_wkt"] == "MULTIPOINT (10 10, 11 11)"
+    # wkb round-trips through the shared codec
+    assert parse_wkb(bytes(rows["pair"]["wkb_geometry"]))[0] == "MULTIPOINT"
+
+
+def test_kmz_and_bbox_filter(spark, tmp_path):
+    import zipfile
+
+    from pg_analytics_spark.sources.kml import write_point_kml
+
+    raw = str(tmp_path / "all.kml")
+    write_point_kml(raw, [r[0] for r in RECS], PTS, ["code", "cc"], RECS)
+    kmz = str(tmp_path / "all.kmz")
+    with zipfile.ZipFile(kmz, "w") as z:
+        z.write(raw, "doc.kml")
+    # bbox keeps only the european hubs (lon in [-10, 20])
+    df = load_source(
+        spark, kmz, "spatial", {"spatial_filter_box": "-10,40,20,60"}
+    )
+    assert {r["name"] for r in df.collect()} == {"paris", "london", "berlin"}
+    # full read sees all four
+    assert load_source(spark, kmz, "spatial").count() == 4
+
+
+def test_kml_mixed_multigeometry_rejected(spark, tmp_path):
+    body = """
+    <Placemark><name>bad</name>
+      <MultiGeometry>
+        <Point><coordinates>0,0</coordinates></Point>
+        <LineString><coordinates>0,0 1,1</coordinates></LineString>
+      </MultiGeometry>
+    </Placemark>"""
+    p = tmp_path / "bad.kml"
+    p.write_text(_kml_doc(body))
+    with pytest.raises(UnsupportedFormat, match="MultiGeometry"):
+        load_source(spark, str(p), "spatial").collect()
