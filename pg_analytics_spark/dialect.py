@@ -451,6 +451,131 @@ _QUALIFY_STOP = frozenset(
     "order limit offset union intersect except window".split()
 )
 
+#: clause keywords that end an ORDER BY item list at the same depth
+_ORDER_STOP = frozenset("limit offset union intersect except".split())
+
+
+def _rewrite_distinct_on(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Postgres/DuckDB ``SELECT DISTINCT ON (k, ...) <list> ... ORDER BY
+    k, x`` → first row per (k, ...) group in ORDER BY order, via an
+    injected ``QUALIFY row_number() OVER (PARTITION BY k, ...
+    ORDER BY k, x) = 1`` that the QUALIFY rewriter (which runs next)
+    wraps into Spark SQL.  The trailing ORDER BY stays — Postgres
+    semantics order the result too.  Without an ORDER BY the survivor
+    is arbitrary in both engines; the rewrite pins it to ORDER BY
+    (partition keys) for determinism."""
+    while True:
+        depths = _depths(tokens)
+        hit = None
+        for i, (k, t) in enumerate(tokens):
+            if k == "word" and t.lower() == "distinct":
+                n = _next_code(tokens, i)
+                p = _prev_code(tokens, i)
+                if (
+                    p >= 0
+                    and tokens[p][0] == "word"
+                    and tokens[p][1].lower() == "select"
+                    and n < len(tokens)
+                    and tokens[n][0] == "word"
+                    and tokens[n][1].lower() == "on"
+                ):
+                    po = _next_code(tokens, n)
+                    if po < len(tokens) and tokens[po] == ("op", "("):
+                        hit = (i, n, po)
+                        break
+        if hit is None:
+            return tokens
+        i, n, po = hit
+        d = depths[po]
+        close = next(
+            (
+                j
+                for j in range(po + 1, len(tokens))
+                if tokens[j] == ("op", ")") and depths[j] == d
+            ),
+            None,
+        )
+        if close is None:
+            return tokens
+        on_exprs = tokens[po + 1 : close]
+        dq = depths[i]
+        # trailing ORDER BY at this depth, if any
+        ob = None
+        j = close + 1
+        while j < len(tokens):
+            if depths[j] < dq or (
+                depths[j] == dq and tokens[j] == ("op", ")")
+            ):
+                break
+            if (
+                depths[j] == dq
+                and tokens[j][0] == "word"
+                and tokens[j][1].lower() == "order"
+            ):
+                nb = _next_code(tokens, j)
+                if (
+                    nb < len(tokens)
+                    and tokens[nb][0] == "word"
+                    and tokens[nb][1].lower() == "by"
+                ):
+                    ob = (j, nb)
+                    break
+            j += 1
+        if ob is not None:
+            k0 = _next_code(tokens, ob[1])
+            k1 = k0
+            while k1 < len(tokens):
+                if depths[k1] < dq or (
+                    depths[k1] == dq and tokens[k1] == ("op", ")")
+                ):
+                    break
+                if (
+                    depths[k1] == dq
+                    and tokens[k1][0] == "word"
+                    and tokens[k1][1].lower() in _ORDER_STOP
+                ):
+                    break
+                k1 += 1
+            order_items = tokens[k0:k1]
+            insert_at = ob[0]
+        else:
+            order_items = on_exprs
+            # insert before the first trailing stop clause (or scope end)
+            insert_at = close + 1
+            while insert_at < len(tokens):
+                if depths[insert_at] < dq or (
+                    depths[insert_at] == dq
+                    and tokens[insert_at] == ("op", ")")
+                ):
+                    break
+                if (
+                    depths[insert_at] == dq
+                    and tokens[insert_at][0] == "word"
+                    and tokens[insert_at][1].lower() in _ORDER_STOP
+                ):
+                    break
+                insert_at += 1
+        qual = (
+            [("ws", " "), ("word", "QUALIFY"), ("ws", " "),
+             ("word", "row_number"), ("op", "("), ("op", ")"), ("ws", " "),
+             ("word", "OVER"), ("ws", " "), ("op", "("),
+             ("word", "PARTITION"), ("ws", " "), ("word", "BY"), ("ws", " ")]
+            + list(on_exprs)
+            + [("ws", " "), ("word", "ORDER"), ("ws", " "), ("word", "BY"),
+               ("ws", " ")]
+            + list(order_items)
+            + [("op", ")"), ("ws", " "), ("op", "="), ("ws", " "),
+               ("number", "1"), ("ws", " ")]
+        )
+        tokens = (
+            tokens[:i]  # drop DISTINCT
+            + tokens[close + 1 : insert_at]
+            + qual
+            + tokens[insert_at:]
+        )
+
 
 def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """DuckDB/Snowflake ``QUALIFY pred`` → computed filter column:
@@ -552,7 +677,7 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
     r"|string_to_array|starts_with|ends_with|unnest)\b"
-    r"|\*\s+replace\s*\(",
+    r"|\*\s+replace\s*\(|\bdistinct\s+on\b",
     re.IGNORECASE,
 )
 
@@ -571,6 +696,7 @@ def rewrite_pg(sql: str) -> str:
     tokens = _rewrite_casts(tokens)
     tokens = _rewrite_exclude(tokens)
     tokens = _rewrite_star_replace(tokens)
+    tokens = _rewrite_distinct_on(tokens)
     tokens = _rewrite_qualify(tokens)
     tokens = _rewrite_fn_aliases(tokens)
     return "".join(t for _, t in tokens)

@@ -1152,6 +1152,54 @@ def sql_passthrough_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_PASSTHROUGH_UNNEST)
 
 
+_PASSTHROUGH_DISTINCT_ON = """
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+"""
+
+
+@register(
+    "sql_passthrough_distinct_on",
+    oracle=_PASSTHROUGH_DISTINCT_ON,
+    doc="Postgres-dialect passthrough: DISTINCT ON (latest order per "
+    "customer) is not Spark SQL; the shim rewrites it to a "
+    "row_number()-over-partition QUALIFY (dialect.py::"
+    "_rewrite_distinct_on), which the QUALIFY rewriter then wraps. "
+    "DuckDB executes the raw text; ties resolve identically because "
+    "the ORDER BY carries a full tiebreak.",
+)
+def sql_passthrough_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return eng.sql(_PASSTHROUGH_DISTINCT_ON)
+
+
+_PASSTHROUGH_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_passthrough_group_by_all",
+    oracle=_PASSTHROUGH_GROUP_BY_ALL,
+    doc="Shared-dialect passthrough: GROUP BY ALL / ORDER BY ALL (the "
+    "DuckDB-popularized shorthand) runs NATIVELY on both engines — "
+    "Spark 4 adopted it — so the identical text executes with no shim "
+    "at all; both engines group by the non-aggregate select columns "
+    "and order by the full select list.",
+)
+def sql_passthrough_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PASSTHROUGH_GROUP_BY_ALL)
+
+
 @register(
     "sql_passthrough_read_parquet",
     oracle="""

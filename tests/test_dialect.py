@@ -344,3 +344,24 @@ def test_unnest_rewrites_to_explode(spark):
         "SELECT unnest(list_transform(list_value(1, 2), x -> x * 10)) AS v"
     )
     assert sorted(r["v"] for r in spark.sql(sql).collect()) == [10, 20]
+
+
+def test_distinct_on_rewrites_and_runs(spark):
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    sql = rewrite_pg(
+        "SELECT DISTINCT ON (k) k, v FROM "
+        "(SELECT 1 AS k, 'b' AS v UNION ALL SELECT 1, 'a' "
+        " UNION ALL SELECT 2, 'z') t "
+        "ORDER BY k, v"
+    )
+    rows = [(r["k"], r["v"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, "a"), (2, "z")]
+    # no ORDER BY: survivor pinned to partition-key order (deterministic
+    # here because each group's min is unique per the rewrite's ORDER BY)
+    sql = rewrite_pg(
+        "SELECT DISTINCT ON (k) k FROM (SELECT 1 AS k UNION ALL SELECT 1) t"
+    )
+    assert [r["k"] for r in spark.sql(sql).collect()] == [1]
+    # plain DISTINCT untouched
+    assert rewrite_pg("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t"
