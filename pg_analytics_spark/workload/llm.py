@@ -1945,3 +1945,153 @@ def _register_streaming_corpus_ingest():
 
 
 _register_streaming_corpus_ingest()
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([t[i+1] FOR i IN range(len(t) - 1)]) AS a,
+             unnest([t[i+2] FOR i IN range(len(t) - 1)]) AS b
+      FROM toks WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b
+    ), c1 AS (
+      SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a
+    ), terms AS (
+      SELECT bg.doc_id,
+             CAST(ln(n2::DOUBLE / n1::DOUBLE) AS DECIMAL(38,18)) AS term
+      FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Corpus-trained bigram language-model scoring — the classic "
+    "perplexity-style quality filter with no external LM: global "
+    "bigram/context counts (two map-side-combinable shuffles, same "
+    "family as TF-IDF's df), then each document's mean ln P(b|a) under "
+    "the corpus MLE. Low scores flag unnatural token sequences "
+    "(boilerplate, mangled extractions) that length/stopword heuristics "
+    "miss. Count relations join (vocabulary-sized, NOT broadcast) and "
+    "per-term logs stage through DECIMAL(38,18) so the sum is "
+    "order-independent — bit-exact vs the oracle. At 100 TB the count "
+    "model is a reusable artifact: materialize once, score any shard.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", X.tokens(F.lower("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    # three consumers (bigram counts, context counts, the scoring join)
+    # read the exploded bigram relation — persist it once, like the
+    # bloom chunk relation
+    bg = _persist_sketch(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), i -> struct("
+                    "element_at(t, i + 1) AS a, element_at(t, i + 2) AS b))"
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    terms = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .select(
+            "doc_id",
+            F.log(F.col("n2").cast("double") / F.col("n1").cast("double"))
+            .cast("decimal(38,18)")
+            .alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("term").cast("double") / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH dims AS (
+      SELECT u.i AS pos,
+             MIN(e.embedding[u.i]::DOUBLE) AS mn,
+             MAX(e.embedding[u.i]::DOUBLE) AS mx
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY u.i
+    ), stats AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM dims
+    )
+    SELECT vec_id, len(embedding) AS n_dims,
+           ROUND(list_sum([
+             CASE WHEN x[3] = x[2] THEN 0.0 ELSE
+               (x[1]::DOUBLE - (x[2] + round((x[1]::DOUBLE - x[2]) / (x[3] - x[2]) * 255) / 255.0 * (x[3] - x[2])))
+               * (x[1]::DOUBLE - (x[2] + round((x[1]::DOUBLE - x[2]) / (x[3] - x[2]) * 255) / 255.0 * (x[3] - x[2])))
+             END
+             FOR x IN list_zip(embedding, mns, mxs)
+           ]) / len(embedding), 6) AS mse_q8
+    FROM embeddings, stats
+    ORDER BY vec_id
+    """,
+    doc="Scalar int8 quantization of the embedding corpus — the memory "
+    "lever that makes 100 TB ANN fit (4x smaller vectors, cheaper "
+    "shuffles, SIMD-friendly probes): per-dimension [min, max] from one "
+    "64-row aggregate, each value snapped to its 255-step grid, "
+    "reported as per-vector reconstruction MSE. The stats relation is "
+    "ONE broadcast row of two arrays; quantization itself is map-only. "
+    "The per-row error fold is a sequential left fold in both engines "
+    "(the cosine-oracle convention), so the metric is value-exact. At "
+    "scale: materialize the int8 corpus beside the fp corpus, probe "
+    "coarse with int8, re-rank the top candidates in fp.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "ev", F.expr("transform(embedding, x -> cast(x AS double))")
+    )
+    stats = (
+        e.select(F.posexplode("ev").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    arrs = stats.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mxs"),
+    )
+    err = (
+        "aggregate(arrays_zip(ev, mns, mxs), 0.0D, (acc, x) -> acc + "
+        "(CASE WHEN x.mxs = x.mns THEN 0.0D ELSE "
+        "(x.ev - (x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) / 255.0D * (x.mxs - x.mns)))"
+        " * "
+        "(x.ev - (x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) / 255.0D * (x.mxs - x.mns)))"
+        " END))"
+    )
+    return (
+        e.crossJoin(F.broadcast(arrs))
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.round(F.expr(err) / F.size("embedding"), 6).alias("mse_q8"),
+        )
+        .orderBy("vec_id")
+    )

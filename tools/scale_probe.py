@@ -145,6 +145,20 @@ def main() -> None:
                 bits_per_band=11,
             ),
         ),
+        # same scaled-bits run through the NARROW re-join dataflow
+        # (carry_vectors=False): pits the one-wide-shuffle carry shape
+        # against banded-longs + two vector re-joins at growing corpus
+        # size — the trade documented in embedding_neardup_pairs_lsh.
+        "dedup_embedding_lsh(rejoin)": (
+            lambda: embedding_neardup_pairs_lsh(
+                emb, "embedding", "vec_id", dim=64, threshold=0.99,
+                carry_vectors=False,
+            ),
+            lambda: embedding_neardup_pairs_lsh(
+                emb_big, "embedding", "vec_id", dim=64, threshold=0.99,
+                bits_per_band=11, carry_vectors=False,
+            ),
+        ),
         # bloom: HISTORY grows mult×, probe shard stays fixed — the
         # continuous-ingest axis.  Near-flat factor expected: the probe
         # cost is per-shard; only the filter build scans the history.
