@@ -2095,3 +2095,89 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "dedup_span_remove",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([i FOR i IN range(0, (len(t)+9)//10)]) AS ci,
+             unnest([md5(array_to_string(t[i*10+1:i*10+10], ' '))
+                     FOR i IN range(0, (len(t)+9)//10)]) AS fp
+      FROM toks WHERE len(t) > 0
+    ), freq AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner
+      FROM chunks GROUP BY fp
+    ), kept AS (
+      SELECT c.doc_id, c.ci
+      FROM chunks c JOIN freq f USING (fp)
+      WHERE f.nd = 1 OR c.doc_id = f.owner
+    ), sel AS (
+      SELECT doc_id, list(ci ORDER BY ci) AS keep FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(t.t)+9)//10 AS BIGINT) AS n_chunks,
+           CAST(len(s.keep) AS BIGINT) AS n_kept,
+           md5(array_to_string(
+             flatten([t.t[i*10+1:i*10+10] FOR i IN s.keep]), ' ')) AS cleaned_md5
+    FROM toks t JOIN sel s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Span-level dedup REWRITE — the actionable step after "
+    "dedup_span_chunks' diagnostic: every cross-document duplicated "
+    "10-token chunk is removed except from its canonical owner (the "
+    "min-doc_id holder), and each document is rebuilt from its kept "
+    "chunks in order. The C4/RefinedWeb span-removal recipe as a "
+    "distributed rewrite: chunks shuffle as 16-byte fingerprints, the "
+    "frequency/owner relation is one map-side-combinable agg, and the "
+    "rebuild is a per-doc sort+flatten — no chunk text ever shuffles "
+    "twice. Output pins (chunk counts, kept counts, md5 of the "
+    "rebuilt text) so the whole rewrite is value-exact vs the oracle. "
+    "Fully-duplicated docs (no owned chunks) drop out entirely — the "
+    "intended outcome for verbatim copies.",
+)
+def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", X.tokens(F.lower("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    chunks = _persist_sketch(
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast((size(t)+9) div 10 AS int) - 1), "
+                    "i -> md5(cast(array_join(slice(t, i*10+1, 10), ' ') AS binary)))"
+                )
+            ).alias("ci", "fp"),
+        )
+    )
+    freq = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner")
+    )
+    kept = (
+        chunks.join(freq, "fp")
+        .filter((F.col("nd") == 1) | (F.col("doc_id") == F.col("owner")))
+        .select("doc_id", "ci")
+    )
+    sel = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("ci")).alias("keep")
+    )
+    return (
+        toks.join(sel, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("CAST((size(t)+9) div 10 AS BIGINT)").alias("n_chunks"),
+            F.size("keep").cast("bigint").alias("n_kept"),
+            F.expr(
+                "md5(cast(array_join(flatten(transform(keep, "
+                "i -> slice(t, i*10+1, 10))), ' ') AS binary))"
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
