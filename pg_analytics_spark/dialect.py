@@ -719,6 +719,7 @@ TABLE_FUNCTIONS: dict[str, str] = {
     "delta_scan": "delta",
     "iceberg_scan": "iceberg",
     "st_read": "spatial",
+    "read_text": "text",
 }
 
 #: bare FROM 'file.ext' extension → format

@@ -19,6 +19,7 @@ from pg_analytics_spark.sources import json as _json
 from pg_analytics_spark.sources import parquet as _parquet
 from pg_analytics_spark.sources import spatial as _spatial
 from pg_analytics_spark.sources import avro as _avro
+from pg_analytics_spark.sources import rawtext as _rawtext
 from pg_analytics_spark.sources import xlsx as _xlsx
 
 _LOADERS = {
@@ -30,6 +31,7 @@ _LOADERS = {
     "spatial": _spatial.load,
     "xlsx": _xlsx.load,
     "avro": _avro.load,
+    "text": _rawtext.load,
 }
 
 

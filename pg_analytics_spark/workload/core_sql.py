@@ -1791,6 +1791,48 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_passthrough_read_text",
+    oracle="""
+    SELECT 'rt_' || r_regionkey || '.txt' AS fname,
+           'region:' || r_name AS content,
+           CAST(length('region:' || r_name) AS BIGINT) AS size
+    FROM region
+    ORDER BY fname
+    """,
+    doc="DuckDB table-function passthrough: `read_text('glob')` — whole "
+    "files as (filename, content, size) rows, the raw-text landing-"
+    "zone reader every scraped corpus starts from. Spark realizes it "
+    "over the distributed binaryFile format (sources/rawtext.py); the "
+    "fixture files are derived from the region table so the oracle "
+    "recomputes content/size from SQL alone, proving the file "
+    "round-trip byte-exact without the oracle touching the files.",
+)
+def sql_passthrough_read_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.engine import Engine
+
+    t = _pq.read_table(f"{sf_dir}/region.parquet").sort_by("r_regionkey")
+    d = _geo_fixture_dir(sf_dir)
+    for k, n in zip(
+        t.column("r_regionkey").to_pylist(), t.column("r_name").to_pylist()
+    ):
+        with open(_os.path.join(d, f"rt_{k}.txt"), "w", encoding="utf-8") as fh:
+            fh.write(f"region:{n}")
+    eng = Engine(spark=spark)
+    return eng.sql(
+        f"""
+        SELECT regexp_extract(filename, '[^/]+$', 0) AS fname,
+               content, size
+        FROM read_text('{d}/rt_*.txt')
+        ORDER BY fname
+        """
+    )
+
+
 def _geo_fixture_dir(sf_dir: str) -> str:
     import os as _os
 

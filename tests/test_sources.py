@@ -1803,3 +1803,21 @@ def test_delta_stats_filter_prunes_partitions(spark, tmp_path):
     assert rows and all(r["region"] == 2 for r in rows)
     files = {os.path.basename(p) for p in df.inputFiles()}
     assert "part-0.parquet" not in files  # region=1 partition pruned
+
+
+def test_rawtext_source_reads_files(spark, tmp_path):
+    """DuckDB read_text analog: whole files as (filename, content,
+    size) rows over the distributed binaryFile format; mtime only on
+    request (environment-dependent)."""
+    (tmp_path / "a.txt").write_text("alpha")
+    (tmp_path / "b.txt").write_text("bravo!")
+    df = load_source(spark, f"{tmp_path}/*.txt", "text")
+    rows = {r["filename"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"]["content"] == "alpha" and rows["a.txt"]["size"] == 5
+    assert rows["b.txt"]["size"] == 6
+    assert "last_modified" not in df.columns
+    df2 = load_source(
+        spark, f"{tmp_path}/a.txt", "text", {"with_last_modified": True}
+    )
+    assert df2.collect()[0]["last_modified"] is not None
