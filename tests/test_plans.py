@@ -268,3 +268,35 @@ def test_basket_pairs_no_orderkey_self_join(spark):
         keys = frag[:120]
         assert "l_orderkey" not in keys, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_no_cartesian_combinable_counts(spark):
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["text_bigram_logprob"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # count relations aggregate with a map-side partial (HashAggregate
+    # pairs), not a raw shuffle of every bigram occurrence per consumer
+    assert "HashAggregate" in plan
+
+
+def test_span_remove_no_cartesian(spark):
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["dedup_span_remove"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_stats_broadcast_map_only_quantization(spark):
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["embed_quantize_int8"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the one-row stats relation joins as a broadcast — quantization
+    # itself must not shuffle the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
