@@ -231,17 +231,27 @@ class Engine:
                 df = df.repartitionByRange(*ccols)
             df = df.sortWithinPartitions(*ccols)
         if path is not None:
-            writer = df.write.format(format).mode(mode)
-            if options:
-                writer = writer.options(**options)
-            if partition_by:
-                writer = writer.partitionBy(*as_list(partition_by))
             if bucket_by:
                 raise ValueError(
                     "bucket_by requires a managed table (omit path): Spark "
                     "bucketing metadata lives in the catalog"
                 )
-            writer.save(path)
+            if format == "delta" and not _probe_delta():
+                # no delta-spark jar → the zero-dependency protocol
+                # writer (sources/delta_write.py); round-trips through
+                # the native replay reader and standard Delta clients
+                from pg_analytics_spark.sources.delta_write import write_delta
+
+                write_delta(
+                    df, path, mode=mode, partition_by=partition_by
+                )
+            else:
+                writer = df.write.format(format).mode(mode)
+                if options:
+                    writer = writer.options(**options)
+                if partition_by:
+                    writer = writer.partitionBy(*as_list(partition_by))
+                writer.save(path)
             self.attach(name, files=path, format=format)
         else:
             writer = df.write.mode(mode)

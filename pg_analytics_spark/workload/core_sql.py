@@ -2016,6 +2016,46 @@ def geo_gpkg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_write_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey <> 0
+    ORDER BY n_nationkey
+    """,
+    doc="Native Delta WRITER round trip: two commits (an overwrite of "
+    "regions 1-2, then an append of regions 3-4) written by the zero-"
+    "dependency protocol writer (sources/delta_write.py — JSON log, "
+    "add/remove actions, footer-derived stats), read back through the "
+    "native replay reader as ONE table. Values must match the parquet "
+    "original exactly, proving commit framing, schemaString typing, "
+    "and multi-commit replay are lossless. The reference only READS "
+    "delta (src/duckdb/delta.rs); the writer closes the loop.",
+)
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    n = table(spark, sf_dir, "nation")
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "nation_delta")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(
+        n.filter(F.col("n_regionkey").isin(1, 2)), root, mode="overwrite"
+    )
+    write_delta(
+        n.filter(F.col("n_regionkey").isin(3, 4)), root, mode="append"
+    )
+    return (
+        load_source(spark, root, "delta")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "avro_nation_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey

@@ -1821,3 +1821,70 @@ def test_rawtext_source_reads_files(spark, tmp_path):
         spark, f"{tmp_path}/a.txt", "text", {"with_last_modified": True}
     )
     assert df2.collect()[0]["last_modified"] is not None
+
+
+def test_delta_native_writer_roundtrip(spark, tmp_path):
+    """Zero-dependency Delta WRITER: overwrite + append commits round-
+    trip through the native replay reader, old versions stay
+    time-travelable, and add-action stats drive file skipping."""
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dw")
+    d1 = spark.range(0, 5).selectExpr("id", "id * 10 AS v")
+    r1 = write_delta(d1, root, mode="overwrite")
+    assert r1 == {"version": 0, "files": r1["files"], "rows": 5}
+
+    d2 = spark.range(5, 8).selectExpr("id", "id * 10 AS v")
+    r2 = write_delta(d2, root, mode="append")
+    assert r2["version"] == 1 and r2["rows"] == 3
+
+    got = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+    # time travel to the first commit
+    v0 = load_source(spark, root, "delta", {"version_as_of": 0})
+    assert sorted(r["id"] for r in v0.collect()) == list(range(5))
+
+    # overwrite replaces (removes v0+v1 files) but keeps history
+    d3 = spark.range(100, 103).selectExpr("id", "id * 10 AS v")
+    r3 = write_delta(d3, root, mode="overwrite")
+    assert r3["version"] == 2
+    now = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in now.collect()) == [100, 101, 102]
+    v1 = load_source(spark, root, "delta", {"version_as_of": 1})
+    assert sorted(r["id"] for r in v1.collect()) == list(range(8))
+
+
+def test_delta_native_writer_stats_skipping_and_partitions(spark, tmp_path):
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dwp")
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS region"
+    )
+    write_delta(df, root, mode="overwrite", partition_by="region")
+    back = load_source(spark, root, "delta")
+    assert back.count() == 100
+    assert dict(back.dtypes)["region"] == "int"  # typed via schemaString
+    # stats_filter prunes partitions/files outside the range
+    pruned = load_source(spark, root, "delta", {"stats_filter": {"region": (2, 2)}})
+    rows = pruned.collect()
+    assert rows and all(r["region"] == 2 for r in rows)
+    files = {os.path.basename(p) for p in pruned.inputFiles()}
+    all_files = {os.path.basename(p) for p in back.inputFiles()}
+    assert len(files) < len(all_files)
+    # id stats from footers also skip
+    pruned2 = load_source(spark, root, "delta", {"stats_filter": {"id": (0, 10)}})
+    assert sorted(r["id"] for r in pruned2.collect()) == list(range(11))
+
+
+def test_materialize_delta_roundtrip(engine, tmp_path):
+    loc = str(tmp_path / "delta_tbl")
+    df = engine.materialize(
+        "dtbl",
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 7",
+        path=loc,
+        format="delta",
+    )
+    assert df.count() == 7
+    assert os.path.exists(os.path.join(loc, "_delta_log"))
+    assert engine.sql("SELECT COUNT(*) AS n FROM dtbl").collect()[0]["n"] == 7
