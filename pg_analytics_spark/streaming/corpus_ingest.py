@@ -23,8 +23,9 @@ whenever the drain lands in one micro-batch (the availableNow fixture
 shape) or files arrive in doc_id order; under out-of-order multi-batch
 arrival the representative may differ by doc_id while the DEDUPED SET
 of fingerprints is identical.  For exact min-id semantics across
-batches use a Delta/Iceberg sink and MERGE (replace-on-smaller-id) in
-place of the append.
+batches use ``sink="delta"``: the native Delta writer
+(sources/delta_write.py) merges every batch with replace-on-smaller-id
+resolution, equal to the batch result for any arrival order.
 
 Scale: the curation filters are a narrow map on the stream; the
 anti-join probes only the ingested FINGERPRINT column (at 100 TB swap
@@ -97,14 +98,60 @@ def _upsert(out_dir: str):
     return apply
 
 
+def _merge_delta(out_dir: str):
+    """Delta-sink upsert with EXACT global min-id semantics: each batch
+    merges against the current table state and the per-fingerprint
+    MIN(doc_id) wins regardless of arrival order — the replace-on-
+    smaller-id resolution the append-only parquet sink cannot express.
+    Realized as read-current + union + re-resolve + one overwrite
+    commit (full-rewrite merge; a file-level MERGE needs matched-file
+    rewrite plumbing, same result).  Old versions stay
+    time-travelable."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pg_analytics_spark.sources import load_source
+        from pg_analytics_spark.sources.delta_write import write_delta
+
+        import os
+
+        spark = batch_df.sparkSession
+        if os.path.isdir(os.path.join(out_dir, "_delta_log")):
+            current = load_source(spark, out_dir, "delta")
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        resolved = (
+            merged.withColumn(
+                "_r",
+                F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
+            )
+            .filter("_r = 1")
+            .drop("_r")
+        )
+        write_delta(resolved, out_dir, mode="overwrite")
+
+    return apply
+
+
 def ingest_corpus(
-    spark: SparkSession, source: str, out_dir: str, checkpoint_dir: str, schema
+    spark: SparkSession,
+    source: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    sink: str = "parquet",
 ) -> None:
     """One availableNow increment: curate + dedup every file the
-    checkpoint hasn't seen into the append-only curated table."""
+    checkpoint hasn't seen into the curated table.
+
+    ``sink="parquet"`` — append-only files, first-arrival-wins across
+    batches (module docstring).  ``sink="delta"`` — the native Delta
+    writer merges each batch with replace-on-smaller-id resolution, so
+    the final table equals the batch `corpus_curation` result for ANY
+    batch order/count (asserted by the shuffled multi-batch test)."""
+    upsert = _merge_delta(out_dir) if sink == "delta" else _upsert(out_dir)
     q = (
         curated_stream(spark, source, schema)
-        .writeStream.foreachBatch(_upsert(out_dir))
+        .writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -360,6 +360,79 @@ def test_streaming_corpus_ingest_matches_batch_curation(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_streaming_corpus_ingest_delta_exact_across_batches(spark, tmp_path):
+    """Delta-sink ingest with REVERSED arrival order and one file per
+    micro-batch: the per-fingerprint min-doc_id resolution must still
+    equal the batch corpus_curation EXACTLY (representatives included)
+    — the semantics the append-only parquet sink cannot give across
+    batches."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.corpus_ingest import _merge_delta
+    from pg_analytics_spark.workload import REGISTRY
+
+    docs = load_source(spark, f"{SF_DIR}/documents.parquet", "parquet")
+    src = tmp_path / "docs_rev"
+    src.mkdir()
+    # two halves, HIGH doc_ids arriving FIRST (reversed order): the
+    # append sink would keep the high-id representative; delta must not
+    half = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") > half), docs.filter(F.col("doc_id") <= half))
+    ):
+        stage = tmp_path / f"rs{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0], src / f"{i:05d}.parquet"
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    out = str(tmp_path / "curated_delta")
+    ckpt = str(tmp_path / "ckpt_delta")
+    limited = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # re-apply the curation chain on the limited reader
+    from pg_analytics_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    limited = (
+        limited.withColumn("n_tokens", token_count("text"))
+        .withColumn("quality", quality_score("text"))
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 2000)
+            & (F.col("quality") >= 0.5)
+        )
+        .withColumn("_fp", fingerprint("text"))
+    )
+    q = (
+        limited.writeStream.foreachBatch(_merge_delta(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] + 1 >= 2  # really multi-batch
+
+    got = load_source(spark, out, "delta")
+    want = REGISTRY["corpus_curation"].spark(spark, SF_DIR)
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+    want_ids = sorted(r["doc_id"] for r in want.collect())
+    # EXACT representative set, not just fingerprint set
+    assert got_ids == want_ids
+    assert os.path.isdir(os.path.join(out, "_delta_log"))
+
+
 def test_streaming_bloom_ingest_matches_batch(spark, tmp_path):
     """Two micro-batches: the second batch's probe counts must equal
     the batch operator run with batch 1 as history (probe-before-merge
