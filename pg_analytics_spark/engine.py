@@ -245,6 +245,18 @@ class Engine:
                 write_delta(
                     df, path, mode=mode, partition_by=partition_by
                 )
+            elif format == "iceberg" and not _probe_iceberg():
+                from pg_analytics_spark.sources.iceberg_write import (
+                    write_iceberg,
+                )
+
+                if partition_by:
+                    raise ValueError(
+                        "native iceberg writer is unpartitioned; use "
+                        "format='delta' or a real Iceberg runtime for "
+                        "partitioned tables"
+                    )
+                write_iceberg(df, path, mode=mode)
             else:
                 writer = df.write.format(format).mode(mode)
                 if options:

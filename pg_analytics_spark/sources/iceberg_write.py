@@ -1,0 +1,335 @@
+"""Zero-dependency Apache Iceberg WRITER (format-version 2,
+unpartitioned).
+
+The reference only reads Iceberg (`iceberg_scan`, src/duckdb/
+iceberg.rs); this closes the write loop with the public spec and the
+repo's own Avro container writer (sources/avro.py): parquet data files
+plus `metadata/` — versioned metadata JSON, an Avro manifest list per
+snapshot, Avro manifests whose data_file entries carry record counts
+and Appendix-D–encoded column bounds (the exact shape
+sources/iceberg_prune.py's data skipping consumes), and
+`version-hint.text` for catalog-less discovery.
+
+* ``overwrite`` — new snapshot whose manifest list references ONLY the
+  new manifest (prior files unreferenced; prior snapshots stay in the
+  metadata for time travel).
+* ``append``    — new snapshot whose manifest list carries the prior
+  snapshot's manifests plus the new one.
+
+Field ids are assigned 1..n on table creation and REUSED on append
+(resolved by name against the current schema — appending a different
+column set fails loudly).  Data files are written by executors; only
+the O(files) manifest/metadata construction is driver-side, the same
+disposition as every Iceberg writer.  Single-writer by design (no
+catalog/commit-race arbitration — same scope note as
+sources/delta_write.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import uuid
+
+from pyspark.sql import DataFrame
+
+from pg_analytics_spark.errors import UnsupportedFormat
+from pg_analytics_spark.sources.avro import read_container, write_container
+
+#: Spark typeName → Iceberg primitive type (inverse of the reader map)
+_SPARK_TO_ICE = {
+    "boolean": "boolean",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "string": "string",
+    "binary": "binary",
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+_KV = lambda n: {  # noqa: E731
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": n,
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    },
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": ["null", _KV("kvl")]},
+                    {"name": "upper_bounds", "type": ["null", _KV("kvu")]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _ice_type(spark_field) -> str:
+    t = spark_field.dataType
+    name = t.typeName()
+    if name in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[name]
+    if name == "decimal":
+        return f"decimal({t.precision}, {t.scale})"
+    raise UnsupportedFormat(
+        f"iceberg writer: unsupported column type {name!r} "
+        f"({spark_field.name}); nested types need a real Iceberg runtime"
+    )
+
+
+def _encode_bound(v, ice_type: str) -> bytes | None:
+    """Appendix-D single-value binary encoding (the reader's
+    _decode_bound inverse) for the bound-carrying primitives."""
+    import datetime as dt
+
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "date":
+            if isinstance(v, dt.date):
+                v = (v - dt.date(1970, 1, 1)).days
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type.startswith("timestamp"):
+            if isinstance(v, dt.datetime):
+                epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                v = int((v - epoch).total_seconds() * 1_000_000)
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+    except (TypeError, ValueError, OverflowError):
+        return None
+    return None
+
+
+def _file_bounds(path: str, fields: list[dict]) -> tuple[list, list, int]:
+    """(lower_bounds kv, upper_bounds kv, num_rows) from the parquet
+    footer, Appendix-D encoded per field id."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    col_idx = {}
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        for i in range(rg0.num_columns):
+            col_idx[rg0.column(i).path_in_schema] = i
+    lowers, uppers = [], []
+    for f in fields:
+        ci = col_idx.get(f["name"])
+        if ci is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not ok or lo is None:
+            continue
+        blo = _encode_bound(lo, f["type"]) if isinstance(f["type"], str) else None
+        bhi = _encode_bound(hi, f["type"]) if isinstance(f["type"], str) else None
+        if blo is not None and bhi is not None:
+            lowers.append({"key": f["id"], "value": blo})
+            uppers.append({"key": f["id"], "value": bhi})
+    return lowers, uppers, md.num_rows
+
+
+def _latest_metadata(meta_dir: str) -> tuple[int, dict | None]:
+    if not os.path.isdir(meta_dir):
+        return 0, None
+    versions = [
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+        and f[1:].split(".")[0].isdigit()
+    ]
+    if not versions:
+        return 0, None
+    v = max(versions)
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        return v, json.load(fh)
+
+
+def write_iceberg(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+    """Write ``df`` as one Iceberg v2 snapshot at ``path``.
+
+    Returns {"snapshot_id": id, "files": n, "rows": n}.
+    """
+    import time as _time
+
+    if mode not in ("overwrite", "append"):
+        raise UnsupportedFormat(f"iceberg write mode {mode!r}")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        mode = "overwrite"
+        fields = [
+            {"id": i + 1, "name": f.name, "type": _ice_type(f), "required": False}
+            for i, f in enumerate(df.schema.fields)
+        ]
+    else:
+        cur_schema = next(
+            s
+            for s in prev_meta.get("schemas", [])
+            if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+        )
+        fields = cur_schema["fields"]
+        have = {f["name"] for f in fields}
+        want = {f.name for f in df.schema.fields}
+        if have != want:
+            raise UnsupportedFormat(
+                f"iceberg append schema mismatch: table has {sorted(have)}, "
+                f"dataframe has {sorted(want)} (schema evolution needs a "
+                "real Iceberg runtime)"
+            )
+
+    # ---- data files (distributed write, then move under data/)
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_ice_stage-{uuid.uuid4().hex}",
+    )
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    n_rows = 0
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        dst = os.path.join(
+            data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+        )
+        os.replace(src, dst)
+        lowers, uppers, rows = _file_bounds(dst, fields)
+        n_rows += rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                },
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    os.makedirs(meta_dir, exist_ok=True)
+    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+    manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
+    write_container(_MANIFEST_ENTRY_SCHEMA, entries, manifest)
+    mf_entries = [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    if mode == "append" and prev_meta is not None:
+        prev_snap = next(
+            s
+            for s in prev_meta["snapshots"]
+            if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+        )
+        _schema, prev_list = read_container(prev_snap["manifest-list"])
+        mf_entries = list(prev_list) + mf_entries
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+
+    now_ms = int(_time.time() * 1000)
+    snapshots = list((prev_meta or {}).get("snapshots", []))
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {"operation": mode},
+        }
+    )
+    log = list((prev_meta or {}).get("snapshot-log", []))
+    log.append({"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
+    meta = {
+        "format-version": 2,
+        "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-column-id": max(f["id"] for f in fields),
+        "current-snapshot-id": snapshot_id,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": fields}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": snapshots,
+        "snapshot-log": log,
+    }
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"snapshot_id": snapshot_id, "files": len(entries), "rows": n_rows}

@@ -2056,6 +2056,46 @@ def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_write_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey <> 4
+    ORDER BY n_nationkey
+    """,
+    doc="Native Iceberg v2 WRITER round trip: two snapshots (an "
+    "overwrite of regions 0-1, then an append of regions 2-3) written "
+    "by the zero-dependency writer (sources/iceberg_write.py — Avro "
+    "manifest list + manifests via the repo's own container writer, "
+    "Appendix-D column bounds, versioned metadata JSON, version-hint), "
+    "read back through the native metadata replay as ONE table. Values "
+    "must match the parquet original exactly. The reference only READS "
+    "iceberg (src/duckdb/iceberg.rs); the writer closes the loop.",
+)
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    n = table(spark, sf_dir, "nation")
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "nation_iceberg")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        n.filter(F.col("n_regionkey").isin(0, 1)), root, mode="overwrite"
+    )
+    write_iceberg(
+        n.filter(F.col("n_regionkey").isin(2, 3)), root, mode="append"
+    )
+    return (
+        load_source(spark, root, "iceberg")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "avro_nation_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey

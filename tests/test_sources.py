@@ -1888,3 +1888,56 @@ def test_materialize_delta_roundtrip(engine, tmp_path):
     assert df.count() == 7
     assert os.path.exists(os.path.join(loc, "_delta_log"))
     assert engine.sql("SELECT COUNT(*) AS n FROM dtbl").collect()[0]["n"] == 7
+
+
+def test_iceberg_native_writer_roundtrip(spark, tmp_path):
+    """Zero-dependency Iceberg v2 WRITER: overwrite + append snapshots
+    round-trip through the native metadata replay, prior snapshots stay
+    time-travelable, and manifest bounds drive file skipping."""
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    root = str(tmp_path / "iw")
+    d1 = spark.range(0, 5).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS x")
+    r1 = write_iceberg(d1, root, mode="overwrite")
+    assert r1["rows"] == 5
+    d2 = spark.range(5, 8).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS x")
+    r2 = write_iceberg(d2, root, mode="append")
+    assert r2["rows"] == 3
+
+    got = load_source(spark, root, "iceberg")
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+    assert dict(got.dtypes)["x"] == "double"
+    # time travel to the first snapshot
+    v1 = load_source(spark, root, "iceberg", {"snapshot_id": r1["snapshot_id"]})
+    assert sorted(r["id"] for r in v1.collect()) == list(range(5))
+
+    # overwrite unreferences old files but keeps snapshot history
+    d3 = spark.range(100, 103).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    r3 = write_iceberg(d3, root, mode="overwrite")
+    now = load_source(spark, root, "iceberg")
+    assert sorted(r["id"] for r in now.collect()) == [100, 101, 102]
+    v2 = load_source(spark, root, "iceberg", {"snapshot_id": r2["snapshot_id"]})
+    assert sorted(r["id"] for r in v2.collect()) == list(range(8))
+
+    # bounds-based skipping: id >= 100 only matches the last snapshot's
+    # file; against snapshot r2 it matches nothing → zero files read
+    pruned = load_source(
+        spark, root, "iceberg", {"partition_filter": [["id", ">=", 6]],
+                                 "snapshot_id": r2["snapshot_id"]}
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == [6, 7]
+    files = set(pruned.inputFiles())
+    all_files = set(v2.inputFiles())
+    assert len(files) < len(all_files)
+
+
+def test_iceberg_writer_append_schema_mismatch_rejected(spark, tmp_path):
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    root = str(tmp_path / "iw2")
+    write_iceberg(spark.range(3).selectExpr("id"), root)
+    with pytest.raises(UnsupportedFormat, match="schema mismatch"):
+        write_iceberg(
+            spark.range(3).selectExpr("id", "id AS other"), root, mode="append"
+        )
