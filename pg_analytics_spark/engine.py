@@ -298,8 +298,18 @@ class Engine:
         and swaps in via rename, so a concurrent reader sees either the
         old or the new layout, never a half-written mix.
         Returns {files_before, files_after, bytes}.
+
+        ``format="delta"`` routes to the log-aware compaction
+        (sources/delta_write.compact_delta): a directory swap would
+        orphan the transaction log, so compaction is committed as one
+        overwrite (history stays time-travelable).
         """
         import math
+
+        if format == "delta":
+            from pg_analytics_spark.sources.delta_write import compact_delta
+
+            return compact_delta(self.spark, path, target_file_mb)
         import os
         import shutil
         import uuid

@@ -109,14 +109,165 @@ def _partition_values(rel_path: str) -> dict[str, str]:
 
 
 def _next_version(log_dir: str) -> int:
+    """Next commit version: one past the max of JSON commits AND
+    checkpoints — after log cleanup the checkpoint may be the only
+    witness of the latest version."""
     if not os.path.isdir(log_dir):
         return 0
     vs = [
         int(f[:20])
         for f in os.listdir(log_dir)
-        if f.endswith(".json") and f[:20].isdigit()
+        if f[:20].isdigit()
+        and (f.endswith(".json") or ".checkpoint." in f)
     ]
     return max(vs) + 1 if vs else 0
+
+
+def checkpoint_delta(path: str) -> dict:
+    """Write a Delta checkpoint for the table's latest version: the
+    active add-actions + metaData + protocol as ONE parquet file
+    (`{v:020}.checkpoint.parquet`) plus `_last_checkpoint` — after
+    which readers replay from the checkpoint instead of every JSON
+    commit, and commits ≤ v are eligible for log cleanup.  O(files)
+    metadata, driver-side by design (same disposition as every Delta
+    checkpoint writer).  Returns {"version": v, "files": n}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    version = _next_version(log_dir) - 1
+    if version < 0:
+        raise UnsupportedFormat(f"no Delta log at {path}")
+    active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise UnsupportedFormat(f"Delta log has no metaData action: {path}")
+
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [("provider", pa.string()),
+                     ("options", pa.map_(pa.string(), pa.string()))]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_type = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    rows = [
+        {
+            "add": {
+                "path": a["path"],
+                "partitionValues": list(
+                    (a.get("partitionValues") or {}).items()
+                ),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": False,
+                "stats": a.get("stats"),
+            },
+            "metaData": None,
+            "protocol": None,
+        }
+        for a in active.values()
+    ]
+    rows.append(
+        {
+            "add": None,
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {
+                    "provider": (meta.get("format") or {}).get(
+                        "provider", "parquet"
+                    ),
+                    "options": list(
+                        ((meta.get("format") or {}).get("options") or {}).items()
+                    ),
+                },
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": list(
+                    (meta.get("configuration") or {}).items()
+                ),
+                "createdTime": meta.get("createdTime"),
+            },
+            "protocol": None,
+        }
+    )
+    rows.append(
+        {
+            "add": None,
+            "metaData": None,
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        }
+    )
+    schema = pa.schema(
+        [("add", add_type), ("metaData", meta_type), ("protocol", proto_type)]
+    )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = cp_path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp_path)
+    lc_tmp = os.path.join(log_dir, f".lc-{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return {"version": version, "files": len(active)}
+
+
+def compact_delta(
+    spark, path: str, target_file_mb: int = 128
+) -> dict:
+    """Small-file compaction as a Delta COMMIT (not a directory swap —
+    that would corrupt the log): read the active file set, rewrite at
+    ~target_file_mb, commit as one overwrite (remove actions for every
+    old file + adds for the compacted ones).  Readers see the old or
+    the new file set atomically; history stays time-travelable.
+    Returns {files_before, files_after, version}."""
+    import math
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise UnsupportedFormat(f"no Delta table at {path}")
+    n_before = len(active)
+    total = sum(int(a.get("size") or 0) for a in active.values())
+    df = load_source(spark, path, "delta")
+    part_cols = meta.get("partitionColumns") or []
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
+    res = write_delta(
+        out, path, mode="overwrite",
+        partition_by=part_cols or None,
+    )
+    return {
+        "files_before": n_before,
+        "files_after": res["files"],
+        "version": res["version"],
+    }
 
 
 def write_delta(

@@ -1941,3 +1941,56 @@ def test_iceberg_writer_append_schema_mismatch_rejected(spark, tmp_path):
         write_iceberg(
             spark.range(3).selectExpr("id", "id AS other"), root, mode="append"
         )
+
+
+def test_delta_native_checkpoint_replay(spark, tmp_path):
+    """checkpoint_delta: after checkpointing, the reader replays from
+    the checkpoint — even with the pre-checkpoint JSON commits DELETED
+    (log cleanup) — and later appends still apply on top."""
+    from pg_analytics_spark.sources.delta_write import (
+        checkpoint_delta,
+        write_delta,
+    )
+
+    root = str(tmp_path / "dcp")
+    write_delta(spark.range(0, 4).selectExpr("id"), root, mode="overwrite")
+    write_delta(spark.range(4, 6).selectExpr("id"), root, mode="append")
+    cp = checkpoint_delta(root)
+    assert cp["version"] == 1 and cp["files"] >= 2
+
+    # log cleanup: remove the JSON commits the checkpoint covers
+    log = os.path.join(root, "_delta_log")
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) <= 1:
+            os.remove(os.path.join(log, f))
+
+    got = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in got.collect()) == list(range(6))
+
+    # a post-checkpoint append replays checkpoint + the new commit
+    write_delta(spark.range(6, 8).selectExpr("id"), root, mode="append")
+    got2 = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in got2.collect()) == list(range(8))
+
+
+def test_delta_compact_is_a_commit(spark, tmp_path):
+    """Engine.compact(format='delta') compacts via an overwrite COMMIT:
+    fewer files, same rows, prior version still readable."""
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dcompact")
+    for i in range(4):  # four appends → many small files
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+            root,
+            mode="append" if i else "overwrite",
+        )
+    eng = Engine(spark=spark)
+    res = eng.compact(root, target_file_mb=128, format="delta")
+    assert res["files_after"] < res["files_before"]
+    got = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in got.collect()) == list(range(40))
+    # pre-compaction version still time-travels
+    v3 = load_source(spark, root, "delta", {"version_as_of": 3})
+    assert v3.count() == 40
