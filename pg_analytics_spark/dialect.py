@@ -925,3 +925,145 @@ def _rewrite_fn_aliases(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             continue  # qualified: someone else's namespace
         out[i] = ("word", alias)
     return out
+
+
+# ------------------------------------------------------------------ #
+# DuckDB COLUMNS('regex') star-macro — schema-aware, so the expansion
+# runs in Engine.sql (which can resolve a table's column list), not in
+# the schema-less rewrite_pg pass.
+# ------------------------------------------------------------------ #
+
+_COLUMNS_RE = re.compile(r"\bcolumns\s*\(", re.IGNORECASE)
+
+
+def expand_columns_macro(sql: str, resolve) -> str:
+    """Expand DuckDB ``COLUMNS('regex')`` select-list macros.
+
+    ``resolve(table_name) -> list[str]`` supplies the column list.
+    Supported: string-literal regex (partial match, DuckDB's
+    regexp_matches semantics), select lists over EXACTLY ONE table
+    (joins are ambiguous without full binder machinery — rejected
+    loudly), bare items (aliased to the column name, DuckDB's naming)
+    and wrapped items like ``min(COLUMNS('.*'))`` (one copy per match;
+    Spark's auto-naming applies — alias explicitly for stable names).
+    """
+    if not _COLUMNS_RE.search(sql):
+        return sql
+    while True:
+        tokens = _tokenize(sql)
+        depths = _depths(tokens)
+        hit = None
+        for i, (k, t) in enumerate(tokens):
+            if k == "word" and t.lower() == "columns":
+                n = _next_code(tokens, i)
+                if n < len(tokens) and tokens[n] == ("op", "("):
+                    s = _next_code(tokens, n)
+                    c = _next_code(tokens, s) if s < len(tokens) else len(tokens)
+                    if (
+                        s < len(tokens)
+                        and tokens[s][0] == "string"
+                        and c < len(tokens)
+                        and tokens[c] == ("op", ")")
+                    ):
+                        hit = (i, n, s, c)
+                        break
+        if hit is None:
+            return sql
+        i, n, s, c = hit
+        pattern = tokens[s][1][1:-1].replace("''", "'")
+        # enclosing SELECT: nearest preceding `select` at the minimum
+        # depth seen on the way back (skips subqueries that closed
+        # before the macro); the macro itself may sit deeper, nested
+        # inside a call like max(COLUMNS('...'))
+        sel = None
+        mind = depths[i]
+        for j in range(i - 1, -1, -1):
+            mind = min(mind, depths[j])
+            if (
+                tokens[j][0] == "word"
+                and tokens[j][1].lower() == "select"
+                and depths[j] <= mind
+            ):
+                sel = j
+                break
+        frm = None
+        if sel is not None:
+            d = depths[sel]
+            mind = depths[i]
+            for j in range(i + 1, len(tokens)):
+                mind = min(mind, depths[j])
+                if mind < d:
+                    break
+                if (
+                    depths[j] == d
+                    and tokens[j][0] == "word"
+                    and tokens[j][1].lower() == "from"
+                ):
+                    frm = j
+                    break
+        if sel is None or frm is None:
+            raise ValueError(
+                "COLUMNS(...) must appear in a select list with a FROM"
+            )
+        # exactly one table: FROM <name> [alias], no joins/commas at d
+        tn = _next_code(tokens, frm)
+        if tn >= len(tokens) or tokens[tn][0] not in ("word", "qident"):
+            raise ValueError(
+                "COLUMNS(...) needs a plain `FROM table` (subquery/file "
+                "sources: alias them as a view first)"
+            )
+        table = tokens[tn][1].strip('"')
+        j = tn + 1
+        while j < len(tokens):
+            if depths[j] < d or (depths[j] == d and tokens[j] == ("op", ")")):
+                break
+            k2, t2 = tokens[j]
+            if depths[j] == d and (
+                (k2 == "op" and t2 == ",")
+                or (k2 == "word" and t2.lower() in ("join", "union"))
+            ):
+                raise ValueError(
+                    "COLUMNS(...) over joins is ambiguous — project each "
+                    "side first"
+                )
+            if depths[j] == d and k2 == "word" and t2.lower() in (
+                "where", "group", "order", "limit", "qualify", "having",
+            ):
+                break
+            j += 1
+        cols = [col for col in resolve(table) if re.search(pattern, col)]
+        if not cols:
+            raise ValueError(
+                f"COLUMNS('{pattern}') matches no column of {table}"
+            )
+        # select-list item boundaries around the macro
+        start = sel + 1
+        for j in range(i - 1, sel, -1):
+            if depths[j] == d and tokens[j] == ("op", ","):
+                start = j + 1
+                break
+        end = frm
+        for j in range(c + 1, frm):
+            if depths[j] == d and tokens[j] == ("op", ","):
+                end = j
+                break
+        item = tokens[start:end]
+        macro_a, macro_b = i - start, c - start  # span within item
+        bare = all(
+            t[0] in ("ws", "comment")
+            for t in item[:macro_a] + item[macro_b + 1 :]
+        )
+        pieces = []
+        for col in cols:
+            rep = (
+                item[:macro_a]
+                + [("qident", f"`{col}`")]
+                + item[macro_b + 1 :]
+            )
+            text = "".join(t for _, t in rep).strip()
+            pieces.append(f"{text} AS `{col}`" if bare else text)
+        sql = (
+            "".join(t for _, t in tokens[:start])
+            + " " + ", ".join(pieces) + " "
+            + "".join(t for _, t in tokens[end:])
+        )

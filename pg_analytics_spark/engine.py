@@ -24,7 +24,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_analytics_spark import types as _types
-from pg_analytics_spark.dialect import extract_table_functions, rewrite_pg
+from pg_analytics_spark.dialect import (
+    expand_columns_macro,
+    extract_table_functions,
+    rewrite_pg,
+)
 from pg_analytics_spark.errors import EngineError
 from pg_analytics_spark.session import get_spark
 from pg_analytics_spark.sources import load_source, split_files
@@ -161,6 +165,9 @@ class Engine:
             load_source(self.spark, files, fmt, opts).createOrReplaceTempView(
                 name
             )
+        query = expand_columns_macro(
+            query, lambda t: self.spark.table(t).columns
+        )
         if args:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)

@@ -1152,6 +1152,32 @@ def sql_passthrough_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_PASSTHROUGH_UNNEST)
 
 
+_PASSTHROUGH_COLUMNS_MACRO = """
+SELECT COLUMNS('l_.*(key|price)')
+FROM lineitem
+ORDER BY l_orderkey, l_partkey, l_suppkey, l_extendedprice
+LIMIT 100
+"""
+
+
+@register(
+    "sql_passthrough_columns_macro",
+    oracle=_PASSTHROUGH_COLUMNS_MACRO,
+    doc="DuckDB-dialect passthrough: the COLUMNS('regex') star-macro "
+    "expands against the attached table's schema (Engine.sql + "
+    "dialect.expand_columns_macro — schema-aware, so it runs after "
+    "table-function registration); bare macros alias to the matched "
+    "column names, DuckDB's own naming, so the identical text runs on "
+    "both engines.",
+)
+def sql_passthrough_columns_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return eng.sql(_PASSTHROUGH_COLUMNS_MACRO)
+
+
 _PASSTHROUGH_DISTINCT_ON = """
 SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
 FROM orders

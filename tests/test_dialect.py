@@ -365,3 +365,32 @@ def test_distinct_on_rewrites_and_runs(spark):
     assert [r["k"] for r in spark.sql(sql).collect()] == [1]
     # plain DISTINCT untouched
     assert rewrite_pg("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t"
+
+
+def test_columns_macro_expansion(spark):
+    from pg_analytics_spark.dialect import expand_columns_macro
+
+    cols = ["id", "name", "n_key", "n_val"]
+    out = expand_columns_macro(
+        "SELECT COLUMNS('n_.*') FROM t ORDER BY id", lambda t: cols
+    )
+    assert "`n_key` AS `n_key`" in out and "`n_val` AS `n_val`" in out
+    assert "id," not in out.split("FROM")[0]  # non-matching cols absent
+    # wrapped form: one copy per match, Spark auto-naming
+    out = expand_columns_macro(
+        "SELECT sum(COLUMNS('n_.*')) FROM t", lambda t: cols
+    )
+    assert out.count("sum(") == 2
+    # no macro → untouched object
+    s = "SELECT a FROM t"
+    assert expand_columns_macro(s, lambda t: cols) is s
+    # errors: no match, joins
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matches no column"):
+        expand_columns_macro("SELECT COLUMNS('zzz') FROM t", lambda t: cols)
+    with _pytest.raises(ValueError, match="ambiguous"):
+        expand_columns_macro(
+            "SELECT COLUMNS('.*') FROM t JOIN u ON t.id = u.id",
+            lambda t: cols,
+        )
