@@ -257,13 +257,7 @@ class Engine:
                     write_iceberg,
                 )
 
-                if partition_by:
-                    raise ValueError(
-                        "native iceberg writer is unpartitioned; use "
-                        "format='delta' or a real Iceberg runtime for "
-                        "partitioned tables"
-                    )
-                write_iceberg(df, path, mode=mode)
+                write_iceberg(df, path, mode=mode, partition_by=partition_by)
             else:
                 writer = df.write.format(format).mode(mode)
                 if options:

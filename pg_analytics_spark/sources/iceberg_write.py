@@ -79,30 +79,57 @@ _KV = lambda n: {  # noqa: E731
     },
 }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                    {"name": "lower_bounds", "type": ["null", _KV("kvl")]},
-                    {"name": "upper_bounds", "type": ["null", _KV("kvu")]},
-                ],
-            },
-        },
-    ],
+#: Avro type for an Iceberg partition-source type (identity transform)
+_ICE_TO_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "date": "int",  # days since epoch
 }
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    """Manifest-entry Avro schema; data_file gains a `partition` record
+    when the table is partitioned (field names = spec field names)."""
+    df_fields = [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": ["null", _KV("kvl")]},
+        {"name": "upper_bounds", "type": ["null", _KV("kvu")]},
+    ]
+    if part_fields:
+        df_fields.insert(
+            1,
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "rp",
+                    "fields": [
+                        {
+                            "name": f["name"],
+                            "type": ["null", _ICE_TO_AVRO[f["_ice_type"]]],
+                        }
+                        for f in part_fields
+                    ],
+                },
+            },
+        )
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {"type": "record", "name": "r2", "fields": df_fields},
+            },
+        ],
+    }
 
 
 def _ice_type(spark_field) -> str:
@@ -183,6 +210,36 @@ def _file_bounds(path: str, fields: list[dict]) -> tuple[list, list, int]:
     return lowers, uppers, md.num_rows
 
 
+def _partition_tuple(rel_dir: str, part_fields: list[dict]) -> dict:
+    """Typed partition tuple from the staging dir path (`_p0=v/...`),
+    keyed by the spec field NAME (what the reader's pruning reads)."""
+    import datetime as dt
+    from urllib.parse import unquote
+
+    raw: dict[int, str] = {}
+    for seg in rel_dir.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k.startswith("_p") and k[2:].isdigit():
+                raw[int(k[2:])] = unquote(v)
+    out = {}
+    for i, pf in enumerate(part_fields):
+        v = raw.get(i)
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            out[pf["name"]] = None
+            continue
+        t = pf["_ice_type"]
+        if t in ("int", "long"):
+            out[pf["name"]] = int(v)
+        elif t == "date":
+            out[pf["name"]] = (
+                dt.date.fromisoformat(v) - dt.date(1970, 1, 1)
+            ).days
+        else:
+            out[pf["name"]] = v
+    return out
+
+
 def _latest_metadata(meta_dir: str) -> tuple[int, dict | None]:
     if not os.path.isdir(meta_dir):
         return 0, None
@@ -199,15 +256,31 @@ def _latest_metadata(meta_dir: str) -> tuple[int, dict | None]:
         return v, json.load(fh)
 
 
-def write_iceberg(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+) -> dict:
     """Write ``df`` as one Iceberg v2 snapshot at ``path``.
 
-    Returns {"snapshot_id": id, "files": n, "rows": n}.
+    ``partition_by`` (identity transforms only — int/long/string/date
+    sources) records each file's partition tuple in the manifest, so
+    the reader's ``partition_filter`` prunes at the MANIFEST level;
+    data files keep the partition column (the write stages through a
+    duplicated column, since Spark's partitionBy drops the dir column
+    from the files while Iceberg identity partitioning keeps it).
+    On append the existing spec is reused; a different partition_by is
+    rejected.  Returns {"snapshot_id": id, "files": n, "rows": n}.
     """
     import time as _time
 
     if mode not in ("overwrite", "append"):
         raise UnsupportedFormat(f"iceberg write mode {mode!r}")
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     prev_version, prev_meta = _latest_metadata(meta_dir)
@@ -233,47 +306,106 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
                 "real Iceberg runtime)"
             )
 
+    fid = {f["name"]: f["id"] for f in fields}
+    ftype = {f["name"]: f["type"] for f in fields}
+    part_fields: list[dict] = []
+    if prev_meta is not None:
+        prev_spec = next(
+            (
+                s
+                for s in prev_meta.get("partition-specs", [])
+                if s.get("spec-id") == prev_meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        prev_part_cols = [
+            next(f["name"] for f in fields if f["id"] == pf["source-id"])
+            for pf in prev_spec.get("fields", [])
+        ]
+        if mode == "append" and part_cols and part_cols != prev_part_cols:
+            raise UnsupportedFormat(
+                f"iceberg append partition mismatch: table spec is "
+                f"{prev_part_cols}, requested {part_cols}"
+            )
+        if not part_cols:
+            part_cols = prev_part_cols
+    for i, c in enumerate(part_cols):
+        t = ftype.get(c)
+        if t not in _ICE_TO_AVRO:
+            raise UnsupportedFormat(
+                f"iceberg identity partitioning on {c!r} ({t}) unsupported"
+                " — int/long/string/date sources only"
+            )
+        part_fields.append(
+            {
+                "source-id": fid[c],
+                "field-id": 1000 + i,
+                "name": c,
+                "transform": "identity",
+                "_ice_type": t,
+            }
+        )
+
     # ---- data files (distributed write, then move under data/)
     staging = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         f"_ice_stage-{uuid.uuid4().hex}",
     )
-    df.write.mode("overwrite").parquet(staging)
+    out_df = df
+    if part_cols:
+        # stage via DUPLICATED dir columns: partitionBy drops its
+        # columns from the files, but Iceberg identity partitioning
+        # keeps them in the data — the copies only name the dirs
+        from pyspark.sql import functions as F
+
+        dir_cols = [f"_p{i}" for i in range(len(part_cols))]
+        for dc, c in zip(dir_cols, part_cols):
+            out_df = out_df.withColumn(dc, F.col(c))
+        out_df.write.mode("overwrite").partitionBy(*dir_cols).parquet(staging)
+    else:
+        out_df.write.mode("overwrite").parquet(staging)
     os.makedirs(data_dir, exist_ok=True)
     entries = []
     n_rows = 0
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, name)
-        dst = os.path.join(
-            data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
-        )
-        os.replace(src, dst)
-        lowers, uppers, rows = _file_bounds(dst, fields)
-        n_rows += rows
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "record_count": rows,
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "lower_bounds": lowers or None,
-                    "upper_bounds": uppers or None,
-                },
+    for root, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            dst = os.path.join(
+                data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+            )
+            os.replace(src, dst)
+            lowers, uppers, rows = _file_bounds(dst, fields)
+            n_rows += rows
+            data_file = {
+                "content": 0,
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "record_count": rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lowers or None,
+                "upper_bounds": uppers or None,
             }
-        )
+            if part_fields:
+                data_file["partition"] = _partition_tuple(
+                    rel_dir, part_fields
+                )
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": data_file,
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
 
     os.makedirs(meta_dir, exist_ok=True)
     seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
     manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
-    write_container(_MANIFEST_ENTRY_SCHEMA, entries, manifest)
+    write_container(_manifest_entry_schema(part_fields), entries, manifest)
     mf_entries = [
         {
             "manifest_path": manifest,
@@ -317,7 +449,15 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
         "current-snapshot-id": snapshot_id,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "fields": fields}],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {k: v for k, v in pf.items() if not k.startswith("_")}
+                    for pf in part_fields
+                ],
+            }
+        ],
         "default-spec-id": 0,
         "snapshots": snapshots,
         "snapshot-log": log,

@@ -1994,3 +1994,43 @@ def test_delta_compact_is_a_commit(spark, tmp_path):
     # pre-compaction version still time-travels
     v3 = load_source(spark, root, "delta", {"version_as_of": 3})
     assert v3.count() == 40
+
+
+def test_iceberg_writer_partitioned_manifest_pruning(spark, tmp_path):
+    """Partitioned native Iceberg write (identity transform): data
+    files keep the partition column, the manifest records typed
+    partition tuples, and the reader's partition_filter prunes at the
+    MANIFEST level; appends must reuse the spec."""
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    root = str(tmp_path / "iwp")
+    df = spark.range(0, 40).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS region"
+    )
+    write_iceberg(df, root, mode="overwrite", partition_by="region")
+    back = load_source(spark, root, "iceberg")
+    assert back.count() == 40
+    assert dict(back.dtypes)["region"] == "int"
+    # identity partition pruning via the manifest tuples
+    pruned = load_source(
+        spark, root, "iceberg", {"partition_filter": [["region", "=", 2]]}
+    )
+    rows = pruned.collect()
+    assert rows and all(r["region"] == 2 for r in rows)
+    assert len(set(pruned.inputFiles())) < len(set(back.inputFiles()))
+
+    # append reuses the spec implicitly; a different spec is rejected
+    write_iceberg(
+        spark.range(40, 44).selectExpr("id", "CAST(1 AS INT) AS region"),
+        root,
+        mode="append",
+    )
+    assert load_source(spark, root, "iceberg").count() == 44
+    with pytest.raises(UnsupportedFormat, match="partition mismatch"):
+        write_iceberg(
+            spark.range(3).selectExpr("id", "CAST(0 AS INT) AS region"),
+            root,
+            mode="append",
+            partition_by="id",
+        )
