@@ -111,6 +111,44 @@ def main() -> None:
         methods["ivf-trained p=2"] = lambda qv: ivf_ann_topk(
             emb, "embedding", "vec_id", qv, k=k, n_probes=2, centroids=trained
         )
+    if "--int8" in sys.argv:
+        # recall through scalar int8 quantization (embed_quantize_int8's
+        # grid): exact search over the DEQUANTIZED corpus isolates the
+        # quantization loss; ivf-over-int8 is the coarse-probe shape.
+        ev = emb.withColumn(
+            "ev", F.expr("transform(embedding, x -> cast(x AS double))")
+        )
+        dstats = (
+            ev.select(F.posexplode("ev").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        )
+        arrs = dstats.groupBy().agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+            ).alias("mns"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+            ).alias("mxs"),
+        )
+        dq_expr = (
+            "transform(arrays_zip(ev, mns, mxs), x -> "
+            "CASE WHEN x.mxs = x.mns THEN x.ev ELSE "
+            "x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) "
+            "/ 255.0D * (x.mxs - x.mns) END)"
+        )
+        dq = (
+            ev.crossJoin(F.broadcast(arrs))
+            .select("vec_id", F.expr(dq_expr).alias("embedding"))
+            .persist()
+        )
+        dq.count()
+        methods["int8 exact"] = lambda qv: brute_force_topk(
+            dq, "embedding", "vec_id", qv, k=k
+        )
+        methods["int8 ivf p=2"] = lambda qv: ivf_ann_topk(
+            dq, "embedding", "vec_id", qv, k=k, n_probes=2
+        )
     stats = {m: [] for m in methods}
     walls = dict.fromkeys(["exact", *methods], 0.0)
     for q in qrows:
