@@ -410,3 +410,20 @@ def test_copy_sql_statement(engine, tmp_path):
     ).collect()
     assert res[0]["count"] == 25
     assert engine.spark.read.parquet(out).count() == 25
+
+
+def test_iter_arrow_complex_types(engine):
+    """The columnar cursor must carry timestamps and arrays through the
+    IPC hop unchanged (types survive, values equal fetch_arrow)."""
+    q = (
+        "SELECT ts, array(event_id, user_id) AS pair, props "
+        "FROM events ORDER BY event_id LIMIT 30"
+    )
+    import pyarrow as pa
+
+    batches = list(engine.iter_arrow(q, batch_rows=7))
+    assert [b.num_rows for b in batches] == [7, 7, 7, 7, 2]
+    joined = pa.Table.from_batches(batches)
+    full = engine.fetch_arrow(q)
+    assert joined.schema == full.schema
+    assert joined.to_pydict() == full.to_pydict()
