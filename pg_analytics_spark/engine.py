@@ -250,14 +250,18 @@ class Engine:
                 from pg_analytics_spark.sources.delta_write import write_delta
 
                 write_delta(
-                    df, path, mode=mode, partition_by=partition_by
+                    df, path, mode=mode, partition_by=partition_by,
+                    options=options,
                 )
             elif format == "iceberg" and not _probe_iceberg():
                 from pg_analytics_spark.sources.iceberg_write import (
                     write_iceberg,
                 )
 
-                write_iceberg(df, path, mode=mode, partition_by=partition_by)
+                write_iceberg(
+                    df, path, mode=mode, partition_by=partition_by,
+                    options=options,
+                )
             else:
                 writer = df.write.format(format).mode(mode)
                 if options:

@@ -39,3 +39,41 @@ def l2_norm(a) -> Column:
 def cosine_similarity(a, b) -> Column:
     """dot(a,b) / (‖a‖·‖b‖) in float64."""
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ------------------------------------------------------------------ #
+# Scalar int8 quantization grid — ONE definition shared by the
+# embed_quantize_int8 query (workload/llm.py) and the recall probe
+# (tools/recall_probe.py): the grid must never drift between the
+# benchmarked operator and the recall evidence.
+# ------------------------------------------------------------------ #
+
+#: dequantized value of zip-struct element `x` (fields ev/mns/mxs):
+#: snap to the 255-step per-dimension [min, max] grid.
+INT8_DEQUANT_FRAGMENT = (
+    "x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) "
+    "/ 255.0D * (x.mxs - x.mns)"
+)
+
+
+def int8_stats_arrays(df, vec_col: str):
+    """(df + `ev` double-array column, one-row (mns, mxs) stats frame)
+    — the per-dimension [min, max] arrays the grid is built from; the
+    stats frame is one broadcastable row."""
+    ev = df.withColumn(
+        "ev", F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+    )
+    stats = (
+        ev.select(F.posexplode("ev").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    arrs = stats.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mxs"),
+    )
+    return ev, arrs

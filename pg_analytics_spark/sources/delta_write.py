@@ -57,44 +57,43 @@ def _json_stat(v):
 
 def _file_stats(path: str, schema) -> str | None:
     """stats JSON from the parquet footer: numRecords + min/max for
-    top-level primitive columns (the public Delta stats shape)."""
-    try:
-        import pyarrow.parquet as pq
+    top-level primitive columns (the public Delta stats shape).
+    Optional: an unreadable footer yields None (no stats, file still
+    committed); the ROW COUNT the writer reports never depends on this
+    (it observes the write job)."""
+    from pg_analytics_spark.sources.footer_stats import footer_minmax
 
-        md = pq.ParquetFile(path).metadata
+    try:
+        bounds, num_rows = footer_minmax(path)
     except Exception:
         return None
-    cols = {
-        f.name: i
-        for i, f in enumerate(schema.fields)
+    statable = {
+        f.name
+        for f in schema.fields
         if f.dataType.typeName() in _STATS_TYPES
     }
-    col_idx = {}
-    if md.num_row_groups:
-        rg0 = md.row_group(0)
-        for i in range(rg0.num_columns):
-            col_idx[rg0.column(i).path_in_schema] = i
     mins: dict = {}
     maxs: dict = {}
-    for name in cols:
-        ci = col_idx.get(name)
-        if ci is None:
-            continue
-        lo = hi = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if ok and lo is not None:
+    for name, (lo, hi) in bounds.items():
+        if name in statable:
             mins[name] = _json_stat(lo)
             maxs[name] = _json_stat(hi)
     return json.dumps(
-        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+        {"numRecords": num_rows, "minValues": mins, "maxValues": maxs}
     )
+
+
+def _schema_shape(schema_string: str) -> list[tuple]:
+    """(name, type) pairs of a Spark schema JSON — the comparison that
+    matters for append safety; nullability/metadata are ignored."""
+    try:
+        fields = json.loads(schema_string).get("fields", [])
+    except (ValueError, AttributeError):
+        return []
+    return [
+        (f.get("name"), json.dumps(f.get("type"), sort_keys=True))
+        for f in fields
+    ]
 
 
 def _partition_values(rel_path: str) -> dict[str, str]:
@@ -275,9 +274,22 @@ def write_delta(
     path: str,
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
+    options: dict | None = None,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``.
 
+    * append: the EXISTING partition spec and schema are authoritative
+      — a partition_by or schema that disagrees is rejected loudly
+      (silently accepting either would null partition columns or drop
+      fields on read).
+    * overwrite on an existing table: a logical replace — when the
+      schema or partition columns change, an updated metaData action
+      rides the same commit, so the table reads with the NEW shape
+      while prior versions stay time-travelable.
+
+    ``options`` forwards to the staged parquet write (compression, …).
+    Row count comes from an ``Observation`` on the write job — exact
+    even when footer stats are unavailable.
     Returns {"version": n, "files": n_files, "rows": n_rows}.
     """
     if mode not in ("overwrite", "append"):
@@ -291,20 +303,60 @@ def write_delta(
     if version == 0 and mode == "append":
         mode = "overwrite"  # first commit of a fresh table
 
+    prev_meta = None
+    if version > 0:
+        from pg_analytics_spark.sources.delta import _replay_log
+
+        prev_active, prev_meta = _replay_log(log_dir)
+    schema_string = df.schema.json()
+    if prev_meta is not None:
+        prev_parts = prev_meta.get("partitionColumns") or []
+        prev_schema = prev_meta.get("schemaString")
+        if mode == "append":
+            if part_cols and part_cols != prev_parts:
+                raise UnsupportedFormat(
+                    f"delta append partition mismatch: table is "
+                    f"partitioned by {prev_parts}, requested {part_cols}"
+                )
+            part_cols = prev_parts
+            # names+types only — a nullability flip (e.g. data read back
+            # from the table itself) is not a shape change
+            if prev_schema is not None and _schema_shape(
+                prev_schema
+            ) != _schema_shape(schema_string):
+                have = [
+                    f.get("name")
+                    for f in json.loads(prev_schema).get("fields", [])
+                ]
+                raise UnsupportedFormat(
+                    f"delta append schema mismatch: table has {have}, "
+                    f"dataframe has {[f.name for f in df.schema.fields]} "
+                    "(appending a different shape would read back with "
+                    "NULLed/dropped columns)"
+                )
+
     # ---- data files: distributed parquet write into a staging dir,
-    # then atomically moved into the table tree with unique names
+    # then atomically moved into the table tree with unique names.
+    # The row count observes the SAME execution that produced the files.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    staged = df.observe(obs, F.count(F.lit(1)).alias("n"))
     staging = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         f"_delta_stage-{uuid.uuid4().hex}",
     )
-    writer = df.write.mode("overwrite")
+    writer = staged.write.mode("overwrite")
+    if options:
+        writer = writer.options(**options)
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
+    n_rows = int(obs.get["n"])
 
     os.makedirs(path, exist_ok=True)
     adds = []
-    n_rows = 0
     for root, _dirs, names in os.walk(staging):
         for name in names:
             if not name.endswith(".parquet"):
@@ -318,8 +370,6 @@ def write_delta(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             stats = _file_stats(dst, df.schema)
-            if stats:
-                n_rows += json.loads(stats)["numRecords"]
             adds.append(
                 {
                     "add": {
@@ -358,7 +408,7 @@ def write_delta(
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,
@@ -366,11 +416,31 @@ def write_delta(
             }
         )
     elif mode == "overwrite":
-        # logical replace: remove every previously-active file
-        from pg_analytics_spark.sources.delta import _replay_log
-
-        active, _meta = _replay_log(log_dir)
-        for p in sorted(active):
+        # logical replace: remove every previously-active file; when the
+        # shape changed, the updated metaData rides the same commit so
+        # the reader conforms to the NEW schema/spec
+        if (
+            prev_meta is not None
+            and (
+                _schema_shape(prev_meta.get("schemaString") or schema_string)
+                != _schema_shape(schema_string)
+                or (prev_meta.get("partitionColumns") or []) != part_cols
+            )
+        ):
+            actions.append(
+                {
+                    "metaData": {
+                        "id": prev_meta.get("id") or str(uuid.uuid4()),
+                        "format": prev_meta.get("format")
+                        or {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": part_cols,
+                        "configuration": prev_meta.get("configuration") or {},
+                        "createdTime": prev_meta.get("createdTime") or now_ms,
+                    }
+                }
+            )
+        for p in sorted(prev_active):
             actions.append(
                 {
                     "remove": {

@@ -177,37 +177,22 @@ def _encode_bound(v, ice_type: str) -> bytes | None:
 
 def _file_bounds(path: str, fields: list[dict]) -> tuple[list, list, int]:
     """(lower_bounds kv, upper_bounds kv, num_rows) from the parquet
-    footer, Appendix-D encoded per field id."""
-    import pyarrow.parquet as pq
+    footer, Appendix-D encoded per field id.  Loud on an unreadable
+    footer — the manifest's record_count requires it anyway."""
+    from pg_analytics_spark.sources.footer_stats import footer_minmax
 
-    md = pq.ParquetFile(path).metadata
-    col_idx = {}
-    if md.num_row_groups:
-        rg0 = md.row_group(0)
-        for i in range(rg0.num_columns):
-            col_idx[rg0.column(i).path_in_schema] = i
+    bounds, num_rows = footer_minmax(path)
     lowers, uppers = [], []
     for f in fields:
-        ci = col_idx.get(f["name"])
-        if ci is None:
+        if f["name"] not in bounds or not isinstance(f["type"], str):
             continue
-        lo = hi = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if not ok or lo is None:
-            continue
-        blo = _encode_bound(lo, f["type"]) if isinstance(f["type"], str) else None
-        bhi = _encode_bound(hi, f["type"]) if isinstance(f["type"], str) else None
+        lo, hi = bounds[f["name"]]
+        blo = _encode_bound(lo, f["type"])
+        bhi = _encode_bound(hi, f["type"])
         if blo is not None and bhi is not None:
             lowers.append({"key": f["id"], "value": blo})
             uppers.append({"key": f["id"], "value": bhi})
-    return lowers, uppers, md.num_rows
+    return lowers, uppers, num_rows
 
 
 def _partition_tuple(rel_dir: str, part_fields: list[dict]) -> dict:
@@ -261,6 +246,7 @@ def write_iceberg(
     path: str,
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
+    options: dict | None = None,
 ) -> dict:
     """Write ``df`` as one Iceberg v2 snapshot at ``path``.
 
@@ -284,6 +270,8 @@ def write_iceberg(
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     prev_version, prev_meta = _latest_metadata(meta_dir)
+    schema_id = 0
+    prev_schemas: list[dict] = []
     if prev_meta is None:
         mode = "overwrite"
         fields = [
@@ -291,20 +279,50 @@ def write_iceberg(
             for i, f in enumerate(df.schema.fields)
         ]
     else:
+        prev_schemas = list(prev_meta.get("schemas", []))
+        schema_id = prev_meta.get("current-schema-id", 0)
         cur_schema = next(
-            s
-            for s in prev_meta.get("schemas", [])
-            if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+            s for s in prev_schemas if s.get("schema-id") == schema_id
         )
         fields = cur_schema["fields"]
         have = {f["name"] for f in fields}
         want = {f.name for f in df.schema.fields}
         if have != want:
-            raise UnsupportedFormat(
-                f"iceberg append schema mismatch: table has {sorted(have)}, "
-                f"dataframe has {sorted(want)} (schema evolution needs a "
-                "real Iceberg runtime)"
+            if mode == "append":
+                raise UnsupportedFormat(
+                    f"iceberg append schema mismatch: table has "
+                    f"{sorted(have)}, dataframe has {sorted(want)} "
+                    "(append to the existing shape, or overwrite to "
+                    "evolve the schema)"
+                )
+            # overwrite is a logical replace: evolve per the spec's
+            # rule — reuse the field id for same-named columns, fresh
+            # ids (past last-column-id) for new ones, new schema-id.
+            # NOTE the fallback reader conforms ALL snapshots to the
+            # CURRENT schema, so time travel across an overwrite that
+            # changed the shape reads old files through the new schema
+            # (adds surface as NULLs) — documented reader limitation.
+            prev_ids = {f["name"]: f["id"] for f in fields}
+            next_id = prev_meta.get(
+                "last-column-id", max(f["id"] for f in fields)
             )
+            new_fields = []
+            for f in df.schema.fields:
+                if f.name in prev_ids:
+                    fid_ = prev_ids[f.name]
+                else:
+                    next_id += 1
+                    fid_ = next_id
+                new_fields.append(
+                    {
+                        "id": fid_,
+                        "name": f.name,
+                        "type": _ice_type(f),
+                        "required": False,
+                    }
+                )
+            fields = new_fields
+            schema_id = max(s.get("schema-id", 0) for s in prev_schemas) + 1
 
     fid = {f["name"]: f["id"] for f in fields}
     ftype = {f["name"]: f["type"] for f in fields}
@@ -361,9 +379,15 @@ def write_iceberg(
         dir_cols = [f"_p{i}" for i in range(len(part_cols))]
         for dc, c in zip(dir_cols, part_cols):
             out_df = out_df.withColumn(dc, F.col(c))
-        out_df.write.mode("overwrite").partitionBy(*dir_cols).parquet(staging)
+        writer = out_df.write.mode("overwrite")
+        if options:
+            writer = writer.options(**options)
+        writer.partitionBy(*dir_cols).parquet(staging)
     else:
-        out_df.write.mode("overwrite").parquet(staging)
+        writer = out_df.write.mode("overwrite")
+        if options:
+            writer = writer.options(**options)
+        writer.parquet(staging)
     os.makedirs(data_dir, exist_ok=True)
     entries = []
     n_rows = 0
@@ -447,8 +471,11 @@ def write_iceberg(
         "last-sequence-number": seq,
         "last-column-id": max(f["id"] for f in fields),
         "current-snapshot-id": snapshot_id,
-        "current-schema-id": 0,
-        "schemas": [{"schema-id": 0, "fields": fields}],
+        "current-schema-id": schema_id,
+        "schemas": (
+            [s for s in prev_schemas if s.get("schema-id") != schema_id]
+            + [{"schema-id": schema_id, "fields": fields}]
+        ),
         "partition-specs": [
             {
                 "spec-id": 0,

@@ -94,15 +94,25 @@ def _parse_geom(el):
         pts = _coords_of(el)
         return ("LINESTRING", pts) if pts else None
     if ln == "Polygon":
-        rings = []
+        outer = []
+        inners = []
         for c in el:
             if _local(c.tag) == "outerBoundaryIs":
-                rings.insert(0, _ring(c))
+                outer = _ring(c)
         for c in el:
             if _local(c.tag) == "innerBoundaryIs":
-                rings.append(_ring(c))
-        rings = [r for r in rings if r]
-        return ("POLYGON", rings) if rings else None
+                r = _ring(c)
+                if r:
+                    inners.append(r)
+        if not outer:
+            if inners:
+                # silently promoting a hole to the shell would emit a
+                # POLYGON whose boundary is actually a hole
+                raise UnsupportedFormat(
+                    "Polygon with innerBoundaryIs but no outer shell"
+                )
+            return None
+        return ("POLYGON", [outer] + inners)
     if ln == "MultiGeometry":
         parts = [g for g in (_parse_geom(c) for c in el) if g is not None]
         if not parts:
@@ -216,14 +226,19 @@ def write_point_kml(path: str, names, points, field_names, records) -> str:
     ExtendedData string fields.  ``points`` is [(lon, lat)]; overwrites
     ``path`` (fixture semantics — registry queries rebuild
     deterministically on every call)."""
+    from xml.sax.saxutils import escape, quoteattr
+
     doc = ['<?xml version="1.0" encoding="UTF-8"?>']
     doc.append('<kml xmlns="http://www.opengis.net/kml/2.2"><Document>')
     for nm, (x, y), rec in zip(names, points, records):
         doc.append("<Placemark>")
-        doc.append(f"<name>{nm}</name>")
+        doc.append(f"<name>{escape(str(nm))}</name>")
         doc.append("<ExtendedData>")
         for fn, v in zip(field_names, rec):
-            doc.append(f'<Data name="{fn}"><value>{v}</value></Data>')
+            doc.append(
+                f"<Data name={quoteattr(str(fn))}>"
+                f"<value>{escape(str(v))}</value></Data>"
+            )
         doc.append("</ExtendedData>")
         doc.append(f"<Point><coordinates>{x!r},{y!r},0</coordinates></Point>")
         doc.append("</Placemark>")

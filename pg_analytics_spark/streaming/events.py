@@ -102,13 +102,15 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     # Non-nanos path: clear any nanosAsLong left behind by an earlier
     # nanos read in this session so it cannot leak into later plain
     # reads (a leaked `true` makes a future nanos file surface silently
-    # as long instead of raising for the caller to handle).  Caveat: a
-    # still-running nanos stream in the same session needs the conf —
-    # open the nanos stream second, or use separate sessions.
-    try:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    except Exception:
-        pass
+    # as long instead of raising for the caller to handle) — but ONLY
+    # when no streaming query is active: a still-running nanos stream
+    # needs the conf at every micro-batch, and unsetting it mid-flight
+    # would break that stream's next scan.
+    if not spark.streams.active:
+        try:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            pass
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)

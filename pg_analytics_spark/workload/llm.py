@@ -2062,28 +2062,20 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coarse with int8, re-rank the top candidates in fp.",
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").withColumn(
-        "ev", F.expr("transform(embedding, x -> cast(x AS double))")
+    from pg_analytics_spark.functions.vectors import (
+        INT8_DEQUANT_FRAGMENT,
+        int8_stats_arrays,
     )
-    stats = (
-        e.select(F.posexplode("ev").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    )
-    arrs = stats.groupBy().agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
-        ).alias("mns"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
-        ).alias("mxs"),
+
+    e, arrs = int8_stats_arrays(
+        table(spark, sf_dir, "embeddings"), "embedding"
     )
     err = (
         "aggregate(arrays_zip(ev, mns, mxs), 0.0D, (acc, x) -> acc + "
         "(CASE WHEN x.mxs = x.mns THEN 0.0D ELSE "
-        "(x.ev - (x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) / 255.0D * (x.mxs - x.mns)))"
+        f"(x.ev - ({INT8_DEQUANT_FRAGMENT}))"
         " * "
-        "(x.ev - (x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) / 255.0D * (x.mxs - x.mns)))"
+        f"(x.ev - ({INT8_DEQUANT_FRAGMENT}))"
         " END))"
     )
     return (

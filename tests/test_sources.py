@@ -2034,3 +2034,115 @@ def test_iceberg_writer_partitioned_manifest_pruning(spark, tmp_path):
             mode="append",
             partition_by="id",
         )
+
+
+def test_delta_writer_append_guards_and_overwrite_evolution(spark, tmp_path):
+    """Review findings: append with a different partition spec or
+    schema must be rejected (silent acceptance nulls/drops columns on
+    read); overwrite with a NEW shape must commit updated metaData so
+    the table reads with the new schema."""
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dwg")
+    write_delta(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS k"),
+        root, mode="overwrite", partition_by="k",
+    )
+    # append omitting partition_by reuses the spec (no silent nulls)
+    write_delta(
+        spark.range(10, 14).selectExpr("id", "CAST(id % 2 AS INT) AS k"),
+        root, mode="append",
+    )
+    back = load_source(spark, root, "delta")
+    assert back.filter(F.col("k").isNull()).count() == 0
+    assert back.count() == 14
+    # append with a DIFFERENT spec or schema is rejected
+    with pytest.raises(UnsupportedFormat, match="partition mismatch"):
+        write_delta(
+            spark.range(3).selectExpr("id", "CAST(0 AS INT) AS k"),
+            root, mode="append", partition_by="id",
+        )
+    with pytest.raises(UnsupportedFormat, match="schema mismatch"):
+        write_delta(
+            spark.range(3).selectExpr("id", "CAST(1 AS INT) AS other"),
+            root, mode="append",
+        )
+    # overwrite with a new shape: updated metaData rides the commit
+    write_delta(
+        spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS score"),
+        root, mode="overwrite",
+    )
+    now = load_source(spark, root, "delta")
+    assert set(now.columns) == {"id", "score"}
+    assert now.count() == 5 and now.filter(F.col("score").isNull()).count() == 0
+
+
+def test_delta_writer_append_tolerates_nullability_flip(spark, tmp_path):
+    """Data read back from the table itself (nullable=true everywhere)
+    must still append — only name/type shape matters."""
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dwn")
+    write_delta(spark.range(5).selectExpr("id"), root, mode="overwrite")
+    again = load_source(spark, root, "delta").selectExpr("id + 10 AS id")
+    write_delta(again, root, mode="append")
+    assert load_source(spark, root, "delta").count() == 10
+
+
+def test_iceberg_overwrite_schema_evolution(spark, tmp_path):
+    """Overwrite is a logical replace: a changed schema evolves the
+    table (same-name fields keep their ids, new fields get fresh ids,
+    new schema-id becomes current)."""
+    import json as _json
+    import os as _os
+
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "iwe")
+    write_iceberg(
+        spark.range(5).selectExpr("id", "CAST('x' AS STRING) AS name"), root
+    )
+    write_iceberg(
+        spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS score"),
+        root, mode="overwrite",
+    )
+    back = load_source(spark, root, "iceberg")
+    assert set(back.columns) == {"id", "score"}
+    assert back.count() == 3
+    _v, meta = _latest_metadata(_os.path.join(root, "metadata"))
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["id"] == 1          # same-name field keeps its id
+    assert by_name["score"] > 2        # fresh id past last-column-id
+    assert len(meta["schemas"]) == 2   # old schema retained
+
+
+def test_kml_writer_escapes_and_inner_only_rejected(spark, tmp_path):
+    from pg_analytics_spark.sources.kml import write_point_kml
+
+    p = str(tmp_path / "esc.kml")
+    write_point_kml(
+        p, ["A&B <Corp>"], [(1.0, 2.0)], ['we"ird'], [("x & y",)]
+    )
+    df = load_source(spark, p, "spatial")
+    row = df.collect()[0]
+    assert row["name"] == "A&B <Corp>"
+    assert row['we"ird'] == "x & y"
+
+    bad = tmp_path / "inneronly.kml"
+    bad.write_text(
+        '<?xml version="1.0"?><kml><Document><Placemark><name>h</name>'
+        "<Polygon><innerBoundaryIs><LinearRing>"
+        "<coordinates>1,1 2,1 2,2 1,1</coordinates>"
+        "</LinearRing></innerBoundaryIs></Polygon>"
+        "</Placemark></Document></kml>"
+    )
+    with pytest.raises(UnsupportedFormat, match="no outer shell"):
+        load_source(spark, str(bad), "spatial").collect()

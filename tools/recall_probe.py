@@ -112,30 +112,21 @@ def main() -> None:
             emb, "embedding", "vec_id", qv, k=k, n_probes=2, centroids=trained
         )
     if "--int8" in sys.argv:
-        # recall through scalar int8 quantization (embed_quantize_int8's
-        # grid): exact search over the DEQUANTIZED corpus isolates the
+        # recall through scalar int8 quantization — the SAME grid the
+        # embed_quantize_int8 query benchmarks (shared helpers in
+        # functions/vectors.py, so probe and operator cannot drift):
+        # exact search over the DEQUANTIZED corpus isolates the
         # quantization loss; ivf-over-int8 is the coarse-probe shape.
-        ev = emb.withColumn(
-            "ev", F.expr("transform(embedding, x -> cast(x AS double))")
+        from pg_analytics_spark.functions.vectors import (
+            INT8_DEQUANT_FRAGMENT,
+            int8_stats_arrays,
         )
-        dstats = (
-            ev.select(F.posexplode("ev").alias("pos", "v"))
-            .groupBy("pos")
-            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        )
-        arrs = dstats.groupBy().agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
-            ).alias("mns"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
-            ).alias("mxs"),
-        )
+
+        ev, arrs = int8_stats_arrays(emb, "embedding")
         dq_expr = (
             "transform(arrays_zip(ev, mns, mxs), x -> "
             "CASE WHEN x.mxs = x.mns THEN x.ev ELSE "
-            "x.mns + round((x.ev - x.mns) / (x.mxs - x.mns) * 255) "
-            "/ 255.0D * (x.mxs - x.mns) END)"
+            f"{INT8_DEQUANT_FRAGMENT} END)"
         )
         dq = (
             ev.crossJoin(F.broadcast(arrs))
