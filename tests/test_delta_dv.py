@@ -272,3 +272,75 @@ def test_delta_replay_column_mapping(spark, tmp_path):
     assert df.schema["props"].dataType.fieldNames() == ["tag"]
     rows = {r["id"]: r["props"]["tag"] for r in df.collect()}
     assert rows == {1: "x", 2: "y"}
+
+
+def test_compact_materializes_deletion_vectors(spark, tmp_path):
+    """compact_delta over a DV table: the rewrite reads THROUGH the
+    deletion vectors, so the compacted commit holds only surviving
+    rows in clean files — the maintenance op that retires DV overhead."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.delta_write import compact_delta
+
+    root = str(tmp_path / "dv_compact")
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11, 12, 13, 14], pa.int64())}),
+        f"{root}/part-0.parquet",
+    )
+    data = encode_roaring_array([1, 3])  # drop 11 and 13
+    u = uuid.uuid4()
+    offset = write_dv_file(f"{root}/deletion_vector_{u}.bin", data)
+    meta = {
+        "id": "77",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"metaData": meta},
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(u.bytes),
+                    "offset": offset,
+                    "sizeInBytes": len(data),
+                    "cardinality": 2,
+                },
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    res = compact_delta(spark, root)
+    assert res["version"] == 1
+    back = load_source(spark, root, "delta")
+    assert sorted(r["id"] for r in back.collect()) == [10, 12, 14]
+    # the compacted add actions carry no deletionVector descriptors
+    with open(f"{root}/_delta_log/{1:020d}.json") as fh:
+        adds = [
+            json.loads(line)["add"]
+            for line in fh
+            if line.strip() and "\"add\"" in line
+        ]
+    assert adds and all("deletionVector" not in a for a in adds)
