@@ -43,6 +43,17 @@ _COPY_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: CTAS into the native lakehouse writers — Spark's catalog handles
+#: `USING parquet` itself, but `USING delta|iceberg` would need the
+#: runtime jars; this text form routes to Engine.materialize instead.
+_CTAS_LAKE_RE = _re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+"
+    r"USING\s+(?P<fmt>delta|iceberg)\s+"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+)\)\s+)?"
+    r"LOCATION\s+'(?P<path>[^']+)'\s+AS\s+(?P<q>.+?);?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 
 @dataclass
 class _Attachment:
@@ -159,6 +170,21 @@ class Engine:
                 )
             n = self.copy_to(m.group("q"), m.group("path"), format=fmt)
             return self.spark.createDataFrame([(n,)], "count bigint")
+        m = _CTAS_LAKE_RE.match(query.strip())
+        if m:
+            # CREATE TABLE … USING delta|iceberg LOCATION '…' AS SELECT …
+            # → the native protocol writers (the catalog would demand
+            # the runtime jars); the table attaches under its name.
+            parts = m.group("parts")
+            return self.materialize(
+                m.group("name"),
+                m.group("q"),
+                path=m.group("path"),
+                format=m.group("fmt").lower(),
+                partition_by=(
+                    [p.strip() for p in parts.split(",")] if parts else None
+                ),
+            )
         query = rewrite_pg(query)
         query, tf_views = extract_table_functions(query)
         for name, files, fmt, opts in tf_views:

@@ -427,3 +427,33 @@ def test_iter_arrow_complex_types(engine):
     full = engine.fetch_arrow(q)
     assert joined.schema == full.schema
     assert joined.to_pydict() == full.to_pydict()
+
+
+def test_ctas_delta_iceberg_sql_text(engine, tmp_path):
+    """CREATE TABLE … USING delta|iceberg LOCATION … AS SELECT routes
+    to the native protocol writers (no runtime jars needed) and
+    attaches the result under the table name."""
+    import os
+
+    dloc = str(tmp_path / "ctas_delta")
+    engine.sql(
+        f"CREATE TABLE ctas_d USING delta "
+        f"PARTITIONED BY (n_regionkey) LOCATION '{dloc}' AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    assert os.path.isdir(os.path.join(dloc, "_delta_log"))
+    assert engine.sql("SELECT COUNT(*) AS n FROM ctas_d").collect()[0]["n"] == 25
+    n2 = engine.sql(
+        "SELECT COUNT(*) AS n FROM ctas_d WHERE n_regionkey = 2"
+    ).collect()[0]["n"]
+    assert n2 == 5
+    engine.detach("ctas_d")
+
+    iloc = str(tmp_path / "ctas_ice")
+    engine.sql(
+        f"CREATE TABLE ctas_i USING iceberg LOCATION '{iloc}' AS "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 9"
+    )
+    assert os.path.isdir(os.path.join(iloc, "metadata"))
+    assert engine.sql("SELECT COUNT(*) AS n FROM ctas_i").collect()[0]["n"] == 9
+    engine.detach("ctas_i")
