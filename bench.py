@@ -86,6 +86,9 @@ HEADLINE_NEXT = [
     "text_boilerplate_ngrams",
     "sim_ann_ivf_pruned",
     "sim_ann_lsh_pruned",
+    "text_bigram_logprob",
+    "dedup_span_remove",
+    "embed_quantize_int8",
 ]
 
 

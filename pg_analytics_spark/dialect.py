@@ -1013,6 +1013,16 @@ def expand_columns_macro(sql: str, resolve) -> str:
                 "sources: alias them as a view first)"
             )
         table = tokens[tn][1].strip('"')
+        # absorb qualified names: db.t / catalog.db.t
+        while True:
+            dot = _next_code(tokens, tn)
+            if dot < len(tokens) and tokens[dot] == ("op", "."):
+                nxt = _next_code(tokens, dot)
+                if nxt < len(tokens) and tokens[nxt][0] in ("word", "qident"):
+                    table += "." + tokens[nxt][1].strip('"')
+                    tn = nxt
+                    continue
+            break
         j = tn + 1
         while j < len(tokens):
             if depths[j] < d or (depths[j] == d and tokens[j] == ("op", ")")):
