@@ -1030,7 +1030,7 @@ def expand_columns_macro(sql: str, resolve) -> str:
             k2, t2 = tokens[j]
             if depths[j] == d and (
                 (k2 == "op" and t2 == ",")
-                or (k2 == "word" and t2.lower() in ("join", "union"))
+                or (k2 == "word" and t2.lower() == "join")
             ):
                 raise ValueError(
                     "COLUMNS(...) over joins is ambiguous — project each "
@@ -1038,6 +1038,9 @@ def expand_columns_macro(sql: str, resolve) -> str:
                 )
             if depths[j] == d and k2 == "word" and t2.lower() in (
                 "where", "group", "order", "limit", "qualify", "having",
+                # set operators END this select's scope — the macro's
+                # own select still reads exactly one table
+                "union", "intersect", "except",
             ):
                 break
             j += 1
@@ -1046,8 +1049,17 @@ def expand_columns_macro(sql: str, resolve) -> str:
             raise ValueError(
                 f"COLUMNS('{pattern}') matches no column of {table}"
             )
-        # select-list item boundaries around the macro
+        # select-list item boundaries around the macro; the first item
+        # starts AFTER any DISTINCT/ALL modifier (replicating the
+        # modifier per expansion copy would be invalid SQL)
         start = sel + 1
+        first = _next_code(tokens, sel)
+        if (
+            first < i
+            and tokens[first][0] == "word"
+            and tokens[first][1].lower() in ("distinct", "all")
+        ):
+            start = first + 1
         for j in range(i - 1, sel, -1):
             if depths[j] == d and tokens[j] == ("op", ","):
                 start = j + 1

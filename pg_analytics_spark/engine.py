@@ -47,7 +47,7 @@ _COPY_RE = _re.compile(
 #: `USING parquet` itself, but `USING delta|iceberg` would need the
 #: runtime jars; this text form routes to Engine.materialize instead.
 _CTAS_LAKE_RE = _re.compile(
-    r"^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+"
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+"
     r"USING\s+(?P<fmt>delta|iceberg)\s+"
     r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+)\)\s+)?"
     r"LOCATION\s+'(?P<path>[^']+)'\s+AS\s+(?P<q>.+?);?\s*$",
@@ -175,12 +175,26 @@ class Engine:
             # CREATE TABLE … USING delta|iceberg LOCATION '…' AS SELECT …
             # → the native protocol writers (the catalog would demand
             # the runtime jars); the table attaches under its name.
+            # Plain CREATE on an existing target fails loudly — only
+            # OR REPLACE authorizes a logical overwrite (SQL semantics).
+            import os as _os
+
+            fmt = m.group("fmt").lower()
+            target = m.group("path")
+            marker = _os.path.join(
+                target, "_delta_log" if fmt == "delta" else "metadata"
+            )
+            if not m.group("replace") and _os.path.isdir(marker):
+                raise EngineError(
+                    f"table location {target!r} already holds a {fmt} "
+                    "table; use CREATE OR REPLACE TABLE to overwrite"
+                )
             parts = m.group("parts")
             return self.materialize(
                 m.group("name"),
                 m.group("q"),
-                path=m.group("path"),
-                format=m.group("fmt").lower(),
+                path=target,
+                format=fmt,
                 partition_by=(
                     [p.strip() for p in parts.split(",")] if parts else None
                 ),
@@ -333,11 +347,20 @@ class Engine:
         ``format="delta"`` routes to the log-aware compaction
         (sources/delta_write.compact_delta): a directory swap would
         orphan the transaction log, so compaction is committed as one
-        overwrite (history stays time-travelable).
+        overwrite (history stays time-travelable); the return dict
+        additionally carries the commit ``version``.  The layout comes
+        from the table's own metaData — a ``partition_by`` argument is
+        rejected rather than silently ignored.
         """
         import math
 
         if format == "delta":
+            if partition_by:
+                raise ValueError(
+                    "compact(format='delta') takes the partition layout "
+                    "from the table's metaData; partition_by is not "
+                    "applicable"
+                )
             from pg_analytics_spark.sources.delta_write import compact_delta
 
             return compact_delta(self.spark, path, target_file_mb)

@@ -242,7 +242,8 @@ def compact_delta(
     ~target_file_mb, commit as one overwrite (remove actions for every
     old file + adds for the compacted ones).  Readers see the old or
     the new file set atomically; history stays time-travelable.
-    Returns {files_before, files_after, version}."""
+    Returns {files_before, files_after, bytes, version} — Engine.
+    compact's parquet shape plus the commit version."""
     import math
 
     from pg_analytics_spark.sources import load_source
@@ -265,6 +266,7 @@ def compact_delta(
     return {
         "files_before": n_before,
         "files_after": res["files"],
+        "bytes": total,
         "version": res["version"],
     }
 

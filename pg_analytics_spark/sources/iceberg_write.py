@@ -263,6 +263,8 @@ def write_iceberg(
 
     if mode not in ("overwrite", "append"):
         raise UnsupportedFormat(f"iceberg write mode {mode!r}")
+    # None = inherit the table's spec; [] = explicitly unpartitioned
+    explicit_parts = partition_by is not None
     part_cols = (
         [partition_by] if isinstance(partition_by, str)
         else list(partition_by or [])
@@ -285,8 +287,11 @@ def write_iceberg(
             s for s in prev_schemas if s.get("schema-id") == schema_id
         )
         fields = cur_schema["fields"]
-        have = {f["name"] for f in fields}
-        want = {f.name for f in df.schema.fields}
+        # compare (name, type) SHAPE — a same-name type change is a
+        # schema change too (names-only comparison would write string
+        # data under a long-typed metadata entry: silent corruption)
+        have = {(f["name"], f["type"]) for f in fields}
+        want = {(f.name, _ice_type(f)) for f in df.schema.fields}
         if have != want:
             if mode == "append":
                 raise UnsupportedFormat(
@@ -296,20 +301,24 @@ def write_iceberg(
                     "evolve the schema)"
                 )
             # overwrite is a logical replace: evolve per the spec's
-            # rule — reuse the field id for same-named columns, fresh
-            # ids (past last-column-id) for new ones, new schema-id.
-            # NOTE the fallback reader conforms ALL snapshots to the
-            # CURRENT schema, so time travel across an overwrite that
-            # changed the shape reads old files through the new schema
+            # rule — reuse the field id ONLY for a same-name column of
+            # the SAME type (a type change is drop+add: new id, since
+            # id-based readers would otherwise bind old data/bounds to
+            # the new type); fresh ids come from last-column-id, which
+            # stays MONOTONIC across drops so dropped ids are never
+            # reused.  NOTE the fallback reader conforms ALL snapshots
+            # to the CURRENT schema, so time travel across a shape-
+            # changing overwrite reads old files through the new schema
             # (adds surface as NULLs) — documented reader limitation.
-            prev_ids = {f["name"]: f["id"] for f in fields}
+            prev_ids = {(f["name"], f["type"]): f["id"] for f in fields}
             next_id = prev_meta.get(
                 "last-column-id", max(f["id"] for f in fields)
             )
             new_fields = []
             for f in df.schema.fields:
-                if f.name in prev_ids:
-                    fid_ = prev_ids[f.name]
+                key = (f.name, _ice_type(f))
+                if key in prev_ids:
+                    fid_ = prev_ids[key]
                 else:
                     next_id += 1
                     fid_ = next_id
@@ -336,16 +345,30 @@ def write_iceberg(
             ),
             {"fields": []},
         )
-        prev_part_cols = [
-            next(f["name"] for f in fields if f["id"] == pf["source-id"])
-            for pf in prev_spec.get("fields", [])
-        ]
-        if mode == "append" and part_cols and part_cols != prev_part_cols:
+        id_to_name = {f["id"]: f["name"] for f in fields}
+        prev_part_cols = []
+        missing_sources = []
+        for pf in prev_spec.get("fields", []):
+            name = id_to_name.get(pf["source-id"])
+            if name is None:
+                missing_sources.append(pf.get("name", pf["source-id"]))
+            else:
+                prev_part_cols.append(name)
+        if mode == "append" and explicit_parts and part_cols != prev_part_cols:
             raise UnsupportedFormat(
                 f"iceberg append partition mismatch: table spec is "
                 f"{prev_part_cols}, requested {part_cols}"
             )
-        if not part_cols:
+        if not explicit_parts:
+            if missing_sources:
+                # the overwrite evolved away (or retyped) a partition
+                # source column; inheriting the spec is impossible —
+                # demand an explicit choice instead of dying obscurely
+                raise UnsupportedFormat(
+                    f"overwrite drops/retypes partition source column(s) "
+                    f"{missing_sources}; pass partition_by explicitly "
+                    "(e.g. partition_by=[] for an unpartitioned rewrite)"
+                )
             part_cols = prev_part_cols
     for i, c in enumerate(part_cols):
         t = ftype.get(c)
@@ -363,6 +386,31 @@ def write_iceberg(
                 "_ice_type": t,
             }
         )
+
+    # ---- partition-spec identity: specs are IMMUTABLE per the spec —
+    # changing the partitioning mints a new spec-id so old snapshots'
+    # manifests keep decoding against the spec they were written with
+    spec_fields_public = [
+        {k: v for k, v in pf.items() if not k.startswith("_")}
+        for pf in part_fields
+    ]
+    prev_specs = list((prev_meta or {}).get("partition-specs", []))
+    spec_id = None
+    for s in prev_specs:
+        if s.get("fields", []) == spec_fields_public:
+            spec_id = s["spec-id"]
+            break
+    if spec_id is None:
+        spec_id = (
+            max((s.get("spec-id", 0) for s in prev_specs), default=-1) + 1
+        )
+        partition_specs = prev_specs + [
+            {"spec-id": spec_id, "fields": spec_fields_public}
+        ]
+    else:
+        partition_specs = prev_specs or [
+            {"spec-id": spec_id, "fields": spec_fields_public}
+        ]
 
     # ---- data files (distributed write, then move under data/)
     staging = os.path.join(
@@ -434,7 +482,7 @@ def write_iceberg(
         {
             "manifest_path": manifest,
             "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 0,
             "sequence_number": seq,
             "added_snapshot_id": snapshot_id,
@@ -469,23 +517,21 @@ def write_iceberg(
         "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
         "location": path,
         "last-sequence-number": seq,
-        "last-column-id": max(f["id"] for f in fields),
+        # MONOTONIC across drops: a dropped column's id must never be
+        # reused by a later add (id-based readers would bind the old
+        # column's data/bounds to the new one)
+        "last-column-id": max(
+            (prev_meta or {}).get("last-column-id", 0),
+            max(f["id"] for f in fields),
+        ),
         "current-snapshot-id": snapshot_id,
         "current-schema-id": schema_id,
         "schemas": (
             [s for s in prev_schemas if s.get("schema-id") != schema_id]
             + [{"schema-id": schema_id, "fields": fields}]
         ),
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {k: v for k, v in pf.items() if not k.startswith("_")}
-                    for pf in part_fields
-                ],
-            }
-        ],
-        "default-spec-id": 0,
+        "partition-specs": partition_specs,
+        "default-spec-id": spec_id,
         "snapshots": snapshots,
         "snapshot-log": log,
     }

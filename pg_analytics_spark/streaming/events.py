@@ -38,6 +38,10 @@ from pyspark.sql.types import (
     StringType,
 )
 
+#: whether a NANOS event stream has been opened through this module —
+#: the only case where a live stream depends on the nanosAsLong conf
+_NANOS_STREAM_OPENED = False
+
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -85,6 +89,8 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         # consulted at every micro-batch's parquet scan, same as the
         # batch path (sources/parquet.py::load).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        global _NANOS_STREAM_OPENED
+        _NANOS_STREAM_OPENED = True
         ns_schema = StructType(
             [
                 f if f.name != "ts" else StructField("ts", LongType())
@@ -102,11 +108,12 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     # Non-nanos path: clear any nanosAsLong left behind by an earlier
     # nanos read in this session so it cannot leak into later plain
     # reads (a leaked `true` makes a future nanos file surface silently
-    # as long instead of raising for the caller to handle) — but ONLY
-    # when no streaming query is active: a still-running nanos stream
-    # needs the conf at every micro-batch, and unsetting it mid-flight
-    # would break that stream's next scan.
-    if not spark.streams.active:
+    # as long instead of raising for the caller to handle).  Skip the
+    # cleanup ONLY when a nanos stream was opened through this module
+    # AND some stream is still running — unsetting mid-flight would
+    # break that stream's next micro-batch scan; an unrelated active
+    # stream (which never needed the conf) must not preserve the leak.
+    if not (_NANOS_STREAM_OPENED and spark.streams.active):
         try:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         except Exception:

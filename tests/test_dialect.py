@@ -394,3 +394,28 @@ def test_columns_macro_expansion(spark):
             "SELECT COLUMNS('.*') FROM t JOIN u ON t.id = u.id",
             lambda t: cols,
         )
+
+
+def test_columns_macro_distinct_and_union(spark):
+    from pg_analytics_spark.dialect import expand_columns_macro
+
+    cols = ["id", "n_key", "n_val"]
+    out = expand_columns_macro(
+        "SELECT DISTINCT COLUMNS('n_.*') FROM t", lambda t: cols
+    )
+    assert out.count("DISTINCT") == 1  # modifier not replicated
+    spark.sql(
+        "SELECT 1 AS id, 2 AS n_key, 3 AS n_val"
+    ).createOrReplaceTempView("cm_t")
+    got = spark.sql(
+        expand_columns_macro(
+            "SELECT DISTINCT COLUMNS('n_.*') FROM cm_t", lambda t: cols
+        )
+    ).collect()
+    assert got == [type(got[0])(n_key=2, n_val=3)]
+    # a UNION branch over one table is fine (set op ends the scope)
+    out = expand_columns_macro(
+        "SELECT COLUMNS('n_key') FROM t UNION ALL SELECT n_key FROM t",
+        lambda t: cols,
+    )
+    assert "`n_key` AS `n_key`" in out and "UNION ALL" in out

@@ -457,3 +457,35 @@ def test_ctas_delta_iceberg_sql_text(engine, tmp_path):
     assert os.path.isdir(os.path.join(iloc, "metadata"))
     assert engine.sql("SELECT COUNT(*) AS n FROM ctas_i").collect()[0]["n"] == 9
     engine.detach("ctas_i")
+
+
+def test_ctas_lake_create_vs_replace(engine, tmp_path):
+    """Plain CREATE TABLE on an existing lakehouse target fails loudly;
+    CREATE OR REPLACE performs the logical overwrite."""
+    loc = str(tmp_path / "ctas_sem")
+    engine.sql(
+        f"CREATE TABLE ctas_sem USING delta LOCATION '{loc}' AS "
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < 5"
+    )
+    with pytest.raises(EngineError, match="already holds"):
+        engine.sql(
+            f"CREATE TABLE ctas_sem USING delta LOCATION '{loc}' AS "
+            "SELECT n_nationkey FROM nation"
+        )
+    engine.sql(
+        f"CREATE OR REPLACE TABLE ctas_sem USING delta LOCATION '{loc}' AS "
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < 3"
+    )
+    assert engine.sql("SELECT COUNT(*) AS n FROM ctas_sem").collect()[0]["n"] == 3
+    engine.detach("ctas_sem")
+
+
+def test_compact_delta_shape_and_partition_by_rejected(engine, tmp_path):
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dshape")
+    write_delta(engine.spark.range(20).selectExpr("id"), root)
+    res = engine.compact(root, format="delta")
+    assert {"files_before", "files_after", "bytes", "version"} <= set(res)
+    with pytest.raises(ValueError, match="partition_by"):
+        engine.compact(root, format="delta", partition_by="id")

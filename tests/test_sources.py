@@ -2146,3 +2146,88 @@ def test_kml_writer_escapes_and_inner_only_rejected(spark, tmp_path):
     )
     with pytest.raises(UnsupportedFormat, match="no outer shell"):
         load_source(spark, str(bad), "spatial").collect()
+
+
+def test_iceberg_overwrite_type_change_is_drop_add(spark, tmp_path):
+    """A same-name TYPE change on overwrite is a schema change: the
+    column gets a FRESH field id (drop+add), dropped ids are never
+    reused (last-column-id stays monotonic), and the table reads back
+    with the new type."""
+    import os as _os
+
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "iwt")
+    write_iceberg(spark.range(3).selectExpr("id", "id * 2 AS v"), root)
+    # v: long -> string
+    write_iceberg(
+        spark.range(2).selectExpr("id", "CAST('x' AS STRING) AS v"),
+        root, mode="overwrite",
+    )
+    back = load_source(spark, root, "iceberg")
+    assert dict(back.dtypes)["v"] == "string"
+    assert back.count() == 2
+    _v, meta = _latest_metadata(_os.path.join(root, "metadata"))
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["id"] == 1
+    assert by_name["v"] == 3  # fresh id, not the dropped long-v's 2
+    # drop v entirely, then add w: w must NOT reuse id 2 or 3
+    write_iceberg(spark.range(2).selectExpr("id"), root, mode="overwrite")
+    write_iceberg(
+        spark.range(2).selectExpr("id", "id AS w"), root, mode="overwrite"
+    )
+    _v, meta = _latest_metadata(_os.path.join(root, "metadata"))
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert ids["w"] >= 4
+
+
+def test_iceberg_partition_spec_evolution_mints_new_spec(spark, tmp_path):
+    """Changing the partitioning on overwrite mints a NEW spec-id
+    (specs are immutable); dropping the partition source column without
+    an explicit partition_by is rejected with a clear error."""
+    import os as _os
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "iws")
+    df = spark.range(20).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    write_iceberg(df, root, partition_by="p")
+    # repartition by nothing, explicitly
+    write_iceberg(df, root, mode="overwrite", partition_by=[])
+    _v, meta = _latest_metadata(_os.path.join(root, "metadata"))
+    assert len(meta["partition-specs"]) == 2  # old spec retained
+    cur_spec = next(
+        s for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
+    assert cur_spec["fields"] == []
+    assert load_source(spark, root, "iceberg").count() == 20
+
+    # dropping the partition source column without explicit partition_by
+    root2 = str(tmp_path / "iws2")
+    write_iceberg(df, root2, partition_by="p")
+    with pytest.raises(UnsupportedFormat, match="partition source"):
+        write_iceberg(
+            spark.range(5).selectExpr("id"), root2, mode="overwrite"
+        )
+    # the explicit choice works
+    write_iceberg(
+        spark.range(5).selectExpr("id"), root2, mode="overwrite",
+        partition_by=[],
+    )
+    assert load_source(spark, root2, "iceberg").count() == 5
