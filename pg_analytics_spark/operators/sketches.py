@@ -1,0 +1,346 @@
+"""Mergeable sketch operators: Count-Min, HyperLogLog, fixed-bin
+histograms.
+
+Why these three: at 100 TB the questions "how often does this token
+appear", "how many distinct keys are there", and "what is p99" are all
+answered with ONE map-side-combinable aggregation if the per-partition
+state is a *mergeable sketch* — counters, register maxima, and bin
+counts respectively.  Each operator here materializes the sketch as a
+small RELATION (not an opaque blob), so sketches built on different
+shards/days union + re-aggregate into the global sketch — the
+hierarchical-rollup shape the reference's analytics users expect
+(reference analog: DuckDB's approx_count_distinct / approx_quantile
+surfaced through pg_analytics' delegated SQL,
+/root/reference/src/hooks/executor.rs:71 — but those are NOT
+cross-engine reproducible, while everything here is).
+
+Cross-engine exactness: all three sketches are ORDER-INDEPENDENT pure
+integer (or dyadic-rational) aggregations over the shared md5-derived
+hash family (functions/hashing.py), so the DuckDB oracle replicates
+them bit-for-bit — the same property that makes the Bloom and MinHash
+pipelines oracle-checkable (operators/dedup.py).
+
+Scale notes (100 TB):
+* cms_build — explode(depth slots) feeds a partial hash-agg that
+  collapses to ≤ depth·width rows per task BEFORE the one shuffle;
+  the sketch itself is tiny (depth·width counters) and broadcastable.
+* hll_build — partial max per (bucket) collapses to ≤ 2^p rows per
+  task; one shuffle of ≤ 2^p rows per partition.
+* hist_build — partial count per bin; ≤ n_bins rows shuffle.
+All three probe/estimate steps broadcast the sketch, never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.functions.hashing import MINHASH_COEFFS, MINHASH_P
+
+# --------------------------------------------------------------------- #
+# Count-Min sketch
+# --------------------------------------------------------------------- #
+
+
+def _cms_col_sql(h: str, i: int, width: int) -> str:
+    """SQL for hash-row i's column of a 32-bit item hash expression
+    `h`: affine map over the shared md5-derived family reduced mod
+    width.  All intermediates < 2^62 — exact BIGINT in Spark and
+    DuckDB (which errors on overflow rather than wrapping)."""
+    a, b = MINHASH_COEFFS[i]
+    return f"((({a} * {h} + {b}) % {MINHASH_P}) % {width})"
+
+
+def cms_slots_sql(h: str, depth: int, width: int) -> str:
+    """SQL array<struct<r:int,c:bigint>> of an item's depth counter
+    slots; shared verbatim between the Spark build and the DuckDB
+    oracle (which uses the same affine coefficients)."""
+    entries = ", ".join(
+        f"struct({i} AS r, CAST({_cms_col_sql(h, i, width)} AS BIGINT) AS c)"
+        for i in range(depth)
+    )
+    return f"array({entries})"
+
+
+def cms_build(
+    items: DataFrame,
+    hash_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed Count-Min sketch build over an item-hash column.
+
+    `hash_col` must hold 32-bit non-negative item hashes as BIGINT
+    (first 32 bits of md5 — `functions.hashing.shingle_hash32`).
+    Returns the sketch as a relation (r:int, c:bigint, cnt:bigint)
+    with at most depth·width rows; absent (r, c) pairs are
+    implicitly-zero counters.
+
+    Scale (100 TB): the ONLY shuffle is the final hash-agg on (r, c),
+    and partial aggregation collapses each task's contribution to
+    ≤ depth·width rows first — the sketch never grows with the data.
+    Two sketches built on disjoint shards merge by summing counters
+    (union + re-agg), the property `tests/test_sketches.py` pins.
+    """
+    if depth > len(MINHASH_COEFFS):
+        raise ValueError(f"depth > {len(MINHASH_COEFFS)} not supported")
+    w = f"CAST({weight_col} AS BIGINT)" if weight_col else "CAST(1 AS BIGINT)"
+    slots = cms_slots_sql(hash_col, depth, width)
+    return (
+        items.selectExpr(f"explode({slots}) AS slot", f"{w} AS w")
+        .groupBy(F.col("slot.r").alias("r"), F.col("slot.c").alias("c"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    hash_col: str,
+    *,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for `queries` (any relation with the
+    same 32-bit `hash_col`): est = min over the depth rows of the
+    item's counters.  One-sided error: est >= true count always;
+    overestimates by at most ~2n/width with prob 1 - 2^-depth.
+
+    Plan: explode the query's depth slots, LEFT join the (tiny,
+    broadcast) sketch, min per query row — the corpus is never
+    rescanned.  Output keeps every query column + `cms_est`.
+    """
+    slots = cms_slots_sql(hash_col, depth, width)
+    qcols = queries.columns
+    exploded = queries.selectExpr("*", f"explode({slots}) AS slot").select(
+        *qcols, F.col("slot.r").alias("r"), F.col("slot.c").alias("c")
+    )
+    joined = exploded.join(F.broadcast(sketch), ["r", "c"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))
+    )
+    return joined.groupBy(*qcols).agg(F.min("cnt").alias("cms_est"))
+
+
+# --------------------------------------------------------------------- #
+# HyperLogLog registers
+# --------------------------------------------------------------------- #
+
+
+def hll_rho_sql(rem: str, rem_bits: int) -> str:
+    """SQL for the HLL register value rho = position of the first set
+    bit of `rem` counted from the MSB of its rem_bits window (+1), i.e.
+    leading-zero-count + 1.  Uses length(bin(x)) = floor(log2 x)+1 —
+    pure integer, identical in Spark and DuckDB (both have bin()).
+    rem = 0 → all rem_bits are zero → rho = rem_bits + 1."""
+    return (
+        f"CAST(IF({rem} = 0, {rem_bits + 1}, "
+        f"{rem_bits} + 1 - length(bin({rem}))) AS INT)"
+    )
+
+
+def hll_build(items: DataFrame, hash_col: str, *, precision: int = 8) -> DataFrame:
+    """Distributed HyperLogLog register build: bucket = top `precision`
+    bits of the 32-bit item hash, register = max over the bucket's
+    items of (leading zeros of the remaining bits + 1).
+
+    Returns (bucket:bigint, rho:int) with at most 2^precision rows;
+    absent buckets are implicitly rho = 0.  MAX is idempotent and
+    order-independent → the sketch is mergeable (union + re-max) and
+    bit-identical cross-engine.  Scale: partial max collapses each
+    task to ≤ 2^p rows before the one shuffle.
+    """
+    if not 4 <= precision <= 16:
+        raise ValueError("precision must be in [4, 16]")
+    rem_bits = 32 - precision
+    bucket = f"({hash_col} div {1 << rem_bits})"
+    rem = f"({hash_col} % {1 << rem_bits})"
+    return (
+        items.selectExpr(
+            f"CAST({bucket} AS BIGINT) AS bucket",
+            f"{hll_rho_sql(rem, rem_bits)} AS rho",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_alpha_m2(precision: int) -> float:
+    """alpha_m · m² for the raw HLL estimate — computed ONCE in Python
+    and injected as the same literal into the Spark plan and the DuckDB
+    oracle, so the estimate's single float division is the only
+    rounding step and both engines agree bit-for-bit."""
+    m = 1 << precision
+    if precision == 4:
+        alpha = 0.673
+    elif precision == 5:
+        alpha = 0.697
+    elif precision == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m
+
+
+def hll_estimate(
+    registers: DataFrame, *, precision: int = 8, small_range_lc: bool = False
+) -> DataFrame:
+    """Raw HLL cardinality estimate from a register relation.
+
+    est = alpha_m·m² / Z where Z = Σ_buckets 2^-rho (absent buckets
+    contribute 2^0 = 1).  2^-rho is built as 1/CAST(1<<rho AS DOUBLE):
+    an exact dyadic rational, so Z's sum is EXACT (≤ 33 mantissa bits
+    at p=8) and order-independent — the one inexact operation is the
+    final division, identical in both engines.
+
+    The raw estimator is accurate in the n >> 2.5m regime; callers in
+    the oracle-gated registry stay there.  ``small_range_lc=True``
+    adds the standard linear-counting column ``lc_est`` = m·ln(m/V)
+    (V = empty buckets) — the right estimate when most buckets are
+    empty, but ln() is transcendental and thus OUTSIDE the bit-exact
+    cross-engine contract (tests assert its accuracy, oracles don't
+    hash it).
+
+    Output: one row (m, nonzero_buckets, z_round, hll_est[, lc_est]).
+    """
+    m = 1 << precision
+    am2 = hll_alpha_m2(precision)
+    agg = registers.agg(
+        F.count("*").alias("nonzero_buckets"),
+        F.sum(
+            F.expr("1.0D / CAST(SHIFTLEFT(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_present"),
+    )
+    est = agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        F.col("nonzero_buckets").cast("bigint").alias("nonzero_buckets"),
+        (F.col("z_present") + (F.lit(m) - F.col("nonzero_buckets")).cast("double")).alias(
+            "z"
+        ),
+    ).select(
+        "m",
+        "nonzero_buckets",
+        F.round("z", 6).alias("z_round"),
+        F.round(F.lit(am2) / F.col("z"), 4).alias("hll_est"),
+    )
+    if small_range_lc:
+        est = est.withColumn(
+            "lc_est",
+            F.when(
+                F.col("nonzero_buckets") < m,
+                F.round(
+                    F.lit(float(m))
+                    * F.log(
+                        F.lit(float(m))
+                        / (F.lit(m) - F.col("nonzero_buckets")).cast("double")
+                    ),
+                    4,
+                ),
+            ),
+        )
+    return est
+
+
+# --------------------------------------------------------------------- #
+# Fixed-bin histogram → quantile estimation
+# --------------------------------------------------------------------- #
+
+
+def hist_build(
+    df: DataFrame,
+    int_col: str,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Equi-width histogram over an INTEGER-valued expression (scale
+    decimals to cents first — integer binning is exact cross-engine,
+    float binning is not).  [lo, hi] inclusive; values outside clamp to
+    the edge bins.  Returns (bin:int, cnt:bigint), absent bins
+    implicitly zero.
+
+    bin = clamp((x - lo) * n_bins div (hi - lo + 1)) — pure BIGINT
+    arithmetic ((hi-lo+1)·n_bins must stay < 2^63; callers keep cents
+    ranges ≪ 2^40 so this holds by orders of magnitude).
+
+    Scale: the mergeable-histogram shape — partial per-bin counts
+    collapse each task to ≤ n_bins rows before the single shuffle, and
+    per-shard histograms union+sum into the global one.  This is how
+    p99 gets computed over 100 TB in one pass.
+    """
+    span = hi - lo + 1
+    bin_expr = (
+        f"CAST(GREATEST(0, LEAST({n_bins - 1}, "
+        f"(CAST({int_col} AS BIGINT) - {lo}) * {n_bins} div {span})) AS INT)"
+    )
+    return (
+        df.selectExpr(f"{bin_expr} AS bin")
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantile_est_sql(*, lo: int, hi: int, n_bins: int) -> str:
+    """SQL estimating a quantile by linear interpolation inside its bin
+    — over columns (q:double, bin, cnt, total, cum_before).  Shared
+    VERBATIM between the Spark plan and the DuckDB oracle so the float
+    steps agree bit-for-bit: rank = q·total (one multiply), frac =
+    (rank − cum_before)/cnt (one subtract + divide), est = bin_lo +
+    frac·bin_width (one multiply + add).  Every input is
+    integer-exact; every op is a single correctly-rounded IEEE double
+    operation in a FIXED association, so both engines produce the same
+    bits.  Bin width floors to an integer in PYTHON (callers pick
+    span % n_bins == 0 layouts when exact edges matter), keeping the
+    fragment dialect-neutral — no div/// operator divergence."""
+    span = hi - lo + 1
+    bw = span // n_bins
+    rank = "(q * CAST(total AS DOUBLE))"
+    bin_lo = f"CAST({lo} + bin * {bw} AS DOUBLE)"
+    bin_w = f"CAST({bw} AS DOUBLE)"
+    frac = f"(({rank} - CAST(cum_before AS DOUBLE)) / CAST(cnt AS DOUBLE))"
+    return f"({bin_lo} + {frac} * {bin_w})"
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a histogram relation (bin, cnt):
+    for each q, the estimate interpolates inside the first bin whose
+    cumulative count reaches rank = q·total.
+
+    Output (q:double, est:double), ordered by q.  The histogram is
+    tiny (≤ n_bins rows) so the cumulative window and the quantile
+    cross join are driver-scale work; the ONLY big-data pass was
+    hist_build's single shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    est = hist_quantile_est_sql(lo=lo, hi=hi, n_bins=n_bins)
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(
+            (F.expr("q * CAST(total AS DOUBLE)") <= F.col("cum").cast("double"))
+            & (
+                F.expr("q * CAST(total AS DOUBLE)")
+                > F.col("cum_before").cast("double")
+            )
+        )
+        .selectExpr("q", f"round({est}, 6) AS est")
+        .orderBy("q")
+    )

@@ -22,6 +22,7 @@ from pg_analytics_spark.workload import tpch  # noqa: E402,F401
 from pg_analytics_spark.workload import llm  # noqa: E402,F401
 from pg_analytics_spark.workload import temporal  # noqa: E402,F401
 from pg_analytics_spark.workload import stream  # noqa: E402,F401
+from pg_analytics_spark.workload import sketch  # noqa: E402,F401
 from pg_analytics_spark.workload.core_sql import q1_pricing_summary  # noqa: F401
 
 

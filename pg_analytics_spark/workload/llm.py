@@ -2173,3 +2173,70 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _register_sim_ann_pq():
+    """PQ-ADC top-10 under the value-exact gate, seeded codebooks
+    (the trained-codebook recall story lives in tests/test_pq.py +
+    SCALE.md, same split as embed_kmeans_iter vs train_ivf_centroids).
+    """
+    from pg_analytics_spark.operators.similarity import pq_seed_codebooks
+
+    books = pq_seed_codebooks(64, m_subs=4, n_codes=8, seed=11)
+    m_subs, n_codes, sub_dim = books.shape
+
+    def _sub(col: str, m: int) -> str:  # DuckDB 1-based inclusive slice
+        return f"{col}[{m * sub_dim + 1}:{(m + 1) * sub_dim}]"
+
+    def _dists(col: str, m: int) -> str:
+        ds = ", ".join(
+            "list_sum([(x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]) "
+            f"for x in list_zip({_sub(col, m)}, {_plane_sql(c)})])"
+            for c in books[m]
+        )
+        return f"[{ds}]"
+
+    terms = []
+    for m in range(m_subs):
+        lut = ", ".join(
+            "list_sum([x[1]::DOUBLE * x[2] for x in "
+            f"list_zip({_sub('q.qe', m)}, {_plane_sql(c)})])"
+            for c in books[m]
+        )
+        code = (
+            f"list_position({_dists('e.embedding', m)}, "
+            f"list_min({_dists('e.embedding', m)}))"
+        )
+        terms.append(f"([{lut}])[{code}]")
+    adc = "(" + " + ".join(f"({t})" for t in terms) + ")"
+    oracle = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({adc}, 6) AS adc
+    FROM embeddings e, q
+    ORDER BY adc DESC, vec_id
+    LIMIT 10
+    """
+
+    @register(
+        "sim_ann_pq_topk",
+        oracle=oracle,
+        doc="Product-quantization ADC top-10: each vector is 4 argmin-L2 "
+        "codes (1 byte each vs 256 fp32 bytes — the ~32x compression "
+        "that makes a 100 TB ANN first pass memory-bandwidth-feasible); "
+        "approx dot(q, x) = sum of 4 query-side LUT lookups.  Codes, "
+        "LUTs and the 4-term sum are fixed-order folds over the same "
+        "seeded codebook literals in both engines, so even the "
+        "approximation error is bit-identical.  At scale: store (id, "
+        "codes) beside the fp corpus, ADC-scan the codes, exactly "
+        "re-rank the top candidates (tests/test_pq.py measures recall; "
+        "trained codebooks via operators/similarity.train_pq_codebooks).",
+    )
+    def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.similarity import pq_adc_topk
+
+        emb = table(spark, sf_dir, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return pq_adc_topk(emb, "embedding", "vec_id", qvec, books, k=10)
+
+
+_register_sim_ann_pq()

@@ -1,0 +1,246 @@
+"""Sketch-based approximate analytics queries (operators/sketches.py)
+under the value-exact oracle gate.
+
+Each sketch is an order-independent integer (or exact-dyadic)
+aggregation over the shared md5 hash family, so the DuckDB oracle
+replicates the ENTIRE approximate pipeline bit-for-bit — estimates
+included — the same property the Bloom/MinHash oracles rely on.
+Reference analog: the delegated approx aggregates
+(/root/reference/src/hooks/executor.rs:71 routes approx_count_distinct
+etc. to DuckDB); these sketches are the mergeable, shard-unionable
+versions a 100 TB rollup tree needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.functions import text as X
+from pg_analytics_spark.functions.hashing import (
+    MINHASH_COEFFS,
+    MINHASH_P,
+    shingle_hash32,
+)
+from pg_analytics_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    hist_build,
+    hist_quantile_est_sql,
+    hist_quantiles,
+    hll_alpha_m2,
+    hll_build,
+    hll_estimate,
+)
+from pg_analytics_spark.workload.base import register, table
+from pg_analytics_spark.workload.llm import _TOKS
+
+_H32 = "(('0x' || substr(md5(tok), 1, 8))::BIGINT)"
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def _cms_col_duck(i: int, w: int) -> str:
+    a, b = MINHASH_COEFFS[i]
+    return f"((({a} * h32 + {b}) % {MINHASH_P}) % {w})"
+
+
+def _cms_oracle() -> str:
+    pairs = "\n      UNION ALL ".join(
+        f"SELECT {i} AS r, {_cms_col_duck(i, _CMS_WIDTH)} AS c FROM h"
+        for i in range(_CMS_DEPTH)
+    )
+    qcase = " ".join(
+        f"WHEN {i} THEN {_cms_col_duck(i, _CMS_WIDTH)}" for i in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT {_H32} AS h32 FROM tok),
+    pairs AS (
+      {pairs}
+    ),
+    cms AS (SELECT r, c, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY r, c),
+    exact AS (
+      SELECT tok, COUNT(*)::BIGINT AS exact_cnt, {_H32} AS h32
+      FROM tok GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 40
+    ),
+    qslots AS (
+      SELECT tok, exact_cnt, d.r, CASE d.r {qcase} END AS c
+      FROM exact, (VALUES (0), (1), (2), (3)) d(r)
+    )
+    SELECT q.tok, q.exact_cnt, MIN(s.cnt) AS cms_est
+    FROM qslots q JOIN cms s ON q.r = s.r AND q.c = s.c
+    GROUP BY q.tok, q.exact_cnt
+    ORDER BY exact_cnt DESC, tok
+    """
+
+
+@register(
+    "sketch_count_min_words",
+    oracle=_cms_oracle(),
+    doc="Count-Min sketch word frequencies: one depth×width counter "
+    "matrix built in a single map-side-combinable shuffle, then "
+    "point estimates (min over depth counters) for the top-40 exact "
+    "tokens — est >= exact always (one-sided error), equality when no "
+    "collision.  The DuckDB oracle rebuilds the identical sketch from "
+    "the shared md5-affine family, so even the COLLISIONS match "
+    "bit-for-bit.  Scale: the sketch is ~2k counters regardless of "
+    "corpus size; shard sketches merge by counter addition "
+    "(tests/test_sketches.py pins mergeability).",
+)
+def sketch_count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(F.lower("text"))).alias("tok"))
+    hashed = tok.select(shingle_hash32(F.col("tok")).alias("h32"))
+    sketch = cms_build(hashed, "h32", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(40)
+        .withColumn("h32", shingle_hash32(F.col("tok")))
+    )
+    est = cms_estimate(sketch, exact, "h32", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return est.select("tok", "exact_cnt", "cms_est").orderBy(
+        F.desc("exact_cnt"), "tok"
+    )
+
+
+_HLL_P = 8
+
+
+def _hll_oracle() -> str:
+    m = 1 << _HLL_P
+    rem_bits = 32 - _HLL_P
+    am2 = hll_alpha_m2(_HLL_P)
+    return f"""
+    WITH keys AS (SELECT l_orderkey::VARCHAR AS tok FROM lineitem),
+    h AS (SELECT {_H32} AS h32 FROM keys),
+    slots AS (
+      SELECT h32 // {1 << rem_bits} AS bucket,
+             CASE WHEN h32 % {1 << rem_bits} = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits} + 1 - length(bin(h32 % {1 << rem_bits}))
+             END AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS rho FROM slots GROUP BY bucket),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS nonzero_buckets,
+             SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS z_present
+      FROM regs
+    ),
+    est AS (
+      SELECT {m}::BIGINT AS m, nonzero_buckets,
+             (z_present + CAST({m} - nonzero_buckets AS DOUBLE)) AS z
+      FROM agg
+    )
+    SELECT m, nonzero_buckets, ROUND(z, 6) AS z_round,
+           ROUND(CAST('{am2!r}' AS DOUBLE) / z, 4) AS hll_est,
+           (SELECT COUNT(DISTINCT tok)::BIGINT FROM keys) AS exact_distinct
+    FROM est
+    """
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=_hll_oracle(),
+    doc="HyperLogLog distinct-orderkey estimate from a 256-register "
+    "sketch: bucket = top-8 hash bits, register = max leading-zero "
+    "run (+1) of the rest.  MAX is idempotent/order-independent and "
+    "2^-rho sums are exact dyadic rationals, so the raw estimator's "
+    "single float division is reproduced bit-for-bit by the oracle — "
+    "an oracle-checkable approximate distinct count (the raw "
+    "estimator's valid n >> 2.5m regime; small-range linear counting "
+    "is the small_range_lc option, tested outside the bit-exact "
+    "gate).  Scale: the mergeable-distinct shape (union + re-max "
+    "across shards/days); exact COUNT(DISTINCT) beside it shows the "
+    "error (~2-6% at p=8).",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_orderkey AS STRING) AS tok"
+    )
+    hashed = li.select(shingle_hash32(F.col("tok")).alias("h32"))
+    regs = hll_build(hashed, "h32", precision=_HLL_P)
+    est = hll_estimate(regs, precision=_HLL_P)
+    exact = li.agg(F.count_distinct("tok").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+# histogram layout for l_extendedprice in CENTS: [0, 11_059_200) in 32
+# equal 345_600-cent bins — span chosen divisible by n_bins so the bin
+# edges are exact integers.
+_H_LO, _H_HI, _H_BINS = 0, 11_059_199, 32
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+
+
+def _hist_oracle_core() -> str:
+    span = _H_HI - _H_LO + 1
+    return f"""
+    raw AS (SELECT {_CENTS} AS cents FROM lineitem),
+    hist AS (
+      SELECT CAST(GREATEST(0, LEAST({_H_BINS - 1},
+               (cents - {_H_LO}) * {_H_BINS} // {span})) AS INT) AS bin,
+             COUNT(*)::BIGINT AS cnt
+      FROM raw GROUP BY 1
+    )"""
+
+
+@register(
+    "stats_hist_extendedprice",
+    oracle=f"""
+    WITH {_hist_oracle_core()}
+    SELECT bin, ({_H_LO} + bin * {(_H_HI - _H_LO + 1) // _H_BINS})::BIGINT AS bin_lo,
+           cnt
+    FROM hist ORDER BY bin
+    """,
+    doc="Mergeable equi-width histogram of l_extendedprice (cents): "
+    "pure-BIGINT binning (decimal-staged cents, no float edges), one "
+    "map-side-combinable shuffle of <= 32 rows per task.  The shape "
+    "that computes distributions over 100 TB in one pass — per-shard "
+    "histograms union+sum into the global one.",
+)
+def stats_hist_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").selectExpr(f"{_CENTS} AS cents")
+    h = hist_build(li, "cents", lo=_H_LO, hi=_H_HI, n_bins=_H_BINS)
+    bw = (_H_HI - _H_LO + 1) // _H_BINS
+    return h.selectExpr(
+        "bin", f"CAST({_H_LO} + bin * {bw} AS BIGINT) AS bin_lo", "cnt"
+    ).orderBy("bin")
+
+
+@register(
+    "stats_quantile_hist",
+    oracle=f"""
+    WITH {_hist_oracle_core()},
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before,
+             SUM(cnt) OVER () AS total
+      FROM hist
+    )
+    SELECT q, ROUND({hist_quantile_est_sql(lo=_H_LO, hi=_H_HI, n_bins=_H_BINS)}, 6) AS est
+    FROM cum,
+         (VALUES (CAST('0.5' AS DOUBLE)), (CAST('0.9' AS DOUBLE)),
+                 (CAST('0.99' AS DOUBLE))) qs(q)
+    WHERE q * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+      AND q * CAST(total AS DOUBLE) > CAST(cum_before AS DOUBLE)
+    ORDER BY q
+    """,
+    doc="Histogram-interpolated quantiles (p50/p90/p99 of extended "
+    "price in cents): rank located in the cumulative bin counts, "
+    "linear interpolation inside the bin — the fixed float-op "
+    "sequence is shared VERBATIM with the oracle "
+    "(operators/sketches.hist_quantile_est_sql), so the approximate "
+    "quantiles are value-exact cross-engine.  Scale: the single "
+    "data pass is hist_build's; everything after is <= 32-row work.  "
+    "This is how p99 latency/price is computed over 100 TB without a "
+    "global sort.",
+)
+def stats_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").selectExpr(f"{_CENTS} AS cents")
+    h = hist_build(li, "cents", lo=_H_LO, hi=_H_HI, n_bins=_H_BINS)
+    return hist_quantiles(
+        h, lo=_H_LO, hi=_H_HI, n_bins=_H_BINS, qs=[0.5, 0.9, 0.99]
+    )
