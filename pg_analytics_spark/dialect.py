@@ -681,6 +681,58 @@ _EXTRA_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: DuckDB FROM-first statements: `FROM t`, `FROM t SELECT a WHERE b` …
+_FROM_FIRST_RE = re.compile(r"^\s*(?:--[^\n]*\n\s*)*from\b", re.IGNORECASE)
+
+#: clause keywords that end a FROM part / a select list at depth 0
+_CLAUSE_WORDS = frozenset(
+    "select where group having order limit offset qualify union "
+    "intersect except window".split()
+)
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB's FROM-first syntax → standard SELECT syntax.
+
+    `FROM t`                    → `SELECT * FROM t`
+    `FROM t WHERE c`            → `SELECT * FROM t WHERE c`
+    `FROM t SELECT a, b WHERE c`→ `SELECT a, b FROM t WHERE c`
+
+    Top-level statements only (the reference's users type these at the
+    psql prompt; FROM-first inside CTE bodies/subqueries is out of
+    scope and passes through to a normal parse error).  The FROM part
+    runs to the first depth-0 clause keyword; when that keyword is
+    SELECT, its select list (up to the next depth-0 clause keyword) is
+    hoisted in front and the remaining clauses keep their order.
+    """
+    tokens = _tokenize(sql)
+    depths = _depths(tokens)
+    first = _next_code(tokens, -1)
+    if first >= len(tokens) or tokens[first][1].lower() != "from":
+        return sql
+
+    def _find_clause(start: int, words: frozenset) -> int:
+        for j in range(start, len(tokens)):
+            if (
+                depths[j] == 0
+                and tokens[j][0] == "word"
+                and tokens[j][1].lower() in words
+            ):
+                return j
+        return len(tokens)
+
+    sel = _find_clause(first + 1, frozenset(("select",)))
+    if sel == len(tokens):
+        # no SELECT: implicit `SELECT *` in front of the whole rest
+        rest = "".join(t for _, t in tokens[first + 1 :])
+        return f"SELECT * FROM {rest.strip()}"
+    from_part = "".join(t for _, t in tokens[first + 1 : sel]).strip()
+    list_end = _find_clause(sel + 1, _CLAUSE_WORDS)
+    select_list = "".join(t for _, t in tokens[sel + 1 : list_end]).strip()
+    trailing = "".join(t for _, t in tokens[list_end:]).strip()
+    out = f"SELECT {select_list} FROM {from_part}"
+    return f"{out} {trailing}" if trailing else out
+
 
 def rewrite_pg(sql: str) -> str:
     """Rewrite Postgres/DuckDB-dialect constructs to Spark SQL.
@@ -689,6 +741,8 @@ def rewrite_pg(sql: str) -> str:
     ``::`` nor ``->`` nor a QUALIFY/EXCLUDE keyword — plain Spark SQL
     never pays tokenization cost.
     """
+    if _FROM_FIRST_RE.match(sql):
+        sql = _rewrite_from_first(sql)
     if "::" not in sql and "->" not in sql and not _EXTRA_RE.search(sql):
         return sql
     tokens = _tokenize(sql)

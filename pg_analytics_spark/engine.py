@@ -55,6 +55,13 @@ _CTAS_LAKE_RE = _re.compile(
 )
 
 
+#: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
+#: routes to Engine.summarize (one-job per-column profile).
+_SUMMARIZE_RE = _re.compile(
+    r"^SUMMARIZE\s+(?P<q>.+?);?\s*$", _re.IGNORECASE | _re.DOTALL
+)
+
+
 @dataclass
 class _Attachment:
     name: str
@@ -159,6 +166,10 @@ class Engine:
         so their full option surface (hive partitioning, DV/column
         mapping, time travel, …) applies.
         """
+        m = _SUMMARIZE_RE.match(query.strip())
+        if m:
+            # DuckDB `SUMMARIZE …` statement text, verbatim
+            return self.summarize(m.group("q"))
         m = _COPY_RE.match(query.strip())
         if m:
             # DuckDB `COPY (query) TO 'path' (FORMAT x)` text, verbatim

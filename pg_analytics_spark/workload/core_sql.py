@@ -2337,3 +2337,32 @@ def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(corr, 6).alias("corr"),
     ).orderBy("l_returnflag")
+
+
+_PASSTHROUGH_FROM_FIRST = """
+FROM orders
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_passthrough_from_first",
+    oracle=_PASSTHROUGH_FROM_FIRST,
+    doc="DuckDB-dialect passthrough: FROM-first statement syntax "
+    "(`FROM t SELECT … WHERE …`) is not Spark SQL; the dialect shim "
+    "hoists the select list in front and restores clause order "
+    "(dialect.py::_rewrite_from_first), so the interactive shorthand "
+    "DuckDB users type runs unchanged.  DuckDB executes the raw text "
+    "natively.",
+)
+def sql_passthrough_from_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return eng.sql(_PASSTHROUGH_FROM_FIRST)

@@ -419,3 +419,59 @@ def test_columns_macro_distinct_and_union(spark):
         lambda t: cols,
     )
     assert "`n_key` AS `n_key`" in out and "UNION ALL" in out
+
+
+# ------------------------------------------------------------------ #
+# DuckDB FROM-first statement syntax
+# ------------------------------------------------------------------ #
+
+
+def test_from_first_bare_table():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("FROM t") == "SELECT * FROM t"
+    assert rewrite_pg("from t where i > 5") == "SELECT * FROM t where i > 5"
+
+
+def test_from_first_with_select_list():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("FROM t SELECT i*2 AS d WHERE i > 5 ORDER BY d") == (
+        "SELECT i*2 AS d FROM t WHERE i > 5 ORDER BY d"
+    )
+    assert rewrite_pg(
+        "FROM t a JOIN u b ON a.i = b.i SELECT a.i, COUNT(*) AS n GROUP BY a.i"
+    ) == ("SELECT a.i, COUNT(*) AS n FROM t a JOIN u b ON a.i = b.i GROUP BY a.i")
+
+
+def test_from_first_subquery_selects_do_not_split_the_from_part():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    # depth-0 scan only: the SELECT inside the derived table stays put
+    assert rewrite_pg("FROM (SELECT i FROM t) s WHERE s.i > 1") == (
+        "SELECT * FROM (SELECT i FROM t) s WHERE s.i > 1"
+    )
+
+
+def test_from_first_leaves_normal_sql_alone():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    q = "SELECT * FROM t WHERE i > 5"
+    assert rewrite_pg(q) is q  # short-circuit, not even retokenized
+
+
+def test_from_first_executes(engine):
+    rows = engine.sql(
+        "FROM region SELECT r_regionkey, lower(r_name) AS nm "
+        "WHERE r_regionkey < 3 ORDER BY r_regionkey"
+    ).collect()
+    assert [r["r_regionkey"] for r in rows] == [0, 1, 2]
+    assert all(r["nm"] == r["nm"].lower() for r in rows)
+
+
+def test_summarize_statement_text(engine):
+    prof = engine.sql("SUMMARIZE region").collect()
+    cols = {r["column_name"] for r in prof}
+    assert {"r_regionkey", "r_name"} <= cols
+    prof2 = engine.sql("SUMMARIZE SELECT r_regionkey FROM region").collect()
+    assert len(prof2) == 1
