@@ -1,0 +1,155 @@
+"""Byte-pair-encoding tokenizer training primitives.
+
+The first stage of any LLM data pipeline that ships its own tokenizer:
+count symbol pairs over the (word, frequency) table, merge the most
+frequent pair, repeat.  The statistics pass is pure DataFrame algebra
+— explode adjacent pairs weighted by word frequency, one
+map-side-combinable shuffle — so each merge round costs ONE aggregation
+over a relation whose size is the VOCABULARY (distinct words), not the
+corpus: at 100 TB the corpus collapses to its word-frequency table
+once, and every round after that is vocabulary-scale work.
+
+The merge application is a per-word left-to-right greedy fold
+(classic BPE non-overlapping semantics) in whole-stage codegen — no
+Python in the loop; the driver only ever sees the (pair, count) argmax
+row per round, never the corpus.
+
+tests/test_bpe.py pins the trainer against a pure-Python reference
+implementation; the pair-statistics pass is under the cross-engine
+value-exact gate (workload/llm.py::bpe_pair_counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (the classic Sennrich et al. convention — keeps
+#: merges from crossing word boundaries and lets detokenization restore
+#: spacing)
+EOW = "</w>"
+
+
+def word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) frequency table — the ONE corpus-scale pass.  Words
+    are lowercased whitespace tokens; `n` is total occurrences."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, n, syms) with syms = characters + the end-of-word marker."""
+    return words.withColumn(
+        "syms",
+        F.expr(
+            "concat(transform(sequence(1, length(word)), "
+            f"i -> substring(word, i, 1)), array('{EOW}'))"
+        ),
+    )
+
+
+def pair_counts(symbolized: DataFrame) -> DataFrame:
+    """(a, b, cnt) adjacent-symbol pair frequencies, weighted by word
+    frequency.  One explode + one hash-agg shuffle on (a, b); partial
+    aggregation collapses each task to its distinct-pair set first.
+    Single-symbol words (just the marker after full merging) emit no
+    pairs."""
+    return (
+        symbolized.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS a, "
+                    "element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def merge_pair_col(a: str, b: str) -> F.Column:
+    """Left-to-right greedy application of merge (a, b) to `syms`:
+    a fold that replaces the list's last element with a||b whenever
+    (last, current) == (a, b) — after a replacement the merged symbol
+    is the new last, so overlapping occurrences ('a a a' under (a,a))
+    correctly merge non-overlapping ([aa, a]), the standard BPE rule.
+    """
+    lit_a, lit_b, lit_ab = _sq(a), _sq(b), _sq(a + b)
+    return F.expr(
+        "aggregate(syms, cast(array() AS array<string>), (acc, s) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = {lit_a} AND s = {lit_b}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array({lit_ab})), "
+        "concat(acc, array(s))))"
+    )
+
+
+def train_bpe(
+    df: DataFrame, text_col: str, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Learn `n_merges` BPE merges; returns [(a, b, count), …] in merge
+    order.  Argmax tie rule: highest count, then lexicographic (a, b)
+    — deterministic for a fixed corpus.
+
+    Per round: one vocabulary-scale aggregation (pair_counts) + a
+    1-row collect; the merge rewrite is a codegen fold.  The word
+    table persists across rounds (vocabulary-sized, released at the
+    end); localCheckpoint every 8 rounds truncates the growing fold
+    lineage the same way dedup's label propagation does.
+    """
+    words = initial_symbols(word_table(df, text_col)).select("n", "syms")
+    words = words.persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for r in range(n_merges):
+            top = (
+                pair_counts(words)
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] <= 0:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+            merges.append((a, b, cnt))
+            nxt = words.withColumn("syms", merge_pair_col(a, b))
+            if (r + 1) % 8 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            old, words = words, nxt.persist()
+            old.unpersist()
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame, word_col: str, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """df + `bpe_toks` column: the word segmented by the merge list."""
+    expr = (
+        f"concat(transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1)), array('{EOW}'))"
+    )
+    for a, b, _ in merges:
+        lit_a, lit_b, lit_ab = _sq(a), _sq(b), _sq(a + b)
+        expr = (
+            f"aggregate({expr}, cast(array() AS array<string>), (acc, s) -> "
+            f"IF(size(acc) > 0 AND element_at(acc, -1) = {lit_a} AND s = {lit_b}, "
+            f"concat(slice(acc, 1, size(acc) - 1), array({lit_ab})), "
+            "concat(acc, array(s))))"
+        )
+    return df.withColumn("bpe_toks", F.expr(expr))

@@ -2240,3 +2240,47 @@ def _register_sim_ann_pq():
 
 
 _register_sim_ann_pq()
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok AS word, COUNT(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ), s AS (
+      SELECT n,
+             list_append([substr(word, i, 1) for i in range(1, len(word)+1)],
+                         '</w>') AS syms
+      FROM w
+    ), p AS (
+      SELECT n,
+             unnest([{{'a': syms[i], 'b': syms[i+1]}}
+                     for i in range(1, len(syms))]) AS pr
+      FROM s
+    )
+    SELECT pr.a AS a, pr.b AS b, SUM(n)::BIGINT AS cnt
+    FROM p GROUP BY 1, 2
+    ORDER BY cnt DESC, a, b
+    LIMIT 20
+    """,
+    doc="BPE tokenizer training, round-0 statistics: the corpus "
+    "collapses ONCE to its (word, frequency) table, words split to "
+    "characters + an end-of-word marker, adjacent-pair counts "
+    "weighted by frequency — the argmax pair is the first learned "
+    "merge (Sennrich-style).  Scale: every training round is ONE "
+    "vocabulary-scale hash-agg, not a corpus pass; the iterative "
+    "trainer (operators/bpe.train_bpe, pinned against a pure-Python "
+    "replica in tests/test_bpe.py) folds merges in codegen with the "
+    "driver seeing only the per-round argmax row.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.bpe import (
+        initial_symbols,
+        pair_counts,
+        word_table,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = pair_counts(initial_symbols(word_table(d, "text")))
+    return pairs.orderBy(F.desc("cnt"), "a", "b").limit(20)
