@@ -82,6 +82,14 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
         from pg_analytics_spark.sources import kml as _kml
 
         return _kml.load(spark, files, opts)
+    if all(f.lower().endswith(".gml") for f in files):
+        from pg_analytics_spark.sources import gml as _gml
+
+        return _gml.load(spark, files, opts)
+    if all(f.lower().endswith(".fgb") for f in files):
+        from pg_analytics_spark.sources import flatgeobuf as _fgb
+
+        return _fgb.load(spark, files, opts)
     if all(f.lower().endswith(".xlsx") for f in files):
         # GDAL's st_read reads spreadsheets as attribute-only tables;
         # sources/xlsx.py is the dependency-free equivalent

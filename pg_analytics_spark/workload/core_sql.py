@@ -2366,3 +2366,59 @@ def sql_passthrough_from_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return eng.sql(_PASSTHROUGH_FROM_FIRST)
+
+
+@register(
+    "geo_gml_supplier_sites",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           (((s_suppkey * 41) % 360) - 180 + 0.5)::DOUBLE AS lon,
+           (((s_suppkey * 23) % 160) - 80 + 0.5)::DOUBLE AS lat
+    FROM supplier
+    WHERE ((s_suppkey * 41) % 360) - 180 + 0.5 >= -90
+    ORDER BY s_suppkey
+    """,
+    doc="GML ingestion (S6: st_read's GML driver, reference "
+    "spatial.rs:57-82): a featureMember-per-supplier GML document is "
+    "built deterministically (gml:pos coordinates at *.5 so the "
+    "double->GML->double round trip is bit-exact), read back through "
+    "sources/gml.py (OGC GML 2/3 subset over stdlib xml.etree, "
+    "dependency-free) WITH a spatial_filter_box that drops the "
+    "westernmost sites driver-side.  The oracle recomputes coordinates "
+    "and the box predicate from the parquet directly, proving the GML "
+    "round trip and the filter are lossless.",
+)
+def geo_gml_supplier_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.functions.geo import wkt_numbers
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.gml import write_point_gml
+
+    t = _pq.read_table(f"{sf_dir}/supplier.parquet").sort_by("s_suppkey")
+    keys = t.column("s_suppkey").to_pylist()
+    names = t.column("s_name").to_pylist()
+    pts = [
+        (((k * 41) % 360) - 180 + 0.5, ((k * 23) % 160) - 80 + 0.5)
+        for k in keys
+    ]
+    path = _os.path.join(_geo_fixture_dir(sf_dir), "suppliers.gml")
+    write_point_gml(
+        path, [f"s{k}" for k in keys], pts, ["sk", "sname"],
+        [(str(k), n) for k, n in zip(keys, names)],
+    )
+    df = load_source(
+        spark, path, "spatial", {"spatial_filter_box": "-90,-90,180,90"}
+    )
+    nums = wkt_numbers("geometry_wkt")
+    return (
+        df.select(
+            F.col("sk").cast("bigint").alias("s_suppkey"),
+            F.col("sname").alias("s_name"),
+            nums.getItem(0).cast("double").alias("lon"),
+            nums.getItem(1).cast("double").alias("lat"),
+        )
+        .orderBy("s_suppkey")
+    )

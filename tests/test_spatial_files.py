@@ -285,3 +285,108 @@ def test_kml_mixed_multigeometry_rejected(spark, tmp_path):
     p.write_text(_kml_doc(body))
     with pytest.raises(UnsupportedFormat, match="MultiGeometry"):
         load_source(spark, str(p), "spatial").collect()
+
+
+# ------------------------------------------------------------------ #
+# GML (sources/gml.py)
+# ------------------------------------------------------------------ #
+
+_GML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<ogr:FeatureCollection
+    xmlns:gml="http://www.opengis.net/gml"
+    xmlns:ogr="http://example.test/ogr">
+  <gml:featureMember>
+    <ogr:city gml:id="c1">
+      <ogr:name>paris</ogr:name>
+      <ogr:pop>2100000</ogr:pop>
+      <ogr:geom>
+        <gml:Point><gml:pos>2.35 48.85</gml:pos></gml:Point>
+      </ogr:geom>
+    </ogr:city>
+  </gml:featureMember>
+  <gml:featureMember>
+    <ogr:city gml:id="c2">
+      <ogr:name>london</ogr:name>
+      <ogr:pop>8800000</ogr:pop>
+      <ogr:geom>
+        <gml:Point><gml:coordinates>-0.12,51.5</gml:coordinates></gml:Point>
+      </ogr:geom>
+    </ogr:city>
+  </gml:featureMember>
+  <gml:featureMember>
+    <ogr:zone gml:id="z1">
+      <ogr:name>square</ogr:name>
+      <ogr:geom>
+        <gml:Polygon>
+          <gml:exterior><gml:LinearRing>
+            <gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList>
+          </gml:LinearRing></gml:exterior>
+          <gml:interior><gml:LinearRing>
+            <gml:posList>1 1 2 1 2 2 1 1</gml:posList>
+          </gml:LinearRing></gml:interior>
+        </gml:Polygon>
+      </ogr:geom>
+    </ogr:zone>
+  </gml:featureMember>
+  <gml:featureMember>
+    <ogr:zone gml:id="z2">
+      <ogr:name>pair</ogr:name>
+      <ogr:geom>
+        <gml:MultiPoint>
+          <gml:pointMember>
+            <gml:Point><gml:pos>10 10</gml:pos></gml:Point>
+          </gml:pointMember>
+          <gml:pointMember>
+            <gml:Point><gml:pos>11 11</gml:pos></gml:Point>
+          </gml:pointMember>
+        </gml:MultiPoint>
+      </ogr:geom>
+    </ogr:zone>
+  </gml:featureMember>
+</ogr:FeatureCollection>
+"""
+
+
+def test_gml_both_coordinate_encodings_and_rings(spark, tmp_path):
+    p = tmp_path / "cities.gml"
+    p.write_text(_GML_DOC)
+    df = load_source(spark, str(p), "spatial")
+    rows = {r["gml_id"]: r for r in df.collect()}
+    assert set(rows) == {"c1", "c2", "z1", "z2"}
+    assert rows["c1"]["geometry_wkt"] == "POINT (2.35 48.85)"
+    assert rows["c2"]["geometry_wkt"] == "POINT (-0.12 51.5)"
+    assert rows["c1"]["pop"] == "2100000"
+    assert rows["z1"]["geometry_wkt"].startswith("POLYGON ((0 0, 4 0")
+    assert "(1 1, 2 1, 2 2, 1 1)" in rows["z1"]["geometry_wkt"]
+    assert rows["z2"]["geometry_wkt"] == "MULTIPOINT (10 10, 11 11)"
+
+
+def test_gml_bbox_filter_and_wkb(spark, tmp_path):
+    p = tmp_path / "cities.gml"
+    p.write_text(_GML_DOC)
+    df = load_source(
+        spark,
+        str(p),
+        "spatial",
+        {"spatial_filter_box": "-1,45,5,52", "keep_wkb": "true"},
+    )
+    rows = df.collect()
+    assert {r["gml_id"] for r in rows} == {"c1", "c2"}
+    import struct as _struct
+
+    wkb = bytes(rows[0]["wkb_geometry"])
+    assert wkb[0] == 1 and _struct.unpack("<I", wkb[1:5])[0] == 1  # LE point
+
+
+def test_gml_srs_dimension_3_drops_z(spark, tmp_path):
+    p = tmp_path / "z.gml"
+    p.write_text(
+        """<fc xmlns:gml="http://www.opengis.net/gml">
+        <gml:featureMember><f gml:id="a">
+          <g><gml:LineString>
+            <gml:posList srsDimension="3">0 0 7 1 1 8</gml:posList>
+          </gml:LineString></g>
+        </f></gml:featureMember></fc>"""
+    )
+    df = load_source(spark, str(p), "spatial")
+    assert df.collect()[0]["geometry_wkt"] == "LINESTRING (0 0, 1 1)"
