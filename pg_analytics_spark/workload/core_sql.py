@@ -2422,3 +2422,69 @@ def geo_gml_supplier_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "geo_fgb_customer_sites",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (((c_custkey * 29) % 360) - 180 + 0.25)::DOUBLE AS lon,
+           (((c_custkey * 13) % 160) - 80 + 0.25)::DOUBLE AS lat,
+           (c_custkey % 97)::INT AS tier
+    FROM customer
+    WHERE c_custkey <= 300
+      AND ((c_custkey * 29) % 360) - 180 + 0.25 >= -120
+    ORDER BY c_custkey
+    """,
+    doc="FlatGeobuf ingestion (S6: st_read's FlatGeobuf driver, "
+    "reference spatial.rs:57-82): a point-feature .fgb with TYPED "
+    "properties (long key, string name, int tier) is built "
+    "deterministically from the customer table via the fixture-grade "
+    "flatbuffers assembler, read back through sources/flatgeobuf.py "
+    "(spec v3 + a minimal vtable decoder, dependency-free) WITH a "
+    "spatial_filter_box active.  Property types survive as real Spark "
+    "types (not strings) — the oracle recomputes everything from "
+    "parquet, proving the binary round trip, the typed property "
+    "decode, and the envelope filter lossless.",
+)
+def geo_fgb_customer_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.functions.geo import wkt_numbers
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.flatgeobuf import (
+        CT_INT,
+        CT_LONG,
+        CT_STRING,
+        write_fgb,
+    )
+
+    t = _pq.read_table(f"{sf_dir}/customer.parquet").sort_by("c_custkey")
+    keys = [k for k in t.column("c_custkey").to_pylist() if k <= 300]
+    names = t.column("c_name").to_pylist()[: len(keys)]
+    cols = [("ck", CT_LONG), ("cname", CT_STRING), ("tier", CT_INT)]
+    rows = [
+        (
+            [int(k), n, int(k % 97)],
+            ("POINT", (((k * 29) % 360) - 180 + 0.25, ((k * 13) % 160) - 80 + 0.25)),
+        )
+        for k, n in zip(keys, names)
+    ]
+    path = _os.path.join(_geo_fixture_dir(sf_dir), "customers.fgb")
+    write_fgb(path, cols, rows)
+    df = load_source(
+        spark, path, "spatial", {"spatial_filter_box": "-120,-90,180,90"}
+    )
+    nums = wkt_numbers("geometry_wkt")
+    return (
+        df.select(
+            F.col("ck").alias("c_custkey"),
+            F.col("cname").alias("c_name"),
+            nums.getItem(0).cast("double").alias("lon"),
+            nums.getItem(1).cast("double").alias("lat"),
+            F.col("tier"),
+        )
+        .orderBy("c_custkey")
+    )

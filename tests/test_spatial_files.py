@@ -390,3 +390,95 @@ def test_gml_srs_dimension_3_drops_z(spark, tmp_path):
     )
     df = load_source(spark, str(p), "spatial")
     assert df.collect()[0]["geometry_wkt"] == "LINESTRING (0 0, 1 1)"
+
+
+# ------------------------------------------------------------------ #
+# FlatGeobuf (sources/flatgeobuf.py)
+# ------------------------------------------------------------------ #
+
+
+def _fgb_fixture(tmp_path, name="sites.fgb"):
+    from pg_analytics_spark.sources.flatgeobuf import (
+        CT_DOUBLE,
+        CT_INT,
+        CT_STRING,
+        write_fgb,
+    )
+
+    cols = [("name", CT_STRING), ("pop", CT_INT), ("score", CT_DOUBLE)]
+    rows = [
+        (["paris", 2100000, 1.5], ("POINT", (2.35, 48.85))),
+        (["london", 8800000, 2.25], ("POINT", (-0.12, 51.5))),
+        (["square", None, 0.5], ("POLYGON", [
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+            [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)],
+        ])),
+        (["line", 7, 3.0], ("LINESTRING", [(10.0, 10.0), (11.0, 11.0)])),
+    ]
+    p = str(tmp_path / name)
+    write_fgb(p, cols, rows)
+    return p
+
+
+def test_fgb_roundtrip_typed_properties(spark, tmp_path):
+    p = _fgb_fixture(tmp_path)
+    df = load_source(spark, p, "spatial")
+    assert [f.dataType.simpleString() for f in df.schema.fields[:3]] == [
+        "string", "int", "double",
+    ]
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"paris", "london", "square", "line"}
+    assert rows["paris"]["geometry_wkt"] == "POINT (2.35 48.85)"
+    assert rows["paris"]["pop"] == 2100000 and rows["paris"]["score"] == 1.5
+    assert rows["square"]["pop"] is None  # absent packed property -> null
+    assert rows["square"]["geometry_wkt"].startswith("POLYGON ((0 0, 4 0")
+    assert "(1 1, 2 1, 2 2, 1 1)" in rows["square"]["geometry_wkt"]
+    assert rows["line"]["geometry_wkt"] == "LINESTRING (10 10, 11 11)"
+
+
+def test_fgb_bbox_filter_and_wkb(spark, tmp_path):
+    p = _fgb_fixture(tmp_path)
+    df = load_source(
+        spark, p, "spatial",
+        {"spatial_filter_box": "-1,45,5,52", "keep_wkb": "1"},
+    )
+    rows = df.collect()
+    assert {r["name"] for r in rows} == {"paris", "london"}
+    import struct as _s
+
+    wkb = bytes(rows[0]["wkb_geometry"])
+    assert wkb[0] == 1 and _s.unpack("<I", wkb[1:5])[0] == 1
+
+
+def test_fgb_bad_magic_rejected(spark, tmp_path):
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.flatgeobuf import read_fgb
+
+    p = tmp_path / "nope.fgb"
+    p.write_bytes(b"GIF89a not a flatgeobuf")
+    with pytest.raises(UnsupportedFormat, match="magic"):
+        read_fgb(str(p))
+
+
+def test_fgb_feature_count_mismatch_rejected(spark, tmp_path):
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.flatgeobuf import read_fgb
+
+    p = _fgb_fixture(tmp_path)
+    raw = open(p, "rb").read()
+    # drop the last feature's bytes: header still promises 4
+    import struct as _s
+
+    o = 8
+    hlen = _s.unpack_from("<I", raw, o)[0]
+    o += 4 + hlen
+    sizes = []
+    while o + 4 <= len(raw):
+        flen = _s.unpack_from("<I", raw, o)[0]
+        sizes.append((o, flen))
+        o += 4 + flen
+    trunc = raw[: sizes[-1][0]]
+    bad = tmp_path / "trunc.fgb"
+    bad.write_bytes(trunc)
+    with pytest.raises(UnsupportedFormat, match="promises"):
+        read_fgb(str(bad))
