@@ -89,6 +89,12 @@ HEADLINE_NEXT = [
     "text_bigram_logprob",
     "dedup_span_remove",
     "embed_quantize_int8",
+    # round-4 second wave: sketches, PQ-ADC ANN, BPE statistics
+    "sketch_count_min_words",
+    "sketch_hll_distinct",
+    "stats_quantile_hist",
+    "sim_ann_pq_topk",
+    "bpe_pair_counts",
 ]
 
 
