@@ -61,6 +61,18 @@ _SUMMARIZE_RE = _re.compile(
     r"^SUMMARIZE\s+(?P<q>.+?);?\s*$", _re.IGNORECASE | _re.DOTALL
 )
 
+#: DuckDB `PIVOT tbl ON col USING agg(x) [AS a][, …] [GROUP BY …]
+#: [ORDER BY …]` statement text — DuckDB discovers the pivot values
+#: dynamically; Spark's PIVOT clause needs them as literals, so the
+#: handler runs one tiny DISTINCT job first (see Engine.sql).
+_PIVOT_RE = _re.compile(
+    r"^PIVOT\s+(?P<src>[A-Za-z_]\w*)\s+ON\s+(?P<on>[A-Za-z_]\w*)\s+"
+    r"USING\s+(?P<aggs>.+?)"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>.+?))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 
 @dataclass
 class _Attachment:
@@ -170,6 +182,9 @@ class Engine:
         if m:
             # DuckDB `SUMMARIZE …` statement text, verbatim
             return self.summarize(m.group("q"))
+        m = _PIVOT_RE.match(query.strip())
+        if m:
+            return self._pivot_statement(m)
         m = _COPY_RE.match(query.strip())
         if m:
             # DuckDB `COPY (query) TO 'path' (FORMAT x)` text, verbatim
@@ -226,6 +241,83 @@ class Engine:
     def execute_raw(self, statement: str):
         """Escape hatch, analog of ``duckdb_execute`` (src/api/duckdb.rs:26-29)."""
         return self.spark.sql(statement)
+
+    def _pivot_statement(self, m) -> DataFrame:
+        """DuckDB ``PIVOT src ON col USING aggs [GROUP BY …] [ORDER BY
+        …]`` → Spark's PIVOT clause.  DuckDB discovers the pivot
+        columns from the data; Spark wants literals, so one tiny
+        DISTINCT job collects them first (sorted — DuckDB's column
+        order) and NULL values are excluded (DuckDB's behavior).
+        Multi-agg aliases produce the same ``{value}_{alias}`` column
+        names in both engines.
+        """
+        from pg_analytics_spark.dialect import _KEYWORDS, _tokenize
+
+        src, on, aggs = m.group("src"), m.group("on"), m.group("aggs").strip()
+        grp, order = m.group("grp"), m.group("ord")
+        vals = [
+            r[0]
+            for r in self.spark.sql(
+                f"SELECT DISTINCT {on} FROM {src} "
+                f"WHERE {on} IS NOT NULL ORDER BY {on}"
+            ).collect()
+        ]
+        if not vals:
+            raise EngineError(f"PIVOT: no non-null values in {src}.{on}")
+        lits = ", ".join(
+            "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            for v in vals
+        )
+        if grp:
+            # project to GROUP BY cols + pivot col + agg operands so
+            # Spark's implicit group-by (all non-pivot columns) matches
+            # the statement's explicit one
+            operands = []
+            toks = _tokenize(aggs)
+            for i, (kind, text) in enumerate(toks):
+                if kind != "word" or text.lower() in _KEYWORDS:
+                    continue
+                nxt = next(
+                    (t for k, t in toks[i + 1 :] if k not in ("ws", "comment")),
+                    None,
+                )
+                if nxt == "(":  # function name
+                    continue
+                prev = next(
+                    (t for k, t in reversed(toks[:i]) if k not in ("ws", "comment")),
+                    None,
+                )
+                if prev == "as" or (prev and prev.lower() == "as"):
+                    continue  # alias, not an operand
+                if text not in operands and text != on:
+                    operands.append(text)
+            grp_cols = [g.strip() for g in grp.split(",")]
+            proj_cols = list(grp_cols)
+            for c in [on] + operands:
+                if c == on and c in grp_cols:
+                    continue
+                if c in grp_cols:
+                    # a GROUP BY column also feeds an aggregate: Spark's
+                    # PIVOT consumes agg operands, so give the agg its
+                    # own aliased copy and keep the original grouping
+                    alias = f"__pv_{c}"
+                    proj_cols.append(f"{c} AS {alias}")
+                    aggs = "".join(
+                        alias if k == "word" and t == c else t
+                        for k, t in _tokenize(aggs)
+                    )
+                elif c not in proj_cols:
+                    proj_cols.append(c)
+            proj = ", ".join(proj_cols)
+        else:
+            proj = "*"
+        q = (
+            f"SELECT * FROM (SELECT {proj} FROM {src}) "
+            f"PIVOT ({aggs} FOR {on} IN ({lits}))"
+        )
+        if order:
+            q += f" ORDER BY {order}"
+        return self.spark.sql(q)
 
     # ------------------------------------------------------------------ #
     # Views (U2 — CREATE VIEW pushdown, src/hooks/utility/view.rs:31-98)

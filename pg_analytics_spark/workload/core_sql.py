@@ -2488,3 +2488,28 @@ def geo_fgb_customer_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+_PASSTHROUGH_PIVOT = """
+PIVOT orders ON o_orderpriority USING count(o_orderkey)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sql_passthrough_pivot",
+    oracle=_PASSTHROUGH_PIVOT,
+    doc="DuckDB-dialect passthrough: the PIVOT statement (dynamic "
+    "column discovery) is not Spark SQL; Engine.sql collects the "
+    "distinct pivot values in one tiny job (sorted, NULLs excluded — "
+    "DuckDB's behavior) and rewrites to Spark's literal-list PIVOT "
+    "clause with a projection that reproduces the explicit GROUP BY.  "
+    "DuckDB executes the raw statement natively; column names match "
+    "because both engines name pivot columns by value.",
+)
+def sql_passthrough_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return eng.sql(_PASSTHROUGH_PIVOT)

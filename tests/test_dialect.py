@@ -475,3 +475,32 @@ def test_summarize_statement_text(engine):
     assert {"r_regionkey", "r_name"} <= cols
     prof2 = engine.sql("SUMMARIZE SELECT r_regionkey FROM region").collect()
     assert len(prof2) == 1
+
+
+def test_pivot_statement_basic(engine):
+    df = engine.sql(
+        "PIVOT nation ON n_regionkey USING count(n_nationkey) "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    # one row per nation name, one column per region key + the group col
+    assert len(df.columns) == 6  # n_name + 5 region keys
+    assert df.count() == 25
+
+
+def test_pivot_statement_multi_agg_aliases(engine):
+    df = engine.sql(
+        "PIVOT nation ON n_regionkey USING count(n_nationkey) AS n, "
+        "min(n_name) AS m GROUP BY n_name ORDER BY n_name"
+    )
+    # DuckDB-style {value}_{alias} names
+    assert "0_n" in df.columns and "0_m" in df.columns
+    assert df.count() == 25
+
+
+def test_pivot_statement_implicit_group_by(engine):
+    # no GROUP BY: groups by all non-pivoted columns (both engines)
+    df = engine.sql(
+        "PIVOT region ON r_regionkey USING count(r_regionkey)"
+    )
+    # region: every row unique -> r_name stays, 5 pivot cols
+    assert set(df.columns) >= {"r_name", "0", "1", "2", "3", "4"}
