@@ -73,6 +73,15 @@ _PIVOT_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: DuckDB `UNPIVOT tbl ON c1, c2, … INTO NAME n VALUE v` statement —
+#: static rewrite to Spark's UNPIVOT clause (same row/column output).
+_UNPIVOT_RE = _re.compile(
+    r"^UNPIVOT\s+(?P<src>[A-Za-z_]\w*)\s+ON\s+(?P<cols>[\w\s,]+?)\s+"
+    r"INTO\s+NAME\s+(?P<name>[A-Za-z_]\w*)\s+VALUE\s+(?P<val>[A-Za-z_]\w*)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>.+?))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 
 @dataclass
 class _Attachment:
@@ -185,6 +194,19 @@ class Engine:
         m = _PIVOT_RE.match(query.strip())
         if m:
             return self._pivot_statement(m)
+        m = _UNPIVOT_RE.match(query.strip())
+        if m:
+            # DuckDB UNPIVOT statement → Spark's UNPIVOT clause.  Both
+            # exclude NULL values by default; column order matches
+            # (other cols, name, value).
+            q = (
+                f"SELECT * FROM {m.group('src')} "
+                f"UNPIVOT ({m.group('val')} FOR {m.group('name')} "
+                f"IN ({m.group('cols')}))"
+            )
+            if m.group("ord"):
+                q += f" ORDER BY {m.group('ord')}"
+            return self.spark.sql(q)
         m = _COPY_RE.match(query.strip())
         if m:
             # DuckDB `COPY (query) TO 'path' (FORMAT x)` text, verbatim

@@ -2513,3 +2513,39 @@ def sql_passthrough_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return eng.sql(_PASSTHROUGH_PIVOT)
+
+
+_PASSTHROUGH_UNPIVOT_STMT = """
+UNPIVOT (SELECT o_orderstatus,
+                COUNT(*) AS n_orders,
+                COUNT(DISTINCT o_custkey) AS n_customers
+         FROM orders GROUP BY o_orderstatus) sub
+ON n_orders, n_customers INTO NAME metric VALUE v
+ORDER BY o_orderstatus, metric
+"""
+
+
+@register(
+    "sql_passthrough_unpivot_stmt",
+    oracle=_PASSTHROUGH_UNPIVOT_STMT,
+    doc="DuckDB-dialect passthrough: the UNPIVOT statement form "
+    "(ON cols INTO NAME/VALUE) is not Spark SQL; Engine.sql rewrites "
+    "it statically to Spark's UNPIVOT clause — both engines exclude "
+    "NULLs by default and order columns (others, name, value) "
+    "identically.  DuckDB executes the raw statement natively.",
+)
+def sql_passthrough_unpivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    orders_agg = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "COUNT(DISTINCT o_custkey) AS n_customers "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    orders_agg.createOrReplaceTempView("orders_status_counts")
+    return eng.sql(
+        "UNPIVOT orders_status_counts ON n_orders, n_customers "
+        "INTO NAME metric VALUE v ORDER BY o_orderstatus, metric"
+    )

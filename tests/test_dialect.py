@@ -504,3 +504,17 @@ def test_pivot_statement_implicit_group_by(engine):
     )
     # region: every row unique -> r_name stays, 5 pivot cols
     assert set(df.columns) >= {"r_name", "0", "1", "2", "3", "4"}
+
+
+def test_unpivot_statement(engine):
+    # unpivot two measure columns of region-per-nation counts
+    engine.spark.sql(
+        "SELECT n_regionkey, COUNT(*) AS n, MIN(n_nationkey) AS mn "
+        "FROM nation GROUP BY n_regionkey"
+    ).createOrReplaceTempView("nation_counts")
+    df = engine.sql(
+        "UNPIVOT nation_counts ON n, mn INTO NAME metric VALUE v "
+        "ORDER BY n_regionkey, metric"
+    )
+    assert df.columns == ["n_regionkey", "metric", "v"]
+    assert df.count() == 10  # 5 regions x 2 metrics
