@@ -2284,3 +2284,114 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = pair_counts(initial_symbols(word_table(d, "text")))
     return pairs.orderBy(F.desc("cnt"), "a", "b").limit(20)
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT doc_id, md5('ep1:' || doc_id::VARCHAR) AS shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY md5('ep1:' || doc_id::VARCHAR), doc_id)
+             AS position
+    FROM documents
+    ORDER BY position
+    LIMIT 50
+    """,
+    doc="Deterministic global training-shuffle order: shuffle_key = "
+    "md5(epoch_salt || doc_id) gives every document a pseudo-random "
+    "but REPRODUCIBLE position — re-runs, re-shards and resumed jobs "
+    "agree on the exact example order, and a new epoch is just a new "
+    "salt (no state to store).  At 100 TB this is a repartitionByRange "
+    "+ write on shuffle_key — one shuffle, no driver involvement; the "
+    "ROW_NUMBER here materializes the first 50 positions so the order "
+    "itself is value-checked cross-engine.",
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w))
+        .orderBy("position")
+        .limit(50)
+    )
+
+
+@register(
+    "text_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({_TOKS}) AS n_toks,
+             length(text) AS n_chars,
+             list_filter({_TOKS}, x -> length(x) > 0) AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, n_toks, n_chars,
+             CASE WHEN n_toks = 0 THEN 0.0
+                  ELSE list_sum([length(x) for x in toks])::DOUBLE / n_toks
+             END AS mean_word_len,
+             CASE WHEN n_toks = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> regexp_matches(x, '^[#*>-]')))::DOUBLE / n_toks
+             END AS bullet_ratio,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / n_chars
+             END AS digit_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           (n_toks >= 5 AND n_toks <= 100000) AS ok_length,
+           (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+           (bullet_ratio <= 0.9) AS ok_bullets,
+           (digit_ratio <= 0.5) AS ok_digits,
+           ((n_toks >= 5 AND n_toks <= 100000)
+            AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+            AND (bullet_ratio <= 0.9)
+            AND (digit_ratio <= 0.5)) AS keep
+    FROM feat
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style quality-rule battery: per-document boolean "
+    "verdicts for the classic repetition-free heuristics — token-count "
+    "bounds, mean word length in [2, 12], bullet/markup start ratio, "
+    "digit ratio — plus the conjunctive keep flag.  Rule FEATURES are "
+    "exact rationals surfaced through one correctly-rounded division "
+    "each, so the booleans (threshold comparisons) are cross-engine "
+    "exact; the per-rule columns (not just keep) are what a curation "
+    "run audits.  Scale: pure narrow map in codegen, no shuffle, no "
+    "UDF — composes in front of the dedup/contamination stages.",
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = X.tokens(F.lower("text"))
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    mean_wl = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.expr(
+            "aggregate(transform(filter(split(lower(text), '\\\\s+'), "
+            "x -> x != ''), x -> length(x)), 0L, (a, x) -> a + x)"
+        ).cast("double")
+        / n_toks
+    )
+    bullet = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda x: x.rlike("^[#*>-]"))).cast("double")
+        / n_toks
+    )
+    digit = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / n_chars
+    )
+    ok_len = (n_toks >= 5) & (n_toks <= 100000)
+    ok_wl = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    ok_bul = bullet <= 0.9
+    ok_dig = digit <= 0.5
+    return d.select(
+        "doc_id",
+        ok_len.alias("ok_length"),
+        ok_wl.alias("ok_word_len"),
+        ok_bul.alias("ok_bullets"),
+        ok_dig.alias("ok_digits"),
+        (ok_len & ok_wl & ok_bul & ok_dig).alias("keep"),
+    ).orderBy("doc_id")

@@ -244,3 +244,81 @@ def stats_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(
         h, lo=_H_LO, hi=_H_HI, n_bins=_H_BINS, qs=[0.5, 0.9, 0.99]
     )
+
+
+def _hll_tok_oracle() -> str:
+    """Batch-SQL twin of the streaming sketch state over document
+    tokens: exact token count (== CMS row-0 counter sum) + HLL raw
+    estimate, same fragments as _hll_oracle."""
+    m = 1 << _HLL_P
+    rem_bits = 32 - _HLL_P
+    am2 = hll_alpha_m2(_HLL_P)
+    return f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT {_H32} AS h32 FROM tok),
+    slots AS (
+      SELECT h32 // {1 << rem_bits} AS bucket,
+             CASE WHEN h32 % {1 << rem_bits} = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits} + 1 - length(bin(h32 % {1 << rem_bits}))
+             END AS rho
+      FROM h
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS rho FROM slots GROUP BY bucket),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS nonzero_buckets,
+             SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS z_present
+      FROM regs
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM tok) AS total_tokens,
+           nonzero_buckets,
+           ROUND(CAST('{am2!r}' AS DOUBLE)
+                 / (z_present + CAST({m} - nonzero_buckets AS DOUBLE)), 4)
+             AS hll_est
+    FROM agg
+    """
+
+
+@register(
+    "streaming_sketch_ingest",
+    oracle=_hll_tok_oracle(),
+    doc="Sketch maintenance on the REAL streaming path "
+    "(streaming/sketch_ingest.py: readStream → per-batch CMS/HLL "
+    "partials → union+re-agg state swap → monitoring row per batch) "
+    "under the value-exact gate: after the availableNow drain the "
+    "final state's exact token total (CMS row-0 counter sum) and raw "
+    "HLL estimate must equal the batch sketches bit-for-bit — "
+    "mergeability makes the streaming twin exact for any batch "
+    "order/count (the forced multi-batch case is pinned in "
+    "tests/test_streaming.py).",
+)
+def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_analytics_spark.streaming.sketch_ingest import ingest_sketches
+
+    docs = table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as work:
+        ingest_sketches(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            f"{work}/state",
+            f"{work}/monitor",
+            f"{work}/ckpt",
+            docs.schema,
+        )
+        last = (
+            spark.read.parquet(f"{work}/monitor")
+            .orderBy(F.desc("batch_id"))
+            .limit(1)
+            .collect()[0]
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(last["total_tokens"]),
+                int(last["nonzero_buckets"]),
+                float(last["hll_est"]),
+            )
+        ],
+        "total_tokens BIGINT, nonzero_buckets BIGINT, hll_est DOUBLE",
+    )

@@ -496,3 +496,70 @@ def test_streaming_bloom_ingest_matches_batch(spark, tmp_path):
         .collect()[0][0]
     )
     assert b1_hits == 0
+
+
+def test_streaming_sketch_ingest_equals_batch_sketches(spark, tmp_path):
+    """CMS/HLL maintained across a FORCED multi-batch drain
+    (maxFilesPerTrigger=1 over a 3-file corpus) must equal the batch
+    sketches over the whole corpus bit-for-bit — mergeability makes
+    the streaming twin exact for any batch order/count."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.functions.hashing import shingle_hash32
+    from pg_analytics_spark.operators.sketches import cms_build, hll_build
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.sketch_ingest import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HLL_P,
+        ingest_sketches,
+    )
+    from .conftest import SF_DIR
+
+    src_dir = str(tmp_path / "docs_src")
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_source(spark, f"{SF_DIR}/documents.parquet", "parquet")
+    # three guaranteed-nonempty files -> three micro-batches at
+    # maxFilesPerTrigger=1 (repartition(3, key) can hash two thirds
+    # into one partition and leave an empty file)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    ingest_sketches(
+        spark, src_dir, state_dir, out_dir, ckpt, docs.schema,
+        max_files_per_trigger=1,
+    )
+
+    monitor = spark.read.parquet(out_dir).orderBy("batch_id").collect()
+    assert len(monitor) >= 3  # the drain really ran multi-batch
+
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    hashes = tok.select(shingle_hash32(F.col("tok")).alias("h32"))
+    want_cms = sorted(
+        map(tuple, cms_build(hashes, "h32", depth=CMS_DEPTH, width=CMS_WIDTH).collect())
+    )
+    want_hll = sorted(
+        map(tuple, hll_build(hashes, "h32", precision=HLL_P).collect())
+    )
+    got_cms = sorted(
+        map(tuple, spark.read.parquet(f"{state_dir}/cms").collect())
+    )
+    got_hll = sorted(
+        map(tuple, spark.read.parquet(f"{state_dir}/hll").collect())
+    )
+    assert got_cms == want_cms
+    assert got_hll == want_hll
+
+    # monitoring: cumulative token count is EXACT (CMS row-0 sum) and
+    # monotone across batches
+    totals = [r["total_tokens"] for r in monitor]
+    assert totals == sorted(totals)
+    assert totals[-1] == tok.count()
