@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import re
 
+from pg_analytics_spark.errors import UnsupportedFormat as UnsupportedDialect
+
 # Postgres type name → Spark SQL type name (src/schema/cell.rs type map;
 # json/jsonb handled separately as identity).
 PG_TYPE_MAP: dict[str, str] = {
@@ -677,9 +679,152 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
     r"|string_to_array|starts_with|ends_with|unnest)\b"
-    r"|\*\s+replace\s*\(|\bdistinct\s+on\b",
+    r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b",
     re.IGNORECASE,
 )
+
+
+_ASOF_STOP = frozenset(
+    "where group order having limit offset qualify union intersect except "
+    "join left right full inner cross asof window".split()
+)
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB ``a ASOF [LEFT] JOIN b [alias] ON eq-conds AND ineq`` →
+    a Spark LATERAL subquery picking the nearest match:
+
+        a, LATERAL (SELECT * FROM b alias WHERE <cond>
+                    ORDER BY <b's ineq column> DESC|ASC LIMIT 1) alias
+        a LEFT JOIN LATERAL (…) alias ON true          -- ASOF LEFT
+
+    Semantics match DuckDB's: the single inequality bounds b's column
+    and the closest b row per a row wins (DESC when b is bounded
+    above, ASC when below).  The inequality must qualify b's column
+    with b's alias — a clear error otherwise beats a silently wrong
+    join.  Ties on the inequality column are broken arbitrarily in
+    both engines (DuckDB picks an arbitrary row too).
+    """
+    tokens = _tokenize(sql)
+    depths = _depths(tokens)
+    out: list[tuple[str, str]] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        kind, text = tokens[i]
+        if not (kind == "word" and text.lower() == "asof" and depths[i] == 0):
+            out.append(tokens[i])
+            i += 1
+            continue
+        j = _next_code(tokens, i)
+        left_join = False
+        if j < n and tokens[j][1].lower() == "left":
+            left_join = True
+            j = _next_code(tokens, j)
+        if j >= n or tokens[j][1].lower() != "join":
+            out.append(tokens[i])
+            i += 1
+            continue
+        j = _next_code(tokens, j)  # table name
+        if j >= n or tokens[j][0] != "word":
+            raise UnsupportedDialect("ASOF JOIN: expected a table name")
+        b_name = tokens[j][1]
+        j = _next_code(tokens, j)
+        b_alias = b_name
+        if j < n and tokens[j][0] == "word" and tokens[j][1].lower() == "as":
+            j = _next_code(tokens, j)
+        if (
+            j < n
+            and tokens[j][0] == "word"
+            and tokens[j][1].lower() != "on"
+        ):
+            b_alias = tokens[j][1]
+            j = _next_code(tokens, j)
+        if j >= n or tokens[j][1].lower() != "on":
+            raise UnsupportedDialect("ASOF JOIN: expected ON <condition>")
+        cond_start = _next_code(tokens, j)
+        k = cond_start
+        while k < n:
+            tk, tt = tokens[k]
+            if (
+                depths[k] == 0
+                and tk == "word"
+                and tt.lower() in _ASOF_STOP
+            ):
+                break
+            k += 1
+        cond_toks = tokens[cond_start:k]
+        cond = "".join(t for _, t in cond_toks).strip()
+        # locate the single inequality and b's operand within it
+        order_col, direction = None, None
+        for ci in range(len(cond_toks)):
+            ck, ct = cond_toks[ci]
+            if ck == "op" and ct in ("<", ">"):
+                # operands: walk out one qualified column (name or
+                # name.name…) on each side, stopping at keywords/ops
+                def _qualcol(idx, step):
+                    def _code(x):
+                        while 0 <= x < len(cond_toks) and cond_toks[x][0] in (
+                            "ws",
+                            "comment",
+                        ):
+                            x += step
+                        return x
+
+                    parts = []
+                    x = _code(idx)
+                    while 0 <= x < len(cond_toks):
+                        xk, xt = cond_toks[x]
+                        if xk != "word" or xt.lower() in _KEYWORDS:
+                            break
+                        parts.append(xt)
+                        y = _code(x + step)
+                        if 0 <= y < len(cond_toks) and cond_toks[y] == (
+                            "op",
+                            ".",
+                        ):
+                            x = _code(y + step)
+                            parts.append(".")
+                            continue
+                        break
+                    return "".join(parts[::-1] if step < 0 else parts)
+
+                nxt = ci + 1
+                if nxt < len(cond_toks) and cond_toks[nxt] == ("op", "="):
+                    nxt += 1
+                lhs = _qualcol(ci - 1, -1)
+                rhs = _qualcol(nxt, +1)
+                b_pref = b_alias + "."
+                if lhs.startswith(b_pref) and not rhs.startswith(b_pref):
+                    order_col = lhs
+                    direction = "DESC" if ct == "<" else "ASC"
+                elif rhs.startswith(b_pref) and not lhs.startswith(b_pref):
+                    order_col = rhs
+                    direction = "DESC" if ct == ">" else "ASC"
+                else:
+                    raise UnsupportedDialect(
+                        "ASOF JOIN: the inequality must qualify exactly "
+                        f"one side with the joined alias {b_alias!r} "
+                        f"(got {lhs!r} {ct} {rhs!r})"
+                    )
+                break
+        if order_col is None:
+            raise UnsupportedDialect(
+                "ASOF JOIN: ON must contain one range inequality "
+                "(<, <=, > or >=)"
+            )
+        inner_from = b_name if b_alias == b_name else f"{b_name} {b_alias}"
+        lateral = (
+            f"LATERAL (SELECT * FROM {inner_from} WHERE {cond} "
+            f"ORDER BY {order_col} {direction} LIMIT 1) {b_alias}"
+        )
+        if left_join:
+            repl = f" LEFT JOIN {lateral} ON true "
+        else:
+            repl = f" , {lateral} "
+        out.append(("word", repl))
+        i = k
+    return "".join(t for _, t in out)
 
 #: DuckDB FROM-first statements: `FROM t`, `FROM t SELECT a WHERE b` …
 _FROM_FIRST_RE = re.compile(r"^\s*(?:--[^\n]*\n\s*)*from\b", re.IGNORECASE)
@@ -745,6 +890,8 @@ def rewrite_pg(sql: str) -> str:
         sql = _rewrite_from_first(sql)
     if "::" not in sql and "->" not in sql and not _EXTRA_RE.search(sql):
         return sql
+    if re.search(r"\basof\s+(left\s+)?join\b", sql, re.IGNORECASE):
+        sql = _rewrite_asof_join(sql)
     tokens = _tokenize(sql)
     tokens = _rewrite_arrows(tokens)
     tokens = _rewrite_casts(tokens)

@@ -2549,3 +2549,38 @@ def sql_passthrough_unpivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNPIVOT orders_status_counts ON n_orders, n_customers "
         "INTO NAME metric VALUE v ORDER BY o_orderstatus, metric"
     )
+
+
+_PASSTHROUGH_ASOF = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM purchases p ASOF JOIN clicks c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY p.user_id, p.event_id
+"""
+
+
+@register(
+    "sql_passthrough_asof_join",
+    oracle=_PASSTHROUGH_ASOF,
+    doc="DuckDB-dialect passthrough: ASOF JOIN (the nearest-match "
+    "temporal join DuckDB users write for attribution/pricing) is not "
+    "Spark SQL; the dialect shim rewrites it to a correlated LATERAL "
+    "subquery picking the closest row under the single range "
+    "inequality (dialect.py::_rewrite_asof_join — ORDER BY the bound "
+    "column DESC/ASC + LIMIT 1), equality predicates preserved.  "
+    "DuckDB executes the raw text with its native ASOF JOIN; "
+    "identical output proves the rewrite's semantics.  Only the "
+    "bounded column's VALUE is projected, so inequality ties (both "
+    "engines pick arbitrarily) cannot differ.",
+)
+def sql_passthrough_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return eng.sql(_PASSTHROUGH_ASOF)

@@ -518,3 +518,77 @@ def test_unpivot_statement(engine):
     )
     assert df.columns == ["n_regionkey", "metric", "v"]
     assert df.count() == 10  # 5 regions x 2 metrics
+
+
+# ------------------------------------------------------------------ #
+# ASOF JOIN rewrite
+# ------------------------------------------------------------------ #
+
+
+def test_asof_join_rewrite_inner_and_left():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    got = rewrite_pg(
+        "SELECT q.ts, t.px FROM quotes q ASOF JOIN trades t "
+        "ON t.sym = q.sym AND t.ts <= q.ts"
+    )
+    assert "LATERAL (SELECT * FROM trades t WHERE" in got
+    assert "ORDER BY t.ts DESC LIMIT 1" in got
+    got_left = rewrite_pg(
+        "SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.bts"
+    )
+    assert "LEFT JOIN LATERAL" in got_left and "ON true" in got_left
+    assert "ORDER BY b.bts DESC LIMIT 1" in got_left
+
+
+def test_asof_join_direction_flips_with_inequality():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    # b bounded BELOW -> nearest is the smallest b.ts -> ASC
+    got = rewrite_pg(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts >= a.ts"
+    )
+    assert "ORDER BY b.ts ASC LIMIT 1" in got
+
+
+def test_asof_join_requires_qualified_inequality():
+    import pytest as _pytest
+
+    from pg_analytics_spark.dialect import rewrite_pg
+    from pg_analytics_spark.errors import UnsupportedFormat
+
+    with _pytest.raises(UnsupportedFormat, match="inequality"):
+        rewrite_pg("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+
+
+def test_asof_join_executes_like_windowed_attribution(engine, spark):
+    """The rewritten ASOF JOIN must agree with an explicit
+    max-ts-at-or-before computed via groupBy."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from pg_analytics_spark.sources import load_source
+
+    ev = load_source(spark, f"{SF_DIR}/events.parquet", "parquet")
+    ev.createOrReplaceTempView("events")
+    got = engine.sql(
+        "WITH p AS (SELECT user_id, event_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT p.user_id, p.event_id, c.ts AS click_ts "
+        "FROM p ASOF JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts"
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", "event_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = (
+        p.join(c, (p.user_id == c.cu) & (c.cts <= p.pts))
+        .groupBy("user_id", "event_id")
+        .agg(F.max("cts").alias("click_ts"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
