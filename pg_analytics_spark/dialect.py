@@ -704,6 +704,14 @@ def _rewrite_asof_join(sql: str) -> str:
     with b's alias — a clear error otherwise beats a silently wrong
     join.  Ties on the inequality column are broken arbitrarily in
     both engines (DuckDB picks an arbitrary row too).
+
+    Plan note (tests/test_plans.py pins it): Catalyst decorrelates
+    this into a distinct-timestamp DOMAIN join + WindowGroupLimit
+    top-1 + hash join back — correct and bounded by |distinct probe
+    ts| × |build|, the COMPATIBILITY plan for interactive use.  At
+    100 TB use `operators/temporal.asof_join` (single-shuffle
+    union+window) — the same reason the reference delegates ASOF to
+    DuckDB's sorted-merge executor rather than a generic join.
     """
     tokens = _tokenize(sql)
     depths = _depths(tokens)

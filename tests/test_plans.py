@@ -300,3 +300,105 @@ def test_quantize_stats_broadcast_map_only_quantization(spark):
     # itself must not shuffle the corpus
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_build_partial_agg_before_shuffle(spark):
+    """The sketch scale contract: the ONE exchange carries (r, c)
+    partial counters — partial_count appears below the shuffle, and no
+    token/hash column survives into the exchange."""
+    from pg_analytics_spark.functions.hashing import shingle_hash32
+    from pg_analytics_spark.operators.sketches import cms_build
+
+    d = spark.table("documents")
+    hashes = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    ).select(shingle_hash32(F.col("tok")).alias("h32"))
+    plan = cms_build(hashes, "h32")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "partial_sum" in below_exchange or "partial" in below_exchange
+    assert "h32" not in plan.split("Exchange", 1)[0].split("HashAggregate")[0]
+
+
+def test_hll_build_single_bucket_shuffle(spark):
+    from pg_analytics_spark.functions.hashing import shingle_hash32
+    from pg_analytics_spark.operators.sketches import hll_build
+
+    li = spark.table("lineitem").select(
+        shingle_hash32(F.col("l_orderkey").cast("string")).alias("h32")
+    )
+    plan = hll_build(li, "h32")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_max" in plan  # map-side register max
+
+
+def test_hist_build_single_bin_shuffle(spark):
+    from pg_analytics_spark.operators.sketches import hist_build
+
+    li = spark.table("lineitem").selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents"
+    )
+    plan = (
+        hist_build(li, "cents", lo=0, hi=11_059_199, n_bins=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan
+
+
+def test_pq_adc_scan_is_map_only_topk(spark):
+    """PQ-ADC must be scan → codegen expression → TakeOrdered: no
+    shuffle, no join — the compressed first pass touches each row
+    once."""
+    from pg_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_seed_codebooks,
+    )
+
+    emb = spark.table("embeddings")
+    books = pq_seed_codebooks(64, 4, 8)
+    qvec = [0.1] * 64
+    plan = (
+        pq_adc_topk(emb, "embedding", "vec_id", qvec, books, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_asof_sql_rewrite_decorrelates_to_group_limit(spark, engine):
+    """The ASOF JOIN dialect rewrite's plan contract: Catalyst
+    decorrelates the LATERAL LIMIT 1 into a DOMAIN join (distinct
+    probe timestamps × build side, nested-loop on the range predicate)
+    followed by WindowGroupLimit top-1 pruning and a HASH join back —
+    no unbounded CartesianProduct of the raw tables.  This is the
+    COMPATIBILITY plan (fine at dashboard scale; DuckDB's native ASOF
+    is a per-key sorted merge); the single-shuffle union+window
+    operator `operators/temporal.asof_join` remains the 100 TB path
+    (test_asof_join_single_shuffle above pins it)."""
+    from pg_analytics_spark.sources import load_source
+
+    ev = load_source(spark, f"{SF_DIR}/events.parquet", "parquet")
+    ev.createOrReplaceTempView("events")
+    df = engine.sql(
+        "WITH p AS (SELECT user_id, event_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT p.user_id, p.event_id, c.ts AS click_ts "
+        "FROM p ASOF JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the nested-loop's build side must be the DISTINCT-timestamp
+    # domain (a HashAggregate), never a raw table
+    if "BroadcastNestedLoopJoin" in plan:
+        below = plan.split("BroadcastNestedLoopJoin", 1)[1]
+        assert "HashAggregate" in below.split("BroadcastExchange", 2)[1], plan
