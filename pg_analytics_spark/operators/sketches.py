@@ -344,3 +344,62 @@ def hist_quantiles(
         .selectExpr("q", f"round({est}, 6) AS est")
         .orderBy("q")
     )
+
+
+def hll_build_grouped(
+    items: DataFrame,
+    hash_col: str,
+    group_cols: list[str],
+    *,
+    precision: int = 8,
+) -> DataFrame:
+    """Per-group HLL registers: (group_cols…, bucket, rho) with at most
+    2^precision rows PER GROUP.  The per-day/per-tenant distinct
+    sketch — group sketches re-max into coarser rollups (day→month→
+    total) without touching data, the rollup-tree property
+    `tests/test_sketches.py` pins."""
+    if not 4 <= precision <= 16:
+        raise ValueError("precision must be in [4, 16]")
+    rem_bits = 32 - precision
+    bucket = f"CAST(({hash_col} div {1 << rem_bits}) AS BIGINT)"
+    rem = f"({hash_col} % {1 << rem_bits})"
+    return (
+        items.selectExpr(
+            *group_cols,
+            f"{bucket} AS bucket",
+            f"{hll_rho_sql(rem, rem_bits)} AS rho",
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame,
+    group_cols: list[str],
+    *,
+    precision: int = 8,
+) -> DataFrame:
+    """Raw HLL estimate per group from grouped registers — the same
+    exact-dyadic Z sum + single division as hll_estimate, one row per
+    group (group_cols…, nonzero_buckets, hll_est)."""
+    m = 1 << precision
+    am2 = hll_alpha_m2(precision)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("nonzero_buckets"),
+        F.sum(
+            F.expr("1.0D / CAST(SHIFTLEFT(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_present"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("nonzero_buckets").cast("bigint").alias("nonzero_buckets"),
+        F.round(
+            F.lit(am2)
+            / (
+                F.col("z_present")
+                + (F.lit(m) - F.col("nonzero_buckets")).cast("double")
+            ),
+            4,
+        ).alias("hll_est"),
+    )

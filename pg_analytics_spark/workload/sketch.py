@@ -322,3 +322,72 @@ def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "total_tokens BIGINT, nonzero_buckets BIGINT, hll_est DOUBLE",
     )
+
+
+def _hll_daily_oracle() -> str:
+    m = 1 << _HLL_P
+    rem_bits = 32 - _HLL_P
+    am2 = hll_alpha_m2(_HLL_P)
+    h32 = "(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT)"
+    return f"""
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id, {h32} AS h32 FROM events),
+    slots AS (
+      SELECT day, h32 // {1 << rem_bits} AS bucket,
+             CASE WHEN h32 % {1 << rem_bits} = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits} + 1 - length(bin(h32 % {1 << rem_bits}))
+             END AS rho
+      FROM ev
+    ),
+    regs AS (SELECT day, bucket, MAX(rho) AS rho FROM slots GROUP BY day, bucket),
+    agg AS (
+      SELECT day, COUNT(*)::BIGINT AS nonzero_buckets,
+             SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS z_present
+      FROM regs GROUP BY day
+    ),
+    exact AS (
+      SELECT day, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM ev GROUP BY day
+    )
+    SELECT a.day, e.exact_distinct, a.nonzero_buckets,
+           ROUND(CAST('{am2!r}' AS DOUBLE)
+                 / (a.z_present + CAST({m} - a.nonzero_buckets AS DOUBLE)), 4)
+             AS hll_est
+    FROM agg a JOIN exact e USING (day)
+    ORDER BY day
+    """
+
+
+@register(
+    "sketch_hll_daily_users",
+    oracle=_hll_daily_oracle(),
+    doc="Per-day distinct-user HLL — the sketch-per-group rollup-tree "
+    "shape: one (day, bucket) register relation answers every day's "
+    "distinct count, and re-maxing day registers rolls up to "
+    "week/month/total WITHOUT re-touching events "
+    "(tests/test_sketches.py pins rollup == direct-build).  Estimates "
+    "are value-exact cross-engine (exact-dyadic Z + one division), "
+    "exact COUNT(DISTINCT) beside them shows the per-day error.  "
+    "Scale: the shuffle carries <= days × 2^p register rows — the "
+    "daily-active-users query over 100 TB of events in one pass.",
+)
+def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        shingle_hash32(F.col("user_id").cast("string")).alias("h32"),
+    )
+    regs = hll_build_grouped(ev, "h32", ["day"], precision=_HLL_P)
+    est = hll_estimate_grouped(regs, ["day"], precision=_HLL_P)
+    exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "exact_distinct", "nonzero_buckets", "hll_est")
+        .orderBy("day")
+    )

@@ -159,3 +159,21 @@ def test_cms_out_of_vocabulary_estimates_from_zero_counters(spark, tokens):
     )
     est = cms_estimate(sketch, probe, "h32", depth=4, width=1 << 16)
     assert est.collect()[0]["cms_est"] == 0
+
+
+def test_hll_grouped_rollup_equals_direct_build(spark):
+    """Day-level registers re-maxed across days == registers built
+    directly on the whole corpus: the rollup-tree property that lets
+    day→month→total distinct counts come from sketches alone."""
+    from pg_analytics_spark.operators.sketches import hll_build_grouped
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "CAST(ts AS DATE) AS day",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS h32",
+    )
+    daily = hll_build_grouped(ev, "h32", ["day"], precision=6)
+    rolled = daily.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct = hll_build(ev.select("h32"), "h32", precision=6)
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
