@@ -261,13 +261,18 @@ def _decode_props(blob: bytes, columns):
 
 def _rtree_size(num_items: int, node_size: int) -> int:
     """Byte size of the packed Hilbert R-tree (spec: 40-byte nodes,
-    levels of ceil(n/node_size) up to the root)."""
+    levels of ceil(n/node_size) up to the root).  DO-WHILE like the
+    reference implementation: even a single-feature tree has a leaf
+    AND a root level (2 nodes) — a plain while-loop undercounts that
+    case and would mis-seek the first feature."""
     node_size = min(max(node_size, 2), 65535)
     n = num_items
     total = n
-    while n != 1:
+    while True:
         n = (n + node_size - 1) // node_size
         total += n
+        if n == 1:
+            break
     return total * 40
 
 

@@ -482,3 +482,59 @@ def test_fgb_feature_count_mismatch_rejected(spark, tmp_path):
     bad.write_bytes(trunc)
     with pytest.raises(UnsupportedFormat, match="promises"):
         read_fgb(str(bad))
+
+
+def test_fgb_rtree_size_matches_reference_levels():
+    """Spec do-while node counting: a single feature still has leaf +
+    root (2 nodes = 80 bytes); level sums match ceil-division chains."""
+    from pg_analytics_spark.sources.flatgeobuf import _rtree_size
+
+    assert _rtree_size(1, 16) == 2 * 40
+    assert _rtree_size(16, 16) == (16 + 1) * 40
+    assert _rtree_size(17, 16) == (17 + 2 + 1) * 40
+    assert _rtree_size(256, 16) == (256 + 16 + 1) * 40
+    assert _rtree_size(257, 16) == (257 + 17 + 2 + 1) * 40
+
+
+def test_fgb_reader_skips_index_region(spark, tmp_path):
+    """A file with index_node_size > 0 must skip exactly the computed
+    index bytes before the first feature.  Build one by splicing an
+    all-zero index blob of the spec size into a written fixture and
+    patching the header's index_node_size field."""
+    import struct as _s
+
+    from pg_analytics_spark.sources.flatgeobuf import (
+        CT_STRING,
+        _rtree_size,
+        read_fgb,
+        write_fgb,
+    )
+
+    p = str(tmp_path / "noindex.fgb")
+    rows = [(["a"], ("POINT", (1.0, 2.0))), (["b"], ("POINT", (3.0, 4.0)))]
+    write_fgb(p, [("name", CT_STRING)], rows)
+    raw = bytearray(open(p, "rb").read())
+    o = 8
+    hlen = _s.unpack_from("<I", raw, o)[0]
+    header = bytes(raw[o + 4 : o + 4 + hlen])
+    # patch index_node_size (field 9) from 0 to 16 inside the header
+    # flatbuffer via its vtable
+    root = _s.unpack_from("<I", header, 0)[0]
+    soff = _s.unpack_from("<i", header, root)[0]
+    vt = root - soff
+    slot = _s.unpack_from("<H", header, vt + 4 + 2 * 9)[0]
+    assert slot != 0  # writer emits the field explicitly
+    patched = bytearray(header)
+    _s.pack_into("<H", patched, root + slot, 16)
+    index = b"\0" * _rtree_size(len(rows), 16)
+    out = bytes(raw[:o + 4]) + bytes(patched) + index + bytes(
+        raw[o + 4 + hlen :]
+    )
+    p2 = str(tmp_path / "withindex.fgb")
+    open(p2, "wb").write(out)
+    cols, feats = read_fgb(p2)
+    assert [pr[0] for pr, _ in feats] == ["a", "b"]
+    assert [g for _, g in feats] == [
+        ("POINT", (1.0, 2.0)),
+        ("POINT", (3.0, 4.0)),
+    ]
