@@ -140,6 +140,27 @@ def main() -> None:
         methods["int8 ivf p=2"] = lambda qv: ivf_ann_topk(
             dq, "embedding", "vec_id", qv, k=k, n_probes=2
         )
+    if "--pq" in sys.argv:
+        # product quantization: trained codebooks, ADC-only vs the
+        # ADC->exact-re-rank production shape.  ADC approximates the
+        # DOT product; on L2-normalized corpora (--gmm) dot == cosine,
+        # so the exact-truth comparison is metric-clean there.
+        from pg_analytics_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_topk_rerank,
+            train_pq_codebooks,
+        )
+
+        dim = len(emb.select("embedding").first()[0])
+        books = train_pq_codebooks(
+            emb, "embedding", dim, m_subs=8, n_codes=16, n_iters=3
+        )
+        methods["pq adc (8x16)"] = lambda qv: pq_adc_topk(
+            emb, "embedding", "vec_id", qv, books, k=k
+        )
+        methods["pq adc+rerank C=100"] = lambda qv: pq_topk_rerank(
+            emb, "embedding", "vec_id", qv, books, k=k, n_candidates=100
+        )
     stats = {m: [] for m in methods}
     walls = dict.fromkeys(["exact", *methods], 0.0)
     for q in qrows:
