@@ -702,3 +702,60 @@ def pq_topk_rerank(
         .orderBy(F.desc("dot"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    *,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probes: int = 2,
+    n_candidates: int = 100,
+) -> DataFrame:
+    """IVF+PQ — the production composition for corpora where even one
+    compressed full pass is too much: probe the query's ``n_probes``
+    best IVF cells (trained `centroids`), ADC-rank the probed rows'
+    PQ codes (trained `codebooks`), exactly re-rank the top
+    ``n_candidates``.  Output (id, dot) like pq_topk_rerank.
+
+    Cost at 100 TB: the cell filter prunes to n_probes/n_cells of the
+    corpus (a PARTITION filter under an ivf_layout), the ADC pass
+    reads m_subs bytes/vector of THAT slice, and the exact pass
+    touches n_candidates rows.  Recall dials: n_probes (coverage) ×
+    n_candidates (fine re-rank) — measured in tests/test_pq.py;
+    tools/recall_probe.py --gmm --pq has the component tables.
+    """
+    probe_cells = _probe_cell_ids(query_vec, np.asarray(centroids), n_probes)
+    m_subs, _, sub_dim = codebooks.shape
+    luts = pq_luts(query_vec, codebooks)
+    terms = []
+    for m in range(m_subs):
+        arr = ", ".join(f"{v!r}D" for v in luts[m])
+        code = _argmin_dist_sql(_sub_slice(vec_col, m, sub_dim), codebooks[m])
+        terms.append(f"element_at(array({arr}), {code})")
+    adc = "(" + " + ".join(f"({t})" for t in terms) + ")"
+    probed = df.withColumn(
+        "_cell", _cell_col(vec_col, np.asarray(centroids))
+    ).filter(F.col("_cell").isin(probe_cells))
+    cand = (
+        probed.select(F.col(id_col), F.expr(f"round({adc}, 6)").alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(n_candidates)
+        .select(id_col)
+    )
+    q = _query_lit(query_vec)
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, __q, "
+        "(x, w) -> cast(x AS double) * w), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        df.join(cand, id_col)
+        .withColumn("__q", q)
+        .select(F.col(id_col), F.round(dot, 6).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc(id_col))
+        .limit(k)
+    )

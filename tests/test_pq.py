@@ -131,3 +131,55 @@ def test_pq_encode_is_deterministic(emb):
     a = sorted(map(tuple, pq_encode(emb, "embedding", "vec_id", books).collect()))
     b = sorted(map(tuple, pq_encode(emb, "embedding", "vec_id", books).collect()))
     assert a == b
+
+
+def test_ivfpq_composition_recall_and_containment(emb, spark):
+    """IVF+PQ: probing MORE cells (coverage dial) must not lose recall
+    vs fewer cells at the same C, and full-probe IVF+PQ at large C
+    approaches the pure re-rank result."""
+    from pg_analytics_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    cents = train_ivf_centroids(emb, "embedding", DIM, n_cells=8, n_iters=2)
+    books = train_pq_codebooks(
+        emb, "embedding", DIM, m_subs=8, n_codes=16, n_iters=2
+    )
+    ws = ", ".join(f"{float(x)!r}D" for x in qvec)
+    exact = set(
+        r["vec_id"]
+        for r in emb.selectExpr(
+            "vec_id",
+            f"aggregate(zip_with(embedding, array({ws}), "
+            "(x, w) -> cast(x AS double) * w), 0.0D, (acc, x) -> acc + x) AS dot",
+        )
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(10)
+        .collect()
+    )
+
+    def recall(n_probes, C):
+        got = set(
+            r["vec_id"]
+            for r in ivfpq_topk(
+                emb, "embedding", "vec_id", qvec,
+                centroids=cents, codebooks=books,
+                k=10, n_probes=n_probes, n_candidates=C,
+            ).collect()
+        )
+        return len(got & exact) / 10
+
+    r2 = recall(2, 100)
+    r8 = recall(8, 100)
+    assert r8 >= r2  # probing every cell can only help at fixed C
+    # full probe + large C must equal the plain ADC re-rank
+    full = recall(8, 200)
+    rerank = set(
+        r["vec_id"]
+        for r in pq_topk_rerank(
+            emb, "embedding", "vec_id", qvec, books, k=10, n_candidates=200
+        ).collect()
+    )
+    assert full == len(rerank & exact) / 10
