@@ -10,7 +10,11 @@ native replay reader (sources/delta.py) AND any standard Delta client:
 * ``overwrite`` — one commit carrying remove actions for every
   previously-active file plus add actions for the new files (the
   protocol's logical replace; old versions stay time-travelable).
-* ``append``    — one commit of add actions only.
+* ``append``    — one commit of add actions; delta-spark schema
+  semantics: missing NULLABLE columns fill with typed nulls, NEW
+  columns need the ``mergeSchema`` option and ride an updated
+  metaData action (old files read back with nulls via the reader's
+  name-based evolution).
 * hive partitioning via ``partition_by`` (partitionValues recorded as
   the protocol's string map, files laid out in ``col=value`` dirs).
 * per-file ``stats`` JSON (numRecords / minValues / maxValues for
@@ -94,6 +98,86 @@ def _schema_shape(schema_string: str) -> list[tuple]:
         (f.get("name"), json.dumps(f.get("type"), sort_keys=True))
         for f in fields
     ]
+
+
+def _truthy_opt(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def _conform_append_schema(df, prev_schema: str, *, merge_schema: bool):
+    """Align an append dataframe with the table schema, delta-spark
+    semantics:
+
+    * columns the table has but the dataframe lacks → allowed when
+      NULLABLE, filled with typed nulls (schema enforcement fills, it
+      never drops);
+    * overlapping columns must match types exactly;
+    * NEW dataframe columns → only with the ``mergeSchema`` option,
+      appended (nullable) after the table's columns — the caller rides
+      an updated metaData action so old files read back with nulls
+      (the reader's NAME-based evolution, sources/delta.py).
+
+    Returns (conformed df in table-column order [+ new columns],
+    evolved schemaString when new columns were merged, else None).
+    """
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.delta import _delta_type_to_spark
+
+    prev_fields = json.loads(prev_schema).get("fields", [])
+    df_fields = {f.name: f for f in df.schema.fields}
+    df_shape = {
+        f[0]: f[1] for f in _schema_shape(df.schema.json())
+    }
+    prev_shape = {f[0]: f[1] for f in _schema_shape(prev_schema)}
+    cols = []
+    for pf in prev_fields:
+        name = pf["name"]
+        if name in df_fields:
+            if df_shape[name] != prev_shape[name]:
+                raise UnsupportedFormat(
+                    f"delta append type mismatch on {name!r}: table has "
+                    f"{prev_shape[name]}, dataframe has {df_shape[name]}"
+                )
+            cols.append(F.col(name))
+        elif pf.get("nullable", True):
+            cols.append(
+                F.lit(None)
+                .cast(_delta_type_to_spark(pf["type"]))
+                .alias(name)
+            )
+        else:
+            raise UnsupportedFormat(
+                f"delta append missing NON-NULL column {name!r} — the "
+                "table schema requires a value"
+            )
+    new_names = [
+        f.name for f in df.schema.fields if f.name not in prev_shape
+    ]
+    if new_names and not merge_schema:
+        raise UnsupportedFormat(
+            f"delta append has new columns {new_names} — pass "
+            "options={'mergeSchema': 'true'} to evolve the table "
+            "schema (delta-spark semantics), or drop them"
+        )
+    cols += [F.col(n) for n in new_names]
+    out = df.select(*cols)
+    if not new_names:
+        return out, None
+    # evolved metaData: table fields as-is + new fields appended with
+    # nullable FORCED true — older files have no values for them, so
+    # the schema must admit nulls regardless of the append dataframe's
+    # own (possibly literal-non-null) nullability
+    out_fields = {
+        f["name"]: f for f in json.loads(out.schema.json())["fields"]
+    }
+    evolved_fields = list(prev_fields) + [
+        {**out_fields[n], "nullable": True} for n in new_names
+    ]
+    evolved = json.dumps(
+        {"type": "struct", "fields": evolved_fields}
+    )
+    return out, evolved
 
 
 def _partition_values(rel_path: str) -> dict[str, str]:
@@ -306,6 +390,7 @@ def write_delta(
         mode = "overwrite"  # first commit of a fresh table
 
     prev_meta = None
+    append_evolved_schema = None
     if version > 0:
         from pg_analytics_spark.sources.delta import _replay_log
 
@@ -326,16 +411,14 @@ def write_delta(
             if prev_schema is not None and _schema_shape(
                 prev_schema
             ) != _schema_shape(schema_string):
-                have = [
-                    f.get("name")
-                    for f in json.loads(prev_schema).get("fields", [])
-                ]
-                raise UnsupportedFormat(
-                    f"delta append schema mismatch: table has {have}, "
-                    f"dataframe has {[f.name for f in df.schema.fields]} "
-                    "(appending a different shape would read back with "
-                    "NULLed/dropped columns)"
+                df, append_evolved_schema = _conform_append_schema(
+                    df,
+                    prev_schema,
+                    merge_schema=_truthy_opt(
+                        (options or {}).get("mergeSchema")
+                    ),
                 )
+                schema_string = df.schema.json()
 
     # ---- data files: distributed parquet write into a staging dir,
     # then atomically moved into the table tree with unique names.
@@ -351,7 +434,9 @@ def write_delta(
     )
     writer = staged.write.mode("overwrite")
     if options:
-        writer = writer.options(**options)
+        fwd = {k: v for k, v in options.items() if k != "mergeSchema"}
+        if fwd:
+            writer = writer.options(**fwd)
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
@@ -452,6 +537,25 @@ def write_delta(
                     }
                 }
             )
+    elif mode == "append" and append_evolved_schema is not None:
+        # mergeSchema append: the widened schema rides the commit; old
+        # files read back with nulls for the new columns (the reader's
+        # NAME-based evolution)
+        actions.append(
+            {
+                "metaData": {
+                    "id": (prev_meta or {}).get("id") or str(uuid.uuid4()),
+                    "format": (prev_meta or {}).get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": append_evolved_schema,
+                    "partitionColumns": part_cols,
+                    "configuration": (prev_meta or {}).get("configuration")
+                    or {},
+                    "createdTime": (prev_meta or {}).get("createdTime")
+                    or now_ms,
+                }
+            }
+        )
     actions.extend(adds)
 
     os.makedirs(log_dir, exist_ok=True)

@@ -2063,7 +2063,7 @@ def test_delta_writer_append_guards_and_overwrite_evolution(spark, tmp_path):
             spark.range(3).selectExpr("id", "CAST(0 AS INT) AS k"),
             root, mode="append", partition_by="id",
         )
-    with pytest.raises(UnsupportedFormat, match="schema mismatch"):
+    with pytest.raises(UnsupportedFormat, match="new columns"):
         write_delta(
             spark.range(3).selectExpr("id", "CAST(1 AS INT) AS other"),
             root, mode="append",
@@ -2231,3 +2231,89 @@ def test_iceberg_partition_spec_evolution_mints_new_spec(spark, tmp_path):
         partition_by=[],
     )
     assert load_source(spark, root2, "iceberg").count() == 5
+
+
+def test_delta_append_schema_evolution(spark, tmp_path):
+    """delta-spark append semantics on the native writer: missing
+    nullable columns null-fill; NEW columns require mergeSchema and
+    ride an updated metaData action so OLD files read back with nulls
+    (the reader's name-based evolution)."""
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "evolve")
+    write_delta(
+        # IF keeps v NULLABLE (a plain cast of range's id is not)
+        spark.range(3).selectExpr(
+            "id", "IF(id >= 0, CAST(id * 10 AS LONG), NULL) AS v"
+        ),
+        root,
+        mode="overwrite",
+    )
+
+    # missing nullable column -> filled with nulls, column order kept
+    write_delta(spark.range(3, 5).selectExpr("id"), root, mode="append")
+    got = {
+        r["id"]: r["v"]
+        for r in load_source(spark, root, "delta").collect()
+    }
+    assert got[1] == 10 and got[3] is None and len(got) == 5
+
+    # new column without mergeSchema -> loud rejection
+    with _pytest.raises(UnsupportedFormat, match="mergeSchema"):
+        write_delta(
+            spark.range(5, 6).selectExpr("id", "'x' AS tag"),
+            root,
+            mode="append",
+        )
+
+    # new column WITH mergeSchema -> schema evolves; old rows null
+    write_delta(
+        spark.range(5, 7).selectExpr(
+            "id", "IF(id >= 0, CAST(id * 10 AS LONG), NULL) AS v",
+            "'new' AS tag"
+        ),
+        root,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    df = load_source(spark, root, "delta")
+    assert df.columns == ["id", "v", "tag"]
+    rows = {r["id"]: (r["v"], r["tag"]) for r in df.collect()}
+    assert len(rows) == 7
+    assert rows[0] == (0, None)       # pre-evolution file -> null tag
+    assert rows[3] == (None, None)    # null-filled append, pre-evolution
+    assert rows[6] == (60, "new")     # evolved append carries values
+
+    # a further plain append now conforms to the EVOLVED schema
+    write_delta(
+        spark.range(7, 8).selectExpr(
+            "id", "IF(id >= 0, CAST(70 AS LONG), NULL) AS v"
+        ),
+        root,
+        mode="append",
+    )
+    rows = {
+        r["id"]: (r["v"], r["tag"])
+        for r in load_source(spark, root, "delta").collect()
+    }
+    assert rows[7] == (70, None)
+
+
+def test_delta_append_type_mismatch_still_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "strict")
+    write_delta(spark.range(2).selectExpr("id"), root, mode="overwrite")
+    with _pytest.raises(UnsupportedFormat, match="type mismatch"):
+        write_delta(
+            spark.range(2, 3).selectExpr("CAST(id AS STRING) AS id"),
+            root,
+            mode="append",
+        )
