@@ -17,8 +17,13 @@ sources/iceberg_prune.py's data skipping consumes), and
   snapshot's manifests plus the new one.
 
 Field ids are assigned 1..n on table creation and REUSED on append
-(resolved by name against the current schema — appending a different
-column set fails loudly).  Data files are written by executors; only
+(resolved by name against the current schema).  Append schema
+semantics mirror the Delta writer: missing OPTIONAL columns
+null-fill, overlapping columns must keep their type, and NEW columns
+require the ``mergeSchema`` option — they get FRESH field ids past
+last-column-id and a bumped schema id, so id-based readers surface
+nulls for them in pre-evolution files (the spec's add-column rule).
+Data files are written by executors; only
 the O(files) manifest/metadata construction is driver-side, the same
 disposition as every Iceberg writer.  Single-writer by design (no
 catalog/commit-race arbitration — same scope note as
@@ -37,6 +42,7 @@ from pyspark.sql import DataFrame
 
 from pg_analytics_spark.errors import UnsupportedFormat
 from pg_analytics_spark.sources.avro import read_container, write_container
+from pg_analytics_spark.sources.delta_write import _truthy_opt
 
 #: Spark typeName → Iceberg primitive type (inverse of the reader map)
 _SPARK_TO_ICE = {
@@ -294,44 +300,116 @@ def write_iceberg(
         want = {(f.name, _ice_type(f)) for f in df.schema.fields}
         if have != want:
             if mode == "append":
-                raise UnsupportedFormat(
-                    f"iceberg append schema mismatch: table has "
-                    f"{sorted(have)}, dataframe has {sorted(want)} "
-                    "(append to the existing shape, or overwrite to "
-                    "evolve the schema)"
+                # delta-writer-symmetric append semantics: missing
+                # OPTIONAL table columns null-fill; overlapping names
+                # must keep their type; NEW columns need mergeSchema
+                # and evolve the schema with FRESH field ids (old data
+                # files simply lack the id — id-based readers surface
+                # nulls, the spec's add-column rule)
+                from pyspark.sql import functions as F
+
+                from pg_analytics_spark.sources.iceberg import (
+                    _ice_to_spark_type,
                 )
-            # overwrite is a logical replace: evolve per the spec's
-            # rule — reuse the field id ONLY for a same-name column of
-            # the SAME type (a type change is drop+add: new id, since
-            # id-based readers would otherwise bind old data/bounds to
-            # the new type); fresh ids come from last-column-id, which
-            # stays MONOTONIC across drops so dropped ids are never
-            # reused.  NOTE the fallback reader conforms ALL snapshots
-            # to the CURRENT schema, so time travel across a shape-
-            # changing overwrite reads old files through the new schema
-            # (adds surface as NULLs) — documented reader limitation.
-            prev_ids = {(f["name"], f["type"]): f["id"] for f in fields}
-            next_id = prev_meta.get(
-                "last-column-id", max(f["id"] for f in fields)
-            )
-            new_fields = []
-            for f in df.schema.fields:
-                key = (f.name, _ice_type(f))
-                if key in prev_ids:
-                    fid_ = prev_ids[key]
-                else:
-                    next_id += 1
-                    fid_ = next_id
-                new_fields.append(
-                    {
-                        "id": fid_,
-                        "name": f.name,
-                        "type": _ice_type(f),
-                        "required": False,
-                    }
+
+                df_types = {f.name: _ice_type(f) for f in df.schema.fields}
+                cols = []
+                for tf in fields:
+                    name = tf["name"]
+                    if name in df_types:
+                        if df_types[name] != tf["type"]:
+                            raise UnsupportedFormat(
+                                f"iceberg append type mismatch on "
+                                f"{name!r}: table has {tf['type']}, "
+                                f"dataframe has {df_types[name]}"
+                            )
+                        cols.append(F.col(name))
+                    elif tf.get("required"):
+                        raise UnsupportedFormat(
+                            f"iceberg append missing REQUIRED column "
+                            f"{name!r}"
+                        )
+                    else:
+                        spark_t = _ice_to_spark_type(tf["type"])
+                        if spark_t is None:
+                            raise UnsupportedFormat(
+                                f"iceberg append cannot null-fill "
+                                f"{name!r} ({tf['type']})"
+                            )
+                        cols.append(
+                            F.lit(None).cast(spark_t).alias(name)
+                        )
+                table_names = {f["name"] for f in fields}
+                new_sfields = [
+                    f for f in df.schema.fields
+                    if f.name not in table_names
+                ]
+                if new_sfields and not _truthy_opt(
+                    (options or {}).get("mergeSchema")
+                ):
+                    raise UnsupportedFormat(
+                        "iceberg append has new columns "
+                        f"{[f.name for f in new_sfields]} — pass "
+                        "options={'mergeSchema': 'true'} to evolve the "
+                        "table schema, or drop them"
+                    )
+                if new_sfields:
+                    next_id = prev_meta.get(
+                        "last-column-id", max(f["id"] for f in fields)
+                    )
+                    fields = list(fields)
+                    for f in new_sfields:
+                        next_id += 1
+                        fields.append(
+                            {
+                                "id": next_id,
+                                "name": f.name,
+                                "type": _ice_type(f),
+                                "required": False,
+                            }
+                        )
+                        cols.append(F.col(f.name))
+                    schema_id = (
+                        max(s.get("schema-id", 0) for s in prev_schemas)
+                        + 1
+                    )
+                df = df.select(*cols)
+            else:
+                # overwrite is a logical replace: evolve per the spec's
+                # rule — reuse the field id ONLY for a same-name column
+                # of the SAME type (a type change is drop+add: new id,
+                # since id-based readers would otherwise bind old
+                # data/bounds to the new type); fresh ids come from
+                # last-column-id, which stays MONOTONIC across drops so
+                # dropped ids are never reused.  NOTE the fallback
+                # reader conforms ALL snapshots to the CURRENT schema,
+                # so time travel across a shape-changing overwrite
+                # reads old files through the new schema (adds surface
+                # as NULLs) — documented reader limitation.
+                prev_ids = {(f["name"], f["type"]): f["id"] for f in fields}
+                next_id = prev_meta.get(
+                    "last-column-id", max(f["id"] for f in fields)
                 )
-            fields = new_fields
-            schema_id = max(s.get("schema-id", 0) for s in prev_schemas) + 1
+                new_fields = []
+                for f in df.schema.fields:
+                    key = (f.name, _ice_type(f))
+                    if key in prev_ids:
+                        fid_ = prev_ids[key]
+                    else:
+                        next_id += 1
+                        fid_ = next_id
+                    new_fields.append(
+                        {
+                            "id": fid_,
+                            "name": f.name,
+                            "type": _ice_type(f),
+                            "required": False,
+                        }
+                    )
+                fields = new_fields
+                schema_id = (
+                    max(s.get("schema-id", 0) for s in prev_schemas) + 1
+                )
 
     fid = {f["name"]: f["id"] for f in fields}
     ftype = {f["name"]: f["type"] for f in fields}
@@ -428,13 +506,15 @@ def write_iceberg(
         for dc, c in zip(dir_cols, part_cols):
             out_df = out_df.withColumn(dc, F.col(c))
         writer = out_df.write.mode("overwrite")
-        if options:
-            writer = writer.options(**options)
+        fwd = {k: v for k, v in (options or {}).items() if k != "mergeSchema"}
+        if fwd:
+            writer = writer.options(**fwd)
         writer.partitionBy(*dir_cols).parquet(staging)
     else:
         writer = out_df.write.mode("overwrite")
-        if options:
-            writer = writer.options(**options)
+        fwd = {k: v for k, v in (options or {}).items() if k != "mergeSchema"}
+        if fwd:
+            writer = writer.options(**fwd)
         writer.parquet(staging)
     os.makedirs(data_dir, exist_ok=True)
     entries = []

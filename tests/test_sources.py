@@ -1937,7 +1937,8 @@ def test_iceberg_writer_append_schema_mismatch_rejected(spark, tmp_path):
 
     root = str(tmp_path / "iw2")
     write_iceberg(spark.range(3).selectExpr("id"), root)
-    with pytest.raises(UnsupportedFormat, match="schema mismatch"):
+    # new columns now need the explicit mergeSchema opt-in
+    with pytest.raises(UnsupportedFormat, match="mergeSchema"):
         write_iceberg(
             spark.range(3).selectExpr("id", "id AS other"), root, mode="append"
         )
@@ -2317,3 +2318,80 @@ def test_delta_append_type_mismatch_still_rejected(spark, tmp_path):
             root,
             mode="append",
         )
+
+
+def test_iceberg_append_schema_evolution(spark, tmp_path):
+    """Iceberg-writer twin of the delta append semantics: missing
+    OPTIONAL columns null-fill; NEW columns need mergeSchema, get
+    FRESH field ids past last-column-id, and bump the schema id — old
+    data files lack the id so id-based readers surface nulls."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    root = str(tmp_path / "ice_evolve")
+    write_iceberg(
+        spark.range(3).selectExpr(
+            "id", "IF(id >= 0, CAST(id * 10 AS LONG), NULL) AS v"
+        ),
+        root,
+        mode="overwrite",
+    )
+
+    # missing optional column -> null-filled
+    write_iceberg(spark.range(3, 5).selectExpr("id"), root, mode="append")
+    got = {
+        r["id"]: r["v"] for r in load_source(spark, root, "iceberg").collect()
+    }
+    assert got[1] == 10 and got[3] is None and len(got) == 5
+
+    with _pytest.raises(UnsupportedFormat, match="mergeSchema"):
+        write_iceberg(
+            spark.range(5, 6).selectExpr("id", "'x' AS tag"),
+            root,
+            mode="append",
+        )
+    with _pytest.raises(UnsupportedFormat, match="type mismatch"):
+        write_iceberg(
+            spark.range(5, 6).selectExpr(
+                "id", "CAST(id AS STRING) AS v"
+            ),
+            root,
+            mode="append",
+        )
+
+    write_iceberg(
+        spark.range(5, 7).selectExpr(
+            "id", "IF(id >= 0, CAST(id * 10 AS LONG), NULL) AS v",
+            "'new' AS tag"
+        ),
+        root,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    df = load_source(spark, root, "iceberg")
+    assert df.columns == ["id", "v", "tag"]
+    rows = {r["id"]: (r["v"], r["tag"]) for r in df.collect()}
+    assert len(rows) == 7
+    assert rows[0] == (0, None)
+    assert rows[3] == (None, None)
+    assert rows[6] == (60, "new")
+
+    # metadata integrity: fresh id past last-column-id, schema-id bumped
+    import glob as _glob
+
+    meta = _json.load(
+        open(sorted(_glob.glob(f"{root}/metadata/v*.metadata.json"))[-1])
+    )
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert ids["tag"] == 3 and meta["last-column-id"] == 3
+    assert meta["current-schema-id"] == 1
+    assert {s["schema-id"] for s in meta["schemas"]} == {0, 1}
