@@ -206,7 +206,7 @@ class Engine:
             )
             if m.group("ord"):
                 q += f" ORDER BY {m.group('ord')}"
-            return self.spark.sql(q)
+            return self.spark.sql(rewrite_pg(q))
         m = _COPY_RE.match(query.strip())
         if m:
             # DuckDB `COPY (query) TO 'path' (FORMAT x)` text, verbatim
@@ -286,10 +286,23 @@ class Engine:
         ]
         if not vals:
             raise EngineError(f"PIVOT: no non-null values in {src}.{on}")
-        lits = ", ".join(
-            "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
-            for v in vals
-        )
+
+        def _lit(v) -> str:
+            # typed SQL literals: a bare str(date) would parse as
+            # integer arithmetic (2024-01-05 == 2018)
+            import datetime as _dt
+
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, _dt.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, _dt.date):
+                return f"DATE '{v.isoformat()}'"
+            return str(v)
+
+        lits = ", ".join(_lit(v) for v in vals)
         if grp:
             # project to GROUP BY cols + pivot col + agg operands so
             # Spark's implicit group-by (all non-pivot columns) matches
@@ -305,14 +318,41 @@ class Engine:
                 )
                 if nxt == "(":  # function name
                     continue
+                if nxt == ".":  # table qualifier of a qualified column
+                    continue
                 prev = next(
                     (t for k, t in reversed(toks[:i]) if k not in ("ws", "comment")),
                     None,
                 )
-                if prev == "as" or (prev and prev.lower() == "as"):
+                if prev and prev.lower() == "as":
                     continue  # alias, not an operand
+                if prev == "::":
+                    continue  # pg-cast TYPE name, not an operand
+                # qualified columns project by their BARE name (the
+                # qualifier dies with the subquery)
                 if text not in operands and text != on:
                     operands.append(text)
+            if any(t == ("op", ".") for t in toks):
+                # strip table qualifiers from the aggs ('t.col' →
+                # 'col') so they resolve against the projected bare
+                # columns; decimals are single number tokens, untouched
+                out_t = []
+                i2 = 0
+                while i2 < len(toks):
+                    kind, text = toks[i2]
+                    j2 = i2 + 1
+                    while j2 < len(toks) and toks[j2][0] in ("ws", "comment"):
+                        j2 += 1
+                    if (
+                        kind == "word"
+                        and j2 < len(toks)
+                        and toks[j2] == ("op", ".")
+                    ):
+                        i2 = j2 + 1  # drop qualifier and its dot
+                        continue
+                    out_t.append(toks[i2])
+                    i2 += 1
+                aggs = "".join(t for _, t in out_t)
             grp_cols = [g.strip() for g in grp.split(",")]
             proj_cols = list(grp_cols)
             for c in [on] + operands:
@@ -339,7 +379,8 @@ class Engine:
         )
         if order:
             q += f" ORDER BY {order}"
-        return self.spark.sql(q)
+        # the aggs/order came from user text: give them the dialect shim
+        return self.spark.sql(rewrite_pg(q))
 
     # ------------------------------------------------------------------ #
     # Views (U2 — CREATE VIEW pushdown, src/hooks/utility/view.rs:31-98)
@@ -744,8 +785,10 @@ class Engine:
         quartiles/count/null% in ONE aggregate job.  Accepts a table
         name or any SELECT."""
         q = table_or_query.strip()
-        df = self.sql(q) if q.lower().startswith(("select", "with")) else (
-            self.spark.table(q)
+        df = (
+            self.sql(q)
+            if q.lower().startswith(("select", "with", "from"))
+            else self.spark.table(q)
         )
         return _summarize(self.spark, df)
 

@@ -32,13 +32,13 @@ EOW = "</w>"
 
 def word_table(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n) frequency table — the ONE corpus-scale pass.  Words
-    are lowercased whitespace tokens; `n` is total occurrences."""
+    are the shared lowercased whitespace tokens (functions/text.py —
+    one tokenizer everywhere, so a tweak there cannot desynchronize
+    the BPE corpus statistics from the rest of the pipeline)."""
+    from pg_analytics_spark.functions.text import tokens
+
     return (
-        df.select(
-            F.explode(
-                F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-            ).alias("word")
-        )
+        df.select(F.explode(tokens(F.lower(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -113,6 +113,7 @@ def train_bpe(
     """
     words = initial_symbols(word_table(df, text_col)).select("n", "syms")
     words = words.persist()
+    prev = None
     merges: list[tuple[str, str, int]] = []
     try:
         for r in range(n_merges):
@@ -122,6 +123,13 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            # the collect above MATERIALIZED words' cache — only now is
+            # the previous round's cache safe to drop (unpersisting it
+            # before any action on the child would force the next
+            # round to recompute the whole fold chain from scratch)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["cnt"] <= 0:
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
@@ -129,10 +137,11 @@ def train_bpe(
             nxt = words.withColumn("syms", merge_pair_col(a, b))
             if (r + 1) % 8 == 0:
                 nxt = nxt.localCheckpoint(eager=True)
-            old, words = words, nxt.persist()
-            old.unpersist()
+            prev, words = words, nxt.persist()
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -636,6 +636,39 @@ def pq_luts(query_vec, codebooks: np.ndarray) -> list[list[float]]:
     return luts
 
 
+def _pq_adc_sql(vec_col: str, codebooks: np.ndarray, luts) -> str:
+    """The ADC score expression shared by pq_adc_topk and ivfpq_topk:
+    per subspace, a codegen argmin fold picks the code and a literal
+    LUT lookup scores it; the m_subs terms sum left-to-right (fixed
+    association — deterministic and oracle-replicable)."""
+    m_subs, _, sub_dim = codebooks.shape
+    terms = []
+    for m in range(m_subs):
+        arr = ", ".join(f"{v!r}D" for v in luts[m])
+        code = _argmin_dist_sql(_sub_slice(vec_col, m, sub_dim), codebooks[m])
+        terms.append(f"element_at(array({arr}), {code})")
+    return "(" + " + ".join(f"({t})" for t in terms) + ")"
+
+
+def _exact_dot_topk(
+    df: DataFrame, cand: DataFrame, vec_col: str, id_col: str, query_vec, k: int
+) -> DataFrame:
+    """Exact inner-product re-rank of `cand` (an id relation) — the
+    final stage shared by pq_topk_rerank and ivfpq_topk."""
+    q = _query_lit(query_vec)
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, __q, "
+        "(x, w) -> cast(x AS double) * w), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        df.join(cand, id_col)
+        .withColumn("__q", q)
+        .select(F.col(id_col), F.round(dot, 6).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     vec_col: str,
@@ -656,14 +689,7 @@ def pq_adc_topk(
     recall).  The sum is a fixed left-to-right chain of m_subs
     additions — deterministic and oracle-replicable.
     """
-    m_subs, _, sub_dim = codebooks.shape
-    luts = pq_luts(query_vec, codebooks)
-    terms = []
-    for m in range(m_subs):
-        arr = ", ".join(f"{v!r}D" for v in luts[m])
-        code = _argmin_dist_sql(_sub_slice(vec_col, m, sub_dim), codebooks[m])
-        terms.append(f"element_at(array({arr}), {code})")
-    adc = "(" + " + ".join(f"({t})" for t in terms) + ")"
+    adc = _pq_adc_sql(vec_col, codebooks, pq_luts(query_vec, codebooks))
     return (
         df.select(F.col(id_col), F.expr(f"round({adc}, 6)").alias("adc"))
         .orderBy(F.desc("adc"), F.asc(id_col))
@@ -690,18 +716,7 @@ def pq_topk_rerank(
     cand = pq_adc_topk(
         df, vec_col, id_col, query_vec, codebooks, k=n_candidates
     ).select(id_col)
-    q = _query_lit(query_vec)
-    dot = F.expr(
-        f"aggregate(zip_with({vec_col}, __q, "
-        "(x, w) -> cast(x AS double) * w), 0.0D, (acc, x) -> acc + x)"
-    )
-    return (
-        df.join(cand, id_col)
-        .withColumn("__q", q)
-        .select(F.col(id_col), F.round(dot, 6).alias("dot"))
-        .orderBy(F.desc("dot"), F.asc(id_col))
-        .limit(k)
-    )
+    return _exact_dot_topk(df, cand, vec_col, id_col, query_vec, k)
 
 
 def ivfpq_topk(
@@ -730,14 +745,7 @@ def ivfpq_topk(
     tools/recall_probe.py --gmm --pq has the component tables.
     """
     probe_cells = _probe_cell_ids(query_vec, np.asarray(centroids), n_probes)
-    m_subs, _, sub_dim = codebooks.shape
-    luts = pq_luts(query_vec, codebooks)
-    terms = []
-    for m in range(m_subs):
-        arr = ", ".join(f"{v!r}D" for v in luts[m])
-        code = _argmin_dist_sql(_sub_slice(vec_col, m, sub_dim), codebooks[m])
-        terms.append(f"element_at(array({arr}), {code})")
-    adc = "(" + " + ".join(f"({t})" for t in terms) + ")"
+    adc = _pq_adc_sql(vec_col, codebooks, pq_luts(query_vec, codebooks))
     probed = df.withColumn(
         "_cell", _cell_col(vec_col, np.asarray(centroids))
     ).filter(F.col("_cell").isin(probe_cells))
@@ -747,15 +755,4 @@ def ivfpq_topk(
         .limit(n_candidates)
         .select(id_col)
     )
-    q = _query_lit(query_vec)
-    dot = F.expr(
-        f"aggregate(zip_with({vec_col}, __q, "
-        "(x, w) -> cast(x AS double) * w), 0.0D, (acc, x) -> acc + x)"
-    )
-    return (
-        df.join(cand, id_col)
-        .withColumn("__q", q)
-        .select(F.col(id_col), F.round(dot, 6).alias("dot"))
-        .orderBy(F.desc("dot"), F.asc(id_col))
-        .limit(k)
-    )
+    return _exact_dot_topk(df, cand, vec_col, id_col, query_vec, k)

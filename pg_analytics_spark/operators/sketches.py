@@ -110,7 +110,9 @@ def cms_estimate(
 
     Plan: explode the query's depth slots, LEFT join the (tiny,
     broadcast) sketch, min per query row — the corpus is never
-    rescanned.  Output keeps every query column + `cms_est`.
+    rescanned.  Output: one row per DISTINCT combination of the query
+    columns + `cms_est` (the grouped estimate collapses duplicate
+    query rows; probe with a key column when multiplicity matters).
     """
     slots = cms_slots_sql(hash_col, depth, width)
     qcols = queries.columns
@@ -337,8 +339,15 @@ def hist_quantiles(
         .filter(
             (F.expr("q * CAST(total AS DOUBLE)") <= F.col("cum").cast("double"))
             & (
-                F.expr("q * CAST(total AS DOUBLE)")
-                > F.col("cum_before").cast("double")
+                # rank > cum_before selects the bracketing bin; the
+                # cum_before = 0 arm keeps q = 0.0 from silently
+                # dropping (rank 0 still belongs to the first
+                # populated bin — only that bin has cum_before = 0)
+                (
+                    F.expr("q * CAST(total AS DOUBLE)")
+                    > F.col("cum_before").cast("double")
+                )
+                | (F.col("cum_before") == 0)
             )
         )
         .selectExpr("q", f"round({est}, 6) AS est")

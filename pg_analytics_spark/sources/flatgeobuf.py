@@ -326,19 +326,24 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
                 all_cols.append((name, ct))
         idx_map = [all_cols.index((name, ct)) for name, ct in columns]
         for props, geom in rows:
-            if geom is None:
-                continue
-            if box is not None and not box_intersects(envelope(geom), box):
-                continue
+            if box is not None and (
+                geom is None or not box_intersects(envelope(geom), box)
+            ):
+                continue  # envelope filter excludes null geometry (GDAL)
             remapped = {idx_map[ci]: v for ci, v in props.items()}
             feats.append((remapped, geom))
 
     rows_out = []
     for props, geom in feats:
         row = [props.get(i) for i in range(len(all_cols))]
-        row.append(to_wkt(geom))
+        # a geometry-less feature keeps its properties with NULL
+        # geometry — dropping the row would silently lose data (GDAL
+        # returns it with NULL geometry too)
+        row.append(to_wkt(geom) if geom is not None else None)
         if keep_wkb:
-            row.append(bytearray(to_wkb(geom)))
+            row.append(
+                bytearray(to_wkb(geom)) if geom is not None else None
+            )
         rows_out.append(tuple(row))
 
     parts = [f"`{name}` {_CT_SPARK[ct]}" for name, ct in all_cols]

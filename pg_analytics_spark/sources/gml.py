@@ -254,10 +254,10 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     keys: list[str] = []
     for path in files:
         for gml_id, props, geom in _features(path):
-            if geom is None:
-                continue
-            if box is not None and not box_intersects(envelope(geom), box):
-                continue
+            if box is not None and (
+                geom is None or not box_intersects(envelope(geom), box)
+            ):
+                continue  # envelope filter excludes null geometry (GDAL)
             for k in props:
                 if k not in keys:
                     keys.append(k)
@@ -266,9 +266,13 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
 
     rows = []
     for gml_id, props, geom in feats:
-        row = [gml_id] + [props.get(k) for k in keys] + [to_wkt(geom)]
+        # geometry-less features keep their properties (NULL geometry,
+        # GDAL's behavior) rather than silently vanishing
+        row = [gml_id] + [props.get(k) for k in keys] + [
+            to_wkt(geom) if geom is not None else None
+        ]
         if keep_wkb:
-            row.append(bytearray(to_wkb(geom)))
+            row.append(bytearray(to_wkb(geom)) if geom is not None else None)
         rows.append(tuple(row))
 
     parts = ["gml_id string"]

@@ -47,10 +47,13 @@ HLL_P = 8
 
 
 def _token_hashes(docs: DataFrame) -> DataFrame:
+    # the SHARED tokenizer (functions/text.py): the streaming state
+    # must equal the batch sketches bit-for-bit, so both sides go
+    # through one tokenization definition
+    from pg_analytics_spark.functions.text import tokens
+
     return docs.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("tok")
+        F.explode(tokens(F.lower("text"))).alias("tok")
     ).select(shingle_hash32(F.col("tok")).alias("h32"))
 
 

@@ -225,7 +225,8 @@ def stats_hist_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
          (VALUES (CAST('0.5' AS DOUBLE)), (CAST('0.9' AS DOUBLE)),
                  (CAST('0.99' AS DOUBLE))) qs(q)
     WHERE q * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
-      AND q * CAST(total AS DOUBLE) > CAST(cum_before AS DOUBLE)
+      AND (q * CAST(total AS DOUBLE) > CAST(cum_before AS DOUBLE)
+           OR cum_before = 0)
     ORDER BY q
     """,
     doc="Histogram-interpolated quantiles (p50/p90/p99 of extended "

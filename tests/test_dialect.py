@@ -592,3 +592,33 @@ def test_asof_join_executes_like_windowed_attribution(engine, spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_pivot_statement_date_values_render_as_typed_literals(engine, spark):
+    spark.sql(
+        "SELECT DATE '2024-01-05' + CAST(id % 2 AS INT) AS d, id FROM range(8)"
+    ).createOrReplaceTempView("pv_dates")
+    df = engine.sql("PIVOT pv_dates ON d USING count(id)")
+    # one column per date value, correctly quoted (no 2024-1-5 arithmetic)
+    assert {"2024-01-05", "2024-01-06"} <= set(df.columns)
+
+
+def test_pivot_statement_qualified_agg_operands(engine):
+    df = engine.sql(
+        "PIVOT nation ON n_regionkey USING sum(nation.n_nationkey) "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    assert df.count() == 25 and len(df.columns) == 6
+
+
+def test_pivot_statement_dialect_casts_in_aggs(engine):
+    df = engine.sql(
+        "PIVOT nation ON n_regionkey USING max(n_nationkey::int8) "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    assert df.count() == 25
+
+
+def test_summarize_from_first_query(engine):
+    prof = engine.sql("SUMMARIZE FROM region").collect()
+    assert {r["column_name"] for r in prof} >= {"r_regionkey", "r_name"}

@@ -177,3 +177,14 @@ def test_hll_grouped_rollup_equals_direct_build(spark):
     assert sorted(map(tuple, rolled.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hist_quantiles_q_zero_returns_first_bin(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents"
+    )
+    kw = dict(lo=0, hi=11_059_199, n_bins=32)
+    h = hist_build(li, "cents", **kw)
+    ests = {r["q"]: r["est"] for r in hist_quantiles(h, qs=[0.0, 0.5], **kw).collect()}
+    assert 0.0 in ests and 0.5 in ests  # q=0 no longer silently absent
+    assert ests[0.0] <= ests[0.5]

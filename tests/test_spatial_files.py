@@ -538,3 +538,26 @@ def test_fgb_reader_skips_index_region(spark, tmp_path):
         ("POINT", (1.0, 2.0)),
         ("POINT", (3.0, 4.0)),
     ]
+
+
+def test_gml_geometry_less_feature_keeps_properties(spark, tmp_path):
+    """A feature with no geometry keeps its row (NULL geometry, GDAL's
+    behavior) — unless a bbox filter is active, which excludes it."""
+    p = tmp_path / "nogeo.gml"
+    p.write_text(
+        """<fc xmlns:gml="http://www.opengis.net/gml">
+        <gml:featureMember><f gml:id="a"><name>hasgeo</name>
+          <g><gml:Point><gml:pos>1 2</gml:pos></gml:Point></g>
+        </f></gml:featureMember>
+        <gml:featureMember><f gml:id="b"><name>nogeo</name>
+        </f></gml:featureMember></fc>"""
+    )
+    df = load_source(spark, str(p), "spatial")
+    rows = {r["gml_id"]: r for r in df.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["geometry_wkt"] is None
+    assert rows["b"]["name"] == "nogeo"
+    boxed = load_source(
+        spark, str(p), "spatial", {"spatial_filter_box": "0,0,5,5"}
+    )
+    assert {r["gml_id"] for r in boxed.collect()} == {"a"}
