@@ -679,7 +679,8 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
     r"|string_to_array|starts_with|ends_with|unnest)\b"
-    r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b",
+    r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
+    r"|\busing\s+sample\b",
     re.IGNORECASE,
 )
 
@@ -688,6 +689,63 @@ _ASOF_STOP = frozenset(
     "where group order having limit offset qualify union intersect except "
     "join left right full inner cross asof window".split()
 )
+
+
+def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """DuckDB ``USING SAMPLE n% | n PERCENT | n ROWS [(method)]`` →
+    Spark ``TABLESAMPLE (n PERCENT|ROWS)``.  A method annotation
+    (bernoulli/system/reservoir) is dropped — Spark's TABLESAMPLE is
+    Bernoulli row sampling; reservoir's exact-count behavior maps to
+    the ROWS form.  Sampling is nondeterministic in BOTH engines, so
+    this is a syntax-acceptance rewrite, not an oracle-checkable one
+    (tests assert sample-size behavior, not values)."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        kind, text = tokens[i]
+        if not (kind == "word" and text.lower() == "using"):
+            out.append(tokens[i])
+            i += 1
+            continue
+        j = _next_code(tokens, i)
+        if j >= n or tokens[j][1].lower() != "sample":
+            out.append(tokens[i])
+            i += 1
+            continue
+        j = _next_code(tokens, j)
+        if j >= n or tokens[j][0] != "number":
+            raise UnsupportedDialect(
+                "USING SAMPLE: expected a number (n% / n PERCENT / n ROWS)"
+            )
+        num = tokens[j][1]
+        j2 = _next_code(tokens, j)
+        unit = None
+        if j2 < n and tokens[j2] == ("op", "%"):
+            unit, j = "PERCENT", j2
+        elif j2 < n and tokens[j2][0] == "word" and tokens[j2][1].lower() in (
+            "percent",
+            "rows",
+        ):
+            unit, j = tokens[j2][1].upper(), j2
+        else:
+            unit = "ROWS"  # DuckDB's bare `USING SAMPLE 15` means rows
+            j2 = j
+        # optional trailing (method)
+        k = _next_code(tokens, j)
+        if k < n and tokens[k] == ("op", "("):
+            depth = 0
+            while k < n:
+                if tokens[k] == ("op", "("):
+                    depth += 1
+                elif tokens[k] == ("op", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            j = k
+        out.append(("word", f" TABLESAMPLE ({num} {unit}) "))
+        i = j + 1
+    return out
 
 
 def _rewrite_asof_join(sql: str) -> str:
@@ -901,6 +959,7 @@ def rewrite_pg(sql: str) -> str:
     if re.search(r"\basof\s+(left\s+)?join\b", sql, re.IGNORECASE):
         sql = _rewrite_asof_join(sql)
     tokens = _tokenize(sql)
+    tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_arrows(tokens)
     tokens = _rewrite_casts(tokens)
     tokens = _rewrite_exclude(tokens)

@@ -622,3 +622,32 @@ def test_pivot_statement_dialect_casts_in_aggs(engine):
 def test_summarize_from_first_query(engine):
     prof = engine.sql("SUMMARIZE FROM region").collect()
     assert {r["column_name"] for r in prof} >= {"r_regionkey", "r_name"}
+
+
+def test_using_sample_rewrites_to_tablesample():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert "TABLESAMPLE (10 PERCENT)" in rewrite_pg(
+        "SELECT * FROM t USING SAMPLE 10%"
+    )
+    assert "TABLESAMPLE (15 ROWS)" in rewrite_pg(
+        "SELECT * FROM t USING SAMPLE 15 ROWS WHERE x > 0"
+    )
+    # method annotation dropped; join USING untouched
+    assert "TABLESAMPLE (10 PERCENT)" in rewrite_pg(
+        "SELECT * FROM t USING SAMPLE 10 PERCENT (bernoulli)"
+    )
+    q = "SELECT a FROM x JOIN y USING (k)"
+    assert rewrite_pg(q) == q
+
+
+def test_using_sample_executes_with_sample_semantics(engine):
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM lineitem USING SAMPLE 50 ROWS"
+    ).collect()[0]["n"]
+    assert n == 50
+    total = engine.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    pct = engine.sql(
+        "SELECT COUNT(*) AS n FROM lineitem USING SAMPLE 10%"
+    ).collect()[0]["n"]
+    assert 0 < pct < total  # Bernoulli: approximate share, never all
