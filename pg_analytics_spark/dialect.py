@@ -1205,11 +1205,13 @@ _COLUMNS_RE = re.compile(r"\bcolumns\s*\(", re.IGNORECASE)
 
 
 def expand_columns_macro(sql: str, resolve) -> str:
-    """Expand DuckDB ``COLUMNS('regex')`` select-list macros.
+    """Expand DuckDB ``COLUMNS('regex')`` / ``COLUMNS(*)`` select-list
+    macros.
 
     ``resolve(table_name) -> list[str]`` supplies the column list.
     Supported: string-literal regex (partial match, DuckDB's
-    regexp_matches semantics), select lists over EXACTLY ONE table
+    regexp_matches semantics) or ``*`` (every column — the lambda-less
+    form), select lists over EXACTLY ONE table
     (joins are ambiguous without full binder machinery — rejected
     loudly), bare items (aliased to the column name, DuckDB's naming)
     and wrapped items like ``min(COLUMNS('.*'))`` (one copy per match;
@@ -1229,7 +1231,11 @@ def expand_columns_macro(sql: str, resolve) -> str:
                     c = _next_code(tokens, s) if s < len(tokens) else len(tokens)
                     if (
                         s < len(tokens)
-                        and tokens[s][0] == "string"
+                        # COLUMNS('regex') or COLUMNS(*) = every column
+                        and (
+                            tokens[s][0] == "string"
+                            or tokens[s] == ("op", "*")
+                        )
                         and c < len(tokens)
                         and tokens[c] == ("op", ")")
                     ):
@@ -1238,7 +1244,10 @@ def expand_columns_macro(sql: str, resolve) -> str:
         if hit is None:
             return sql
         i, n, s, c = hit
-        pattern = tokens[s][1][1:-1].replace("''", "'")
+        pattern = (
+            "" if tokens[s] == ("op", "*")  # matches every column
+            else tokens[s][1][1:-1].replace("''", "'")
+        )
         # enclosing SELECT: nearest preceding `select` at the minimum
         # depth seen on the way back (skips subqueries that closed
         # before the macro); the macro itself may sit deeper, nested

@@ -651,3 +651,12 @@ def test_using_sample_executes_with_sample_semantics(engine):
         "SELECT COUNT(*) AS n FROM lineitem USING SAMPLE 10%"
     ).collect()[0]["n"]
     assert 0 < pct < total  # Bernoulli: approximate share, never all
+
+
+def test_columns_star_macro(engine):
+    rows = engine.sql(
+        "SELECT max(COLUMNS(*)) FROM region"
+    ).collect()
+    assert len(rows) == 1 and len(rows[0]) == 2  # max of each column
+    named = engine.sql("SELECT COLUMNS(*) FROM region ORDER BY r_regionkey")
+    assert named.columns == ["r_regionkey", "r_name"]
