@@ -802,7 +802,8 @@ class Engine:
     ) -> int:
         """DuckDB ``COPY (query) TO 'path' (FORMAT ...)`` analog
         (reachable through duckdb_execute in the reference): write a
-        query result to parquet/csv/json files.  ``single_file``
+        query result to parquet/csv/json/avro files (avro via the
+        dependency-free distributed container sink).  ``single_file``
         coalesces to one output file (DuckDB's default shape) — leave
         False at scale so every executor writes its own split.
         Returns the row count written.
@@ -817,9 +818,19 @@ class Engine:
         from pyspark.sql import functions as F
 
         fmt = format.lower()
-        if fmt not in ("parquet", "csv", "json"):
+        if fmt not in ("parquet", "csv", "json", "avro"):
             raise EngineError(f"copy_to format {format!r} not supported")
         df = self.sql(query)
+        if fmt == "avro":
+            # distributed per-partition container files via the
+            # dependency-free writer (sources/avro.write_avro_dir);
+            # the count comes from the executors' per-file sums
+            from pg_analytics_spark.sources.avro import write_avro_dir
+
+            out = df.coalesce(1) if single_file else df
+            return write_avro_dir(
+                out, path, codec=(options or {}).get("codec", "null")
+            )
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         out = df.coalesce(1) if single_file else df

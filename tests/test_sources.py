@@ -2395,3 +2395,55 @@ def test_iceberg_append_schema_evolution(spark, tmp_path):
     assert ids["tag"] == 3 and meta["last-column-id"] == 3
     assert meta["current-schema-id"] == 1
     assert {s["schema-id"] for s in meta["schemas"]} == {0, 1}
+
+
+def test_avro_sink_distributed_roundtrip(spark, tmp_path):
+    """Distributed Avro sink (per-partition container files written on
+    the executors) round-trips values, arrays, dates and microsecond
+    timestamps through the dependency-free reader."""
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.avro import write_avro_dir
+
+    out = str(tmp_path / "avdir")
+    df = spark.sql(
+        "SELECT id, CAST(id * 1.5 AS DOUBLE) AS x, "
+        "concat('s', id) AS s, "
+        "IF(id % 3 = 0, NULL, array(id, id + 1)) AS arr, "
+        "DATE '2024-02-29' + CAST(id AS INT) AS d, "
+        "TIMESTAMP_NTZ '2024-02-29 12:34:56.789123' + make_interval(0,0,0,0,0,0,id) AS ts "
+        "FROM range(100)"
+    ).repartition(4)
+    n = write_avro_dir(df, out)
+    assert n == 100
+    import glob as _glob
+
+    files = _glob.glob(f"{out}/*.avro")
+    assert len(files) == 4  # one container per non-empty partition
+
+    back = load_source(spark, f"{out}/*.avro", "avro")
+    assert back.count() == 100
+    a = {r["id"]: r for r in df.collect()}
+    b = {r["id"]: r for r in back.collect()}
+    for i in (0, 1, 50, 99):
+        assert b[i]["x"] == a[i]["x"]
+        assert b[i]["s"] == a[i]["s"]
+        assert b[i]["arr"] == a[i]["arr"]
+        assert b[i]["d"] == a[i]["d"]
+        assert b[i]["ts"] == a[i]["ts"]  # exact to the microsecond
+
+
+def test_copy_to_avro_and_copy_statement(engine, tmp_path):
+    out = str(tmp_path / "region_avro")
+    n = engine.copy_to("SELECT * FROM region", out, format="avro")
+    assert n == 5
+    from pg_analytics_spark.sources import load_source
+
+    back = load_source(engine.spark, f"{out}/*.avro", "avro")
+    assert {r["r_regionkey"] for r in back.collect()} == {0, 1, 2, 3, 4}
+    # COPY statement text with FORMAT avro
+    out2 = str(tmp_path / "nation_avro")
+    res = engine.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out2}' "
+        "(FORMAT avro)"
+    ).collect()
+    assert res[0]["count"] == 25
