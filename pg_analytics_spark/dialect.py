@@ -714,9 +714,11 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
             continue
         j = _next_code(tokens, j)
         if j >= n or tokens[j][0] != "number":
-            raise UnsupportedDialect(
-                "USING SAMPLE: expected a number (n% / n PERCENT / n ROWS)"
-            )
+            # a relation literally named `sample` (MERGE INTO t USING
+            # sample s ON …) — not the sampling clause; pass through
+            out.append(tokens[i])
+            i += 1
+            continue
         num = tokens[j][1]
         j2 = _next_code(tokens, j)
         unit = None
@@ -743,7 +745,31 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
                         break
                 k += 1
             j = k
-        out.append(("word", f" TABLESAMPLE ({num} {unit}) "))
+        clause = ("word", f" TABLESAMPLE ({num} {unit}) ")
+        # Spark's grammar puts the sample BEFORE the table alias
+        # (`FROM t TABLESAMPLE (…) a`); DuckDB writes `FROM t a USING
+        # SAMPLE …` — if the preceding code token is an alias word,
+        # insert the clause in front of it.
+        ins = len(out)
+        last = _prev_code(out, len(out))
+        if (
+            last >= 0
+            and out[last][0] == "word"
+            and out[last][1].lower() not in _KEYWORDS
+        ):
+            before = _prev_code(out, last)
+            if before >= 0:
+                bk, bt = out[before]
+                if bk == "word" and bt.lower() == "as":
+                    ins = before  # `t AS x` — clause goes before AS
+                elif (
+                    bk == "qident"
+                    or bt == ")"
+                    or (bk == "word" and bt.lower() not in _KEYWORDS)
+                ):
+                    ins = last  # `t x` — clause goes before the alias
+                # else: `FROM t` — last IS the table name, keep in place
+        out.insert(ins, clause)
         i = j + 1
     return out
 

@@ -264,6 +264,86 @@ class Engine:
         """Escape hatch, analog of ``duckdb_execute`` (src/api/duckdb.rs:26-29)."""
         return self.spark.sql(statement)
 
+    @staticmethod
+    def _pivot_agg_columns(aggs: str, src: str, on: str) -> tuple[str, list]:
+        """(rewritten aggs, operand columns) for the PIVOT handler.
+
+        * strips ONLY the source-table qualifier (``src.col`` → ``col``
+          — the qualifier dies with the generated subquery); struct
+          field access (``info.price`` where ``info`` is a column)
+          keeps its dots and contributes its ROOT as the operand;
+        * operand columns = identifiers feeding the aggregates, minus
+          function names, aliases, and pg-cast type names.
+        """
+        from pg_analytics_spark.dialect import _KEYWORDS, _tokenize
+
+        toks = _tokenize(aggs)
+
+        def _nxt(i):
+            j = i + 1
+            while j < len(toks) and toks[j][0] in ("ws", "comment"):
+                j += 1
+            return toks[j] if j < len(toks) else (None, None)
+
+        def _prv(i):
+            j = i - 1
+            while j >= 0 and toks[j][0] in ("ws", "comment"):
+                j -= 1
+            return toks[j] if j >= 0 else (None, None), j
+
+        operands: list[str] = []
+        for i, (kind, text) in enumerate(toks):
+            if kind != "word" or text.lower() in _KEYWORDS:
+                continue
+            nk, nt = _nxt(i)
+            (pk, pt), pj = _prv(i)
+            if nt == "(":
+                continue  # function name
+            if pt and pk == "word" and pt.lower() == "as":
+                continue  # alias
+            if pk == "cast":
+                continue  # pg-cast type name
+            if nt == ".":
+                # qualified path root: the table qualifier is NOT an
+                # operand; a struct column IS
+                if text.lower() != src.lower() and text not in operands:
+                    operands.append(text)
+                continue
+            if pt == ".":
+                # word after a dot: only the table-qualified form
+                # projects by its bare name (struct fields ride their
+                # root)
+                (_qk, qt), _ = _prv(pj)
+                if (
+                    qt
+                    and qt.lower() == src.lower()
+                    and text not in operands
+                    and text != on
+                ):
+                    operands.append(text)
+                continue
+            if text not in operands and text != on:
+                operands.append(text)
+        # strip ONLY `src.` qualifiers from the aggs text
+        out_t = []
+        i2 = 0
+        while i2 < len(toks):
+            kind, text = toks[i2]
+            j2 = i2 + 1
+            while j2 < len(toks) and toks[j2][0] in ("ws", "comment"):
+                j2 += 1
+            if (
+                kind == "word"
+                and text.lower() == src.lower()
+                and j2 < len(toks)
+                and toks[j2] == ("op", ".")
+            ):
+                i2 = j2 + 1  # drop `src` and its dot
+                continue
+            out_t.append(toks[i2])
+            i2 += 1
+        return "".join(t for _, t in out_t), operands
+
     def _pivot_statement(self, m) -> DataFrame:
         """DuckDB ``PIVOT src ON col USING aggs [GROUP BY …] [ORDER BY
         …]`` → Spark's PIVOT clause.  DuckDB discovers the pivot
@@ -307,52 +387,7 @@ class Engine:
             # project to GROUP BY cols + pivot col + agg operands so
             # Spark's implicit group-by (all non-pivot columns) matches
             # the statement's explicit one
-            operands = []
-            toks = _tokenize(aggs)
-            for i, (kind, text) in enumerate(toks):
-                if kind != "word" or text.lower() in _KEYWORDS:
-                    continue
-                nxt = next(
-                    (t for k, t in toks[i + 1 :] if k not in ("ws", "comment")),
-                    None,
-                )
-                if nxt == "(":  # function name
-                    continue
-                if nxt == ".":  # table qualifier of a qualified column
-                    continue
-                prev = next(
-                    (t for k, t in reversed(toks[:i]) if k not in ("ws", "comment")),
-                    None,
-                )
-                if prev and prev.lower() == "as":
-                    continue  # alias, not an operand
-                if prev == "::":
-                    continue  # pg-cast TYPE name, not an operand
-                # qualified columns project by their BARE name (the
-                # qualifier dies with the subquery)
-                if text not in operands and text != on:
-                    operands.append(text)
-            if any(t == ("op", ".") for t in toks):
-                # strip table qualifiers from the aggs ('t.col' →
-                # 'col') so they resolve against the projected bare
-                # columns; decimals are single number tokens, untouched
-                out_t = []
-                i2 = 0
-                while i2 < len(toks):
-                    kind, text = toks[i2]
-                    j2 = i2 + 1
-                    while j2 < len(toks) and toks[j2][0] in ("ws", "comment"):
-                        j2 += 1
-                    if (
-                        kind == "word"
-                        and j2 < len(toks)
-                        and toks[j2] == ("op", ".")
-                    ):
-                        i2 = j2 + 1  # drop qualifier and its dot
-                        continue
-                    out_t.append(toks[i2])
-                    i2 += 1
-                aggs = "".join(t for _, t in out_t)
+            aggs, operands = self._pivot_agg_columns(aggs, src, on)
             grp_cols = [g.strip() for g in grp.split(",")]
             proj_cols = list(grp_cols)
             for c in [on] + operands:
@@ -372,6 +407,9 @@ class Engine:
                     proj_cols.append(c)
             proj = ", ".join(proj_cols)
         else:
+            # implicit group-by keeps every other column; the source
+            # qualifier still dies with the subquery, so strip it
+            aggs, _ = self._pivot_agg_columns(aggs, src, on)
             proj = "*"
         q = (
             f"SELECT * FROM (SELECT {proj} FROM {src}) "
@@ -787,7 +825,7 @@ class Engine:
         q = table_or_query.strip()
         df = (
             self.sql(q)
-            if q.lower().startswith(("select", "with", "from"))
+            if _re.match(r"(select|with|from)\b", q, _re.IGNORECASE)
             else self.spark.table(q)
         )
         return _summarize(self.spark, df)

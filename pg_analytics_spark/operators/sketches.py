@@ -324,6 +324,9 @@ def hist_quantiles(
     """
     from pyspark.sql import Window
 
+    # explicit zero-count bins carry no rank information and would
+    # create a spurious cum_before = 0 row for the q = 0 arm below
+    hist = hist.filter(F.col("cnt") > 0)
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         hist.withColumn("cum", F.sum("cnt").over(w))

@@ -354,7 +354,14 @@ def _avro_field_type(t) -> str:
         lt = t.get("logicalType")
         if lt == "date":
             return "date"
-        if lt in ("timestamp-micros", "timestamp-millis"):
+        if lt in (
+            "timestamp-micros",
+            "timestamp-millis",
+            "local-timestamp-micros",
+            "local-timestamp-millis",
+        ):
+            # instants surface as their UTC wall clock (exact when the
+            # session timezone is UTC — this engine's convention, T4)
             return "timestamp_ntz"
         if k in _AVRO_TO_SPARK:
             return _AVRO_TO_SPARK[k]
@@ -402,7 +409,13 @@ def load(spark, files, opts: dict):
                 t = nn[0] if len(nn) == 1 else None
             if isinstance(t, dict):
                 lt = t.get("logicalType")
-                if lt in ("date", "timestamp-micros", "timestamp-millis"):
+                if lt in (
+                    "date",
+                    "timestamp-micros",
+                    "timestamp-millis",
+                    "local-timestamp-micros",
+                    "local-timestamp-millis",
+                ):
                     logicals[f["name"]] = lt
 
         def _logical(n, v):
@@ -413,7 +426,7 @@ def load(spark, files, opts: dict):
                 return v
             if lt == "date":
                 return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
-            us = v if lt == "timestamp-micros" else v * 1000
+            us = v * 1000 if lt.endswith("millis") else v
             return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
 
         for rec in records:
@@ -435,7 +448,9 @@ _SPARK_TO_AVRO = {
     "string": "string",
     "binary": "bytes",
     "date": {"type": "int", "logicalType": "date"},
-    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+    # NTZ = wall clock (spec: local-timestamp-micros); TimestampType =
+    # an instant, converted to UTC micros under timestamp-micros
+    "timestamp_ntz": {"type": "long", "logicalType": "local-timestamp-micros"},
     "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
 }
 
@@ -449,7 +464,12 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
         tn = f.dataType.typeName()
         if tn == "array":
             et = f.dataType.elementType.typeName()
-            if et not in _SPARK_TO_AVRO:
+            if et not in _SPARK_TO_AVRO or isinstance(
+                _SPARK_TO_AVRO[et], dict
+            ) or et == "binary":
+                # logical-typed / binary elements would need per-element
+                # conversion in _cell — reject loudly rather than crash
+                # the executor-side encoder
                 raise ValueError(
                     f"avro sink: unsupported array element {et!r} ({f.name})"
                 )
@@ -474,10 +494,20 @@ def write_avro_dir(df, path: str, codec: str = "null") -> int:
     object stores need the hadoop connectors, same story as every
     writer here).  Returns rows written.
 
-    Timestamps/dates are encoded as their epoch integers (Avro
-    logical-type convention); the reader adapter maps them back.
+    OVERWRITE semantics like every other copy_to format: pre-existing
+    ``part-*.avro`` files are cleared first.  Part files are named by
+    PARTITION INDEX and land via write-to-temp + atomic rename, so a
+    retried or speculative task replaces its own file instead of
+    leaving a duplicate — the returned count matches what a re-read
+    sees.
+
+    Temporal encoding: DateType → date; TIMESTAMP_NTZ → wall-clock
+    local-timestamp-micros; TimestampType (an instant) → UTC
+    timestamp-micros via the session timezone.  Exact integer
+    microsecond math throughout.
     """
     import datetime as _dt
+    import glob as _glob
     import os as _os
     import uuid as _uuid
 
@@ -485,7 +515,10 @@ def write_avro_dir(df, path: str, codec: str = "null") -> int:
     names = [f.name for f in df.schema.fields]
     kinds = {f.name: f.dataType.typeName() for f in df.schema.fields}
     _os.makedirs(path, exist_ok=True)
+    for old_part in _glob.glob(_os.path.join(path, "part-*.avro")):
+        _os.remove(old_part)
     epoch_d = _dt.date(1970, 1, 1)
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def _cell(name, v):
         if v is None:
@@ -493,24 +526,36 @@ def write_avro_dir(df, path: str, codec: str = "null") -> int:
         k = kinds[name]
         if k == "date":
             return (v - epoch_d).days
-        if k in ("timestamp", "timestamp_ntz"):
-            e = _dt.datetime(1970, 1, 1, tzinfo=getattr(v, "tzinfo", None))
-            return (v - e) // _dt.timedelta(microseconds=1)  # exact int µs
+        if k == "timestamp_ntz":
+            e = _dt.datetime(1970, 1, 1)
+            return (v - e) // _dt.timedelta(microseconds=1)  # exact µs
+        if k == "timestamp":
+            # Spark hands back a naive wall clock in the SESSION zone;
+            # the avro instant is UTC micros
+            from zoneinfo import ZoneInfo
+
+            aware = (
+                v
+                if v.tzinfo is not None
+                else v.replace(tzinfo=ZoneInfo(session_tz))
+            )
+            e = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (aware - e) // _dt.timedelta(microseconds=1)
         if k == "binary":
             return bytes(v)
-        if k == "array" and isinstance(v, list):
-            return v
         return v
 
-    def _write_part(rows_iter):
-        rows = [
-            {n: _cell(n, r[n]) for n in names} for r in rows_iter
-        ]
+    def _write_part(pid, rows_iter):
+        rows = [{n: _cell(n, r[n]) for n in names} for r in rows_iter]
         if not rows:
             yield 0
             return
-        fp = _os.path.join(path, f"part-{_uuid.uuid4().hex}.avro")
-        write_container(avro_schema, rows, fp, codec=codec)
+        fp = _os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = fp + f".tmp-{_uuid.uuid4().hex}"
+        write_container(avro_schema, rows, tmp, codec=codec)
+        _os.replace(tmp, fp)  # atomic: retries/speculation last-write-win
         yield len(rows)
 
-    return int(sum(df.rdd.mapPartitions(_write_part).collect()))
+    return int(
+        sum(df.rdd.mapPartitionsWithIndex(_write_part).collect())
+    )

@@ -660,3 +660,33 @@ def test_columns_star_macro(engine):
     assert len(rows) == 1 and len(rows[0]) == 2  # max of each column
     named = engine.sql("SELECT COLUMNS(*) FROM region ORDER BY r_regionkey")
     assert named.columns == ["r_regionkey", "r_name"]
+
+
+def test_using_sample_with_table_alias(engine):
+    n = engine.sql(
+        "SELECT a.l_orderkey FROM lineitem a USING SAMPLE 7 ROWS"
+    ).count()
+    assert n == 7
+    n2 = engine.sql(
+        "SELECT x.l_orderkey FROM lineitem AS x USING SAMPLE 4 ROWS"
+    ).count()
+    assert n2 == 4
+
+
+def test_using_sample_relation_named_sample_untouched():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    q = ("MERGE INTO tgt USING sample s ON tgt.id = s.id "
+         "WHEN MATCHED THEN UPDATE SET *")
+    assert rewrite_pg(q) == q
+
+
+def test_pivot_qualified_operand_without_group_by(engine):
+    df = engine.sql("PIVOT region ON r_regionkey USING count(region.r_name)")
+    assert set(df.columns) >= {"0", "1", "2", "3", "4"}
+
+
+def test_summarize_table_named_like_from(engine, spark):
+    spark.range(4).selectExpr("id").createOrReplaceTempView("from_orders")
+    prof = engine.sql("SUMMARIZE from_orders").collect()
+    assert {r["column_name"] for r in prof} == {"id"}

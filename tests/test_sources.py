@@ -2447,3 +2447,24 @@ def test_copy_to_avro_and_copy_statement(engine, tmp_path):
         "(FORMAT avro)"
     ).collect()
     assert res[0]["count"] == 25
+
+
+def test_avro_sink_overwrites_previous_run(spark, tmp_path):
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.avro import write_avro_dir
+
+    out = str(tmp_path / "re")
+    write_avro_dir(spark.range(10).selectExpr("id"), out)
+    write_avro_dir(spark.range(3).selectExpr("id"), out)  # rerun: smaller
+    back = load_source(spark, f"{out}/*.avro", "avro")
+    assert back.count() == 3  # no stale part files mixed in
+
+
+def test_avro_sink_rejects_temporal_array_elements(spark, tmp_path):
+    import pytest as _pytest
+
+    from pg_analytics_spark.sources.avro import write_avro_dir
+
+    df = spark.sql("SELECT array(DATE '2024-01-01') AS d FROM range(1)")
+    with _pytest.raises(Exception, match="array element"):
+        write_avro_dir(df, str(tmp_path / "bad"))
