@@ -55,6 +55,15 @@ _CTAS_LAKE_RE = _re.compile(
 )
 
 
+#: DuckDB `CREATE [OR REPLACE] SECRET [name] ( TYPE t, KEY 'v', … )`
+#: statement text — the exact SQL the reference GENERATES from user
+#: mappings (src/duckdb/secret.rs) — routed to Engine.add_secret.
+_SECRET_RE = _re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?"
+    r"SECRET(?:\s+(?P<name>[A-Za-z_]\w*))?\s*\((?P<body>.+)\)\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 #: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
 #: routes to Engine.summarize (one-job per-column profile).
 _SUMMARIZE_RE = _re.compile(
@@ -187,6 +196,9 @@ class Engine:
         so their full option surface (hive partitioning, DV/column
         mapping, time travel, …) applies.
         """
+        m = _SECRET_RE.match(query.strip())
+        if m:
+            return self._create_secret_statement(m)
         m = _SUMMARIZE_RE.match(query.strip())
         if m:
             # DuckDB `SUMMARIZE …` statement text, verbatim
@@ -793,6 +805,53 @@ class Engine:
     # ------------------------------------------------------------------ #
     # Credentials (S7 — src/duckdb/secret.rs)
     # ------------------------------------------------------------------ #
+
+    def _create_secret_statement(self, m) -> DataFrame:
+        """DuckDB ``CREATE SECRET ( TYPE s3, KEY_ID 'k', … )`` text —
+        the statements the reference generates from Postgres user
+        mappings (src/duckdb/secret.rs:24-217) — parsed into
+        :meth:`add_secret`.  ``SCOPE 's3://bucket/…'`` becomes the
+        per-bucket scoping; keys are the reference's 22-option
+        vocabulary, lowercased.  Returns the applied Hadoop conf pairs
+        as a (key, value) DataFrame (inspectable, like DuckDB's own
+        ``CREATE SECRET`` result)."""
+        from pg_analytics_spark.dialect import _tokenize
+
+        opts: dict = {}
+        key: str | None = None
+        for kind, text in _tokenize(m.group("body")):
+            if kind in ("ws", "comment"):
+                continue
+            if kind == "op" and text == ",":
+                key = None
+                continue
+            if key is None:
+                if kind != "word":
+                    raise EngineError(
+                        f"CREATE SECRET: expected option name, got {text!r}"
+                    )
+                key = text.lower()
+            else:
+                if kind == "string":
+                    opts[key] = text[1:-1].replace("''", "'")
+                else:
+                    opts[key] = text
+                # keep `key` until the comma: multi-token values
+                # (TYPE S3 — a bare word) end at the separator anyway
+        secret_type = str(opts.pop("type", "s3"))
+        scope = opts.pop("scope", None)
+        bucket = None
+        if scope:
+            b = str(scope)
+            for pre in ("s3://", "r2://", "gs://", "gcs://", "az://"):
+                if b.lower().startswith(pre):
+                    b = b[len(pre):]
+                    break
+            bucket = b.split("/", 1)[0] or None
+        applied = self.add_secret(secret_type, opts, bucket=bucket)
+        return self.spark.createDataFrame(
+            sorted(applied.items()), "key string, value string"
+        )
 
     def add_secret(
         self, secret_type: str, options: dict, bucket: str | None = None

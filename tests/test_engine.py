@@ -489,3 +489,27 @@ def test_compact_delta_shape_and_partition_by_rejected(engine, tmp_path):
     assert {"files_before", "files_after", "bytes", "version"} <= set(res)
     with pytest.raises(ValueError, match="partition_by"):
         engine.compact(root, format="delta", partition_by="id")
+
+
+def test_create_secret_statement_text(engine):
+    """The exact CREATE SECRET SQL the reference generates from user
+    mappings (src/duckdb/secret.rs) applies through Engine.sql and
+    lands as per-bucket Hadoop confs."""
+    out = engine.sql(
+        "CREATE OR REPLACE SECRET my_s3 ("
+        " TYPE S3, KEY_ID 'AKID', SECRET 'sk''x', REGION 'eu-west-1',"
+        " URL_STYLE 'path', SCOPE 's3://sealed-bucket/prefix' )"
+    )
+    conf = {r["key"]: r["value"] for r in out.collect()}
+    pre = "fs.s3a.bucket.sealed-bucket."
+    assert conf[pre + "access.key"] == "AKID"
+    assert conf[pre + "secret.key"] == "sk'x"  # quote-escape handled
+    assert conf[pre + "endpoint.region"] == "eu-west-1"
+    assert conf[pre + "path.style.access"] == "true"
+    # the confs really landed in the session
+    assert (
+        engine.spark.conf.get(f"spark.hadoop.{pre}access.key", None)
+        == "AKID"
+        or engine.spark._jsc.hadoopConfiguration().get(pre + "access.key")
+        == "AKID"
+    )
