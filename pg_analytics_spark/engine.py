@@ -64,6 +64,14 @@ _SECRET_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: `INSERT INTO <attached delta/iceberg table> SELECT …` — appends
+#: through the native protocol writers (Spark's own INSERT would need
+#: the runtime jars for these formats).
+_INSERT_LAKE_RE = _re.compile(
+    r"^INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<q>(?:SELECT|WITH|FROM|VALUES)\b.+?);?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 #: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
 #: routes to Engine.summarize (one-job per-column profile).
 _SUMMARIZE_RE = _re.compile(
@@ -199,6 +207,11 @@ class Engine:
         m = _SECRET_RE.match(query.strip())
         if m:
             return self._create_secret_statement(m)
+        m = _INSERT_LAKE_RE.match(query.strip())
+        if m and self._attachments.get(m.group("name")) is not None and (
+            self._attachments[m.group("name")].format in ("delta", "iceberg")
+        ):
+            return self._insert_lake_statement(m)
         m = _SUMMARIZE_RE.match(query.strip())
         if m:
             # DuckDB `SUMMARIZE …` statement text, verbatim
@@ -805,6 +818,50 @@ class Engine:
     # ------------------------------------------------------------------ #
     # Credentials (S7 — src/duckdb/secret.rs)
     # ------------------------------------------------------------------ #
+
+    def _insert_lake_statement(self, m) -> DataFrame:
+        """``INSERT INTO <attached delta/iceberg table> SELECT …`` —
+        one append commit through the native protocol writer (the
+        writers' full append semantics apply: null-fill of missing
+        nullable columns, loud type-mismatch/new-column errors), then
+        the attachment refreshes so subsequent queries see the new
+        snapshot.  Returns a one-row (count) relation like COPY."""
+        att = self._attachments[m.group("name")]
+        target = att.files[0]
+        df = self.sql(m.group("q"))
+        # SQL INSERT binds columns by POSITION and coerces to the
+        # table's types (a VALUES literal is int where the table is
+        # long, etc.); arity must match
+        from pyspark.sql import functions as F
+
+        tbl_schema = self.spark.table(att.name).schema
+        if len(df.columns) != len(tbl_schema.fields):
+            raise EngineError(
+                f"INSERT INTO {att.name}: query has {len(df.columns)} "
+                f"columns, table has {len(tbl_schema.fields)} "
+                f"({[f.name for f in tbl_schema.fields]})"
+            )
+        df = df.toDF(*[f.name for f in tbl_schema.fields]).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in tbl_schema.fields
+            ]
+        )
+        if att.format == "delta":
+            from pg_analytics_spark.sources.delta_write import write_delta
+
+            res = write_delta(df, target, mode="append")
+        else:
+            from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+            res = write_iceberg(df, target, mode="append")
+        # refresh the temp view onto the new snapshot
+        self.attach(
+            att.name, att.files, att.format, att.options, att.columns
+        )
+        return self.spark.createDataFrame(
+            [(int(res.get("rows", 0)),)], "count bigint"
+        )
 
     def _create_secret_statement(self, m) -> DataFrame:
         """DuckDB ``CREATE SECRET ( TYPE s3, KEY_ID 'k', … )`` text —

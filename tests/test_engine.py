@@ -513,3 +513,36 @@ def test_create_secret_statement_text(engine):
         or engine.spark._jsc.hadoopConfiguration().get(pre + "access.key")
         == "AKID"
     )
+
+
+def test_insert_into_attached_delta_and_iceberg(engine, spark, tmp_path):
+    """INSERT INTO an attached delta/iceberg table appends through the
+    native writers and the attachment refreshes to the new snapshot."""
+    from pg_analytics_spark.sources.delta_write import write_delta
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    droot = str(tmp_path / "dtab")
+    write_delta(spark.range(3).selectExpr("id"), droot, mode="overwrite")
+    engine.attach("dtab", droot, format="delta")
+    res = engine.sql("INSERT INTO dtab SELECT id + 10 AS id FROM range(2)")
+    assert res.collect()[0]["count"] == 2
+    assert {r["id"] for r in engine.sql("SELECT id FROM dtab").collect()} == {
+        0, 1, 2, 10, 11,
+    }
+
+    iroot = str(tmp_path / "itab")
+    write_iceberg(spark.range(2).selectExpr("id"), iroot, mode="overwrite")
+    engine.attach("itab", iroot, format="iceberg")
+    res = engine.sql("INSERT INTO itab VALUES (7), (8)")
+    assert res.collect()[0]["count"] == 2
+    assert engine.sql("SELECT COUNT(*) AS n FROM itab").collect()[0]["n"] == 4
+    engine.detach("dtab")
+    engine.detach("itab")
+
+
+def test_insert_into_non_lake_table_still_errors_normally(engine):
+    # parquet attachments keep Spark's own behavior (no silent rewrite)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("INSERT INTO region VALUES (9, 'x')").collect()
