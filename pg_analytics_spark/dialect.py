@@ -698,11 +698,31 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     Bernoulli row sampling; reservoir's exact-count behavior maps to
     the ROWS form.  Sampling is nondeterministic in BOTH engines, so
     this is a syntax-acceptance rewrite, not an oracle-checkable one
-    (tests assert sample-size behavior, not values)."""
+    (tests assert sample-size behavior, not values).
+
+    Only the FROM-relation position is supported.  DuckDB also
+    accepts ``… WHERE p USING SAMPLE n`` (sample AFTER filtering —
+    different semantics, and splicing TABLESAMPLE mid-predicate would
+    be unparseable anyway): that position raises UnsupportedDialect
+    with a clear message instead of producing broken SQL."""
     out: list[tuple[str, str]] = []
+    # per-paren-scope "a WHERE has started in this SELECT" flag; reset
+    # by a new SELECT at the same depth (UNION branches)
+    where_scope = [False]
     i, n = 0, len(tokens)
     while i < n:
         kind, text = tokens[i]
+        if kind == "op" and text == "(":
+            where_scope.append(False)
+        elif kind == "op" and text == ")":
+            if len(where_scope) > 1:
+                where_scope.pop()
+        elif kind == "word":
+            low = text.lower()
+            if low == "where":
+                where_scope[-1] = True
+            elif low == "select":
+                where_scope[-1] = False
         if not (kind == "word" and text.lower() == "using"):
             out.append(tokens[i])
             i += 1
@@ -712,6 +732,14 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
             out.append(tokens[i])
             i += 1
             continue
+        if where_scope[-1] and _next_code(tokens, j) < n and tokens[
+            _next_code(tokens, j)
+        ][0] == "number":
+            raise UnsupportedDialect(
+                "USING SAMPLE after WHERE (post-filter sampling) is not "
+                "supported — move the sample clause next to the FROM "
+                "relation (pre-filter TABLESAMPLE semantics)"
+            )
         j = _next_code(tokens, j)
         if j >= n or tokens[j][0] != "number":
             # a relation literally named `sample` (MERGE INTO t USING

@@ -841,12 +841,46 @@ class Engine:
                 f"columns, table has {len(tbl_schema.fields)} "
                 f"({[f.name for f in tbl_schema.fields]})"
             )
-        df = df.toDF(*[f.name for f in tbl_schema.fields]).select(
+        # try_cast + a null-introduction check: a value the target type
+        # cannot represent (e.g. 'abc' into BIGINT) must ERROR like
+        # standard INSERT / DuckDB, not silently become NULL (plain
+        # non-ANSI cast would).  One extra aggregate job over the
+        # persisted SELECT result — the query itself runs once.
+        src = df.toDF(*[f.name for f in tbl_schema.fields])
+        casted = src.select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
+                F.col(f.name).try_cast(f.dataType).alias(f.name)
                 for f in tbl_schema.fields
-            ]
-        )
+            ],
+            *[
+                (
+                    F.col(f.name).isNotNull()
+                    & F.col(f.name).try_cast(f.dataType).isNull()
+                ).alias(f"__bad_{i}")
+                for i, f in enumerate(tbl_schema.fields)
+            ],
+        ).persist()
+        try:
+            bad = casted.agg(
+                *[
+                    F.sum(F.col(f"__bad_{i}").cast("int")).alias(f"b{i}")
+                    for i in range(len(tbl_schema.fields))
+                ]
+            ).first()
+            for i, f in enumerate(tbl_schema.fields):
+                if (bad[f"b{i}"] or 0) > 0:
+                    raise EngineError(
+                        f"INSERT INTO {att.name}: {bad[f'b{i}']} value(s) "
+                        f"cannot be cast to {f.name} "
+                        f"{f.dataType.simpleString()}"
+                    )
+            return self._insert_lake_write(
+                att, target, casted.select(*[f.name for f in tbl_schema.fields])
+            )
+        finally:
+            casted.unpersist()
+
+    def _insert_lake_write(self, att, target: str, df: DataFrame) -> DataFrame:
         if att.format == "delta":
             from pg_analytics_spark.sources.delta_write import write_delta
 

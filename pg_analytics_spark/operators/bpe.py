@@ -78,8 +78,13 @@ def pair_counts(symbolized: DataFrame) -> DataFrame:
 
 
 def _sq(s: str) -> str:
-    """SQL single-quote literal."""
-    return "'" + s.replace("'", "''") + "'"
+    """Spark SQL single-quote literal.  Backslashes must be doubled
+    FIRST: Spark's parser applies C-style escapes inside string
+    literals (default ``escapedStringLiterals=false``), so a corpus
+    symbol like ``c:\\path`` would otherwise silently lose the
+    backslash (or fail to parse when trailing) and diverge from the
+    pure-Python merge reference."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def merge_pair_col(a: str, b: str) -> F.Column:

@@ -861,8 +861,12 @@ def embedding_semantic_pairs(
     if n_cells == "auto":
         n = df.count()
         n_cells = max(8, math.ceil(n / target_cell_size))
-    first = df.select(vec_col).first()
-    dim = len(first[0])
+    # dim probe: one LIMIT-1 job transferring a single int (not the
+    # whole vector); skipped entirely when a codebook is supplied
+    if centroids is not None:
+        dim = len(centroids[0])
+    else:
+        dim = df.select(F.size(F.col(vec_col))).limit(1).first()[0]
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
     # both sides of the pair join read the assignment — persist it so
     # the (possibly join-based, see cell_assignments) subtree runs once.

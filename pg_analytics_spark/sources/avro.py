@@ -503,22 +503,40 @@ def write_avro_dir(df, path: str, codec: str = "null") -> int:
 
     Temporal encoding: DateType → date; TIMESTAMP_NTZ → wall-clock
     local-timestamp-micros; TimestampType (an instant) → UTC
-    timestamp-micros via the session timezone.  Exact integer
-    microsecond math throughout.
+    timestamp-micros computed JVM-side via ``unix_micros`` BEFORE the
+    rdd pass — PySpark's Row conversion would otherwise hand Python a
+    naive datetime in the executor OS's local zone (not the session
+    zone), shifting every instant on hosts where the two differ.
+    Exact integer microsecond math throughout.
     """
     import datetime as _dt
     import glob as _glob
     import os as _os
     import uuid as _uuid
 
+    from pyspark.sql import functions as F
+
     avro_schema = spark_schema_to_avro(df.schema)
     names = [f.name for f in df.schema.fields]
     kinds = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    # instants → UTC micros as a COLUMN expression: no Python tz
+    # interpretation anywhere (the naive-datetime round trip through
+    # TimestampType.fromInternal uses the OS zone, not the session
+    # zone — see module tests)
+    ts_cols = [n for n in names if kinds[n] == "timestamp"]
+    if ts_cols:
+        df = df.select(
+            *[
+                F.unix_micros(F.col(n)).alias(n) if n in ts_cols else F.col(n)
+                for n in names
+            ]
+        )
+        for n in ts_cols:
+            kinds[n] = "__utc_micros"  # already a long; pass through
     _os.makedirs(path, exist_ok=True)
     for old_part in _glob.glob(_os.path.join(path, "part-*.avro")):
         _os.remove(old_part)
     epoch_d = _dt.date(1970, 1, 1)
-    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def _cell(name, v):
         if v is None:
@@ -529,18 +547,6 @@ def write_avro_dir(df, path: str, codec: str = "null") -> int:
         if k == "timestamp_ntz":
             e = _dt.datetime(1970, 1, 1)
             return (v - e) // _dt.timedelta(microseconds=1)  # exact µs
-        if k == "timestamp":
-            # Spark hands back a naive wall clock in the SESSION zone;
-            # the avro instant is UTC micros
-            from zoneinfo import ZoneInfo
-
-            aware = (
-                v
-                if v.tzinfo is not None
-                else v.replace(tzinfo=ZoneInfo(session_tz))
-            )
-            e = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-            return (aware - e) // _dt.timedelta(microseconds=1)
         if k == "binary":
             return bytes(v)
         return v

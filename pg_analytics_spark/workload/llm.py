@@ -1744,14 +1744,17 @@ _register_dedup_semantic()
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     grams = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                # guard: sequence(0, stop) is DESCENDING for stop < 0, so
-                # sub-8-word docs must short-circuit to an empty array
-                "CASE WHEN size(split(text, ' ')) >= 8 THEN "
-                "transform(sequence(0, size(split(text, ' ')) - 8), "
-                "i -> array_join(slice(split(text, ' '), i + 1, 8), ' ')) "
+                # split bound ONCE (standing invariant: hoist expensive
+                # subexpressions); guard: sequence(0, stop) is DESCENDING
+                # for stop < 0, so sub-8-word docs short-circuit to empty
+                "CASE WHEN size(words) >= 8 THEN "
+                "transform(sequence(0, size(words) - 8), "
+                "i -> array_join(slice(words, i + 1, 8), ' ')) "
                 "ELSE array() END"
             )
         ).alias("gram"),

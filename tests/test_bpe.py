@@ -93,3 +93,19 @@ def test_bpe_merge_handles_overlapping_runs(spark):
     got = {r["word"]: r["bpe_toks"] for r in seg.collect()}
     assert got["aaa"] == ["aa", "a", EOW]
     assert got["aaaa"] == ["aa", "aa", EOW]
+
+
+def test_bpe_symbols_with_backslashes(spark):
+    """Merged symbols ride inside Spark SQL string literals where the
+    parser applies C-style backslash escapes — a corpus token like
+    'c:\\x' must merge identically to the pure-Python rule (and a
+    trailing backslash must not break the literal)."""
+    df = spark.createDataFrame([("c:\\x",), ("y\\",)], "word string")
+    seg = bpe_segment(df, "word", [("\\", "x", 0)])
+    got = {r["word"]: r["bpe_toks"] for r in seg.collect()}
+    assert got["c:\\x"] == ["c", ":", "\\x", EOW]
+    assert got["y\\"] == ["y", "\\", EOW]
+    # merge producing a symbol that ENDS in a backslash also parses
+    seg2 = bpe_segment(df, "word", [("y", "\\", 0)])
+    got2 = {r["word"]: r["bpe_toks"] for r in seg2.collect()}
+    assert got2["y\\"] == ["y\\", EOW]

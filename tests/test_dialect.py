@@ -641,6 +641,30 @@ def test_using_sample_rewrites_to_tablesample():
     assert rewrite_pg(q) == q
 
 
+def test_using_sample_after_where_rejected_loudly():
+    """DuckDB's post-WHERE sample position (different semantics:
+    filter-then-sample) must raise a clear UnsupportedDialect, not
+    splice TABLESAMPLE into the predicate and emit unparseable SQL."""
+    import pytest as _pytest
+
+    from pg_analytics_spark.dialect import UnsupportedDialect, rewrite_pg
+
+    with _pytest.raises(UnsupportedDialect, match="after WHERE"):
+        rewrite_pg("SELECT * FROM t WHERE x > 0 USING SAMPLE 5 ROWS")
+    # a sampled subquery inside its own scope is still fine even when
+    # the OUTER query has a WHERE before the subquery's sample clause
+    ok = rewrite_pg(
+        "SELECT * FROM (SELECT * FROM t USING SAMPLE 3 ROWS) q WHERE q.y = 1"
+    )
+    assert "TABLESAMPLE (3 ROWS)" in ok
+    # and a UNION branch after a WHERE-carrying branch resets the scope
+    ok2 = rewrite_pg(
+        "SELECT a FROM t WHERE a > 0 UNION ALL "
+        "SELECT a FROM u USING SAMPLE 2 ROWS"
+    )
+    assert "TABLESAMPLE (2 ROWS)" in ok2
+
+
 def test_using_sample_executes_with_sample_semantics(engine):
     n = engine.sql(
         "SELECT COUNT(*) AS n FROM lineitem USING SAMPLE 50 ROWS"

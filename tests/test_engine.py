@@ -540,6 +540,34 @@ def test_insert_into_attached_delta_and_iceberg(engine, spark, tmp_path):
     engine.detach("itab")
 
 
+def test_insert_into_lake_rejects_uncastable_values(engine, spark, tmp_path):
+    """Standard INSERT semantics: a value the target type cannot
+    represent ERRORS (DuckDB does too) — it must not be silently
+    written as NULL by a non-ANSI cast."""
+    import pytest as _pytest
+
+    from pg_analytics_spark.engine import EngineError
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "dtab2")
+    write_delta(spark.range(2).selectExpr("id"), root, mode="overwrite")
+    engine.attach("dtab2", root, format="delta")
+    try:
+        with _pytest.raises(EngineError, match="cannot be cast"):
+            engine.sql("INSERT INTO dtab2 VALUES ('abc')")
+        # nothing was committed by the failed insert
+        n = engine.sql("SELECT COUNT(*) AS n FROM dtab2").collect()[0]["n"]
+        assert n == 2
+        # a representable string still coerces (positional bind + cast)
+        engine.sql("INSERT INTO dtab2 VALUES ('41')")
+        got = {
+            r["id"] for r in engine.sql("SELECT id FROM dtab2").collect()
+        }
+        assert got == {0, 1, 41}
+    finally:
+        engine.detach("dtab2")
+
+
 def test_insert_into_non_lake_table_still_errors_normally(engine):
     # parquet attachments keep Spark's own behavior (no silent rewrite)
     import pytest as _pytest

@@ -2468,3 +2468,37 @@ def test_avro_sink_rejects_temporal_array_elements(spark, tmp_path):
     df = spark.sql("SELECT array(DATE '2024-01-01') AS d FROM range(1)")
     with _pytest.raises(Exception, match="array element"):
         write_avro_dir(df, str(tmp_path / "bad"))
+
+
+def test_avro_sink_instant_micros_session_tz_independent(spark, tmp_path):
+    """TimestampType instants are written as UTC micros computed
+    JVM-side (unix_micros), NOT by re-interpreting the naive datetime
+    PySpark hands back — that naive value is in the executor OS's
+    local zone, so any Python-side zone attachment shifts the instant
+    whenever session tz != OS tz.  Pin: with the session zone set to
+    America/New_York, the literal 12:00 NY must land in the container
+    as exactly 17:00 UTC in micros."""
+    from pg_analytics_spark.sources.avro import read_container, write_avro_dir
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            "SELECT TIMESTAMP '2024-01-15 12:00:00' AS ts"
+        ).coalesce(1)
+        out = str(tmp_path / "tzav")
+        assert write_avro_dir(df, out) == 1
+        import datetime as _dt
+        import glob as _glob
+
+        (fp,) = _glob.glob(f"{out}/*.avro")
+        _schema, rows = read_container(fp)
+        expected = int(
+            _dt.datetime(
+                2024, 1, 15, 17, 0, 0, tzinfo=_dt.timezone.utc
+            ).timestamp()
+            * 1_000_000
+        )
+        assert rows[0]["ts"] == expected
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
