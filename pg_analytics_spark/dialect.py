@@ -802,6 +802,312 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     return out
 
 
+def _parse_asof_on(cond_toks, b_alias: str):
+    """Classify an ASOF ON conjunction for union+window routing.
+
+    Returns ``(eqs, (a_ts, b_ts, backward, strict))`` where ``eqs`` is
+    [(a_expr, b_expr), …] from the equality conjuncts, or ``None``
+    when the shape is not routable (non-column operands, extra
+    predicates, zero or multiple range inequalities) — callers fall
+    back to the correlated-LATERAL rewrite then.
+    """
+
+    def _dotted(ts):
+        # alias.col[.field…] — words/qidents separated by dots
+        if len(ts) < 3 or len(ts) % 2 == 0:
+            return None
+        for x, (kk, tt) in enumerate(ts):
+            if x % 2 == 0:
+                if kk not in ("word", "qident") or (
+                    kk == "word" and tt.lower() in _KEYWORDS
+                ):
+                    return None
+            elif (kk, tt) != ("op", "."):
+                return None
+        return "".join(t for _, t in ts)
+
+    def _is_b(expr: str) -> bool:
+        return expr.split(".", 1)[0].strip('"').lower() == b_alias.strip(
+            '"'
+        ).lower()
+
+    conj, cur, depth = [], [], 0
+    for tk in cond_toks:
+        kd, td = tk
+        if kd == "op" and td == "(":
+            depth += 1
+        elif kd == "op" and td == ")":
+            depth -= 1
+        if depth == 0 and kd == "word" and td.lower() == "and":
+            conj.append(cur)
+            cur = []
+        else:
+            cur.append(tk)
+    conj.append(cur)
+
+    eqs, ineq = [], None
+    for c in conj:
+        code = [(kk, tt) for kk, tt in c if kk not in ("ws", "comment")]
+        ops = [
+            x
+            for x, (kk, tt) in enumerate(code)
+            if kk == "op" and tt in ("=", "<", ">")
+        ]
+        if not ops:
+            return None
+        oi = ops[0]
+        op = code[oi][1]
+        rhs_start = oi + 1
+        if op in ("<", ">") and rhs_start < len(code) and code[
+            rhs_start
+        ] == ("op", "="):
+            op += "="
+            rhs_start += 1
+        lhs = _dotted(code[:oi])
+        rhs = _dotted(code[rhs_start:])
+        if lhs is None or rhs is None:
+            return None
+        if op == "=":
+            if _is_b(lhs) and not _is_b(rhs):
+                eqs.append((rhs, lhs))
+            elif _is_b(rhs) and not _is_b(lhs):
+                eqs.append((lhs, rhs))
+            else:
+                return None
+            continue
+        if ineq is not None:
+            return None  # two range inequalities — not ASOF shape
+        strict = op in ("<", ">")
+        if _is_b(lhs) and not _is_b(rhs):
+            ineq = (rhs, lhs, op.startswith("<"), strict)
+        elif _is_b(rhs) and not _is_b(lhs):
+            ineq = (lhs, rhs, op.startswith(">"), strict)
+        else:
+            return None
+    if ineq is None:
+        return None
+    return eqs, ineq
+
+
+def _rewrite_asof_union(sql: str) -> str | None:
+    """Route a top-level ``a ASOF [LEFT] JOIN b ON eq-keys AND ineq``
+    statement to the ONE-shuffle union+window dataflow — the same
+    sort-merge formulation as :func:`operators.temporal.asof_join`,
+    expressed as SQL so it composes with the statement's CTEs:
+
+        both sides union with a marker; one window pass per key
+        carries the nearest right row (as a struct) to each left row.
+
+    The joined relation exposes each side's row as a STRUCT column
+    named by its alias, so ``a.x`` / ``b.y`` / ``a.*`` references in
+    the outer query resolve unchanged (struct field access / struct
+    star); a bare top-level ``*`` is rewritten to ``a.*, b.*``.
+
+    Returns ``None`` whenever the shape is not routable (chained
+    joins on the left, subquery right side, non-equi extras in ON,
+    unqualified operands) — the caller then uses the LATERAL rewrite,
+    and Engine.sql additionally retries via LATERAL if this plan
+    fails analysis (e.g. an unqualified outer column reference).
+
+    Reference analog: /root/reference/src/hooks/executor.rs:71
+    delegates ASOF to DuckDB's sorted-merge executor for the same
+    reason — a generic join plan is quadratic per hot key.
+    """
+    tokens = _tokenize(sql)
+    depths = _depths(tokens)
+    n = len(tokens)
+    asof_at = [
+        x
+        for x, (kk, tt) in enumerate(tokens)
+        if kk == "word" and tt.lower() == "asof" and depths[x] == 0
+    ]
+    if len(asof_at) != 1:
+        return None
+    i = asof_at[0]
+    j = _next_code(tokens, i)
+    left_join = False
+    if j < n and tokens[j][1].lower() == "left":
+        left_join = True
+        j = _next_code(tokens, j)
+    if j >= n or tokens[j][1].lower() != "join":
+        return None
+    # ---- right side: dotted name | (subquery), then [AS] [alias] ----
+    j = _next_code(tokens, j)
+    if j < n and tokens[j] == ("op", "("):
+        depth, q = 0, j
+        while q < n:
+            if tokens[q] == ("op", "("):
+                depth += 1
+            elif tokens[q] == ("op", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            q += 1
+        if q >= n:
+            return None
+        b_name = "".join(t for _, t in tokens[j : q + 1])
+        b_alias = None
+        j2 = _next_code(tokens, q)
+    elif j < n and tokens[j][0] == "word" and tokens[j][1].lower() not in _KEYWORDS:
+        b_name = tokens[j][1]
+        j2 = _next_code(tokens, j)
+        while j2 < n and tokens[j2] == ("op", "."):
+            j2 = _next_code(tokens, j2)
+            if j2 >= n or tokens[j2][0] not in ("word", "qident"):
+                return None
+            b_name += "." + tokens[j2][1]
+            j2 = _next_code(tokens, j2)
+        b_alias = b_name.split(".")[-1]
+    else:
+        return None
+    b_rel = b_name
+    if j2 < n and tokens[j2][0] == "word" and tokens[j2][1].lower() == "as":
+        j2 = _next_code(tokens, j2)
+    if (
+        j2 < n
+        and tokens[j2][0] == "word"
+        and tokens[j2][1].lower() != "on"
+        and tokens[j2][1].lower() not in _KEYWORDS
+    ):
+        b_alias = tokens[j2][1]
+        b_rel = f"{b_name} {b_alias}"
+        j2 = _next_code(tokens, j2)
+    if b_alias is None:
+        return None  # subquery right side needs an alias
+    if j2 >= n or tokens[j2][1].lower() != "on":
+        return None
+    cond_start = _next_code(tokens, j2)
+    k = cond_start
+    while k < n:
+        tk, tt = tokens[k]
+        if depths[k] == 0 and tk == "word" and tt.lower() in _ASOF_STOP:
+            break
+        k += 1
+    parsed = _parse_asof_on(tokens[cond_start:k], b_alias)
+    if parsed is None:
+        return None
+    eqs, (a_ts, b_ts, backward, strict) = parsed
+    # ---- left side: the single relation right before ASOF -----------
+    b_idx = -1
+    for x in range(i - 1, -1, -1):
+        if depths[x] == 0 and (
+            (tokens[x][0] == "word" and tokens[x][1].lower() == "from")
+            or tokens[x] == ("op", ",")
+        ):
+            b_idx = x
+            break
+    if b_idx < 0:
+        return None
+    p = _next_code(tokens, b_idx)
+    if p >= i:
+        return None
+    if tokens[p] == ("op", "("):
+        depth, q = 0, p
+        while q < i:
+            if tokens[q] == ("op", "("):
+                depth += 1
+            elif tokens[q] == ("op", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            q += 1
+        if q >= i:
+            return None
+        after = _next_code(tokens, q)
+        if after < i and tokens[after][0] == "word" and tokens[after][
+            1
+        ].lower() == "as":
+            after = _next_code(tokens, after)
+        if after >= i or tokens[after][0] not in ("word", "qident"):
+            return None  # subquery left side needs an alias
+        a_alias = tokens[after][1]
+        rel_end = after
+    elif tokens[p][0] == "word" and tokens[p][1].lower() not in _KEYWORDS:
+        a_alias = tokens[p][1]  # last dotted segment wins below
+        rel_end = p
+        scan = _next_code(tokens, p)
+        while scan < i and tokens[scan] == ("op", "."):
+            scan = _next_code(tokens, scan)  # the segment word
+            if scan >= i or tokens[scan][0] not in ("word", "qident"):
+                return None
+            a_alias = tokens[scan][1]
+            rel_end = scan
+            scan = _next_code(tokens, scan)
+        if scan < i and tokens[scan][0] == "word" and tokens[scan][
+            1
+        ].lower() == "as":
+            scan = _next_code(tokens, scan)
+            if scan >= i or tokens[scan][0] not in ("word", "qident"):
+                return None
+            a_alias = tokens[scan][1]
+            rel_end = scan
+        elif (
+            scan < i
+            and tokens[scan][0] in ("word", "qident")
+            and tokens[scan][1].lower() not in _KEYWORDS
+        ):
+            a_alias = tokens[scan][1]
+            rel_end = scan
+    else:
+        return None
+    if _next_code(tokens, rel_end) != i:
+        return None  # trailing junk between the left relation and ASOF
+    a_rel = "".join(t for _, t in tokens[p : rel_end + 1]).strip()
+    # ---- build the union+window relation ----------------------------
+    n_k = len(eqs)
+    a_keys = "".join(f"{a} AS _k{x}, " for x, (a, _) in enumerate(eqs))
+    b_keys = "".join(f"{b}, " for _, b in eqs)
+    part = (
+        "PARTITION BY " + ", ".join(f"_k{x}" for x in range(n_k)) + " "
+        if n_k
+        else ""
+    )
+    tsdir = "ASC" if backward else "DESC"
+    tiedir = "DESC" if strict else "ASC"
+    notnull = " AND ".join(
+        [f"{b} IS NOT NULL" for _, b in eqs] + [f"{b_ts} IS NOT NULL"]
+    )
+    inner_filter = "" if left_join else " AND _rpick IS NOT NULL"
+    rel = (
+        f"(SELECT _lrow AS {a_alias}, _rpick AS {b_alias} FROM ("
+        f"SELECT _lrow, _is_l, last(_rrow, true) OVER ({part}"
+        f"ORDER BY _ts {tsdir} NULLS FIRST, _is_l {tiedir} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _rpick "
+        f"FROM (SELECT {a_keys}{a_ts} AS _ts, 1 AS _is_l, "
+        f"struct({a_alias}.*) AS _lrow, NULL AS _rrow FROM {a_rel} "
+        f"UNION ALL SELECT {b_keys}{b_ts}, 0, NULL, struct({b_alias}.*) "
+        f"FROM {b_rel} WHERE {notnull}) __asof_u"
+        f") __asof_w WHERE _is_l = 1{inner_filter}) __asof_j"
+    )
+    # ---- bare top-level * in the main select list → a.*, b.* --------
+    head = tokens[: b_idx + 1]
+    sel_at = [
+        x
+        for x, (kk, tt) in enumerate(head)
+        if kk == "word" and tt.lower() == "select" and depths[x] == 0
+    ]
+    if sel_at:
+        s0 = sel_at[-1]
+        for x in range(s0 + 1, b_idx):
+            if (
+                head[x] == ("op", "*")
+                and depths[x] == 0
+                and (
+                    _prev_code(head, x) < 0
+                    or head[_prev_code(head, x)] != ("op", ".")
+                )
+            ):
+                head = (
+                    head[:x]
+                    + [("word", f"{a_alias}.*, {b_alias}.*")]
+                    + head[x + 1 :]
+                )
+                break
+    pre = "".join(t for _, t in head)
+    post = "".join(t for _, t in tokens[k:])
+    return f"{pre} {rel} {post}"
+
+
 def _rewrite_asof_join(sql: str) -> str:
     """DuckDB ``a ASOF [LEFT] JOIN b [alias] ON eq-conds AND ineq`` →
     a Spark LATERAL subquery picking the nearest match:
@@ -999,19 +1305,25 @@ def _rewrite_from_first(sql: str) -> str:
     return f"{out} {trailing}" if trailing else out
 
 
-def rewrite_pg(sql: str) -> str:
+def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     """Rewrite Postgres/DuckDB-dialect constructs to Spark SQL.
 
     A no-op (returns the input object) when the query contains neither
     ``::`` nor ``->`` nor a QUALIFY/EXCLUDE keyword — plain Spark SQL
     never pays tokenization cost.
+
+    ``asof_union=False`` forces ASOF JOIN statements onto the
+    correlated-LATERAL compatibility rewrite instead of the default
+    union+window routing (Engine.sql retries with it when the routed
+    plan fails analysis, e.g. on unqualified outer column refs).
     """
     if _FROM_FIRST_RE.match(sql):
         sql = _rewrite_from_first(sql)
     if "::" not in sql and "->" not in sql and not _EXTRA_RE.search(sql):
         return sql
     if re.search(r"\basof\s+(left\s+)?join\b", sql, re.IGNORECASE):
-        sql = _rewrite_asof_join(sql)
+        routed = _rewrite_asof_union(sql) if asof_union else None
+        sql = routed if routed is not None else _rewrite_asof_join(sql)
     tokens = _tokenize(sql)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_arrows(tokens)

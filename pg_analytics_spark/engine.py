@@ -272,7 +272,25 @@ class Engine:
                     [p.strip() for p in parts.split(",")] if parts else None
                 ),
             )
-        query = rewrite_pg(query)
+        try:
+            return self._sql_rewritten(rewrite_pg(query), args)
+        except Exception as exc:
+            # ASOF union+window routing exposes each side as a struct
+            # namespace; an outer query that references columns
+            # UNQUALIFIED fails analysis there — retry on the
+            # correlated-LATERAL compatibility rewrite, which exposes
+            # flat columns (DuckDB-equivalent resolution).
+            from pyspark.errors import AnalysisException
+
+            if isinstance(exc, AnalysisException) and _re.search(
+                r"\basof\s+(left\s+)?join\b", query, _re.IGNORECASE
+            ):
+                return self._sql_rewritten(
+                    rewrite_pg(query, asof_union=False), args
+                )
+            raise
+
+    def _sql_rewritten(self, query: str, args):
         query, tf_views = extract_table_functions(query)
         for name, files, fmt, opts in tf_views:
             load_source(self.spark, files, fmt, opts).createOrReplaceTempView(

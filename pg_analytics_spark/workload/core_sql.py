@@ -2569,14 +2569,16 @@ ORDER BY p.user_id, p.event_id
     oracle=_PASSTHROUGH_ASOF,
     doc="DuckDB-dialect passthrough: ASOF JOIN (the nearest-match "
     "temporal join DuckDB users write for attribution/pricing) is not "
-    "Spark SQL; the dialect shim rewrites it to a correlated LATERAL "
-    "subquery picking the closest row under the single range "
-    "inequality (dialect.py::_rewrite_asof_join — ORDER BY the bound "
-    "column DESC/ASC + LIMIT 1), equality predicates preserved.  "
-    "DuckDB executes the raw text with its native ASOF JOIN; "
-    "identical output proves the rewrite's semantics.  Only the "
-    "bounded column's VALUE is projected, so inequality ties (both "
-    "engines pick arbitrarily) cannot differ.",
+    "Spark SQL; the dialect shim ROUTES it to the one-shuffle "
+    "union+window dataflow (dialect.py::_rewrite_asof_union — the "
+    "same sort-merge shape as operators/temporal.asof_join, the "
+    "100 TB path; plan pinned by tests/test_plans.py::"
+    "test_asof_sql_statement_plans_union_window), falling back to a "
+    "correlated LATERAL rewrite for unroutable shapes.  DuckDB "
+    "executes the raw text with its native ASOF JOIN; identical "
+    "output proves the routing's semantics.  Only the bounded "
+    "column's VALUE is projected, so inequality ties (both engines "
+    "pick arbitrarily) cannot differ.",
 )
 def sql_passthrough_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_analytics_spark.engine import Engine

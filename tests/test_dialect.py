@@ -525,30 +525,81 @@ def test_unpivot_statement(engine):
 # ------------------------------------------------------------------ #
 
 
-def test_asof_join_rewrite_inner_and_left():
+def test_asof_join_routes_to_union_window():
+    """The DEFAULT ASOF statement rewrite is the one-shuffle
+    union+window dataflow (same shape as operators/temporal.asof_join);
+    a bare top-level * expands to both struct namespaces."""
     from pg_analytics_spark.dialect import rewrite_pg
 
     got = rewrite_pg(
         "SELECT q.ts, t.px FROM quotes q ASOF JOIN trades t "
         "ON t.sym = q.sym AND t.ts <= q.ts"
     )
-    assert "LATERAL (SELECT * FROM trades t WHERE" in got
-    assert "ORDER BY t.ts DESC LIMIT 1" in got
+    assert "last(_rrow, true) OVER (PARTITION BY _k0" in got
+    assert "ORDER BY _ts ASC NULLS FIRST, _is_l ASC" in got
+    assert "_rpick IS NOT NULL" in got  # inner join filters unmatched
     got_left = rewrite_pg(
         "SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.bts"
     )
-    assert "LEFT JOIN LATERAL" in got_left and "ON true" in got_left
-    assert "ORDER BY b.bts DESC LIMIT 1" in got_left
+    assert "a.*, b.*" in got_left  # star expansion through the structs
+    assert "_rpick IS NOT NULL" not in got_left  # LEFT keeps unmatched
+    # b bounded BELOW -> forward as-of -> descending ts traversal
+    got_fwd = rewrite_pg(
+        "SELECT a.k, b.ts FROM a ASOF JOIN b ON a.k = b.k AND b.ts >= a.ts"
+    )
+    assert "ORDER BY _ts DESC NULLS FIRST, _is_l ASC" in got_fwd
+    # strict inequality flips the tie order so equal ts never matches
+    got_strict = rewrite_pg(
+        "SELECT a.k, b.ts FROM a ASOF JOIN b ON a.k = b.k AND b.ts < a.ts"
+    )
+    assert "ORDER BY _ts ASC NULLS FIRST, _is_l DESC" in got_strict
 
 
-def test_asof_join_direction_flips_with_inequality():
+def test_asof_join_lateral_compat_path_still_available():
+    """asof_union=False (the Engine.sql analysis-failure retry) keeps
+    the correlated-LATERAL rewrite with its flat column namespace."""
     from pg_analytics_spark.dialect import rewrite_pg
 
-    # b bounded BELOW -> nearest is the smallest b.ts -> ASC
     got = rewrite_pg(
-        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts >= a.ts"
+        "SELECT q.ts, t.px FROM quotes q ASOF JOIN trades t "
+        "ON t.sym = q.sym AND t.ts <= q.ts",
+        asof_union=False,
     )
-    assert "ORDER BY b.ts ASC LIMIT 1" in got
+    assert "LATERAL (SELECT * FROM trades t WHERE" in got
+    assert "ORDER BY t.ts DESC LIMIT 1" in got
+    got_left = rewrite_pg(
+        "SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.bts",
+        asof_union=False,
+    )
+    assert "LEFT JOIN LATERAL" in got_left and "ON true" in got_left
+    assert "ORDER BY b.bts DESC LIMIT 1" in got_left
+    # b bounded BELOW -> nearest is the smallest b.ts -> ASC
+    got_fwd = rewrite_pg(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts >= a.ts",
+        asof_union=False,
+    )
+    assert "ORDER BY b.ts ASC LIMIT 1" in got_fwd
+
+
+def test_asof_union_route_declines_unroutable_shapes():
+    """Shapes the union+window route cannot express fall back to the
+    LATERAL rewrite (extra non-equi predicate; chained left join)."""
+    from pg_analytics_spark.dialect import _rewrite_asof_union
+
+    assert (
+        _rewrite_asof_union(
+            "SELECT q.ts FROM quotes q ASOF JOIN trades t "
+            "ON t.sym = q.sym AND t.ts <= q.ts AND t.px > 100"
+        )
+        is None
+    )
+    assert (
+        _rewrite_asof_union(
+            "SELECT * FROM a JOIN x ON a.i = x.i ASOF JOIN b "
+            "ON b.k = a.k AND b.ts <= a.ts"
+        )
+        is None
+    )
 
 
 def test_asof_join_requires_qualified_inequality():

