@@ -87,6 +87,36 @@ def _file_stats(path: str, schema) -> str | None:
     )
 
 
+def _stats_for_files(spark, files: list[str], schema) -> dict[str, tuple]:
+    """path → (stats_json, size, mtime_ms) for every committed file.
+
+    Large commits compute the parquet-footer reads ON THE EXECUTORS
+    (one Spark job over the file list) — at 100k files a sequential
+    driver loop would serialize the whole commit on footer I/O.  Tiny
+    commits stay driver-side where a job costs more than the loop.
+
+    COMMIT-PROTOCOL BOUNDARY: this native writer targets
+    posix-rename filesystems (local/NFS — every path the executors
+    and driver share); `os.replace` atomicity is what makes the
+    staging→table move safe.  Object stores need a real commit
+    protocol — the engine prefers delta-spark when it is installed,
+    and that is the supported path for s3a:// et al.
+    """
+
+    def _one(p: str):
+        return p, (
+            _file_stats(p, schema),
+            os.path.getsize(p),
+            int(os.path.getmtime(p) * 1000),
+        )
+
+    if len(files) <= 16:
+        return dict(_one(p) for p in files)
+    sc = spark.sparkContext
+    slices = max(2, min(len(files) // 8, 256))
+    return dict(sc.parallelize(sorted(files), slices).map(_one).collect())
+
+
 def _schema_shape(schema_string: str) -> list[tuple]:
     """(name, type) pairs of a Spark schema JSON — the comparison that
     matters for append safety; nullability/metadata are ignored."""
@@ -443,7 +473,7 @@ def write_delta(
     n_rows = int(obs.get["n"])
 
     os.makedirs(path, exist_ok=True)
-    adds = []
+    renamed: list[tuple[str, str]] = []  # (rel_path, dst)
     for root, _dirs, names in os.walk(staging):
         for name in names:
             if not name.endswith(".parquet"):
@@ -456,21 +486,29 @@ def write_delta(
             dst = os.path.join(path, rel_path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
-            stats = _file_stats(dst, df.schema)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel_path.replace(os.sep, "/"),
-                        "partitionValues": _partition_values(
-                            rel_path.replace(os.sep, "/")
-                        ),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": True,
-                        **({"stats": stats} if stats else {}),
-                    }
+            renamed.append((rel_path, dst))
+    # footer stats ride the EXECUTORS for large commits (the driver
+    # only renames + writes the log); see _stats_for_files
+    per_file = _stats_for_files(
+        df.sparkSession, [dst for _, dst in renamed], df.schema
+    )
+    adds = []
+    for rel_path, dst in renamed:
+        stats, size, mtime_ms = per_file[dst]
+        adds.append(
+            {
+                "add": {
+                    "path": rel_path.replace(os.sep, "/"),
+                    "partitionValues": _partition_values(
+                        rel_path.replace(os.sep, "/")
+                    ),
+                    "size": size,
+                    "modificationTime": mtime_ms,
+                    "dataChange": True,
+                    **({"stats": stats} if stats else {}),
                 }
-            )
+            }
+        )
     shutil.rmtree(staging, ignore_errors=True)
 
     import time as _time
@@ -565,4 +603,15 @@ def write_delta(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)
+    # auto-checkpoint on the standard 10-commit cadence (what real
+    # Delta writers do via checkpointInterval): readers then replay
+    # from one parquet file instead of every JSON commit, and commits
+    # ≤ the checkpointed version become eligible for log cleanup.
+    # Failure is non-fatal — the commit above already succeeded and a
+    # later write (or an explicit checkpoint_delta) retries.
+    if version > 0 and version % 10 == 0:
+        try:
+            checkpoint_delta(path)
+        except Exception:
+            pass
     return {"version": version, "files": len(adds), "rows": n_rows}

@@ -34,9 +34,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import struct
 import uuid
+
+import pandas as pd  # module-level: the pandas_udf annotations in
+# _bucket_udf resolve through get_type_hints against MODULE globals
+# (this file uses `from __future__ import annotations`)
 
 from pyspark.sql import DataFrame
 
@@ -201,6 +206,169 @@ def _file_bounds(path: str, fields: list[dict]) -> tuple[list, list, int]:
     return lowers, uppers, num_rows
 
 
+#: partition transform spec text: year(c) / months(c) / bucket(16, c) …
+_TRANSFORM_RE = re.compile(
+    r"^\s*(year|years|month|months|day|days|hour|hours)\s*\(\s*(\w+)\s*\)\s*$"
+    r"|^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+_TRANSFORM_ALIAS = {
+    "years": "year", "months": "month", "days": "day", "hours": "hour",
+}
+
+
+def _parse_transform(text: str) -> tuple[str, int | None, str]:
+    """``days(ts)`` → ("day", None, "ts"); ``bucket(8, k)`` →
+    ("bucket", 8, "k"); a plain column name → ("identity", None, col)."""
+    m = _TRANSFORM_RE.match(text)
+    if not m:
+        return "identity", None, text.strip()
+    if m.group(1):
+        kind = _TRANSFORM_ALIAS.get(m.group(1).lower(), m.group(1).lower())
+        return kind, None, m.group(2)
+    return m.group(3).lower(), int(m.group(4)), m.group(5)
+
+
+def _canonical_transform(kind: str, param: int | None) -> str:
+    """The spec's transform string (what metadata stores and the
+    reader's pruning parses): bucket[N] / truncate[W] / year / …"""
+    if kind in ("bucket", "truncate"):
+        return f"{kind}[{param}]"
+    return kind
+
+
+def _bucket_udf(n: int, src_type: str):
+    """``bucket[N]`` partition values, vectorized: murmur3_x86_32
+    (seed 0) over the spec's 8-byte little-endian encoding of the
+    value (spec §bucket-transform-details — int/long/date/timestamp
+    all hash as 64-bit LE), then ``(h & Int.MaxValue) % N``.  One
+    Arrow-batched pandas UDF in numpy uint64 arithmetic — bit-exact
+    vs the reader's reference murmur3 (iceberg_prune.murmur3_x86_32,
+    property-pinned in tests).  Python touches only the partition
+    column, once, at write time."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.uint64(0xFFFFFFFF)
+    C1 = np.uint64(0xCC9E2D51)
+    C2 = np.uint64(0x1B873593)
+
+    def _mix(h, k):
+        k = (k * C1) & M
+        k = ((k << np.uint64(15)) | (k >> np.uint64(17))) & M
+        k = (k * C2) & M
+        h = h ^ k
+        h = ((h << np.uint64(13)) | (h >> np.uint64(19))) & M
+        return (h * np.uint64(5) + np.uint64(0xE6546B64)) & M
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mask = v.isna()
+        x = v.fillna(0).astype("int64").to_numpy().view(np.uint64)
+        lo = x & M
+        hi = (x >> np.uint64(32)) & M
+        h = np.zeros(len(x), dtype=np.uint64)
+        h = _mix(h, lo)
+        h = _mix(h, hi)
+        h ^= np.uint64(8)
+        h = (h ^ (h >> np.uint64(16))) & M
+        h = (h * np.uint64(0x85EBCA6B)) & M
+        h = (h ^ (h >> np.uint64(13))) & M
+        h = (h * np.uint64(0xC2B2AE35)) & M
+        h = (h ^ (h >> np.uint64(16))) & M
+        out = pd.Series(
+            ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
+        )
+        out[mask.to_numpy()] = None
+        return out
+
+    return _bucket
+
+
+def _transform_column(kind: str, param: int | None, src: str, src_type: str):
+    """(partition-value Column, result iceberg type, default field
+    name) for one spec transform — value semantics shared bit-for-bit
+    with the reader's ``iceberg_prune.transform_value``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(src)
+    if kind == "identity":
+        return c, src_type, src
+    if kind == "year":
+        return (F.year(c) - F.lit(1970)).cast("int"), "int", f"{src}_year"
+    if kind == "month":
+        return (
+            ((F.year(c) - F.lit(1970)) * 12 + F.month(c) - F.lit(1)).cast(
+                "int"
+            ),
+            "int",
+            f"{src}_month",
+        )
+    if kind == "day":
+        # result TYPE is date per the spec; the value is the day
+        return F.to_date(c), "date", f"{src}_day"
+    if kind == "hour":
+        us = F.unix_micros(c.cast("timestamp"))
+        w = F.lit(3_600_000_000)
+        return (
+            ((us - F.pmod(us, w)) / w).cast("long").cast("int"),
+            "int",
+            f"{src}_hour",
+        )
+    if kind == "truncate":
+        if src_type == "string":
+            return F.substring(c, 1, param), "string", f"{src}_trunc"
+        if src_type in ("int", "long"):
+            w = F.lit(param)
+            out = (c - F.pmod(c, w)).cast(src_type)
+            return out, src_type, f"{src}_trunc"
+        raise UnsupportedFormat(
+            f"iceberg truncate[{param}] on {src!r} ({src_type}) "
+            "unsupported — int/long/string sources only"
+        )
+    if kind == "bucket":
+        if src_type in ("int", "long"):
+            v = c.cast("long")
+        elif src_type == "date":
+            v = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
+        elif src_type.startswith("timestamp"):
+            v = F.unix_micros(c.cast("timestamp"))
+        else:
+            raise UnsupportedFormat(
+                f"iceberg bucket[{param}] on {src!r} ({src_type}) "
+                "unsupported by the native writer — int/long/date/"
+                "timestamp sources only (strings need a real runtime)"
+            )
+        return _bucket_udf(param, src_type)(v), "int", f"{src}_bucket"
+    raise UnsupportedFormat(f"iceberg partition transform {kind!r}")
+
+
+def _bounds_for_files(spark, files: list[str], fields) -> dict[str, tuple]:
+    """path → (lower_bounds, upper_bounds, num_rows, size) for every
+    committed data file.  Large commits compute the parquet-footer
+    reads + Appendix-D encoding ON THE EXECUTORS (one Spark job over
+    the file list); tiny commits stay driver-side where a job costs
+    more than the loop.
+
+    COMMIT-PROTOCOL BOUNDARY: this native writer targets posix-rename
+    filesystems (local/NFS shared by driver and executors).  Object
+    stores need a real commit protocol — the engine prefers an
+    Iceberg runtime when present, which is the supported path for
+    s3a:// et al.
+    """
+
+    def _one(p: str):
+        lowers, uppers, rows = _file_bounds(p, fields)
+        return p, (lowers, uppers, rows, os.path.getsize(p))
+
+    if len(files) <= 16:
+        return dict(_one(p) for p in files)
+    sc = spark.sparkContext
+    slices = max(2, min(len(files) // 8, 256))
+    return dict(sc.parallelize(sorted(files), slices).map(_one).collect())
+
+
 def _partition_tuple(rel_dir: str, part_fields: list[dict]) -> dict:
     """Typed partition tuple from the staging dir path (`_p0=v/...`),
     keyed by the spec field NAME (what the reader's pruning reads)."""
@@ -256,13 +424,19 @@ def write_iceberg(
 ) -> dict:
     """Write ``df`` as one Iceberg v2 snapshot at ``path``.
 
-    ``partition_by`` (identity transforms only — int/long/string/date
-    sources) records each file's partition tuple in the manifest, so
-    the reader's ``partition_filter`` prunes at the MANIFEST level;
-    data files keep the partition column (the write stages through a
-    duplicated column, since Spark's partitionBy drops the dir column
-    from the files while Iceberg identity partitioning keeps it).
-    On append the existing spec is reused; a different partition_by is
+    ``partition_by`` entries are spec transforms: a plain column name
+    (identity), ``year(c)``/``month(c)``/``days(c)``/``hours(c)``,
+    ``bucket(N, c)`` (murmur3 over the spec's 8-byte LE encodings,
+    int/long/date/timestamp sources), and ``truncate(W, c)``
+    (int/long/string).  Each file's TYPED partition tuple lands in the
+    manifest, so the reader's ``partition_filter`` prunes at the
+    MANIFEST level through the same transforms
+    (``iceberg_prune.transform_value`` — value semantics shared
+    bit-for-bit); data files keep the source columns (the write
+    stages through duplicated dir columns carrying the transform
+    values, since Spark's partitionBy drops dir columns from files).
+    On append the existing spec is reused (names and field-ids carried
+    forward so no new spec-id is minted); a different partition_by is
     rejected.  Returns {"snapshot_id": id, "files": n, "rows": n}.
     """
     import time as _time
@@ -413,7 +587,13 @@ def write_iceberg(
 
     fid = {f["name"]: f["id"] for f in fields}
     ftype = {f["name"]: f["type"] for f in fields}
-    part_fields: list[dict] = []
+    id_to_name = {f["id"]: f["name"] for f in fields}
+    # (kind, param, src, prev_spec_field|None) per partition field —
+    # prev_spec_field carries names/field-ids forward on append so the
+    # spec compares IDENTICAL and no new spec-id is minted
+    part_entries: list[tuple] = [
+        (*_parse_transform(c), None) for c in part_cols
+    ]
     if prev_meta is not None:
         prev_spec = next(
             (
@@ -423,19 +603,32 @@ def write_iceberg(
             ),
             {"fields": []},
         )
-        id_to_name = {f["id"]: f["name"] for f in fields}
-        prev_part_cols = []
+        prev_entries: list[tuple] = []
         missing_sources = []
         for pf in prev_spec.get("fields", []):
-            name = id_to_name.get(pf["source-id"])
-            if name is None:
+            src = id_to_name.get(pf["source-id"])
+            tr = pf.get("transform", "identity")
+            if src is None:
                 missing_sources.append(pf.get("name", pf["source-id"]))
+                continue
+            if tr.startswith("bucket["):
+                prev_entries.append(("bucket", int(tr[7:-1]), src, pf))
+            elif tr.startswith("truncate["):
+                prev_entries.append(("truncate", int(tr[9:-1]), src, pf))
             else:
-                prev_part_cols.append(name)
-        if mode == "append" and explicit_parts and part_cols != prev_part_cols:
+                prev_entries.append((tr, None, src, pf))
+        prev_canon = [
+            f"{_canonical_transform(k, p)}({s})"
+            for k, p, s, _ in prev_entries
+        ]
+        req_canon = [
+            f"{_canonical_transform(k, p)}({s})"
+            for k, p, s, _ in part_entries
+        ]
+        if mode == "append" and explicit_parts and req_canon != prev_canon:
             raise UnsupportedFormat(
                 f"iceberg append partition mismatch: table spec is "
-                f"{prev_part_cols}, requested {part_cols}"
+                f"{prev_canon}, requested {req_canon}"
             )
         if not explicit_parts:
             if missing_sources:
@@ -447,23 +640,34 @@ def write_iceberg(
                     f"{missing_sources}; pass partition_by explicitly "
                     "(e.g. partition_by=[] for an unpartitioned rewrite)"
                 )
-            part_cols = prev_part_cols
-    for i, c in enumerate(part_cols):
-        t = ftype.get(c)
-        if t not in _ICE_TO_AVRO:
+            part_entries = prev_entries
+        elif mode == "append":
+            part_entries = prev_entries  # same spec — reuse ids/names
+    part_fields: list[dict] = []
+    part_exprs = []
+    for i, (kind, param, src, prev_pf) in enumerate(part_entries):
+        t = ftype.get(src)
+        if t is None:
             raise UnsupportedFormat(
-                f"iceberg identity partitioning on {c!r} ({t}) unsupported"
-                " — int/long/string/date sources only"
+                f"iceberg partition source column {src!r} not in schema"
+            )
+        expr, res_t, default_name = _transform_column(kind, param, src, t)
+        if res_t not in _ICE_TO_AVRO:
+            raise UnsupportedFormat(
+                f"iceberg partitioning "
+                f"{_canonical_transform(kind, param)}({src}) result type "
+                f"{res_t!r} unsupported — int/long/string/date results only"
             )
         part_fields.append(
             {
-                "source-id": fid[c],
-                "field-id": 1000 + i,
-                "name": c,
-                "transform": "identity",
-                "_ice_type": t,
+                "source-id": prev_pf["source-id"] if prev_pf else fid[src],
+                "field-id": prev_pf["field-id"] if prev_pf else 1000 + i,
+                "name": prev_pf["name"] if prev_pf else default_name,
+                "transform": _canonical_transform(kind, param),
+                "_ice_type": res_t,
             }
         )
+        part_exprs.append(expr)
 
     # ---- partition-spec identity: specs are IMMUTABLE per the spec —
     # changing the partitioning mints a new spec-id so old snapshots'
@@ -496,15 +700,16 @@ def write_iceberg(
         f"_ice_stage-{uuid.uuid4().hex}",
     )
     out_df = df
-    if part_cols:
+    if part_entries:
         # stage via DUPLICATED dir columns: partitionBy drops its
-        # columns from the files, but Iceberg identity partitioning
-        # keeps them in the data — the copies only name the dirs
-        from pyspark.sql import functions as F
-
-        dir_cols = [f"_p{i}" for i in range(len(part_cols))]
-        for dc, c in zip(dir_cols, part_cols):
-            out_df = out_df.withColumn(dc, F.col(c))
+        # columns from the files, but Iceberg keeps source columns in
+        # the data — the dir columns carry the TRANSFORM VALUES
+        # (identity: a copy; year/month/day/hour/bucket/truncate: the
+        # computed partition value, matching the reader's
+        # transform_value bit-for-bit)
+        dir_cols = [f"_p{i}" for i in range(len(part_entries))]
+        for dc, e in zip(dir_cols, part_exprs):
+            out_df = out_df.withColumn(dc, e)
         writer = out_df.write.mode("overwrite")
         fwd = {k: v for k, v in (options or {}).items() if k != "mergeSchema"}
         if fwd:
@@ -520,6 +725,7 @@ def write_iceberg(
     entries = []
     n_rows = 0
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    renamed: list[tuple[str, str]] = []  # (rel_dir in staging, dst)
     for root, _dirs, names in os.walk(staging):
         for name in sorted(names):
             if not name.endswith(".parquet"):
@@ -530,28 +736,34 @@ def write_iceberg(
                 data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
             )
             os.replace(src, dst)
-            lowers, uppers, rows = _file_bounds(dst, fields)
-            n_rows += rows
-            data_file = {
-                "content": 0,
-                "file_path": dst,
-                "file_format": "PARQUET",
-                "record_count": rows,
-                "file_size_in_bytes": os.path.getsize(dst),
-                "lower_bounds": lowers or None,
-                "upper_bounds": uppers or None,
+            renamed.append((rel_dir, dst))
+    # Appendix-D bounds ride the EXECUTORS for large commits; only the
+    # manifest/metadata commit stays driver-side (see _bounds_for_files
+    # for the posix-rename commit-protocol boundary)
+    per_file = _bounds_for_files(
+        df.sparkSession, [dst for _, dst in renamed], fields
+    )
+    for rel_dir, dst in renamed:
+        lowers, uppers, rows, size = per_file[dst]
+        n_rows += rows
+        data_file = {
+            "content": 0,
+            "file_path": dst,
+            "file_format": "PARQUET",
+            "record_count": rows,
+            "file_size_in_bytes": size,
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+        }
+        if part_fields:
+            data_file["partition"] = _partition_tuple(rel_dir, part_fields)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": data_file,
             }
-            if part_fields:
-                data_file["partition"] = _partition_tuple(
-                    rel_dir, part_fields
-                )
-            entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": snapshot_id,
-                    "data_file": data_file,
-                }
-            )
+        )
     shutil.rmtree(staging, ignore_errors=True)
 
     os.makedirs(meta_dir, exist_ok=True)

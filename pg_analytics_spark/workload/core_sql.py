@@ -2125,6 +2125,71 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_partitioned_write_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 5000
+      AND o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1996-01-01'
+    ORDER BY o_orderkey
+    """,
+    doc="Native Iceberg v2 writer with NON-IDENTITY partition "
+    "transforms (r4 verdict item 5): orders written partitioned by "
+    "month(o_orderdate) + bucket(4, o_custkey) — transform values "
+    "computed at write time (bucket = vectorized murmur3 over the "
+    "spec's 8-byte LE encodings, bit-exact vs the reader's reference "
+    "murmur3), typed partition tuples in the manifest.  The read-back "
+    "probes with a partition_filter and ASSERTS inside the callable "
+    "that manifest-level transform pruning dropped files "
+    "(inputFiles < full scan) before returning the filtered rows; "
+    "the oracle runs the same predicate on the parquet original, so "
+    "values prove the write+prune+residual-filter loop is exact.",
+)
+def iceberg_partitioned_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    sub = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderkey") < 5000)
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_iceberg_part")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        sub,
+        root,
+        mode="overwrite",
+        partition_by=["month(o_orderdate)", "bucket(4, o_custkey)"],
+    )
+    full = load_source(spark, root, "iceberg")
+    pruned = load_source(
+        spark,
+        root,
+        "iceberg",
+        {
+            "partition_filter": [
+                ["o_orderdate", ">=", "1995-01-01"],
+                ["o_orderdate", "<", "1996-01-01"],
+            ]
+        },
+    )
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert n_pruned < n_full, (
+        f"month-transform pruning kept {n_pruned}/{n_full} files"
+    )
+    return pruned.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+@register(
     "avro_nation_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey

@@ -2037,6 +2037,275 @@ def test_iceberg_writer_partitioned_manifest_pruning(spark, tmp_path):
         )
 
 
+def test_writer_file_stats_ride_the_executors(spark, tmp_path, monkeypatch):
+    """Large commits (here 200 files) must NOT serialize footer-stats
+    collection on the driver (r4 verdict item 2).  Proof by PID
+    stamping: the stats functions are wrapped to embed os.getpid() of
+    the process that computed them (cloudpickle ships the wrapper to
+    the python workers by value) — every committed file's stats must
+    carry a pid DIFFERENT from the driver's."""
+    import json as _json
+    import os as _os
+
+    from pg_analytics_spark.sources import delta_write, iceberg_write
+
+    real_stats = delta_write._file_stats
+
+    def traced_stats(p, schema):
+        s = _json.loads(real_stats(p, schema))
+        s["pid"] = _os.getpid()
+        return _json.dumps(s)
+
+    real_bounds = iceberg_write._file_bounds
+
+    def traced_bounds(p, fields):
+        lowers, uppers, rows = real_bounds(p, fields)
+        return (
+            [{"key": 424242, "value": str(_os.getpid()).encode()}] + lowers,
+            uppers,
+            rows,
+        )
+
+    monkeypatch.setattr(delta_write, "_file_stats", traced_stats)
+    monkeypatch.setattr(iceberg_write, "_file_bounds", traced_bounds)
+    driver_pid = _os.getpid()
+
+    droot = str(tmp_path / "dmany")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS x").repartition(200)
+    res = delta_write.write_delta(df, droot, mode="overwrite")
+    assert res["rows"] == 2000 and res["files"] >= 200
+    import glob as _glob
+
+    (commit,) = _glob.glob(f"{droot}/_delta_log/*.json")
+    adds = [
+        _json.loads(line)["add"]
+        for line in open(commit)
+        if '"add"' in line
+    ]
+    assert len(adds) >= 200
+    pids = {_json.loads(a["stats"])["pid"] for a in adds}
+    assert driver_pid not in pids, "footer stats were computed on the driver"
+    # and the stats are still the real footer stats
+    s = _json.loads(adds[0]["stats"])
+    assert s["numRecords"] > 0 and "id" in s["minValues"]
+
+    iroot = str(tmp_path / "imany")
+    res2 = iceberg_write.write_iceberg(df, iroot, mode="overwrite")
+    assert res2["files"] >= 200
+    from pg_analytics_spark.sources.avro import read_container
+
+    (man,) = _glob.glob(f"{iroot}/metadata/man-*.avro")
+    _schema, entries = read_container(man)
+    assert len(entries) >= 200
+    ipids = set()
+    for e in entries:
+        kv = {b["key"]: b["value"] for b in e["data_file"]["lower_bounds"]}
+        ipids.add(int(kv[424242].decode()))
+        assert len(kv) > 1  # real bounds present beside the stamp
+    assert driver_pid not in ipids, "bounds were computed on the driver"
+
+
+def test_iceberg_bucket_udf_matches_reference_murmur3(spark):
+    """The vectorized write-side bucket hash must equal the reader's
+    reference murmur3_x86_32 (iceberg_prune, pinned to the spec's
+    Appendix-B values) for every encoding class: positive/negative/
+    boundary longs."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg_prune import transform_value
+    from pg_analytics_spark.sources.iceberg_write import _bucket_udf
+
+    rng = _random.Random(7)
+    vals = (
+        [0, 1, -1, 34, 2**31 - 1, -(2**31), 2**62, -(2**62)]
+        + [rng.randint(-(2**63), 2**63 - 1) for _ in range(50)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", _bucket_udf(16, "long")(F.col("v")).alias("b")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == transform_value("bucket[16]", v, "long"), v
+    # spec sanity pin: bucket hash of 34 (spec Appendix-B test value
+    # hashes int 34 as the 8-byte long) → 2017239379 & MaxInt % 16
+    assert got[34] == (2017239379 & 0x7FFFFFFF) % 16
+
+
+def test_iceberg_transform_columns_match_reader_semantics(spark):
+    """year/month/day/hour/truncate write-side partition values equal
+    the reader's transform_value on the same inputs (the shared
+    contract that makes manifest pruning exact)."""
+    import datetime as _dt
+
+    from pg_analytics_spark.sources.iceberg_prune import transform_value
+    from pg_analytics_spark.sources.iceberg_write import _transform_column
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-05 17:45:00' AS ts, "
+        "DATE '1961-04-12' AS d, CAST(-7 AS INT) AS i, 'iceberg' AS s "
+        "UNION ALL SELECT TIMESTAMP_NTZ '1965-01-01 00:30:00', "
+        "DATE '2024-02-29', 23, 'x'"
+    )
+    cases = [
+        ("year", None, "d", "date"),
+        ("month", None, "d", "date"),
+        ("day", None, "ts", "timestamp"),
+        ("hour", None, "ts", "timestamp"),
+        ("truncate", 10, "i", "int"),
+        ("truncate", 3, "s", "string"),
+    ]
+    import pyspark.sql.functions as F
+
+    exprs = []
+    for n, (kind, param, src, st) in enumerate(cases):
+        e, _t, _name = _transform_column(kind, param, src, st)
+        exprs.append(e.alias(f"c{n}"))
+    rows = df.select("ts", "d", "i", "s", *exprs).collect()
+    from pg_analytics_spark.sources.iceberg_prune import _days
+
+    for r in rows:
+        for n, (kind, param, src, st) in enumerate(cases):
+            tr = kind if param is None else f"{kind}[{param}]"
+            want = transform_value(tr, r[src], st)
+            got = r[f"c{n}"]
+            if kind == "day":  # writer emits the date; reader the days-int
+                got = _days(got)
+            assert got == want, (kind, r[src], got, want)
+
+
+def test_iceberg_partitioned_write_day_bucket_roundtrip(spark, tmp_path):
+    """days()+bucket() written table: values exact, manifest pruning
+    drops files for BOTH transform kinds, append reuses the spec
+    (no new spec-id)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    df = spark.sql(
+        "SELECT id, CAST(id % 7 AS LONG) AS k, "
+        "DATE '2024-01-01' + CAST(id % 5 AS INT) AS d FROM range(200)"
+    )
+    root = str(tmp_path / "ice_tr")
+    write_iceberg(
+        df, root, mode="overwrite", partition_by=["days(d)", "bucket(4, k)"]
+    )
+    back = load_source(spark, root, "iceberg")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    n_all = len(back.inputFiles())
+    by_day = load_source(
+        spark, root, "iceberg",
+        {"partition_filter": [["d", "=", "2024-01-03"]]},
+    )
+    assert 0 < len(by_day.inputFiles()) < n_all
+    assert sorted(map(tuple, by_day.collect())) == sorted(
+        map(tuple, df.filter("d = DATE '2024-01-03'").collect())
+    )
+    by_bucket = load_source(
+        spark, root, "iceberg", {"partition_filter": [["k", "=", 3]]}
+    )
+    assert 0 < len(by_bucket.inputFiles()) < n_all
+    assert sorted(map(tuple, by_bucket.collect())) == sorted(
+        map(tuple, df.filter("k = 3").collect())
+    )
+    # append WITHOUT partition_by inherits the transform spec verbatim
+    write_iceberg(
+        spark.sql(
+            "SELECT id + 200 AS id, CAST(id % 7 AS LONG) AS k, "
+            "DATE '2024-01-06' AS d FROM range(50)"
+        ),
+        root,
+        mode="append",
+    )
+    metas = sorted(
+        f for f in _os.listdir(f"{root}/metadata")
+        if f.endswith(".metadata.json")
+    )
+    m = _json.load(open(f"{root}/metadata/{metas[-1]}"))
+    assert len(m["partition-specs"]) == 1
+    assert [pf["transform"] for pf in m["partition-specs"][0]["fields"]] == [
+        "day", "bucket[4]",
+    ]
+    assert load_source(spark, root, "iceberg").count() == 250
+    # append with a DIFFERENT spec is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="partition mismatch"):
+        write_iceberg(
+            df, root, mode="append", partition_by=["days(d)", "bucket(8, k)"]
+        )
+    # bucket on string sources: loud rejection, not silent wrong hash
+    sdf = spark.sql("SELECT 'a' AS s, 1 AS x")
+    with _pytest.raises(Exception, match="bucket"):
+        write_iceberg(
+            sdf, str(tmp_path / "ice_s"), partition_by=["bucket(4, s)"]
+        )
+
+
+def test_delta_writer_auto_checkpoints_every_10_commits(spark, tmp_path):
+    """25 appends → checkpoints were written automatically at versions
+    10 and 20 (the standard checkpointInterval cadence), so the early
+    JSON commits are deletable and the reader replays from the
+    checkpoint with exact results (r4 verdict item 4)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    root = str(tmp_path / "autockpt")
+    for i in range(25):
+        write_delta(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id"),
+            root,
+            mode="append" if i else "overwrite",
+        )
+    log_dir = _os.path.join(root, "_delta_log")
+    lc = _os.path.join(log_dir, "_last_checkpoint")
+    assert _os.path.exists(lc)
+    assert _json.load(open(lc))["version"] == 20
+    cps = sorted(_glob.glob(f"{log_dir}/*.checkpoint.parquet"))
+    assert [int(_os.path.basename(p)[:20]) for p in cps] == [10, 20]
+    # early commits (≤ checkpointed version) are now deletable
+    for p in _glob.glob(f"{log_dir}/*.json"):
+        if int(_os.path.basename(p)[:20]) <= 20:
+            _os.remove(p)
+    back = load_source(spark, root, "delta")
+    assert back.count() == 250
+    got = {r["id"] for r in back.collect()}
+    assert got == set(range(250))
+
+
+def test_writer_small_commit_stats_stay_driver_side(spark, tmp_path, monkeypatch):
+    """Tiny commits (≤16 files) take the driver loop — a Spark job
+    would cost more than the footer reads.  Poison the executor path
+    (parallelize) instead and confirm the write still succeeds."""
+    from pg_analytics_spark.sources import delta_write
+
+    def _boom(*a, **k):
+        raise AssertionError("tiny commit dispatched a Spark job")
+
+    monkeypatch.setattr(
+        spark.sparkContext, "parallelize", _boom, raising=True
+    )
+    droot = str(tmp_path / "dtiny")
+    res = delta_write.write_delta(
+        spark.range(10).coalesce(2), droot, mode="overwrite"
+    )
+    assert res["rows"] == 10
+
+
 def test_delta_writer_append_guards_and_overwrite_evolution(spark, tmp_path):
     """Review findings: append with a different partition spec or
     schema must be rejected (silent acceptance nulls/drops columns on
