@@ -802,6 +802,105 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     return out
 
 
+def _rewrite_list_comprehensions(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """DuckDB list comprehensions and list literals → Spark HOFs:
+
+        ``[f(x) for x in l]``          → ``transform(l, x -> f(x))``
+        ``[f(x) for x in l if p(x)]``  → ``transform(filter(l, x -> p(x)), x -> f(x))``
+        ``[a, b, c]``                  → ``array(a, b, c)``
+
+    Nested comprehensions recurse (each captured piece is rewritten
+    before stringifying).  A ``[`` directly after an identifier/``)``/
+    ``]`` is a SUBSCRIPT and passes through untouched, so ``l[2]`` and
+    ``matrix[1][2]`` keep DuckDB's indexing form for the later
+    element_at shim / Spark's own bracket support."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] != ("op", "["):
+            out.append(tokens[i])
+            i += 1
+            continue
+        prev = _prev_code(out, len(out))
+        if prev >= 0 and (
+            out[prev][0] in ("word", "qident")
+            and out[prev][1].lower() not in _KEYWORDS
+            and out[prev][1] != ","
+            or out[prev][1] in (")", "]")
+        ):
+            out.append(tokens[i])  # subscript position
+            i += 1
+            continue
+        # find the matching ']'
+        depth, j = 0, i
+        while j < n:
+            if tokens[j] == ("op", "["):
+                depth += 1
+            elif tokens[j] == ("op", "]"):
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            out.append(tokens[i])
+            i += 1
+            continue
+        inner = tokens[i + 1 : j]
+        # top-level 'for' within inner ((), [] both tracked)
+        d2 = 0
+        for_at = -1
+        for x, (kk, tt) in enumerate(inner):
+            if kk == "op" and tt in ("(", "["):
+                d2 += 1
+            elif kk == "op" and tt in (")", "]"):
+                d2 -= 1
+            elif d2 == 0 and kk == "word" and tt.lower() == "for":
+                for_at = x
+                break
+        def _sqlify(ts):
+            return "".join(
+                t for _, t in _rewrite_list_comprehensions(list(ts))
+            ).strip()
+
+        if for_at < 0:
+            out.append(("word", f"array({_sqlify(inner)})"))
+            i = j + 1
+            continue
+        expr_toks = inner[:for_at]
+        v = _next_code(inner, for_at)
+        if v >= len(inner) or inner[v][0] != "word":
+            out.append(tokens[i])
+            i += 1
+            continue
+        var = inner[v][1]
+        in_at = _next_code(inner, v)
+        if in_at >= len(inner) or inner[in_at][1].lower() != "in":
+            out.append(tokens[i])
+            i += 1
+            continue
+        # list part runs to a top-level 'if' (or the end)
+        d2 = 0
+        if_at = -1
+        for x in range(in_at + 1, len(inner)):
+            kk, tt = inner[x]
+            if kk == "op" and tt in ("(", "["):
+                d2 += 1
+            elif kk == "op" and tt in (")", "]"):
+                d2 -= 1
+            elif d2 == 0 and kk == "word" and tt.lower() == "if":
+                if_at = x
+                break
+        lst_end = if_at if if_at >= 0 else len(inner)
+        lst = _sqlify(inner[in_at + 1 : lst_end])
+        expr = _sqlify(expr_toks)
+        if if_at >= 0:
+            cond = _sqlify(inner[if_at + 1 :])
+            lst = f"filter({lst}, {var} -> {cond})"
+        out.append(("word", f"transform({lst}, {var} -> {expr})"))
+        i = j + 1
+    return out
+
+
 def _parse_asof_on(cond_toks, b_alias: str):
     """Classify an ASOF ON conjunction for union+window routing.
 
@@ -1319,11 +1418,23 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     """
     if _FROM_FIRST_RE.match(sql):
         sql = _rewrite_from_first(sql)
-    if "::" not in sql and "->" not in sql and not _EXTRA_RE.search(sql):
+    if (
+        "::" not in sql
+        and "->" not in sql
+        and "[" not in sql
+        and not _EXTRA_RE.search(sql)
+    ):
         return sql
     if re.search(r"\basof\s+(left\s+)?join\b", sql, re.IGNORECASE):
         routed = _rewrite_asof_union(sql) if asof_union else None
         sql = routed if routed is not None else _rewrite_asof_join(sql)
+    if "[" in sql:
+        # list comprehensions / literals FIRST, then re-tokenize: the
+        # generated transform()/filter() text may still carry ::casts
+        # and -> arrows that the later stages rewrite
+        sql = "".join(
+            t for _, t in _rewrite_list_comprehensions(_tokenize(sql))
+        )
     tokens = _tokenize(sql)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_arrows(tokens)
@@ -1412,19 +1523,69 @@ def _parse_tf_args(tokens, i):
             raise ValueError(f"option {key} missing '='")
         if j >= len(tokens):
             raise ValueError(f"option {key} missing value")
-        k, t = tokens[j]
-        if k == "string":
-            opts[key] = _unquote(t)
-        elif k == "number":
-            opts[key] = float(t) if "." in t else int(t)
-        elif k == "word" and t.lower() in ("true", "false"):
-            opts[key] = t.lower() == "true"
-        else:
-            raise ValueError(f"unsupported option value for {key}: {t!r}")
-        j = _next_code(tokens, j)
+        opts[key], j = _parse_tf_value(tokens, j)
     if j >= len(tokens) or tokens[j] != ("op", ")"):
         raise ValueError("unterminated table function call")
     return files, opts, j
+
+
+def _parse_tf_value(tokens, j):
+    """One table-function option VALUE starting at token ``j`` →
+    (python value, next code index).  Beyond scalar literals this
+    accepts DuckDB's composite option forms: ``['a', 'b']`` lists
+    (e.g. ``names=[...]``), ``{'col': 'TYPE', …}`` struct literals
+    (``columns={...}``), negative numbers (``skip=-1``), and NULL."""
+    k, t = tokens[j]
+    if k == "string":
+        return _unquote(t), _next_code(tokens, j)
+    if k == "number":
+        return (float(t) if "." in t else int(t)), _next_code(tokens, j)
+    if (k, t) == ("op", "-"):
+        j2 = _next_code(tokens, j)
+        if j2 < len(tokens) and tokens[j2][0] == "number":
+            t2 = tokens[j2][1]
+            return (
+                -(float(t2) if "." in t2 else int(t2)),
+                _next_code(tokens, j2),
+            )
+        raise ValueError("dangling '-' in table-function option")
+    if k == "word" and t.lower() in ("true", "false"):
+        return t.lower() == "true", _next_code(tokens, j)
+    if k == "word" and t.lower() == "null":
+        return None, _next_code(tokens, j)
+    if (k, t) == ("op", "["):
+        vals = []
+        j = _next_code(tokens, j)
+        while j < len(tokens) and tokens[j] != ("op", "]"):
+            v, j = _parse_tf_value(tokens, j)
+            vals.append(v)
+            if j < len(tokens) and tokens[j] == ("op", ","):
+                j = _next_code(tokens, j)
+        if j >= len(tokens):
+            raise ValueError("unterminated list option value")
+        return vals, _next_code(tokens, j)
+    if (k, t) == ("op", "{"):
+        d: dict = {}
+        j = _next_code(tokens, j)
+        while j < len(tokens) and tokens[j] != ("op", "}"):
+            kk, kt = tokens[j]
+            if kk == "string":
+                dkey = _unquote(kt)
+            elif kk in ("word", "qident"):
+                dkey = kt.strip('"')
+            else:
+                raise ValueError(f"bad struct option key {kt!r}")
+            j = _next_code(tokens, j)
+            if j >= len(tokens) or tokens[j][1] != ":":
+                raise ValueError(f"struct option key {dkey!r} missing ':'")
+            j = _next_code(tokens, j)
+            d[dkey], j = _parse_tf_value(tokens, j)
+            if j < len(tokens) and tokens[j] == ("op", ","):
+                j = _next_code(tokens, j)
+        if j >= len(tokens):
+            raise ValueError("unterminated struct option value")
+        return d, _next_code(tokens, j)
+    raise ValueError(f"unsupported option value: {t!r}")
 
 
 def extract_table_functions(sql: str):

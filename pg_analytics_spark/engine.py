@@ -64,6 +64,21 @@ _SECRET_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: DuckDB `CREATE [OR REPLACE] MACRO name(a, b) AS expr` — a stored
+#: SQL-template expansion (scalar macros; `AS TABLE` needs FROM-position
+#: splicing and is rejected with a clear message).
+_MACRO_RE = _re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s*\((?P<params>[^)]*)\)\s*AS\s+"
+    r"(?P<table>TABLE\s+)?(?P<body>.+?);?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+_DROP_MACRO_RE = _re.compile(
+    r"^DROP\s+MACRO\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: `INSERT INTO <attached delta/iceberg table> SELECT …` — appends
 #: through the native protocol writers (Spark's own INSERT would need
 #: the runtime jars for these formats).
@@ -130,6 +145,7 @@ class Engine:
         self.spark = spark or get_spark(**session_kwargs)
         self._attachments: dict[str, _Attachment] = {}
         self._prepared: dict[str, _Prepared] = {}
+        self._macros: dict[str, tuple[list[str], str]] = {}
 
     # ------------------------------------------------------------------ #
     # Source registration (CREATE FOREIGN TABLE analog)
@@ -204,6 +220,18 @@ class Engine:
         so their full option surface (hive partitioning, DV/column
         mapping, time travel, …) applies.
         """
+        m = _MACRO_RE.match(query.strip())
+        if m:
+            return self._create_macro_statement(m)
+        m = _DROP_MACRO_RE.match(query.strip())
+        if m:
+            name = m.group("name").lower()
+            if name not in self._macros and not m.group("ifex"):
+                raise EngineError(f"macro {name!r} does not exist")
+            self._macros.pop(name, None)
+            return self.spark.createDataFrame([(name,)], "dropped string")
+        if self._macros:
+            query = self._expand_macros(query)
         m = _SECRET_RE.match(query.strip())
         if m:
             return self._create_secret_statement(m)
@@ -913,6 +941,126 @@ class Engine:
         )
         return self.spark.createDataFrame(
             [(int(res.get("rows", 0)),)], "count bigint"
+        )
+
+    def _create_macro_statement(self, m) -> DataFrame:
+        """DuckDB ``CREATE MACRO name(a, b) AS a + b`` — stored as a
+        SQL template; later queries expand ``name(x, y)`` to the
+        parenthesized body with arguments substituted (token-level, so
+        strings/comments never false-match).  DuckDB semantics: macro
+        expansion happens at bind time, which is exactly a text
+        template; default-valued and TABLE macros are rejected with a
+        clear message rather than mis-expanded."""
+        if m.group("table"):
+            raise EngineError(
+                "CREATE MACRO … AS TABLE is not supported — scalar "
+                "macros only (use CREATE VIEW for table templates)"
+            )
+        params = [
+            p.strip()
+            for p in (m.group("params") or "").split(",")
+            if p.strip()
+        ]
+        for p in params:
+            if not _re.fullmatch(r"[A-Za-z_]\w*", p):
+                raise EngineError(
+                    f"macro parameter {p!r} unsupported — plain "
+                    "positional parameters only (no defaults)"
+                )
+        name = m.group("name").lower()
+        self._macros[name] = (params, m.group("body").strip())
+        return self.spark.createDataFrame(
+            [(name, len(params))], "macro string, n_params int"
+        )
+
+    def _expand_macros(self, query: str) -> str:
+        """Expand stored macros in ``query`` (token-level, innermost
+        calls first via fixpoint iteration, depth-capped so a
+        self-recursive macro errors instead of hanging)."""
+        from pg_analytics_spark.dialect import _next_code, _tokenize
+
+        for _round in range(10):
+            tokens = _tokenize(query)
+            out: list = []
+            i, n = 0, len(tokens)
+            changed = False
+            while i < n:
+                kind, text = tokens[i]
+                mac = (
+                    self._macros.get(text.lower())
+                    if kind == "word"
+                    else None
+                )
+                if mac is None:
+                    out.append(tokens[i])
+                    i += 1
+                    continue
+                j = _next_code(tokens, i)
+                if j >= n or tokens[j] != ("op", "("):
+                    out.append(tokens[i])
+                    i += 1
+                    continue
+                # collect depth-aware comma-separated argument texts
+                params, body = mac
+                depth, brackets, args, cur = 0, 0, [], []
+                k = j
+                while k < n:
+                    tk = tokens[k]
+                    if tk == ("op", "("):
+                        depth += 1
+                        if depth > 1:
+                            cur.append(tk)
+                    elif tk == ("op", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                        cur.append(tk)
+                    elif tk == ("op", "["):
+                        brackets += 1
+                        cur.append(tk)
+                    elif tk == ("op", "]"):
+                        brackets -= 1
+                        cur.append(tk)
+                    elif tk == ("op", ",") and depth == 1 and brackets == 0:
+                        args.append(cur)
+                        cur = []
+                    else:
+                        cur.append(tk)
+                    k += 1
+                if k >= n:
+                    out.append(tokens[i])
+                    i += 1
+                    continue
+                args.append(cur)
+                arg_texts = [
+                    "".join(t for _, t in a).strip() for a in args
+                ]
+                if arg_texts == [""]:
+                    arg_texts = []
+                if len(arg_texts) != len(params):
+                    raise EngineError(
+                        f"macro {text!r} expects {len(params)} "
+                        f"argument(s), got {len(arg_texts)}"
+                    )
+                sub = {
+                    p.lower(): f"({a})" for p, a in zip(params, arg_texts)
+                }
+                body_out = []
+                for bk, bt in _tokenize(body):
+                    if bk == "word" and bt.lower() in sub:
+                        body_out.append(("word", sub[bt.lower()]))
+                    else:
+                        body_out.append((bk, bt))
+                out.append(
+                    ("word", "(" + "".join(t for _, t in body_out) + ")")
+                )
+                i = k + 1
+                changed = True
+            query = "".join(t for _, t in out)
+            if not changed:
+                return query
+        raise EngineError(
+            "macro expansion did not terminate (recursive macro?)"
         )
 
     def _create_secret_statement(self, m) -> DataFrame:

@@ -2561,6 +2561,71 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+_PASSTHROUGH_LIST_COMP = """
+SELECT l_orderkey, l_linenumber,
+       to_json([CAST(x * 2 AS INT) for x in seq]) AS doubled,
+       to_json([CAST(x AS INT) for x in seq if x % 2 = 0]) AS evens
+FROM (SELECT l_orderkey, l_linenumber,
+             [CAST(l_linenumber % 5 AS INT), CAST(l_linenumber % 3 AS INT),
+              CAST(7 AS INT)] AS seq
+      FROM lineitem WHERE l_orderkey < 200) t
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "sql_passthrough_list_comprehension",
+    oracle=_PASSTHROUGH_LIST_COMP,
+    doc="DuckDB-dialect passthrough: SQL list comprehensions "
+    "(`[f(x) for x in l if p(x)]`) and bare list literals `[a, b]` "
+    "are not Spark SQL; the dialect shim rewrites them to "
+    "transform()/filter() HOFs and array() "
+    "(dialect.py::_rewrite_list_comprehensions — subscripts `l[2]` "
+    "pass through untouched, nested comprehensions recurse).  DuckDB "
+    "runs the identical text natively; to_json canonicalizes the "
+    "array cells for the value gate.",
+)
+def sql_passthrough_list_comprehension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return eng.sql(_PASSTHROUGH_LIST_COMP)
+
+
+@register(
+    "sql_passthrough_create_macro",
+    oracle="""
+    SELECT o_orderkey,
+           concat(o_orderstatus, '-', CAST(o_orderkey * 3 + 1 AS STRING)) AS tag
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+    doc="DuckDB CREATE MACRO statement text: the engine stores the "
+    "macro as a SQL template and expands calls token-level at query "
+    "time (Engine._expand_macros — DuckDB's bind-time expansion "
+    "semantics; nested calls, arity errors, DROP MACRO covered in "
+    "unit tests).  The oracle runs the macro body inlined, proving "
+    "the expansion computes the identical expression.",
+)
+def sql_passthrough_create_macro(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.sql(
+        "CREATE OR REPLACE MACRO keyed(k, tag) AS "
+        "concat(tag, '-', CAST(k * 3 + 1 AS STRING))"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, keyed(o_orderkey, o_orderstatus) AS tag "
+        "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"
+    )
+
+
 @register(
     "sql_passthrough_pivot",
     oracle=_PASSTHROUGH_PIVOT,

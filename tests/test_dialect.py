@@ -692,6 +692,90 @@ def test_using_sample_rewrites_to_tablesample():
     assert rewrite_pg(q) == q
 
 
+def test_table_function_composite_option_values(engine, tmp_path):
+    """Table-function options beyond scalar literals: DuckDB struct
+    literals (columns={...}), lists (names=[...]), negatives and NULL
+    parse into the source layer's option dict and drive a real read."""
+    from pg_analytics_spark.dialect import extract_table_functions
+
+    sql = (
+        "SELECT * FROM read_csv('f.csv', "
+        "columns={'a': 'INTEGER', 'b': 'VARCHAR'}, names=['x','y'], "
+        "skip=-1, header=true, sample_size=NULL)"
+    )
+    out, att = extract_table_functions(sql)
+    assert out == "SELECT * FROM __tf_0"
+    (_, files, fmt, opts) = att[0]
+    assert files == ["f.csv"] and fmt == "csv"
+    assert opts == {
+        "columns": {"a": "INTEGER", "b": "VARCHAR"},
+        "names": ["x", "y"],
+        "skip": -1,
+        "header": True,
+        "sample_size": None,
+    }
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,foo\n2,bar\n")
+    rows = engine.sql(
+        f"SELECT * FROM read_csv('{p}', "
+        "columns={'a': 'INTEGER', 'b': 'VARCHAR'}, header=true) ORDER BY a"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "foo"), (2, "bar")]
+
+
+def test_list_comprehension_rewrite_shapes():
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("SELECT [x * 2 for x in cols] AS d FROM t") == (
+        "SELECT transform(cols, x -> x * 2) AS d FROM t"
+    )
+    assert "transform(filter(l, x -> x > 0), x -> CAST(x AS DOUBLE))" in (
+        rewrite_pg("SELECT [x::DOUBLE for x in l if x > 0] AS d FROM t")
+    )
+    assert rewrite_pg("SELECT [1, 2, 3] AS a") == "SELECT array(1, 2, 3) AS a"
+    # subscripts untouched; nested comprehensions recurse
+    q = "SELECT arr[2] AS second FROM t"
+    assert rewrite_pg(q) == q
+    assert rewrite_pg("SELECT [ [y for y in x] for x in m ] AS n") == (
+        "SELECT transform(m, x -> transform(x, y -> y)) AS n"
+    )
+
+
+def test_list_comprehension_executes_like_duckdb(engine):
+    import duckdb as _duckdb
+
+    q = "SELECT [x * 2 for x in [1,2,3] if x > 1] AS d"
+    got = engine.sql(q).collect()[0]["d"]
+    want = _duckdb.sql(q).fetchall()[0][0]
+    assert list(got) == list(want) == [4, 6]
+
+
+def test_create_macro_statement_roundtrip(engine):
+    import pytest as _pytest
+
+    from pg_analytics_spark.engine import EngineError
+
+    engine.sql("CREATE MACRO add_tax(p, rate) AS p * (1 + rate)")
+    row = engine.sql(
+        "SELECT add_tax(100, 0.1) AS x, add_tax(add_tax(10, 0.5), 1.0) AS y"
+    ).collect()[0]
+    assert float(row["x"]) == 110.0 and float(row["y"]) == 30.0
+    # macro bodies go through the full dialect shim (comprehensions…)
+    engine.sql("CREATE MACRO doubled(l) AS [x * 2 for x in l]")
+    assert engine.sql("SELECT doubled([1,2,3]) AS d").collect()[0][
+        "d"
+    ] == [2, 4, 6]
+    with _pytest.raises(EngineError, match="expects 2"):
+        engine.sql("SELECT add_tax(1) AS x")
+    engine.sql("DROP MACRO doubled")
+    with _pytest.raises(EngineError, match="does not exist"):
+        engine.sql("DROP MACRO doubled")
+    engine.sql("DROP MACRO IF EXISTS doubled")  # no error
+    with _pytest.raises(EngineError, match="TABLE"):
+        engine.sql("CREATE MACRO tm() AS TABLE SELECT 1")
+    engine.sql("DROP MACRO add_tax")
+
+
 def test_using_sample_after_where_rejected_loudly():
     """DuckDB's post-WHERE sample position (different semantics:
     filter-then-sample) must raise a clear UnsupportedDialect, not
