@@ -107,7 +107,7 @@ STREAMING_ROWS = frozenset({"streaming_hourly_counts"})
 
 #: round-5 additions measure here; frozen groups stay comparable.
 HEADLINE_NEXT2: list = [
-    "asof_sql_statement",
+    "sql_passthrough_asof_join",  # now union+window-routed (r5)
     "iceberg_partitioned_write_roundtrip",
     "sql_passthrough_list_comprehension",
     "sql_passthrough_create_macro",

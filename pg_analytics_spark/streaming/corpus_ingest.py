@@ -48,9 +48,15 @@ from pg_analytics_spark.functions.text import (
 )
 
 
-def curated_stream(spark: SparkSession, path: str, schema) -> DataFrame:
-    """File-source document stream with the curation filters applied."""
+def curated_stream(
+    spark: SparkSession, path: str, schema, options: dict | None = None
+) -> DataFrame:
+    """File-source document stream with the curation filters applied.
+    ``options`` forwards file-source reader options (e.g.
+    ``maxFilesPerTrigger``)."""
     reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if path.endswith(".parquet") and not os.path.isdir(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)

@@ -38,9 +38,11 @@ from pyspark.sql.types import (
     StringType,
 )
 
-#: whether a NANOS event stream has been opened through this module —
-#: the only case where a live stream depends on the nanosAsLong conf
-_NANOS_STREAM_OPENED = False
+#: SESSION-scoped marker (a session conf, not a module global — two
+#: engines sharing this module must not see each other's state):
+#: whether a NANOS event stream has been opened in THIS session — the
+#: only case where a live stream depends on the nanosAsLong conf
+_NANOS_MARKER = "spark.pg_analytics_spark.nanosStreamOpened"
 
 EVENT_SCHEMA = StructType(
     [
@@ -70,13 +72,18 @@ def _ts_unit_is_nanos(path: str) -> bool:
     return "ts" in _nano_columns([path])
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, options: dict | None = None
+) -> DataFrame:
     """File-source event stream with the canonical schema.
 
     The timestamp unit is probed from one parquet footer: TIMESTAMP(NANOS)
     columns are read as long (nanosAsLong) and repaired to µs with integer
     truncation — identical semantics to the batch path (sources/parquet.py)
     — while µs/ms columns are read with the natural TimestampNTZ schema.
+
+    ``options`` forwards file-source reader options (e.g.
+    ``maxFilesPerTrigger`` for multi-batch drains in tests/ops).
     """
     glob_filter = None
     probe = path
@@ -89,8 +96,7 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         # consulted at every micro-batch's parquet scan, same as the
         # batch path (sources/parquet.py::load).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        global _NANOS_STREAM_OPENED
-        _NANOS_STREAM_OPENED = True
+        spark.conf.set(_NANOS_MARKER, "true")
         ns_schema = StructType(
             [
                 f if f.name != "ts" else StructField("ts", LongType())
@@ -100,6 +106,8 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = spark.readStream.schema(ns_schema)
         if glob_filter:
             reader = reader.option("pathGlobFilter", glob_filter)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
         raw = reader.parquet(path)
         # integer `div` truncation, matching the batch path.
         # Watermarks require TIMESTAMP (LTZ) — with the engine's pinned UTC
@@ -113,7 +121,10 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     # AND some stream is still running — unsetting mid-flight would
     # break that stream's next micro-batch scan; an unrelated active
     # stream (which never needed the conf) must not preserve the leak.
-    if not (_NANOS_STREAM_OPENED and spark.streams.active):
+    if not (
+        spark.conf.get(_NANOS_MARKER, "false") == "true"
+        and spark.streams.active
+    ):
         try:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         except Exception:
@@ -121,6 +132,8 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     raw = reader.parquet(path)
     # NTZ → LTZ for watermark eligibility; UTC session tz keeps wall times
     # equal to the batch path's NTZ values.

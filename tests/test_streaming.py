@@ -563,3 +563,158 @@ def test_streaming_sketch_ingest_equals_batch_sketches(spark, tmp_path):
     totals = [r["total_tokens"] for r in monitor]
     assert totals == sorted(totals)
     assert totals[-1] == tok.count()
+
+
+def test_rollup_crash_and_restart_from_checkpoint(spark, tmp_path):
+    """Failure-recovery proof (r4 verdict item 9): a micro-batch whose
+    foreachBatch RAISES after applying its effect is uncommitted — the
+    restarted query (same checkpoint dir) replays it (idempotent
+    upsert) and drains the rest, while batch 1's committed file is NOT
+    reprocessed.  Final rollup must equal the batch aggregate exactly
+    — exactly-once at the effect level across a crash."""
+    import glob as _glob
+    import shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.events import read_event_stream
+    from pg_analytics_spark.streaming.rollup import (
+        _upsert,
+        hourly_rollup_stream,
+        maintain_hourly_rollup,
+    )
+    from pg_analytics_spark.workload.base import table
+
+    # three TIME-SPLIT thirds so later files never carry late data
+    ev_all = table(spark, SF_DIR, "events")
+    lo, hi = ev_all.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).collect()[0]
+    cuts = [
+        lo + (hi - lo) * 1 / 3,
+        lo + (hi - lo) * 2 / 3,
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    parts = [
+        ev_all.filter(F.col("ts") <= F.lit(cuts[0])),
+        ev_all.filter(
+            (F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))
+        ),
+        ev_all.filter(F.col("ts") > F.lit(cuts[1])),
+    ]
+    counts = []
+    for idx, p in enumerate(parts):
+        stage = tmp_path / f"stage{idx}"
+        p.coalesce(1).write.parquet(str(stage))
+        # file-source processes in mtime/name order; name them in order
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            src / f"{idx:03d}.parquet",
+        )
+        counts.append(p.count())
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    # ---- run 1: crash AFTER batch 2's upsert ran but BEFORE commit
+    calls = {"n": 0}
+    real = _upsert(rollup)
+
+    def crashing(batch_df, batch_id):
+        real(batch_df, batch_id)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after batch-2 effect")
+
+    ev = read_event_stream(
+        spark, str(src), options={"maxFilesPerTrigger": 1}
+    )
+    q = (
+        hourly_rollup_stream(ev)
+        .writeStream.outputMode("update")
+        .foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert calls["n"] == 2  # batch 1 committed, batch 2 effect applied
+
+    # ---- run 2: same checkpoint — replays batch 2, drains batch 3
+    maintain_hourly_rollup(spark, str(src), rollup, ckpt)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    batch_twin = (
+        ev_all.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch_twin.collect()
+    }
+    assert got == want
+
+
+def test_corpus_ingest_stop_and_restart_from_checkpoint(spark, tmp_path):
+    """Restart-from-checkpoint for the corpus-ingest chain: drain half
+    the files, STOP, add the rest, restart with the SAME checkpoint —
+    committed files are not reprocessed and the final Delta table
+    equals the batch corpus_curation twin exactly."""
+    import shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.corpus_ingest import ingest_corpus
+    from pg_analytics_spark.workload import REGISTRY
+
+    docs = load_source(spark, f"{SF_DIR}/documents.parquet", "parquet")
+    half1 = docs.filter("doc_id % 2 = 0")
+    half2 = docs.filter("doc_id % 2 = 1")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out = str(tmp_path / "curated_delta")
+    ckpt = str(tmp_path / "ckpt")
+
+    import glob as _glob
+
+    stage1 = tmp_path / "s1"
+    half1.coalesce(1).write.parquet(str(stage1))
+    shutil.copy(_glob.glob(str(stage1 / "*.parquet"))[0], src / "000.parquet")
+    ingest_corpus(spark, str(src), out, ckpt, docs.schema, sink="delta")
+    n_after_1 = load_source(spark, out, "delta").count()
+
+    stage2 = tmp_path / "s2"
+    half2.coalesce(1).write.parquet(str(stage2))
+    shutil.copy(_glob.glob(str(stage2 / "*.parquet"))[0], src / "001.parquet")
+    ingest_corpus(spark, str(src), out, ckpt, docs.schema, sink="delta")
+
+    got = load_source(spark, out, "delta")
+    want = REGISTRY["corpus_curation"].spark(spark, SF_DIR)
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+    want_ids = sorted(r["doc_id"] for r in want.collect())
+    assert got_ids == want_ids
+    # exactly-once at the source: run 2's checkpoint only saw file 001
+    # (if 000 were reprocessed, the min-id merge would still be exact,
+    # so ALSO assert via the commit count: one delta commit per run)
+    import os as _os
+
+    commits = [
+        f for f in _os.listdir(f"{out}/_delta_log") if f.endswith(".json")
+    ]
+    assert len(commits) == 2, commits
+    assert n_after_1 < len(got_ids)
