@@ -823,10 +823,14 @@ def _rewrite_list_comprehensions(tokens: list[tuple[str, str]]) -> list[tuple[st
             continue
         prev = _prev_code(out, len(out))
         if prev >= 0 and (
-            out[prev][0] in ("word", "qident")
-            and out[prev][1].lower() not in _KEYWORDS
-            and out[prev][1] != ","
-            or out[prev][1] in (")", "]")
+            (
+                out[prev][0] in ("word", "qident")
+                and out[prev][1].lower() not in _KEYWORDS
+            )
+            # any value-yielding predecessor: 'abc'[2], list[2][3],
+            # (expr)[1], {'a':1}['a'], 1[?] — all subscript positions
+            or out[prev][0] in ("string", "number")
+            or out[prev][1] in (")", "]", "}")
         ):
             out.append(tokens[i])  # subscript position
             i += 1
@@ -897,6 +901,87 @@ def _rewrite_list_comprehensions(tokens: list[tuple[str, str]]) -> list[tuple[st
             cond = _sqlify(inner[if_at + 1 :])
             lst = f"filter({lst}, {var} -> {cond})"
         out.append(("word", f"transform({lst}, {var} -> {expr})"))
+        i = j + 1
+    return out
+
+
+def _rewrite_struct_literals(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """DuckDB struct literals → Spark ``named_struct``:
+
+        ``{'a': 1, 'b': x + 1}`` → ``named_struct('a', 1, 'b', x + 1)``
+
+    Keys may be quoted strings or bare words; values recurse (nested
+    structs).  Anything brace-shaped that does not parse as
+    ``key: value`` pairs passes through untouched."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] != ("op", "{"):
+            out.append(tokens[i])
+            i += 1
+            continue
+        depth, j = 0, i
+        while j < n:
+            if tokens[j] == ("op", "{"):
+                depth += 1
+            elif tokens[j] == ("op", "}"):
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            out.append(tokens[i])
+            i += 1
+            continue
+        inner = tokens[i + 1 : j]
+        # split top-level commas (all bracket kinds tracked)
+        parts, cur, d2 = [], [], 0
+        for tk in inner:
+            if tk[0] == "op" and tk[1] in ("(", "[", "{"):
+                d2 += 1
+            elif tk[0] == "op" and tk[1] in (")", "]", "}"):
+                d2 -= 1
+            if tk == ("op", ",") and d2 == 0:
+                parts.append(cur)
+                cur = []
+            else:
+                cur.append(tk)
+        parts.append(cur)
+        pairs = []
+        ok = bool(inner)
+        for part in parts:
+            colon = -1
+            d2 = 0
+            for x, tk in enumerate(part):
+                if tk[0] == "op" and tk[1] in ("(", "[", "{"):
+                    d2 += 1
+                elif tk[0] == "op" and tk[1] in (")", "]", "}"):
+                    d2 -= 1
+                elif tk == ("op", ":") and d2 == 0:
+                    colon = x
+                    break
+            if colon < 0:
+                ok = False
+                break
+            key_toks = [t for t in part[:colon] if t[0] not in ("ws", "comment")]
+            if len(key_toks) != 1 or key_toks[0][0] not in ("string", "word", "qident"):
+                ok = False
+                break
+            kk, kt = key_toks[0]
+            key = kt if kk == "string" else "'" + kt.strip('"') + "'"
+            val = "".join(
+                t for _, t in _rewrite_struct_literals(part[colon + 1 :])
+            ).strip()
+            if not val:
+                ok = False
+                break
+            pairs.append((key, val))
+        if not ok:
+            out.append(tokens[i])
+            i += 1
+            continue
+        body = ", ".join(f"{k}, {v}" for k, v in pairs)
+        out.append(("word", f"named_struct({body})"))
         i = j + 1
     return out
 
@@ -1188,14 +1273,18 @@ def _rewrite_asof_union(sql: str) -> str | None:
     if sel_at:
         s0 = sel_at[-1]
         for x in range(s0 + 1, b_idx):
-            if (
-                head[x] == ("op", "*")
-                and depths[x] == 0
-                and (
-                    _prev_code(head, x) < 0
-                    or head[_prev_code(head, x)] != ("op", ".")
-                )
-            ):
+            if head[x] != ("op", "*") or depths[x] != 0:
+                continue
+            # only a PROJECTION star (directly after SELECT/DISTINCT/
+            # ALL or a list comma) — a depth-0 `*` elsewhere is the
+            # MULTIPLICATION operator (`a.price * 2`) and must stay
+            pc = _prev_code(head, x)
+            if pc < 0:
+                continue
+            pk, pt = head[pc]
+            if (pk == "word" and pt.lower() in ("select", "distinct", "all")) or (
+                pk, pt
+            ) == ("op", ","):
                 head = (
                     head[:x]
                     + [("word", f"{a_alias}.*, {b_alias}.*")]
@@ -1422,6 +1511,7 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
         "::" not in sql
         and "->" not in sql
         and "[" not in sql
+        and "{" not in sql
         and not _EXTRA_RE.search(sql)
     ):
         return sql
@@ -1434,6 +1524,12 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
         # and -> arrows that the later stages rewrite
         sql = "".join(
             t for _, t in _rewrite_list_comprehensions(_tokenize(sql))
+        )
+    if "{" in sql:
+        # struct literals AFTER comprehensions (a struct inside a
+        # rewritten comprehension body surfaces on this re-tokenize)
+        sql = "".join(
+            t for _, t in _rewrite_struct_literals(_tokenize(sql))
         )
     tokens = _tokenize(sql)
     tokens = _rewrite_using_sample(tokens)
@@ -1553,6 +1649,26 @@ def _parse_tf_value(tokens, j):
         return t.lower() == "true", _next_code(tokens, j)
     if k == "word" and t.lower() == "null":
         return None, _next_code(tokens, j)
+    if k == "word" and t.lower() == "named_struct":
+        # rewrite_pg runs before table-function extraction, so a
+        # `columns={'a': 'INT'}` struct literal arrives here already
+        # rewritten to named_struct('a', 'INT', …) — parse it back
+        j2 = _next_code(tokens, j)
+        if j2 >= len(tokens) or tokens[j2] != ("op", "("):
+            raise ValueError("bad named_struct option value")
+        d: dict = {}
+        j2 = _next_code(tokens, j2)
+        while j2 < len(tokens) and tokens[j2] != ("op", ")"):
+            dkey, j2 = _parse_tf_value(tokens, j2)
+            if j2 >= len(tokens) or tokens[j2] != ("op", ","):
+                raise ValueError("bad named_struct option value")
+            j2 = _next_code(tokens, j2)
+            d[str(dkey)], j2 = _parse_tf_value(tokens, j2)
+            if j2 < len(tokens) and tokens[j2] == ("op", ","):
+                j2 = _next_code(tokens, j2)
+        if j2 >= len(tokens):
+            raise ValueError("unterminated named_struct option value")
+        return d, _next_code(tokens, j2)
     if (k, t) == ("op", "["):
         vals = []
         j = _next_code(tokens, j)

@@ -49,7 +49,7 @@ _COPY_RE = _re.compile(
 _CTAS_LAKE_RE = _re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+"
     r"USING\s+(?P<fmt>delta|iceberg)\s+"
-    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+)\)\s+)?"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>(?:[^()]|\([^()]*\))+)\)\s+)?"
     r"LOCATION\s+'(?P<path>[^']+)'\s+AS\s+(?P<q>.+?);?\s*$",
     _re.IGNORECASE | _re.DOTALL,
 )
@@ -136,6 +136,10 @@ class _Prepared:
     sql: str
     database: str
     df: DataFrame = field(repr=False, default=None)
+    #: LATERAL-rewrite alternative for ASOF statements — the same
+    #: analysis-failure fallback Engine.sql applies (flat column
+    #: namespace when the union+window struct routing cannot resolve)
+    alt_sql: str | None = None
 
 
 class Engine:
@@ -291,14 +295,29 @@ class Engine:
                     "table; use CREATE OR REPLACE TABLE to overwrite"
                 )
             parts = m.group("parts")
+            # depth-aware split: transform specs carry their own
+            # commas — PARTITIONED BY (month(d), bucket(4, k))
+            part_list = None
+            if parts:
+                part_list, cur, depth = [], "", 0
+                for ch in parts:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    if ch == "," and depth == 0:
+                        part_list.append(cur.strip())
+                        cur = ""
+                    else:
+                        cur += ch
+                part_list.append(cur.strip())
+                part_list = [p for p in part_list if p]
             return self.materialize(
                 m.group("name"),
                 m.group("q"),
                 path=target,
                 format=fmt,
-                partition_by=(
-                    [p.strip() for p in parts.split(",")] if parts else None
-                ),
+                partition_by=part_list,
             )
         try:
             return self._sql_rewritten(rewrite_pg(query), args)
@@ -717,8 +736,14 @@ class Engine:
     # ------------------------------------------------------------------ #
 
     def prepare(self, name: str, query: str) -> None:
+        alt = None
+        if _re.search(r"\basof\s+(left\s+)?join\b", query, _re.IGNORECASE):
+            # keep the LATERAL rewrite as the analysis-failure
+            # fallback, same as Engine.sql's retry
+            alt = rewrite_pg(query, asof_union=False)
         self._prepared[name] = _Prepared(
-            rewrite_pg(query), self.spark.catalog.currentDatabase()
+            rewrite_pg(query), self.spark.catalog.currentDatabase(),
+            alt_sql=alt,
         )
 
     def execute(self, name: str, params: dict | None = None) -> DataFrame:
@@ -729,10 +754,30 @@ class Engine:
         if p.df is None or p.database != current_db:
             p.database = current_db  # replan on search_path change
             p.df = None
-        if params:
-            return self.spark.sql(p.sql, args=params)
-        if p.df is None:
-            p.df = self.spark.sql(p.sql)
+
+        def _run(sql: str):
+            return (
+                self.spark.sql(sql, args=params)
+                if params
+                else self.spark.sql(sql)
+            )
+
+        if params or p.df is None:
+            try:
+                df = _run(p.sql)
+            except Exception as exc:
+                from pyspark.errors import AnalysisException, ParseException
+
+                if p.alt_sql is None or not isinstance(
+                    exc, (AnalysisException, ParseException)
+                ):
+                    raise
+                p.sql = p.alt_sql  # pin the working rewrite
+                p.alt_sql = None
+                df = _run(p.sql)
+            if params:
+                return df
+            p.df = df
         return p.df
 
     def deallocate(self, name: str | None = None) -> None:
@@ -968,6 +1013,15 @@ class Engine:
                     "positional parameters only (no defaults)"
                 )
         name = m.group("name").lower()
+        from pg_analytics_spark.dialect import _KEYWORDS
+
+        if name in _KEYWORDS:
+            # DuckDB rejects reserved macro names at CREATE time too —
+            # expansion matches every `word(` occurrence, so a macro
+            # named `over`/`exists` would corrupt unrelated statements
+            raise EngineError(
+                f"macro name {name!r} is a reserved SQL keyword"
+            )
         self._macros[name] = (params, m.group("body").strip())
         return self.spark.createDataFrame(
             [(name, len(params))], "macro string, n_params int"
@@ -1015,10 +1069,10 @@ class Engine:
                         if depth == 0:
                             break
                         cur.append(tk)
-                    elif tk == ("op", "["):
+                    elif tk[0] == "op" and tk[1] in ("[", "{"):
                         brackets += 1
                         cur.append(tk)
-                    elif tk == ("op", "]"):
+                    elif tk[0] == "op" and tk[1] in ("]", "}"):
                         brackets -= 1
                         cur.append(tk)
                     elif tk == ("op", ",") and depth == 1 and brackets == 0:

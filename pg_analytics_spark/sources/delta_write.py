@@ -110,11 +110,20 @@ def _stats_for_files(spark, files: list[str], schema) -> dict[str, tuple]:
             int(os.path.getmtime(p) * 1000),
         )
 
+    return per_file_on_executors(spark, files, _one)
+
+
+def per_file_on_executors(spark, files: list[str], one) -> dict:
+    """Map ``one(path) -> (path, value)`` over committed files: on the
+    EXECUTORS for large commits (one Spark job over the file list),
+    driver-side for tiny commits where a job costs more than the loop.
+    Shared by both native lakehouse writers so their commit paths
+    cannot drift."""
     if len(files) <= 16:
-        return dict(_one(p) for p in files)
+        return dict(one(p) for p in files)
     sc = spark.sparkContext
     slices = max(2, min(len(files) // 8, 256))
-    return dict(sc.parallelize(sorted(files), slices).map(_one).collect())
+    return dict(sc.parallelize(sorted(files), slices).map(one).collect())
 
 
 def _schema_shape(schema_string: str) -> list[tuple]:

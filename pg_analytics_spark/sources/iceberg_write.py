@@ -39,9 +39,14 @@ import shutil
 import struct
 import uuid
 
-import pandas as pd  # module-level: the pandas_udf annotations in
+# soft import, module-level only because the pandas_udf annotations in
 # _bucket_udf resolve through get_type_hints against MODULE globals
-# (this file uses `from __future__ import annotations`)
+# (this file uses `from __future__ import annotations`); every other
+# write path works without pandas installed
+try:
+    import pandas as pd
+except ImportError:  # pragma: no cover — pandas ships with pyspark[sql]
+    pd = None
 
 from pyspark.sql import DataFrame
 
@@ -238,7 +243,7 @@ def _canonical_transform(kind: str, param: int | None) -> str:
     return kind
 
 
-def _bucket_udf(n: int, src_type: str):
+def _bucket_udf(n: int):
     """``bucket[N]`` partition values, vectorized: murmur3_x86_32
     (seed 0) over the spec's 8-byte little-endian encoding of the
     value (spec §bucket-transform-details — int/long/date/timestamp
@@ -246,7 +251,13 @@ def _bucket_udf(n: int, src_type: str):
     Arrow-batched pandas UDF in numpy uint64 arithmetic — bit-exact
     vs the reader's reference murmur3 (iceberg_prune.murmur3_x86_32,
     property-pinned in tests).  Python touches only the partition
-    column, once, at write time."""
+    column, once, at write time.
+
+    TWO inputs — ``(coalesce(v, 0), v IS NULL)`` — so the value
+    Series arrives as NON-NULLABLE int64: a nullable int64 Arrow
+    batch converts to float64 in pandas, silently rounding any
+    |v| > 2^53 (snowflake-scale ids) to the WRONG key before hashing.
+    Callers must coalesce JVM-side; the mask restores the NULLs."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -263,9 +274,14 @@ def _bucket_udf(n: int, src_type: str):
         return (h * np.uint64(5) + np.uint64(0xE6546B64)) & M
 
     @pandas_udf("int")
-    def _bucket(v: pd.Series) -> pd.Series:
-        mask = v.isna()
-        x = v.fillna(0).astype("int64").to_numpy().view(np.uint64)
+    def _bucket(v: pd.Series, isnull: pd.Series) -> pd.Series:
+        x = v.to_numpy()
+        if x.dtype != np.int64:  # belt-and-braces: exactness or error
+            raise ValueError(
+                f"bucket hash input must be non-nullable int64, got "
+                f"{x.dtype} — coalesce the column JVM-side"
+            )
+        x = x.view(np.uint64)
         lo = x & M
         hi = (x >> np.uint64(32)) & M
         h = np.zeros(len(x), dtype=np.uint64)
@@ -280,7 +296,7 @@ def _bucket_udf(n: int, src_type: str):
         out = pd.Series(
             ((h & np.uint64(0x7FFFFFFF)) % np.uint64(n)).astype("int32")
         )
-        out[mask.to_numpy()] = None
+        out[isnull.to_numpy(dtype=bool)] = None
         return out
 
     return _bucket
@@ -340,7 +356,16 @@ def _transform_column(kind: str, param: int | None, src: str, src_type: str):
                 "unsupported by the native writer — int/long/date/"
                 "timestamp sources only (strings need a real runtime)"
             )
-        return _bucket_udf(param, src_type)(v), "int", f"{src}_bucket"
+        # coalesce JVM-side so the UDF sees non-nullable int64 (see
+        # _bucket_udf docstring — nullable batches become float64 and
+        # round >2^53 keys); the isNull mask restores NULL partitions
+        return (
+            _bucket_udf(param)(
+                F.coalesce(v, F.lit(0).cast("long")), v.isNull()
+            ),
+            "int",
+            f"{src}_bucket",
+        )
     raise UnsupportedFormat(f"iceberg partition transform {kind!r}")
 
 
@@ -358,15 +383,13 @@ def _bounds_for_files(spark, files: list[str], fields) -> dict[str, tuple]:
     s3a:// et al.
     """
 
+    from pg_analytics_spark.sources.delta_write import per_file_on_executors
+
     def _one(p: str):
         lowers, uppers, rows = _file_bounds(p, fields)
         return p, (lowers, uppers, rows, os.path.getsize(p))
 
-    if len(files) <= 16:
-        return dict(_one(p) for p in files)
-    sc = spark.sparkContext
-    slices = max(2, min(len(files) // 8, 256))
-    return dict(sc.parallelize(sorted(files), slices).map(_one).collect())
+    return per_file_on_executors(spark, files, _one)
 
 
 def _partition_tuple(rel_dir: str, part_fields: list[dict]) -> dict:

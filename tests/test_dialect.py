@@ -581,6 +581,111 @@ def test_asof_join_lateral_compat_path_still_available():
     assert "ORDER BY b.ts ASC LIMIT 1" in got_fwd
 
 
+def test_struct_literal_rewrites_to_named_struct(engine):
+    import duckdb as _duckdb
+
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("SELECT {'a': 1, 'b': x + 1} AS s FROM t") == (
+        "SELECT named_struct('a', 1, 'b', x + 1) AS s FROM t"
+    )
+    # nested structs + field access, values equal to DuckDB
+    q = "SELECT {'a': 1, 'o': {'b': 'x'}}.o.b AS v"
+    assert engine.sql(q).collect()[0]["v"] == _duckdb.sql(q).fetchall()[0][0]
+    # brace content that is NOT key:value pairs passes through
+    weird = "SELECT '{not json}' AS s"
+    assert rewrite_pg(weird) == weird
+
+
+def test_ctas_iceberg_partitioned_by_transforms(engine, tmp_path):
+    """CTAS statement text reaches the round-5 writer transforms:
+    PARTITIONED BY (month(d), bucket(4, k)) parses (nested parens +
+    inner commas) and routes to write_iceberg (review finding r5)."""
+    loc = str(tmp_path / "ctas_ice")
+    engine.sql(
+        f"CREATE TABLE ctas_ice USING iceberg "
+        f"PARTITIONED BY (month(o_orderdate), bucket(4, o_custkey)) "
+        f"LOCATION '{loc}' AS "
+        "SELECT o_orderkey, o_custkey, o_orderdate FROM orders "
+        "WHERE o_orderkey < 300"
+    )
+    try:
+        import json as _json
+        import os as _os
+
+        metas = sorted(
+            f for f in _os.listdir(f"{loc}/metadata")
+            if f.endswith(".metadata.json")
+        )
+        m = _json.load(open(f"{loc}/metadata/{metas[-1]}"))
+        assert [
+            pf["transform"] for pf in m["partition-specs"][0]["fields"]
+        ] == ["month", "bucket[4]"]
+        n = engine.sql("SELECT COUNT(*) AS n FROM ctas_ice").collect()[0]["n"]
+        want = engine.sql(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey < 300"
+        ).collect()[0]["n"]
+        assert n == want > 0
+    finally:
+        engine.detach("ctas_ice")
+
+
+def test_asof_union_star_rewrite_ignores_multiplication():
+    """A depth-0 `*` that is the MULTIPLICATION operator must not be
+    mistaken for the projection star (review finding r5)."""
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    got = rewrite_pg(
+        "SELECT a.ts, a.price * 2 AS d FROM trades a ASOF JOIN quotes b "
+        "ON a.sym = b.sym AND a.ts >= b.ts"
+    )
+    assert "a.price * 2 AS d" in got  # untouched
+    assert "a.*, b.* 2" not in got
+    # projection star AFTER a comma still expands
+    got2 = rewrite_pg(
+        "SELECT a.ts, * FROM trades a ASOF JOIN quotes b "
+        "ON a.sym = b.sym AND a.ts >= b.ts"
+    )
+    assert "a.*, b.*" in got2
+
+
+def test_list_literal_subscript_on_values_untouched():
+    """`'abc'[2]`, `[1,2][2]`, `{...}['k']` are subscripts on values —
+    the `[` must not be read as a list-literal start (review finding)."""
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    q1 = "SELECT 'abc'[2] AS c"
+    assert rewrite_pg(q1) == q1
+    got = rewrite_pg("SELECT [1, 2, 3][2] AS second")
+    assert got == "SELECT array(1, 2, 3)[2] AS second"
+
+
+def test_prepare_asof_falls_back_to_lateral(engine, spark):
+    """Prepared ASOF statements get the same analysis-failure fallback
+    as Engine.sql: unqualified outer refs fail the struct-namespace
+    routing, so execute() retries the stored LATERAL rewrite."""
+    from tests.conftest import SF_DIR
+    from pg_analytics_spark.sources import load_source
+
+    load_source(
+        spark, f"{SF_DIR}/events.parquet", "parquet"
+    ).createOrReplaceTempView("events")
+    engine.prepare(
+        "asof_prep",
+        "WITH p AS (SELECT user_id, event_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click') "
+        "SELECT event_id, c.ts AS click_ts "  # unqualified event_id
+        "FROM p ASOF JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts "
+        "ORDER BY event_id LIMIT 3",
+    )
+    rows = engine.execute("asof_prep").collect()
+    assert len(rows) == 3
+    # second execute reuses the pinned working rewrite
+    assert len(engine.execute("asof_prep").collect()) == 3
+    engine.deallocate("asof_prep")
+
+
 def test_asof_union_route_declines_unroutable_shapes():
     """Shapes the union+window route cannot express fall back to the
     LATERAL rewrite (extra non-equi predicate; chained left join)."""
@@ -773,6 +878,16 @@ def test_create_macro_statement_roundtrip(engine):
     engine.sql("DROP MACRO IF EXISTS doubled")  # no error
     with _pytest.raises(EngineError, match="TABLE"):
         engine.sql("CREATE MACRO tm() AS TABLE SELECT 1")
+    # reserved names rejected at CREATE (expansion would corrupt
+    # unrelated statements using the keyword)
+    with _pytest.raises(EngineError, match="reserved"):
+        engine.sql("CREATE MACRO over(x) AS x")
+    # struct-literal commas do not split the argument list
+    engine.sql("CREATE MACRO fld(s) AS s.a + s.b")
+    assert engine.sql(
+        "SELECT fld({'a': 1, 'b': 2}) AS v"
+    ).collect()[0]["v"] == 3
+    engine.sql("DROP MACRO fld")
     engine.sql("DROP MACRO add_tax")
 
 

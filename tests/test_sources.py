@@ -2120,17 +2120,20 @@ def test_iceberg_bucket_udf_matches_reference_murmur3(spark):
     rng = _random.Random(7)
     vals = (
         [0, 1, -1, 34, 2**31 - 1, -(2**31), 2**62, -(2**62)]
+        # > 2^53: would round if a nullable batch degraded to float64
+        + [(1 << 60) + 1, 2**63 - 1, -(2**63)]
         + [rng.randint(-(2**63), 2**63 - 1) for _ in range(50)]
     )
-    df = spark.createDataFrame([(v,) for v in vals], "v long")
-    got = {
-        r["v"]: r["b"]
-        for r in df.select(
-            "v", _bucket_udf(16, "long")(F.col("v")).alias("b")
-        ).collect()
-    }
+    # include a NULL row so every batch takes the nullable-Arrow path
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v long")
+    b = _bucket_udf(16)(
+        F.coalesce(F.col("v"), F.lit(0).cast("long")), F.col("v").isNull()
+    )
+    rows = df.select("v", b.alias("b")).collect()
+    got = {r["v"]: r["b"] for r in rows}
     for v in vals:
         assert got[v] == transform_value("bucket[16]", v, "long"), v
+    assert got[None] is None  # null key → null partition value
     # spec sanity pin: bucket hash of 34 (spec Appendix-B test value
     # hashes int 34 as the 8-byte long) → 2017239379 & MaxInt % 16
     assert got[34] == (2017239379 & 0x7FFFFFFF) % 16
