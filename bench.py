@@ -111,6 +111,8 @@ HEADLINE_NEXT2: list = [
     "iceberg_partitioned_write_roundtrip",
     "sql_passthrough_list_comprehension",
     "sql_passthrough_create_macro",
+    "sql_passthrough_struct_literal",
+    "embed_pca_moments",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Distributed PCA for embedding compression — the classic
+dimensionality-reduction step of a large-scale training-data pipeline
+(whitening / low-rank projection before ANN indexing or clustering).
+
+Dataflow, and why it scales to 100 TB:
+
+1. ``embedding_moments`` — the ONLY distributed pass: per-dimension
+   sufficient statistics ``(n, Σxᵢ, Σxⱼ, Σxᵢxⱼ)`` for the upper
+   triangle (i ≤ j).  One double-posexplode (d(d+1)/2 terms per row)
+   into ONE hash aggregate with map-side partial combine — shuffle
+   volume is d² rows TOTAL (independent of corpus size), the same
+   sufficient-statistics collapse the sketch operators use.  Sums are
+   decimal-staged (workload/base convention), so the statistics are
+   bit-identical cross-engine and order-independent — the
+   ``embed_pca_moments`` registry row value-checks them against
+   DuckDB at the gate.  (At very large d the explode factor d² per
+   row favors a mapInArrow per-partition outer-product accumulation —
+   same ONE-shuffle contract, d ≤ ~256 is fine on the explode path.)
+2. ``pca_top_components`` — driver-side eigendecomposition of the d×d
+   covariance assembled from the moments (numpy ``eigh``; d×d is
+   KILOBYTES — this is the part that is not and should not be
+   distributed), descending eigenvalue order, deterministic sign
+   convention (first nonzero component positive).
+3. ``pca_project`` — map-only projection: per row, k sequential-fold
+   dot products against broadcast component literals (the
+   ``dot_product`` left-fold convention).  NO shuffle — plan-asserted
+   in tests/test_plans.py.
+
+Reference scope note: the reference engine (paradedb/pg_analytics) has
+no vector operators; this module is part of the additive LLM-pipeline
+scope (BASELINE.json north star) beside the IVF/PQ/quantization family
+in operators/similarity.py and functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """Upper-triangle second-moment sufficient statistics.
+
+    Returns one row per (i, j), 1-based, i ≤ j:
+    ``(i, j, n, sum_xi, sum_xj, sum_xixj)`` decimal-staged and
+    surfaced as double — bit-identical cross-engine for any row
+    order, which is what lets the gate value-check a *floating-point*
+    covariance pipeline.
+    """
+    # cross-engine float rule (workload/base): cast FACTORS (not the
+    # product) to a narrow decimal — the decimal×decimal product is
+    # exact, so the sum is order-independent and bit-identical; a
+    # double product cast to decimal rounds differently per engine
+    fdec = "decimal(18,9)"
+    pairs = (
+        df.select(F.col(vec_col).alias("_v"))
+        .select(F.posexplode("_v").alias("_i0", "_xi"), "_v")
+        .select(
+            (F.col("_i0") + 1).alias("i"),
+            F.col("_xi").cast("double").alias("_xi"),
+            F.posexplode("_v").alias("_j0", "_xj"),
+        )
+        .select(
+            "i",
+            (F.col("_j0") + 1).alias("j"),
+            "_xi",
+            F.col("_xj").cast("double").alias("_xj"),
+        )
+        .filter(F.col("j") >= F.col("i"))
+    )
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_xi").cast(fdec)).cast("double").alias("sum_xi"),
+            F.sum(F.col("_xj").cast(fdec)).cast("double").alias("sum_xj"),
+            # VARCHAR bridge (workload/base module rule): the scale-18
+            # product sum's unscaled value exceeds 2^53, where DuckDB's
+            # int128->double double-rounds; decimal->string->double is
+            # correctly rounded in both engines
+            F.sum(F.col("_xi").cast(fdec) * F.col("_xj").cast(fdec))
+            .cast("string")
+            .cast("double")
+            .alias("sum_xixj"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_top_components(
+    df: DataFrame, vec_col: str, k: int
+):
+    """Top-``k`` principal components of the (mean-centered) corpus.
+
+    Driver-side ``numpy.linalg.eigh`` over the d×d covariance
+    assembled from :func:`embedding_moments` — the d² statistics are
+    the output of the single distributed pass; the eigensolve itself
+    is O(d³) on KILOBYTES and belongs on the driver (same disposition
+    as the k-means/PQ codebook trainers).  Returns
+    ``(components, eigenvalues, mean)``: components is a (k, d) numpy
+    array, rows orthonormal, descending eigenvalue, each row
+    sign-fixed so its first nonzero entry is positive (deterministic
+    across LAPACK builds).
+    """
+    import numpy as np
+
+    rows = embedding_moments(df, vec_col).collect()
+    d = max(r["j"] for r in rows)
+    n = rows[0]["n"]
+    s1 = np.zeros(d)
+    s2 = np.zeros((d, d))
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        s1[i] = r["sum_xi"]
+        s1[j] = r["sum_xj"]
+        s2[i, j] = s2[j, i] = r["sum_xixj"]
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for r in range(comps.shape[0]):
+        nz = np.flatnonzero(np.abs(comps[r]) > 1e-12)
+        if len(nz) and comps[r, nz[0]] < 0:
+            comps[r] = -comps[r]
+    return comps, vals[order], mean
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, components, mean=None,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Map-only projection of ``vec_col`` onto ``components`` (k, d)
+    after subtracting ``mean`` (when given): appends ``out_col`` as
+    ``array<double>`` of length k.  Each coordinate is one sequential
+    left-fold dot (the ``dot_product`` convention) against component
+    LITERALS — broadcast by codegen, no shuffle, no Python.
+    """
+    k = len(components)
+    coords = []
+    for r in range(k):
+        comp = [float(x) for x in components[r]]
+        if mean is not None:
+            # Σ cᵢ·(xᵢ - mᵢ) = Σ cᵢxᵢ - Σ cᵢmᵢ : fold once over x,
+            # subtract the constant (exact same float tree per row)
+            const = 0.0
+            for c, m in zip(comp, [float(m) for m in mean]):
+                const += c * m
+        else:
+            const = 0.0
+        arr = "array(" + ", ".join(f"{c!r}D" for c in comp) + ")"
+        coords.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr}, "
+                "(x, c) -> cast(x AS double) * c), 0.0D, "
+                "(acc, t) -> acc + t)"
+            )
+            - F.lit(const)
+        )
+    return df.withColumn(out_col, F.array(*coords))

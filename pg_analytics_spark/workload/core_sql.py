@@ -2561,6 +2561,36 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+_PASSTHROUGH_STRUCT_LIT = """
+SELECT o_orderkey,
+       {'status': o_orderstatus,
+        'money': {'price': CAST(o_totalprice AS DOUBLE),
+                  'bucket': CAST(FLOOR(o_totalprice) AS BIGINT) % 10}}.money.bucket
+         AS price_bucket,
+       {'k': o_orderkey, 'tag': o_orderstatus}.tag AS tag
+FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey
+"""
+
+
+@register(
+    "sql_passthrough_struct_literal",
+    oracle=_PASSTHROUGH_STRUCT_LIT,
+    doc="DuckDB-dialect passthrough: struct literals `{'k': v, …}` "
+    "(incl. nested structs and dotted field access) are not Spark "
+    "SQL; the dialect shim rewrites them to named_struct(...) "
+    "(dialect.py::_rewrite_struct_literals — non-struct brace content "
+    "passes through).  DuckDB runs the identical text natively.",
+)
+def sql_passthrough_struct_literal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return eng.sql(_PASSTHROUGH_STRUCT_LIT)
+
+
 _PASSTHROUGH_LIST_COMP = """
 SELECT l_orderkey, l_linenumber,
        to_json([CAST(x * 2 AS INT) for x in seq]) AS doubled,

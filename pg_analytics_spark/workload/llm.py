@@ -2398,3 +2398,70 @@ def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_dig.alias("ok_digits"),
         (ok_len & ok_wl & ok_bul & ok_dig).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embed_pca_moments",
+    oracle="""
+    SELECT ii.i AS i, jj.j AS j,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.embedding[ii.i]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) AS sum_xi,
+           CAST(SUM(CAST(e.embedding[jj.j]::DOUBLE AS DECIMAL(18,9))) AS DOUBLE) AS sum_xj,
+           CAST(CAST(SUM(CAST(e.embedding[ii.i]::DOUBLE AS DECIMAL(18,9)) * CAST(e.embedding[jj.j]::DOUBLE AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_xixj
+    FROM embeddings e,
+         (SELECT unnest(range(1, 65)) AS i) ii,
+         (SELECT unnest(range(1, 65)) AS j) jj
+    WHERE jj.j >= ii.i
+    GROUP BY ii.i, jj.j
+    ORDER BY i, j
+    """,
+    doc="Distributed PCA, pass 1 (operators/pca.py): upper-triangle "
+    "second-moment sufficient statistics (n, sum xi, sum xj, sum "
+    "xi*xj) per dimension pair — the ONLY distributed pass of the "
+    "embedding-compression pipeline. One double-posexplode into ONE "
+    "hash aggregate with map-side partials; shuffle volume is d^2 "
+    "rows TOTAL regardless of corpus size (the sufficient-statistics "
+    "collapse the sketch operators use). Sums are decimal-staged so "
+    "a floating-point covariance pipeline value-checks bit-for-bit "
+    "against DuckDB. The d x d eigensolve consumes these driver-side "
+    "(pca_top_components, numpy on kilobytes) and pca_project is a "
+    "map-only sequential-fold projection (no shuffle, plan-asserted).",
+)
+def embed_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.pca import embedding_moments
+
+    return embedding_moments(table(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register(
+    "embed_pca_project",
+    oracle=None,  # eigenvectors are LAPACK-side; rows-only + unit-pinned
+    doc="Distributed PCA, passes 2+3 (operators/pca.py): top-8 "
+    "components from the gated moment statistics (driver numpy eigh, "
+    "deterministic sign convention), then a MAP-ONLY projection of "
+    "every embedding (sequential-fold dots against component "
+    "literals, no shuffle — tests/test_plans.py asserts no Exchange). "
+    "No oracle: the eigensolve is LAPACK-specific; correctness is "
+    "pinned in tests/test_operators.py (orthonormal components, "
+    "captured variance matches numpy covariance eigenvalues, "
+    "projection equals numpy reference within 1e-9, variance "
+    "ordering).",
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.pca import (
+        pca_project,
+        pca_top_components,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    comps, _vals, mean = pca_top_components(e, "embedding", k=8)
+    return (
+        pca_project(e, "embedding", comps, mean)
+        .select(
+            "vec_id",
+            F.to_json(
+                F.expr("transform(projected, x -> round(x, 6))")
+            ).alias("proj8"),
+        )
+        .orderBy("vec_id")
+    )

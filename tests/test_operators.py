@@ -363,3 +363,58 @@ def test_auto_capacity_scales_with_corpus(spark):
     assert pairs.columns == ["id_a", "id_b", "cosine"]
     assert pairs.count() >= 0
     release_sketch_caches()
+
+
+def test_pca_components_match_numpy_reference(spark):
+    """pca_top_components must agree with a direct numpy PCA over the
+    collected corpus: orthonormal components, eigenvalues equal to the
+    numpy covariance spectrum, projection equal to the numpy
+    projection within float tolerance — and the distributed moments
+    are the exact sufficient statistics of the corpus."""
+    import numpy as np
+
+    from pg_analytics_spark.operators.pca import (
+        embedding_moments,
+        pca_project,
+        pca_top_components,
+    )
+    from pg_analytics_spark.sources import load_source
+    from tests.conftest import SF_DIR
+
+    e = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet")
+    X = np.array([r["embedding"] for r in e.select("embedding").collect()],
+                 dtype=np.float64)
+    n, d = X.shape
+
+    # moments = exact sufficient statistics (up to the decimal staging)
+    mom = {(r["i"], r["j"]): r for r in embedding_moments(e, "embedding").collect()}
+    assert len(mom) == d * (d + 1) // 2
+    for (i, j) in [(1, 1), (1, d), (d // 2, d // 2), (3, 7)]:
+        r = mom[(i, j)]
+        assert r["n"] == n
+        assert abs(r["sum_xi"] - X[:, i - 1].sum()) < 1e-5
+        assert abs(r["sum_xixj"] - (X[:, i - 1] * X[:, j - 1]).sum()) < 1e-5
+
+    k = 8
+    comps, vals, mean = pca_top_components(e, "embedding", k)
+    assert comps.shape == (k, d)
+    # orthonormal rows
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    # eigenvalues match numpy's covariance spectrum (descending)
+    ref_cov = np.cov(X, rowvar=False, bias=True)
+    ref_vals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:k]
+    assert np.allclose(vals, ref_vals, rtol=1e-6, atol=1e-8)
+    assert list(vals) == sorted(vals, reverse=True)
+    # distributed projection == numpy projection (sign convention fixed)
+    got = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in pca_project(e, "embedding", comps, mean)
+        .select("vec_id", "projected")
+        .collect()
+    }
+    ids = [r["vec_id"] for r in e.select("vec_id").collect()]
+    ref = (X - X.mean(axis=0)) @ comps.T
+    for row_idx, vid in enumerate(ids):
+        assert np.allclose(got[vid], ref[row_idx], atol=1e-6), vid
+    # captured variance of the top component dominates any single dim
+    assert vals[0] >= ref_cov.diagonal().max() - 1e-9

@@ -427,3 +427,23 @@ def test_asof_sql_lateral_fallback_decorrelates_to_group_limit(spark, engine):
     if "BroadcastNestedLoopJoin" in plan:
         below = plan.split("BroadcastNestedLoopJoin", 1)[1]
         assert "HashAggregate" in below.split("BroadcastExchange", 2)[1], plan
+
+
+def test_pca_project_is_map_only(spark):
+    """pca_project's scale contract: the projection is one codegen map
+    over the scan — NO Exchange, no join, no aggregate of the corpus
+    (the only aggregates in the PIPELINE are the moments pass, which
+    runs separately)."""
+    import numpy as np
+
+    from pg_analytics_spark.operators.pca import pca_project
+    from pg_analytics_spark.sources import load_source
+
+    e = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet")
+    d = len(e.select("embedding").first()[0])
+    comps = np.eye(3, d)  # any (k, d) literals — plan shape is the test
+    df = pca_project(e, "embedding", comps, mean=np.zeros(d))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan.replace("aggregate(", ""), plan
