@@ -112,6 +112,8 @@ HEADLINE_NEXT2: list = [
     "sql_passthrough_list_comprehension",
     "sql_passthrough_create_macro",
     "sql_passthrough_struct_literal",
+    "sql_passthrough_array_slice",
+    "sql_passthrough_table_macro",
     "embed_pca_moments",
 ]
 

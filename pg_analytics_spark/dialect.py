@@ -905,6 +905,89 @@ def _rewrite_list_comprehensions(tokens: list[tuple[str, str]]) -> list[tuple[st
     return out
 
 
+def _rewrite_array_slices(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """DuckDB list slicing → Spark ``slice``:
+
+        ``l[2:4]`` → ``slice(l, 2, 4-(2)+1)``   (both bounds inclusive)
+        ``l[:3]``  → ``slice(l, 1, 3)``
+        ``l[2:]``  → ``slice(l, 2, greatest(size(l)-(2)+1, 0))``
+
+    Nonnegative bounds only (DuckDB's negative-index slicing counts
+    from the end with different rules than Spark's negative ``slice``
+    start — those pass through to a loud error rather than a silently
+    different answer).  A plain subscript ``l[2]`` (no ``:``) is left
+    for Spark's own bracket support."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] != ("op", "["):
+            out.append(tokens[i])
+            i += 1
+            continue
+        prev = _prev_code(out, len(out))
+        is_sub = prev >= 0 and (
+            (
+                out[prev][0] in ("word", "qident")
+                and out[prev][1].lower() not in _KEYWORDS
+            )
+            or out[prev][0] in ("string",)
+            or out[prev][1] in (")", "]", "}")
+        )
+        if not is_sub:
+            out.append(tokens[i])
+            i += 1
+            continue
+        depth, j = 0, i
+        while j < n:
+            if tokens[j][0] == "op" and tokens[j][1] in ("[", "("):
+                depth += 1
+            elif tokens[j][0] == "op" and tokens[j][1] in ("]", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n or tokens[j] != ("op", "]"):
+            out.append(tokens[i])
+            i += 1
+            continue
+        inner = tokens[i + 1 : j]
+        d2, colon = 0, -1
+        for x, (kk, tt) in enumerate(inner):
+            if kk == "op" and tt in ("(", "["):
+                d2 += 1
+            elif kk == "op" and tt in (")", "]"):
+                d2 -= 1
+            elif (kk, tt) == ("op", ":") and d2 == 0:
+                colon = x
+                break
+        if colon < 0:
+            out.append(tokens[i])  # plain subscript
+            i += 1
+            continue
+        lo = "".join(t for _, t in inner[:colon]).strip()
+        hi = "".join(t for _, t in inner[colon + 1 :]).strip()
+        if lo.startswith("-") or hi.startswith("-"):
+            out.append(tokens[i])  # negative slicing: not rewritten
+            i += 1
+            continue
+        start = _operand_start(out, prev)
+        operand = "".join(t for _, t in out[start : prev + 1]).strip()
+        if lo and hi:
+            repl = f"slice({operand}, {lo}, ({hi})-({lo})+1)"
+        elif hi:
+            repl = f"slice({operand}, 1, {hi})"
+        elif lo:
+            repl = (
+                f"slice({operand}, {lo}, "
+                f"greatest(size({operand})-({lo})+1, 0))"
+            )
+        else:
+            repl = operand  # l[:] — identity
+        out = out[:start] + [("word", repl)]
+        i = j + 1
+    return out
+
+
 def _rewrite_struct_literals(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """DuckDB struct literals → Spark ``named_struct``:
 
@@ -1532,6 +1615,8 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
             t for _, t in _rewrite_struct_literals(_tokenize(sql))
         )
     tokens = _tokenize(sql)
+    if any(t == ("op", "[") for t in tokens):
+        tokens = _rewrite_array_slices(tokens)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_arrows(tokens)
     tokens = _rewrite_casts(tokens)

@@ -64,9 +64,8 @@ _SECRET_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
-#: DuckDB `CREATE [OR REPLACE] MACRO name(a, b) AS expr` — a stored
-#: SQL-template expansion (scalar macros; `AS TABLE` needs FROM-position
-#: splicing and is rejected with a clear message).
+#: DuckDB `CREATE [OR REPLACE] MACRO name(a, b) AS expr` (scalar) and
+#: `AS TABLE query` (table) — stored SQL-template expansions.
 _MACRO_RE = _re.compile(
     r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
     r"(?P<name>[A-Za-z_]\w*)\s*\((?P<params>[^)]*)\)\s*AS\s+"
@@ -149,7 +148,7 @@ class Engine:
         self.spark = spark or get_spark(**session_kwargs)
         self._attachments: dict[str, _Attachment] = {}
         self._prepared: dict[str, _Prepared] = {}
-        self._macros: dict[str, tuple[list[str], str]] = {}
+        self._macros: dict[str, tuple[list[str], str, bool]] = {}
 
     # ------------------------------------------------------------------ #
     # Source registration (CREATE FOREIGN TABLE analog)
@@ -989,18 +988,16 @@ class Engine:
         )
 
     def _create_macro_statement(self, m) -> DataFrame:
-        """DuckDB ``CREATE MACRO name(a, b) AS a + b`` — stored as a
-        SQL template; later queries expand ``name(x, y)`` to the
-        parenthesized body with arguments substituted (token-level, so
-        strings/comments never false-match).  DuckDB semantics: macro
+        """DuckDB ``CREATE MACRO name(a, b) AS a + b`` (scalar) and
+        ``… AS TABLE SELECT …`` (table) — stored as SQL templates;
+        later queries expand ``name(x, y)`` to the parenthesized body
+        with arguments substituted (token-level, so strings/comments
+        never false-match).  Table macros expand only in relation
+        position (FROM/JOIN/comma) as ``(query) name`` — a trailing
+        user alias takes precedence.  DuckDB semantics: macro
         expansion happens at bind time, which is exactly a text
-        template; default-valued and TABLE macros are rejected with a
-        clear message rather than mis-expanded."""
-        if m.group("table"):
-            raise EngineError(
-                "CREATE MACRO … AS TABLE is not supported — scalar "
-                "macros only (use CREATE VIEW for table templates)"
-            )
+        template; default-valued parameters are rejected with a clear
+        message rather than mis-expanded."""
         params = [
             p.strip()
             for p in (m.group("params") or "").split(",")
@@ -1022,7 +1019,9 @@ class Engine:
             raise EngineError(
                 f"macro name {name!r} is a reserved SQL keyword"
             )
-        self._macros[name] = (params, m.group("body").strip())
+        self._macros[name] = (
+            params, m.group("body").strip(), bool(m.group("table"))
+        )
         return self.spark.createDataFrame(
             [(name, len(params))], "macro string, n_params int"
         )
@@ -1031,7 +1030,12 @@ class Engine:
         """Expand stored macros in ``query`` (token-level, innermost
         calls first via fixpoint iteration, depth-capped so a
         self-recursive macro errors instead of hanging)."""
-        from pg_analytics_spark.dialect import _next_code, _tokenize
+        from pg_analytics_spark.dialect import (
+            _KEYWORDS,
+            _next_code,
+            _prev_code,
+            _tokenize,
+        )
 
         for _round in range(10):
             tokens = _tokenize(query)
@@ -1055,7 +1059,7 @@ class Engine:
                     i += 1
                     continue
                 # collect depth-aware comma-separated argument texts
-                params, body = mac
+                params, body, is_table = mac
                 depth, brackets, args, cur = 0, 0, [], []
                 k = j
                 while k < n:
@@ -1105,9 +1109,35 @@ class Engine:
                         body_out.append(("word", sub[bt.lower()]))
                     else:
                         body_out.append((bk, bt))
-                out.append(
-                    ("word", "(" + "".join(t for _, t in body_out) + ")")
-                )
+                expanded = "(" + "".join(t for _, t in body_out) + ")"
+                if is_table:
+                    # relation position only (FROM/JOIN/comma); the
+                    # expansion is a subquery named like the macro —
+                    # unless the statement supplies its own alias next
+                    pidx = _prev_code(out, len(out))
+                    in_from = pidx >= 0 and (
+                        (
+                            out[pidx][0] == "word"
+                            and out[pidx][1].lower() in ("from", "join")
+                        )
+                        or out[pidx] == ("op", ",")
+                    )
+                    if not in_from:
+                        raise EngineError(
+                            f"table macro {text!r} used outside a FROM/"
+                            "JOIN relation position"
+                        )
+                    nxt = _next_code(tokens, k)
+                    has_alias = (
+                        nxt < n
+                        and tokens[nxt][0] == "word"
+                        and tokens[nxt][1].lower() not in _KEYWORDS
+                    )
+                    out.append(
+                        ("word", expanded if has_alias else f"{expanded} {text}")
+                    )
+                else:
+                    out.append(("word", expanded))
                 i = k + 1
                 changed = True
             query = "".join(t for _, t in out)

@@ -2561,6 +2561,72 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+@register(
+    "sql_passthrough_table_macro",
+    oracle="""
+    SELECT big.o_orderkey, big.o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice > 100000 AND o_orderkey < 2000) big
+    ORDER BY big.o_orderkey
+    """,
+    doc="DuckDB CREATE MACRO … AS TABLE: the engine stores the query "
+    "template and expands calls in FROM/JOIN relation position as "
+    "`(query) name` (Engine._expand_macros; non-relation use errors "
+    "loudly).  The oracle runs the body inlined as a subquery with "
+    "the same alias, proving the expansion computes the identical "
+    "relation.",
+)
+def sql_passthrough_table_macro(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng.sql(
+        "CREATE OR REPLACE MACRO big_orders(cutoff) AS TABLE "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > cutoff AND o_orderkey < 2000"
+    )
+    return eng.sql(
+        "SELECT big.o_orderkey, big.o_totalprice "
+        "FROM big_orders(100000) big ORDER BY big.o_orderkey"
+    )
+
+
+_PASSTHROUGH_SLICE = """
+SELECT l_orderkey, l_linenumber,
+       to_json(seq[2:3]) AS mid,
+       to_json(seq[:2]) AS head3,
+       to_json(seq[3:]) AS tail
+FROM (SELECT l_orderkey, l_linenumber,
+             [CAST(l_linenumber AS INT), CAST(l_partkey % 7 AS INT),
+              CAST(l_suppkey % 5 AS INT), CAST(9 AS INT)] AS seq
+      FROM lineitem WHERE l_orderkey < 160) t
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "sql_passthrough_array_slice",
+    oracle=_PASSTHROUGH_SLICE,
+    doc="DuckDB-dialect passthrough: list slicing `l[2:4]` / `l[:3]` "
+    "/ `l[2:]` (inclusive bounds) is not Spark SQL; the shim rewrites "
+    "to slice() with DuckDB's bound semantics "
+    "(dialect.py::_rewrite_array_slices — plain subscripts and "
+    "negative-index slices pass through).  DuckDB runs the identical "
+    "text natively; to_json canonicalizes the array cells.",
+)
+def sql_passthrough_array_slice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return eng.sql(_PASSTHROUGH_SLICE)
+
+
 _PASSTHROUGH_STRUCT_LIT = """
 SELECT o_orderkey,
        {'status': o_orderstatus,

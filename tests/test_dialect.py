@@ -581,6 +581,33 @@ def test_asof_join_lateral_compat_path_still_available():
     assert "ORDER BY b.ts ASC LIMIT 1" in got_fwd
 
 
+def test_array_slice_rewrites_with_duckdb_bounds(engine):
+    import duckdb as _duckdb
+
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("SELECT l[2:4] AS s FROM t") == (
+        "SELECT slice(l, 2, (4)-(2)+1) AS s FROM t"
+    )
+    # open ends; plain subscript untouched
+    got = rewrite_pg("SELECT l[:3] AS a, l[2:] AS b, l[2] AS c FROM t")
+    assert "slice(l, 1, 3)" in got
+    assert "greatest(size(l)-(2)+1, 0)" in got
+    assert "l[2] AS c" in got
+    for q in (
+        "SELECT [10,20,30,40][2:3] AS s",
+        "SELECT [10,20,30][:2] AS s",
+        "SELECT [10,20,30][2:] AS s",
+    ):
+        a = engine.sql(q).collect()[0]["s"]
+        b = _duckdb.sql(q).fetchall()[0][0]
+        assert list(a) == list(b), q
+    # negative slicing passes through (different semantics — loud
+    # failure beats a silently different answer)
+    neg = "SELECT l[-2:] AS s FROM t"
+    assert "slice" not in rewrite_pg(neg)
+
+
 def test_struct_literal_rewrites_to_named_struct(engine):
     import duckdb as _duckdb
 
@@ -876,8 +903,15 @@ def test_create_macro_statement_roundtrip(engine):
     with _pytest.raises(EngineError, match="does not exist"):
         engine.sql("DROP MACRO doubled")
     engine.sql("DROP MACRO IF EXISTS doubled")  # no error
-    with _pytest.raises(EngineError, match="TABLE"):
-        engine.sql("CREATE MACRO tm() AS TABLE SELECT 1")
+    # table macros expand in relation position as (query) name
+    engine.sql("CREATE MACRO tm(k) AS TABLE SELECT id * k AS x FROM range(3)")
+    got = [r["x"] for r in engine.sql(
+        "SELECT x FROM tm(5) ORDER BY x"
+    ).collect()]
+    assert got == [0, 5, 10]
+    with _pytest.raises(EngineError, match="relation position"):
+        engine.sql("SELECT tm(5) AS x")
+    engine.sql("DROP MACRO tm")
     # reserved names rejected at CREATE (expansion would corrupt
     # unrelated statements using the keyword)
     with _pytest.raises(EngineError, match="reserved"):
