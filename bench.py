@@ -115,6 +115,7 @@ HEADLINE_NEXT2: list = [
     "sql_passthrough_array_slice",
     "sql_passthrough_table_macro",
     "embed_pca_moments",
+    "embed_random_projection",
 ]
 
 

@@ -158,3 +158,64 @@ def pca_project(
             - F.lit(const)
         )
     return df.withColumn(out_col, F.array(*coords))
+
+
+def rademacher_signs(k: int, d: int, seed: int = 7) -> list[list[float]]:
+    """Seeded ±1 Johnson-Lindenstrauss projection matrix (k, d) from
+    the repo's md5 convention — data-independent and deterministic, so
+    BOTH the Spark expression and the DuckDB oracle SQL embed the
+    identical literals (the seeded-centroid pattern)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp:{seed}:{r}:{j}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(d)
+        ]
+        for r in range(k)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    d: int,
+    seed: int = 7,
+    round_to: int | None = 6,
+    prefix: str = "rp_",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project onto k seeded Rademacher
+    rows scaled by 1/sqrt(k) — the training-pass-free alternative to
+    PCA when even the one moments pass is too much (distance-
+    preserving w.h.p. by the JL lemma).  MAP-ONLY: k sequential-fold
+    dots against sign literals, no shuffle, no Python — the same
+    plan contract as pca_project.  Appends flat ``rp_0 … rp_{k-1}``
+    double columns (rounded for the cross-engine gate when
+    ``round_to`` is set)."""
+    import math
+
+    signs = rademacher_signs(k, d, seed)
+    scale = math.sqrt(float(k))
+    cols = []
+    for r in range(k):
+        arr = "array(" + ", ".join(f"{s!r}D" for s in signs[r]) + ")"
+        e = (
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {arr}, "
+                "(x, c) -> cast(x AS double) * c), 0.0D, "
+                "(acc, t) -> acc + t)"
+            )
+            / F.lit(scale)
+        )
+        if round_to is not None:
+            e = F.round(e, round_to)
+        cols.append(e.alias(f"{prefix}{r}"))
+    return df.select("*", *cols)

@@ -2465,3 +2465,49 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _register_embed_random_projection():
+    from pg_analytics_spark.operators.pca import rademacher_signs
+
+    K, D, SEED = 8, 64, 7
+    signs = rademacher_signs(K, D, SEED)
+    sel = []
+    for r in range(K):
+        lits = ", ".join("1.0" if s > 0 else "-1.0" for s in signs[r])
+        sel.append(
+            "ROUND(list_sum([x[1]::DOUBLE * x[2] FOR x IN "
+            f"list_zip(embedding, [{lits}])]) / sqrt(8.0), 6) AS rp_{r}"
+        )
+    oracle = (
+        "SELECT vec_id, " + ", ".join(sel)
+        + " FROM embeddings ORDER BY vec_id"
+    )
+
+    @register(
+        "embed_random_projection",
+        oracle=oracle,
+        doc="Johnson-Lindenstrauss sketch (operators/pca.py::"
+        "random_projection): 64-dim embeddings projected onto 8 "
+        "SEEDED Rademacher rows scaled by 1/sqrt(8) — the "
+        "training-pass-free compression twin of PCA (no moments "
+        "pass; distance-preserving w.h.p. by the JL lemma). "
+        "MAP-ONLY: sequential-fold dots against sign literals, no "
+        "shuffle. The oracle embeds the IDENTICAL seeded sign matrix "
+        "(the seeded-centroid pattern) and folds with list_sum, so "
+        "the projection is value-exact cross-engine.",
+    )
+    def embed_random_projection(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pg_analytics_spark.operators.pca import random_projection
+
+        e = table(spark, sf_dir, "embeddings")
+        return (
+            random_projection(e, "embedding", k=K, d=D, seed=SEED)
+            .select("vec_id", *[f"rp_{r}" for r in range(K)])
+            .orderBy("vec_id")
+        )
+
+
+_register_embed_random_projection()

@@ -418,3 +418,38 @@ def test_pca_components_match_numpy_reference(spark):
         assert np.allclose(got[vid], ref[row_idx], atol=1e-6), vid
     # captured variance of the top component dominates any single dim
     assert vals[0] >= ref_cov.diagonal().max() - 1e-9
+
+
+def test_random_projection_is_distance_preserving_and_map_only(spark):
+    """JL property: at k=32 the squared pairwise distances of the
+    Rademacher sketch concentrate around the true 64-dim distances
+    (relative distortion ~ N(0, 2/k) by the JL lemma — a RANK test
+    would be meaningless on an isotropic corpus where all distances
+    concentrate), and the projection plans with NO Exchange."""
+    import numpy as np
+
+    from pg_analytics_spark.operators.pca import random_projection
+    from pg_analytics_spark.sources import load_source
+    from tests.conftest import SF_DIR
+
+    e = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet")
+    d = len(e.select("embedding").first()[0])
+    K = 32
+    proj = random_projection(e, "embedding", k=K, d=d, round_to=None)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = proj.select(
+        "vec_id", "embedding", *[f"rp_{r}" for r in range(K)]
+    ).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    P = np.array([[r[f"rp_{k}"] for k in range(K)] for r in rows])
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, len(rows), size=(300, 2))
+    keep = idx[:, 0] != idx[:, 1]
+    idx = idx[keep]
+    true_sq = ((X[idx[:, 0]] - X[idx[:, 1]]) ** 2).sum(axis=1)
+    proj_sq = ((P[idx[:, 0]] - P[idx[:, 1]]) ** 2).sum(axis=1)
+    ratio = proj_sq / true_sq
+    # sd of the ratio is ~sqrt(2/K)=0.25: median tight, tails bounded
+    assert 0.85 < np.median(ratio) < 1.15, np.median(ratio)
+    assert (np.abs(ratio - 1) < 0.75).mean() > 0.95, ratio
