@@ -802,6 +802,22 @@ def _rewrite_using_sample(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     return out
 
 
+def _is_value_predecessor(toks, idx: int) -> bool:
+    """True when the code token before ``idx`` yields a value — i.e. a
+    following ``[`` is a SUBSCRIPT/SLICE, not a list-literal start.
+    Shared by the comprehension and slice passes so the two subscript
+    definitions cannot drift."""
+    prev = _prev_code(toks, idx)
+    if prev < 0:
+        return False
+    pk, pt = toks[prev]
+    return (
+        (pk in ("word", "qident") and pt.lower() not in _KEYWORDS)
+        or pk in ("string", "number")
+        or pt in (")", "]", "}")
+    )
+
+
 def _rewrite_list_comprehensions(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """DuckDB list comprehensions and list literals → Spark HOFs:
 
@@ -821,17 +837,7 @@ def _rewrite_list_comprehensions(tokens: list[tuple[str, str]]) -> list[tuple[st
             out.append(tokens[i])
             i += 1
             continue
-        prev = _prev_code(out, len(out))
-        if prev >= 0 and (
-            (
-                out[prev][0] in ("word", "qident")
-                and out[prev][1].lower() not in _KEYWORDS
-            )
-            # any value-yielding predecessor: 'abc'[2], list[2][3],
-            # (expr)[1], {'a':1}['a'], 1[?] — all subscript positions
-            or out[prev][0] in ("string", "number")
-            or out[prev][1] in (")", "]", "}")
-        ):
+        if _is_value_predecessor(out, len(out)):
             out.append(tokens[i])  # subscript position
             i += 1
             continue
@@ -912,11 +918,13 @@ def _rewrite_array_slices(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
         ``l[:3]``  → ``slice(l, 1, 3)``
         ``l[2:]``  → ``slice(l, 2, greatest(size(l)-(2)+1, 0))``
 
-    Nonnegative bounds only (DuckDB's negative-index slicing counts
-    from the end with different rules than Spark's negative ``slice``
-    start — those pass through to a loud error rather than a silently
-    different answer).  A plain subscript ``l[2]`` (no ``:``) is left
-    for Spark's own bracket support."""
+    Bounds are CLAMPED to DuckDB's semantics (lo < 1 reads from the
+    start, hi < lo yields an empty list) so expression bounds can
+    never crash a job Spark-side where DuckDB returns a value.
+    Negative LITERAL bounds (count-from-the-end, different rules than
+    Spark's negative ``slice`` start) pass through to a loud error
+    rather than a silently different answer.  A plain subscript
+    ``l[2]`` (no ``:``) is left for Spark's own bracket support."""
     out: list[tuple[str, str]] = []
     i, n = 0, len(tokens)
     while i < n:
@@ -925,15 +933,7 @@ def _rewrite_array_slices(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
             i += 1
             continue
         prev = _prev_code(out, len(out))
-        is_sub = prev >= 0 and (
-            (
-                out[prev][0] in ("word", "qident")
-                and out[prev][1].lower() not in _KEYWORDS
-            )
-            or out[prev][0] in ("string",)
-            or out[prev][1] in (")", "]", "}")
-        )
-        if not is_sub:
+        if not _is_value_predecessor(out, len(out)):
             out.append(tokens[i])
             i += 1
             continue
@@ -973,13 +973,15 @@ def _rewrite_array_slices(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
         start = _operand_start(out, prev)
         operand = "".join(t for _, t in out[start : prev + 1]).strip()
         if lo and hi:
-            repl = f"slice({operand}, {lo}, ({hi})-({lo})+1)"
+            s = f"greatest(({lo}), 1)"
+            repl = f"slice({operand}, {s}, greatest(({hi})-{s}+1, 0))"
         elif hi:
-            repl = f"slice({operand}, 1, {hi})"
+            repl = f"slice({operand}, 1, greatest(({hi}), 0))"
         elif lo:
+            s = f"greatest(({lo}), 1)"
             repl = (
-                f"slice({operand}, {lo}, "
-                f"greatest(size({operand})-({lo})+1, 0))"
+                f"slice({operand}, {s}, "
+                f"greatest(size({operand})-{s}+1, 0))"
             )
         else:
             repl = operand  # l[:] — identity
@@ -1608,6 +1610,11 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
         sql = "".join(
             t for _, t in _rewrite_list_comprehensions(_tokenize(sql))
         )
+        # slices next, ALSO re-tokenized: the sliced operand/bounds can
+        # carry fn aliases / ::casts that later stages must still see
+        sql = "".join(
+            t for _, t in _rewrite_array_slices(_tokenize(sql))
+        )
     if "{" in sql:
         # struct literals AFTER comprehensions (a struct inside a
         # rewritten comprehension body surfaces on this re-tokenize)
@@ -1615,8 +1622,6 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
             t for _, t in _rewrite_struct_literals(_tokenize(sql))
         )
     tokens = _tokenize(sql)
-    if any(t == ("op", "[") for t in tokens):
-        tokens = _rewrite_array_slices(tokens)
     tokens = _rewrite_using_sample(tokens)
     tokens = _rewrite_arrows(tokens)
     tokens = _rewrite_casts(tokens)

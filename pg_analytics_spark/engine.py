@@ -771,9 +771,15 @@ class Engine:
                     exc, (AnalysisException, ParseException)
                 ):
                     raise
-                p.sql = p.alt_sql  # pin the working rewrite
+                try:
+                    df = _run(p.alt_sql)
+                except Exception:
+                    # transient failure (missing view/param) — surface
+                    # the ORIGINAL error, keep the routed SQL so a
+                    # later execute() retries the one-shuffle plan
+                    raise exc
+                p.sql = p.alt_sql  # pin only a PROVEN-working rewrite
                 p.alt_sql = None
-                df = _run(p.sql)
             if params:
                 return df
             p.df = df
@@ -1128,10 +1134,15 @@ class Engine:
                             "JOIN relation position"
                         )
                     nxt = _next_code(tokens, k)
-                    has_alias = (
-                        nxt < n
-                        and tokens[nxt][0] == "word"
-                        and tokens[nxt][1].lower() not in _KEYWORDS
+                    has_alias = nxt < n and (
+                        tokens[nxt][0] == "qident"
+                        or (
+                            tokens[nxt][0] == "word"
+                            and (
+                                tokens[nxt][1].lower() == "as"
+                                or tokens[nxt][1].lower() not in _KEYWORDS
+                            )
+                        )
                     )
                     out.append(
                         ("word", expanded if has_alias else f"{expanded} {text}")

@@ -587,21 +587,29 @@ def test_array_slice_rewrites_with_duckdb_bounds(engine):
     from pg_analytics_spark.dialect import rewrite_pg
 
     assert rewrite_pg("SELECT l[2:4] AS s FROM t") == (
-        "SELECT slice(l, 2, (4)-(2)+1) AS s FROM t"
+        "SELECT slice(l, greatest((2), 1), "
+        "greatest((4)-greatest((2), 1)+1, 0)) AS s FROM t"
     )
     # open ends; plain subscript untouched
     got = rewrite_pg("SELECT l[:3] AS a, l[2:] AS b, l[2] AS c FROM t")
-    assert "slice(l, 1, 3)" in got
-    assert "greatest(size(l)-(2)+1, 0)" in got
+    assert "slice(l, 1, greatest((3), 0))" in got
+    assert "greatest(size(l)-greatest((2), 1)+1, 0)" in got
     assert "l[2] AS c" in got
     for q in (
         "SELECT [10,20,30,40][2:3] AS s",
         "SELECT [10,20,30][:2] AS s",
         "SELECT [10,20,30][2:] AS s",
+        # clamped bounds: DuckDB returns values, Spark must not crash
+        "SELECT [10,20,30][4:2] AS s",   # hi < lo → []
+        "SELECT [10,20,30][0:2] AS s",   # lo < 1 → from the start
     ):
         a = engine.sql(q).collect()[0]["s"]
         b = _duckdb.sql(q).fetchall()[0][0]
-        assert list(a) == list(b), q
+        assert list(a or []) == list(b or []), q
+    # the sliced operand/bounds still pass through later rewrite
+    # stages (fn aliases, casts) — the slice output is re-tokenized
+    fn = rewrite_pg("SELECT list_sort(l)[2:] AS t FROM x")
+    assert "sort_array" in fn and "list_sort" not in fn, fn
     # negative slicing passes through (different semantics — loud
     # failure beats a silently different answer)
     neg = "SELECT l[-2:] AS s FROM t"
@@ -911,6 +919,12 @@ def test_create_macro_statement_roundtrip(engine):
     assert got == [0, 5, 10]
     with _pytest.raises(EngineError, match="relation position"):
         engine.sql("SELECT tm(5) AS x")
+    # AS-style and quoted aliases bind to the expansion (review fix)
+    engine.sql("CREATE OR REPLACE MACRO tm(k) AS TABLE SELECT id * k AS x FROM range(3)")
+    got_as = [r["x"] for r in engine.sql(
+        "SELECT t.x FROM tm(2) AS t ORDER BY t.x"
+    ).collect()]
+    assert got_as == [0, 2, 4]
     engine.sql("DROP MACRO tm")
     # reserved names rejected at CREATE (expansion would corrupt
     # unrelated statements using the keyword)
