@@ -52,6 +52,12 @@ def embedding_moments(df: DataFrame, vec_col: str) -> DataFrame:
     # exact, so the sum is order-independent and bit-identical; a
     # double product cast to decimal rounds differently per engine
     fdec = "decimal(18,9)"
+    # ONE generate + ONE hash aggregate (3 decimal sums + count) — the
+    # A/B in SCALE.md's round-5 note: splitting the first moments into
+    # a separate d-group aggregate joined back measured ~40% SLOWER
+    # (extra stages cost more than the extra in-agg decimal sums), and
+    # a nested-transform upper-triangle generate lost to posexplode's
+    # generate-then-filter despite halving the discarded rows
     pairs = (
         df.select(F.col(vec_col).alias("_v"))
         .select(F.posexplode("_v").alias("_i0", "_xi"), "_v")
