@@ -116,6 +116,7 @@ HEADLINE_NEXT2: list = [
     "sql_passthrough_table_macro",
     "embed_pca_moments",
     "embed_random_projection",
+    "streaming_pca_moments",
 ]
 
 

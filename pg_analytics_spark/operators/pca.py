@@ -47,6 +47,15 @@ def embedding_moments(df: DataFrame, vec_col: str) -> DataFrame:
     order, which is what lets the gate value-check a *floating-point*
     covariance pipeline.
     """
+    return finalize_moments(embedding_moment_partials(df, vec_col))
+
+
+def embedding_moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """The MERGEABLE decimal form of :func:`embedding_moments`
+    (schema ``MOMENT_PARTIAL_SCHEMA``): exact decimal sums, so
+    union + re-sum over any split of the corpus — batches, shards,
+    micro-batches — equals the single-pass build bit-for-bit
+    (streaming/moments_ingest.py is that twin)."""
     # cross-engine float rule (workload/base): cast FACTORS (not the
     # product) to a narrow decimal — the decimal×decimal product is
     # exact, so the sum is order-independent and bit-identical; a
@@ -74,23 +83,41 @@ def embedding_moments(df: DataFrame, vec_col: str) -> DataFrame:
         )
         .filter(F.col("j") >= F.col("i"))
     )
-    return (
-        pairs.groupBy("i", "j")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("_xi").cast(fdec)).cast("double").alias("sum_xi"),
-            F.sum(F.col("_xj").cast(fdec)).cast("double").alias("sum_xj"),
-            # VARCHAR bridge (workload/base module rule): the scale-18
-            # product sum's unscaled value exceeds 2^53, where DuckDB's
-            # int128->double double-rounds; decimal->string->double is
-            # correctly rounded in both engines
-            F.sum(F.col("_xi").cast(fdec) * F.col("_xj").cast(fdec))
-            .cast("string")
-            .cast("double")
-            .alias("sum_xixj"),
-        )
-        .orderBy("i", "j")
+    return pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_xi").cast(fdec)).cast("decimal(38,9)").alias("sxi"),
+        F.sum(F.col("_xj").cast(fdec)).cast("decimal(38,9)").alias("sxj"),
+        F.sum(F.col("_xi").cast(fdec) * F.col("_xj").cast(fdec))
+        .cast("decimal(38,18)")
+        .alias("sxx"),
     )
+
+
+#: mergeable-state schema of the DECIMAL partials — exact decimal
+#: addition makes union+re-sum bit-identical to a single-pass build
+#: for ANY batch split (the streaming twin's contract)
+MOMENT_PARTIAL_SCHEMA = (
+    "i INT, j INT, n BIGINT, "
+    "sxi DECIMAL(38,9), sxj DECIMAL(38,9), sxx DECIMAL(38,18)"
+)
+
+
+def finalize_moments(partials: DataFrame) -> DataFrame:
+    """DECIMAL partials → the gate's double-surfaced moment relation.
+    Kept separate so the streaming twin merges exact decimals across
+    micro-batches and finalizes ONCE, identically to the batch path."""
+    return partials.select(
+        "i",
+        "j",
+        "n",
+        F.col("sxi").cast("double").alias("sum_xi"),
+        F.col("sxj").cast("double").alias("sum_xj"),
+        # VARCHAR bridge (workload/base module rule): the scale-18
+        # product sum's unscaled value exceeds 2^53, where DuckDB's
+        # int128->double double-rounds; decimal->string->double is
+        # correctly rounded in both engines
+        F.col("sxx").cast("string").cast("double").alias("sum_xixj"),
+    ).orderBy("i", "j")
 
 
 def pca_top_components(

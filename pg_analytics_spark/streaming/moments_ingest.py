@@ -1,0 +1,125 @@
+"""Continuous-ingest covariance maintenance: the PCA sufficient
+statistics (operators/pca.py) kept up to date across micro-batches.
+
+The moment partials are MERGEABLE — exact decimal sums — so the
+streaming twin is exact by construction: union + re-sum of each
+micro-batch's partials equals the single-pass batch build bit-for-bit
+for ANY batch order or count (the same argument as the CMS/HLL twin
+in streaming/sketch_ingest.py, whose state-swap pattern this module
+reuses).  At 100 TB/day of embeddings the state stays d(d+1)/2 rows
+and each batch costs one d²-group shuffle; the current covariance (and
+therefore refreshed PCA components via ``pca_top_components``-style
+finalization) is answerable at any moment without touching history.
+
+``streaming_pca_moments`` runs the real incremental path under the
+value-exact gate: the drained state, finalized, must equal the batch
+``embed_pca_moments`` relation — SAME oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.operators.pca import (
+    MOMENT_PARTIAL_SCHEMA,
+    embedding_moment_partials,
+    finalize_moments,
+)
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    cur = os.path.join(state_dir, "moments")
+    if os.path.isdir(cur):
+        return spark.read.parquet(cur)
+    return spark.createDataFrame([], MOMENT_PARTIAL_SCHEMA)
+
+
+def _write_state(df: DataFrame, state_dir: str) -> None:
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    cur = os.path.join(state_dir, "moments")
+    old = os.path.join(state_dir, f"_old-{uuid.uuid4().hex}")
+    if os.path.isdir(cur):
+        os.replace(cur, old)
+    os.replace(tmp, cur)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    vec_col: str,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """Merge one micro-batch's decimal partials into the state
+    (union + re-sum — exact; all columns re-cast to the state schema
+    so precision never drifts across merges)."""
+    partials = embedding_moment_partials(batch_df, vec_col).select(
+        "i", "j", "n",
+        F.col("sxi").cast("decimal(38,9)").alias("sxi"),
+        F.col("sxj").cast("decimal(38,9)").alias("sxj"),
+        F.col("sxx").cast("decimal(38,18)").alias("sxx"),
+    )
+    merged = (
+        _read_state(spark, state_dir)
+        .unionByName(partials)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sxi").cast("decimal(38,9)").alias("sxi"),
+            F.sum("sxj").cast("decimal(38,9)").alias("sxj"),
+            F.sum("sxx").cast("decimal(38,18)").alias("sxx"),
+        )
+    )
+    # state must be fully materialized BEFORE the rename swaps the
+    # directory it was read from
+    rows = merged.collect()
+    _write_state(
+        spark.createDataFrame(rows, MOMENT_PARTIAL_SCHEMA), state_dir
+    )
+
+
+def ingest_moments(
+    spark: SparkSession,
+    source: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """One availableNow increment: fold every unseen embedding file
+    into the covariance-moment state."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if source.endswith(".parquet") and not os.path.isdir(source):
+        reader = reader.option("pathGlobFilter", os.path.basename(source))
+        source = os.path.dirname(source)
+    stream = reader.parquet(source)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(spark, batch_df, vec_col, state_dir, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def current_moments(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The finalized moment relation from the live state — the exact
+    relation the batch ``embedding_moments`` would produce over all
+    arrived data."""
+    return finalize_moments(_read_state(spark, state_dir))

@@ -2511,3 +2511,49 @@ def _register_embed_random_projection():
 
 
 _register_embed_random_projection()
+
+
+def _register_streaming_pca_moments():
+    # identical relation to embed_pca_moments — reuse its oracle text
+    from pg_analytics_spark.workload.base import REGISTRY as _REG
+
+    oracle = _REG["embed_pca_moments"].oracle
+
+    @register(
+        "streaming_pca_moments",
+        oracle=oracle,
+        doc="Covariance-moment maintenance on the REAL streaming path "
+        "(streaming/moments_ingest.py: readStream -> per-batch "
+        "decimal moment partials -> union+re-sum state swap): after "
+        "the availableNow drain the finalized state must equal the "
+        "batch embed_pca_moments relation bit-for-bit — exact decimal "
+        "mergeability makes the streaming twin exact for any batch "
+        "order/count (the forced multi-batch case is pinned in "
+        "tests/test_streaming.py). SAME oracle SQL as the batch row.",
+    )
+    def streaming_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pg_analytics_spark.streaming.moments_ingest import (
+            current_moments,
+            ingest_moments,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        with tempfile.TemporaryDirectory() as work:
+            ingest_moments(
+                spark,
+                f"{sf_dir}/embeddings.parquet",
+                f"{work}/state",
+                f"{work}/ckpt",
+                e.schema,
+            )
+            rows = current_moments(spark, f"{work}/state").collect()
+        return spark.createDataFrame(
+            rows,
+            "i INT, j INT, n BIGINT, sum_xi DOUBLE, sum_xj DOUBLE, "
+            "sum_xixj DOUBLE",
+        ).orderBy("i", "j")
+
+
+_register_streaming_pca_moments()

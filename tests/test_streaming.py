@@ -718,3 +718,40 @@ def test_corpus_ingest_stop_and_restart_from_checkpoint(spark, tmp_path):
     ]
     assert len(commits) == 2, commits
     assert n_after_1 < len(got_ids)
+
+
+def test_streaming_moments_equal_batch_across_forced_batches(spark, tmp_path):
+    """Covariance-moment maintenance across a FORCED multi-batch drain
+    (maxFilesPerTrigger=1 over a 3-file corpus) must equal the batch
+    moments over the whole corpus bit-for-bit — exact decimal
+    mergeability, the same contract as the CMS/HLL twin."""
+    import glob as _glob
+    import shutil
+
+    from pg_analytics_spark.operators.pca import embedding_moments
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.moments_ingest import (
+        current_moments,
+        ingest_moments,
+    )
+
+    e = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet")
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    for idx in range(3):
+        stage = tmp_path / f"s{idx}"
+        e.filter(F.col("vec_id") % 3 == idx).coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            src / f"{idx:03d}.parquet",
+        )
+    state = str(tmp_path / "state")
+    ingest_moments(
+        spark, str(src), state, str(tmp_path / "ckpt"), e.schema,
+        max_files_per_trigger=1,
+    )
+    got = sorted(map(tuple, current_moments(spark, state).collect()))
+    want = sorted(map(tuple, embedding_moments(e, "embedding").collect()))
+    assert got == want  # bit-for-bit incl. the double-surfaced sums
