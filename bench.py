@@ -97,13 +97,15 @@ HEADLINE_NEXT = [
     "bpe_pair_counts",
 ]
 
-#: rows inside HEADLINE_NEXT whose wall is dominated by a REAL
+#: rows (in any group) whose wall is dominated by a REAL
 #: Structured-Streaming engine start per run (inherent to measuring
 #: the incremental path, not query cost) — broken out as
-#: `value_streaming` so `value_next_batch` is the honest
-#: batch-comparable subtotal.  Membership of HEADLINE_NEXT itself is
-#: FROZEN (round-over-round series continues unchanged).
-STREAMING_ROWS = frozenset({"streaming_hourly_counts"})
+#: `value_streaming` / `value_next2_streaming` so the `*_batch`
+#: subtotals are the honest batch-comparable numbers.  Membership of
+#: the measured groups themselves is FROZEN per round.
+STREAMING_ROWS = frozenset(
+    {"streaming_hourly_counts", "streaming_pca_moments"}
+)
 
 #: round-5 additions measure here; frozen groups stay comparable.
 HEADLINE_NEXT2: list = [
@@ -187,6 +189,18 @@ def main() -> None:
         ),
         "value_next2": round(sum(timings_next2.values()), 3),
         "queries_next2": timings_next2,
+        "value_next2_streaming": round(
+            sum(v for k, v in timings_next2.items() if k in STREAMING_ROWS),
+            3,
+        ),
+        "value_next2_batch": round(
+            sum(
+                v
+                for k, v in timings_next2.items()
+                if k not in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
