@@ -385,3 +385,36 @@ def test_wkb_roundtrip_lossless(geom):
     assert back == geom
     # envelope is order-invariant under the round trip
     assert envelope(back) == envelope(geom)
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "SELECT", "FROM", "WHERE", "AS", "AND", "FOR", "IN", "IF",
+                "ASOF", "JOIN", "ON", "USING", "SAMPLE", "MACRO", "*", ",",
+                "(", ")", "[", "]", "{", "}", ":", "::", "->", "->>", "<=",
+                ">=", "<", ">", "=", ".", "-", "t", "x", "l", "'s'", "1",
+                "2.5", "int4", "json", "transform",
+            ]
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_rewrite_pg_total_on_token_soup(parts):
+    """Robustness property for the round-5 rewrite pipeline
+    (comprehensions, slices, struct literals, ASOF routing, USING
+    SAMPLE scoping): for ARBITRARY token soup, rewrite_pg either
+    returns a string or raises the documented UnsupportedDialect —
+    never IndexError / RecursionError / infinite loop.  (Semantic
+    validity is the parser's job; the shim must only be total.)"""
+    from pg_analytics_spark.dialect import UnsupportedDialect, rewrite_pg
+
+    sql = " ".join(parts)
+    try:
+        out = rewrite_pg(sql)
+    except UnsupportedDialect:
+        return
+    assert isinstance(out, str)
