@@ -1055,6 +1055,13 @@ class Engine:
                     if kind == "word"
                     else None
                 )
+                if mac is not None:
+                    # `other.keyed(x)` is a qualified call to a
+                    # DIFFERENT function that merely shares the macro's
+                    # name — expanding it would produce `other.((x)+1)`
+                    pidx = _prev_code(out, len(out))
+                    if pidx >= 0 and out[pidx] == ("op", "."):
+                        mac = None
                 if mac is None:
                     out.append(tokens[i])
                     i += 1

@@ -84,7 +84,13 @@ def embedding_moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
         .filter(F.col("j") >= F.col("i"))
     )
     return pairs.groupBy("i", "j").agg(
-        F.count("*").alias("n"),
+        # count NON-NULL pairs (not count(*)): a NULL vector element
+        # is skipped by the sums, so counting it would silently skew
+        # the covariance — with this definition a NULL element makes
+        # per-cell counts disagree and pca_top_components raises
+        F.count(F.when(
+            F.col("_xi").isNotNull() & F.col("_xj").isNotNull(), 1
+        )).alias("n"),
         F.sum(F.col("_xi").cast(fdec)).cast("decimal(38,9)").alias("sxi"),
         F.sum(F.col("_xj").cast(fdec)).cast("decimal(38,9)").alias("sxj"),
         F.sum(F.col("_xi").cast(fdec) * F.col("_xj").cast(fdec))
@@ -138,6 +144,27 @@ def pca_top_components(
     import numpy as np
 
     rows = embedding_moments(df, vec_col).collect()
+    return _components_from_moment_rows(np, rows, k)
+
+
+def _components_from_moment_rows(np, rows, k: int):
+    from pg_analytics_spark.errors import EngineError
+
+    if not rows:
+        raise EngineError(
+            "pca_top_components: the moments relation is empty — the "
+            "input has no vectors (or the vector column is all NULL)"
+        )
+    counts = {r["n"] for r in rows}
+    if len(counts) != 1:
+        # ragged dimensions or NULL elements give per-cell counts that
+        # differ; dividing by any single n would be silently wrong
+        raise EngineError(
+            "pca_top_components: moment cells disagree on the row "
+            f"count (min {min(counts)}, max {max(counts)}) — vectors "
+            "are ragged or contain NULL elements; clean the corpus "
+            "(filter/pad to a fixed dimension) before PCA"
+        )
     d = max(r["j"] for r in rows)
     n = rows[0]["n"]
     s1 = np.zeros(d)

@@ -27,13 +27,15 @@ would be the multi-writer answer; single-writer rename is exact here.)
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
+from pg_analytics_spark.streaming.state_swap import (
+    commit_state,
+    current_snapshot,
+)
 
 #: filter geometry shared by every batch (must not change mid-stream)
 M_BITS = 1 << 19
@@ -64,23 +66,14 @@ def _chunk_hashes(docs: DataFrame) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    cur = os.path.join(state_dir, "bits")
-    if not os.path.isdir(cur):
+    cur = current_snapshot(state_dir, "bits")
+    if cur is None:
         return None
     return spark.read.parquet(cur)
 
 
 def _write_state(bits: DataFrame, state_dir: str) -> None:
-    os.makedirs(state_dir, exist_ok=True)
-    tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex}")
-    bits.coalesce(1).write.mode("overwrite").parquet(tmp)
-    cur = os.path.join(state_dir, "bits")
-    old = os.path.join(state_dir, f"_old-{uuid.uuid4().hex}")
-    if os.path.isdir(cur):
-        os.replace(cur, old)
-    os.replace(tmp, cur)
-    if os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)
+    commit_state(bits, state_dir, "bits")
 
 
 def process_batch(

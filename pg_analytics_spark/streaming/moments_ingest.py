@@ -19,8 +19,6 @@ value-exact gate: the drained state, finalized, must equal the batch
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,26 +28,21 @@ from pg_analytics_spark.operators.pca import (
     embedding_moment_partials,
     finalize_moments,
 )
+from pg_analytics_spark.streaming.state_swap import (
+    commit_state,
+    current_snapshot,
+)
 
 
 def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    cur = os.path.join(state_dir, "moments")
-    if os.path.isdir(cur):
+    cur = current_snapshot(state_dir, "moments")
+    if cur is not None:
         return spark.read.parquet(cur)
     return spark.createDataFrame([], MOMENT_PARTIAL_SCHEMA)
 
 
 def _write_state(df: DataFrame, state_dir: str) -> None:
-    os.makedirs(state_dir, exist_ok=True)
-    tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    cur = os.path.join(state_dir, "moments")
-    old = os.path.join(state_dir, f"_old-{uuid.uuid4().hex}")
-    if os.path.isdir(cur):
-        os.replace(cur, old)
-    os.replace(tmp, cur)
-    if os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)
+    commit_state(df, state_dir, "moments")
 
 
 def process_batch(

@@ -28,13 +28,15 @@ answerable at any moment without touching history.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_analytics_spark.functions.hashing import shingle_hash32
+from pg_analytics_spark.streaming.state_swap import (
+    commit_state,
+    current_snapshot,
+)
 from pg_analytics_spark.operators.sketches import (
     cms_build,
     hll_build,
@@ -58,23 +60,14 @@ def _token_hashes(docs: DataFrame) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, state_dir: str, name: str, schema: str):
-    cur = os.path.join(state_dir, name)
-    if os.path.isdir(cur):
+    cur = current_snapshot(state_dir, name)
+    if cur is not None:
         return spark.read.parquet(cur)
     return spark.createDataFrame([], schema)
 
 
 def _write_state(df: DataFrame, state_dir: str, name: str) -> None:
-    os.makedirs(state_dir, exist_ok=True)
-    tmp = os.path.join(state_dir, f"_tmp-{uuid.uuid4().hex}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    cur = os.path.join(state_dir, name)
-    old = os.path.join(state_dir, f"_old-{uuid.uuid4().hex}")
-    if os.path.isdir(cur):
-        os.replace(cur, old)
-    os.replace(tmp, cur)
-    if os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)
+    commit_state(df, state_dir, name)
 
 
 def process_batch(

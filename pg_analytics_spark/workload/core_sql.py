@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pg_analytics_spark.errors import EngineError
 from pg_analytics_spark.workload.base import _dec, davg, dsum, register, table
 
 # --------------------------------------------------------------------- #
@@ -2181,9 +2182,12 @@ def iceberg_partitioned_write_roundtrip(
         },
     )
     n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
-    assert n_pruned < n_full, (
-        f"month-transform pruning kept {n_pruned}/{n_full} files"
-    )
+    if n_pruned >= n_full:
+        # explicit raise, not `assert` — the invariant must survive
+        # `python -O` (asserts are stripped there)
+        raise EngineError(
+            f"month-transform pruning kept {n_pruned}/{n_full} files"
+        )
     return pruned.select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     ).orderBy("o_orderkey")

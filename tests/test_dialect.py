@@ -1012,3 +1012,17 @@ def test_summarize_table_named_like_from(engine, spark):
     spark.range(4).selectExpr("id").createOrReplaceTempView("from_orders")
     prof = engine.sql("SUMMARIZE from_orders").collect()
     assert {r["column_name"] for r in prof} == {"id"}
+
+
+def test_macro_qualified_reference_not_expanded(engine):
+    """ADVICE r5: `ns.keyed(x)` is a qualified call to a DIFFERENT
+    function that merely shares a macro's name — expansion after a dot
+    would produce invalid SQL like `ns.((x) + 1)`."""
+    engine.sql("CREATE MACRO keyed(x) AS x + 1")
+    try:
+        out = engine._expand_macros("SELECT ns.keyed(a), keyed(a) FROM t")
+        flat = out.replace(" ", "")
+        assert "ns.keyed(a)" in flat          # qualified: untouched
+        assert "((a)+1)" in flat              # bare: expanded
+    finally:
+        engine.sql("DROP MACRO keyed")

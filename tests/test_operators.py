@@ -453,3 +453,31 @@ def test_random_projection_is_distance_preserving_and_map_only(spark):
     # sd of the ratio is ~sqrt(2/K)=0.25: median tight, tails bounded
     assert 0.85 < np.median(ratio) < 1.15, np.median(ratio)
     assert (np.abs(ratio - 1) < 0.75).mean() > 0.95, ratio
+
+
+def test_pca_top_components_rejects_empty_and_ragged(spark):
+    """ADVICE r5: an empty corpus must raise a named error (not a bare
+    IndexError), and ragged / NULL-element vectors — whose per-cell
+    moment counts disagree — must raise instead of yielding a silently
+    wrong covariance."""
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import EngineError
+    from pg_analytics_spark.operators.pca import pca_top_components
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(EngineError, match="empty"):
+        pca_top_components(empty, "embedding", 2)
+
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, 5.0],)], "embedding array<double>"
+    )
+    with _pytest.raises(EngineError, match="ragged"):
+        pca_top_components(ragged, "embedding", 2)
+
+    with_null = spark.createDataFrame(
+        [([1.0, 2.0],), ([None, 5.0],), ([3.0, 4.0],)],
+        "embedding array<double>",
+    )
+    with _pytest.raises(EngineError, match="ragged"):
+        pca_top_components(with_null, "embedding", 2)

@@ -549,11 +549,19 @@ def test_streaming_sketch_ingest_equals_batch_sketches(spark, tmp_path):
     want_hll = sorted(
         map(tuple, hll_build(hashes, "h32", precision=HLL_P).collect())
     )
+    from pg_analytics_spark.streaming.state_swap import current_snapshot
+
     got_cms = sorted(
-        map(tuple, spark.read.parquet(f"{state_dir}/cms").collect())
+        map(
+            tuple,
+            spark.read.parquet(current_snapshot(state_dir, "cms")).collect(),
+        )
     )
     got_hll = sorted(
-        map(tuple, spark.read.parquet(f"{state_dir}/hll").collect())
+        map(
+            tuple,
+            spark.read.parquet(current_snapshot(state_dir, "hll")).collect(),
+        )
     )
     assert got_cms == want_cms
     assert got_hll == want_hll
@@ -755,3 +763,76 @@ def test_streaming_moments_equal_batch_across_forced_batches(spark, tmp_path):
     got = sorted(map(tuple, current_moments(spark, state).collect()))
     want = sorted(map(tuple, embedding_moments(e, "embedding").collect()))
     assert got == want  # bit-for-bit incl. the double-surfaced sums
+
+
+def test_state_swap_pointer_commit_is_crash_safe(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): the old two-rename swap had a window where a
+    crash deleted ALL accumulated state.  The pointer protocol's only
+    commit point is one atomic os.replace of the pointer file — a crash
+    anywhere before it must leave the previous snapshot fully readable."""
+    import os as _os
+
+    from pg_analytics_spark.streaming import state_swap
+
+    sd = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, 10)], "k INT, v INT")
+    state_swap.commit_state(df1, sd, "moments")
+    cur1 = state_swap.current_snapshot(sd, "moments")
+    assert [tuple(r) for r in spark.read.parquet(cur1).collect()] == [(1, 10)]
+
+    # inject a crash AFTER snapshot 2's parquet is written but BEFORE
+    # the pointer swap (the exact window the old layout lost state in)
+    real_replace = _os.replace
+
+    def boom(srcp, dstp):
+        if str(dstp).endswith(".CURRENT"):
+            raise OSError("injected crash before pointer swap")
+        return real_replace(srcp, dstp)
+
+    monkeypatch.setattr(_os, "replace", boom)
+    df2 = spark.createDataFrame([(2, 20)], "k INT, v INT")
+    try:
+        state_swap.commit_state(df2, sd, "moments")
+        raise AssertionError("injected crash did not fire")
+    except OSError:
+        pass
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    # prior state intact; the uncommitted batch would simply replay
+    cur = state_swap.current_snapshot(sd, "moments")
+    assert cur == cur1
+    assert [tuple(r) for r in spark.read.parquet(cur).collect()] == [(1, 10)]
+
+    # a successful commit then supersedes AND garbage-collects the
+    # orphan snapshot from the crashed attempt
+    state_swap.commit_state(df2, sd, "moments")
+    cur2 = state_swap.current_snapshot(sd, "moments")
+    assert [tuple(r) for r in spark.read.parquet(cur2).collect()] == [(2, 20)]
+    snaps = [
+        e for e in _os.listdir(sd)
+        if e.startswith("moments-") and _os.path.isdir(_os.path.join(sd, e))
+    ]
+    assert snaps == [_os.path.basename(cur2)]
+
+
+def test_state_swap_reads_legacy_layout_then_migrates(spark, tmp_path):
+    """State dirs written by the old two-rename layout (a plain
+    `<name>/` dir, no pointer) must keep working: read falls back to
+    the legacy dir; the next commit migrates to the pointer protocol
+    and GCs the legacy dir."""
+    import os as _os
+
+    from pg_analytics_spark.streaming import state_swap
+
+    sd = str(tmp_path / "state")
+    legacy = _os.path.join(sd, "bits")
+    spark.createDataFrame([(7, 70)], "k INT, v INT").coalesce(1).write.parquet(
+        legacy
+    )
+    assert state_swap.current_snapshot(sd, "bits") == legacy
+    state_swap.commit_state(
+        spark.createDataFrame([(8, 80)], "k INT, v INT"), sd, "bits"
+    )
+    cur = state_swap.current_snapshot(sd, "bits")
+    assert cur != legacy and not _os.path.isdir(legacy)
+    assert [tuple(r) for r in spark.read.parquet(cur).collect()] == [(8, 80)]
