@@ -121,6 +121,13 @@ HEADLINE_NEXT2: list = [
     "streaming_pca_moments",
 ]
 
+#: round-6 additions measure here; frozen groups stay comparable.
+HEADLINE_NEXT3: list = [
+    "embed_pca_moments_fast",
+    "sql_passthrough_positional_join",
+    "sql_passthrough_recursive_cte",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,6 +175,7 @@ def main() -> None:
     timings, cold = _measure(HEADLINE)
     timings_next, cold_next = _measure(HEADLINE_NEXT)
     timings_next2, cold_next2 = _measure(HEADLINE_NEXT2)
+    timings_next3, cold_next3 = _measure(HEADLINE_NEXT3)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -201,6 +209,20 @@ def main() -> None:
             ),
             3,
         ),
+        "value_next3": round(sum(timings_next3.values()), 3),
+        "queries_next3": timings_next3,
+        "value_next3_streaming": round(
+            sum(v for k, v in timings_next3.items() if k in STREAMING_ROWS),
+            3,
+        ),
+        "value_next3_batch": round(
+            sum(
+                v
+                for k, v in timings_next3.items()
+                if k not in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
@@ -210,6 +232,7 @@ def main() -> None:
     full["value_next_cold"] = round(sum(cold_next.values()), 3)
     full["queries_next_cold"] = cold_next
     full["queries_next2_cold"] = cold_next2
+    full["queries_next3_cold"] = cold_next3
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

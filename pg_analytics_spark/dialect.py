@@ -680,7 +680,7 @@ _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
     r"|string_to_array|starts_with|ends_with|unnest)\b"
     r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
-    r"|\busing\s+sample\b",
+    r"|\busing\s+sample\b|\bpositional\s+join\b",
     re.IGNORECASE,
 )
 
@@ -1381,6 +1381,198 @@ def _rewrite_asof_union(sql: str) -> str | None:
     return f"{pre} {rel} {post}"
 
 
+def _subquery_order_keys(inner_tokens) -> str | None:
+    """The key list of a subquery's FINAL top-level ORDER BY clause
+    (text up to a top-level LIMIT/OFFSET or the end), or None."""
+    depths = _depths(inner_tokens)
+    n = len(inner_tokens)
+    by_at = None
+    for x in range(n):
+        if (
+            depths[x] == 0
+            and inner_tokens[x][0] == "word"
+            and inner_tokens[x][1].lower() == "order"
+        ):
+            y = _next_code(inner_tokens, x)
+            if (
+                y < n
+                and inner_tokens[y][0] == "word"
+                and inner_tokens[y][1].lower() == "by"
+            ):
+                by_at = y
+    if by_at is None:
+        return None
+    start = _next_code(inner_tokens, by_at)
+    end = n
+    for x in range(start, n):
+        if (
+            depths[x] == 0
+            and inner_tokens[x][0] == "word"
+            and inner_tokens[x][1].lower() in ("limit", "offset")
+        ):
+            end = x
+            break
+    keys = "".join(t for _, t in inner_tokens[start:end]).strip()
+    return keys or None
+
+
+_POSITIONAL_HINT = (
+    " — POSITIONAL JOIN pairs rows by scan position, which is "
+    "UNDEFINED for a distributed scan; wrap each side in a subquery "
+    "whose top level ends with ORDER BY <unique key> (optionally + "
+    "LIMIT), e.g. (SELECT … FROM t ORDER BY id) a POSITIONAL JOIN "
+    "(SELECT … FROM u ORDER BY id) b"
+)
+
+
+def _rewrite_positional_join(sql: str) -> str:
+    """DuckDB ``a POSITIONAL JOIN b`` — rows paired by position, the
+    shorter side padded with NULLs (the reference reaches this through
+    raw statement passthrough, /root/reference/src/hooks/executor.rs:71).
+
+    Distributed-determinism contract: "position" only exists under an
+    explicit total order, so EACH side must be a subquery whose top
+    level ends with ORDER BY (its keys are lifted into a
+    ``row_number()`` window); anything else — a bare table, an
+    unordered subquery — raises UnsupportedDialect with that guidance
+    rather than pairing nondeterministically.  The rewrite:
+
+        (SELECT _l AS a, _r AS b FROM
+           (SELECT row_number() OVER (ORDER BY ka) AS _p,
+                   struct(a.*) AS _l FROM (…) a) __ppl
+           FULL OUTER JOIN
+           (SELECT row_number() OVER (ORDER BY kb) AS _p,
+                   struct(b.*) AS _r FROM (…) b) __ppr
+           USING (_p)) __pos_j
+
+    Each side's row rides as a STRUCT named by its alias (the ASOF
+    union rewrite's namespace trick), so ``a.x`` / ``a.*`` resolve
+    unchanged and a bare top-level ``*`` expands to ``a.*, b.*``.
+    Scale note: the global row_number is a single-partition sort per
+    side — inherent to the operator's order-defined semantics (DuckDB
+    is single-node), not to the rewrite; keyed joins are the scale
+    path.  Ties in the ORDER BY keys make pairing arbitrary in BOTH
+    engines — use a unique key.
+    """
+    tokens = _tokenize(sql)
+    depths = _depths(tokens)
+    n = len(tokens)
+    found = None
+    for x, (kk, tt) in enumerate(tokens):
+        if kk == "word" and tt.lower() == "positional":
+            y = _next_code(tokens, x)
+            if y < n and tokens[y][0] == "word" and tokens[y][1].lower() == "join":
+                found = (x, y)
+                break
+    if found is None:
+        return sql
+    i, jkw = found
+    d = depths[i]
+
+    def _fail(msg: str):
+        raise UnsupportedDialect("POSITIONAL JOIN: " + msg + _POSITIONAL_HINT)
+
+    def _parse_side(start: int, stop: int, default_alias: str):
+        """(sub_tokens, alias, end_idx) for a `(subquery) [AS] [alias]`
+        relation beginning at `start`; loud error on a bare table."""
+        if tokens[start] != ("op", "("):
+            _fail("each side must be a parenthesized ordered subquery")
+        depth, q = 0, start
+        while q < stop:
+            if tokens[q] == ("op", "("):
+                depth += 1
+            elif tokens[q] == ("op", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            q += 1
+        if q >= stop:
+            _fail("unbalanced parentheses")
+        sub = tokens[start + 1 : q]
+        alias, end = default_alias, q
+        nxt = _next_code(tokens, q)
+        if (
+            nxt < stop
+            and tokens[nxt][0] == "word"
+            and tokens[nxt][1].lower() == "as"
+        ):
+            nxt = _next_code(tokens, nxt)
+        if nxt < stop and (
+            tokens[nxt][0] == "qident"
+            or (
+                tokens[nxt][0] == "word"
+                and tokens[nxt][1].lower() not in _KEYWORDS
+                and tokens[nxt][1].lower() != "positional"
+            )
+        ):
+            alias, end = tokens[nxt][1], nxt
+        return sub, alias, end
+
+    # ---- left side: scan back to FROM/comma at this depth ----------
+    b_idx = -1
+    for x in range(i - 1, -1, -1):
+        if depths[x] == d and (
+            (tokens[x][0] == "word" and tokens[x][1].lower() == "from")
+            or tokens[x] == ("op", ",")
+        ):
+            b_idx = x
+            break
+    if b_idx < 0:
+        _fail("could not locate the left relation")
+    p = _next_code(tokens, b_idx)
+    a_sub, a_alias, a_end = _parse_side(p, i, "__pl")
+    if _next_code(tokens, a_end) != i:
+        _fail("left side must be a single parenthesized subquery")
+    # ---- right side ------------------------------------------------
+    r_start = _next_code(tokens, jkw)
+    if r_start >= n:
+        _fail("missing right relation")
+    b_sub, b_alias, b_end = _parse_side(r_start, n, "__pr")
+    if a_alias.lower() == b_alias.lower():
+        b_alias = b_alias + "_r"
+    keys_a = _subquery_order_keys(a_sub)
+    keys_b = _subquery_order_keys(b_sub)
+    if keys_a is None or keys_b is None:
+        _fail("each side must end with a top-level ORDER BY")
+    a_txt = "".join(t for _, t in a_sub).strip()
+    b_txt = "".join(t for _, t in b_sub).strip()
+    rel = (
+        f"(SELECT _l AS {a_alias}, _r AS {b_alias} FROM "
+        f"(SELECT row_number() OVER (ORDER BY {keys_a}) AS _p, "
+        f"struct({a_alias}.*) AS _l FROM ({a_txt}) {a_alias}) __ppl "
+        f"FULL OUTER JOIN "
+        f"(SELECT row_number() OVER (ORDER BY {keys_b}) AS _p, "
+        f"struct({b_alias}.*) AS _r FROM ({b_txt}) {b_alias}) __ppr "
+        f"USING (_p)) __pos_j"
+    )
+    # ---- bare top-level * in the select list → a.*, b.* ------------
+    head = tokens[: b_idx + 1]
+    sel_at = [
+        x
+        for x, (kk, tt) in enumerate(head)
+        if kk == "word" and tt.lower() == "select" and depths[x] == d
+    ]
+    if sel_at:
+        s0 = sel_at[-1]
+        for x in range(s0 + 1, b_idx):
+            if head[x] == ("op", "*") and depths[x] == d:
+                pidx = _prev_code(head, x)
+                pk, pt = head[pidx] if pidx >= 0 else ("", "")
+                if (
+                    pk == "word" and pt.lower() in ("select", "distinct", "all")
+                ) or (pk, pt) == ("op", ","):
+                    head = (
+                        head[:x]
+                        + [("word", f"{a_alias}.*, {b_alias}.*")]
+                        + head[x + 1 :]
+                    )
+                    break
+    pre = "".join(t for _, t in head)
+    post = "".join(t for _, t in tokens[b_end + 1 :])
+    # recurse: the statement may chain several positional joins
+    return _rewrite_positional_join(f"{pre} {rel} {post}")
+
+
 def _rewrite_asof_join(sql: str) -> str:
     """DuckDB ``a ASOF [LEFT] JOIN b [alias] ON eq-conds AND ineq`` →
     a Spark LATERAL subquery picking the nearest match:
@@ -1603,6 +1795,8 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     if re.search(r"\basof\s+(left\s+)?join\b", sql, re.IGNORECASE):
         routed = _rewrite_asof_union(sql) if asof_union else None
         sql = routed if routed is not None else _rewrite_asof_join(sql)
+    if re.search(r"\bpositional\s+join\b", sql, re.IGNORECASE):
+        sql = _rewrite_positional_join(sql)
     if "[" in sql:
         # list comprehensions / literals FIRST, then re-tokenize: the
         # generated transform()/filter() text may still carry ::casts

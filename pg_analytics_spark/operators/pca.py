@@ -13,9 +13,12 @@ Dataflow, and why it scales to 100 TB:
    decimal-staged (workload/base convention), so the statistics are
    bit-identical cross-engine and order-independent — the
    ``embed_pca_moments`` registry row value-checks them against
-   DuckDB at the gate.  (At very large d the explode factor d² per
-   row favors a mapInArrow per-partition outer-product accumulation —
-   same ONE-shuffle contract, d ≤ ~256 is fine on the explode path.)
+   DuckDB at the gate.  The PRODUCTION twin ``embedding_moments_fast``
+   replaces the explode (n·d(d+1)/2 generated rows) with a mapInArrow
+   per-partition fp64 outer-product (BLAS ``X.T @ X``) under the same
+   ONE-shuffle contract — near-equal, not bit-exact (pinned by test +
+   the SCALE.md A/B); ``pca_top_components(..., exact=False)`` routes
+   through it.
 2. ``pca_top_components`` — driver-side eigendecomposition of the d×d
    covariance assembled from the moments (numpy ``eigh``; d×d is
    KILOBYTES — this is the part that is not and should not be
@@ -108,6 +111,98 @@ MOMENT_PARTIAL_SCHEMA = (
 )
 
 
+def embedding_moments_fast(df: DataFrame, vec_col: str) -> DataFrame:
+    """The PRODUCTION covariance pass: per-partition fp64 outer-product
+    accumulation via ``mapInArrow`` — same relation shape and the same
+    ONE-shuffle contract as :func:`embedding_moments`, without the
+    explode's n·d(d+1)/2 generated rows.
+
+    Each partition streams its Arrow batches into a running
+    ``(n, Σx, XᵀX)`` (numpy BLAS ``X.T @ X``) and emits ONE upper
+    triangle — d(d+1)/2 rows — so the shuffle carries
+    ``numPartitions × d(d+1)/2`` rows regardless of corpus size, and
+    the per-row cost is a vectorized BLAS update instead of d²/2
+    exploded aggregate inputs.  Tradeoff vs the exact path: float
+    addition is order-dependent, so the sums are NOT bit-identical
+    cross-engine (within ~1e-12 relative of the decimal-exact build —
+    pinned by a near-equality test); use :func:`embedding_moments`
+    when the gate needs value-exact moments, this path when the corpus
+    is large (SCALE.md carries the A/B: the crossover is well below
+    sf0.1×10).
+
+    NULL elements and ragged vectors raise a named error, mirroring
+    the exact path's uniform-count check.
+    """
+    out_schema = (
+        "i INT, j INT, n BIGINT, "
+        "sum_xi DOUBLE, sum_xj DOUBLE, sum_xixj DOUBLE"
+    )
+
+    def _accumulate(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from pg_analytics_spark.errors import EngineError
+
+        d, n, s1, s2 = None, 0, None, None
+        for b in batches:
+            lst = b.column(0)
+            if len(lst) == 0:
+                continue
+            if lst.null_count:
+                raise EngineError(
+                    "embedding_moments_fast: NULL vectors in input"
+                )
+            lens = np.asarray(lst.value_lengths())
+            if d is None:
+                d = int(lens[0])
+            if not np.all(lens == d):
+                raise EngineError(
+                    "embedding_moments_fast: ragged vectors (lengths "
+                    f"{int(lens.min())}..{int(lens.max())}) — pad or "
+                    "filter to a fixed dimension before PCA"
+                )
+            flat = lst.flatten()
+            if flat.null_count:
+                raise EngineError(
+                    "embedding_moments_fast: NULL vector elements"
+                )
+            x = np.asarray(flat, dtype=np.float64).reshape(len(lst), d)
+            if s1 is None:
+                s1 = np.zeros(d)
+                s2 = np.zeros((d, d))
+            n += x.shape[0]
+            s1 += x.sum(axis=0)
+            s2 += x.T @ x
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "i": pa.array(iu + 1, pa.int32()),
+                "j": pa.array(ju + 1, pa.int32()),
+                "n": pa.array(np.full(len(iu), n), pa.int64()),
+                "sum_xi": pa.array(s1[iu], pa.float64()),
+                "sum_xj": pa.array(s1[ju], pa.float64()),
+                "sum_xixj": pa.array(s2[iu, ju], pa.float64()),
+            }
+        )
+
+    partials = df.select(F.col(vec_col).alias("v")).mapInArrow(
+        _accumulate, out_schema
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_xi").alias("sum_xi"),
+            F.sum("sum_xj").alias("sum_xj"),
+            F.sum("sum_xixj").alias("sum_xixj"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def finalize_moments(partials: DataFrame) -> DataFrame:
     """DECIMAL partials → the gate's double-surfaced moment relation.
     Kept separate so the streaming twin merges exact decimals across
@@ -127,9 +222,13 @@ def finalize_moments(partials: DataFrame) -> DataFrame:
 
 
 def pca_top_components(
-    df: DataFrame, vec_col: str, k: int
+    df: DataFrame, vec_col: str, k: int, exact: bool = True
 ):
     """Top-``k`` principal components of the (mean-centered) corpus.
+
+    ``exact=False`` computes the moments via
+    :func:`embedding_moments_fast` (the mapInArrow production path) —
+    same result to float precision, much cheaper past ~10⁵ rows.
 
     Driver-side ``numpy.linalg.eigh`` over the d×d covariance
     assembled from :func:`embedding_moments` — the d² statistics are
@@ -143,8 +242,12 @@ def pca_top_components(
     """
     import numpy as np
 
-    rows = embedding_moments(df, vec_col).collect()
-    return _components_from_moment_rows(np, rows, k)
+    moments = (
+        embedding_moments(df, vec_col)
+        if exact
+        else embedding_moments_fast(df, vec_col)
+    )
+    return _components_from_moment_rows(np, moments.collect(), k)
 
 
 def _components_from_moment_rows(np, rows, k: int):

@@ -2816,3 +2816,85 @@ def sql_passthrough_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return eng.sql(_PASSTHROUGH_ASOF)
+
+
+_PASSTHROUGH_POSITIONAL = """
+SELECT a.c_custkey AS big_spender, a.acctbal AS big_bal,
+       b.c_custkey AS low_spender, b.acctbal AS low_bal
+FROM (SELECT c_custkey, c_acctbal AS acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000
+      ORDER BY acctbal DESC, c_custkey) a
+POSITIONAL JOIN
+     (SELECT c_custkey, c_acctbal AS acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 1000
+      ORDER BY acctbal ASC, c_custkey) b
+ORDER BY big_spender NULLS LAST, low_spender NULLS LAST
+"""
+
+
+@register(
+    "sql_passthrough_positional_join",
+    oracle=_PASSTHROUGH_POSITIONAL,
+    doc="DuckDB-dialect passthrough: POSITIONAL JOIN (pair rows by "
+    "position, pad the shorter side with NULLs) — reached through raw "
+    "statement passthrough in the reference "
+    "(src/hooks/executor.rs:71).  The dialect shim (dialect.py::"
+    "_rewrite_positional_join) lifts each side's mandatory top-level "
+    "ORDER BY into a row_number() window and FULL-OUTER joins on the "
+    "position, with each side's row riding as a struct named by its "
+    "alias so a.x/b.y/bare-* resolve unchanged.  Sides WITHOUT an "
+    "explicit order (bare tables) raise UnsupportedDialect: scan "
+    "position is undefined for a distributed scan, so silent "
+    "nondeterministic pairing would be wrong at ANY scale.  The two "
+    "sides here have different lengths, exercising the NULL padding; "
+    "ranked-vs-ranked pairing (top spender with lowest spender) is "
+    "the construct's canonical use.",
+)
+def sql_passthrough_positional_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return eng.sql(_PASSTHROUGH_POSITIONAL)
+
+
+_PASSTHROUGH_RECURSIVE = """
+WITH RECURSIVE spine(k) AS (
+  SELECT 0
+  UNION ALL
+  SELECT k + 1 FROM spine WHERE k < 11
+)
+SELECT s.k + 1 AS month_num,
+       COUNT(o.o_orderkey) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_custs
+FROM spine s
+LEFT JOIN orders o
+  ON EXTRACT(YEAR FROM o.o_orderdate) = 1995
+ AND EXTRACT(MONTH FROM o.o_orderdate) = s.k + 1
+GROUP BY s.k
+ORDER BY month_num
+"""
+
+
+@register(
+    "sql_passthrough_recursive_cte",
+    oracle=_PASSTHROUGH_RECURSIVE,
+    doc="WITH RECURSIVE through Engine.sql — Spark 4.1 executes "
+    "recursive CTEs natively (UnionLoop iterations), DuckDB natively "
+    "on the oracle side; this row PINS the capability so a Spark "
+    "version downgrade or dialect-shim regression is caught by the "
+    "gate (round-5 verdict: it worked but was unpinned).  The spine "
+    "recursion drives a 12-month LEFT JOIN aggregation over orders — "
+    "the date-spine shape recursive CTEs exist for; counts only, so "
+    "the comparison is integer-exact.",
+)
+def sql_passthrough_recursive_cte(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return eng.sql(_PASSTHROUGH_RECURSIVE)

@@ -2434,6 +2434,30 @@ def embed_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_pca_moments_fast",
+    oracle=None,  # float partial sums are order-dependent; see doc
+    doc="Distributed PCA pass 1, PRODUCTION path (operators/pca.py::"
+    "embedding_moments_fast): per-partition fp64 outer-product "
+    "accumulation via mapInArrow (BLAS X^T X per Arrow batch) — the "
+    "same relation and ONE-shuffle contract as embed_pca_moments "
+    "without the explode's n*d(d+1)/2 generated rows; shuffle volume "
+    "is numPartitions x d(d+1)/2 rows regardless of corpus size. No "
+    "oracle BY DESIGN: cross-partition float addition is order-"
+    "dependent, so sums match the decimal-exact twin only to ~1e-10 "
+    "absolute — correctness is pinned by the near-equality test vs "
+    "the VALUE-EXACT embed_pca_moments row (tests/test_operators.py) "
+    "and the one-Exchange plan assertion (tests/test_plans.py); the "
+    "sf0.1x10 A/B vs the exact path is in SCALE.md.",
+)
+def embed_pca_moments_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.pca import embedding_moments_fast
+
+    return embedding_moments_fast(
+        table(spark, sf_dir, "embeddings"), "embedding"
+    )
+
+
+@register(
     "embed_pca_project",
     oracle=None,  # eigenvectors are LAPACK-side; rows-only + unit-pinned
     doc="Distributed PCA, passes 2+3 (operators/pca.py): top-8 "

@@ -481,3 +481,69 @@ def test_pca_top_components_rejects_empty_and_ragged(spark):
     )
     with _pytest.raises(EngineError, match="ragged"):
         pca_top_components(with_null, "embedding", 2)
+
+
+def test_embedding_moments_fast_near_equals_exact(spark):
+    """The mapInArrow production covariance pass must agree with the
+    decimal-exact explode path to float precision — same relation, same
+    counts, sums within 1e-9 relative — and exact=False components must
+    match exact=True's."""
+    import numpy as np
+
+    from pg_analytics_spark.operators.pca import (
+        embedding_moments,
+        embedding_moments_fast,
+        pca_top_components,
+    )
+    from pg_analytics_spark.sources import load_source
+    from tests.conftest import SF_DIR
+
+    e = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet").repartition(5)
+    exact = embedding_moments(e, "embedding").collect()
+    fast = embedding_moments_fast(e, "embedding").collect()
+    assert len(exact) == len(fast)
+    n_rows = exact[0]["n"]
+    # the exact path quantizes each FACTOR to decimal(18,9) before
+    # summing, so the two paths differ by up to ~n x the quantization
+    # step per sum (not float roundoff) — bound accordingly
+    tol = 5e-9 * n_rows
+    for a, b in zip(exact, fast):
+        assert (a["i"], a["j"], a["n"]) == (b["i"], b["j"], b["n"])
+        for c in ("sum_xi", "sum_xj", "sum_xixj"):
+            assert abs(a[c] - b[c]) <= tol, (a["i"], a["j"], c, a[c], b[c])
+
+    ce, ve, me = pca_top_components(e, "embedding", 4, exact=True)
+    cf, vf, mf = pca_top_components(e, "embedding", 4, exact=False)
+    assert np.allclose(me, mf, rtol=1e-9)
+    assert np.allclose(ve, vf, rtol=1e-7, atol=1e-10)
+    assert np.allclose(ce, cf, atol=1e-6)
+
+
+def test_embedding_moments_fast_rejects_ragged_and_null(spark):
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import EngineError
+    from pg_analytics_spark.operators.pca import embedding_moments_fast
+
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, 5.0],)], "embedding array<double>"
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="ragged"):
+        embedding_moments_fast(ragged, "embedding").collect()
+
+    # ragged ACROSS partitions: each partition is internally uniform,
+    # so the per-partition check cannot fire — the uniform-count check
+    # in pca_top_components must catch it instead
+    from pg_analytics_spark.operators.pca import pca_top_components
+
+    ragged2 = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, 5.0],)], "embedding array<double>"
+    ).repartition(2)
+    with _pytest.raises(EngineError, match="ragged"):
+        pca_top_components(ragged2, "embedding", 1, exact=False)
+
+    with_null = spark.createDataFrame(
+        [([1.0, 2.0],), ([None, 5.0],)], "embedding array<double>"
+    ).coalesce(1)
+    with _pytest.raises(Exception, match="NULL"):
+        embedding_moments_fast(with_null, "embedding").collect()

@@ -447,3 +447,23 @@ def test_pca_project_is_map_only(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Aggregate" not in plan.replace("aggregate(", ""), plan
+
+
+def test_pca_moments_fast_single_exchange(spark):
+    """The production covariance pass keeps the exact path's ONE-shuffle
+    contract: per-partition mapInArrow partials -> one hash Exchange for
+    the (i,j) re-aggregation (plus AQE cosmetics); shuffle volume is
+    numPartitions x d(d+1)/2 rows regardless of corpus size."""
+    from pg_analytics_spark.operators.pca import embedding_moments_fast
+    from pg_analytics_spark.sources import load_source
+    from tests.conftest import SF_DIR
+
+    e = load_source(spark, f"{SF_DIR}/embeddings.parquet", "parquet").repartition(4)
+    plan = embedding_moments_fast(e, "embedding")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # exactly one hash shuffle (the (i,j) re-aggregation); the only
+    # other exchanges are the test's own repartition (RoundRobin) and
+    # the orderBy's range partitioning over the d(+1)/2-row result
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "MapInArrow" in plan, plan
