@@ -86,6 +86,15 @@ _INSERT_LAKE_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: `MERGE INTO <attached delta table> …` — copy-on-write upsert
+#: through the native protocol writer (sources/delta_write.merge_delta).
+_MERGE_LAKE_RE = _re.compile(
+    r"^MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)[A-Za-z_]\w*))?\s+"
+    r"USING\s+(?P<rest>.+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 #: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
 #: routes to Engine.summarize (one-job per-column profile).
 _SUMMARIZE_RE = _re.compile(
@@ -243,6 +252,11 @@ class Engine:
             self._attachments[m.group("name")].format in ("delta", "iceberg")
         ):
             return self._insert_lake_statement(m)
+        m = _MERGE_LAKE_RE.match(query.strip())
+        if m and self._attachments.get(m.group("name")) is not None and (
+            self._attachments[m.group("name")].format in ("delta", "iceberg")
+        ):
+            return self._merge_lake_statement(m)
         m = _SUMMARIZE_RE.match(query.strip())
         if m:
             # DuckDB `SUMMARIZE …` statement text, verbatim
@@ -991,6 +1005,215 @@ class Engine:
         )
         return self.spark.createDataFrame(
             [(int(res.get("rows", 0)),)], "count bigint"
+        )
+
+    def _merge_lake_statement(self, m) -> DataFrame:
+        """``MERGE INTO <attached delta table> [AS] t USING <rel> [AS] s
+        ON <cond> WHEN [NOT] MATCHED [AND c] THEN UPDATE SET …/DELETE/
+        INSERT */(cols) VALUES (…)`` — copy-on-write upsert through the
+        native writer (sources/delta_write.merge_delta: one inner join
+        finds touched files, only those rewrite, inserts anti-join;
+        first matching clause wins, ambiguous multi-match errors).
+        Returns a one-row metrics relation and refreshes the
+        attachment onto the new snapshot."""
+        from pg_analytics_spark.dialect import (
+            _depths,
+            _next_code,
+            _tokenize,
+        )
+        from pg_analytics_spark.sources.delta_write import merge_delta
+
+        att = self._attachments[m.group("name")]
+        if att.format != "delta":
+            raise EngineError(
+                f"MERGE INTO: {att.name} is {att.format}; the native "
+                "MERGE writer currently supports delta tables"
+            )
+        talias = m.group("talias") or m.group("name")
+        rest = m.group("rest").strip()
+        # ---- USING relation: (subquery) | dotted name, then alias ----
+        if rest.startswith("("):
+            depth, i = 0, 0
+            while i < len(rest):
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            if depth != 0:
+                raise EngineError("MERGE USING: unbalanced parentheses")
+            rel_text, tail = rest[: i + 1], rest[i + 1 :]
+        else:
+            mm = _re.match(r"[\w.]+", rest)
+            if not mm:
+                raise EngineError("MERGE USING: expected a relation")
+            rel_text, tail = mm.group(0), rest[mm.end():]
+        mm = _re.match(
+            r"\s*(?:AS\s+)?(?P<salias>(?!ON\b)[A-Za-z_]\w*)?\s*ON\s+",
+            tail,
+            _re.IGNORECASE,
+        )
+        if not mm:
+            raise EngineError("MERGE: expected ON <condition>")
+        salias = mm.group("salias") or (
+            rel_text.split(".")[-1] if not rel_text.startswith("(") else None
+        )
+        if not salias:
+            raise EngineError("MERGE USING (subquery) needs an alias")
+        tail = tail[mm.end():]
+        # ---- split ON condition from the WHEN clause list -----------
+        wm = _re.search(
+            r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", tail, _re.IGNORECASE
+        )
+        if not wm:
+            raise EngineError("MERGE: expected at least one WHEN clause")
+        on_cond = tail[: wm.start()].strip()
+        clause_text = tail[wm.start():].rstrip("; \n\t")
+        starts = list(
+            _re.finditer(
+                r"\bWHEN\s+(?P<not>NOT\s+)?MATCHED\b",
+                clause_text,
+                _re.IGNORECASE,
+            )
+        )
+        clauses: list[dict] = []
+        for idx, sm in enumerate(starts):
+            seg_end = (
+                starts[idx + 1].start()
+                if idx + 1 < len(starts)
+                else len(clause_text)
+            )
+            seg = clause_text[sm.end(): seg_end].strip()
+            cm = _re.match(
+                r"(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+(?P<act>.+)$",
+                seg,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            if not cm:
+                raise EngineError(f"MERGE: cannot parse clause: WHEN …{seg}")
+            cond, act = cm.group("cond"), cm.group("act").strip()
+            is_not = bool(sm.group("not"))
+            if is_not:
+                im = _re.match(
+                    r"INSERT\s+(?:(?P<star>\*)|\((?P<cols>[^)]*)\)\s*"
+                    r"VALUES\s*\((?P<vals>.+)\))\s*$",
+                    act,
+                    _re.IGNORECASE | _re.DOTALL,
+                )
+                if not im:
+                    raise EngineError(
+                        "MERGE WHEN NOT MATCHED supports INSERT * or "
+                        f"INSERT (cols) VALUES (exprs); got: {act[:60]}"
+                    )
+                if im.group("star"):
+                    values = "all"
+                else:
+                    cols = [
+                        c.strip() for c in im.group("cols").split(",")
+                    ]
+                    toks = _tokenize(im.group("vals"))
+                    depths = _depths(toks)
+                    exprs, cur = [], []
+                    for x, tk in enumerate(toks):
+                        if tk == ("op", ",") and depths[x] == 0:
+                            exprs.append("".join(t for _, t in cur).strip())
+                            cur = []
+                        else:
+                            cur.append(tk)
+                    exprs.append("".join(t for _, t in cur).strip())
+                    if len(cols) != len(exprs):
+                        raise EngineError(
+                            f"MERGE INSERT: {len(cols)} column(s) but "
+                            f"{len(exprs)} value(s)"
+                        )
+                    values = dict(zip(cols, exprs))
+                clauses.append(
+                    {
+                        "when": "not_matched",
+                        "action": "insert",
+                        "values": values,
+                        "condition": cond,
+                    }
+                )
+            elif _re.match(r"DELETE\s*$", act, _re.IGNORECASE):
+                clauses.append(
+                    {"when": "matched", "action": "delete", "condition": cond}
+                )
+            else:
+                um = _re.match(
+                    r"UPDATE\s+SET\s+(?P<sets>.+)$",
+                    act,
+                    _re.IGNORECASE | _re.DOTALL,
+                )
+                if not um:
+                    raise EngineError(
+                        "MERGE WHEN MATCHED supports UPDATE SET … or "
+                        f"DELETE; got: {act[:60]}"
+                    )
+                toks = _tokenize(um.group("sets"))
+                depths = _depths(toks)
+                assigns, cur = [], []
+                for x, tk in enumerate(toks):
+                    if tk == ("op", ",") and depths[x] == 0:
+                        assigns.append(cur)
+                        cur = []
+                    else:
+                        cur.append(tk)
+                assigns.append(cur)
+                set_map = {}
+                for a in assigns:
+                    ad = _depths(a)
+                    eq_at = next(
+                        (
+                            x
+                            for x, tk in enumerate(a)
+                            if tk == ("op", "=") and ad[x] == 0
+                        ),
+                        None,
+                    )
+                    if eq_at is None:
+                        raise EngineError(
+                            "MERGE UPDATE SET: expected col = expr, got "
+                            + "".join(t for _, t in a)[:60]
+                        )
+                    col = "".join(t for _, t in a[:eq_at]).strip()
+                    expr = "".join(t for _, t in a[eq_at + 1:]).strip()
+                    # the assignment target may be written qualified
+                    col = col.split(".")[-1]
+                    set_map[col] = expr
+                clauses.append(
+                    {
+                        "when": "matched",
+                        "action": "update",
+                        "set": set_map,
+                        "condition": cond,
+                    }
+                )
+        source_df = self.sql(f"SELECT * FROM {rel_text} __merge_src")
+        res = merge_delta(
+            source_df,
+            att.files[0],
+            on_cond,
+            clauses,
+            target_alias=talias,
+            source_alias=salias,
+        )
+        self.attach(
+            att.name, att.files, att.format, att.options, att.columns
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(res["rows_written"]),
+                    int(res["files_added"]),
+                    int(res["files_removed"]),
+                    int(res["version"]),
+                )
+            ],
+            "rows_written bigint, files_added int, files_removed int, "
+            "version int",
         )
 
     def _create_macro_statement(self, m) -> DataFrame:

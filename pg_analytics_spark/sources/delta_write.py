@@ -394,6 +394,76 @@ def compact_delta(
     }
 
 
+def _stage_files(
+    df: DataFrame,
+    path: str,
+    version: int,
+    part_cols: list[str],
+    options: dict | None,
+) -> tuple[list[dict], int]:
+    """Distributed parquet write into a staging dir, then atomic moves
+    into the table tree with unique names.  Returns (add actions,
+    row count) — the count observes the SAME execution that produced
+    the files; footer stats ride the EXECUTORS for large commits
+    (see _stats_for_files)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    staged = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_delta_stage-{uuid.uuid4().hex}",
+    )
+    writer = staged.write.mode("overwrite")
+    if options:
+        fwd = {k: v for k, v in options.items() if k != "mergeSchema"}
+        if fwd:
+            writer = writer.options(**fwd)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    n_rows = int(obs.get["n"])
+
+    os.makedirs(path, exist_ok=True)
+    renamed: list[tuple[str, str]] = []  # (rel_path, dst)
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            fname = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
+            dst = os.path.join(path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            renamed.append((rel_path, dst))
+    per_file = _stats_for_files(
+        df.sparkSession, [dst for _, dst in renamed], df.schema
+    )
+    adds = []
+    for rel_path, dst in renamed:
+        stats, size, mtime_ms = per_file[dst]
+        adds.append(
+            {
+                "add": {
+                    "path": rel_path.replace(os.sep, "/"),
+                    "partitionValues": _partition_values(
+                        rel_path.replace(os.sep, "/")
+                    ),
+                    "size": size,
+                    "modificationTime": mtime_ms,
+                    "dataChange": True,
+                    **({"stats": stats} if stats else {}),
+                }
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds, n_rows
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -459,66 +529,7 @@ def write_delta(
                 )
                 schema_string = df.schema.json()
 
-    # ---- data files: distributed parquet write into a staging dir,
-    # then atomically moved into the table tree with unique names.
-    # The row count observes the SAME execution that produced the files.
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
-    obs = Observation()
-    staged = df.observe(obs, F.count(F.lit(1)).alias("n"))
-    staging = os.path.join(
-        os.path.dirname(path.rstrip("/")) or ".",
-        f"_delta_stage-{uuid.uuid4().hex}",
-    )
-    writer = staged.write.mode("overwrite")
-    if options:
-        fwd = {k: v for k, v in options.items() if k != "mergeSchema"}
-        if fwd:
-            writer = writer.options(**fwd)
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(staging)
-    n_rows = int(obs.get["n"])
-
-    os.makedirs(path, exist_ok=True)
-    renamed: list[tuple[str, str]] = []  # (rel_path, dst)
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            fname = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-            rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
-            dst = os.path.join(path, rel_path)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            renamed.append((rel_path, dst))
-    # footer stats ride the EXECUTORS for large commits (the driver
-    # only renames + writes the log); see _stats_for_files
-    per_file = _stats_for_files(
-        df.sparkSession, [dst for _, dst in renamed], df.schema
-    )
-    adds = []
-    for rel_path, dst in renamed:
-        stats, size, mtime_ms = per_file[dst]
-        adds.append(
-            {
-                "add": {
-                    "path": rel_path.replace(os.sep, "/"),
-                    "partitionValues": _partition_values(
-                        rel_path.replace(os.sep, "/")
-                    ),
-                    "size": size,
-                    "modificationTime": mtime_ms,
-                    "dataChange": True,
-                    **({"stats": stats} if stats else {}),
-                }
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    adds, n_rows = _stage_files(df, path, version, part_cols, options)
 
     import time as _time
 
@@ -605,6 +616,20 @@ def write_delta(
         )
     actions.extend(adds)
 
+    _write_commit(path, log_dir, version, actions)
+    return {"version": version, "files": len(adds), "rows": n_rows}
+
+
+def _write_commit(
+    path: str, log_dir: str, version: int, actions: list[dict]
+) -> None:
+    """Atomically publish one commit JSON, then auto-checkpoint on the
+    standard 10-commit cadence (what real Delta writers do via
+    checkpointInterval): readers then replay from one parquet file
+    instead of every JSON commit, and commits <= the checkpointed
+    version become eligible for log cleanup.  Checkpoint failure is
+    non-fatal — the commit already succeeded and a later write (or an
+    explicit checkpoint_delta) retries."""
     os.makedirs(log_dir, exist_ok=True)
     commit = os.path.join(log_dir, f"{version:020d}.json")
     tmp = commit + f".tmp-{uuid.uuid4().hex}"
@@ -612,15 +637,236 @@ def write_delta(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)
-    # auto-checkpoint on the standard 10-commit cadence (what real
-    # Delta writers do via checkpointInterval): readers then replay
-    # from one parquet file instead of every JSON commit, and commits
-    # ≤ the checkpointed version become eligible for log cleanup.
-    # Failure is non-fatal — the commit above already succeeded and a
-    # later write (or an explicit checkpoint_delta) retries.
     if version > 0 and version % 10 == 0:
         try:
             checkpoint_delta(path)
         except Exception:
             pass
-    return {"version": version, "files": len(adds), "rows": n_rows}
+
+
+def merge_delta(
+    source: DataFrame,
+    path: str,
+    on: str,
+    clauses: list[dict],
+    *,
+    target_alias: str = "t",
+    source_alias: str = "s",
+    options: dict | None = None,
+) -> dict:
+    """Copy-on-write ``MERGE INTO`` for the native Delta writer —
+    the upsert a continuously-curated corpus needs (matched rows
+    updated/deleted, new rows inserted) as ONE commit.
+
+    ``on`` is a SQL join condition over ``target_alias``/
+    ``source_alias`` namespaces (e.g. ``t.doc_id = s.doc_id``).
+    ``clauses`` is the ordered MERGE clause list; for each
+    matched/not-matched row the FIRST clause whose condition holds
+    applies (Delta's semantics):
+
+    * ``{"when": "matched", "action": "update",
+       "set": {col: sql_expr} | "all", "condition": sql | None}``
+    * ``{"when": "matched", "action": "delete", "condition": …}``
+    * ``{"when": "not_matched", "action": "insert",
+       "values": {col: sql_expr} | "all", "condition": …}``
+
+    Dataflow (scales like the join it contains — no driver data):
+    the target scan carries ``input_file_name()``; ONE inner join
+    finds the TOUCHED files (collect is file-list-sized) and errors
+    if any target row matches more than one source row (the ambiguity
+    Delta rejects); only touched files are rewritten — their rows
+    left-join the source and apply the first-matching clause — while
+    untouched files stay referenced by the log verbatim; inserts are
+    the source anti-join.  Rewrites + inserts stage through the same
+    executor-stats path as every write, and the commit removes exactly
+    the touched files.  Reference analog: the reference delegates
+    writes entirely (read-only FDW, reference README 'roadmap: INSERT/
+    UPDATE'), so MERGE is additive scope beyond it.
+    """
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    spark = source.sparkSession
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"MERGE target is not a delta table: {path}")
+    prev_active, prev_meta = _replay_log(log_dir)
+    part_cols = prev_meta.get("partitionColumns") or []
+    tbl_fields = json.loads(prev_meta["schemaString"])["fields"]
+    tbl_cols = [f["name"] for f in tbl_fields]
+
+    matched_clauses = [c for c in clauses if c["when"] == "matched"]
+    insert_clauses = [c for c in clauses if c["when"] == "not_matched"]
+    if not matched_clauses and not insert_clauses:
+        raise UnsupportedFormat("MERGE needs at least one WHEN clause")
+
+    def _set_map(c, kind):
+        m = c.get("set" if kind == "update" else "values")
+        if m == "all":
+            missing = [x for x in tbl_cols if x not in source.columns]
+            if missing:
+                raise UnsupportedFormat(
+                    f"MERGE {kind.upper()} *: source lacks column(s) "
+                    f"{missing}"
+                )
+            return {x: f"{source_alias}.{x}" for x in tbl_cols}
+        bad = [x for x in m if x not in tbl_cols]
+        if bad:
+            raise UnsupportedFormat(
+                f"MERGE {kind.upper()}: unknown target column(s) {bad}"
+            )
+        return m
+
+    from pg_analytics_spark.sources import load_source
+
+    tgt = (
+        load_source(spark, path, "delta")
+        .withColumn("_tfile", F.input_file_name())
+        .withColumn("_tid", F.monotonically_increasing_id())
+    )
+    src = source.withColumn("_smark", F.lit(1))
+    cond = F.expr(on)
+
+    touched_abs: list[str] = []
+    if matched_clauses:
+        joined = tgt.alias(target_alias).join(
+            src.alias(source_alias), cond, "inner"
+        )
+        dup = (
+            joined.groupBy("_tid")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise UnsupportedFormat(
+                "MERGE: a target row matches more than one source row — "
+                "deduplicate the source on the ON keys first"
+            )
+        touched_abs = [
+            r["_tfile"] for r in joined.select("_tfile").distinct().collect()
+        ]
+    # map the scan's absolute file URIs back to the log's rel paths
+    # via basename (names are uuid-unique by construction)
+    rel_of = {os.path.basename(p): p for p in prev_active}
+    removes: list[str] = []
+    for f in touched_abs:
+        base = os.path.basename(f)
+        if base not in rel_of:
+            raise UnsupportedFormat(
+                f"MERGE: scanned file {base} not in the active set "
+                "(concurrent writer?)"
+            )
+        removes.append(rel_of[base])
+
+    def _first_match_idx(clause_list, matched_col=None):
+        """CASE returning the index of the first applicable clause."""
+        expr = None
+        for idx, c in enumerate(clause_list):
+            hit = F.lit(True) if matched_col is None else matched_col
+            if c.get("condition"):
+                hit = hit & F.expr(c["condition"])
+            expr = (
+                F.when(hit, F.lit(idx))
+                if expr is None
+                else expr.when(hit, F.lit(idx))
+            )
+        return expr.otherwise(F.lit(-1))
+
+    pieces = []
+    if removes:
+        base = tgt.filter(F.col("_tfile").isin(touched_abs))
+        rew = base.alias(target_alias).join(
+            src.alias(source_alias), cond, "left"
+        )
+        matched = F.col(f"{source_alias}._smark").isNotNull()
+        cidx = _first_match_idx(matched_clauses, matched)
+        rew = rew.withColumn("_cidx", cidx)
+        # drop rows claimed by a DELETE clause
+        del_idx = [
+            i for i, c in enumerate(matched_clauses)
+            if c["action"] == "delete"
+        ]
+        if del_idx:
+            rew = rew.filter(~F.col("_cidx").isin(del_idx))
+        out_cols = []
+        for col in tbl_cols:
+            e = F.col(f"{target_alias}.{col}")
+            for i, c in enumerate(matched_clauses):
+                if c["action"] != "update":
+                    continue
+                sm = _set_map(c, "update")
+                if col in sm:
+                    e = F.when(
+                        F.col("_cidx") == i, F.expr(sm[col])
+                    ).otherwise(e)
+            out_cols.append(e.alias(col))
+        pieces.append(rew.select(*out_cols))
+    if insert_clauses:
+        anti = src.alias(source_alias).join(
+            tgt.alias(target_alias), cond, "left_anti"
+        )
+        cidx = _first_match_idx(insert_clauses)
+        anti = anti.withColumn("_cidx", cidx).filter(F.col("_cidx") >= 0)
+        out_cols = []
+        for col in tbl_cols:
+            e = F.lit(None)
+            for i, c in enumerate(insert_clauses):
+                vm = _set_map(c, "insert")
+                if col in vm:
+                    e = F.when(
+                        F.col("_cidx") == i, F.expr(vm[col])
+                    ).otherwise(e)
+            out_cols.append(e.alias(col))
+        pieces.append(anti.select(*out_cols))
+
+    new_df = pieces[0]
+    for p in pieces[1:]:
+        new_df = new_df.unionByName(p)
+    # conform to the table's declared types (same contract as INSERT)
+    from pg_analytics_spark.sources.delta import _delta_type_to_spark
+
+    new_df = new_df.select(
+        *[
+            F.col(f["name"]).cast(_delta_type_to_spark(f["type"])).alias(
+                f["name"]
+            )
+            for f in tbl_fields
+        ]
+    )
+
+    version = _next_version(log_dir)
+    adds, n_rows = _stage_files(new_df, path, version, part_cols, options)
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"predicate": on},
+                "engineInfo": "pg_analytics_spark-native-writer",
+            }
+        }
+    ]
+    for p in sorted(removes):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(adds)
+    _write_commit(path, log_dir, version, actions)
+    return {
+        "version": version,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+        "rows_written": n_rows,
+    }

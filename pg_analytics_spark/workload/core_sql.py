@@ -2898,3 +2898,81 @@ def sql_passthrough_recursive_cte(
     eng = Engine(spark=spark)
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return eng.sql(_PASSTHROUGH_RECURSIVE)
+
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey < 2000
+), src AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice * 2 AS new_price
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+), merged AS (
+  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+  FROM base b LEFT JOIN src s ON b.o_orderkey = s.k
+  WHERE s.k IS NULL                           -- untouched rows
+  UNION ALL
+  SELECT b.o_orderkey, b.o_custkey, s.new_price
+  FROM base b JOIN src s ON b.o_orderkey = s.k
+  WHERE NOT (s.new_price > 300000)            -- updated (DELETE clause filtered)
+  UNION ALL
+  SELECT s.k, s.c, s.new_price
+  FROM src s LEFT JOIN base b ON b.o_orderkey = s.k
+  WHERE b.o_orderkey IS NULL                  -- inserted
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM merged ORDER BY o_orderkey
+"""
+
+
+@register(
+    "delta_merge_roundtrip",
+    oracle=_MERGE_ORACLE,
+    doc="MERGE INTO on the native Delta writer (sources/delta_write."
+    "merge_delta + the Engine.sql statement): a copy-on-write upsert — "
+    "DELETE expensive matches, UPDATE the rest, INSERT unmatched "
+    "source rows — in ONE commit, read back through the replay "
+    "reader.  Dataflow: one inner join finds the TOUCHED files (and "
+    "errors on ambiguous multi-matches), only those files rewrite "
+    "(their unmatched rows carry through the left join), inserts "
+    "anti-join, untouched files stay referenced verbatim — the same "
+    "file-pruned COW real Delta engines do, so commit cost scales "
+    "with touched data, not table size.  The oracle replays the merge "
+    "relationally (untouched ∪ updated-minus-deleted ∪ inserted); "
+    "price arithmetic is *2 (exact in binary), so the comparison is "
+    "value-exact.  Reference scope: the reference is a read-only FDW "
+    "(README roadmap lists INSERT/UPDATE as unimplemented); MERGE is "
+    "additive parity-plus beside the CTAS/INSERT statement forms.",
+)
+def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_merge")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(o.filter(F.col("o_orderkey") < 2000), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("merge_tgt", [root], "delta")
+    o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        (F.col("o_totalprice") * 2).alias("new_price"),
+    ).createOrReplaceTempView("merge_src")
+    eng.sql(
+        "MERGE INTO merge_tgt t USING merge_src s ON t.o_orderkey = s.k "
+        "WHEN MATCHED AND s.new_price > 300000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, "
+        "o_totalprice) VALUES (s.k, s.c, s.new_price)"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM merge_tgt "
+        "ORDER BY o_orderkey"
+    )

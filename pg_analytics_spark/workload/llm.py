@@ -31,7 +31,7 @@ from pg_analytics_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from pg_analytics_spark.functions import text as X
-from pg_analytics_spark.workload.base import register, table
+from pg_analytics_spark.workload.base import register, scratch_dir, table
 
 # SQL fragments mirroring functions/text.py exactly -------------------- #
 
@@ -1932,7 +1932,7 @@ def _register_streaming_corpus_ingest():
         from pg_analytics_spark.streaming.corpus_ingest import ingest_corpus
 
         docs = table(spark, sf_dir, "documents")
-        with tempfile.TemporaryDirectory() as work:
+        with scratch_dir(spark) as work:
             out = f"{work}/curated"
             ingest_corpus(
                 spark,
@@ -2564,7 +2564,7 @@ def _register_streaming_pca_moments():
         )
 
         e = table(spark, sf_dir, "embeddings")
-        with tempfile.TemporaryDirectory() as work:
+        with scratch_dir(spark) as work:
             ingest_moments(
                 spark,
                 f"{sf_dir}/embeddings.parquet",

@@ -32,7 +32,7 @@ from pg_analytics_spark.operators.sketches import (
     hll_build,
     hll_estimate,
 )
-from pg_analytics_spark.workload.base import register, table
+from pg_analytics_spark.workload.base import register, scratch_dir, table
 from pg_analytics_spark.workload.llm import _TOKS
 
 _H32 = "(('0x' || substr(md5(tok), 1, 8))::BIGINT)"
@@ -298,7 +298,7 @@ def streaming_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_analytics_spark.streaming.sketch_ingest import ingest_sketches
 
     docs = table(spark, sf_dir, "documents")
-    with tempfile.TemporaryDirectory() as work:
+    with scratch_dir(spark) as work:
         ingest_sketches(
             spark,
             f"{sf_dir}/documents.parquet",

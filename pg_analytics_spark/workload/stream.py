@@ -21,7 +21,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pg_analytics_spark.workload.base import _dec, register, table
+from pg_analytics_spark.workload.base import _dec, register, scratch_dir, table
 
 
 @register(
@@ -534,7 +534,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"reg_stream_hourly_{next(_STREAM_RUN_SEQ)}"
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    with tempfile.TemporaryDirectory() as ckpt:
+    with scratch_dir(spark) as ckpt:
         q = (
             stream_hourly_counts(ev)
             .writeStream.format("memory")
@@ -575,7 +575,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"reg_stream_dedup_{next(_STREAM_RUN_SEQ)}"
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    with tempfile.TemporaryDirectory() as ckpt:
+    with scratch_dir(spark) as ckpt:
         q = (
             stream_dedup(ev)
             .select("user_id", "event_type")
@@ -646,7 +646,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    with tempfile.TemporaryDirectory() as ckpt:
+    with scratch_dir(spark) as ckpt:
         q = (
             sess.writeStream.format("memory")
             .queryName(name)
@@ -698,7 +698,7 @@ def streaming_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"reg_stream_profile_{next(_STREAM_RUN_SEQ)}"
     ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    with tempfile.TemporaryDirectory() as ckpt:
+    with scratch_dir(spark) as ckpt:
         q = (
             stream_stateful_user_profile(ev)
             .writeStream.format("memory")
@@ -749,7 +749,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pg_analytics_spark.streaming.rollup import maintain_hourly_rollup
 
-    with tempfile.TemporaryDirectory() as work:
+    with scratch_dir(spark) as work:
         rollup = f"{work}/rollup"
         maintain_hourly_rollup(
             spark, f"{sf_dir}/events.parquet", rollup, f"{work}/ckpt"

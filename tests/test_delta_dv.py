@@ -344,3 +344,112 @@ def test_compact_materializes_deletion_vectors(spark, tmp_path):
             if line.strip() and "\"add\"" in line
         ]
     assert adds and all("deletionVector" not in a for a in adds)
+
+
+def test_merge_delta_partitioned_cow_and_clause_order(spark, tmp_path):
+    """MERGE on a PARTITIONED table: rewrites stage under the table's
+    partition spec, untouched files stay, clause order is first-match-
+    wins, and unmatched rows inside touched files carry through."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        merge_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id bigint, p int, v double"
+    )
+    write_delta(base, path, mode="overwrite", partition_by="p")
+    n_files_before = len(load_source(spark, path, "delta").inputFiles())
+
+    src = spark.createDataFrame(
+        [(3, -1.0), (6, 600.0), (100, 7.0)], "id bigint, nv double"
+    )
+    res = merge_delta(
+        src, path, "t.id = s.id",
+        [
+            {"when": "matched", "action": "delete",
+             "condition": "s.nv < 0"},
+            {"when": "matched", "action": "update", "set": {"v": "s.nv"},
+             "condition": None},
+            {"when": "not_matched", "action": "insert",
+             "values": {"id": "s.id", "p": "cast(s.id % 3 AS int)",
+                        "v": "s.nv"},
+             "condition": None},
+        ],
+    )
+    got = {
+        r["id"]: (r["p"], r["v"])
+        for r in load_source(spark, path, "delta").collect()
+    }
+    assert 3 not in got                      # deleted
+    assert got[6] == (0, 600.0)              # updated, partition kept
+    assert got[100] == (1, 7.0)              # inserted
+    assert got[9] == (0, 9.0)                # untouched row in a touched file
+    assert len(got) == 30 - 1 + 1
+    # COW really pruned: only the files containing ids 3 and 6 were
+    # rewritten (both in partition p=0), p=1/p=2 files untouched
+    assert res["files_removed"] < n_files_before
+    # partition dirs present in the new files
+    new_files = load_source(spark, path, "delta").inputFiles()
+    assert all("p=" in f for f in new_files)
+    # log-level: removes only name files under p=0
+    import json as _json
+    log = os.path.join(path, "_delta_log", f"{res['version']:020d}.json")
+    removed = [
+        _json.loads(l)["remove"]["path"]
+        for l in open(log) if '"remove"' in l
+    ]
+    assert removed and all(r.startswith("p=0/") for r in removed)
+
+
+def test_merge_delta_insert_only_and_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        merge_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id bigint, s string"),
+        path,
+        mode="overwrite",
+    )
+    # insert-only merge removes nothing
+    res = merge_delta(
+        spark.createDataFrame([(1, "x"), (2, "b")], "id bigint, s string"),
+        path, "t.id = s.id",
+        [{"when": "not_matched", "action": "insert", "values": "all",
+          "condition": None}],
+    )
+    assert res["files_removed"] == 0
+    assert sorted(
+        map(tuple, load_source(spark, path, "delta").collect())
+    ) == [(1, "a"), (2, "b")]
+    # ambiguous multi-match errors
+    with _pytest.raises(UnsupportedFormat, match="more than one"):
+        merge_delta(
+            spark.createDataFrame(
+                [(1, "x"), (1, "y")], "id bigint, s string"
+            ),
+            path, "t.id = s.id",
+            [{"when": "matched", "action": "update", "set": "all",
+              "condition": None}],
+        )
+    # unknown SET column errors
+    with _pytest.raises(UnsupportedFormat, match="unknown target"):
+        merge_delta(
+            spark.createDataFrame([(1, "x")], "id bigint, s string"),
+            path, "t.id = s.id",
+            [{"when": "matched", "action": "update",
+              "set": {"nope": "s.s"}, "condition": None}],
+        )
