@@ -126,6 +126,7 @@ HEADLINE_NEXT3: list = [
     "embed_pca_moments_fast",
     "sql_passthrough_positional_join",
     "sql_passthrough_recursive_cte",
+    "delta_merge_roundtrip",
 ]
 
 

@@ -56,6 +56,28 @@ INT8_DEQUANT_FRAGMENT = (
 )
 
 
+def int8_stats_lists(df, vec_col: str) -> tuple[list, list]:
+    """Per-dimension ``([min…], [max…])`` of the corpus as PYTHON
+    lists — the int8 grid's codebook.  One aggregate job: the explode
+    collapses map-side (min/max partials), the shuffle carries d rows,
+    the collect transfers d rows of two doubles (codebook-sized, same
+    disposition as the k-means/PQ trainers).  Callers embed these as
+    literals so the quantization query itself is a pure scan→map —
+    no broadcast exchange, no extra jobs."""
+    stats = (
+        df.select(
+            F.posexplode(
+                F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+            ).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r["mn"] for r in stats], [r["mx"] for r in stats]
+
+
 def int8_stats_arrays(df, vec_col: str):
     """(df + `ev` double-array column, one-row (mns, mxs) stats frame)
     — the per-dimension [min, max] arrays the grid is built from; the

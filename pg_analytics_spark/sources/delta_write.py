@@ -870,3 +870,213 @@ def merge_delta(
         "files_removed": len(removes),
         "rows_written": n_rows,
     }
+
+
+def update_delta(
+    spark,
+    path: str,
+    set_map: dict[str, str],
+    where: str | None = None,
+    options: dict | None = None,
+) -> dict:
+    """``UPDATE <delta table> SET col = expr[, …] [WHERE cond]`` as a
+    copy-on-write commit — the single-table special case of
+    :func:`merge_delta`'s dataflow: one filter scan finds the TOUCHED
+    files, only those rewrite (non-matching rows in them carry
+    through), untouched files stay referenced verbatim.  ``set_map``
+    values and ``where`` are SQL over the table's bare column names.
+    Reference scope: the reference README's roadmap lists UPDATE as
+    unimplemented (read-only FDW) — additive parity-plus."""
+    return _rewrite_where(
+        spark, path, where, set_map=set_map, options=options, op="UPDATE"
+    )
+
+
+def delete_delta(
+    spark,
+    path: str,
+    where: str | None = None,
+    options: dict | None = None,
+) -> dict:
+    """``DELETE FROM <delta table> [WHERE cond]`` as a copy-on-write
+    commit: files whose rows ALL match are dropped with a remove
+    action and never rewritten; files partially matching rewrite
+    their surviving rows; a missing WHERE truncates the table (SQL
+    semantics) — pure removes, no data job at all."""
+    return _rewrite_where(
+        spark, path, where, set_map=None, options=options, op="DELETE"
+    )
+
+
+def _rewrite_where(
+    spark,
+    path: str,
+    where: str | None,
+    *,
+    set_map: dict[str, str] | None,
+    options: dict | None,
+    op: str,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta import (
+        _delta_type_to_spark,
+        _replay_log,
+    )
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"{op} target is not a delta table: {path}")
+    prev_active, prev_meta = _replay_log(log_dir)
+    part_cols = prev_meta.get("partitionColumns") or []
+    tbl_fields = json.loads(prev_meta["schemaString"])["fields"]
+    tbl_cols = [f["name"] for f in tbl_fields]
+    if set_map:
+        bad = [c for c in set_map if c not in tbl_cols]
+        if bad:
+            raise UnsupportedFormat(f"{op}: unknown column(s) {bad}")
+
+    version = _next_version(log_dir)
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": {"predicate": where or "true"},
+                "engineInfo": "pg_analytics_spark-native-writer",
+            }
+        }
+    ]
+
+    if where is None and set_map is None:
+        # DELETE without WHERE: truncate — pure remove actions
+        for p in sorted(prev_active):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        _write_commit(path, log_dir, version, actions)
+        return {
+            "version": version,
+            "files_added": 0,
+            "files_removed": len(prev_active),
+            "rows_written": 0,
+        }
+
+    tgt = load_source(spark, path, "delta").withColumn(
+        "_tfile", F.input_file_name()
+    )
+    match = F.expr(where) if where is not None else F.lit(True)
+    touched_abs = [
+        r["_tfile"]
+        for r in tgt.filter(match).select("_tfile").distinct().collect()
+    ]
+    rel_of = {os.path.basename(p): p for p in prev_active}
+    removes = []
+    for f in touched_abs:
+        base = os.path.basename(f)
+        if base not in rel_of:
+            raise UnsupportedFormat(
+                f"{op}: scanned file {base} not in the active set "
+                "(concurrent writer?)"
+            )
+        removes.append(rel_of[base])
+
+    adds: list[dict] = []
+    n_rows = 0
+    if removes:
+        base = tgt.filter(F.col("_tfile").isin(touched_abs))
+        if set_map is None:
+            new_df = base.filter(~match)  # DELETE: survivors only
+        else:
+            new_df = base.select(
+                *[
+                    (
+                        F.when(match, F.expr(set_map[c])).otherwise(F.col(c))
+                        if c in set_map
+                        else F.col(c)
+                    ).alias(c)
+                    for c in tbl_cols
+                ]
+            )
+        new_df = new_df.select(
+            *[
+                F.col(f["name"])
+                .cast(_delta_type_to_spark(f["type"]))
+                .alias(f["name"])
+                for f in tbl_fields
+            ]
+        )
+        adds, n_rows = _stage_files(new_df, path, version, part_cols, options)
+    for p in sorted(removes):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(adds)
+    _write_commit(path, log_dir, version, actions)
+    return {
+        "version": version,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+        "rows_written": n_rows,
+    }
+
+
+def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:
+    """Physically delete data files no longer referenced by the
+    CURRENT table version and older than ``retention_hours`` (Delta's
+    VACUUM, default 7 days).  Time travel to versions whose files are
+    vacuumed stops working — exactly Delta's documented contract; the
+    retention window is what keeps concurrent readers of recent
+    versions safe.  The log itself is never touched (history/metadata
+    stay auditable).  Returns {files_deleted, bytes_deleted}."""
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"VACUUM target is not a delta table: {path}")
+    active, _meta = _replay_log(log_dir)
+    keep = {os.path.normpath(p) for p in active}
+    import time as _time
+
+    cutoff = _time.time() - retention_hours * 3600.0
+    deleted, freed = 0, 0
+    for root, _dirs, names in os.walk(path):
+        if "_delta_log" in os.path.relpath(root, path).split(os.sep):
+            continue
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.normpath(os.path.relpath(full, path))
+            if rel in keep:
+                continue
+            st = os.stat(full)
+            if st.st_mtime > cutoff:
+                continue
+            freed += st.st_size
+            os.remove(full)
+            deleted += 1
+    # prune now-empty partition dirs (cosmetic)
+    for root, dirs, names in os.walk(path, topdown=False):
+        if root != path and not dirs and not names:
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return {"files_deleted": deleted, "bytes_deleted": freed}

