@@ -95,6 +95,20 @@ _MERGE_LAKE_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: `UPDATE <tbl> SET …` / `DELETE FROM <tbl> …` — routed to the native
+#: Delta copy-on-write writer for attached delta tables, loud
+#: UnsupportedDialect otherwise (the reference FDW is read-only; its
+#: README roadmap lists UPDATE as unimplemented — additive scope).
+_UPDATE_STMT_RE = _re.compile(
+    r"^UPDATE\s+(?P<name>[A-Za-z_][\w.]*)\s+SET\s+(?P<rest>.+?);?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_DELETE_STMT_RE = _re.compile(
+    r"^DELETE\s+FROM\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 #: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
 #: routes to Engine.summarize (one-job per-column profile).
 _SUMMARIZE_RE = _re.compile(
@@ -257,6 +271,12 @@ class Engine:
             self._attachments[m.group("name")].format in ("delta", "iceberg")
         ):
             return self._merge_lake_statement(m)
+        m = _UPDATE_STMT_RE.match(query.strip())
+        if m:
+            return self._update_lake_statement(m)
+        m = _DELETE_STMT_RE.match(query.strip())
+        if m:
+            return self._delete_lake_statement(m)
         m = _SUMMARIZE_RE.match(query.strip())
         if m:
             # DuckDB `SUMMARIZE …` statement text, verbatim
@@ -1203,6 +1223,115 @@ class Engine:
         self.attach(
             att.name, att.files, att.format, att.options, att.columns
         )
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(res["rows_written"]),
+                    int(res["files_added"]),
+                    int(res["files_removed"]),
+                    int(res["version"]),
+                )
+            ],
+            "rows_written bigint, files_added int, files_removed int, "
+            "version int",
+        )
+
+    def _dml_delta_attachment(self, name: str, construct: str):
+        """Resolve the target of UPDATE/DELETE statement text to an
+        attached delta table, or raise a loud UnsupportedDialect naming
+        the construct (never Spark's raw TABLE_OPERATION error) — the
+        same loud-or-green convention as POSITIONAL JOIN."""
+        from pg_analytics_spark.dialect import UnsupportedDialect
+
+        att = self._attachments.get(name.split(".")[-1]) or (
+            self._attachments.get(name)
+        )
+        if att is None:
+            raise UnsupportedDialect(
+                f"{construct}: {name!r} is not an attached table — the "
+                "engine's relations are read-only views except attached "
+                "delta tables, which support INSERT/MERGE/UPDATE/DELETE "
+                "through the native copy-on-write writer"
+            )
+        if att.format != "delta":
+            raise UnsupportedDialect(
+                f"{construct}: {att.name} is a {att.format} attachment; "
+                "the native writer supports UPDATE/DELETE on delta "
+                "tables only"
+            )
+        return att
+
+    def _update_lake_statement(self, m) -> DataFrame:
+        """``UPDATE <attached delta table> SET col = expr[, …]
+        [WHERE cond]`` — copy-on-write through the native writer
+        (sources/delta_write.update_delta): one per-file aggregate
+        finds touched files, only those rewrite, NULL-predicate rows
+        keep their old values (SQL three-valued logic).  Returns a
+        one-row metrics relation and refreshes the attachment."""
+        from pg_analytics_spark.dialect import _depths, _tokenize
+        from pg_analytics_spark.sources.delta_write import update_delta
+
+        att = self._dml_delta_attachment(m.group("name"), "UPDATE")
+        rest = m.group("rest")
+        toks = _tokenize(rest)
+        depths = _depths(toks)
+        where_at = next(
+            (
+                i
+                for i, (k, t) in enumerate(toks)
+                if k == "word" and t.upper() == "WHERE" and depths[i] == 0
+            ),
+            None,
+        )
+        if where_at is None:
+            sets_toks, where = toks, None
+        else:
+            sets_toks = toks[:where_at]
+            where = "".join(t for _, t in toks[where_at + 1:]).strip()
+        assigns, cur = [], []
+        for i, tk in enumerate(sets_toks):
+            if tk == ("op", ",") and depths[i] == 0:
+                assigns.append(cur)
+                cur = []
+            else:
+                cur.append((i, tk))
+        assigns.append(cur)
+        set_map: dict[str, str] = {}
+        for a in assigns:
+            eq_at = next(
+                (
+                    j
+                    for j, (i, tk) in enumerate(a)
+                    if tk == ("op", "=") and depths[i] == 0
+                ),
+                None,
+            )
+            if eq_at is None:
+                raise EngineError(
+                    "UPDATE SET: expected col = expr, got "
+                    + "".join(t for _i, (_k, t) in a)[:60]
+                )
+            col = "".join(t for _, (_k, t) in a[:eq_at]).strip()
+            expr = "".join(t for _, (_k, t) in a[eq_at + 1:]).strip()
+            set_map[col.split(".")[-1]] = expr
+        res = update_delta(self.spark, att.files[0], set_map, where)
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self._dml_metrics(res)
+
+    def _delete_lake_statement(self, m) -> DataFrame:
+        """``DELETE FROM <attached delta table> [WHERE cond]`` —
+        copy-on-write through the native writer: fully-matching files
+        drop via pure remove actions (never rewritten), partial files
+        rewrite survivors, no WHERE truncates with a metadata-only
+        commit.  NULL-predicate rows survive (SQL DELETE semantics)."""
+        from pg_analytics_spark.sources.delta_write import delete_delta
+
+        att = self._dml_delta_attachment(m.group("name"), "DELETE")
+        res = delete_delta(self.spark, att.files[0], m.group("where"))
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self._dml_metrics(res)
+
+    def _dml_metrics(self, res: dict) -> DataFrame:
         return self.spark.createDataFrame(
             [
                 (

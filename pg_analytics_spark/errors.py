@@ -43,6 +43,16 @@ class MissingDependency(EngineError):
     """An optional integration (delta, iceberg, sedona) is not installed."""
 
 
+class ConcurrentWriteError(EngineError):
+    """Two writers raced to commit the same table version.
+
+    The native Delta writer publishes each commit put-if-absent
+    (hard-link onto the final ``{v:020}.json`` name); the loser of a
+    version race gets this error instead of silently clobbering the
+    winner's commit — the caller re-reads the log and retries.
+    """
+
+
 def fallback_warning(msg: str) -> None:
     """Non-fatal degradation notice.
 

@@ -75,7 +75,27 @@ def int8_stats_lists(df, vec_col: str) -> tuple[list, list]:
         .orderBy("pos")
         .collect()
     )
-    return [r["mn"] for r in stats], [r["mx"] for r in stats]
+    mns = [r["mn"] for r in stats]
+    mxs = [r["mx"] for r in stats]
+    import math
+
+    for side, vals in (("min", mns), ("max", mxs)):
+        bad = [
+            i
+            for i, v in enumerate(vals)
+            if v is None or not math.isfinite(v)
+        ]
+        if bad:
+            # embedding these as SQL literals would produce NoneD/nanD
+            # — invalid SQL; fail loudly with the dimensions named
+            from pg_analytics_spark.errors import EngineError
+
+            raise EngineError(
+                f"int8 codebook: non-finite/NULL {side} at dimension(s) "
+                f"{bad[:8]}{'…' if len(bad) > 8 else ''} — the corpus "
+                "has all-NULL or NaN/Inf embedding dimensions"
+            )
+    return mns, mxs
 
 
 def int8_stats_arrays(df, vec_col: str):

@@ -246,7 +246,23 @@ def _load_via_log(
                 (abs_path, int(r)) for r in dv_deleted_rows(table_path, dv)
             )
     if not groups:
-        raise MissingDependency(f"Delta table has no active files: {table_path}")
+        # a truncated / just-created table is EMPTY, not broken: read
+        # back as 0 rows under the declared schema (DELETE without
+        # WHERE commits pure removes — the protocol allows zero adds)
+        from pyspark.sql import types as T
+
+        fields = json.loads(meta["schemaString"])["fields"]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _delta_type_to_spark(f["type"]),
+                    bool(f.get("nullable", True)),
+                )
+                for f in fields
+            ]
+        )
+        return spark.createDataFrame([], schema)
 
     with_meta = bool(deletions)
     meta_cols = [

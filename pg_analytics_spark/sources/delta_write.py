@@ -22,11 +22,14 @@ native replay reader (sources/delta.py) AND any standard Delta client:
   shape the reader's ``stats_filter`` data skipping consumes, so
   tables written here are skippable on read with zero extra work.
 
-Commits are written atomically (temp file + rename): a concurrent
-reader sees the previous version or the new one, never a torn log.
-Single-writer by design — the full protocol's optimistic concurrency
-(conflict-checked commit attempts) needs a coordination service and
-is out of scope; Spark jobs funnel table commits through the driver
+Commits are written atomically AND put-if-absent (temp file +
+hard-link onto the final name): a concurrent reader sees the previous
+version or the new one, never a torn log, and two writers racing to
+the same version fail loudly with ConcurrentWriteError instead of the
+second silently clobbering the first (the loser re-reads the log and
+retries).  Full optimistic concurrency (logical conflict checking
+between non-overlapping commits) needs a coordination service and is
+out of scope; Spark jobs funnel table commits through the driver
 anyway.
 
 Scale: data files are written by executors (normal distributed parquet
@@ -630,13 +633,28 @@ def _write_commit(
     version become eligible for log cleanup.  Checkpoint failure is
     non-fatal — the commit already succeeded and a later write (or an
     explicit checkpoint_delta) retries."""
+    from pg_analytics_spark.errors import ConcurrentWriteError
+
     os.makedirs(log_dir, exist_ok=True)
     commit = os.path.join(log_dir, f"{version:020d}.json")
     tmp = commit + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)
+    try:
+        # put-if-absent: link fails with EEXIST if another writer
+        # already published this version — never clobber their commit
+        os.link(tmp, commit)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"delta commit version {version} already exists at {commit} — "
+            "another writer won the race; re-read the log and retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     if version > 0 and version % 10 == 0:
         try:
             checkpoint_delta(path)
@@ -976,10 +994,24 @@ def _rewrite_where(
         "_tfile", F.input_file_name()
     )
     match = F.expr(where) if where is not None else F.lit(True)
-    touched_abs = [
-        r["_tfile"]
-        for r in tgt.filter(match).select("_tfile").distinct().collect()
-    ]
+    # SQL three-valued logic: a NULL predicate is NOT a match — the row
+    # is neither deleted nor updated.  coalesce here (not raw ~match,
+    # where ~NULL stays NULL and filter() would drop the row).
+    match_safe = F.coalesce(match, F.lit(False))
+    # ONE per-file aggregate finds touched files AND full-match files:
+    # full-match files take the pure-remove fast path on DELETE (no
+    # rewrite job reads them).  file-list-sized collect.
+    per_file = (
+        tgt.groupBy("_tfile")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(match_safe.cast("int")).alias("_m"),
+        )
+        .filter(F.col("_m") > 0)
+        .collect()
+    )
+    touched_abs = [r["_tfile"] for r in per_file]
+    full_abs = {r["_tfile"] for r in per_file if r["_m"] == r["_n"]}
     rel_of = {os.path.basename(p): p for p in prev_active}
     removes = []
     for f in touched_abs:
@@ -991,17 +1023,26 @@ def _rewrite_where(
             )
         removes.append(rel_of[base])
 
+    # DELETE drops fully-matching files with a remove action alone;
+    # UPDATE must rewrite every touched file (rows change in place)
+    rewrite_abs = (
+        [f for f in touched_abs if f not in full_abs]
+        if set_map is None
+        else touched_abs
+    )
     adds: list[dict] = []
     n_rows = 0
-    if removes:
-        base = tgt.filter(F.col("_tfile").isin(touched_abs))
+    if rewrite_abs:
+        base = tgt.filter(F.col("_tfile").isin(rewrite_abs))
         if set_map is None:
-            new_df = base.filter(~match)  # DELETE: survivors only
+            # DELETE survivors: rows NOT matching, incl. NULL-predicate
+            new_df = base.filter(~match_safe)
         else:
             new_df = base.select(
                 *[
                     (
-                        F.when(match, F.expr(set_map[c])).otherwise(F.col(c))
+                        F.when(match_safe, F.expr(set_map[c]))
+                        .otherwise(F.col(c))
                         if c in set_map
                         else F.col(c)
                     ).alias(c)
@@ -1016,6 +1057,9 @@ def _rewrite_where(
                 for f in tbl_fields
             ]
         )
+        # k touched files in → ~k files out (never the shuffle-partition
+        # count): rewrite cost and file granularity track touched data
+        new_df = new_df.coalesce(max(1, len(rewrite_abs)))
         adds, n_rows = _stage_files(new_df, path, version, part_cols, options)
     for p in sorted(removes):
         actions.append(

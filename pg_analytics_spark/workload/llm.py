@@ -9,6 +9,8 @@ md5 (identical hex cross-engine, functions/hashing.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2082,9 +2084,22 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-quantizing a corpus never re-trains the grid.  The query
     # itself is then a pure scan→codegen map: no broadcast exchange,
     # no stats jobs (r6: was a 7-job broadcast-join pipeline).
-    key = (sf_dir, "embeddings")
+    # cache key carries the corpus file's (mtime_ns, size) fingerprint
+    # — regenerating the parquet in-process invalidates the codebook
+    # (same guard as the ANN write-time layouts)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None  # non-local / directory corpus: per-session entry
+    key = (sf_dir, "embeddings", fp)
     cached = _INT8_STATS.get(key)
     if cached is None:
+        # drop superseded fingerprints of the SAME corpus (bounded
+        # growth: one live entry per (sf_dir, table))
+        for k in [k for k in _INT8_STATS if k[:2] == key[:2] and k != key]:
+            del _INT8_STATS[k]
         cached = int8_stats_lists(
             table(spark, sf_dir, "embeddings"), "embedding"
         )

@@ -291,15 +291,20 @@ def test_span_remove_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_quantize_stats_broadcast_map_only_quantization(spark):
+def test_quantize_literal_codebook_pure_map(spark):
+    """The r6 refactor's contract, pinned: the per-dimension codebook
+    is computed ONCE per corpus and embedded as literals, so the
+    quantization query is a pure scan→project — NO join operator of
+    any kind and NO Exchange (the corpus never shuffles)."""
     from pg_analytics_spark.workload import REGISTRY
 
     df = REGISTRY["embed_quantize_int8"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the one-row stats relation joins as a broadcast — quantization
-    # itself must not shuffle the corpus
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+    # the ONLY exchange is the output ORDER BY's range partitioning —
+    # no hash shuffle touches the corpus
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
 
 
 def test_cms_build_partial_agg_before_shuffle(spark):
