@@ -107,6 +107,17 @@ STREAMING_ROWS = frozenset(
     {"streaming_hourly_counts", "streaming_pca_moments"}
 )
 
+#: rows that are FORMAT-COVERAGE FIXTURES, not batch queries: their
+#: wall is a driver-side fixture parse by construction, and their
+#: DuckDB oracle (st_read of a 25-row shapefile, ~0.003s) measures
+#: parsing a toy file, not query execution — an engine-vs-engine ratio
+#: on them is meaningless at any scale.  Excluded from the `*_batch`
+#: subtotals (the round-over-round comparable number) and reported
+#: separately as `value_next_fixture` so nothing is hidden.  Sanctioned
+#: by the round-6 verdict ("move geo_shapefile_nation_hubs … out of
+#: the batch-comparable subtotal with a documented reason").
+FIXTURE_ROWS = frozenset({"geo_shapefile_nation_hubs"})
+
 #: round-5 additions measure here; frozen groups stay comparable.
 HEADLINE_NEXT2: list = [
     "sql_passthrough_asof_join",  # now union+window-routed (r5)
@@ -127,6 +138,11 @@ HEADLINE_NEXT3: list = [
     "sql_passthrough_positional_join",
     "sql_passthrough_recursive_cte",
     "delta_merge_roundtrip",
+]
+
+#: round-7 additions measure here; frozen groups stay comparable.
+HEADLINE_NEXT4: list = [
+    "delta_update_delete_roundtrip",
 ]
 
 
@@ -177,6 +193,7 @@ def main() -> None:
     timings_next, cold_next = _measure(HEADLINE_NEXT)
     timings_next2, cold_next2 = _measure(HEADLINE_NEXT2)
     timings_next3, cold_next3 = _measure(HEADLINE_NEXT3)
+    timings_next4, cold_next4 = _measure(HEADLINE_NEXT4)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -193,7 +210,15 @@ def main() -> None:
         "queries_next": timings_next,
         "value_streaming": round(sum(streaming_sub.values()), 3),
         "value_next_batch": round(
-            sum(v for k, v in timings_next.items() if k not in STREAMING_ROWS),
+            sum(
+                v
+                for k, v in timings_next.items()
+                if k not in STREAMING_ROWS and k not in FIXTURE_ROWS
+            ),
+            3,
+        ),
+        "value_next_fixture": round(
+            sum(v for k, v in timings_next.items() if k in FIXTURE_ROWS),
             3,
         ),
         "value_next2": round(sum(timings_next2.values()), 3),
@@ -224,6 +249,16 @@ def main() -> None:
             ),
             3,
         ),
+        "value_next4": round(sum(timings_next4.values()), 3),
+        "queries_next4": timings_next4,
+        "value_next4_batch": round(
+            sum(
+                v
+                for k, v in timings_next4.items()
+                if k not in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
@@ -234,6 +269,7 @@ def main() -> None:
     full["queries_next_cold"] = cold_next
     full["queries_next2_cold"] = cold_next2
     full["queries_next3_cold"] = cold_next3
+    full["queries_next4_cold"] = cold_next4
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

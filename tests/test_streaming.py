@@ -836,3 +836,26 @@ def test_state_swap_reads_legacy_layout_then_migrates(spark, tmp_path):
     cur = state_swap.current_snapshot(sd, "bits")
     assert cur != legacy and not _os.path.isdir(legacy)
     assert [tuple(r) for r in spark.read.parquet(cur).collect()] == [(8, 80)]
+
+
+def test_sink_probe_detects_data_without_spark_read():
+    """First-batch sink probe is a filesystem check, NOT a
+    spark.read-and-catch: a failed read's poisoned lazy QueryExecution
+    would later re-raise inside any registered QueryExecutionListener
+    (round-6 verdict #3 — ExecutionListenerBus ERROR)."""
+    import os
+    import tempfile
+
+    from pg_analytics_spark.streaming.corpus_ingest import _sink_has_data
+
+    with tempfile.TemporaryDirectory() as d:
+        missing = os.path.join(d, "nope")
+        assert not _sink_has_data(missing)
+        os.makedirs(missing)
+        assert not _sink_has_data(missing)  # empty dir
+        open(os.path.join(missing, "_SUCCESS"), "w").close()
+        assert not _sink_has_data(missing)  # marker only
+        sub = os.path.join(missing, "part=1")
+        os.makedirs(sub)
+        open(os.path.join(sub, "x.parquet"), "w").close()
+        assert _sink_has_data(missing)  # nested parquet counts
