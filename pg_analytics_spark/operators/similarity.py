@@ -425,7 +425,7 @@ def ivf_ann_topk_pruned(
         else ivf_centroids(len(query_vec), n_cells, seed)
     )
     probe_cells = _probe_cell_ids(query_vec, cents, n_probes)
-    df = spark.read.parquet(layout_path)
+    df = _open_layout(spark, layout_path)
     sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
     return (
         df.filter(F.col("cell").isin(probe_cells))
@@ -433,6 +433,34 @@ def ivf_ann_topk_pruned(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+#: layout dir → (listing fingerprint, opened DataFrame).  A hive
+#: layout with 2^prefix_bits partition dirs pays a parallel
+#: partition-discovery LISTING JOB (253 tasks at sf0.1, round-7 job
+#: probe) on EVERY spark.read.parquet — the dominant fixed cost of a
+#: pruned probe.  A layout is write-once by contract (the lakehouse
+#: cost model: materialize once, probe many), so the opened relation
+#: is reused while the dir's log-ish fingerprint (top-level dir count
+#: + mtime) is unchanged; a rebuilt layout re-opens.
+_LAYOUT_DF_CACHE: dict = {}
+
+
+def _open_layout(spark, layout_path: str) -> DataFrame:
+    import os as _os
+
+    try:
+        st = _os.stat(layout_path)
+        fp = (st.st_mtime_ns, len(_os.listdir(layout_path)))
+    except OSError:
+        fp = None
+    hit = _LAYOUT_DF_CACHE.get(layout_path)
+    if hit is not None and fp is not None and hit[0] == fp:
+        return hit[1]
+    df = spark.read.parquet(layout_path)
+    if fp is not None:
+        _LAYOUT_DF_CACHE[layout_path] = (fp, df)
+    return df
 
 
 def lsh_layout(
@@ -476,7 +504,7 @@ def lsh_ann_topk_pruned(
     scan opens only probed buckets' files."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     probe = _probe_buckets(query_vec, planes, prefix_bits, probe_radius)
-    df = spark.read.parquet(layout_path)
+    df = _open_layout(spark, layout_path)
     sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
     return (
         df.filter(F.col("bucket").isin(sorted(probe)))

@@ -325,8 +325,13 @@ def hist_quantiles(
     from pyspark.sql import Window
 
     # explicit zero-count bins carry no rank information and would
-    # create a spurious cum_before = 0 row for the q = 0 arm below
-    hist = hist.filter(F.col("cnt") > 0)
+    # create a spurious cum_before = 0 row for the q = 0 arm below.
+    # The histogram is ≤ n_bins rows BY CONTRACT — collapse it to one
+    # partition up front so the cumulative window and the final sort
+    # run without single-partition Exchanges or a range-sampling job
+    # (the r6 job audit billed 5 jobs to what is one data pass +
+    # 32-row arithmetic; at scale the one data pass is hist_build's)
+    hist = hist.filter(F.col("cnt") > 0).coalesce(1)
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         hist.withColumn("cum", F.sum("cnt").over(w))
@@ -354,7 +359,9 @@ def hist_quantiles(
             )
         )
         .selectExpr("q", f"round({est}, 6) AS est")
-        .orderBy("q")
+        # |qs|-row relation already in ONE partition: a partition-local
+        # sort is a total order, no rangepartitioning sample pass
+        .sortWithinPartitions("q")
     )
 
 

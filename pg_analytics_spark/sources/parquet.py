@@ -32,6 +32,29 @@ from pyspark.sql import functions as F
 
 from pg_analytics_spark.sources.base import _truthy, apply_common
 
+#: (file fingerprints, reader-shape flags) → inferred read schema.
+#: Spark runs a 1-task footer-inference JOB on every spark.read.parquet
+#: whose schema isn't supplied — measured as one whole job per registry
+#: query (round-7 job probe: the first job of EVERY row was
+#: 'parquet …, 1 task').  A repeated read of the SAME immutable files
+#: (fingerprinted by mtime_ns+size, like the codebook caches) reuses
+#: the schema Spark itself inferred on the first read, eliminating
+#: that job.  Single plain files only — globs, dirs and partitioned
+#: layouts keep full inference (their schema depends on listing).
+_SCHEMA_CACHE: dict = {}
+
+
+def _file_fingerprint(files: list[str]):
+    import os as _os
+
+    fps = []
+    for p in files:
+        if any(ch in p for ch in "*?[") or not _os.path.isfile(p):
+            return None
+        st = _os.stat(p)
+        fps.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(fps)
+
 
 def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     # Detect TIMESTAMP(NANOS) columns *before* reading: Spark rejects them
@@ -41,14 +64,32 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
-    if _truthy(opts.get("union_by_name")):
+    merge = _truthy(opts.get("union_by_name"))
+    if merge:
         reader = reader.option("mergeSchema", "true")
-    if "hive_partitioning" in opts and not _truthy(opts["hive_partitioning"]):
+    recurse = "hive_partitioning" in opts and not _truthy(
+        opts["hive_partitioning"]
+    )
+    if recurse:
         # Spark discovers hive partitions automatically; disabling means
         # "do not treat key=value dirs as columns" → read leaf files with
         # recursiveFileLookup, which skips partition inference.
         reader = reader.option("recursiveFileLookup", "true")
+    fp = _file_fingerprint(files)
+    key = (fp, merge, recurse, bool(ns_cols)) if fp else None
+    cached = _SCHEMA_CACHE.get(key) if key else None
+    if cached is not None:
+        reader = reader.schema(cached)
     df = reader.parquet(*files)
+    if key and cached is None:
+        paths = tuple(p for p, _m, _s in fp)
+        for k in [
+            k
+            for k in _SCHEMA_CACHE
+            if tuple(p for p, _m, _s in k[0]) == paths and k != key
+        ]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[key] = df.schema
     df = _restore_nanos(df, ns_cols)
     if _truthy(opts.get("binary_as_string")):
         for f in df.schema.fields:

@@ -89,14 +89,30 @@ def _cms_oracle() -> str:
     "(tests/test_sketches.py pins mergeability).",
 )
 def sketch_count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
     d = table(spark, sf_dir, "documents")
     tok = d.select(F.explode(X.tokens(F.lower("text"))).alias("tok"))
-    hashed = tok.select(shingle_hash32(F.col("tok")).alias("h32"))
-    sketch = cms_build(hashed, "h32", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    # ONE corpus pass: collapse the token stream to vocabulary-sized
+    # (tok, cnt) first — CMS counters are sums, so building the sketch
+    # WEIGHTED from the counted vocabulary equals building it from the
+    # raw stream (the cms_build weight_col contract), and the exact
+    # top-40 arm reads the same counted relation instead of
+    # re-scanning + re-tokenizing documents (r6 job audit: 5 jobs /
+    # 2 scans).  At 100 TB the persisted relation is |vocabulary|,
+    # never |corpus|.
+    counts = _persist_sketch(
+        tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    )
+    hashed = counts.select(
+        shingle_hash32(F.col("tok")).alias("h32"), "exact_cnt"
+    )
+    sketch = cms_build(
+        hashed, "h32", depth=_CMS_DEPTH, width=_CMS_WIDTH,
+        weight_col="exact_cnt",
+    )
     exact = (
-        tok.groupBy("tok")
-        .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "tok")
+        counts.orderBy(F.desc("exact_cnt"), "tok")
         .limit(40)
         .withColumn("h32", shingle_hash32(F.col("tok")))
     )
@@ -157,13 +173,21 @@ def _hll_oracle() -> str:
     "error (~2-6% at p=8).",
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
     li = table(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_orderkey AS STRING) AS tok"
     )
-    hashed = li.select(shingle_hash32(F.col("tok")).alias("h32"))
+    # ONE corpus scan: the exact arm needs DISTINCT tok anyway, and
+    # HLL registers are max-idempotent — regs over the distinct
+    # relation equal regs over the raw stream, so both arms share the
+    # deduped relation instead of scanning lineitem twice (r6 job
+    # audit: 7 jobs / 2 scans → one scan + two tiny aggregates)
+    dt = _persist_sketch(li.distinct())
+    hashed = dt.select(shingle_hash32(F.col("tok")).alias("h32"))
     regs = hll_build(hashed, "h32", precision=_HLL_P)
     est = hll_estimate(regs, precision=_HLL_P)
-    exact = li.agg(F.count_distinct("tok").alias("exact_distinct"))
+    exact = dt.agg(F.count("*").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact))
 
 
