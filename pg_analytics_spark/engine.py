@@ -277,6 +277,19 @@ class Engine:
         m = _DELETE_STMT_RE.match(query.strip())
         if m:
             return self._delete_lake_statement(m)
+        if _re.match(r"^(UPDATE|DELETE)\b", query.strip(), _re.IGNORECASE):
+            # loud-or-green: a DML form the routers above don't parse
+            # (DELETE … USING, UPDATE … FROM) must not surface Spark's
+            # raw TABLE_OPERATION error
+            from pg_analytics_spark.dialect import UnsupportedDialect
+
+            raise UnsupportedDialect(
+                "UPDATE/DELETE: only `UPDATE <tbl> SET col = expr[, …] "
+                "[WHERE cond]` and `DELETE FROM <tbl> [WHERE cond]` "
+                "statement forms are supported (on attached delta "
+                "tables); rewrite USING/FROM joins as subqueries in "
+                "the WHERE clause"
+            )
         m = _SUMMARIZE_RE.match(query.strip())
         if m:
             # DuckDB `SUMMARIZE …` statement text, verbatim

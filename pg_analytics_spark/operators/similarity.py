@@ -454,12 +454,19 @@ def _open_layout(spark, layout_path: str) -> DataFrame:
         fp = (st.st_mtime_ns, len(_os.listdir(layout_path)))
     except OSError:
         fp = None
-    hit = _LAYOUT_DF_CACHE.get(layout_path)
+    # a DataFrame dies with its SparkSession — key by application id
+    # (unique per context, unlike id() which can be GC-reused) so a
+    # second session in the same process re-opens instead of probing a
+    # dead plan (the multi-session smoke test shape)
+    key = (spark.sparkContext.applicationId, layout_path)
+    hit = _LAYOUT_DF_CACHE.get(key)
     if hit is not None and fp is not None and hit[0] == fp:
         return hit[1]
     df = spark.read.parquet(layout_path)
     if fp is not None:
-        _LAYOUT_DF_CACHE[layout_path] = (fp, df)
+        for k in [k for k in _LAYOUT_DF_CACHE if k[1] == layout_path]:
+            del _LAYOUT_DF_CACHE[k]
+        _LAYOUT_DF_CACHE[key] = (fp, df)
     return df
 
 

@@ -233,6 +233,9 @@ def test_statement_routing_loud_errors(spark, tmp_path):
     eng.attach("plain_tbl", [p], "parquet")
     with pytest.raises(UnsupportedFormat, match="delta"):
         eng.sql("DELETE FROM plain_tbl WHERE id = 1")
+    # unparsed DML forms stay loud too (never Spark's raw error)
+    with pytest.raises(UnsupportedFormat, match="statement forms"):
+        eng.sql("DELETE FROM a USING b WHERE a.id = b.id")
 
 
 def test_concurrent_commit_version_collision_is_loud(spark, tmp_path):
