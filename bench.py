@@ -143,6 +143,10 @@ HEADLINE_NEXT3: list = [
 #: round-7 additions measure here; frozen groups stay comparable.
 HEADLINE_NEXT4: list = [
     "delta_update_delete_roundtrip",
+    "delta_version_diff",
+    "sim_ann_int8_rerank",
+    "corpus_mix_language_rebalance",
+    "text_inverted_index",
 ]
 
 

@@ -40,6 +40,74 @@ def brute_force_topk(
     )
 
 
+def int8_adc_rerank_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    mns: list,
+    mxs: list,
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage ANN over a SCALAR-QUANTIZED corpus (the FAISS-SQ8
+    pattern): coarse top-``shortlist`` by ASYMMETRIC-DISTANCE dot over
+    DEQUANTIZED values — each value snapped to its per-dimension
+    255-step [min,max] grid, reconstructed as ``mn + code/255·(mx−mn)``
+    and folded against the equally-reconstructed query — then exact fp
+    cosine re-rank of the shortlist to top-``k``.  (A raw
+    integer-code dot would rank by an AFFINE transform of the data —
+    the per-dimension offsets add Σv cross-terms that swamp the true
+    dot on near-isotropic corpora; reconstruction-ADC is the
+    formulation that preserves ranking.)  This is the memory-bandwidth
+    pattern SCALE.md's int8 row points at: at 100 TB the int8 codes
+    (4× smaller) are the column the probe scans; the fp column is
+    read only for the shortlist.  Here both stages read the same
+    relation — the plan shape (scan → codegen fold → TakeOrdered →
+    tiny re-rank) is the one that transfers.
+
+    Output: (id, coarse:double rounded to 6, sim) ordered
+    (sim desc, id).  The coarse fold is a sequential left fold over
+    literal codebook/query arrays — the same op sequence in both
+    engines, so it is value-exact under the gate (the mse_q8
+    convention).  Degenerate dimensions (min = max) reconstruct to
+    the constant mn on both sides.
+    """
+    arr = lambda vals: "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+    z4 = (
+        f"zip_with(zip_with(zip_with(transform({vec_col}, v -> cast(v AS double)), "
+        f"{arr(mns)}, (v, mn) -> struct(v AS ev, mn AS mns)), "
+        f"{arr(mxs)}, (s, mx) -> struct(s.ev AS ev, s.mns AS mns, mx AS mxs)), "
+        f"{arr(query_vec)}, (s, qv) -> struct(s.ev AS ev, s.mns AS mns, "
+        "s.mxs AS mxs, qv AS qv))"
+    )
+    deq = (
+        "(CASE WHEN x.mxs = x.mns THEN x.mns ELSE "
+        "x.mns + round(({v} - x.mns) / (x.mxs - x.mns) * 255) / 255.0D "
+        "* (x.mxs - x.mns) END)"
+    )
+    coarse = (
+        f"round(aggregate({z4}, 0.0D, (acc, x) -> acc + "
+        + deq.format(v="x.ev")
+        + " * "
+        + deq.format(v="x.qv")
+        + "), 6)"
+    )
+    short = (
+        df.select(
+            F.col(id_col), F.col(vec_col), F.expr(coarse).alias("coarse")
+        )
+        .orderBy(F.desc("coarse"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    sim = F.round(cosine_similarity(vec_col, _query_lit(query_vec)), 6)
+    return (
+        short.select(F.col(id_col), "coarse", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Deterministic Gaussian hyperplanes for sign-bit LSH."""
     rng = np.random.RandomState(seed)

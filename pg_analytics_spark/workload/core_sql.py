@@ -3049,3 +3049,85 @@ def delta_update_delete_roundtrip(
     return eng.sql(
         "SELECT o_orderkey, o_custkey, v FROM dml_tgt ORDER BY o_orderkey"
     )
+
+
+_VERSION_DIFF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey < 2000
+), updated AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN COALESCE(v < 100000, FALSE) THEN v * 2 ELSE v END AS v
+  FROM base
+), final AS (
+  SELECT o_orderkey, o_custkey, v FROM updated
+  WHERE NOT COALESCE(v > 250000, FALSE)
+), added AS (
+  SELECT * FROM final EXCEPT ALL SELECT * FROM base
+), removed AS (
+  SELECT * FROM base EXCEPT ALL SELECT * FROM final
+)
+SELECT 'added' AS change_type, o_orderkey, o_custkey, v FROM added
+UNION ALL
+SELECT 'removed' AS change_type, o_orderkey, o_custkey, v FROM removed
+ORDER BY change_type, o_orderkey
+"""
+
+
+@register(
+    "delta_version_diff",
+    oracle=_VERSION_DIFF_ORACLE,
+    doc="Snapshot diff (CDC-lite) across Delta versions: build a "
+    "table, run UPDATE + DELETE through the native writer, then diff "
+    "version 0 against the latest via the replay reader's "
+    "version_as_of time travel — added rows = current EXCEPT ALL v0, "
+    "removed rows = v0 EXCEPT ALL current (an updated row surfaces "
+    "as one added + one removed, the standard snapshot-diff "
+    "contract; EXCEPT ALL treats NULLs as equal in both engines, so "
+    "the NULL-seeded predicate column diffs correctly).  At scale "
+    "the diff reads only the two versions' file sets — with "
+    "copy-on-write commits the UNTOUCHED files are identical file "
+    "references, so a file-level pre-filter (same add action in "
+    "both versions -> skip) bounds the diff by touched data; the "
+    "relational EXCEPT ALL here is the semantics that pre-filter "
+    "must preserve.  Oracle replays the whole history relationally.",
+)
+def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_diff")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    update_delta(spark, root, {"v": "v * 2"}, "v < 100000")
+    delete_delta(spark, root, "v > 250000")
+    v0 = load_source(spark, root, "delta", {"version_as_of": 0})
+    cur = load_source(spark, root, "delta")
+    cols = ["o_orderkey", "o_custkey", "v"]
+    added = cur.select(*cols).exceptAll(v0.select(*cols)).select(
+        F.lit("added").alias("change_type"), *cols
+    )
+    removed = v0.select(*cols).exceptAll(cur.select(*cols)).select(
+        F.lit("removed").alias("change_type"), *cols
+    )
+    return added.unionByName(removed).orderBy("change_type", "o_orderkey")

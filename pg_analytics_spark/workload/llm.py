@@ -1036,6 +1036,115 @@ def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_mix_language_rebalance",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS b,
+             CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 700
+                       WHEN 'fr' THEN 500 WHEN 'es' THEN 300
+                       ELSE 150 END AS rate,
+             len({_TOKS}) AS nt
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN b < rate THEN nt ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(CAST(SUM(CASE WHEN b < rate THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS achieved_frac
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+    doc="Training-mix rebalancing — downsample over-represented "
+    "languages to target per-language keep rates (en 100%, de 70%, "
+    "fr 50%, es 30%, rest 15%) via DETERMINISTIC hash-Bernoulli "
+    "selection: md5(doc_id) per-mille bucket < rate.  Hash sampling "
+    "is the scale-correct mixer — stable under reruns, re-shards and "
+    "appends, no global sort, no sampling state, no driver "
+    "involvement; composable with the hash train/val/test split "
+    "(independent hash bits).  Output: per-language totals, kept "
+    "counts, kept token budget, achieved fraction (one exact "
+    "division).  At 100 TB this is one scan + one vocabulary-free "
+    "aggregate; the kept corpus itself is the same filter without "
+    "the aggregate.",
+)
+def corpus_mix_language_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 1000)
+        .when(F.col("lang") == "de", 700)
+        .when(F.col("lang") == "fr", 500)
+        .when(F.col("lang") == "es", 300)
+        .otherwise(150)
+    )
+    kept = (bucket < rate).cast("long")
+    s = d.select(
+        "lang",
+        kept.alias("k"),
+        (kept * X.token_count("text")).alias("kt"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("k").alias("n_kept"),
+            F.sum("kt").alias("kept_tokens"),
+            F.round(
+                F.sum("k").cast("double") / F.count("*"), 6
+            ).alias("achieved_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), d AS (SELECT DISTINCT doc_id, tok FROM t)
+    SELECT tok, COUNT(*) AS df,
+           to_json(list_sort(list(doc_id))[1:20]) AS postings
+    FROM d GROUP BY tok HAVING COUNT(*) >= 5
+    ORDER BY df DESC, tok
+    """,
+    doc="Inverted-index build — the search-side artifact of a corpus "
+    "pipeline: token -> document frequency + sorted posting list "
+    "(first 20 doc_ids; canonical JSON so the gate can hash the list "
+    "cell).  Dataflow: explode -> DISTINCT (doc, token) pairs "
+    "(map-side combine collapses within-doc repeats before the one "
+    "shuffle) -> per-token aggregate.  At 100 TB this is THE "
+    "posting-list construction job: output is vocabulary-sized, "
+    "postings write out partitioned by token hash, and df >= K "
+    "drops the long hapax tail early.  collect_set + sort_array "
+    "keeps the list deterministic in both engines.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(X.tokens(F.lower("text"))).alias("tok")
+    ).distinct()
+    return (
+        pairs.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.to_json(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20)
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.desc("df"), "tok")
+    )
+
+
 #: word 5-grams of the token list `t`, deduplicated (DuckDB fragment)
 _WGRAMS = (
     "list_distinct([array_to_string(t[i+1:i+5], ' ') "
@@ -2104,10 +2213,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coarse with int8, re-rank the top candidates in fp.",
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg_analytics_spark.functions.vectors import (
-        INT8_DEQUANT_FRAGMENT,
-        int8_stats_lists,
-    )
+    from pg_analytics_spark.functions.vectors import INT8_DEQUANT_FRAGMENT
 
     # the [min,max] grid is the corpus' quantization CODEBOOK: built
     # once (one partial-agg job, d-row shuffle/collect), embedded as
@@ -2115,27 +2221,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-quantizing a corpus never re-trains the grid.  The query
     # itself is then a pure scan→codegen map: no broadcast exchange,
     # no stats jobs (r6: was a 7-job broadcast-join pipeline).
-    # cache key carries the corpus file's (mtime_ns, size) fingerprint
-    # — regenerating the parquet in-process invalidates the codebook
-    # (same guard as the ANN write-time layouts)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fp = None  # non-local / directory corpus: per-session entry
-    key = (sf_dir, "embeddings", fp)
-    cached = _INT8_STATS.get(key)
-    if cached is None:
-        # drop superseded fingerprints of the SAME corpus (bounded
-        # growth: one live entry per (sf_dir, table))
-        for k in [k for k in _INT8_STATS if k[:2] == key[:2] and k != key]:
-            del _INT8_STATS[k]
-        cached = int8_stats_lists(
-            table(spark, sf_dir, "embeddings"), "embedding"
-        )
-        _INT8_STATS[key] = cached
-    mns, mxs = cached
+    mns, mxs = _int8_codebook(spark, sf_dir)
     arr_mns = "array(" + ", ".join(f"{v!r}D" for v in mns) + ")"
     arr_mxs = "array(" + ", ".join(f"{v!r}D" for v in mxs) + ")"
     # zip value+codebook into the same x.ev/x.mns/x.mxs namespace the
@@ -2166,6 +2252,92 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: per-corpus int8 codebooks (see embed_quantize_int8)
 _INT8_STATS: dict = {}
+
+
+def _int8_codebook(spark: SparkSession, sf_dir: str):
+    """Per-dimension ([min…], [max…]) of the embedding corpus — the
+    int8 grid's codebook, built once per corpus (one partial-agg job,
+    d-row collect) and cached with an (mtime_ns, size) fingerprint so
+    a regenerated parquet invalidates it (same guard as the ANN
+    write-time layouts)."""
+    from pg_analytics_spark.functions.vectors import int8_stats_lists
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None  # non-local / directory corpus: per-session entry
+    key = (sf_dir, "embeddings", fp)
+    cached = _INT8_STATS.get(key)
+    if cached is None:
+        # drop superseded fingerprints of the SAME corpus (bounded
+        # growth: one live entry per (sf_dir, table))
+        for k in [k for k in _INT8_STATS if k[:2] == key[:2] and k != key]:
+            del _INT8_STATS[k]
+        cached = int8_stats_lists(
+            table(spark, sf_dir, "embeddings"), "embedding"
+        )
+        _INT8_STATS[key] = cached
+    return cached
+
+
+@register(
+    "sim_ann_int8_rerank",
+    oracle=f"""
+    WITH dims AS (
+      SELECT u.i AS pos,
+             MIN(e.embedding[u.i]::DOUBLE) AS mn,
+             MAX(e.embedding[u.i]::DOUBLE) AS mx
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY u.i
+    ), stats AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM dims
+    ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    coarse AS (
+      SELECT vec_id, embedding, qe,
+             ROUND(list_sum([
+               (CASE WHEN x[3] = x[2] THEN x[2]
+                ELSE x[2] + round((x[1]::DOUBLE - x[2]) / (x[3] - x[2]) * 255) / 255.0 * (x[3] - x[2]) END)
+               * (CASE WHEN x[3] = x[2] THEN x[2]
+                  ELSE x[2] + round((x[4]::DOUBLE - x[2]) / (x[3] - x[2]) * 255) / 255.0 * (x[3] - x[2]) END)
+               FOR x IN list_zip(embedding, mns, mxs, qe)
+             ]), 6) AS coarse
+      FROM embeddings, stats, q
+    ), short AS (
+      SELECT * FROM coarse ORDER BY coarse DESC, vec_id LIMIT 50
+    )
+    SELECT vec_id, coarse, {_ANN_COS} AS sim
+    FROM short
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Two-stage quantized ANN (FAISS-SQ8 pattern) — the production "
+    "path the int8 row points at: coarse top-50 by asymmetric-"
+    "distance dot over DEQUANTIZED values (corpus and query snapped "
+    "to the per-dimension 255-step grid and reconstructed; a raw "
+    "integer-code dot would rank by an affine transform whose "
+    "offsets swamp the true dot), then exact fp cosine re-rank of "
+    "the shortlist to top-10.  Both folds are sequential with "
+    "literal codebooks, so coarse AND sim are value-exact.  At 100 TB the int8 codes are a 4x-smaller "
+    "column scanned for the coarse stage; fp vectors are read only "
+    "for the 50-row shortlist — memory bandwidth, not FLOPs, is what "
+    "the grid buys.  Plan: scan -> codegen fold -> TakeOrdered(50) -> "
+    "50-row re-rank; codebook + query vector are cached literals "
+    "(zero extra jobs).  Oracle replays both stages with the same "
+    "integer arithmetic.",
+)
+def sim_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.similarity import int8_adc_rerank_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    mns, mxs = _int8_codebook(spark, sf_dir)
+    return int8_adc_rerank_topk(
+        emb, "embedding", "vec_id", qvec, mns, mxs, shortlist=50, k=10
+    )
+
 
 
 @register(
