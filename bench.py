@@ -147,6 +147,7 @@ HEADLINE_NEXT4: list = [
     "sim_ann_int8_rerank",
     "corpus_mix_language_rebalance",
     "text_inverted_index",
+    "text_bm25_search",
 ]
 
 

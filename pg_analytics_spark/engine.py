@@ -108,6 +108,13 @@ _DELETE_STMT_RE = _re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?;?\s*$",
     _re.IGNORECASE | _re.DOTALL,
 )
+#: `VACUUM <attached delta table> [RETAIN n HOURS]` — Delta's physical
+#: cleanup of unreferenced data files through the native writer.
+_VACUUM_STMT_RE = _re.compile(
+    r"^VACUUM\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?;?\s*$",
+    _re.IGNORECASE,
+)
 
 #: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
 #: routes to Engine.summarize (one-job per-column profile).
@@ -277,6 +284,9 @@ class Engine:
         m = _DELETE_STMT_RE.match(query.strip())
         if m:
             return self._delete_lake_statement(m)
+        m = _VACUUM_STMT_RE.match(query.strip())
+        if m:
+            return self._vacuum_statement(m)
         if _re.match(r"^(UPDATE|DELETE)\b", query.strip(), _re.IGNORECASE):
             # loud-or-green: a DML form the routers above don't parse
             # (DELETE … USING, UPDATE … FROM) must not surface Spark's
@@ -1343,6 +1353,22 @@ class Engine:
         res = delete_delta(self.spark, att.files[0], m.group("where"))
         self.attach(att.name, att.files, att.format, att.options, att.columns)
         return self._dml_metrics(res)
+
+    def _vacuum_statement(self, m) -> DataFrame:
+        """``VACUUM <attached delta table> [RETAIN n HOURS]`` —
+        physical deletion of data files unreferenced by the current
+        version and older than the retention window (default 168h,
+        Delta's 7 days), through sources/delta_write.vacuum_delta.
+        The log is never touched.  Returns one metrics row."""
+        from pg_analytics_spark.sources.delta_write import vacuum_delta
+
+        att = self._dml_delta_attachment(m.group("name"), "VACUUM")
+        hours = float(m.group("hours")) if m.group("hours") else 168.0
+        res = vacuum_delta(att.files[0], retention_hours=hours)
+        return self.spark.createDataFrame(
+            [(int(res["files_deleted"]), int(res["bytes_deleted"]))],
+            "files_deleted bigint, bytes_deleted bigint",
+        )
 
     def _dml_metrics(self, res: dict) -> DataFrame:
         return self.spark.createDataFrame(

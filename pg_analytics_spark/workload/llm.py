@@ -1145,6 +1145,84 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT doc_id, len({_TOKS}) AS dl,
+             len(list_filter({_TOKS}, x -> x = 'vector')) AS tf1,
+             len(list_filter({_TOKS}, x -> x = 'hash')) AS tf2,
+             len(list_filter({_TOKS}, x -> x = 'stream')) AS tf3
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      FROM perdoc
+    )
+    SELECT doc_id,
+           ROUND(
+             ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+               / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+               / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+           + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * 2.2)
+               / (tf3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+           , 6) AS bm25
+    FROM perdoc, stats
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 ranked retrieval (Lucene idf form, k1=1.2 b=0.75) for "
+    "the query 'vector hash stream' — the lexical-search complement "
+    "to the ANN rows and the consumer of text_inverted_index's "
+    "statistics.  One tokenize pass computes per-doc (dl, tf_t); one "
+    "corpus aggregate computes (N, Σdl, df_t) and broadcasts back as "
+    "a single row; the score is a FIXED-ORDER three-term float "
+    "expression shared textually with the oracle (the bigram-logprob "
+    "ln precedent), so ranking is value-exact.  At 100 TB: per-doc "
+    "stats come from the posting lists instead of a re-tokenize, the "
+    "stats row is a metadata lookup, and top-k is TakeOrdered — no "
+    "global sort.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    d = table(spark, sf_dir, "documents")
+    perdoc = _persist_sketch(
+        d.select(
+            "doc_id", X.tokens(F.lower("text")).alias("t")
+        ).selectExpr(
+            "doc_id",
+            "size(t) AS dl",
+            "size(filter(t, x -> x = 'vector')) AS tf1",
+            "size(filter(t, x -> x = 'hash')) AS tf2",
+            "size(filter(t, x -> x = 'stream')) AS tf3",
+        )
+    )
+    stats = perdoc.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(dl) AS BIGINT) AS sumdl",
+        "CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1",
+        "CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2",
+        "CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3",
+    )
+    term = (
+        "ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * (tf{i} * 2.2)"
+        " / (tf{i} + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))"
+    )
+    score = " + ".join(term.format(i=i) for i in (1, 2, 3))
+    return (
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter("tf1 + tf2 + tf3 > 0")
+        .selectExpr("doc_id", f"round({score}, 6) AS bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
 #: word 5-grams of the token list `t`, deduplicated (DuckDB fragment)
 _WGRAMS = (
     "list_distinct([array_to_string(t[i+1:i+5], ' ') "

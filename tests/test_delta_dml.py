@@ -259,3 +259,29 @@ def test_concurrent_commit_version_collision_is_loud(spark, tmp_path):
     with open(winner) as fh:
         assert "WINNER" in fh.read()
     assert not [f for f in os.listdir(log_dir) if ".tmp-" in f]
+
+
+def test_vacuum_statement_routing(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1,)], "id bigint"), path, mode="overwrite"
+    )
+    write_delta(
+        spark.createDataFrame([(2,)], "id bigint"), path, mode="overwrite"
+    )
+    eng = Engine(spark=spark)
+    eng.attach("vac_tbl", [path], "delta")
+    # default retention keeps the recent unreferenced file
+    m = eng.sql("VACUUM vac_tbl").first()
+    assert m["files_deleted"] == 0
+    m = eng.sql("VACUUM vac_tbl RETAIN 0 HOURS").first()
+    assert m["files_deleted"] >= 1 and m["bytes_deleted"] > 0
+    assert _rows(spark, path) == [(2,)]
+    # loud on non-delta
+    with pytest.raises(UnsupportedFormat, match="delta"):
+        p = str(tmp_path / "plainv")
+        spark.createDataFrame([(1,)], "id bigint").write.parquet(p)
+        eng.attach("plain_vac", [p], "parquet")
+        eng.sql("VACUUM plain_vac")
