@@ -148,6 +148,7 @@ HEADLINE_NEXT4: list = [
     "corpus_mix_language_rebalance",
     "text_inverted_index",
     "text_bm25_search",
+    "dedup_containment",
 ]
 
 

@@ -249,6 +249,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT pairs — the asymmetric complement of
+    Jaccard: C(A→B) = |S(A)∩S(B)| / |S(A)|.  A document quoted,
+    wrapped, or embedded inside a larger one scores near 1.0 on the
+    contained side while its symmetric Jaccard stays low (the union is
+    dominated by the big doc) — exactly the sub-document duplication
+    Jaccard-thresholded dedup misses in training corpora.
+
+    Same dataflow as :func:`ngram_jaccard_pairs` (shingle explode →
+    shared-shingle equi-join pair counting → two divisions): pairs
+    form only on docs SHARING a shingle, never |docs|²; the scale
+    tier for candidates stays minhash banding, with this as the exact
+    verify.  Output (id_a, id_b, c_ab, c_ba) keeps BOTH directions
+    (id_a < id_b), filtered on max(c_ab, c_ba) ≥ threshold.
+    """
+    sh = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).select(
+        F.col("_id"), char_shingles("_t", shingle_k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    pairs = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), on="_s")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    c_ab = F.round(
+        F.col("_inter").cast("double") / F.col("_na").cast("double"), 6
+    )
+    c_ba = F.round(
+        F.col("_inter").cast("double") / F.col("_nb").cast("double"), 6
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", c_ab.alias("c_ab"), c_ba.alias("c_ba"))
+        .filter(F.greatest("c_ab", "c_ba") >= threshold)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,

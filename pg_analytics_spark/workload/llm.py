@@ -152,6 +152,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES} AS s FROM norm WHERE length(t) >= 5
+    ), sizes AS (
+      SELECT doc_id, len(s) AS n FROM sh
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS sgl FROM sh
+    ), pairs AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex x JOIN ex y ON x.sgl = y.sgl AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter::DOUBLE / na.n::DOUBLE, 6) AS c_ab,
+           ROUND(inter::DOUBLE / nb.n::DOUBLE, 6) AS c_ba
+    FROM pairs
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE GREATEST(ROUND(inter::DOUBLE / na.n::DOUBLE, 6),
+                   ROUND(inter::DOUBLE / nb.n::DOUBLE, 6)) >= 0.6
+    """,
+    doc="Shingle-containment pairs — the ASYMMETRIC dedup metric "
+    "C(A→B) = |S(A)∩S(B)|/|S(A)|: a document quoted or embedded "
+    "inside a larger one scores ~1.0 on the contained side while its "
+    "symmetric Jaccard stays low (the union is dominated by the host "
+    "doc) — the sub-document duplication Jaccard-thresholded dedup "
+    "misses.  Pairs form only on docs SHARING a shingle (equi-join), "
+    "never |docs|²; at 100 TB candidates come from minhash banding "
+    "and this is the exact verify tier (the jaccard-verifier "
+    "disposition).  Both directions reported; one exact division "
+    "each, value-exact.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_k=5, threshold=0.6,
+    )
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents

@@ -547,3 +547,31 @@ def test_embedding_moments_fast_rejects_ragged_and_null(spark):
     ).coalesce(1)
     with _pytest.raises(Exception, match="NULL"):
         embedding_moments_fast(with_null, "embedding").collect()
+
+
+def test_containment_detects_embedded_document(spark):
+    """A doc fully quoted inside a larger host scores c=1.0 on the
+    contained side while symmetric Jaccard stays below a 0.5 gate."""
+    from pg_analytics_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog again and again"
+    host = (
+        "completely unrelated preamble text about query engines and "
+        "columnar execution strategies " + small + " followed by a long "
+        "trailing discussion of shuffle partitioning and broadcast joins"
+    )
+    df = spark.createDataFrame(
+        [(1, small), (2, host)], "doc_id bigint, text string"
+    )
+    got = containment_pairs(df, "text", "doc_id", threshold=0.6).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["id_a"] == 1 and r["id_b"] == 2
+    assert r["c_ab"] == 1.0          # every shingle of small is in host
+    assert r["c_ba"] < 0.6           # host is mostly its own text
+    # the symmetric metric misses this pair at the usual 0.5 gate
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert jac == []
