@@ -149,6 +149,7 @@ HEADLINE_NEXT4: list = [
     "text_inverted_index",
     "text_bm25_search",
     "dedup_containment",
+    "iceberg_delete_roundtrip",
 ]
 
 

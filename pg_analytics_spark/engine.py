@@ -1259,11 +1259,14 @@ class Engine:
             "version int",
         )
 
-    def _dml_delta_attachment(self, name: str, construct: str):
-        """Resolve the target of UPDATE/DELETE statement text to an
-        attached delta table, or raise a loud UnsupportedDialect naming
-        the construct (never Spark's raw TABLE_OPERATION error) — the
-        same loud-or-green convention as POSITIONAL JOIN."""
+    def _dml_delta_attachment(
+        self, name: str, construct: str, formats: tuple = ("delta",)
+    ):
+        """Resolve the target of UPDATE/DELETE/VACUUM statement text to
+        an attached lake table of an allowed format, or raise a loud
+        UnsupportedDialect naming the construct (never Spark's raw
+        TABLE_OPERATION error) — the same loud-or-green convention as
+        POSITIONAL JOIN."""
         from pg_analytics_spark.dialect import UnsupportedDialect
 
         att = self._attachments.get(name.split(".")[-1]) or (
@@ -1273,14 +1276,14 @@ class Engine:
             raise UnsupportedDialect(
                 f"{construct}: {name!r} is not an attached table — the "
                 "engine's relations are read-only views except attached "
-                "delta tables, which support INSERT/MERGE/UPDATE/DELETE "
-                "through the native copy-on-write writer"
+                "delta/iceberg tables, which support DML through the "
+                "native writers"
             )
-        if att.format != "delta":
+        if att.format not in formats:
             raise UnsupportedDialect(
                 f"{construct}: {att.name} is a {att.format} attachment; "
-                "the native writer supports UPDATE/DELETE on delta "
-                "tables only"
+                f"the native writers support {construct} on "
+                f"{'/'.join(formats)} tables only"
             )
         return att
 
@@ -1342,14 +1345,33 @@ class Engine:
         return self._dml_metrics(res)
 
     def _delete_lake_statement(self, m) -> DataFrame:
-        """``DELETE FROM <attached delta table> [WHERE cond]`` —
-        copy-on-write through the native writer: fully-matching files
-        drop via pure remove actions (never rewritten), partial files
-        rewrite survivors, no WHERE truncates with a metadata-only
-        commit.  NULL-predicate rows survive (SQL DELETE semantics)."""
+        """``DELETE FROM <attached delta|iceberg table> [WHERE cond]``
+        — NULL-predicate rows survive (SQL three-valued logic) on both
+        writers.  Delta: COPY-ON-WRITE (fully-matching files drop via
+        pure removes, partial files rewrite survivors, no WHERE
+        truncates metadata-only).  Iceberg: MERGE-ON-READ (v2
+        position-delete files + a content=1 manifest — O(matched rows)
+        commit, readers pay the anti-join) — the two halves of the
+        write-amplification trade, each on the format whose protocol
+        favors it."""
+        att = self._dml_delta_attachment(
+            m.group("name"), "DELETE", formats=("delta", "iceberg")
+        )
+        if att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                delete_iceberg,
+            )
+
+            res = delete_iceberg(self.spark, att.files[0], m.group("where"))
+            self.attach(
+                att.name, att.files, att.format, att.options, att.columns
+            )
+            return self.spark.createDataFrame(
+                [(int(res["rows_deleted"]), int(res["version"]))],
+                "rows_deleted bigint, version int",
+            )
         from pg_analytics_spark.sources.delta_write import delete_delta
 
-        att = self._dml_delta_attachment(m.group("name"), "DELETE")
         res = delete_delta(self.spark, att.files[0], m.group("where"))
         self.attach(att.name, att.files, att.format, att.options, att.columns)
         return self._dml_metrics(res)

@@ -861,3 +861,186 @@ def write_iceberg(
         fh.write(str(version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return {"snapshot_id": snapshot_id, "files": len(entries), "rows": n_rows}
+
+
+def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
+    """``DELETE FROM <iceberg table> [WHERE cond]`` as a MERGE-ON-READ
+    commit (Iceberg v2 position deletes, spec §position-delete-files):
+    matched VISIBLE rows are recorded as (file_path, pos) in a
+    position-delete parquet file referenced by a ``content=1`` delete
+    manifest; no data file rewrites.  This is the other half of the
+    write-amplification trade vs the Delta writer's copy-on-write
+    DELETE (sources/delta_write.delete_delta): merge-on-read commits
+    O(matched rows) instead of rewriting touched files, and readers
+    pay the anti-join — the repo's own replay reader applies exactly
+    these files (sources/iceberg._apply_row_deletes), so the loop
+    closes end-to-end with zero external dependencies.
+
+    SQL three-valued logic: NULL-predicate rows are NOT matched.
+    Rows already deleted by prior position-delete files are invisible
+    to the predicate (no double-count).  A missing WHERE deletes every
+    visible row.  Returns {"snapshot_id", "rows_deleted", "version"};
+    matching nothing returns rows_deleted=0 WITHOUT committing a
+    snapshot.  Reference scope: the reference FDW is read-only —
+    additive parity-plus, symmetric with the Delta DML surface.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"DELETE target is not an iceberg table: {path}")
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    data_paths: list[str] = []
+    existing_pos_deletes: list[str] = []
+    for m in prev_list:
+        _s2, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            rec = e["data_file"]
+            if m.get("content", 0) == 1:
+                if rec.get("content", 1) == 1:
+                    existing_pos_deletes.append(rec["file_path"])
+            else:
+                data_paths.append(rec["file_path"])
+    if not data_paths:
+        return {"snapshot_id": None, "rows_deleted": 0, "version": prev_version}
+
+    tgt = spark.read.parquet(*sorted(data_paths)).select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "_ifile"
+        ),
+        F.col("_metadata.row_index").cast("long").alias("_ipos"),
+    )
+    if existing_pos_deletes:
+        prior = spark.read.parquet(*sorted(set(existing_pos_deletes))).select(
+            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                "_ifile"
+            ),
+            F.col("pos").cast("long").alias("_ipos"),
+        )
+        tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
+    match = F.expr(where) if where is not None else F.lit(True)
+    dels = tgt.filter(F.coalesce(match, F.lit(False))).select(
+        F.col("_ifile").alias("file_path"), F.col("_ipos").alias("pos")
+    )
+    # position-delete files must sort by (file_path, pos) per spec
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_ice_del-{uuid.uuid4().hex}",
+    )
+    dels.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    part = next(
+        (
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(staging)
+            for n in sorted(ns)
+            if n.endswith(".parquet")
+        ),
+        None,
+    )
+    import pyarrow.parquet as _pq
+
+    n_del = _pq.ParquetFile(part).metadata.num_rows if part else 0
+    if not n_del:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"snapshot_id": None, "rows_deleted": 0, "version": prev_version}
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(
+        data_dir, f"delete-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+    )
+    os.replace(part, dpath)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    manifest = os.path.join(meta_dir, f"man-del-{snapshot_id}.avro")
+    write_container(
+        _manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": n_del,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+        manifest,
+    )
+    mf_entries = list(prev_list) + [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_deleted": int(n_del),
+        "version": version,
+    }

@@ -3131,3 +3131,63 @@ def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("removed").alias("change_type"), *cols
     )
     return added.unionByName(removed).orderBy("change_type", "o_orderkey")
+
+
+_ICE_DELETE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderkey, o_custkey, v FROM base
+WHERE NOT COALESCE(v > 200000, FALSE)
+  AND NOT COALESCE(v < 50000, FALSE)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "iceberg_delete_roundtrip",
+    oracle=_ICE_DELETE_ORACLE,
+    doc="MERGE-ON-READ DELETE on the native Iceberg writer (v2 "
+    "position deletes, sources/iceberg_write.delete_iceberg + the "
+    "Engine.sql DELETE statement): two stacked delete commits over a "
+    "NULL-seeded table — each writes a position-delete parquet + a "
+    "content=1 delete manifest, O(matched rows), NO data-file "
+    "rewrites — read back through the replay reader's anti-join "
+    "(sources/iceberg._apply_row_deletes).  The iceberg half of the "
+    "write-amplification trade beside Delta's copy-on-write DELETE; "
+    "NULL-predicate rows survive both commits (the oracle replays "
+    "with COALESCE(match, FALSE)); the second delete's predicate "
+    "only sees rows the first left visible.  Reference scope: the "
+    "reference FDW is read-only — additive parity-plus.",
+)
+def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_dml")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("ice_dml_tgt", [root], "iceberg")
+    eng.sql("DELETE FROM ice_dml_tgt WHERE v > 200000")
+    eng.sql("DELETE FROM ice_dml_tgt WHERE v < 50000")
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM ice_dml_tgt ORDER BY o_orderkey"
+    )

@@ -1,0 +1,142 @@
+"""Merge-on-read DELETE on the native Iceberg writer (v2 position
+deletes) + Engine.sql statement routing — the iceberg half of the DML
+surface beside the Delta copy-on-write writer."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pg_analytics_spark.errors import ConcurrentWriteError, UnsupportedFormat
+from pg_analytics_spark.sources import load_source
+from pg_analytics_spark.sources.iceberg_write import (
+    delete_iceberg,
+    write_iceberg,
+)
+
+
+def _rows(spark, path, **opts):
+    return sorted(
+        (r["id"], r["v"])
+        for r in load_source(spark, path, "iceberg", opts or None).collect()
+    )
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id bigint, v double"
+    )
+    write_iceberg(df.coalesce(1), path, mode="overwrite")
+    res = delete_iceberg(spark, path, "v < 8")
+    assert res["rows_deleted"] == 1
+    assert _rows(spark, path) == [(1, 10.0), (2, None)]
+
+
+def test_stacked_deletes_and_idempotency(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    assert delete_iceberg(spark, path, "v < 3")["rows_deleted"] == 3
+    # already-deleted rows are invisible to later predicates
+    assert delete_iceberg(spark, path, "v < 3")["rows_deleted"] == 0
+    assert delete_iceberg(spark, path, "v >= 8")["rows_deleted"] == 2
+    assert _rows(spark, path) == [(i, float(i)) for i in range(3, 8)]
+    # no-match delete commits NOTHING (no new snapshot)
+    meta_dir = os.path.join(path, "metadata")
+    before = sorted(os.listdir(meta_dir))
+    assert delete_iceberg(spark, path, "v > 100")["snapshot_id"] is None
+    assert sorted(os.listdir(meta_dir)) == before
+
+
+def test_delete_without_where_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    import time
+
+    time.sleep(0.05)
+    ts0 = int(time.time() * 1000)
+    res = delete_iceberg(spark, path)
+    assert res["rows_deleted"] == 2
+    assert load_source(spark, path, "iceberg").count() == 0
+    # prior snapshot still reads FULL via time travel — deletes are
+    # merge-on-read, nothing was rewritten or dropped
+    assert _rows(spark, path, as_of_timestamp_ms=ts0) == [(1, 1.0), (2, 2.0)]
+
+
+def test_delete_on_partitioned_table_keeps_pruning(spark, tmp_path):
+    path = str(tmp_path / "p")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i % 3)) for i in range(30)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+        partition_by=["bucket(4, id)"],
+    )
+    res = delete_iceberg(spark, path, "id % 5 = 0")
+    assert res["rows_deleted"] == 6
+    back = load_source(spark, path, "iceberg")
+    assert back.count() == 24
+    assert back.filter("id % 5 = 0").count() == 0
+
+
+def test_statement_routing_iceberg_delete(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    eng = Engine(spark=spark)
+    eng.attach("ice_dml", [path], "iceberg")
+    m = eng.sql("DELETE FROM ice_dml WHERE v >= 7").first()
+    assert m["rows_deleted"] == 3
+    got = sorted(r["id"] for r in eng.sql("FROM ice_dml").collect())
+    assert got == list(range(7))
+    # UPDATE stays delta-only and errors loudly on iceberg
+    with pytest.raises(UnsupportedFormat, match="delta"):
+        eng.sql("UPDATE ice_dml SET v = 0 WHERE id = 1")
+
+
+def test_metadata_version_race_is_loud(spark, tmp_path, monkeypatch):
+    """A writer that allocated its version BEFORE a concurrent commit
+    landed must fail loudly at publish (put-if-absent link), never
+    clobber the winner's metadata JSON."""
+    import pg_analytics_spark.sources.iceberg_write as iw
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+        path,
+        mode="overwrite",
+    )
+    meta_dir = os.path.join(path, "metadata")
+    snapshot = iw._latest_metadata(meta_dir)  # (1, v1 metadata)
+    # the concurrent winner publishes v2 AFTER we read v1
+    winner = os.path.join(meta_dir, "v2.metadata.json")
+    with open(winner, "w") as fh:
+        json.dump({"winner": True}, fh)
+    monkeypatch.setattr(iw, "_latest_metadata", lambda d: snapshot)
+    with pytest.raises(ConcurrentWriteError, match="version 2"):
+        delete_iceberg(spark, path, "v > 0")
+    with open(winner) as fh:
+        assert json.load(fh) == {"winner": True}
+    assert not [f for f in os.listdir(meta_dir) if ".tmp-" in f]
