@@ -150,6 +150,7 @@ HEADLINE_NEXT4: list = [
     "text_bm25_search",
     "dedup_containment",
     "iceberg_delete_roundtrip",
+    "iceberg_compact_roundtrip",
 ]
 
 

@@ -1044,3 +1044,226 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
         "rows_deleted": int(n_del),
         "version": version,
     }
+
+
+def compact_iceberg(spark, path: str) -> dict:
+    """Compact merge-on-read delete debt: rewrite every data file that
+    has position-delete rows against it WITHOUT the deleted rows, and
+    commit a snapshot whose single new manifest carries the untouched
+    files' entries verbatim plus the rewritten files — no delete
+    manifests remain, so readers stop paying the anti-join.  The
+    lifecycle closer for :func:`delete_iceberg`: delete cheaply
+    (O(matched rows)), read with the anti-join, compact when the debt
+    is worth one rewrite of the AFFECTED files (never the table).
+
+    Partitioned tables: each affected file's rows rewrite under the
+    SAME partition tuple its manifest entry recorded (the rewrite
+    stages under a synthetic per-source-tuple dir column).  Prior
+    snapshots still time-travel through their own manifest lists.
+    Returns {"snapshot_id", "files_rewritten", "files_untouched",
+    "deletes_dropped", "version"} (no-op: snapshot_id None).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+    from pg_analytics_spark.sources.iceberg import _delete_key_py
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"compact target is not an iceberg table: {path}")
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    entry_schema = None
+    data_entries: list[dict] = []
+    pos_delete_paths: list[str] = []
+    n_delete_files = 0
+    for m in prev_list:
+        schema_m, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            rec = e["data_file"]
+            if m.get("content", 0) == 1:
+                n_delete_files += 1
+                if rec.get("content", 1) == 2:
+                    raise UnsupportedFormat(
+                        "compact_iceberg supports position deletes; "
+                        "this table has EQUALITY delete files"
+                    )
+                pos_delete_paths.append(rec["file_path"])
+            else:
+                entry_schema = entry_schema or schema_m
+                data_entries.append(e)
+    if not pos_delete_paths:
+        return {
+            "snapshot_id": None,
+            "files_rewritten": 0,
+            "files_untouched": len(data_entries),
+            "deletes_dropped": 0,
+            "version": prev_version,
+        }
+    # which data files do the delete rows actually name?  (file-list-
+    # sized collect, normalized to the reader's /data/-suffix key)
+    affected_keys = {
+        _delete_key_py(r["file_path"])
+        for r in spark.read.parquet(*sorted(set(pos_delete_paths)))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    untouched, affected = [], []
+    for e in data_entries:
+        (affected if _delete_key_py(e["data_file"]["file_path"]) in affected_keys
+         else untouched).append(e)
+    fields = next(
+        s for s in prev_meta.get("schemas", [])
+        if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+    )["fields"]
+    colnames = [f["name"] for f in fields]
+
+    new_entries: list[dict] = []
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    if affected:
+        # per-source-file tuple index rides a synthetic dir column so
+        # ONE distributed write regroups rows under their partition
+        key_of = [
+            _delete_key_py(e["data_file"]["file_path"]) for e in affected
+        ]
+        idx_of = {k: i for i, k in enumerate(key_of)}
+        src = spark.read.parquet(
+            *[e["data_file"]["file_path"] for e in affected]
+        ).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("_ifile"),
+            F.col("_metadata.row_index").cast("long").alias("_ipos"),
+        )
+        dels = spark.read.parquet(*sorted(set(pos_delete_paths))).select(
+            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                "_ifile"
+            ),
+            F.col("pos").cast("long").alias("_ipos"),
+        )
+        kept = src.join(dels, ["_ifile", "_ipos"], "left_anti")
+        key_expr = F.regexp_replace(F.col("_ifile"), r"^.*/(?=data/)", "")
+        idx_map = spark.createDataFrame(
+            [(k, i) for k, i in idx_of.items()], "_k string, _pt int"
+        )
+        staged = (
+            kept.withColumn("_k", key_expr)
+            .join(F.broadcast(idx_map), "_k")
+            .select(*colnames, "_pt")
+        )
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".",
+            f"_ice_compact-{uuid.uuid4().hex}",
+        )
+        staged.write.mode("overwrite").partitionBy("_pt").parquet(staging)
+        data_dir = os.path.join(path, "data")
+        renamed: list[tuple[int, str]] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(root, staging)
+                pt = int(rel.split("=", 1)[1]) if "=" in rel else 0
+                dst = os.path.join(
+                    data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+                )
+                os.replace(os.path.join(root, name), dst)
+                renamed.append((pt, dst))
+        per_file = _bounds_for_files(
+            spark, [dst for _, dst in renamed], fields
+        )
+        for pt, dst in renamed:
+            lowers, uppers, rows, size = per_file[dst]
+            rec = {
+                "content": 0,
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                "lower_bounds": lowers or None,
+                "upper_bounds": uppers or None,
+            }
+            src_rec = affected[pt]["data_file"]
+            if "partition" in src_rec and src_rec["partition"] is not None:
+                rec["partition"] = src_rec["partition"]
+            new_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": rec,
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    manifest = os.path.join(meta_dir, f"man-compact-{snapshot_id}.avro")
+    write_container(entry_schema, untouched + new_entries, manifest)
+    mf_entries = [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "replace"},
+        }
+    ]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "snapshot_id": snapshot_id,
+        "files_rewritten": len(affected),
+        "files_untouched": len(untouched),
+        "deletes_dropped": n_delete_files,
+        "version": version,
+    }

@@ -3191,3 +3191,55 @@ def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT o_orderkey, o_custkey, v FROM ice_dml_tgt ORDER BY o_orderkey"
     )
+
+
+@register(
+    "iceberg_compact_roundtrip",
+    oracle=_ICE_DELETE_ORACLE,
+    doc="Merge-on-read lifecycle CLOSED: the same two stacked position-"
+    "delete commits as iceberg_delete_roundtrip, then "
+    "sources/iceberg_write.compact_iceberg rewrites ONLY the affected "
+    "files without their deleted rows and commits a snapshot with no "
+    "delete manifests — readers stop paying the anti-join, untouched "
+    "files carry verbatim, prior snapshots still time-travel.  Same "
+    "oracle as the delete row: value-equality proves compaction is "
+    "value-preserving against the relational truth, not just against "
+    "the pre-compaction read.  At scale the rewrite is O(affected "
+    "files), never the table — delete cheap, compact when the debt "
+    "is worth it.",
+)
+def iceberg_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import (
+        compact_iceberg,
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_compact")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    delete_iceberg(spark, root, "v > 200000")
+    delete_iceberg(spark, root, "v < 50000")
+    res = compact_iceberg(spark, root)
+    assert res["deletes_dropped"] == 2, res
+    eng = Engine(spark=spark)
+    eng.attach("ice_compact_tgt", [root], "iceberg")
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM ice_compact_tgt "
+        "ORDER BY o_orderkey"
+    )

@@ -140,3 +140,68 @@ def test_metadata_version_race_is_loud(spark, tmp_path, monkeypatch):
     with open(winner) as fh:
         assert json.load(fh) == {"winner": True}
     assert not [f for f in os.listdir(meta_dir) if ".tmp-" in f]
+
+
+def test_compact_rewrites_delete_debt(spark, tmp_path):
+    """compact_iceberg: affected files rewrite without their deleted
+    rows, untouched files carry verbatim, delete manifests vanish,
+    values identical before/after, prior snapshots still time-travel."""
+    from pg_analytics_spark.sources.avro import read_container
+    from pg_analytics_spark.sources.iceberg_write import compact_iceberg
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, v double"
+    )
+    write_iceberg(base.repartition(4, "id"), path, mode="overwrite")
+    delete_iceberg(spark, path, "id IN (3, 7)")
+    before = _rows(spark, path)
+    res = compact_iceberg(spark, path)
+    assert res["deletes_dropped"] == 1
+    assert res["files_rewritten"] >= 1
+    assert res["files_rewritten"] + res["files_untouched"] == 4
+    assert _rows(spark, path) == before
+    # the new snapshot's manifest list has NO delete manifests
+    import json as _json
+
+    meta = _json.load(
+        open(
+            os.path.join(
+                path, "metadata", f"v{res['version']}.metadata.json"
+            )
+        )
+    )
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == res["snapshot_id"]
+    )
+    _s, mlist = read_container(snap["manifest-list"])
+    assert all(m.get("content", 0) == 0 for m in mlist)
+    # compacting a clean table is a no-op
+    assert compact_iceberg(spark, path)["snapshot_id"] is None
+
+
+def test_compact_partitioned_keeps_partition_tuples(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import compact_iceberg
+
+    path = str(tmp_path / "p")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+        partition_by=["bucket(4, id)"],
+    )
+    delete_iceberg(spark, path, "id < 10")
+    res = compact_iceberg(spark, path)
+    assert res["snapshot_id"] is not None
+    back = load_source(spark, path, "iceberg")
+    assert sorted(r["id"] for r in back.collect()) == list(range(10, 40))
+    # manifest partition pruning still works on the compacted table
+    pruned = load_source(
+        spark, path, "iceberg",
+        {"partition_filter": [["id", "=", 20]]},
+    )
+    assert [r["id"] for r in pruned.collect()] == [20]
