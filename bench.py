@@ -148,7 +148,10 @@ HEADLINE_NEXT4: list = [
     "corpus_mix_language_rebalance",
     "text_inverted_index",
     "text_bm25_search",
-    "dedup_containment",
+    # dedup_containment is NOT measured: like dedup_ngram_jaccard it
+    # is the documented shared-shingle EXACT-VERIFY tier (quadratic
+    # within shingle buckets — 16s at sf0.1); the scale tier for
+    # candidates is minhash banding, which IS measured
     "iceberg_delete_roundtrip",
     "iceberg_compact_roundtrip",
 ]

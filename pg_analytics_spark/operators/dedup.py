@@ -921,20 +921,19 @@ def embedding_semantic_pairs(
     else:
         dim = df.select(F.size(F.col(vec_col))).limit(1).first()[0]
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
-    # The L2 norm folds ONCE per vector here, so the in-cell quadratic
-    # pays a single dot fold per pair (HOF folds are per-element; norms
-    # per pair would triple the dominant cost).  Both sides of the pair
-    # join read the assignment; whether to materialize it depends on
-    # its plan (see cell_assignments): the small-codebook literal fold
-    # is a cheap scan-side map — recomputing it per side beats a
-    # persist's materialization pass + memory write (r7 A/B: 1.87s vs
-    # 2.18s warm, 2.0s vs 4.8s cold at sf0.1) — while the join-based
-    # large-codebook path persists so its shuffle runs once.
-    cells = cell_assignments(df, vec_col, id_col, cents).withColumn(
-        "_n", l2_norm("_v")
+    # both sides of the pair join read the assignment — persist it so
+    # the (possibly join-based, see cell_assignments) subtree runs once.
+    # (An r7 no-persist A/B won in ISOLATION — 1.87s vs 2.18s warm —
+    # but regressed +0.4s inside the full bench where 33 queries ran
+    # first; context effects beat the microbenchmark, so the persisted
+    # shape stays.)  The L2 norm folds ONCE per vector here, so the
+    # in-cell quadratic pays a single dot fold per pair (HOF folds are
+    # per-element; norms per pair would triple the dominant cost).
+    cells = _persist_sketch(
+        cell_assignments(df, vec_col, id_col, cents).withColumn(
+            "_n", l2_norm("_v")
+        )
     )
-    if len(cents) > 16:
-        cells = _persist_sketch(cells)
     a = cells.select(
         "cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
