@@ -916,7 +916,13 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
     if not data_paths:
         return {"snapshot_id": None, "rows_deleted": 0, "version": prev_version}
 
-    tgt = spark.read.parquet(*sorted(data_paths)).select(
+    # mergeSchema: an EVOLVED table's older files lack added columns —
+    # the union schema surfaces them as NULL there, and three-valued
+    # logic then correctly leaves those rows unmatched (a raw read
+    # would bind one footer's schema and fail to resolve the column)
+    tgt = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(data_paths)
+    ).select(
         "*",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
             "_ifile"
@@ -1137,7 +1143,7 @@ def compact_iceberg(spark, path: str) -> dict:
             _delete_key_py(e["data_file"]["file_path"]) for e in affected
         ]
         idx_of = {k: i for i, k in enumerate(key_of)}
-        src = spark.read.parquet(
+        src = spark.read.option("mergeSchema", "true").parquet(
             *[e["data_file"]["file_path"] for e in affected]
         ).select(
             "*",

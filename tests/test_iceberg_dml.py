@@ -205,3 +205,39 @@ def test_compact_partitioned_keeps_partition_tuples(spark, tmp_path):
         {"partition_filter": [["id", "=", 20]]},
     )
     assert [r["id"] for r in pruned.collect()] == [20]
+
+
+def test_delete_and_compact_on_evolved_schema(spark, tmp_path):
+    """An evolved table's OLDER files lack added columns: the DML scan
+    reads under the union schema (mergeSchema), so a predicate on the
+    new column sees NULL there and three-valued logic leaves those
+    rows unmatched — no unresolved-column error, no over-delete."""
+    from pg_analytics_spark.sources.iceberg_write import compact_iceberg
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1,), (2,)], "id bigint"),
+        path,
+        mode="overwrite",
+    )
+    write_iceberg(
+        spark.createDataFrame([(3, "x"), (4, "y")], "id bigint, tag string"),
+        path,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    res = delete_iceberg(spark, path, "tag = 'x'")
+    assert res["rows_deleted"] == 1
+    back = sorted(
+        (r["id"], r["tag"])
+        for r in load_source(spark, path, "iceberg").collect()
+    )
+    assert back == [(1, None), (2, None), (4, "y")]
+    # compaction over the evolved layout keeps values
+    res2 = compact_iceberg(spark, path)
+    assert res2["snapshot_id"] is not None
+    back2 = sorted(
+        (r["id"], r["tag"])
+        for r in load_source(spark, path, "iceberg").collect()
+    )
+    assert back2 == back
