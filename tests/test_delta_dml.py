@@ -285,3 +285,36 @@ def test_vacuum_statement_routing(spark, tmp_path):
         spark.createDataFrame([(1,)], "id bigint").write.parquet(p)
         eng.attach("plain_vac", [p], "parquet")
         eng.sql("VACUUM plain_vac")
+
+
+def test_dml_on_evolved_schema(spark, tmp_path):
+    """DML over a schema-evolved Delta table: the replay reader
+    conforms older files to the current schemaString, so predicates
+    on added columns see NULL there (three-valued logic — no match,
+    no error) and an UPDATE of an old-file row migrates it to the
+    current schema."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1,), (2,)], "id bigint"),
+        path,
+        mode="overwrite",
+    )
+    write_delta(
+        spark.createDataFrame([(3, "x"), (4, "y")], "id bigint, tag string"),
+        path,
+        mode="append",
+        options={"mergeSchema": "true"},
+    )
+    res = delete_delta(spark, path, "tag = 'x'")
+    assert res["files_removed"] == 1 and res["files_added"] == 0  # full match
+    got = sorted(
+        (r["id"], r["tag"])
+        for r in load_source(spark, path, "delta").collect()
+    )
+    assert got == [(1, None), (2, None), (4, "y")]
+    update_delta(spark, path, {"tag": "'z'"}, "id = 1")
+    got = sorted(
+        (r["id"], r["tag"])
+        for r in load_source(spark, path, "delta").collect()
+    )
+    assert got == [(1, "z"), (2, None), (4, "y")]
