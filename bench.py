@@ -154,6 +154,7 @@ HEADLINE_NEXT4: list = [
     # candidates is minhash banding, which IS measured
     "iceberg_delete_roundtrip",
     "iceberg_compact_roundtrip",
+    "sketch_hll_overlap",
 ]
 
 

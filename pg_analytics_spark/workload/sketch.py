@@ -416,3 +416,137 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "exact_distinct", "nonzero_buckets", "hll_est")
         .orderBy("day")
     )
+
+
+def _hll_overlap_oracle() -> str:
+    m = 1 << _HLL_P
+    rem_bits = 32 - _HLL_P
+    am2 = hll_alpha_m2(_HLL_P)
+    h32 = "(('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT)"
+    est = (
+        f"ROUND(CAST('{am2!r}' AS DOUBLE) / (z_present + "
+        f"CAST({m} - nonzero_buckets AS DOUBLE)), 4)"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS cohort,
+             user_id, {h32} AS h32
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    slots AS (
+      SELECT cohort, h32 // {1 << rem_bits} AS bucket,
+             CASE WHEN h32 % {1 << rem_bits} = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits} + 1 - length(bin(h32 % {1 << rem_bits}))
+             END AS rho
+      FROM ev
+    ),
+    regs AS (
+      SELECT cohort, bucket, MAX(rho) AS rho FROM slots GROUP BY 1, 2
+    ),
+    uregs AS (SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY bucket),
+    per AS (
+      SELECT cohort, COUNT(*)::BIGINT AS nonzero_buckets,
+             SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS z_present
+      FROM regs GROUP BY cohort
+    ),
+    uni AS (
+      SELECT COUNT(*)::BIGINT AS nonzero_buckets,
+             SUM(1.0 / CAST((1::BIGINT << rho) AS DOUBLE)) AS z_present
+      FROM uregs
+    ),
+    ests AS (
+      SELECT MAX(CASE WHEN cohort = 'a' THEN e END) AS est_a,
+             MAX(CASE WHEN cohort = 'b' THEN e END) AS est_b
+      FROM (SELECT cohort, {est} AS e FROM per)
+    ),
+    uest AS (SELECT {est} AS est_union FROM uni),
+    exact AS (
+      SELECT COUNT(DISTINCT CASE WHEN cohort = 'a' THEN user_id END)::BIGINT
+               AS exact_a,
+             COUNT(DISTINCT CASE WHEN cohort = 'b' THEN user_id END)::BIGINT
+               AS exact_b,
+             COUNT(DISTINCT user_id)::BIGINT AS exact_union
+      FROM ev
+    ),
+    exact_i AS (
+      SELECT COUNT(*)::BIGINT AS exact_overlap FROM (
+        SELECT user_id FROM ev WHERE cohort = 'a'
+        INTERSECT
+        SELECT user_id FROM ev WHERE cohort = 'b'
+      )
+    )
+    SELECT exact_a, exact_b, exact_union, exact_overlap,
+           est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 4) AS est_overlap
+    FROM ests, uest, exact, exact_i
+    """
+
+
+@register(
+    "sketch_hll_overlap",
+    oracle=_hll_overlap_oracle(),
+    doc="HLL SET OPERATIONS — audience overlap without re-touching "
+    "events: per-cohort registers (clickers vs purchasers), union by "
+    "RE-MAXING the two register sets (exact for HLL — the union "
+    "sketch equals the sketch of the unioned stream), intersection "
+    "by inclusion-exclusion est_a + est_b - est_union (the standard "
+    "estimator; no sketch intersects exactly).  All three estimates "
+    "and the overlap are value-exact cross-engine (exact-dyadic Z, "
+    "one division each, one fixed-order subtraction); the exact "
+    "counts sit beside them showing the error.  Scale: cohort "
+    "registers are 2^p rows each — the 'how many buyers also "
+    "clicked' question over 100 TB of events in one pass, composable "
+    "to any number of cohorts.",
+)
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias(
+            "cohort"
+        ),
+        "user_id",
+        shingle_hash32(F.col("user_id").cast("string")).alias("h32"),
+    )
+    regs = hll_build_grouped(ev, "h32", ["cohort"], precision=_HLL_P)
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    regs = _persist_sketch(regs)
+    per = hll_estimate_grouped(regs, ["cohort"], precision=_HLL_P)
+    uregs = regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    uni = hll_estimate(uregs, precision=_HLL_P)
+    ests = per.groupBy().agg(
+        F.max(F.when(F.col("cohort") == "a", F.col("hll_est"))).alias("est_a"),
+        F.max(F.when(F.col("cohort") == "b", F.col("hll_est"))).alias("est_b"),
+    )
+    exact = ev.groupBy().agg(
+        F.count_distinct(
+            F.when(F.col("cohort") == "a", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("cohort") == "b", F.col("user_id"))
+        ).alias("exact_b"),
+        F.count_distinct("user_id").alias("exact_union"),
+    )
+    a_users = ev.filter("cohort = 'a'").select("user_id").distinct()
+    b_users = ev.filter("cohort = 'b'").select("user_id").distinct()
+    exact_i = a_users.join(b_users, "user_id").agg(
+        F.count("*").alias("exact_overlap")
+    )
+    return (
+        exact.crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(ests))
+        .crossJoin(F.broadcast(uni.select(F.col("hll_est").alias("est_union"))))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_overlap",
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+        )
+    )
