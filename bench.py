@@ -155,6 +155,7 @@ HEADLINE_NEXT4: list = [
     "iceberg_delete_roundtrip",
     "iceberg_compact_roundtrip",
     "sketch_hll_overlap",
+    "graph_pagerank_copurchase",
 ]
 
 

@@ -3243,3 +3243,118 @@ def iceberg_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, o_custkey, v FROM ice_compact_tgt "
         "ORDER BY o_orderkey"
     )
+
+
+def _pagerank_oracle(iters: int = 4) -> str:
+    """Fixed-point integer PageRank oracle: 4 unrolled iterations over
+    the co-purchase graph.  EVERY operation is BIGINT (scale 10^12,
+    floor division) so both engines agree bit-for-bit with zero float
+    staging — the iterative-algorithm determinism pattern."""
+    scale = 10**12
+    ctes = [
+        f"""edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*)::BIGINT AS w
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), outw AS (
+      SELECT src, SUM(w)::BIGINT AS ow FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*)::BIGINT AS n FROM outw),
+    r0 AS (
+      SELECT src AS node, ({scale}::BIGINT // n)::BIGINT AS r
+      FROM outw, nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+      SELECT o.src AS node,
+             ((15 * {scale}::BIGINT) // (100 * nn.n)
+              + COALESCE(c.s, 0))::BIGINT AS r
+      FROM outw o
+      LEFT JOIN (
+        SELECT e.dst, SUM((85 * r.r * e.w) // (100 * ow.ow))::BIGINT AS s
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN outw ow ON ow.src = e.src
+        GROUP BY e.dst
+      ) c ON c.dst = o.src
+      CROSS JOIN nn
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node AS p_partkey, r AS rank_fp,
+           ROUND(CAST(r AS DOUBLE) / {float(scale)!r}, 9) AS rank
+    FROM r{iters}
+    ORDER BY rank_fp DESC, node
+    LIMIT 20
+    """
+    )
+
+
+@register(
+    "graph_pagerank_copurchase",
+    oracle=_pagerank_oracle(),
+    doc="Weighted PageRank over the part CO-PURCHASE graph (edges = "
+    "parts sharing an order, weight = co-occurrence count, damping "
+    "0.85, 4 iterations) — the iterative-graph-algorithm "
+    "representative beside k-means/label-propagation/BPE.  "
+    "Determinism: the ENTIRE recurrence runs in BIGINT fixed-point "
+    "(scale 10^12, floor division — truncation == floor for the "
+    "all-positive operands), so rank sums are exact integers in any "
+    "aggregation order and both engines agree bit-for-bit with zero "
+    "float staging (the pattern for making iterative float algorithms "
+    "gate-checkable).  Scale: each iteration is ONE edges⨝ranks "
+    "shuffle + one aggregate; ranks are node-sized, edges never "
+    "materialize beyond the join; at many iterations localCheckpoint "
+    "truncates lineage (the dedup_clusters precedent).",
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    scale = 10**12
+    l = table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    edges = _persist_sketch(
+        baskets.alias("a")
+        .join(baskets.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    outw = _persist_sketch(
+        edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    )
+    nn = outw.agg(F.count("*").alias("n"))
+    ranks = outw.crossJoin(F.broadcast(nn)).selectExpr(
+        "src AS node", f"CAST({scale} div n AS BIGINT) AS r"
+    )
+    e = edges.join(outw, "src")
+    for _i in range(4):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .selectExpr(
+                "dst", f"CAST((85 * r * w) div (100 * ow) AS BIGINT) AS c"
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = (
+            outw.select("src")
+            .join(contrib, outw["src"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .selectExpr(
+                "src AS node",
+                f"CAST((15 * CAST({scale} AS BIGINT)) div (100 * n) "
+                "+ COALESCE(s, CAST(0 AS BIGINT)) AS BIGINT) AS r",
+            )
+        )
+    return ranks.selectExpr(
+        "node AS p_partkey",
+        "r AS rank_fp",
+        f"round(CAST(r AS DOUBLE) / {float(scale)!r}, 9) AS rank",
+    ).orderBy(F.desc("rank_fp"), "p_partkey").limit(20)

@@ -575,3 +575,21 @@ def test_containment_detects_embedded_document(spark):
     # the symmetric metric misses this pair at the usual 0.5 gate
     jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
     assert jac == []
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Integer fixed-point PageRank: ranks are positive BIGINTs, total
+    mass stays within flooring loss of the scale, and a re-run is
+    bit-identical (the determinism the gate relies on)."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    a = REGISTRY["graph_pagerank_copurchase"].spark(spark, sf).collect()
+    b = REGISTRY["graph_pagerank_copurchase"].spark(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["rank_fp"] > 0 for r in a)
+    # top-20 mass is a minority share of the unit total but nonzero
+    total_top = sum(r["rank_fp"] for r in a)
+    assert 0 < total_top <= 10**12
