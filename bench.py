@@ -156,6 +156,8 @@ HEADLINE_NEXT4: list = [
     "iceberg_compact_roundtrip",
     "sketch_hll_overlap",
     "graph_pagerank_copurchase",
+    "sql_passthrough_union_by_name",
+    "sql_passthrough_arg_extremum",
 ]
 
 

@@ -678,7 +678,7 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
 _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
-    r"|string_to_array|starts_with|ends_with|unnest)\b"
+    r"|string_to_array|starts_with|ends_with|unnest|arg_?max|arg_?min)\b"
     r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
     r"|\busing\s+sample\b|\bpositional\s+join\b",
     re.IGNORECASE,
@@ -2092,6 +2092,13 @@ FN_ALIASES: dict[str, str] = {
     "string_to_array": "split",
     "starts_with": "startswith",
     "ends_with": "endswith",
+    # DuckDB arg extremum aggregates ≡ Spark max_by/min_by: value of
+    # arg 1 at the max/min of arg 2; ties are unspecified in BOTH
+    # engines, so the pair is exact on the specified surface
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "argmax": "max_by",
+    "argmin": "min_by",
     # unnest in SELECT position (one row per element, empty/NULL arrays
     # produce no rows in BOTH engines); Spark's explode also works as a
     # table-valued function, covering DuckDB's FROM unnest([...]) form

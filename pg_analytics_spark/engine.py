@@ -287,6 +287,9 @@ class Engine:
         m = _VACUUM_STMT_RE.match(query.strip())
         if m:
             return self._vacuum_statement(m)
+        ubn = self._try_union_by_name(query)
+        if ubn is not None:
+            return ubn
         if _re.match(r"^(UPDATE|DELETE)\b", query.strip(), _re.IGNORECASE):
             # loud-or-green: a DML form the routers above don't parse
             # (DELETE … USING, UPDATE … FROM) must not surface Spark's
@@ -1375,6 +1378,154 @@ class Engine:
         res = delete_delta(self.spark, att.files[0], m.group("where"))
         self.attach(att.name, att.files, att.format, att.options, att.columns)
         return self._dml_metrics(res)
+
+    def _try_union_by_name(self, query: str) -> DataFrame | None:
+        """DuckDB ``q1 UNION [ALL] BY NAME q2 [ORDER BY …] [LIMIT …]``
+        — Spark SQL has no BY NAME syntax, but the DataFrame API has
+        its exact semantics: columns matched by NAME, names missing on
+        one side fill with NULL (unionByName allowMissingColumns),
+        result column order = first appearance.  Token-level detection
+        at paren depth 0 (strings/comments/subqueries never
+        false-match); segments execute through Engine.sql recursively
+        (so each side keeps the full dialect surface), set ops fold
+        left-associatively with DuckDB's dedup rule (UNION dedups,
+        UNION ALL keeps), and a trailing top-level ORDER BY/LIMIT
+        applies to the WHOLE union (the SQL grammar rule)."""
+        from pg_analytics_spark.dialect import (
+            _depths,
+            _next_code,
+            _tokenize,
+        )
+
+        toks = _tokenize(query)
+        depths = _depths(toks)
+        # a leading WITH clause scopes over the WHOLE set expression —
+        # carry it as a prefix into every segment so CTE names resolve
+        # on both sides of the split
+        prefix = ""
+        first = _next_code(toks, -1)
+        if (
+            first < len(toks)
+            and toks[first][0] == "word"
+            and toks[first][1].upper() == "WITH"
+        ):
+            i = first
+            end_defs = None
+            while True:
+                name_i = _next_code(toks, i)
+                as_i = _next_code(toks, name_i)
+                par_i = _next_code(toks, as_i)
+                if (
+                    par_i >= len(toks)
+                    or toks[as_i][0] != "word"
+                    or toks[as_i][1].upper() != "AS"
+                    or toks[par_i] != ("op", "(")
+                ):
+                    break  # not a recognizable CTE list — no prefix
+                d = 0
+                j = par_i
+                while j < len(toks):
+                    if toks[j] == ("op", "("):
+                        d += 1
+                    elif toks[j] == ("op", ")"):
+                        d -= 1
+                        if d == 0:
+                            break
+                    j += 1
+                nxt = _next_code(toks, j)
+                if nxt < len(toks) and toks[nxt] == ("op", ","):
+                    i = nxt
+                    continue
+                end_defs = j
+                break
+            if end_defs is not None:
+                prefix = "".join(t for _, t in toks[: end_defs + 1]) + " "
+                toks = toks[end_defs + 1:]
+                depths = _depths(toks)
+        splits = []  # (start_tok, end_tok, all_flag)
+        i = 0
+        while i < len(toks):
+            k, t = toks[i]
+            if k == "word" and t.upper() == "UNION" and depths[i] == 0:
+                j = _next_code(toks, i)
+                all_flag = False
+                if (
+                    j < len(toks)
+                    and toks[j][0] == "word"
+                    and toks[j][1].upper() == "ALL"
+                ):
+                    all_flag = True
+                    j = _next_code(toks, j)
+                if (
+                    j < len(toks)
+                    and toks[j][0] == "word"
+                    and toks[j][1].upper() == "BY"
+                ):
+                    j2 = _next_code(toks, j)
+                    if (
+                        j2 < len(toks)
+                        and toks[j2][0] == "word"
+                        and toks[j2][1].upper() == "NAME"
+                    ):
+                        splits.append((i, j2, all_flag))
+                        i = j2 + 1
+                        continue
+            i += 1
+        if not splits:
+            return None
+        segs: list[tuple[str, bool]] = []
+        prev = 0
+        for s, e, af in splits:
+            segs.append(("".join(t for _, t in toks[prev:s]).strip(), af))
+            prev = e + 1
+        last = toks[prev:]
+        last_depths = _depths(last)
+        # trailing top-level ORDER BY / LIMIT / OFFSET belongs to the
+        # whole union
+        cut = None
+        for x, (k, t) in enumerate(last):
+            if (
+                k == "word"
+                and last_depths[x] == 0
+                and t.upper() in ("ORDER", "LIMIT", "OFFSET")
+            ):
+                cut = x
+                break
+        if cut is None:
+            last_text = "".join(t for _, t in last).strip().rstrip("; \n")
+            suffix = ""
+        else:
+            last_text = "".join(t for _, t in last[:cut]).strip()
+            suffix = "".join(t for _, t in last[cut:]).strip().rstrip("; \n")
+
+        def _run(seg: str) -> DataFrame:
+            seg = seg.strip()
+            if seg.startswith("(") and seg.endswith(")"):
+                inner_toks = _tokenize(seg)
+                inner_d = _depths(inner_toks)
+                # strip only a paren pair wrapping the WHOLE segment
+                if all(
+                    d >= 1
+                    for j, d in enumerate(inner_d[1:-1], start=1)
+                    if inner_toks[j][0] not in ("ws", "comment")
+                ):
+                    seg = seg[1:-1].strip()
+            return self.sql(seg)
+
+        acc = _run(prefix + segs[0][0])
+        flags = [af for _, af in segs]
+        rest = [t for t, _ in segs[1:]] + [last_text]
+        for af, seg in zip(flags, rest):
+            acc = acc.unionByName(
+                _run(prefix + seg), allowMissingColumns=True
+            )
+            if not af:
+                acc = acc.dropDuplicates()
+        if suffix:
+            name = f"__union_by_name_{id(acc) & 0xFFFF:x}"
+            acc.createOrReplaceTempView(name)
+            return self.sql(f"SELECT * FROM {name} {suffix}")
+        return acc
 
     def _vacuum_statement(self, m) -> DataFrame:
         """``VACUUM <attached delta table> [RETAIN n HOURS]`` —

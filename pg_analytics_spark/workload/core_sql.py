@@ -3358,3 +3358,64 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r AS rank_fp",
         f"round(CAST(r AS DOUBLE) / {float(scale)!r}, 9) AS rank",
     ).orderBy(F.desc("rank_fp"), "p_partkey").limit(20)
+
+
+_UNION_BY_NAME_SQL = """
+SELECT r_regionkey AS k, r_name AS name FROM region
+UNION ALL BY NAME
+SELECT n_name AS name, n_nationkey AS k, n_regionkey AS extra
+FROM nation
+ORDER BY k, name
+"""
+
+
+@register(
+    "sql_passthrough_union_by_name",
+    oracle=_UNION_BY_NAME_SQL,
+    doc="DuckDB ``UNION ALL BY NAME`` — columns matched by NAME, "
+    "missing names NULL-fill, result order = first appearance — "
+    "ROUTED through the DataFrame API's exact equivalent "
+    "(unionByName allowMissingColumns) by a token-level depth-0 "
+    "split in Engine.sql: each side keeps the full dialect surface, "
+    "set ops fold left-associatively with DuckDB's dedup rule, a "
+    "leading WITH clause scopes over BOTH sides, and a trailing "
+    "top-level ORDER BY/LIMIT applies to the whole union.  Spark SQL "
+    "has no BY NAME syntax — this is the POSITIONAL-JOIN pattern: "
+    "statement text in, native dataflow out.",
+)
+def sql_passthrough_union_by_name(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return eng.sql(_UNION_BY_NAME_SQL)
+
+
+_ARG_EXTREMUM_SQL = """
+SELECT n_regionkey,
+       arg_max(n_name, n_nationkey) AS latest_name,
+       arg_min(n_name, n_nationkey) AS earliest_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@register(
+    "sql_passthrough_arg_extremum",
+    oracle=_ARG_EXTREMUM_SQL,
+    doc="DuckDB ``arg_max``/``arg_min`` (and argmax/argmin) → Spark "
+    "max_by/min_by — the same specified semantics (value of arg 1 at "
+    "the extremum of arg 2; both engines leave ties unspecified, and "
+    "the grouped keys here are unique so the row is value-exact).  "
+    "Exact-semantics function-alias family, per the dialect rule.",
+)
+def sql_passthrough_arg_extremum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return eng.sql(_ARG_EXTREMUM_SQL)

@@ -1074,3 +1074,49 @@ def test_positional_join_bare_star_expands(engine):
     rows = engine.sql(q).collect()
     assert rows[0].asDict() == {"ka": 0, "kb": 2}
     assert [r["kb"] for r in rows] == [2, 1, 0]
+
+
+def test_union_by_name_fill_dedup_and_cte_scope(engine):
+    # missing columns NULL-fill, first-appearance order
+    df = engine.sql(
+        "SELECT r_regionkey AS k, r_name AS name FROM region "
+        "UNION ALL BY NAME "
+        "SELECT n_name AS name, n_nationkey AS k, n_regionkey AS extra "
+        "FROM nation"
+    )
+    assert df.columns == ["k", "name", "extra"]
+    assert df.count() == 30
+    assert df.filter("extra IS NULL").count() == 5  # region rows
+    # UNION (no ALL) BY NAME dedups like DuckDB
+    n = engine.sql(
+        "SELECT r_regionkey AS k FROM region "
+        "UNION BY NAME SELECT r_regionkey AS k FROM region"
+    ).count()
+    assert n == 5
+    # a leading WITH scopes over BOTH sides
+    n2 = engine.sql(
+        "WITH small AS (SELECT r_regionkey AS k FROM region "
+        "WHERE r_regionkey < 2) "
+        "SELECT k FROM small UNION ALL BY NAME "
+        "SELECT k + 10 AS k FROM small"
+    ).count()
+    assert n2 == 4
+    # trailing ORDER BY / LIMIT applies to the WHOLE union
+    rows = engine.sql(
+        "SELECT r_regionkey AS k FROM region UNION ALL BY NAME "
+        "SELECT n_nationkey AS k FROM nation ORDER BY k DESC LIMIT 3"
+    ).collect()
+    assert [r["k"] for r in rows] == [24, 23, 22]
+
+
+def test_arg_extremum_aliases(engine):
+    r = engine.sql(
+        "SELECT arg_max(n_name, n_nationkey) AS a, "
+        "argmin(n_name, n_nationkey) AS b FROM nation"
+    ).first()
+    assert r["a"] == "NATION_24" and r["b"] == "NATION_0"
+    # qualified names stay untouched (someone else's namespace)
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    q = "SELECT ns.arg_max(a, b) FROM t"
+    assert "ns.arg_max" in rewrite_pg(q)
