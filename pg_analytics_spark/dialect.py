@@ -680,7 +680,8 @@ _EXTRA_RE = re.compile(
     r"\b(qualify|exclude|list_\w+|array_to_string|regexp_matches"
     r"|string_to_array|starts_with|ends_with|unnest|arg_?max|arg_?min)\b"
     r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
-    r"|\busing\s+sample\b|\bpositional\s+join\b",
+    r"|\busing\s+sample\b|\bpositional\s+join\b"
+    r"|,\s*\)|,\s*(from|where|group|order|having|limit)\b",
     re.IGNORECASE,
 )
 
@@ -1824,6 +1825,7 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     tokens = _rewrite_distinct_on(tokens)
     tokens = _rewrite_qualify(tokens)
     tokens = _rewrite_fn_aliases(tokens)
+    tokens = _rewrite_trailing_commas(tokens)
     return "".join(t for _, t in tokens)
 
 
@@ -2109,6 +2111,41 @@ FN_ALIASES: dict[str, str] = {
 # returns 0), len (array size vs string length ambiguity), strftime/
 # strptime (format-string languages differ).
 del FN_ALIASES["list_unique"]
+
+
+#: clause keywords a DuckDB trailing comma may directly precede
+_TRAILING_COMMA_NEXT = frozenset(
+    """from where group order having limit offset union except intersect
+    qualify window""".split()
+)
+
+
+def _rewrite_trailing_commas(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """DuckDB tolerates trailing commas in SELECT lists, call
+    argument lists, GROUP BY/ORDER BY lists etc.; Spark rejects them
+    all.  A comma whose next code token is a clause keyword, ``)``,
+    or end-of-input is NEVER meaningful in Spark SQL — removing it
+    can only turn a syntax error into the intended query."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i] == ("op", ","):
+            n = _next_code(out, i)
+            nxt = out[n] if n < len(out) else None
+            if (
+                nxt is None
+                or nxt == ("op", ")")
+                or (
+                    nxt[0] == "word"
+                    and nxt[1].lower() in _TRAILING_COMMA_NEXT
+                )
+            ):
+                del out[i]
+                continue
+        i += 1
+    return out
 
 
 def _rewrite_fn_aliases(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:

@@ -1120,3 +1120,27 @@ def test_arg_extremum_aliases(engine):
 
     q = "SELECT ns.arg_max(a, b) FROM t"
     assert "ns.arg_max" in rewrite_pg(q)
+
+
+def test_trailing_commas_tolerated(engine):
+    """DuckDB tolerates trailing commas in SELECT/GROUP BY/ORDER BY/
+    call-argument lists; the rewrite drops them (a comma before a
+    clause keyword or `)` is never valid Spark SQL, so removal can
+    only fix)."""
+    assert engine.sql("SELECT n_name, FROM nation").count() == 25
+    assert (
+        engine.sql(
+            "SELECT n_regionkey, count(*) AS c FROM nation "
+            "GROUP BY n_regionkey, ORDER BY c DESC,"
+        ).count()
+        == 5
+    )
+    assert (
+        engine.sql(
+            "SELECT n_name FROM nation WHERE n_regionkey IN (1, 2, )"
+        ).count()
+        == 10
+    )
+    # commas inside string literals are untouched
+    r = engine.sql("SELECT ', from' AS s FROM region LIMIT 1").first()
+    assert r["s"] == ", from"
