@@ -158,6 +158,7 @@ HEADLINE_NEXT4: list = [
     "graph_pagerank_copurchase",
     "sql_passthrough_union_by_name",
     "sql_passthrough_arg_extremum",
+    "sql_passthrough_generate_series",
 ]
 
 

@@ -681,7 +681,8 @@ _EXTRA_RE = re.compile(
     r"|string_to_array|starts_with|ends_with|unnest|arg_?max|arg_?min)\b"
     r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
     r"|\busing\s+sample\b|\bpositional\s+join\b"
-    r"|,\s*\)|,\s*(from|where|group|order|having|limit)\b",
+    r"|,\s*\)|,\s*(from|where|group|order|having|limit)\b"
+    r"|\bgenerate_series\b",
     re.IGNORECASE,
 )
 
@@ -1825,6 +1826,7 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     tokens = _rewrite_distinct_on(tokens)
     tokens = _rewrite_qualify(tokens)
     tokens = _rewrite_fn_aliases(tokens)
+    tokens = _rewrite_generate_series(tokens)
     tokens = _rewrite_trailing_commas(tokens)
     return "".join(t for _, t in tokens)
 
@@ -2111,6 +2113,51 @@ FN_ALIASES: dict[str, str] = {
 # returns 0), len (array size vs string length ambiguity), strftime/
 # strptime (format-string languages differ).
 del FN_ALIASES["list_unique"]
+
+
+def _rewrite_generate_series(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Relation-position DuckDB ``generate_series(a, b[, step])`` —
+    INCLUSIVE bounds, ints or timestamps+interval — becomes
+    ``(SELECT explode(sequence(a, b[, step])) AS generate_series)``:
+    Spark's sequence() shares the inclusive-bounds contract exactly.
+    Only FROM/JOIN/comma position rewrites (SELECT-position
+    generate_series returns a LIST in DuckDB — different semantics,
+    deliberately untouched)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.lower() == "generate_series":
+            p = _prev_code(out, i)
+            prev_ok = p >= 0 and (
+                out[p] == ("op", ",")
+                or (
+                    out[p][0] == "word"
+                    and out[p][1].lower() in ("from", "join")
+                )
+            )
+            n = _next_code(out, i)
+            if prev_ok and n < len(out) and out[n] == ("op", "("):
+                d, j = 0, n
+                while j < len(out):
+                    if out[j] == ("op", "("):
+                        d += 1
+                    elif out[j] == ("op", ")"):
+                        d -= 1
+                        if d == 0:
+                            break
+                    j += 1
+                args = "".join(t for _, t in out[n + 1: j])
+                repl = _tokenize(
+                    f"(SELECT explode(sequence({args})) AS generate_series)"
+                )
+                out = out[:i] + repl + out[j + 1:]
+                i += len(repl)
+                continue
+        i += 1
+    return out
 
 
 #: clause keywords a DuckDB trailing comma may directly precede

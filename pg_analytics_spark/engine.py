@@ -116,6 +116,14 @@ _VACUUM_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: DuckDB `PRAGMA name[('arg')]` statement text — table_info/version/
+#: database_list supported, everything else rejected with guidance.
+_PRAGMA_RE = _re.compile(
+    r"^PRAGMA\s+(?P<name>\w+)"
+    r"(?:\s*\(\s*'(?P<arg>[^']*)'\s*\))?;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: DuckDB `SUMMARIZE tbl` / `SUMMARIZE SELECT …` statement text —
 #: routes to Engine.summarize (one-job per-column profile).
 _SUMMARIZE_RE = _re.compile(
@@ -287,9 +295,13 @@ class Engine:
         m = _VACUUM_STMT_RE.match(query.strip())
         if m:
             return self._vacuum_statement(m)
+        m = _PRAGMA_RE.match(query.strip())
+        if m:
+            return self._pragma_statement(m)
         ubn = self._try_union_by_name(query)
         if ubn is not None:
             return ubn
+        query = self._expand_fs_table_functions(query)
         if _re.match(r"^(UPDATE|DELETE)\b", query.strip(), _re.IGNORECASE):
             # loud-or-green: a DML form the routers above don't parse
             # (DELETE … USING, UPDATE … FROM) must not surface Spark's
@@ -1378,6 +1390,134 @@ class Engine:
         res = delete_delta(self.spark, att.files[0], m.group("where"))
         self.attach(att.name, att.files, att.format, att.options, att.columns)
         return self._dml_metrics(res)
+
+    def _pragma_statement(self, m) -> DataFrame:
+        """DuckDB ``PRAGMA`` statements the reference's tooling may
+        emit: ``table_info('t')`` (sqlite-shaped column listing from
+        the live schema), ``version``, ``database_list``,
+        ``show_tables``.  Anything else raises UnsupportedDialect with
+        guidance (Engine.settings/set cover the config pragmas)."""
+        from pg_analytics_spark.dialect import UnsupportedDialect
+
+        name = m.group("name").lower()
+        arg = m.group("arg")
+        if name == "table_info":
+            if not arg:
+                raise UnsupportedDialect("PRAGMA table_info needs a table name")
+            schema = self.spark.table(arg).schema
+            return self.spark.createDataFrame(
+                [
+                    (
+                        i,
+                        f.name,
+                        f.dataType.simpleString().upper(),
+                        not f.nullable,
+                        None,
+                        False,
+                    )
+                    for i, f in enumerate(schema.fields)
+                ],
+                "cid int, name string, type string, notnull boolean, "
+                "dflt_value string, pk boolean",
+            )
+        if name == "version":
+            return self.spark.createDataFrame(
+                [(f"pg_analytics_spark (Spark {self.spark.version})", "")],
+                "library_version string, source_id string",
+            )
+        if name == "database_list":
+            return self.spark.createDataFrame(
+                [(0, "memory", "")], "seq int, name string, file string"
+            )
+        if name == "show_tables":
+            return self.sql("SHOW TABLES")
+        raise UnsupportedDialect(
+            f"PRAGMA {name}: supported pragmas are table_info('t'), "
+            "version, database_list, show_tables; engine settings go "
+            "through Engine.settings()/set()"
+        )
+
+    def _expand_fs_table_functions(self, query: str) -> str:
+        """Relation-position ``glob('pattern')`` and
+        ``duckdb_tables()`` — DuckDB's filesystem/catalog table
+        functions: the match list / attachment catalog is
+        driver-state, so each call materializes a temp view and the
+        statement text references it.  Token-level (strings/comments
+        never false-match); no-op when neither name appears."""
+        low = query.lower()
+        if "glob" not in low and "duckdb_tables" not in low:
+            return query
+        from pg_analytics_spark.dialect import (
+            _depths,
+            _next_code,
+            _prev_code,
+            _tokenize,
+        )
+
+        toks = _tokenize(query)
+        out = []
+        i = 0
+        changed = False
+        while i < len(toks):
+            kind, text = toks[i]
+            lowt = text.lower() if kind == "word" else ""
+            if lowt in ("glob", "duckdb_tables"):
+                p = _prev_code(toks, i)
+                rel_pos = p < 0 or toks[p] == ("op", ",") or (
+                    toks[p][0] == "word"
+                    and toks[p][1].lower() in ("from", "join")
+                )
+                n = _next_code(toks, i)
+                if rel_pos and n < len(toks) and toks[n] == ("op", "("):
+                    d, j = 0, n
+                    while j < len(toks):
+                        if toks[j] == ("op", "("):
+                            d += 1
+                        elif toks[j] == ("op", ")"):
+                            d -= 1
+                            if d == 0:
+                                break
+                        j += 1
+                    args = "".join(t for _, t in toks[n + 1: j]).strip()
+                    if lowt == "glob":
+                        import glob as _glob
+
+                        pat = args.strip("'\"")
+                        rows = [(f,) for f in sorted(_glob.glob(pat))]
+                        df = self.spark.createDataFrame(
+                            rows, "file string"
+                        ) if rows else self.spark.createDataFrame(
+                            [], "file string"
+                        )
+                        view = f"__glob_{abs(hash(pat)) & 0xFFFFFF:x}"
+                    else:
+                        rows = [
+                            (
+                                "memory",
+                                "main",
+                                a.name,
+                                False,
+                                len(a.columns or []) or len(
+                                    self.spark.table(a.name).columns
+                                ),
+                            )
+                            for a in self._attachments.values()
+                        ]
+                        df = self.spark.createDataFrame(
+                            rows,
+                            "database_name string, schema_name string, "
+                            "table_name string, temporary boolean, "
+                            "column_count long",
+                        )
+                        view = "__duckdb_tables"
+                    df.createOrReplaceTempView(view)
+                    out.append(("word", view))
+                    i = j + 1
+                    changed = True
+                    continue
+            out.append(toks[i])
+            i += 1
+        return "".join(t for _, t in out) if changed else query
 
     def _try_union_by_name(self, query: str) -> DataFrame | None:
         """DuckDB ``q1 UNION [ALL] BY NAME q2 [ORDER BY …] [LIMIT …]``

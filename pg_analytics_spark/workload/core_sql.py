@@ -3419,3 +3419,31 @@ def sql_passthrough_arg_extremum(
     eng = Engine(spark=spark)
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return eng.sql(_ARG_EXTREMUM_SQL)
+
+
+_GENSERIES_SQL = """
+SELECT r_name, g AS step_no
+FROM region, generate_series(1, 3) t(g)
+ORDER BY r_name, step_no
+"""
+
+
+@register(
+    "sql_passthrough_generate_series",
+    oracle=_GENSERIES_SQL,
+    doc="DuckDB relation-position ``generate_series(a, b[, step])`` "
+    "(INCLUSIVE bounds) → ``explode(sequence(...))`` — Spark's "
+    "sequence shares the inclusive-bounds contract exactly, ints and "
+    "timestamps+interval alike.  SELECT-position generate_series "
+    "(returns a LIST in DuckDB) is deliberately untouched — different "
+    "semantics.  Here laterally crossed with a table and aliased "
+    "t(g), the common calendar-spine shape.",
+)
+def sql_passthrough_generate_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return eng.sql(_GENSERIES_SQL)

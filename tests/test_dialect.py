@@ -1144,3 +1144,42 @@ def test_trailing_commas_tolerated(engine):
     # commas inside string literals are untouched
     r = engine.sql("SELECT ', from' AS s FROM region LIMIT 1").first()
     assert r["s"] == ", from"
+
+
+def test_pragma_and_fs_table_functions(engine):
+    ti = engine.sql("PRAGMA table_info('nation')").collect()
+    assert [r["name"] for r in ti] == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    assert engine.sql("PRAGMA version").count() == 1
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+
+    with _pytest.raises(UnsupportedFormat, match="supported pragmas"):
+        engine.sql("PRAGMA memory_limit")
+    files = engine.sql(
+        "SELECT file FROM glob('/root/testdata/sf0.001/*.parquet')"
+    ).collect()
+    assert len(files) == 10 and all(
+        r["file"].endswith(".parquet") for r in files
+    )
+    tabs = {
+        r["table_name"]
+        for r in engine.sql("SELECT * FROM duckdb_tables()").collect()
+    }
+    assert {"region", "nation", "lineitem"} <= tabs
+
+
+def test_generate_series_inclusive_and_aliased(engine):
+    rows = engine.sql("SELECT * FROM generate_series(1, 5)").collect()
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+    rows = engine.sql(
+        "SELECT g FROM generate_series(0, 10, 5) AS t(g)"
+    ).collect()
+    assert [r["g"] for r in rows] == [0, 5, 10]
+    # SELECT-position untouched (DuckDB returns a LIST there)
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    q = "SELECT generate_series(1, 3) FROM t"
+    assert "explode" not in rewrite_pg(q)
