@@ -154,6 +154,7 @@ HEADLINE_NEXT4: list = [
     # candidates is minhash banding, which IS measured
     "iceberg_delete_roundtrip",
     "iceberg_compact_roundtrip",
+    "iceberg_update_delete_roundtrip",
     "sketch_hll_overlap",
     "graph_pagerank_copurchase",
     "sql_passthrough_union_by_name",

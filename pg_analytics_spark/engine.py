@@ -1312,7 +1312,9 @@ class Engine:
         from pg_analytics_spark.dialect import _depths, _tokenize
         from pg_analytics_spark.sources.delta_write import update_delta
 
-        att = self._dml_delta_attachment(m.group("name"), "UPDATE")
+        att = self._dml_delta_attachment(
+            m.group("name"), "UPDATE", formats=("delta", "iceberg")
+        )
         rest = m.group("rest")
         toks = _tokenize(rest)
         depths = _depths(toks)
@@ -1355,6 +1357,19 @@ class Engine:
             col = "".join(t for _, (_k, t) in a[:eq_at]).strip()
             expr = "".join(t for _, (_k, t) in a[eq_at + 1:]).strip()
             set_map[col.split(".")[-1]] = expr
+        if att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                update_iceberg,
+            )
+
+            res = update_iceberg(self.spark, att.files[0], set_map, where)
+            self.attach(
+                att.name, att.files, att.format, att.options, att.columns
+            )
+            return self.spark.createDataFrame(
+                [(int(res["rows_updated"]), int(res["version"]))],
+                "rows_updated bigint, version int",
+            )
         res = update_delta(self.spark, att.files[0], set_map, where)
         self.attach(att.name, att.files, att.format, att.options, att.columns)
         return self._dml_metrics(res)

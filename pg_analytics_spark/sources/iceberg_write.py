@@ -1273,3 +1273,261 @@ def compact_iceberg(spark, path: str) -> dict:
         "deletes_dropped": n_delete_files,
         "version": version,
     }
+
+
+def update_iceberg(
+    spark, path: str, set_map: dict[str, str], where: str | None = None
+) -> dict:
+    """``UPDATE <iceberg table> SET col = expr[, …] [WHERE cond]`` as
+    ONE merge-on-read snapshot: matched VISIBLE rows become position
+    deletes AND their updated images append as new data files — both
+    manifests commit atomically in a single metadata version, so a
+    reader never observes the half-updated state a delete-then-append
+    pair would expose.  SET expressions evaluate against the OLD row
+    (SQL UPDATE semantics, parallel assignment); NULL predicates match
+    nothing (three-valued logic).  Unpartitioned tables only — new
+    rows for a partitioned spec need the write-side transform
+    machinery; use the Delta writer's copy-on-write UPDATE or an
+    overwrite there (clear error says so).  Returns {"snapshot_id",
+    "rows_updated", "version"}; matching nothing commits nothing."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+    from pg_analytics_spark.sources.iceberg import _ice_to_spark_type
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"UPDATE target is not an iceberg table: {path}")
+    spec = next(
+        (
+            sp
+            for sp in prev_meta.get("partition-specs", [])
+            if sp.get("spec-id") == prev_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise UnsupportedFormat(
+            "update_iceberg supports UNPARTITIONED tables; partitioned "
+            "targets need write-side transforms for the new rows — use "
+            "the Delta writer's copy-on-write UPDATE or an overwrite"
+        )
+    fields = next(
+        s for s in prev_meta.get("schemas", [])
+        if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+    )["fields"]
+    colnames = [f["name"] for f in fields]
+    bad = [c for c in set_map if c not in colnames]
+    if bad:
+        raise UnsupportedFormat(f"UPDATE: unknown column(s) {bad}")
+
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    data_paths: list[str] = []
+    existing_pos_deletes: list[str] = []
+    for m in prev_list:
+        _s2, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            rec = e["data_file"]
+            if m.get("content", 0) == 1:
+                if rec.get("content", 1) == 1:
+                    existing_pos_deletes.append(rec["file_path"])
+            else:
+                data_paths.append(rec["file_path"])
+    if not data_paths:
+        return {"snapshot_id": None, "rows_updated": 0, "version": prev_version}
+
+    tgt = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(data_paths)
+    ).select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "_ifile"
+        ),
+        F.col("_metadata.row_index").cast("long").alias("_ipos"),
+    )
+    if existing_pos_deletes:
+        prior = spark.read.parquet(*sorted(set(existing_pos_deletes))).select(
+            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                "_ifile"
+            ),
+            F.col("pos").cast("long").alias("_ipos"),
+        )
+        tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
+    match = F.expr(where) if where is not None else F.lit(True)
+    matched = tgt.filter(F.coalesce(match, F.lit(False))).persist()
+    try:
+        updated = matched.select(
+            *[
+                (
+                    F.expr(set_map[c]) if c in set_map else F.col(c)
+                )
+                .cast(_ice_to_spark_type(
+                    next(f["type"] for f in fields if f["name"] == c)
+                ) or "string")
+                .alias(c)
+                for c in colnames
+            ]
+        )
+        dels = matched.select(
+            F.col("_ifile").alias("file_path"), F.col("_ipos").alias("pos")
+        )
+        staging = os.path.join(
+            os.path.dirname(path.rstrip("/")) or ".",
+            f"_ice_upd-{uuid.uuid4().hex}",
+        )
+        dels.coalesce(1).sortWithinPartitions("file_path", "pos").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, "del"))
+        updated.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "add")
+        )
+    finally:
+        matched.unpersist()
+    import pyarrow.parquet as _pq
+
+    def _one_part(sub):
+        for root, _d, ns in os.walk(os.path.join(staging, sub)):
+            for nme in sorted(ns):
+                if nme.endswith(".parquet"):
+                    return os.path.join(root, nme)
+        return None
+
+    dpart, apart = _one_part("del"), _one_part("add")
+    n_upd = _pq.ParquetFile(dpart).metadata.num_rows if dpart else 0
+    if not n_upd:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"snapshot_id": None, "rows_updated": 0, "version": prev_version}
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(
+        data_dir, f"delete-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+    )
+    apath = os.path.join(
+        data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+    )
+    os.replace(dpart, dpath)
+    os.replace(apart, apath)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    del_manifest = os.path.join(meta_dir, f"man-del-{snapshot_id}.avro")
+    write_container(
+        _manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": n_upd,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+        del_manifest,
+    )
+    lowers, uppers, a_rows, a_size = None, None, n_upd, os.path.getsize(apath)
+    try:
+        lo, up, a_rows = _file_bounds(apath, fields)
+        lowers, uppers = lo or None, up or None
+    except Exception:
+        pass
+    add_manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
+    write_container(
+        _manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": apath,
+                    "file_format": "PARQUET",
+                    "record_count": a_rows,
+                    "file_size_in_bytes": a_size,
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                },
+            }
+        ],
+        add_manifest,
+    )
+    mf_entries = list(prev_list) + [
+        {
+            "manifest_path": del_manifest,
+            "manifest_length": os.path.getsize(del_manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        },
+        {
+            "manifest_path": add_manifest,
+            "manifest_length": os.path.getsize(add_manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        },
+    ]
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "overwrite"},
+        }
+    ]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_updated": int(n_upd),
+        "version": version,
+    }

@@ -3447,3 +3447,65 @@ def sql_passthrough_generate_series(
     eng = Engine(spark=spark)
     table(spark, sf_dir, "region").createOrReplaceTempView("region")
     return eng.sql(_GENSERIES_SQL)
+
+
+_ICE_UPDATE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey < 2000
+), updated AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN COALESCE(v < 100000, FALSE) THEN v * 2 ELSE v END AS v
+  FROM base
+)
+SELECT o_orderkey, o_custkey, v FROM updated
+WHERE NOT COALESCE(v > 250000, FALSE)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "iceberg_update_delete_roundtrip",
+    oracle=_ICE_UPDATE_ORACLE,
+    doc="Merge-on-read UPDATE + DELETE statement text on the native "
+    "Iceberg writer: the UPDATE commits ONE snapshot carrying the "
+    "position deletes AND the updated images (no half-updated state "
+    "between commits), the DELETE then sees the NEW values; the same "
+    "NULL-seeded relational oracle as the Delta twin "
+    "delta_update_delete_roundtrip — the two writers answer the same "
+    "statements with opposite write-amplification trades (CoW "
+    "rewrite-on-commit vs MoR pay-on-read), and the gate proves the "
+    "ANSWERS identical.",
+)
+def iceberg_update_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_upd")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("ice_upd_tgt", [root], "iceberg")
+    eng.sql("UPDATE ice_upd_tgt SET v = v * 2 WHERE v < 100000")
+    eng.sql("DELETE FROM ice_upd_tgt WHERE v > 250000")
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM ice_upd_tgt ORDER BY o_orderkey"
+    )

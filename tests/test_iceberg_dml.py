@@ -111,9 +111,16 @@ def test_statement_routing_iceberg_delete(spark, tmp_path):
     assert m["rows_deleted"] == 3
     got = sorted(r["id"] for r in eng.sql("FROM ice_dml").collect())
     assert got == list(range(7))
-    # UPDATE stays delta-only and errors loudly on iceberg
-    with pytest.raises(UnsupportedFormat, match="delta"):
-        eng.sql("UPDATE ice_dml SET v = 0 WHERE id = 1")
+    # merge-on-read UPDATE: ONE snapshot carries the position deletes
+    # AND the updated images; NULL-predicate rows untouched
+    m = eng.sql("UPDATE ice_dml SET v = v + 100 WHERE id < 2").first()
+    assert m["rows_updated"] == 2
+    got = sorted(
+        (r["id"], r["v"]) for r in eng.sql("FROM ice_dml").collect()
+    )
+    assert got == [(0, 100.0), (1, 101.0)] + [
+        (i, float(i)) for i in range(2, 7)
+    ]
 
 
 def test_metadata_version_race_is_loud(spark, tmp_path, monkeypatch):
@@ -241,3 +248,43 @@ def test_delete_and_compact_on_evolved_schema(spark, tmp_path):
         for r in load_source(spark, path, "iceberg").collect()
     )
     assert back2 == back
+
+
+def test_update_partitioned_rejected_with_guidance(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import update_iceberg
+
+    path = str(tmp_path / "p")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+        partition_by=["bucket(2, id)"],
+    )
+    with pytest.raises(UnsupportedFormat, match="UNPARTITIONED"):
+        update_iceberg(spark, path, {"v": "0.0"}, "id = 1")
+
+
+def test_update_null_predicate_and_old_row_semantics(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import update_iceberg
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10.0, 1.0), (2, None, 2.0), (3, 5.0, 3.0)],
+            "id bigint, v double, w double",
+        ),
+        path,
+        mode="overwrite",
+    )
+    # parallel assignment: both SETs read the OLD row
+    res = update_iceberg(
+        spark, path, {"v": "w", "w": "v"}, "v < 8"
+    )
+    assert res["rows_updated"] == 1  # only id=3 (NULL v unmatched)
+    got = sorted(
+        (r["id"], r["v"], r["w"])
+        for r in load_source(spark, path, "iceberg").collect()
+    )
+    assert got == [(1, 10.0, 1.0), (2, None, 2.0), (3, 3.0, 5.0)]
