@@ -1366,18 +1366,24 @@ def update_iceberg(
     match = F.expr(where) if where is not None else F.lit(True)
     matched = tgt.filter(F.coalesce(match, F.lit(False))).persist()
     try:
-        updated = matched.select(
-            *[
-                (
-                    F.expr(set_map[c]) if c in set_map else F.col(c)
-                )
-                .cast(_ice_to_spark_type(
+        # only SET targets cast (to the column's declared type);
+        # untouched columns pass through AS-IS — casting them through a
+        # string fallback would corrupt nested types
+        upd_cols = []
+        for c in colnames:
+            if c in set_map:
+                t = _ice_to_spark_type(
                     next(f["type"] for f in fields if f["name"] == c)
-                ) or "string")
-                .alias(c)
-                for c in colnames
-            ]
-        )
+                )
+                if t is None:
+                    raise UnsupportedFormat(
+                        f"UPDATE: column {c!r} has a nested type — "
+                        "unsupported as a SET target"
+                    )
+                upd_cols.append(F.expr(set_map[c]).cast(t).alias(c))
+            else:
+                upd_cols.append(F.col(c))
+        updated = matched.select(*upd_cols)
         dels = matched.select(
             F.col("_ifile").alias("file_path"), F.col("_ipos").alias("pos")
         )
