@@ -681,7 +681,8 @@ _EXTRA_RE = re.compile(
     r"|string_to_array|starts_with|ends_with|unnest|arg_?max|arg_?min)\b"
     r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
     r"|\busing\s+sample\b|\bpositional\s+join\b"
-    r"|,\s*\)|,\s*(from|where|group|order|having|limit)\b"
+    r"|,\s*\)|,\s*(from|where|group|order|having|limit|offset"
+    r"|union|except|intersect|qualify|window)\b"
     r"|\bgenerate_series\b",
     re.IGNORECASE,
 )
@@ -1772,7 +1773,9 @@ def _rewrite_from_first(sql: str) -> str:
     return f"{out} {trailing}" if trailing else out
 
 
-def rewrite_pg(sql: str, asof_union: bool = True) -> str:
+def rewrite_pg(
+    sql: str, asof_union: bool = True, keyword_commas: bool = False
+) -> str:
     """Rewrite Postgres/DuckDB-dialect constructs to Spark SQL.
 
     A no-op (returns the input object) when the query contains neither
@@ -1783,6 +1786,11 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     correlated-LATERAL compatibility rewrite instead of the default
     union+window routing (Engine.sql retries with it when the routed
     plan fails analysis, e.g. on unqualified outer column refs).
+
+    ``keyword_commas=True`` additionally removes commas directly
+    preceding clause keywords (DuckDB trailing-comma tolerance) —
+    ambiguous when the keyword could be a non-reserved column name,
+    so Engine.sql passes it only on a parse-failure retry.
     """
     if _FROM_FIRST_RE.match(sql):
         sql = _rewrite_from_first(sql)
@@ -1827,7 +1835,7 @@ def rewrite_pg(sql: str, asof_union: bool = True) -> str:
     tokens = _rewrite_qualify(tokens)
     tokens = _rewrite_fn_aliases(tokens)
     tokens = _rewrite_generate_series(tokens)
-    tokens = _rewrite_trailing_commas(tokens)
+    tokens = _rewrite_trailing_commas(tokens, keywords=keyword_commas)
     return "".join(t for _, t in tokens)
 
 
@@ -2130,34 +2138,70 @@ def _rewrite_generate_series(
     while i < len(out):
         kind, text = out[i]
         if kind == "word" and text.lower() == "generate_series":
+            depths = _depths(out)
             p = _prev_code(out, i)
             prev_ok = p >= 0 and (
-                out[p] == ("op", ",")
+                (
+                    out[p] == ("op", ",")
+                    and _comma_in_from_list(out, depths, p)
+                )
                 or (
                     out[p][0] == "word"
                     and out[p][1].lower() in ("from", "join")
                 )
             )
             n = _next_code(out, i)
-            if prev_ok and n < len(out) and out[n] == ("op", "("):
-                d, j = 0, n
-                while j < len(out):
-                    if out[j] == ("op", "("):
-                        d += 1
-                    elif out[j] == ("op", ")"):
-                        d -= 1
-                        if d == 0:
-                            break
-                    j += 1
-                args = "".join(t for _, t in out[n + 1: j])
-                repl = _tokenize(
-                    f"(SELECT explode(sequence({args})) AS generate_series)"
-                )
-                out = out[:i] + repl + out[j + 1:]
-                i += len(repl)
-                continue
+            if n < len(out) and out[n] == ("op", "("):
+                if prev_ok:
+                    d, j = 0, n
+                    while j < len(out):
+                        if out[j] == ("op", "("):
+                            d += 1
+                        elif out[j] == ("op", ")"):
+                            d -= 1
+                            if d == 0:
+                                break
+                        j += 1
+                    args = "".join(t for _, t in out[n + 1: j])
+                    repl = _tokenize(
+                        "(SELECT explode(sequence("
+                        f"{args})) AS generate_series)"
+                    )
+                    out = out[:i] + repl + out[j + 1:]
+                    i += len(repl)
+                    continue
+                # expression position (DuckDB returns a LIST there) —
+                # Spark's sequence() has the same inclusive-bounds
+                # array semantics
+                out[i] = ("word", "sequence")
         i += 1
     return out
+
+
+#: clause keywords that delimit relation-position detection
+_CLAUSE_KWS = frozenset(
+    """select from where group by order having limit offset join on using
+    union except intersect qualify window when then else set""".split()
+)
+
+
+def _comma_in_from_list(
+    toks: list[tuple[str, str]], depths: list[int], idx: int
+) -> bool:
+    """True when the comma at ``idx`` separates FROM-list relations:
+    the nearest preceding clause keyword at the SAME depth is
+    FROM/JOIN/ON/USING.  A SELECT-list (or GROUP BY/ORDER BY) comma
+    must never put the following call in relation position — that
+    would rewrite expression-position table-function names (r7
+    ADVICE)."""
+    d0 = depths[idx]
+    for q in range(idx - 1, -1, -1):
+        if depths[q] != d0 or toks[q][0] != "word":
+            continue
+        w = toks[q][1].lower()
+        if w in _CLAUSE_KWS:
+            return w in ("from", "join", "on", "using")
+    return False
 
 
 #: clause keywords a DuckDB trailing comma may directly precede
@@ -2168,13 +2212,22 @@ _TRAILING_COMMA_NEXT = frozenset(
 
 
 def _rewrite_trailing_commas(
-    tokens: list[tuple[str, str]]
+    tokens: list[tuple[str, str]], keywords: bool = False
 ) -> list[tuple[str, str]]:
     """DuckDB tolerates trailing commas in SELECT lists, call
     argument lists, GROUP BY/ORDER BY lists etc.; Spark rejects them
-    all.  A comma whose next code token is a clause keyword, ``)``,
-    or end-of-input is NEVER meaningful in Spark SQL — removing it
-    can only turn a syntax error into the intended query."""
+    all.  A comma whose next code token is ``)`` or end-of-input is
+    NEVER meaningful in Spark SQL — removing those unconditionally
+    can only turn a syntax error into the intended query.
+
+    A comma before a CLAUSE KEYWORD is ambiguous: several of those
+    words are non-reserved in Spark (``window``, ``offset``, …), so
+    ``SELECT a, window FROM t`` is a valid projection of a column
+    named ``window`` — deleting the comma would silently re-parse it
+    as an alias (r7 ADVICE).  The ``keywords=True`` tier removes
+    those too; Engine.sql enables it ONLY as a retry after the
+    unmodified statement failed to parse, when no valid reading
+    existed in the first place."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -2185,7 +2238,8 @@ def _rewrite_trailing_commas(
                 nxt is None
                 or nxt == ("op", ")")
                 or (
-                    nxt[0] == "word"
+                    keywords
+                    and nxt[0] == "word"
                     and nxt[1].lower() in _TRAILING_COMMA_NEXT
                 )
             ):

@@ -187,6 +187,7 @@ class Engine:
         self._attachments: dict[str, _Attachment] = {}
         self._prepared: dict[str, _Prepared] = {}
         self._macros: dict[str, tuple[list[str], str, bool]] = {}
+        self._fs_view_seq = 0  # monotonic glob()-view ids
 
     # ------------------------------------------------------------------ #
     # Source registration (CREATE FOREIGN TABLE analog)
@@ -398,13 +399,33 @@ class Engine:
             # UNQUALIFIED fails analysis there — retry on the
             # correlated-LATERAL compatibility rewrite, which exposes
             # flat columns (DuckDB-equivalent resolution).
-            from pyspark.errors import AnalysisException
+            from pyspark.errors import AnalysisException, ParseException
 
             if isinstance(exc, AnalysisException) and _re.search(
                 r"\basof\s+(left\s+)?join\b", query, _re.IGNORECASE
             ):
                 return self._sql_rewritten(
                     rewrite_pg(query, asof_union=False), args
+                )
+            # DuckDB trailing-comma tolerance before a clause keyword
+            # (`SELECT a, FROM t`): ambiguous on the first pass —
+            # `window` etc. are valid non-reserved column names — so
+            # the comma is removed ONLY after the statement failed to
+            # parse as written (r7 ADVICE: no valid reading existed).
+            comma_error = isinstance(exc, ParseException) or (
+                # Spark's dedicated SELECT-list trailing-comma error —
+                # unambiguous, unlike a generic AnalysisException
+                isinstance(exc, AnalysisException)
+                and "TRAILING_COMMA" in str(exc)
+            )
+            if comma_error and _re.search(
+                r",\s*(from|where|group|order|having|limit|offset"
+                r"|union|except|intersect|qualify|window)\b",
+                query,
+                _re.IGNORECASE,
+            ):
+                return self._sql_rewritten(
+                    rewrite_pg(query, keyword_commas=True), args
                 )
             raise
 
@@ -1463,6 +1484,7 @@ class Engine:
         if "glob" not in low and "duckdb_tables" not in low:
             return query
         from pg_analytics_spark.dialect import (
+            _comma_in_from_list,
             _depths,
             _next_code,
             _prev_code,
@@ -1470,6 +1492,7 @@ class Engine:
         )
 
         toks = _tokenize(query)
+        depths = _depths(toks)
         out = []
         i = 0
         changed = False
@@ -1478,7 +1501,12 @@ class Engine:
             lowt = text.lower() if kind == "word" else ""
             if lowt in ("glob", "duckdb_tables"):
                 p = _prev_code(toks, i)
-                rel_pos = p < 0 or toks[p] == ("op", ",") or (
+                # a SELECT-list comma must NOT trigger relation
+                # expansion (r7 ADVICE) — only FROM-list commas do
+                rel_pos = p < 0 or (
+                    toks[p] == ("op", ",")
+                    and _comma_in_from_list(toks, depths, p)
+                ) or (
                     toks[p][0] == "word"
                     and toks[p][1].lower() in ("from", "join")
                 )
@@ -1504,7 +1532,11 @@ class Engine:
                         ) if rows else self.spark.createDataFrame(
                             [], "file string"
                         )
-                        view = f"__glob_{abs(hash(pat)) & 0xFFFFFF:x}"
+                        # per-expansion monotonic id — hash-derived
+                        # names can collide across distinct patterns
+                        # in one statement (r7 ADVICE)
+                        self._fs_view_seq += 1
+                        view = f"__glob_{self._fs_view_seq}"
                     else:
                         rows = [
                             (
@@ -1542,13 +1574,25 @@ class Engine:
         result column order = first appearance.  Token-level detection
         at paren depth 0 (strings/comments/subqueries never
         false-match); segments execute through Engine.sql recursively
-        (so each side keeps the full dialect surface), set ops fold
-        left-associatively with DuckDB's dedup rule (UNION dedups,
-        UNION ALL keeps), and a trailing top-level ORDER BY/LIMIT
-        applies to the WHOLE union (the SQL grammar rule)."""
+        (so each side keeps the full dialect surface), and a trailing
+        top-level ORDER BY/LIMIT applies to the WHOLE union (the SQL
+        grammar rule).
+
+        ALL depth-0 set operators split — not just the BY NAME ones —
+        and the chain folds LEFT-ASSOCIATIVELY with SQL dedup rules
+        (UNION/EXCEPT dedup, ALL variants keep): ``a UNION BY NAME b
+        EXCEPT c`` executes as ``(a ∪ b) − c``, never ``a ∪ (b − c)``.
+        INTERSECT binds TIGHTER than UNION/EXCEPT in both engines, so
+        a depth-0 INTERSECT co-occurring with BY NAME raises
+        UnsupportedDialect (parenthesize) instead of silently folding
+        at the wrong precedence."""
+        if not _re.search(r"\bBY\s+NAME\b", query, _re.IGNORECASE):
+            return None  # fast reject — token scan only when plausible
         from pg_analytics_spark.dialect import (
+            UnsupportedDialect,
             _depths,
             _next_code,
+            _prev_code,
             _tokenize,
         )
 
@@ -1597,11 +1641,21 @@ class Engine:
                 prefix = "".join(t for _, t in toks[: end_defs + 1]) + " "
                 toks = toks[end_defs + 1:]
                 depths = _depths(toks)
-        splits = []  # (start_tok, end_tok, all_flag)
+        splits = []  # (start_tok, end_tok, op, all_flag, by_name)
+        any_by_name = False
+        has_intersect = False
         i = 0
         while i < len(toks):
             k, t = toks[i]
-            if k == "word" and t.upper() == "UNION" and depths[i] == 0:
+            u = t.upper() if k == "word" else ""
+            if u in ("UNION", "EXCEPT", "INTERSECT") and depths[i] == 0:
+                # `SELECT * EXCEPT(col)` (Spark 3.4+) is not a set op —
+                # its previous code token is `*`
+                p = _prev_code(toks, i)
+                if u == "EXCEPT" and p >= 0 and toks[p] == ("op", "*"):
+                    i += 1
+                    continue
+                end = i
                 j = _next_code(toks, i)
                 all_flag = False
                 if (
@@ -1610,7 +1664,9 @@ class Engine:
                     and toks[j][1].upper() == "ALL"
                 ):
                     all_flag = True
+                    end = j
                     j = _next_code(toks, j)
+                by_name = False
                 if (
                     j < len(toks)
                     and toks[j][0] == "word"
@@ -1622,16 +1678,33 @@ class Engine:
                         and toks[j2][0] == "word"
                         and toks[j2][1].upper() == "NAME"
                     ):
-                        splits.append((i, j2, all_flag))
-                        i = j2 + 1
-                        continue
+                        by_name = True
+                        end = j2
+                if by_name and u != "UNION":
+                    raise UnsupportedDialect(
+                        f"{u} BY NAME is not supported — only UNION "
+                        "[ALL] BY NAME; align columns explicitly"
+                    )
+                any_by_name = any_by_name or by_name
+                has_intersect = has_intersect or u == "INTERSECT"
+                splits.append((i, end, u, all_flag, by_name))
+                i = end + 1
+                continue
             i += 1
-        if not splits:
-            return None
-        segs: list[tuple[str, bool]] = []
+        if not any_by_name:
+            return None  # no BY NAME anywhere — Spark SQL handles it
+        if has_intersect:
+            raise UnsupportedDialect(
+                "INTERSECT mixed with UNION BY NAME at the top level: "
+                "INTERSECT binds tighter than UNION — parenthesize the "
+                "INTERSECT side explicitly"
+            )
+        segs: list[tuple[str, str, bool, bool]] = []
         prev = 0
-        for s, e, af in splits:
-            segs.append(("".join(t for _, t in toks[prev:s]).strip(), af))
+        for s, e, op, af, bn in splits:
+            segs.append(
+                ("".join(t for _, t in toks[prev:s]).strip(), op, af, bn)
+            )
             prev = e + 1
         last = toks[prev:]
         last_depths = _depths(last)
@@ -1668,14 +1741,20 @@ class Engine:
             return self.sql(seg)
 
         acc = _run(prefix + segs[0][0])
-        flags = [af for _, af in segs]
-        rest = [t for t, _ in segs[1:]] + [last_text]
-        for af, seg in zip(flags, rest):
-            acc = acc.unionByName(
-                _run(prefix + seg), allowMissingColumns=True
-            )
-            if not af:
-                acc = acc.dropDuplicates()
+        ops = [(op, af, bn) for _, op, af, bn in segs]
+        rest = [t for t, _, _, _ in segs[1:]] + [last_text]
+        for (op, af, bn), seg in zip(ops, rest):
+            side = _run(prefix + seg)
+            if op == "UNION" and bn:
+                acc = acc.unionByName(side, allowMissingColumns=True)
+                if not af:
+                    acc = acc.dropDuplicates()
+            elif op == "UNION":
+                acc = acc.union(side)
+                if not af:
+                    acc = acc.dropDuplicates()
+            else:  # EXCEPT — left-associative, SQL dedup rule
+                acc = acc.exceptAll(side) if af else acc.subtract(side)
         if suffix:
             name = f"__union_by_name_{id(acc) & 0xFFFF:x}"
             acc.createOrReplaceTempView(name)

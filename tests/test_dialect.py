@@ -1063,6 +1063,39 @@ def test_positional_join_matches_duckdb_with_null_padding(engine):
     assert (0, None) in got  # the longer side really NULL-pads
 
 
+def test_set_operator_chain_left_associative(engine):
+    """r7 ADVICE (medium): mixed depth-0 set operators around a BY
+    NAME split must fold left-associatively — ``a UNION BY NAME b
+    EXCEPT c`` is ``(a ∪ b) − c``, not ``a ∪ (b − c)``."""
+    import duckdb as _duckdb
+
+    for q in (
+        "SELECT 1 AS x UNION BY NAME SELECT 2 AS x EXCEPT SELECT 2 AS x",
+        "SELECT 1 AS x UNION ALL BY NAME SELECT 1 AS x UNION SELECT 2 AS x",
+        "SELECT 1 AS x UNION ALL BY NAME SELECT 1 AS x "
+        "EXCEPT ALL SELECT 1 AS x",
+        "SELECT 1 AS x UNION BY NAME SELECT 2 AS x "
+        "UNION ALL SELECT 2 AS x EXCEPT SELECT 1 AS x",
+    ):
+        got = sorted(r["x"] for r in engine.sql(q).collect())
+        want = sorted(r[0] for r in _duckdb.sql(q).fetchall())
+        assert got == want, f"{q!r}: {got} != {want}"
+
+
+def test_set_operator_intersect_with_by_name_is_loud(engine):
+    from pg_analytics_spark.dialect import UnsupportedDialect
+
+    with pytest.raises(UnsupportedDialect, match="INTERSECT"):
+        engine.sql(
+            "SELECT 1 AS x UNION BY NAME SELECT 2 AS x "
+            "INTERSECT SELECT 2 AS x"
+        )
+    with pytest.raises(UnsupportedDialect, match="BY NAME"):
+        engine.sql(
+            "SELECT 1 AS x EXCEPT BY NAME SELECT 2 AS x"
+        )
+
+
 def test_positional_join_bare_star_expands(engine):
     q = """
     SELECT * FROM
@@ -1144,6 +1177,49 @@ def test_trailing_commas_tolerated(engine):
     # commas inside string literals are untouched
     r = engine.sql("SELECT ', from' AS s FROM region LIMIT 1").first()
     assert r["s"] == ", from"
+
+
+def test_trailing_comma_keyword_column_not_eaten(engine, spark):
+    """r7 ADVICE: `window`/`offset` are valid non-reserved Spark
+    column names — a comma before one must NOT be removed on the
+    first pass (it would re-parse the column as an alias).  Keyword
+    commas are only dropped on a parse-failure retry."""
+    spark.createDataFrame(
+        [(1, 7), (2, 9)], "a int, window int"
+    ).createOrReplaceTempView("kwcols")
+    rows = engine.sql("SELECT a, window FROM kwcols ORDER BY a").collect()
+    assert [tuple(r) for r in rows] == [(1, 7), (2, 9)]
+    assert rows[0].asDict() == {"a": 1, "window": 7}
+    # the genuine trailing comma still gets fixed (retry tier)
+    assert engine.sql("SELECT a, window, FROM kwcols").count() == 2
+
+
+def test_glob_two_patterns_one_statement(engine):
+    """r7 ADVICE: hash-derived view names could collide across two
+    distinct patterns in one statement — per-expansion ids cannot."""
+    rows = engine.sql(
+        "SELECT a.file AS fa, b.file AS fb "
+        "FROM glob('/root/testdata/sf0.001/nation.parquet') a, "
+        "glob('/root/testdata/sf0.001/region.parquet') b"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["fa"].endswith("nation.parquet")
+    assert rows[0]["fb"].endswith("region.parquet")
+
+
+def test_generate_series_positions(engine):
+    # relation position after a FROM-list comma still expands
+    n = engine.sql(
+        "SELECT r_regionkey, generate_series FROM region, "
+        "generate_series(1, 2) WHERE r_regionkey = 0"
+    ).count()
+    assert n == 2
+    # expression position = DuckDB list semantics -> sequence()
+    r = engine.sql(
+        "SELECT r_regionkey, generate_series(1, 3) AS gs "
+        "FROM region WHERE r_regionkey = 0"
+    ).first()
+    assert r["gs"] == [1, 2, 3]
 
 
 def test_pragma_and_fs_table_functions(engine):
