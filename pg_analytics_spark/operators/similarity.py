@@ -519,7 +519,22 @@ def _open_layout(spark, layout_path: str) -> DataFrame:
 
     try:
         st = _os.stat(layout_path)
-        fp = (st.st_mtime_ns, len(_os.listdir(layout_path)))
+        entries = sorted(_os.listdir(layout_path))
+        # fold IMMEDIATE subdirectory mtimes in: a rebuild that swaps
+        # parquet files inside existing partition dirs changes those
+        # dirs' mtimes but not the top-level listing (r7 ADVICE) —
+        # one stat per partition dir, trivially cheap vs the listing
+        # job this cache exists to avoid
+        sub_mtimes = []
+        for name in entries:
+            p = _os.path.join(layout_path, name)
+            try:
+                s2 = _os.stat(p)
+            except OSError:
+                continue
+            if _os.path.isdir(p):
+                sub_mtimes.append(s2.st_mtime_ns)
+        fp = (st.st_mtime_ns, len(entries), tuple(sub_mtimes))
     except OSError:
         fp = None
     # a DataFrame dies with its SparkSession — key by application id

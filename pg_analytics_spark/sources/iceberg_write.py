@@ -1016,7 +1016,12 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
-            "summary": {"operation": "delete"},
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": "1",
+                "added-position-deletes": str(n_del),
+                "deleted-records": str(n_del),
+            },
         }
     ]
     meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
@@ -1214,7 +1219,12 @@ def compact_iceberg(spark, path: str) -> dict:
 
     seq = prev_meta.get("last-sequence-number", 0) + 1
     manifest = os.path.join(meta_dir, f"man-compact-{snapshot_id}.avro")
-    write_container(entry_schema, untouched + new_entries, manifest)
+    # Iceberg v2 spec: entries CARRIED into a rewritten manifest are
+    # status=0 EXISTING and keep their ORIGINAL snapshot_id — leaving
+    # them status=1 ADDED would claim this snapshot added them (r7
+    # ADVICE; spec §Manifests, existing-entry rule)
+    carried = [{**e, "status": 0} for e in untouched]
+    write_container(entry_schema, carried + new_entries, manifest)
     mf_entries = [
         {
             "manifest_path": manifest,
@@ -1237,7 +1247,28 @@ def compact_iceberg(spark, path: str) -> dict:
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
-            "summary": {"operation": "replace"},
+            # spec-required operation + the count fields external
+            # clients expect on a replace (all values are strings)
+            "summary": {
+                "operation": "replace",
+                "added-data-files": str(len(new_entries)),
+                "deleted-data-files": str(len(affected)),
+                "removed-delete-files": str(n_delete_files),
+                "total-data-files": str(len(untouched) + len(new_entries)),
+                "total-delete-files": "0",
+                "added-records": str(
+                    sum(
+                        int(e["data_file"].get("record_count") or 0)
+                        for e in new_entries
+                    )
+                ),
+                "total-records": str(
+                    sum(
+                        int(e["data_file"].get("record_count") or 0)
+                        for e in untouched + new_entries
+                    )
+                ),
+            },
         }
     ]
     meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [

@@ -185,6 +185,21 @@ def test_compact_rewrites_delete_debt(spark, tmp_path):
     )
     _s, mlist = read_container(snap["manifest-list"])
     assert all(m.get("content", 0) == 0 for m in mlist)
+    # r7 ADVICE: carried entries are status=0 EXISTING keeping their
+    # ORIGINAL snapshot_id; only the rewrites are status=1 ADDED by
+    # the compaction snapshot — and the summary carries spec counts
+    _s2, entries = read_container(mlist[0]["manifest_path"])
+    carried = [e for e in entries if e["status"] == 0]
+    added = [e for e in entries if e["status"] == 1]
+    assert len(carried) == res["files_untouched"]
+    assert len(added) == res["files_rewritten"]
+    assert all(e["snapshot_id"] != res["snapshot_id"] for e in carried)
+    assert all(e["snapshot_id"] == res["snapshot_id"] for e in added)
+    summ = snap["summary"]
+    assert summ["operation"] == "replace"
+    assert int(summ["total-data-files"]) == 4
+    assert int(summ["total-records"]) == 18  # 20 minus the 2 deletes
+    assert summ["total-delete-files"] == "0"
     # compacting a clean table is a no-op
     assert compact_iceberg(spark, path)["snapshot_id"] is None
 

@@ -228,6 +228,38 @@ def test_lsh_layout_multiprobe_prunes_files(spark, tmp_path):
     assert got == want
 
 
+def test_layout_cache_sees_subdir_rebuild(spark, tmp_path):
+    """r7 ADVICE: a rebuild that swaps parquet files INSIDE existing
+    partition subdirs (top-level listing unchanged) must invalidate
+    the cached layout relation — the fingerprint folds in immediate
+    subdirectory mtimes."""
+    import os
+    import time
+
+    from pg_analytics_spark.operators.similarity import _open_layout
+
+    layout = str(tmp_path / "lay")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "id int, bucket int"
+    )
+    df.write.partitionBy("bucket").parquet(layout)
+    first = _open_layout(spark, layout)
+    assert _open_layout(spark, layout) is first  # unchanged → cached
+    # swap the files inside one partition dir without touching the
+    # top-level listing
+    sub = os.path.join(layout, "bucket=0")
+    time.sleep(0.01)  # mtime_ns tick
+    for name in os.listdir(sub):
+        if name.endswith(".parquet"):
+            os.unlink(os.path.join(sub, name))
+    spark.createDataFrame([(100,)], "id int").coalesce(1).write.mode(
+        "append"
+    ).parquet(sub)
+    reopened = _open_layout(spark, layout)
+    assert reopened is not first
+    assert 100 in {r["id"] for r in reopened.collect()}
+
+
 def test_materialize_cluster_by_disjoint_file_ranges(spark, tmp_path):
     """cluster_by range-partitions + sorts the write so parquet
     min/max stats become zone maps: per-file key ranges must be
