@@ -48,6 +48,16 @@ def shingle_hash32(shingle: Column) -> Column:
     )
 
 
+def shingle_hash60(shingle: Column) -> Column:
+    """First 60 bits of md5(shingle) as a BIGINT in [0, 2^60) — the
+    KMV/theta-sketch hash: wide enough that bottom-k collisions are
+    negligible, narrow enough to stay positive in both engines
+    (DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(shingle.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signature(shingles, num_hashes: int = 12) -> Column:
     """array<bigint> minhash signature over a string-shingle array:
     element i is min((a_i·h32(s) + b_i) mod P for s in shingles).

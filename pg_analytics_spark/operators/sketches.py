@@ -422,3 +422,135 @@ def hll_estimate_grouped(
             4,
         ).alias("hll_est"),
     )
+
+
+# --------------------------------------------------------------------- #
+# KMV / bottom-k theta sketch
+# --------------------------------------------------------------------- #
+
+#: the KMV hash domain — shingle_hash60 values are uniform in [0, 2^60)
+KMV_DOMAIN = 1 << 60
+
+
+def kmv_build_grouped(
+    df: DataFrame, hash_col: str, group_cols: list[str], *, k: int = 256
+) -> DataFrame:
+    """Bottom-k (KMV / theta) distinct sketch per group: the k smallest
+    DISTINCT 60-bit hashes, with their rank.  Columns: group_cols…,
+    ``h`` (hash), ``rn`` (1-based rank within the group).
+
+    Unlike HLL, a KMV sketch supports SET DIFFERENCE and INTERSECTION
+    estimates (:func:`kmv_overlap`): below the pairwise threshold
+    θ = min(kth_a, kth_b) each sketch holds the COMPLETE distinct-hash
+    set of its stream, so sample-level set algebra is exact and scales
+    by 1/θ (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07).
+
+    Scale: the ``row_number ≤ k`` filter compiles to Spark's
+    WindowGroupLimit — each map task keeps only its local bottom-k
+    BEFORE the shuffle, so the exchange carries ≤ k·partitions rows
+    per group regardless of corpus size (plan-asserted in
+    tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(*group_cols, F.col(hash_col).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate_grouped(
+    sketch: DataFrame, group_cols: list[str], *, k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: exact when
+    the sketch is not full (every distinct hash is present), else the
+    unbiased (k-1) / u_k with u_k = kth_hash / 2^60 — computed as ONE
+    double division of a precomputed constant, bit-stable
+    cross-engine.  Columns: group_cols…, n_in_sketch, kth, kmv_est."""
+    num = float((k - 1) * KMV_DOMAIN)  # exact: (k-1) * 2^60 ≤ 2^70 < 2^1024
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_in_sketch"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_in_sketch",
+        "kth",
+        F.round(
+            F.when(
+                F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+            ).otherwise(F.lit(num) / F.col("kth").cast("double")),
+            4,
+        ).alias("kmv_est"),
+    )
+
+
+def kmv_overlap(
+    sketch: DataFrame, group_cols: list[str], a_key, b_key, *, k: int = 256
+) -> DataFrame:
+    """Set-algebra estimates between two KMV sketches identified by
+    ``group_cols == a_key`` / ``b_key``: intersection, A−B difference,
+    and Jaccard.  θ = min(kth_a, kth_b, 2^60) (2^60 when a sketch is
+    not full — it then holds its whole stream); below θ both sketches
+    are complete distinct-hash sets, so the joined sample counts scale
+    by 2^60/θ.  Returns ONE row: est_intersection, est_a_only,
+    est_jaccard (all ROUND(…, 4) doubles).  Every input is
+    sketch-sized (≤ k rows) — broadcast joins, no data-path shuffle."""
+    key = F.col(group_cols[0]) if len(group_cols) == 1 else None
+    assert key is not None, "kmv_overlap expects exactly one group col"
+    a = sketch.filter(key == a_key).select("h", "rn")
+    b = sketch.filter(key == b_key).select("h", "rn")
+
+    def _theta(side: DataFrame):
+        return side.agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == k, F.col("h"))),
+                F.lit(KMV_DOMAIN).cast("long"),
+            ).alias("th")
+        )
+
+    theta = (
+        _theta(a)
+        .crossJoin(_theta(b).withColumnRenamed("th", "th_b"))
+        .select(F.least("th", "th_b").alias("theta"))
+    )
+    a_below = a.crossJoin(F.broadcast(theta)).filter(
+        F.col("h") < F.col("theta")
+    )
+    b_h = b.select("h")
+    inter_n = a_below.join(F.broadcast(b_h), "h", "semi").agg(
+        F.count("*").alias("n_inter")
+    )
+    a_only_n = a_below.join(F.broadcast(b_h), "h", "anti").agg(
+        F.count("*").alias("n_a_only")
+    )
+    b_below_n = (
+        b.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_b_below"))
+    )
+    scale = F.lit(float(KMV_DOMAIN)) / F.col("theta").cast("double")
+    return (
+        theta.crossJoin(F.broadcast(inter_n))
+        .crossJoin(F.broadcast(a_only_n))
+        .crossJoin(F.broadcast(b_below_n))
+        .select(
+            F.round(F.col("n_inter").cast("double") * scale, 4).alias(
+                "est_intersection"
+            ),
+            F.round(F.col("n_a_only").cast("double") * scale, 4).alias(
+                "est_a_only"
+            ),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("n_inter") + F.col("n_a_only")
+                    + F.col("n_b_below") - F.col("n_inter")
+                ).cast("double"),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )

@@ -3394,6 +3394,40 @@ def sql_passthrough_union_by_name(
     return eng.sql(_UNION_BY_NAME_SQL)
 
 
+_SET_OP_CHAIN_SQL = """
+SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey = 0
+UNION BY NAME
+SELECT n_name AS name, n_nationkey AS k FROM nation WHERE n_regionkey <= 1
+EXCEPT
+SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_nationkey % 2 = 0
+UNION ALL
+SELECT -1 AS k, 'sentinel' AS name
+ORDER BY k, name
+"""
+
+
+@register(
+    "sql_passthrough_set_op_chain",
+    oracle=_SET_OP_CHAIN_SQL,
+    doc="Mixed depth-0 set operators around a BY NAME split fold "
+    "LEFT-ASSOCIATIVELY with SQL dedup rules — ``a UNION BY NAME b "
+    "EXCEPT c UNION ALL d`` executes as ``((a ∪ b) − c) ∪ALL d``, "
+    "never ``a ∪ (b − (c ∪ALL d))`` (the r7 ADVICE medium finding: "
+    "the old rewrite absorbed trailing operators into the last "
+    "segment, returning silently wrong rows).  INTERSECT mixed in at "
+    "depth 0 raises UnsupportedDialect instead of folding at the "
+    "wrong precedence (it binds tighter in both engines).",
+)
+def sql_passthrough_set_op_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return eng.sql(_SET_OP_CHAIN_SQL)
+
+
 _ARG_EXTREMUM_SQL = """
 SELECT n_regionkey,
        arg_max(n_name, n_nationkey) AS latest_name,

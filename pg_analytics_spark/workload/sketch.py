@@ -550,3 +550,158 @@ def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# KMV / bottom-k theta sketch — distinct + set DIFFERENCE estimates
+# --------------------------------------------------------------------- #
+
+_KMV_K = 256
+_KMV_D_INT = 1 << 60
+_KMV_D = repr(float(_KMV_D_INT))  # 2^60 — exactly representable
+_KMV_NUM = repr(float((_KMV_K - 1) * _KMV_D_INT))  # (k-1)·2^60, exact
+_KMV_H = "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)"
+
+
+def _kmv_oracle() -> str:
+    k = _KMV_K
+    return f"""
+    WITH ev AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS cohort,
+             user_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    hs AS (SELECT DISTINCT cohort, {_KMV_H} AS h FROM ev),
+    sk AS (
+      SELECT cohort, h,
+             row_number() OVER (PARTITION BY cohort ORDER BY h) AS rn
+      FROM hs QUALIFY rn <= {k}
+    ),
+    per AS (
+      SELECT cohort, COUNT(*)::BIGINT AS n_in,
+             MAX(CASE WHEN rn = {k} THEN h END) AS kth
+      FROM sk GROUP BY cohort
+    ),
+    ests AS (
+      SELECT MAX(CASE WHEN cohort = 'a' THEN e END) AS est_a,
+             MAX(CASE WHEN cohort = 'b' THEN e END) AS est_b
+      FROM (
+        SELECT cohort,
+               ROUND(CASE WHEN n_in < {k} THEN n_in::DOUBLE
+                          ELSE CAST({_KMV_NUM} AS DOUBLE) / kth::DOUBLE
+                     END, 4) AS e
+        FROM per
+      )
+    ),
+    th AS (
+      SELECT LEAST(
+        COALESCE(MAX(CASE WHEN cohort = 'a' AND rn = {k} THEN h END),
+                 {_KMV_D_INT}),
+        COALESCE(MAX(CASE WHEN cohort = 'b' AND rn = {k} THEN h END),
+                 {_KMV_D_INT})) AS theta
+      FROM sk
+    ),
+    ab AS (
+      SELECT COUNT(CASE WHEN b.h IS NOT NULL THEN 1 END)::BIGINT AS n_inter,
+             COUNT(CASE WHEN b.h IS NULL THEN 1 END)::BIGINT AS n_a_only
+      FROM (SELECT h FROM sk WHERE cohort = 'a') a
+      LEFT JOIN (SELECT h FROM sk WHERE cohort = 'b') b USING (h)
+      CROSS JOIN th
+      WHERE a.h < theta
+    ),
+    bb AS (
+      SELECT COUNT(*)::BIGINT AS n_b_below
+      FROM sk CROSS JOIN th WHERE cohort = 'b' AND h < theta
+    ),
+    exact AS (
+      SELECT COUNT(DISTINCT CASE WHEN cohort = 'a' THEN user_id END)::BIGINT
+               AS exact_a,
+             COUNT(DISTINCT CASE WHEN cohort = 'b' THEN user_id END)::BIGINT
+               AS exact_b
+      FROM ev
+    ),
+    exact_ao AS (
+      SELECT COUNT(*)::BIGINT AS exact_a_only FROM (
+        SELECT user_id FROM ev WHERE cohort = 'a'
+        EXCEPT
+        SELECT user_id FROM ev WHERE cohort = 'b'
+      )
+    )
+    SELECT exact_a, exact_b, exact_a_only, est_a, est_b,
+           ROUND(n_inter::DOUBLE *
+                 (CAST({_KMV_D} AS DOUBLE) / theta::DOUBLE), 4)
+             AS est_intersection,
+           ROUND(n_a_only::DOUBLE *
+                 (CAST({_KMV_D} AS DOUBLE) / theta::DOUBLE), 4)
+             AS est_a_only,
+           ROUND(n_inter::DOUBLE /
+                 (n_inter + n_a_only + n_b_below - n_inter)::DOUBLE, 4)
+             AS est_jaccard
+    FROM exact, exact_ao, ests, th, ab, bb
+    """
+
+
+@register(
+    "sketch_kmv_distinct_diff",
+    oracle=_kmv_oracle(),
+    doc="KMV / bottom-k theta sketch — the mergeable distinct sketch "
+    "that supports SET DIFFERENCE, which HLL structurally cannot: "
+    "below θ = min(kth_a, kth_b) each sketch holds the COMPLETE "
+    "distinct-hash set of its stream, so intersection / A−B / "
+    "Jaccard are sample counts scaled by 2^60/θ (Beyer et al., "
+    "SIGMOD'07).  Clickers-vs-purchasers over events: estimates AND "
+    "exact counts side by side, all value-exact cross-engine (md5 "
+    "bottom-k is order-free; one constant division each).  Scale: "
+    "row_number≤k compiles to WindowGroupLimit — map tasks keep only "
+    "their local bottom-k BEFORE the shuffle (plan-asserted), the "
+    "overlap algebra runs on ≤ k-row broadcast relations.",
+)
+def sketch_kmv_distinct_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.functions.hashing import shingle_hash60
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+    from pg_analytics_spark.operators.sketches import (
+        kmv_build_grouped,
+        kmv_estimate_grouped,
+        kmv_overlap,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias(
+            "cohort"
+        ),
+        "user_id",
+    )
+    hdf = ev.select(
+        "cohort", shingle_hash60(F.col("user_id").cast("string")).alias("h60")
+    )
+    sk = _persist_sketch(kmv_build_grouped(hdf, "h60", ["cohort"], k=_KMV_K))
+    per = kmv_estimate_grouped(sk, ["cohort"], k=_KMV_K)
+    ests = per.groupBy().agg(
+        F.max(F.when(F.col("cohort") == "a", F.col("kmv_est"))).alias("est_a"),
+        F.max(F.when(F.col("cohort") == "b", F.col("kmv_est"))).alias("est_b"),
+    )
+    ov = kmv_overlap(sk, ["cohort"], "a", "b", k=_KMV_K)
+    exact = ev.groupBy().agg(
+        F.count_distinct(
+            F.when(F.col("cohort") == "a", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("cohort") == "b", F.col("user_id"))
+        ).alias("exact_b"),
+    )
+    a_u = ev.filter("cohort = 'a'").select("user_id").distinct()
+    b_u = ev.filter("cohort = 'b'").select("user_id").distinct()
+    exact_ao = a_u.join(b_u, "user_id", "anti").agg(
+        F.count("*").alias("exact_a_only")
+    )
+    return (
+        exact.crossJoin(F.broadcast(exact_ao))
+        .crossJoin(F.broadcast(ests))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "exact_a", "exact_b", "exact_a_only", "est_a", "est_b",
+            "est_intersection", "est_a_only", "est_jaccard",
+        )
+    )

@@ -472,3 +472,26 @@ def test_pca_moments_fast_single_exchange(spark):
     # the orderBy's range partitioning over the d(+1)/2-row result
     assert plan.count("hashpartitioning(") == 1, plan
     assert "MapInArrow" in plan, plan
+
+
+def test_kmv_bottom_k_partial_group_limit_before_shuffle(spark):
+    """kmv_build_grouped's scale contract: the row_number ≤ k filter
+    compiles to WindowGroupLimit with a PARTIAL pass below the
+    exchange — map tasks keep only their local bottom-k, so the
+    shuffle carries ≤ k·partitions rows per group at any corpus
+    size."""
+    from pg_analytics_spark.functions.hashing import shingle_hash60
+    from pg_analytics_spark.operators.sketches import kmv_build_grouped
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_type").alias("g"),
+        shingle_hash60(F.col("user_id").cast("string")).alias("h60"),
+    )
+    sk = kmv_build_grouped(ev, "h60", ["g"], k=256)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange")
+    assert partial != -1 and exchange != -1
+    # the Partial group-limit sits BELOW (printed after) the exchange
+    assert plan.find("WindowGroupLimit") < exchange < partial, plan

@@ -188,3 +188,70 @@ def test_hist_quantiles_q_zero_returns_first_bin(spark):
     ests = {r["q"]: r["est"] for r in hist_quantiles(h, qs=[0.0, 0.5], **kw).collect()}
     assert 0.0 in ests and 0.5 in ests  # q=0 no longer silently absent
     assert ests[0.0] <= ests[0.5]
+
+
+def test_kmv_estimate_exact_when_not_full_and_bounded_when_full(spark):
+    """KMV: sketch-not-full → estimate IS the exact distinct count;
+    full sketch → (k-1)/u_k lands within the theoretical relative
+    error (~1/sqrt(k-2), generously doubled here)."""
+    from pg_analytics_spark.functions.hashing import shingle_hash60
+    from pg_analytics_spark.operators.sketches import (
+        kmv_build_grouped,
+        kmv_estimate_grouped,
+    )
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") < 100, "small").otherwise("big").alias("g"),
+        shingle_hash60(F.col("id").cast("string")).alias("h60"),
+    )
+    sk = kmv_build_grouped(df, "h60", ["g"], k=256)
+    est = {r["g"]: r for r in kmv_estimate_grouped(sk, ["g"], k=256).collect()}
+    assert est["small"]["kmv_est"] == 100.0  # not full → exact
+    assert est["small"]["kth"] is None
+    big = est["big"]["kmv_est"]
+    assert abs(big - 4900) / 4900 < 2 / (254 ** 0.5)
+
+
+def test_kmv_overlap_set_algebra(spark):
+    """Intersection / A-only / Jaccard estimates from two KMV
+    sketches track the exact values; with BOTH sketches not full the
+    estimates are EXACT (θ = 2^60 covers the whole stream)."""
+    from pg_analytics_spark.functions.hashing import shingle_hash60
+    from pg_analytics_spark.operators.sketches import (
+        kmv_build_grouped,
+        kmv_overlap,
+    )
+
+    # a = 0..149, b = 100..249 → inter 50, a_only 100, union 250
+    rows = [("a", i) for i in range(150)] + [("b", i) for i in range(100, 250)]
+    df = spark.createDataFrame(rows, "g string, id long").select(
+        "g", shingle_hash60(F.col("id").cast("string")).alias("h60")
+    )
+    sk = kmv_build_grouped(df, "h60", ["g"], k=256)
+    row = kmv_overlap(sk, ["g"], "a", "b", k=256).collect()[0]
+    assert row["est_intersection"] == 50.0
+    assert row["est_a_only"] == 100.0
+    assert row["est_jaccard"] == round(50 / 250, 4)
+
+
+def test_kmv_union_merge_equals_direct_build(spark):
+    """Bottom-k of the union == bottom-k of the merged sketches: the
+    mergeability law a 100 TB rollup tree needs."""
+    from pg_analytics_spark.functions.hashing import shingle_hash60
+    from pg_analytics_spark.operators.sketches import kmv_build_grouped
+
+    df = spark.range(3000).select(
+        (F.col("id") % 2).alias("g"),
+        shingle_hash60(F.col("id").cast("string")).alias("h60"),
+    )
+    per = kmv_build_grouped(df, "h60", ["g"], k=64)
+    merged = kmv_build_grouped(
+        per.select(F.lit(1).alias("u"), F.col("h").alias("h60")),
+        "h60", ["u"], k=64,
+    ).select("h", "rn")
+    direct = kmv_build_grouped(
+        df.select(F.lit(1).alias("u"), "h60"), "h60", ["u"], k=64
+    ).select("h", "rn")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
