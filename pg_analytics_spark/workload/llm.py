@@ -1326,6 +1326,45 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars, ROUND(skey, 9) AS skey FROM (
+      SELECT doc_id, lang, n_chars,
+             ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                 ::DOUBLE / 4294967296.0)) / n_chars::DOUBLE AS skey
+      FROM documents WHERE n_chars > 0
+    ) ORDER BY skey DESC, doc_id LIMIT 100
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): each doc draws u = (h32(doc_id)+1)/2^32 and ranks by "
+    "ln(u)/weight (monotone in u^(1/w)); the top-n ranks ARE an "
+    "exact weighted sample — here weight = n_chars, biasing the "
+    "pre-training sample toward longer documents.  Deterministic "
+    "(md5-derived u, no RNG state — re-sharding/appends never change "
+    "a doc's key) and DISTRIBUTED: top-n by rank is "
+    "TakeOrderedAndProject, per-partition heaps then one merge, no "
+    "full sort, no shuffle of the corpus.  ln matches bit-exact "
+    "cross-engine on this box (the bigram/BM25 precedent).",
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    skey = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "lang", "n_chars", skey.alias("skey"))
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "lang", "n_chars", F.round("skey", 9).alias("skey")
+        )
+    )
+
+
+@register(
     "corpus_sample_stratified",
     oracle="""
     WITH s AS (
