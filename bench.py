@@ -162,6 +162,15 @@ HEADLINE_NEXT4: list = [
     "sql_passthrough_generate_series",
 ]
 
+#: round-8 additions measure here; frozen groups stay comparable.
+HEADLINE_NEXT5: list = [
+    "sql_passthrough_set_op_chain",
+    "sketch_kmv_distinct_diff",
+    "graph_triangle_count",
+    "corpus_sample_weighted",
+    "zorder_scan_skipping",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -211,6 +220,7 @@ def main() -> None:
     timings_next2, cold_next2 = _measure(HEADLINE_NEXT2)
     timings_next3, cold_next3 = _measure(HEADLINE_NEXT3)
     timings_next4, cold_next4 = _measure(HEADLINE_NEXT4)
+    timings_next5, cold_next5 = _measure(HEADLINE_NEXT5)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -276,6 +286,16 @@ def main() -> None:
             ),
             3,
         ),
+        "value_next5": round(sum(timings_next5.values()), 3),
+        "queries_next5": timings_next5,
+        "value_next5_batch": round(
+            sum(
+                v
+                for k, v in timings_next5.items()
+                if k not in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
@@ -287,6 +307,7 @@ def main() -> None:
     full["queries_next2_cold"] = cold_next2
     full["queries_next3_cold"] = cold_next3
     full["queries_next4_cold"] = cold_next4
+    full["queries_next5_cold"] = cold_next5
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

@@ -3480,6 +3480,67 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_LAYOUTS: dict[str, str] = {}
+
+
+def _zorder_lineitem_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once z-order layout of lineitem clustered on
+    (l_partkey, l_suppkey) — cached per sf_dir like the ANN layouts."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pg_analytics_spark.operators.zorder import zorder_layout
+
+    path = _ZORDER_LAYOUTS.get(sf_dir)
+    if path and _os.path.isdir(path):
+        return path
+    path = _tempfile.mkdtemp(prefix="zorder_lineitem_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice",
+    )
+    zorder_layout(li, ["l_partkey", "l_suppkey"], path, n_files=16, bits=8)
+    _ZORDER_LAYOUTS[sf_dir] = path
+    return path
+
+
+@register(
+    "zorder_scan_skipping",
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS n,
+           SUM(l_orderkey)::BIGINT AS sum_okey,
+           SUM(CAST(l_quantity * 100 AS BIGINT))::BIGINT AS sum_qty_cents
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+    """,
+    doc="Multi-column box query over a Z-ORDER CLUSTERED layout "
+    "(operators/zorder.py): lineitem is materialized ONCE along the "
+    "Morton curve of (l_partkey, l_suppkey) with a per-file min/max "
+    "footer-stats sidecar (the Delta OPTIMIZE ZORDER / data-skipping "
+    "mechanism on plain parquet), and the box predicate prunes the "
+    "file list driver-side before the scan — at 100 TB the query "
+    "reads the handful of overlapping files instead of the table.  "
+    "Pruning is a superset filter with the exact predicate re-applied "
+    "(identical results to a full scan by construction — the oracle "
+    "runs the plain table scan); file-skipping factor is asserted in "
+    "tests/test_partitioning.py.",
+)
+def zorder_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.zorder import zorder_pruned_scan
+
+    layout = _zorder_lineitem_layout(spark, sf_dir)
+    df = zorder_pruned_scan(
+        spark, layout, {"l_partkey": (100, 300), "l_suppkey": (10, 40)}
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_okey"),
+        F.sum((F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_qty_cents"),
+    )
+
+
 _UNION_BY_NAME_SQL = """
 SELECT r_regionkey AS k, r_name AS name FROM region
 UNION ALL BY NAME

@@ -296,3 +296,49 @@ def test_materialize_cluster_by_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) > 1  # clustering actually split the data
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+
+
+def test_zorder_layout_skips_files_and_matches_full_scan(spark, tmp_path):
+    """Z-order layout: a selective box query on EITHER clustered
+    column (or both) reads a strict subset of the files, and pruned
+    results equal the full-scan filter exactly."""
+    from pg_analytics_spark.operators.zorder import (
+        zorder_layout,
+        zorder_pruned_scan,
+    )
+
+    layout = str(tmp_path / "z")
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7919) % 1009).alias("y"),
+    )
+    idx = zorder_layout(df, ["x", "y"], layout, n_files=16, bits=8)
+    n_total = len(idx["files"])
+    assert n_total >= 8
+
+    ranges = {"x": (100, 150), "y": (200, 260)}
+    pruned = zorder_pruned_scan(spark, layout, ranges)
+    n_read = _scanned_files(pruned)
+    assert n_read < n_total / 2, (n_read, n_total)
+
+    full = df.filter(
+        (F.col("x") >= 100) & (F.col("x") <= 150)
+        & (F.col("y") >= 200) & (F.col("y") <= 260)
+    )
+    got = sorted(r["id"] for r in pruned.collect())
+    want = sorted(r["id"] for r in full.collect())
+    assert got == want and len(got) > 0
+
+    # single-column predicate also prunes (the z-order property a
+    # plain sort on x would give y for free never has)
+    one = zorder_pruned_scan(spark, layout, {"y": (0, 60)})
+    assert _scanned_files(one) < n_total
+    assert sorted(r["id"] for r in one.collect()) == sorted(
+        r["id"] for r in df.filter("y BETWEEN 0 AND 60").collect()
+    )
+
+    # empty-overlap box → zero files, empty result, schema intact
+    none = zorder_pruned_scan(spark, layout, {"x": (5000, 6000)})
+    assert none.count() == 0
+    assert set(none.columns) == {"id", "x", "y"}
