@@ -104,7 +104,11 @@ HEADLINE_NEXT = [
 #: subtotals are the honest batch-comparable numbers.  Membership of
 #: the measured groups themselves is FROZEN per round.
 STREAMING_ROWS = frozenset(
-    {"streaming_hourly_counts", "streaming_pca_moments"}
+    {
+        "streaming_hourly_counts",
+        "streaming_pca_moments",
+        "streaming_click_purchase_join",
+    }
 )
 
 #: rows that are FORMAT-COVERAGE FIXTURES, not batch queries: their
@@ -165,6 +169,7 @@ HEADLINE_NEXT4: list = [
 #: round-8 additions measure here; frozen groups stay comparable.
 HEADLINE_NEXT5: list = [
     "sql_passthrough_set_op_chain",
+    "streaming_click_purchase_join",
     "sketch_kmv_distinct_diff",
     "graph_triangle_count",
     "corpus_sample_weighted",

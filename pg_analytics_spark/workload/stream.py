@@ -763,3 +763,51 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_value",
         )
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <  p.ts
+    """,
+    doc="STREAM-STREAM interval join on the real streaming path under "
+    "the value-exact gate: purchases joined to the same user's clicks "
+    "in the preceding 30 minutes (streaming/events."
+    "stream_click_purchase_join).  Both sides carry watermarks and "
+    "the join condition bounds event time on both, so click state "
+    "evicts once the watermark passes — state is O(users × "
+    "clicks-in-window), not unbounded; inner-join pairs emit as soon "
+    "as both sides arrive.  Same oracle as the batch twin "
+    "events_click_purchase_pairs: the watermarked incremental plan "
+    "and the banded-range batch plan produce the IDENTICAL relation.",
+)
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.streaming.events import (
+        read_event_stream,
+        stream_click_purchase_join,
+    )
+
+    name = f"reg_stream_ssj_{next(_STREAM_RUN_SEQ)}"
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    with scratch_dir(spark) as ckpt:
+        q = (
+            stream_click_purchase_join(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
+    )
