@@ -174,6 +174,7 @@ HEADLINE_NEXT5: list = [
     "graph_triangle_count",
     "corpus_sample_weighted",
     "zorder_scan_skipping",
+    "delta_restore_optimize_roundtrip",
 ]
 
 

@@ -116,6 +116,18 @@ _VACUUM_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+_RESTORE_STMT_RE = _re.compile(
+    r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+VERSION\s+"
+    r"AS\s+OF\s+(?P<version>\d+);?\s*$",
+    _re.IGNORECASE,
+)
+
+_OPTIMIZE_STMT_RE = _re.compile(
+    r"^OPTIMIZE\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(?\s*(?P<cols>[\w\s,]+?)\s*\)?)?;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: DuckDB `PRAGMA name[('arg')]` statement text — table_info/version/
 #: database_list supported, everything else rejected with guidance.
 _PRAGMA_RE = _re.compile(
@@ -296,6 +308,12 @@ class Engine:
         m = _VACUUM_STMT_RE.match(query.strip())
         if m:
             return self._vacuum_statement(m)
+        m = _RESTORE_STMT_RE.match(query.strip())
+        if m:
+            return self._restore_statement(m)
+        m = _OPTIMIZE_STMT_RE.match(query.strip())
+        if m:
+            return self._optimize_statement(m)
         m = _PRAGMA_RE.match(query.strip())
         if m:
             return self._pragma_statement(m)
@@ -1775,6 +1793,61 @@ class Engine:
         return self.spark.createDataFrame(
             [(int(res["files_deleted"]), int(res["bytes_deleted"]))],
             "files_deleted bigint, bytes_deleted bigint",
+        )
+
+    def _restore_statement(self, m) -> DataFrame:
+        """``RESTORE [TABLE] <attached delta table> TO VERSION AS OF n``
+        — a new commit reverting the active file set (and schema) to
+        version n's, through sources/delta_write.restore_delta.
+        History is preserved: restore is itself a version.  Returns
+        one metrics row."""
+        from pg_analytics_spark.sources.delta_write import restore_delta
+
+        att = self._dml_delta_attachment(m.group("name"), "RESTORE")
+        res = restore_delta(
+            self.spark, att.files[0], int(m.group("version"))
+        )
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(res["restored_to"]),
+                    int(res["files_removed"]),
+                    int(res["files_readded"]),
+                    int(res["version"]),
+                )
+            ],
+            "restored_to int, files_removed int, files_readded int, "
+            "version int",
+        )
+
+    def _optimize_statement(self, m) -> DataFrame:
+        """``OPTIMIZE <attached delta table> [ZORDER BY (c1, c2)]`` —
+        bin-packing compaction (optionally Morton-clustered on the
+        named columns) committed as one overwrite version, through
+        sources/delta_write.compact_delta.  Returns one metrics row."""
+        from pg_analytics_spark.sources.delta_write import compact_delta
+
+        att = self._dml_delta_attachment(m.group("name"), "OPTIMIZE")
+        cols = [
+            c.strip()
+            for c in (m.group("cols") or "").split(",")
+            if c.strip()
+        ]
+        res = compact_delta(
+            self.spark, att.files[0], zorder_by=cols or None
+        )
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(res["files_before"]),
+                    int(res["files_after"]),
+                    int(res["bytes"]),
+                    int(res["version"]),
+                )
+            ],
+            "files_before int, files_after int, bytes bigint, version int",
         )
 
     def _dml_metrics(self, res: dict) -> DataFrame:

@@ -361,15 +361,23 @@ def checkpoint_delta(path: str) -> dict:
 
 
 def compact_delta(
-    spark, path: str, target_file_mb: int = 128
+    spark, path: str, target_file_mb: float = 128,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction as a Delta COMMIT (not a directory swap —
     that would corrupt the log): read the active file set, rewrite at
     ~target_file_mb, commit as one overwrite (remove actions for every
     old file + adds for the compacted ones).  Readers see the old or
     the new file set atomically; history stays time-travelable.
-    Returns {files_before, files_after, bytes, version} — Engine.
-    compact's parquet shape plus the commit version."""
+
+    ``zorder_by``: Delta's ``OPTIMIZE … ZORDER BY (cols)`` — the
+    rewrite range-partitions AND sorts on the Morton interleave of the
+    named columns (operators/zorder.py), so each output file covers a
+    tight min/max envelope on EVERY clustered column and the per-file
+    ``stats`` already recorded in each add action skip files for box
+    predicates on any of them.  Returns {files_before, files_after,
+    bytes, version} — Engine.compact's parquet shape plus the commit
+    version."""
     import math
 
     from pg_analytics_spark.sources import load_source
@@ -384,7 +392,38 @@ def compact_delta(
     df = load_source(spark, path, "delta")
     part_cols = meta.get("partitionColumns") or []
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    out = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
+    if zorder_by:
+        if part_cols:
+            raise UnsupportedFormat(
+                "ZORDER BY on a partitioned delta table is not "
+                "supported — cluster within partitions is a follow-up; "
+                "drop partitioning or zorder_by"
+            )
+        from pg_analytics_spark.operators.zorder import (
+            zorder_bin_expr,
+            zorder_key_expr,
+        )
+        from pyspark.sql import functions as F
+
+        bits = 8
+        n_bounds = (1 << bits) - 1
+        probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+        cast_df = df.select(
+            *[F.col(c).cast("double").alias(f"__zd_{c}") for c in zorder_by]
+        )
+        out = df
+        for c in zorder_by:
+            bounds = cast_df.stat.approxQuantile(f"__zd_{c}", probs, 0.001)
+            out = out.withColumn(f"__zb_{c}", zorder_bin_expr(c, bounds))
+        zkey = zorder_key_expr([f"__zb_{c}" for c in zorder_by], bits)
+        out = (
+            out.withColumn("__zkey", zkey)
+            .repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey", *[f"__zb_{c}" for c in zorder_by])
+        )
+    else:
+        out = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
     res = write_delta(
         out, path, mode="overwrite",
         partition_by=part_cols or None,
@@ -394,6 +433,80 @@ def compact_delta(
         "files_after": res["files"],
         "bytes": total,
         "version": res["version"],
+    }
+
+
+def restore_delta(spark, path: str, version: int) -> dict:
+    """``RESTORE TABLE t TO VERSION AS OF n`` — a NEW commit whose
+    active file set (and schema) equals version ``n``'s: files active
+    now but not then get remove actions, files active then but not
+    now get their ORIGINAL add actions re-emitted, files active in
+    both are untouched.  History is preserved (restore is itself a
+    version; a second restore can undo it) — exactly Delta's RESTORE
+    semantics, not a log rewind.
+
+    Fails loudly if a file the target version needs has been
+    physically deleted (VACUUM beyond the restore horizon), like
+    delta-spark."""
+    import time as _time
+
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    active_now, meta_now = _replay_log(log_dir)
+    if meta_now is None:
+        raise UnsupportedFormat(f"no Delta table at {path}")
+    from pg_analytics_spark.errors import MissingDependency
+
+    try:
+        active_old, meta_old = _replay_log(log_dir, version)
+    except MissingDependency as exc:
+        raise UnsupportedFormat(
+            f"delta table at {path} has no version {version}: {exc}"
+        ) from None
+    if meta_old is None:
+        raise UnsupportedFormat(
+            f"delta table at {path} has no version {version}"
+        )
+    missing = [
+        p for p in active_old
+        if p not in active_now and not os.path.isfile(os.path.join(path, p))
+    ]
+    if missing:
+        raise UnsupportedFormat(
+            f"cannot RESTORE to version {version}: {len(missing)} data "
+            f"file(s) were vacuumed (first: {missing[0]!r})"
+        )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = []
+    if meta_old.get("schemaString") != meta_now.get("schemaString") or (
+        meta_old.get("partitionColumns") != meta_now.get("partitionColumns")
+    ):
+        actions.append({"metaData": meta_old})
+    n_removed = n_readded = 0
+    for p in active_now:
+        if p not in active_old:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            n_removed += 1
+    for p, add in active_old.items():
+        if p not in active_now:
+            actions.append({"add": {**add, "dataChange": True}})
+            n_readded += 1
+    new_version = _next_version(log_dir)
+    _write_commit(path, log_dir, new_version, actions)
+    return {
+        "restored_to": version,
+        "files_removed": n_removed,
+        "files_readded": n_readded,
+        "version": new_version,
     }
 
 

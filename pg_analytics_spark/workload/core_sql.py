@@ -3051,6 +3051,66 @@ def delta_update_delete_roundtrip(
     )
 
 
+_RESTORE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE o_totalprice END AS v
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "delta_restore_optimize_roundtrip",
+    oracle=_RESTORE_ORACLE,
+    doc="RESTORE + OPTIMIZE ZORDER statement text on the native Delta "
+    "writer: UPDATE and DELETE mutate the table, ``RESTORE TABLE … TO "
+    "VERSION AS OF 0`` reverts the active file set as a NEW commit "
+    "(original add actions re-emitted, history preserved — a second "
+    "restore can roll forward), then ``OPTIMIZE … ZORDER BY "
+    "(o_custkey, v)`` bin-packs the files Morton-clustered so every "
+    "add action's min/max stats envelope is tight on BOTH columns "
+    "(the Delta data-skipping contract; operators/zorder.py).  The "
+    "oracle is the UNTOUCHED base relation — proving restore "
+    "round-trips bit-exact through two mutations and a physical "
+    "rewrite.  Restore validates vacuumed files loudly, like "
+    "delta-spark.",
+)
+def delta_restore_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_restore")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("restore_tgt", [root], "delta")
+    eng.sql("UPDATE restore_tgt SET v = v * 2 WHERE v < 100000")
+    eng.sql("DELETE FROM restore_tgt WHERE v > 250000")
+    eng.sql("RESTORE TABLE restore_tgt TO VERSION AS OF 0")
+    eng.sql("OPTIMIZE restore_tgt ZORDER BY (o_custkey, v)")
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM restore_tgt "
+        "ORDER BY o_orderkey"
+    )
+
+
 _VERSION_DIFF_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_custkey,

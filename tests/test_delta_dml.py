@@ -318,3 +318,125 @@ def test_dml_on_evolved_schema(spark, tmp_path):
         for r in load_source(spark, path, "delta").collect()
     )
     assert got == [(1, "z"), (2, None), (4, "y")]
+
+
+def test_restore_reverts_file_set_and_is_a_new_version(spark, tmp_path):
+    """RESTORE TO VERSION AS OF n: active set reverts to version n's,
+    history is preserved (restore is itself a commit), and a second
+    restore can roll FORWARD again."""
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        restore_delta,
+    )
+
+    path = str(tmp_path / "r")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    write_delta(base.repartition(2), path)  # v0
+    v0_rows = _rows(spark, path)
+    update_delta(spark, path, {"v": "v * 10"}, "id < 5")  # v1
+    delete_delta(spark, path, "id >= 8")  # v2
+    v2_rows = _rows(spark, path)
+    assert v2_rows != v0_rows
+
+    res = restore_delta(spark, path, 0)  # v3 == v0 content
+    assert res["version"] == 3 and res["restored_to"] == 0
+    assert _rows(spark, path) == v0_rows
+    # time travel still sees every intermediate state
+    assert sorted(
+        map(tuple, load_source(
+            spark, path, "delta", {"version_as_of": 2}
+        ).collect())
+    ) == v2_rows
+    # restore forward to v2 again (undo the restore)
+    restore_delta(spark, path, 2)
+    assert _rows(spark, path) == v2_rows
+
+
+def test_restore_missing_version_and_vacuumed_file_fail_loudly(
+    spark, tmp_path
+):
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        restore_delta,
+    )
+
+    path = str(tmp_path / "rv")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id bigint, v double"
+        ).repartition(3, "id"),
+        path,
+    )
+    with pytest.raises(UnsupportedFormat, match="no version"):
+        restore_delta(spark, path, 9)
+    delete_delta(spark, path, "id = 0")  # v1 rewrites id-0's file
+    vacuum_delta(path, retention_hours=0.0)  # drops the v0-only file
+    with pytest.raises(UnsupportedFormat, match="vacuumed"):
+        restore_delta(spark, path, 0)
+
+
+def test_optimize_statement_compacts_and_zorders(spark, tmp_path):
+    """OPTIMIZE [ZORDER BY]: file count drops, values identical, and
+    the zordered files carry DISJOINT-ish min/max envelopes on BOTH
+    clustered columns (the data-skipping property)."""
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    path = str(tmp_path / "o")
+    df = spark.range(4000).selectExpr(
+        "id", "id % 61 AS x", "(id * 37) % 53 AS y"
+    )
+    write_delta(df.repartition(16), path)
+    before = _rows(spark, path)
+    eng = Engine(spark=spark)
+    eng.attach("opt_tgt", [path], "delta")
+    row = eng.sql("OPTIMIZE opt_tgt ZORDER BY (x, y)").collect()[0]
+    assert row["files_before"] == 16
+    assert row["files_after"] < 16
+    assert _rows(spark, path) == before
+
+    # per-file stats envelopes from the add actions: with z-order and
+    # a small file target (many output files) the sum of per-file
+    # x-ranges must be far below files × full-range
+    from pg_analytics_spark.sources.delta_write import compact_delta
+
+    zpath = str(tmp_path / "oz")
+    write_delta(df.repartition(16), zpath)
+    res = compact_delta(
+        spark, zpath, target_file_mb=0.01, zorder_by=["x", "y"]
+    )
+    assert res["files_after"] >= 4
+    active, _meta = _replay_log(os.path.join(zpath, "_delta_log"))
+    spans = []
+    for a in active.values():
+        st = json.loads(a["stats"])
+        spans.append(st["maxValues"]["x"] - st["minValues"]["x"])
+    assert len(spans) == res["files_after"]
+    assert sum(spans) < len(spans) * 60 * 0.8, spans
+    assert _rows(spark, zpath) == before
+
+
+def test_restore_statement_routing_loud_on_non_delta(spark, tmp_path):
+    from pg_analytics_spark.dialect import UnsupportedDialect
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "rs")
+    write_delta(
+        spark.createDataFrame([(1, 2.0)], "id bigint, v double"), path
+    )
+    eng = Engine(spark=spark)
+    eng.attach("rest_tgt", [path], "delta")
+    eng.sql("DELETE FROM rest_tgt WHERE id = 1")
+    row = eng.sql("RESTORE TABLE rest_tgt TO VERSION AS OF 0").collect()[0]
+    assert row["restored_to"] == 0 and row["files_readded"] >= 1
+    assert _rows(spark, path) == [(1, 2.0)]
+    # loud on parquet attachments
+    pq_dir = str(tmp_path / "plain")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(pq_dir)
+    eng.attach("plain_tbl", [pq_dir], "parquet")
+    with pytest.raises(UnsupportedDialect, match="RESTORE"):
+        eng.sql("RESTORE TABLE plain_tbl TO VERSION AS OF 0")
+    with pytest.raises(UnsupportedDialect, match="OPTIMIZE"):
+        eng.sql("OPTIMIZE plain_tbl")
