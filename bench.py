@@ -175,6 +175,7 @@ HEADLINE_NEXT5: list = [
     "corpus_sample_weighted",
     "zorder_scan_skipping",
     "delta_restore_optimize_roundtrip",
+    "iceberg_expire_snapshots_roundtrip",
 ]
 
 

@@ -1568,3 +1568,123 @@ def update_iceberg(
         "rows_updated": int(n_upd),
         "version": version,
     }
+
+
+def expire_iceberg_snapshots(
+    spark, path: str, *, retain_last: int = 1
+) -> dict:
+    """Iceberg's ``expire_snapshots`` maintenance procedure — the
+    other half of the MoR cost model beside :func:`compact_iceberg`:
+    drop all but the most recent ``retain_last`` snapshots from the
+    table metadata, then PHYSICALLY delete every data/delete file and
+    manifest referenced ONLY by the dropped snapshots.  The current
+    snapshot is always retained.
+
+    The trimmed snapshot list commits as a NEW metadata version
+    (put-if-absent, like every writer here), so readers racing the
+    expiry keep resolving a complete table; time travel to an expired
+    snapshot fails with the standard missing-version error.  Returns
+    {"snapshots_expired", "files_deleted", "bytes_deleted",
+    "version"}.
+    """
+    from pg_analytics_spark.sources.avro import read_container
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"expire target is not an iceberg table: {path}")
+    snaps = list(prev_meta.get("snapshots", []))
+    if len(snaps) <= retain_last:
+        return {
+            "snapshots_expired": 0,
+            "files_deleted": 0,
+            "bytes_deleted": 0,
+            "version": prev_version,
+        }
+    snaps_sorted = sorted(snaps, key=lambda s: s["sequence-number"])
+    current_id = prev_meta["current-snapshot-id"]
+    kept = snaps_sorted[-retain_last:]
+    if all(s["snapshot-id"] != current_id for s in kept):
+        kept.append(
+            next(s for s in snaps_sorted if s["snapshot-id"] == current_id)
+        )
+    kept_ids = {s["snapshot-id"] for s in kept}
+    dropped = [s for s in snaps_sorted if s["snapshot-id"] not in kept_ids]
+
+    def _referenced(snapshot) -> tuple[set, set]:
+        """(data/delete file paths, manifest-level file paths)."""
+        data_files: set = set()
+        meta_files = {snapshot["manifest-list"]}
+        _s, mlist = read_container(snapshot["manifest-list"])
+        for m in mlist:
+            meta_files.add(m["manifest_path"])
+            _s2, entries = read_container(m["manifest_path"])
+            for e in entries:
+                if e.get("status", 0) == 2:
+                    continue
+                data_files.add(e["data_file"]["file_path"])
+        return data_files, meta_files
+
+    keep_data: set = set()
+    keep_meta: set = set()
+    for s in kept:
+        d, mt = _referenced(s)
+        keep_data |= d
+        keep_meta |= mt
+    drop_data: set = set()
+    drop_meta: set = set()
+    for s in dropped:
+        d, mt = _referenced(s)
+        drop_data |= d
+        drop_meta |= mt
+
+    new_meta = dict(prev_meta)
+    new_meta["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in kept_ids
+    ]
+    new_meta["snapshot-log"] = [
+        e
+        for e in prev_meta.get("snapshot-log", [])
+        if e["snapshot-id"] in kept_ids
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+    # physical deletion AFTER the commit: a crash mid-delete leaves
+    # only orphans (re-expire cleans them), never a broken table
+    n_del = 0
+    bytes_del = 0
+    for f in sorted((drop_data - keep_data) | (drop_meta - keep_meta)):
+        try:
+            bytes_del += os.path.getsize(f)
+            os.unlink(f)
+            n_del += 1
+        except OSError:
+            pass
+    return {
+        "snapshots_expired": len(dropped),
+        "files_deleted": n_del,
+        "bytes_deleted": bytes_del,
+        "version": version,
+    }

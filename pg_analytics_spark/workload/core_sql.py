@@ -3784,3 +3784,59 @@ def iceberg_update_delete_roundtrip(
     return eng.sql(
         "SELECT o_orderkey, o_custkey, v FROM ice_upd_tgt ORDER BY o_orderkey"
     )
+
+
+@register(
+    "iceberg_expire_snapshots_roundtrip",
+    oracle=_ICE_UPDATE_ORACLE,
+    doc="Iceberg ``expire_snapshots`` maintenance (sources/"
+    "iceberg_write.expire_iceberg_snapshots) closing the MoR "
+    "lifecycle: after a merge-on-read UPDATE and DELETE, all but the "
+    "last snapshot expire — metadata trims to the retained window, "
+    "files referenced ONLY by dropped snapshots (pre-update images, "
+    "superseded delete files) are physically deleted, and the CURRENT "
+    "content is bit-identical to the relational replay (the same "
+    "oracle as iceberg_update_delete_roundtrip — expiry must be "
+    "invisible to readers of the live table).  Commit is a new "
+    "put-if-absent metadata version; physical deletion happens AFTER "
+    "the commit so a crash strands only re-collectable orphans, never "
+    "a broken table.",
+)
+def iceberg_expire_snapshots_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_expire")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("ice_exp_tgt", [root], "iceberg")
+    eng.sql("UPDATE ice_exp_tgt SET v = v * 2 WHERE v < 100000")
+    eng.sql("DELETE FROM ice_exp_tgt WHERE v > 250000")
+    res = expire_iceberg_snapshots(spark, root, retain_last=1)
+    assert res["snapshots_expired"] == 2, res
+    assert res["files_deleted"] >= 1, res
+    eng.attach("ice_exp_tgt", [root], "iceberg")  # refresh to new version
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM ice_exp_tgt "
+        "ORDER BY o_orderkey"
+    )

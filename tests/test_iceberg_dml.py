@@ -303,3 +303,54 @@ def test_update_null_predicate_and_old_row_semantics(spark, tmp_path):
         for r in load_source(spark, path, "iceberg").collect()
     )
     assert got == [(1, 10.0, 1.0), (2, None, 2.0), (3, 3.0, 5.0)]
+
+
+def test_expire_snapshots_trims_history_and_deletes_orphans(
+    spark, tmp_path
+):
+    """expire_snapshots: all but the last N snapshots drop from
+    metadata, files referenced ONLY by dropped snapshots are
+    physically deleted, the current content is untouched, kept-window
+    time travel still works, expired time travel fails loudly."""
+    import pytest as _pytest
+
+    from pg_analytics_spark.errors import MissingDependency
+    from pg_analytics_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+        update_iceberg,
+    )
+
+    path = str(tmp_path / "e")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "id bigint, v double"
+    )
+    write_iceberg(base.repartition(3, "id"), path, mode="overwrite")  # s1
+    update_iceberg(spark, path, {"v": "v + 100"}, "id < 4")  # s2
+    delete_iceberg(spark, path, "id >= 10")  # s3
+    res_noop = expire_iceberg_snapshots(spark, path, retain_last=5)
+    assert res_noop["snapshots_expired"] == 0
+
+    before = sorted(map(tuple, load_source(spark, path, "iceberg").collect()))
+    res = expire_iceberg_snapshots(spark, path, retain_last=2)
+    assert res["snapshots_expired"] == 1
+    assert res["files_deleted"] >= 1  # s1's pre-update file images
+    after = sorted(map(tuple, load_source(spark, path, "iceberg").collect()))
+    assert after == before
+    # the kept previous snapshot still time-travels
+    import json as _json
+    import os as _os
+
+    meta = _json.load(
+        open(_os.path.join(path, "metadata", f"v{res['version']}.metadata.json"))
+    )
+    assert len(meta["snapshots"]) == 2
+    kept_prev = min(s["snapshot-id"] for s in meta["snapshots"])
+    tt = load_source(
+        spark, path, "iceberg", {"snapshot_id": kept_prev}
+    )
+    assert tt.count() == 12  # pre-delete state
+    # an expired snapshot id fails loudly
+    with _pytest.raises(Exception):
+        load_source(
+            spark, path, "iceberg", {"snapshot_id": 999999999}
+        ).collect()
