@@ -82,7 +82,10 @@ _DROP_MACRO_RE = _re.compile(
 #: through the native protocol writers (Spark's own INSERT would need
 #: the runtime jars for these formats).
 _INSERT_LAKE_RE = _re.compile(
-    r"^INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<q>(?:SELECT|WITH|FROM|VALUES)\b.+?);?\s*$",
+    r"^INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<cols>[A-Za-z_][\w\s,]*)\)\s*)?"
+    r"(?:(?P<byname>BY\s+NAME)\s+)?"
+    r"(?P<q>(?:SELECT|WITH|FROM|VALUES)\b.+?);?\s*$",
     _re.IGNORECASE | _re.DOTALL,
 )
 
@@ -1038,22 +1041,65 @@ class Engine:
         df = self.sql(m.group("q"))
         # SQL INSERT binds columns by POSITION and coerces to the
         # table's types (a VALUES literal is int where the table is
-        # long, etc.); arity must match
+        # long, etc.); a column list binds positionally to the NAMED
+        # columns, `BY NAME` binds by the query's OWN column names —
+        # unmentioned table columns NULL-fill (DuckDB semantics).
         from pyspark.sql import functions as F
 
         tbl_schema = self.spark.table(att.name).schema
-        if len(df.columns) != len(tbl_schema.fields):
-            raise EngineError(
-                f"INSERT INTO {att.name}: query has {len(df.columns)} "
-                f"columns, table has {len(tbl_schema.fields)} "
-                f"({[f.name for f in tbl_schema.fields]})"
-            )
+        by_lower = {f.name.lower(): f.name for f in tbl_schema.fields}
+        named: list[str] | None = None  # query-col order → table names
+        if m.group("byname"):
+            unknown = [c for c in df.columns if c.lower() not in by_lower]
+            if unknown:
+                raise EngineError(
+                    f"INSERT INTO {att.name} BY NAME: query column(s) "
+                    f"{unknown} not in table "
+                    f"({[f.name for f in tbl_schema.fields]})"
+                )
+            named = [by_lower[c.lower()] for c in df.columns]
+        elif m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+            unknown = [c for c in cols if c.lower() not in by_lower]
+            if unknown:
+                raise EngineError(
+                    f"INSERT INTO {att.name} ({', '.join(cols)}): "
+                    f"column(s) {unknown} not in table"
+                )
+            if len(cols) != len(df.columns):
+                raise EngineError(
+                    f"INSERT INTO {att.name}: column list names "
+                    f"{len(cols)} columns, query has {len(df.columns)}"
+                )
+            named = [by_lower[c.lower()] for c in cols]
+        if named is not None:
+            if len(set(named)) != len(named):
+                raise EngineError(
+                    f"INSERT INTO {att.name}: duplicate target column"
+                )
+            src = df.toDF(*named)
+            # unmentioned columns NULL-fill; the writers reject
+            # non-nullable gaps downstream
+            for f in tbl_schema.fields:
+                if f.name not in named:
+                    src = src.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            src = src.select(*[f.name for f in tbl_schema.fields])
+        else:
+            if len(df.columns) != len(tbl_schema.fields):
+                raise EngineError(
+                    f"INSERT INTO {att.name}: query has "
+                    f"{len(df.columns)} columns, table has "
+                    f"{len(tbl_schema.fields)} "
+                    f"({[f.name for f in tbl_schema.fields]})"
+                )
+            src = df.toDF(*[f.name for f in tbl_schema.fields])
         # try_cast + a null-introduction check: a value the target type
         # cannot represent (e.g. 'abc' into BIGINT) must ERROR like
         # standard INSERT / DuckDB, not silently become NULL (plain
         # non-ANSI cast would).  One extra aggregate job over the
         # persisted SELECT result — the query itself runs once.
-        src = df.toDF(*[f.name for f in tbl_schema.fields])
         casted = src.select(
             *[
                 F.col(f.name).try_cast(f.dataType).alias(f.name)

@@ -440,3 +440,36 @@ def test_restore_statement_routing_loud_on_non_delta(spark, tmp_path):
         eng.sql("RESTORE TABLE plain_tbl TO VERSION AS OF 0")
     with pytest.raises(UnsupportedDialect, match="OPTIMIZE"):
         eng.sql("OPTIMIZE plain_tbl")
+
+
+def test_insert_by_name_and_column_list(spark, tmp_path):
+    """DuckDB `INSERT INTO t BY NAME SELECT …` (bind by the query's
+    own column names, any order) and the standard column-list form
+    `INSERT INTO t (c1, c2) VALUES …`: unmentioned columns NULL-fill,
+    unknown/duplicate targets fail loudly."""
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.errors import EngineError
+
+    path = str(tmp_path / "ins")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 2.0, "a")], "id bigint, v double, s string"
+        ),
+        path,
+    )
+    eng = Engine(spark=spark)
+    eng.attach("ins_tgt", [path], "delta")
+    eng.sql("INSERT INTO ins_tgt BY NAME SELECT 'b' AS s, 5 AS id")
+    eng.sql("INSERT INTO ins_tgt (v, id) VALUES (9.5, 7)")
+    assert _rows(spark, path) == [
+        (1, 2.0, "a"), (5, None, "b"), (7, 9.5, None)
+    ]
+    with pytest.raises(EngineError, match="not in table"):
+        eng.sql("INSERT INTO ins_tgt BY NAME SELECT 1 AS nope")
+    with pytest.raises(EngineError, match="duplicate"):
+        eng.sql("INSERT INTO ins_tgt (id, id) VALUES (1, 2)")
+    with pytest.raises(EngineError, match="not in table"):
+        eng.sql("INSERT INTO ins_tgt (id, nope) VALUES (1, 2)")
+    # positional arity error unchanged
+    with pytest.raises(EngineError, match="columns"):
+        eng.sql("INSERT INTO ins_tgt VALUES (1, 2.0)")
