@@ -43,13 +43,53 @@ _INDEX_NAME = "_zorder_index.json"
 
 def zorder_bin_expr(col: str, bounds: list[float]):
     """Quantile-bin a column against literal boundaries: the bin is
-    the count of boundaries ≤ value — a vectorized HOF over a literal
-    array (codegen, no join, no shuffle).  len(bounds) = 2^bits − 1
-    boundaries → bins in [0, 2^bits)."""
+    the count of boundaries ≤ value — a HOF over a literal array.
+    CAUTION: Spark executes higher-order-function lambdas INTERPRETED
+    (no codegen), so this is O(len(bounds)) interpreted evals per row
+    — measured 56s for a 2×255-boundary bin over sf0.1 lineitem.
+    Kept for tiny boundary lists; the layout builders use
+    :func:`zorder_bins` (ml.Bucketizer — compiled binary search)."""
     arr = ", ".join(repr(float(b)) for b in bounds)
     return F.expr(
         f"size(filter(array({arr}), b -> CAST({col} AS DOUBLE) >= b))"
     ).cast("long")
+
+
+def zorder_bins(
+    df: DataFrame, cols: list[str], *, bits: int = 8,
+    rel_err: float = 0.001,
+) -> tuple[DataFrame, list[str]]:
+    """Quantile-bin every clustering column into [0, 2^bits) via
+    approxQuantile boundaries + ``pyspark.ml.feature.Bucketizer`` —
+    a COMPILED binary search per row (the literal-array HOF bin is
+    interpreted and ~50× slower at sf0.1).  Returns (df with
+    ``__zb_<col>`` long bins appended, bin column names).  NULL/NaN
+    values land in Bucketizer's overflow bucket (≥ 2^bits), whose low
+    bits are zero — they cluster together at the curve origin."""
+    from pyspark.ml.feature import Bucketizer
+
+    n_bounds = (1 << bits) - 1
+    probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+    out = df
+    for c in cols:
+        out = out.withColumn(f"__zd_{c}", F.col(c).cast("double"))
+    bin_cols = []
+    for c in cols:
+        bounds = out.stat.approxQuantile(f"__zd_{c}", probs, rel_err)
+        splits = (
+            [float("-inf")] + sorted(set(bounds)) + [float("inf")]
+        )
+        out = Bucketizer(
+            splits=splits,
+            inputCol=f"__zd_{c}",
+            outputCol=f"__zbd_{c}",
+            handleInvalid="keep",
+        ).transform(out)
+        out = out.withColumn(
+            f"__zb_{c}", F.col(f"__zbd_{c}").cast("long")
+        ).drop(f"__zd_{c}", f"__zbd_{c}")
+        bin_cols.append(f"__zb_{c}")
+    return out, bin_cols
 
 
 def zorder_key_expr(bin_cols: list[str], bits: int):
@@ -83,25 +123,13 @@ def zorder_layout(
     ``sortWithinPartitions(zkey)`` so row groups inside each file are
     tight too → footer-stats walk builds the per-file min/max index.
     """
-    spark = df.sparkSession
-    n_bounds = (1 << bits) - 1
-    probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
-    cast_df = df.select(
-        *df.columns, *[F.col(c).cast("double").alias(f"__zd_{c}") for c in cols]
-    )
-    bounds = {
-        c: cast_df.stat.approxQuantile(f"__zd_{c}", probs, 0.001)
-        for c in cols
-    }
-    binned = df
-    for c in cols:
-        binned = binned.withColumn(f"__zb_{c}", zorder_bin_expr(c, bounds[c]))
-    zkey = zorder_key_expr([f"__zb_{c}" for c in cols], bits)
+    binned, bin_cols = zorder_bins(df, cols, bits=bits)
+    zkey = zorder_key_expr(bin_cols, bits)
     clustered = (
         binned.withColumn("__zkey", zkey)
         .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey", *[f"__zb_{c}" for c in cols])
+        .drop("__zkey", *bin_cols)
     )
     clustered.write.mode("overwrite").parquet(out_path)
     index = _build_minmax_index(out_path, cols)

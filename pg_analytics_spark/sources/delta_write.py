@@ -400,27 +400,18 @@ def compact_delta(
                 "drop partitioning or zorder_by"
             )
         from pg_analytics_spark.operators.zorder import (
-            zorder_bin_expr,
+            zorder_bins,
             zorder_key_expr,
         )
-        from pyspark.sql import functions as F
 
         bits = 8
-        n_bounds = (1 << bits) - 1
-        probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
-        cast_df = df.select(
-            *[F.col(c).cast("double").alias(f"__zd_{c}") for c in zorder_by]
-        )
-        out = df
-        for c in zorder_by:
-            bounds = cast_df.stat.approxQuantile(f"__zd_{c}", probs, 0.001)
-            out = out.withColumn(f"__zb_{c}", zorder_bin_expr(c, bounds))
-        zkey = zorder_key_expr([f"__zb_{c}" for c in zorder_by], bits)
+        out, bin_cols = zorder_bins(df, zorder_by, bits=bits)
+        zkey = zorder_key_expr(bin_cols, bits)
         out = (
             out.withColumn("__zkey", zkey)
             .repartitionByRange(n, "__zkey")
             .sortWithinPartitions("__zkey")
-            .drop("__zkey", *[f"__zb_{c}" for c in zorder_by])
+            .drop("__zkey", *bin_cols)
         )
     else:
         out = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
