@@ -139,10 +139,14 @@ def embedding_moments_fast(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
     def _accumulate(batches):
+        # EXECUTOR closure: no package imports — a vanilla driver ships
+        # this by value and the workers may not have the repo on their
+        # sys.path (round-8 driver-sim find).  ValueError crosses the
+        # Py4J boundary as a PythonException either way.
         import numpy as np
         import pyarrow as pa
 
-        from pg_analytics_spark.errors import EngineError
+        EngineError = ValueError
 
         d, n, s1, s2 = None, 0, None, None
         for b in batches:

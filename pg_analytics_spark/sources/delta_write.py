@@ -54,6 +54,29 @@ _STATS_TYPES = {
 }
 
 
+#: repo root, pickled BY VALUE into executor closures: a vanilla
+#: driver (cwd elsewhere, repo on the DRIVER's sys.path only) ships
+#: the footer-stats closures by value, and their lazy package imports
+#: would die on the Python workers — the fallback re-adds the shared
+#: filesystem path (round-8 driver-sim find; on a real cluster with a
+#: shipped package the primary import just succeeds).
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _import_footer_minmax():
+    try:
+        from pg_analytics_spark.sources.footer_stats import footer_minmax
+    except ModuleNotFoundError:  # executor worker without driver sys.path
+        import sys as _sys
+
+        if _REPO_ROOT not in _sys.path:
+            _sys.path.insert(0, _REPO_ROOT)
+        from pg_analytics_spark.sources.footer_stats import footer_minmax
+    return footer_minmax
+
+
 def _json_stat(v):
     import datetime as dt
 
@@ -68,7 +91,7 @@ def _file_stats(path: str, schema) -> str | None:
     Optional: an unreadable footer yields None (no stats, file still
     committed); the ROW COUNT the writer reports never depends on this
     (it observes the write job)."""
-    from pg_analytics_spark.sources.footer_stats import footer_minmax
+    footer_minmax = _import_footer_minmax()
 
     try:
         bounds, num_rows = footer_minmax(path)

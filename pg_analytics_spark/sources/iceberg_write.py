@@ -161,6 +161,15 @@ def _ice_type(spark_field) -> str:
     )
 
 
+#: repo root, pickled BY VALUE into executor closures (see
+#: delta_write._REPO_ROOT — same round-8 driver-sim find): the lazy
+#: package import inside _file_bounds must be resolvable on Python
+#: workers that never saw the driver's sys.path.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
 def _encode_bound(v, ice_type: str) -> bytes | None:
     """Appendix-D single-value binary encoding (the reader's
     _decode_bound inverse) for the bound-carrying primitives."""
@@ -195,8 +204,14 @@ def _file_bounds(path: str, fields: list[dict]) -> tuple[list, list, int]:
     """(lower_bounds kv, upper_bounds kv, num_rows) from the parquet
     footer, Appendix-D encoded per field id.  Loud on an unreadable
     footer — the manifest's record_count requires it anyway."""
-    from pg_analytics_spark.sources.footer_stats import footer_minmax
+    try:
+        from pg_analytics_spark.sources.footer_stats import footer_minmax
+    except ModuleNotFoundError:  # executor worker without driver sys.path
+        import sys as _sys
 
+        if _REPO_ROOT not in _sys.path:
+            _sys.path.insert(0, _REPO_ROOT)
+        from pg_analytics_spark.sources.footer_stats import footer_minmax
     bounds, num_rows = footer_minmax(path)
     lowers, uppers = [], []
     for f in fields:
