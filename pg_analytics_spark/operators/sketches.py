@@ -497,60 +497,38 @@ def kmv_overlap(
     not full — it then holds its whole stream); below θ both sketches
     are complete distinct-hash sets, so the joined sample counts scale
     by 2^60/θ.  Returns ONE row: est_intersection, est_a_only,
-    est_jaccard (all ROUND(…, 4) doubles).  Every input is
-    sketch-sized (≤ k rows) — broadcast joins, no data-path shuffle."""
-    key = F.col(group_cols[0]) if len(group_cols) == 1 else None
-    assert key is not None, "kmv_overlap expects exactly one group col"
-    a = sketch.filter(key == a_key).select("h", "rn")
-    b = sketch.filter(key == b_key).select("h", "rn")
+    est_jaccard (all ROUND(…, 4) doubles).
 
-    def _theta(side: DataFrame):
-        return side.agg(
-            F.coalesce(
-                F.max(F.when(F.col("rn") == k, F.col("h"))),
-                F.lit(KMV_DOMAIN).cast("long"),
-            ).alias("th")
-        )
-
-    theta = (
-        _theta(a)
-        .crossJoin(_theta(b).withColumnRenamed("th", "th_b"))
-        .select(F.least("th", "th_b").alias("theta"))
-    )
-    a_below = a.crossJoin(F.broadcast(theta)).filter(
-        F.col("h") < F.col("theta")
-    )
-    b_h = b.select("h")
-    inter_n = a_below.join(F.broadcast(b_h), "h", "semi").agg(
-        F.count("*").alias("n_inter")
-    )
-    a_only_n = a_below.join(F.broadcast(b_h), "h", "anti").agg(
-        F.count("*").alias("n_a_only")
-    )
-    b_below_n = (
-        b.crossJoin(F.broadcast(theta))
-        .filter(F.col("h") < F.col("theta"))
-        .agg(F.count("*").alias("n_b_below"))
-    )
-    scale = F.lit(float(KMV_DOMAIN)) / F.col("theta").cast("double")
-    return (
-        theta.crossJoin(F.broadcast(inter_n))
-        .crossJoin(F.broadcast(a_only_n))
-        .crossJoin(F.broadcast(b_below_n))
-        .select(
-            F.round(F.col("n_inter").cast("double") * scale, 4).alias(
-                "est_intersection"
-            ),
-            F.round(F.col("n_a_only").cast("double") * scale, 4).alias(
-                "est_a_only"
-            ),
-            F.round(
-                F.col("n_inter").cast("double")
-                / (
-                    F.col("n_inter") + F.col("n_a_only")
-                    + F.col("n_b_below") - F.col("n_inter")
-                ).cast("double"),
-                4,
-            ).alias("est_jaccard"),
-        )
+    The two sketches together are ≤ 2k rows, so the set algebra runs
+    on ONE sketch-sized collect (the codebook convention) — the
+    relational formulation paid ~20 broadcast-build jobs for the same
+    integers (round-8 job audit).  Only INTEGER counts come from
+    Python; the float estimate expressions stay Spark-side literals,
+    preserving the Spark↔DuckDB rounding parity the gate relies on."""
+    assert len(group_cols) == 1, "kmv_overlap expects exactly one group col"
+    key = group_cols[0]
+    rows = sketch.select(key, "h", "rn").collect()
+    a = {r["h"]: r["rn"] for r in rows if r[key] == a_key}
+    b = {r["h"]: r["rn"] for r in rows if r[key] == b_key}
+    kth_a = next((h for h, rn in a.items() if rn == k), None)
+    kth_b = next((h for h, rn in b.items() if rn == k), None)
+    theta = min(kth_a or KMV_DOMAIN, kth_b or KMV_DOMAIN)
+    a_below = {h for h in a if h < theta}
+    n_inter = len(a_below & b.keys())
+    n_a_only = len(a_below) - n_inter
+    n_b_below = sum(1 for h in b if h < theta)
+    scale = F.lit(float(KMV_DOMAIN)) / F.lit(theta).cast("double")
+    spark = sketch.sparkSession
+    return spark.range(1).select(
+        F.round(F.lit(n_inter).cast("double") * scale, 4).alias(
+            "est_intersection"
+        ),
+        F.round(F.lit(n_a_only).cast("double") * scale, 4).alias(
+            "est_a_only"
+        ),
+        F.round(
+            F.lit(n_inter).cast("double")
+            / F.lit(n_a_only + n_b_below).cast("double"),
+            4,
+        ).alias("est_jaccard"),
     )

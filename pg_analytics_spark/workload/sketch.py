@@ -683,22 +683,20 @@ def sketch_kmv_distinct_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("cohort") == "b", F.col("kmv_est"))).alias("est_b"),
     )
     ov = kmv_overlap(sk, ["cohort"], "a", "b", k=_KMV_K)
-    exact = ev.groupBy().agg(
-        F.count_distinct(
-            F.when(F.col("cohort") == "a", F.col("user_id"))
-        ).alias("exact_a"),
-        F.count_distinct(
-            F.when(F.col("cohort") == "b", F.col("user_id"))
-        ).alias("exact_b"),
+    # exact counts in ONE aggregation pipeline (per-user cohort flags
+    # → three conditional counts) — the count_distinct + anti-join
+    # formulation paid extra shuffles and broadcast jobs (r8 audit)
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.col("cohort") == "a").alias("in_a"),
+        F.max(F.col("cohort") == "b").alias("in_b"),
     )
-    a_u = ev.filter("cohort = 'a'").select("user_id").distinct()
-    b_u = ev.filter("cohort = 'b'").select("user_id").distinct()
-    exact_ao = a_u.join(b_u, "user_id", "anti").agg(
-        F.count("*").alias("exact_a_only")
+    exact = flags.agg(
+        F.count_if("in_a").alias("exact_a"),
+        F.count_if("in_b").alias("exact_b"),
+        F.count_if(F.col("in_a") & ~F.col("in_b")).alias("exact_a_only"),
     )
     return (
-        exact.crossJoin(F.broadcast(exact_ao))
-        .crossJoin(F.broadcast(ests))
+        exact.crossJoin(F.broadcast(ests))
         .crossJoin(F.broadcast(ov))
         .select(
             "exact_a", "exact_b", "exact_a_only", "est_a", "est_b",
