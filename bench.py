@@ -176,6 +176,7 @@ HEADLINE_NEXT5: list = [
     "zorder_scan_skipping",
     "delta_restore_optimize_roundtrip",
     "iceberg_expire_snapshots_roundtrip",
+    "sql_passthrough_time_travel",
 ]
 
 

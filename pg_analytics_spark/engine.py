@@ -323,6 +323,7 @@ class Engine:
         ubn = self._try_union_by_name(query)
         if ubn is not None:
             return ubn
+        query = self._expand_time_travel(query)
         query = self._expand_fs_table_functions(query)
         if _re.match(r"^(UPDATE|DELETE)\b", query.strip(), _re.IGNORECASE):
             # loud-or-green: a DML form the routers above don't parse
@@ -1624,6 +1625,92 @@ class Engine:
                     df.createOrReplaceTempView(view)
                     out.append(("word", view))
                     i = j + 1
+                    changed = True
+                    continue
+            out.append(toks[i])
+            i += 1
+        return "".join(t for _, t in out) if changed else query
+
+    def _expand_time_travel(self, query: str) -> str:
+        """Delta-SQL time-travel syntax on attached lake tables:
+        ``<tbl> VERSION AS OF <n>`` and ``<tbl> TIMESTAMP AS OF
+        '<ts>'`` rewrite to temp views over the native readers'
+        version_as_of / timestamp_as_of (delta) or snapshot_id /
+        as_of_timestamp_ms (iceberg) options — the SQL face of the
+        time travel the replay readers already do.  Token-level;
+        loud UnsupportedDialect when the name is an attachment of a
+        non-time-travelable format; text untouched when the name is
+        not an attachment (Spark then raises its own error)."""
+        if not _re.search(
+            r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", query, _re.IGNORECASE
+        ):
+            return query
+        from pg_analytics_spark.dialect import (
+            UnsupportedDialect,
+            _next_code,
+            _tokenize,
+        )
+        from pg_analytics_spark.sources import load_source
+
+        toks = _tokenize(query)
+        out = []
+        i = 0
+        changed = False
+        while i < len(toks):
+            kind, text = toks[i]
+            if kind == "word" and text in self._attachments:
+                j1 = _next_code(toks, i)
+                j2 = _next_code(toks, j1) if j1 < len(toks) else len(toks)
+                j3 = _next_code(toks, j2) if j2 < len(toks) else len(toks)
+                j4 = _next_code(toks, j3) if j3 < len(toks) else len(toks)
+                words = []
+                for j in (j1, j2, j3):
+                    words.append(
+                        toks[j][1].upper()
+                        if j < len(toks) and toks[j][0] == "word"
+                        else None
+                    )
+                mode = None
+                if words[:3] == ["VERSION", "AS", "OF"]:
+                    mode = "version"
+                elif words[:3] == ["TIMESTAMP", "AS", "OF"]:
+                    mode = "timestamp"
+                if mode and j4 < len(toks):
+                    att = self._attachments[text]
+                    if att.format not in ("delta", "iceberg"):
+                        raise UnsupportedDialect(
+                            f"VERSION/TIMESTAMP AS OF: {text} is a "
+                            f"{att.format} attachment — time travel "
+                            "needs a delta or iceberg table"
+                        )
+                    val = toks[j4][1]
+                    if mode == "version":
+                        n = int(val)
+                        opts = (
+                            {"version_as_of": n}
+                            if att.format == "delta"
+                            else {"snapshot_id": n}
+                        )
+                    else:
+                        ts = val.strip("'\"")
+                        if att.format == "delta":
+                            opts = {"timestamp_as_of": ts}
+                        else:
+                            import datetime as _dt
+
+                            ms = int(
+                                _dt.datetime.fromisoformat(ts).timestamp()
+                                * 1000
+                            )
+                            opts = {"as_of_timestamp_ms": ms}
+                    self._fs_view_seq += 1
+                    view = f"__tt_{text}_{self._fs_view_seq}"
+                    load_source(
+                        self.spark, att.files, att.format,
+                        {**(att.options or {}), **opts},
+                    ).createOrReplaceTempView(view)
+                    out.append(("word", view))
+                    i = j4 + 1
                     changed = True
                     continue
             out.append(toks[i])

@@ -1008,6 +1008,11 @@ def merge_delta(
             }
         )
     actions.extend(adds)
+    # commitInfo.timestamp = PUBLICATION time, not operation entry:
+    # the rewrite jobs above take seconds, and a timestamp-as-of taken
+    # just before the statement must NOT resolve to this version
+    # (protocol: timestamps order the commits as they became visible)
+    actions[0]["commitInfo"]["timestamp"] = int(_time.time() * 1000)
     _write_commit(path, log_dir, version, actions)
     return {
         "version": version,
@@ -1109,6 +1114,7 @@ def _rewrite_where(
                     }
                 }
             )
+        actions[0]["commitInfo"]["timestamp"] = int(_time.time() * 1000)
         _write_commit(path, log_dir, version, actions)
         return {
             "version": version,
@@ -1199,6 +1205,11 @@ def _rewrite_where(
             }
         )
     actions.extend(adds)
+    # commitInfo.timestamp = PUBLICATION time, not operation entry:
+    # the rewrite jobs above take seconds, and a timestamp-as-of taken
+    # just before the statement must NOT resolve to this version
+    # (protocol: timestamps order the commits as they became visible)
+    actions[0]["commitInfo"]["timestamp"] = int(_time.time() * 1000)
     _write_commit(path, log_dir, version, actions)
     return {
         "version": version,

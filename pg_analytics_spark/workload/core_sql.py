@@ -3840,3 +3840,50 @@ def iceberg_expire_snapshots_roundtrip(
         "SELECT o_orderkey, o_custkey, v FROM ice_exp_tgt "
         "ORDER BY o_orderkey"
     )
+
+
+@register(
+    "sql_passthrough_time_travel",
+    oracle=_RESTORE_ORACLE,
+    doc="Delta-SQL time-travel statement syntax: ``SELECT … FROM <tbl> "
+    "VERSION AS OF 0`` after an UPDATE and a DELETE reads the ORIGINAL "
+    "relation — the engine rewrites the clause (token-level, any "
+    "relation position, joins across versions work) onto the native "
+    "replay reader's version_as_of; ``TIMESTAMP AS OF`` resolves "
+    "through commitInfo timestamps, which the writers stamp at "
+    "PUBLICATION (an as-of captured before a statement can never "
+    "resolve to that statement's version — unit-pinned).  Iceberg "
+    "attachments take the same syntax onto snapshot_id / "
+    "as_of_timestamp_ms; non-lake attachments fail loudly.",
+)
+def sql_passthrough_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_tt")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("tt_sql_tgt", [root], "delta")
+    eng.sql("UPDATE tt_sql_tgt SET v = v * 2 WHERE v < 100000")
+    eng.sql("DELETE FROM tt_sql_tgt WHERE v > 250000")
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM tt_sql_tgt VERSION AS OF 0 "
+        "ORDER BY o_orderkey"
+    )

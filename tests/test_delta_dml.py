@@ -473,3 +473,52 @@ def test_insert_by_name_and_column_list(spark, tmp_path):
     # positional arity error unchanged
     with pytest.raises(EngineError, match="columns"):
         eng.sql("INSERT INTO ins_tgt VALUES (1, 2.0)")
+
+
+def test_sql_time_travel_syntax(spark, tmp_path):
+    """`<tbl> VERSION AS OF n` / `<tbl> TIMESTAMP AS OF 'ts'` in any
+    relation position rewrite to the native readers' time travel;
+    commitInfo timestamps are stamped at PUBLICATION (a ts captured
+    before a statement never resolves to that statement's version);
+    loud on non-lake attachments."""
+    import datetime
+    import time
+
+    from pg_analytics_spark.dialect import UnsupportedDialect
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "tt")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id bigint, v double"
+        ),
+        path,
+    )
+    eng = Engine(spark=spark)
+    eng.attach("tt_tbl", [path], "delta")
+    time.sleep(0.01)
+    ts0 = datetime.datetime.now().isoformat()
+    eng.sql("DELETE FROM tt_tbl WHERE id = 2")
+    assert [r["id"] for r in eng.sql("SELECT * FROM tt_tbl").collect()] == [1]
+    assert sorted(
+        r["id"]
+        for r in eng.sql("SELECT * FROM tt_tbl VERSION AS OF 0").collect()
+    ) == [1, 2]
+    assert sorted(
+        r["id"]
+        for r in eng.sql(
+            f"SELECT * FROM tt_tbl TIMESTAMP AS OF '{ts0}'"
+        ).collect()
+    ) == [1, 2]
+    # joins across versions: what did the DELETE remove?
+    gone = eng.sql(
+        "SELECT a.id FROM tt_tbl VERSION AS OF 0 a "
+        "LEFT JOIN tt_tbl b ON a.id = b.id WHERE b.id IS NULL"
+    ).collect()
+    assert [r["id"] for r in gone] == [2]
+    # loud on a parquet attachment
+    pq_dir = str(tmp_path / "plainpq")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(pq_dir)
+    eng.attach("plain_pq", [pq_dir], "parquet")
+    with pytest.raises(UnsupportedDialect, match="time travel"):
+        eng.sql("SELECT * FROM plain_pq VERSION AS OF 0")
