@@ -119,6 +119,12 @@ _VACUUM_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+_DESCRIBE_RE = _re.compile(
+    r"^DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b|HISTORY\b|QUERY\b)"
+    r"(?P<body>.+?);?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 _RESTORE_STMT_RE = _re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+VERSION\s+"
     r"AS\s+OF\s+(?P<version>\d+);?\s*$",
@@ -311,6 +317,9 @@ class Engine:
         m = _VACUUM_STMT_RE.match(query.strip())
         if m:
             return self._vacuum_statement(m)
+        m = _DESCRIBE_RE.match(query.strip())
+        if m:
+            return self._describe_statement(m)
         m = _RESTORE_STMT_RE.match(query.strip())
         if m:
             return self._restore_statement(m)
@@ -1926,6 +1935,34 @@ class Engine:
         return self.spark.createDataFrame(
             [(int(res["files_deleted"]), int(res["bytes_deleted"]))],
             "files_deleted bigint, bytes_deleted bigint",
+        )
+
+    def _describe_statement(self, m) -> DataFrame:
+        """DuckDB ``DESCRIBE <tbl>`` / ``DESCRIBE <query>`` — one row
+        per column in DuckDB's shape (column_name, column_type, null,
+        key, default, extra); the query form describes the RESULT
+        schema without executing the query (Spark's analysis phase
+        only).  Spark's own EXTENDED/FORMATTED/HISTORY forms pass
+        through untouched."""
+        body = m.group("body").strip()
+        if _re.match(r"^(SELECT|WITH|FROM|VALUES)\b", body, _re.IGNORECASE):
+            schema = self.sql(body).schema
+        else:
+            schema = self.spark.table(body).schema
+        return self.spark.createDataFrame(
+            [
+                (
+                    f.name,
+                    f.dataType.simpleString().upper(),
+                    "YES" if f.nullable else "NO",
+                    None,
+                    None,
+                    None,
+                )
+                for f in schema.fields
+            ],
+            "column_name string, column_type string, null string, "
+            "key string, default string, extra string",
         )
 
     def _restore_statement(self, m) -> DataFrame:

@@ -631,3 +631,19 @@ def test_insert_into_non_lake_table_still_errors_normally(engine):
 
     with _pytest.raises(Exception):
         engine.sql("INSERT INTO region VALUES (9, 'x')").collect()
+
+
+def test_describe_statement_duckdb_shape(engine):
+    rows = engine.sql("DESCRIBE nation").collect()
+    assert [r["column_name"] for r in rows] == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    assert rows[0]["column_type"] == "INT"
+    assert rows[0]["null"] in ("YES", "NO")
+    # query form: result schema WITHOUT executing
+    rows2 = engine.sql(
+        "DESCRIBE SELECT n_nationkey + 1 AS k, n_name FROM nation"
+    ).collect()
+    assert [(r["column_name"], r["column_type"]) for r in rows2] == [
+        ("k", "INT"), ("n_name", "STRING"),
+    ]
