@@ -344,7 +344,11 @@ def test_expire_snapshots_trims_history_and_deletes_orphans(
         open(_os.path.join(path, "metadata", f"v{res['version']}.metadata.json"))
     )
     assert len(meta["snapshots"]) == 2
-    kept_prev = min(s["snapshot-id"] for s in meta["snapshots"])
+    # snapshot IDS are random — the EARLIER kept snapshot is the one
+    # with the lower sequence number (s2, post-update pre-delete)
+    kept_prev = min(
+        meta["snapshots"], key=lambda s: s["sequence-number"]
+    )["snapshot-id"]
     tt = load_source(
         spark, path, "iceberg", {"snapshot_id": kept_prev}
     )
