@@ -68,11 +68,30 @@ def zorder_bins(
     bits are zero — they cluster together at the curve origin."""
     from pyspark.ml.feature import Bucketizer
 
+    numeric = {
+        "byte", "short", "integer", "long", "float", "double",
+        "decimal", "date", "timestamp", "timestamp_ntz",
+    }
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t.split("(")[0] not in numeric:
+            raise ValueError(
+                f"zorder: column {c!r} has type {t} — clustering needs "
+                "a numeric/date/timestamp column (strings would cast "
+                "to NULL and cluster nothing); hash or dictionary-"
+                "encode the column first"
+            )
     n_bounds = (1 << bits) - 1
     probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
     out = df
     for c in cols:
-        out = out.withColumn(f"__zd_{c}", F.col(c).cast("double"))
+        t = df.schema[c].dataType.typeName()
+        src = (
+            F.col(c).cast("timestamp").cast("double")  # epoch seconds
+            if t in ("date", "timestamp", "timestamp_ntz")
+            else F.col(c).cast("double")
+        )
+        out = out.withColumn(f"__zd_{c}", src)
     bin_cols = []
     for c in cols:
         bounds = out.stat.approxQuantile(f"__zd_{c}", probs, rel_err)
@@ -164,10 +183,15 @@ def _build_minmax_index(path: str, cols: list[str]) -> dict:
                 hi = s.max if hi is None else max(hi, s.max)
             if lo is None:
                 continue  # no stats → file can never be skipped on c
-            stats[c] = [
-                lo.item() if hasattr(lo, "item") else lo,
-                hi.item() if hasattr(hi, "item") else hi,
-            ]
+            lo = lo.item() if hasattr(lo, "item") else lo
+            hi = hi.item() if hasattr(hi, "item") else hi
+            if not isinstance(lo, (int, float)) or not isinstance(
+                hi, (int, float)
+            ):
+                # non-JSON-scalar stats (dates decode as objects) —
+                # skip the entry; the file is kept conservatively
+                continue
+            stats[c] = [lo, hi]
         files[name] = stats
     return {"cols": cols, "files": files}
 

@@ -342,3 +342,25 @@ def test_zorder_layout_skips_files_and_matches_full_scan(spark, tmp_path):
     none = zorder_pruned_scan(spark, layout, {"x": (5000, 6000)})
     assert none.count() == 0
     assert set(none.columns) == {"id", "x", "y"}
+
+
+def test_zorder_guards_and_edge_cases(spark, tmp_path):
+    import pytest as _pytest
+
+    from pg_analytics_spark.operators.zorder import (
+        zorder_layout,
+        zorder_pruned_scan,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "7 AS const"
+    )
+    # string clustering column is a loud error, not silent nulls
+    with _pytest.raises(ValueError, match="string"):
+        zorder_layout(df, ["id", "s"], str(tmp_path / "bad"))
+    # a CONSTANT column degenerates gracefully (one bin) — layout
+    # still correct, pruning on the varying column still works
+    layout = str(tmp_path / "c")
+    zorder_layout(df, ["id", "const"], layout, n_files=4)
+    got = zorder_pruned_scan(spark, layout, {"id": (10, 19)})
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 20))
