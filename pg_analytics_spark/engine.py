@@ -125,6 +125,11 @@ _DESCRIBE_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+_DESCRIBE_HISTORY_RE = _re.compile(
+    r"^DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[A-Za-z_][\w.]*);?\s*$",
+    _re.IGNORECASE,
+)
+
 _RESTORE_STMT_RE = _re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+VERSION\s+"
     r"AS\s+OF\s+(?P<version>\d+);?\s*$",
@@ -317,6 +322,9 @@ class Engine:
         m = _VACUUM_STMT_RE.match(query.strip())
         if m:
             return self._vacuum_statement(m)
+        m = _DESCRIBE_HISTORY_RE.match(query.strip())
+        if m:
+            return self._describe_history_statement(m)
         m = _DESCRIBE_RE.match(query.strip())
         if m:
             return self._describe_statement(m)
@@ -1935,6 +1943,82 @@ class Engine:
         return self.spark.createDataFrame(
             [(int(res["files_deleted"]), int(res["bytes_deleted"]))],
             "files_deleted bigint, bytes_deleted bigint",
+        )
+
+    def _describe_history_statement(self, m) -> DataFrame:
+        """Delta-SQL ``DESCRIBE HISTORY <tbl>`` on attached lake
+        tables: one row per version, newest first — (version,
+        timestamp, operation, operationParameters) from the Delta
+        log's commitInfo actions (mtime fallback for commits without
+        one) or the Iceberg metadata's snapshot list.  The discovery
+        companion to ``VERSION AS OF``."""
+        import datetime as _dt
+        import json as _json
+        import os as _os
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "DESCRIBE HISTORY", formats=("delta", "iceberg")
+        )
+        rows = []
+        if att.format == "delta":
+            log_dir = _os.path.join(att.files[0], "_delta_log")
+            for f in sorted(_os.listdir(log_dir)):
+                if not (f.endswith(".json") and f[:20].isdigit()):
+                    continue
+                v = int(f[:20])
+                ts_ms = int(_os.path.getmtime(_os.path.join(log_dir, f)) * 1000)
+                op, params = None, None
+                with open(_os.path.join(log_dir, f)) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        ci = _json.loads(line).get("commitInfo")
+                        if ci:
+                            ts_ms = int(ci.get("timestamp", ts_ms))
+                            op = ci.get("operation")
+                            params = _json.dumps(
+                                ci.get("operationParameters") or {},
+                                sort_keys=True,
+                            )
+                            break
+                rows.append((v, ts_ms, op, params))
+        else:
+            from pg_analytics_spark.sources.iceberg_write import (
+                _latest_metadata,
+            )
+
+            _v, meta = _latest_metadata(
+                _os.path.join(att.files[0], "metadata")
+            )
+            for s in meta.get("snapshots", []):
+                rows.append(
+                    (
+                        int(s["snapshot-id"]),
+                        int(s["timestamp-ms"]),
+                        (s.get("summary") or {}).get("operation"),
+                        _json.dumps(
+                            {
+                                k: v
+                                for k, v in (s.get("summary") or {}).items()
+                                if k != "operation"
+                            },
+                            sort_keys=True,
+                        ),
+                    )
+                )
+        rows.sort(key=lambda r: -r[0] if att.format == "delta" else -r[1])
+        return self.spark.createDataFrame(
+            [
+                (
+                    v,
+                    _dt.datetime.utcfromtimestamp(ts / 1000.0),
+                    op,
+                    params,
+                )
+                for v, ts, op, params in rows
+            ],
+            "version bigint, timestamp timestamp, operation string, "
+            "operationParameters string",
         )
 
     def _describe_statement(self, m) -> DataFrame:

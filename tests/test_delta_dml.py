@@ -522,3 +522,31 @@ def test_sql_time_travel_syntax(spark, tmp_path):
     eng.attach("plain_pq", [pq_dir], "parquet")
     with pytest.raises(UnsupportedDialect, match="time travel"):
         eng.sql("SELECT * FROM plain_pq VERSION AS OF 0")
+
+
+def test_describe_history_statement(spark, tmp_path):
+    from pg_analytics_spark.dialect import UnsupportedDialect
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "h")
+    write_delta(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"), path
+    )
+    eng = Engine(spark=spark)
+    eng.attach("hist_tbl", [path], "delta")
+    eng.sql("UPDATE hist_tbl SET v = 2.0 WHERE id = 1")
+    eng.sql("DELETE FROM hist_tbl WHERE id = 1")
+    rows = eng.sql("DESCRIBE HISTORY hist_tbl").collect()
+    assert [r["version"] for r in rows] == [2, 1, 0]  # newest first
+    assert rows[0]["operation"] == "DELETE"
+    assert rows[1]["operation"] == "UPDATE"
+    assert rows[2]["operation"] == "WRITE"
+    # timestamps non-decreasing oldest→newest
+    ts = [r["timestamp"] for r in rows]
+    assert ts[2] <= ts[1] <= ts[0]
+    # loud on non-lake attachments
+    pq_dir = str(tmp_path / "pq")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(pq_dir)
+    eng.attach("hist_pq", [pq_dir], "parquet")
+    with pytest.raises(UnsupportedDialect, match="DESCRIBE HISTORY"):
+        eng.sql("DESCRIBE HISTORY hist_pq")
