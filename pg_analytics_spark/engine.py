@@ -43,6 +43,15 @@ _COPY_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: DuckDB `COPY tbl FROM 'file' (FORMAT csv, HEADER)` — the read half
+#: of the COPY surface: load + append through the INSERT path (full
+#: type coercion + null-introduction checks apply).
+_COPY_FROM_RE = _re.compile(
+    r"^COPY\s+(?P<name>[A-Za-z_]\w*)\s+FROM\s+'(?P<path>[^']+)'"
+    r"\s*(?:\(\s*(?P<opts>[^)]*)\))?\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: CTAS into the native lakehouse writers — Spark's catalog handles
 #: `USING parquet` itself, but `USING delta|iceberg` would need the
 #: runtime jars; this text form routes to Engine.materialize instead.
@@ -375,6 +384,9 @@ class Engine:
             if m.group("ord"):
                 q += f" ORDER BY {m.group('ord')}"
             return self.spark.sql(rewrite_pg(q))
+        m = _COPY_FROM_RE.match(query.strip())
+        if m and "(" not in m.group("name"):
+            return self._copy_from_statement(m)
         m = _COPY_RE.match(query.strip())
         if m:
             # DuckDB `COPY (query) TO 'path' (FORMAT x)` text, verbatim
@@ -1944,6 +1956,62 @@ class Engine:
             [(int(res["files_deleted"]), int(res["bytes_deleted"]))],
             "files_deleted bigint, bytes_deleted bigint",
         )
+
+    def _copy_from_statement(self, m) -> DataFrame:
+        """DuckDB ``COPY <attached lake table> FROM '<file>' [(FORMAT
+        csv|parquet|json[, HEADER][, DELIMITER 'c'])]`` — load through
+        the source layer and append via the INSERT BY NAME path for
+        header-carrying formats (column names bind), positionally for
+        headerless CSV.  The INSERT path's full coercion +
+        null-introduction checks apply; the attachment refreshes to
+        the new snapshot.  Returns a one-row count relation."""
+        from pg_analytics_spark.sources import load_source
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "COPY FROM", formats=("delta", "iceberg")
+        )
+        path = m.group("path")
+        opt_text = (m.group("opts") or "").strip()
+        fmt = None
+        src_opts: dict = {}
+        by_name = True
+        if opt_text:
+            for part in opt_text.split(","):
+                kv = part.strip().split(None, 1)
+                if not kv:
+                    continue
+                k = kv[0].lower()
+                v = kv[1].strip().strip("'\"") if len(kv) > 1 else None
+                if k == "format":
+                    fmt = (v or "").lower()
+                elif k == "header":
+                    src_opts["header"] = (
+                        "false" if v and v.lower() in ("0", "false") else "true"
+                    )
+                elif k in ("delimiter", "delim", "sep"):
+                    src_opts["sep"] = v
+        if fmt is None:
+            low = path.lower()
+            fmt = (
+                "csv" if low.endswith((".csv", ".csv.gz", ".tsv")) else
+                "json" if low.endswith((".json", ".ndjson", ".jsonl")) else
+                "parquet"
+            )
+        if fmt == "csv":
+            if "header" not in src_opts:
+                src_opts["header"] = "true"  # DuckDB auto-detects; assume
+            by_name = src_opts["header"] == "true"
+            src_opts.setdefault("inferSchema", "true")
+        df = load_source(self.spark, [path], fmt, src_opts or None)
+        self._fs_view_seq += 1
+        view = f"__copy_src_{self._fs_view_seq}"
+        df.createOrReplaceTempView(view)
+        stmt = (
+            f"INSERT INTO {att.name} BY NAME SELECT * FROM {view}"
+            if by_name
+            else f"INSERT INTO {att.name} SELECT * FROM {view}"
+        )
+        return self.sql(stmt)
 
     def _describe_history_statement(self, m) -> DataFrame:
         """Delta-SQL ``DESCRIBE HISTORY <tbl>`` on attached lake

@@ -550,3 +550,41 @@ def test_describe_history_statement(spark, tmp_path):
     eng.attach("hist_pq", [pq_dir], "parquet")
     with pytest.raises(UnsupportedDialect, match="DESCRIBE HISTORY"):
         eng.sql("DESCRIBE HISTORY hist_pq")
+
+
+def test_copy_from_statement(spark, tmp_path):
+    """DuckDB `COPY tbl FROM 'file' (FORMAT csv, HEADER)`: loads via
+    the source layer and appends through the INSERT path (BY NAME for
+    header CSVs — column order in the file need not match)."""
+    from pg_analytics_spark.dialect import UnsupportedDialect
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.5, "a")], "id bigint, v double, s string"
+        ),
+        path,
+    )
+    csv = tmp_path / "in.csv"
+    csv.write_text("s,id,v\nb,2,2.5\nc,3,\n")  # shuffled cols, null v
+    eng = Engine(spark=spark)
+    eng.attach("copy_tgt", [path], "delta")
+    n = eng.sql(f"COPY copy_tgt FROM '{csv}' (FORMAT csv, HEADER)").first()
+    assert n["count"] == 2
+    assert _rows(spark, path) == [
+        (1, 1.5, "a"), (2, 2.5, "b"), (3, None, "c"),
+    ]
+    # parquet input by extension, no options
+    pq = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(4, 4.5, "d")], "id bigint, v double, s string"
+    ).coalesce(1).write.parquet(pq)
+    eng.sql(f"COPY copy_tgt FROM '{pq}'")
+    assert len(_rows(spark, path)) == 4
+    # loud on non-lake targets
+    pq2 = str(tmp_path / "plain")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(pq2)
+    eng.attach("copy_plain", [pq2], "parquet")
+    with pytest.raises(UnsupportedDialect, match="COPY FROM"):
+        eng.sql(f"COPY copy_plain FROM '{csv}' (FORMAT csv)")
