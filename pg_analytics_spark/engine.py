@@ -129,8 +129,9 @@ _VACUUM_STMT_RE = _re.compile(
 )
 
 _DESCRIBE_RE = _re.compile(
-    r"^DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b|HISTORY\b|QUERY\b)"
-    r"(?P<body>.+?);?\s*$",
+    r"^DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b|HISTORY\b|QUERY\b"
+    r"|FUNCTION\b|DATABASE\b|NAMESPACE\b|SCHEMA\b|CATALOG\b)"
+    r"(?:TABLE\s+)?(?P<body>.+?);?\s*$",
     _re.IGNORECASE | _re.DOTALL,
 )
 

@@ -647,3 +647,13 @@ def test_describe_statement_duckdb_shape(engine):
     assert [(r["column_name"], r["column_type"]) for r in rows2] == [
         ("k", "INT"), ("n_name", "STRING"),
     ]
+
+
+def test_describe_table_keyword_and_function_passthrough(engine):
+    rows = engine.sql("DESCRIBE TABLE nation").collect()
+    assert [r["column_name"] for r in rows] == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    # Spark's own DESCRIBE FUNCTION passes through untouched
+    out = engine.sql("DESCRIBE FUNCTION upper").collect()
+    assert any("upper" in str(r).lower() for r in out)
