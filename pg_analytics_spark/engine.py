@@ -1779,6 +1779,8 @@ class Engine:
 
         toks = _tokenize(query)
         depths = _depths(toks)
+        all_toks, all_depths = toks, depths  # pre-CTE-strip, for the
+        # nested-BY-NAME loudness check below
         # a leading WITH clause scopes over the WHOLE set expression —
         # carry it as a prefix into every segment so CTE names resolve
         # on both sides of the split
@@ -1873,6 +1875,32 @@ class Engine:
                 continue
             i += 1
         if not any_by_name:
+            # a BY NAME buried INSIDE a subquery/CTE (depth > 0) has no
+            # depth-0 split to route through — fail with guidance, not
+            # Spark's raw parse error (loud-or-green)
+            for idx, (k, t) in enumerate(all_toks):
+                if (
+                    k == "word"
+                    and t.upper() == "BY"
+                    and all_depths[idx] > 0
+                ):
+                    nx = _next_code(all_toks, idx)
+                    pv = _prev_code(all_toks, idx)
+                    if (
+                        nx < len(all_toks)
+                        and all_toks[nx][0] == "word"
+                        and all_toks[nx][1].upper() == "NAME"
+                        and pv >= 0
+                        and all_toks[pv][0] == "word"
+                        and all_toks[pv][1].upper() in ("UNION", "ALL")
+                    ):
+                        raise UnsupportedDialect(
+                            "UNION BY NAME inside a subquery or CTE "
+                            "definition: the rewrite routes top-level "
+                            "set expressions only — hoist the BY NAME "
+                            "union to the top level, or attach each "
+                            "side as its own relation first"
+                        )
             return None  # no BY NAME anywhere — Spark SQL handles it
         if has_intersect:
             raise UnsupportedDialect(
@@ -2119,14 +2147,32 @@ class Engine:
         )
 
     def _restore_statement(self, m) -> DataFrame:
-        """``RESTORE [TABLE] <attached delta table> TO VERSION AS OF n``
-        — a new commit reverting the active file set (and schema) to
-        version n's, through sources/delta_write.restore_delta.
-        History is preserved: restore is itself a version.  Returns
-        one metrics row."""
+        """``RESTORE [TABLE] <attached lake table> TO VERSION AS OF n``
+        — Delta: a new commit reverting the active file set (and
+        schema) to version n's (sources/delta_write.restore_delta);
+        Iceberg: rollback_to_snapshot, pure metadata (n is the
+        snapshot id).  History is preserved either way: restore is
+        itself a version.  Returns one metrics row."""
+        att = self._dml_delta_attachment(
+            m.group("name"), "RESTORE", formats=("delta", "iceberg")
+        )
+        if att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                rollback_iceberg,
+            )
+
+            res_i = rollback_iceberg(
+                self.spark, att.files[0], int(m.group("version"))
+            )
+            self.attach(
+                att.name, att.files, att.format, att.options, att.columns
+            )
+            return self.spark.createDataFrame(
+                [(int(res_i["rolled_back_to"]), int(res_i["version"]))],
+                "rolled_back_to bigint, version int",
+            )
         from pg_analytics_spark.sources.delta_write import restore_delta
 
-        att = self._dml_delta_attachment(m.group("name"), "RESTORE")
         res = restore_delta(
             self.spark, att.files[0], int(m.group("version"))
         )

@@ -1703,3 +1703,59 @@ def expire_iceberg_snapshots(
         "bytes_deleted": bytes_del,
         "version": version,
     }
+
+
+def rollback_iceberg(spark, path: str, snapshot_id: int) -> dict:
+    """Iceberg's ``rollback_to_snapshot`` — set the CURRENT snapshot
+    back to ``snapshot_id`` as a NEW metadata version (the snapshot
+    must still be in the table metadata, i.e. not expired).  Nothing
+    is rewritten or deleted: Iceberg snapshots are immutable file
+    sets, so rollback is pure metadata — the MoR mirror of the Delta
+    writer's RESTORE.  Put-if-absent commit; a later rollback can
+    roll forward again.  Returns {"rolled_back_to", "version"}."""
+    import time as _time
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"rollback target is not an iceberg table: {path}")
+    snaps = prev_meta.get("snapshots", [])
+    if all(s["snapshot-id"] != snapshot_id for s in snaps):
+        raise UnsupportedFormat(
+            f"iceberg table at {path} has no snapshot {snapshot_id} "
+            "(expired or never existed) — cannot roll back"
+        )
+    if prev_meta.get("current-snapshot-id") == snapshot_id:
+        return {"rolled_back_to": snapshot_id, "version": prev_version}
+    meta = dict(prev_meta)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": int(_time.time() * 1000),
+        }
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"rolled_back_to": snapshot_id, "version": version}

@@ -1259,3 +1259,24 @@ def test_generate_series_inclusive_and_aliased(engine):
 
     q = "SELECT generate_series(1, 3) FROM t"
     assert "explode" not in rewrite_pg(q)
+
+
+def test_union_by_name_in_subquery_is_loud(engine):
+    from pg_analytics_spark.dialect import UnsupportedDialect
+
+    with pytest.raises(UnsupportedDialect, match="subquery"):
+        engine.sql(
+            "SELECT * FROM "
+            "(SELECT 1 AS x UNION BY NAME SELECT 2 AS x) t"
+        )
+    with pytest.raises(UnsupportedDialect, match="subquery"):
+        engine.sql(
+            "WITH c AS (SELECT 1 AS x UNION ALL BY NAME SELECT 2 AS x) "
+            "SELECT * FROM c"
+        )
+    # GROUP BY name-column false positives stay silent (no 'UNION'
+    # before the BY): normal queries unaffected
+    assert engine.sql(
+        "SELECT n_regionkey, count(*) AS c FROM "
+        "(SELECT * FROM nation) GROUP BY n_regionkey ORDER BY c"
+    ).count() == 5

@@ -358,3 +358,45 @@ def test_expire_snapshots_trims_history_and_deletes_orphans(
         load_source(
             spark, path, "iceberg", {"snapshot_id": 999999999}
         ).collect()
+
+
+def test_rollback_snapshot_and_restore_statement(spark, tmp_path):
+    """rollback_iceberg: pure-metadata rollback to a prior snapshot
+    (nothing rewritten), routed through RESTORE statement text; roll
+    forward works; expired/unknown snapshot ids fail loudly."""
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import rollback_iceberg
+
+    path = str(tmp_path / "rb")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id bigint, v double"
+        ),
+        path,
+        mode="overwrite",
+    )
+    meta_dir = os.path.join(path, "metadata")
+
+    def _cur():
+        import pg_analytics_spark.sources.iceberg_write as iw
+
+        _v, m = iw._latest_metadata(meta_dir)
+        return m["current-snapshot-id"], _v
+
+    s1, _ = _cur()
+    delete_iceberg(spark, path, "id >= 4")
+    s2, _ = _cur()
+    assert s2 != s1
+    eng = Engine(spark=spark)
+    eng.attach("rb_tbl", [path], "iceberg")
+    row = eng.sql(f"RESTORE TABLE rb_tbl TO VERSION AS OF {s1}").first()
+    assert row["rolled_back_to"] == s1
+    assert eng.sql("SELECT count(*) AS n FROM rb_tbl").first()["n"] == 8
+    # roll forward again
+    rollback_iceberg(spark, path, s2)
+    assert sorted(
+        r["id"] for r in load_source(spark, path, "iceberg").collect()
+    ) == list(range(4))
+    # unknown snapshot id is loud
+    with pytest.raises(UnsupportedFormat, match="no snapshot"):
+        rollback_iceberg(spark, path, 123456789)
