@@ -1682,13 +1682,15 @@ class Engine:
         )
         from pg_analytics_spark.sources import load_source
 
+        by_lower = {n.lower(): n for n in self._attachments}
         toks = _tokenize(query)
         out = []
         i = 0
         changed = False
         while i < len(toks):
             kind, text = toks[i]
-            if kind == "word" and text in self._attachments:
+            if kind == "word" and text.lower() in by_lower:
+                text = by_lower[text.lower()]  # canonical attachment name
                 j1 = _next_code(toks, i)
                 j2 = _next_code(toks, j1) if j1 < len(toks) else len(toks)
                 j3 = _next_code(toks, j2) if j2 < len(toks) else len(toks)
