@@ -3887,3 +3887,93 @@ def sql_passthrough_time_travel(
         "SELECT o_orderkey, o_custkey, v FROM tt_sql_tgt VERSION AS OF 0 "
         "ORDER BY o_orderkey"
     )
+
+
+_PASSTHROUGH_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_passthrough_grouping_sets",
+    oracle=_PASSTHROUGH_GROUPING_SETS,
+    doc="ANSI passthrough: explicit GROUP BY GROUPING SETS with GROUPING() "
+    "markers — the generalized form beneath ROLLUP/CUBE (already covered "
+    "as grouping_rollup/grouping_cube).  Spark expands the sets via a "
+    "single Expand node feeding ONE hash aggregate (no N-pass scan); "
+    "sums stage in DECIMAL per the float-determinism contract.  Same "
+    "text runs on both engines.",
+)
+def sql_passthrough_grouping_sets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    for t in ["lineitem"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PASSTHROUGH_GROUPING_SETS)
+
+
+_PASSTHROUGH_AGG_FILTER = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000.0)
+         AS big_spenders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_passthrough_agg_filter",
+    oracle=_PASSTHROUGH_AGG_FILTER,
+    doc="ANSI passthrough: aggregate FILTER (WHERE …) clauses — per-"
+    "aggregate predicates inside ONE grouped pass (the alternative is N "
+    "self-joined subqueries), including a filtered COUNT(DISTINCT).  "
+    "Spark compiles each filter into the aggregate's input projection — "
+    "still a single scan + single shuffle.  Same text on both engines.",
+)
+def sql_passthrough_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ["orders"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PASSTHROUGH_AGG_FILTER)
+
+
+_PASSTHROUGH_LATERAL = """
+SELECT n.n_name, l.top_bal, l.top_supp
+FROM nation n,
+LATERAL (
+  SELECT s.s_acctbal AS top_bal, s.s_name AS top_supp
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s.s_acctbal DESC, s.s_suppkey
+  LIMIT 1
+) l
+ORDER BY n.n_name
+"""
+
+
+@register(
+    "sql_passthrough_lateral_join",
+    oracle=_PASSTHROUGH_LATERAL,
+    doc="ANSI passthrough: comma-form LATERAL correlated derived table "
+    "(top-1-per-outer-row — the classic 'greatest-n-per-group as a "
+    "join' shape).  Spark plans the correlated LIMIT 1 subquery via "
+    "DomainJoin rewrite into a window/aggregate — one shuffle, not a "
+    "per-row re-scan; inner-join semantics drop nations with no "
+    "supplier, identical in DuckDB.",
+)
+def sql_passthrough_lateral_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    for t in ["nation", "supplier"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PASSTHROUGH_LATERAL)
