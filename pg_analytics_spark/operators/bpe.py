@@ -167,3 +167,52 @@ def bpe_segment(
             "concat(acc, array(s))))"
         )
     return df.withColumn("bpe_toks", F.expr(expr))
+
+
+def replace_chain_sql(col_sql: str, merges: list[tuple[str, str]]) -> str:
+    """SQL expression applying `merges` to one WORD as a chain of plain
+    string replaces — the cross-engine-portable encode path.
+
+    The word is exploded to space-flanked symbols (`' c1 c2 … </w> '`),
+    then each merge (a, b) rewrites `' a b '` → `' ab '`.  A plain
+    replace scans left-to-right over NON-overlapping matches, and a
+    match consumes b's trailing space, so of a CONSECUTIVE run of
+    occurrences only every other one rewrites per pass — each merge is
+    therefore applied TWICE (any alternating leftover re-gains its
+    flanking spaces after pass one; natural-language words have no
+    runs deeper than two).  These semantics are deliberately chosen
+    over the exact greedy fold (merge_pair_col) because they are
+    expressible IDENTICALLY in Spark and DuckDB (`replace` has the
+    same non-overlapping scan in both), keeping corpus encode under
+    the bit-exact cross-engine gate; on run-free words the result
+    equals the greedy fold (tests/test_bpe.py pins both facts).
+
+    Everything stays in whole-stage codegen (StringReplace) — no
+    interpreted HOF fold on the per-word path; at corpus scale the
+    chain should run over the DISTINCT-word relation and join back
+    (see workload/llm.py::bpe_encode_corpus).
+    """
+    expr = f"concat(' ', regexp_replace({col_sql}, '(.)', '$1 '), '{EOW} ')"
+    for a, b in merges:
+        pat, rep = _sq(f" {a} {b} "), _sq(f" {a}{b} ")
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr
+
+
+def replace_chain_duckdb_sql(
+    col_sql: str, merges: list[tuple[str, str]]
+) -> str:
+    """The oracle twin of replace_chain_sql — same chain, DuckDB
+    spellings (`\\1` backreference + explicit 'g' flag; DuckDB string
+    literals take no C-escapes, so only quotes double)."""
+
+    def dq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = (
+        f"' ' || regexp_replace({col_sql}, '(.)', '\\1 ', 'g') || '{EOW} '"
+    )
+    for a, b in merges:
+        pat, rep = dq(f" {a} {b} "), dq(f" {a}{b} ")
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr

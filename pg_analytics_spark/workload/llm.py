@@ -2996,3 +2996,100 @@ def _register_streaming_pca_moments():
 
 
 _register_streaming_pca_moments()
+
+
+#: the trained tokenizer shipped to the encode pass — a fixed, ordered
+#: merge table (what train_bpe produces; literal here so the oracle is
+#: static SQL and the encode row tests APPLICATION, not training).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "</w>"),
+    ("a", "n"),
+    ("an", "d"),
+    ("and", "</w>"),
+    ("i", "n"),
+    ("in", "</w>"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("o", "f"),
+    ("of", "</w>"),
+    ("e", "</w>"),
+    ("s", "</w>"),
+    ("d", "</w>"),
+]
+
+
+def _register_bpe_encode_corpus():
+    from pg_analytics_spark.operators.bpe import (
+        replace_chain_duckdb_sql,
+        replace_chain_sql,
+    )
+
+    chain = replace_chain_duckdb_sql("word", BPE_MERGES)
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM toks GROUP BY doc_id, word
+    ),
+    enc AS (
+      SELECT word,
+             len(string_split_regex(trim({chain}), ' +')) AS n_sub
+      FROM (SELECT DISTINCT word FROM counts)
+    )
+    SELECT c.doc_id,
+           CAST(SUM(c.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(c.cnt * e.n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM counts c JOIN enc e USING (word)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """
+
+    @register(
+        "bpe_encode_corpus",
+        oracle=oracle,
+        doc="Tokenizer APPLICATION at corpus scale (the encode half of "
+        "BPE; training is bpe_pair_counts/train_bpe): per-document "
+        "token counts under a fixed ordered merge table.  The merge "
+        "chain runs over the DISTINCT-word relation only — encode cost "
+        "is vocabulary-sized, never corpus-sized — then broadcast-joins "
+        "back to per-(doc, word) counts; the chain itself is plain "
+        "codegen string replaces (operators/bpe.py::replace_chain_sql; "
+        "no interpreted HOF on the per-word path), with semantics "
+        "chosen to be expressible identically in both engines, so even "
+        "the encoded sub-token counts sit under the value-exact gate.",
+    )
+    def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id", F.explode(X.tokens(F.lower("text"))).alias("word")
+        )
+        counts = toks.groupBy("doc_id", "word").agg(
+            F.count("*").alias("cnt")
+        )
+        vocab = counts.select("word").distinct()
+        enc = vocab.select(
+            "word",
+            F.expr(
+                "size(split(trim("
+                + replace_chain_sql("word", BPE_MERGES)
+                + "), ' +'))"
+            ).alias("n_sub"),
+        )
+        return (
+            counts.join(F.broadcast(enc), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_words"),
+                F.sum(F.col("cnt") * F.col("n_sub"))
+                .cast("bigint")
+                .alias("n_bpe_tokens"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_bpe_encode_corpus()

@@ -109,3 +109,93 @@ def test_bpe_symbols_with_backslashes(spark):
     seg2 = bpe_segment(df, "word", [("y", "\\", 0)])
     got2 = {r["word"]: r["bpe_toks"] for r in seg2.collect()}
     assert got2["y\\"] == ["y\\", EOW]
+
+
+class TestReplaceChain:
+    """replace_chain_sql: the portable (cross-engine bit-exact) encode
+    path — double-pass plain-replace semantics."""
+
+    @staticmethod
+    def _python_chain(word: str, merges) -> list[str]:
+        s = " " + "".join(c + " " for c in word) + EOW + " "
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            s = s.replace(pat, rep).replace(pat, rep)
+        return s.split()
+
+    def test_chain_matches_python_reference(self, spark):
+        from pg_analytics_spark.operators.bpe import replace_chain_sql
+
+        merges = [("t", "h"), ("th", "e"), ("e", EOW), ("o", "n"),
+                  ("on", "on")]
+        words = ["the", "theatre", "ononon", "onononon", "x", "don't",
+                 "100%", "thethe"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["toks"]
+            for r in df.select(
+                "word",
+                F.expr(
+                    "split(trim("
+                    + replace_chain_sql("word", merges)
+                    + "), ' +')"
+                ).alias("toks"),
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == self._python_chain(w, merges), w
+
+    def test_chain_equals_greedy_fold_on_run_free_words(self, spark):
+        """Where no consecutive pair-run exists (all natural-language
+        words here), the portable chain == the exact greedy fold."""
+        from pg_analytics_spark.operators.bpe import replace_chain_sql
+        from pg_analytics_spark.workload.llm import BPE_MERGES
+
+        words = ["the", "northern", "andante", "inside", "refer",
+                 "wonderful", "sand", "of", "offers", "thousand"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        chain = {
+            r["word"]: r["toks"]
+            for r in df.select(
+                "word",
+                F.expr(
+                    "split(trim("
+                    + replace_chain_sql("word", BPE_MERGES)
+                    + "), ' +')"
+                ).alias("toks"),
+            ).collect()
+        }
+        greedy = {
+            r["word"]: r["bpe_toks"]
+            for r in bpe_segment(
+                df, "word", [(a, b, 0) for a, b in BPE_MERGES]
+            ).collect()
+        }
+        assert chain == greedy
+
+    def test_chain_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from pg_analytics_spark.operators.bpe import (
+            replace_chain_duckdb_sql,
+            replace_chain_sql,
+        )
+
+        merges = [("t", "h"), ("th", "e"), ("o", "n"), ("on", "on")]
+        words = ["the", "ononon", "python", "month", "o'neill"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["s"]
+            for r in df.select(
+                "word",
+                F.expr(replace_chain_sql("word", merges)).alias("s"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        for w in words:
+            (d,) = con.execute(
+                "SELECT "
+                + replace_chain_duckdb_sql("?::VARCHAR", merges),
+                [w],
+            ).fetchone()
+            assert got[w] == d, w

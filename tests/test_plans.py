@@ -495,3 +495,19 @@ def test_kmv_bottom_k_partial_group_limit_before_shuffle(spark):
     assert partial != -1 and exchange != -1
     # the Partial group-limit sits BELOW (printed after) the exchange
     assert plan.find("WindowGroupLimit") < exchange < partial, plan
+
+
+def test_bpe_encode_joins_vocab_by_broadcast(spark):
+    """bpe_encode_corpus's scale contract: the merge chain runs over
+    the DISTINCT-word relation, which joins back to per-(doc, word)
+    counts via BROADCAST — the corpus-scale side never shuffles for
+    the join, and the chain itself is codegen string replaces (no
+    interpreted HOF fold on the encode path)."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["bpe_encode_corpus"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the encode expression compiled to plain replaces, not a HOF fold
+    assert "ArrayAggregate" not in plan
