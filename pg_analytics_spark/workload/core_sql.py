@@ -3420,6 +3420,53 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank_fp"), "p_partkey").limit(20)
 
 
+def _copurchase_und_deg(spark: SparkSession, sf_dir: str):
+    """(und, deg) of the part co-purchase graph — undirected edges
+    a<b = part pairs sharing ≥ 2 orders, plus node degrees.  Both
+    persisted (sketch-registered) — shared by the triangle and
+    node-similarity rows; two shuffles total (pair agg, degree agg)."""
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    l = table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    und = _persist_sketch(
+        baskets.alias("x")
+        .join(baskets.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    deg = _persist_sketch(
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    return und, deg
+
+
+#: shared graph-construction CTE prefix (baskets → undirected edges →
+#: degrees) — identical text in the triangle and node-similarity oracles.
+_COPURCHASE_CTES = """baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM baskets a
+  JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+)"""
+
+
 _TRIANGLE_ORACLE = """
 WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 und AS (
@@ -3476,28 +3523,7 @@ FROM st, wt, tri
     "the row is value-exact cross-engine.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg_analytics_spark.operators.dedup import _persist_sketch
-
-    l = table(spark, sf_dir, "lineitem")
-    baskets = l.select("l_orderkey", "l_partkey").distinct()
-    und = _persist_sketch(
-        baskets.alias("x")
-        .join(baskets.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
-    deg = _persist_sketch(
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("d"))
-    )
+    und, deg = _copurchase_und_deg(spark, sf_dir)
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     lower_first = F.struct("da", "a") < F.struct("db", "b")
@@ -3537,6 +3563,88 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("clustering_coeff"),
         )
+    )
+
+
+_NODE_SIM_ORACLE = f"""
+WITH {_COPURCHASE_CTES},
+adj AS (
+  SELECT a AS center, b AS nb FROM und
+  UNION ALL
+  SELECT b AS center, a AS nb FROM und
+),
+cn AS (
+  SELECT e1.nb AS u, e2.nb AS v, COUNT(*)::BIGINT AS n_common
+  FROM adj e1 JOIN adj e2
+    ON e1.center = e2.center AND e1.nb < e2.nb
+  GROUP BY 1, 2
+)
+SELECT cn.u AS part_a, cn.v AS part_b, cn.n_common,
+       (du.d + dv.d - cn.n_common) AS n_union,
+       ROUND(CAST(cn.n_common AS DOUBLE)
+             / CAST(du.d + dv.d - cn.n_common AS DOUBLE), 9) AS jaccard
+FROM cn
+JOIN deg du ON du.node = cn.u
+JOIN deg dv ON dv.node = cn.v
+WHERE cn.n_common >= 2
+ORDER BY jaccard DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register(
+    "graph_node_similarity",
+    oracle=_NODE_SIM_ORACLE,
+    doc="'Customers who bought X also bought Y' — Jaccard similarity "
+    "of co-purchase NEIGHBORHOODS (not mere edge weight): top-20 part "
+    "pairs by |N(u)∩N(v)| / |N(u)∪N(v)| with support ≥ 2 common "
+    "neighbors.  Common-neighbor counts come from ONE wedge self-join "
+    "grouped per neighbor pair (each shared center contributes one "
+    "wedge), then degrees join in for the union size — everything "
+    "integer until the single IEEE division, so the row is value-exact "
+    "cross-engine.  Scale: the wedge join is Σ deg(c)² over centers — "
+    "the scan is pipelined into a partial hash-agg before the one "
+    "(u,v) shuffle, and at 100 TB the standard mitigation is a "
+    "center-degree cap (drop super-hubs, which carry no similarity "
+    "signal — the DIMSUM trick), noted not needed at this graph's "
+    "bounded basket size.  Pairs need not be adjacent — this finds "
+    "SUBSTITUTES (same neighborhoods) where edge weight finds "
+    "complements.",
+)
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg = _copurchase_und_deg(spark, sf_dir)
+    adj = und.select(
+        F.col("a").alias("center"), F.col("b").alias("nb")
+    ).unionAll(und.select(F.col("b").alias("center"), F.col("a").alias("nb")))
+    e1 = adj.select("center", F.col("nb").alias("u"))
+    e2 = adj.select("center", F.col("nb").alias("v"))
+    cn = (
+        e1.join(e2, "center")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        cn.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            (F.col("du") + F.col("dv") - F.col("n_common")).alias("n_union"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
     )
 
 
