@@ -874,3 +874,55 @@ def ivfpq_topk(
         .select(id_col)
     )
     return _exact_dot_topk(df, cand, vec_col, id_col, query_vec, k)
+
+
+def maxsim_score_sql(
+    vec_col: str, query_vecs, n_sub: int = 4
+) -> str:
+    """Late-interaction MaxSim (the ColBERT retrieval score) as ONE
+    SQL expression: the document vector splits into ``n_sub``
+    contiguous sub-vectors (multi-vector document representation) and
+    each query token vector contributes ``max_s dot(sub_s, q_j)``;
+    the score is the sum over query tokens.
+
+    score(d) = Σ_j max_{s<n_sub} ⟨d[s·w : (s+1)·w], q_j⟩
+
+    Built as one SQL string (py4j column-tree cost — PLAN.md
+    invariant).  Every dot is the standard sequential zip_with fold,
+    so the whole score — maxes, then a fixed-order sum — reproduces
+    bit-for-bit in DuckDB (greatest + list_sum), keeping MaxSim under
+    the value-exact gate.  Plan shape: pure scan→project→TakeOrdered,
+    no shuffle, no join.
+    """
+    qs = np.asarray(query_vecs, dtype=float)
+    width = qs.shape[1]
+    per_q = []
+    for q in qs:
+        weights = ", ".join(f"{float(w)!r}D" for w in q)
+        dots = []
+        for s in range(n_sub):
+            sub = f"slice({vec_col}, {1 + s * width}, {width})"
+            dots.append(
+                f"aggregate(zip_with({sub}, array({weights}), "
+                "(x, w) -> cast(x AS double) * w), 0.0D, "
+                "(acc, x) -> acc + x)"
+            )
+        per_q.append("greatest(" + ", ".join(dots) + ")")
+    return "(" + " + ".join(per_q) + ")"
+
+
+def maxsim_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vecs,
+    n_sub: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Exact MaxSim top-k: scan + per-row score + TakeOrdered."""
+    score = F.expr(f"round({maxsim_score_sql(vec_col, query_vecs, n_sub)}, 6)")
+    return (
+        df.select(F.col(id_col), score.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3093,3 +3093,50 @@ def _register_bpe_encode_corpus():
 
 
 _register_bpe_encode_corpus()
+
+
+def _register_sim_maxsim():
+    from pg_analytics_spark.operators.similarity import (
+        hyperplanes,
+        maxsim_topk,
+    )
+
+    qs = hyperplanes(16, 3, seed=11)
+    per_q = []
+    for q in qs:
+        dots = []
+        for s in range(4):
+            lo, hi = 1 + 16 * s, 16 + 16 * s
+            dots.append(
+                "list_sum([x[1]::DOUBLE * x[2] for x in "
+                f"list_zip(embedding[{lo}:{hi}], {_plane_sql(q)})])"
+            )
+        per_q.append("greatest(" + ", ".join(dots) + ")")
+    score = " + ".join(per_q)
+    oracle = f"""
+    SELECT vec_id, ROUND({score}, 6) AS maxsim
+    FROM embeddings
+    ORDER BY maxsim DESC, vec_id
+    LIMIT 20
+    """
+
+    @register(
+        "sim_maxsim_multivector",
+        oracle=oracle,
+        doc="Late-interaction retrieval (ColBERT MaxSim): each document "
+        "embedding is treated as FOUR contiguous sub-vectors (multi-"
+        "vector representation) and scored against a 3-token query as "
+        "Σ_j max_s ⟨sub_s, q_j⟩ — the scoring pattern that beats "
+        "single-vector retrieval on fine-grained matches because each "
+        "query token aligns with its best document span.  Pure "
+        "scan→project→TakeOrdered — no shuffle, no join; 12 dim-16 "
+        "sequential folds per row, maxes and a fixed-order sum, so the "
+        "score reproduces bit-for-bit in the oracle "
+        "(operators/similarity.py::maxsim_topk).",
+    )
+    def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        return maxsim_topk(e, "embedding", "vec_id", qs, n_sub=4, k=20)
+
+
+_register_sim_maxsim()

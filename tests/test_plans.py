@@ -511,3 +511,16 @@ def test_bpe_encode_joins_vocab_by_broadcast(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # the encode expression compiled to plain replaces, not a HOF fold
     assert "ArrayAggregate" not in plan
+
+
+def test_maxsim_is_scan_project_takeordered(spark):
+    """sim_maxsim_multivector's scale contract: late-interaction
+    scoring is a pure per-row expression — scan → project →
+    TakeOrdered, with NO exchange and NO join anywhere in the plan."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["sim_maxsim_multivector"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
