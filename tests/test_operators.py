@@ -593,3 +593,83 @@ def test_pagerank_fixed_point_properties(spark):
     # top-20 mass is a minority share of the unit total but nonzero
     total_top = sum(r["rank_fp"] for r in a)
     assert 0 < total_top <= 10**12
+
+
+class TestPhashNearDup:
+    """operators/multimodal.py one-permutation 1-bit minwise hash +
+    banded near-dup search."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t.encode()) for i, t in rows], "doc_id long, blob binary"
+        )
+
+    def test_identical_payloads_hash_equal(self, spark):
+        from pg_analytics_spark.operators.multimodal import phash_media
+
+        t = "the quick brown fox jumps over the lazy dog " * 20
+        df = self._mk(spark, [(1, t), (2, t)])
+        a, b = sorted(
+            phash_media(df, "blob", "doc_id").collect(),
+            key=lambda r: r["id"],
+        )
+        assert (a["b0"], a["b1"], a["b2"], a["b3"]) == (
+            b["b0"], b["b1"], b["b2"], b["b3"],
+        )
+
+    def test_local_edit_small_hamming_unrelated_large(self, spark):
+        from pg_analytics_spark.operators.multimodal import phash_media
+
+        base = " ".join(
+            f"sentence number {i} about distributed analytics engines "
+            "and columnar storage"
+            for i in range(40)
+        )
+        edited = base.replace("number 17", "number seventeen", 1)
+        other = " ".join(
+            f"totally different line {i} with alternative vocabulary "
+            "for testing"
+            for i in range(40)
+        )
+        df = self._mk(spark, [(1, base), (2, edited), (3, other)])
+        h = {
+            r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in phash_media(df, "blob", "doc_id").collect()
+        }
+
+        def ham(x, y):
+            return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+        assert ham(h[1], h[2]) <= 3, ham(h[1], h[2])
+        assert ham(h[1], h[3]) > 10, ham(h[1], h[3])
+
+    def test_pairs_found_by_banding_match_threshold(self, spark):
+        from pg_analytics_spark.operators.multimodal import (
+            phash_neardup_pairs,
+        )
+
+        base = " ".join(
+            f"shared paragraph {i} describing the spark query engine "
+            "and its shuffle behavior"
+            for i in range(40)
+        )
+        near = base.replace("paragraph 21", "paragraph twentyone", 1)
+        far = " ".join(
+            f"unrelated corpus text {i} with other words entirely "
+            "and no overlap"
+            for i in range(40)
+        )
+        df = self._mk(spark, [(10, base), (11, near), (12, far)])
+        got = [
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in phash_neardup_pairs(df, "blob", "doc_id").collect()
+        ]
+        assert [(a, b) for a, b, _ in got] == [(10, 11)], got
+        assert got[0][2] <= 3
+
+    def test_short_payload_hashes_to_zero_bands(self, spark):
+        from pg_analytics_spark.operators.multimodal import phash_media
+
+        df = self._mk(spark, [(1, "tiny"), (2, "")])
+        for r in phash_media(df, "blob", "doc_id").collect():
+            assert (r["b0"], r["b1"], r["b2"], r["b3"]) == (0, 0, 0, 0)
