@@ -681,6 +681,7 @@ _EXTRA_RE = re.compile(
     r"|string_to_array|starts_with|ends_with|unnest|arg_?max|arg_?min)\b"
     r"|\*\s+replace\s*\(|\bdistinct\s+on\b|\basof\s+(left\s+)?join\b"
     r"|\busing\s+sample\b|\bpositional\s+join\b"
+    r"|\b(ignore|respect)\s+nulls\s*\)"
     r"|,\s*\)|,\s*(from|where|group|order|having|limit|offset"
     r"|union|except|intersect|qualify|window)\b"
     r"|\bgenerate_series\b",
@@ -1833,6 +1834,7 @@ def rewrite_pg(
     tokens = _rewrite_star_replace(tokens)
     tokens = _rewrite_distinct_on(tokens)
     tokens = _rewrite_qualify(tokens)
+    tokens = _rewrite_ignore_nulls(tokens)
     tokens = _rewrite_fn_aliases(tokens)
     tokens = _rewrite_generate_series(tokens)
     tokens = _rewrite_trailing_commas(tokens, keywords=keyword_commas)
@@ -2244,6 +2246,43 @@ def _rewrite_trailing_commas(
                 )
             ):
                 del out[i]
+                continue
+        i += 1
+    return out
+
+
+def _rewrite_ignore_nulls(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """DuckDB/Postgres put the null-treatment clause INSIDE the window
+    function's parens — ``last_value(v IGNORE NULLS) OVER …`` — while
+    Spark requires it after them: ``last_value(v) IGNORE NULLS OVER …``.
+    Token-level move: an ``IGNORE|RESPECT NULLS`` immediately before a
+    closing paren hops to just after it.  Spark-syntax text (clause
+    already outside the parens) never matches the pattern and passes
+    through untouched."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.lower() in ("ignore", "respect"):
+            j = _next_code(out, i)
+            k = _next_code(out, j) if j < len(out) else len(out)
+            if (
+                j < len(out)
+                and out[j][0] == "word"
+                and out[j][1].lower() == "nulls"
+                and k < len(out)
+                and out[k][1] == ")"
+            ):
+                clause = f" {text.upper()} NULLS"
+                # drop the clause tokens (and any gap between them)
+                del out[i:k]
+                # removal shifted the ')' to position i
+                out.insert(i + 1, ("ws", clause))
+                # strip a doubled space left before the ')'
+                if i > 0 and out[i - 1][0] == "ws":
+                    del out[i - 1]
                 continue
         i += 1
     return out

@@ -4085,3 +4085,37 @@ def sql_passthrough_lateral_join(
     for t in ["nation", "supplier"]:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PASSTHROUGH_LATERAL)
+
+
+_PASSTHROUGH_IGNORE_NULLS = """
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS locf_value
+FROM events
+WHERE user_id < 50
+ORDER BY event_id
+"""
+
+
+@register(
+    "sql_passthrough_window_ignore_nulls",
+    oracle=_PASSTHROUGH_IGNORE_NULLS,
+    doc="DuckDB-dialect passthrough: the null-treatment clause sits "
+    "INSIDE the window function's parens in DuckDB/Postgres "
+    "(`last_value(v IGNORE NULLS) OVER …`) but AFTER them in Spark — "
+    "the dialect shim hops the clause over the closing paren "
+    "(dialect.py::_rewrite_ignore_nulls), giving the LOCF idiom "
+    "(last non-null carried forward) on unchanged DuckDB text.  "
+    "Values are carried, not aggregated — value-exact.",
+)
+def sql_passthrough_window_ignore_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return eng.sql(_PASSTHROUGH_IGNORE_NULLS)

@@ -1280,3 +1280,43 @@ def test_union_by_name_in_subquery_is_loud(engine):
         "SELECT n_regionkey, count(*) AS c FROM "
         "(SELECT * FROM nation) GROUP BY n_regionkey ORDER BY c"
     ).count() == 5
+
+
+class TestIgnoreNullsRewrite:
+    def test_inside_parens_moves_out(self):
+        from pg_analytics_spark.dialect import rewrite_pg
+
+        assert (
+            rewrite_pg(
+                "SELECT last_value(v IGNORE NULLS) OVER (ORDER BY i) FROM t"
+            )
+            == "SELECT last_value(v) IGNORE NULLS OVER (ORDER BY i) FROM t"
+        )
+
+    def test_multiple_and_respect_variant(self):
+        from pg_analytics_spark.dialect import rewrite_pg
+
+        got = rewrite_pg(
+            "SELECT lag(v, 1 ignore nulls) OVER (ORDER BY i), "
+            "first_value(w respect nulls) OVER () FROM t"
+        )
+        assert "lag(v, 1) IGNORE NULLS OVER" in got
+        assert "first_value(w) RESPECT NULLS OVER" in got
+
+    def test_spark_form_untouched(self):
+        from pg_analytics_spark.dialect import rewrite_pg
+
+        sql = "SELECT last_value(v) IGNORE NULLS OVER (ORDER BY i) FROM t"
+        assert rewrite_pg(sql) == sql
+
+    def test_case_expression_operand(self):
+        from pg_analytics_spark.dialect import rewrite_pg
+
+        got = rewrite_pg(
+            "SELECT last_value(CASE WHEN a THEN NULL ELSE v END "
+            "IGNORE NULLS) OVER (ORDER BY i) FROM t"
+        )
+        assert (
+            "last_value(CASE WHEN a THEN NULL ELSE v END) "
+            "IGNORE NULLS OVER" in got
+        )
