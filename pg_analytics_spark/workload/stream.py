@@ -304,6 +304,101 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), j AS (
+      SELECT g.hour, a.v FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    ), w AS (
+      SELECT hour, v,
+             last_value(v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER wp AS prev_h,
+             first_value(v IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER wn AS next_h
+      FROM j
+      WINDOW wp AS (ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour, v,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+             ELSE prev_v + (next_v - prev_v) *
+                  (CAST(date_diff('hour', prev_h, hour) AS DOUBLE)
+                   / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+           END AS v_interp
+    FROM w
+    ORDER BY hour
+    """,
+    doc="Gap-filled series with LINEAR interpolation (the interpolate() "
+    "of time-series engines, beside the LOCF twin): empty buckets take "
+    "the time-weighted blend of the surrounding observations — prev/next "
+    "non-null value and hour located by IGNORE-NULLS window frames, then "
+    "one fixed-shape IEEE expression prev + (next-prev)·(dt/DT) whose "
+    "operation order is identical in both engines, so even the "
+    "interpolated doubles are value-exact.  Edges beyond the first/last "
+    "observation stay NULL (no extrapolation).  Scale: windows run over "
+    "the tiny hour grid, never raw events.",
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    )
+    wp = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    j = grid.join(agg, "hour", "left").select(
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(wn).alias("next_h"),
+    )
+    frac = F.expr(
+        "CAST(timestampdiff(HOUR, prev_h, hour) AS DOUBLE)"
+        " / CAST(timestampdiff(HOUR, prev_h, next_h) AS DOUBLE)"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return j.select("hour", "v", interp.alias("v_interp")).orderBy("hour")
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH per_user AS (
