@@ -3210,3 +3210,85 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.col("text").cast("binary").alias("blob")
     )
     return phash_neardup_pairs(d, "blob", "doc_id", max_hamming=3)
+
+
+def _register_corpus_quality_classifier():
+    import hashlib as _hl
+
+    # the "trained model": 32 integer weights in [-50, 50], derived
+    # deterministically so both engines embed the identical literals.
+    # INTEGER weights make the per-document score numerator an exact
+    # BIGINT sum (order-free) — the whole inference is rational
+    # arithmetic until one final IEEE division.
+    w = [
+        (int(_hl.md5(f"qw{i}".encode()).hexdigest()[:4], 16) % 101) - 50
+        for i in range(32)
+    ]
+    w_sql = "[" + ", ".join(str(x) for x in w) + "]"
+    oracle = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(t), 1, 8))::BIGINT % 32) AS bkt
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id,
+             SUM({w_sql}[bkt + 1])::BIGINT AS num,
+             COUNT(*)::BIGINT AS n_toks
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks,
+           CAST(num AS DOUBLE) / n_toks AS score,
+           num > 0 AS keep
+    FROM s
+    ORDER BY doc_id
+    """
+
+    @register(
+        "corpus_quality_classifier",
+        oracle=oracle,
+        doc="Linear quality-classifier INFERENCE at corpus scale via "
+        "the hashing trick (the fastText/VW featurization): token → "
+        "md5 bucket (32 buckets), score = Σ w[bucket] / n_tokens "
+        "against a trained weight vector embedded as literals.  "
+        "INTEGER weights make the numerator an exact order-free "
+        "BIGINT sum — the whole inference is rational until ONE final "
+        "IEEE division, so scores and keep-decisions are value-exact "
+        "cross-engine.  Plan: explode → codegen hash+lookup → one "
+        "partial-aggregated shuffle on doc_id; the weight table rides "
+        "the expression (no join, nothing broadcast).  The shape of "
+        "every 'score each document with a small model' pass in a "
+        "training-data pipeline.",
+    )
+    def corpus_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pg_analytics_spark.functions.hashing import shingle_hash32
+
+        d = table(spark, sf_dir, "documents")
+        tok = d.select(
+            "doc_id", F.explode(X.tokens(F.lower("text"))).alias("t")
+        )
+        wexpr = F.expr(
+            f"element_at(array{tuple(w)!r}, "
+            "CAST(pmod(__h32, 32) AS INT) + 1)"
+        )
+        feat = tok.select(
+            "doc_id", shingle_hash32(F.col("t")).alias("__h32")
+        ).select("doc_id", wexpr.alias("w"))
+        s = feat.groupBy("doc_id").agg(
+            F.sum("w").cast("bigint").alias("num"),
+            F.count("*").cast("bigint").alias("n_toks"),
+        )
+        return s.select(
+            "doc_id",
+            "n_toks",
+            (F.col("num").cast("double") / F.col("n_toks")).alias("score"),
+            (F.col("num") > 0).alias("keep"),
+        ).orderBy("doc_id")
+
+
+_register_corpus_quality_classifier()
