@@ -100,6 +100,23 @@ _INSERT_LAKE_RE = _re.compile(
 
 #: `MERGE INTO <attached delta table> …` — copy-on-write upsert
 #: through the native protocol writer (sources/delta_write.merge_delta).
+#: `INSERT INTO t … ON CONFLICT (keys) DO NOTHING|DO UPDATE SET …` plus
+#: the `INSERT OR REPLACE|IGNORE` shorthands — upsert statements routed
+#: onto the native MERGE writer (attached delta tables), loud otherwise.
+_INSERT_CONFLICT_RE = _re.compile(
+    r"^INSERT\s+(?:OR\s+(?P<orq>REPLACE|IGNORE)\s+)?INTO\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<cols>[A-Za-z_][\w\s,]*)\)\s*)?"
+    r"(?:(?P<byname>BY\s+NAME)\s+)?"
+    r"(?P<q>(?:SELECT|WITH|FROM|VALUES)\b.+?)"
+    r"(?:\s+ON\s+CONFLICT\s*"
+    r"(?:\(\s*(?P<ckeys>[A-Za-z_][\w\s,]*)\)\s*)?"
+    r"DO\s+(?:(?P<nothing>NOTHING)|UPDATE\s+SET\s+(?P<setlist>.+?)))?"
+    r";?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
 _MERGE_LAKE_RE = _re.compile(
     r"^MERGE\s+INTO\s+(?P<name>[A-Za-z_]\w*)"
     r"(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)[A-Za-z_]\w*))?\s+"
@@ -313,6 +330,11 @@ class Engine:
         m = _SECRET_RE.match(query.strip())
         if m:
             return self._create_secret_statement(m)
+        m = _INSERT_CONFLICT_RE.match(query.strip())
+        if m and (
+            m.group("orq") or m.group("nothing") or m.group("setlist")
+        ):
+            return self._insert_conflict_statement(m)
         m = _INSERT_LAKE_RE.match(query.strip())
         if m and self._attachments.get(m.group("name")) is not None and (
             self._attachments[m.group("name")].format in ("delta", "iceberg")
@@ -1180,6 +1202,243 @@ class Engine:
         return self.spark.createDataFrame(
             [(int(res.get("rows", 0)),)], "count bigint"
         )
+
+    def _insert_conflict_statement(self, m) -> DataFrame:
+        """``INSERT INTO <attached delta table> … ON CONFLICT (keys)
+        DO NOTHING | DO UPDATE SET …`` — the upsert shorthand, routed
+        onto the native MERGE writer: DO NOTHING inserts only the
+        non-conflicting rows (anti-join), DO UPDATE updates matched
+        rows (``EXCLUDED.col`` = the proposed row, bare columns = the
+        existing row, DuckDB/Postgres semantics) and inserts the rest —
+        ONE commit either way.  Loud ``UnsupportedDialect`` guidance
+        for everything the lake attachment cannot express: OR
+        REPLACE/IGNORE (no declared PRIMARY KEY to infer the conflict
+        target from), a missing conflict-target column list, non-delta
+        targets, and duplicate conflict keys within the source (row-
+        at-a-time upsert order is undefined on a distributed engine).
+        """
+        from pyspark.sql import functions as F
+
+        from pg_analytics_spark.dialect import UnsupportedDialect, _tokenize
+        from pg_analytics_spark.sources.delta_write import merge_delta
+
+        name = m.group("name")
+        construct = (
+            f"INSERT OR {m.group('orq').upper()}"
+            if m.group("orq")
+            else "INSERT … ON CONFLICT"
+        )
+        att = self._attachments.get(name)
+        if att is None:
+            raise UnsupportedDialect(
+                f"{construct}: {name} is not an attached table — upsert "
+                "statements route through the native lake writers "
+                "(Engine.attach a delta table first)"
+            )
+        if att.format != "delta":
+            raise UnsupportedDialect(
+                f"{construct}: {name} is {att.format}; the native MERGE "
+                "writer currently supports delta tables"
+            )
+        if m.group("orq"):
+            alt = (
+                "DO UPDATE SET col = EXCLUDED.col, …"
+                if m.group("orq").upper() == "REPLACE"
+                else "DO NOTHING"
+            )
+            raise UnsupportedDialect(
+                f"{construct}: attached lake tables declare no PRIMARY "
+                "KEY to infer the conflict target from — write INSERT "
+                f"INTO {name} … ON CONFLICT (key_cols) {alt}"
+            )
+        if m.group("cols") or m.group("byname"):
+            raise UnsupportedDialect(
+                "INSERT … ON CONFLICT: column-list/BY NAME binding is "
+                "not supported together with a conflict clause — "
+                "project the SELECT to the table's full column list"
+            )
+        keys = [
+            c.strip() for c in (m.group("ckeys") or "").split(",") if c.strip()
+        ]
+        if not keys:
+            raise UnsupportedDialect(
+                "ON CONFLICT: an explicit conflict target (col, …) is "
+                "required — lake attachments declare no unique "
+                "constraints to infer it from"
+            )
+        tbl_schema = self.spark.table(att.name).schema
+        by_lower = {f.name.lower(): f.name for f in tbl_schema.fields}
+        unknown = [k for k in keys if k.lower() not in by_lower]
+        if unknown:
+            raise EngineError(
+                f"ON CONFLICT: column(s) {unknown} not in table "
+                f"({[f.name for f in tbl_schema.fields]})"
+            )
+        keys = [by_lower[k.lower()] for k in keys]
+        df = self.sql(m.group("q"))
+        if len(df.columns) != len(tbl_schema.fields):
+            raise EngineError(
+                f"INSERT INTO {att.name}: query has {len(df.columns)} "
+                f"columns, table has {len(tbl_schema.fields)} "
+                f"({[f.name for f in tbl_schema.fields]})"
+            )
+        src = df.toDF(*[f.name for f in tbl_schema.fields])
+        # positional INSERT coercion with the null-introduction check
+        # (same contract as _insert_lake_statement)
+        casted = src.select(
+            *[
+                F.col(f.name).try_cast(f.dataType).alias(f.name)
+                for f in tbl_schema.fields
+            ],
+            *[
+                (
+                    F.col(f.name).isNotNull()
+                    & F.col(f.name).try_cast(f.dataType).isNull()
+                ).alias(f"__bad_{i}")
+                for i, f in enumerate(tbl_schema.fields)
+            ],
+        ).persist()
+        try:
+            bad = casted.agg(
+                *[
+                    F.sum(F.col(f"__bad_{i}").cast("int")).alias(f"b{i}")
+                    for i in range(len(tbl_schema.fields))
+                ]
+            ).first()
+            for i, f in enumerate(tbl_schema.fields):
+                if (bad[f"b{i}"] or 0) > 0:
+                    raise EngineError(
+                        f"INSERT INTO {att.name}: {bad[f'b{i}']} value(s) "
+                        f"cannot be cast to {f.name} "
+                        f"{f.dataType.simpleString()}"
+                    )
+            source = casted.select(*[f.name for f in tbl_schema.fields])
+            dup = (
+                source.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise EngineError(
+                    "ON CONFLICT: the inserted rows contain duplicate "
+                    f"conflict key(s) {keys} — deduplicate the SELECT "
+                    "first (row-at-a-time upsert order is undefined on "
+                    "a distributed engine)"
+                )
+            on_cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            clauses: list[dict] = []
+            if m.group("setlist"):
+                clauses.append(
+                    {
+                        "when": "matched",
+                        "action": "update",
+                        "set": self._conflict_set_map(
+                            m.group("setlist"), tbl_schema
+                        ),
+                        "condition": None,
+                    }
+                )
+            clauses.append(
+                {
+                    "when": "not_matched",
+                    "action": "insert",
+                    "values": "all",
+                    "condition": None,
+                }
+            )
+            res = merge_delta(
+                source, att.files[0], on_cond, clauses,
+                target_alias="t", source_alias="s",
+            )
+        finally:
+            casted.unpersist()
+        self.attach(
+            att.name, att.files, att.format, att.options, att.columns
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(res["rows_written"]),
+                    int(res["files_added"]),
+                    int(res["files_removed"]),
+                    int(res["version"]),
+                )
+            ],
+            "rows_written bigint, files_added int, files_removed int, "
+            "version int",
+        )
+
+    def _conflict_set_map(self, setlist: str, tbl_schema) -> dict:
+        """Parse ``col = expr, …`` with DuckDB ON CONFLICT namespaces:
+        ``EXCLUDED.col`` → the proposed row (source alias), bare table
+        columns → the existing row (target alias)."""
+        from pg_analytics_spark.dialect import _depths, _tokenize
+
+        tbl_lower = {f.name.lower(): f.name for f in tbl_schema.fields}
+        tokens = _tokenize(setlist)
+        depths = _depths(tokens)
+        assigns, start = [], 0
+        for i, (kind, text) in enumerate(tokens):
+            if text == "," and depths[i] == 0:
+                assigns.append(tokens[start:i])
+                start = i + 1
+        assigns.append(tokens[start:])
+        set_map: dict[str, str] = {}
+        for a in assigns:
+            eq_at = next(
+                (i for i, (k, t) in enumerate(a) if t == "="), None
+            )
+            if eq_at is None:
+                raise EngineError(
+                    "ON CONFLICT DO UPDATE SET: expected col = expr, got "
+                    + "".join(t for _, t in a)[:60]
+                )
+            col = "".join(t for _, t in a[:eq_at]).strip().split(".")[-1]
+            if col.lower() not in tbl_lower:
+                raise EngineError(
+                    f"ON CONFLICT DO UPDATE SET: unknown column {col!r}"
+                )
+            expr = a[eq_at + 1 :]
+            out, i = [], 0
+            while i < len(expr):
+                kind, text = expr[i]
+                low = text.lower()
+                if kind == "word" and low == "excluded":
+                    # EXCLUDED . col  →  s.col
+                    j = i + 1
+                    while j < len(expr) and expr[j][0] in ("ws", "comment"):
+                        j += 1
+                    if (
+                        j + 1 < len(expr)
+                        and expr[j][1] == "."
+                        and expr[j + 1][0] == "word"
+                    ):
+                        out.append(("word", f"s.{expr[j + 1][1]}"))
+                        i = j + 2
+                        continue
+                if (
+                    kind == "word"
+                    and low in tbl_lower
+                    and not (out and out[-1][1] == ".")
+                ):
+                    # bare target-column reference → existing row
+                    nxt = i + 1
+                    while nxt < len(expr) and expr[nxt][0] in (
+                        "ws", "comment",
+                    ):
+                        nxt += 1
+                    if nxt >= len(expr) or expr[nxt][1] not in ("(", "."):
+                        out.append(("word", f"t.{tbl_lower[low]}"))
+                        i += 1
+                        continue
+                out.append((kind, text))
+                i += 1
+            set_map[tbl_lower[col.lower()]] = "".join(
+                t for _, t in out
+            ).strip()
+        return set_map
 
     def _merge_lake_statement(self, m) -> DataFrame:
         """``MERGE INTO <attached delta table> [AS] t USING <rel> [AS] s

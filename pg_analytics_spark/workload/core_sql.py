@@ -4119,3 +4119,83 @@ def sql_passthrough_window_ignore_nulls(
     eng = Engine(spark=spark)
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return eng.sql(_PASSTHROUGH_IGNORE_NULLS)
+
+
+_UPSERT_CONFLICT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+  FROM orders WHERE o_orderkey < 2000
+), s1 AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice * 2 AS p
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+), after1 AS (
+  SELECT b.k, b.c,
+         CASE WHEN s.k IS NULL THEN b.p ELSE s.p + b.p END AS p
+  FROM base b LEFT JOIN s1 s ON b.k = s.k
+  UNION ALL
+  SELECT s.k, s.c, s.p FROM s1 s LEFT JOIN base b ON b.k = s.k
+  WHERE b.k IS NULL
+), s2 AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice * 10 AS p
+  FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 3500
+), final AS (
+  SELECT * FROM after1
+  UNION ALL
+  SELECT s.k, s.c, s.p FROM s2 s LEFT JOIN after1 a ON a.k = s.k
+  WHERE a.k IS NULL
+)
+SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice
+FROM final ORDER BY o_orderkey
+"""
+
+
+@register(
+    "delta_upsert_on_conflict",
+    oracle=_UPSERT_CONFLICT_ORACLE,
+    doc="`INSERT … ON CONFLICT` upsert statements on the native Delta "
+    "writer (Engine.sql → merge_delta): a DO UPDATE pass (SET "
+    "o_totalprice = EXCLUDED.o_totalprice + o_totalprice — EXCLUDED = "
+    "the proposed row, bare column = the existing row, DuckDB/Postgres "
+    "namespace semantics) then a DO NOTHING pass (conflicting rows "
+    "skipped, rest inserted) — each ONE copy-on-write commit with "
+    "file-pruned rewrites.  OR REPLACE/IGNORE, missing conflict "
+    "targets, non-delta attachments, and duplicate source keys all "
+    "raise loud guidance instead of wrong answers.  The oracle replays "
+    "both upserts relationally; arithmetic is *2/*10/+ on doubles "
+    "(identical IEEE ops) — value-exact.",
+)
+def delta_upsert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_upsert")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(o.filter(F.col("o_orderkey") < 2000), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("upsert_tgt", [root], "delta")
+    o.createOrReplaceTempView("upsert_orders_src")
+    eng.sql(
+        "INSERT INTO upsert_tgt "
+        "SELECT o_orderkey, o_custkey, o_totalprice * 2 "
+        "FROM upsert_orders_src "
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 3000 "
+        "ON CONFLICT (o_orderkey) DO UPDATE SET "
+        "o_totalprice = EXCLUDED.o_totalprice + o_totalprice"
+    )
+    eng.sql(
+        "INSERT INTO upsert_tgt "
+        "SELECT o_orderkey, o_custkey, o_totalprice * 10 "
+        "FROM upsert_orders_src "
+        "WHERE o_orderkey >= 2500 AND o_orderkey < 3500 "
+        "ON CONFLICT (o_orderkey) DO NOTHING"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM upsert_tgt "
+        "ORDER BY o_orderkey"
+    )

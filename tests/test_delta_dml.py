@@ -588,3 +588,119 @@ def test_copy_from_statement(spark, tmp_path):
     eng.attach("copy_plain", [pq2], "parquet")
     with pytest.raises(UnsupportedDialect, match="COPY FROM"):
         eng.sql(f"COPY copy_plain FROM '{csv}' (FORMAT csv)")
+
+
+class TestInsertOnConflict:
+    """INSERT … ON CONFLICT upsert statement routing (engine.py
+    _insert_conflict_statement → merge_delta)."""
+
+    def _setup(self, spark, tmp_path, name="conflict_tgt"):
+        from pg_analytics_spark.engine import Engine
+        from pg_analytics_spark.sources.delta_write import write_delta
+
+        root = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, s string, v double",
+        )
+        write_delta(df, root, mode="overwrite")
+        eng = Engine(spark=spark)
+        eng.attach(name, [root], "delta")
+        return eng, name
+
+    def test_do_nothing_skips_conflicts_inserts_rest(self, spark, tmp_path):
+        eng, t = self._setup(spark, tmp_path)
+        res = eng.sql(
+            f"INSERT INTO {t} VALUES (3,'x',99.0),(4,'d',40.0) "
+            "ON CONFLICT (id) DO NOTHING"
+        ).collect()[0]
+        assert res["rows_written"] == 1
+        got = sorted(
+            (r["id"], r["s"], r["v"])
+            for r in eng.sql(f"SELECT * FROM {t}").collect()
+        )
+        assert got == [
+            (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0),
+        ]
+
+    def test_do_update_excluded_and_target_namespaces(self, spark, tmp_path):
+        eng, t = self._setup(spark, tmp_path)
+        eng.sql(
+            f"INSERT INTO {t} VALUES (3,'cc',3.0),(5,'e',50.0) "
+            "ON CONFLICT (id) DO UPDATE SET "
+            "v = EXCLUDED.v + v, s = EXCLUDED.s"
+        )
+        got = {
+            r["id"]: (r["s"], r["v"])
+            for r in eng.sql(f"SELECT * FROM {t}").collect()
+        }
+        # EXCLUDED.v (3.0) + existing v (30.0); s replaced
+        assert got[3] == ("cc", 33.0)
+        assert got[5] == ("e", 50.0)
+        assert got[1] == ("a", 10.0)
+
+    def test_or_replace_and_bare_on_conflict_are_loud(self, spark, tmp_path):
+        import pytest
+
+        from pg_analytics_spark.errors import EngineError
+
+        eng, t = self._setup(spark, tmp_path)
+        with pytest.raises(EngineError, match="PRIMARY KEY"):
+            eng.sql(f"INSERT OR REPLACE INTO {t} VALUES (1,'z',0.0)")
+        with pytest.raises(EngineError, match="conflict target"):
+            eng.sql(
+                f"INSERT INTO {t} VALUES (1,'z',0.0) ON CONFLICT DO NOTHING"
+            )
+
+    def test_duplicate_source_keys_are_loud(self, spark, tmp_path):
+        import pytest
+
+        from pg_analytics_spark.errors import EngineError
+
+        eng, t = self._setup(spark, tmp_path)
+        with pytest.raises(EngineError, match="duplicate conflict key"):
+            eng.sql(
+                f"INSERT INTO {t} VALUES (9,'x',1.0),(9,'y',2.0) "
+                "ON CONFLICT (id) DO NOTHING"
+            )
+
+    def test_unknown_key_and_unattached_are_loud(self, spark, tmp_path):
+        import pytest
+
+        from pg_analytics_spark.errors import EngineError
+
+        eng, t = self._setup(spark, tmp_path)
+        with pytest.raises(EngineError, match="not in table"):
+            eng.sql(
+                f"INSERT INTO {t} VALUES (1,'z',0.0) "
+                "ON CONFLICT (nope) DO NOTHING"
+            )
+        with pytest.raises(EngineError, match="not an attached table"):
+            eng.sql(
+                "INSERT INTO missing_tbl VALUES (1) "
+                "ON CONFLICT (id) DO NOTHING"
+            )
+
+    def test_null_conflict_keys_never_match(self, spark, tmp_path):
+        from pg_analytics_spark.sources.delta_write import write_delta
+        from pg_analytics_spark.engine import Engine
+
+        root = str(tmp_path / "null_keys")
+        df = spark.createDataFrame(
+            [(None, "a", 1.0), (2, "b", 2.0)], "id long, s string, v double"
+        )
+        write_delta(df, root, mode="overwrite")
+        eng = Engine(spark=spark)
+        eng.attach("nk_tgt", [root], "delta")
+        eng.sql(
+            "INSERT INTO nk_tgt VALUES (NULL,'n',9.0) "
+            "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v"
+        )
+        rows = sorted(
+            (r["id"], r["v"])
+            for r in eng.sql("SELECT * FROM nk_tgt").collect()
+            if r["id"] is None
+        )
+        # SQL NULL = NULL is unknown → the NULL-key row INSERTS (two
+        # NULL-key rows coexist), the existing one is untouched
+        assert rows == [(None, 1.0), (None, 9.0)]
