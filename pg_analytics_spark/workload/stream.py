@@ -906,3 +906,83 @@ def streaming_click_purchase_join(
     return spark.table(name).select(
         "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"
     )
+
+
+@register(
+    "events_ab_test_welch",
+    oracle="""
+    WITH g AS (
+      SELECT
+        COUNT(*) FILTER (WHERE event_type = 'click') AS n1,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'click') AS VARCHAR) AS DOUBLE) AS s1,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'click') AS VARCHAR) AS DOUBLE) AS ss1,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n2,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'purchase') AS VARCHAR) AS DOUBLE) AS s2,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'purchase') AS VARCHAR) AS DOUBLE) AS ss2
+      FROM events
+    )
+    SELECT n1, n2,
+           s1 / n1 AS mean_a,
+           s2 / n2 AS mean_b,
+           s1 / n1 - s2 / n2 AS mean_diff,
+           (s1 / n1 - s2 / n2)
+             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                    + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS t_stat,
+           (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+            + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+           * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+              + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+             / ((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                + (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                  * (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1))
+             AS welch_df
+    FROM g
+    """,
+    doc="Welch two-sample t-test (A/B experiment readout) between the "
+    "click and purchase value distributions: ONE filtered-aggregate "
+    "scan produces exact decimal power sums per arm (map-side "
+    "combinable — the single-pass 100 TB shape), then t statistic and "
+    "Welch-Satterthwaite degrees of freedom finalize in fixed-shape "
+    "IEEE expressions (sqrt is correctly-rounded), identical in both "
+    "engines — value-exact.  Native stddev/avg would be order-"
+    "dependent float folds; the power-sum staging is what makes a "
+    "statistical test reproducible on a distributed engine.",
+)
+def events_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,4)")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+
+    def vb(c):  # decimal → VARCHAR → DOUBLE bridge
+        return c.cast("string").cast("double")
+
+    g = e.agg(
+        F.count(F.when(is_a, 1)).alias("n1"),
+        vb(F.sum(F.when(is_a, d))).alias("s1"),
+        vb(F.sum(F.when(is_a, d * d))).alias("ss1"),
+        F.count(F.when(is_b, 1)).alias("n2"),
+        vb(F.sum(F.when(is_b, d))).alias("s2"),
+        vb(F.sum(F.when(is_b, d * d))).alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    se1 = ((ss1 - s1 * s1 / n1) / (n1 - F.lit(1))) / n1
+    se2 = ((ss2 - s2 * s2 / n2) / (n2 - F.lit(1))) / n2
+    return g.select(
+        "n1",
+        "n2",
+        (s1 / n1).alias("mean_a"),
+        (s2 / n2).alias("mean_b"),
+        (s1 / n1 - s2 / n2).alias("mean_diff"),
+        ((s1 / n1 - s2 / n2) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1 - F.lit(1)) + se2 * se2 / (n2 - F.lit(1)))
+        ).alias("welch_df"),
+    )
