@@ -179,6 +179,22 @@ HEADLINE_NEXT5: list = [
     "sql_passthrough_time_travel",
 ]
 
+#: this session's round-8 continuation additions; earlier groups frozen.
+HEADLINE_NEXT6: list = [
+    "sql_passthrough_grouping_sets",
+    "sql_passthrough_agg_filter",
+    "sql_passthrough_lateral_join",
+    "sql_passthrough_window_ignore_nulls",
+    "bpe_encode_corpus",
+    "graph_node_similarity",
+    "sim_maxsim_multivector",
+    "multimodal_phash_neardup",
+    "events_interpolate_linear",
+    "events_ab_test_welch",
+    "corpus_quality_classifier",
+    "delta_upsert_on_conflict",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -229,6 +245,7 @@ def main() -> None:
     timings_next3, cold_next3 = _measure(HEADLINE_NEXT3)
     timings_next4, cold_next4 = _measure(HEADLINE_NEXT4)
     timings_next5, cold_next5 = _measure(HEADLINE_NEXT5)
+    timings_next6, cold_next6 = _measure(HEADLINE_NEXT6)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -304,6 +321,16 @@ def main() -> None:
             ),
             3,
         ),
+        "value_next6": round(sum(timings_next6.values()), 3),
+        "queries_next6": timings_next6,
+        "value_next6_batch": round(
+            sum(
+                v
+                for k, v in timings_next6.items()
+                if k not in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
@@ -316,6 +343,7 @@ def main() -> None:
     full["queries_next3_cold"] = cold_next3
     full["queries_next4_cold"] = cold_next4
     full["queries_next5_cold"] = cold_next5
+    full["queries_next6_cold"] = cold_next6
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

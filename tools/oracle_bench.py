@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from bench import HEADLINE, HEADLINE_NEXT
+from bench import HEADLINE, HEADLINE_NEXT, HEADLINE_NEXT6
 from pg_analytics_spark.workload import REGISTRY
 
 TABLES = (
@@ -45,6 +45,7 @@ def main() -> None:
 
     timings = _measure(HEADLINE)
     timings_next = _measure(HEADLINE_NEXT)
+    timings_next6 = _measure(HEADLINE_NEXT6)
     print(
         json.dumps(
             {
@@ -54,6 +55,8 @@ def main() -> None:
                 "queries": timings,
                 "value_next": round(sum(timings_next.values()), 4),
                 "queries_next": timings_next,
+                "value_next6": round(sum(timings_next6.values()), 4),
+                "queries_next6": timings_next6,
             }
         )
     )
