@@ -1213,14 +1213,13 @@ class Engine:
         ONE commit either way.  Loud ``UnsupportedDialect`` guidance
         for everything the lake attachment cannot express: OR
         REPLACE/IGNORE (no declared PRIMARY KEY to infer the conflict
-        target from), a missing conflict-target column list, non-delta
+        target from), a missing conflict-target column list, non-lake
         targets, and duplicate conflict keys within the source (row-
         at-a-time upsert order is undefined on a distributed engine).
         """
         from pyspark.sql import functions as F
 
         from pg_analytics_spark.dialect import UnsupportedDialect, _tokenize
-        from pg_analytics_spark.sources.delta_write import merge_delta
 
         name = m.group("name")
         construct = (
@@ -1235,10 +1234,19 @@ class Engine:
                 "statements route through the native lake writers "
                 "(Engine.attach a delta table first)"
             )
-        if att.format != "delta":
+        if att.format == "delta":
+            from pg_analytics_spark.sources.delta_write import (
+                merge_delta as merge_fn,
+            )
+        elif att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                merge_iceberg as merge_fn,
+            )
+        else:
             raise UnsupportedDialect(
-                f"{construct}: {name} is {att.format}; the native MERGE "
-                "writer currently supports delta tables"
+                f"{construct}: {name} is {att.format}; upsert routing "
+                "supports delta (copy-on-write) and iceberg "
+                "(merge-on-read) attachments"
             )
         if m.group("orq"):
             alt = (
@@ -1348,7 +1356,7 @@ class Engine:
                     "condition": None,
                 }
             )
-            res = merge_delta(
+            res = merge_fn(
                 source, att.files[0], on_cond, clauses,
                 target_alias="t", source_alias="s",
             )
@@ -1454,13 +1462,20 @@ class Engine:
             _next_code,
             _tokenize,
         )
-        from pg_analytics_spark.sources.delta_write import merge_delta
-
         att = self._attachments[m.group("name")]
-        if att.format != "delta":
+        if att.format == "delta":
+            from pg_analytics_spark.sources.delta_write import (
+                merge_delta as merge_fn,
+            )
+        elif att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                merge_iceberg as merge_fn,  # same clause contract
+            )
+        else:
             raise EngineError(
                 f"MERGE INTO: {att.name} is {att.format}; the native "
-                "MERGE writer currently supports delta tables"
+                "MERGE writers support delta (copy-on-write) and "
+                "iceberg (merge-on-read) tables"
             )
         talias = m.group("talias") or m.group("name")
         rest = m.group("rest").strip()
@@ -1625,7 +1640,7 @@ class Engine:
                     }
                 )
         source_df = self.sql(f"SELECT * FROM {rel_text} __merge_src")
-        res = merge_delta(
+        res = merge_fn(
             source_df,
             att.files[0],
             on_cond,

@@ -1759,3 +1759,418 @@ def rollback_iceberg(spark, path: str, snapshot_id: int) -> dict:
         fh.write(str(version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return {"rolled_back_to": snapshot_id, "version": version}
+
+
+def merge_iceberg(
+    source,
+    path: str,
+    on: str,
+    clauses: list[dict],
+    *,
+    target_alias: str = "t",
+    source_alias: str = "s",
+) -> dict:
+    """``MERGE INTO`` for the native Iceberg v2 writer — MERGE-ON-READ:
+    matched rows claimed by UPDATE/DELETE clauses become POSITION
+    DELETES, updated images and NOT-MATCHED inserts append as new data
+    files, and the delete + add manifests commit atomically in ONE
+    snapshot — a reader never observes a half-merged state.  The
+    write-amplification mirror of :func:`merge_delta`'s copy-on-write:
+    cost is O(matched + inserted rows) with NO data-file rewrites
+    (compact_iceberg later folds the delete debt).  Clause dicts and
+    semantics are merge_delta's exactly — first matching clause wins,
+    a target row matching >1 source row errors, NULL join conditions
+    never match — so `iceberg_merge_roundtrip` can share the delta
+    twin's relational oracle (CoW == MoR, proven at the gate).
+    Unpartitioned tables only (new rows under a partitioned spec need
+    write-side transforms; clear error says so, like update_iceberg).
+
+    Returns {"snapshot_id", "rows_written", "rows_deleted",
+    "files_added", "files_removed", "version"} (files_removed is
+    always 0 — MoR never rewrites).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+    from pg_analytics_spark.sources.iceberg import _ice_to_spark_type
+
+    spark = source.sparkSession
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"MERGE target is not an iceberg table: {path}")
+    spec = next(
+        (
+            sp
+            for sp in prev_meta.get("partition-specs", [])
+            if sp.get("spec-id") == prev_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise UnsupportedFormat(
+            "merge_iceberg supports UNPARTITIONED tables; partitioned "
+            "targets need write-side transforms for the new rows — use "
+            "the Delta writer's MERGE or an overwrite"
+        )
+    fields = next(
+        s for s in prev_meta.get("schemas", [])
+        if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+    )["fields"]
+    colnames = [f["name"] for f in fields]
+
+    matched_clauses = [c for c in clauses if c["when"] == "matched"]
+    insert_clauses = [c for c in clauses if c["when"] == "not_matched"]
+    if not matched_clauses and not insert_clauses:
+        raise UnsupportedFormat("MERGE needs at least one WHEN clause")
+
+    def _set_map(c, kind):
+        m = c.get("set" if kind == "update" else "values")
+        if m == "all":
+            missing = [x for x in colnames if x not in source.columns]
+            if missing:
+                raise UnsupportedFormat(
+                    f"MERGE {kind.upper()} *: source lacks column(s) "
+                    f"{missing}"
+                )
+            return {x: f"{source_alias}.{x}" for x in colnames}
+        bad = [x for x in m if x not in colnames]
+        if bad:
+            raise UnsupportedFormat(
+                f"MERGE {kind.upper()}: unknown target column(s) {bad}"
+            )
+        return m
+
+    # ---- visible target rows (active data minus prior pos-deletes) ----
+    prev_snap = next(
+        (
+            s
+            for s in prev_meta.get("snapshots", [])
+            if s["snapshot-id"] == prev_meta.get("current-snapshot-id")
+        ),
+        None,
+    )
+    data_paths: list[str] = []
+    existing_pos_deletes: list[str] = []
+    prev_list: list = []
+    if prev_snap is not None:
+        _s, prev_list = read_container(prev_snap["manifest-list"])
+        for m in prev_list:
+            _s2, entries = read_container(m["manifest_path"])
+            for e in entries:
+                if e.get("status", 0) == 2:
+                    continue
+                rec = e["data_file"]
+                if m.get("content", 0) == 1:
+                    if rec.get("content", 1) == 1:
+                        existing_pos_deletes.append(rec["file_path"])
+                else:
+                    data_paths.append(rec["file_path"])
+
+    if data_paths:
+        tgt = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(data_paths)
+        ).select(
+            *colnames,
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("_ifile"),
+            F.col("_metadata.row_index").cast("long").alias("_ipos"),
+        )
+        if existing_pos_deletes:
+            prior = spark.read.parquet(
+                *sorted(set(existing_pos_deletes))
+            ).select(
+                F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                    "_ifile"
+                ),
+                F.col("pos").cast("long").alias("_ipos"),
+            )
+            tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
+    else:
+        from pyspark.sql.types import StructType
+
+        sch = StructType()
+        for f in fields:
+            t = _ice_to_spark_type(f["type"])
+            if t is None:
+                raise UnsupportedFormat(
+                    f"MERGE: column {f['name']!r} has a nested type"
+                )
+            sch = sch.add(f["name"], t)
+        tgt = (
+            spark.createDataFrame([], sch)
+            .withColumn("_ifile", F.lit(""))
+            .withColumn("_ipos", F.lit(0).cast("long"))
+        )
+
+    src = source.withColumn("_smark", F.lit(1))
+    cond = F.expr(on)
+
+    def _first_match_idx(clause_list):
+        expr = None
+        for idx, c in enumerate(clause_list):
+            hit = F.lit(True)
+            if c.get("condition"):
+                hit = hit & F.expr(c["condition"])
+            expr = (
+                F.when(hit, F.lit(idx))
+                if expr is None
+                else expr.when(hit, F.lit(idx))
+            )
+        return expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)
+
+    pieces = []
+    dels_df = None
+    if matched_clauses:
+        joined = tgt.alias(target_alias).join(
+            src.alias(source_alias), cond, "inner"
+        )
+        dup = (
+            joined.groupBy(
+                F.col(f"{target_alias}._ifile"),
+                F.col(f"{target_alias}._ipos"),
+            )
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise UnsupportedFormat(
+                "MERGE: a target row matches more than one source row — "
+                "deduplicate the source on the ON keys first"
+            )
+        claimed = joined.withColumn(
+            "_cidx", _first_match_idx(matched_clauses)
+        ).filter(F.col("_cidx") >= 0)
+        dels_df = claimed.select(
+            F.col(f"{target_alias}._ifile").alias("file_path"),
+            F.col(f"{target_alias}._ipos").alias("pos"),
+        )
+        upd_idx = [
+            i
+            for i, c in enumerate(matched_clauses)
+            if c["action"] == "update"
+        ]
+        if upd_idx:
+            out_cols = []
+            for col in colnames:
+                e = F.col(f"{target_alias}.{col}")
+                for i in upd_idx:
+                    sm = _set_map(matched_clauses[i], "update")
+                    if col in sm:
+                        t = _ice_to_spark_type(
+                            next(
+                                f["type"]
+                                for f in fields
+                                if f["name"] == col
+                            )
+                        )
+                        ne = F.expr(sm[col])
+                        if t is not None:
+                            ne = ne.cast(t)
+                        e = F.when(F.col("_cidx") == i, ne).otherwise(e)
+                out_cols.append(e.alias(col))
+            pieces.append(
+                claimed.filter(F.col("_cidx").isin(upd_idx)).select(*out_cols)
+            )
+    if insert_clauses:
+        anti = src.alias(source_alias).join(
+            tgt.alias(target_alias), cond, "left_anti"
+        )
+        anti = anti.withColumn(
+            "_cidx", _first_match_idx(insert_clauses)
+        ).filter(F.col("_cidx") >= 0)
+        out_cols = []
+        for col in colnames:
+            e = F.lit(None)
+            t = _ice_to_spark_type(
+                next(f["type"] for f in fields if f["name"] == col)
+            )
+            for i, c in enumerate(insert_clauses):
+                vm = _set_map(c, "insert")
+                if col in vm:
+                    ne = F.expr(vm[col])
+                    if t is not None:
+                        ne = ne.cast(t)
+                    e = F.when(F.col("_cidx") == i, ne).otherwise(e)
+            if t is not None:
+                e = e.cast(t)
+            out_cols.append(e.alias(col))
+        pieces.append(anti.select(*out_cols))
+
+    adds_df = None
+    for p in pieces:
+        adds_df = p if adds_df is None else adds_df.unionByName(p)
+
+    # ---- stage, then commit both manifests as ONE snapshot ----
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_ice_merge-{uuid.uuid4().hex}",
+    )
+    if dels_df is not None:
+        dels_df.coalesce(1).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.mode("overwrite").parquet(os.path.join(staging, "del"))
+    if adds_df is not None:
+        adds_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "add")
+        )
+
+    import pyarrow.parquet as _pq
+
+    def _one_part(sub):
+        for root, _d, ns in os.walk(os.path.join(staging, sub)):
+            for nme in sorted(ns):
+                if nme.endswith(".parquet"):
+                    return os.path.join(root, nme)
+        return None
+
+    dpart = _one_part("del") if dels_df is not None else None
+    apart = _one_part("add") if adds_df is not None else None
+    n_del = _pq.ParquetFile(dpart).metadata.num_rows if dpart else 0
+    n_add = _pq.ParquetFile(apart).metadata.num_rows if apart else 0
+    if not n_del and not n_add:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "snapshot_id": None,
+            "rows_written": 0,
+            "rows_deleted": 0,
+            "files_added": 0,
+            "files_removed": 0,
+            "version": prev_version,
+        }
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    mf_entries = list(prev_list)
+    if n_del:
+        dpath = os.path.join(
+            data_dir, f"delete-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+        )
+        os.replace(dpart, dpath)
+        del_manifest = os.path.join(meta_dir, f"man-del-{snapshot_id}.avro")
+        write_container(
+            _manifest_entry_schema([]),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "record_count": n_del,
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+            ],
+            del_manifest,
+        )
+        mf_entries.append(
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": prev_meta.get("default-spec-id", 0),
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+    if n_add:
+        apath = os.path.join(
+            data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+        )
+        os.replace(apart, apath)
+        lowers, uppers, a_rows = None, None, n_add
+        try:
+            lo, up, a_rows = _file_bounds(apath, fields)
+            lowers, uppers = lo or None, up or None
+        except Exception:
+            pass
+        add_manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
+        write_container(
+            _manifest_entry_schema([]),
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": apath,
+                        "file_format": "PARQUET",
+                        "record_count": a_rows,
+                        "file_size_in_bytes": os.path.getsize(apath),
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
+                    },
+                }
+            ],
+            add_manifest,
+        )
+        mf_entries.append(
+            {
+                "manifest_path": add_manifest,
+                "manifest_length": os.path.getsize(add_manifest),
+                "partition_spec_id": prev_meta.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "overwrite"},
+        }
+    ]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_written": int(n_add),
+        "rows_deleted": int(n_del),
+        "files_added": int(bool(n_add)) + int(bool(n_del)),
+        "files_removed": 0,
+        "version": version,
+    }

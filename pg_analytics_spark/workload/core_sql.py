@@ -4199,3 +4199,54 @@ def delta_upsert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, o_custkey, o_totalprice FROM upsert_tgt "
         "ORDER BY o_orderkey"
     )
+
+
+@register(
+    "iceberg_merge_roundtrip",
+    oracle=_MERGE_ORACLE,
+    doc="MERGE INTO on the native Iceberg v2 writer "
+    "(sources/iceberg_write.merge_iceberg + the shared Engine.sql "
+    "MERGE statement): the MERGE-ON-READ mirror of "
+    "delta_merge_roundtrip — matched rows claimed by UPDATE/DELETE "
+    "clauses become position deletes, updated images and unmatched "
+    "inserts append as new data files, delete + add manifests commit "
+    "atomically in ONE snapshot (no half-merged state, no data-file "
+    "rewrites — O(matched+inserted) where CoW is O(touched files); "
+    "compact_iceberg folds the delete debt later).  SAME relational "
+    "oracle as the Delta twin: copy-on-write and merge-on-read are "
+    "proven to produce IDENTICAL answers at the value-exact gate.",
+)
+def iceberg_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_merge")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(o.filter(F.col("o_orderkey") < 2000), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("ice_merge_tgt", [root], "iceberg")
+    o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        (F.col("o_totalprice") * 2).alias("new_price"),
+    ).createOrReplaceTempView("ice_merge_src")
+    eng.sql(
+        "MERGE INTO ice_merge_tgt t USING ice_merge_src s "
+        "ON t.o_orderkey = s.k "
+        "WHEN MATCHED AND s.new_price > 300000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.new_price "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, "
+        "o_totalprice) VALUES (s.k, s.c, s.new_price)"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ice_merge_tgt "
+        "ORDER BY o_orderkey"
+    )

@@ -400,3 +400,148 @@ def test_rollback_snapshot_and_restore_statement(spark, tmp_path):
     # unknown snapshot id is loud
     with pytest.raises(UnsupportedFormat, match="no snapshot"):
         rollback_iceberg(spark, path, 123456789)
+
+
+# ------------------------------------------------------------------ #
+# merge_iceberg — MoR MERGE (one snapshot: pos-deletes + images + inserts)
+# ------------------------------------------------------------------ #
+
+
+def _mk_merge_tbl(spark, tmp_path, name="ice_merge"):
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id long, v double"
+    )
+    write_iceberg(df, root, mode="overwrite")
+    return root
+
+
+def test_merge_update_delete_insert_one_snapshot(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import merge_iceberg
+
+    root = _mk_merge_tbl(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, 200.0), (3, 300.0), (9, 900.0)], "k long, nv double"
+    )
+    res = merge_iceberg(
+        src,
+        root,
+        "t.id = s.k",
+        [
+            {"when": "matched", "action": "delete",
+             "condition": "s.nv > 250"},
+            {"when": "matched", "action": "update",
+             "set": {"v": "s.nv"}, "condition": None},
+            {"when": "not_matched", "action": "insert",
+             "values": {"id": "s.k", "v": "s.nv"}, "condition": None},
+        ],
+    )
+    # id 2 updated, id 3 deleted, id 9 inserted — ONE new version
+    assert res["rows_deleted"] == 2 and res["rows_written"] == 2
+    assert _rows(spark, root) == [(1, 10.0), (2, 200.0), (4, 40.0), (9, 900.0)]
+    meta_dir = os.path.join(root, "metadata")
+    assert os.path.exists(os.path.join(meta_dir, "v2.metadata.json"))
+    assert not os.path.exists(os.path.join(meta_dir, "v3.metadata.json"))
+
+
+def test_merge_prior_snapshot_time_travels_full(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import merge_iceberg
+
+    root = _mk_merge_tbl(spark, tmp_path)
+    meta = json.load(
+        open(os.path.join(root, "metadata", "v1.metadata.json"))
+    )
+    first_snap = meta["current-snapshot-id"]
+    src = spark.createDataFrame([(1, 111.0)], "k long, nv double")
+    merge_iceberg(
+        src, root, "t.id = s.k",
+        [{"when": "matched", "action": "update", "set": {"v": "s.nv"},
+          "condition": None}],
+    )
+    assert _rows(spark, root, snapshot_id=first_snap) == [
+        (1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0),
+    ]
+    assert _rows(spark, root)[0] == (1, 111.0)
+
+
+def test_merge_ambiguous_multi_match_is_loud(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import merge_iceberg
+
+    root = _mk_merge_tbl(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, 1.0), (2, 2.0)], "k long, nv double"
+    )
+    with pytest.raises(UnsupportedFormat, match="more than one source"):
+        merge_iceberg(
+            src, root, "t.id = s.k",
+            [{"when": "matched", "action": "update", "set": {"v": "s.nv"},
+              "condition": None}],
+        )
+
+
+def test_merge_null_keys_and_no_match_commit_nothing(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import merge_iceberg
+
+    root = _mk_merge_tbl(spark, tmp_path)
+    src = spark.createDataFrame([(None, 1.0)], "k long, nv double")
+    res = merge_iceberg(
+        src, root, "t.id = s.k",
+        [{"when": "matched", "action": "update", "set": {"v": "s.nv"},
+          "condition": None}],
+    )
+    assert res["snapshot_id"] is None and res["version"] == 1
+    assert _rows(spark, root) == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]
+
+
+def test_merge_statement_routing_and_on_conflict_iceberg(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+
+    root = _mk_merge_tbl(spark, tmp_path)
+    eng = Engine(spark=spark)
+    eng.attach("ice_m_tgt", [root], "iceberg")
+    spark.createDataFrame(
+        [(4, 400.0), (5, 500.0)], "k long, nv double"
+    ).createOrReplaceTempView("ice_m_src")
+    res = eng.sql(
+        "MERGE INTO ice_m_tgt t USING ice_m_src s ON t.id = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.nv "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.k, s.nv)"
+    ).collect()[0]
+    assert res["rows_written"] == 2 and res["files_removed"] == 0
+    got = sorted(
+        (r["id"], r["v"]) for r in eng.sql("SELECT * FROM ice_m_tgt").collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 400.0), (5, 500.0)]
+    # upsert statement over the SAME attachment (merge-on-read path)
+    eng.sql(
+        "INSERT INTO ice_m_tgt VALUES (5, 5.0), (6, 60.0) "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v + v"
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in eng.sql("SELECT * FROM ice_m_tgt").collect()
+    )
+    assert got == [
+        (1, 10.0), (2, 20.0), (3, 30.0), (4, 400.0), (5, 505.0), (6, 60.0),
+    ]
+
+
+def test_merge_partitioned_rejected_with_guidance(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import (
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "ice_merge_part")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    )
+    write_iceberg(df, root, mode="overwrite", partition_by="id")
+    src = spark.createDataFrame([(1, 1.0)], "k long, nv double")
+    with pytest.raises(UnsupportedFormat, match="UNPARTITIONED"):
+        merge_iceberg(
+            src, root, "t.id = s.k",
+            [{"when": "matched", "action": "update", "set": {"v": "s.nv"},
+              "condition": None}],
+        )
