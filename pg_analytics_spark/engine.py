@@ -1219,6 +1219,8 @@ class Engine:
         """
         from pyspark.sql import functions as F
 
+        import functools
+
         from pg_analytics_spark.dialect import UnsupportedDialect, _tokenize
 
         name = m.group("name")
@@ -1307,11 +1309,24 @@ class Engine:
             ],
         ).persist()
         try:
+            # ONE validation job: per-column null-introduction counts
+            # AND the duplicate-conflict-key probe (count vs distinct
+            # over the key tuple) ride the same aggregate
             bad = casted.agg(
                 *[
                     F.sum(F.col(f"__bad_{i}").cast("int")).alias(f"b{i}")
                     for i in range(len(tbl_schema.fields))
-                ]
+                ],
+                F.count(
+                    F.when(
+                        functools.reduce(
+                            lambda a, b: a & b,
+                            [F.col(k).isNotNull() for k in keys],
+                        ),
+                        F.lit(1),
+                    )
+                ).alias("__nk"),
+                F.countDistinct(*[F.col(k) for k in keys]).alias("__ndk"),
             ).first()
             for i, f in enumerate(tbl_schema.fields):
                 if (bad[f"b{i}"] or 0) > 0:
@@ -1320,21 +1335,17 @@ class Engine:
                         f"cannot be cast to {f.name} "
                         f"{f.dataType.simpleString()}"
                     )
-            source = casted.select(*[f.name for f in tbl_schema.fields])
-            dup = (
-                source.groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
+            # NULL-keyed rows never conflict (SQL 3VL), so both
+            # counters cover exactly the fully-non-NULL key tuples:
+            # strictly more rows than distinct tuples == a collision
+            if (bad["__nk"] or 0) > (bad["__ndk"] or 0):
                 raise EngineError(
                     "ON CONFLICT: the inserted rows contain duplicate "
                     f"conflict key(s) {keys} — deduplicate the SELECT "
                     "first (row-at-a-time upsert order is undefined on "
                     "a distributed engine)"
                 )
+            source = casted.select(*[f.name for f in tbl_schema.fields])
             on_cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
             clauses: list[dict] = []
             if m.group("setlist"):
