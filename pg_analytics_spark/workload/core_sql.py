@@ -4250,3 +4250,37 @@ def iceberg_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, o_custkey, o_totalprice FROM ice_merge_tgt "
         "ORDER BY o_orderkey"
     )
+
+
+_PASSTHROUGH_NAMED_WINDOW = """
+SELECT c_nationkey, c_custkey,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS running_bal,
+       rank() OVER w2 AS bal_rank,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
+FROM customer
+WHERE c_acctbal > 7000.0
+WINDOW w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, c_custkey
+"""
+
+
+@register(
+    "sql_passthrough_named_window",
+    oracle=_PASSTHROUGH_NAMED_WINDOW,
+    doc="ANSI passthrough: the WINDOW clause (named window "
+    "definitions shared by several OVER references) — the dry "
+    "idiom analysts reach for once a query carries 3+ window "
+    "functions.  Both engines bind the names natively; Spark plans "
+    "the two frames over ONE hash exchange on the shared partition "
+    "key.  Running sums stage in DECIMAL per the determinism "
+    "contract.",
+)
+def sql_passthrough_named_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    for t in ["customer"]:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PASSTHROUGH_NAMED_WINDOW)
