@@ -108,6 +108,7 @@ STREAMING_ROWS = frozenset(
         "streaming_hourly_counts",
         "streaming_pca_moments",
         "streaming_click_purchase_join",
+        "streaming_cdc_upsert",
     }
 )
 
@@ -204,6 +205,7 @@ HEADLINE_NEXT6: list = [
     "corpus_quality_classifier",
     "delta_upsert_on_conflict",
     "iceberg_merge_roundtrip",
+    "streaming_cdc_upsert",
 ]
 
 

@@ -986,3 +986,43 @@ def events_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (se1 * se1 / (n1 - F.lit(1)) + se2 * se2 / (n2 - F.lit(1)))
         ).alias("welch_df"),
     )
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle="""
+    SELECT user_id, last_ts, last_event_id, last_type, last_value
+    FROM (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             event_type AS last_type, value AS last_value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Streaming CDC apply into the NATIVE Delta writer "
+    "(streaming/cdc_upsert.py): each micro-batch reduces to the "
+    "latest change per user (one max-of-struct aggregate) and merges "
+    "with WHEN MATCHED **AND s NEWER** THEN UPDATE / WHEN NOT MATCHED "
+    "INSERT — the condition makes the applied table independent of "
+    "batch boundaries AND arrival order (an out-of-order batch of "
+    "older changes is a conditional no-op; pinned by applying batches "
+    "out of order in tests).  The bronze→silver lakehouse hop, "
+    "end-to-end on this repo's own MERGE commit path, value-exact "
+    "against the batch argmax oracle.",
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.cdc_upsert import maintain_cdc_table
+
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/profiles_delta"
+        maintain_cdc_table(
+            spark, f"{sf_dir}/events.parquet", tbl, f"{work}/ckpt"
+        )
+        out = load_source(spark, tbl, "delta")
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "user_id"
+        )

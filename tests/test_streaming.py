@@ -859,3 +859,114 @@ def test_sink_probe_detects_data_without_spark_read():
         os.makedirs(sub)
         open(os.path.join(sub, "x.parquet"), "w").close()
         assert _sink_has_data(missing)  # nested parquet counts
+
+
+def test_cdc_upsert_multibatch_equals_batch_argmax(spark, tmp_path):
+    """streaming/cdc_upsert.py forced through ≥3 micro-batches
+    (maxFilesPerTrigger=1 over time-terciled files): the merged Delta
+    table must equal the batch per-user argmax — cross-batch MERGE
+    state is the table itself."""
+    import glob as _glob
+    import shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.cdc_upsert import maintain_cdc_table
+    from pg_analytics_spark.workload.base import table
+    from pyspark.sql import Window as W
+
+    ev = table(spark, SF_DIR, "events").filter(F.col("user_id") < 40)
+    ranked = ev.withColumn(
+        "_t3", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "ev_cdc"
+    src.mkdir()
+    for i in range(1, 4):
+        part = ranked.filter(F.col("_t3") == i).drop("_t3")
+        stage = tmp_path / f"cdc_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0], src / f"{i:05d}.parquet"
+        )
+    tbl = str(tmp_path / "profiles_delta")
+    maintain_cdc_table(
+        spark, str(src), tbl, str(tmp_path / "cdc_ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["user_id"]: (r["last_ts"], r["last_event_id"], r["last_value"])
+        for r in load_source(spark, tbl, "delta").collect()
+    }
+    expect = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_cdc_upsert_out_of_order_batches_converge(spark, tmp_path):
+    """The NEWER-THAN merge condition: applying an out-of-order batch
+    of OLDER changes is a no-op — arrival order cannot corrupt the
+    table (the property unconditional foreachBatch upserts lack)."""
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.cdc_upsert import apply_cdc_batch
+
+    sch = (
+        "event_id long, ts string, user_id long, "
+        "event_type string, value double"
+    )
+    newer = spark.createDataFrame(
+        [(100, "2024-01-02 10:00:00", 1, "purchase", 9.0),
+         (101, "2024-01-02 11:00:00", 2, "view", 5.0)],
+        sch,
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    older = spark.createDataFrame(
+        [(50, "2024-01-01 10:00:00", 1, "click", 1.0),   # older → no-op
+         (51, "2024-01-01 11:00:00", 3, "click", 3.0)],  # new key → insert
+        sch,
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    tbl = str(tmp_path / "cdc_ooo")
+    apply_cdc_batch(newer, tbl)   # batch 2 arrives FIRST
+    apply_cdc_batch(older, tbl)   # then the older batch
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_type"])
+        for r in load_source(spark, tbl, "delta").collect()
+    }
+    assert got == {
+        1: (100, "purchase"),  # older change did NOT overwrite
+        2: (101, "view"),
+        3: (51, "click"),      # unseen key inserted
+    }
+
+
+def test_cdc_upsert_tie_ts_breaks_on_event_id(spark, tmp_path):
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.cdc_upsert import apply_cdc_batch
+
+    sch = (
+        "event_id long, ts string, user_id long, "
+        "event_type string, value double"
+    )
+    ts = "2024-03-01 00:00:00"
+    b1 = spark.createDataFrame(
+        [(7, ts, 1, "a", 1.0)], sch
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    b2 = spark.createDataFrame(
+        [(9, ts, 1, "b", 2.0), (8, ts, 1, "c", 3.0)], sch
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    tbl = str(tmp_path / "cdc_tie")
+    apply_cdc_batch(b1, tbl)
+    apply_cdc_batch(b2, tbl)  # batch reduces to event_id 9, then upserts
+    [(eid, typ)] = [
+        (r["last_event_id"], r["last_type"])
+        for r in load_source(spark, tbl, "delta").collect()
+    ]
+    assert (eid, typ) == (9, "b")
