@@ -202,6 +202,8 @@ HEADLINE_NEXT6: list = [
     "multimodal_phash_neardup",
     "events_interpolate_linear",
     "events_ab_test_welch",
+    "events_markov_transition",
+    "text_collocations_pmi",
     "corpus_quality_classifier",
     "delta_upsert_on_conflict",
     "iceberg_merge_roundtrip",

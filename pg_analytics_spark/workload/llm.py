@@ -3292,3 +3292,91 @@ def _register_corpus_quality_classifier():
 
 
 _register_corpus_quality_classifier()
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*)::BIGINT AS c1 FROM toks GROUP BY w),
+    n AS (SELECT SUM(c1)::BIGINT AS n FROM uni),
+    bg AS (
+      SELECT t.w AS a, lead(t.w) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+             ) AS b
+      FROM (
+        SELECT doc_id, unnest({_TOKS}) AS w,
+               generate_subscripts({_TOKS}, 1) AS pos
+        FROM documents
+      ) t
+    ),
+    c2 AS (
+      SELECT a, b, COUNT(*)::BIGINT AS n_ab
+      FROM bg WHERE b IS NOT NULL GROUP BY a, b
+    )
+    SELECT c2.a AS w1, c2.b AS w2, c2.n_ab,
+           ROUND(ln(CAST(c2.n_ab * n.n AS DOUBLE)
+                    / CAST(ua.c1 * ub.c1 AS DOUBLE)), 6) AS pmi
+    FROM c2, n
+    JOIN uni ua ON ua.w = c2.a
+    JOIN uni ub ON ub.w = c2.b
+    WHERE c2.n_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 30
+    """,
+    doc="Collocation mining: top-30 adjacent word pairs by pointwise "
+    "mutual information ln(c_ab·N / (c_a·c_b)), support ≥ 5 — the "
+    "classic phrase-discovery pass before tokenizer/vocab decisions.  "
+    "All counts are exact integers whose products stay < 2^63; the "
+    "quotient is ONE double division and ln() matches DuckDB "
+    "bit-for-bit on this platform (the bigram-LM/BM25/tf-idf "
+    "precedent), so the scores are value-exact.  Plan: one bigram "
+    "explode + count, unigram counts broadcast-joined twice, "
+    "TakeOrdered — corpus read once.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.lower("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    n_tot = uni.agg(F.sum("c1").cast("long").alias("n"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> struct("
+                "element_at(t, i + 1) AS a, element_at(t, i + 2) AS b))"
+            )
+        ).alias("p")
+    )
+    c2 = (
+        bg.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c1").alias("cb"))
+    return (
+        c2.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )

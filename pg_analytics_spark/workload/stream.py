@@ -1026,3 +1026,58 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema).orderBy(
             "user_id"
         )
+
+
+@register(
+    "events_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t_from,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_to
+      FROM events
+    ),
+    c AS (
+      SELECT t_from, t_to, COUNT(*)::BIGINT AS n
+      FROM seq WHERE t_to IS NOT NULL GROUP BY t_from, t_to
+    )
+    SELECT t_from, t_to, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY t_from) AS DOUBLE), 6)
+             AS p
+    FROM c
+    ORDER BY t_from, t_to
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next type | type) from lead() pairs — the behavioral "
+    "model behind next-action prediction and anomaly scoring.  Counts "
+    "are exact; each probability is ONE double division of exact "
+    "BIGINTs (row-count normalization via a window over the tiny "
+    "type×type relation) — value-exact.  Scale: the lead() window "
+    "shuffles once on user_id with map-side projection to the two "
+    "needed columns; the transition matrix itself is |types|² rows.",
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("t_from"),
+        F.lead("event_type")
+        .over(_W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("t_to"),
+    ).filter(F.col("t_to").isNotNull())
+    c = seq.groupBy("t_from", "t_to").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return c.select(
+        "t_from",
+        "t_to",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(_W.partitionBy("t_from")).cast("double"),
+            6,
+        ).alias("p"),
+    ).orderBy("t_from", "t_to")
