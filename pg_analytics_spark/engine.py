@@ -82,6 +82,20 @@ _MACRO_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: `CREATE [OR REPLACE] TEMP TABLE t AS <query>` — DuckDB's session-
+#: scoped materialized table: the SELECT snapshots NOW (localCheckpoint
+#: — later changes to inputs don't leak in) and registers as a view.
+_CREATE_TEMP_TABLE_RE = _re.compile(
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<q>.+?);?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+_DROP_TABLE_RE = _re.compile(
+    r"^DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
 _DROP_MACRO_RE = _re.compile(
     r"^DROP\s+MACRO\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     _re.IGNORECASE,
@@ -240,6 +254,7 @@ class Engine:
         self._attachments: dict[str, _Attachment] = {}
         self._prepared: dict[str, _Prepared] = {}
         self._macros: dict[str, tuple[list[str], str, bool]] = {}
+        self._temp_tables: dict[str, DataFrame] = {}
         self._fs_view_seq = 0  # monotonic glob()-view ids
 
     # ------------------------------------------------------------------ #
@@ -327,6 +342,15 @@ class Engine:
             return self.spark.createDataFrame([(name,)], "dropped string")
         if self._macros:
             query = self._expand_macros(query)
+        m = _CREATE_TEMP_TABLE_RE.match(query.strip())
+        if m:
+            return self._create_temp_table_statement(m)
+        m = _DROP_TABLE_RE.match(query.strip())
+        if m and (
+            m.group("name").lower() in self._temp_tables
+            or m.group("name") in self._attachments
+        ):
+            return self._drop_table_statement(m)
         m = _SECRET_RE.match(query.strip())
         if m:
             return self._create_secret_statement(m)
@@ -1201,6 +1225,42 @@ class Engine:
         )
         return self.spark.createDataFrame(
             [(int(res.get("rows", 0)),)], "count bigint"
+        )
+
+    def _create_temp_table_statement(self, m) -> DataFrame:
+        """``CREATE [OR REPLACE] TEMP TABLE t AS <query>`` — DuckDB's
+        session-scoped materialized table.  The SELECT runs through the
+        full dialect shim and SNAPSHOTS immediately (localCheckpoint,
+        eager): later changes to the inputs never leak into the table,
+        unlike a view.  Plain CREATE on an existing temp table fails
+        loudly; OR REPLACE swaps it (SQL semantics)."""
+        name = m.group("name")
+        if not m.group("replace") and name.lower() in self._temp_tables:
+            raise EngineError(
+                f"temp table {name!r} already exists; use CREATE OR "
+                "REPLACE TEMP TABLE to overwrite"
+            )
+        snap = self.sql(m.group("q")).localCheckpoint(eager=True)
+        snap.createOrReplaceTempView(name)
+        self._temp_tables[name.lower()] = snap
+        return self.spark.createDataFrame([(name,)], "created string")
+
+    def _drop_table_statement(self, m) -> DataFrame:
+        """``DROP TABLE [IF EXISTS] t`` for engine temp tables (only
+        statements that can refer to one route here — unknown names
+        without IF EXISTS fall through to Spark's catalog)."""
+        name = m.group("name").lower()
+        if name in self._temp_tables:
+            self._temp_tables.pop(name)
+            self.spark.catalog.dropTempView(m.group("name"))
+            return self.spark.createDataFrame(
+                [(m.group("name"),)], "dropped string"
+            )
+        # only attachments can reach here — refuse rather than guess
+        raise EngineError(
+            f"DROP TABLE {m.group('name')}: this is an ATTACHED source "
+            "(DROP would not delete the external files) — use detach, "
+            "or drop the files explicitly"
         )
 
     def _insert_conflict_statement(self, m) -> DataFrame:

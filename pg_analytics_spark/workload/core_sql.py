@@ -4284,3 +4284,40 @@ def sql_passthrough_named_window(
     for t in ["customer"]:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PASSTHROUGH_NAMED_WINDOW)
+
+
+_TEMP_TABLE_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_passthrough_temp_table",
+    oracle=_TEMP_TABLE_ORACLE,
+    doc="DuckDB's `CREATE TEMP TABLE … AS SELECT` session-scoped "
+    "materialized table through Engine.sql: the SELECT snapshots at "
+    "creation (localCheckpoint — later input changes never leak in, "
+    "the table/view distinction, unit-pinned), then the query reads "
+    "the table.  DROP TABLE removes it; plain CREATE on an existing "
+    "temp table and DROP of an attachment fail loudly.",
+)
+def sql_passthrough_temp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    eng.sql(
+        "CREATE OR REPLACE TEMP TABLE tt_flag_agg AS "
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty "
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY l_returnflag"
+    )
+    return eng.sql(
+        "SELECT l_returnflag, n, qty FROM tt_flag_agg ORDER BY l_returnflag"
+    )

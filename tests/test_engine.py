@@ -657,3 +657,71 @@ def test_describe_table_keyword_and_function_passthrough(engine):
     # Spark's own DESCRIBE FUNCTION passes through untouched
     out = engine.sql("DESCRIBE FUNCTION upper").collect()
     assert any("upper" in str(r).lower() for r in out)
+
+
+class TestCreateTempTable:
+    def test_snapshot_semantics(self, spark):
+        from pg_analytics_spark.engine import Engine
+
+        eng = Engine(spark=spark)
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW ctt_base AS "
+            "SELECT id, id * 2 AS v FROM range(5)"
+        )
+        eng.sql("CREATE TEMP TABLE ctt_snap AS SELECT * FROM ctt_base")
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW ctt_base AS "
+            "SELECT id, id * 100 AS v FROM range(5)"
+        )
+        got = sorted(
+            (r["id"], r["v"])
+            for r in eng.sql("SELECT * FROM ctt_snap").collect()
+        )
+        # the temp TABLE materialized at creation — the view redefinition
+        # must not leak in (the table/view distinction)
+        assert got == [(i, i * 2) for i in range(5)]
+        eng.sql("DROP TABLE ctt_snap")
+
+    def test_duplicate_loud_replace_and_drop(self, spark):
+        import pytest
+
+        from pg_analytics_spark.engine import Engine
+        from pg_analytics_spark.errors import EngineError
+
+        eng = Engine(spark=spark)
+        eng.sql("CREATE TEMP TABLE ctt_dup AS SELECT 1 AS x")
+        with pytest.raises(EngineError, match="already exists"):
+            eng.sql("CREATE TEMP TABLE ctt_dup AS SELECT 2 AS x")
+        eng.sql("CREATE OR REPLACE TEMP TABLE ctt_dup AS SELECT 2 AS x")
+        assert eng.sql("SELECT * FROM ctt_dup").collect()[0]["x"] == 2
+        eng.sql("DROP TABLE ctt_dup")
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM ctt_dup").collect()
+
+    def test_drop_attachment_is_loud(self, spark, tmp_path):
+        import pytest
+
+        from pg_analytics_spark.engine import Engine
+        from pg_analytics_spark.errors import EngineError
+
+        p = str(tmp_path / "att.parquet")
+        spark.range(3).write.parquet(p)
+        eng = Engine(spark=spark)
+        eng.attach("ctt_att", [p], "parquet")
+        with pytest.raises(EngineError, match="detach"):
+            eng.sql("DROP TABLE ctt_att")
+
+    def test_dialect_shim_applies_inside_create(self, spark):
+        from pg_analytics_spark.engine import Engine
+
+        eng = Engine(spark=spark)
+        # QUALIFY (DuckDB dialect) inside the CREATE's SELECT
+        eng.sql(
+            "CREATE OR REPLACE TEMP TABLE ctt_q AS "
+            "SELECT id, row_number() OVER (ORDER BY id DESC) AS rk "
+            "FROM range(10) QUALIFY rk <= 3"
+        )
+        assert eng.sql("SELECT COUNT(*) AS n FROM ctt_q").collect()[0][
+            "n"
+        ] == 3
+        eng.sql("DROP TABLE ctt_q")
