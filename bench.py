@@ -200,6 +200,7 @@ HEADLINE_NEXT6: list = [
     "bpe_encode_corpus",
     "graph_node_similarity",
     "sim_maxsim_multivector",
+    "embed_outlier_zscore",
     "multimodal_phash_neardup",
     "events_interpolate_linear",
     "events_ab_test_welch",

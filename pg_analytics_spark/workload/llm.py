@@ -3380,3 +3380,104 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(30)
     )
+
+
+def _register_embed_outlier_zscore():
+    oracle = """
+    WITH stats AS (
+      SELECT ii.i AS i,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(e.embedding[ii.i]::DOUBLE AS DECIMAL(18,9)))
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(e.embedding[ii.i]::DOUBLE AS DECIMAL(18,9))
+                           * CAST(e.embedding[ii.i]::DOUBLE AS DECIMAL(18,9)))
+                       AS VARCHAR) AS DOUBLE) AS ss
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) ii
+      GROUP BY ii.i
+    ),
+    dims AS (
+      SELECT i, s / n AS m,
+             sqrt((ss - s * s / n) / (n - 1)) AS sd
+      FROM stats
+    ),
+    lists AS (
+      SELECT list(m ORDER BY i) AS ml, list(sd ORDER BY i) AS sl
+      FROM dims
+    )
+    SELECT vec_id,
+           ROUND(list_sum([
+             ((z[1]::DOUBLE - z[2]) / z[3]) * ((z[1]::DOUBLE - z[2]) / z[3])
+             for z in list_zip(embedding, ml, sl)
+           ]), 6) AS z2
+    FROM embeddings, lists
+    ORDER BY z2 DESC, vec_id
+    LIMIT 20
+    """
+
+    @register(
+        "embed_outlier_zscore",
+        oracle=oracle,
+        doc="Embedding sanity screening at corpus scale: top-20 "
+        "outliers by standardized squared distance Σ((x_i−m_i)/s_i)² "
+        "(diagonal Mahalanobis).  Pass 1 aggregates exact per-"
+        "dimension decimal power sums (ONE job, 64 output rows — the "
+        "sufficient-statistics collapse); the driver finalizes m/s "
+        "with the IDENTICAL IEEE expression the oracle uses (VARCHAR "
+        "bridge for the >2^53 squared sums, sqrt is correctly "
+        "rounded) and embeds them as literals, so pass 2 is a pure "
+        "scan → sequential fold → TakeOrdered with no join and no "
+        "shuffle — value-exact end-to-end INCLUDING the two-stage "
+        "driver hop.  The screen that catches corrupted/degenerate "
+        "vectors before they poison ANN layouts or PCA.",
+    )
+    def embed_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
+        e = table(spark, sf_dir, "embeddings")
+        x = F.expr("CAST(element_at(embedding, i) AS DOUBLE)")
+        dec = x.cast("decimal(18,9)")
+        stats = (
+            e.select(
+                F.posexplode(
+                    F.expr("sequence(1, 64)")
+                ).alias("pos", "i"),
+                "embedding",
+            )
+            .select("i", "embedding")
+            .select(
+                "i",
+                dec.alias("xd"),
+                (dec * dec).alias("xx"),
+            )
+            .groupBy("i")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("xd").cast("double").alias("s"),
+                F.sum("xx").cast("string").cast("double").alias("ss"),
+            )
+            .collect()
+        )
+        ms, sds = [0.0] * 64, [1.0] * 64
+        for r in stats:
+            n, s, ss = r["n"], r["s"], r["ss"]
+            m = s / n
+            sd = math.sqrt((ss - s * s / n) / (n - 1))
+            ms[r["i"] - 1], sds[r["i"] - 1] = m, sd
+        m_arr = "array(" + ", ".join(f"{v!r}D" for v in ms) + ")"
+        s_arr = "array(" + ", ".join(f"{v!r}D" for v in sds) + ")"
+        score = (
+            "round(aggregate(zip_with(zip_with(embedding, "
+            + m_arr
+            + ", (x, m) -> (cast(x AS double) - m)), "
+            + s_arr
+            + ", (d, s) -> (d / s) * (d / s)), 0.0D, "
+            "(acc, v) -> acc + v), 6)"
+        )
+        return (
+            e.select("vec_id", F.expr(score).alias("z2"))
+            .orderBy(F.desc("z2"), F.asc("vec_id"))
+            .limit(20)
+        )
+
+
+_register_embed_outlier_zscore()
