@@ -129,7 +129,11 @@ FIXTURE_ROWS = frozenset({"geo_shapefile_nation_hubs"})
 #: the batch-comparable subtotal: the oracle side is a pure relational
 #: replay SELECT, so the ratio measures fixture I/O, not a query plan.
 WRITER_ROWS = frozenset(
-    {"delta_upsert_on_conflict", "iceberg_merge_roundtrip"}
+    {
+        "delta_upsert_on_conflict",
+        "iceberg_merge_roundtrip",
+        "iceberg_upsert_on_conflict",
+    }
 )
 
 #: round-5 additions measure here; frozen groups stay comparable.
@@ -209,6 +213,7 @@ HEADLINE_NEXT6: list = [
     "corpus_quality_classifier",
     "delta_upsert_on_conflict",
     "iceberg_merge_roundtrip",
+    "iceberg_upsert_on_conflict",
     "streaming_cdc_upsert",
 ]
 

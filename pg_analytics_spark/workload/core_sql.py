@@ -4321,3 +4321,53 @@ def sql_passthrough_temp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT l_returnflag, n, qty FROM tt_flag_agg ORDER BY l_returnflag"
     )
+
+
+@register(
+    "iceberg_upsert_on_conflict",
+    oracle=_UPSERT_CONFLICT_ORACLE,
+    doc="`INSERT … ON CONFLICT` upserts on the native Iceberg v2 "
+    "writer — the MERGE-ON-READ twin of delta_upsert_on_conflict "
+    "(same statement surface, routed to merge_iceberg: position "
+    "deletes + new images + inserts in ONE snapshot, zero data-file "
+    "rewrites).  SAME relational oracle as the Delta twin: the "
+    "copy-on-write and merge-on-read upsert paths are proven to give "
+    "IDENTICAL answers at the value-exact gate.",
+)
+def iceberg_upsert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_upsert")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        o.filter(F.col("o_orderkey") < 2000), root, mode="overwrite"
+    )
+    eng = Engine(spark=spark)
+    eng.attach("ice_upsert_tgt", [root], "iceberg")
+    o.createOrReplaceTempView("ice_upsert_src")
+    eng.sql(
+        "INSERT INTO ice_upsert_tgt "
+        "SELECT o_orderkey, o_custkey, o_totalprice * 2 "
+        "FROM ice_upsert_src "
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 3000 "
+        "ON CONFLICT (o_orderkey) DO UPDATE SET "
+        "o_totalprice = EXCLUDED.o_totalprice + o_totalprice"
+    )
+    eng.sql(
+        "INSERT INTO ice_upsert_tgt "
+        "SELECT o_orderkey, o_custkey, o_totalprice * 10 "
+        "FROM ice_upsert_src "
+        "WHERE o_orderkey >= 2500 AND o_orderkey < 3500 "
+        "ON CONFLICT (o_orderkey) DO NOTHING"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ice_upsert_tgt "
+        "ORDER BY o_orderkey"
+    )
