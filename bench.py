@@ -201,6 +201,7 @@ HEADLINE_NEXT6: list = [
     "sql_passthrough_window_ignore_nulls",
     "sql_passthrough_named_window",
     "sql_passthrough_temp_table",
+    "sql_passthrough_fdw_ddl",
     "bpe_encode_corpus",
     "graph_node_similarity",
     "sim_maxsim_multivector",

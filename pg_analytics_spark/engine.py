@@ -67,6 +67,50 @@ _CTAS_LAKE_RE = _re.compile(
 #: DuckDB `CREATE [OR REPLACE] SECRET [name] ( TYPE t, KEY 'v', … )`
 #: statement text — the exact SQL the reference GENERATES from user
 #: mappings (src/duckdb/secret.rs) — routed to Engine.add_secret.
+#: The reference's OWN DDL surface (README.md:100-117,
+#: tests/tests/fixtures/arrow.rs:295-320): CREATE EXTENSION / FOREIGN
+#: DATA WRAPPER / SERVER / USER MAPPING / FOREIGN TABLE — accepted as
+#: statement text so a reference user's setup script runs unchanged.
+_CREATE_EXTENSION_RE = _re.compile(
+    r"^CREATE\s+EXTENSION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*(?:CASCADE\s*)?;?\s*$",
+    _re.IGNORECASE,
+)
+
+_CREATE_FDW_RE = _re.compile(
+    r"^CREATE\s+FOREIGN\s+DATA\s+WRAPPER\s+(?P<w>[A-Za-z_]\w*)"
+    r"(?:\s+HANDLER\s+[\w.]+)?(?:\s+VALIDATOR\s+[\w.]+)?\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
+_CREATE_SERVER_RE = _re.compile(
+    r"^CREATE\s+SERVER\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<s>[A-Za-z_]\w*)\s+"
+    r"FOREIGN\s+DATA\s+WRAPPER\s+(?P<w>[A-Za-z_]\w*)"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+_CREATE_USER_MAPPING_RE = _re.compile(
+    r"^CREATE\s+USER\s+MAPPING\s+(?:IF\s+NOT\s+EXISTS\s+)?FOR\s+\S+\s+"
+    r"SERVER\s+(?P<s>[A-Za-z_]\w*)"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+_CREATE_FOREIGN_TABLE_RE = _re.compile(
+    r"^CREATE\s+FOREIGN\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r'(?P<name>"[^"]+"|[\w.]+)\s*\((?P<cols>.*?)\)\s*'
+    r"SERVER\s+(?P<srv>[A-Za-z_]\w*)"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+_DROP_FOREIGN_TABLE_RE = _re.compile(
+    r"^DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+    r'(?P<name>"[^"]+"|[\w.]+)\s*(?:CASCADE\s*)?;?\s*$',
+    _re.IGNORECASE,
+)
+
 _SECRET_RE = _re.compile(
     r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+|TEMPORARY\s+)?"
     r"SECRET(?:\s+(?P<name>[A-Za-z_]\w*))?\s*\((?P<body>.+)\)\s*;?\s*$",
@@ -255,6 +299,9 @@ class Engine:
         self._prepared: dict[str, _Prepared] = {}
         self._macros: dict[str, tuple[list[str], str, bool]] = {}
         self._temp_tables: dict[str, DataFrame] = {}
+        #: FDW DDL state: wrapper → format, server → (format, options)
+        self._wrappers: dict[str, str] = {}
+        self._servers: dict[str, tuple[str, dict]] = {}
         self._fs_view_seq = 0  # monotonic glob()-view ids
 
     # ------------------------------------------------------------------ #
@@ -342,6 +389,13 @@ class Engine:
             return self.spark.createDataFrame([(name,)], "dropped string")
         if self._macros:
             query = self._expand_macros(query)
+        q_strip = query.strip()
+        if _re.match(r"^CREATE\s+(EXTENSION|FOREIGN|SERVER|USER)\b",
+                     q_strip, _re.IGNORECASE) or _re.match(
+                     r"^DROP\s+FOREIGN\b", q_strip, _re.IGNORECASE):
+            out = self._fdw_ddl_statement(q_strip)
+            if out is not None:
+                return out
         m = _CREATE_TEMP_TABLE_RE.match(query.strip())
         if m:
             return self._create_temp_table_statement(m)
@@ -1226,6 +1280,204 @@ class Engine:
         return self.spark.createDataFrame(
             [(int(res.get("rows", 0)),)], "count bigint"
         )
+
+    #: FDW wrapper-name stem → engine source format
+    _WRAPPER_FORMATS = {
+        "parquet": "parquet",
+        "csv": "csv",
+        "json": "json",
+        "delta": "delta",
+        "iceberg": "iceberg",
+        "spatial": "spatial",
+    }
+
+    def _parse_ddl_options(self, text: str | None) -> dict:
+        """Postgres ``OPTIONS (key 'value', …)`` body → dict (quoted
+        values unescaped; bare words kept verbatim)."""
+        from pg_analytics_spark.dialect import _tokenize
+
+        opts: dict = {}
+        if not text:
+            return opts
+        key: str | None = None
+        for kind, tok in _tokenize(text):
+            if kind in ("ws", "comment"):
+                continue
+            if tok == ",":
+                key = None
+                continue
+            if key is None:
+                if kind != "word":
+                    raise EngineError(
+                        f"OPTIONS: expected an option name, got {tok!r}"
+                    )
+                key = tok.lower()
+            else:
+                opts[key] = (
+                    tok[1:-1].replace("''", "'")
+                    if kind == "string"
+                    else tok
+                )
+        return opts
+
+    def _fdw_ddl_statement(self, q: str) -> DataFrame | None:
+        """The reference's own setup DDL, accepted verbatim
+        (README.md:100-117; tests/tests/fixtures/arrow.rs:295-320):
+
+        * ``CREATE EXTENSION pg_analytics`` — no-op acknowledgement
+        * ``CREATE FOREIGN DATA WRAPPER <fmt>_wrapper HANDLER … `` —
+          registers the wrapper name → source format
+        * ``CREATE SERVER s FOREIGN DATA WRAPPER w [OPTIONS …]``
+        * ``CREATE USER MAPPING FOR u SERVER s [OPTIONS (type 'S3',
+          …)]`` — credential options feed the same secret store the
+          reference's user mappings compile into (secret.rs:24-217)
+        * ``CREATE FOREIGN TABLE t ([cols]) SERVER s OPTIONS (files
+          '…', …)`` — attaches through the source layer: empty column
+          list = auto schema inference (the trigger.rs path), declared
+          pg-typed columns apply the cast matrix
+        * ``DROP FOREIGN TABLE t`` — detaches
+
+        Returns None when the text is none of these (the caller falls
+        through to the other statement forms)."""
+        m = _CREATE_EXTENSION_RE.match(q)
+        if m:
+            return self.spark.createDataFrame(
+                [(m.group("name"),)], "extension string"
+            )
+        m = _CREATE_FDW_RE.match(q)
+        if m:
+            w = m.group("w").lower()
+            stem = w[:-8] if w.endswith("_wrapper") else w
+            if stem not in self._WRAPPER_FORMATS:
+                raise EngineError(
+                    f"CREATE FOREIGN DATA WRAPPER {w}: unknown wrapper "
+                    f"(supported: {sorted(self._WRAPPER_FORMATS)}, "
+                    "conventionally named <format>_wrapper)"
+                )
+            self._wrappers[w] = self._WRAPPER_FORMATS[stem]
+            return self.spark.createDataFrame([(w,)], "wrapper string")
+        m = _CREATE_SERVER_RE.match(q)
+        if m:
+            w = m.group("w").lower()
+            fmt = self._wrappers.get(w)
+            if fmt is None:
+                stem = w[:-8] if w.endswith("_wrapper") else w
+                fmt = self._WRAPPER_FORMATS.get(stem)
+            if fmt is None:
+                raise EngineError(
+                    f"CREATE SERVER: unknown foreign data wrapper "
+                    f"{m.group('w')!r} — CREATE FOREIGN DATA WRAPPER "
+                    "first (or use the <format>_wrapper naming)"
+                )
+            self._servers[m.group("s").lower()] = (
+                fmt,
+                self._parse_ddl_options(m.group("opts")),
+            )
+            return self.spark.createDataFrame(
+                [(m.group("s"), fmt)], "server string, format string"
+            )
+        m = _CREATE_USER_MAPPING_RE.match(q)
+        if m:
+            srv = m.group("s").lower()
+            if srv not in self._servers:
+                raise EngineError(
+                    f"CREATE USER MAPPING: unknown server {srv!r}"
+                )
+            opts = self._parse_ddl_options(m.group("opts"))
+            if opts:
+                # same vocabulary the reference compiles user mappings
+                # into DuckDB secrets with (secret.rs) → secret store
+                stype = str(opts.pop("type", "s3")).lower()
+                self.add_secret(stype, {k: str(v) for k, v in opts.items()})
+            return self.spark.createDataFrame(
+                [(srv, len(opts))], "server string, n_options int"
+            )
+        m = _CREATE_FOREIGN_TABLE_RE.match(q)
+        if m:
+            srv = m.group("srv").lower()
+            if srv not in self._servers:
+                raise EngineError(
+                    f"CREATE FOREIGN TABLE: unknown server {srv!r} — "
+                    "CREATE SERVER first"
+                )
+            fmt, srv_opts = self._servers[srv]
+            name = m.group("name").strip('"').split(".")[-1]
+            opts = dict(srv_opts)
+            opts.update(self._parse_ddl_options(m.group("opts")))
+            files_opt = opts.pop("files", None)
+            if files_opt is None:
+                raise EngineError(
+                    f"CREATE FOREIGN TABLE {name}: OPTIONS must name "
+                    "files '…' (the reference's required option)"
+                )
+            files = [f.strip() for f in str(files_opt).split(",") if f.strip()]
+            columns = self._parse_foreign_columns(m.group("cols"))
+            self.attach(
+                name, files, fmt, opts or None, columns or None
+            )
+            return self.spark.createDataFrame(
+                [(name, fmt, len(files))],
+                "table string, format string, n_files int",
+            )
+        m = _DROP_FOREIGN_TABLE_RE.match(q)
+        if m:
+            name = m.group("name").strip('"').split(".")[-1]
+            if name in self._attachments:
+                self.detach(name)
+            elif "IF" not in q.upper():
+                raise EngineError(
+                    f"DROP FOREIGN TABLE: {name!r} is not attached"
+                )
+            return self.spark.createDataFrame([(name,)], "dropped string")
+        return None
+
+    @staticmethod
+    def _parse_foreign_columns(cols_text: str) -> dict[str, str]:
+        """``"Name" TYPE, other_col DOUBLE PRECISION, …`` → ordered
+        {name: pg_type} (empty text → auto inference).  Line comments
+        are stripped (the reference's own fixtures carry them);
+        constraint noise (NOT NULL / DEFAULT …) is dropped."""
+        body = "\n".join(
+            ln.split("--", 1)[0] for ln in (cols_text or "").splitlines()
+        ).strip()
+        if not body:
+            return {}
+        out: dict[str, str] = {}
+        depth, start, parts = 0, 0, []
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(body[start:i])
+                start = i + 1
+        parts.append(body[start:])
+        for p in parts:
+            p = p.strip()
+            if not p:
+                continue
+            if p.startswith('"'):
+                end = p.index('"', 1)
+                name, rest = p[1:end], p[end + 1 :]
+            else:
+                mm = _re.match(r"[\w]+", p)
+                if not mm:
+                    raise EngineError(
+                        f"CREATE FOREIGN TABLE: bad column entry {p!r}"
+                    )
+                name, rest = mm.group(0), p[mm.end():]
+            typ = _re.split(
+                r"\b(?:NOT\s+NULL|DEFAULT|CHECK|COLLATE)\b",
+                rest,
+                flags=_re.IGNORECASE,
+            )[0].strip()
+            if not typ:
+                raise EngineError(
+                    f"CREATE FOREIGN TABLE: column {name!r} lacks a type"
+                )
+            out[name] = typ
+        return out
 
     def _create_temp_table_statement(self, m) -> DataFrame:
         """``CREATE [OR REPLACE] TEMP TABLE t AS <query>`` — DuckDB's

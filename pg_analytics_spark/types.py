@@ -48,8 +48,10 @@ _DUCKDB_TO_SPARK: dict[str, T.DataType] = {
     "float4": T.FloatType(),
     "real": T.FloatType(),
     "double": T.DoubleType(),
+    "double precision": T.DoubleType(),
     "float8": T.DoubleType(),
     "varchar": T.StringType(),
+    "character varying": T.StringType(),
     "text": T.StringType(),
     "string": T.StringType(),
     "bpchar": T.StringType(),
@@ -85,7 +87,7 @@ _NUMERIC_SPARK_TYPES = (
 
 def duckdb_type_to_spark(name: str) -> T.DataType:
     """DuckDB/Postgres type name → Spark type (DDL-level rewriter)."""
-    n = name.strip().lower()
+    n = re.sub(r"\s+", " ", name.strip().lower())
     if n.endswith("[]"):
         return T.ArrayType(duckdb_type_to_spark(n[:-2]))
     m = re.match(r"(decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)", n)
@@ -93,7 +95,9 @@ def duckdb_type_to_spark(name: str) -> T.DataType:
         return T.DecimalType(int(m.group(2)), int(m.group(3)))
     if n in ("decimal", "numeric"):
         return T.DecimalType(38, 18)
-    m = re.match(r"(?:varchar|char|bpchar)\s*\(\d+\)", n)
+    m = re.match(
+        r"(?:varchar|char|bpchar|character varying|character)\s*\(\d+\)", n
+    )
     if m:
         return T.StringType()
     if n in _DUCKDB_TO_SPARK:

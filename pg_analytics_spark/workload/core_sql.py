@@ -4371,3 +4371,52 @@ def iceberg_upsert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, o_custkey, o_totalprice FROM ice_upsert_tgt "
         "ORDER BY o_orderkey"
     )
+
+
+_FDW_DDL_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_passthrough_fdw_ddl",
+    oracle=_FDW_DDL_ORACLE,
+    doc="The reference's OWN setup DDL runs verbatim through "
+    "Engine.sql (README.md:100-117): CREATE EXTENSION → CREATE "
+    "FOREIGN DATA WRAPPER … HANDLER … VALIDATOR … → CREATE SERVER → "
+    "CREATE USER MAPPING → CREATE FOREIGN TABLE t () SERVER s "
+    "OPTIONS (files '…') with auto schema inference, then the "
+    "aggregate reads the attached table.  A pg_analytics user's "
+    "setup script is copy-paste compatible; typed column lists "
+    "(quoted idents, pg type names incl. DOUBLE PRECISION, line "
+    "comments) and DROP FOREIGN TABLE are unit-pinned.",
+)
+def sql_passthrough_fdw_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.sql("CREATE EXTENSION pg_analytics;")
+    eng.sql(
+        "CREATE FOREIGN DATA WRAPPER parquet_wrapper "
+        "HANDLER parquet_fdw_handler VALIDATOR parquet_fdw_validator;"
+    )
+    eng.sql(
+        "CREATE SERVER gate_parquet_server "
+        "FOREIGN DATA WRAPPER parquet_wrapper;"
+    )
+    eng.sql("CREATE USER MAPPING FOR public SERVER gate_parquet_server;")
+    eng.sql(
+        "CREATE FOREIGN TABLE fdw_gate_orders () "
+        "SERVER gate_parquet_server "
+        f"OPTIONS (files '{sf_dir}/orders.parquet');"
+    )
+    return eng.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM fdw_gate_orders GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority"
+    )

@@ -725,3 +725,86 @@ class TestCreateTempTable:
             "n"
         ] == 3
         eng.sql("DROP TABLE ctt_q")
+
+
+class TestForeignTableDDL:
+    """The reference's own setup DDL, accepted as statement text
+    (README.md:100-117; tests/tests/fixtures/arrow.rs:295-320)."""
+
+    def _eng(self, spark):
+        from pg_analytics_spark.engine import Engine
+
+        eng = Engine(spark=spark)
+        eng.sql("CREATE EXTENSION pg_analytics")
+        eng.sql(
+            "CREATE FOREIGN DATA WRAPPER parquet_wrapper "
+            "HANDLER parquet_fdw_handler VALIDATOR parquet_fdw_validator"
+        )
+        eng.sql(
+            "CREATE SERVER fdw_srv FOREIGN DATA WRAPPER parquet_wrapper"
+        )
+        return eng
+
+    def test_readme_flow_auto_schema(self, spark):
+        eng = self._eng(spark)
+        eng.sql("CREATE USER MAPPING FOR public SERVER fdw_srv")
+        eng.sql(
+            "CREATE FOREIGN TABLE fdw_orders () SERVER fdw_srv "
+            f"OPTIONS (files '{SF_DIR}/orders.parquet')"
+        )
+        n = eng.sql("SELECT COUNT(*) AS n FROM fdw_orders").collect()[0]["n"]
+        assert n > 0
+        eng.sql("DROP FOREIGN TABLE fdw_orders")
+
+    def test_typed_columns_quoted_idents_and_comments(self, spark):
+        eng = self._eng(spark)
+        eng.sql(
+            'CREATE FOREIGN TABLE fdw_typed (\n'
+            '    "o_orderkey"  BIGINT,\n'
+            "    -- commented out column\n"
+            "    o_totalprice  DOUBLE PRECISION,\n"
+            "    o_orderstatus TEXT\n"
+            ") SERVER fdw_srv OPTIONS ("
+            f"files '{SF_DIR}/orders.parquet', "
+            "select 'o_orderkey, o_totalprice, o_orderstatus')"
+        )
+        df = eng.sql("SELECT * FROM fdw_typed")
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "double", "string",
+        ]
+        eng.sql("DROP FOREIGN TABLE fdw_typed")
+
+    def test_unknown_server_and_wrapper_are_loud(self, spark):
+        import pytest
+
+        from pg_analytics_spark.engine import Engine
+        from pg_analytics_spark.errors import EngineError
+
+        eng = Engine(spark=spark)
+        with pytest.raises(EngineError, match="unknown server"):
+            eng.sql(
+                "CREATE FOREIGN TABLE t () SERVER nope OPTIONS (files 'x')"
+            )
+        with pytest.raises(EngineError, match="unknown wrapper"):
+            eng.sql("CREATE FOREIGN DATA WRAPPER bogus_thing")
+
+    def test_user_mapping_s3_options_feed_secret_store(self, spark):
+        eng = self._eng(spark)
+        eng.sql(
+            "CREATE USER MAPPING FOR public SERVER fdw_srv OPTIONS ("
+            "type 'S3', region 'us-east-1', endpoint 'localhost:9999', "
+            "use_ssl 'false', url_style 'path')"
+        )
+        # the same conf pairs the reference's secret.rs compiles to
+        conf = spark.sparkContext.getConf()
+        hc = spark._jsc.hadoopConfiguration()
+        assert hc.get("fs.s3a.endpoint") is not None
+
+    def test_missing_files_option_is_loud(self, spark):
+        import pytest
+
+        from pg_analytics_spark.errors import EngineError
+
+        eng = self._eng(spark)
+        with pytest.raises(EngineError, match="files"):
+            eng.sql("CREATE FOREIGN TABLE t2 () SERVER fdw_srv")
