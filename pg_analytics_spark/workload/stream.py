@@ -1081,3 +1081,92 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     ).orderBy("t_from", "t_to")
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), series AS (
+      SELECT g.hour, COALESCE(a.n, 0) AS n,
+             row_number() OVER (ORDER BY g.hour) AS rn
+      FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    ), rec AS (
+      SELECT hour, n, rn, n * 1000000000000 AS s_fp
+      FROM series WHERE rn = 1
+      UNION ALL
+      SELECT s.hour, s.n, s.rn,
+             (s.n * 1000000000000 + 4 * r.s_fp) // 5 AS s_fp
+      FROM series s JOIN rec r ON s.rn = r.rn + 1
+    )
+    SELECT hour, n, s_fp AS ewma_fp,
+           ROUND(CAST(s_fp AS DOUBLE) / 1000000000000.0, 6) AS ewma
+    FROM rec
+    ORDER BY hour
+    """,
+    doc="Exponential smoothing (EWMA, α = 1/5) of the hourly view-"
+    "count series — the classic online baseline for rate monitoring.  "
+    "The recurrence s_t = (x_t + 4·s_{t-1})/5 runs ENTIRELY in BIGINT "
+    "fixed-point (scale 10^12, floor division — the graph_pagerank "
+    "pattern for gate-checkable iterative algorithms), so a "
+    "sequential float recursion becomes value-exact cross-engine; "
+    "DuckDB replays it as a recursive CTE, Spark as ONE interpreted "
+    "fold over the collected hour grid (grid-sized — 720 elements — "
+    "never the raw events; the corpus-scale work is the one hourly "
+    "count aggregate).",
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    agg = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    series = grid.join(agg, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    # ONE-row fold over the sorted grid: acc is array<struct<hour,n,fp>>
+    folded = series.agg(
+        F.sort_array(F.collect_list(F.struct("hour", "n"))).alias("xs")
+    ).select(
+        F.expr(
+            "aggregate(xs, cast(array() AS array<struct<"
+            "hour timestamp, n bigint, fp bigint>>), "
+            "(acc, x) -> concat(acc, array(named_struct("
+            "'hour', x.hour, 'n', x.n, "
+            "'fp', IF(size(acc) = 0, x.n * 1000000000000L, "
+            "(x.n * 1000000000000L + 4L * element_at(acc, -1).fp) div 5)"
+            "))))"
+        ).alias("r")
+    )
+    return (
+        folded.select(F.explode("r").alias("e"))
+        .select(
+            F.col("e.hour").alias("hour"),
+            F.col("e.n").alias("n"),
+            F.col("e.fp").alias("ewma_fp"),
+            F.round(
+                F.col("e.fp").cast("double") / F.lit(1000000000000.0), 6
+            ).alias("ewma"),
+        )
+        .orderBy("hour")
+    )
