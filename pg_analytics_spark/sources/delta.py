@@ -206,7 +206,14 @@ def _load_via_log(
     table_path: str,
     version: int | None = None,
     stats_filter: dict | None = None,
+    keep_meta: bool = False,
 ) -> DataFrame:
+    """``keep_meta=True`` keeps the internal ``_dv_file`` (absolute
+    data-file path) and ``_dv_pos`` (physical parquet row index)
+    columns on the result — the coordinate system deletion vectors
+    address — for the DV-writing DML path (delta_write._rewrite_where).
+    Already-deleted rows are still anti-joined away, so ``_dv_pos`` on
+    the survivors is exactly the physical index a NEW DV must mark."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise MissingDependency(
@@ -264,7 +271,7 @@ def _load_via_log(
         )
         return spark.createDataFrame([], schema)
 
-    with_meta = bool(deletions)
+    with_meta = bool(deletions) or keep_meta
     meta_cols = [
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
             "_dv_file"
@@ -289,11 +296,13 @@ def _load_via_log(
             lit = F.lit(v).cast(part_types[c])
             df = df.withColumn(c, lit)
         out = df if out is None else out.unionByName(df)
-    if with_meta:
+    if deletions:
         dels = spark.createDataFrame(deletions, ["_dv_file", "_dv_pos"])
         out = out.join(
             F.broadcast(dels), ["_dv_file", "_dv_pos"], "left_anti"
-        ).drop("_dv_file", "_dv_pos")
+        )
+    if with_meta and not keep_meta:
+        out = out.drop("_dv_file", "_dv_pos")
     return out
 
 
@@ -488,6 +497,11 @@ def _read_checkpoint(path: str) -> tuple[dict[str, dict], dict | None]:
             pv = add.get("partitionValues")
             if isinstance(pv, list):  # pyarrow renders map<k,v> as pairs
                 add["partitionValues"] = dict(pv)
+            # a checkpointed NULL deletionVector reads back as a struct
+            # of NULL fields — normalize to "no DV"
+            dv = add.get("deletionVector")
+            if dv is not None and dv.get("storageType") is None:
+                add["deletionVector"] = None
             active[add["path"]] = add
         md = row.get("metaData")
         if md and md.get("id"):

@@ -292,6 +292,15 @@ def checkpoint_delta(path: str) -> dict:
     if meta is None:
         raise UnsupportedFormat(f"Delta log has no metaData action: {path}")
 
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
@@ -300,6 +309,7 @@ def checkpoint_delta(path: str) -> dict:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_type),
         ]
     )
     meta_type = pa.struct(
@@ -332,6 +342,7 @@ def checkpoint_delta(path: str) -> dict:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": False,
                 "stats": a.get("stats"),
+                "deletionVector": a.get("deletionVector"),
             },
             "metaData": None,
             "protocol": None,
@@ -1028,6 +1039,7 @@ def update_delta(
     set_map: dict[str, str],
     where: str | None = None,
     options: dict | None = None,
+    dv: bool = False,
 ) -> dict:
     """``UPDATE <delta table> SET col = expr[, …] [WHERE cond]`` as a
     copy-on-write commit — the single-table special case of
@@ -1038,7 +1050,8 @@ def update_delta(
     Reference scope: the reference README's roadmap lists UPDATE as
     unimplemented (read-only FDW) — additive parity-plus."""
     return _rewrite_where(
-        spark, path, where, set_map=set_map, options=options, op="UPDATE"
+        spark, path, where, set_map=set_map, options=options, op="UPDATE",
+        dv=dv,
     )
 
 
@@ -1047,14 +1060,24 @@ def delete_delta(
     path: str,
     where: str | None = None,
     options: dict | None = None,
+    dv: bool = False,
 ) -> dict:
     """``DELETE FROM <delta table> [WHERE cond]`` as a copy-on-write
     commit: files whose rows ALL match are dropped with a remove
     action and never rewritten; files partially matching rewrite
     their surviving rows; a missing WHERE truncates the table (SQL
-    semantics) — pure removes, no data job at all."""
+    semantics) — pure removes, no data job at all.
+
+    ``dv=True`` switches partially-matched files from copy-on-write to
+    a DELETION-VECTOR commit (Delta protocol "Deletion Vectors"): the
+    matched rows' physical positions are serialized as a
+    RoaringBitmapArray blob and the file is re-added with a DV
+    descriptor — write cost O(deleted rows), not O(touched-file
+    bytes).  Fully-matched files still drop with a pure remove, and a
+    missing WHERE still truncates."""
     return _rewrite_where(
-        spark, path, where, set_map=None, options=options, op="DELETE"
+        spark, path, where, set_map=None, options=options, op="DELETE",
+        dv=dv,
     )
 
 
@@ -1066,12 +1089,34 @@ def _rewrite_where(
     set_map: dict[str, str] | None,
     options: dict | None,
     op: str,
+    dv: bool = False,
 ) -> dict:
+    """Shared UPDATE/DELETE dataflow.  ``dv=True`` = merge-on-read:
+    instead of rewriting partially-matched files, serialize the
+    matched rows' physical positions as a deletion vector (Delta
+    protocol "Deletion Vectors": RoaringBitmapArray blob in a
+    ``deletion_vector_<uuid>.bin``, ``u``-storage descriptor on a
+    re-``add`` of the SAME data file) — O(matched rows) write
+    amplification instead of O(touched-file bytes), the Delta-side
+    mirror of the Iceberg MoR path (iceberg_write.delete_iceberg).
+    UPDATE under ``dv`` additionally stages ONLY the updated row
+    images as new files.  Fully-matched files keep the pure-remove
+    fast path (a DV covering a whole file is legal but pointless).
+    Driver-side bound: the collected positions are O(newly matched
+    rows) — the same order as the DV blob itself; a corpus-scale
+    deployment would move the roaring encode into applyInPandas per
+    file and ship only descriptors (same algorithm, executor
+    placement), per sources/delta_dv.py's module note."""
+    import struct
+    import time as _time
+    import zlib
+
     from pyspark.sql import functions as F
 
     from pg_analytics_spark.sources import load_source
     from pg_analytics_spark.sources.delta import (
         _delta_type_to_spark,
+        _load_via_log,
         _replay_log,
     )
 
@@ -1123,9 +1168,24 @@ def _rewrite_where(
             "rows_written": 0,
         }
 
-    tgt = load_source(spark, path, "delta").withColumn(
-        "_tfile", F.input_file_name()
-    )
+    if dv:
+        # keep_meta exposes the DV coordinate system: absolute file
+        # path + PHYSICAL parquet row index (already-deleted rows are
+        # gone, so every visible row's _tpos is a position a new DV
+        # may mark)
+        tgt = (
+            _load_via_log(spark, path, keep_meta=True)
+            .withColumnRenamed("_dv_file", "_tfile")
+            .withColumnRenamed("_dv_pos", "_tpos")
+        )
+    else:
+        tgt = load_source(spark, path, "delta").withColumn(
+            "_tfile", F.input_file_name()
+        )
+    if "_tfile" not in tgt.columns:  # empty table: no files to touch
+        tgt = tgt.withColumn("_tfile", F.lit(None).cast("string"))
+        if dv:
+            tgt = tgt.withColumn("_tpos", F.lit(None).cast("long"))
     match = F.expr(where) if where is not None else F.lit(True)
     # SQL three-valued logic: a NULL predicate is NOT a match — the row
     # is neither deleted nor updated.  coalesce here (not raw ~match,
@@ -1156,18 +1216,94 @@ def _rewrite_where(
             )
         removes.append(rel_of[base])
 
-    # DELETE drops fully-matching files with a remove action alone;
-    # UPDATE must rewrite every touched file (rows change in place)
-    rewrite_abs = (
-        [f for f in touched_abs if f not in full_abs]
-        if set_map is None
-        else touched_abs
-    )
+    partial_abs = [f for f in touched_abs if f not in full_abs]
     adds: list[dict] = []
     n_rows = 0
+    dv_readds: list[dict] = []
+    rows_deleted = 0
+    if dv and partial_abs:
+        from pg_analytics_spark.sources.delta_dv import (
+            dv_deleted_rows,
+            encode_roaring_array,
+            z85_encode,
+        )
+
+        # O(newly matched rows) collect — the DV coordinate list itself
+        pos_rows = (
+            tgt.filter(F.col("_tfile").isin(partial_abs))
+            .filter(match_safe)
+            .select("_tfile", "_tpos")
+            .collect()
+        )
+        new_pos: dict[str, list[int]] = {}
+        for r in pos_rows:
+            new_pos.setdefault(r["_tfile"], []).append(int(r["_tpos"]))
+        rows_deleted = len(pos_rows)
+        # one multi-DV .bin per commit: version byte, then per file
+        # [size BE][roaring blob][crc BE] at the descriptor's offset
+        dv_uuid = uuid.uuid4()
+        blob = bytearray(b"\x01")
+        for f in sorted(new_pos):
+            rel = rel_of[os.path.basename(f)]
+            old_desc = prev_active[rel].get("deletionVector")
+            positions = set(new_pos[f])
+            if old_desc:  # successive deletes accumulate: union old DV
+                positions.update(dv_deleted_rows(path, old_desc))
+            data = encode_roaring_array(sorted(positions))
+            offset = len(blob)
+            blob += struct.pack(">i", len(data))
+            blob += data
+            blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+            new_add = dict(prev_active[rel])
+            new_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(positions),
+            }
+            new_add["dataChange"] = True
+            dv_readds.append({"add": new_add})
+        dv_name = f"deletion_vector_{dv_uuid}.bin"
+        tmp = os.path.join(path, f".{dv_name}.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(bytes(blob))
+        os.replace(tmp, os.path.join(path, dv_name))
+        # protocol upgrade per the spec: DV tables need reader v3 /
+        # writer v7 with the deletionVectors table feature (this
+        # repo's replay ignores protocol actions; standard clients
+        # honor it)
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+
+    # Files whose rows must land in NEW files: copy-on-write rewrites
+    # whole touched files (DELETE: partial only; UPDATE: all touched);
+    # DV mode stages only UPDATE's matched-row images (DELETE: none).
+    if dv:
+        rewrite_abs = [] if set_map is None else touched_abs
+    else:
+        rewrite_abs = partial_abs if set_map is None else touched_abs
     if rewrite_abs:
         base = tgt.filter(F.col("_tfile").isin(rewrite_abs))
-        if set_map is None:
+        if dv:
+            # MoR UPDATE: ONLY the matched rows, post-SET images
+            new_df = base.filter(match_safe).select(
+                *[
+                    (
+                        F.expr(set_map[c]) if c in set_map else F.col(c)
+                    ).alias(c)
+                    for c in tbl_cols
+                ]
+            )
+        elif set_map is None:
             # DELETE survivors: rows NOT matching, incl. NULL-predicate
             new_df = base.filter(~match_safe)
         else:
@@ -1194,16 +1330,46 @@ def _rewrite_where(
         # count): rewrite cost and file granularity track touched data
         new_df = new_df.coalesce(max(1, len(rewrite_abs)))
         adds, n_rows = _stage_files(new_df, path, version, part_cols, options)
-    for p in sorted(removes):
-        actions.append(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
+    if dv:
+        # DV mode removes: fully-matched files (DELETE/UPDATE) plus a
+        # remove+re-add pair for every file gaining a DV (the
+        # protocol's DV-rewrite shape; the remove carries the OLD
+        # descriptor so vacuum tooling can see the superseded blob)
+        removes_dv: list[dict] = []
+        for f in sorted(full_abs):
+            removes_dv.append(
+                {
+                    "remove": {
+                        "path": rel_of[os.path.basename(f)],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
                 }
+            )
+        for entry in dv_readds:
+            rel = entry["add"]["path"]
+            rm = {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
             }
-        )
+            old_desc = prev_active[rel].get("deletionVector")
+            if old_desc:
+                rm["deletionVector"] = old_desc
+            removes_dv.append({"remove": rm})
+        actions.extend(removes_dv)
+        actions.extend(dv_readds)  # adds AFTER removes: replay order
+    else:
+        for p in sorted(removes):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
     actions.extend(adds)
     # commitInfo.timestamp = PUBLICATION time, not operation entry:
     # the rewrite jobs above take seconds, and a timestamp-as-of taken
@@ -1211,12 +1377,16 @@ def _rewrite_where(
     # (protocol: timestamps order the commits as they became visible)
     actions[0]["commitInfo"]["timestamp"] = int(_time.time() * 1000)
     _write_commit(path, log_dir, version, actions)
-    return {
+    out = {
         "version": version,
         "files_added": len(adds),
-        "files_removed": len(removes),
+        "files_removed": len(full_abs) if dv else len(removes),
         "rows_written": n_rows,
     }
+    if dv:
+        out["dv_files"] = len(dv_readds)
+        out["rows_deleted"] = rows_deleted
+    return out
 
 
 def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:

@@ -204,7 +204,7 @@ def events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_gapfill_hourly",
     oracle="""
-    WITH bounds AS (
+    WITH RECURSIVE bounds AS (
       SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
              CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
       FROM events
@@ -250,7 +250,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_gapfill_locf",
     oracle="""
-    WITH bounds AS (
+    WITH RECURSIVE bounds AS (
       SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
              CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
       FROM events
@@ -306,7 +306,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_interpolate_linear",
     oracle="""
-    WITH bounds AS (
+    WITH RECURSIVE bounds AS (
       SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
              CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
       FROM events
@@ -1086,7 +1086,7 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_ewma_smoothing",
     oracle="""
-    WITH bounds AS (
+    WITH RECURSIVE bounds AS (
       SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
              CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
       FROM events

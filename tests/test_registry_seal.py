@@ -1,0 +1,74 @@
+"""Structural seal: no registry row may exist without an executed check.
+
+Rounds 6 and 8 both ended with a registry row landing in the final
+snapshot commit whose DuckDB oracle text was never executed (r8:
+`events_ewma_smoothing`, a recursive CTE missing `WITH RECURSIVE`).
+The value gate catches this only when the row is actually run; this
+meta-test makes the weaker property — *the oracle text parses and
+binds against the driver's view set* — unconditional and cheap
+(DuckDB `EXPLAIN`, milliseconds per row), so a broken oracle fails
+`pytest` even when the row was never value-gated.
+
+Also pins the contract between `__spark_entry__.queries()` /
+`oracle_sql()` and the REGISTRY: every registry row is exported, and
+every exported oracle string is the registry's.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_analytics_spark.workload import REGISTRY
+
+ORACLED = sorted(n for n, qd in REGISTRY.items() if qd.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_sql_binds(name, oracle):
+    """DuckDB EXPLAIN = parse + bind + plan, no execution."""
+    oracle.execute("EXPLAIN " + REGISTRY[name].oracle)
+
+
+def test_driver_sample_spans_families():
+    """First 50 insertion-order rows = the curated cross-family sample
+    (r8 verdict #3: the driver's external oracle check reads exactly
+    these; they must stay representative and all value-checkable)."""
+    from pg_analytics_spark.workload import _DRIVER_SAMPLE
+
+    head = list(REGISTRY)[:50]
+    assert head == _DRIVER_SAMPLE
+    assert head[0] == "q1_pricing_summary"
+    assert all(REGISTRY[n].oracle is not None for n in head)
+    for marker in (
+        "q6_",  # TPC-H
+        "sql_passthrough_",  # dialect
+        "geo_",
+        "delta_",
+        "iceberg_",
+        "avro_",
+        "zorder_",
+        "dedup_",
+        "sim_",
+        "text_",
+        "multimodal_",
+        "corpus_",
+        "bpe_",
+        "embed_",
+        "sketch_",
+        "graph_",
+        "streaming_",
+        "asof_",
+        "events_",
+    ):
+        assert any(n.startswith(marker) for n in head), marker
+
+
+def test_entry_exports_whole_registry():
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    assert set(q) == set(REGISTRY)
+    o = entry.oracle_sql()
+    assert set(o) == set(ORACLED)
+    for name, sql in o.items():
+        assert sql == REGISTRY[name].oracle
