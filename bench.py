@@ -133,6 +133,8 @@ WRITER_ROWS = frozenset(
         "delta_upsert_on_conflict",
         "iceberg_merge_roundtrip",
         "iceberg_upsert_on_conflict",
+        "delta_dv_dml_roundtrip",
+        "iceberg_eq_delete_roundtrip",
     }
 )
 
@@ -218,6 +220,11 @@ HEADLINE_NEXT6: list = [
     "streaming_cdc_upsert",
 ]
 
+#: round-9 additions measure here; earlier groups frozen.
+HEADLINE_NEXT7: list = [
+    "delta_dv_dml_roundtrip",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -269,6 +276,7 @@ def main() -> None:
     timings_next4, cold_next4 = _measure(HEADLINE_NEXT4)
     timings_next5, cold_next5 = _measure(HEADLINE_NEXT5)
     timings_next6, cold_next6 = _measure(HEADLINE_NEXT6)
+    timings_next7, cold_next7 = _measure(HEADLINE_NEXT7)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -358,6 +366,20 @@ def main() -> None:
             sum(v for k, v in timings_next6.items() if k in WRITER_ROWS),
             3,
         ),
+        "value_next7": round(sum(timings_next7.values()), 3),
+        "queries_next7": timings_next7,
+        "value_next7_batch": round(
+            sum(
+                v
+                for k, v in timings_next7.items()
+                if k not in STREAMING_ROWS and k not in WRITER_ROWS
+            ),
+            3,
+        ),
+        "value_next7_writer": round(
+            sum(v for k, v in timings_next7.items() if k in WRITER_ROWS),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
@@ -371,6 +393,7 @@ def main() -> None:
     full["queries_next4_cold"] = cold_next4
     full["queries_next5_cold"] = cold_next5
     full["queries_next6_cold"] = cold_next6
+    full["queries_next7_cold"] = cold_next7
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

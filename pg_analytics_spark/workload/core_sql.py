@@ -3051,6 +3051,75 @@ def delta_update_delete_roundtrip(
     )
 
 
+@register(
+    "delta_dv_dml_roundtrip",
+    oracle=_UPDATE_DELETE_ORACLE,
+    doc="Merge-on-read twin of `delta_update_delete_roundtrip`: the "
+    "SAME UPDATE + DELETE statements via delete_delta/update_delta"
+    "(dv=True) — matched rows are marked in DELETION VECTORS (Delta "
+    "protocol: RoaringBitmapArray blob, `u`-storage descriptor on a "
+    "re-add of the same data file) instead of rewriting files; "
+    "UPDATE stages ONLY the matched-row images.  Shares the CoW "
+    "twin's oracle, proving CoW == MoR on identical statements (the "
+    "iceberg_update_delete_roundtrip precedent).  The function HARD-"
+    "ASSERTS the original data files are byte-identical after both "
+    "statements — write amplification is O(matched rows), the "
+    "100 TB lever: a 1-row delete in a 1 GB file costs a few bytes "
+    "of roaring bitmap, not a 1 GB rewrite.  Old versions still "
+    "time-travel (asserted); the repo's own replay reader applies "
+    "the DVs it wrote.  Reference scope: read-only FDW — additive "
+    "parity-plus mirroring delta-spark's deletionVectors feature.",
+)
+def delta_dv_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta import _load_via_log
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_dv")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+
+    def _state():
+        return sorted(
+            (p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size)
+            for p in _glob.glob(root + "/*.parquet")
+        )
+
+    orig = _state()
+    n0 = base.count()
+    update_delta(spark, root, {"v": "v * 2"}, "v < 100000", dv=True)
+    delete_delta(spark, root, "v > 250000", dv=True)
+    still = [s for s in _state() if s[0] in {p for p, _, _ in orig}]
+    if still != orig:  # MoR contract: originals byte-identical
+        raise AssertionError("DV DML rewrote original data files")
+    if _load_via_log(spark, root, version=0).count() != n0:
+        raise AssertionError("version-0 time travel broken after DV DML")
+    return (
+        load_source(spark, root, "delta")
+        .select("o_orderkey", "o_custkey", "v")
+        .orderBy("o_orderkey")
+    )
+
+
 _RESTORE_ORACLE = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 7 = 0 THEN NULL

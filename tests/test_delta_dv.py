@@ -453,3 +453,167 @@ def test_merge_delta_insert_only_and_errors(spark, tmp_path):
             [{"when": "matched", "action": "update",
               "set": {"nope": "s.s"}, "condition": None}],
         )
+
+
+# ------------------------------------------------------------------ #
+# DV WRITE path: delete_delta/update_delta(dv=True) — merge-on-read
+# DML that marks positions instead of rewriting files (r9)
+# ------------------------------------------------------------------ #
+
+
+def _mk_table(spark, path, n=400, files=4):
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    df = spark.range(0, n).selectExpr(
+        "id", "id % 8 as k", "cast(id * 1.5 as double) as v"
+    )
+    write_delta(df.repartition(files), str(path))
+
+
+def _parquet_state(path):
+    import glob
+    import os
+
+    return sorted(
+        (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+        for p in glob.glob(str(path) + "/**/*.parquet", recursive=True)
+        if "_delta_log" not in p
+    )
+
+
+def test_dv_delete_marks_positions_without_rewriting(spark, tmp_path):
+    from pg_analytics_spark.sources.delta import _load_via_log
+    from pg_analytics_spark.sources.delta_write import delete_delta
+
+    t = tmp_path / "t"
+    _mk_table(spark, t)
+    before = _parquet_state(t)
+    res = delete_delta(spark, str(t), "k = 3", dv=True)
+    assert res["dv_files"] > 0 and res["rows_deleted"] == 50
+    assert res["files_added"] == 0 and res["rows_written"] == 0
+    # data files untouched byte-for-byte — the whole point of MoR
+    assert _parquet_state(t) == before
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 350
+    assert out.filter("k = 3").count() == 0
+    # old snapshot still time-travels (DV is a NEW version's overlay)
+    assert _load_via_log(spark, str(t), version=0).count() == 400
+    # commit shape: remove precedes the re-add of the same path, and a
+    # protocol upgrade announces the deletionVectors feature
+    log = (t / "_delta_log" / "00000000000000000001.json").read_text()
+    acts = [json.loads(ln) for ln in log.splitlines() if ln.strip()]
+    kinds = [next(iter(a)) for a in acts]
+    assert "protocol" in kinds
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "deletionVectors" in proto["readerFeatures"]
+    by_path = {}
+    for i, a in enumerate(acts):
+        if "remove" in a:
+            by_path.setdefault(a["remove"]["path"], {})["rm"] = i
+        if "add" in a:
+            by_path.setdefault(a["add"]["path"], {})["add"] = i
+    for p, idx in by_path.items():
+        assert {"rm", "add"} <= set(idx), p
+        assert idx["rm"] < idx["add"], "remove must precede re-add"
+        add = acts[idx["add"]]["add"]
+        assert add["deletionVector"]["storageType"] == "u"
+        assert add["deletionVector"]["cardinality"] > 0
+
+
+def test_dv_successive_deletes_union(spark, tmp_path):
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_write import delete_delta
+
+    t = tmp_path / "t"
+    _mk_table(spark, t)
+    delete_delta(spark, str(t), "k = 1", dv=True)
+    delete_delta(spark, str(t), "k = 2", dv=True)
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 300
+    assert out.filter("k in (1, 2)").count() == 0
+    # the second commit's descriptors carry the UNION's cardinality
+    active, _ = _replay_log(str(t / "_delta_log"))
+    cards = sorted(
+        a["deletionVector"]["cardinality"] for a in active.values()
+    )
+    assert sum(cards) == 100
+
+
+def test_dv_delete_fully_matched_file_is_pure_remove(spark, tmp_path):
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        write_delta,
+    )
+
+    t = tmp_path / "t"
+    # two separate commits → two files with disjoint `lo`, so the
+    # first file fully matches the predicate
+    df = spark.range(0, 100).selectExpr("id", "id < 50 as lo")
+    write_delta(df.filter("lo").coalesce(1), str(t))
+    write_delta(df.filter("not lo").coalesce(1), str(t), mode="append")
+    res = delete_delta(spark, str(t), "lo", dv=True)
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 50 and out.filter("lo").count() == 0
+    # at least one file dropped entirely: active set shrank, and the
+    # dropped file has NO deletion vector (pure remove, no DV blob)
+    active, _ = _replay_log(str(t / "_delta_log"))
+    assert res["files_removed"] >= 1
+    assert all(
+        not a.get("deletionVector")
+        or a["deletionVector"]["cardinality"] < 100
+        for a in active.values()
+    )
+
+
+def test_dv_update_stages_only_matched_images(spark, tmp_path):
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_write import update_delta
+
+    t = tmp_path / "t"
+    _mk_table(spark, t)
+    before = _parquet_state(t)
+    res = update_delta(spark, str(t), {"v": "v + 1000"}, "k = 5", dv=True)
+    assert res["rows_written"] == 50  # ONLY the matched images
+    # original files untouched; new files carry just the images
+    after = _parquet_state(t)
+    assert [x for x in after if x in before] == before
+    assert len(after) > len(before)
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 400
+    assert out.filter("k = 5 and v < 1000").count() == 0
+    assert out.filter("k = 5").count() == 50
+    # untouched rows keep exact values
+    assert out.filter("k = 0 and v = 0.0").count() == 1
+
+
+def test_dv_checkpoint_preserves_descriptors(spark, tmp_path):
+    from pg_analytics_spark.sources.delta_write import (
+        checkpoint_delta,
+        delete_delta,
+    )
+
+    t = tmp_path / "t"
+    _mk_table(spark, t)
+    delete_delta(spark, str(t), "k = 7", dv=True)
+    checkpoint_delta(str(t))
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 350 and out.filter("k = 7").count() == 0
+
+
+def test_dv_null_predicate_three_valued_logic(spark, tmp_path):
+    from pg_analytics_spark.sources.delta_write import delete_delta
+
+    t = tmp_path / "t"
+    _mk_table(spark, t)
+    # NULL predicate on k=6 rows: neither matched nor deleted
+    delete_delta(
+        spark,
+        str(t),
+        "CASE WHEN k = 6 THEN NULL ELSE k = 0 END",
+        dv=True,
+    )
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 350
+    assert out.filter("k = 6").count() == 50
+    assert out.filter("k = 0").count() == 0

@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from bench import HEADLINE, HEADLINE_NEXT, HEADLINE_NEXT6
+from bench import HEADLINE, HEADLINE_NEXT, HEADLINE_NEXT6, HEADLINE_NEXT7
 from pg_analytics_spark.workload import REGISTRY
 
 TABLES = (
@@ -46,6 +46,7 @@ def main() -> None:
     timings = _measure(HEADLINE)
     timings_next = _measure(HEADLINE_NEXT)
     timings_next6 = _measure(HEADLINE_NEXT6)
+    timings_next7 = _measure(HEADLINE_NEXT7)
     print(
         json.dumps(
             {
@@ -57,6 +58,8 @@ def main() -> None:
                 "queries_next": timings_next,
                 "value_next6": round(sum(timings_next6.values()), 4),
                 "queries_next6": timings_next6,
+                "value_next7": round(sum(timings_next7.values()), 4),
+                "queries_next7": timings_next7,
             }
         )
     )
