@@ -135,6 +135,7 @@ WRITER_ROWS = frozenset(
         "iceberg_upsert_on_conflict",
         "delta_dv_dml_roundtrip",
         "iceberg_eq_delete_roundtrip",
+        "iceberg_eq_cdc_upsert",
     }
 )
 
@@ -223,6 +224,8 @@ HEADLINE_NEXT6: list = [
 #: round-9 additions measure here; earlier groups frozen.
 HEADLINE_NEXT7: list = [
     "delta_dv_dml_roundtrip",
+    "iceberg_eq_delete_roundtrip",
+    "iceberg_eq_cdc_upsert",
 ]
 
 

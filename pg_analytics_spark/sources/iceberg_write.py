@@ -878,6 +878,164 @@ def write_iceberg(
     return {"snapshot_id": snapshot_id, "files": len(entries), "rows": n_rows}
 
 
+def _scan_snapshot_files(prev_list):
+    """Walk a snapshot's manifests → (data file→sequence number,
+    position-delete paths, [(equality-delete path, seq)]).  Sequence
+    numbers come from the manifest-list entries (this writer's entries
+    don't carry per-entry sequence_number; the reader falls back the
+    same way — sources/iceberg.py)."""
+    from pg_analytics_spark.sources.avro import read_container
+
+    data_seq: dict[str, int] = {}
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int]] = []
+    for m in prev_list:
+        _s2, entries = read_container(m["manifest_path"])
+        m_seq = int(m.get("sequence_number") or 0)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            rec = e["data_file"]
+            if m.get("content", 0) == 1:
+                if rec.get("content", 1) == 2:
+                    eq_deletes.append((rec["file_path"], m_seq))
+                else:
+                    pos_deletes.append(rec["file_path"])
+            else:
+                data_seq[rec["file_path"]] = m_seq
+    return data_seq, pos_deletes, eq_deletes
+
+
+def _visible_target(spark, data_seq, pos_deletes, eq_deletes):
+    """The CURRENT snapshot's VISIBLE rows with ``_ifile``/``_ipos``
+    columns — position deletes anti-joined on (file, pos), equality
+    deletes anti-joined null-safely on the delete file's own columns
+    under the spec's sequence rule (data seq strictly below the
+    delete's).  DML predicates must evaluate against THIS relation:
+    building it from raw data files + position deletes alone would
+    resurrect equality-deleted rows into the match set (and no
+    double-delete bookkeeping would catch it)."""
+    from pyspark.sql import functions as F
+
+    tgt = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(data_seq)
+    ).select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "_ifile"
+        ),
+        F.col("_metadata.row_index").cast("long").alias("_ipos"),
+    )
+    if pos_deletes:
+        prior = spark.read.parquet(*sorted(set(pos_deletes))).select(
+            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                "_ifile"
+            ),
+            F.col("pos").cast("long").alias("_ipos"),
+        )
+        tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
+    if eq_deletes:
+        from pg_analytics_spark.sources.iceberg import _delete_key_py
+
+        seq_map = spark.createDataFrame(
+            [
+                (_delete_key_py(os.path.abspath(p)), s)
+                for p, s in data_seq.items()
+            ],
+            ["_ik", "_iseq"],
+        )
+        key_expr = F.regexp_replace(F.col("_ifile"), r"^.*/(?=data/)", "")
+        tgt = tgt.withColumn("_ik", key_expr).join(
+            F.broadcast(seq_map), "_ik", "left"
+        )
+        for dpath, dseq in sorted(eq_deletes):
+            d = tgt.alias("d")
+            x = spark.read.parquet(dpath).alias("x")
+            cond = F.col("d._iseq") < F.lit(int(dseq))
+            for c in x.columns:
+                cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"x.{c}"))
+            tgt = d.join(x, cond, "left_anti")
+        tgt = tgt.drop("_ik", "_iseq")
+    return tgt
+
+
+def _publish_snapshot(
+    path: str,
+    prev_meta: dict,
+    prev_version: int,
+    snapshot_id: int,
+    mf_entries: list[dict],
+    seq: int,
+    summary: dict,
+) -> int:
+    """Commit tail shared by the equality-delete writers: manifest
+    list + metadata vN+1 (put-if-absent hard link; losers raise
+    ConcurrentWriteError) + version-hint.  Returns the new version."""
+    import time as _time
+
+    from pg_analytics_spark.sources.avro import write_container
+
+    meta_dir = os.path.join(path, "metadata")
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(_time.time() * 1000)
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "manifest-list": mlist,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "summary": summary,
+        }
+    ]
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return version
+
+
+def _eq_manifest_entry_schema() -> dict:
+    """Manifest-entry schema for EQUALITY-delete files: the base shape
+    plus the spec's ``equality_ids`` (field ids the delete file's
+    columns equality-match on, spec §equality-delete-files)."""
+    base = _manifest_entry_schema([])
+    df_fields = base["fields"][2]["type"]["fields"]
+    df_fields.insert(
+        2,
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+        },
+    )
+    return base
+
+
 def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
     """``DELETE FROM <iceberg table> [WHERE cond]`` as a MERGE-ON-READ
     commit (Iceberg v2 position deletes, spec §position-delete-files):
@@ -915,43 +1073,21 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
         if s["snapshot-id"] == prev_meta["current-snapshot-id"]
     )
     _s, prev_list = read_container(prev_snap["manifest-list"])
-    data_paths: list[str] = []
-    existing_pos_deletes: list[str] = []
-    for m in prev_list:
-        _s2, entries = read_container(m["manifest_path"])
-        for e in entries:
-            if e.get("status", 0) == 2:
-                continue
-            rec = e["data_file"]
-            if m.get("content", 0) == 1:
-                if rec.get("content", 1) == 1:
-                    existing_pos_deletes.append(rec["file_path"])
-            else:
-                data_paths.append(rec["file_path"])
-    if not data_paths:
+    data_seq, existing_pos_deletes, existing_eq_deletes = (
+        _scan_snapshot_files(prev_list)
+    )
+    if not data_seq:
         return {"snapshot_id": None, "rows_deleted": 0, "version": prev_version}
 
     # mergeSchema: an EVOLVED table's older files lack added columns —
     # the union schema surfaces them as NULL there, and three-valued
     # logic then correctly leaves those rows unmatched (a raw read
-    # would bind one footer's schema and fail to resolve the column)
-    tgt = spark.read.option("mergeSchema", "true").parquet(
-        *sorted(data_paths)
-    ).select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-            "_ifile"
-        ),
-        F.col("_metadata.row_index").cast("long").alias("_ipos"),
+    # would bind one footer's schema and fail to resolve the column).
+    # _visible_target also applies EQUALITY deletes under the sequence
+    # rule — the predicate must never match an eq-deleted row.
+    tgt = _visible_target(
+        spark, data_seq, existing_pos_deletes, existing_eq_deletes
     )
-    if existing_pos_deletes:
-        prior = spark.read.parquet(*sorted(set(existing_pos_deletes))).select(
-            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
-                "_ifile"
-            ),
-            F.col("pos").cast("long").alias("_ipos"),
-        )
-        tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
     match = F.expr(where) if where is not None else F.lit(True)
     dels = tgt.filter(F.coalesce(match, F.lit(False))).select(
         F.col("_ifile").alias("file_path"), F.col("_ipos").alias("pos")
@@ -1376,39 +1512,16 @@ def update_iceberg(
         if s["snapshot-id"] == prev_meta["current-snapshot-id"]
     )
     _s, prev_list = read_container(prev_snap["manifest-list"])
-    data_paths: list[str] = []
-    existing_pos_deletes: list[str] = []
-    for m in prev_list:
-        _s2, entries = read_container(m["manifest_path"])
-        for e in entries:
-            if e.get("status", 0) == 2:
-                continue
-            rec = e["data_file"]
-            if m.get("content", 0) == 1:
-                if rec.get("content", 1) == 1:
-                    existing_pos_deletes.append(rec["file_path"])
-            else:
-                data_paths.append(rec["file_path"])
-    if not data_paths:
+    data_seq, existing_pos_deletes, existing_eq_deletes = (
+        _scan_snapshot_files(prev_list)
+    )
+    if not data_seq:
         return {"snapshot_id": None, "rows_updated": 0, "version": prev_version}
 
-    tgt = spark.read.option("mergeSchema", "true").parquet(
-        *sorted(data_paths)
-    ).select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-            "_ifile"
-        ),
-        F.col("_metadata.row_index").cast("long").alias("_ipos"),
+    # eq-aware visibility: see delete_iceberg (sequence-rule anti-join)
+    tgt = _visible_target(
+        spark, data_seq, existing_pos_deletes, existing_eq_deletes
     )
-    if existing_pos_deletes:
-        prior = spark.read.parquet(*sorted(set(existing_pos_deletes))).select(
-            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
-                "_ifile"
-            ),
-            F.col("pos").cast("long").alias("_ipos"),
-        )
-        tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
     match = F.expr(where) if where is not None else F.lit(True)
     matched = tgt.filter(F.coalesce(match, F.lit(False))).persist()
     try:
@@ -1581,6 +1694,334 @@ def update_iceberg(
     return {
         "snapshot_id": snapshot_id,
         "rows_updated": int(n_upd),
+        "version": version,
+    }
+
+
+def _schema_fields(prev_meta: dict) -> list[dict]:
+    return next(
+        s for s in prev_meta.get("schemas", [])
+        if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+    )["fields"]
+
+
+def _key_exprs(fields: list[dict], key_cols: list[str], op: str):
+    """Cast each key column to its DECLARED Iceberg type → (select
+    exprs, equality field ids).  Declared-type casts make the reader's
+    null-safe equality anti-join type-exact regardless of how the
+    source frame typed its literals."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg import _ice_to_spark_type
+
+    by_name = {f["name"]: f for f in fields}
+    bad = [c for c in key_cols if c not in by_name]
+    if bad:
+        raise UnsupportedFormat(f"{op}: unknown key column(s) {bad}")
+    exprs, ids = [], []
+    for c in key_cols:
+        t = _ice_to_spark_type(by_name[c]["type"])
+        if t is None:
+            raise UnsupportedFormat(
+                f"{op}: key column {c!r} has a nested type — equality "
+                "deletes need primitive keys"
+            )
+        exprs.append(F.col(c).cast(t).alias(c))
+        ids.append(int(by_name[c].get("id", 0)))
+    return exprs, ids
+
+
+def _stage_one_parquet(df, path: str, tag: str) -> tuple[str | None, str]:
+    """Write ``df`` as ONE parquet part into a staging dir beside the
+    table; returns (part path or None when empty, staging dir)."""
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_ice_{tag}-{uuid.uuid4().hex}",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        (
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(staging)
+            for n in sorted(ns)
+            if n.endswith(".parquet")
+        ),
+        None,
+    )
+    return part, staging
+
+
+def equality_delete_iceberg(
+    spark, path: str, keys, key_cols: list[str] | None = None
+) -> dict:
+    """Commit an Iceberg v2 EQUALITY-delete snapshot (spec
+    §equality-delete-files): every row of the table whose key columns
+    null-safely equal ANY tuple in ``keys`` becomes invisible — with
+    **no read of the target data at all**.  The delete file holds just
+    the distinct key tuples (content=2, ``equality_ids`` = the key
+    columns' field ids); readers apply it to data files whose sequence
+    number is STRICTLY below the delete's (this repo's reader:
+    sources/iceberg._apply_row_deletes).  That makes CDC deletes
+    O(changed keys): a position delete must first JOIN the change set
+    against the table to find (file, pos) pairs — an equality delete
+    ships the keys and is done, the lever at 100 TB where the target
+    scan IS the cost.  Works on partitioned tables (no new data files
+    are written).  ``keys``: a DataFrame; ``key_cols`` defaults to all
+    its columns.  Returns {"snapshot_id", "keys_deleted", "version"};
+    an empty key set commits nothing.  Reference scope: read-only FDW
+    — additive parity-plus, the MoR twin of Delta CDC upserts."""
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(
+            f"equality-delete target is not an iceberg table: {path}"
+        )
+    fields = _schema_fields(prev_meta)
+    key_cols = list(key_cols or keys.columns)
+    exprs, eq_ids = _key_exprs(fields, key_cols, "equality_delete")
+    part, staging = _stage_one_parquet(
+        keys.select(*exprs).distinct(), path, "eqdel"
+    )
+    n_keys = _pq.ParquetFile(part).metadata.num_rows if part else 0
+    if not n_keys:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"snapshot_id": None, "keys_deleted": 0, "version": prev_version}
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(
+        data_dir, f"eqdelete-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+    )
+    os.replace(part, dpath)
+    shutil.rmtree(staging, ignore_errors=True)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    manifest = os.path.join(meta_dir, f"man-eqdel-{snapshot_id}.avro")
+    write_container(
+        _eq_manifest_entry_schema(),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,
+                    "file_path": dpath,
+                    "equality_ids": eq_ids,
+                    "file_format": "PARQUET",
+                    "record_count": n_keys,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+        manifest,
+    )
+    mf_entries = list(prev_list) + [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    version = _publish_snapshot(
+        path,
+        prev_meta,
+        prev_version,
+        snapshot_id,
+        mf_entries,
+        seq,
+        {
+            "operation": "delete",
+            "added-delete-files": "1",
+            "added-equality-deletes": str(n_keys),
+        },
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "keys_deleted": int(n_keys),
+        "version": version,
+    }
+
+
+def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
+    """CDC upsert as ONE Iceberg v2 row-delta snapshot: an equality-
+    delete file on ``source``'s distinct keys PLUS the full source
+    rows as a new data file, committed atomically in a single metadata
+    version (a delete-then-append pair would expose a keys-deleted/
+    rows-missing state to a reader between the commits).  Both
+    manifests share the snapshot's sequence number S; the spec's
+    strict ``data_seq < S`` rule means the delete erases every OLDER
+    row for the keys while the rows added in this same snapshot
+    survive — the sequence mechanics ARE the upsert.  No target read
+    happens at any point: cost is O(change set), the property that
+    makes per-micro-batch CDC apply viable on a 100 TB table
+    (foreachBatch → upsert_iceberg_eq, the Iceberg twin of
+    streaming_cdc_upsert's Delta MERGE which must join every batch
+    against the target).  Unpartitioned tables only (new rows for a
+    partitioned spec need the write-side transform machinery, same
+    constraint as update_iceberg).  Returns {"snapshot_id",
+    "rows_upserted", "version"}."""
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+    from pg_analytics_spark.sources.iceberg import _ice_to_spark_type
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"upsert target is not an iceberg table: {path}")
+    spec = next(
+        (
+            sp
+            for sp in prev_meta.get("partition-specs", [])
+            if sp.get("spec-id") == prev_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise UnsupportedFormat(
+            "upsert_iceberg_eq supports UNPARTITIONED tables; partitioned "
+            "targets need write-side transforms for the new rows"
+        )
+    fields = _schema_fields(prev_meta)
+    colnames = [f["name"] for f in fields]
+    missing = [c for c in colnames if c not in source.columns]
+    if missing:
+        raise UnsupportedFormat(
+            f"upsert source is missing table column(s) {missing}"
+        )
+    key_exprs, eq_ids = _key_exprs(fields, list(key_cols), "upsert")
+    conform = []
+    for f in fields:
+        t = _ice_to_spark_type(f["type"])
+        c = F.col(f["name"])
+        conform.append((c.cast(t) if t is not None else c).alias(f["name"]))
+    src = source.select(*conform)
+    add_part, add_staging = _stage_one_parquet(src, path, "upsadd")
+    n_rows = _pq.ParquetFile(add_part).metadata.num_rows if add_part else 0
+    if not n_rows:
+        shutil.rmtree(add_staging, ignore_errors=True)
+        return {"snapshot_id": None, "rows_upserted": 0, "version": prev_version}
+    del_part, del_staging = _stage_one_parquet(
+        src.select(*[F.col(c) for c in key_cols]).distinct(), path, "upsdel"
+    )
+    n_keys = _pq.ParquetFile(del_part).metadata.num_rows
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(
+        data_dir, f"eqdelete-{snapshot_id}-{uuid.uuid4().hex}.parquet"
+    )
+    apath = os.path.join(data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet")
+    os.replace(del_part, dpath)
+    os.replace(add_part, apath)
+    shutil.rmtree(del_staging, ignore_errors=True)
+    shutil.rmtree(add_staging, ignore_errors=True)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    del_manifest = os.path.join(meta_dir, f"man-eqdel-{snapshot_id}.avro")
+    write_container(
+        _eq_manifest_entry_schema(),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,
+                    "file_path": dpath,
+                    "equality_ids": eq_ids,
+                    "file_format": "PARQUET",
+                    "record_count": n_keys,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+        del_manifest,
+    )
+    lowers, uppers, a_rows, a_size = None, None, n_rows, os.path.getsize(apath)
+    try:
+        lo, up, a_rows = _file_bounds(apath, fields)
+        lowers, uppers = lo or None, up or None
+    except Exception:
+        pass
+    add_manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
+    write_container(
+        _manifest_entry_schema([]),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": apath,
+                    "file_format": "PARQUET",
+                    "record_count": a_rows,
+                    "file_size_in_bytes": a_size,
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                },
+            }
+        ],
+        add_manifest,
+    )
+    mf_entries = list(prev_list) + [
+        {
+            "manifest_path": del_manifest,
+            "manifest_length": os.path.getsize(del_manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        },
+        {
+            "manifest_path": add_manifest,
+            "manifest_length": os.path.getsize(add_manifest),
+            "partition_spec_id": prev_meta.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        },
+    ]
+    version = _publish_snapshot(
+        path,
+        prev_meta,
+        prev_version,
+        snapshot_id,
+        mf_entries,
+        seq,
+        {
+            "operation": "overwrite",
+            "added-delete-files": "1",
+            "added-equality-deletes": str(n_keys),
+            "added-data-files": "1",
+            "added-records": str(a_rows),
+        },
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_upserted": int(n_rows),
         "version": version,
     }
 

@@ -4442,6 +4442,128 @@ def iceberg_upsert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_eq_delete_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey < 2000
+      AND NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_nationkey < 5
+      )
+    ORDER BY o.o_orderkey
+    """,
+    doc="Iceberg v2 EQUALITY-delete WRITE (spec §equality-delete-"
+    "files, sources/iceberg_write.equality_delete_iceberg): delete "
+    "every order belonging to customers in nations 0-4 by shipping "
+    "ONLY the key set — the delete file holds the distinct c_custkey "
+    "values (content=2, equality_ids), and NO read of the target data "
+    "happens at any point.  A position delete must first join the "
+    "change set against the table to find (file, pos); the equality "
+    "delete is O(changed keys), the CDC lever at 100 TB where the "
+    "target scan IS the cost.  Readers apply it to data files with "
+    "sequence number strictly below the delete's (this repo's reader, "
+    "sources/iceberg._apply_row_deletes — null-safe equality on the "
+    "delete file's columns).  Oracle replays the anti-join "
+    "relationally.",
+)
+def iceberg_eq_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+        write_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_iceberg_eqdel")
+    _shutil.rmtree(root, ignore_errors=True)
+    write_iceberg(base.repartition(4), root)
+    keys = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    equality_delete_iceberg(spark, root, keys, ["o_custkey"])
+    return (
+        load_source(spark, root, "iceberg")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "iceberg_eq_cdc_upsert",
+    oracle="""
+    SELECT user_id, last_ts, last_event_id, last_type, last_value
+    FROM (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             event_type AS last_type, value AS last_value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="CDC apply into the NATIVE Iceberg writer via single-snapshot "
+    "equality-delete row-deltas (sources/iceberg_write."
+    "upsert_iceberg_eq) — the Iceberg twin of `streaming_cdc_upsert`"
+    "'s Delta MERGE, sharing its argmax oracle: the events table is "
+    "split into three time-ordered change batches, each reduced to "
+    "the latest change per user (max-of-struct, the cdc_upsert "
+    "reduction) and applied as ONE snapshot carrying an equality-"
+    "delete file on the batch's keys PLUS the new rows — both at "
+    "sequence number S, so the spec's strict data_seq < S rule "
+    "erases every OLDER row for the keys while the batch's own rows "
+    "survive: the sequence mechanics ARE the upsert.  Unlike the "
+    "Delta MERGE (which joins each batch against the target), NO "
+    "target read happens — per-batch cost is O(change set), the "
+    "property that keeps per-micro-batch CDC viable on a 100 TB "
+    "table.  Last-writer-wins requires time-ordered batches (the "
+    "changelog contract); the Delta twin's conditional MERGE is the "
+    "order-independent alternative — both end states match the same "
+    "oracle.",
+)
+def iceberg_eq_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        upsert_iceberg_eq,
+        write_iceberg,
+    )
+    from pg_analytics_spark.streaming.cdc_upsert import latest_per_key
+    from pg_analytics_spark.workload.base import scratch_dir
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    t1 = lo + span / 3
+    t2 = lo + 2 * span / 3
+    with scratch_dir(spark) as work:
+        root = f"{work}/profiles_iceberg"
+        first = latest_per_key(e.filter(F.col("ts") < F.lit(t1)))
+        write_iceberg(first.coalesce(1), root)
+        for cond in (
+            (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)),
+            F.col("ts") >= F.lit(t2),
+        ):
+            batch = latest_per_key(e.filter(cond))
+            upsert_iceberg_eq(spark, root, batch, ["user_id"])
+        out = load_source(spark, root, "iceberg")
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "user_id"
+        )
+
+
 _FDW_DDL_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

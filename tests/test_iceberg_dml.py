@@ -545,3 +545,193 @@ def test_merge_partitioned_rejected_with_guidance(spark, tmp_path):
             [{"when": "matched", "action": "update", "set": {"v": "s.nv"},
               "condition": None}],
         )
+
+
+# ------------------------------------------------------------------ #
+# EQUALITY-delete WRITE (r9): equality_delete_iceberg /
+# upsert_iceberg_eq + the sequence-number rule with mixed delete kinds
+# ------------------------------------------------------------------ #
+
+
+def _mk_eq_tbl(spark, tmp_path, name="ice_eq"):
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    root = str(tmp_path / name)
+    df = spark.range(0, 100).selectExpr(
+        "id", "id % 4 as k", "cast(id * 2.0 as double) as v"
+    )
+    write_iceberg(df.repartition(2), root)
+    return root
+
+
+def test_eq_delete_ships_only_keys_no_data_rewrite(spark, tmp_path):
+    import glob
+
+    from pg_analytics_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path)
+    before = sorted(
+        p
+        for p in glob.glob(root + "/data/*.parquet")
+        if "delete" not in os.path.basename(p)
+    )
+    keys = spark.createDataFrame([(i,) for i in range(30)], "id bigint")
+    res = equality_delete_iceberg(spark, root, keys)
+    assert res["keys_deleted"] == 30
+    after = sorted(
+        p
+        for p in glob.glob(root + "/data/*.parquet")
+        if "delete" not in os.path.basename(p)
+    )
+    assert after == before  # no data files written or rewritten
+    out = load_source(spark, root, "iceberg")
+    assert out.count() == 70
+    assert out.filter("id < 30").count() == 0
+    # the delete FILE holds exactly the distinct key tuples
+    eq_files = glob.glob(root + "/data/eqdelete-*.parquet")
+    assert len(eq_files) == 1
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(eq_files[0])
+    assert t.num_rows == 30 and t.column_names == ["id"]
+
+
+def test_eq_delete_sequence_rule_same_key_readded(spark, tmp_path):
+    """THE sequence-rule pin: an equality delete at sequence S erases
+    rows from data files with seq < S only — a row with the SAME key
+    appended AFTER the delete (seq > S) must survive."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+        write_iceberg,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path)
+    keys = spark.createDataFrame([(7,), (8,)], "id bigint")
+    equality_delete_iceberg(spark, root, keys)
+    assert load_source(spark, root, "iceberg").filter("id in (7,8)").count() == 0
+    readd = spark.createDataFrame(
+        [(7, 3, -7.0)], "id bigint, k bigint, v double"
+    )
+    write_iceberg(readd, root, mode="append")
+    out = load_source(spark, root, "iceberg")
+    got = out.filter("id = 7").collect()
+    assert len(got) == 1 and got[0]["v"] == -7.0  # new row survives
+    assert out.filter("id = 8").count() == 0  # old row stays deleted
+
+
+def test_eq_delete_null_safe_key_match(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "ice_eq_null")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, s string"
+    )
+    write_iceberg(df, root)
+    # deleting key s=NULL must match the NULL row (null-safe equality
+    # per spec), not silently no-op
+    keys = spark.createDataFrame([(None,)], "s string")
+    equality_delete_iceberg(spark, root, keys, ["s"])
+    out = load_source(spark, root, "iceberg")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_eq_upsert_single_snapshot_and_metadata_version(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        upsert_iceberg_eq,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path)
+    v0, _ = _latest_metadata(os.path.join(root, "metadata"))
+    src = spark.range(90, 110).selectExpr(
+        "id", "id % 4 as k", "cast(-1.0 as double) as v"
+    )
+    res = upsert_iceberg_eq(spark, root, src, ["id"])
+    v1, meta = _latest_metadata(os.path.join(root, "metadata"))
+    assert v1 == v0 + 1  # ONE metadata version = atomic row-delta
+    assert res["rows_upserted"] == 20
+    out = load_source(spark, root, "iceberg")
+    assert out.count() == 110  # 100 - 10 overlapped + 20
+    assert out.filter("v = -1.0").count() == 20
+    assert out.filter("id >= 90 and id < 100 and v >= 0").count() == 0
+    # snapshot count grew by exactly one
+    assert len(meta["snapshots"]) == 2
+
+
+def test_eq_upsert_batches_converge_to_argmax(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import (
+        upsert_iceberg_eq,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "ice_eq_cdc")
+    b0 = spark.createDataFrame(
+        [(1, 10, "x"), (2, 10, "x")], "uid long, ver long, s string"
+    )
+    write_iceberg(b0, root)
+    b1 = spark.createDataFrame(
+        [(1, 20, "y"), (3, 20, "y")], "uid long, ver long, s string"
+    )
+    upsert_iceberg_eq(spark, root, b1, ["uid"])
+    b2 = spark.createDataFrame([(3, 30, "z")], "uid long, ver long, s string")
+    upsert_iceberg_eq(spark, root, b2, ["uid"])
+    rows = {
+        r["uid"]: (r["ver"], r["s"])
+        for r in load_source(spark, root, "iceberg").collect()
+    }
+    assert rows == {1: (20, "y"), 2: (10, "x"), 3: (30, "z")}
+
+
+def test_pos_delete_dml_does_not_resurrect_eq_deleted(spark, tmp_path):
+    """delete_iceberg/update_iceberg on a table carrying equality
+    deletes must evaluate predicates on the eq-aware visible relation:
+    the pos-delete commit must not bring eq-deleted rows back."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        update_iceberg,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path)
+    keys = spark.createDataFrame([(i,) for i in range(20)], "id bigint")
+    equality_delete_iceberg(spark, root, keys)
+    res = delete_iceberg(spark, root, "k = 1")
+    out = load_source(spark, root, "iceberg")
+    assert out.filter("id < 20").count() == 0  # eq deletes still apply
+    assert out.filter("k = 1").count() == 0
+    # rows_deleted counted VISIBLE matches only (ids 21,25,...,97)
+    assert res["rows_deleted"] == 20
+    update_iceberg(spark, root, {"v": "v + 1000"}, "k = 2")
+    out2 = load_source(spark, root, "iceberg")
+    assert out2.filter("id < 20").count() == 0
+    assert out2.filter("k = 2 and v < 1000").count() == 0
+
+
+def test_eq_upsert_partitioned_rejected_and_compact_refuses(
+    spark, tmp_path
+):
+    from pg_analytics_spark.sources.iceberg_write import (
+        compact_iceberg,
+        equality_delete_iceberg,
+        upsert_iceberg_eq,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "ice_eq_part")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    write_iceberg(df, root, mode="overwrite", partition_by="id")
+    src = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(UnsupportedFormat, match="UNPARTITIONED"):
+        upsert_iceberg_eq(spark, root, src, ["id"])
+    # eq DELETE works on partitioned tables (no new data files)
+    keys = spark.createDataFrame([(1,)], "id long")
+    equality_delete_iceberg(spark, root, keys)
+    out = load_source(spark, root, "iceberg")
+    assert sorted(r["id"] for r in out.collect()) == [2]
+    with pytest.raises(UnsupportedFormat, match="EQUALITY"):
+        compact_iceberg(spark, root)
