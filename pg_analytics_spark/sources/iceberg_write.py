@@ -1244,10 +1244,13 @@ def compact_iceberg(spark, path: str) -> dict:
     _s, prev_list = read_container(prev_snap["manifest-list"])
     entry_schema = None
     data_entries: list[dict] = []
+    data_seq_of: dict[str, int] = {}
     pos_delete_paths: list[str] = []
+    eq_delete_files: list[tuple[str, int]] = []
     n_delete_files = 0
     for m in prev_list:
         schema_m, entries = read_container(m["manifest_path"])
+        m_seq = int(m.get("sequence_number") or 0)
         for e in entries:
             if e.get("status", 0) == 2:
                 continue
@@ -1255,15 +1258,14 @@ def compact_iceberg(spark, path: str) -> dict:
             if m.get("content", 0) == 1:
                 n_delete_files += 1
                 if rec.get("content", 1) == 2:
-                    raise UnsupportedFormat(
-                        "compact_iceberg supports position deletes; "
-                        "this table has EQUALITY delete files"
-                    )
-                pos_delete_paths.append(rec["file_path"])
+                    eq_delete_files.append((rec["file_path"], m_seq))
+                else:
+                    pos_delete_paths.append(rec["file_path"])
             else:
                 entry_schema = entry_schema or schema_m
                 data_entries.append(e)
-    if not pos_delete_paths:
+                data_seq_of[rec["file_path"]] = m_seq
+    if not pos_delete_paths and not eq_delete_files:
         return {
             "snapshot_id": None,
             "files_rewritten": 0,
@@ -1271,15 +1273,54 @@ def compact_iceberg(spark, path: str) -> dict:
             "deletes_dropped": 0,
             "version": prev_version,
         }
-    # which data files do the delete rows actually name?  (file-list-
-    # sized collect, normalized to the reader's /data/-suffix key)
-    affected_keys = {
-        _delete_key_py(r["file_path"])
-        for r in spark.read.parquet(*sorted(set(pos_delete_paths)))
-        .select("file_path")
-        .distinct()
-        .collect()
-    }
+    # which data files do the delete rows actually name?  Position
+    # deletes name files explicitly (file-list-sized collect).
+    # Equality deletes name KEYS, not files: ONE distributed probe —
+    # scan each sequence-eligible data file's key columns, semi-join
+    # the (tiny, broadcast) delete key sets, collect the DISTINCT
+    # file paths that lost rows (file-list-sized result; the corpus-
+    # scale work is the semi-join, not a driver loop).
+    affected_keys = set()
+    if pos_delete_paths:
+        affected_keys |= {
+            _delete_key_py(r["file_path"])
+            for r in spark.read.parquet(*sorted(set(pos_delete_paths)))
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+    for dpath, dseq in eq_delete_files:
+        eligible = sorted(
+            p for p, s in data_seq_of.items() if s < dseq
+        )
+        if not eligible:
+            continue
+        keys_df = spark.read.parquet(dpath)
+        probe = spark.read.option("mergeSchema", "true").parquet(
+            *eligible
+        ).select(
+            *keys_df.columns,
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("_ifile"),
+        )
+        cond = None
+        for c in keys_df.columns:
+            eq = F.col(f"d.{c}").eqNullSafe(F.col(f"x.{c}"))
+            cond = eq if cond is None else cond & eq
+        hit = (
+            probe.alias("d")
+            .join(F.broadcast(keys_df.alias("x")), cond, "left_semi")
+            .select("_ifile")
+            .distinct()
+            .collect()
+        )
+        affected_keys |= {_delete_key_py(r["_ifile"]) for r in hit}
+    if not affected_keys:
+        # delete files exist but currently erase nothing (e.g. eq keys
+        # only in files at/after their sequence): still commit, so the
+        # delete debt is dropped and readers stop paying the anti-join
+        pass
     untouched, affected = [], []
     for e in data_entries:
         (affected if _delete_key_py(e["data_file"]["file_path"]) in affected_keys
@@ -1299,22 +1340,21 @@ def compact_iceberg(spark, path: str) -> dict:
             _delete_key_py(e["data_file"]["file_path"]) for e in affected
         ]
         idx_of = {k: i for i, k in enumerate(key_of)}
-        src = spark.read.option("mergeSchema", "true").parquet(
-            *[e["data_file"]["file_path"] for e in affected]
-        ).select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("_ifile"),
-            F.col("_metadata.row_index").cast("long").alias("_ipos"),
+        # visible rows of the AFFECTED files only: position deletes
+        # anti-joined on (file, pos), equality deletes under the
+        # sequence rule — the same relation readers see, restricted to
+        # the files being rewritten
+        kept = _visible_target(
+            spark,
+            {
+                e["data_file"]["file_path"]: data_seq_of[
+                    e["data_file"]["file_path"]
+                ]
+                for e in affected
+            },
+            pos_delete_paths,
+            eq_delete_files,
         )
-        dels = spark.read.parquet(*sorted(set(pos_delete_paths))).select(
-            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
-                "_ifile"
-            ),
-            F.col("pos").cast("long").alias("_ipos"),
-        )
-        kept = src.join(dels, ["_ifile", "_ipos"], "left_anti")
         key_expr = F.regexp_replace(F.col("_ifile"), r"^.*/(?=data/)", "")
         idx_map = spark.createDataFrame(
             [(k, i) for k, i in idx_of.items()], "_k string, _pt int"

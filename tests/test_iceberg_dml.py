@@ -712,7 +712,7 @@ def test_pos_delete_dml_does_not_resurrect_eq_deleted(spark, tmp_path):
     assert out2.filter("k = 2 and v < 1000").count() == 0
 
 
-def test_eq_upsert_partitioned_rejected_and_compact_refuses(
+def test_eq_upsert_partitioned_rejected_and_compact_materializes(
     spark, tmp_path
 ):
     from pg_analytics_spark.sources.iceberg_write import (
@@ -733,5 +733,50 @@ def test_eq_upsert_partitioned_rejected_and_compact_refuses(
     equality_delete_iceberg(spark, root, keys)
     out = load_source(spark, root, "iceberg")
     assert sorted(r["id"] for r in out.collect()) == [2]
-    with pytest.raises(UnsupportedFormat, match="EQUALITY"):
-        compact_iceberg(spark, root)
+    # compact MATERIALIZES the eq delete (r9): the affected file is
+    # found via a key semi-join probe, rewritten without the deleted
+    # rows, and every delete manifest drops
+    res = compact_iceberg(spark, root)
+    assert res["files_rewritten"] == 1 and res["deletes_dropped"] == 1
+    out2 = load_source(spark, root, "iceberg")
+    assert sorted(r["id"] for r in out2.collect()) == [2]
+
+
+def test_compact_materializes_mixed_pos_and_eq_deletes(spark, tmp_path):
+    """Lifecycle closer on a MIXED-debt table: eq delete, then pos
+    delete, then compact — the rewrite must apply BOTH kinds (eq under
+    the sequence rule) and the compacted table must read identically
+    before and after, with zero delete manifests left."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        compact_iceberg,
+        delete_iceberg,
+        equality_delete_iceberg,
+        write_iceberg,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path, "ice_mixed_compact")
+    keys = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    equality_delete_iceberg(spark, root, keys)
+    # re-add id=3 AFTER the eq delete: must survive compaction too
+    readd = spark.createDataFrame(
+        [(3, 3, -3.0)], "id bigint, k bigint, v double"
+    )
+    write_iceberg(readd, root, mode="append")
+    delete_iceberg(spark, root, "k = 2")
+    before = {
+        (r["id"], r["v"])
+        for r in load_source(spark, root, "iceberg").collect()
+    }
+    res = compact_iceberg(spark, root)
+    assert res["snapshot_id"] is not None
+    assert res["deletes_dropped"] >= 2  # one eq + one pos manifest
+    after = {
+        (r["id"], r["v"])
+        for r in load_source(spark, root, "iceberg").collect()
+    }
+    assert after == before
+    assert (3, -3.0) in after  # the sequence-rule survivor
+    assert not any(i < 10 and v >= 0 for i, v in after)
+    # second compact is a clean no-op
+    res2 = compact_iceberg(spark, root)
+    assert res2["snapshot_id"] is None
