@@ -226,6 +226,10 @@ HEADLINE_NEXT7: list = [
     "delta_dv_dml_roundtrip",
     "iceberg_eq_delete_roundtrip",
     "iceberg_eq_cdc_upsert",
+    "graph_kcore",
+    "events_cusum_drift",
+    "text_trigram_backoff_logprob",
+    "embed_matryoshka_recall",
 ]
 
 

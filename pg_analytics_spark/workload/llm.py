@@ -3481,3 +3481,295 @@ def _register_embed_outlier_zscore():
 
 
 _register_embed_outlier_zscore()
+
+
+@register(
+    "text_trigram_backoff_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), tr_tg AS (
+      SELECT unnest([t[i+1] FOR i IN range(len(t) - 2)]) AS a,
+             unnest([t[i+2] FOR i IN range(len(t) - 2)]) AS b,
+             unnest([t[i+3] FOR i IN range(len(t) - 2)]) AS c
+      FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 3
+    ), tr_bg AS (
+      SELECT unnest([t[i+1] FOR i IN range(len(t) - 1)]) AS x,
+             unnest([t[i+2] FOR i IN range(len(t) - 1)]) AS y
+      FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 2
+    ), tr_ug AS (
+      SELECT unnest(t) AS u FROM toks WHERE doc_id % 2 = 0
+    ), c3 AS (
+      SELECT a, b, c, COUNT(*) AS n3,
+             SUM(COUNT(*)) OVER (PARTITION BY a, b) AS n2ab
+      FROM tr_tg GROUP BY a, b, c
+    ), c2 AS (
+      SELECT x, y, COUNT(*) AS n2,
+             SUM(COUNT(*)) OVER (PARTITION BY x) AS n1x
+      FROM tr_bg GROUP BY x, y
+    ), c1 AS (
+      SELECT u, COUNT(*) AS n1 FROM tr_ug GROUP BY u
+    ), nt AS (
+      SELECT COUNT(*)::BIGINT AS n_tok FROM tr_ug
+    ), te AS (
+      SELECT doc_id,
+             unnest([t[i+1] FOR i IN range(len(t) - 2)]) AS a,
+             unnest([t[i+2] FOR i IN range(len(t) - 2)]) AS b,
+             unnest([t[i+3] FOR i IN range(len(t) - 2)]) AS c
+      FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 3
+    ), terms AS (
+      SELECT te.doc_id,
+             CASE
+               WHEN c3.n3 IS NOT NULL THEN 0
+               WHEN c2.n2 IS NOT NULL THEN 1
+               WHEN c1.n1 IS NOT NULL THEN 2
+               ELSE 3
+             END AS lvl,
+             CAST(CASE
+               WHEN c3.n3 IS NOT NULL
+                 THEN ln(c3.n3::DOUBLE / c3.n2ab::DOUBLE)
+               WHEN c2.n2 IS NOT NULL
+                 THEN ln(0.4 * c2.n2::DOUBLE / c2.n1x::DOUBLE)
+               WHEN c1.n1 IS NOT NULL
+                 THEN ln(0.16 * c1.n1::DOUBLE / nt.n_tok::DOUBLE)
+               ELSE ln(0.064 / nt.n_tok::DOUBLE)
+             END AS DECIMAL(38,18)) AS term
+      FROM te
+      LEFT JOIN c3 ON c3.a = te.a AND c3.b = te.b AND c3.c = te.c
+      LEFT JOIN c2 ON c2.x = te.b AND c2.y = te.c
+      LEFT JOIN c1 ON c1.u = te.c
+      CROSS JOIN nt
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           COUNT(CASE WHEN lvl > 0 THEN 1 END) AS n_backoff,
+           ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Trigram language model with STUPID BACKOFF (Brants et al. "
+    "2007 — the web-scale LM smoothing that needs no discount "
+    "tuning): counts train on the even-doc_id half, the odd half is "
+    "scored held-out, so unseen trigrams genuinely back off "
+    "(trigram MLE → 0.4·bigram → 0.4²·unigram → 0.4³/N floor).  The "
+    "bigram-logprob row's perplexity-filter pattern upgraded to the "
+    "n-gram chain every LM-quality pipeline actually runs; "
+    "n_backoff per doc is the OOV-ish diagnostic.  Context counts "
+    "ride window-sums over the count relations (no second corpus "
+    "pass); per-term ln values stage through DECIMAL(38,18) so the "
+    "sum is order-independent — bit-exact cross-engine (ln of "
+    "identical doubles, the bigram/BM25 precedent).  At 100 TB the "
+    "three count relations are reusable artifacts: materialize once, "
+    "score any shard; the scoring pass is three vocabulary-sized "
+    "hash joins against the exploded test trigrams.",
+)
+def text_trigram_backoff_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.lower("text")).alias("t"))
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("t") >= 3))
+
+    def _tg(df, cols):
+        n = len(cols)
+        fields = ", ".join(
+            f"element_at(t, i + {j + 1}) AS {c}" for j, c in enumerate(cols)
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> struct({fields}))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.*")
+
+    c3 = (
+        _tg(train.filter(F.size("t") >= 3), ["a", "b", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("n3"))
+        .withColumn("n2ab", F.sum("n3").over(_W.partitionBy("a", "b")))
+    )
+    c2 = (
+        _tg(train.filter(F.size("t") >= 2), ["x", "y"])
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n2"))
+        .withColumn("n1x", F.sum("n2").over(_W.partitionBy("x")))
+    )
+    ug = train.select(F.explode("t").alias("u"))
+    c1 = ug.groupBy("u").agg(F.count("*").alias("n1"))
+    nt = ug.agg(F.count("*").cast("long").alias("n_tok"))
+    te = _persist_sketch(_tg(test, ["a", "b", "c"]))
+    j = (
+        te.join(c3, ["a", "b", "c"], "left")
+        .join(
+            c2,
+            (F.col("x") == F.col("b")) & (F.col("y") == F.col("c")),
+            "left",
+        )
+        .join(c1, F.col("u") == F.col("c"), "left")
+        .crossJoin(F.broadcast(nt))
+    )
+    lvl = (
+        F.when(F.col("n3").isNotNull(), F.lit(0))
+        .when(F.col("n2").isNotNull(), F.lit(1))
+        .when(F.col("n1").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    term = (
+        F.when(
+            F.col("n3").isNotNull(),
+            F.log(F.col("n3").cast("double") / F.col("n2ab").cast("double")),
+        )
+        .when(
+            F.col("n2").isNotNull(),
+            F.log(
+                F.lit(0.4)
+                * F.col("n2").cast("double")
+                / F.col("n1x").cast("double")
+            ),
+        )
+        .when(
+            F.col("n1").isNotNull(),
+            F.log(
+                F.lit(0.16)
+                * F.col("n1").cast("double")
+                / F.col("n_tok").cast("double")
+            ),
+        )
+        .otherwise(F.log(F.lit(0.064) / F.col("n_tok").cast("double")))
+    )
+    terms = j.select(
+        "doc_id",
+        lvl.alias("lvl"),
+        term.cast("decimal(38,18)").alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.count(F.when(F.col("lvl") > 0, 1)).alias("n_backoff"),
+            F.round(
+                F.sum("term").cast("double") / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MATRYOSHKA_DIMS = 32
+_MATRYOSHKA_PROBES = (0, 1, 2, 3)
+
+_MAT_COS_FULL = (
+    "ROUND(list_sum([x[1]::DOUBLE * x[2]::DOUBLE"
+    " for x in list_zip(e.embedding, p.qe)]) /"
+    " (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding])) *"
+    "  sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in p.qe]))), 6)"
+)
+_MAT_COS_TRUNC = (
+    f"ROUND(list_sum([x[1]::DOUBLE * x[2]::DOUBLE"
+    f" for x in list_zip(e.embedding[1:{_MATRYOSHKA_DIMS}],"
+    f" p.qe[1:{_MATRYOSHKA_DIMS}])]) /"
+    f" (sqrt(list_sum([x::DOUBLE * x::DOUBLE"
+    f" for x in e.embedding[1:{_MATRYOSHKA_DIMS}]])) *"
+    f"  sqrt(list_sum([x::DOUBLE * x::DOUBLE"
+    f" for x in p.qe[1:{_MATRYOSHKA_DIMS}]]))), 6)"
+)
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN {_MATRYOSHKA_PROBES}
+    ), pairs AS (
+      SELECT p.probe_id, e.vec_id,
+             {_MAT_COS_FULL} AS fs,
+             {_MAT_COS_TRUNC} AS ts
+      FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id
+    ), tf AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY fs DESC, vec_id
+             ) AS rf
+      FROM pairs
+    ), tt AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY ts DESC, vec_id
+             ) AS rt
+      FROM pairs
+    )
+    SELECT tf.probe_id,
+           COUNT(*)::BIGINT AS n_overlap,
+           ROUND(COUNT(*)::DOUBLE / 10.0, 2) AS recall_at_10
+    FROM tf JOIN tt ON tf.probe_id = tt.probe_id
+                   AND tf.vec_id = tt.vec_id
+    WHERE tf.rf <= 10 AND tt.rt <= 10
+    GROUP BY tf.probe_id
+    ORDER BY tf.probe_id
+    """,
+    doc=f"Matryoshka-embedding evaluation (Kusupati et al. 2022 — "
+    "MRL-trained embeddings keep most ranking signal in their "
+    f"PREFIX dims): per probe vector, top-10 by full 64-d cosine vs "
+    f"top-10 by the first-{_MATRYOSHKA_DIMS}-dims cosine, reporting "
+    "the overlap = recall@10 of the cheap prefix against the exact "
+    "ranking — THE measurement that justifies 2× cheaper storage/"
+    "bandwidth ANN tiers before committing a corpus re-embed.  "
+    "Cosine over a prefix needs no re-normalization (both norms are "
+    "prefix norms).  Integer overlap counts after ROUND(·,6)+(sim "
+    "DESC, id) deterministic ranking → value-exact cross-engine "
+    "(the sim-row precedent).  Scale: one scan of the corpus "
+    "crossed with |probes|=4 broadcast rows, two window top-ks on "
+    "the (N×4)-row pair relation; the production path stores the "
+    "prefix as its own column and this row is its acceptance gate.",
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from pg_analytics_spark.functions.vectors import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(
+        F.col("vec_id").isin(*_MATRYOSHKA_PROBES)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe"))
+    d = _MATRYOSHKA_DIMS
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qe"), 6).alias("fs"),
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", 1, d), F.slice("qe", 1, d)
+                ),
+                6,
+            ).alias("ts"),
+        )
+    )
+    wf = _W.partitionBy("probe_id").orderBy(F.desc("fs"), F.asc("vec_id"))
+    wt = _W.partitionBy("probe_id").orderBy(F.desc("ts"), F.asc("vec_id"))
+    ranked = pairs.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        ranked.filter((F.col("rf") <= 10) & (F.col("rt") <= 10))
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            F.round(F.count("*").cast("double") / F.lit(10.0), 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("probe_id")
+    )

@@ -1170,3 +1170,118 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), series AS (
+      SELECT g.hour, COALESCE(a.n, 0) AS n,
+             row_number() OVER (ORDER BY g.hour) AS rn
+      FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    ), st AS (
+      SELECT SUM(n)::BIGINT AS total, COUNT(*)::BIGINT AS nh FROM series
+    ), mu AS (
+      SELECT (total * 1000000000) // nh AS mu_fp,
+             ((total * 1000000000) // nh) // 10 AS k_fp,
+             5 * ((total * 1000000000) // nh) AS h_fp
+      FROM st
+    ), rec AS (
+      SELECT s.hour, s.n, s.rn,
+             GREATEST(0, s.n * 1000000000 - m.mu_fp - m.k_fp) AS s_fp
+      FROM series s CROSS JOIN mu m WHERE s.rn = 1
+      UNION ALL
+      SELECT s.hour, s.n, s.rn,
+             GREATEST(0, r.s_fp + s.n * 1000000000 - m.mu_fp - m.k_fp)
+      FROM series s
+      JOIN rec r ON s.rn = r.rn + 1
+      CROSS JOIN mu m
+    )
+    SELECT rec.hour, rec.n, rec.s_fp AS cusum_fp,
+           ROUND(CAST(rec.s_fp AS DOUBLE) / 1000000000.0, 6) AS cusum,
+           rec.s_fp > m.h_fp AS alarm
+    FROM rec CROSS JOIN mu m
+    ORDER BY rec.hour
+    """,
+    doc="One-sided CUSUM drift detection over the hourly view-count "
+    "series: s_t = max(0, s_{t-1} + x_t − μ − κ) with slack κ = μ/10 "
+    "and alarm threshold h = 5μ — the classic sequential change-point "
+    "monitor (Page 1954) behind rate-shift alerting.  The recurrence "
+    "runs ENTIRELY in nonnegative BIGINT fixed-point (scale 10⁹; "
+    "max(0,·) keeps every operand positive, so floor and truncating "
+    "integer division agree and the row is value-exact cross-engine "
+    "— the ewma precedent extended with a data-derived baseline μ "
+    "computed inside the same plan).  DuckDB replays it as a "
+    "recursive CTE; Spark folds the collected 720-element hour grid "
+    "in ONE interpreted aggregate — grid-sized, never the raw "
+    "events; the corpus-scale work is the one hourly count "
+    "aggregate.",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    agg = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    series = grid.join(agg, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    folded = (
+        series.agg(
+            F.sort_array(F.collect_list(F.struct("hour", "n"))).alias("xs")
+        )
+        .selectExpr("xs", "aggregate(xs, 0L, (a, x) -> a + x.n) AS total")
+        .selectExpr(
+            "xs", "(total * 1000000000L) div size(xs) AS mu_fp"
+        )
+        .selectExpr(
+            "xs", "mu_fp", "mu_fp div 10L AS k_fp", "5L * mu_fp AS h_fp"
+        )
+        .select(
+            F.expr(
+                "aggregate(xs, cast(array() AS array<struct<"
+                "hour timestamp, n bigint, s bigint>>), "
+                "(acc, x) -> concat(acc, array(named_struct("
+                "'hour', x.hour, 'n', x.n, "
+                "'s', greatest(0L, "
+                "IF(size(acc) = 0, 0L, element_at(acc, -1).s) "
+                "+ x.n * 1000000000L - mu_fp - k_fp)"
+                "))))"
+            ).alias("r"),
+            "h_fp",
+        )
+    )
+    return (
+        folded.select(F.explode("r").alias("e"), "h_fp")
+        .select(
+            F.col("e.hour").alias("hour"),
+            F.col("e.n").alias("n"),
+            F.col("e.s").alias("cusum_fp"),
+            F.round(
+                F.col("e.s").cast("double") / F.lit(1000000000.0), 6
+            ).alias("cusum"),
+            (F.col("e.s") > F.col("h_fp")).alias("alarm"),
+        )
+        .orderBy("hour")
+    )
