@@ -611,8 +611,15 @@ def write_delta(
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
     options: dict | None = None,
+    configuration: dict | None = None,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``.
+
+    ``configuration`` sets table properties on the CREATING commit's
+    metaData (TBLPROPERTIES analog) — e.g.
+    ``{"delta.enableDeletionVectors": "true"}`` makes every later
+    UPDATE/DELETE statement route through the deletion-vector
+    merge-on-read path, exactly delta-spark's property contract.
 
     * append: the EXISTING partition spec and schema are authoritative
       — a partition_by or schema that disagrees is rejected loudly
@@ -696,7 +703,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": dict(configuration or {}),
                     "createdTime": now_ms,
                 }
             }
@@ -1124,6 +1131,13 @@ def _rewrite_where(
     if not os.path.isdir(log_dir):
         raise UnsupportedFormat(f"{op} target is not a delta table: {path}")
     prev_active, prev_meta = _replay_log(log_dir)
+    if not dv:
+        # delta-spark's property contract: a table opts its DML into
+        # merge-on-read via TBLPROPERTIES, no per-statement flag
+        cfg = prev_meta.get("configuration") or {}
+        dv = str(
+            cfg.get("delta.enableDeletionVectors", "")
+        ).lower() == "true"
     part_cols = prev_meta.get("partitionColumns") or []
     tbl_fields = json.loads(prev_meta["schemaString"])["fields"]
     tbl_cols = [f["name"] for f in tbl_fields]
@@ -1398,12 +1412,25 @@ def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:
     versions safe.  The log itself is never touched (history/metadata
     stay auditable).  Returns {files_deleted, bytes_deleted}."""
     from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_dv import _dv_file_path
 
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise UnsupportedFormat(f"VACUUM target is not a delta table: {path}")
     active, _meta = _replay_log(log_dir)
     keep = {os.path.normpath(p) for p in active}
+    # deletion-vector blobs referenced by the CURRENT version survive
+    # under the same contract as data files; superseded DV files (each
+    # DV rewrite allocates a fresh uuid blob) vacuum with the same
+    # retention guard
+    for add in active.values():
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            keep.add(
+                os.path.normpath(
+                    os.path.relpath(_dv_file_path(path, dv), path)
+                )
+            )
     import time as _time
 
     cutoff = _time.time() - retention_hours * 3600.0
@@ -1412,7 +1439,10 @@ def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:
         if "_delta_log" in os.path.relpath(root, path).split(os.sep):
             continue
         for name in names:
-            if not name.endswith(".parquet"):
+            if not (
+                name.endswith(".parquet")
+                or name.startswith("deletion_vector_")
+            ):
                 continue
             full = os.path.join(root, name)
             rel = os.path.normpath(os.path.relpath(full, path))

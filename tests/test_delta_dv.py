@@ -617,3 +617,56 @@ def test_dv_null_predicate_three_valued_logic(spark, tmp_path):
     assert out.count() == 350
     assert out.filter("k = 6").count() == 50
     assert out.filter("k = 0").count() == 0
+
+
+def test_vacuum_keeps_live_dv_blobs_and_drops_superseded(spark, tmp_path):
+    """Each DV rewrite allocates a fresh uuid blob; VACUUM must keep
+    the blobs the CURRENT version references and delete superseded
+    ones past retention — same contract as data files."""
+    import glob
+
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        vacuum_delta,
+    )
+
+    t = tmp_path / "t"
+    _mk_table(spark, t)
+    delete_delta(spark, str(t), "k = 1", dv=True)
+    delete_delta(spark, str(t), "k = 2", dv=True)  # supersedes blob 1
+    blobs = sorted(glob.glob(str(t) + "/deletion_vector_*.bin"))
+    assert len(blobs) == 2
+    res = vacuum_delta(str(t), retention_hours=0.0)
+    assert res["files_deleted"] == 1  # only the superseded blob
+    left = sorted(glob.glob(str(t) + "/deletion_vector_*.bin"))
+    assert len(left) == 1
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 300
+    assert out.filter("k in (1, 2)").count() == 0
+
+
+def test_enable_dv_property_routes_statements_mor(spark, tmp_path):
+    """delta.enableDeletionVectors=true on the table makes engine SQL
+    UPDATE/DELETE take the DV path — no per-statement flag, exactly
+    delta-spark's TBLPROPERTIES contract."""
+    import glob
+    import os
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    t = tmp_path / "t"
+    df = spark.range(0, 200).selectExpr("id", "id % 4 as k")
+    write_delta(
+        df.repartition(2),
+        str(t),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    before = sorted(glob.glob(str(t) + "/*.parquet"))
+    eng = Engine(spark=spark)
+    eng.attach("dvprop", [str(t)], "delta")
+    eng.sql("DELETE FROM dvprop WHERE k = 1")
+    assert sorted(glob.glob(str(t) + "/*.parquet")) == before  # MoR
+    assert glob.glob(str(t) + "/deletion_vector_*.bin")
+    out = load_source(spark, str(t), "delta")
+    assert out.count() == 150 and out.filter("k = 1").count() == 0
