@@ -230,6 +230,7 @@ HEADLINE_NEXT7: list = [
     "events_cusum_drift",
     "text_trigram_backoff_logprob",
     "embed_matryoshka_recall",
+    "multimodal_audio_vad",
 ]
 
 

@@ -3773,3 +3773,72 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS h,
+             1 + (('0x' || substr(md5(text), 5, 2))::INT % 128) AS n_frames
+      FROM documents
+    ), ids AS (
+      SELECT unnest(range(0, 128)) AS i
+    ), fr AS (
+      SELECT b.doc_id, ids.i,
+             ('0x' || substr(md5(b.h || '-' || ids.i::VARCHAR), 1, 2))::INT
+               AS energy
+      FROM base b JOIN ids ON ids.i < b.n_frames
+    ), sp AS (
+      SELECT doc_id, i, energy >= 128 AS speech FROM fr
+    ), isl AS (
+      SELECT doc_id, i, speech,
+             i - row_number() OVER (
+               PARTITION BY doc_id, speech ORDER BY i
+             ) AS grp
+      FROM sp
+    ), runs AS (
+      SELECT doc_id, COUNT(*)::INT AS run_len
+      FROM isl WHERE speech GROUP BY doc_id, grp
+    ), agg AS (
+      SELECT doc_id, MAX(run_len) AS longest FROM runs GROUP BY doc_id
+    ), spc AS (
+      SELECT doc_id, COUNT(*)::INT AS n_speech
+      FROM sp WHERE speech GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id, b.n_frames::INT AS n_frames,
+           COALESCE(spc.n_speech, 0) AS n_speech,
+           COALESCE(spc.n_speech, 0)::DOUBLE / b.n_frames::DOUBLE
+             AS speech_ratio,
+           COALESCE(agg.longest, 0) AS longest_speech_run,
+           TRUE AS ok
+    FROM base b
+    LEFT JOIN spc ON spc.doc_id = b.doc_id
+    LEFT JOIN agg ON agg.doc_id = b.doc_id
+    ORDER BY id
+    """,
+    doc="Voice-activity detection over audio payloads "
+    "(operators/multimodal.vad_media): an Arrow-batched mapInPandas "
+    "pass reduces each clip's per-frame energies to frame/speech "
+    "counts, speech ratio, and the longest consecutive speech run — "
+    "the segmentation stats speech-corpus curation filters on (drop "
+    "silence-only clips, cap monologue runs, balance the "
+    "speech/silence mix).  Real DSP is stubbed (no codec libs in "
+    "this container); the deterministic fake energy is an "
+    "md5-HASH-CHAIN (frame i = first byte of md5(md5(blob)||'-'||i)) "
+    "so even the Python codec pass is value-checkable — the oracle "
+    "recomputes the chain in SQL and replays the run-length logic "
+    "with gaps-and-islands windows.  The speech ratio is ONE IEEE "
+    "division of exact integers, bit-identical everywhere with no "
+    "rounding step.  Scale: payloads never shuffle; the Python loop "
+    "is bounded by the 128-frame cap inside each Arrow batch and the "
+    "codec stage parallelizes with executors (the phash row's 10× "
+    "win pattern).",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.multimodal import vad_media
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return vad_media(d, "payload", "doc_id").orderBy("id")

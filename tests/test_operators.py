@@ -673,3 +673,40 @@ class TestPhashNearDup:
         df = self._mk(spark, [(1, "tiny"), (2, "")])
         for r in phash_media(df, "blob", "doc_id").collect():
             assert (r["b0"], r["b1"], r["b2"], r["b3"]) == (0, 0, 0, 0)
+
+
+def test_vad_media_run_lengths_and_edges(spark):
+    """vad_media: hash-chain energies, threshold split, longest-run
+    logic — incl. the all-silence clip (longest run 0)."""
+    import hashlib
+
+    from pg_analytics_spark.operators.multimodal import (
+        fake_frame_energy,
+        vad_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"alpha")), (2, bytearray(b"beta"))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in vad_media(df, "payload", "id").collect()}
+    for blob in (b"alpha", b"beta"):
+        h = hashlib.md5(blob).digest()
+        n = 1 + h[2] % 128
+        es = fake_frame_energy(blob, n)
+        speech = [e >= 128 for e in es]
+        longest = run = 0
+        for sp in speech:
+            run = run + 1 if sp else 0
+            longest = max(longest, run)
+        rid = 1 if blob == b"alpha" else 2
+        r = rows[rid]
+        assert r["n_frames"] == n
+        assert r["n_speech"] == sum(speech)
+        assert r["longest_speech_run"] == longest
+        assert r["speech_ratio"] == sum(speech) / n
+    # threshold high enough → all silence, longest run 0
+    quiet = vad_media(df, "payload", "id", threshold=256).collect()
+    assert all(
+        r["n_speech"] == 0 and r["longest_speech_run"] == 0 for r in quiet
+    )
