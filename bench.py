@@ -231,6 +231,7 @@ HEADLINE_NEXT7: list = [
     "text_trigram_backoff_logprob",
     "embed_matryoshka_recall",
     "multimodal_audio_vad",
+    "events_holt_trend_smoothing",
 ]
 
 

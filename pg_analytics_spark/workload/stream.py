@@ -1285,3 +1285,118 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_holt_trend_smoothing",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), series AS (
+      SELECT g.hour, COALESCE(a.n, 0) AS n,
+             row_number() OVER (ORDER BY g.hour) AS rn
+      FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    ), rec AS (
+      SELECT hour, n, rn,
+             n * 1000000000 AS l_fp, CAST(0 AS BIGINT) AS b_fp
+      FROM series WHERE rn = 1
+      UNION ALL
+      SELECT s.hour, s.n, s.rn,
+             (s.n * 1000000000 + 4 * (r.l_fp + r.b_fp)) // 5 AS l_fp,
+             (((s.n * 1000000000 + 4 * (r.l_fp + r.b_fp)) // 5 - r.l_fp)
+              + 9 * r.b_fp) // 10 AS b_fp
+      FROM series s JOIN rec r ON s.rn = r.rn + 1
+    )
+    SELECT hour, n, l_fp AS level_fp, b_fp AS trend_fp,
+           ROUND(CAST(l_fp AS DOUBLE) / 1000000000.0, 6) AS level,
+           ROUND(CAST(b_fp AS DOUBLE) / 1000000000.0, 6) AS trend,
+           ROUND(CAST(l_fp + b_fp AS DOUBLE) / 1000000000.0, 6)
+             AS forecast_next
+    FROM rec
+    ORDER BY hour
+    """,
+    doc="Holt's linear (double-exponential) smoothing of the hourly "
+    "view-count series — level α = 1/5, trend β = 1/10, one-step "
+    "forecast = level + trend: the classic trend-aware baseline "
+    "that EWMA (level-only) systematically lags on ramps.  BOTH "
+    "recurrences run in BIGINT fixed-point (scale 10⁹): trend goes "
+    "NEGATIVE on downtrends, which is exactly why this row exists — "
+    "it pins that Spark's `div` and DuckDB's `//` both truncate "
+    "toward zero on negatives (probed: -7//2 = -3 in both), so the "
+    "ewma/cusum integer-recurrence pattern extends to signed state.  "
+    "DuckDB replays via recursive CTE, Spark as ONE fold over the "
+    "720-element hour grid; corpus-scale work is the single hourly "
+    "aggregate.",
+)
+def events_holt_trend_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    agg = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    series = grid.join(agg, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    folded = series.agg(
+        F.sort_array(F.collect_list(F.struct("hour", "n"))).alias("xs")
+    ).select(
+        F.expr(
+            "aggregate(xs, cast(array() AS array<struct<"
+            "hour timestamp, n bigint, l bigint, b bigint>>), "
+            "(acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0 "
+            "THEN named_struct("
+            "'hour', x.hour, 'n', x.n, "
+            "'l', x.n * 1000000000L, 'b', 0L) "
+            "ELSE named_struct("
+            "'hour', x.hour, 'n', x.n, "
+            "'l', (x.n * 1000000000L "
+            "+ 4L * (element_at(acc, -1).l + element_at(acc, -1).b)) "
+            "div 5L, "
+            "'b', (((x.n * 1000000000L "
+            "+ 4L * (element_at(acc, -1).l + element_at(acc, -1).b)) "
+            "div 5L - element_at(acc, -1).l) "
+            "+ 9L * element_at(acc, -1).b) div 10L) END)))"
+        ).alias("r")
+    )
+    return (
+        folded.select(F.explode("r").alias("e"))
+        .select(
+            F.col("e.hour").alias("hour"),
+            F.col("e.n").alias("n"),
+            F.col("e.l").alias("level_fp"),
+            F.col("e.b").alias("trend_fp"),
+            F.round(
+                F.col("e.l").cast("double") / F.lit(1000000000.0), 6
+            ).alias("level"),
+            F.round(
+                F.col("e.b").cast("double") / F.lit(1000000000.0), 6
+            ).alias("trend"),
+            F.round(
+                (F.col("e.l") + F.col("e.b")).cast("double")
+                / F.lit(1000000000.0),
+                6,
+            ).alias("forecast_next"),
+        )
+        .orderBy("hour")
+    )
