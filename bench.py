@@ -232,6 +232,7 @@ HEADLINE_NEXT7: list = [
     "embed_matryoshka_recall",
     "multimodal_audio_vad",
     "events_holt_trend_smoothing",
+    "sql_passthrough_list_element",
 ]
 
 

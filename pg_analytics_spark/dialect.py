@@ -994,6 +994,96 @@ def _rewrite_array_slices(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     return out
 
 
+def _rewrite_plain_subscripts(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """DuckDB plain subscript → Spark ``try_element_at``:
+
+        ``l[2]``      → ``try_element_at(l, 2)``
+        ``l[i + 1]``  → ``try_element_at(l, i + 1)``
+        ``m[42]``     → ``try_element_at(m, 42)``   (map key lookup)
+
+    DuckDB list subscripts are 1-BASED with NULL at index 0 and out of
+    bounds, and count from the end on negatives; Spark's native
+    bracket is 0-based and (under ANSI) ERRORS out of bounds — passing
+    the bracket through unchanged is a silent off-by-one, the worst
+    failure mode a dialect shim can have.  ``try_element_at``
+    reproduces DuckDB exactly on every point (1-based, NULL at 0/OOB,
+    negative-from-end) and doubles as DuckDB's map-value lookup.
+    STRING-literal subscripts are left alone: Spark's own map bracket
+    handles ``m['k']`` natively, and a struct ``s['field']`` errors
+    loudly rather than silently differing.  Runs AFTER the slice pass,
+    so a remaining depth-0 ``:`` means an unrewritten (negative-bound)
+    slice — left for the loud error path."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] != ("op", "["):
+            out.append(tokens[i])
+            i += 1
+            continue
+        prev = _prev_code(out, len(out))
+        if not _is_value_predecessor(out, len(out)):
+            out.append(tokens[i])
+            i += 1
+            continue
+        depth, j = 0, i
+        while j < n:
+            if tokens[j][0] == "op" and tokens[j][1] in ("[", "("):
+                depth += 1
+            elif tokens[j][0] == "op" and tokens[j][1] in ("]", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n or tokens[j] != ("op", "]"):
+            out.append(tokens[i])
+            i += 1
+            continue
+        inner = tokens[i + 1 : j]
+        code = [t for t in inner if t[0] not in ("ws", "comment")]
+        d2 = 0
+        has_colon = False
+        for kk, tt in inner:
+            if kk == "op" and tt in ("(", "["):
+                d2 += 1
+            elif kk == "op" and tt in (")", "]"):
+                d2 -= 1
+            elif (kk, tt) == ("op", ":") and d2 == 0:
+                has_colon = True
+                break
+        if (
+            not code
+            or has_colon  # unrewritten slice: loud error path
+            or (len(code) == 1 and code[0][0] == "string")
+        ):
+            out.append(tokens[i])
+            i += 1
+            continue
+        if out[prev][0] == "string":
+            # 'abc'[2] is DuckDB 1-based CHARACTER indexing — a
+            # different operation; left for Spark's loud error rather
+            # than a silently different answer
+            out.append(tokens[i])
+            i += 1
+            continue
+        start = _operand_start(out, prev)
+        operand = "".join(t for _, t in out[start : prev + 1]).strip()
+        idx = "".join(t for _, t in inner).strip()
+        if len(code) == 1 and code[0] == ("number", "0"):
+            # DuckDB l[0] is NULL; Spark's try_element_at REFUSES
+            # index 0 (INVALID_INDEX_OF_ZERO) — fold the literal
+            repl = "NULL"
+        else:
+            # a DYNAMIC index that evaluates to 0 still errors loudly
+            # Spark-side — the one DuckDB edge not reproduced (NULL
+            # there); loud beats a silent divergence
+            repl = f"try_element_at({operand}, {idx})"
+        out = out[:start] + [("word", repl)]
+        i = j + 1
+    return out
+
+
 def _rewrite_struct_literals(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """DuckDB struct literals → Spark ``named_struct``:
 
@@ -1819,6 +1909,12 @@ def rewrite_pg(
         # carry fn aliases / ::casts that later stages must still see
         sql = "".join(
             t for _, t in _rewrite_array_slices(_tokenize(sql))
+        )
+        # plain subscripts LAST (slices are gone): DuckDB's 1-based
+        # l[i] → try_element_at — passing the bracket to Spark's
+        # 0-based indexing would be a silent off-by-one
+        sql = "".join(
+            t for _, t in _rewrite_plain_subscripts(_tokenize(sql))
         )
     if "{" in sql:
         # struct literals AFTER comprehensions (a struct inside a

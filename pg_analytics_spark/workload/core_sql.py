@@ -4736,3 +4736,41 @@ def sql_passthrough_fdw_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM fdw_gate_orders GROUP BY o_orderpriority "
         "ORDER BY o_orderpriority"
     )
+
+
+_PASSTHROUGH_LIST_ELEMENT = """
+SELECT vec_id,
+       embedding[1] AS first_dim,
+       embedding[-1] AS last_dim,
+       embedding[70] AS oob_dim,
+       list_sort(list_transform(embedding[1:4], x -> x * 2.0))[1]
+         AS min_doubled_head
+FROM embeddings
+ORDER BY vec_id
+LIMIT 50
+"""
+
+
+@register(
+    "sql_passthrough_list_element",
+    oracle=_PASSTHROUGH_LIST_ELEMENT,
+    doc="DuckDB-dialect passthrough: PLAIN list subscripts — the r9 "
+    "dialect fix.  DuckDB brackets are 1-BASED with NULL at 0/out-of-"
+    "bounds and negative-from-the-end; Spark's native bracket is "
+    "0-based and errors out of bounds under ANSI, so the old "
+    "pass-through was a latent SILENT OFF-BY-ONE (the worst dialect "
+    "failure mode).  The shim now rewrites `l[i]` → `try_element_at` "
+    "(exact DuckDB semantics on every point; literal 0 folds to NULL "
+    "since Spark refuses index zero even in try_), composed here with "
+    "slices, list_transform/list_sort aliases, and a lambda — same "
+    "text on both engines, value-exact including the out-of-bounds "
+    "NULL column.",
+)
+def sql_passthrough_list_element(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return eng.sql(_PASSTHROUGH_LIST_ELEMENT)

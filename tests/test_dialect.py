@@ -590,11 +590,13 @@ def test_array_slice_rewrites_with_duckdb_bounds(engine):
         "SELECT slice(l, greatest((2), 1), "
         "greatest((4)-greatest((2), 1)+1, 0)) AS s FROM t"
     )
-    # open ends; plain subscript untouched
+    # open ends; plain subscript → 1-based try_element_at (r9: the
+    # pass-through was a silent off-by-one against DuckDB's 1-based
+    # indexing)
     got = rewrite_pg("SELECT l[:3] AS a, l[2:] AS b, l[2] AS c FROM t")
     assert "slice(l, 1, greatest((3), 0))" in got
     assert "greatest(size(l)-greatest((2), 1)+1, 0)" in got
-    assert "l[2] AS c" in got
+    assert "try_element_at(l, 2) AS c" in got
     for q in (
         "SELECT [10,20,30,40][2:3] AS s",
         "SELECT [10,20,30][:2] AS s",
@@ -686,13 +688,16 @@ def test_asof_union_star_rewrite_ignores_multiplication():
 
 def test_list_literal_subscript_on_values_untouched():
     """`'abc'[2]`, `[1,2][2]`, `{...}['k']` are subscripts on values —
-    the `[` must not be read as a list-literal start (review finding)."""
+    the `[` must not be read as a list-literal start (review finding).
+    r9: value subscripts now rewrite to 1-based try_element_at (DuckDB
+    semantics); string-literal operands stay untouched (character
+    indexing is a different operation — loud error over silent skew)."""
     from pg_analytics_spark.dialect import rewrite_pg
 
     q1 = "SELECT 'abc'[2] AS c"
     assert rewrite_pg(q1) == q1
     got = rewrite_pg("SELECT [1, 2, 3][2] AS second")
-    assert got == "SELECT array(1, 2, 3)[2] AS second"
+    assert got == "SELECT try_element_at(array(1, 2, 3), 2) AS second"
 
 
 def test_prepare_asof_falls_back_to_lateral(engine, spark):
@@ -873,9 +878,12 @@ def test_list_comprehension_rewrite_shapes():
         rewrite_pg("SELECT [x::DOUBLE for x in l if x > 0] AS d FROM t")
     )
     assert rewrite_pg("SELECT [1, 2, 3] AS a") == "SELECT array(1, 2, 3) AS a"
-    # subscripts untouched; nested comprehensions recurse
+    # subscripts → 1-based try_element_at (r9); nested comprehensions
+    # recurse
     q = "SELECT arr[2] AS second FROM t"
-    assert rewrite_pg(q) == q
+    assert rewrite_pg(q) == (
+        "SELECT try_element_at(arr, 2) AS second FROM t"
+    )
     assert rewrite_pg("SELECT [ [y for y in x] for x in m ] AS n") == (
         "SELECT transform(m, x -> transform(x, y -> y)) AS n"
     )
@@ -1320,3 +1328,19 @@ class TestIgnoreNullsRewrite:
             "last_value(CASE WHEN a THEN NULL ELSE v END) "
             "IGNORE NULLS OVER" in got
         )
+
+
+def test_plain_subscript_matches_duckdb_semantics(engine):
+    """try_element_at reproduces DuckDB's subscript on every point:
+    1-based, NULL at 0 and out-of-bounds, negative counts from the
+    end, dynamic index expressions, map key lookup."""
+    import duckdb as _duckdb
+
+    sql = (
+        "SELECT l[1] AS first, l[3] AS third, l[0] AS zero, "
+        "l[9] AS oob, l[-1] AS last, l[1 + 1] AS dyn "
+        "FROM (SELECT [10, 20, 30] AS l)"
+    )
+    got = engine.sql(sql).collect()[0]
+    exp = _duckdb.connect().execute(sql).fetchone()
+    assert tuple(got) == exp == (10, 30, None, None, 30, 20)

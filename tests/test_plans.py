@@ -524,3 +524,38 @@ def test_maxsim_is_scan_project_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_vad_media_is_map_only(spark):
+    """The VAD codec pass's scale contract: payloads NEVER shuffle —
+    scan → mapInPandas, zero Exchange (the gate row's final orderBy is
+    presentation, not the operator)."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.operators.multimodal import vad_media
+    from pg_analytics_spark.workload.base import table
+
+    d = table(spark, SF_DIR, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    plan = (
+        vad_media(d, "payload", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_kcore_lineage_is_checkpoint_cut(spark):
+    """graph_kcore's driver contract: after the peel loop the edge
+    frame's lineage is a materialized leaf (localCheckpoint), NOT the
+    3^rounds-duplicated join tree — the final plan must not reach back
+    to the lineitem scan."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["graph_kcore"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lineitem" not in plan.lower(), plan[:2000]
+    assert ("ExistingRDD" in plan) or ("LogicalRDD" in plan), plan[:2000]
