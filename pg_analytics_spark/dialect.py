@@ -1043,7 +1043,7 @@ def _rewrite_plain_subscripts(
         inner = tokens[i + 1 : j]
         code = [t for t in inner if t[0] not in ("ws", "comment")]
         d2 = 0
-        has_colon = False
+        has_colon = has_comma = False
         for kk, tt in inner:
             if kk == "op" and tt in ("(", "["):
                 d2 += 1
@@ -1051,10 +1051,20 @@ def _rewrite_plain_subscripts(
                 d2 -= 1
             elif (kk, tt) == ("op", ":") and d2 == 0:
                 has_colon = True
-                break
+            elif (kk, tt) == ("op", ",") and d2 == 0:
+                has_comma = True
+        pk, pt = out[prev]
+        if pk == "word" and pt.lower() == "array":
+            # pg ARRAY[...] constructor, not a subscript on a value
+            # named `array` — translate to Spark's array(...) call
+            idx = "".join(t for _, t in inner).strip()
+            out = out[:prev] + [("word", f"array({idx})")]
+            i = j + 1
+            continue
         if (
             not code
             or has_colon  # unrewritten slice: loud error path
+            or has_comma  # multi-expression bracket: not a subscript
             or (len(code) == 1 and code[0][0] == "string")
         ):
             out.append(tokens[i])

@@ -1344,3 +1344,22 @@ def test_plain_subscript_matches_duckdb_semantics(engine):
     got = engine.sql(sql).collect()[0]
     exp = _duckdb.connect().execute(sql).fetchone()
     assert tuple(got) == exp == (10, 30, None, None, 30, 20)
+
+
+def test_pg_array_constructor_and_non_subscript_brackets(engine):
+    """Review-round finds: `ARRAY[...]` is pg's constructor, not a
+    subscript on a value named `array` (was mangled to
+    try_element_at(ARRAY, 1, 2, 3)); a depth-0 comma inside brackets
+    means NOT-a-subscript and must pass through untouched."""
+    import duckdb as _duckdb
+
+    from pg_analytics_spark.dialect import rewrite_pg
+
+    assert rewrite_pg("SELECT ARRAY[1, 2, 3] AS a") == (
+        "SELECT array(1, 2, 3) AS a"
+    )
+    assert rewrite_pg("SELECT m[1, 2] AS bad") == "SELECT m[1, 2] AS bad"
+    sql = "SELECT ARRAY[1, 2, 3][2] AS second"
+    got = engine.sql(sql).collect()[0][0]
+    exp = _duckdb.connect().execute(sql).fetchone()[0]
+    assert got == exp == 2
