@@ -1961,6 +1961,20 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
         src.select(*[F.col(c) for c in key_cols]).distinct(), path, "upsdel"
     )
     n_keys = _pq.ParquetFile(del_part).metadata.num_rows
+    if n_keys != n_rows:
+        # two changes for one key in a single batch: the eq-delete
+        # erases the OLD row but BOTH new images would land at
+        # sequence S — a duplicate-keyed table, silently.  Delta's
+        # MERGE raises on duplicate source keys for the same reason;
+        # the caller must reduce the batch first (cdc_upsert's
+        # latest_per_key is the standard reduction).
+        shutil.rmtree(add_staging, ignore_errors=True)
+        shutil.rmtree(del_staging, ignore_errors=True)
+        raise UnsupportedFormat(
+            f"upsert source has duplicate keys ({n_rows} rows, "
+            f"{n_keys} distinct {key_cols}): reduce to one change per "
+            "key first (e.g. streaming.cdc_upsert.latest_per_key)"
+        )
     prev_snap = next(
         s
         for s in prev_meta["snapshots"]

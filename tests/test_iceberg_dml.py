@@ -780,3 +780,19 @@ def test_compact_materializes_mixed_pos_and_eq_deletes(spark, tmp_path):
     # second compact is a clean no-op
     res2 = compact_iceberg(spark, root)
     assert res2["snapshot_id"] is None
+
+
+def test_eq_upsert_duplicate_source_keys_rejected(spark, tmp_path):
+    """Two changes for one key in a batch must be reduced by the
+    caller — an unguarded apply would land BOTH images at sequence S
+    and silently duplicate the key (Delta MERGE raises here too)."""
+    from pg_analytics_spark.sources.iceberg_write import upsert_iceberg_eq
+
+    root = _mk_eq_tbl(spark, tmp_path, "ice_eq_dup")
+    src = spark.createDataFrame(
+        [(1, 0, -1.0), (1, 0, -2.0)], "id bigint, k bigint, v double"
+    )
+    with pytest.raises(UnsupportedFormat, match="duplicate keys"):
+        upsert_iceberg_eq(spark, root, src, ["id"])
+    # table unchanged, no half-applied state
+    assert load_source(spark, root, "iceberg").count() == 100
