@@ -136,6 +136,8 @@ WRITER_ROWS = frozenset(
         "delta_dv_dml_roundtrip",
         "iceberg_eq_delete_roundtrip",
         "iceberg_eq_cdc_upsert",
+        "delta_schema_evolution_roundtrip",
+        "iceberg_schema_evolution_roundtrip",
     }
 )
 
@@ -236,6 +238,13 @@ HEADLINE_NEXT7: list = [
 ]
 
 
+#: round-9 continuation additions measure here; earlier groups frozen.
+HEADLINE_NEXT8: list = [
+    "delta_schema_evolution_roundtrip",
+    "iceberg_schema_evolution_roundtrip",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -287,6 +296,7 @@ def main() -> None:
     timings_next5, cold_next5 = _measure(HEADLINE_NEXT5)
     timings_next6, cold_next6 = _measure(HEADLINE_NEXT6)
     timings_next7, cold_next7 = _measure(HEADLINE_NEXT7)
+    timings_next8, cold_next8 = _measure(HEADLINE_NEXT8)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -388,6 +398,12 @@ def main() -> None:
         ),
         "value_next7_writer": round(
             sum(v for k, v in timings_next7.items() if k in WRITER_ROWS),
+            3,
+        ),
+        "value_next8": round(sum(timings_next8.values()), 3),
+        "queries_next8": timings_next8,
+        "value_next8_writer": round(
+            sum(v for k, v in timings_next8.items() if k in WRITER_ROWS),
             3,
         ),
         "runs": runs,

@@ -227,6 +227,19 @@ _OPTIMIZE_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: `ALTER TABLE <attached lake table> ADD COLUMN c type | RENAME
+#: COLUMN a TO b | DROP COLUMN c` — schema evolution through the
+#: native writers (metadata-only commits on both formats).
+_ALTER_STMT_RE = _re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+(?:"
+    r"ADD\s+COLUMN\s+(?P<add_col>[A-Za-z_]\w*)\s+(?P<add_type>[^;]+?)"
+    r"|RENAME\s+COLUMN\s+(?P<ren_old>[A-Za-z_]\w*)\s+TO\s+"
+    r"(?P<ren_new>[A-Za-z_]\w*)"
+    r"|DROP\s+COLUMN\s+(?P<drop_col>[A-Za-z_]\w*)"
+    r");?\s*$",
+    _re.IGNORECASE,
+)
+
 #: DuckDB `PRAGMA name[('arg')]` statement text — table_info/version/
 #: database_list supported, everything else rejected with guidance.
 _PRAGMA_RE = _re.compile(
@@ -444,6 +457,9 @@ class Engine:
         m = _OPTIMIZE_STMT_RE.match(query.strip())
         if m:
             return self._optimize_statement(m)
+        m = _ALTER_STMT_RE.match(query.strip())
+        if m:
+            return self._alter_statement(m)
         m = _PRAGMA_RE.match(query.strip())
         if m:
             return self._pragma_statement(m)
@@ -2787,6 +2803,41 @@ class Engine:
             ],
             "restored_to int, files_removed int, files_readded int, "
             "version int",
+        )
+
+    def _alter_statement(self, m) -> DataFrame:
+        """``ALTER TABLE <attached lake table> ADD COLUMN c type |
+        RENAME COLUMN a TO b | DROP COLUMN c`` — schema evolution as a
+        metadata-only commit through the native writers
+        (sources/delta_write.alter_delta: column-mapping upgrade on
+        first rename/drop; sources/iceberg_write.alter_iceberg:
+        field-id evolution + name-mapping).  The attachment re-reads
+        so the next query sees the evolved schema.  Returns one
+        metrics row."""
+        att = self._dml_delta_attachment(
+            m.group("name"), "ALTER TABLE", formats=("delta", "iceberg")
+        )
+        kw: dict = {}
+        if m.group("add_col"):
+            kw["add"] = (m.group("add_col"), m.group("add_type").strip())
+        elif m.group("ren_old"):
+            kw["rename"] = (m.group("ren_old"), m.group("ren_new"))
+        else:
+            kw["drop"] = m.group("drop_col")
+        if att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                alter_iceberg,
+            )
+
+            res = alter_iceberg(att.files[0], **kw)
+        else:
+            from pg_analytics_spark.sources.delta_write import alter_delta
+
+            res = alter_delta(att.files[0], **kw)
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self.spark.createDataFrame(
+            [(str(res["operation"]), int(res["version"]))],
+            "operation string, version int",
         )
 
     def _optimize_statement(self, m) -> DataFrame:

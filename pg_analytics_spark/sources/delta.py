@@ -285,8 +285,13 @@ def _load_via_log(
         # presence, order, and declared types against schemaString
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if mapping:
+            # a physical column can be absent from every file in the
+            # group (ADD COLUMN after they were written) — skip it here
+            # and let _conform_delta null-fill the logical name
             data_cols = [
-                mapping[c][1] for c in mapping if c not in part_cols
+                mapping[c][1]
+                for c in mapping
+                if c not in part_cols and mapping[c][0] in df.columns
             ]
             df = df.select(*data_cols, *(meta_cols if with_meta else []))
         elif with_meta:

@@ -256,6 +256,285 @@ def _partition_values(rel_path: str) -> dict[str, str]:
     return pv
 
 
+def _phys_renames(meta_like: dict) -> dict[str, str] | None:
+    """Column-mapping write translation: logical top-level name →
+    physical parquet name, from the metaData that will govern the
+    commit.  None when the table has no mapping (the common case) —
+    callers then stage files under logical names exactly as before.
+    Nested fields need no write-side handling: the reader's positional
+    cast onto the logical type renames every nested level on read
+    (sources/delta.py::_column_mapping)."""
+    cfg = meta_like.get("configuration") or {}
+    if cfg.get("delta.columnMapping.mode", "none") not in ("name", "id"):
+        return None
+    fields = json.loads(meta_like["schemaString"])["fields"]
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in fields
+    }
+
+
+def _stage_as_physical(df: DataFrame, renames: dict[str, str] | None):
+    if not renames:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+    )
+
+
+def _apply_column_mapping(
+    prev_meta: dict | None, schema_string: str, create_cfg: dict | None
+) -> tuple[str, dict, dict[str, str] | None, dict | None]:
+    """Annotate ``schema_string`` for column mapping when the table
+    (or the creating ``configuration``) has mapping enabled: every
+    field carries ``delta.columnMapping.id`` + ``physicalName`` in its
+    metadata, same-name fields keep their existing annotation, new
+    fields get fresh ids past ``delta.columnMapping.maxColumnId``
+    (monotonic — a dropped column's physical name is never reused).
+    Returns (annotated schemaString, effective configuration,
+    logical→physical renames or None, protocol action dict when the
+    CREATING commit must declare mapping support).  Protocol floor per
+    the Delta spec's column-mapping feature: reader 2 / writer 5."""
+    cfg = dict(
+        (prev_meta or {}).get("configuration")
+        if prev_meta is not None
+        else (create_cfg or {})
+    )
+    if cfg.get("delta.columnMapping.mode", "none") not in ("name", "id"):
+        return schema_string, cfg, None, None
+    prev_by_name: dict[str, dict] = {}
+    if prev_meta is not None:
+        for f in json.loads(prev_meta["schemaString"])["fields"]:
+            if (f.get("metadata") or {}).get("delta.columnMapping.id"):
+                prev_by_name[f["name"]] = f["metadata"]
+    max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+    max_id = max(
+        [max_id]
+        + [int(m["delta.columnMapping.id"]) for m in prev_by_name.values()]
+    )
+    schema = json.loads(schema_string)
+    renames: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        md = dict(f.get("metadata") or {})
+        if not md.get("delta.columnMapping.id"):
+            if f["name"] in prev_by_name:
+                md.update(prev_by_name[f["name"]])
+            else:
+                max_id += 1
+                md["delta.columnMapping.id"] = max_id
+                md["delta.columnMapping.physicalName"] = f"col-{max_id}"
+        f["metadata"] = md
+        renames[f["name"]] = md["delta.columnMapping.physicalName"]
+    cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+    proto = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if prev_meta is None
+        else None
+    )
+    return json.dumps(schema), cfg, renames, proto
+
+
+def _latest_protocol(log_dir: str) -> dict:
+    """The table's current protocol action — newest JSON commit that
+    carries one, falling back to the newest checkpoint's protocol row,
+    else the writer's base (1, 2).  Metadata-sized IO: checkpoints and
+    ALTER upgrades are rare, commits are small."""
+    try:
+        names = sorted(
+            (f for f in os.listdir(log_dir) if f.endswith(".json")),
+            reverse=True,
+        )
+    except OSError:
+        names = []
+    for name in names:
+        try:
+            with open(os.path.join(log_dir, name)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        return a["protocol"]
+        except (OSError, ValueError):
+            continue
+    cps = sorted(
+        (f for f in os.listdir(log_dir)
+         if ".checkpoint." in f and f.endswith(".parquet")),
+        reverse=True,
+    ) if os.path.isdir(log_dir) else []
+    for cp in cps:
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(log_dir, cp), columns=["protocol"]
+            ).to_pylist()
+            for row in t:
+                if row.get("protocol") and row["protocol"].get(
+                    "minReaderVersion"
+                ) is not None:
+                    return row["protocol"]
+        except Exception:
+            continue
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def alter_delta(
+    path: str,
+    *,
+    add: tuple[str, str] | None = None,
+    rename: tuple[str, str] | None = None,
+    drop: str | None = None,
+) -> dict:
+    """``ALTER TABLE`` on a native Delta table — one schema-evolution
+    commit per call (metadata-only: no data file is read or written).
+
+    * ``add=(name, type)`` — append a NULLABLE column; old files read
+      back with typed NULLs (the reader's schema conformance).
+    * ``rename=(old, new)`` / ``drop=name`` — per the Delta protocol
+      these REQUIRE column mapping; a table still on direct names is
+      upgraded in the same commit (mode=name, every existing field's
+      physicalName = its current on-disk name so existing files keep
+      resolving, protocol raised to reader 2 / writer 5 — the spec's
+      columnMapping floor).  After a rename, appends and DML stage
+      parquet under the PHYSICAL names (write_delta/_rewrite_where/
+      merge_delta translate), so files written before and after the
+      rename coexist under one logical schema.
+
+    Reference scope: the reference reads Delta only
+    (src/duckdb/delta.rs); schema evolution DDL is additive
+    parity-plus mirroring delta-spark's ALTER TABLE surface.
+    Returns {"version": n, "operation": ...}.
+    """
+    import time as _time
+
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.types import duckdb_type_to_spark
+
+    if sum(x is not None for x in (add, rename, drop)) != 1:
+        raise UnsupportedFormat(
+            "alter_delta takes exactly one of add=/rename=/drop="
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"not a Delta table (no _delta_log): {path}")
+    _active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise UnsupportedFormat(f"Delta log has no metaData action: {path}")
+    schema = json.loads(meta["schemaString"])
+    fields = schema.get("fields", [])
+    names = [f["name"] for f in fields]
+    cfg = dict(meta.get("configuration") or {})
+    part_cols = list(meta.get("partitionColumns") or [])
+    proto_action: dict | None = None
+
+    def _ensure_mapping() -> None:
+        """First rename/drop on a direct-name table: switch to
+        mode=name with physicalName = the column's CURRENT name —
+        files already on disk keep resolving byte-for-byte."""
+        nonlocal proto_action
+        if cfg.get("delta.columnMapping.mode", "none") in ("name", "id"):
+            return
+        next_id = 0
+        for f in fields:
+            md = dict(f.get("metadata") or {})
+            next_id += 1
+            md.setdefault("delta.columnMapping.id", next_id)
+            md.setdefault("delta.columnMapping.physicalName", f["name"])
+            f["metadata"] = md
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+        proto = _latest_protocol(log_dir)
+        proto_action = {
+            "minReaderVersion": max(2, int(proto.get("minReaderVersion", 1))),
+            "minWriterVersion": max(5, int(proto.get("minWriterVersion", 2))),
+        }
+
+    if add is not None:
+        col, type_str = add
+        if col in names:
+            raise UnsupportedFormat(f"ADD COLUMN: {col!r} already exists")
+        new_f: dict = {
+            "name": col,
+            "type": duckdb_type_to_spark(type_str).jsonValue(),
+            "nullable": True,
+            "metadata": {},
+        }
+        if cfg.get("delta.columnMapping.mode", "none") in ("name", "id"):
+            max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+            max_id += 1
+            new_f["metadata"] = {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": f"col-{max_id}",
+            }
+            cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+        fields.append(new_f)
+        op, op_params = "ADD COLUMNS", {"column": col, "type": type_str}
+    elif rename is not None:
+        old, new = rename
+        if old not in names:
+            raise UnsupportedFormat(f"RENAME COLUMN: no column {old!r}")
+        if new in names:
+            raise UnsupportedFormat(
+                f"RENAME COLUMN: target {new!r} already exists"
+            )
+        _ensure_mapping()
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        if old in part_cols:
+            part_cols = [new if c == old else c for c in part_cols]
+        op, op_params = "RENAME COLUMN", {"from": old, "to": new}
+    else:
+        if drop not in names:
+            raise UnsupportedFormat(f"DROP COLUMN: no column {drop!r}")
+        if drop in part_cols:
+            raise UnsupportedFormat(
+                f"DROP COLUMN: {drop!r} is a partition column"
+            )
+        if len(fields) == 1:
+            raise UnsupportedFormat(
+                "DROP COLUMN: cannot drop the only column"
+            )
+        _ensure_mapping()
+        fields[:] = [f for f in fields if f["name"] != drop]
+        op, op_params = "DROP COLUMNS", {"column": drop}
+
+    schema["fields"] = fields
+    version = _next_version(log_dir)
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": op_params,
+                "engineInfo": "pg_analytics_spark-native-writer",
+            }
+        }
+    ]
+    if proto_action is not None:
+        actions.append({"protocol": proto_action})
+    actions.append(
+        {
+            "metaData": {
+                "id": meta.get("id") or str(uuid.uuid4()),
+                "format": meta.get("format")
+                or {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": part_cols,
+                "configuration": cfg,
+                "createdTime": meta.get("createdTime") or now_ms,
+            }
+        }
+    )
+    actions[0]["commitInfo"]["timestamp"] = int(_time.time() * 1000)
+    _write_commit(path, log_dir, version, actions)
+    return {"version": version, "operation": op}
+
+
 def _next_version(log_dir: str) -> int:
     """Next commit version: one past the max of JSON commits AND
     checkpoints — after log cleanup the checkpoint may be the only
@@ -376,7 +655,10 @@ def checkpoint_delta(path: str) -> dict:
         {
             "add": None,
             "metaData": None,
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            # the table's ACTUAL protocol — a column-mapping upgrade
+            # (alter_delta) raises it to (2, 5), and a checkpoint that
+            # demoted it would let a cleanup drop the upgrade commit
+            "protocol": _latest_protocol(log_dir),
         }
     )
     schema = pa.schema(
@@ -677,7 +959,22 @@ def write_delta(
                 )
                 schema_string = df.schema.json()
 
-    adds, n_rows = _stage_files(df, path, version, part_cols, options)
+    # column mapping (mode name|id, from the table or the creating
+    # configuration): annotate the schemaString, stage parquet under
+    # PHYSICAL names, and keep LOGICAL names in partitionColumns —
+    # exactly the split the reader resolves (delta.py::_column_mapping)
+    schema_string, eff_cfg, renames, map_proto = _apply_column_mapping(
+        prev_meta, schema_string, configuration if version == 0 else None
+    )
+    if append_evolved_schema is not None:
+        append_evolved_schema = schema_string
+    stage_part_cols = (
+        [renames.get(c, c) for c in part_cols] if renames else part_cols
+    )
+    adds, n_rows = _stage_files(
+        _stage_as_physical(df, renames), path, version,
+        stage_part_cols, options,
+    )
 
     import time as _time
 
@@ -694,7 +991,10 @@ def write_delta(
     ]
     if version == 0:
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": map_proto
+                or {"minReaderVersion": 1, "minWriterVersion": 2}
+            }
         )
         actions.append(
             {
@@ -703,7 +1003,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    "configuration": dict(configuration or {}),
+                    "configuration": eff_cfg,
                     "createdTime": now_ms,
                 }
             }
@@ -728,7 +1028,7 @@ def write_delta(
                         or {"provider": "parquet", "options": {}},
                         "schemaString": schema_string,
                         "partitionColumns": part_cols,
-                        "configuration": prev_meta.get("configuration") or {},
+                        "configuration": eff_cfg,
                         "createdTime": prev_meta.get("createdTime") or now_ms,
                     }
                 }
@@ -755,8 +1055,7 @@ def write_delta(
                     or {"provider": "parquet", "options": {}},
                     "schemaString": append_evolved_schema,
                     "partitionColumns": part_cols,
-                    "configuration": (prev_meta or {}).get("configuration")
-                    or {},
+                    "configuration": eff_cfg,
                     "createdTime": (prev_meta or {}).get("createdTime")
                     or now_ms,
                 }
@@ -1001,7 +1300,12 @@ def merge_delta(
     )
 
     version = _next_version(log_dir)
-    adds, n_rows = _stage_files(new_df, path, version, part_cols, options)
+    renames = _phys_renames(prev_meta)
+    adds, n_rows = _stage_files(
+        _stage_as_physical(new_df, renames), path, version,
+        [renames.get(c, c) for c in part_cols] if renames else part_cols,
+        options,
+    )
     import time as _time
 
     now_ms = int(_time.time() * 1000)
@@ -1343,7 +1647,12 @@ def _rewrite_where(
         # k touched files in → ~k files out (never the shuffle-partition
         # count): rewrite cost and file granularity track touched data
         new_df = new_df.coalesce(max(1, len(rewrite_abs)))
-        adds, n_rows = _stage_files(new_df, path, version, part_cols, options)
+        renames = _phys_renames(prev_meta)
+        adds, n_rows = _stage_files(
+            _stage_as_physical(new_df, renames), path, version,
+            [renames.get(c, c) for c in part_cols] if renames else part_cols,
+            options,
+        )
     if dv:
         # DV mode removes: fully-matched files (DELETE/UPDATE) plus a
         # remove+re-add pair for every file gaining a DV (the

@@ -413,6 +413,32 @@ def _current_fields(meta: dict) -> list[dict]:
     return schema.get("fields", [])
 
 
+def _name_mapping_ids(meta: dict) -> dict[str, int]:
+    """``schema.name-mapping.default`` (spec: applied to data files
+    without field-id annotations) → on-disk column name → field id.
+    Every name a field has ever had maps to its id, so files written
+    before AND after a RENAME COLUMN resolve to the same field."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    out: dict[str, int] = {}
+    for e in json.loads(raw):
+        fid = e.get("field-id")
+        for n in e.get("names", []):
+            out.setdefault(n, fid)
+    return out
+
+
+def _mapped_ids(meta: dict, arrow_schema) -> dict[int, str]:
+    """Synthetic field-id → physical-name map for a file WITHOUT
+    footer ids, from the table's name mapping (empty when the table
+    has none — callers then use plain name fallback)."""
+    nm = _name_mapping_ids(meta)
+    if not nm:
+        return {}
+    return {nm[f.name]: f.name for f in arrow_schema if f.name in nm}
+
+
 def _arrow_field_ids(arrow_schema) -> dict[int, str]:
     """Iceberg field id → physical column name, from the parquet
     footer's field_id annotations (pyarrow surfaces them as field
@@ -510,7 +536,8 @@ def _read_conformed(
 
     if not multi:
         try:
-            ids = _arrow_field_ids(pq.read_schema(paths[0]))
+            arrow0 = pq.read_schema(paths[0])
+            ids = _arrow_field_ids(arrow0) or _mapped_ids(meta, arrow0)
         except Exception:
             ids = {}
         return _conform_to_schema(
@@ -521,7 +548,10 @@ def _read_conformed(
     group_ids: dict[tuple, dict[int, str]] = {}
     for p in paths:
         arrow = pq.read_schema(p)
-        ids = _arrow_field_ids(arrow)
+        # footer ids first (files from id-stamping writers); the
+        # name-mapping property covers this writer's id-less files —
+        # without it a renamed column would not resolve in old files
+        ids = _arrow_field_ids(arrow) or _mapped_ids(meta, arrow)
         # field ids are part of the key: a drop-then-re-add leaves files
         # with identical (name, type) but different ids, and those must
         # not share one id→name map.

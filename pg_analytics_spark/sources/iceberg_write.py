@@ -842,9 +842,26 @@ def write_iceberg(
     )
     log = list((prev_meta or {}).get("snapshot-log", []))
     log.append({"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
+    # table properties survive data commits (ALTER writes
+    # schema.name-mapping.default here; dropping it would break name
+    # resolution of files written before a RENAME COLUMN) — and any
+    # field this commit minted (mergeSchema evolution) must JOIN an
+    # existing mapping, or its id-less files would null-fill on read
+    props = dict((prev_meta or {}).get("properties", {}))
+    if props.get("schema.name-mapping.default"):
+        nm = json.loads(props["schema.name-mapping.default"])
+        by_id = {e.get("field-id"): e for e in nm}
+        for f in fields:
+            e = by_id.get(f["id"])
+            if e is None:
+                nm.append({"field-id": f["id"], "names": [f["name"]]})
+            elif f["name"] not in e.get("names", []):
+                e["names"] = list(e.get("names", [])) + [f["name"]]
+        props["schema.name-mapping.default"] = json.dumps(nm)
     meta = {
         "format-version": 2,
         "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
+        "properties": props,
         "location": path,
         "last-sequence-number": seq,
         # MONOTONIC across drops: a dropped column's id must never be
@@ -878,6 +895,163 @@ def write_iceberg(
     return {"snapshot_id": snapshot_id, "files": len(entries), "rows": n_rows}
 
 
+def _name_mapping(meta: dict, fields: list[dict]) -> list[dict]:
+    """The table's ``schema.name-mapping.default`` entries (spec:
+    "Name Mapping Serialization"), seeded from the CURRENT schema when
+    the property does not exist yet — every on-disk column name this
+    writer has ever produced equals some current field name at seed
+    time, so seeding before the first rename captures them all."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if raw:
+        return json.loads(raw)
+    return [{"field-id": f["id"], "names": [f["name"]]} for f in fields]
+
+
+def alter_iceberg(
+    path: str,
+    *,
+    add: tuple[str, str] | None = None,
+    rename: tuple[str, str] | None = None,
+    drop: str | None = None,
+) -> dict:
+    """``ALTER TABLE`` on a native Iceberg v2 table — one
+    schema-evolution metadata version per call (pure metadata: no data
+    file or manifest is touched, no snapshot is added).
+
+    * ``add=(name, type)`` — new OPTIONAL field with a FRESH field id
+      past ``last-column-id`` (monotonic across drops, the spec's
+      never-reuse rule); old files lack the id and read as NULLs.
+    * ``rename=(old, new)`` — same field id, new name.  Data files
+      this writer stages carry no ``PARQUET:field_id`` annotations, so
+      resolution of pre-rename files rides the spec's
+      ``schema.name-mapping.default`` table property: the mapping is
+      seeded from the pre-alter schema (on-disk name → field id) and
+      the new name is appended to the field's names list — the reader
+      (sources/iceberg.py::_read_conformed) consults it for any file
+      without footer ids.
+    * ``drop=name`` — field removed from the current schema (files
+      keep the column; id-based conformance drops it on read).
+      Partition source fields are refused.
+
+    Reference scope: the reference reads Iceberg only
+    (src/duckdb/iceberg.rs); evolution DDL mirrors the Iceberg spec's
+    schema-evolution rules as additive parity-plus.
+    Returns {"version": n, "schema_id": s, "operation": ...}.
+    """
+    if sum(x is not None for x in (add, rename, drop)) != 1:
+        raise UnsupportedFormat(
+            "alter_iceberg takes exactly one of add=/rename=/drop="
+        )
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"no Iceberg table at {path}")
+    schemas = list(prev_meta.get("schemas", []))
+    cur_id = prev_meta.get("current-schema-id", 0)
+    cur = next(s for s in schemas if s.get("schema-id") == cur_id)
+    fields = [dict(f) for f in cur["fields"]]
+    names = [f["name"] for f in fields]
+    nm = _name_mapping(prev_meta, fields)
+    last_col = max(
+        prev_meta.get("last-column-id", 0),
+        max(f["id"] for f in fields),
+    )
+
+    if add is not None:
+        col, type_str = add
+        if col in names:
+            raise UnsupportedFormat(f"ADD COLUMN: {col!r} already exists")
+        from pyspark.sql import types as T
+
+        from pg_analytics_spark.types import duckdb_type_to_spark
+
+        ice_t = _ice_type(
+            T.StructField(col, duckdb_type_to_spark(type_str))
+        )
+        last_col += 1
+        fields.append(
+            {"id": last_col, "name": col, "type": ice_t, "required": False}
+        )
+        nm.append({"field-id": last_col, "names": [col]})
+        op = "ADD COLUMNS"
+    elif rename is not None:
+        old, new = rename
+        if old not in names:
+            raise UnsupportedFormat(f"RENAME COLUMN: no column {old!r}")
+        if new in names:
+            raise UnsupportedFormat(
+                f"RENAME COLUMN: target {new!r} already exists"
+            )
+        fid = next(f["id"] for f in fields if f["name"] == old)
+        for f in fields:
+            if f["id"] == fid:
+                f["name"] = new
+        for e in nm:
+            if e.get("field-id") == fid and new not in e.get("names", []):
+                e["names"] = list(e.get("names", [])) + [new]
+        op = "RENAME COLUMN"
+    else:
+        if drop not in names:
+            raise UnsupportedFormat(f"DROP COLUMN: no column {drop!r}")
+        if len(fields) == 1:
+            raise UnsupportedFormat(
+                "DROP COLUMN: cannot drop the only column"
+            )
+        fid = next(f["id"] for f in fields if f["name"] == drop)
+        spec = next(
+            (
+                s
+                for s in prev_meta.get("partition-specs", [])
+                if s.get("spec-id") == prev_meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        if any(pf.get("source-id") == fid for pf in spec.get("fields", [])):
+            raise UnsupportedFormat(
+                f"DROP COLUMN: {drop!r} is a partition source field"
+            )
+        fields = [f for f in fields if f["id"] != fid]
+        # the name-mapping entry stays: files on disk keep the column,
+        # and the never-reused id keeps it from binding to anything
+        op = "DROP COLUMNS"
+
+    new_schema_id = max(s.get("schema-id", 0) for s in schemas) + 1
+    meta = dict(prev_meta)
+    meta["schemas"] = schemas + [
+        {"schema-id": new_schema_id, "fields": fields}
+    ]
+    meta["current-schema-id"] = new_schema_id
+    meta["last-column-id"] = last_col
+    props = dict(prev_meta.get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(nm)
+    meta["properties"] = props
+
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"version": version, "schema_id": new_schema_id, "operation": op}
+
+
 def _scan_snapshot_files(prev_list):
     """Walk a snapshot's manifests → (data file→sequence number,
     position-delete paths, [(equality-delete path, seq)]).  Sequence
@@ -906,7 +1080,97 @@ def _scan_snapshot_files(prev_list):
     return data_seq, pos_deletes, eq_deletes
 
 
-def _visible_target(spark, data_seq, pos_deletes, eq_deletes):
+def _dml_scan_conformed(spark, paths: list[str], meta: dict):
+    """DML-side scan of data files conformed to the CURRENT schema
+    (same field-id / name-mapping resolution as the reader's
+    _read_conformed, carrying the ``_ifile``/``_ipos`` DML coordinates
+    through): after a RENAME/DROP COLUMN, predicates written against
+    current names must bind to pre-rename files' on-disk columns —
+    a raw mergeSchema union would surface the OLD name and silently
+    null the predicate instead."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg import (
+        _arrow_field_ids,
+        _current_fields,
+        _ice_to_spark_type,
+        _mapped_ids,
+    )
+
+    fields = _current_fields(meta)
+    meta_cols = [
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            "_ifile"
+        ),
+        F.col("_metadata.row_index").cast("long").alias("_ipos"),
+    ]
+    groups: dict[tuple, list[str]] = {}
+    group_ids: dict[tuple, dict[int, str]] = {}
+    for p in paths:
+        arrow = pq.read_schema(p)
+        ids = _arrow_field_ids(arrow) or _mapped_ids(meta, arrow)
+        phys_to_id = {n: i for i, n in ids.items()}
+        key = tuple(
+            (f.name, str(f.type), phys_to_id.get(f.name)) for f in arrow
+        )
+        groups.setdefault(key, []).append(p)
+        group_ids[key] = ids
+    parts = []
+    for key, ps in groups.items():
+        df = spark.read.option("mergeSchema", "true").parquet(*ps).select(
+            "*", *meta_cols
+        )
+        ids = group_ids[key]
+        have = {c.lower(): c for c in df.columns}
+        cols = []
+        for f in fields:
+            spark_t = _ice_to_spark_type(f.get("type"))
+            phys = None
+            if ids and f.get("id") in ids and ids[f["id"]] in df.columns:
+                phys = ids[f["id"]]
+            elif not ids and f["name"].lower() in have:
+                phys = have[f["name"].lower()]
+            if phys is not None:
+                c = F.col(phys)
+                cols.append(
+                    (c.cast(spark_t) if spark_t else c).alias(f["name"])
+                )
+            elif spark_t is not None:
+                cols.append(F.lit(None).cast(spark_t).alias(f["name"]))
+        parts.append(df.select(*cols, "_ifile", "_ipos"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _conform_eq_delete_names(x, meta: dict | None):
+    """Equality-delete files carry the key columns under the names
+    current AT WRITE TIME; after a rename the anti-join must compare
+    against the field's CURRENT name — translate via name-mapping →
+    field id → current field name (no-op without a mapping)."""
+    if meta is None:
+        return x
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg import (
+        _current_fields,
+        _name_mapping_ids,
+    )
+
+    nm = _name_mapping_ids(meta)
+    if not nm:
+        return x
+    id_to_cur = {f["id"]: f["name"] for f in _current_fields(meta)}
+    cols = []
+    for c in x.columns:
+        cur = id_to_cur.get(nm.get(c))
+        cols.append(F.col(c).alias(cur) if cur and cur != c else F.col(c))
+    return x.select(*cols)
+
+
+def _visible_target(spark, data_seq, pos_deletes, eq_deletes, meta=None):
     """The CURRENT snapshot's VISIBLE rows with ``_ifile``/``_ipos``
     columns — position deletes anti-joined on (file, pos), equality
     deletes anti-joined null-safely on the delete file's own columns
@@ -914,18 +1178,24 @@ def _visible_target(spark, data_seq, pos_deletes, eq_deletes):
     delete's).  DML predicates must evaluate against THIS relation:
     building it from raw data files + position deletes alone would
     resurrect equality-deleted rows into the match set (and no
-    double-delete bookkeeping would catch it)."""
+    double-delete bookkeeping would catch it).  ``meta``: when the
+    table has evolved schemas (ALTER TABLE), the scan conforms
+    per-file-schema groups to the CURRENT schema so DML predicates
+    bind renamed/added columns correctly."""
     from pyspark.sql import functions as F
 
-    tgt = spark.read.option("mergeSchema", "true").parquet(
-        *sorted(data_seq)
-    ).select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-            "_ifile"
-        ),
-        F.col("_metadata.row_index").cast("long").alias("_ipos"),
-    )
+    if meta is not None and len(meta.get("schemas") or []) > 1:
+        tgt = _dml_scan_conformed(spark, sorted(data_seq), meta)
+    else:
+        tgt = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(data_seq)
+        ).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("_ifile"),
+            F.col("_metadata.row_index").cast("long").alias("_ipos"),
+        )
     if pos_deletes:
         prior = spark.read.parquet(*sorted(set(pos_deletes))).select(
             F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
@@ -950,7 +1220,9 @@ def _visible_target(spark, data_seq, pos_deletes, eq_deletes):
         )
         for dpath, dseq in sorted(eq_deletes):
             d = tgt.alias("d")
-            x = spark.read.parquet(dpath).alias("x")
+            x = _conform_eq_delete_names(
+                spark.read.parquet(dpath), meta
+            ).alias("x")
             cond = F.col("d._iseq") < F.lit(int(dseq))
             for c in x.columns:
                 cond = cond & F.col(f"d.{c}").eqNullSafe(F.col(f"x.{c}"))
@@ -1086,7 +1358,8 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
     # _visible_target also applies EQUALITY deletes under the sequence
     # rule — the predicate must never match an eq-deleted row.
     tgt = _visible_target(
-        spark, data_seq, existing_pos_deletes, existing_eq_deletes
+        spark, data_seq, existing_pos_deletes, existing_eq_deletes,
+        meta=prev_meta,
     )
     match = F.expr(where) if where is not None else F.lit(True)
     dels = tgt.filter(F.coalesce(match, F.lit(False))).select(
@@ -1354,6 +1627,7 @@ def compact_iceberg(spark, path: str) -> dict:
             },
             pos_delete_paths,
             eq_delete_files,
+            meta=prev_meta,
         )
         key_expr = F.regexp_replace(F.col("_ifile"), r"^.*/(?=data/)", "")
         idx_map = spark.createDataFrame(
@@ -1560,7 +1834,8 @@ def update_iceberg(
 
     # eq-aware visibility: see delete_iceberg (sequence-rule anti-join)
     tgt = _visible_target(
-        spark, data_seq, existing_pos_deletes, existing_eq_deletes
+        spark, data_seq, existing_pos_deletes, existing_eq_deletes,
+        meta=prev_meta,
     )
     match = F.expr(where) if where is not None else F.lit(True)
     matched = tgt.filter(F.coalesce(match, F.lit(False))).persist()

@@ -4774,3 +4774,126 @@ def sql_passthrough_list_element(
     eng = Engine(spark=spark)
     table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return eng.sql(_PASSTHROUGH_LIST_ELEMENT)
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS note
+  FROM orders WHERE o_orderkey < 2000
+), appended AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         'n' || o_orderkey AS note
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM appended
+), renamed AS (
+  SELECT o_orderkey, o_custkey, o_totalprice AS price, note FROM unioned
+), updated AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN price * 2 ELSE price END
+           AS price,
+         note
+  FROM renamed
+), final AS (
+  SELECT * FROM updated WHERE NOT o_orderkey % 97 = 0
+)
+SELECT o_orderkey, price, note FROM final ORDER BY o_orderkey
+"""
+
+
+def _schema_evolution_lifecycle(spark, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared ALTER TABLE lifecycle for both native writers — the two
+    gate rows run the SAME statements against the SAME oracle, so a
+    divergence between the Delta and Iceberg evolution paths (mapping
+    upgrade vs field-id schema versions) surfaces as a value mismatch
+    (the CoW==MoR shared-oracle precedent)."""
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    writer = write_delta if fmt == "delta" else write_iceberg
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), f"orders_evolve_{fmt}")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    writer(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+
+    eng = Engine(spark=spark)
+    eng.attach("evolve_tgt", [root], fmt)
+    # 1) widen: old files null-fill the new column on read
+    eng.sql("ALTER TABLE evolve_tgt ADD COLUMN note varchar")
+    # 2) append under the widened schema (mixed-era files coexist)
+    appended = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.concat(F.lit("n"), F.col("o_orderkey")).alias("note"),
+        )
+    )
+    writer(appended.repartition(2, "o_orderkey"), root, mode="append")
+    # 3) rename: Delta upgrades to column mapping; Iceberg keeps the
+    #    field id and extends the name mapping — files written under
+    #    BOTH names must resolve to one logical column
+    eng.sql("ALTER TABLE evolve_tgt RENAME COLUMN o_totalprice TO price")
+    # 4) DML binding the RENAMED name across both file eras
+    eng.sql(
+        "UPDATE evolve_tgt SET price = price * 2 WHERE o_orderkey % 10 = 0"
+    )
+    eng.sql("DELETE FROM evolve_tgt WHERE o_orderkey % 97 = 0")
+    # 5) narrow: dropped column disappears without touching data files
+    eng.sql("ALTER TABLE evolve_tgt DROP COLUMN o_custkey")
+    return eng.sql(
+        "SELECT o_orderkey, price, note FROM evolve_tgt ORDER BY o_orderkey"
+    )
+
+
+@register(
+    "delta_schema_evolution_roundtrip",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    doc="ALTER TABLE lifecycle on the native Delta writer: ADD COLUMN "
+    "(metadata-only; old files null-fill), append under the widened "
+    "schema, RENAME COLUMN (upgrades the table to column mapping — "
+    "mode=name, physicalName = the pre-rename on-disk name, protocol "
+    "raised to reader 2 / writer 5 per the spec's columnMapping "
+    "floor), UPDATE + DELETE binding the renamed name across both "
+    "file eras (post-upgrade staging writes PHYSICAL column names), "
+    "and DROP COLUMN — all statement-routed through Engine.sql.  The "
+    "oracle replays the whole history relationally.  Reference reads "
+    "Delta only (src/duckdb/delta.rs); evolution DDL is additive "
+    "parity-plus.  sources/delta_write.alter_delta.",
+)
+def delta_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _schema_evolution_lifecycle(spark, sf_dir, "delta")
+
+
+@register(
+    "iceberg_schema_evolution_roundtrip",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    doc="ALTER TABLE lifecycle on the native Iceberg v2 writer — the "
+    "SAME statements and SAME oracle as the Delta twin, proving the "
+    "two evolution mechanisms (Delta column mapping vs Iceberg "
+    "field-id schema versions + schema.name-mapping.default for this "
+    "writer's id-less parquet) agree value-exactly: pure-metadata "
+    "versions (no snapshot added), rename keeps the field id, the "
+    "name mapping accumulates every historical on-disk name, DML "
+    "anti-joins and predicates bind the renamed column across file "
+    "eras.  sources/iceberg_write.alter_iceberg.",
+)
+def iceberg_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _schema_evolution_lifecycle(spark, sf_dir, "iceberg")
