@@ -138,6 +138,7 @@ WRITER_ROWS = frozenset(
         "iceberg_eq_cdc_upsert",
         "delta_schema_evolution_roundtrip",
         "iceberg_schema_evolution_roundtrip",
+        "bitmap_index_probe",
     }
 )
 
@@ -242,6 +243,7 @@ HEADLINE_NEXT7: list = [
 HEADLINE_NEXT8: list = [
     "delta_schema_evolution_roundtrip",
     "iceberg_schema_evolution_roundtrip",
+    "bitmap_index_probe",
 ]
 
 

@@ -4897,3 +4897,52 @@ def iceberg_schema_evolution_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _schema_evolution_lifecycle(spark, sf_dir, "iceberg")
+
+
+_BITMAP_PROBE_ORACLE = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND user_id % 8 = 3
+ORDER BY event_id
+"""
+
+
+@register(
+    "bitmap_index_probe",
+    oracle=_BITMAP_PROBE_ORACLE,
+    doc="Roaring-bitmap secondary index (operators/bitmap_index.py): "
+    "build one roaring bitmap of row positions per (data file, "
+    "indexed expression, value) — the classic OLAP bitmap index over "
+    "immutable parquet — then answer the conjunctive probe "
+    "event_type='click' AND user_id%8=3 by bitmap algebra (OR within "
+    "a value list, AND across columns, Arrow-batched per file) and "
+    "retrieve rows by scanning ONLY matched files semi-joined on "
+    "(file, row_index).  Count probes answer from the index alone "
+    "(zero data bytes); retrieval pruning is EXACT, not zone-map "
+    "approximate.  The codec is the Delta deletion-vector roaring "
+    "implementation (sources/delta_dv.py) — one public format, two "
+    "operators.  Oracle: the plain relational filter.",
+)
+def bitmap_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.operators.bitmap_index import (
+        bitmap_probe_rows,
+        build_bitmap_index,
+    )
+
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "events_bitmap")
+    tbl = _os.path.join(root, "events")
+    idx = _os.path.join(root, "idx")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    table(spark, sf_dir, "events").repartition(
+        8, "event_id"
+    ).write.parquet(tbl)
+    build_bitmap_index(
+        spark, tbl, {"event_type": "event_type", "bucket": "user_id % 8"},
+        idx,
+    )
+    return bitmap_probe_rows(
+        spark, idx, {"event_type": "click", "bucket": "3"},
+        ["event_id", "user_id", "value"],
+    ).orderBy("event_id")
