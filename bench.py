@@ -244,6 +244,8 @@ HEADLINE_NEXT8: list = [
     "delta_schema_evolution_roundtrip",
     "iceberg_schema_evolution_roundtrip",
     "bitmap_index_probe",
+    "events_seasonal_decompose",
+    "graph_bfs_distance",
 ]
 
 

@@ -4946,3 +4946,78 @@ def bitmap_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, {"event_type": "click", "bucket": "3"},
         ["event_id", "user_id", "value"],
     ).orderBy("event_id")
+
+
+_BFS_ROUNDS = 8
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_COPURCHASE_CTES},
+eb AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+seed AS (SELECT MIN(node) AS s FROM deg),
+walk(node, dist) AS (
+  SELECT s AS node, 0 AS dist FROM seed
+  UNION
+  SELECT e.b AS node, w.dist + 1 AS dist
+  FROM walk w JOIN eb e ON e.a = w.node
+  WHERE w.dist < {_BFS_ROUNDS}
+)
+SELECT node AS part, MIN(dist)::BIGINT AS dist
+FROM walk GROUP BY node
+ORDER BY dist, part
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=_BFS_ORACLE,
+    doc=f"Single-source BFS over the part co-purchase graph (source = "
+    "the smallest node id, derived in-plan): hop distance to every "
+    f"reachable part within {_BFS_ROUNDS} rounds — the primitive under "
+    "reachability, ego-network radius, and degrees-of-separation "
+    "features.  All integers, value-exact.  Spark runs FRONTIER BFS — "
+    "per round, one join frontier×edges + one anti-join against the "
+    "visited set, the distributed recipe whose per-round work is "
+    "O(frontier edges), with the two multi-reference frames "
+    "localCheckpointed per round (the kcore 3^rounds plan-growth "
+    "lesson).  DuckDB replays it as a recursive CTE whose UNION "
+    "visits every (node, dist<=cap) pair — the co-purchase graph's "
+    "diameter is ~3, so the frontier empties and rounds beyond "
+    "convergence are no-ops in BOTH engines (deterministic whether "
+    "or not the cap bites; the kcore unroll precedent).",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg = _copurchase_und_deg(spark, sf_dir)
+    edges = (
+        und.select("a", "b")
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    seed = deg.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = seed.localCheckpoint()
+    frontier = dist
+    for r in range(1, _BFS_ROUNDS + 1):
+        # frontier expansion: O(frontier-incident edges); the anti-join
+        # keeps first-visit (= minimum) distances only.  dist and
+        # frontier are both referenced twice per round — checkpoint
+        # cuts the 2^rounds logical-plan growth (kcore lesson).
+        nxt = (
+            frontier.join(edges, frontier.node == edges.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            # converged: every later round is a no-op in both engines
+            # (the oracle's extra recursion levels add nothing) —
+            # skipping them changes cost, never the result
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist.select(F.col("node").alias("part"), "dist").orderBy(
+        "dist", "part"
+    )

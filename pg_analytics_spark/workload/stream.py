@@ -1400,3 +1400,130 @@ def events_holt_trend_smoothing(
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), series AS (
+      SELECT g.hour, COALESCE(a.n, 0)::BIGINT AS n
+      FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    ), windowed AS (
+      SELECT hour, n,
+             SUM(n) OVER (ORDER BY hour
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)::BIGINT AS sa,
+             COUNT(*) OVER (ORDER BY hour
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)::BIGINT AS ca,
+             SUM(n) OVER (ORDER BY hour
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)::BIGINT AS sb,
+             COUNT(*) OVER (ORDER BY hour
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)::BIGINT AS cb
+      FROM series
+    ), trended AS (
+      SELECT hour, n,
+             CASE WHEN ca = 24 AND cb = 24 THEN sa + sb END AS trend_num,
+             EXTRACT(HOUR FROM hour)::BIGINT AS hod
+      FROM windowed
+    ), seasonal AS (
+      SELECT hod,
+             SUM(48 * n - trend_num)::BIGINT AS s_num,
+             (48 * COUNT(*))::BIGINT AS s_den
+      FROM trended WHERE trend_num IS NOT NULL GROUP BY hod
+    )
+    SELECT t.hour, t.n, t.trend_num,
+           CAST(t.trend_num AS DOUBLE) / 48.0 AS trend,
+           CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) AS seasonal,
+           CAST(t.n AS DOUBLE)
+             - CAST(t.trend_num AS DOUBLE) / 48.0
+             - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE)
+             AS remainder
+    FROM trended t LEFT JOIN seasonal s ON t.hod = s.hod
+    ORDER BY t.hour
+    """,
+    doc="Additive seasonal decomposition of the hourly click-count "
+    "series, period 24 (classical decomposition, the moving-average "
+    "variant of STL): trend = centered 2x24 moving average kept as an "
+    "exact BIGINT NUMERATOR over denominator 48 (partial windows "
+    "NULL), seasonal index = per-hour-of-day mean of the detrended "
+    "series kept rational as (SUM(48*n - trend_num), 48*count) — the "
+    "ENTIRE pipeline is integer arithmetic; doubles appear only in "
+    "the final projections, each ONE correctly-rounded IEEE division "
+    "or left-associative subtraction of identical operands, so every "
+    "value is exact cross-engine with no rounding step (the "
+    "audio-vad unrounded-division precedent; seasonal indices are "
+    "raw means, not zero-centered — centering would need "
+    "mixed-denominator rationals).  Plan: one hourly count shuffle, "
+    "grid-sized windows, seasonal table broadcast back.  At 100 TB "
+    "the corpus-scale work remains the single aggregate; windows run "
+    "over the grid (hours), never the raw events.",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    agg = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    series = grid.join(agg, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    wa = Window.orderBy("hour").rowsBetween(-12, 11)
+    wb = Window.orderBy("hour").rowsBetween(-11, 12)
+    trended = series.select(
+        "hour",
+        "n",
+        F.when(
+            (F.count(F.lit(1)).over(wa) == 24)
+            & (F.count(F.lit(1)).over(wb) == 24),
+            (F.sum("n").over(wa) + F.sum("n").over(wb)).cast("long"),
+        ).alias("trend_num"),
+        F.hour("hour").cast("long").alias("hod"),
+    )
+    seasonal = (
+        trended.filter(F.col("trend_num").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.sum(48 * F.col("n") - F.col("trend_num"))
+            .cast("long")
+            .alias("s_num"),
+            (48 * F.count(F.lit(1))).cast("long").alias("s_den"),
+        )
+    )
+    trend_d = F.col("trend_num").cast("double") / F.lit(48.0)
+    seas_d = F.col("s_num").cast("double") / F.col("s_den").cast("double")
+    return (
+        trended.join(F.broadcast(seasonal), "hod", "left")
+        .select(
+            "hour",
+            "n",
+            "trend_num",
+            trend_d.alias("trend"),
+            seas_d.alias("seasonal"),
+            (F.col("n").cast("double") - trend_d - seas_d).alias(
+                "remainder"
+            ),
+        )
+        .orderBy("hour")
+    )
