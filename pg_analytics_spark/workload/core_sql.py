@@ -5016,7 +5016,11 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (the oracle's extra recursion levels add nothing) —
             # skipping them changes cost, never the result
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        # no checkpoint on dist: it is a UNION of already-materialized
+        # leaves (seed + each round's checkpointed nxt), so the plan
+        # stays O(rounds) — the 3^rounds blowup needs re-derivation,
+        # which the per-round nxt checkpoint already cuts
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.select(F.col("node").alias("part"), "dist").orderBy(
         "dist", "part"

@@ -3842,3 +3842,50 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return vad_media(d, "payload", "doc_id").orderBy("id")
+
+
+@register(
+    "sim_ann_filtered",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    allowed AS (
+      SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+    )
+    SELECT vec_id,
+           ROUND(
+             list_sum([x[1]::DOUBLE * x[2]::DOUBLE
+                       for x in list_zip(embedding, qe)]) /
+             (sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) *
+              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in qe]))),
+             6) AS sim
+    FROM embeddings e JOIN allowed a ON a.doc_id = e.vec_id, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 15
+    """,
+    doc="METADATA-FILTERED vector search — top-15 cosine neighbors of "
+    "vec_id=0 among documents with lang='en' AND n_chars>=200 (every "
+    "vector DB's 'filtered ANN').  Strategy: PRE-filter (semi-join "
+    "the predicate's doc ids onto the vectors) THEN score — exact, "
+    "and the right plan whenever the predicate is selective: scoring "
+    "work = matching vectors, and recall is 1.0 by construction, "
+    "where post-filtering an ANN shortlist k' >= k/selectivity loses "
+    "recall on exactly the hard queries.  At 100 TB the semi-join "
+    "side comes from the bitmap index (operators/bitmap_index.py "
+    "probes return the file-pruned id set) and the scoring side from "
+    "the IVF layout (operators/similarity.py) when the filter is "
+    "loose — the two plans this row and sim_ann_ivf_pruned pin down. "
+    " Plan: one broadcast semi-join + scan + fold + TakeOrdered, no "
+    "wide shuffle.",
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    allowed = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    qvec = _query_vec(spark, sf_dir)
+    filtered = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    return brute_force_topk(filtered, "embedding", "vec_id", qvec, k=15)

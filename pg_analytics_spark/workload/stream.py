@@ -1501,20 +1501,25 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trend_num"),
         F.hour("hour").cast("long").alias("hod"),
     )
-    seasonal = (
-        trended.filter(F.col("trend_num").isNotNull())
-        .groupBy("hod")
-        .agg(
-            F.sum(48 * F.col("n") - F.col("trend_num"))
-            .cast("long")
-            .alias("s_num"),
-            (48 * F.count(F.lit(1))).cast("long").alias("s_den"),
-        )
+    # seasonal means as a WINDOW over hod instead of groupBy +
+    # broadcast join back: same exact integer sums, one pass, no
+    # broadcast-build job (audit: 5 jobs -> fewer, grid-sized data)
+    w_hod = Window.partitionBy("hod")
+    det = F.when(
+        F.col("trend_num").isNotNull(),
+        48 * F.col("n") - F.col("trend_num"),
+    )
+    seasoned = trended.select(
+        "hour",
+        "n",
+        "trend_num",
+        F.sum(det).over(w_hod).cast("long").alias("s_num"),
+        (48 * F.count(det).over(w_hod)).cast("long").alias("s_den"),
     )
     trend_d = F.col("trend_num").cast("double") / F.lit(48.0)
     seas_d = F.col("s_num").cast("double") / F.col("s_den").cast("double")
     return (
-        trended.join(F.broadcast(seasonal), "hod", "left")
+        seasoned
         .select(
             "hour",
             "n",
