@@ -139,6 +139,7 @@ WRITER_ROWS = frozenset(
         "delta_schema_evolution_roundtrip",
         "iceberg_schema_evolution_roundtrip",
         "bitmap_index_probe",
+        "delta_tblproperties_dv_routing",
     }
 )
 
@@ -246,6 +247,9 @@ HEADLINE_NEXT8: list = [
     "bitmap_index_probe",
     "events_seasonal_decompose",
     "graph_bfs_distance",
+    "sim_ann_filtered",
+    "sql_passthrough_group_by_all",
+    "delta_tblproperties_dv_routing",
 ]
 
 

@@ -227,6 +227,15 @@ _OPTIMIZE_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: `ALTER TABLE <attached lake table> SET TBLPROPERTIES ('k'='v', …)`
+#: / `UNSET TBLPROPERTIES ('k', …)` — table-property updates through
+#: the native writers (metadata-only commits on both formats).
+_ALTER_PROPS_RE = _re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+"
+    r"(?P<verb>SET|UNSET)\s+TBLPROPERTIES\s*\((?P<body>[^)]*)\)\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: `ALTER TABLE <attached lake table> ADD COLUMN c type | RENAME
 #: COLUMN a TO b | DROP COLUMN c` — schema evolution through the
 #: native writers (metadata-only commits on both formats).
@@ -457,6 +466,9 @@ class Engine:
         m = _OPTIMIZE_STMT_RE.match(query.strip())
         if m:
             return self._optimize_statement(m)
+        m = _ALTER_PROPS_RE.match(query.strip())
+        if m:
+            return self._alter_props_statement(m)
         m = _ALTER_STMT_RE.match(query.strip())
         if m:
             return self._alter_statement(m)
@@ -2803,6 +2815,67 @@ class Engine:
             ],
             "restored_to int, files_removed int, files_readded int, "
             "version int",
+        )
+
+    def _alter_props_statement(self, m) -> DataFrame:
+        """``ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)`` / ``UNSET
+        TBLPROPERTIES ('k', …)`` on attached delta/iceberg tables —
+        metadata-only commits through the native writers (Delta:
+        configuration, the delta-spark property contract — e.g.
+        delta.enableDeletionVectors flips DML to merge-on-read;
+        Iceberg: the properties map).  Returns one metrics row."""
+        from pg_analytics_spark.dialect import UnsupportedDialect
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "ALTER TABLE", formats=("delta", "iceberg")
+        )
+        body = m.group("body")
+        items = [
+            s.strip() for s in _re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", body)
+            if s.strip()
+        ]
+        set_props: dict[str, str] = {}
+        unset_props: list[str] = []
+        unset = m.group("verb").upper() == "UNSET"
+        for it in items:
+            if unset:
+                unset_props.append(it.strip("'\""))
+                continue
+            kv = _re.match(
+                r"^'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'$", it
+            ) or _re.match(
+                r'^"(?P<k>[^"]+)"\s*=\s*"(?P<v>[^"]*)"$', it
+            )
+            if not kv:
+                raise UnsupportedDialect(
+                    f"SET TBLPROPERTIES: expected 'key' = 'value', got "
+                    f"{it!r}"
+                )
+            set_props[kv.group("k")] = kv.group("v")
+        if att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                alter_iceberg_properties,
+            )
+
+            res = alter_iceberg_properties(
+                att.files[0],
+                set_props or None,
+                unset_props or None,
+            )
+        else:
+            from pg_analytics_spark.sources.delta_write import (
+                alter_delta_properties,
+            )
+
+            res = alter_delta_properties(
+                att.files[0],
+                set_props or None,
+                unset_props or None,
+            )
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self.spark.createDataFrame(
+            [(m.group("verb").upper(), int(res["version"]))],
+            "operation string, version int",
         )
 
     def _alter_statement(self, m) -> DataFrame:

@@ -535,6 +535,70 @@ def alter_delta(
     return {"version": version, "operation": op}
 
 
+def alter_delta_properties(
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset_props: list[str] | None = None,
+) -> dict:
+    """``ALTER TABLE … SET/UNSET TBLPROPERTIES`` — one metadata-only
+    commit updating the table ``configuration`` (delta-spark's
+    property contract: e.g. setting ``delta.enableDeletionVectors``
+    routes every later UPDATE/DELETE through the merge-on-read DV
+    path).  Column-mapping keys are refused here: the mode flip needs
+    the coordinated schema annotation + protocol upgrade that
+    alter_delta's RENAME/DROP path performs."""
+    import time as _time
+
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"not a Delta table (no _delta_log): {path}")
+    _active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise UnsupportedFormat(f"Delta log has no metaData action: {path}")
+    for k in list(set_props or {}):
+        if k.startswith("delta.columnMapping."):
+            raise UnsupportedFormat(
+                "SET TBLPROPERTIES: column-mapping keys change physical "
+                "resolution — use ALTER TABLE RENAME/DROP COLUMN (the "
+                "upgrade annotates the schema and raises the protocol)"
+            )
+    cfg = dict(meta.get("configuration") or {})
+    cfg.update({k: str(v) for k, v in (set_props or {}).items()})
+    for k in unset_props or []:
+        cfg.pop(k, None)
+    version = _next_version(log_dir)
+    now_ms = int(_time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES"
+                if set_props
+                else "UNSET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(set_props or unset_props or {})
+                },
+                "engineInfo": "pg_analytics_spark-native-writer",
+            }
+        },
+        {
+            "metaData": {
+                "id": meta.get("id") or str(uuid.uuid4()),
+                "format": meta.get("format")
+                or {"provider": "parquet", "options": {}},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": cfg,
+                "createdTime": meta.get("createdTime") or now_ms,
+            }
+        },
+    ]
+    _write_commit(path, log_dir, version, actions)
+    return {"version": version, "configuration": cfg}
+
+
 def _next_version(log_dir: str) -> int:
     """Next commit version: one past the max of JSON commits AND
     checkpoints — after log cleanup the checkpoint may be the only

@@ -1052,6 +1052,59 @@ def alter_iceberg(
     return {"version": version, "schema_id": new_schema_id, "operation": op}
 
 
+def alter_iceberg_properties(
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset_props: list[str] | None = None,
+) -> dict:
+    """``ALTER TABLE … SET/UNSET TBLPROPERTIES`` — a new metadata
+    version updating the table ``properties`` map (no snapshot).
+    ``schema.name-mapping.default`` is refused: it encodes physical
+    column resolution and is maintained by alter_iceberg/write_iceberg
+    — hand-editing it would silently re-bind on-disk columns."""
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"no Iceberg table at {path}")
+    for k in list(set_props or {}) + list(unset_props or []):
+        if k == "schema.name-mapping.default":
+            raise UnsupportedFormat(
+                "SET TBLPROPERTIES: schema.name-mapping.default is "
+                "maintained by ALTER TABLE RENAME/ADD COLUMN — editing "
+                "it directly would re-bind on-disk columns"
+            )
+    props = dict(prev_meta.get("properties") or {})
+    props.update({k: str(v) for k, v in (set_props or {}).items()})
+    for k in unset_props or []:
+        props.pop(k, None)
+    meta = dict(prev_meta)
+    meta["properties"] = props
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"version": version, "properties": props}
+
+
 def _scan_snapshot_files(prev_list):
     """Walk a snapshot's manifests → (data file→sequence number,
     position-delete paths, [(equality-delete path, seq)]).  Sequence

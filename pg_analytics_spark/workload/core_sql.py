@@ -5025,3 +5025,124 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(F.col("node").alias("part"), "dist").orderBy(
         "dist", "part"
     )
+
+
+_PASSTHROUGH_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents
+FROM lineitem
+WHERE l_shipdate < DATE '1998-09-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_passthrough_group_by_all",
+    oracle=_PASSTHROUGH_GROUP_BY_ALL,
+    doc="DuckDB-dialect passthrough: GROUP BY ALL + ORDER BY ALL — "
+    "DuckDB's signature conveniences (group on every non-aggregate "
+    "select item; order by the whole select list left-to-right).  "
+    "Spark 4 implements BOTH natively with identical semantics, so "
+    "the SAME text runs unmodified on the two engines — pinned here "
+    "so a dialect-shim regression (rewriting ALL as a column name) "
+    "or a Spark behavior change surfaces as a gate failure.  "
+    "Aggregates stay in exact integers (the cents-scaling trick) so "
+    "the row is value-exact.",
+)
+def sql_passthrough_group_by_all(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return eng.sql(_PASSTHROUGH_GROUP_BY_ALL)
+
+
+_TBLPROPS_DV_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderkey, o_custkey, v FROM base
+WHERE NOT COALESCE(v > 250000, FALSE)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "delta_tblproperties_dv_routing",
+    oracle=_TBLPROPS_DV_ORACLE,
+    doc="ALTER TABLE … SET TBLPROPERTIES flips a LIVE table to "
+    "merge-on-read: the table is created WITHOUT deletion vectors, "
+    "`'delta.enableDeletionVectors' = 'true'` lands as a "
+    "metadata-only commit, and the DELETE that follows must route "
+    "through the DV path — original data files byte-identical, "
+    "matched positions serialized as a roaring blob on a re-add of "
+    "the SAME file (asserted in-row, like delta_dv_dml_roundtrip).  "
+    "This is delta-spark's exact property contract: DML consults "
+    "table configuration, never a per-statement flag.  UNSET is "
+    "exercised by flipping the property back off before the read.  "
+    "Oracle replays relationally.  "
+    "sources/delta_write.alter_delta_properties.",
+)
+def delta_tblproperties_dv_routing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_tblprops_dv")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    orig = sorted(
+        (p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size)
+        for p in _glob.glob(root + "/*.parquet")
+    )
+    eng = Engine(spark=spark)
+    eng.attach("props_tgt", [root], "delta")
+    eng.sql(
+        "ALTER TABLE props_tgt SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors' = 'true')"
+    )
+    eng.sql("DELETE FROM props_tgt WHERE v > 250000")
+    still = [
+        s
+        for s in sorted(
+            (p, _os.stat(p).st_mtime_ns, _os.stat(p).st_size)
+            for p in _glob.glob(root + "/*.parquet")
+        )
+        if s[0] in {p for p, _, _ in orig}
+    ]
+    if still != orig:  # the property must have routed DML to MoR
+        raise AssertionError("TBLPROPERTIES DV routing rewrote data files")
+    if not _glob.glob(root + "/deletion_vector_*.bin"):
+        raise AssertionError("no deletion vector written after SET")
+    eng.sql(
+        "ALTER TABLE props_tgt UNSET TBLPROPERTIES "
+        "('delta.enableDeletionVectors')"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM props_tgt ORDER BY o_orderkey"
+    )

@@ -328,3 +328,128 @@ def test_engine_alter_statement_routing(spark, tmp_path, fmt):
     assert r[0]["operation"] == "DROP COLUMNS"
     got = eng.sql("SELECT k, val FROM t WHERE k < 2 ORDER BY k").collect()
     assert [x["val"] for x in got] == [0, 2]
+
+
+def test_delta_set_tblproperties_routes_dv(spark, tmp_path):
+    """SET TBLPROPERTIES flips DML to merge-on-read AFTER creation:
+    a later DELETE must leave the original data files byte-identical
+    and write a DV instead."""
+    import glob
+
+    from pg_analytics_spark.sources.delta_write import (
+        alter_delta_properties,
+        delete_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_base(spark), path, mode="overwrite")
+    res = alter_delta_properties(
+        path, {"delta.enableDeletionVectors": "true"}
+    )
+    assert res["configuration"]["delta.enableDeletionVectors"] == "true"
+    before = sorted(
+        (p, os.stat(p).st_size)
+        for p in glob.glob(path + "/*.parquet")
+    )
+    delete_delta(spark, path, "k = 3")
+    after = [
+        s for s in (
+            (p, os.stat(p).st_size)
+            for p in glob.glob(path + "/*.parquet")
+        )
+        if s[0] in {p for p, _ in before}
+    ]
+    assert sorted(after) == before  # MoR: originals untouched
+    assert glob.glob(path + "/deletion_vector_*.bin")
+    got = {r["k"] for r in load_source(spark, path, "delta").collect()}
+    assert got == {0, 1, 2, 4, 5, 6, 7}
+
+
+def test_delta_unset_tblproperties(spark, tmp_path):
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_write import (
+        alter_delta_properties,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _base(spark), path, mode="overwrite",
+        configuration={"custom.tag": "x", "other": "y"},
+    )
+    alter_delta_properties(path, None, ["custom.tag"])
+    _a, meta = _replay_log(os.path.join(path, "_delta_log"))
+    cfg = meta["configuration"]
+    assert "custom.tag" not in cfg and cfg["other"] == "y"
+
+
+def test_delta_tblproperties_column_mapping_key_refused(spark, tmp_path):
+    from pg_analytics_spark.sources.delta_write import (
+        alter_delta_properties,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_base(spark), path, mode="overwrite")
+    with pytest.raises(UnsupportedFormat):
+        alter_delta_properties(path, {"delta.columnMapping.mode": "name"})
+
+
+def test_iceberg_properties_set_unset_and_survive_writes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        alter_iceberg_properties,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_base(spark), path, mode="overwrite")
+    alter_iceberg_properties(path, {"commit.retry.num-retries": "7"})
+    # a data commit must CARRY properties forward
+    write_iceberg(
+        spark.range(8, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        ),
+        path,
+        mode="append",
+    )
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    assert meta["properties"]["commit.retry.num-retries"] == "7"
+    alter_iceberg_properties(path, None, ["commit.retry.num-retries"])
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    assert "commit.retry.num-retries" not in meta["properties"]
+    with pytest.raises(UnsupportedFormat):
+        alter_iceberg_properties(
+            path, {"schema.name-mapping.default": "[]"}
+        )
+
+
+@pytest.mark.parametrize("fmt", sorted(WRITERS))
+def test_engine_tblproperties_statement(spark, tmp_path, fmt):
+    from pg_analytics_spark.engine import Engine
+
+    write = WRITERS[fmt][0]
+    path = str(tmp_path / fmt)
+    write(_base(spark), path, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], fmt)
+    r = eng.sql(
+        "ALTER TABLE t SET TBLPROPERTIES ('a.b' = 'c,d', 'e' = 'f')"
+    ).collect()
+    assert r[0]["operation"] == "SET"
+    r = eng.sql("ALTER TABLE t UNSET TBLPROPERTIES ('e')").collect()
+    assert r[0]["operation"] == "UNSET"
+    if fmt == "delta":
+        from pg_analytics_spark.sources.delta import _replay_log
+
+        _a, meta = _replay_log(os.path.join(path, "_delta_log"))
+        cfg = meta["configuration"]
+    else:
+        from pg_analytics_spark.sources.iceberg_write import (
+            _latest_metadata,
+        )
+
+        _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+        cfg = meta["properties"]
+    assert cfg["a.b"] == "c,d" and "e" not in cfg
