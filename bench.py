@@ -140,6 +140,7 @@ WRITER_ROWS = frozenset(
         "iceberg_schema_evolution_roundtrip",
         "bitmap_index_probe",
         "delta_tblproperties_dv_routing",
+        "delta_cdf_changes",
     }
 )
 
@@ -250,6 +251,7 @@ HEADLINE_NEXT8: list = [
     "sim_ann_filtered",
     "sql_passthrough_group_by_all",
     "delta_tblproperties_dv_routing",
+    "delta_cdf_changes",
 ]
 
 

@@ -2194,14 +2194,19 @@ class Engine:
         )
 
     def _expand_fs_table_functions(self, query: str) -> str:
-        """Relation-position ``glob('pattern')`` and
-        ``duckdb_tables()`` — DuckDB's filesystem/catalog table
-        functions: the match list / attachment catalog is
-        driver-state, so each call materializes a temp view and the
-        statement text references it.  Token-level (strings/comments
-        never false-match); no-op when neither name appears."""
+        """Relation-position ``glob('pattern')``, ``duckdb_tables()``
+        and ``table_changes('t', v_lo[, v_hi])`` — table functions
+        whose result is driver-state (filesystem match list,
+        attachment catalog, a Delta change feed), so each call
+        materializes a temp view and the statement text references
+        it.  Token-level (strings/comments never false-match); no-op
+        when none of the names appears."""
         low = query.lower()
-        if "glob" not in low and "duckdb_tables" not in low:
+        if (
+            "glob" not in low
+            and "duckdb_tables" not in low
+            and "table_changes" not in low
+        ):
             return query
         from pg_analytics_spark.dialect import (
             _comma_in_from_list,
@@ -2219,7 +2224,7 @@ class Engine:
         while i < len(toks):
             kind, text = toks[i]
             lowt = text.lower() if kind == "word" else ""
-            if lowt in ("glob", "duckdb_tables"):
+            if lowt in ("glob", "duckdb_tables", "table_changes"):
                 p = _prev_code(toks, i)
                 # a SELECT-list comma must NOT trigger relation
                 # expansion (r7 ADVICE) — only FROM-list commas do
@@ -2242,7 +2247,33 @@ class Engine:
                                 break
                         j += 1
                     args = "".join(t for _, t in toks[n + 1: j]).strip()
-                    if lowt == "glob":
+                    if lowt == "table_changes":
+                        from pg_analytics_spark.dialect import (
+                            UnsupportedDialect,
+                        )
+                        from pg_analytics_spark.sources.delta_cdf import (
+                            read_table_changes,
+                        )
+
+                        parts = [a.strip() for a in args.split(",")]
+                        if len(parts) not in (2, 3):
+                            raise UnsupportedDialect(
+                                "table_changes('table', start_version"
+                                "[, end_version]) — got "
+                                f"table_changes({args})"
+                            )
+                        att = self._dml_delta_attachment(
+                            parts[0].strip("'\""), "table_changes"
+                        )
+                        df = read_table_changes(
+                            self.spark,
+                            att.files[0],
+                            int(parts[1]),
+                            int(parts[2]) if len(parts) == 3 else None,
+                        )
+                        self._fs_view_seq += 1
+                        view = f"__table_changes_{self._fs_view_seq}"
+                    elif lowt == "glob":
                         import glob as _glob
 
                         pat = args.strip("'\"")

@@ -535,6 +535,73 @@ def alter_delta(
     return {"version": version, "operation": op}
 
 
+def _stage_cdc_files(
+    df: DataFrame,
+    path: str,
+    version: int,
+    part_cols: list[str],
+    renames: dict[str, str] | None,
+) -> list[dict]:
+    """Stage Change-Data-Feed rows into ``_change_data/`` and return
+    the commit's ``cdc`` actions (Delta protocol "Change Data Files":
+    table schema + ``_change_type``, laid out like data files with
+    partitionValues in the action; ``dataChange=false`` — CDF rows
+    re-describe a change, they are not new table data).  Under column
+    mapping the data columns stage PHYSICAL names, exactly like adds;
+    ``_change_type`` stays literal per the spec."""
+    from pyspark.sql import functions as F
+
+    if renames:
+        df = df.select(
+            *[
+                F.col(c).alias(renames.get(c, c))
+                for c in df.columns
+            ]
+        )
+        part_cols = [renames.get(c, c) for c in part_cols]
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_delta_cdc_stage-{uuid.uuid4().hex}",
+    )
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    actions: list[dict] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            fname = f"cdc-{version:05d}-{uuid.uuid4().hex}.parquet"
+            rel_path = (
+                os.path.join("_change_data", rel_dir, fname)
+                if rel_dir
+                else os.path.join("_change_data", fname)
+            )
+            dst = os.path.join(path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel_path.replace(os.sep, "/"),
+                        "partitionValues": _partition_values(
+                            rel_path.replace(os.sep, "/")
+                        ),
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    # zero matched rows → no cdc file; such a commit carries no
+    # removes/adds either, and the reader reports an empty change
+    return actions
+
+
 def alter_delta_properties(
     path: str,
     set_props: dict[str, str] | None = None,
@@ -568,6 +635,19 @@ def alter_delta_properties(
     cfg.update({k: str(v) for k, v in (set_props or {}).items()})
     for k in unset_props or []:
         cfg.pop(k, None)
+    proto_action = None
+    if (
+        str((set_props or {}).get("delta.enableChangeDataFeed", ""))
+        .lower()
+        == "true"
+    ):
+        proto = _latest_protocol(log_dir)
+        if int(proto.get("minWriterVersion", 2)) < 4:
+            # the spec's changeDataFeed floor: writer version 4
+            proto_action = {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 4,
+            }
     version = _next_version(log_dir)
     now_ms = int(_time.time() * 1000)
     actions = [
@@ -595,6 +675,8 @@ def alter_delta_properties(
             }
         },
     ]
+    if proto_action is not None:
+        actions.insert(1, {"protocol": proto_action})
     _write_commit(path, log_dir, version, actions)
     return {"version": version, "configuration": cfg}
 
@@ -1666,6 +1748,54 @@ def _rewrite_where(
             }
         )
 
+    # Change Data Feed (delta.enableChangeDataFeed): the commit also
+    # records the ROW-LEVEL change — DELETE: the matched images as
+    # 'delete'; UPDATE: matched pre- AND post-images.  Written before
+    # staging so the cdc read never depends on the rewrite's outcome.
+    cdc_actions: list[dict] = []
+    if (
+        str(
+            (prev_meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower()
+        == "true"
+        and touched_abs
+    ):
+        matched_rows = tgt.filter(
+            F.col("_tfile").isin(touched_abs)
+        ).filter(match_safe)
+        if set_map is None:
+            change = matched_rows.select(
+                *tbl_cols, F.lit("delete").alias("_change_type")
+            )
+        else:
+            pre = matched_rows.select(
+                *tbl_cols, F.lit("update_preimage").alias("_change_type")
+            )
+            post = matched_rows.select(
+                *[
+                    (
+                        F.expr(set_map[c]) if c in set_map else F.col(c)
+                    ).alias(c)
+                    for c in tbl_cols
+                ],
+                F.lit("update_postimage").alias("_change_type"),
+            )
+            change = pre.unionByName(post)
+        change = change.select(
+            *[
+                F.col(f["name"])
+                .cast(_delta_type_to_spark(f["type"]))
+                .alias(f["name"])
+                for f in tbl_fields
+            ],
+            "_change_type",
+        ).coalesce(max(1, len(touched_abs)))
+        cdc_actions = _stage_cdc_files(
+            change, path, version, part_cols, _phys_renames(prev_meta)
+        )
+
     # Files whose rows must land in NEW files: copy-on-write rewrites
     # whole touched files (DELETE: partial only; UPDATE: all touched);
     # DV mode stages only UPDATE's matched-row images (DELETE: none).
@@ -1758,6 +1888,7 @@ def _rewrite_where(
                 }
             )
     actions.extend(adds)
+    actions.extend(cdc_actions)
     # commitInfo.timestamp = PUBLICATION time, not operation entry:
     # the rewrite jobs above take seconds, and a timestamp-as-of taken
     # just before the statement must NOT resolve to this version
@@ -1770,6 +1901,8 @@ def _rewrite_where(
         "files_removed": len(full_abs) if dv else len(removes),
         "rows_written": n_rows,
     }
+    if cdc_actions:
+        out["cdc_files"] = len(cdc_actions)
     if dv:
         out["dv_files"] = len(dv_readds)
         out["rows_deleted"] = rows_deleted

@@ -5146,3 +5146,107 @@ def delta_tblproperties_dv_routing(
     return eng.sql(
         "SELECT o_orderkey, o_custkey, v FROM props_tgt ORDER BY o_orderkey"
     )
+
+
+_CDF_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey < 2000
+), appended AS (
+  SELECT o_orderkey, o_custkey, o_totalprice AS v
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+), upd AS (
+  SELECT o_orderkey, o_custkey, v FROM base
+  WHERE o_orderkey % 10 = 0 AND COALESCE(v < 100000, FALSE)
+), after_upd AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 0 AND COALESCE(v < 100000, FALSE)
+              THEN v * 2 ELSE v END AS v
+  FROM base
+), del AS (
+  SELECT o_orderkey, o_custkey, v FROM after_upd
+  WHERE COALESCE(v > 250000, FALSE)
+)
+SELECT 'insert' AS change_type, 0 AS version, o_orderkey, o_custkey, v
+FROM base
+UNION ALL
+SELECT 'update_preimage', 1, o_orderkey, o_custkey, v FROM upd
+UNION ALL
+SELECT 'update_postimage', 1, o_orderkey, o_custkey, v * 2 FROM upd
+UNION ALL
+SELECT 'delete', 2, o_orderkey, o_custkey, v FROM del
+UNION ALL
+SELECT 'insert', 3, o_orderkey, o_custkey, v FROM appended
+ORDER BY version, change_type, o_orderkey
+"""
+
+
+@register(
+    "delta_cdf_changes",
+    oracle=_CDF_ORACLE,
+    doc="Delta CHANGE DATA FEED end-to-end "
+    "(sources/delta_write._stage_cdc_files + sources/delta_cdf.py): "
+    "the table is created with delta.enableChangeDataFeed, then "
+    "UPDATE writes exact pre/post row images and DELETE exact delete "
+    "images as protocol `cdc` actions over `_change_data/` parquet; "
+    "the creating insert and a later append synthesize from add "
+    "actions (the spec's allowance).  `table_changes('t', 0)` — the "
+    "same inline table function delta-spark exposes, routed through "
+    "Engine.sql — returns every change with _change_type and "
+    "_commit_version.  The oracle replays the full history "
+    "relationally with the change set derived per statement: "
+    "row-precision CDC, O(changed data) per version, vs "
+    "delta_version_diff's snapshot-diff which re-reads both ends.",
+)
+def delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_cdf")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(
+        base.repartition(4, "o_orderkey"),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    eng = Engine(spark=spark)
+    eng.attach("cdf_tgt", [root], "delta")
+    eng.sql(
+        "UPDATE cdf_tgt SET v = v * 2 "
+        "WHERE o_orderkey % 10 = 0 AND v < 100000"
+    )
+    eng.sql("DELETE FROM cdf_tgt WHERE v > 250000")
+    appended = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+        )
+        .select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+        )
+    )
+    write_delta(appended.repartition(2, "o_orderkey"), root, mode="append")
+    return eng.sql(
+        "SELECT _change_type AS change_type, "
+        "       CAST(_commit_version AS INT) AS version, "
+        "       o_orderkey, o_custkey, v "
+        "FROM table_changes('cdf_tgt', 0) "
+        "ORDER BY version, change_type, o_orderkey"
+    )
