@@ -1383,6 +1383,15 @@ def merge_delta(
             )
         return expr.otherwise(F.lit(-1))
 
+    cdf_on = (
+        str(
+            (prev_meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower()
+        == "true"
+    )
+    cdf_pieces: list = []  # row-level change images when CDF is on
     pieces = []
     if removes:
         base = tgt.filter(F.col("_tfile").isin(touched_abs))
@@ -1392,13 +1401,14 @@ def merge_delta(
         matched = F.col(f"{source_alias}._smark").isNotNull()
         cidx = _first_match_idx(matched_clauses, matched)
         rew = rew.withColumn("_cidx", cidx)
-        # drop rows claimed by a DELETE clause
         del_idx = [
             i for i, c in enumerate(matched_clauses)
             if c["action"] == "delete"
         ]
-        if del_idx:
-            rew = rew.filter(~F.col("_cidx").isin(del_idx))
+        upd_idx = [
+            i for i, c in enumerate(matched_clauses)
+            if c["action"] == "update"
+        ]
         out_cols = []
         for col in tbl_cols:
             e = F.col(f"{target_alias}.{col}")
@@ -1411,6 +1421,33 @@ def merge_delta(
                         F.col("_cidx") == i, F.expr(sm[col])
                     ).otherwise(e)
             out_cols.append(e.alias(col))
+        if cdf_on:
+            tgt_cols = [
+                F.col(f"{target_alias}.{c}").alias(c) for c in tbl_cols
+            ]
+            if upd_idx:
+                claimed = rew.filter(F.col("_cidx").isin(upd_idx))
+                cdf_pieces.append(
+                    claimed.select(
+                        *tgt_cols,
+                        F.lit("update_preimage").alias("_change_type"),
+                    )
+                )
+                cdf_pieces.append(
+                    claimed.select(
+                        *out_cols,
+                        F.lit("update_postimage").alias("_change_type"),
+                    )
+                )
+            if del_idx:
+                cdf_pieces.append(
+                    rew.filter(F.col("_cidx").isin(del_idx)).select(
+                        *tgt_cols, F.lit("delete").alias("_change_type")
+                    )
+                )
+        # drop rows claimed by a DELETE clause
+        if del_idx:
+            rew = rew.filter(~F.col("_cidx").isin(del_idx))
         pieces.append(rew.select(*out_cols))
     if insert_clauses:
         anti = src.alias(source_alias).join(
@@ -1429,6 +1466,12 @@ def merge_delta(
                     ).otherwise(e)
             out_cols.append(e.alias(col))
         pieces.append(anti.select(*out_cols))
+        if cdf_on:
+            cdf_pieces.append(
+                anti.select(
+                    *out_cols, F.lit("insert").alias("_change_type")
+                )
+            )
 
     new_df = pieces[0]
     for p in pieces[1:]:
@@ -1447,6 +1490,23 @@ def merge_delta(
 
     version = _next_version(log_dir)
     renames = _phys_renames(prev_meta)
+    cdc_actions: list[dict] = []
+    if cdf_on and cdf_pieces:
+        change = cdf_pieces[0]
+        for p in cdf_pieces[1:]:
+            change = change.unionByName(p)
+        change = change.select(
+            *[
+                F.col(f["name"])
+                .cast(_delta_type_to_spark(f["type"]))
+                .alias(f["name"])
+                for f in tbl_fields
+            ],
+            "_change_type",
+        ).coalesce(max(1, len(removes) or 1))
+        cdc_actions = _stage_cdc_files(
+            change, path, version, part_cols, renames
+        )
     adds, n_rows = _stage_files(
         _stage_as_physical(new_df, renames), path, version,
         [renames.get(c, c) for c in part_cols] if renames else part_cols,
@@ -1476,6 +1536,7 @@ def merge_delta(
             }
         )
     actions.extend(adds)
+    actions.extend(cdc_actions)
     # commitInfo.timestamp = PUBLICATION time, not operation entry:
     # the rewrite jobs above take seconds, and a timestamp-as-of taken
     # just before the statement must NOT resolve to this version

@@ -17,7 +17,6 @@ from pg_analytics_spark.sources.delta_write import (
     alter_delta,
     alter_delta_properties,
     delete_delta,
-    merge_delta,
     update_delta,
     write_delta,
 )
@@ -203,3 +202,47 @@ def test_engine_table_changes_sql(spark, tmp_path):
         ("update_postimage", 2, 9),
         ("update_preimage", 2, 4),
     ]
+
+
+def test_merge_writes_exact_cdc(spark, tmp_path):
+    """MERGE on a CDF table emits per-clause change images: update
+    pre/post pairs, delete images, insert images — and unclaimed
+    carried-through rows produce NO change row."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, configuration=CDF)  # k 0..9, v = 2k
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], "delta")
+    spark.range(8, 14).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("nv")
+    ).createOrReplaceTempView("src")
+    eng.sql(
+        "MERGE INTO t USING src s ON t.k = s.k "
+        "WHEN MATCHED AND s.k = 9 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.nv "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"
+    )
+    ch = read_table_changes(spark, path, 1, 1)
+    c = _counts(ch)
+    assert c == {
+        "update_preimage": 1,   # k=8
+        "update_postimage": 1,
+        "delete": 1,            # k=9
+        "insert": 4,            # k=10..13
+    }, c
+    post = {
+        r["k"]: r["v"]
+        for r in ch.filter("_change_type='update_postimage'").collect()
+    }
+    assert post == {8: 800}
+    ins = {
+        r["k"]: r["v"]
+        for r in ch.filter("_change_type='insert'").collect()
+    }
+    assert ins == {10: 1000, 11: 1100, 12: 1200, 13: 1300}
+    # snapshot agrees with the feed
+    snap = {r["k"]: r["v"] for r in load_source(spark, path, "delta").collect()}
+    assert snap[8] == 800 and 9 not in snap and snap[13] == 1300
