@@ -141,6 +141,7 @@ WRITER_ROWS = frozenset(
         "bitmap_index_probe",
         "delta_tblproperties_dv_routing",
         "delta_cdf_changes",
+        "iceberg_changelog_scan",
     }
 )
 
@@ -252,6 +253,7 @@ HEADLINE_NEXT8: list = [
     "sql_passthrough_group_by_all",
     "delta_tblproperties_dv_routing",
     "delta_cdf_changes",
+    "iceberg_changelog_scan",
 ]
 
 

@@ -203,6 +203,13 @@ _VACUUM_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: `SHOW TBLPROPERTIES <attached lake table>` — the property map as
+#: (key, value) rows, from Delta configuration / Iceberg properties.
+_SHOW_PROPS_RE = _re.compile(
+    r"^SHOW\s+TBLPROPERTIES\s+(?P<name>[A-Za-z_][\w.]*);?\s*$",
+    _re.IGNORECASE,
+)
+
 _DESCRIBE_RE = _re.compile(
     r"^DESC(?:RIBE)?\s+(?!EXTENDED\b|FORMATTED\b|HISTORY\b|QUERY\b"
     r"|FUNCTION\b|DATABASE\b|NAMESPACE\b|SCHEMA\b|CATALOG\b)"
@@ -466,6 +473,9 @@ class Engine:
         m = _OPTIMIZE_STMT_RE.match(query.strip())
         if m:
             return self._optimize_statement(m)
+        m = _SHOW_PROPS_RE.match(query.strip())
+        if m:
+            return self._show_props_statement(m)
         m = _ALTER_PROPS_RE.match(query.strip())
         if m:
             return self._alter_props_statement(m)
@@ -2847,6 +2857,37 @@ class Engine:
             "restored_to int, files_removed int, files_readded int, "
             "version int",
         )
+
+    def _show_props_statement(self, m) -> DataFrame:
+        """``SHOW TBLPROPERTIES t`` on attached delta/iceberg tables —
+        (key, value) rows from the Delta metaData configuration or the
+        Iceberg metadata properties map, ordered by key."""
+        import os
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "SHOW TBLPROPERTIES",
+            formats=("delta", "iceberg"),
+        )
+        if att.format == "iceberg":
+            from pg_analytics_spark.sources.iceberg_write import (
+                _latest_metadata,
+            )
+
+            _v, meta_i = _latest_metadata(
+                os.path.join(att.files[0], "metadata")
+            )
+            props = dict((meta_i or {}).get("properties") or {})
+        else:
+            from pg_analytics_spark.sources.delta import _replay_log
+
+            _a, meta_d = _replay_log(
+                os.path.join(att.files[0], "_delta_log")
+            )
+            props = dict((meta_d or {}).get("configuration") or {})
+        rows = sorted((str(k), str(v)) for k, v in props.items())
+        if not rows:
+            return self.spark.createDataFrame([], "key string, value string")
+        return self.spark.createDataFrame(rows, "key string, value string")
 
     def _alter_props_statement(self, m) -> DataFrame:
         """``ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)`` / ``UNSET

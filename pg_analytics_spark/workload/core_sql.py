@@ -5250,3 +5250,108 @@ def delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM table_changes('cdf_tgt', 0) "
         "ORDER BY version, change_type, o_orderkey"
     )
+
+
+_ICEBERG_CHANGELOG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey < 2000
+), appended AS (
+  SELECT o_orderkey, o_custkey, o_totalprice AS v
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+), upd AS (
+  SELECT o_orderkey, o_custkey, v FROM base
+  WHERE o_orderkey % 10 = 0 AND COALESCE(v < 100000, FALSE)
+), after_upd AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 0 AND COALESCE(v < 100000, FALSE)
+              THEN v * 2 ELSE v END AS v
+  FROM base
+), del AS (
+  SELECT o_orderkey, o_custkey, v FROM after_upd
+  WHERE COALESCE(v > 250000, FALSE)
+)
+SELECT 'insert' AS change_type, 1 AS seq, o_orderkey, o_custkey, v
+FROM base
+UNION ALL
+SELECT 'delete', 2, o_orderkey, o_custkey, v FROM upd
+UNION ALL
+SELECT 'insert', 2, o_orderkey, o_custkey, v * 2 FROM upd
+UNION ALL
+SELECT 'delete', 3, o_orderkey, o_custkey, v FROM del
+UNION ALL
+SELECT 'insert', 4, o_orderkey, o_custkey, v FROM appended
+ORDER BY seq, change_type, o_orderkey
+"""
+
+
+@register(
+    "iceberg_changelog_scan",
+    oracle=_ICEBERG_CHANGELOG_ORACLE,
+    doc="Iceberg CHANGELOG scan (sources/iceberg_changelog.py) — the "
+    "MoR twin of delta_cdf_changes, derived with NO change files: "
+    "per snapshot, ADDED data entries in new manifests are insert "
+    "images (a MoR UPDATE stages exactly its post-images), new "
+    "position-delete files join (file, row_index) against the "
+    "PARENT-visible rows for exact delete images, dropped manifests "
+    "yield logical-replace deletes, and compaction snapshots "
+    "(operation=replace) are skipped as physical reorg.  The same "
+    "statement history as the Delta CDF row replays relationally "
+    "with insert/delete semantics (Iceberg's changelog has no "
+    "update_pre/postimage types — an update is delete+insert at one "
+    "sequence number).  Ranges and ordering use SEQUENCE numbers; "
+    "snapshot ids are random.",
+)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_changelog import (
+        iceberg_changelog,
+    )
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_changelog")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("icl_tgt", [root], "iceberg")
+    eng.sql(
+        "UPDATE icl_tgt SET v = v * 2 "
+        "WHERE o_orderkey % 10 = 0 AND v < 100000"
+    )
+    eng.sql("DELETE FROM icl_tgt WHERE v > 250000")
+    appended = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+        )
+        .select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+        )
+    )
+    write_iceberg(
+        appended.repartition(2, "o_orderkey"), root, mode="append"
+    )
+    ch = iceberg_changelog(spark, root)
+    return ch.select(
+        F.col("_change_type").alias("change_type"),
+        F.col("_sequence_number").cast("int").alias("seq"),
+        "o_orderkey",
+        "o_custkey",
+        "v",
+    ).orderBy("seq", "change_type", "o_orderkey")
