@@ -142,6 +142,7 @@ WRITER_ROWS = frozenset(
         "delta_tblproperties_dv_routing",
         "delta_cdf_changes",
         "iceberg_changelog_scan",
+        "cdf_incremental_rollup",
     }
 )
 
@@ -254,6 +255,7 @@ HEADLINE_NEXT8: list = [
     "delta_tblproperties_dv_routing",
     "delta_cdf_changes",
     "iceberg_changelog_scan",
+    "cdf_incremental_rollup",
 ]
 
 

@@ -5355,3 +5355,129 @@ def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "v",
     ).orderBy("seq", "change_type", "o_orderkey")
+
+
+_CDF_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS vi
+  FROM orders WHERE o_orderkey < 2000
+), after_upd AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN vi * 2 ELSE vi END AS vi
+  FROM base
+), after_del AS (
+  SELECT * FROM after_upd WHERE NOT vi > 500000
+), appended AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS vi
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+), final AS (
+  SELECT * FROM after_del UNION ALL SELECT * FROM appended
+)
+SELECT o_custkey,
+       COUNT(*)::BIGINT AS cnt,
+       SUM(vi)::BIGINT AS sum_vi
+FROM final GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "cdf_incremental_rollup",
+    oracle=_CDF_ROLLUP_ORACLE,
+    doc="INCREMENTAL materialized-view maintenance from the change "
+    "feed — the reason CDF exists at 100 TB: a per-customer rollup "
+    "(count, sum) is seeded from `VERSION AS OF 0` time travel, then "
+    "maintained by folding table_changes(1..) with SIGNED weights "
+    "(insert/update_postimage: +1, delete/update_preimage: -1; an "
+    "update nets to a pure value delta), full-outer-merged onto the "
+    "seed with zero-count groups dropped.  Work is O(changed rows) "
+    "per refresh instead of O(table) recompute; everything is BIGINT "
+    "so the maintained view is value-exact.  The oracle recomputes "
+    "the final state from scratch — incremental == recompute is the "
+    "correctness contract of every IVM engine.  Composes time "
+    "travel + CDF + the native DML writers in one row.",
+)
+def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta import _load_via_log
+    from pg_analytics_spark.sources.delta_cdf import read_table_changes
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            # FLOOR, not a bare cast: Spark's double->bigint cast
+            # truncates while DuckDB's rounds — floor agrees everywhere
+            F.floor("o_totalprice").cast("long").alias("vi"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_cdf_rollup")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(
+        base.repartition(4, "o_orderkey"),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    eng = Engine(spark=spark)
+    eng.attach("ivm_tgt", [root], "delta")
+    eng.sql("UPDATE ivm_tgt SET vi = vi * 2 WHERE o_orderkey % 10 = 0")
+    eng.sql("DELETE FROM ivm_tgt WHERE vi > 500000")
+    appended = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("long").alias("vi"),
+        )
+    )
+    write_delta(appended.repartition(2, "o_orderkey"), root, mode="append")
+
+    # seed: the rollup as of version 0 (time travel)
+    seed = (
+        _load_via_log(spark, root, version=0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("vi").cast("long").alias("sum_vi"),
+        )
+    )
+    # delta: the change feed folded with signed weights — O(changes)
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        read_table_changes(spark, root, 1)
+        .select("o_custkey", "vi", w.alias("w"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("w").cast("long").alias("d_cnt"),
+            F.sum(F.col("w") * F.col("vi")).cast("long").alias("d_sum"),
+        )
+    )
+    merged = (
+        seed.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+            ).cast("long").alias("cnt"),
+            (
+                F.coalesce("sum_vi", F.lit(0))
+                + F.coalesce("d_sum", F.lit(0))
+            ).cast("long").alias("sum_vi"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return merged.orderBy("o_custkey")
