@@ -453,3 +453,18 @@ def test_engine_tblproperties_statement(spark, tmp_path, fmt):
         _v, meta = _latest_metadata(os.path.join(path, "metadata"))
         cfg = meta["properties"]
     assert cfg["a.b"] == "c,d" and "e" not in cfg
+
+
+@pytest.mark.parametrize("fmt", sorted(WRITERS))
+def test_engine_show_tblproperties(spark, tmp_path, fmt):
+    from pg_analytics_spark.engine import Engine
+
+    write = WRITERS[fmt][0]
+    path = str(tmp_path / fmt)
+    write(_base(spark), path, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], fmt)
+    eng.sql("ALTER TABLE t SET TBLPROPERTIES ('zz.k' = 'v1', 'aa.k' = 'v0')")
+    rows = [tuple(r) for r in eng.sql("SHOW TBLPROPERTIES t").collect()]
+    assert ("aa.k", "v0") in rows and ("zz.k", "v1") in rows
+    assert rows == sorted(rows)  # ordered by key
