@@ -251,7 +251,6 @@ HEADLINE_NEXT8: list = [
     "events_seasonal_decompose",
     "graph_bfs_distance",
     "sim_ann_filtered",
-    "sql_passthrough_group_by_all",
     "delta_tblproperties_dv_routing",
     "delta_cdf_changes",
     "iceberg_changelog_scan",

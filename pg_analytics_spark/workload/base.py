@@ -46,6 +46,12 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent overwrite drops the FIRST row from every count
+            # while its tests keep passing against the wrong callable —
+            # caught live in round 9 (two sql_passthrough_group_by_all
+            # registrations); duplicates must fail at import
+            raise ValueError(f"duplicate registry row {name!r}")
         REGISTRY[name] = QueryDef(fn, oracle, doc)
         return fn
 

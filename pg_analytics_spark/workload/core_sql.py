@@ -5027,42 +5027,6 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PASSTHROUGH_GROUP_BY_ALL = """
-SELECT l_returnflag, l_linestatus,
-       COUNT(*) AS n,
-       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
-       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT)
-         AS sum_qty_cents
-FROM lineitem
-WHERE l_shipdate < DATE '1998-09-01'
-GROUP BY ALL
-ORDER BY ALL
-"""
-
-
-@register(
-    "sql_passthrough_group_by_all",
-    oracle=_PASSTHROUGH_GROUP_BY_ALL,
-    doc="DuckDB-dialect passthrough: GROUP BY ALL + ORDER BY ALL — "
-    "DuckDB's signature conveniences (group on every non-aggregate "
-    "select item; order by the whole select list left-to-right).  "
-    "Spark 4 implements BOTH natively with identical semantics, so "
-    "the SAME text runs unmodified on the two engines — pinned here "
-    "so a dialect-shim regression (rewriting ALL as a column name) "
-    "or a Spark behavior change surfaces as a gate failure.  "
-    "Aggregates stay in exact integers (the cents-scaling trick) so "
-    "the row is value-exact.",
-)
-def sql_passthrough_group_by_all(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from pg_analytics_spark.engine import Engine
-
-    eng = Engine(spark=spark)
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return eng.sql(_PASSTHROUGH_GROUP_BY_ALL)
-
-
 _TBLPROPS_DV_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_custkey,
