@@ -54,7 +54,7 @@ _DRIVER_SAMPLE = [
     "geo_customers_near_hub",
     "geo_shapefile_nation_hubs",
     "delta_write_roundtrip",
-    "delta_merge_roundtrip",
+    "delta_cdf_changes",
     "iceberg_write_roundtrip",
     "iceberg_merge_roundtrip",
     "avro_nation_roundtrip",
