@@ -853,9 +853,22 @@ def write_iceberg(
         by_id = {e.get("field-id"): e for e in nm}
         for f in fields:
             e = by_id.get(f["id"])
+            if e is not None and f["name"] in e.get("names", []):
+                continue
+            # a name owned by ANOTHER field id would be era-ambiguous
+            # on id-less files — refuse loudly (alter_iceberg's rule)
+            for other in nm:
+                if other is not e and f["name"] in other.get("names", []):
+                    raise UnsupportedFormat(
+                        f"column name {f['name']!r} was previously used "
+                        f"by field id {other.get('field-id')} — on "
+                        "id-less data files a reused name cannot be "
+                        "told apart across schema eras; choose a "
+                        "different name"
+                    )
             if e is None:
                 nm.append({"field-id": f["id"], "names": [f["name"]]})
-            elif f["name"] not in e.get("names", []):
+            else:
                 e["names"] = list(e.get("names", [])) + [f["name"]]
         props["schema.name-mapping.default"] = json.dumps(nm)
     meta = {
@@ -957,6 +970,24 @@ def alter_iceberg(
         max(f["id"] for f in fields),
     )
 
+    def _nm_guard(name: str, fid_ok: int | None = None) -> None:
+        """Refuse a column name that any OTHER field-id already owns
+        in the name mapping: this writer's data files carry no footer
+        field ids, so an id-less file's column binds by NAME — a
+        reused name would either leak the dropped field's old data
+        into the new column or null the new column's own data,
+        depending on which id the mapping keeps.  Neither is
+        acceptable silently; pick a fresh name (the spec-clean path
+        needs id-stamped files)."""
+        for e in nm:
+            if name in e.get("names", []) and e.get("field-id") != fid_ok:
+                raise UnsupportedFormat(
+                    f"column name {name!r} was previously used by field "
+                    f"id {e.get('field-id')} — on id-less data files a "
+                    "reused name cannot be told apart across schema "
+                    "eras; choose a different name"
+                )
+
     if add is not None:
         col, type_str = add
         if col in names:
@@ -972,6 +1003,7 @@ def alter_iceberg(
         fields.append(
             {"id": last_col, "name": col, "type": ice_t, "required": False}
         )
+        _nm_guard(col)
         nm.append({"field-id": last_col, "names": [col]})
         op = "ADD COLUMNS"
     elif rename is not None:
@@ -986,6 +1018,7 @@ def alter_iceberg(
         for f in fields:
             if f["id"] == fid:
                 f["name"] = new
+        _nm_guard(new, fid_ok=fid)  # a dropped column may own this name
         for e in nm:
             if e.get("field-id") == fid and new not in e.get("names", []):
                 e["names"] = list(e.get("names", [])) + [new]

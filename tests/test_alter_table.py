@@ -468,3 +468,26 @@ def test_engine_show_tblproperties(spark, tmp_path, fmt):
     rows = [tuple(r) for r in eng.sql("SHOW TBLPROPERTIES t").collect()]
     assert ("aa.k", "v0") in rows and ("zz.k", "v1") in rows
     assert rows == sorted(rows)  # ordered by key
+
+
+def test_iceberg_drop_then_readd_same_name_refused(spark, tmp_path):
+    """Re-adding a previously used column name is REFUSED on this
+    writer: its data files carry no footer field ids, so an id-less
+    file's column binds by name and a reused name is era-ambiguous —
+    the mapping would either leak dropped data into the new column or
+    null the new column's own rows.  Loud beats either."""
+    path = str(tmp_path / "t")
+    write_iceberg(_base(spark), path, mode="overwrite")  # k, v, s
+    alter_iceberg(path, rename=("s", "tmp"))  # seed the name mapping
+    alter_iceberg(path, drop="v")
+    with pytest.raises(UnsupportedFormat):
+        alter_iceberg(path, add=("v", "bigint"))
+    with pytest.raises(UnsupportedFormat):
+        alter_iceberg(path, rename=("tmp", "v"))
+    # a FRESH name is fine, and a rename back onto the SAME field id
+    # is fine (the name already belongs to that id)
+    alter_iceberg(path, add=("v2", "bigint"))
+    alter_iceberg(path, rename=("tmp", "s"))
+    out = load_source(spark, path, "iceberg")
+    assert out.columns == ["k", "s", "v2"]
+    assert out.filter(out.s.isNotNull()).count() == 8
