@@ -1106,14 +1106,24 @@ def write_delta(
                 schema_string = df.schema.json()
 
     # column mapping (mode name|id, from the table or the creating
-    # configuration): annotate the schemaString, stage parquet under
-    # PHYSICAL names, and keep LOGICAL names in partitionColumns —
-    # exactly the split the reader resolves (delta.py::_column_mapping)
-    schema_string, eff_cfg, renames, map_proto = _apply_column_mapping(
-        prev_meta, schema_string, configuration if version == 0 else None
+    # configuration): annotate the schemaString that will RIDE THE
+    # METADATA — for mergeSchema appends that is the evolved string
+    # with its FORCED nullability, not df.schema (whose literal-valued
+    # new columns read non-nullable and would poison later appends) —
+    # stage parquet under PHYSICAL names, and keep LOGICAL names in
+    # partitionColumns: exactly the split the reader resolves
+    # (delta.py::_column_mapping)
+    annotated, eff_cfg, renames, map_proto = _apply_column_mapping(
+        prev_meta,
+        append_evolved_schema
+        if append_evolved_schema is not None
+        else schema_string,
+        configuration if version == 0 else None,
     )
     if append_evolved_schema is not None:
-        append_evolved_schema = schema_string
+        append_evolved_schema = annotated
+    else:
+        schema_string = annotated
     stage_part_cols = (
         [renames.get(c, c) for c in part_cols] if renames else part_cols
     )
