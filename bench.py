@@ -415,6 +415,14 @@ def main() -> None:
         ),
         "value_next8": round(sum(timings_next8.values()), 3),
         "queries_next8": timings_next8,
+        "value_next8_batch": round(
+            sum(
+                v
+                for k, v in timings_next8.items()
+                if k not in WRITER_ROWS
+            ),
+            3,
+        ),
         "value_next8_writer": round(
             sum(v for k, v in timings_next8.items() if k in WRITER_ROWS),
             3,

@@ -15,7 +15,14 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from bench import HEADLINE, HEADLINE_NEXT, HEADLINE_NEXT6, HEADLINE_NEXT7
+from bench import (
+    HEADLINE,
+    HEADLINE_NEXT,
+    HEADLINE_NEXT6,
+    HEADLINE_NEXT7,
+    HEADLINE_NEXT8,
+    WRITER_ROWS,
+)
 from pg_analytics_spark.workload import REGISTRY
 
 TABLES = (
@@ -47,6 +54,11 @@ def main() -> None:
     timings_next = _measure(HEADLINE_NEXT)
     timings_next6 = _measure(HEADLINE_NEXT6)
     timings_next7 = _measure(HEADLINE_NEXT7)
+    # next8's writer rows' oracles are pure relational replays — the
+    # comparable subset is the non-writer rows (bench.py's convention)
+    timings_next8 = _measure(
+        [q for q in HEADLINE_NEXT8 if q not in WRITER_ROWS]
+    )
     print(
         json.dumps(
             {
@@ -60,6 +72,10 @@ def main() -> None:
                 "queries_next6": timings_next6,
                 "value_next7": round(sum(timings_next7.values()), 4),
                 "queries_next7": timings_next7,
+                "value_next8_batch": round(
+                    sum(timings_next8.values()), 4
+                ),
+                "queries_next8": timings_next8,
             }
         )
     )
