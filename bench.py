@@ -143,6 +143,7 @@ WRITER_ROWS = frozenset(
         "delta_cdf_changes",
         "iceberg_changelog_scan",
         "cdf_incremental_rollup",
+        "iceberg_partition_evolution_roundtrip",
     }
 )
 
@@ -255,6 +256,7 @@ HEADLINE_NEXT8: list = [
     "delta_cdf_changes",
     "iceberg_changelog_scan",
     "cdf_incremental_rollup",
+    "iceberg_partition_evolution_roundtrip",
 ]
 
 

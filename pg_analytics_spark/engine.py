@@ -243,6 +243,15 @@ _ALTER_PROPS_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: `ALTER TABLE <attached iceberg table> REPLACE PARTITION BY
+#: (transform, …)` — partition evolution: a pure-metadata default-spec
+#: flip (sources/iceberg_write.alter_iceberg_partition).
+_ALTER_PART_RE = _re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+REPLACE\s+"
+    r"PARTITION\s+BY\s*\((?P<body>[^;]*)\)\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: `ALTER TABLE <attached lake table> ADD COLUMN c type | RENAME
 #: COLUMN a TO b | DROP COLUMN c` — schema evolution through the
 #: native writers (metadata-only commits on both formats).
@@ -479,6 +488,9 @@ class Engine:
         m = _ALTER_PROPS_RE.match(query.strip())
         if m:
             return self._alter_props_statement(m)
+        m = _ALTER_PART_RE.match(query.strip())
+        if m:
+            return self._alter_partition_statement(m)
         m = _ALTER_STMT_RE.match(query.strip())
         if m:
             return self._alter_statement(m)
@@ -2948,6 +2960,33 @@ class Engine:
         return self.spark.createDataFrame(
             [(m.group("verb").upper(), int(res["version"]))],
             "operation string, version int",
+        )
+
+    def _alter_partition_statement(self, m) -> DataFrame:
+        """``ALTER TABLE t REPLACE PARTITION BY (month(d), bucket(4,
+        k), …)`` — Iceberg partition evolution as one metadata
+        version; empty parens evolve to unpartitioned.  Old files
+        keep their spec (per-manifest pruning); only the statement's
+        table format is iceberg — Delta has no spec evolution."""
+        att = self._dml_delta_attachment(
+            m.group("name"), "REPLACE PARTITION BY", formats=("iceberg",)
+        )
+        from pg_analytics_spark.sources.iceberg_write import (
+            alter_iceberg_partition,
+        )
+
+        body = m.group("body").strip()
+        # split on commas NOT inside transform parens: bucket(4, g)
+        parts = [
+            p.strip()
+            for p in _re.split(r",(?![^(]*\))", body)
+            if p.strip()
+        ] if body else []
+        res = alter_iceberg_partition(att.files[0], parts)
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self.spark.createDataFrame(
+            [(int(res["spec_id"]), int(res["version"]))],
+            "spec_id int, version int",
         )
 
     def _alter_statement(self, m) -> DataFrame:

@@ -1085,6 +1085,122 @@ def alter_iceberg(
     return {"version": version, "schema_id": new_schema_id, "operation": op}
 
 
+def alter_iceberg_partition(
+    path: str, partition_by: str | list[str] | None
+) -> dict:
+    """PARTITION EVOLUTION — ``ALTER TABLE … ADD/REPLACE PARTITION
+    FIELD`` semantics as one pure-metadata version: the requested
+    transforms become a NEW immutable spec (or rebind to an existing
+    identical one) and ``default-spec-id`` flips to it.  NO data file
+    moves: files already written keep their original spec — manifests
+    carry ``partition_spec_id`` and the reader prunes EACH manifest
+    under the spec it was written with (sources/iceberg.py:238,
+    iceberg_prune.spec_fields_for) — while appends from now on lay
+    out and prune under the new spec.  That per-manifest duality IS
+    Iceberg's headline over hive layouts at 100 TB: repartitioning a
+    petabyte table is a metadata flip, not a rewrite.  Spec field ids
+    mint past every id used by ANY spec (the v2 shared-sequence
+    rule).  ``partition_by=None``/``[]`` evolves to unpartitioned.
+    Returns {"version", "spec_id", "fields"}."""
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"no Iceberg table at {path}")
+    part_cols = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    cur = next(
+        s
+        for s in prev_meta.get("schemas", [])
+        if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+    )
+    fid = {f["name"]: f["id"] for f in cur["fields"]}
+    ftype = {f["name"]: f["type"] for f in cur["fields"]}
+    prev_specs = list(prev_meta.get("partition-specs", []))
+    next_pfid = max(
+        [999]
+        + [
+            pf.get("field-id", 999)
+            for s in prev_specs
+            for pf in s.get("fields", [])
+        ]
+    )
+    spec_fields: list[dict] = []
+    for c in part_cols:
+        kind, param, src = _parse_transform(c)
+        t = ftype.get(src)
+        if t is None:
+            raise UnsupportedFormat(
+                f"iceberg partition source column {src!r} not in schema"
+            )
+        _expr, res_t, default_name = _transform_column(kind, param, src, t)
+        if res_t not in _ICE_TO_AVRO:
+            raise UnsupportedFormat(
+                f"iceberg partitioning "
+                f"{_canonical_transform(kind, param)}({src}) result type "
+                f"{res_t!r} unsupported — int/long/string/date results "
+                "only"
+            )
+        next_pfid += 1
+        spec_fields.append(
+            {
+                "source-id": fid[src],
+                "field-id": next_pfid,
+                "name": default_name,
+                "transform": _canonical_transform(kind, param),
+            }
+        )
+    spec_id = None
+    for s in prev_specs:
+        if [
+            {k: pf[k] for k in ("source-id", "name", "transform")}
+            for pf in s.get("fields", [])
+        ] == [
+            {k: pf[k] for k in ("source-id", "name", "transform")}
+            for pf in spec_fields
+        ]:
+            spec_id = s["spec-id"]  # identical spec exists: rebind
+            break
+    if spec_id is None:
+        spec_id = max((s.get("spec-id", 0) for s in prev_specs), default=-1) + 1
+        prev_specs = prev_specs + [
+            {"spec-id": spec_id, "fields": spec_fields}
+        ]
+    meta = dict(prev_meta)
+    meta["partition-specs"] = prev_specs
+    meta["default-spec-id"] = spec_id
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "version": version,
+        "spec_id": spec_id,
+        "fields": [f["name"] for f in spec_fields],
+    }
+
+
 def alter_iceberg_properties(
     path: str,
     set_props: dict[str, str] | None = None,

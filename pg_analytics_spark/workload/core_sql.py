@@ -5445,3 +5445,89 @@ def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 0)
     )
     return merged.orderBy("o_custkey")
+
+
+_PARTITION_EVOLUTION_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderkey < 3000
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM unioned
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "iceberg_partition_evolution_roundtrip",
+    oracle=_PARTITION_EVOLUTION_ORACLE,
+    doc="PARTITION EVOLUTION (sources/iceberg_write."
+    "alter_iceberg_partition): the table starts bucket(4, o_custkey)-"
+    "partitioned, one pure-metadata version flips the default spec to "
+    "month(o_orderdate) — NO data file moves — and the next append "
+    "lays out under the new spec.  A date-range partition_filter then "
+    "prunes the NEW generation's manifests by month while the old "
+    "generation (whose spec cannot answer a date predicate) scans "
+    "with the residual predicate re-applied — per-manifest spec "
+    "resolution (manifests carry partition_spec_id), asserted in-row "
+    "as pruned < full file count.  This is Iceberg's headline over "
+    "hive layouts at 100 TB: repartitioning a petabyte table is a "
+    "metadata flip, not a rewrite.  Oracle: the relational filter "
+    "over both eras.",
+)
+def iceberg_partition_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_partition,
+        write_iceberg,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    base = (
+        table(spark, sf_dir, "orders")
+        .select(*cols)
+        .filter(F.col("o_orderkey") < 3000)
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_pevolve")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        base, root, mode="overwrite",
+        partition_by=["bucket(4, o_custkey)"],
+    )
+    alter_iceberg_partition(root, ["month(o_orderdate)"])
+    appended = (
+        table(spark, sf_dir, "orders")
+        .select(*cols)
+        .filter(
+            (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 6000)
+        )
+    )
+    write_iceberg(appended, root, mode="append")
+    full = load_source(spark, root, "iceberg")
+    pruned = load_source(
+        spark,
+        root,
+        "iceberg",
+        {
+            "partition_filter": [
+                ["o_orderdate", ">=", "1995-01-01"],
+                ["o_orderdate", "<", "1996-01-01"],
+            ]
+        },
+    )
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    if n_pruned >= n_full:
+        raise EngineError(
+            f"post-evolution month pruning kept {n_pruned}/{n_full} files"
+        )
+    return pruned.select(*cols).orderBy("o_orderkey")

@@ -491,3 +491,122 @@ def test_iceberg_drop_then_readd_same_name_refused(spark, tmp_path):
     out = load_source(spark, path, "iceberg")
     assert out.columns == ["k", "s", "v2"]
     assert out.filter(out.s.isNotNull()).count() == 8
+
+
+def test_iceberg_partition_evolution(spark, tmp_path):
+    """alter_iceberg_partition: pure-metadata spec flip — appends lay
+    out under the new spec, old manifests keep decoding under theirs,
+    filtered reads stay exact across generations, spec field ids stay
+    unique across ALL specs, and re-evolving to an identical spec
+    REBINDS instead of minting."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        alter_iceberg_partition,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_iceberg(df, path, mode="overwrite")  # unpartitioned, spec 0
+    r1 = alter_iceberg_partition(path, ["bucket(4, g)"])
+    write_iceberg(
+        spark.range(60, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 6).alias("g"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        path,
+        mode="append",
+    )
+    r2 = alter_iceberg_partition(path, ["g"])
+    write_iceberg(
+        spark.range(120, 150).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 6).alias("g"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        path,
+        mode="append",
+    )
+    got = sorted(
+        r["k"]
+        for r in load_source(spark, path, "iceberg")
+        .filter(F.col("g") == 3)
+        .collect()
+    )
+    assert got == [i for i in range(150) if i % 6 == 3]
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    specs = meta["partition-specs"]
+    assert meta["default-spec-id"] == r2["spec_id"] != r1["spec_id"]
+    pfids = [
+        pf["field-id"] for s in specs for pf in s.get("fields", [])
+    ]
+    assert len(pfids) == len(set(pfids))  # unique across ALL specs
+    # evolving BACK to bucket(4, g) rebinds the existing spec id
+    r3 = alter_iceberg_partition(path, ["bucket(4, g)"])
+    assert r3["spec_id"] == r1["spec_id"]
+    # unknown source column is loud
+    with pytest.raises(UnsupportedFormat):
+        alter_iceberg_partition(path, ["nope"])
+    # evolve to unpartitioned works
+    r4 = alter_iceberg_partition(path, [])
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    assert meta["default-spec-id"] == r4["spec_id"]
+    assert (
+        next(
+            s
+            for s in meta["partition-specs"]
+            if s["spec-id"] == r4["spec_id"]
+        )["fields"]
+        == []
+    )
+
+
+def test_engine_replace_partition_by(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import _latest_metadata
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+        path,
+        mode="overwrite",
+    )
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], "iceberg")
+    r = eng.sql(
+        "ALTER TABLE t REPLACE PARTITION BY (bucket(4, g), k)"
+    ).collect()
+    assert r[0]["spec_id"] == 1
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    spec = next(
+        s
+        for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
+    assert [f["transform"] for f in spec["fields"]] == [
+        "bucket[4]",
+        "identity",
+    ]
+    # back to unpartitioned via empty parens
+    r = eng.sql("ALTER TABLE t REPLACE PARTITION BY ()").collect()
+    assert r[0]["spec_id"] == 0
+    # delta attachments are refused (no spec evolution there)
+    p2 = str(tmp_path / "d")
+    write_delta(_base(spark), p2, mode="overwrite")
+    eng.attach("d", [p2], "delta")
+    from pg_analytics_spark.dialect import UnsupportedDialect
+
+    with pytest.raises(UnsupportedDialect):
+        eng.sql("ALTER TABLE d REPLACE PARTITION BY (k)")
