@@ -252,6 +252,7 @@ HEADLINE_NEXT8: list = [
     "events_seasonal_decompose",
     "graph_bfs_distance",
     "sim_ann_filtered",
+    "sim_ann_ivf_filtered",
     "delta_tblproperties_dv_routing",
     "delta_cdf_changes",
     "iceberg_changelog_scan",

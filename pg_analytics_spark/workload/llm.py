@@ -3889,3 +3889,64 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vec(spark, sf_dir)
     filtered = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
     return brute_force_topk(filtered, "embedding", "vec_id", qvec, k=15)
+
+
+def _register_sim_ann_ivf_filtered():
+    cell = _ivf_cell_sql("e.embedding")
+    from pg_analytics_spark.operators.similarity import ivf_centroids
+
+    qcell_scores = ", ".join(
+        f"list_sum([x[1]::DOUBLE * x[2] for x in list_zip(qe, {_plane_sql(c)})])"
+        for c in ivf_centroids(64, 8, 7)
+    )
+    oracle = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    allowed AS (
+      SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+    ),
+    probe AS (
+      SELECT u.cell_idx
+      FROM q, (SELECT unnest(range(1, 9)) AS cell_idx) u
+      ORDER BY ([{qcell_scores}])[u.cell_idx] DESC, u.cell_idx
+      LIMIT 2
+    )
+    SELECT e.vec_id, {_ANN_COS} AS sim
+    FROM embeddings e
+    JOIN allowed a ON a.doc_id = e.vec_id, q
+    WHERE {cell} IN (SELECT cell_idx FROM probe)
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+    @register(
+        "sim_ann_ivf_filtered",
+        oracle=oracle,
+        doc="FILTERED ANN, the LOOSE-filter branch: the same 2-of-8 IVF "
+        "probe as sim_ann_ivf composed with a metadata predicate "
+        "(lang='en' AND n_chars>=200) — the predicate's id set "
+        "broadcast-semi-joins onto the vectors and scoring runs only "
+        "inside the probed cells, so work is "
+        "O(probed-cells ∩ filter), the plan every vector store runs "
+        "when the filter is NOT selective enough for "
+        "sim_ann_filtered's pre-filter-then-exact path.  Cell "
+        "assignment is row-local, so filter-then-probe and "
+        "probe-then-filter give the same candidates — the oracle "
+        "replays cells, probe ranking AND the filter join from the "
+        "same centroid literals, value-exact (recall caveats vs the "
+        "exact path are sim_ann_ivf's, measured in SCALE.md).",
+    )
+    def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.similarity import ivf_ann_topk
+
+        emb = table(spark, sf_dir, "embeddings")
+        allowed = (
+            table(spark, sf_dir, "documents")
+            .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        qvec = _query_vec(spark, sf_dir)
+        filtered = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+        return ivf_ann_topk(filtered, "embedding", "vec_id", qvec, k=10)
+
+
+_register_sim_ann_ivf_filtered()
