@@ -5450,10 +5450,10 @@ def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTITION_EVOLUTION_ORACLE = """
 WITH unioned AS (
   SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
-  FROM orders WHERE o_orderkey < 3000
+  FROM orders WHERE o_orderkey % 3 <> 0
   UNION ALL
   SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
-  FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+  FROM orders WHERE o_orderkey % 3 = 0
 )
 SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
 FROM unioned
@@ -5493,10 +5493,13 @@ def iceberg_partition_evolution_roundtrip(
     )
 
     cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    # modulo split, not key ranges: both eras are non-empty at EVERY
+    # scale factor (sf0.001's orders end below an absolute-key split,
+    # which left the new spec with zero files and nothing to prune)
     base = (
         table(spark, sf_dir, "orders")
         .select(*cols)
-        .filter(F.col("o_orderkey") < 3000)
+        .filter(F.col("o_orderkey") % 3 != 0)
     )
     root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_pevolve")
     _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
@@ -5508,9 +5511,7 @@ def iceberg_partition_evolution_roundtrip(
     appended = (
         table(spark, sf_dir, "orders")
         .select(*cols)
-        .filter(
-            (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 6000)
-        )
+        .filter(F.col("o_orderkey") % 3 == 0)
     )
     write_iceberg(appended, root, mode="append")
     full = load_source(spark, root, "iceberg")
