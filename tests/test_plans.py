@@ -559,3 +559,17 @@ def test_kcore_lineage_is_checkpoint_cut(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "lineitem" not in plan.lower(), plan[:2000]
     assert ("ExistingRDD" in plan) or ("LogicalRDD" in plan), plan[:2000]
+
+
+def test_filtered_ann_broadcasts_and_takes_ordered(spark):
+    """sim_ann_filtered's scale contract: the metadata predicate's id
+    set joins as a BROADCAST left-semi (never a shuffled join on the
+    corpus side) and the top-k is TakeOrderedAndProject — no full
+    sort, no wide Exchange of vectors."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["sim_ann_filtered"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
