@@ -1286,11 +1286,11 @@ _WGRAMS = (
                           ROWS UNBOUNDED PRECEDING) AS cum
       FROM t
     ), b AS (
-      SELECT lang, (cum - n) // 2048 AS bin, n FROM c
+      SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS bin, n FROM c
     )
     SELECT lang, bin,
            COUNT(*) AS n_docs,
-           SUM(n) AS total_tokens,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
            ROUND(SUM(n)::DOUBLE / 2048.0, 6) AS fill_ratio
     FROM b GROUP BY lang, bin
     """,
@@ -1426,7 +1426,8 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
            ROUND(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
                  / COUNT(*)::DOUBLE, 6) AS dup_fraction
     FROM chunks c JOIN freq f USING (fp)
@@ -1547,7 +1548,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok
     )
     SELECT doc_id,
-           SUM(c) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_distinct,
            ROUND(COUNT(*)::DOUBLE / SUM(c)::DOUBLE, 6) AS distinct_ratio,
            ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_token_share
@@ -1586,7 +1587,8 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain_mixture_weights",
     oracle=f"""
     WITH per_src AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(len({_TOKS})) AS n_tokens
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ), w AS (
       SELECT source, n_docs, n_tokens, sqrt(n_tokens::DOUBLE) AS raw_w
@@ -1785,8 +1787,10 @@ def _register_dedup_bloom():
     )
     SELECT pc.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN pc.bloom_hit THEN 1 ELSE 0 END) AS n_bloom_hits,
-           SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_exact_hits
+           CAST(SUM(CASE WHEN pc.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(SUM(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_hits
     FROM probe_chunk pc LEFT JOIN histfp h USING (fp)
     GROUP BY pc.doc_id
     ORDER BY doc_id
@@ -1874,7 +1878,8 @@ _register_dedup_bloom()
            CAST(SUM(f.f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              AS mean_tok_freq,
            MIN(f.f) AS min_freq,
-           SUM(CASE WHEN f.f = 1 THEN 1 ELSE 0 END) AS n_hapax
+           CAST(SUM(CASE WHEN f.f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
     FROM toks t JOIN freq f USING (tok)
     GROUP BY t.doc_id
     ORDER BY doc_id

@@ -66,7 +66,7 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
            CAST(MAX(ts) AS TIMESTAMP) AS session_end,
            COUNT(*) AS n_events,

@@ -29,6 +29,27 @@ def test_oracle_sql_binds(name, oracle):
     oracle.execute("EXPLAIN " + REGISTRY[name].oracle)
 
 
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_projects_no_hugeint(name, oracle):
+    """No oracle may project HUGEINT/UHUGEINT (r9 verdict #1).
+
+    DuckDB widens `BIGINT // x` and `SUM(BIGINT)` to int128; values
+    equal Spark's BIGINT, so the value gate here can never see the
+    divergence — but the driver's hasher is typed on physical width
+    and reports `hash_match: false` (r9: `pack_sequences` + 7 latent
+    twins).  DESCRIBE is bind-only (no execution), so this holds the
+    line for every future oracle at pytest cost, not driver cost.
+    """
+    desc = oracle.execute(
+        "DESCRIBE (" + REGISTRY[name].oracle + ")"
+    ).fetchall()
+    wide = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+    assert not wide, (
+        f"{name} projects int128 column(s) {wide}; CAST ... AS BIGINT "
+        "in the oracle SQL (the driver hashes physical type width)"
+    )
+
+
 def test_driver_sample_spans_families():
     """First 50 insertion-order rows = the curated cross-family sample
     (r8 verdict #3: the driver's external oracle check reads exactly
