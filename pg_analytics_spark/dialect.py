@@ -1917,15 +1917,22 @@ def rewrite_pg(
         )
         # slices next, ALSO re-tokenized: the sliced operand/bounds can
         # carry fn aliases / ::casts that later stages must still see
-        sql = "".join(
-            t for _, t in _rewrite_array_slices(_tokenize(sql))
-        )
-        # plain subscripts LAST (slices are gone): DuckDB's 1-based
-        # l[i] → try_element_at — passing the bracket to Spark's
-        # 0-based indexing would be a silent off-by-one
-        sql = "".join(
-            t for _, t in _rewrite_plain_subscripts(_tokenize(sql))
-        )
+        # Both passes bake their inner token span as TEXT into the
+        # replacement, so a nested subscript (`a[b[1]]`, `ARRAY[l[1]]`,
+        # slice bounds like `a[b[1]:2]`) survives one pass untouched —
+        # exactly the silent 0-vs-1-based divergence the pass exists
+        # to prevent.  Re-tokenizing the output re-exposes the baked
+        # inner bracket, so running each pass to FIXPOINT rewrites
+        # arbitrarily nested subscripts; every rewrite removes one
+        # bracket pair and introduces none, so this terminates (the
+        # cap only guards a future non-contracting rewrite).
+        for _ in range(32):
+            new = sql
+            for _pass in (_rewrite_array_slices, _rewrite_plain_subscripts):
+                new = "".join(t for _, t in _pass(_tokenize(new)))
+            if new == sql:
+                break
+            sql = new
     if "{" in sql:
         # struct literals AFTER comprehensions (a struct inside a
         # rewritten comprehension body surfaces on this re-tokenize)

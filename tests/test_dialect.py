@@ -1346,6 +1346,28 @@ def test_plain_subscript_matches_duckdb_semantics(engine):
     assert tuple(got) == exp == (10, 30, None, None, 30, 20)
 
 
+def test_nested_subscripts_match_duckdb(engine):
+    """r9 ADVICE: the subscript pass was single-pass, so the INNER
+    bracket of `a[b[1]]` / `ARRAY[l[1]]` / `a[b[1]:2]` was baked into
+    the replacement text un-rewritten and hit Spark's 0-based bracket
+    — the silent off-by-one the pass exists to prevent.  The rewrite
+    now runs to fixpoint; every shape must match DuckDB value-exactly.
+    """
+    import duckdb as _duckdb
+
+    sql = (
+        "SELECT a[b[1]] AS nested, "
+        "a[b[b[1]]] AS twice, "
+        "ARRAY[b[1], b[2]][2] AS ctor_inner, "
+        "a[b[1]:3] AS slice_lo, "
+        "a[1:b[1]] AS slice_hi "
+        "FROM (SELECT [10, 20, 30, 40] AS a, [2, 1] AS b)"
+    )
+    got = tuple(engine.sql(sql).collect()[0])
+    exp = _duckdb.connect().execute(sql).fetchone()
+    assert got == exp == (20, 10, 1, [20, 30], [10, 20])
+
+
 def test_pg_array_constructor_and_non_subscript_brackets(engine):
     """Review-round finds: `ARRAY[...]` is pg's constructor, not a
     subscript on a value named `array` (was mangled to
