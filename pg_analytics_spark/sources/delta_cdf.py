@@ -151,6 +151,16 @@ def read_table_changes(
         for a in actions:
             rec = a[kind]
             pv = rec.get("partitionValues") or {}
+            if not pv and part_cols:
+                # remove actions minted by truncate/overwrite carry no
+                # partitionValues (r9 ADVICE), and the staged data
+                # files don't contain partition columns — recover the
+                # values from the hive directories in the file path
+                from pg_analytics_spark.sources.delta_write import (
+                    _partition_values,
+                )
+
+                pv = _partition_values(rec["path"])
             key = tuple(
                 pv.get(mapping_phys.get(c, c)) for c in part_cols
             )

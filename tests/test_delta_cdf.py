@@ -140,6 +140,48 @@ def test_partitioned_cdf(spark, tmp_path):
     assert got == {(9, "0"), (10, "1"), (11, "2")}
 
 
+def test_partitioned_truncate_and_overwrite_cdf(spark, tmp_path):
+    """r9 ADVICE: truncate/overwrite removes carry no partitionValues
+    and the staged files lack partition columns, so synthesized
+    delete rows showed NULL partition values — they must be recovered
+    from the hive directories in the remove path."""
+    from pyspark.sql import functions as F
+
+    def mk(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+        )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        mk(6), path, mode="overwrite", partition_by="p", configuration=CDF
+    )
+    delete_delta(spark, path, None)  # v1: truncate
+    write_delta(
+        mk(3), path, mode="append", partition_by="p", configuration=CDF
+    )  # v2
+    write_delta(
+        mk(2), path, mode="overwrite", partition_by="p", configuration=CDF
+    )  # v3: overwrite = delete-all + insert
+    ch = read_table_changes(spark, path, 1, 3)
+    assert ch.filter("p IS NULL").count() == 0
+    trunc = {
+        (r["k"], r["p"])
+        for r in ch.filter("_commit_version = 1").collect()
+    }
+    assert trunc == {
+        (k, str(k % 3)) for k in range(6)
+    }
+    over = {
+        (r["_change_type"], r["k"], r["p"])
+        for r in ch.filter("_commit_version = 3").collect()
+    }
+    assert over == {("delete", k, str(k % 3)) for k in range(3)} | {
+        ("insert", k, str(k % 3)) for k in range(2)
+    }
+
+
 def test_cdf_survives_rename(spark, tmp_path):
     """ALTER RENAME upgrades to column mapping; cdc files written
     before AND after must both resolve to the current names."""
