@@ -252,10 +252,21 @@ def bitmap_probe_rows(
     # file (the same order of metadata work a manifest prune does)
     matched_files = [r["file"] for r in per_file.select("file").collect()]
     if not matched_files:
-        raise UnsupportedFormat(
-            "bitmap_probe_rows: no file matches the predicates — "
-            "use bitmap_probe_count for emptiness checks"
+        # zero matches is a normal query outcome (r9 ADVICE), not an
+        # error: return an empty frame with the data schema, read from
+        # one indexed file's footer. Only a missing/empty index stays
+        # loud.
+        any_file = [
+            r["file"] for r in index.select("file").limit(1).collect()
+        ]
+        if not any_file:
+            raise UnsupportedFormat(
+                f"bitmap_probe_rows: index at {index_dir} is empty"
+            )
+        empty = spark.createDataFrame(
+            [], spark.read.parquet(any_file[0]).schema
         )
+        return empty.select(*columns) if columns else empty
     scan = spark.read.parquet(*sorted(matched_files)).select(
         "*",
         _file_expr(),

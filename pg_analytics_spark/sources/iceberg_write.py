@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import re
 import shutil
 import struct
@@ -892,6 +893,10 @@ def write_iceberg(
         ),
         "partition-specs": partition_specs,
         "default-spec-id": spec_id,
+        # v2 TableMetadata requires both; standard tooling mints new
+        # partition field ids from last-partition-id (r9 ADVICE)
+        "last-partition-id": _last_partition_field_id(partition_specs),
+        "last-updated-ms": int(time.time() * 1000),
         "snapshots": snapshots,
         "snapshot-log": log,
     }
@@ -906,6 +911,21 @@ def write_iceberg(
         fh.write(str(version))
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return {"snapshot_id": snapshot_id, "files": len(entries), "rows": n_rows}
+
+
+def _last_partition_field_id(specs: list[dict]) -> int:
+    """Highest partition field id across ALL specs (v2: the shared
+    sequence floor is 999 for unpartitioned tables) — standard Iceberg
+    tooling mints the next partition field id from this value, so
+    omitting or under-reporting it risks colliding field ids."""
+    return max(
+        [999]
+        + [
+            pf.get("field-id", 999)
+            for s in specs
+            for pf in s.get("fields", [])
+        ]
+    )
 
 
 def _name_mapping(meta: dict, fields: list[dict]) -> list[dict]:
@@ -1055,6 +1075,7 @@ def alter_iceberg(
     ]
     meta["current-schema-id"] = new_schema_id
     meta["last-column-id"] = last_col
+    meta["last-updated-ms"] = int(time.time() * 1000)
     props = dict(prev_meta.get("properties") or {})
     props["schema.name-mapping.default"] = json.dumps(nm)
     meta["properties"] = props
@@ -1171,6 +1192,8 @@ def alter_iceberg_partition(
     meta = dict(prev_meta)
     meta["partition-specs"] = prev_specs
     meta["default-spec-id"] = spec_id
+    meta["last-partition-id"] = _last_partition_field_id(prev_specs)
+    meta["last-updated-ms"] = int(time.time() * 1000)
     version = prev_version + 1
     meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     tmp = meta_path + f".tmp-{uuid.uuid4().hex}"

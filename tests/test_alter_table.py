@@ -549,6 +549,11 @@ def test_iceberg_partition_evolution(spark, tmp_path):
         pf["field-id"] for s in specs for pf in s.get("fields", [])
     ]
     assert len(pfids) == len(set(pfids))  # unique across ALL specs
+    # r9 ADVICE: standard tooling mints the next partition field id
+    # from last-partition-id — it must cover every spec's field ids,
+    # and every metadata version must stamp last-updated-ms
+    assert meta["last-partition-id"] == max(pfids)
+    assert meta["last-updated-ms"] > 0
     # evolving BACK to bucket(4, g) rebinds the existing spec id
     r3 = alter_iceberg_partition(path, ["bucket(4, g)"])
     assert r3["spec_id"] == r1["spec_id"]

@@ -94,8 +94,20 @@ def test_empty_probe(spark, tmp_path):
     build_bitmap_index(spark, path, {"cat": "cat"}, idx)
     cnt = bitmap_probe_count(spark, idx, {"cat": "999"}).collect()[0]
     assert cnt["n_rows"] == 0 and cnt["n_files"] == 0
+    # zero matches is a normal outcome: empty frame, data schema
+    # preserved (r9 ADVICE — was an UnsupportedFormat raise)
+    empty = bitmap_probe_rows(spark, idx, {"cat": "999"})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "cat", "grp", "v"}
+    proj = bitmap_probe_rows(spark, idx, {"cat": "999"}, columns=["k"])
+    assert proj.columns == ["k"] and proj.count() == 0
+    # a missing/empty index stays loud
+    os.makedirs(str(tmp_path / "noidx"))
+    spark.createDataFrame(
+        [], "file string, col string, value string, card long, blob binary"
+    ).write.parquet(str(tmp_path / "noidx"), mode="overwrite")
     with pytest.raises(UnsupportedFormat):
-        bitmap_probe_rows(spark, idx, {"cat": "999"})
+        bitmap_probe_rows(spark, str(tmp_path / "noidx"), {"cat": "1"})
 
 
 def test_nulls_not_indexed_and_missing_column_ands_to_empty(
