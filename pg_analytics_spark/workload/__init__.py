@@ -27,78 +27,72 @@ from pg_analytics_spark.workload.core_sql import q1_pricing_summary  # noqa: F40
 
 # The driver's external oracle check samples the FIRST 50 rows of
 # REGISTRY insertion order (r8 verdict "What's wrong #3": with plain
-# import order that sample was core SQL only, leaving every
-# LLM-pipeline / lakehouse / sketch / graph / streaming row invisible
-# to the external signal).  Reorder so the first 50 are one curated
-# representative per family — core SQL, TPC-H, dialect passthrough,
-# geo, Delta/Iceberg/Avro writers, z-order, dedup, ANN, text,
-# multimodal, corpus, BPE/embeddings, sketches, graph, streaming,
-# temporal, events — with `q1_pricing_summary` first (entry contract).
-# All 50 are value-exact rows (no rows-only entries).
-_DRIVER_SAMPLE = [
-    "q1_pricing_summary",
-    "count_star",
-    "filter_types",
-    "join_dim_chain",
-    "window_rank_topn",
-    "grouping_rollup",
-    "set_ops",
-    "subquery_scalar_avg",
-    "cte_top_customers",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "sql_passthrough_recursive_cte",
-    "sql_passthrough_set_op_chain",
-    "sql_passthrough_time_travel",
-    "geo_customers_near_hub",
-    "geo_shapefile_nation_hubs",
-    "delta_write_roundtrip",
-    "delta_cdf_changes",
-    "iceberg_write_roundtrip",
-    "iceberg_merge_roundtrip",
-    "avro_nation_roundtrip",
-    "zorder_scan_skipping",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_semantic",
-    "sim_topk_bruteforce",
-    "sim_ann_ivf_pruned",
-    "sim_ann_int8_rerank",
-    "text_stats",
-    "text_lang_id",
-    "text_bm25_search",
-    "multimodal_meta",
-    "multimodal_phash_neardup",
-    "corpus_curation",
-    "pack_sequences",
-    "bpe_pair_counts",
-    "embed_quantize_int8",
-    "sketch_hll_overlap",
-    "sketch_kmv_distinct_diff",
-    "graph_pagerank_copurchase",
-    "graph_triangle_count",
-    "streaming_hourly_counts",
-    "streaming_sessionize",
-    "streaming_cdc_upsert",
-    "asof_purchase_attribution",
-    "range_join_error_context",
-    "events_funnel_conversion",
-    "events_ewma_smoothing",
+# import order that sample was core SQL only).  r9 curated a fixed
+# cross-family head; r9's verdict (#3) and advice flagged the other
+# side of that coin: a FIXED head means 200 rows never meet the
+# external hasher, and the subject-under-test hand-picking which rows
+# the independent oracle verifies biases the signal.  So the head now
+# ROTATES: `q1_pricing_summary` stays first (entry contract), and the
+# remaining 49 slots are a contiguous window over every value-exact
+# registry row in natural registration order, advanced by 49 each
+# round.  Consecutive windows tile the list, so ANY ceil(N/49)
+# consecutive rounds (currently 6) externally verify EVERY oracled
+# row — no row is ever invisible for more than one cycle, and the
+# builder has no say in which rows a given round checks.  The round
+# number is read from the driver's own committed artifacts
+# (CORRECTNESS_r{N}.json), so the window is reproducible by anyone
+# from a checkout.
+_PINNED_FIRST = "q1_pricing_summary"
+_SAMPLE_SIZE = 50
+
+
+def _round_number() -> int:
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+#: registration order, frozen BEFORE the head reorder mutates
+#: REGISTRY — the rotation must be a pure function of (round, code),
+#: not of how many times the sample was computed
+_NATURAL_ORDER = [
+    n
+    for n in REGISTRY
+    if n != _PINNED_FIRST and REGISTRY[n].oracle is not None
 ]
 
 
+def _driver_sample(round_no: int | None = None) -> list[str]:
+    if round_no is None:
+        round_no = _round_number()
+    eligible = _NATURAL_ORDER
+    k = _SAMPLE_SIZE - 1
+    off = ((round_no - 1) * k) % len(eligible)
+    rot = eligible[off:] + eligible[:off]
+    return [_PINNED_FIRST] + rot[:k]
+
+
 def _reorder_for_driver_sample() -> None:
-    missing = [n for n in _DRIVER_SAMPLE if n not in REGISTRY]
-    if missing:  # loud: a renamed row must update the sample list
-        raise KeyError(f"_DRIVER_SAMPLE names not in REGISTRY: {missing}")
-    head = set(_DRIVER_SAMPLE)
-    ordered = {n: REGISTRY[n] for n in _DRIVER_SAMPLE}
+    sample = _driver_sample()
+    head = set(sample)
+    ordered = {n: REGISTRY[n] for n in sample}
     ordered.update((n, qd) for n, qd in REGISTRY.items() if n not in head)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
+
+#: this round's head — importable for tests/tools
+_DRIVER_SAMPLE = _driver_sample()
 
 _reorder_for_driver_sample()
 

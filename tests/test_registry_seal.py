@@ -50,38 +50,38 @@ def test_oracle_projects_no_hugeint(name, oracle):
     )
 
 
-def test_driver_sample_spans_families():
-    """First 50 insertion-order rows = the curated cross-family sample
-    (r8 verdict #3: the driver's external oracle check reads exactly
-    these; they must stay representative and all value-checkable)."""
-    from pg_analytics_spark.workload import _DRIVER_SAMPLE
+def test_driver_sample_rotates_and_covers_everything():
+    """r9 verdict #3 + advice: a FIXED curated head left 200 rows
+    never externally hashed, and let the subject-under-test pick what
+    the independent oracle verifies.  The head now rotates: pinned
+    first row, then a contiguous 49-row window over all oracled rows
+    advanced by 49 per round — any ceil(N/49) consecutive rounds must
+    cover EVERY oracled row, and the window is derived from the
+    driver's own committed artifacts, not builder curation."""
+    import math
+
+    from pg_analytics_spark.workload import (
+        _DRIVER_SAMPLE,
+        _driver_sample,
+        _round_number,
+    )
 
     head = list(REGISTRY)[:50]
-    assert head == _DRIVER_SAMPLE
+    assert head == _DRIVER_SAMPLE == _driver_sample(_round_number())
     assert head[0] == "q1_pricing_summary"
+    assert len(set(head)) == 50
     assert all(REGISTRY[n].oracle is not None for n in head)
-    for marker in (
-        "q6_",  # TPC-H
-        "sql_passthrough_",  # dialect
-        "geo_",
-        "delta_",
-        "iceberg_",
-        "avro_",
-        "zorder_",
-        "dedup_",
-        "sim_",
-        "text_",
-        "multimodal_",
-        "corpus_",
-        "bpe_",
-        "embed_",
-        "sketch_",
-        "graph_",
-        "streaming_",
-        "asof_",
-        "events_",
-    ):
-        assert any(n.startswith(marker) for n in head), marker
+    eligible = {n for n in REGISTRY if REGISTRY[n].oracle is not None}
+    cycle = math.ceil((len(eligible) - 1) / 49)
+    for base in (1, _round_number(), 1000):
+        cov: set[str] = set()
+        for r in range(base, base + cycle):
+            s = _driver_sample(r)
+            assert s[0] == "q1_pricing_summary" and len(set(s)) == 50
+            cov.update(s)
+        assert eligible <= cov, eligible - cov
+    # consecutive rounds actually rotate (not a fixed head)
+    assert set(_driver_sample(10)) != set(_driver_sample(11))
 
 
 def test_entry_exports_whole_registry():
