@@ -222,6 +222,19 @@ _DESCRIBE_HISTORY_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+_DESCRIBE_DETAIL_RE = _re.compile(
+    r"^DESC(?:RIBE)?\s+DETAIL\s+(?P<name>[A-Za-z_][\w.]*);?\s*$",
+    _re.IGNORECASE,
+)
+
+_SHALLOW_CLONE_RE = _re.compile(
+    r"^CREATE\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)\s+SHALLOW\s+CLONE\s+"
+    r"(?P<source>[A-Za-z_][\w.]*)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?"
+    r"\s+LOCATION\s+'(?P<location>[^']+)';?\s*$",
+    _re.IGNORECASE,
+)
+
 _RESTORE_STMT_RE = _re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+VERSION\s+"
     r"AS\s+OF\s+(?P<version>\d+);?\s*$",
@@ -473,6 +486,12 @@ class Engine:
         m = _DESCRIBE_HISTORY_RE.match(query.strip())
         if m:
             return self._describe_history_statement(m)
+        m = _DESCRIBE_DETAIL_RE.match(query.strip())
+        if m:
+            return self._describe_detail_statement(m)
+        m = _SHALLOW_CLONE_RE.match(query.strip())
+        if m:
+            return self._shallow_clone_statement(m)
         m = _DESCRIBE_RE.match(query.strip())
         if m:
             return self._describe_statement(m)
@@ -2796,6 +2815,79 @@ class Engine:
             ],
             "version bigint, timestamp timestamp, operation string, "
             "operationParameters string",
+        )
+
+    def _describe_detail_statement(self, m) -> DataFrame:
+        """Delta-SQL ``DESCRIBE DETAIL <tbl>`` on attached delta
+        tables: the one-row summary (format, id, location, times,
+        partition columns, numFiles, sizeInBytes, properties,
+        protocol versions) from one metadata-sized log replay —
+        the introspection companion of DESCRIBE HISTORY."""
+        import datetime as _dt
+        import json as _json
+
+        from pg_analytics_spark.sources.delta_write import (
+            describe_detail_delta,
+        )
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "DESCRIBE DETAIL", formats=("delta",)
+        )
+        d = describe_detail_delta(att.files[0])
+        to_ts = (
+            lambda ms: _dt.datetime.utcfromtimestamp(ms / 1000.0)
+            if ms is not None
+            else None
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    d["format"],
+                    d["id"],
+                    d["location"],
+                    to_ts(d["createdAt"]),
+                    to_ts(d["lastModified"]),
+                    d["partitionColumns"],
+                    d["numFiles"],
+                    d["sizeInBytes"],
+                    _json.dumps(d["properties"], sort_keys=True),
+                    d["minReaderVersion"],
+                    d["minWriterVersion"],
+                )
+            ],
+            "format string, id string, location string, "
+            "createdAt timestamp, lastModified timestamp, "
+            "partitionColumns array<string>, numFiles bigint, "
+            "sizeInBytes bigint, properties string, "
+            "minReaderVersion int, minWriterVersion int",
+        )
+
+    def _shallow_clone_statement(self, m) -> DataFrame:
+        """``CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n]
+        LOCATION 'path'`` — a zero-copy metadata fork of an attached
+        delta table (sources/delta_write.clone_delta), attached under
+        the new name.  Returns one metrics row."""
+        from pg_analytics_spark.sources.delta_write import clone_delta
+
+        att = self._dml_delta_attachment(
+            m.group("source"), "SHALLOW CLONE", formats=("delta",)
+        )
+        version = m.group("version")
+        res = clone_delta(
+            att.files[0],
+            m.group("location"),
+            int(version) if version is not None else None,
+        )
+        self.attach(m.group("target"), [m.group("location")], "delta")
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(res["source_version"]),
+                    int(res["files"]),
+                    int(res["version"]),
+                )
+            ],
+            "source_version bigint, files bigint, version bigint",
         )
 
     def _describe_statement(self, m) -> DataFrame:

@@ -2039,3 +2039,147 @@ def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:
             except OSError:
                 pass
     return {"files_deleted": deleted, "bytes_deleted": freed}
+
+
+def clone_delta(
+    source_path: str, target_path: str, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE: a new Delta table whose version-0 commit
+    REFERENCES the source's data files by absolute path — zero data
+    copy, O(active files) metadata (the zero-cost dev/test fork of a
+    100 TB table; delta-spark's ``CREATE TABLE t SHALLOW CLONE s``).
+
+    The clone is pinned to the source's state at ``version`` (default
+    latest): later source commits don't leak in, and DML on the clone
+    copies-on-write into the CLONE's directory — referenced source
+    files are only ever dropped from the clone's log, never touched
+    on disk (``vacuum_delta`` walks the table root only, so a clone
+    vacuum cannot reach them).  The one shared-fate hazard is Delta's
+    own: VACUUM on the SOURCE deletes files the clone still
+    references.  Deletion-vector descriptors are rewritten to
+    absolute-path storage ('p') so they keep resolving against the
+    source's blobs from the clone's root.  The clone mints a fresh
+    table id but keeps schema, partitioning, properties, and protocol.
+    Returns {"version", "files", "source_version"}."""
+    import time as _time
+
+    from pg_analytics_spark.errors import MissingDependency
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_dv import _dv_file_path
+
+    src = os.path.abspath(source_path)
+    log_dir = os.path.join(src, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"CLONE source is not a delta table: {src}")
+    if os.path.isdir(os.path.join(target_path, "_delta_log")):
+        raise UnsupportedFormat(
+            f"CLONE target already exists: {target_path}"
+        )
+    try:
+        active, meta = _replay_log(log_dir, version)
+    except MissingDependency as exc:
+        raise UnsupportedFormat(
+            f"delta table at {src} has no version {version}: {exc}"
+        ) from None
+    if meta is None:
+        raise UnsupportedFormat(f"no Delta metaData at {src}")
+    src_version = (
+        version if version is not None else _next_version(log_dir) - 1
+    )
+    now_ms = int(_time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())  # a clone is a NEW table
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "sourceVersion": src_version,
+                    "isShallow": True,
+                },
+            }
+        },
+        {"protocol": _latest_protocol(log_dir)},
+        {"metaData": new_meta},
+    ]
+    for rel, add in sorted(active.items()):
+        new_add = dict(add)
+        p = new_add["path"]
+        new_add["path"] = p if os.path.isabs(p) else os.path.join(src, p)
+        dv = new_add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            new_add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": _dv_file_path(src, dv),
+            }
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    target_log = os.path.join(target_path, "_delta_log")
+    os.makedirs(target_path, exist_ok=True)
+    _write_commit(target_path, target_log, 0, actions)
+    return {
+        "version": 0,
+        "files": len(active),
+        "source_version": src_version,
+    }
+
+
+def describe_detail_delta(path: str) -> dict:
+    """``DESCRIBE DETAIL`` — the one-row table summary delta-spark
+    returns: format, id, location, created/last-modified times,
+    partition columns, active file count and byte size, properties,
+    protocol versions.  Metadata-sized: one log replay plus the add
+    actions' recorded sizes (no data file is opened)."""
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(
+            f"DESCRIBE DETAIL target is not a delta table: {path}"
+        )
+    active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise UnsupportedFormat(f"no Delta metaData at {path}")
+    proto = _latest_protocol(log_dir)
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    created_ms = None
+    if commits:
+        with open(os.path.join(log_dir, commits[0])) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("timestamp"):
+                    created_ms = int(ci["timestamp"])
+                break
+    last_ms = None
+    if commits:
+        last_path = os.path.join(log_dir, commits[-1])
+        last_ms = int(os.path.getmtime(last_path) * 1000)
+        with open(last_path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and ci.get("timestamp"):
+                    last_ms = int(ci["timestamp"])
+                break
+    return {
+        "format": "delta",
+        "id": meta.get("id"),
+        "location": os.path.abspath(path),
+        "createdAt": created_ms,
+        "lastModified": last_ms,
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "numFiles": len(active),
+        "sizeInBytes": sum(int(a.get("size") or 0) for a in active.values()),
+        "properties": dict(meta.get("configuration") or {}),
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+    }

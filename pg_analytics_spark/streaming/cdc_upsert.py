@@ -138,3 +138,69 @@ def maintain_cdc_table(
         .start()
     )
     q.awaitTermination()
+
+
+def apply_cdc_batch_iceberg(batch_df: DataFrame, table_dir: str) -> None:
+    """Apply ONE change batch to a native ICEBERG table as a single
+    equality-delete row-delta snapshot (create the table on first).
+
+    The Iceberg twin of ``apply_cdc_batch``: where the Delta path runs
+    a conditional MERGE (a join of the batch against the target), this
+    commits ``upsert_iceberg_eq`` — an eq-delete file on the batch's
+    keys plus the batch's rows, both at the snapshot's sequence number
+    S, with NO target read at any point.  Per-trigger cost is
+    O(change set) regardless of table size — the property that keeps
+    per-micro-batch CDC viable on a 100 TB table.
+
+    Contract difference, by design: eq-delete upsert is LAST-WRITER-
+    WINS, so micro-batches must arrive time-ordered (the changelog
+    contract — true of CDF feeds and per-key-partitioned Kafka
+    topics; the file source's (mtime, path) order in tests).  A feed
+    that can deliver out-of-order change batches needs the Delta
+    twin's newer-than conditional MERGE instead.  Replaying the SAME
+    batch after a crash is idempotent: the eq-delete erases the
+    replayed keys' previous images and re-adds identical rows, so a
+    restart from the checkpoint converges (pinned in
+    tests/test_streaming.py)."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        upsert_iceberg_eq,
+        write_iceberg,
+    )
+
+    latest = latest_per_key(batch_df)
+    if not os.path.isdir(os.path.join(table_dir, "metadata")):
+        write_iceberg(latest.coalesce(1), table_dir, mode="overwrite")
+        return
+    upsert_iceberg_eq(
+        batch_df.sparkSession, table_dir, latest, [CDC_KEY]
+    )
+
+
+def maintain_cdc_table_iceberg(
+    spark: SparkSession,
+    source: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """One availableNow increment: apply every unseen file's changes
+    to the Iceberg profile table, one row-delta snapshot per
+    micro-batch."""
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    ev = read_event_stream(spark, source, opts)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch_iceberg(batch_df, table_dir)
+
+    q = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

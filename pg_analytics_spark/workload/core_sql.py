@@ -3206,6 +3206,76 @@ ORDER BY change_type, o_orderkey
 
 
 @register(
+    "delta_shallow_clone",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    doc="SHALLOW CLONE (delta_write.clone_delta): the clone's v0 "
+    "commit references the source's data files by absolute path — "
+    "zero bytes copied, O(active files) metadata; the zero-cost "
+    "dev/test fork of a 100 TB table.  The row builds the source in "
+    "two commits, clones, then EVOLVES THE SOURCE (delete + append) "
+    "and reads the CLONE: the returned rows must equal the source AS "
+    "OF the clone version — pinned-ness and isolation are what the "
+    "oracle checks (a leak of either later source commit changes the "
+    "values).  In-row asserts prove the source actually diverged and "
+    "that DESCRIBE DETAIL sees the clone as a new table id.",
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        clone_delta,
+        delete_delta,
+        describe_detail_delta,
+        write_delta,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_clone")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    src = _os.path.join(root, "src")
+    dst = _os.path.join(root, "clone")
+    write_delta(
+        orders.filter(F.col("o_orderkey") < 1500).repartition(
+            4, "o_orderkey"
+        ),
+        src,
+        mode="overwrite",
+    )  # v0
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 2000)
+        ),
+        src,
+        mode="append",
+    )  # v1
+    res = clone_delta(src, dst)
+    assert res["source_version"] == 1 and res["files"] > 0
+    # source evolves AFTER the clone: neither commit may leak in
+    delete_delta(spark, src, "v < 100000")
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2500)
+        ),
+        src,
+        mode="append",
+    )
+    assert (
+        load_source(spark, src, "delta").count()
+        != load_source(spark, dst, "delta").count()
+    )
+    assert describe_detail_delta(dst)["id"] != describe_detail_delta(src)["id"]
+    return load_source(spark, dst, "delta").orderBy("o_orderkey")
+
+
+@register(
     "delta_version_diff",
     oracle=_VERSION_DIFF_ORACLE,
     doc="Snapshot diff (CDC-lite) across Delta versions: build a "

@@ -1029,6 +1029,83 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_iceberg_cdc_upsert",
+    oracle="""
+    SELECT user_id, last_ts, last_event_id, last_type, last_value
+    FROM (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             event_type AS last_type, value AS last_value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Streaming CDC apply into the NATIVE Iceberg writer "
+    "(streaming/cdc_upsert.maintain_cdc_table_iceberg): the events "
+    "table is split into three TIME-ORDERED source files and drained "
+    "with maxFilesPerTrigger=1, so each micro-batch commits ONE "
+    "equality-delete row-delta snapshot (eq-delete on the batch's "
+    "keys + the batch's rows, both at sequence S — "
+    "upsert_iceberg_eq) with NO target read: per-trigger cost is "
+    "O(change set), the property the Delta twin's conditional MERGE "
+    "lacks (it joins every batch against the target).  The trade is "
+    "the changelog contract: eq upsert is last-writer-wins, so "
+    "batches must arrive time-ordered — the split here IS that "
+    "contract; crash-replay idempotence and out-of-order refusal "
+    "live in tests/test_streaming.py.  Shares the batch argmax "
+    "oracle with `streaming_cdc_upsert` and `iceberg_eq_cdc_upsert` "
+    "(the shared-oracle pattern: three routes, one truth).",
+)
+def streaming_iceberg_cdc_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as _glob
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.cdc_upsert import (
+        maintain_cdc_table_iceberg,
+    )
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    cuts = (lo + span / 3, lo + 2 * span / 3)
+    with scratch_dir(spark) as work:
+        src = f"{work}/cdc_src"
+        import os as _os
+
+        _os.makedirs(src)
+        parts = (
+            e.filter(F.col("ts") < F.lit(cuts[0])),
+            e.filter(
+                (F.col("ts") >= F.lit(cuts[0]))
+                & (F.col("ts") < F.lit(cuts[1]))
+            ),
+            e.filter(F.col("ts") >= F.lit(cuts[1])),
+        )
+        for idx, p in enumerate(parts):
+            stage = f"{work}/cdc_stage{idx}"
+            p.coalesce(1).write.parquet(stage)
+            # the file source drains in (mtime, path) order; name the
+            # files in time order so the changelog contract holds
+            _shutil.copy(
+                _glob.glob(f"{stage}/*.parquet")[0],
+                f"{src}/{idx:03d}.parquet",
+            )
+        tbl = f"{work}/profiles_iceberg"
+        maintain_cdc_table_iceberg(
+            spark, src, tbl, f"{work}/ckpt", max_files_per_trigger=1
+        )
+        out = load_source(spark, tbl, "iceberg")
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "user_id"
+        )
+
+
+@register(
     "events_markov_transition",
     oracle="""
     WITH seq AS (

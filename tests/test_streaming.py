@@ -912,6 +912,141 @@ def test_cdc_upsert_multibatch_equals_batch_argmax(spark, tmp_path):
     assert got == expect
 
 
+def test_iceberg_cdc_multibatch_and_crash_replay(spark, tmp_path):
+    """maintain_cdc_table_iceberg through 3 TIME-ORDERED micro-batches
+    (the eq-upsert changelog contract): one row-delta snapshot per
+    batch, final table == batch per-user argmax.  Then crash-recovery:
+    a batch whose foreachBatch RAISES after the snapshot committed is
+    checkpoint-uncommitted — the restarted query replays it, and the
+    replay is IDEMPOTENT (eq-delete erases the replayed keys' previous
+    images and re-adds identical rows), so the table still equals the
+    argmax — exactly-once at the value level across a crash."""
+    import glob as _glob
+    import shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+    )
+    from pg_analytics_spark.streaming.cdc_upsert import (
+        apply_cdc_batch_iceberg,
+        maintain_cdc_table_iceberg,
+    )
+    from pg_analytics_spark.streaming.events import read_event_stream
+    from pg_analytics_spark.workload.base import table
+    from pyspark.sql import Window as W
+
+    ev = table(spark, SF_DIR, "events").filter(F.col("user_id") < 40)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    cuts = (lo + span / 3, lo + 2 * span / 3)
+    parts = [
+        ev.filter(F.col("ts") < F.lit(cuts[0])),
+        ev.filter(
+            (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+        ),
+        ev.filter(F.col("ts") >= F.lit(cuts[1])),
+    ]
+    src = tmp_path / "ev_ice_cdc"
+    src.mkdir()
+    for i, part in enumerate(parts):
+        stage = tmp_path / f"ice_cdc_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            src / f"{i:05d}.parquet",
+        )
+    expect = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+
+    def _got(tbl):
+        return {
+            r["user_id"]: (r["last_ts"], r["last_event_id"], r["last_value"])
+            for r in load_source(spark, tbl, "iceberg").collect()
+        }
+
+    # ---- plain 3-batch drain
+    tbl = str(tmp_path / "profiles_ice")
+    maintain_cdc_table_iceberg(
+        spark, str(src), tbl, str(tmp_path / "ice_ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert _got(tbl) == expect
+    import os as _os
+
+    def _n_snapshots(t):
+        return len(
+            _latest_metadata(_os.path.join(t, "metadata"))[1]["snapshots"]
+        )
+
+    assert _n_snapshots(tbl) == 3  # one snapshot per micro-batch
+
+    # ---- crash after batch 2's effect, restart from checkpoint
+    tbl2 = str(tmp_path / "profiles_ice_crash")
+    ckpt2 = str(tmp_path / "ice_ckpt_crash")
+    calls = {"n": 0}
+
+    def crashing(batch_df, batch_id):
+        apply_cdc_batch_iceberg(batch_df, tbl2)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after batch-2 effect")
+
+    import pytest as _pytest
+
+    ev_s = read_event_stream(
+        spark, str(src), options={"maxFilesPerTrigger": 1}
+    )
+    q = (
+        ev_s.writeStream.outputMode("append")
+        .foreachBatch(crashing)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    maintain_cdc_table_iceberg(
+        spark, str(src), tbl2, ckpt2, max_files_per_trigger=1
+    )
+    assert _got(tbl2) == expect
+    # batch 2 applied twice (crash) + batches 1, 3 once = 4 snapshots
+    assert _n_snapshots(tbl2) == 4
+
+
+def test_iceberg_cdc_duplicate_keys_in_batch_refused(spark, tmp_path):
+    """upsert_iceberg_eq refuses an unreduced batch (two changes for
+    one key would land duplicate rows at the same sequence) — the
+    apply path must reduce via latest_per_key first, which it does."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        upsert_iceberg_eq,
+        write_iceberg,
+    )
+    from pg_analytics_spark.errors import UnsupportedFormat
+    import pytest as _pytest
+
+    sch = "user_id long, last_ts string, last_event_id long"
+    base = spark.createDataFrame([(1, "2024-01-01", 1)], sch)
+    tbl = str(tmp_path / "dup")
+    write_iceberg(base, tbl)
+    dup = spark.createDataFrame(
+        [(1, "2024-01-02", 2), (1, "2024-01-03", 3)], sch
+    )
+    with _pytest.raises(UnsupportedFormat, match="duplicate keys"):
+        upsert_iceberg_eq(spark, tbl, dup, ["user_id"])
+
+
 def test_cdc_upsert_out_of_order_batches_converge(spark, tmp_path):
     """The NEWER-THAN merge condition: applying an out-of-order batch
     of OLDER changes is a no-op — arrival order cannot corrupt the
