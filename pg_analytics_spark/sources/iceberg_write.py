@@ -1280,9 +1280,9 @@ def alter_iceberg_properties(
 def _scan_snapshot_files(prev_list):
     """Walk a snapshot's manifests → (data file→sequence number,
     position-delete paths, [(equality-delete path, seq)]).  Sequence
-    numbers come from the manifest-list entries (this writer's entries
-    don't carry per-entry sequence_number; the reader falls back the
-    same way — sources/iceberg.py)."""
+    numbers come from per-entry ``sequence_number`` when present
+    (rewrite_manifests' carried entries) else the manifest-list entry
+    (the reader resolves identically — sources/iceberg.py)."""
     from pg_analytics_spark.sources.avro import read_container
 
     data_seq: dict[str, int] = {}
@@ -1294,14 +1294,19 @@ def _scan_snapshot_files(prev_list):
         for e in entries:
             if e.get("status", 0) == 2:
                 continue
+            # EXISTING entries carried by rewrite_manifests record
+            # their ORIGINAL data sequence explicitly (spec rule:
+            # inheritance applies only to ADDED entries)
+            e_seq = e.get("sequence_number")
+            seq = m_seq if e_seq is None else int(e_seq)
             rec = e["data_file"]
             if m.get("content", 0) == 1:
                 if rec.get("content", 1) == 2:
-                    eq_deletes.append((rec["file_path"], m_seq))
+                    eq_deletes.append((rec["file_path"], seq))
                 else:
                     pos_deletes.append(rec["file_path"])
             else:
-                data_seq[rec["file_path"]] = m_seq
+                data_seq[rec["file_path"]] = seq
     return data_seq, pos_deletes, eq_deletes
 
 
@@ -1752,17 +1757,19 @@ def compact_iceberg(spark, path: str) -> dict:
         for e in entries:
             if e.get("status", 0) == 2:
                 continue
+            e_seq = e.get("sequence_number")
+            seq = m_seq if e_seq is None else int(e_seq)
             rec = e["data_file"]
             if m.get("content", 0) == 1:
                 n_delete_files += 1
                 if rec.get("content", 1) == 2:
-                    eq_delete_files.append((rec["file_path"], m_seq))
+                    eq_delete_files.append((rec["file_path"], seq))
                 else:
                     pos_delete_paths.append(rec["file_path"])
             else:
                 entry_schema = entry_schema or schema_m
                 data_entries.append(e)
-                data_seq_of[rec["file_path"]] = m_seq
+                data_seq_of[rec["file_path"]] = seq
     if not pos_delete_paths and not eq_delete_files:
         return {
             "snapshot_id": None,
@@ -1910,10 +1917,21 @@ def compact_iceberg(spark, path: str) -> dict:
     seq = prev_meta.get("last-sequence-number", 0) + 1
     manifest = os.path.join(meta_dir, f"man-compact-{snapshot_id}.avro")
     # Iceberg v2 spec: entries CARRIED into a rewritten manifest are
-    # status=0 EXISTING and keep their ORIGINAL snapshot_id — leaving
-    # them status=1 ADDED would claim this snapshot added them (r7
-    # ADVICE; spec §Manifests, existing-entry rule)
-    carried = [{**e, "status": 0} for e in untouched]
+    # status=0 EXISTING and keep their ORIGINAL snapshot_id AND their
+    # ORIGINAL data sequence number explicitly (inheritance applies
+    # only to ADDED entries) — leaving them status=1 ADDED would claim
+    # this snapshot added them (r7 ADVICE; spec §Manifests)
+    entry_schema = _entry_schema_with_seq(entry_schema)
+    carried = [
+        {
+            **e,
+            "status": 0,
+            "sequence_number": data_seq_of[e["data_file"]["file_path"]],
+        }
+        for e in untouched
+    ]
+    for e in new_entries:
+        e["sequence_number"] = seq
     write_container(entry_schema, carried + new_entries, manifest)
     mf_entries = [
         {
@@ -2577,6 +2595,236 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
         "snapshot_id": snapshot_id,
         "rows_upserted": int(n_rows),
         "version": version,
+    }
+
+
+def _entry_schema_with_seq(entry_schema: dict) -> dict:
+    """Entry schema with an entry-level optional ``sequence_number``
+    (inserted after snapshot_id if absent) — required for EXISTING
+    entries, which must record their original data sequence explicitly
+    (spec: sequence inheritance applies only to ADDED entries)."""
+    schema = json.loads(json.dumps(entry_schema))  # deep copy
+    fields = schema["fields"]
+    if any(f["name"] == "sequence_number" for f in fields):
+        return schema
+    at = next(
+        (i + 1 for i, f in enumerate(fields) if f["name"] == "snapshot_id"),
+        1,
+    )
+    fields.insert(at, {"name": "sequence_number", "type": ["null", "long"]})
+    return schema
+
+
+def rewrite_manifests_iceberg(path: str, *, min_group: int = 2) -> dict:
+    """Iceberg's ``rewrite_manifests`` maintenance action: consolidate
+    the current snapshot's many small DATA manifests into one manifest
+    per partition-spec — PURE METADATA, no data file moves, no row
+    reads.  Every commit this writer makes mints a manifest, so a long
+    history accumulates tiny manifests: the small-file problem at the
+    metadata tier, paid on EVERY scan's planning walk.  After the
+    rewrite, planning opens one manifest per spec instead of one per
+    historical commit.
+
+    Carried entries are status=0 EXISTING with their ORIGINAL
+    snapshot_id and an EXPLICIT per-entry ``sequence_number`` (the
+    source manifest's, or the entry's own if it was already carried) —
+    the spec's existing-entry rule, and what keeps equality-delete
+    visibility (strict ``data_seq < delete_seq``) exact across the
+    rewrite.  The reader and every DML scan resolve per-entry sequence
+    first (sources/iceberg.py, _scan_snapshot_files).  DELETE manifests
+    are left as-is: they are few (compaction is their lifecycle), and
+    merging mixed pos/eq schemas buys nothing.  The commit is a
+    ``replace`` snapshot (same data, new layout) — the changelog scan
+    skips it as physical reorg, exactly like compaction.
+
+    Returns {"snapshot_id", "manifests_before", "manifests_after",
+    "version"} (no-op when nothing consolidates: snapshot_id None).
+    """
+    from pg_analytics_spark.sources.avro import read_container, write_container
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(
+            f"rewrite_manifests target is not an iceberg table: {path}"
+        )
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    groups: dict[int, list[dict]] = {}
+    keep_mf: list[dict] = []
+    for m in prev_list:
+        if m.get("content", 0) == 0:
+            groups.setdefault(int(m.get("partition_spec_id", 0)), []).append(m)
+        else:
+            keep_mf.append(m)
+    if all(len(g) < min_group for g in groups.values()):
+        return {
+            "snapshot_id": None,
+            "manifests_before": len(prev_list),
+            "manifests_after": len(prev_list),
+            "version": prev_version,
+        }
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    new_mf: list[dict] = []
+    n_entries = 0
+    for spec_id, ms in sorted(groups.items()):
+        if len(ms) < min_group:
+            new_mf.extend(ms)
+            continue
+        entry_schema = None
+        merged: list[dict] = []
+        for m in ms:
+            schema_m, entries = read_container(m["manifest_path"])
+            entry_schema = entry_schema or schema_m
+            m_seq = int(m.get("sequence_number") or 0)
+            for e in entries:
+                if e.get("status", 0) == 2:
+                    continue
+                e_seq = e.get("sequence_number")
+                merged.append(
+                    {
+                        **e,
+                        "status": 0,
+                        "sequence_number": (
+                            m_seq if e_seq is None else int(e_seq)
+                        ),
+                    }
+                )
+        manifest = os.path.join(
+            meta_dir, f"man-rewrite-{snapshot_id}-{spec_id}.avro"
+        )
+        write_container(
+            _entry_schema_with_seq(entry_schema), merged, manifest
+        )
+        n_entries += len(merged)
+        new_mf.append(
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+    new_mf.extend(keep_mf)
+    version = _publish_snapshot(
+        path,
+        prev_meta,
+        prev_version,
+        snapshot_id,
+        new_mf,
+        seq,
+        {
+            "operation": "replace",
+            "manifests-replaced": str(
+                sum(len(g) for g in groups.values() if len(g) >= min_group)
+            ),
+            "manifests-created": str(
+                sum(1 for g in groups.values() if len(g) >= min_group)
+            ),
+            "total-data-files": str(n_entries),
+        },
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "manifests_before": len(prev_list),
+        "manifests_after": len(new_mf),
+        "version": version,
+    }
+
+
+def remove_orphan_files_iceberg(
+    path: str, *, older_than_hours: float = 72.0
+) -> dict:
+    """Iceberg's ``remove_orphan_files`` maintenance action: delete
+    files under the table location that NO metadata version and NO
+    snapshot references — the debris of failed/aborted writes and of
+    expire_snapshots' dropped history.  The referenced set is built
+    from EVERY surviving metadata version (all their snapshots'
+    manifest lists → manifests → data/delete file paths) plus the
+    metadata files themselves, so a concurrent reader of any
+    resolvable version never loses a file; ``older_than_hours``
+    (default 3 days, the runtime's default) additionally protects
+    in-flight writers staging files that are not yet committed.
+    Never follows paths OUTSIDE the table root.  Returns
+    {"files_deleted", "bytes_deleted", "files_kept"}."""
+    import time as _time
+
+    from pg_analytics_spark.sources.avro import read_container
+
+    meta_dir = os.path.join(path, "metadata")
+    if not os.path.isdir(meta_dir):
+        raise UnsupportedFormat(
+            f"remove_orphan_files target is not an iceberg table: {path}"
+        )
+    root = os.path.abspath(path)
+    referenced: set[str] = set()
+    for name in os.listdir(meta_dir):
+        full = os.path.join(meta_dir, name)
+        if name.endswith(".metadata.json"):
+            referenced.add(os.path.abspath(full))
+            try:
+                with open(full) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for snap in meta.get("snapshots", []):
+                ml = snap.get("manifest-list")
+                if not ml or not os.path.isfile(ml):
+                    continue
+                referenced.add(os.path.abspath(ml))
+                try:
+                    _s, mlist = read_container(ml)
+                except Exception:
+                    continue
+                for m in mlist:
+                    mp = m["manifest_path"]
+                    referenced.add(os.path.abspath(mp))
+                    if not os.path.isfile(mp):
+                        continue
+                    try:
+                        _s2, entries = read_container(mp)
+                    except Exception:
+                        continue
+                    for e in entries:
+                        # status=2 DELETED entries still name a real
+                        # file other snapshots may reference; keep
+                        referenced.add(
+                            os.path.abspath(e["data_file"]["file_path"])
+                        )
+        elif name == "version-hint.text":
+            referenced.add(os.path.abspath(full))
+    cutoff = _time.time() - older_than_hours * 3600.0
+    deleted = freed = kept = 0
+    for walk_root, _dirs, names in os.walk(root):
+        for name in names:
+            full = os.path.abspath(os.path.join(walk_root, name))
+            if full in referenced:
+                kept += 1
+                continue
+            st = os.stat(full)
+            if st.st_mtime > cutoff:
+                kept += 1
+                continue
+            freed += st.st_size
+            os.unlink(full)
+            deleted += 1
+    for walk_root, dirs, names in os.walk(root, topdown=False):
+        if walk_root != root and not dirs and not names:
+            try:
+                os.rmdir(walk_root)
+            except OSError:
+                pass
+    return {
+        "files_deleted": deleted,
+        "bytes_deleted": freed,
+        "files_kept": kept,
     }
 
 

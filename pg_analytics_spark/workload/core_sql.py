@@ -4134,6 +4134,88 @@ def iceberg_update_delete_roundtrip(
 
 
 @register(
+    "iceberg_rewrite_manifests_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey < 2500 AND o_orderkey % 11 <> 0
+    ORDER BY o_orderkey
+    """,
+    doc="Iceberg ``rewrite_manifests`` + ``remove_orphan_files`` "
+    "maintenance (sources/iceberg_write.rewrite_manifests_iceberg / "
+    "remove_orphan_files_iceberg): five append commits + one "
+    "equality-delete commit mint six manifests — the metadata-tier "
+    "small-file problem, paid on EVERY scan's planning walk; the "
+    "rewrite consolidates the five data manifests into ONE per spec "
+    "as a pure-metadata replace snapshot (carried entries are "
+    "status=0 EXISTING with EXPLICIT per-entry sequence numbers, so "
+    "the strict data_seq < delete_seq equality-delete rule survives "
+    "— asserted by the oracle: the eq-deleted keys must stay erased "
+    "after the rewrite).  In-row asserts pin the planning-file-count "
+    "drop (6 → 2 manifests) and that the orphan sweep collects a "
+    "planted aborted-write file while touching NOTHING referenced.  "
+    "At 100 TB a year of hourly commits is ~9k manifests opened per "
+    "query plan; this is the action that keeps planning O(specs), "
+    "not O(history).",
+)
+def iceberg_rewrite_manifests_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.avro import read_container
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        equality_delete_iceberg,
+        remove_orphan_files_iceberg,
+        rewrite_manifests_iceberg,
+        write_iceberg,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_rewrite")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    for i in range(5):  # five commits = five tiny manifests
+        write_iceberg(
+            orders.filter(
+                (F.col("o_orderkey") >= i * 500)
+                & (F.col("o_orderkey") < (i + 1) * 500)
+            ).coalesce(1),
+            root,
+            mode="overwrite" if i == 0 else "append",
+        )
+    equality_delete_iceberg(
+        spark,
+        root,
+        orders.filter(
+            (F.col("o_orderkey") < 2500) & (F.col("o_orderkey") % 11 == 0)
+        ).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    res = rewrite_manifests_iceberg(root)
+    assert res["manifests_before"] == 6 and res["manifests_after"] == 2
+    _v, meta = _latest_metadata(_os.path.join(root, "metadata"))
+    snap = next(
+        sn
+        for sn in meta["snapshots"]
+        if sn["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _sch, mlist = read_container(snap["manifest-list"])
+    assert len(mlist) == 2  # the planning walk now opens 2 manifests
+    # orphan sweep: a planted aborted-write file goes, nothing else
+    orphan = _os.path.join(root, "data", "aborted.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"aborted staging file")
+    swept = remove_orphan_files_iceberg(root, older_than_hours=0.0)
+    assert swept["files_deleted"] == 1 and not _os.path.exists(orphan)
+    return load_source(spark, root, "iceberg").orderBy("o_orderkey")
+
+
+@register(
     "iceberg_expire_snapshots_roundtrip",
     oracle=_ICE_UPDATE_ORACLE,
     doc="Iceberg ``expire_snapshots`` maintenance (sources/"

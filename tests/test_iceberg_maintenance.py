@@ -1,0 +1,178 @@
+"""Iceberg maintenance actions (r9 verdict #6): rewrite_manifests
+(pure-metadata manifest consolidation with explicit per-entry sequence
+numbers) and remove_orphan_files (referenced-set sweep that never
+touches a referenced file)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.errors import UnsupportedFormat
+from pg_analytics_spark.sources import load_source
+from pg_analytics_spark.sources.avro import read_container
+from pg_analytics_spark.sources.iceberg_write import (
+    _latest_metadata,
+    equality_delete_iceberg,
+    expire_iceberg_snapshots,
+    remove_orphan_files_iceberg,
+    rewrite_manifests_iceberg,
+    upsert_iceberg_eq,
+    write_iceberg,
+)
+
+
+def _mk(spark, path, n_appends=4):
+    for i in range(n_appends):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_iceberg(
+            df.coalesce(1), path, mode="overwrite" if i == 0 else "append"
+        )
+
+
+def _manifest_count(path):
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mlist = read_container(snap["manifest-list"])
+    return len(mlist), meta, snap
+
+
+def _rows(spark, path, **opts):
+    return {
+        (r["k"], r["v"])
+        for r in load_source(spark, path, "iceberg", opts or None).collect()
+    }
+
+
+def test_rewrite_manifests_consolidates_and_preserves_reads(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=4)
+    before_rows = _rows(spark, path)
+    n_before, _m, pre_snap = _manifest_count(path)
+    assert n_before == 4  # one manifest per commit
+    res = rewrite_manifests_iceberg(path)
+    assert res["manifests_before"] == 4 and res["manifests_after"] == 1
+    n_after, meta, snap = _manifest_count(path)
+    assert n_after == 1  # the planning walk now opens ONE manifest
+    assert _rows(spark, path) == before_rows
+    assert (snap["summary"] or {})["operation"] == "replace"
+    # carried entries: status=0 EXISTING with explicit per-entry seq
+    _s, mlist = read_container(snap["manifest-list"])
+    _s2, entries = read_container(mlist[0]["manifest_path"])
+    assert all(e["status"] == 0 for e in entries)
+    seqs = {e["sequence_number"] for e in entries}
+    assert seqs == {1, 2, 3, 4}  # original data sequences survive
+    # time travel to the pre-rewrite snapshot still works
+    assert (
+        _rows(spark, path, snapshot_id=pre_snap["snapshot-id"])
+        == before_rows
+    )
+    # idempotent: a second rewrite is a no-op
+    res2 = rewrite_manifests_iceberg(path)
+    assert res2["snapshot_id"] is None
+
+
+def test_rewrite_preserves_eq_delete_visibility(spark, tmp_path):
+    """The strict data_seq < delete_seq rule must survive the rewrite:
+    rows appended AFTER an equality delete keep being visible, rows
+    before it keep being erased — per-entry sequence numbers are what
+    carries this."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=2)  # seq 1, 2: k in 0..19
+    keys = spark.createDataFrame([(5,), (15,)], "k long")
+    equality_delete_iceberg(spark, path, keys, ["k"])  # seq 3
+    # seq 4 RE-ADDS k=5: newer than the delete, must stay visible
+    write_iceberg(
+        spark.createDataFrame([(5, 999)], "k long, v long"),
+        path,
+        mode="append",
+    )
+    expect = {(k, 2 * k) for k in range(20) if k not in (5, 15)} | {
+        (5, 999)
+    }
+    assert _rows(spark, path) == expect
+    res = rewrite_manifests_iceberg(path)
+    assert res["snapshot_id"] is not None
+    assert _rows(spark, path) == expect
+    # upsert (del+data at same seq) composes after the rewrite
+    upsert_iceberg_eq(
+        spark,
+        path,
+        spark.createDataFrame([(7, -1), (100, -2)], "k long, v long"),
+        ["k"],
+    )
+    expect = (expect - {(7, 14)}) | {(7, -1), (100, -2)}
+    assert _rows(spark, path) == expect
+
+
+def test_rewrite_keeps_delete_manifests_and_changelog_skips(
+    spark, tmp_path
+):
+    from pg_analytics_spark.sources.iceberg_changelog import (
+        iceberg_changelog,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=3)
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([(3,)], "k long"), ["k"]
+    )
+    n_before, _m, _s = _manifest_count(path)
+    res = rewrite_manifests_iceberg(path)
+    n_after, _m2, _s2 = _manifest_count(path)
+    # 3 data manifests merge to 1; the delete manifest is untouched
+    assert n_before == 4 and n_after == 2
+    ch = iceberg_changelog(spark, path).collect()
+    ch_before = {(r["k"], r["_change_type"]) for r in ch}
+    # the replace snapshot contributes NO change rows
+    assert not any(r["_snapshot_id"] == res["snapshot_id"] for r in ch)
+    assert ch_before  # the real history is still there
+
+
+def test_remove_orphans_never_touches_referenced_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=3)
+    # plant orphans: an aborted staging file + a stale manifest
+    orphan_data = os.path.join(path, "data", "aborted-write.parquet")
+    with open(orphan_data, "wb") as fh:
+        fh.write(b"not really parquet")
+    orphan_meta = os.path.join(path, "metadata", "man-stale.avro")
+    with open(orphan_meta, "wb") as fh:
+        fh.write(b"stale")
+    old = time.time() - 7 * 24 * 3600
+    os.utime(orphan_data, (old, old))
+    os.utime(orphan_meta, (old, old))
+    # a RECENT orphan (in-flight writer) must survive the default guard
+    recent = os.path.join(path, "data", "inflight.parquet")
+    with open(recent, "wb") as fh:
+        fh.write(b"staging")
+    before = _rows(spark, path)
+    res = remove_orphan_files_iceberg(path)  # default 72h guard
+    assert res["files_deleted"] == 2
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(orphan_meta)
+    assert os.path.exists(recent)
+    assert _rows(spark, path) == before
+    # with the guard off the recent orphan goes too — and referenced
+    # files STILL survive
+    res2 = remove_orphan_files_iceberg(path, older_than_hours=0.0)
+    assert res2["files_deleted"] == 1 and not os.path.exists(recent)
+    assert _rows(spark, path) == before
+    # expire then sweep: history files referenced by SURVIVING metadata
+    # versions are kept (conservative), reads stay green
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    remove_orphan_files_iceberg(path, older_than_hours=0.0)
+    assert _rows(spark, path) == before
+    with pytest.raises(UnsupportedFormat):
+        remove_orphan_files_iceberg(str(tmp_path / "nope"))
