@@ -144,6 +144,9 @@ WRITER_ROWS = frozenset(
         "iceberg_changelog_scan",
         "cdf_incremental_rollup",
         "iceberg_partition_evolution_roundtrip",
+        "delta_shallow_clone",
+        "iceberg_rewrite_manifests_roundtrip",
+        "streaming_iceberg_cdc_upsert",
     }
 )
 
@@ -261,6 +264,14 @@ HEADLINE_NEXT8: list = [
 ]
 
 
+#: round-10 additions measure here; earlier groups frozen.
+HEADLINE_NEXT9: list = [
+    "delta_shallow_clone",
+    "iceberg_rewrite_manifests_roundtrip",
+    "streaming_iceberg_cdc_upsert",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -313,6 +324,7 @@ def main() -> None:
     timings_next6, cold_next6 = _measure(HEADLINE_NEXT6)
     timings_next7, cold_next7 = _measure(HEADLINE_NEXT7)
     timings_next8, cold_next8 = _measure(HEADLINE_NEXT8)
+    timings_next9, cold_next9 = _measure(HEADLINE_NEXT9)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -428,6 +440,20 @@ def main() -> None:
         ),
         "value_next8_writer": round(
             sum(v for k, v in timings_next8.items() if k in WRITER_ROWS),
+            3,
+        ),
+        "value_next9": round(sum(timings_next9.values()), 3),
+        "queries_next9": timings_next9,
+        "value_next9_batch": round(
+            sum(
+                v
+                for k, v in timings_next9.items()
+                if k not in WRITER_ROWS and k not in STREAMING_ROWS
+            ),
+            3,
+        ),
+        "value_next9_writer": round(
+            sum(v for k, v in timings_next9.items() if k in WRITER_ROWS),
             3,
         ),
         "runs": runs,
