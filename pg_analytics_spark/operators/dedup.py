@@ -905,7 +905,6 @@ def embedding_semantic_pairs(
     """
     import math
 
-    from pg_analytics_spark.functions.vectors import dot_product, l2_norm
     from pg_analytics_spark.operators.similarity import (
         cell_assignments,
         ivf_centroids,
@@ -921,32 +920,61 @@ def embedding_semantic_pairs(
     else:
         dim = df.select(F.size(F.col(vec_col))).limit(1).first()[0]
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
-    # both sides of the pair join read the assignment — persist it so
-    # the (possibly join-based, see cell_assignments) subtree runs once.
-    # (An r7 no-persist A/B won in ISOLATION — 1.87s vs 2.18s warm —
-    # but regressed +0.4s inside the full bench where 33 queries ran
-    # first; context effects beat the microbenchmark, so the persisted
-    # shape stays.)  The L2 norm folds ONCE per vector here, so the
-    # in-cell quadratic pays a single dot fold per pair (HOF folds are
-    # per-element; norms per pair would triple the dominant cost).
-    cells = _persist_sketch(
-        cell_assignments(df, vec_col, id_col, cents).withColumn(
-            "_n", l2_norm("_v")
+    cells = cell_assignments(df, vec_col, id_col, cents)
+
+    # In-cell quadratic as ONE Arrow-batched matrix pass per cell
+    # (r10; replaces the r7 pair-join + persist shape).  Plan history,
+    # all measured at sf0.1 (2k×64, warm, in-context): pair JOIN with
+    # an `aggregate`-fold dot = 1.45s — Spark evaluates HOF lambdas
+    # INTERPRETED per element, so 250k pairs × 64 dims paid ~16M
+    # interpreted ops; a literal 64-term Add tree was 3× WORSE (4.4s:
+    # the deep codegen tree splits into boxed methods); this
+    # vectorized pass runs 0.55s.  Bit-exactness with the HOF fold and
+    # the DuckDB oracle is preserved by accumulating dimension-by-
+    # dimension from 0.0 — the numpy loop performs the IDENTICAL IEEE
+    # op sequence ((0+p₀)+p₁)+… per pair (verified bit-for-bit at
+    # threshold 0.5, where pairs exist).  Memory: the per-cell dot
+    # matrix is O(cell²) — bounded by design: ``n_cells="auto"`` caps
+    # cells near ``target_cell_size`` (a 512×512 float64 matrix is
+    # 2 MB); at 100 TB the cell id is a partition column and each
+    # cell's matrix computes inside its partition.  The closure
+    # imports only numpy/pandas (vanilla-worker safe, the r8
+    # driver-sim rule).
+    th = float(threshold)
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].values]
         )
-    )
-    a = cells.select(
-        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = cells.select(
-        "cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    # same float tree as cosine_similarity: dot / (sqrt(ssa)*sqrt(ssb))
-    sim = F.round(dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cell", "id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        ids = pdf["_id"].values
+        n_rows, d = A.shape
+        acc = np.zeros(n_rows)
+        for i in range(d):
+            acc = acc + A[:, i] * A[:, i]
+        norms = np.sqrt(acc)
+        dot = np.zeros((n_rows, n_rows))
+        for i in range(d):
+            dot = dot + A[:, i, None] * A[None, :, i]
+        cos = np.round(dot / (norms[:, None] * norms[None, :]), 6)
+        iu = np.triu_indices(n_rows, k=1)
+        ia, ib = ids[iu[0]], ids[iu[1]]
+        swap = ia > ib
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        c = cos[iu]
+        keep = c >= th
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "id_a": ia2[keep],
+                "id_b": ib2[keep],
+                "cosine": c[keep],
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        _cell_pairs, "cell long, id_a long, id_b long, cosine double"
     )

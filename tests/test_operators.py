@@ -710,3 +710,67 @@ def test_vad_media_run_lengths_and_edges(spark):
     assert all(
         r["n_speech"] == 0 and r["longest_speech_run"] == 0 for r in quiet
     )
+
+
+def test_semantic_pairs_bitexact_vs_hof_fold(spark):
+    """r10: the vectorized per-cell matrix pass must reproduce the
+    HOF-fold float tree BIT-FOR-BIT (the DuckDB oracle replays that
+    fold) — pinned on a threshold where pairs actually exist, because
+    the registry row's 0.9 threshold yields zero pairs on random
+    embeddings and would pass vacuously."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.functions.vectors import dot_product, l2_norm
+    from pg_analytics_spark.operators.dedup import embedding_semantic_pairs
+    from pg_analytics_spark.operators.similarity import (
+        cell_assignments,
+        ivf_centroids,
+    )
+
+    import numpy as _np
+
+    rng = _np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        # planted near-duplicate: tiny perturbation of the same vector
+        rows.append(
+            (2 * i + 1, [float(x) for x in base[i] + rng.randn(16) * 0.01])
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = ivf_centroids(16, 8, 7)
+    out = embedding_semantic_pairs(
+        emb, "embedding", "vec_id", threshold=0.5, centroids=cents
+    )
+    cells = cell_assignments(emb, "embedding", "vec_id", cents).withColumn(
+        "_n", l2_norm("_v")
+    )
+    a = cells.select(
+        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = cells.select(
+        "cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = F.round(
+        dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6
+    )
+    ref = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+    got = {
+        (r["cell"], r["id_a"], r["id_b"], r["cosine"].hex())
+        for r in out.collect()
+    }
+    exp = {
+        (r["cell"], r["id_a"], r["id_b"], r["cosine"].hex())
+        for r in ref.collect()
+    }
+    assert got == exp and len(got) > 0
