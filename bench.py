@@ -147,6 +147,7 @@ WRITER_ROWS = frozenset(
         "delta_shallow_clone",
         "iceberg_rewrite_manifests_roundtrip",
         "streaming_iceberg_cdc_upsert",
+        "iceberg_metadata_tables",
     }
 )
 
@@ -268,6 +269,7 @@ HEADLINE_NEXT8: list = [
 HEADLINE_NEXT9: list = [
     "delta_shallow_clone",
     "iceberg_rewrite_manifests_roundtrip",
+    "iceberg_metadata_tables",
     "streaming_iceberg_cdc_upsert",
 ]
 

@@ -227,6 +227,13 @@ _DESCRIBE_DETAIL_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+_CALL_PROC_RE = _re.compile(
+    r"^CALL\s+(?:[A-Za-z_][\w]*\.)?(?:system\.)?"
+    r"(?P<proc>rewrite_manifests|remove_orphan_files|expire_snapshots)"
+    r"\s*\(\s*'(?P<name>[^']+)'\s*(?:,\s*(?P<arg>\d+)\s*)?\);?\s*$",
+    _re.IGNORECASE,
+)
+
 _SHALLOW_CLONE_RE = _re.compile(
     r"^CREATE\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)\s+SHALLOW\s+CLONE\s+"
     r"(?P<source>[A-Za-z_][\w.]*)"
@@ -492,6 +499,9 @@ class Engine:
         m = _SHALLOW_CLONE_RE.match(query.strip())
         if m:
             return self._shallow_clone_statement(m)
+        m = _CALL_PROC_RE.match(query.strip())
+        if m:
+            return self._call_procedure_statement(m)
         m = _DESCRIBE_RE.match(query.strip())
         if m:
             return self._describe_statement(m)
@@ -2247,6 +2257,7 @@ class Engine:
             "glob" not in low
             and "duckdb_tables" not in low
             and "table_changes" not in low
+            and "iceberg_" not in low
         ):
             return query
         from pg_analytics_spark.dialect import (
@@ -2265,7 +2276,14 @@ class Engine:
         while i < len(toks):
             kind, text = toks[i]
             lowt = text.lower() if kind == "word" else ""
-            if lowt in ("glob", "duckdb_tables", "table_changes"):
+            if lowt in (
+                "glob",
+                "duckdb_tables",
+                "table_changes",
+                "iceberg_snapshots",
+                "iceberg_manifests",
+                "iceberg_files",
+            ):
                 p = _prev_code(toks, i)
                 # a SELECT-list comma must NOT trigger relation
                 # expansion (r7 ADVICE) — only FROM-list commas do
@@ -2314,6 +2332,28 @@ class Engine:
                         )
                         self._fs_view_seq += 1
                         view = f"__table_changes_{self._fs_view_seq}"
+                    elif lowt in (
+                        "iceberg_snapshots",
+                        "iceberg_manifests",
+                        "iceberg_files",
+                    ):
+                        # metadata tables (parity with the runtime's
+                        # t.snapshots/t.files/t.manifests and DuckDB's
+                        # iceberg_snapshots function)
+                        from pg_analytics_spark.sources import (
+                            iceberg_meta as _imeta,
+                        )
+
+                        att = self._dml_delta_attachment(
+                            args.strip().strip("'\""),
+                            lowt,
+                            formats=("iceberg",),
+                        )
+                        df = getattr(_imeta, lowt)(
+                            self.spark, att.files[0]
+                        )
+                        self._fs_view_seq += 1
+                        view = f"__{lowt}_{self._fs_view_seq}"
                     elif lowt == "glob":
                         import glob as _glob
 
@@ -2860,6 +2900,70 @@ class Engine:
             "partitionColumns array<string>, numFiles bigint, "
             "sizeInBytes bigint, properties string, "
             "minReaderVersion int, minWriterVersion int",
+        )
+
+    def _call_procedure_statement(self, m) -> DataFrame:
+        """Iceberg maintenance procedures in the Spark-runtime CALL
+        shape (``CALL [catalog.][system.]rewrite_manifests('t')``,
+        ``remove_orphan_files('t')``, ``expire_snapshots('t'[, n])``)
+        — routed to the native writer's maintenance actions; one
+        metrics row each."""
+        proc = m.group("proc").lower()
+        att = self._dml_delta_attachment(
+            m.group("name"), f"CALL {proc}", formats=("iceberg",)
+        )
+        path = att.files[0]
+        if proc == "rewrite_manifests":
+            from pg_analytics_spark.sources.iceberg_write import (
+                rewrite_manifests_iceberg,
+            )
+
+            r = rewrite_manifests_iceberg(path)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(r["manifests_before"]),
+                        int(r["manifests_after"]),
+                        int(r["version"]),
+                    )
+                ],
+                "manifests_before bigint, manifests_after bigint, "
+                "version bigint",
+            )
+        if proc == "remove_orphan_files":
+            from pg_analytics_spark.sources.iceberg_write import (
+                remove_orphan_files_iceberg,
+            )
+
+            hours = float(m.group("arg")) if m.group("arg") else 72.0
+            r = remove_orphan_files_iceberg(path, older_than_hours=hours)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(r["files_deleted"]),
+                        int(r["bytes_deleted"]),
+                        int(r["files_kept"]),
+                    )
+                ],
+                "files_deleted bigint, bytes_deleted bigint, "
+                "files_kept bigint",
+            )
+        from pg_analytics_spark.sources.iceberg_write import (
+            expire_iceberg_snapshots,
+        )
+
+        keep = int(m.group("arg")) if m.group("arg") else 1
+        r = expire_iceberg_snapshots(self.spark, path, retain_last=keep)
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(r["snapshots_expired"]),
+                    int(r["files_deleted"]),
+                    int(r["version"]),
+                )
+            ],
+            "snapshots_expired bigint, files_deleted bigint, version bigint",
         )
 
     def _shallow_clone_statement(self, m) -> DataFrame:

@@ -4216,6 +4216,71 @@ def iceberg_rewrite_manifests_roundtrip(
 
 
 @register(
+    "iceberg_metadata_tables",
+    oracle="""
+    SELECT 1 AS seq, 'overwrite' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_records, 1 AS n_files
+    FROM orders WHERE o_orderkey < 800
+    UNION ALL
+    SELECT 2, 'append', CAST(COUNT(*) AS BIGINT), 1
+    FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1600
+    UNION ALL
+    SELECT 3, 'append', CAST(COUNT(*) AS BIGINT), 1
+    FROM orders WHERE o_orderkey >= 1600 AND o_orderkey < 2400
+    ORDER BY seq
+    """,
+    doc="Iceberg METADATA TABLES (sources/iceberg_meta.py + engine "
+    "table functions): the runtime's `t.snapshots` / `t.files` / "
+    "`t.manifests` introspection relations, joined relationally in "
+    "ONE engine SQL statement — per-sequence operation from "
+    "snapshots, per-sequence live record and file counts from files. "
+    " Parity with the reference's `iceberg_snapshots()` DuckDB "
+    "function (README Iceberg section).  All three functions are "
+    "metadata-sized (json + manifest avro reads, zero data bytes); "
+    "the oracle recomputes each commit's record counts from the "
+    "source relation.  Snapshot ids are RANDOM, so the projection "
+    "keys on sequence number — the ordering every assertion on this "
+    "writer uses.",
+)
+def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_meta")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    for i in range(3):
+        write_iceberg(
+            orders.filter(
+                (F.col("o_orderkey") >= i * 800)
+                & (F.col("o_orderkey") < (i + 1) * 800)
+            ).coalesce(1),
+            root,
+            mode="overwrite" if i == 0 else "append",
+        )
+    eng = Engine(spark=spark)
+    eng.attach("ice_meta_t", [root], "iceberg")
+    return eng.sql(
+        """
+        SELECT CAST(s.sequence_number AS INT) AS seq,
+               s.operation AS op,
+               CAST(SUM(f.record_count) AS BIGINT) AS n_records,
+               CAST(COUNT(*) AS INT) AS n_files
+        FROM iceberg_snapshots('ice_meta_t') s
+        JOIN iceberg_files('ice_meta_t') f
+          ON s.sequence_number = f.sequence_number
+        GROUP BY s.sequence_number, s.operation
+        ORDER BY seq
+        """
+    )
+
+
+@register(
     "iceberg_expire_snapshots_roundtrip",
     oracle=_ICE_UPDATE_ORACLE,
     doc="Iceberg ``expire_snapshots`` maintenance (sources/"

@@ -176,3 +176,53 @@ def test_remove_orphans_never_touches_referenced_files(spark, tmp_path):
     assert _rows(spark, path) == before
     with pytest.raises(UnsupportedFormat):
         remove_orphan_files_iceberg(str(tmp_path / "nope"))
+
+
+def test_metadata_table_functions_and_call_procedures(spark, tmp_path):
+    """r10: the runtime's metadata tables (t.snapshots/files/
+    manifests) as engine table functions, and the CALL procedure
+    shape for the maintenance trio."""
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=3)
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], "iceberg")
+    snaps = eng.sql(
+        "SELECT sequence_number, operation FROM iceberg_snapshots('t') "
+        "ORDER BY sequence_number"
+    ).collect()
+    assert [(r[0], r[1]) for r in snaps] == [
+        (1, "overwrite"), (2, "append"), (3, "append")
+    ]
+    # files joins snapshots relationally; record counts are exact
+    per_seq = eng.sql(
+        "SELECT f.sequence_number, SUM(f.record_count) AS n "
+        "FROM iceberg_files('t') f GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert [(r[0], r[1]) for r in per_seq] == [(1, 10), (2, 10), (3, 10)]
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM iceberg_manifests('t')"
+    ).collect()[0]["n"] == 3
+    # CALL procedures route to the native maintenance actions
+    r = eng.sql("CALL system.rewrite_manifests('t')").collect()[0]
+    assert r["manifests_before"] == 3 and r["manifests_after"] == 1
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM iceberg_manifests('t')"
+    ).collect()[0]["n"] == 1
+    orphan = os.path.join(path, "data", "aborted.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    r2 = eng.sql("CALL remove_orphan_files('t', 0)").collect()[0]
+    assert r2["files_deleted"] == 1 and not os.path.exists(orphan)
+    r3 = eng.sql("CALL cat.system.expire_snapshots('t', 1)").collect()[0]
+    assert r3["snapshots_expired"] == 3
+    assert eng.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 30
+    # non-iceberg attachment is refused loudly
+    import pytest as _pytest
+
+    from pg_analytics_spark.dialect import UnsupportedDialect
+
+    eng.attach("pq", f"{str(tmp_path / 't')}/data", "parquet")
+    with _pytest.raises(UnsupportedDialect):
+        eng.sql("SELECT * FROM iceberg_snapshots('pq')")
