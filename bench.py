@@ -148,6 +148,7 @@ WRITER_ROWS = frozenset(
         "iceberg_rewrite_manifests_roundtrip",
         "streaming_iceberg_cdc_upsert",
         "iceberg_metadata_tables",
+        "delta_check_constraints",
     }
 )
 
@@ -270,6 +271,7 @@ HEADLINE_NEXT9: list = [
     "delta_shallow_clone",
     "iceberg_rewrite_manifests_roundtrip",
     "iceberg_metadata_tables",
+    "delta_check_constraints",
     "streaming_iceberg_cdc_upsert",
 ]
 

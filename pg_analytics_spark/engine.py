@@ -263,6 +263,18 @@ _ALTER_PROPS_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: `ALTER TABLE <attached delta table> ADD CONSTRAINT n CHECK (expr) |
+#: DROP CONSTRAINT n` — CHECK constraints through the native writer
+#: (protocol writer feature, enforced on every write path).
+_ALTER_CONSTRAINT_RE = _re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+(?:"
+    r"ADD\s+CONSTRAINT\s+(?P<add_name>[A-Za-z_]\w*)\s+"
+    r"CHECK\s*\((?P<expr>.+)\)"
+    r"|DROP\s+CONSTRAINT\s+(?P<drop_name>[A-Za-z_]\w*)"
+    r")\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
 #: `ALTER TABLE <attached iceberg table> REPLACE PARTITION BY
 #: (transform, …)` — partition evolution: a pure-metadata default-spec
 #: flip (sources/iceberg_write.alter_iceberg_partition).
@@ -517,6 +529,9 @@ class Engine:
         m = _ALTER_PROPS_RE.match(query.strip())
         if m:
             return self._alter_props_statement(m)
+        m = _ALTER_CONSTRAINT_RE.match(query.strip())
+        if m:
+            return self._alter_constraint_statement(m)
         m = _ALTER_PART_RE.match(query.strip())
         if m:
             return self._alter_partition_statement(m)
@@ -2900,6 +2915,35 @@ class Engine:
             "partitionColumns array<string>, numFiles bigint, "
             "sizeInBytes bigint, properties string, "
             "minReaderVersion int, minWriterVersion int",
+        )
+
+    def _alter_constraint_statement(self, m) -> DataFrame:
+        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` /
+        ``DROP CONSTRAINT n`` on attached delta tables — the protocol's
+        checkConstraints writer feature (delta_write.
+        alter_delta_constraints): ADD validates every existing row,
+        stores delta.constraints.<n>, bumps minWriterVersion to 3;
+        every subsequent write path enforces it."""
+        from pg_analytics_spark.sources.delta_write import (
+            alter_delta_constraints,
+        )
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "ADD/DROP CONSTRAINT", formats=("delta",)
+        )
+        if m.group("add_name"):
+            r = alter_delta_constraints(
+                att.files[0],
+                add=(m.group("add_name"), m.group("expr").strip()),
+                spark=self.spark,
+            )
+        else:
+            r = alter_delta_constraints(
+                att.files[0], drop=m.group("drop_name")
+            )
+        return self.spark.createDataFrame(
+            [(r["operation"], r["name"], int(r["version"]))],
+            "operation string, name string, version bigint",
         )
 
     def _call_procedure_statement(self, m) -> DataFrame:

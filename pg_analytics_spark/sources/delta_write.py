@@ -1127,6 +1127,7 @@ def write_delta(
     stage_part_cols = (
         [renames.get(c, c) for c in part_cols] if renames else part_cols
     )
+    _check_constraints(df, {"configuration": eff_cfg})
     adds, n_rows = _stage_files(
         _stage_as_physical(df, renames), path, version,
         stage_part_cols, options,
@@ -1517,6 +1518,7 @@ def merge_delta(
         cdc_actions = _stage_cdc_files(
             change, path, version, part_cols, renames
         )
+    _check_constraints(new_df, prev_meta)
     adds, n_rows = _stage_files(
         _stage_as_physical(new_df, renames), path, version,
         [renames.get(c, c) for c in part_cols] if renames else part_cols,
@@ -1912,6 +1914,7 @@ def _rewrite_where(
         # k touched files in → ~k files out (never the shuffle-partition
         # count): rewrite cost and file granularity track touched data
         new_df = new_df.coalesce(max(1, len(rewrite_abs)))
+        _check_constraints(new_df, prev_meta)
         renames = _phys_renames(prev_meta)
         adds, n_rows = _stage_files(
             _stage_as_physical(new_df, renames), path, version,
@@ -1978,6 +1981,128 @@ def _rewrite_where(
         out["dv_files"] = len(dv_readds)
         out["rows_deleted"] = rows_deleted
     return out
+
+
+def _check_constraints(df: DataFrame, meta_like: dict) -> None:
+    """Enforce the table's CHECK constraints (protocol: writer feature
+    ``checkConstraints``, configuration keys ``delta.constraints.
+    <name>``) on every row about to be WRITTEN — append, overwrite,
+    MERGE output, UPDATE/DELETE rewrite.  SQL CHECK semantics: a row
+    violates only when the expression is FALSE (NULL passes).  One
+    aggregate job per constrained write (zero cost on tables without
+    constraints); violation raises BEFORE staging, so no commit and no
+    orphan files."""
+    cfg = meta_like.get("configuration") or {}
+    cons = sorted(
+        (k[len("delta.constraints."):], v)
+        for k, v in cfg.items()
+        if k.startswith("delta.constraints.")
+    )
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(F.expr(expr).isNull(), F.lit(0))
+            .when(F.expr(expr), F.lit(0))
+            .otherwise(F.lit(1))
+        ).alias(name)
+        for name, expr in cons
+    ]
+    counts = df.agg(*aggs).first()
+    for name, expr in cons:
+        n = counts[name] or 0
+        if n:
+            raise UnsupportedFormat(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{n} row(s) — nothing was written"
+            )
+
+
+def alter_delta_constraints(
+    path: str,
+    *,
+    add: tuple[str, str] | None = None,
+    drop: str | None = None,
+    spark=None,
+) -> dict:
+    """``ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)`` /
+    ``DROP CONSTRAINT <name>`` on a native Delta table.
+
+    ADD validates EVERY existing row first (one scan; delta-spark
+    refuses a constraint the current data violates), stores the
+    expression as ``delta.constraints.<name>`` in the metaData
+    configuration, and raises the protocol to minWriterVersion 3 (the
+    checkConstraints writer-feature floor) — writers that don't know
+    the feature must not write the table.  Enforcement on every
+    subsequent write path is ``_check_constraints``.  Returns
+    {"version", "operation", "name"}."""
+    import time as _time
+
+    from pg_analytics_spark.sources.delta import _replay_log
+
+    log_dir = os.path.join(path, "_delta_log")
+    _active, meta = _replay_log(log_dir)
+    if meta is None:
+        raise UnsupportedFormat(f"not a Delta table: {path}")
+    cfg = dict(meta.get("configuration") or {})
+    actions: list[dict] = []
+    if add is not None:
+        name, expr = add
+        key = f"delta.constraints.{name}"
+        if key in cfg:
+            raise UnsupportedFormat(
+                f"constraint {name!r} already exists on {path}"
+            )
+        if spark is None:
+            raise UnsupportedFormat(
+                "ADD CONSTRAINT needs a SparkSession to validate "
+                "existing rows"
+            )
+        from pg_analytics_spark.sources import load_source
+
+        _check_constraints(
+            load_source(spark, path, "delta"),
+            {"configuration": {key: expr}},
+        )
+        cfg[key] = expr
+        proto = _latest_protocol(log_dir)
+        if int(proto.get("minWriterVersion", 2)) < 3:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": int(
+                            proto.get("minReaderVersion", 1)
+                        ),
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
+        op = "ADD CONSTRAINT"
+    else:
+        name = drop
+        key = f"delta.constraints.{name}"
+        if key not in cfg:
+            raise UnsupportedFormat(
+                f"constraint {name!r} does not exist on {path}"
+            )
+        del cfg[key]
+        op = "DROP CONSTRAINT"
+    new_meta = dict(meta)
+    new_meta["configuration"] = cfg
+    version = _next_version(log_dir)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": op,
+                "operationParameters": {"name": name},
+            }
+        }
+    ] + actions + [{"metaData": new_meta}]
+    _write_commit(path, log_dir, version, actions)
+    return {"version": version, "operation": op, "name": name}
 
 
 def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:

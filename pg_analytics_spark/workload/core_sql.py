@@ -3276,6 +3276,82 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_check_constraints",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey < 1500 AND o_totalprice > 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS v
+    FROM orders
+    WHERE o_orderkey >= 1500 AND o_orderkey < 1800
+    ORDER BY o_orderkey
+    """,
+    doc="Delta CHECK constraints (protocol writer feature "
+    "`checkConstraints`, delta_write.alter_delta_constraints + "
+    "_check_constraints): ADD CONSTRAINT validates every existing "
+    "row and bumps minWriterVersion to 3; every write path — append, "
+    "overwrite, UPDATE/DELETE rewrite, MERGE output, DV row images — "
+    "enforces the expression BEFORE staging, so a violating batch "
+    "commits NOTHING.  The row adds `v > 0`, proves in-row that a "
+    "violating append and a violating UPDATE are both refused with "
+    "zero table change, then lands a conforming append and a "
+    "conforming UPDATE; the oracle replays the surviving history "
+    "relationally.  At 100 TB the check is one map-side aggregate "
+    "over the batch being written — O(change set), never a table "
+    "scan.",
+)
+def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        alter_delta_constraints,
+        update_delta,
+        write_delta,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_check")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(
+        orders.filter(F.col("o_orderkey") < 1500), root, mode="overwrite"
+    )
+    alter_delta_constraints(root, add=("v_pos", "v > 0"), spark=spark)
+    n0 = load_source(spark, root, "delta").count()
+    try:
+        write_delta(
+            orders.filter(
+                (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 1800)
+            ).withColumn("v", F.lit(-1.0).cast("double")),
+            root,
+            mode="append",
+        )
+        raise AssertionError("violating append was not refused")
+    except UnsupportedFormat:
+        pass
+    try:
+        update_delta(spark, root, {"v": "v - 1e9"}, "o_orderkey < 10")
+        raise AssertionError("violating update was not refused")
+    except UnsupportedFormat:
+        pass
+    assert load_source(spark, root, "delta").count() == n0  # no change
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 1800)
+        ),
+        root,
+        mode="append",
+    )
+    update_delta(spark, root, {"v": "v * 2"}, "o_orderkey >= 1500")
+    return load_source(spark, root, "delta").orderBy("o_orderkey")
+
+
+@register(
     "delta_version_diff",
     oracle=_VERSION_DIFF_ORACLE,
     doc="Snapshot diff (CDC-lite) across Delta versions: build a "
