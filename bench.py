@@ -149,6 +149,7 @@ WRITER_ROWS = frozenset(
         "streaming_iceberg_cdc_upsert",
         "iceberg_metadata_tables",
         "delta_check_constraints",
+        "iceberg_snapshot_refs",
     }
 )
 
@@ -272,6 +273,7 @@ HEADLINE_NEXT9: list = [
     "iceberg_rewrite_manifests_roundtrip",
     "iceberg_metadata_tables",
     "delta_check_constraints",
+    "iceberg_snapshot_refs",
     "streaming_iceberg_cdc_upsert",
 ]
 

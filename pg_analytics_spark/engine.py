@@ -275,6 +275,18 @@ _ALTER_CONSTRAINT_RE = _re.compile(
     _re.IGNORECASE | _re.DOTALL,
 )
 
+#: `ALTER TABLE <attached iceberg table> CREATE TAG/BRANCH name
+#: [AS OF VERSION <snapshot_id>] | DROP TAG/BRANCH name` — snapshot
+#: refs (v2 `refs` map) through the native writer.
+_ALTER_REF_RE = _re.compile(
+    r"^ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+(?:"
+    r"CREATE\s+(?P<ctype>TAG|BRANCH)\s+(?P<cname>[A-Za-z_]\w*)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<sid>\d+))?"
+    r"|DROP\s+(?:TAG|BRANCH)\s+(?P<dname>[A-Za-z_]\w*)"
+    r")\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: `ALTER TABLE <attached iceberg table> REPLACE PARTITION BY
 #: (transform, …)` — partition evolution: a pure-metadata default-spec
 #: flip (sources/iceberg_write.alter_iceberg_partition).
@@ -532,6 +544,9 @@ class Engine:
         m = _ALTER_CONSTRAINT_RE.match(query.strip())
         if m:
             return self._alter_constraint_statement(m)
+        m = _ALTER_REF_RE.match(query.strip())
+        if m:
+            return self._alter_ref_statement(m)
         m = _ALTER_PART_RE.match(query.strip())
         if m:
             return self._alter_partition_statement(m)
@@ -2469,12 +2484,22 @@ class Engine:
                         )
                     val = toks[j4][1]
                     if mode == "version":
-                        n = int(val)
-                        opts = (
-                            {"version_as_of": n}
-                            if att.format == "delta"
-                            else {"snapshot_id": n}
-                        )
+                        if val[:1] in "'\"":
+                            # VERSION AS OF '<name>': a named snapshot
+                            # ref (iceberg tag/branch)
+                            if att.format != "iceberg":
+                                raise UnsupportedDialect(
+                                    "VERSION AS OF '<name>': named "
+                                    "refs are an iceberg feature"
+                                )
+                            opts = {"ref": val.strip("'\"")}
+                        else:
+                            n = int(val)
+                            opts = (
+                                {"version_as_of": n}
+                                if att.format == "delta"
+                                else {"snapshot_id": n}
+                            )
                     else:
                         ts = val.strip("'\"")
                         if att.format == "delta":
@@ -2915,6 +2940,39 @@ class Engine:
             "partitionColumns array<string>, numFiles bigint, "
             "sizeInBytes bigint, properties string, "
             "minReaderVersion int, minWriterVersion int",
+        )
+
+    def _alter_ref_statement(self, m) -> DataFrame:
+        """``ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION
+        <snapshot_id>]`` / ``DROP TAG|BRANCH name`` on attached
+        iceberg tables — snapshot refs (iceberg_write.
+        alter_iceberg_refs); read back with ``t VERSION AS OF
+        '<name>'``."""
+        from pg_analytics_spark.sources.iceberg_write import (
+            alter_iceberg_refs,
+        )
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "CREATE/DROP TAG|BRANCH",
+            formats=("iceberg",),
+        )
+        if m.group("dname"):
+            r = alter_iceberg_refs(att.files[0], drop=m.group("dname"))
+        else:
+            kw = (
+                {"tag": m.group("cname")}
+                if m.group("ctype").upper() == "TAG"
+                else {"branch": m.group("cname")}
+            )
+            sid = m.group("sid")
+            r = alter_iceberg_refs(
+                att.files[0],
+                snapshot_id=int(sid) if sid else None,
+                **kw,
+            )
+        return self.spark.createDataFrame(
+            [(r["name"], r["type"], int(r["snapshot_id"]), int(r["version"]))],
+            "name string, type string, snapshot_id bigint, version bigint",
         )
 
     def _alter_constraint_statement(self, m) -> DataFrame:

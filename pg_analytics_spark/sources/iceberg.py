@@ -77,6 +77,18 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
             fallback_warning(f"iceberg option {k} handled by the Spark catalog; ignored")
     snapshot_id = opts.get("snapshot_id")
     as_of = opts.get("as_of_timestamp_ms")
+    ref = opts.get("ref")
+    if ref is not None:
+        # named ref (tag/branch, v2 `refs` map) → its pinned snapshot
+        meta_file = _latest_metadata_file(files[0])
+        with open(meta_file) as fh:
+            refs = (json.load(fh).get("refs") or {})
+        if str(ref) not in refs:
+            raise MissingDependency(
+                f"iceberg ref {ref!r} not found (have: "
+                f"{sorted(refs) or 'none'})"
+            )
+        snapshot_id = refs[str(ref)]["snapshot-id"]
     pfilter = parse_partition_filter(opts.get("partition_filter"))
     try:
         reader = spark.read.format("iceberg")

@@ -897,6 +897,9 @@ def write_iceberg(
         # partition field ids from last-partition-id (r9 ADVICE)
         "last-partition-id": _last_partition_field_id(partition_specs),
         "last-updated-ms": int(time.time() * 1000),
+        # named refs (tags/branches) survive every data commit —
+        # writes advance MAIN, never a ref (r10)
+        "refs": dict((prev_meta or {}).get("refs") or {}),
         "snapshots": snapshots,
         "snapshot-log": log,
     }
@@ -2945,6 +2948,100 @@ def expire_iceberg_snapshots(
         "files_deleted": n_del,
         "bytes_deleted": bytes_del,
         "version": version,
+    }
+
+
+def alter_iceberg_refs(
+    path: str,
+    *,
+    tag: str | None = None,
+    branch: str | None = None,
+    drop: str | None = None,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Snapshot REFS — Iceberg v2's named ``refs`` map (spec §refs):
+    ``tag`` pins an IMMUTABLE name to a snapshot (audit marks,
+    "the corpus we trained run X on"); ``branch`` is a MOVABLE
+    pointer (re-invoking with an existing branch name repoints it —
+    a tag repoint is refused).  Pure metadata, one version per
+    change; ``snapshot_id`` defaults to the current snapshot.  Reads
+    pin to a ref via the reader's ``ref`` option / ``VERSION AS OF
+    '<name>'``.  Boundary, stated loudly: this writer's data commits
+    always advance MAIN — branch-targeted writes (commit to a branch
+    head) are out of scope; a branch here is a named read pin you can
+    move, which with `rollback_iceberg` covers the audit/pin
+    workflows tags+branches serve in read paths.  The ``main`` name
+    is reserved.  Returns {"version", "name", "type", "snapshot_id"}.
+    """
+    import time as _time
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"refs target is not an iceberg table: {path}")
+    refs = dict(prev_meta.get("refs") or {})
+    if drop is not None:
+        if drop not in refs:
+            raise UnsupportedFormat(f"ref {drop!r} does not exist on {path}")
+        entry = refs.pop(drop)
+        name, rtype, sid = drop, entry.get("type"), entry.get("snapshot-id")
+    else:
+        name = tag if tag is not None else branch
+        rtype = "tag" if tag is not None else "branch"
+        if name is None:
+            raise UnsupportedFormat("alter_iceberg_refs: nothing to do")
+        if name == "main":
+            raise UnsupportedFormat("the ref name 'main' is reserved")
+        sid = (
+            int(snapshot_id)
+            if snapshot_id is not None
+            else prev_meta.get("current-snapshot-id")
+        )
+        if all(
+            s["snapshot-id"] != sid for s in prev_meta.get("snapshots", [])
+        ):
+            raise UnsupportedFormat(
+                f"snapshot {sid} not in table metadata (expired?)"
+            )
+        if name in refs:
+            if refs[name].get("type") == "tag" or rtype == "tag":
+                raise UnsupportedFormat(
+                    f"ref {name!r} already exists as a "
+                    f"{refs[name].get('type')} — tags are immutable "
+                    "(drop it first)"
+                )
+        refs[name] = {"snapshot-id": sid, "type": rtype}
+    meta = dict(prev_meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {
+        "version": version,
+        "name": name,
+        "type": rtype,
+        "snapshot_id": sid,
     }
 
 

@@ -4357,6 +4357,65 @@ def iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_snapshot_refs",
+    oracle="""
+    SELECT 'tagged' AS at, o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders WHERE o_orderkey < 1200
+    UNION ALL
+    SELECT 'head', o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY at, o_orderkey
+    """,
+    doc="Iceberg snapshot REFS (v2 `refs` map; iceberg_write."
+    "alter_iceberg_refs): a TAG pins 'the corpus we trained on' "
+    "immutably while main advances — the audit/reproducibility "
+    "primitive a training pipeline needs on a 100 TB table, at zero "
+    "storage cost (a ref is one metadata map entry; the snapshots it "
+    "pins are immutable file sets).  The row tags the first commit, "
+    "appends more data, then reads the TAG (`VERSION AS OF 'name'` "
+    "resolves through the refs map) and the head side-by-side; the "
+    "oracle replays both states relationally.  Tags refuse "
+    "repointing, branches repoint, data commits never move a ref — "
+    "all pinned in tests/test_iceberg_maintenance.py.",
+)
+def iceberg_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        write_iceberg,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_refs")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        orders.filter(F.col("o_orderkey") < 1200).coalesce(1),
+        root,
+        mode="overwrite",
+    )
+    alter_iceberg_refs(root, tag="train_v1")
+    write_iceberg(
+        orders.filter(
+            (F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 2000)
+        ),
+        root,
+        mode="append",
+    )
+    tagged = load_source(spark, root, "iceberg", {"ref": "train_v1"}).select(
+        F.lit("tagged").alias("at"), "o_orderkey", "o_custkey", "v"
+    )
+    head = load_source(spark, root, "iceberg").select(
+        F.lit("head").alias("at"), "o_orderkey", "o_custkey", "v"
+    )
+    return tagged.unionByName(head).orderBy("at", "o_orderkey")
+
+
+@register(
     "iceberg_expire_snapshots_roundtrip",
     oracle=_ICE_UPDATE_ORACLE,
     doc="Iceberg ``expire_snapshots`` maintenance (sources/"

@@ -226,3 +226,63 @@ def test_metadata_table_functions_and_call_procedures(spark, tmp_path):
     eng.attach("pq", f"{str(tmp_path / 't')}/data", "parquet")
     with _pytest.raises(UnsupportedDialect):
         eng.sql("SELECT * FROM iceberg_snapshots('pq')")
+
+
+def test_snapshot_refs_tags_and_branches(spark, tmp_path):
+    """r10: v2 `refs` — tags pin immutably, branches repoint, reads
+    resolve VERSION AS OF '<name>' through the ref map; writes keep
+    advancing main without touching refs."""
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.errors import MissingDependency
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=2)  # k in 0..19
+    r = alter_iceberg_refs(path, tag="v1")
+    assert r["type"] == "tag"
+    alter_iceberg_refs(path, branch="dev")
+    write_iceberg(
+        spark.createDataFrame([(100, 200)], "k long, v long"),
+        path,
+        mode="append",
+    )
+    # refs stay pinned while main advanced
+    assert _rows(spark, path) == {(k, 2 * k) for k in range(20)} | {
+        (100, 200)
+    }
+    assert (
+        _rows(spark, path, ref="v1")
+        == _rows(spark, path, ref="dev")
+        == {(k, 2 * k) for k in range(20)}
+    )
+    # branch repoints; tag refuses
+    alter_iceberg_refs(path, branch="dev")  # now at the new head
+    assert _rows(spark, path, ref="dev") == _rows(spark, path)
+    with pytest.raises(UnsupportedFormat, match="immutable"):
+        alter_iceberg_refs(path, tag="v1")
+    with pytest.raises(UnsupportedFormat, match="reserved"):
+        alter_iceberg_refs(path, tag="main")
+    with pytest.raises(MissingDependency, match="not found"):
+        _rows(spark, path, ref="nope")
+    # SQL surface
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], "iceberg")
+    row = eng.sql("ALTER TABLE t CREATE TAG audit").collect()[0]
+    assert row["type"] == "tag"
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'v1'"
+    ).collect()[0]["n"] == 20
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'audit'"
+    ).collect()[0]["n"] == 21
+    eng.sql("ALTER TABLE t DROP TAG audit")
+    with pytest.raises(UnsupportedFormat, match="does not exist"):
+        alter_iceberg_refs(path, drop="audit")
+    # expire keeps ref'd snapshot? (conservative: refs pin snapshots
+    # in METADATA; expire trims by count — a ref to an expired
+    # snapshot then fails loudly on read)
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    with pytest.raises(Exception):
+        _rows(spark, path, ref="v1")
