@@ -2354,11 +2354,19 @@ class Engine:
                         att = self._dml_delta_attachment(
                             parts[0].strip("'\""), "table_changes"
                         )
+                        def _bound(p):
+                            p = p.strip()
+                            # quoted → timestamp bound (delta-spark's
+                            # startingTimestamp/endingTimestamp forms)
+                            if p[:1] in "'\"":
+                                return p.strip("'\"")
+                            return int(p)
+
                         df = read_table_changes(
                             self.spark,
                             att.files[0],
-                            int(parts[1]),
-                            int(parts[2]) if len(parts) == 3 else None,
+                            _bound(parts[1]),
+                            _bound(parts[2]) if len(parts) == 3 else None,
                         )
                         self._fs_view_seq += 1
                         view = f"__table_changes_{self._fs_view_seq}"

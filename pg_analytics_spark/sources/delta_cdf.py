@@ -87,14 +87,73 @@ def _conform_change(
     return df.select(*cols, *keep)
 
 
+def _commit_ts_ms(log_dir: str, version: int) -> int:
+    """A commit's timestamp: commitInfo when present, mtime fallback
+    (the same rule DESCRIBE HISTORY uses)."""
+    f = os.path.join(log_dir, f"{version:020d}.json")
+    ts = int(os.path.getmtime(f) * 1000)
+    with open(f) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            ci = json.loads(line).get("commitInfo")
+            if ci and ci.get("timestamp"):
+                return int(ci["timestamp"])
+            break
+    return ts
+
+
+def _version_at_timestamp(log_dir: str, ts: str, side: str) -> int:
+    """delta-spark's timestamp-bound resolution: start side → the
+    EARLIEST version committed at-or-after ``ts``; end side → the
+    LATEST version committed at-or-before.  Loud when no commit
+    qualifies."""
+    import datetime as _dt
+
+    from pg_analytics_spark.sources.delta_write import _next_version
+
+    ts_ms = int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+    latest = _next_version(log_dir) - 1
+    stamped = [
+        (v, _commit_ts_ms(log_dir, v))
+        for v in range(latest + 1)
+        if os.path.isfile(os.path.join(log_dir, f"{v:020d}.json"))
+    ]
+    if side == "start":
+        ok = [v for v, t in stamped if t >= ts_ms]
+        if not ok:
+            raise UnsupportedFormat(
+                f"table_changes: no commit at or after {ts!r}"
+            )
+        return min(ok)
+    ok = [v for v, t in stamped if t <= ts_ms]
+    if not ok:
+        raise UnsupportedFormat(
+            f"table_changes: no commit at or before {ts!r}"
+        )
+    return max(ok)
+
+
 def read_table_changes(
     spark: SparkSession,
     path: str,
-    start_version: int,
-    end_version: int | None = None,
+    start_version: int | str,
+    end_version: int | str | None = None,
 ) -> DataFrame:
     """The change feed for commits ``start_version..end_version``
-    (inclusive; end defaults to the latest commit)."""
+    (inclusive; end defaults to the latest commit).  Either bound may
+    be an ISO timestamp STRING instead of a version number —
+    delta-spark's startingTimestamp/endingTimestamp forms: a start
+    timestamp resolves to the earliest commit at-or-after it, an end
+    timestamp to the latest at-or-before."""
+    if isinstance(start_version, str):
+        start_version = _version_at_timestamp(
+            os.path.join(path, "_delta_log"), start_version, "start"
+        )
+    if isinstance(end_version, str):
+        end_version = _version_at_timestamp(
+            os.path.join(path, "_delta_log"), end_version, "end"
+        )
     from pg_analytics_spark.sources.delta import (
         _delta_type_to_spark,
         _replay_log,

@@ -288,3 +288,44 @@ def test_merge_writes_exact_cdc(spark, tmp_path):
     # snapshot agrees with the feed
     snap = {r["k"]: r["v"] for r in load_source(spark, path, "delta").collect()}
     assert snap[8] == 800 and 9 not in snap and snap[13] == 1300
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path):
+    """r10: either bound may be an ISO timestamp string — start
+    resolves to the earliest commit at-or-after, end to the latest
+    at-or-before (delta-spark's startingTimestamp/endingTimestamp)."""
+    import datetime as dt
+
+    from pg_analytics_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, configuration=CDF)  # v0
+    update_delta(spark, path, {"v": "v + 100"}, "k < 3")  # v1
+    delete_delta(spark, path, "k >= 8")  # v2
+    # commit timestamps (publication-stamped) bracket the range
+    from pg_analytics_spark.sources.delta_cdf import _commit_ts_ms
+
+    log = path + "/_delta_log"
+    t1 = _commit_ts_ms(log, 1)
+    t2 = _commit_ts_ms(log, 2)
+    iso = lambda ms: dt.datetime.fromtimestamp(ms / 1000).isoformat()
+    by_version = _counts(read_table_changes(spark, path, 1, 2))
+    got = _counts(
+        read_table_changes(spark, path, iso(t1 - 1), iso(t2 + 1))
+    )
+    assert got == by_version
+    only_v1 = _counts(
+        read_table_changes(spark, path, iso(t1 - 1), iso(t2 - 1))
+    ) if t2 > t1 else None
+    if only_v1 is not None:
+        assert only_v1 == _counts(read_table_changes(spark, path, 1, 1))
+    with pytest.raises(UnsupportedFormat, match="at or after"):
+        read_table_changes(spark, path, iso(t2 + 60_000))
+    # SQL surface takes quoted bounds
+    eng = Engine(spark=spark)
+    eng.attach("t", [path], "delta")
+    n = eng.sql(
+        f"SELECT COUNT(*) AS n FROM table_changes('t', '{iso(t1 - 1)}', "
+        f"'{iso(t2 + 1)}')"
+    ).collect()[0]["n"]
+    assert n == sum(by_version.values())
