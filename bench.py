@@ -274,6 +274,7 @@ HEADLINE_NEXT9: list = [
     "iceberg_metadata_tables",
     "delta_check_constraints",
     "iceberg_snapshot_refs",
+    "corpus_dsir_importance",
     "streaming_iceberg_cdc_upsert",
 ]
 

@@ -2260,6 +2260,122 @@ _register_streaming_corpus_ingest()
 
 
 @register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest([t[i+1] FOR i IN range(len(t) - 1)]) AS a,
+             unnest([t[i+2] FOR i IN range(len(t) - 1)]) AS b
+      FROM toks WHERE len(t) >= 2
+    ), c AS (
+      SELECT a, b,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct,
+             CAST(COUNT(*) AS BIGINT) AS cr
+      FROM bg GROUP BY a, b
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+             CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM c
+    ), w AS (
+      SELECT a, b,
+             CAST(
+               ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE)
+               - ln((cr + 1)::DOUBLE / (nr + v)::DOUBLE)
+               AS DECIMAL(38,18)) AS w
+      FROM c, tot
+    ), scored AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS importance
+      FROM bg JOIN w USING (a, b)
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, importance
+    FROM scored
+    ORDER BY importance DESC, doc_id
+    LIMIT 25
+    """,
+    doc="DSIR-style importance resampling (Xie et al. 2023, "
+    "arXiv:2302.03169): score every raw document by the log-ratio of "
+    "an add-1-smoothed bigram LM trained on the TARGET slice (here "
+    "lang='en') vs one trained on the whole raw corpus, then keep the "
+    "top-k — the data-selection primitive for steering a 100 TB raw "
+    "crawl toward a target domain without a neural scorer.  Both LMs "
+    "come from ONE bigram-count pass (conditional sums per bigram); "
+    "totals are a one-row broadcast; per-term log-ratios stage "
+    "through DECIMAL(38,18) so the per-doc sum is order-independent "
+    "— bit-exact vs the oracle (the text_bigram_logprob technique).  "
+    "Ordering ties break on doc_id over the ROUNDED score in both "
+    "engines.",
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.operators.dedup import _persist_sketch
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", X.tokens(F.lower("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = _persist_sketch(
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), i -> struct("
+                    "element_at(t, i + 1) AS a, element_at(t, i + 2) AS b))"
+                )
+            ).alias("p"),
+        ).select(
+            "doc_id", "lang",
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+        )
+    )
+    c = bg.groupBy("a", "b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.count("*").cast("long").alias("cr"),
+    )
+    tot = c.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.count("*").cast("long").alias("v"),
+    )
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "a",
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")
+            )
+        )
+        .cast("decimal(38,18)")
+        .alias("w"),
+    )
+    return (
+        bg.join(w, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("w").cast("double") / F.count("*"), 6
+            ).alias("importance"),
+        )
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(25)
+    )
+
+
+@register(
     "text_bigram_logprob",
     oracle=f"""
     WITH toks AS (
