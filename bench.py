@@ -109,6 +109,8 @@ STREAMING_ROWS = frozenset(
         "streaming_pca_moments",
         "streaming_click_purchase_join",
         "streaming_cdc_upsert",
+        "streaming_iceberg_cdc_upsert",
+        "streaming_txn_append",
     }
 )
 
@@ -276,6 +278,7 @@ HEADLINE_NEXT9: list = [
     "iceberg_snapshot_refs",
     "corpus_dsir_importance",
     "streaming_iceberg_cdc_upsert",
+    "streaming_txn_append",
 ]
 
 

@@ -807,8 +807,36 @@ def checkpoint_delta(path: str) -> dict:
             "protocol": _latest_protocol(log_dir),
         }
     )
+    # SetTransaction watermarks survive the checkpoint (protocol: txn
+    # actions must be preserved — dropping one would let a cleaned-up
+    # log re-apply an idempotent writer's batch)
+    txn_type = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+    for app_id, (txn_v, txn_ts) in sorted(_txn_versions(log_dir).items()):
+        rows.append(
+            {
+                "add": None,
+                "metaData": None,
+                "protocol": None,
+                "txn": {
+                    "appId": app_id,
+                    "version": txn_v,
+                    "lastUpdated": txn_ts,
+                },
+            }
+        )
     schema = pa.schema(
-        [("add", add_type), ("metaData", meta_type), ("protocol", proto_type)]
+        [
+            ("add", add_type),
+            ("metaData", meta_type),
+            ("protocol", proto_type),
+            ("txn", txn_type),
+        ]
     )
     tbl = pa.Table.from_pylist(rows, schema=schema)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
@@ -1033,6 +1061,60 @@ def _stage_files(
     return adds, n_rows
 
 
+def _txn_versions(log_dir: str) -> dict[str, tuple[int, int]]:
+    """SetTransaction watermarks: appId → (version, lastUpdated_ms),
+    replayed from the newest checkpoint's txn rows (when present) plus
+    every JSON commit after it — the same replay base rule as the main
+    log reader."""
+    out: dict[str, tuple[int, int]] = {}
+    if not os.path.isdir(log_dir):
+        return out
+    base = -1
+    last_cp = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_cp):
+        try:
+            import pyarrow.parquet as _pq
+
+            with open(last_cp) as fh:
+                base = int(json.load(fh)["version"])
+            cp = os.path.join(log_dir, f"{base:020d}.checkpoint.parquet")
+            t = _pq.read_table(cp)
+            if "txn" in t.column_names:
+                for row in t.column("txn").to_pylist():
+                    if row and row.get("appId"):
+                        out[row["appId"]] = (
+                            int(row["version"]),
+                            int(row.get("lastUpdated") or 0),
+                        )
+        except Exception:
+            base = -1
+    for name in sorted(os.listdir(log_dir)):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        if int(name[:20]) <= base:
+            continue
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId"):
+                    out[t["appId"]] = (
+                        int(t["version"]),
+                        int(t.get("lastUpdated") or 0),
+                    )
+    return out
+
+
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """The newest committed SetTransaction version for ``app_id``
+    (None if the app never wrote) — what an idempotent streaming
+    writer consults on restart."""
+    got = _txn_versions(os.path.join(path, "_delta_log")).get(app_id)
+    return got[0] if got else None
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1040,6 +1122,7 @@ def write_delta(
     partition_by: str | list[str] | None = None,
     options: dict | None = None,
     configuration: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``.
 
@@ -1127,6 +1210,20 @@ def write_delta(
     stage_part_cols = (
         [renames.get(c, c) for c in part_cols] if renames else part_cols
     )
+    if txn is not None:
+        # SetTransaction idempotence (protocol `txn` action): a batch
+        # whose (appId, version) is at-or-below the table's recorded
+        # watermark was already applied — skip BEFORE staging, so a
+        # foreachBatch replay after a crash commits nothing twice
+        app_id, txn_version = str(txn[0]), int(txn[1])
+        seen = _txn_versions(log_dir).get(app_id)
+        if seen is not None and txn_version <= seen[0]:
+            return {
+                "version": version - 1,
+                "files": 0,
+                "rows": 0,
+                "skipped_txn": True,
+            }
     _check_constraints(df, {"configuration": eff_cfg})
     adds, n_rows = _stage_files(
         _stage_as_physical(df, renames), path, version,
@@ -1146,6 +1243,16 @@ def write_delta(
             }
         }
     ]
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     if version == 0:
         actions.append(
             {

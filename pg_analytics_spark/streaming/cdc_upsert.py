@@ -204,3 +204,44 @@ def maintain_cdc_table_iceberg(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_append_table(
+    spark: SparkSession,
+    source: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    app_id: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Exactly-once streaming APPEND into a native Delta table via
+    protocol ``txn`` (SetTransaction) actions — the Delta-native
+    idempotence mechanism (delta-spark's `txnAppId`/`txnVersion`):
+    each micro-batch appends with ``txn=(app_id, batch_id)``; on a
+    crash-replay the recorded watermark makes the duplicate batch
+    commit NOTHING, so the sink is exactly-once at the TABLE level
+    even though foreachBatch is at-least-once.  Unlike the CDC twins
+    (which need a key and an upsert), this covers the plain
+    append-only ingest every bronze layer starts with."""
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    ev = read_event_stream(spark, source, opts)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pg_analytics_spark.sources.delta_write import write_delta
+
+        write_delta(
+            batch_df, table_dir, mode="append", txn=(app_id, batch_id)
+        )
+
+    q = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

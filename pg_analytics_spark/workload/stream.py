@@ -1106,6 +1106,50 @@ def streaming_iceberg_cdc_upsert(
 
 
 @register(
+    "streaming_txn_append",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="Exactly-once streaming APPEND into native Delta via protocol "
+    "`txn` (SetTransaction) actions — streaming/cdc_upsert."
+    "maintain_append_table: each micro-batch appends with "
+    "txn=(app_id, batch_id), so a crash-replayed batch commits "
+    "NOTHING (the Delta-native idempotence delta-spark exposes as "
+    "txnAppId/txnVersion; watermarks survive checkpoints).  The "
+    "bronze-layer ingest shape: no key, no merge join — per-trigger "
+    "cost is O(new files), and exactly-once holds at the TABLE level "
+    "even though foreachBatch is at-least-once (crash-replay pinned "
+    "in tests/test_streaming.py).  Oracle: the sink must equal the "
+    "source relation exactly.",
+)
+def streaming_txn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.streaming.cdc_upsert import (
+        maintain_append_table,
+    )
+
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/bronze_delta"
+        maintain_append_table(
+            spark, f"{sf_dir}/events.parquet", tbl, f"{work}/ckpt",
+            "bronze-ingest",
+        )
+        out = load_source(spark, tbl, "delta").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias(
+                "value"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
     "events_markov_transition",
     oracle="""
     WITH seq AS (

@@ -704,3 +704,52 @@ class TestInsertOnConflict:
         # SQL NULL = NULL is unknown → the NULL-key row INSERTS (two
         # NULL-key rows coexist), the existing one is untouched
         assert rows == [(None, 1.0), (None, 9.0)]
+
+
+def test_set_transaction_idempotent_writes(spark, tmp_path):
+    """r10: protocol `txn` (SetTransaction) actions — the Delta-native
+    idempotent-write mechanism for streaming sinks: a replayed batch
+    whose (appId, version) is at-or-below the recorded watermark
+    commits NOTHING; watermarks survive checkpoints and log replay."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        checkpoint_delta,
+        last_txn_version,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    r0 = write_delta(mk(0, 10), path, mode="overwrite", txn=("app", 1))
+    assert not r0.get("skipped_txn")
+    r1 = write_delta(mk(10, 15), path, mode="append", txn=("app", 2))
+    assert r1["rows"] == 5
+    # replay of batch 2: skipped, zero table change
+    r2 = write_delta(mk(10, 15), path, mode="append", txn=("app", 2))
+    assert r2["skipped_txn"] and r2["rows"] == 0
+    assert load_source(spark, path, "delta").count() == 15
+    # an OLDER version is also skipped; a NEWER one applies
+    assert write_delta(
+        mk(0, 3), path, mode="append", txn=("app", 1)
+    )["skipped_txn"]
+    assert write_delta(
+        mk(15, 17), path, mode="append", txn=("app", 3)
+    )["rows"] == 2
+    # a different appId has its own watermark
+    assert write_delta(
+        mk(17, 18), path, mode="append", txn=("other", 1)
+    )["rows"] == 1
+    assert last_txn_version(path, "app") == 3
+    assert last_txn_version(path, "other") == 1
+    assert last_txn_version(path, "never") is None
+    # the watermark survives a checkpoint (txn rows ride it)
+    checkpoint_delta(path)
+    assert write_delta(
+        mk(0, 3), path, mode="append", txn=("app", 3)
+    )["skipped_txn"]
+    assert last_txn_version(path, "app") == 3
+    assert load_source(spark, path, "delta").count() == 18

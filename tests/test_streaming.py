@@ -1105,3 +1105,69 @@ def test_cdc_upsert_tie_ts_breaks_on_event_id(spark, tmp_path):
         for r in load_source(spark, tbl, "delta").collect()
     ]
     assert (eid, typ) == (9, "b")
+
+
+def test_txn_append_sink_exactly_once_across_crash(spark, tmp_path):
+    """r10: the SetTransaction append sink — a batch whose effect ran
+    but whose checkpoint commit didn't (injected crash) is REPLAYED by
+    the restart, and the txn watermark makes the replay commit
+    nothing: table rows == source rows exactly, no dedup key needed."""
+    import glob as _glob
+    import shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import write_delta
+    from pg_analytics_spark.streaming.cdc_upsert import (
+        maintain_append_table,
+    )
+    from pg_analytics_spark.streaming.events import read_event_stream
+    from pg_analytics_spark.workload.base import table
+
+    ev = table(spark, SF_DIR, "events").filter(F.col("user_id") < 30)
+    src = tmp_path / "ev_txn"
+    src.mkdir()
+    from pyspark.sql import Window as _W
+
+    thirds = ev.withColumn("_b", F.ntile(3).over(_W.orderBy("event_id")))
+    for i in range(1, 4):
+        stage = tmp_path / f"txn_stage{i}"
+        thirds.filter(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.copy(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            src / f"{i:05d}.parquet",
+        )
+    tbl = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "txn_ckpt")
+
+    calls = {"n": 0}
+
+    def crashing(batch_df, batch_id):
+        write_delta(
+            batch_df, tbl, mode="append", txn=("bronze-ingest", batch_id)
+        )
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after batch-2 effect")
+
+    import pytest as _pytest
+
+    ev_s = read_event_stream(spark, str(src), options={"maxFilesPerTrigger": 1})
+    q = (
+        ev_s.writeStream.outputMode("append")
+        .foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    # restart: batch 2 replays but its txn watermark skips the append
+    maintain_append_table(
+        spark, str(src), tbl, ckpt, "bronze-ingest",
+        max_files_per_trigger=1,
+    )
+    got = load_source(spark, tbl, "delta")
+    assert got.count() == ev.count()  # exactly-once, no duplicates
+    assert got.select("event_id").distinct().count() == ev.count()
