@@ -152,6 +152,7 @@ WRITER_ROWS = frozenset(
         "iceberg_metadata_tables",
         "delta_check_constraints",
         "iceberg_snapshot_refs",
+        "iceberg_snapshot_migrate",
     }
 )
 
@@ -276,6 +277,7 @@ HEADLINE_NEXT9: list = [
     "iceberg_metadata_tables",
     "delta_check_constraints",
     "iceberg_snapshot_refs",
+    "iceberg_snapshot_migrate",
     "corpus_dsir_importance",
     "streaming_iceberg_cdc_upsert",
     "streaming_txn_append",

@@ -2951,6 +2951,157 @@ def expire_iceberg_snapshots(
     }
 
 
+def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
+    """ZERO-COPY Delta→Iceberg migration (the Iceberg runtime's
+    ``snapshot`` procedure): mint a v2 Iceberg table at
+    ``target_path`` whose first snapshot REFERENCES the Delta table's
+    active parquet files by absolute path — no data movement, O(active
+    files) metadata.  The files carry no Iceberg field ids, so the
+    minted metadata seeds ``schema.name-mapping.default`` — the same
+    mechanism this writer's own id-less files resolve through — and
+    every subsequent Iceberg operation (appends, eq-deletes, upserts,
+    compaction) works on the migrated table.
+
+    Refused loudly (each would silently corrupt): PARTITIONED sources
+    (hive-style Delta files don't CONTAIN the partition columns, which
+    Iceberg data files must), COLUMN-MAPPED sources (physical names
+    differ from logical), and tables with LIVE deletion vectors
+    (Iceberg would resurrect the erased rows) — rewrite those through
+    a normal CTAS instead.  The source table is untouched and keeps
+    working; like a shallow clone, VACUUM on the SOURCE is the one
+    shared-fate hazard.  Returns {"files", "rows", "version"}."""
+    from pg_analytics_spark.sources.delta import (
+        _delta_type_to_spark,
+        _replay_log,
+    )
+
+    log_dir = os.path.join(delta_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"not a Delta table: {delta_path}")
+    if os.path.isdir(os.path.join(target_path, "metadata")):
+        raise UnsupportedFormat(
+            f"snapshot target already exists: {target_path}"
+        )
+    active, meta_d = _replay_log(log_dir)
+    if meta_d is None:
+        raise UnsupportedFormat(f"no Delta metaData at {delta_path}")
+    if meta_d.get("partitionColumns"):
+        raise UnsupportedFormat(
+            "snapshot_delta_to_iceberg: partitioned Delta sources are "
+            "not zero-copy migratable (hive files lack the partition "
+            "columns Iceberg data files must contain) — rewrite via "
+            "CTAS into a partitioned Iceberg table instead"
+        )
+    cfg_d = meta_d.get("configuration") or {}
+    if cfg_d.get("delta.columnMapping.mode", "none") in ("name", "id"):
+        raise UnsupportedFormat(
+            "snapshot_delta_to_iceberg: column-mapped sources store "
+            "PHYSICAL column names on disk — rewrite via CTAS"
+        )
+    if any(a.get("deletionVector") for a in active.values()):
+        raise UnsupportedFormat(
+            "snapshot_delta_to_iceberg: source has live deletion "
+            "vectors — referencing its files would resurrect erased "
+            "rows; compact the Delta table first (OPTIMIZE)"
+        )
+    import types as _pytypes
+
+    spark_struct = _delta_type_to_spark(json.loads(meta_d["schemaString"]))
+    fields = [
+        {"id": i + 1, "name": f.name, "type": _ice_type(f), "required": False}
+        for i, f in enumerate(spark_struct.fields)
+    ]
+    src = os.path.abspath(delta_path)
+    files = sorted(
+        p if os.path.isabs(p) else os.path.join(src, p) for p in active
+    )
+    per_file = _bounds_for_files(spark, files, fields)
+    entry_schema = _manifest_entry_schema([])
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    entries = []
+    n_rows = 0
+    for f in files:
+        lowers, uppers, rows, size = per_file[f]
+        n_rows += rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f,
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                },
+            }
+        )
+    meta_dir = os.path.join(target_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest = os.path.join(meta_dir, f"man-snapshot-{snapshot_id}.avro")
+    write_container(entry_schema, entries, manifest)
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    mf_entries = [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(time.time() * 1000)
+    nm = [{"field-id": f["id"], "names": [f["name"]]} for f in fields]
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "properties": {
+            "schema.name-mapping.default": json.dumps(nm),
+            "snapshot.source": src,  # provenance
+        },
+        "location": target_path,
+        "last-sequence-number": 1,
+        "last-column-id": len(fields),
+        "current-snapshot-id": snapshot_id,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": fields}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "last-updated-ms": now_ms,
+        "refs": {},
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "manifest-list": mlist,
+                "timestamp-ms": now_ms,
+                "sequence-number": 1,
+                "summary": {
+                    "operation": "append",
+                    "snapshot-source": src,
+                },
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ],
+    }
+    meta_path = os.path.join(meta_dir, "v1.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write("1")
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"files": len(files), "rows": n_rows, "version": 1}
+
+
 def alter_iceberg_refs(
     path: str,
     *,

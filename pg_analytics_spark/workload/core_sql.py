@@ -4416,6 +4416,70 @@ def iceberg_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_snapshot_migrate",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN -1.0
+                ELSE o_totalprice END AS v
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    doc="ZERO-COPY Delta→Iceberg migration (iceberg_write."
+    "snapshot_delta_to_iceberg — the Iceberg runtime's `snapshot` "
+    "procedure): the minted v2 table's first snapshot references the "
+    "Delta table's active parquet files by absolute path — no data "
+    "movement, O(files) metadata; the files are id-less, so the "
+    "metadata seeds schema.name-mapping.default (this writer's own "
+    "resolution mechanism).  The row migrates a 2-commit Delta "
+    "table, then runs an EQUALITY-DELETE UPSERT on the MIGRATED "
+    "table — proving post-migration Iceberg DML works — and replays "
+    "the whole lifecycle relationally.  Partitioned / column-mapped "
+    "/ DV-bearing sources refuse loudly (each would silently corrupt "
+    "— unit-pinned).  The format-switch story at 100 TB: a metadata "
+    "mint, not a rewrite.",
+)
+def iceberg_snapshot_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import write_delta
+    from pg_analytics_spark.sources.iceberg_write import (
+        snapshot_delta_to_iceberg,
+        upsert_iceberg_eq,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_migrate")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    src = _os.path.join(root, "delta_src")
+    dst = _os.path.join(root, "ice_dst")
+    write_delta(
+        orders.filter(F.col("o_orderkey") < 1200), src, mode="overwrite"
+    )
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 2000)
+        ),
+        src,
+        mode="append",
+    )
+    res = snapshot_delta_to_iceberg(spark, src, dst)
+    assert res["files"] >= 2 and res["rows"] > 0
+    upsert_iceberg_eq(
+        spark,
+        dst,
+        orders.filter(
+            (F.col("o_orderkey") < 2000) & (F.col("o_orderkey") % 13 == 0)
+        ).withColumn("v", F.lit(-1.0).cast("double")),
+        ["o_orderkey"],
+    )
+    return load_source(spark, dst, "iceberg").orderBy("o_orderkey")
+
+
+@register(
     "iceberg_expire_snapshots_roundtrip",
     oracle=_ICE_UPDATE_ORACLE,
     doc="Iceberg ``expire_snapshots`` maintenance (sources/"

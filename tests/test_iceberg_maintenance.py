@@ -286,3 +286,82 @@ def test_snapshot_refs_tags_and_branches(spark, tmp_path):
     expire_iceberg_snapshots(spark, path, retain_last=1)
     with pytest.raises(Exception):
         _rows(spark, path, ref="v1")
+
+
+def test_snapshot_delta_to_iceberg_zero_copy(spark, tmp_path):
+    """r10: zero-copy Delta→Iceberg migration — the minted table reads
+    identically, NO data file is copied, subsequent Iceberg DML works
+    on the migrated table, and the hazards (partitioned/mapped/DV
+    sources) refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.delta_write import (
+        alter_delta,
+        delete_delta,
+        write_delta,
+    )
+    from pg_analytics_spark.sources.iceberg_write import (
+        snapshot_delta_to_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(df, src, mode="overwrite")
+    write_delta(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        src,
+        mode="append",
+    )
+    dst = str(tmp_path / "ice")
+    r = snapshot_delta_to_iceberg(spark, src, dst)
+    assert r["rows"] == 25 and r["files"] >= 2
+    expect = {(k, 2 * k) for k in range(25)}
+    assert _rows(spark, dst) == expect
+    # zero-copy: no parquet under the target
+    assert not any(
+        n.endswith(".parquet")
+        for _r, _d, ns in os.walk(os.path.join(dst))
+        for n in ns
+        if "metadata" not in _r
+    )
+    # Iceberg DML works on the migrated table (eq upsert, O(keys))
+    upsert_iceberg_eq(
+        spark,
+        dst,
+        spark.createDataFrame([(3, -1), (99, -2)], "k long, v long"),
+        ["k"],
+    )
+    assert _rows(spark, dst) == (expect - {(3, 6)}) | {(3, -1), (99, -2)}
+    # source unchanged and still independent
+    from pg_analytics_spark.sources import load_source
+
+    assert load_source(spark, src, "delta").count() == 25
+    delete_delta(spark, src, "k < 5")
+    assert (3, -1) in _rows(spark, dst)  # target unaffected
+
+    # refusals
+    part = str(tmp_path / "part")
+    write_delta(
+        df.withColumn("p", (F.col("k") % 2).cast("string")),
+        part,
+        mode="overwrite",
+        partition_by="p",
+    )
+    with pytest.raises(UnsupportedFormat, match="partitioned"):
+        snapshot_delta_to_iceberg(spark, part, str(tmp_path / "x1"))
+    mapped = str(tmp_path / "mapped")
+    write_delta(df, mapped, mode="overwrite")
+    alter_delta(mapped, rename=("v", "val"))
+    with pytest.raises(UnsupportedFormat, match="column-mapped"):
+        snapshot_delta_to_iceberg(spark, mapped, str(tmp_path / "x2"))
+    dv = str(tmp_path / "dv")
+    write_delta(df, dv, mode="overwrite")
+    delete_delta(spark, dv, "k < 3", dv=True)
+    with pytest.raises(UnsupportedFormat, match="deletion"):
+        snapshot_delta_to_iceberg(spark, dv, str(tmp_path / "x3"))
+    with pytest.raises(UnsupportedFormat, match="already exists"):
+        snapshot_delta_to_iceberg(spark, src, dst)
