@@ -3278,13 +3278,10 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "delta_check_constraints",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS v
     FROM orders
-    WHERE o_orderkey < 1500 AND o_totalprice > 0
-    UNION ALL
-    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS v
-    FROM orders
-    WHERE o_orderkey >= 1500 AND o_orderkey < 1800
     ORDER BY o_orderkey
     """,
     doc="Delta CHECK constraints (protocol writer feature "
@@ -3316,18 +3313,21 @@ def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
     )
+    # MODULO splits, not absolute keys: absolute ranges are empty at
+    # small scale factors and a "violating" empty batch passes the
+    # check vacuously (the r9 era-split lesson, re-learned here)
     root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_check")
     _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
     write_delta(
-        orders.filter(F.col("o_orderkey") < 1500), root, mode="overwrite"
+        orders.filter(F.col("o_orderkey") % 4 != 3), root, mode="overwrite"
     )
     alter_delta_constraints(root, add=("v_pos", "v > 0"), spark=spark)
     n0 = load_source(spark, root, "delta").count()
     try:
         write_delta(
-            orders.filter(
-                (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 1800)
-            ).withColumn("v", F.lit(-1.0).cast("double")),
+            orders.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+                "v", F.lit(-1.0).cast("double")
+            ),
             root,
             mode="append",
         )
@@ -3335,19 +3335,15 @@ def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     except UnsupportedFormat:
         pass
     try:
-        update_delta(spark, root, {"v": "v - 1e9"}, "o_orderkey < 10")
+        update_delta(spark, root, {"v": "v - 1e9"}, "o_orderkey % 7 = 0")
         raise AssertionError("violating update was not refused")
     except UnsupportedFormat:
         pass
     assert load_source(spark, root, "delta").count() == n0  # no change
     write_delta(
-        orders.filter(
-            (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 1800)
-        ),
-        root,
-        mode="append",
+        orders.filter(F.col("o_orderkey") % 4 == 3), root, mode="append"
     )
-    update_delta(spark, root, {"v": "v * 2"}, "o_orderkey >= 1500")
+    update_delta(spark, root, {"v": "v * 2"}, "o_orderkey % 7 = 0")
     return load_source(spark, root, "delta").orderBy("o_orderkey")
 
 
