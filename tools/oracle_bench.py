@@ -21,6 +21,8 @@ from bench import (
     HEADLINE_NEXT6,
     HEADLINE_NEXT7,
     HEADLINE_NEXT8,
+    HEADLINE_NEXT9,
+    STREAMING_ROWS,
     WRITER_ROWS,
 )
 from pg_analytics_spark.workload import REGISTRY
@@ -59,6 +61,13 @@ def main() -> None:
     timings_next8 = _measure(
         [q for q in HEADLINE_NEXT8 if q not in WRITER_ROWS]
     )
+    timings_next9 = _measure(
+        [
+            q
+            for q in HEADLINE_NEXT9
+            if q not in WRITER_ROWS and q not in STREAMING_ROWS
+        ]
+    )
     print(
         json.dumps(
             {
@@ -76,6 +85,10 @@ def main() -> None:
                     sum(timings_next8.values()), 4
                 ),
                 "queries_next8": timings_next8,
+                "value_next9_batch": round(
+                    sum(timings_next9.values()), 4
+                ),
+                "queries_next9": timings_next9,
             }
         )
     )
