@@ -153,6 +153,7 @@ WRITER_ROWS = frozenset(
         "delta_check_constraints",
         "iceberg_snapshot_refs",
         "iceberg_snapshot_migrate",
+        "iceberg_wap_publish",
     }
 )
 
@@ -278,6 +279,7 @@ HEADLINE_NEXT9: list = [
     "delta_check_constraints",
     "iceberg_snapshot_refs",
     "iceberg_snapshot_migrate",
+    "iceberg_wap_publish",
     "corpus_dsir_importance",
     "streaming_iceberg_cdc_upsert",
     "streaming_txn_append",

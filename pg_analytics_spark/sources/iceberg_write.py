@@ -460,8 +460,20 @@ def write_iceberg(
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
     options: dict | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Write ``df`` as one Iceberg v2 snapshot at ``path``.
+
+    ``branch`` targets the commit at a BRANCH instead of main — the
+    Write-Audit-Publish pattern (Iceberg's ``spark.wap.branch``): the
+    snapshot's parent is the branch head (created at the current main
+    head if the branch does not exist), ``refs[branch]`` advances,
+    and ``current-snapshot-id`` (what plain readers see) is
+    UNTOUCHED until :func:`fast_forward_iceberg` publishes the branch
+    — audits read the branch via the reader's ``ref`` option /
+    ``VERSION AS OF '<branch>'``.  Branch writes require an existing
+    table (a first commit has nothing to keep main at) and refuse a
+    TAG name (immutable).
 
     ``partition_by`` entries are spec transforms: a plain column name
     (identity), ``year(c)``/``month(c)``/``days(c)``/``hours(c)``,
@@ -493,6 +505,19 @@ def write_iceberg(
     prev_version, prev_meta = _latest_metadata(meta_dir)
     schema_id = 0
     prev_schemas: list[dict] = []
+    if branch is not None:
+        if prev_meta is None:
+            raise UnsupportedFormat(
+                "branch write needs an existing table (a first commit "
+                "has nothing to keep main at)"
+            )
+        existing = (prev_meta.get("refs") or {}).get(branch)
+        if existing is not None and existing.get("type") == "tag":
+            raise UnsupportedFormat(
+                f"ref {branch!r} is a TAG — tags are immutable"
+            )
+        if branch == "main":
+            raise UnsupportedFormat("the ref name 'main' is reserved")
     if prev_meta is None:
         mode = "overwrite"
         fields = [
@@ -820,10 +845,17 @@ def write_iceberg(
         }
     ]
     if mode == "append" and prev_meta is not None:
+        # the parent is the BRANCH head when this is a branch write
+        # (falling back to main for a just-created branch)
+        head_id = prev_meta["current-snapshot-id"]
+        if branch is not None:
+            ref = (prev_meta.get("refs") or {}).get(branch)
+            if ref is not None:
+                head_id = ref["snapshot-id"]
         prev_snap = next(
             s
             for s in prev_meta["snapshots"]
-            if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+            if s["snapshot-id"] == head_id
         )
         _schema, prev_list = read_container(prev_snap["manifest-list"])
         mf_entries = list(prev_list) + mf_entries
@@ -832,15 +864,23 @@ def write_iceberg(
 
     now_ms = int(_time.time() * 1000)
     snapshots = list((prev_meta or {}).get("snapshots", []))
-    snapshots.append(
-        {
-            "snapshot-id": snapshot_id,
-            "manifest-list": mlist,
-            "timestamp-ms": now_ms,
-            "sequence-number": seq,
-            "summary": {"operation": mode},
-        }
-    )
+    parent_id = None
+    if prev_meta is not None:
+        parent_id = prev_meta.get("current-snapshot-id")
+        if branch is not None:
+            ref = (prev_meta.get("refs") or {}).get(branch)
+            if ref is not None:
+                parent_id = ref["snapshot-id"]
+    snap_entry = {
+        "snapshot-id": snapshot_id,
+        "manifest-list": mlist,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {"operation": mode},
+    }
+    if parent_id is not None:
+        snap_entry["parent-snapshot-id"] = parent_id
+    snapshots.append(snap_entry)
     log = list((prev_meta or {}).get("snapshot-log", []))
     log.append({"snapshot-id": snapshot_id, "timestamp-ms": now_ms})
     # table properties survive data commits (ALTER writes
@@ -885,7 +925,11 @@ def write_iceberg(
             (prev_meta or {}).get("last-column-id", 0),
             max(f["id"] for f in fields),
         ),
-        "current-snapshot-id": snapshot_id,
+        "current-snapshot-id": (
+            prev_meta["current-snapshot-id"]
+            if branch is not None
+            else snapshot_id
+        ),
         "current-schema-id": schema_id,
         "schemas": (
             [s for s in prev_schemas if s.get("schema-id") != schema_id]
@@ -897,9 +941,9 @@ def write_iceberg(
         # partition field ids from last-partition-id (r9 ADVICE)
         "last-partition-id": _last_partition_field_id(partition_specs),
         "last-updated-ms": int(time.time() * 1000),
-        # named refs (tags/branches) survive every data commit —
-        # writes advance MAIN, never a ref (r10)
-        "refs": dict((prev_meta or {}).get("refs") or {}),
+        # named refs (tags/branches) survive every data commit; a
+        # BRANCH write advances its ref instead of main (WAP, r10)
+        "refs": _refs_after_commit(prev_meta, branch, snapshot_id),
         "snapshots": snapshots,
         "snapshot-log": log,
     }
@@ -3100,6 +3144,91 @@ def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
         fh.write("1")
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return {"files": len(files), "rows": n_rows, "version": 1}
+
+
+def _refs_after_commit(
+    prev_meta: dict | None, branch: str | None, snapshot_id: int
+) -> dict:
+    refs = dict((prev_meta or {}).get("refs") or {})
+    if branch is not None:
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+    return refs
+
+
+def fast_forward_iceberg(path: str, branch: str) -> dict:
+    """PUBLISH a branch (WAP's last step / the runtime's
+    ``fast_forward`` procedure): point the table's current snapshot at
+    the branch head as one pure-metadata version.  Every snapshot the
+    branch accumulated is already in the table metadata, so plain
+    readers atomically see the audited state; the branch ref stays
+    (drop it with alter_iceberg_refs when done).  Returns
+    {"version", "snapshot_id"}."""
+    import time as _time
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(f"not an iceberg table: {path}")
+    ref = (prev_meta.get("refs") or {}).get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise UnsupportedFormat(
+            f"fast_forward: {branch!r} is not a branch on {path}"
+        )
+    sid = ref["snapshot-id"]
+    # FAST-forward only: main's current head must be an ANCESTOR of
+    # the branch head (walk parent-snapshot-id pointers), else the
+    # publish would silently DROP commits main gained since the
+    # branch — the real runtime refuses exactly this
+    by_id = {
+        snp["snapshot-id"]: snp for snp in prev_meta.get("snapshots", [])
+    }
+    cur = prev_meta.get("current-snapshot-id")
+    node = sid
+    seen = set()
+    ok = False
+    while node is not None and node not in seen:
+        if node == cur:
+            ok = True
+            break
+        seen.add(node)
+        node = (by_id.get(node) or {}).get("parent-snapshot-id")
+    if not ok:
+        raise UnsupportedFormat(
+            f"fast_forward: main has commits the branch {branch!r} "
+            "does not contain (diverged) — re-stage the branch from "
+            "the current head, or replace main explicitly via "
+            "rollback_iceberg"
+        )
+    meta = dict(prev_meta)
+    meta["current-snapshot-id"] = sid
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    meta["snapshot-log"] = list(prev_meta.get("snapshot-log", [])) + [
+        {"snapshot-id": sid, "timestamp-ms": meta["last-updated-ms"]}
+    ]
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"version": version, "snapshot_id": sid}
 
 
 def alter_iceberg_refs(

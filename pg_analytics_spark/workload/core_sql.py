@@ -4476,6 +4476,65 @@ def iceberg_snapshot_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_wap_publish",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey % 6 IN (0, 1, 3, 4)
+    ORDER BY o_orderkey
+    """,
+    doc="WRITE-AUDIT-PUBLISH (iceberg_write: branch writes + "
+    "fast_forward_iceberg — the runtime's `spark.wap.branch` + "
+    "`fast_forward` procedure): staged commits land on a BRANCH ref "
+    "while plain readers keep seeing main; an audit reads the branch "
+    "(`ref` option / VERSION AS OF '<branch>'); the publish is one "
+    "pure-metadata fast-forward of main to the branch head — and "
+    "REFUSES a diverged branch (parent-snapshot-id ancestry walk), "
+    "because publishing one would silently drop main's commits.  The "
+    "row stages two branch appends, asserts in-row that main is "
+    "untouched until the publish, publishes, and replays the final "
+    "state relationally.  The audit-before-expose gate every "
+    "production 100 TB ingest wants, at metadata cost.",
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        fast_forward_iceberg,
+        write_iceberg,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_wap")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    write_iceberg(base, root, mode="overwrite")
+    n_base = base.count()
+    for m in (1, 4):  # two staged commits on the audit branch
+        write_iceberg(
+            orders.filter(
+                (F.col("o_orderkey") % 3 != 0)
+                & (F.col("o_orderkey") % 6 == m)
+            ),
+            root,
+            mode="append",
+            branch="audit",
+        )
+    # plain readers see ONLY main until the publish
+    assert load_source(spark, root, "iceberg").count() == n_base
+    staged = load_source(spark, root, "iceberg", {"ref": "audit"}).count()
+    assert staged > n_base
+    fast_forward_iceberg(root, "audit")
+    out = load_source(spark, root, "iceberg")
+    assert out.count() == staged
+    return out.orderBy("o_orderkey")
+
+
+@register(
     "iceberg_expire_snapshots_roundtrip",
     oracle=_ICE_UPDATE_ORACLE,
     doc="Iceberg ``expire_snapshots`` maintenance (sources/"

@@ -365,3 +365,80 @@ def test_snapshot_delta_to_iceberg_zero_copy(spark, tmp_path):
         snapshot_delta_to_iceberg(spark, dv, str(tmp_path / "x3"))
     with pytest.raises(UnsupportedFormat, match="already exists"):
         snapshot_delta_to_iceberg(spark, src, dst)
+
+
+def test_wap_branch_write_audit_publish(spark, tmp_path):
+    """r10 continuation: the Write-Audit-Publish pattern — branch
+    writes advance refs[branch] while plain readers keep seeing main;
+    fast_forward publishes atomically; guards refuse tag targets,
+    'main', and branch writes on a nonexistent table."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        fast_forward_iceberg,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=2)  # main: k in 0..19
+    main_rows = {(k, 2 * k) for k in range(20)}
+    # two staged (unpublished) commits on the branch
+    write_iceberg(
+        spark.createDataFrame([(100, 1)], "k long, v long"),
+        path,
+        mode="append",
+        branch="audit",
+    )
+    write_iceberg(
+        spark.createDataFrame([(101, 2)], "k long, v long"),
+        path,
+        mode="append",
+        branch="audit",
+    )
+    # plain readers still see main; the branch sees both staged commits
+    assert _rows(spark, path) == main_rows
+    staged = main_rows | {(100, 1), (101, 2)}
+    assert _rows(spark, path, ref="audit") == staged
+    # publish: plain readers atomically see the audited state
+    fast_forward_iceberg(path, "audit")
+    assert _rows(spark, path) == staged
+    # a branch that has DIVERGED from main refuses to publish (the
+    # publish would drop main's commits)
+    write_iceberg(
+        spark.createDataFrame([(300, 9)], "k long, v long"),
+        path,
+        mode="append",
+        branch="stale",
+    )
+    write_iceberg(
+        spark.createDataFrame([(200, 3)], "k long, v long"),
+        path,
+        mode="append",  # main advances past the stale branch's base
+    )
+    with pytest.raises(UnsupportedFormat, match="diverged"):
+        fast_forward_iceberg(path, "stale")
+    assert _rows(spark, path) == staged | {(200, 3)}
+    # guards
+    alter_iceberg_refs(path, tag="pin")
+    with pytest.raises(UnsupportedFormat, match="TAG"):
+        write_iceberg(
+            spark.createDataFrame([(1, 1)], "k long, v long"),
+            path,
+            mode="append",
+            branch="pin",
+        )
+    with pytest.raises(UnsupportedFormat, match="reserved"):
+        write_iceberg(
+            spark.createDataFrame([(1, 1)], "k long, v long"),
+            path,
+            mode="append",
+            branch="main",
+        )
+    with pytest.raises(UnsupportedFormat, match="existing table"):
+        write_iceberg(
+            spark.createDataFrame([(1, 1)], "k long, v long"),
+            str(tmp_path / "fresh"),
+            mode="append",
+            branch="dev",
+        )
+    with pytest.raises(UnsupportedFormat, match="not a branch"):
+        fast_forward_iceberg(path, "pin")
