@@ -154,6 +154,7 @@ WRITER_ROWS = frozenset(
         "iceberg_snapshot_refs",
         "iceberg_snapshot_migrate",
         "iceberg_wap_publish",
+        "delta_convert_roundtrip",
     }
 )
 
@@ -280,6 +281,7 @@ HEADLINE_NEXT9: list = [
     "iceberg_snapshot_refs",
     "iceberg_snapshot_migrate",
     "iceberg_wap_publish",
+    "delta_convert_roundtrip",
     "corpus_dsir_importance",
     "streaming_iceberg_cdc_upsert",
     "streaming_txn_append",

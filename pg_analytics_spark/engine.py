@@ -227,6 +227,12 @@ _DESCRIBE_DETAIL_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+_CONVERT_DELTA_RE = _re.compile(
+    r"^CONVERT\s+TO\s+DELTA\s+(?:parquet\.)?[`']?(?P<path>[^`';)]+)[`']?"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?;?\s*$",
+    _re.IGNORECASE,
+)
+
 _CALL_PROC_RE = _re.compile(
     r"^CALL\s+(?:[A-Za-z_][\w]*\.)?(?:system\.)?"
     r"(?P<proc>rewrite_manifests|remove_orphan_files|expire_snapshots)"
@@ -526,6 +532,9 @@ class Engine:
         m = _CALL_PROC_RE.match(query.strip())
         if m:
             return self._call_procedure_statement(m)
+        m = _CONVERT_DELTA_RE.match(query.strip())
+        if m:
+            return self._convert_delta_statement(m)
         m = _DESCRIBE_RE.match(query.strip())
         if m:
             return self._describe_statement(m)
@@ -3010,6 +3019,29 @@ class Engine:
         return self.spark.createDataFrame(
             [(r["operation"], r["name"], int(r["version"]))],
             "operation string, name string, version bigint",
+        )
+
+    def _convert_delta_statement(self, m) -> DataFrame:
+        """``CONVERT TO DELTA [parquet.]`/path` [PARTITIONED BY (col
+        type, …)]`` — in-place zero-copy conversion of a parquet
+        directory (delta_write.convert_parquet_to_delta); one metrics
+        row."""
+        from pg_analytics_spark.sources.delta_write import (
+            convert_parquet_to_delta,
+        )
+
+        parts = m.group("parts")
+        decls = (
+            [p.strip() for p in parts.split(",") if p.strip()]
+            if parts
+            else None
+        )
+        r = convert_parquet_to_delta(
+            self.spark, m.group("path").strip(), partition_by=decls
+        )
+        return self.spark.createDataFrame(
+            [(int(r["files"]), int(r["rows"]), int(r["version"]))],
+            "files bigint, rows bigint, version bigint",
         )
 
     def _call_procedure_statement(self, m) -> DataFrame:

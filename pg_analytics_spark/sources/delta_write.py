@@ -1370,6 +1370,34 @@ def _write_commit(
             pass
 
 
+def _uri_to_abs(uri: str) -> str:
+    """`input_file_name()`/`_metadata.file_path` URI → normalized
+    absolute filesystem path."""
+    from urllib.parse import unquote
+
+    p = unquote(uri)
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.normpath(os.path.abspath(p))
+
+
+def _active_by_abs(path: str, prev_active: dict) -> dict[str, str]:
+    """Map each active file's normalized ABSOLUTE path → its log path
+    key.  Keying on the full path (not the basename) matters: CONVERT
+    TO DELTA adopts hive layouts whose basenames REPEAT across
+    partition directories (basename keying silently collapsed them —
+    duplicate rows after DML, caught by the convert gate row), and
+    shallow clones store absolute paths outright."""
+    return {
+        os.path.normpath(
+            p if os.path.isabs(p) else os.path.join(path, p)
+        ): p
+        for p in prev_active
+    }
+
+
 def merge_delta(
     source: DataFrame,
     path: str,
@@ -1474,18 +1502,18 @@ def merge_delta(
         touched_abs = [
             r["_tfile"] for r in joined.select("_tfile").distinct().collect()
         ]
-    # map the scan's absolute file URIs back to the log's rel paths
-    # via basename (names are uuid-unique by construction)
-    rel_of = {os.path.basename(p): p for p in prev_active}
+    # map the scan's absolute file URIs back to the log's path keys
+    # by FULL normalized path (basenames repeat on converted layouts)
+    abs_of = _active_by_abs(path, prev_active)
     removes: list[str] = []
     for f in touched_abs:
-        base = os.path.basename(f)
-        if base not in rel_of:
+        key = _uri_to_abs(f)
+        if key not in abs_of:
             raise UnsupportedFormat(
-                f"MERGE: scanned file {base} not in the active set "
+                f"MERGE: scanned file {key} not in the active set "
                 "(concurrent writer?)"
             )
-        removes.append(rel_of[base])
+        removes.append(abs_of[key])
 
     def _first_match_idx(clause_list, matched_col=None):
         """CASE returning the index of the first applicable clause."""
@@ -1849,16 +1877,16 @@ def _rewrite_where(
     )
     touched_abs = [r["_tfile"] for r in per_file]
     full_abs = {r["_tfile"] for r in per_file if r["_m"] == r["_n"]}
-    rel_of = {os.path.basename(p): p for p in prev_active}
+    abs_of = _active_by_abs(path, prev_active)
     removes = []
     for f in touched_abs:
-        base = os.path.basename(f)
-        if base not in rel_of:
+        key = _uri_to_abs(f)
+        if key not in abs_of:
             raise UnsupportedFormat(
-                f"{op}: scanned file {base} not in the active set "
+                f"{op}: scanned file {key} not in the active set "
                 "(concurrent writer?)"
             )
-        removes.append(rel_of[base])
+        removes.append(abs_of[key])
 
     partial_abs = [f for f in touched_abs if f not in full_abs]
     adds: list[dict] = []
@@ -1888,7 +1916,7 @@ def _rewrite_where(
         dv_uuid = uuid.uuid4()
         blob = bytearray(b"\x01")
         for f in sorted(new_pos):
-            rel = rel_of[os.path.basename(f)]
+            rel = abs_of[_uri_to_abs(f)]
             old_desc = prev_active[rel].get("deletionVector")
             positions = set(new_pos[f])
             if old_desc:  # successive deletes accumulate: union old DV
@@ -2038,7 +2066,7 @@ def _rewrite_where(
             removes_dv.append(
                 {
                     "remove": {
-                        "path": rel_of[os.path.basename(f)],
+                        "path": abs_of[_uri_to_abs(f)],
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
@@ -2271,6 +2299,133 @@ def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:
             except OSError:
                 pass
     return {"files_deleted": deleted, "bytes_deleted": freed}
+
+
+def convert_parquet_to_delta(
+    spark, path: str, partition_by: str | list[str] | None = None
+) -> dict:
+    """IN-PLACE zero-copy ``CONVERT TO DELTA`` (delta-spark's
+    ``CONVERT TO DELTA parquet.`path` [PARTITIONED BY (…)]``): mint a
+    ``_delta_log`` beside an existing parquet directory whose v0
+    commit adds every data file where it already sits — no data
+    movement, O(files) metadata + one footer-stats pass (executor-side
+    for large file sets, the same split as every commit here).
+
+    Hive-partitioned layouts must DECLARE their partition columns
+    (``partition_by`` — ``"name"`` or ``"name type"`` entries; a bare
+    name is STRING, the on-disk representation), exactly delta-spark's
+    ``PARTITIONED BY (name type)`` contract — hive INFERENCE would
+    bake guesses (a string column of digit values comes back int); a
+    declared column the directory names don't carry refuses loudly.
+    After conversion the directory IS a Delta table: DML, time
+    travel, CDF enablement, cloning all work.
+    Returns {"version": 0, "files", "rows"}."""
+    import time as _time
+
+    path = os.path.abspath(path)
+    log_dir = os.path.join(path, "_delta_log")
+    if os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"already a Delta table: {path}")
+    decls = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    part_cols: list[str] = []
+    part_types: dict[str, str] = {}
+    for d in decls:
+        name, _, t = d.strip().partition(" ")
+        part_cols.append(name)
+        part_types[name] = t.strip() or "string"
+    data_files: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("."):
+                data_files.append(os.path.join(root, name))
+    if not data_files:
+        raise UnsupportedFormat(f"no parquet files under {path}")
+    rels = sorted(
+        os.path.relpath(f, path).replace(os.sep, "/") for f in data_files
+    )
+    for rel in rels:
+        pv = _partition_values(rel)
+        missing = [c for c in part_cols if c not in pv]
+        if missing:
+            raise UnsupportedFormat(
+                f"declared partition column(s) {missing} not in the "
+                f"hive path of {rel!r}"
+            )
+        extra = [k for k in pv if k not in part_cols]
+        if extra:
+            raise UnsupportedFormat(
+                f"file {rel!r} is hive-partitioned by {extra} — "
+                "declare them via partition_by (delta-spark's "
+                "PARTITIONED BY contract; inferring silently would "
+                "bake string-typed guesses into the schema)"
+            )
+    # data schema from the FILES (explicit paths skip hive discovery —
+    # discovery would TYPE-GUESS partition values); partition columns
+    # ride the schema with their DECLARED types
+    from pyspark.sql.types import StructField, StructType
+
+    from pg_analytics_spark.types import duckdb_type_to_spark
+
+    data_schema = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, r) for r in rels]
+    ).schema
+    schema = StructType(
+        list(data_schema.fields)
+        + [
+            StructField(c, duckdb_type_to_spark(part_types[c]), True)
+            for c in part_cols
+        ]
+    )
+    per_file = _stats_for_files(
+        spark, [os.path.join(path, r) for r in rels], schema
+    )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "partitionedBy": json.dumps(part_cols),
+                    "numFiles": len(rels),
+                },
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    n_rows = 0
+    for rel in rels:
+        stats, size, mtime_ms = per_file[os.path.join(path, rel)]
+        if stats:
+            n_rows += json.loads(stats).get("numRecords") or 0
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values(rel),
+                    "size": size,
+                    "modificationTime": mtime_ms,
+                    "dataChange": True,
+                    **({"stats": stats} if stats else {}),
+                }
+            }
+        )
+    _write_commit(path, log_dir, 0, actions)
+    return {"version": 0, "files": len(rels), "rows": n_rows}
 
 
 def clone_delta(

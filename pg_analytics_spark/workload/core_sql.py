@@ -3348,6 +3348,62 @@ def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_convert_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3
+                ELSE o_totalprice END AS v,
+           CAST(o_orderkey % 4 AS BIGINT) AS b
+    FROM orders
+    WHERE o_orderkey % 5 <> 4
+    ORDER BY o_orderkey
+    """,
+    doc="IN-PLACE zero-copy CONVERT TO DELTA (delta_write."
+    "convert_parquet_to_delta — delta-spark's `CONVERT TO DELTA "
+    "parquet.` statement, routed through Engine.sql): a plain "
+    "hive-partitioned parquet directory becomes a Delta table by "
+    "minting a _delta_log beside its files — no data movement, "
+    "O(files) metadata + one footer-stats pass; partition columns are "
+    "DECLARED with types (hive inference would bake guesses).  The "
+    "row converts, then proves the directory IS a Delta table: a "
+    "copy-on-write DELETE and UPDATE run on it, and the final state "
+    "replays relationally.  The onboarding story at 100 TB: existing "
+    "parquet lakes adopt the transaction log as a metadata mint, not "
+    "a rewrite.",
+)
+def delta_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        update_delta,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 4).alias("b"),
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_convert")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    orders.write.partitionBy("b").parquet(root)
+    eng = Engine(spark=spark)
+    res = eng.sql(
+        f"CONVERT TO DELTA parquet.`{root}` PARTITIONED BY (b bigint)"
+    ).collect()[0]
+    assert res["version"] == 0 and res["files"] > 0
+    delete_delta(spark, root, "o_orderkey % 5 = 4")
+    update_delta(spark, root, {"v": "v * 3"}, "o_orderkey % 9 = 0")
+    return load_source(spark, root, "delta").select(
+        "o_orderkey", "o_custkey", "v", "b"
+    ).orderBy("o_orderkey")
+
+
+@register(
     "delta_version_diff",
     oracle=_VERSION_DIFF_ORACLE,
     doc="Snapshot diff (CDC-lite) across Delta versions: build a "

@@ -148,3 +148,87 @@ def test_describe_detail_and_sql_statements(spark, tmp_path):
     ).collect()[0]
     assert row0["source_version"] == 0
     assert eng.sql("SELECT COUNT(*) AS n FROM t0").collect()[0]["n"] == 10
+
+
+def test_convert_parquet_to_delta_in_place(spark, tmp_path):
+    """r10 continuation: zero-copy CONVERT TO DELTA — the directory
+    becomes a Delta table in place (no file moves), hive partitions
+    must be DECLARED, and post-conversion DML/time-travel work."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.delta_write import (
+        convert_parquet_to_delta,
+        update_delta,
+    )
+
+    # flat layout
+    flat = str(tmp_path / "flat")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(3).write.parquet(flat)
+    before = {
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(flat)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    res = convert_parquet_to_delta(spark, flat)
+    assert res == {"version": 0, "files": 3, "rows": 20}
+    # zero-copy: same physical files, byte-identical set
+    after = {
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(flat)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert after == before
+    assert _rows(spark, flat) == {(k, 2 * k) for k in range(20)}
+    # it IS a delta table now: DML + time travel
+    delete_delta(spark, flat, "k < 5")
+    assert _rows(spark, flat) == {(k, 2 * k) for k in range(5, 20)}
+    v0 = load_source(spark, flat, "delta", {"version_as_of": 0})
+    assert v0.count() == 20
+    update_delta(spark, flat, {"v": "v + 1"}, "k = 5")
+    assert (5, 11) in _rows(spark, flat)
+
+    # partitioned: must declare; undeclared refuses; declared works
+    part = str(tmp_path / "part")
+    df.withColumn("p", (F.col("k") % 2).cast("string")).write.partitionBy(
+        "p"
+    ).parquet(part)
+    with pytest.raises(UnsupportedFormat, match="PARTITIONED BY"):
+        convert_parquet_to_delta(spark, part)
+    with pytest.raises(UnsupportedFormat, match="not in the hive path"):
+        convert_parquet_to_delta(spark, part, partition_by=["nope"])
+    res2 = convert_parquet_to_delta(spark, part, partition_by=["p"])
+    assert res2["rows"] == 20
+    got = {
+        (r["k"], r["p"])
+        for r in load_source(spark, part, "delta").collect()
+    }
+    assert got == {(k, str(k % 2)) for k in range(20)}
+    # partition pruning works off the converted log's partitionValues
+    assert (
+        load_source(spark, part, "delta").filter("p = '1'").count() == 10
+    )
+    with pytest.raises(UnsupportedFormat, match="already a Delta"):
+        convert_parquet_to_delta(spark, flat)
+
+
+def test_convert_sql_statement_and_typed_partition(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+    from pyspark.sql import functions as F
+
+    part = str(tmp_path / "p2")
+    spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("b")
+    ).write.partitionBy("b").parquet(part)
+    eng = Engine(spark=spark)
+    row = eng.sql(
+        f"CONVERT TO DELTA parquet.`{part}` PARTITIONED BY (b bigint)"
+    ).collect()[0]
+    assert row["rows"] == 12 and row["version"] == 0
+    out = load_source(spark, part, "delta")
+    assert dict(out.dtypes)["b"] == "bigint"  # DECLARED type, not a guess
+    assert out.filter("b = 2").count() == 4
