@@ -2885,6 +2885,20 @@ def expire_iceberg_snapshots(
     manifest referenced ONLY by the dropped snapshots.  The current
     snapshot is always retained.
 
+    Snapshot REFS are retention roots (spec §refs / the runtime's
+    branch-and-tag retention): a TAGGED snapshot is pinned forever
+    until the tag is dropped, and a BRANCH keeps its head plus its
+    ref-exclusive ancestry — every parent back to the nearest
+    snapshot the main-lineage policy already retains.  That chain is
+    exactly the branch's unpublished commits (the WAP audit window),
+    so it is small by construction AND it keeps
+    :func:`fast_forward_iceberg`'s parent-pointer ancestry walk
+    intact: a staged-but-unpublished branch survives an expire
+    between stage and publish and still fast-forwards.
+    ``expire_snapshots`` therefore never publishes a metadata version
+    whose ``refs`` point at a missing snapshot.  Drop the ref first
+    (:func:`alter_iceberg_refs` ``drop=``) to reclaim pinned files.
+
     The trimmed snapshot list commits as a NEW metadata version
     (put-if-absent, like every writer here), so readers racing the
     expiry keep resolving a complete table; time travel to an expired
@@ -2907,14 +2921,49 @@ def expire_iceberg_snapshots(
             "version": prev_version,
         }
     snaps_sorted = sorted(snaps, key=lambda s: s["sequence-number"])
+    by_id = {s["snapshot-id"]: s for s in snaps}
     current_id = prev_meta["current-snapshot-id"]
-    kept = snaps_sorted[-retain_last:]
-    if all(s["snapshot-id"] != current_id for s in kept):
-        kept.append(
-            next(s for s in snaps_sorted if s["snapshot-id"] == current_id)
-        )
-    kept_ids = {s["snapshot-id"] for s in kept}
+    kept_ids = {s["snapshot-id"] for s in snaps_sorted[-retain_last:]}
+    kept_ids.add(current_id)
+    # refs are retention ROOTS: tags pin their snapshot forever;
+    # branches keep head + ref-exclusive ancestry (walk parents until
+    # hitting an otherwise-retained snapshot or main's lineage) so
+    # fast_forward's ancestry walk — and time travel within the audit
+    # window — stay intact.  Shared ancestry BELOW main's retained
+    # window may still expire: a branch rooted there has diverged from
+    # main and fast_forward refuses it regardless.
+    base_kept = set(kept_ids)
+    main_anc: set = set()
+    node = current_id
+    while node is not None and node not in main_anc:
+        main_anc.add(node)
+        node = (by_id.get(node) or {}).get("parent-snapshot-id")
+    stop = base_kept | main_anc
+    for _name, ref in (prev_meta.get("refs") or {}).items():
+        rid = ref.get("snapshot-id")
+        if rid not in by_id:
+            raise UnsupportedFormat(
+                f"refusing to expire {path}: ref {_name!r} points at "
+                f"snapshot {rid} which is not in the table metadata"
+            )
+        if ref.get("type") == "branch":
+            node = rid
+            while node is not None:
+                if node != rid and node in stop:
+                    break
+                kept_ids.add(node)
+                node = (by_id.get(node) or {}).get("parent-snapshot-id")
+        else:
+            kept_ids.add(rid)
+    kept = [s for s in snaps_sorted if s["snapshot-id"] in kept_ids]
     dropped = [s for s in snaps_sorted if s["snapshot-id"] not in kept_ids]
+    if not dropped:
+        return {
+            "snapshots_expired": 0,
+            "files_deleted": 0,
+            "bytes_deleted": 0,
+            "version": prev_version,
+        }
 
     def _referenced(snapshot) -> tuple[set, set]:
         """(data/delete file paths, manifest-level file paths)."""
@@ -2952,6 +3001,13 @@ def expire_iceberg_snapshots(
         for e in prev_meta.get("snapshot-log", [])
         if e["snapshot-id"] in kept_ids
     ]
+    # invariant: the emitted metadata NEVER carries a dangling ref
+    for _name, ref in (new_meta.get("refs") or {}).items():
+        if ref.get("snapshot-id") not in kept_ids:
+            raise AssertionError(
+                f"internal: expire would dangle ref {_name!r} at "
+                f"{ref.get('snapshot-id')} — retention-root union bug"
+            )
     version = prev_version + 1
     meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     tmp = meta_path + f".tmp-{uuid.uuid4().hex}"

@@ -4584,6 +4584,18 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert load_source(spark, root, "iceberg").count() == n_base
     staged = load_source(spark, root, "iceberg", {"ref": "audit"}).count()
     assert staged > n_base
+    # r11: an expire that races the audit window must NOT reclaim the
+    # staged branch — refs are retention roots, so the unpublished
+    # commits (and their files) survive and the publish still lands
+    from pg_analytics_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+    )
+
+    expire_iceberg_snapshots(spark, root, retain_last=1)
+    assert (
+        load_source(spark, root, "iceberg", {"ref": "audit"}).count()
+        == staged
+    )
     fast_forward_iceberg(root, "audit")
     out = load_source(spark, root, "iceberg")
     assert out.count() == staged

@@ -280,11 +280,15 @@ def test_snapshot_refs_tags_and_branches(spark, tmp_path):
     eng.sql("ALTER TABLE t DROP TAG audit")
     with pytest.raises(UnsupportedFormat, match="does not exist"):
         alter_iceberg_refs(path, drop="audit")
-    # expire keeps ref'd snapshot? (conservative: refs pin snapshots
-    # in METADATA; expire trims by count — a ref to an expired
-    # snapshot then fails loudly on read)
+    # r11: refs are retention ROOTS — expire keeps every ref'd
+    # snapshot, so the pinned corpus stays readable after the trim
     expire_iceberg_snapshots(spark, path, retain_last=1)
-    with pytest.raises(Exception):
+    assert _rows(spark, path, ref="v1") == {(k, 2 * k) for k in range(20)}
+    assert _rows(spark, path, ref="dev") == _rows(spark, path)
+    # dropping the tag releases the pin: the next expire reclaims it
+    alter_iceberg_refs(path, drop="v1")
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    with pytest.raises(MissingDependency, match="not found"):
         _rows(spark, path, ref="v1")
 
 
@@ -398,6 +402,11 @@ def test_wap_branch_write_audit_publish(spark, tmp_path):
     assert _rows(spark, path) == main_rows
     staged = main_rows | {(100, 1), (101, 2)}
     assert _rows(spark, path, ref="audit") == staged
+    # r11: an expire during the audit window keeps the staged branch —
+    # refs are retention roots (branch head + retain_last ancestors)
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    assert _rows(spark, path, ref="audit") == staged
+    assert _rows(spark, path) == main_rows
     # publish: plain readers atomically see the audited state
     fast_forward_iceberg(path, "audit")
     assert _rows(spark, path) == staged
