@@ -211,6 +211,14 @@ def _load_via_metadata(
     meta_file = _latest_metadata_file(table_path)
     with open(meta_file) as fh:
         meta: dict[str, Any] = json.load(fh)
+    # identity-partition constant projection applies only to tables
+    # that adopted foreign files (add_files / zero-copy migration set
+    # this property) — native tables keep the zero-cost path, since
+    # this writer's own partitioned files CARRY their source columns
+    adopted = (meta.get("properties") or {}).get(
+        "adoption.contains-foreign-files"
+    ) == "true"
+    part_proj: dict[str, dict[str, Any]] = {}
     # time travel: an explicit snapshot_id overrides the current one;
     # as_of_timestamp_ms resolves through the snapshot log
     snap_id = (
@@ -290,6 +298,12 @@ def _load_via_metadata(
                 ):
                     pruned += 1
                     continue
+                if adopted and spec_fields:
+                    vals = _identity_tuple_values(
+                        e["data_file"].get("partition"), spec_fields, types
+                    )
+                    if vals:
+                        part_proj[path] = vals
                 data_files[path] = int(seq)
     if partition_filter and not data_files:
         # every file pruned: an empty relation with the table's schema
@@ -305,15 +319,55 @@ def _load_via_metadata(
     paths = sorted(data_files)
     if not (pos_delete_files or eq_delete_files):
         return _apply_row_predicate(
-            _read_conformed(spark, paths, meta, with_meta_cols=False),
+            _read_conformed(
+                spark,
+                paths,
+                meta,
+                with_meta_cols=False,
+                part_proj=part_proj or None,
+            ),
             partition_filter,
         )
     return _apply_row_predicate(
         _apply_row_deletes(
-            spark, data_files, pos_delete_files, eq_delete_files, meta
+            spark,
+            data_files,
+            pos_delete_files,
+            eq_delete_files,
+            meta,
+            part_proj=part_proj or None,
         ),
         partition_filter,
     )
+
+
+def _identity_tuple_values(
+    partition: dict | None, spec_fields: list[dict], types: dict[int, str]
+) -> dict[str, Any]:
+    """{source column name → typed python value} for the IDENTITY
+    fields of a manifest entry's partition tuple — the constants the
+    reader projects onto adopted data files (spec §column-projection:
+    "Return the value from partition metadata if an Identity partition
+    spec field exists for the field").  Date tuples are stored as
+    epoch days (Appendix-A avro encoding); everything else rides its
+    natural python type."""
+    if partition is None:
+        return {}
+    import datetime as dt
+
+    out: dict[str, Any] = {}
+    for f in spec_fields:
+        if f.get("transform", "identity") != "identity":
+            continue
+        src = f.get("_source_name")
+        pname = f.get("name")
+        if not src or pname not in partition:
+            continue
+        v = partition[pname]
+        if v is not None and types.get(f.get("source-id")) == "date":
+            v = dt.date(1970, 1, 1) + dt.timedelta(days=int(v))
+        out[src] = v
+    return out
 
 
 def _delete_key(col) -> Column:
@@ -339,6 +393,7 @@ def _apply_row_deletes(
     pos_delete_files: list[str],
     eq_delete_files: list[tuple[str, int]],
     meta: dict,
+    part_proj: dict[str, dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Merge-on-read: positional deletes anti-join on (file,
     _metadata.row_index); equality deletes anti-join on the delete
@@ -347,7 +402,11 @@ def _apply_row_deletes(
     a distributed join — no driver-side row state; AQE broadcasts
     small delete sides."""
     data = _read_conformed(
-        spark, sorted(data_files), meta, with_meta_cols=True
+        spark,
+        sorted(data_files),
+        meta,
+        with_meta_cols=True,
+        part_proj=part_proj,
     )
     if pos_delete_files:
         dels = spark.read.parquet(*sorted(set(pos_delete_files))).select(
@@ -522,7 +581,11 @@ def _conform_to_schema(
 
 
 def _read_conformed(
-    spark: SparkSession, paths: list[str], meta: dict, with_meta_cols: bool
+    spark: SparkSession,
+    paths: list[str],
+    meta: dict,
+    with_meta_cols: bool,
+    part_proj: dict[str, dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Scan data files conformed to the current table schema.
 
@@ -532,17 +595,37 @@ def _read_conformed(
     same order of metadata work the runtime spends on manifests) and
     union the conformed groups: this is what lets an int32-era file
     coexist with its int64 successor, which Spark's own mergeSchema
-    refuses to merge."""
+    refuses to merge.
+
+    ``part_proj`` (path → {source column: constant}) carries identity
+    partition values for ADOPTED data files that physically lack
+    their hive partition columns — projected via one broadcast join,
+    see :func:`_project_partition_constants`."""
     multi = len(meta.get("schemas") or []) > 1
 
-    def _with_cols(df: DataFrame) -> DataFrame:
-        if not with_meta_cols:
-            return df
-        return df.select(
-            "*",
-            _delete_key(F.col("_metadata.file_path")).alias("_ice_file"),
-            F.col("_metadata.row_index").alias("_ice_pos"),
-        )
+    def _scan(ps: list[str], ids: dict[int, str]) -> DataFrame:
+        need_proj = bool(part_proj) and any(p in part_proj for p in ps)
+        reader = spark.read
+        if need_proj:
+            # adopted + native files can share one scan: the unified
+            # schema must include columns only the native files carry
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*ps)
+        if with_meta_cols or need_proj:
+            df = df.select(
+                "*",
+                _delete_key(F.col("_metadata.file_path")).alias("_ice_file"),
+                F.col("_metadata.row_index").alias("_ice_pos"),
+            )
+        # projection AFTER conform: conform's field-id resolution nulls
+        # columns the files lack; the constants coalesce over those
+        # typed NULLs (and native files' physical values win)
+        out = _conform_to_schema(df, meta, id_to_phys=ids or None)
+        if need_proj:
+            out = _project_partition_constants(spark, out, ps, part_proj)
+            if not with_meta_cols:
+                out = out.drop("_ice_file", "_ice_pos")
+        return out
 
     import pyarrow.parquet as pq
 
@@ -552,9 +635,7 @@ def _read_conformed(
             ids = _arrow_field_ids(arrow0) or _mapped_ids(meta, arrow0)
         except Exception:
             ids = {}
-        return _conform_to_schema(
-            _with_cols(spark.read.parquet(*paths)), meta, id_to_phys=ids or None
-        )
+        return _scan(paths, ids)
 
     groups: dict[tuple, list[str]] = {}
     group_ids: dict[tuple, dict[int, str]] = {}
@@ -573,15 +654,71 @@ def _read_conformed(
         )
         groups.setdefault(key, []).append(p)
         group_ids[key] = ids
-    parts = [
-        _conform_to_schema(
-            _with_cols(spark.read.parquet(*ps)),
-            meta,
-            id_to_phys=group_ids[key] or None,
-        )
-        for key, ps in groups.items()
-    ]
+    parts = [_scan(ps, group_ids[key]) for key, ps in groups.items()]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _project_partition_constants(
+    spark: SparkSession,
+    df: DataFrame,
+    ps: list[str],
+    part_proj: dict[str, dict[str, Any]],
+) -> DataFrame:
+    """Identity-partition CONSTANT projection for adopted data files
+    (add_files / zero-copy migration reference hive-layout parquet
+    whose partition columns live in the DIRECTORY PATH, not the file):
+    broadcast-join a file→constants map on the same normalized path
+    key the delete machinery uses, then COALESCE any physically
+    present column over the constant so native files written after
+    adoption — which DO carry their source columns — keep their own
+    values.  One scan + one broadcast hash join, no per-partition
+    reader calls: a full scan of a 10k-partition adopted table stays
+    a single-pass plan (the Delta fallback reads one group per
+    partition value instead; manifest-level partition_filter pruning
+    has already dropped non-matching files either way)."""
+    sub = {p: part_proj[p] for p in ps if p in part_proj}
+    cols = sorted({c for v in sub.values() for c in v})
+    import datetime as dt
+
+    # mapping-side type from the VALUES (tuples carry int/date/str);
+    # _conform_to_schema casts to the declared schema type afterwards
+    def _t(c: str) -> str:
+        for v in sub.values():
+            if v.get(c) is not None:
+                x = v[c]
+                if isinstance(x, bool):
+                    return "boolean"
+                if isinstance(x, int):
+                    return "bigint"
+                if isinstance(x, dt.date):
+                    return "date"
+                return "string"
+        return "string"
+
+    proj = [f"_ice_proj_{i}" for i in range(len(cols))]
+    ddl = ", ".join(
+        ["`_ice_file` string"]
+        + [f"`{pn}` {_t(c)}" for pn, c in zip(proj, cols)]
+    )
+    rows = [
+        tuple([_delete_key_py(p)] + [v.get(c) for c in cols])
+        for p, v in sorted(sub.items())
+    ]
+    mapdf = spark.createDataFrame(rows, ddl)
+    out = df.join(F.broadcast(mapdf), "_ice_file", "left")
+    for pn, c in zip(proj, cols):
+        if c in df.columns:
+            # cast the constant to the CONFORMED column's type so the
+            # coalesce never widens it (int stays int, not bigint)
+            out = out.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c), F.col(pn).cast(df.schema[c].dataType)
+                ),
+            )
+        else:
+            out = out.withColumn(c, F.col(pn))
+    return out.drop(*proj)

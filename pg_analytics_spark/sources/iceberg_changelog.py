@@ -60,6 +60,7 @@ def iceberg_changelog(
         _ice_to_spark_type,
     )
     from pg_analytics_spark.sources.iceberg_write import (
+        _adoption_projection,
         _dml_scan_conformed,
         _latest_metadata,
         _scan_snapshot_files,
@@ -149,7 +150,14 @@ def iceberg_changelog(
         if (pos_files or eq_files or removed_live) and parent is not None:
             data_seq, p_pos, p_eq = _scan_snapshot_files(par)
             if data_seq:
-                pv = _visible_target(spark, data_seq, p_pos, p_eq, meta=meta)
+                pv = _visible_target(
+                    spark,
+                    data_seq,
+                    p_pos,
+                    p_eq,
+                    meta=meta,
+                    part_proj=_adoption_projection(meta, par),
+                )
                 if removed_live:
                     keys = [
                         os.path.abspath(p) for p in sorted(removed_live)

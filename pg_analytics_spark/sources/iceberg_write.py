@@ -1447,7 +1447,49 @@ def _conform_eq_delete_names(x, meta: dict | None):
     return x.select(*cols)
 
 
-def _visible_target(spark, data_seq, pos_deletes, eq_deletes, meta=None):
+def _adoption_projection(meta, manifest_list_entries) -> dict | None:
+    """path → {source column: typed constant} for ADOPTED tables'
+    identity partition values (mirrors the reader's part_proj in
+    sources/iceberg.py) — DML predicates must see the projected
+    partition columns, or a DELETE WHERE on one would silently
+    unmatch every adopted row (three-valued logic on the NULL the
+    raw scan surfaces).  None for native tables (zero cost)."""
+    if (meta.get("properties") or {}).get(
+        "adoption.contains-foreign-files"
+    ) != "true":
+        return None
+    from pg_analytics_spark.sources.avro import read_container
+    from pg_analytics_spark.sources.iceberg import _identity_tuple_values
+    from pg_analytics_spark.sources.iceberg_prune import (
+        schema_field_types,
+        spec_fields_for,
+    )
+
+    types, names = schema_field_types(meta)
+    out: dict[str, dict] = {}
+    for m in manifest_list_entries:
+        if m.get("content", 0) == 1:
+            continue
+        spec_fields = spec_fields_for(
+            meta, m.get("partition_spec_id", 0), names
+        )
+        if not spec_fields:
+            continue
+        _s, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            vals = _identity_tuple_values(
+                e["data_file"].get("partition"), spec_fields, types
+            )
+            if vals:
+                out[e["data_file"]["file_path"]] = vals
+    return out or None
+
+
+def _visible_target(
+    spark, data_seq, pos_deletes, eq_deletes, meta=None, part_proj=None
+):
     """The CURRENT snapshot's VISIBLE rows with ``_ifile``/``_ipos``
     columns — position deletes anti-joined on (file, pos), equality
     deletes anti-joined null-safely on the delete file's own columns
@@ -1473,6 +1515,45 @@ def _visible_target(spark, data_seq, pos_deletes, eq_deletes, meta=None):
             ).alias("_ifile"),
             F.col("_metadata.row_index").cast("long").alias("_ipos"),
         )
+    if part_proj:
+        # identity partition constants for adopted files, keyed on the
+        # same normalized absolute path _ifile carries; COALESCE keeps
+        # native files' physical values (write-after-adoption appends)
+        import datetime as _dt
+
+        cols = sorted({c for v in part_proj.values() for c in v})
+
+        def _t(c: str) -> str:
+            for v in part_proj.values():
+                x = v.get(c)
+                if x is not None:
+                    if isinstance(x, bool):
+                        return "boolean"
+                    if isinstance(x, int):
+                        return "bigint"
+                    if isinstance(x, _dt.date):
+                        return "date"
+                    return "string"
+            return "string"
+
+        proj = [f"_iproj_{i}" for i in range(len(cols))]
+        ddl = ", ".join(
+            ["`_ifile` string"]
+            + [f"`{pn}` {_t(c)}" for pn, c in zip(proj, cols)]
+        )
+        rows = [
+            tuple([os.path.abspath(p)] + [v.get(c) for c in cols])
+            for p, v in sorted(part_proj.items())
+        ]
+        mapdf = spark.createDataFrame(rows, ddl)
+        have = set(tgt.columns)
+        tgt = tgt.join(F.broadcast(mapdf), "_ifile", "left")
+        for pn, c in zip(proj, cols):
+            if c in have:
+                tgt = tgt.withColumn(c, F.coalesce(F.col(c), F.col(pn)))
+            else:
+                tgt = tgt.withColumn(c, F.col(pn))
+        tgt = tgt.drop(*proj)
     if pos_deletes:
         prior = spark.read.parquet(*sorted(set(pos_deletes))).select(
             F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
@@ -1637,6 +1718,7 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
     tgt = _visible_target(
         spark, data_seq, existing_pos_deletes, existing_eq_deletes,
         meta=prev_meta,
+        part_proj=_adoption_projection(prev_meta, prev_list),
     )
     match = F.expr(where) if where is not None else F.lit(True)
     dels = tgt.filter(F.coalesce(match, F.lit(False))).select(
@@ -1907,6 +1989,10 @@ def compact_iceberg(spark, path: str) -> dict:
             pos_delete_paths,
             eq_delete_files,
             meta=prev_meta,
+            # adopted files' identity partition constants materialize
+            # INTO the compacted rewrite (the new files physically
+            # carry the columns, so they need no projection)
+            part_proj=_adoption_projection(prev_meta, prev_list),
         )
         key_expr = F.regexp_replace(F.col("_ifile"), r"^.*/(?=data/)", "")
         idx_map = spark.createDataFrame(
@@ -2126,6 +2212,7 @@ def update_iceberg(
     tgt = _visible_target(
         spark, data_seq, existing_pos_deletes, existing_eq_deletes,
         meta=prev_meta,
+        part_proj=_adoption_projection(prev_meta, prev_list),
     )
     match = F.expr(where) if where is not None else F.lit(True)
     matched = tgt.filter(F.coalesce(match, F.lit(False))).persist()
@@ -3051,91 +3138,92 @@ def expire_iceberg_snapshots(
     }
 
 
-def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
-    """ZERO-COPY Delta→Iceberg migration (the Iceberg runtime's
-    ``snapshot`` procedure): mint a v2 Iceberg table at
-    ``target_path`` whose first snapshot REFERENCES the Delta table's
-    active parquet files by absolute path — no data movement, O(active
-    files) metadata.  The files carry no Iceberg field ids, so the
-    minted metadata seeds ``schema.name-mapping.default`` — the same
-    mechanism this writer's own id-less files resolve through — and
-    every subsequent Iceberg operation (appends, eq-deletes, upserts,
-    compaction) works on the migrated table.
+#: spark/duckdb-ish type-name → iceberg type, for DECLARED identity
+#: partition columns on adoption (the partition-tuple avro encoding
+#: supports int/long/string/date — same set the native writer allows)
+_ADOPT_PART_TYPES = {
+    "int": "int",
+    "integer": "int",
+    "long": "long",
+    "bigint": "long",
+    "string": "string",
+    "varchar": "string",
+    "text": "string",
+    "date": "date",
+}
 
-    Refused loudly (each would silently corrupt): PARTITIONED sources
-    (hive-style Delta files don't CONTAIN the partition columns, which
-    Iceberg data files must), COLUMN-MAPPED sources (physical names
-    differ from logical), and tables with LIVE deletion vectors
-    (Iceberg would resurrect the erased rows) — rewrite those through
-    a normal CTAS instead.  The source table is untouched and keeps
-    working; like a shallow clone, VACUUM on the SOURCE is the one
-    shared-fate hazard.  Returns {"files", "rows", "version"}."""
-    from pg_analytics_spark.sources.delta import (
-        _delta_type_to_spark,
-        _replay_log,
-    )
 
-    log_dir = os.path.join(delta_path, "_delta_log")
-    if not os.path.isdir(log_dir):
-        raise UnsupportedFormat(f"not a Delta table: {delta_path}")
-    if os.path.isdir(os.path.join(target_path, "metadata")):
-        raise UnsupportedFormat(
-            f"snapshot target already exists: {target_path}"
-        )
-    active, meta_d = _replay_log(log_dir)
-    if meta_d is None:
-        raise UnsupportedFormat(f"no Delta metaData at {delta_path}")
-    if meta_d.get("partitionColumns"):
-        raise UnsupportedFormat(
-            "snapshot_delta_to_iceberg: partitioned Delta sources are "
-            "not zero-copy migratable (hive files lack the partition "
-            "columns Iceberg data files must contain) — rewrite via "
-            "CTAS into a partitioned Iceberg table instead"
-        )
-    cfg_d = meta_d.get("configuration") or {}
-    if cfg_d.get("delta.columnMapping.mode", "none") in ("name", "id"):
-        raise UnsupportedFormat(
-            "snapshot_delta_to_iceberg: column-mapped sources store "
-            "PHYSICAL column names on disk — rewrite via CTAS"
-        )
-    if any(a.get("deletionVector") for a in active.values()):
-        raise UnsupportedFormat(
-            "snapshot_delta_to_iceberg: source has live deletion "
-            "vectors — referencing its files would resurrect erased "
-            "rows; compact the Delta table first (OPTIMIZE)"
-        )
-    import types as _pytypes
+def _typed_tuple_value(raw: str | None, ice_t: str):
+    """Hive/Delta-serialized partition value string → the python value
+    the manifest partition tuple stores (dates as epoch days)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ice_t in ("int", "long"):
+        return int(raw)
+    if ice_t == "date":
+        import datetime as dt
 
-    spark_struct = _delta_type_to_spark(json.loads(meta_d["schemaString"]))
-    fields = [
-        {"id": i + 1, "name": f.name, "type": _ice_type(f), "required": False}
-        for i, f in enumerate(spark_struct.fields)
+        return (dt.date.fromisoformat(raw) - dt.date(1970, 1, 1)).days
+    return raw
+
+
+def _mint_adopted_table(
+    spark,
+    target_path: str,
+    fields: list[dict],
+    part_decls: list[tuple[str, str]],
+    file_tuples: list[tuple[str, dict]],
+    properties: dict,
+) -> dict:
+    """Shared metadata mint for ZERO-COPY adoption (`add_files` and
+    Delta→Iceberg `snapshot`): one v1 metadata file whose first
+    snapshot references foreign parquet files in place.  ``fields``
+    is the full ordered schema (ids assigned); ``part_decls`` names
+    the identity partition columns (with iceberg types) whose VALUES
+    live in ``file_tuples`` rather than in the files; the minted
+    properties always carry ``adoption.contains-foreign-files`` so
+    the reader knows to project identity partition constants
+    (sources/iceberg.py::_project_partition_constants) — hive-layout
+    files do not CONTAIN their partition columns."""
+    fid = {f["name"]: f["id"] for f in fields}
+    part_fields = [
+        {
+            "source-id": fid[name],
+            "field-id": 1000 + i,
+            "name": name,
+            "transform": "identity",
+            "_ice_type": t,
+        }
+        for i, (name, t) in enumerate(part_decls)
     ]
-    src = os.path.abspath(delta_path)
-    files = sorted(
-        p if os.path.isabs(p) else os.path.join(src, p) for p in active
-    )
+    files = [p for p, _ in file_tuples]
     per_file = _bounds_for_files(spark, files, fields)
-    entry_schema = _manifest_entry_schema([])
+    entry_schema = _manifest_entry_schema(part_fields)
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
     entries = []
     n_rows = 0
-    for f in files:
+    for f, tup in file_tuples:
         lowers, uppers, rows, size = per_file[f]
         n_rows += rows
+        data_file = {
+            "content": 0,
+            "file_path": f,
+            "file_format": "PARQUET",
+            "record_count": rows,
+            "file_size_in_bytes": size,
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+        }
+        if part_fields:
+            data_file["partition"] = {
+                pf["name"]: (tup or {}).get(pf["name"])
+                for pf in part_fields
+            }
         entries.append(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f,
-                    "file_format": "PARQUET",
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    "lower_bounds": lowers or None,
-                    "upper_bounds": uppers or None,
-                },
+                "data_file": data_file,
             }
         )
     meta_dir = os.path.join(target_path, "metadata")
@@ -3156,12 +3244,17 @@ def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
     write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
     now_ms = int(time.time() * 1000)
     nm = [{"field-id": f["id"], "names": [f["name"]]} for f in fields]
+    spec_fields_public = [
+        {k: v for k, v in pf.items() if not k.startswith("_")}
+        for pf in part_fields
+    ]
     meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "properties": {
             "schema.name-mapping.default": json.dumps(nm),
-            "snapshot.source": src,  # provenance
+            "adoption.contains-foreign-files": "true",
+            **properties,
         },
         "location": target_path,
         "last-sequence-number": 1,
@@ -3169,9 +3262,9 @@ def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
         "current-snapshot-id": snapshot_id,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "fields": fields}],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields_public}],
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(part_fields),
         "last-updated-ms": now_ms,
         "refs": {},
         "snapshots": [
@@ -3182,7 +3275,11 @@ def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
                 "sequence-number": 1,
                 "summary": {
                     "operation": "append",
-                    "snapshot-source": src,
+                    **{
+                        k: v
+                        for k, v in properties.items()
+                        if k.endswith(".source")
+                    },
                 },
             }
         ],
@@ -3200,6 +3297,224 @@ def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
         fh.write("1")
     os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
     return {"files": len(files), "rows": n_rows, "version": 1}
+
+
+def add_iceberg_files(
+    spark,
+    source_dir: str,
+    target_path: str,
+    *,
+    partition_by: str | list[str] | None = None,
+) -> dict:
+    """ZERO-COPY hive-parquet→Iceberg adoption (the runtime's
+    ``add_files`` procedure over a new table): mint a v2 Iceberg table
+    at ``target_path`` whose first snapshot references every parquet
+    file under ``source_dir`` in place — no data movement, O(files)
+    metadata + one footer-stats pass.
+
+    Hive-partitioned layouts must DECLARE their partition columns
+    (``partition_by`` — ``"name"`` or ``"name type"`` entries; a bare
+    name is STRING, the on-disk representation) exactly like CONVERT
+    TO DELTA (sources/delta_write.convert_parquet_to_delta): hive
+    INFERENCE would bake type guesses.  The identity partition spec
+    records each file's partition tuple in its manifest entry, and the
+    reader projects those values as CONSTANT columns at scan time —
+    hive files do not contain the partition columns, which is also why
+    a source file that DOES physically carry a declared partition
+    column refuses loudly (two sources of truth).  Declared types are
+    limited to int/long/string/date (the partition-tuple encoding the
+    native writer uses).  After adoption the table takes every Iceberg
+    operation: appends (which write native files that DO carry the
+    source columns — the reader coalesces), deletes, compaction,
+    time travel.  Returns {"files", "rows", "version"}."""
+    src = os.path.abspath(source_dir)
+    if not os.path.isdir(src):
+        raise UnsupportedFormat(f"add_files source is not a dir: {src}")
+    if os.path.isdir(os.path.join(target_path, "metadata")):
+        raise UnsupportedFormat(
+            f"add_files target already exists: {target_path}"
+        )
+    if os.path.isdir(os.path.join(src, "_delta_log")):
+        raise UnsupportedFormat(
+            "add_files source is a Delta table — use "
+            "snapshot_delta_to_iceberg (the log, not the directory "
+            "listing, is the source of truth for live files)"
+        )
+    decls = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    part_decls: list[tuple[str, str]] = []
+    for d in decls:
+        name, _, t = d.strip().partition(" ")
+        t = (t.strip() or "string").lower()
+        if t not in _ADOPT_PART_TYPES:
+            raise UnsupportedFormat(
+                f"add_files partition column {name!r}: declared type "
+                f"{t!r} unsupported — identity adoption supports "
+                "int/long/string/date"
+            )
+        part_decls.append((name, _ADOPT_PART_TYPES[t]))
+    part_names = [n for n, _ in part_decls]
+    from urllib.parse import unquote
+
+    data_files: list[str] = []
+    for walk_root, _dirs, names in os.walk(src):
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                data_files.append(os.path.join(walk_root, name))
+    if not data_files:
+        raise UnsupportedFormat(f"no parquet files under {src}")
+    data_files.sort()
+    file_tuples: list[tuple[str, dict]] = []
+    for f in data_files:
+        rel = os.path.relpath(f, src).replace(os.sep, "/")
+        raw: dict[str, str | None] = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                raw[k] = unquote(v)
+        missing = [c for c in part_names if c not in raw]
+        if missing:
+            raise UnsupportedFormat(
+                f"declared partition column(s) {missing} not in the "
+                f"hive path of {rel!r}"
+            )
+        extra = [k for k in raw if k not in part_names]
+        if extra:
+            raise UnsupportedFormat(
+                f"file {rel!r} is hive-partitioned by {extra} — "
+                "declare them via partition_by (inferring silently "
+                "would bake string-typed guesses into the schema)"
+            )
+        tup = {
+            n: _typed_tuple_value(raw[n], t) for n, t in part_decls
+        }
+        file_tuples.append((f, tup))
+    # data schema from the FILES (explicit paths skip hive discovery,
+    # which would re-infer — and type-guess — the partition columns)
+    data_schema = (
+        spark.read.option("mergeSchema", "true").parquet(*data_files).schema
+    )
+    clash = [n for n in part_names if n in data_schema.names]
+    if clash:
+        raise UnsupportedFormat(
+            f"add_files: partition column(s) {clash} are physically "
+            "present in the data files — identity projection would "
+            "create two sources of truth; adopt with the column "
+            "undeclared or rewrite the layout"
+        )
+    fields = [
+        {
+            "id": i + 1,
+            "name": f.name,
+            "type": _ice_type(f),
+            "required": False,
+        }
+        for i, f in enumerate(data_schema.fields)
+    ]
+    for name, t in part_decls:
+        fields.append(
+            {"id": len(fields) + 1, "name": name, "type": t, "required": False}
+        )
+    return _mint_adopted_table(
+        spark,
+        target_path,
+        fields,
+        part_decls,
+        file_tuples,
+        {"add-files.source": src},
+    )
+
+
+def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
+    """ZERO-COPY Delta→Iceberg migration (the Iceberg runtime's
+    ``snapshot`` procedure): mint a v2 Iceberg table at
+    ``target_path`` whose first snapshot REFERENCES the Delta table's
+    active parquet files by absolute path — no data movement, O(active
+    files) metadata.  The files carry no Iceberg field ids, so the
+    minted metadata seeds ``schema.name-mapping.default`` — the same
+    mechanism this writer's own id-less files resolve through — and
+    every subsequent Iceberg operation (appends, eq-deletes, upserts,
+    compaction) works on the migrated table.
+
+    PARTITIONED Delta sources migrate too (r11): the Delta log's
+    per-file ``partitionValues`` become identity partition tuples in
+    the minted manifest, and the reader projects them as constant
+    columns at scan time (hive-style Delta files don't CONTAIN the
+    partition columns) — partition sources typed int/long/string/date
+    only, the partition-tuple encoding limit; others refuse.
+
+    Refused loudly (each would silently corrupt): COLUMN-MAPPED
+    sources (physical names differ from logical), and tables with
+    LIVE deletion vectors (Iceberg would resurrect the erased rows) —
+    rewrite those through a normal CTAS instead.  The source table is
+    untouched and keeps working; like a shallow clone, VACUUM on the
+    SOURCE is the one shared-fate hazard.  Returns {"files", "rows",
+    "version"}."""
+    from pg_analytics_spark.sources.delta import (
+        _delta_type_to_spark,
+        _replay_log,
+    )
+
+    log_dir = os.path.join(delta_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(f"not a Delta table: {delta_path}")
+    if os.path.isdir(os.path.join(target_path, "metadata")):
+        raise UnsupportedFormat(
+            f"snapshot target already exists: {target_path}"
+        )
+    active, meta_d = _replay_log(log_dir)
+    if meta_d is None:
+        raise UnsupportedFormat(f"no Delta metaData at {delta_path}")
+    cfg_d = meta_d.get("configuration") or {}
+    if cfg_d.get("delta.columnMapping.mode", "none") in ("name", "id"):
+        raise UnsupportedFormat(
+            "snapshot_delta_to_iceberg: column-mapped sources store "
+            "PHYSICAL column names on disk — rewrite via CTAS"
+        )
+    if any(a.get("deletionVector") for a in active.values()):
+        raise UnsupportedFormat(
+            "snapshot_delta_to_iceberg: source has live deletion "
+            "vectors — referencing its files would resurrect erased "
+            "rows; compact the Delta table first (OPTIMIZE)"
+        )
+    spark_struct = _delta_type_to_spark(json.loads(meta_d["schemaString"]))
+    fields = [
+        {"id": i + 1, "name": f.name, "type": _ice_type(f), "required": False}
+        for i, f in enumerate(spark_struct.fields)
+    ]
+    ftype = {f["name"]: f["type"] for f in fields}
+    part_decls: list[tuple[str, str]] = []
+    for c in meta_d.get("partitionColumns") or []:
+        t = ftype.get(c)
+        if t not in ("int", "long", "string", "date"):
+            raise UnsupportedFormat(
+                f"snapshot_delta_to_iceberg: partition column {c!r} "
+                f"has type {t!r} — identity adoption supports "
+                "int/long/string/date partition sources only; "
+                "rewrite via CTAS"
+            )
+        part_decls.append((c, t))
+    src = os.path.abspath(delta_path)
+    file_tuples: list[tuple[str, dict]] = []
+    for p in sorted(active):
+        a = active[p]
+        f = p if os.path.isabs(p) else os.path.join(src, p)
+        pv = a.get("partitionValues") or {}
+        tup = {
+            c: _typed_tuple_value(pv.get(c), t) for c, t in part_decls
+        }
+        file_tuples.append((f, tup))
+    return _mint_adopted_table(
+        spark,
+        target_path,
+        fields,
+        part_decls,
+        file_tuples,
+        {"snapshot.source": src},
+    )
 
 
 def _refs_after_commit(

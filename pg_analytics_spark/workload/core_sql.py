@@ -4485,10 +4485,11 @@ def iceberg_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resolution mechanism).  The row migrates a 2-commit Delta "
     "table, then runs an EQUALITY-DELETE UPSERT on the MIGRATED "
     "table — proving post-migration Iceberg DML works — and replays "
-    "the whole lifecycle relationally.  Partitioned / column-mapped "
-    "/ DV-bearing sources refuse loudly (each would silently corrupt "
-    "— unit-pinned).  The format-switch story at 100 TB: a metadata "
-    "mint, not a rewrite.",
+    "the whole lifecycle relationally.  Column-mapped / DV-bearing "
+    "sources refuse loudly (each would silently corrupt — "
+    "unit-pinned); partitioned sources migrate since r11 (see "
+    "iceberg_snapshot_partitioned_migrate).  The format-switch story "
+    "at 100 TB: a metadata mint, not a rewrite.",
 )
 def iceberg_snapshot_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
@@ -6071,3 +6072,152 @@ def iceberg_partition_evolution_roundtrip(
             f"post-evolution month pruning kept {n_pruned}/{n_full} files"
         )
     return pruned.select(*cols).orderBy("o_orderkey")
+
+
+@register(
+    "iceberg_add_files_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v,
+           CAST(o_orderkey % 3 AS VARCHAR) AS p,
+           CAST(o_orderkey % 4 AS BIGINT) AS seg
+    FROM orders
+    WHERE o_orderkey % 5 < 3
+      AND NOT (o_orderkey % 3 = 1 AND o_orderkey % 4 = 2)
+    ORDER BY o_orderkey
+    """,
+    doc="ZERO-COPY hive-parquet→Iceberg adoption (iceberg_write."
+    "add_iceberg_files — the runtime's `add_files` procedure): a "
+    "hive-partitioned parquet lake becomes a v2 Iceberg table as one "
+    "metadata mint referencing the files in place; partition columns "
+    "are DECLARED with types (hive inference would bake guesses — the "
+    "CONVERT TO DELTA contract) and their per-file values ride the "
+    "manifest partition tuples, which the reader projects as CONSTANT "
+    "columns via one broadcast join (hive files don't CONTAIN the "
+    "columns; sources/iceberg._project_partition_constants — a single "
+    "scan, not one reader call per partition).  The row then runs a "
+    "DELETE whose predicate filters ON the projected partition "
+    "columns — the adopted-file DML trap: a raw scan would 3VL-null "
+    "the predicate and silently match nothing — and asserts in-row "
+    "that a partition_filter probe scans ONLY matching files.  The "
+    "highest-frequency real migration path: production lakes are "
+    "partitioned, and at 100 TB adoption must be O(files) metadata, "
+    "never a rewrite.",
+)
+def iceberg_add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        add_iceberg_files,
+        delete_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 < 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("v"),
+            (F.col("o_orderkey") % 3).cast("string").alias("p"),
+            (F.col("o_orderkey") % 4).cast("bigint").alias("seg"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_addfiles")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    hive = _os.path.join(root, "hive_lake")
+    dst = _os.path.join(root, "ice_dst")
+    base.write.mode("overwrite").partitionBy("p", "seg").parquet(hive)
+    res = add_iceberg_files(
+        spark, hive, dst, partition_by=["p string", "seg long"]
+    )
+    assert res["files"] >= 12 and res["rows"] > 0
+    # DML predicate on PROJECTED partition columns (the adoption trap)
+    delete_iceberg(spark, dst, "p = '1' AND seg = 2")
+    # partition_filter probes must scan ONLY the matching files
+    pruned = load_source(
+        spark, dst, "iceberg", {"partition_filter": [["seg", "=", 0]]}
+    )
+    # data files only — the DELETE above adds a position-delete file
+    # under the table's own data/ dir, which inputFiles also reports
+    pfiles = [
+        f
+        for f in pruned.inputFiles()
+        if f.endswith(".parquet") and "/hive_lake/" in f
+    ]
+    if not pfiles or not all("seg=0" in f for f in pfiles):
+        raise EngineError(
+            f"add_files partition probe scanned non-matching files: {pfiles[:3]}"
+        )
+    return load_source(spark, dst, "iceberg").orderBy("o_orderkey")
+
+
+@register(
+    "iceberg_snapshot_partitioned_migrate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v,
+           CAST(o_orderkey % 4 AS BIGINT) AS seg
+    FROM orders
+    WHERE o_orderkey < 8000
+      AND o_orderkey % 5 <> 0
+      AND o_orderkey % 4 <> 3
+    ORDER BY o_orderkey
+    """,
+    doc="PARTITIONED Delta→Iceberg zero-copy migration (r11 — lifts "
+    "the r10 refusal): the Delta log's per-file partitionValues become "
+    "identity partition tuples in the minted manifest, typed from the "
+    "Delta schema (not string guesses), and the reader projects them "
+    "as constants exactly like add_files adoption.  The row builds a "
+    "2-commit partitioned Delta table, DELETEs on the SOURCE first "
+    "(so active files ≠ all files — the log, not the listing, is the "
+    "truth), migrates, then runs Iceberg DELETE ON THE PARTITION "
+    "COLUMN of the migrated table and replays the whole lifecycle "
+    "relationally.  Together with delta_convert_roundtrip this closes "
+    "the bidirectional zero-copy story for PARTITIONED production "
+    "tables.",
+)
+def iceberg_snapshot_partitioned_migrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        write_delta,
+    )
+    from pg_analytics_spark.sources.iceberg_write import (
+        delete_iceberg,
+        snapshot_delta_to_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 8000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("v"),
+            (F.col("o_orderkey") % 4).cast("bigint").alias("seg"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_pmigrate")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    src = _os.path.join(root, "delta_src")
+    dst = _os.path.join(root, "ice_dst")
+    write_delta(
+        base.filter(F.col("o_orderkey") % 2 == 0),
+        src,
+        mode="overwrite",
+        partition_by="seg",
+    )
+    write_delta(
+        base.filter(F.col("o_orderkey") % 2 == 1), src, mode="append"
+    )
+    delete_delta(spark, src, "o_orderkey % 5 = 0")
+    res = snapshot_delta_to_iceberg(spark, src, dst)
+    assert res["files"] >= 4 and res["rows"] > 0
+    delete_iceberg(spark, dst, "seg = 3")
+    return load_source(spark, dst, "iceberg").orderBy("o_orderkey")

@@ -347,7 +347,9 @@ def test_snapshot_delta_to_iceberg_zero_copy(spark, tmp_path):
     delete_delta(spark, src, "k < 5")
     assert (3, -1) in _rows(spark, dst)  # target unaffected
 
-    # refusals
+    # r11: PARTITIONED Delta sources migrate zero-copy — partition
+    # values project from the manifest tuples (see
+    # tests/test_iceberg_adoption.py for the full battery)
     part = str(tmp_path / "part")
     write_delta(
         df.withColumn("p", (F.col("k") % 2).cast("string")),
@@ -355,8 +357,12 @@ def test_snapshot_delta_to_iceberg_zero_copy(spark, tmp_path):
         mode="overwrite",
         partition_by="p",
     )
-    with pytest.raises(UnsupportedFormat, match="partitioned"):
-        snapshot_delta_to_iceberg(spark, part, str(tmp_path / "x1"))
+    snapshot_delta_to_iceberg(spark, part, str(tmp_path / "x1"))
+    got = {
+        (r["k"], r["v"], r["p"])
+        for r in load_source(spark, str(tmp_path / "x1"), "iceberg").collect()
+    }
+    assert got == {(k, 2 * k, str(k % 2)) for k in range(20)}
     mapped = str(tmp_path / "mapped")
     write_delta(df, mapped, mode="overwrite")
     alter_delta(mapped, rename=("v", "val"))
