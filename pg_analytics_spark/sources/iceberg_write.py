@@ -2873,6 +2873,325 @@ def rewrite_manifests_iceberg(path: str, *, min_group: int = 2) -> dict:
     }
 
 
+def rewrite_data_files_iceberg(
+    spark,
+    path: str,
+    *,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> dict:
+    """Iceberg's ``rewrite_data_files`` (bin-pack strategy): group
+    SMALL data files per partition up to ``target_file_size_bytes``
+    and rewrite each group as one file, committing a single
+    ``replace`` snapshot — the DATA-tier answer to the small files a
+    long-running streaming CDC sink mints one-per-micro-batch
+    (streaming/cdc_upsert.py), where :func:`rewrite_manifests_iceberg`
+    only fixed the metadata tier.
+
+    Semantics mirror the runtime's action:
+
+    * rewritten rows are the VISIBLE rows of the input files —
+      position AND equality deletes apply during the rewrite scan, so
+      the new files (committed at the NEW data sequence, above every
+      existing delete) need no deletes; untouched files CARRY their
+      original sequence numbers explicitly (status=0 EXISTING, the
+      rewrite_manifests rule), so existing equality deletes keep
+      applying to them under the strict ``data_seq < delete_seq`` rule;
+    * delete manifests carry verbatim (they may still prune untouched
+      files; fully-superseded ones fall to compact/expire);
+    * data manifests with NO rewritten entry carry verbatim — the
+      rewrite touches only the metadata it must;
+    * refs and prior snapshots are untouched: time travel to
+      pre-compaction snapshots reads the old (still on-disk) files,
+      and physical reclamation stays expire_snapshots' job;
+    * adopted files' identity partition constants materialize INTO
+      the rewritten files (the same projection the readers use), and
+      every output file's manifest entry records its partition tuple,
+      so pruning survives the rewrite.
+
+    Returns {"snapshot_id", "files_rewritten", "files_added",
+    "files_untouched", "version"}; nothing to pack returns
+    snapshot_id None."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if prev_meta is None:
+        raise UnsupportedFormat(
+            f"rewrite_data_files target is not an iceberg table: {path}"
+        )
+    prev_snap = next(
+        s
+        for s in prev_meta["snapshots"]
+        if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+    )
+    _s, prev_list = read_container(prev_snap["manifest-list"])
+    # walk: data entries with resolved seqs; delete files for the
+    # visible-row rewrite scan; per-manifest bookkeeping for carries
+    data_seq_of: dict[str, int] = {}
+    pos_delete_paths: list[str] = []
+    eq_delete_files: list[tuple[str, int]] = []
+    manifests: list[tuple[dict, dict | None, list[dict]]] = []
+    for m in prev_list:
+        if m.get("content", 0) == 1:
+            _s2, entries = read_container(m["manifest_path"])
+            m_seq = int(m.get("sequence_number") or 0)
+            for e in entries:
+                if e.get("status", 0) == 2:
+                    continue
+                e_seq = e.get("sequence_number")
+                seq = m_seq if e_seq is None else int(e_seq)
+                rec = e["data_file"]
+                if rec.get("content", 1) == 2:
+                    eq_delete_files.append((rec["file_path"], seq))
+                else:
+                    pos_delete_paths.append(rec["file_path"])
+            manifests.append((m, None, []))
+            continue
+        schema_m, entries = read_container(m["manifest_path"])
+        m_seq = int(m.get("sequence_number") or 0)
+        live = []
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            e_seq = e.get("sequence_number")
+            seq = m_seq if e_seq is None else int(e_seq)
+            data_seq_of[e["data_file"]["file_path"]] = seq
+            live.append(e)
+        manifests.append((m, schema_m, live))
+
+    # ---- select: per (spec, partition tuple), bin-pack the files
+    # under the size target; only bins with >= min_input_files pay off
+    groups: dict[tuple, list[dict]] = {}
+    for m, schema_m, live in manifests:
+        if schema_m is None:
+            continue
+        spec_id = m.get("partition_spec_id", 0)
+        for e in live:
+            rec = e["data_file"]
+            if int(rec.get("file_size_in_bytes") or 0) >= int(
+                target_file_size_bytes
+            ):
+                continue
+            key = (
+                spec_id,
+                json.dumps(rec.get("partition"), sort_keys=True, default=str),
+            )
+            groups.setdefault(key, []).append(e)
+    bins: list[tuple[int, list[dict]]] = []  # (spec_id, entries)
+    for key in sorted(groups):
+        spec_id = key[0]
+        es = sorted(
+            groups[key], key=lambda e: e["data_file"]["file_path"]
+        )
+        cur: list[dict] = []
+        cur_bytes = 0
+        for e in es:
+            sz = int(e["data_file"].get("file_size_in_bytes") or 0)
+            if cur and cur_bytes + sz > int(target_file_size_bytes):
+                if len(cur) >= min_input_files:
+                    bins.append((spec_id, cur))
+                cur, cur_bytes = [], 0
+            cur.append(e)
+            cur_bytes += sz
+        if len(cur) >= min_input_files:
+            bins.append((spec_id, cur))
+    if not bins:
+        return {
+            "snapshot_id": None,
+            "files_rewritten": 0,
+            "files_added": 0,
+            "files_untouched": len(data_seq_of),
+            "version": prev_version,
+        }
+    selected = {
+        e["data_file"]["file_path"]: i
+        for i, (_sid, b) in enumerate(bins)
+        for e in b
+    }
+    # entry schema per spec — a mixed-spec add manifest would bind one
+    # partition record shape to another spec's tuples
+    schema_of_spec: dict[int, dict] = {}
+    for m, schema_m, live in manifests:
+        if schema_m is None:
+            continue
+        if any(e["data_file"]["file_path"] in selected for e in live):
+            schema_of_spec.setdefault(m.get("partition_spec_id", 0), schema_m)
+
+    # ---- rewrite: VISIBLE rows of the selected files (deletes
+    # applied), regrouped under a synthetic bin column so the whole
+    # rewrite is ONE distributed write; repartition on the bin keeps
+    # each bin in one task → exactly one output file per bin
+    fields = next(
+        s
+        for s in prev_meta.get("schemas", [])
+        if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
+    )["fields"]
+    colnames = [f["name"] for f in fields]
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    kept = _visible_target(
+        spark,
+        {p: data_seq_of[p] for p in selected},
+        pos_delete_paths,
+        eq_delete_files,
+        meta=prev_meta,
+        part_proj=_adoption_projection(prev_meta, prev_list),
+    )
+    bin_map = spark.createDataFrame(
+        [(os.path.abspath(p), i) for p, i in sorted(selected.items())],
+        "_ifile string, _bin int",
+    )
+    staged = (
+        kept.join(F.broadcast(bin_map), "_ifile")
+        .select(*colnames, "_bin")
+        .repartition(len(bins), "_bin")
+    )
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_ice_rewrite-{uuid.uuid4().hex}",
+    )
+    staged.write.mode("overwrite").partitionBy("_bin").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    renamed: list[tuple[int, str]] = []
+    for walk_root, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(walk_root, staging)
+            b = int(rel.split("=", 1)[1]) if "=" in rel else 0
+            dst = os.path.join(
+                data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+            )
+            os.replace(os.path.join(walk_root, name), dst)
+            renamed.append((b, dst))
+    per_file = _bounds_for_files(spark, [d for _, d in renamed], fields)
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    new_by_spec: dict[int, list[dict]] = {}
+    n_added = 0
+    for b, dst in renamed:
+        lowers, uppers, rows, size = per_file[dst]
+        rec = {
+            "content": 0,
+            "file_path": dst,
+            "file_format": "PARQUET",
+            "record_count": rows,
+            "file_size_in_bytes": size,
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+        }
+        spec_id, bin_entries = bins[b]
+        src_rec = bin_entries[0]["data_file"]
+        if "partition" in src_rec and src_rec["partition"] is not None:
+            rec["partition"] = src_rec["partition"]
+        new_by_spec.setdefault(spec_id, []).append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "data_file": rec,
+            }
+        )
+        n_added += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- manifests: delete + untouched-data manifests carry
+    # VERBATIM; manifests that lost entries re-emit their survivors
+    # as EXISTING with explicit original sequences; one new manifest
+    # holds the packed files
+    new_mf: list[dict] = []
+    n_untouched = 0
+    for m, schema_m, live in manifests:
+        if schema_m is None:
+            new_mf.append(m)  # delete manifest, carried verbatim
+            continue
+        hit = [e for e in live if e["data_file"]["file_path"] in selected]
+        if not hit:
+            new_mf.append(m)
+            n_untouched += len(live)
+            continue
+        survivors = [
+            {
+                **e,
+                "status": 0,
+                "sequence_number": data_seq_of[e["data_file"]["file_path"]],
+            }
+            for e in live
+            if e["data_file"]["file_path"] not in selected
+        ]
+        n_untouched += len(survivors)
+        if not survivors:
+            continue
+        mpath = os.path.join(
+            meta_dir,
+            f"man-rwsurv-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro",
+        )
+        write_container(
+            _entry_schema_with_seq(schema_m), survivors, mpath
+        )
+        new_mf.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+    for spec_id in sorted(new_by_spec):
+        add_manifest = os.path.join(
+            meta_dir, f"man-rwadd-{snapshot_id}-{spec_id}.avro"
+        )
+        write_container(
+            _entry_schema_with_seq(schema_of_spec[spec_id]),
+            new_by_spec[spec_id],
+            add_manifest,
+        )
+        new_mf.append(
+            {
+                "manifest_path": add_manifest,
+                "manifest_length": os.path.getsize(add_manifest),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+    version = _publish_snapshot(
+        path,
+        prev_meta,
+        prev_version,
+        snapshot_id,
+        new_mf,
+        seq,
+        {
+            "operation": "replace",
+            "added-data-files": str(n_added),
+            "deleted-data-files": str(len(selected)),
+            "added-records": str(
+                sum(
+                    int(e["data_file"].get("record_count") or 0)
+                    for es in new_by_spec.values()
+                    for e in es
+                )
+            ),
+            "total-data-files": str(n_untouched + n_added),
+        },
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "files_rewritten": len(selected),
+        "files_added": n_added,
+        "files_untouched": n_untouched,
+        "version": version,
+    }
+
+
 def remove_orphan_files_iceberg(
     path: str, *, older_than_hours: float = 72.0
 ) -> dict:

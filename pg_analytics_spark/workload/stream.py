@@ -21,6 +21,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pg_analytics_spark.errors import EngineError
 from pg_analytics_spark.workload.base import _dec, register, scratch_dir, table
 
 
@@ -1653,3 +1654,98 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "iceberg_rewrite_data_files_roundtrip",
+    oracle="""
+    SELECT user_id, last_ts, last_event_id, last_type, last_value
+    FROM (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             event_type AS last_type, value AS last_value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Bin-pack compaction closing the streaming-CDC small-file "
+    "loop (iceberg_write.rewrite_data_files_iceberg — the runtime's "
+    "`rewrite_data_files` procedure): the CDC sink mints one small "
+    "row-delta data file per micro-batch (streaming_iceberg_cdc_"
+    "upsert), so a long-running table accumulates small files that "
+    "rewrite_manifests (r10, metadata tier) cannot fix.  The row "
+    "drains 3 time-ordered micro-batches into the native Iceberg "
+    "CDC table, bin-packs — rewritten rows are the VISIBLE rows "
+    "(equality deletes APPLY during the rewrite scan; untouched "
+    "files keep explicit original sequences so existing deletes "
+    "still bind), file count drops in-row-asserted, time travel to "
+    "the pre-compaction snapshot still reads — then replays the "
+    "same argmax oracle the CDC trio shares (four routes, one "
+    "truth).  At 100 TB this is THE steady-state maintenance story: "
+    "O(small files) rewrite per partition, one replace snapshot, "
+    "refs and history untouched.",
+)
+def iceberg_rewrite_data_files_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        rewrite_data_files_iceberg,
+    )
+    from pg_analytics_spark.streaming.cdc_upsert import (
+        maintain_cdc_table_iceberg,
+    )
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    cuts = (lo + span / 3, lo + 2 * span / 3)
+    with scratch_dir(spark) as work:
+        src = f"{work}/cdc_src"
+        _os.makedirs(src)
+        parts = (
+            e.filter(F.col("ts") < F.lit(cuts[0])),
+            e.filter(
+                (F.col("ts") >= F.lit(cuts[0]))
+                & (F.col("ts") < F.lit(cuts[1]))
+            ),
+            e.filter(F.col("ts") >= F.lit(cuts[1])),
+        )
+        for idx, p in enumerate(parts):
+            stage = f"{work}/cdc_stage{idx}"
+            p.coalesce(1).write.parquet(stage)
+            _shutil.copy(
+                _glob.glob(f"{stage}/*.parquet")[0],
+                f"{src}/{idx:03d}.parquet",
+            )
+        tbl = f"{work}/profiles_iceberg"
+        maintain_cdc_table_iceberg(
+            spark, src, tbl, f"{work}/ckpt", max_files_per_trigger=1
+        )
+        meta_pre = _latest_metadata(_os.path.join(tbl, "metadata"))[1]
+        pre_sid = meta_pre["current-snapshot-id"]
+        n_rows_pre = load_source(spark, tbl, "iceberg").count()
+        res = rewrite_data_files_iceberg(spark, tbl)
+        # the micro-batches really packed: ≥3 small files → fewer
+        if not (
+            res["files_rewritten"] >= 3
+            and res["files_added"] < res["files_rewritten"]
+        ):
+            raise EngineError(f"rewrite_data_files did not pack: {res}")
+        # time travel to the pre-compaction snapshot is intact
+        tt = load_source(
+            spark, tbl, "iceberg", {"snapshot_id": pre_sid}
+        )
+        if tt.count() != n_rows_pre:
+            raise EngineError("pre-compaction snapshot changed row count")
+        out = load_source(spark, tbl, "iceberg")
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "user_id"
+        )

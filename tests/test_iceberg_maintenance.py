@@ -457,3 +457,148 @@ def test_wap_branch_write_audit_publish(spark, tmp_path):
         )
     with pytest.raises(UnsupportedFormat, match="not a branch"):
         fast_forward_iceberg(path, "pin")
+
+
+def test_rewrite_data_files_binpacks_and_preserves_reads(spark, tmp_path):
+    """r11: bin-pack compaction — N small appended files collapse per
+    the size target, values identical, time travel to pre-compaction
+    snapshots intact, refs untouched."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        rewrite_data_files_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(6):  # 6 tiny single-file commits
+        write_iceberg(
+            spark.createDataFrame(
+                [(i * 10 + j, i) for j in range(5)], "k long, v long"
+            ).coalesce(1),
+            path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    expect = {(i * 10 + j, i) for i in range(6) for j in range(5)}
+    assert _rows(spark, path) == expect
+    meta_pre = _latest_metadata(os.path.join(path, "metadata"))[1]
+    pre_snap = max(
+        meta_pre["snapshots"], key=lambda s: s["sequence-number"]
+    )
+    alter_iceberg_refs(path, tag="pre_pack")
+    r = rewrite_data_files_iceberg(spark, path)
+    assert r["files_rewritten"] == 6 and r["files_added"] == 1
+    assert _rows(spark, path) == expect
+    # file count really dropped
+    meta = _latest_metadata(os.path.join(path, "metadata"))[1]
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mf = read_container(cur["manifest-list"])
+    n_files = 0
+    for m in mf:
+        _s2, es = read_container(m["manifest_path"])
+        n_files += sum(1 for e in es if e.get("status", 0) != 2)
+    assert n_files == 1
+    # time travel to the pre-pack snapshot (via its tag) still reads
+    assert _rows(spark, path, ref="pre_pack") == expect
+    assert (
+        _rows(spark, path, snapshot_id=pre_snap["snapshot-id"]) == expect
+    )
+    # operation is replace → changelog skips it
+    assert cur["summary"]["operation"] == "replace"
+    # second run: nothing left to pack
+    r2 = rewrite_data_files_iceberg(spark, path)
+    assert r2["snapshot_id"] is None and r2["files_rewritten"] == 0
+
+
+def test_rewrite_data_files_eq_delete_visibility(spark, tmp_path):
+    """Equality deletes apply DURING the rewrite scan; untouched files
+    keep their original sequences so existing deletes still bind."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+        upsert_iceberg_eq,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(
+            spark.createDataFrame(
+                [(i * 10 + j, i) for j in range(5)], "k long, v long"
+            ).coalesce(1),
+            path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    # CDC-style row-delta: eq-delete k, re-add with v=-1
+    upsert_iceberg_eq(
+        spark,
+        path,
+        spark.createDataFrame([(10, -1), (31, -1)], "k long, v long"),
+        ["k"],
+    )
+    expect = {
+        (i * 10 + j, i)
+        for i in range(4)
+        for j in range(5)
+        if (i * 10 + j) not in (10, 31)
+    } | {(10, -1), (31, -1)}
+    assert _rows(spark, path) == expect
+    r = rewrite_data_files_iceberg(spark, path)
+    assert r["files_rewritten"] >= 4
+    assert _rows(spark, path) == expect
+    # a FRESH eq-upsert after the pack still applies (new data seq)
+    upsert_iceberg_eq(
+        spark,
+        path,
+        spark.createDataFrame([(10, -2)], "k long, v long"),
+        ["k"],
+    )
+    assert _rows(spark, path) == (expect - {(10, -1)}) | {(10, -2)}
+
+
+def test_rewrite_data_files_partitioned_and_target_size(spark, tmp_path):
+    """Bins never cross partition tuples, and files at/over the target
+    size are left alone."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+        write_iceberg,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(i * 10 + j, (i * 10 + j) % 2) for j in range(5)],
+            "k long, p long",
+        ).coalesce(1)
+        write_iceberg(
+            df,
+            path,
+            mode="overwrite" if i == 0 else "append",
+            partition_by=["p"],
+        )
+    expect = {(i * 10 + j, (i * 10 + j) % 2) for i in range(4) for j in range(5)}
+
+    def _kp(**opts):
+        return {
+            (r["k"], r["p"])
+            for r in load_source(spark, path, "iceberg", opts or None).collect()
+        }
+
+    assert _kp() == expect
+    r = rewrite_data_files_iceberg(spark, path)
+    # 8 small files (4 commits × 2 partitions) → 2 (one per partition)
+    assert r["files_rewritten"] == 8 and r["files_added"] == 2
+    assert _kp() == expect
+    # partition pruning still works off the carried tuples
+    pruned = load_source(
+        spark, path, "iceberg", {"partition_filter": [["p", "=", 1]]}
+    )
+    assert {x["k"] for x in pruned.collect()} == {
+        k for k, p in expect if p == 1
+    }
+    assert len([f for f in pruned.inputFiles() if f.endswith(".parquet")]) == 1
+    # huge target leaves nothing to do; tiny target packs nothing
+    r2 = rewrite_data_files_iceberg(spark, path, target_file_size_bytes=10)
+    assert r2["snapshot_id"] is None
