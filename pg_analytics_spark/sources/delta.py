@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from pg_analytics_spark.errors import MissingDependency
 from pg_analytics_spark.sources.base import apply_common
+from pg_analytics_spark.sources.delta_write import _decode_log_path
 from pg_analytics_spark.types import duckdb_type_to_spark
 
 
@@ -243,7 +244,9 @@ def _load_via_log(
             continue  # hive partition value outside the range
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(phys_of.get(c, c)) for c in part_cols)
-        abs_path = os.path.abspath(os.path.join(table_path, add["path"]))
+        abs_path = os.path.abspath(
+            os.path.join(table_path, _decode_log_path(add["path"]))
+        )
         groups.setdefault(key, []).append(abs_path)
         dv = add.get("deletionVector")
         if dv:

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_analytics_spark.errors import UnsupportedFormat
+from pg_analytics_spark.sources.delta_write import _decode_log_path
 
 
 def _commit_actions(log_dir: str, version: int) -> list[dict] | None:
@@ -219,12 +220,12 @@ def read_table_changes(
                     _partition_values,
                 )
 
-                pv = _partition_values(rec["path"])
+                pv = _partition_values(_decode_log_path(rec["path"]))
             key = tuple(
                 pv.get(mapping_phys.get(c, c)) for c in part_cols
             )
             by_pv.setdefault(key, []).append(
-                os.path.join(path, rec["path"])
+                os.path.join(path, _decode_log_path(rec["path"]))
             )
         for key, files in sorted(by_pv.items(), key=lambda kv: kv[0]):
             df = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -287,7 +288,9 @@ def read_table_changes(
                 a
                 for a in removes
                 if not os.path.isfile(
-                    os.path.join(path, a["remove"]["path"])
+                    os.path.join(
+                        path, _decode_log_path(a["remove"]["path"])
+                    )
                 )
             ]
             if missing:

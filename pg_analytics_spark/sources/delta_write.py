@@ -587,7 +587,9 @@ def _stage_cdc_files(
             actions.append(
                 {
                     "cdc": {
-                        "path": rel_path.replace(os.sep, "/"),
+                        "path": _encode_log_path(
+                            rel_path.replace(os.sep, "/")
+                        ),
                         "partitionValues": _partition_values(
                             rel_path.replace(os.sep, "/")
                         ),
@@ -951,7 +953,10 @@ def restore_delta(spark, path: str, version: int) -> dict:
         )
     missing = [
         p for p in active_old
-        if p not in active_now and not os.path.isfile(os.path.join(path, p))
+        if p not in active_now
+        and not os.path.isfile(
+            os.path.join(path, _decode_log_path(p))
+        )
     ]
     if missing:
         raise UnsupportedFormat(
@@ -1046,7 +1051,9 @@ def _stage_files(
         adds.append(
             {
                 "add": {
-                    "path": rel_path.replace(os.sep, "/"),
+                    "path": _encode_log_path(
+                        rel_path.replace(os.sep, "/")
+                    ),
                     "partitionValues": _partition_values(
                         rel_path.replace(os.sep, "/")
                     ),
@@ -1383,6 +1390,29 @@ def _uri_to_abs(uri: str) -> str:
     return os.path.normpath(os.path.abspath(p))
 
 
+def _encode_log_path(rel: str) -> str:
+    """Delta protocol: an action's ``path`` is a RELATIVE path
+    percent-encoded per RFC 2396 (delta-io PROTOCOL.md, Add File and
+    Remove File).  Encode the literal on-disk bytes — a hive segment
+    Spark already staged as ``p=a%20b`` round-trips as ``p=a%2520b``
+    in the log, and an external Delta reader decoding once lands back
+    on the real file.  The safe set is RFC 2396's path characters —
+    ``/`` separates segments and ``:@&=+$,;`` are legal IN a segment
+    (hive's ``p=0/`` stays readable, matching delta-spark's output);
+    space, ``%``, ``#``, ``?`` and friends get escaped."""
+    from urllib.parse import quote
+
+    return quote(rel, safe="/:@&=+$,;")
+
+
+def _decode_log_path(p: str) -> str:
+    """Inverse of :func:`_encode_log_path` — a log entry's ``path``
+    field → literal filesystem path (relative or absolute)."""
+    from urllib.parse import unquote
+
+    return unquote(p)
+
+
 def _active_by_abs(path: str, prev_active: dict) -> dict[str, str]:
     """Map each active file's normalized ABSOLUTE path → its log path
     key.  Keying on the full path (not the basename) matters: CONVERT
@@ -1390,12 +1420,15 @@ def _active_by_abs(path: str, prev_active: dict) -> dict[str, str]:
     partition directories (basename keying silently collapsed them —
     duplicate rows after DML, caught by the convert gate row), and
     shallow clones store absolute paths outright."""
-    return {
-        os.path.normpath(
-            p if os.path.isabs(p) else os.path.join(path, p)
-        ): p
-        for p in prev_active
-    }
+    out = {}
+    for p in prev_active:
+        d = _decode_log_path(p)
+        out[
+            os.path.normpath(
+                d if os.path.isabs(d) else os.path.join(path, d)
+            )
+        ] = p
+    return out
 
 
 def merge_delta(
@@ -2255,7 +2288,7 @@ def vacuum_delta(path: str, retention_hours: float = 168.0) -> dict:
     if not os.path.isdir(log_dir):
         raise UnsupportedFormat(f"VACUUM target is not a delta table: {path}")
     active, _meta = _replay_log(log_dir)
-    keep = {os.path.normpath(p) for p in active}
+    keep = {os.path.normpath(_decode_log_path(p)) for p in active}
     # deletion-vector blobs referenced by the CURRENT version survive
     # under the same contract as data files; superseded DV files (each
     # DV rewrite allocates a fresh uuid blob) vacuum with the same
@@ -2415,7 +2448,7 @@ def convert_parquet_to_delta(
         actions.append(
             {
                 "add": {
-                    "path": rel,
+                    "path": _encode_log_path(rel),
                     "partitionValues": _partition_values(rel),
                     "size": size,
                     "modificationTime": mtime_ms,
@@ -2494,7 +2527,13 @@ def clone_delta(
     for rel, add in sorted(active.items()):
         new_add = dict(add)
         p = new_add["path"]
-        new_add["path"] = p if os.path.isabs(p) else os.path.join(src, p)
+        if not os.path.isabs(_decode_log_path(p)):
+            # absolutize: src is literal filesystem bytes, p is an
+            # already-encoded log path — encode src the same way so
+            # the stored absolute path decodes once, like every entry
+            from urllib.parse import quote
+
+            new_add["path"] = quote(src, safe="/:@&=+$,;") + "/" + p
         dv = new_add.get("deletionVector")
         if dv and dv.get("storageType") == "u":
             new_add["deletionVector"] = {

@@ -3816,11 +3816,14 @@ def snapshot_delta_to_iceberg(spark, delta_path: str, target_path: str) -> dict:
                 "rewrite via CTAS"
             )
         part_decls.append((c, t))
+    from pg_analytics_spark.sources.delta_write import _decode_log_path
+
     src = os.path.abspath(delta_path)
     file_tuples: list[tuple[str, dict]] = []
     for p in sorted(active):
         a = active[p]
-        f = p if os.path.isabs(p) else os.path.join(src, p)
+        d = _decode_log_path(p)
+        f = d if os.path.isabs(d) else os.path.join(src, d)
         pv = a.get("partitionValues") or {}
         tup = {
             c: _typed_tuple_value(pv.get(c), t) for c, t in part_decls

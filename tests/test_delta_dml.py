@@ -753,3 +753,107 @@ def test_set_transaction_idempotent_writes(spark, tmp_path):
     )["skipped_txn"]
     assert last_txn_version(path, "app") == 3
     assert load_source(spark, path, "delta").count() == 18
+
+
+class TestLogPathEncoding:
+    """Delta protocol: action ``path`` fields are percent-encoded
+    relative URIs (PROTOCOL.md, Add File).  An external Delta reader
+    decodes every path exactly once — so a partition value containing
+    a space (which Spark stages as ``%20`` in the hive dir name) must
+    appear DOUBLE-encoded (``%2520``) in the log, and every internal
+    consumer (scan, DML, CDF, convert, clone, vacuum) must decode
+    before touching the filesystem."""
+
+    @staticmethod
+    def _all_log_paths(path):
+        out = []
+        log = os.path.join(path, "_delta_log")
+        for f in sorted(os.listdir(log)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(log, f)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    for kind in ("add", "remove", "cdc"):
+                        if kind in a and a[kind].get("path"):
+                            out.append(a[kind]["path"])
+        return out
+
+    def _mk(self, spark, path):
+        df = spark.createDataFrame(
+            [(i, "a b" if i % 2 else "c%d", float(i)) for i in range(10)],
+            "id bigint, p string, v double",
+        )
+        write_delta(
+            df,
+            path,
+            mode="overwrite",
+            partition_by="p",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+
+    def test_paths_are_percent_encoded_external_reader_shape(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "enc")
+        self._mk(spark, path)
+        paths = self._all_log_paths(path)
+        assert paths
+        for p in paths:
+            # external-reader shape: no raw space, no un-escaped '%'
+            assert " " not in p
+            import re
+
+            assert not re.search(r"%(?![0-9A-Fa-f]{2})", p)
+        # the space partition: staged as %20 on disk → %2520 in log
+        assert any("%2520" in p or "%20" in p for p in paths)
+        got = _rows(spark, path)
+        assert len(got) == 10
+        assert {r[2] for r in got} == {"a b", "c%d"}
+
+    def test_dml_cdf_on_encoded_partitions(self, spark, tmp_path):
+        from pg_analytics_spark.sources.delta_cdf import (
+            read_table_changes,
+        )
+
+        path = str(tmp_path / "dml")
+        self._mk(spark, path)
+        update_delta(spark, path, {"v": "v + 100"}, "p = 'a b'")
+        got = _rows(spark, path)
+        assert all(
+            (r[1] >= 100) == (r[2] == "a b") for r in got
+        )
+        delete_delta(spark, path, "p = 'c%d'")
+        assert all(r[2] == "a b" for r in _rows(spark, path))
+        cdf = read_table_changes(spark, path, 1).collect()
+        assert any(r["_change_type"] == "delete" for r in cdf)
+        assert all(" " not in p for p in self._all_log_paths(path))
+
+    def test_convert_clone_vacuum_roundtrip(self, spark, tmp_path):
+        from pg_analytics_spark.sources.delta_write import (
+            clone_delta,
+            convert_parquet_to_delta,
+        )
+
+        raw = str(tmp_path / "raw")
+        spark.createDataFrame(
+            [(i, "x y" if i % 2 else "z", float(i)) for i in range(8)],
+            "id bigint, p string, v double",
+        ).write.partitionBy("p").parquet(raw)
+        convert_parquet_to_delta(spark, raw, partition_by="p string")
+        got = _rows(spark, raw)
+        assert len(got) == 8 and {r[2] for r in got} == {"x y", "z"}
+        for p in self._all_log_paths(raw):
+            assert " " not in p
+        # shallow clone: absolute encoded paths, decode-once reads
+        clone = str(tmp_path / "clone")
+        clone_delta(raw, clone)
+        assert _rows(spark, clone) == got
+        for p in self._all_log_paths(clone):
+            assert " " not in p
+        # vacuum on the source must keep every active (encoded) file
+        res = vacuum_delta(raw, retention_hours=0.0)
+        assert res["files_deleted"] == 0
+        assert _rows(spark, raw) == got
