@@ -461,8 +461,19 @@ def write_iceberg(
     partition_by: str | list[str] | None = None,
     options: dict | None = None,
     branch: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Write ``df`` as one Iceberg v2 snapshot at ``path``.
+
+    ``txn=(app_id, epoch)`` makes the commit IDEMPOTENT for streaming
+    sinks — the mechanism Iceberg's Spark streaming writer uses: the
+    snapshot summary records the writer's app id and epoch id, and a
+    commit whose epoch is ≤ the highest already recorded for that app
+    id (across ALL snapshots, so branch-staged commits count) returns
+    ``{"skipped_txn": True}`` without touching the table.  A
+    crash-replayed foreachBatch therefore commits nothing twice,
+    giving exactly-once at the TABLE level — the Iceberg twin of the
+    Delta writer's SetTransaction actions.
 
     ``branch`` targets the commit at a BRANCH instead of main — the
     Write-Audit-Publish pattern (Iceberg's ``spark.wap.branch``): the
@@ -518,6 +529,24 @@ def write_iceberg(
             )
         if branch == "main":
             raise UnsupportedFormat("the ref name 'main' is reserved")
+    if txn is not None and prev_meta is not None:
+        app_id, epoch = txn
+        last = max(
+            (
+                int(s["summary"]["streaming-epoch-id"])
+                for s in prev_meta.get("snapshots", [])
+                if (s.get("summary") or {}).get("streaming-app-id")
+                == app_id
+            ),
+            default=None,
+        )
+        if last is not None and int(epoch) <= last:
+            return {
+                "snapshot_id": None,
+                "files": 0,
+                "rows": 0,
+                "skipped_txn": True,
+            }
     if prev_meta is None:
         mode = "overwrite"
         fields = [
@@ -876,7 +905,17 @@ def write_iceberg(
         "manifest-list": mlist,
         "timestamp-ms": now_ms,
         "sequence-number": seq,
-        "summary": {"operation": mode},
+        "summary": {
+            "operation": mode,
+            **(
+                {
+                    "streaming-app-id": txn[0],
+                    "streaming-epoch-id": str(int(txn[1])),
+                }
+                if txn is not None
+                else {}
+            ),
+        },
     }
     if parent_id is not None:
         snap_entry["parent-snapshot-id"] = parent_id

@@ -245,3 +245,58 @@ def maintain_append_table(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_append_table_iceberg(
+    spark: SparkSession,
+    source: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    app_id: str,
+    branch: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Exactly-once streaming APPEND into a native ICEBERG table —
+    the Iceberg twin of :func:`maintain_append_table`, using the
+    snapshot-summary epoch watermark (``write_iceberg(txn=…)``, the
+    mechanism Iceberg's own Spark streaming sink records as
+    app-id/epoch-id summary properties): a crash-replayed micro-batch
+    finds its epoch already recorded and commits NOTHING.
+
+    ``branch`` composes this with WRITE-AUDIT-PUBLISH: every
+    micro-batch lands on the named branch while plain readers keep
+    seeing main untouched; after the audit passes,
+    ``fast_forward_iceberg`` publishes the whole ingest as one
+    metadata move.  Because refs are retention roots, a concurrent
+    ``expire_snapshots`` cannot reclaim the staged commits — and the
+    epoch watermark is scanned across ALL snapshots, so idempotence
+    holds for branch-staged epochs too.  The table must already exist
+    when a branch is targeted (branch writes keep main at the
+    pre-ingest head).
+    """
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    ev = read_event_stream(spark, source, opts)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+        write_iceberg(
+            batch_df,
+            table_dir,
+            mode="append",
+            branch=branch,
+            txn=(app_id, batch_id),
+        )
+
+    q = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1151,6 +1151,96 @@ def streaming_txn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_wap_iceberg_publish",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="The full audit-before-publish ingestion story COMPOSED "
+    "end-to-end: exactly-once streaming APPEND (iceberg snapshot-"
+    "summary epoch watermark, write_iceberg txn=…) INTO a WAP branch "
+    "(streaming/cdc_upsert.maintain_append_table_iceberg), an audit "
+    "read of the branch, then ONE pure-metadata fast_forward publish. "
+    "Asserted in-row: plain readers see an EMPTY main for the whole "
+    "ingest; a crash-replayed query (fresh checkpoint, same app id) "
+    "commits NOTHING twice — the epoch watermark is found on the "
+    "BRANCH lineage; a racing expire_snapshots cannot reclaim the "
+    "staged commits (refs are retention roots); and after the publish "
+    "main equals the source relation exactly (shared append oracle). "
+    "This is the production shape for 100 TB continuous ingest: "
+    "audits run on the branch at full fidelity, consumers never see "
+    "a partial ingest, and the publish costs one metadata write.",
+)
+def streaming_wap_iceberg_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+        fast_forward_iceberg,
+        write_iceberg,
+    )
+    from pg_analytics_spark.streaming.cdc_upsert import (
+        maintain_append_table_iceberg,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/bronze_ice"
+        # seed main EMPTY under the stream's schema (branch writes
+        # need an existing table to keep main at); the stream's ts is
+        # session-tz TIMESTAMP while a batch parquet read may surface
+        # NTZ — conform the seed to the stream's shape
+        seed = load_source(spark, src, "parquet").limit(0)
+        write_iceberg(
+            seed.withColumn("ts", F.col("ts").cast("timestamp")),
+            tbl,
+            mode="overwrite",
+        )
+        maintain_append_table_iceberg(
+            spark, src, tbl, f"{work}/ckpt", "wap-ingest", branch="audit"
+        )
+        # plain readers: main is still the empty seed
+        assert load_source(spark, tbl, "iceberg").count() == 0
+        staged = load_source(
+            spark, tbl, "iceberg", {"ref": "audit"}
+        ).count()
+        assert staged > 0
+        # crash-replay: a restarted query with a LOST checkpoint
+        # replays every batch under the same app id — the epoch
+        # watermark on the branch lineage makes each a no-op
+        maintain_append_table_iceberg(
+            spark, src, tbl, f"{work}/ckpt2", "wap-ingest",
+            branch="audit",
+        )
+        assert (
+            load_source(spark, tbl, "iceberg", {"ref": "audit"}).count()
+            == staged
+        )
+        # a maintenance expire racing the audit window must not
+        # reclaim the unpublished branch (refs are retention roots)
+        expire_iceberg_snapshots(spark, tbl, retain_last=1)
+        assert (
+            load_source(spark, tbl, "iceberg", {"ref": "audit"}).count()
+            == staged
+        )
+        fast_forward_iceberg(tbl, "audit")
+        out = load_source(spark, tbl, "iceberg").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias(
+                "value"
+            ),
+        )
+        assert out.count() == staged
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
     "events_markov_transition",
     oracle="""
     WITH seq AS (

@@ -796,3 +796,75 @@ def test_eq_upsert_duplicate_source_keys_rejected(spark, tmp_path):
         upsert_iceberg_eq(spark, root, src, ["id"])
     # table unchanged, no half-applied state
     assert load_source(spark, root, "iceberg").count() == 100
+
+
+def test_txn_idempotent_streaming_epochs(spark, tmp_path):
+    """write_iceberg(txn=(app, epoch)) — the snapshot-summary epoch
+    watermark Iceberg's Spark streaming sink uses: a replayed or older
+    epoch commits NOTHING; app ids are independent; the watermark is
+    found on BRANCH lineage too (a staged WAP ingest replays clean)."""
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    path = str(tmp_path / "txn")
+
+    def mk(a, b):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+        )
+
+    r0 = write_iceberg(mk(0, 10), path, mode="overwrite", txn=("app", 0))
+    assert not r0.get("skipped_txn")
+    r1 = write_iceberg(mk(10, 15), path, mode="append", txn=("app", 1))
+    assert r1["rows"] == 5
+    # replay of epoch 1: skipped, zero table change
+    r2 = write_iceberg(mk(10, 15), path, mode="append", txn=("app", 1))
+    assert r2["skipped_txn"] and r2["rows"] == 0
+    assert load_source(spark, path, "iceberg").count() == 15
+    # an OLDER epoch is skipped; a NEWER one applies
+    assert write_iceberg(
+        mk(0, 3), path, mode="append", txn=("app", 0)
+    )["skipped_txn"]
+    assert write_iceberg(
+        mk(15, 17), path, mode="append", txn=("app", 2)
+    )["rows"] == 2
+    # a different app id has its own watermark
+    assert write_iceberg(
+        mk(17, 18), path, mode="append", txn=("other", 0)
+    )["rows"] == 1
+    assert load_source(spark, path, "iceberg").count() == 18
+
+
+def test_txn_watermark_covers_branch_staged_epochs(spark, tmp_path):
+    """An epoch staged on a WAP branch must be found by the replay
+    check even though it is not on main's lineage — otherwise a
+    crash-replay during an audit window would double-commit."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        fast_forward_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "waptxn")
+    base = spark.createDataFrame([(0, 0.0)], "id bigint, v double")
+    write_iceberg(base, path, mode="overwrite")
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "id bigint, v double"
+    )
+    r = write_iceberg(
+        inc, path, mode="append", branch="audit", txn=("q", 0)
+    )
+    assert not r.get("skipped_txn")
+    # main untouched; replay of epoch 0 on the branch is a no-op
+    assert load_source(spark, path, "iceberg").count() == 1
+    assert write_iceberg(
+        inc, path, mode="append", branch="audit", txn=("q", 0)
+    )["skipped_txn"]
+    assert (
+        load_source(spark, path, "iceberg", {"ref": "audit"}).count()
+        == 6
+    )
+    fast_forward_iceberg(path, "audit")
+    assert load_source(spark, path, "iceberg").count() == 6
+    # post-publish, the watermark still holds on main
+    assert write_iceberg(
+        inc, path, mode="append", txn=("q", 0)
+    )["skipped_txn"]
