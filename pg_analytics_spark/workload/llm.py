@@ -2361,8 +2361,15 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,18)")
         .alias("w"),
     )
+    # the LM weight table is VOCAB-sized, not corpus-sized — and in
+    # DSIR practice it is bounded by construction (the paper hashes
+    # n-gram features to a fixed dimension), so broadcasting it is the
+    # design, not an optimization: the corpus-sized bg side then
+    # streams map-side into the per-doc aggregate with NO sort and NO
+    # re-shuffle on (a, b) (r11: the 10x probe showed the unforced
+    # plan SMJ-sorting 2.7M rows against a 1210-row build side)
     return (
-        bg.join(w, ["a", "b"])
+        bg.join(F.broadcast(w), ["a", "b"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -2440,7 +2447,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1", F.sum("n2").over(_W.partitionBy("a"))
     )
     terms = (
-        bg.join(c2, ["a", "b"])
+        bg.join(F.broadcast(c2), ["a", "b"])
         .select(
             "doc_id",
             F.log(F.col("n2").cast("double") / F.col("n1").cast("double"))
@@ -3690,7 +3697,12 @@ def text_trigram_backoff_logprob(
     from pg_analytics_spark.operators.dedup import _persist_sketch
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", X.tokens(F.lower("text")).alias("t"))
+    # five downstream passes (c3/c2/c1/te and the te re-read) each
+    # re-run the regex tokenizer without this persist — r11 10x probe:
+    # caching the token arrays once cuts the corpus-pass cost to one
+    toks = _persist_sketch(
+        d.select("doc_id", X.tokens(F.lower("text")).alias("t"))
+    )
     train = toks.filter(F.col("doc_id") % 2 == 0)
     test = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("t") >= 3))
 
@@ -3723,16 +3735,21 @@ def text_trigram_backoff_logprob(
     )
     ug = train.select(F.explode("t").alias("u"))
     c1 = ug.groupBy("u").agg(F.count("*").alias("n1"))
-    nt = ug.agg(F.count("*").cast("long").alias("n_tok"))
+    # total token count folds from the vocab-sized c1 — NOT a second
+    # corpus-wide explode (exact: sum of per-unigram counts)
+    nt = c1.agg(F.sum("n1").cast("long").alias("n_tok"))
     te = _persist_sketch(_tg(test, ["a", "b", "c"]))
+    # the three count tables are vocab-sized (model side) while te is
+    # corpus-sized — broadcast the models so the test stream never
+    # sorts or re-shuffles (same rationale as corpus_dsir_importance)
     j = (
-        te.join(c3, ["a", "b", "c"], "left")
+        te.join(F.broadcast(c3), ["a", "b", "c"], "left")
         .join(
-            c2,
+            F.broadcast(c2),
             (F.col("x") == F.col("b")) & (F.col("y") == F.col("c")),
             "left",
         )
-        .join(c1, F.col("u") == F.col("c"), "left")
+        .join(F.broadcast(c1), F.col("u") == F.col("c"), "left")
         .crossJoin(F.broadcast(nt))
     )
     lvl = (
