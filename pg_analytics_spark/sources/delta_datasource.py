@@ -1,0 +1,475 @@
+"""Native Delta tables as a first-class Spark DataSource — batch AND
+structured streaming — via Spark 4's Python DataSource API.
+
+``spark.read.format("delta_native").option("path", p).load()`` and
+``spark.readStream.format("delta_native")…`` work against the tables
+this repo's zero-dependency protocol writer mints, with NO JVM
+extension and no delta-spark jar: the log replay happens in Python on
+the driver, and executors receive self-contained partitions (file
+path + deleted-row indices + typed partition values + the target
+Arrow schema) so the worker-side ``read`` needs ONLY pyarrow — no
+package import can fail on a vanilla session (the round-8 executor-
+closure lesson, solved structurally this time).
+
+Streaming semantics mirror delta-spark's streaming source (public
+docs, "Delta table as a source"):
+
+- the FIRST batch is the table's current snapshot at stream start
+  (active files, deletion vectors applied);
+- each later batch is the ADD actions of the commits since the last
+  consumed version — O(new data) per trigger, never a rescan;
+- a commit that REMOVES files is refused loudly unless
+  ``ignoreDeletes`` (data-retention deletes are skipped) or
+  ``ignoreChanges`` (rewritten files re-emit their rows — downstream
+  must tolerate duplicates), exactly the delta-spark option contract;
+- offsets are plain ``{"version": N}`` watermarks, so checkpoint
+  recovery resumes at the next unconsumed commit.
+
+Scale: ``latestOffset``/``partitions`` are metadata-sized driver work
+(one log listing / replay); data reading is one task per file.  The
+batch reader pushes partition-column EqualTo/In filters into the file
+listing (hive-style pruning against each add action's
+``partitionValues``), and Spark re-applies every filter afterwards so
+pushdown is purely an I/O saving.
+
+Reference scope: the reference FDW exposes foreign SCANS of Delta
+tables through DuckDB's delta extension (src/fdw/handler.rs — format
+routing); this module is the Spark-native equivalent surface plus the
+streaming tail the reference does not have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+from pg_analytics_spark.errors import UnsupportedFormat
+
+#: Spark runs DataSource planning (schema/partitions/offsets) in a
+#: SEPARATE python worker process that knows this module's file but
+#: NOT the driver's sys.path mutations — a vanilla session (driver-sim)
+#: therefore cannot lazily import the package there.  Same structural
+#: fix as delta_write._REPO_ROOT: the repo root travels with the
+#: module and re-enters sys.path on demand.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _ensure_importable() -> None:
+    try:
+        import pg_analytics_spark  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+
+        if _REPO_ROOT not in sys.path:
+            sys.path.append(_REPO_ROOT)
+
+
+class _DeltaFilePartition(InputPartition):
+    """Everything one task needs, pickled BY VALUE: no package code
+    runs on the worker."""
+
+    def __init__(
+        self,
+        file_path: str,
+        drop_rows: list[int],
+        part_values: dict[str, str | None],
+        phys_of: dict[str, str],
+        arrow_schema,
+    ) -> None:
+        self.file_path = file_path
+        self.drop_rows = drop_rows
+        self.part_values = part_values
+        self.phys_of = phys_of
+        self.arrow_schema = arrow_schema
+
+
+def _read_file_partition(part: _DeltaFilePartition):
+    """Worker-side read: pyarrow only.  Yields RecordBatches conformed
+    to the declared schema — physical→logical rename (column mapping),
+    missing columns null-filled (ADD COLUMN evolution), partition
+    constants materialized from the add action's partitionValues,
+    deletion-vector rows dropped by physical index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(part.file_path)
+    n = t.num_rows
+    if part.drop_rows:
+        keep = [True] * n
+        for r in part.drop_rows:
+            keep[r] = False
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+    cols = []
+    names = set(t.column_names)
+    for field in part.arrow_schema:
+        if field.name in part.part_values:
+            v = part.part_values[field.name]
+            if v is None:
+                arr = pa.nulls(n, field.type)
+            else:
+                arr = pa.array([v] * n, type=pa.string()).cast(field.type)
+        else:
+            phys = part.phys_of.get(field.name, field.name)
+            if phys in names:
+                arr = t[phys]
+                if arr.type != field.type:
+                    arr = arr.cast(field.type)
+            else:
+                arr = pa.nulls(n, field.type)
+        cols.append(arr)
+    out = pa.table(cols, schema=part.arrow_schema)
+    yield from out.to_batches()
+
+
+def _delta_type_contextfree(t):
+    """Delta schemaString type → Spark type WITHOUT a SparkContext:
+    DataSource methods run in Spark's plan-python worker, where
+    ``DataType.fromDDL`` (and any ``F.col``) would die with
+    SESSION_OR_CONTEXT_NOT_EXISTS — so primitives map directly and
+    complex types recurse."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _delta_type_contextfree(f["type"]),
+                        bool(f.get("nullable", True)),
+                    )
+                    for f in t.get("fields", [])
+                ]
+            )
+        if k == "array":
+            return T.ArrayType(
+                _delta_type_contextfree(t["elementType"]),
+                bool(t.get("containsNull", True)),
+            )
+        if k == "map":
+            return T.MapType(
+                _delta_type_contextfree(t["keyType"]),
+                _delta_type_contextfree(t["valueType"]),
+                bool(t.get("valueContainsNull", True)),
+            )
+        raise UnsupportedFormat(f"delta type {t!r}")
+    prim = {
+        "string": T.StringType,
+        "long": T.LongType,
+        "integer": T.IntegerType,
+        "short": T.ShortType,
+        "byte": T.ByteType,
+        "double": T.DoubleType,
+        "float": T.FloatType,
+        "boolean": T.BooleanType,
+        "binary": T.BinaryType,
+        "date": T.DateType,
+        "timestamp": T.TimestampType,
+        "timestamp_ntz": T.TimestampNTZType,
+        "timestampNtz": T.TimestampNTZType,
+    }
+    if t in prim:
+        return prim[t]()
+    if t.startswith("decimal"):
+        import re
+
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    raise UnsupportedFormat(f"delta type {t!r}")
+
+
+def _table_state(path: str, version: int | None = None):
+    """(active adds, meta, part_cols, phys_of, spark schema).
+    Context-free: runs inside the DataSource plan worker."""
+    _ensure_importable()
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pyspark.sql import types as T
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise UnsupportedFormat(
+            f"not a Delta table (no _delta_log): {path}"
+        )
+    active, meta = _replay_log(log_dir, version=version)
+    if meta is None:
+        raise UnsupportedFormat(f"Delta log has no metaData: {path}")
+    part_cols = list(meta.get("partitionColumns") or [])
+    fields = json.loads(meta["schemaString"])["fields"]
+    cfg = meta.get("configuration") or {}
+    phys_of = {}
+    if cfg.get("delta.columnMapping.mode", "none") in ("name", "id"):
+        for f in fields:
+            phys_of[f["name"]] = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+    schema = T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _delta_type_contextfree(f["type"]),
+                bool(f.get("nullable", True)),
+            )
+            for f in fields
+        ]
+    )
+    return active, meta, part_cols, phys_of, schema
+
+
+def _partitions_for_adds(
+    path: str,
+    adds: dict[str, dict],
+    part_cols: list[str],
+    phys_of: dict[str, str],
+    arrow_schema,
+    part_filters: list | None = None,
+) -> list[_DeltaFilePartition]:
+    _ensure_importable()
+    from pg_analytics_spark.sources.delta_dv import dv_deleted_rows
+    from pg_analytics_spark.sources.delta_write import _decode_log_path
+
+    out = []
+    for add in adds.values():
+        pv_raw = add.get("partitionValues") or {}
+        pv = {c: pv_raw.get(phys_of.get(c, c)) for c in part_cols}
+        if part_filters and not all(
+            f(pv) for f in part_filters
+        ):
+            continue
+        abs_path = os.path.abspath(
+            os.path.join(path, _decode_log_path(add["path"]))
+        )
+        dv = add.get("deletionVector")
+        drops = (
+            sorted(int(r) for r in dv_deleted_rows(path, dv)) if dv else []
+        )
+        out.append(
+            _DeltaFilePartition(abs_path, drops, pv, phys_of, arrow_schema)
+        )
+    return out
+
+
+def _arrow_schema_for(schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+class _DeltaBatchReader(DataSourceReader):
+    def __init__(self, path: str, version: int | None) -> None:
+        self._path = path
+        (
+            self._active,
+            self._meta,
+            self._part_cols,
+            self._phys_of,
+            self._schema,
+        ) = _table_state(path, version)
+        self._part_filters: list = []
+
+    def pushFilters(self, filters):
+        """Hive-style partition pruning: EqualTo/In on a partition
+        column prunes files by the add actions' partitionValues.
+        EVERY filter is returned as unsupported — Spark re-applies
+        them all, so pruning is an I/O saving, never a semantics
+        change (partition values compare as their string encodings,
+        which is exact for the identity transform)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                c = f.attribute[0]
+                if c in self._part_cols:
+                    want = str(f.value)
+                    self._part_filters.append(
+                        lambda pv, c=c, want=want: pv.get(c) == want
+                    )
+            elif isinstance(f, In) and len(f.attribute) == 1:
+                c = f.attribute[0]
+                if c in self._part_cols:
+                    wants = {str(v) for v in f.values}
+                    self._part_filters.append(
+                        lambda pv, c=c, wants=wants: pv.get(c) in wants
+                    )
+            yield f  # all filters re-applied by Spark
+
+    def partitions(self):
+        return _partitions_for_adds(
+            self._path,
+            self._active,
+            self._part_cols,
+            self._phys_of,
+            _arrow_schema_for(self._schema),
+            self._part_filters,
+        )
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, options: dict) -> None:
+        self._path = path
+        self._ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        (
+            _active,
+            meta,
+            self._part_cols,
+            self._phys_of,
+            self._schema,
+        ) = _table_state(path)
+
+    def _latest_version(self) -> int:
+        log_dir = os.path.join(self._path, "_delta_log")
+        vs = [
+            int(f[:20])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and f[:20].isdigit()
+        ]
+        if not vs:
+            raise UnsupportedFormat(f"empty Delta log: {self._path}")
+        return max(vs)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._latest_version()}
+
+    def _commit_actions(self, version: int) -> list[dict]:
+        log_dir = os.path.join(self._path, "_delta_log")
+        p = os.path.join(log_dir, f"{version:020d}.json")
+        if not os.path.isfile(p):
+            # replayed from the initial snapshot instead (checkpointed
+            # logs may clean early commits); refuse mid-stream gaps
+            raise UnsupportedFormat(
+                f"delta stream: commit {version} is missing from the "
+                f"log at {self._path} (cleaned up?) — restart the "
+                "stream to re-baseline from the current snapshot"
+            )
+        with open(p) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def partitions(self, start: dict, end: dict):
+        arrow_schema = _arrow_schema_for(self._schema)
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+        if sv < 0:
+            # initial snapshot AT the end version: active files with
+            # DVs applied — the stream's baseline batch
+            active, _m, _p, _ph, _s = _table_state(self._path, ev)
+            return _partitions_for_adds(
+                self._path,
+                active,
+                self._part_cols,
+                self._phys_of,
+                arrow_schema,
+            )
+        adds: dict[str, dict] = {}
+        for v in range(sv + 1, ev + 1):
+            actions = self._commit_actions(v)
+            removes = [a for a in actions if "remove" in a]
+            if removes and not (
+                self._ignore_deletes or self._ignore_changes
+            ):
+                raise UnsupportedFormat(
+                    f"delta stream: commit {v} contains remove actions "
+                    "(UPDATE/DELETE/OVERWRITE). Streaming sources are "
+                    "append-only — set ignoreDeletes to skip deletes, "
+                    "or ignoreChanges to re-emit rewritten files "
+                    "(downstream must tolerate duplicates), or use the "
+                    "change feed (read_table_changes) for row-level "
+                    "changes."
+                )
+            for a in actions:
+                add = a.get("add")
+                if add is None or not add.get("dataChange", True):
+                    continue  # compaction re-adds are not new data
+                if add.get("deletionVector") and not self._ignore_changes:
+                    raise UnsupportedFormat(
+                        f"delta stream: commit {v} re-adds a file with "
+                        "a deletion vector (merge-on-read DML) — set "
+                        "ignoreChanges or consume the change feed"
+                    )
+                adds[add["path"]] = add
+        return _partitions_for_adds(
+            self._path,
+            adds,
+            self._part_cols,
+            self._phys_of,
+            arrow_schema,
+        )
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaNativeDataSource(DataSource):
+    """``format("delta_native")`` — batch + streaming reads of this
+    repo's native Delta tables through the Python DataSource API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_native"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise UnsupportedFormat(
+                "delta_native needs .option('path', …) or load(path)"
+            )
+        return p
+
+    def schema(self):
+        *_, schema = _table_state(
+            self._path(),
+            (
+                int(self.options["versionasof"])
+                if "versionasof" in self.options
+                else None
+            ),
+        )
+        return schema
+
+    def reader(self, schema):
+        return _DeltaBatchReader(
+            self._path(),
+            (
+                int(self.options["versionasof"])
+                if "versionasof" in self.options
+                else None
+            ),
+        )
+
+    def streamReader(self, schema):
+        return _DeltaStreamReader(self._path(), dict(self.options))
+
+
+def register_native_datasources(spark) -> None:
+    """Idempotently register the native-format DataSources on a
+    session (safe to call many times; latest registration wins).
+    Also enables Python-DataSource filter pushdown — a runtime SQL
+    conf that is off by default and REQUIRED once a reader defines
+    ``pushFilters`` (Spark refuses the mismatch loudly)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaNativeDataSource)

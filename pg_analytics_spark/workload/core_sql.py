@@ -3052,6 +3052,63 @@ def delta_update_delete_roundtrip(
 
 
 @register(
+    "delta_native_datasource_scan",
+    oracle=_UPDATE_DELETE_ORACLE,
+    doc="The delta_native Python DataSource (sources/delta_datasource "
+    "— Spark 4's DataSource API, no JVM extension): "
+    "spark.read.format('delta_native') over a native Delta table that "
+    "took MERGE-ON-READ UPDATE+DELETE (deletion vectors), sharing the "
+    "CoW twin's relational oracle — so the replay reader, the CoW "
+    "path, the MoR path, AND the DataSource scan are all proven to "
+    "give the identical answer.  The log replay is driver-side "
+    "metadata work; each task reads one file with pyarrow and applies "
+    "its DV row drops + schema conformance with ZERO package imports "
+    "on the worker (the partitions carry everything by value — the "
+    "structural fix for the round-8 executor-import class of bugs).  "
+    "Partition-column filters push into the file listing "
+    "(pushFilters), and every filter is re-applied by Spark, so "
+    "pruning can only save I/O.",
+)
+def delta_native_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.sources.delta_write import (
+        delete_delta,
+        update_delta,
+        write_delta,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_pyds")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    update_delta(spark, root, {"v": "v * 2"}, "v < 100000", dv=True)
+    delete_delta(spark, root, "v > 250000", dv=True)
+    register_native_datasources(spark)
+    return (
+        spark.read.format("delta_native")
+        .option("path", root)
+        .load()
+        .select("o_orderkey", "o_custkey", "v")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "delta_dv_dml_roundtrip",
     oracle=_UPDATE_DELETE_ORACLE,
     doc="Merge-on-read twin of `delta_update_delete_roundtrip`: the "

@@ -1151,6 +1151,88 @@ def streaming_txn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_delta_native_source",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="A native Delta table consumed AS A STREAM through the "
+    "delta_native Python DataSource (sources/delta_datasource — the "
+    "delta-spark streaming-source semantics on Spark 4's DataSource "
+    "API, no JVM extension): the first batch is the table's current "
+    "snapshot; after two more appends, a checkpoint-resumed run "
+    "consumes ONLY the new commits' add actions (asserted in-row) — "
+    "offsets are {'version': N} watermarks, so per-trigger cost is "
+    "O(new commits), never a rescan.  The accumulated batches must "
+    "equal the source relation exactly (the shared append oracle).  "
+    "This closes the lakehouse loop: native writers produce the "
+    "table, the change feed gives row-level diffs, and this source "
+    "gives the file-level streaming tail every bronze→silver hop "
+    "starts from.",
+)
+def streaming_delta_native_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.sources.delta_write import write_delta
+
+    register_native_datasources(spark)
+    ev = load_source(spark, f"{sf_dir}/events.parquet", "parquet")
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/bronze"
+        ck = f"{work}/ck"
+        sink = f"{work}/sink"
+        write_delta(
+            ev.filter(F.col("event_id") % 3 == 0), tbl, mode="overwrite"
+        )
+        batches: list[tuple[int, int]] = []
+
+        def _drain() -> None:
+            def fb(df: DataFrame, bid: int) -> None:
+                batches.append((bid, df.count()))
+                df.write.mode("append").parquet(sink)
+
+            q = (
+                spark.readStream.format("delta_native")
+                .option("path", tbl)
+                .load()
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _drain()  # batch 0: the initial snapshot
+        n0 = batches[0][1]
+        for m in (1, 2):
+            write_delta(
+                ev.filter(F.col("event_id") % 3 == m), tbl, mode="append"
+            )
+        _drain()  # resumed: ONLY the two new commits
+        assert sum(n for _, n in batches[1:]) == ev.count() - n0
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.col("value")
+                .cast("decimal(18,4)")
+                .cast("double")
+                .alias("value"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
     "streaming_wap_iceberg_publish",
     oracle="""
     SELECT event_id, user_id, event_type,

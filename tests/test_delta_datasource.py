@@ -1,0 +1,154 @@
+"""The delta_native Python DataSource: batch + streaming reads of the
+native Delta writer's tables through Spark 4's DataSource API — no
+JVM extension, worker-side read is pyarrow-only.
+
+Streaming semantics mirror delta-spark's streaming source: initial
+snapshot first, then O(new commits) per trigger; DML commits refuse
+without ignoreDeletes/ignoreChanges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.sources import load_source
+from pg_analytics_spark.sources.delta_write import (
+    delete_delta,
+    update_delta,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def ds(spark):
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+
+    register_native_datasources(spark)
+    return spark
+
+
+def _mk(spark, a, b):
+    return spark.createDataFrame(
+        [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+    )
+
+
+def test_batch_scan_matches_replay_reader(ds, tmp_path):
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(i, "a b" if i % 2 else "z", float(i)) for i in range(20)],
+        "id bigint, p string, v double",
+    )
+    write_delta(df, d, mode="overwrite", partition_by="p")
+    out = ds.read.format("delta_native").option("path", d).load()
+    ref = load_source(ds, d, "delta")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.select(*out.columns).collect())
+    )
+    assert [f.dataType for f in out.schema] == [
+        f.dataType for f in ref.select(*out.columns).schema
+    ]
+
+
+def test_batch_partition_filter_prunes_and_matches(ds, tmp_path):
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(i, f"g{i % 4}", float(i)) for i in range(40)],
+        "id bigint, p string, v double",
+    )
+    write_delta(df, d, mode="overwrite", partition_by="p")
+    out = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .load()
+        .filter(F.col("p") == "g1")
+    )
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [i for i in range(40) if i % 4 == 1]
+
+
+def test_batch_reads_dv_and_version_as_of(ds, tmp_path):
+    d = str(tmp_path / "t")
+    write_delta(_mk(ds, 0, 20), d, mode="overwrite")
+    delete_delta(ds, d, "id < 5", dv=True)  # merge-on-read
+    out = ds.read.format("delta_native").option("path", d).load()
+    assert sorted(r["id"] for r in out.collect()) == list(range(5, 20))
+    v0 = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .option("versionAsOf", 0)
+        .load()
+    )
+    assert v0.count() == 20
+
+
+def test_batch_schema_evolution_null_fills(ds, tmp_path):
+    d = str(tmp_path / "t")
+    write_delta(_mk(ds, 0, 5), d, mode="overwrite")
+    evolved = ds.createDataFrame(
+        [(9, 9.0, "x")], "id bigint, v double, tag string"
+    )
+    write_delta(
+        evolved, d, mode="append", options={"mergeSchema": "true"}
+    )
+    out = ds.read.format("delta_native").option("path", d).load()
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows[9] == "x" and rows[0] is None
+
+
+def _run_stream(spark, d, ck, acc, **opts):
+    reader = spark.readStream.format("delta_native").option("path", d)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+
+    def fb(df, bid):
+        acc.append((bid, sorted(r["id"] for r in df.collect())))
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_initial_snapshot_then_incremental(ds, tmp_path):
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_delta(_mk(ds, 0, 10), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    assert acc and acc[0][1] == list(range(10))  # initial snapshot
+    write_delta(_mk(ds, 10, 13), d, mode="append")
+    write_delta(_mk(ds, 13, 15), d, mode="append")
+    _run_stream(ds, d, ck, acc)
+    # the restart consumed ONLY the two new commits' adds
+    assert acc[-1][1] == list(range(10, 15))
+    _run_stream(ds, d, ck, acc)  # nothing new → no batch
+    assert acc[-1][1] == list(range(10, 15))
+
+
+def test_stream_refuses_dml_without_options(ds, tmp_path):
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_delta(_mk(ds, 0, 10), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    delete_delta(ds, d, "id = 0")
+    with pytest.raises(Exception, match="remove actions|append-only"):
+        _run_stream(ds, d, ck, acc)
+
+
+def test_stream_ignore_changes_reemits_rewritten_files(ds, tmp_path):
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_delta(_mk(ds, 0, 10).coalesce(1), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc, ignoreChanges="true")
+    update_delta(ds, d, {"v": "v + 1"}, "id = 3")  # rewrites the file
+    _run_stream(ds, d, ck, acc, ignoreChanges="true")
+    # the rewritten file re-emits ALL its surviving rows (delta-spark's
+    # documented ignoreChanges contract: downstream dedupes)
+    assert acc[-1][1] == list(range(10))
