@@ -471,5 +471,10 @@ def register_native_datasources(spark) -> None:
     Also enables Python-DataSource filter pushdown — a runtime SQL
     conf that is off by default and REQUIRED once a reader defines
     ``pushFilters`` (Spark refuses the mismatch loudly)."""
+    from pg_analytics_spark.sources.iceberg_datasource import (
+        IcebergNativeDataSource,
+    )
+
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeltaNativeDataSource)
+    spark.dataSource.register(IcebergNativeDataSource)

@@ -200,46 +200,30 @@ def _snapshot_at(meta: dict, ts_ms: int) -> int:
     return max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
 
 
-def _load_via_metadata(
-    spark: SparkSession,
+def plan_snapshot(
     table_path: str,
+    meta: dict,
+    snap: dict,
     allow_moved_paths: bool = False,
-    snapshot_id: int | None = None,
-    as_of_timestamp_ms: int | None = None,
     partition_filter: list | None = None,
-) -> DataFrame:
-    meta_file = _latest_metadata_file(table_path)
-    with open(meta_file) as fh:
-        meta: dict[str, Any] = json.load(fh)
-    # identity-partition constant projection applies only to tables
-    # that adopted foreign files (add_files / zero-copy migration set
-    # this property) — native tables keep the zero-cost path, since
-    # this writer's own partitioned files CARRY their source columns
+) -> tuple[
+    dict[str, int],
+    list[str],
+    list[tuple[str, int]],
+    dict[str, dict[str, Any]],
+    int,
+]:
+    """Pure-Python (no Spark) file plan for one snapshot: walk the
+    manifest list and return ``(data_files path→sequence-number,
+    pos_delete_files, eq_delete_files (path, seq), part_proj
+    path→identity-partition constants for adopted tables, pruned
+    count)``.  Shared by the DataFrame reader and the iceberg_native
+    DataSource (whose planning runs in Spark's data-source worker,
+    where no SparkContext exists)."""
     adopted = (meta.get("properties") or {}).get(
         "adoption.contains-foreign-files"
     ) == "true"
     part_proj: dict[str, dict[str, Any]] = {}
-    # time travel: an explicit snapshot_id overrides the current one;
-    # as_of_timestamp_ms resolves through the snapshot log
-    snap_id = (
-        snapshot_id
-        if snapshot_id is not None
-        else _snapshot_at(meta, as_of_timestamp_ms)
-        if as_of_timestamp_ms is not None
-        else meta.get("current-snapshot-id")
-    )
-    snapshots = meta.get("snapshots") or []
-    if snap_id is None or snap_id == -1 or not snapshots:
-        raise MissingDependency(
-            f"Iceberg table has no current snapshot: {table_path}"
-        )
-    snap = next(
-        (s for s in snapshots if s.get("snapshot-id") == snap_id), None
-    )
-    if snap is None:
-        raise MissingDependency(
-            f"current snapshot {snap_id} not in metadata: {meta_file}"
-        )
     manifest_list = _resolve(
         snap["manifest-list"], table_path, allow_moved_paths
     )
@@ -305,6 +289,50 @@ def _load_via_metadata(
                     if vals:
                         part_proj[path] = vals
                 data_files[path] = int(seq)
+    return data_files, pos_delete_files, eq_delete_files, part_proj, pruned
+
+
+def _load_via_metadata(
+    spark: SparkSession,
+    table_path: str,
+    allow_moved_paths: bool = False,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+    partition_filter: list | None = None,
+) -> DataFrame:
+    meta_file = _latest_metadata_file(table_path)
+    with open(meta_file) as fh:
+        meta: dict[str, Any] = json.load(fh)
+    # time travel: an explicit snapshot_id overrides the current one;
+    # as_of_timestamp_ms resolves through the snapshot log
+    snap_id = (
+        snapshot_id
+        if snapshot_id is not None
+        else _snapshot_at(meta, as_of_timestamp_ms)
+        if as_of_timestamp_ms is not None
+        else meta.get("current-snapshot-id")
+    )
+    snapshots = meta.get("snapshots") or []
+    if snap_id is None or snap_id == -1 or not snapshots:
+        raise MissingDependency(
+            f"Iceberg table has no current snapshot: {table_path}"
+        )
+    snap = next(
+        (s for s in snapshots if s.get("snapshot-id") == snap_id), None
+    )
+    if snap is None:
+        raise MissingDependency(
+            f"current snapshot {snap_id} not in metadata: {meta_file}"
+        )
+    data_files, pos_delete_files, eq_delete_files, part_proj, pruned = (
+        plan_snapshot(
+            table_path,
+            meta,
+            snap,
+            allow_moved_paths=allow_moved_paths,
+            partition_filter=partition_filter,
+        )
+    )
     if partition_filter and not data_files:
         # every file pruned: an empty relation with the table's schema
         # still needs the schema — read zero rows of any pruned file is

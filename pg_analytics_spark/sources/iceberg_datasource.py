@@ -1,0 +1,487 @@
+"""Native Iceberg tables as a first-class Spark DataSource — batch AND
+structured streaming — via Spark 4's Python DataSource API.
+
+``spark.read.format("iceberg_native").option("path", p).load()`` and
+``spark.readStream.format("iceberg_native")…`` work against the v2
+tables this repo's zero-dependency writer mints, with NO JVM extension
+and no Iceberg runtime jar.  Planning (metadata + manifest replay via
+the repo's Avro reader, position/equality-delete resolution) happens
+in Spark's data-source worker with pure Python; each task receives a
+self-contained partition — file path, row indices to drop (position
+deletes), equality-delete key tuples scoped by the spec's strict
+``data_seq < delete_seq`` rule, adopted-table identity-partition
+constants, and acceptable source-column names per field (current name
++ every name-mapping alias, so pre-rename files conform) — and reads
+with pyarrow only.
+
+Streaming semantics mirror the Iceberg Spark runtime's streaming read
+(public docs, "Structured Streaming → Streaming Reads"):
+
+- the FIRST batch is the current snapshot (deletes applied);
+- each later batch consumes the MAIN-lineage snapshots committed
+  since the last offset, ordered by sequence number (snapshot ids are
+  random; lineage walking keeps WAP-branch-staged commits invisible
+  until published);
+- only APPEND snapshots stream; an overwrite/replace/delete snapshot
+  refuses loudly unless ``streaming-skip-overwrite-snapshots`` /
+  ``streaming-skip-delete-snapshots`` — the runtime's exact options;
+- offsets are ``{"seq": N}`` watermarks over main-lineage sequence
+  numbers, so checkpoint recovery resumes at the next unconsumed
+  snapshot and per-trigger cost is O(new snapshots), never a rescan.
+
+Reference scope: the reference FDW scans Iceberg through DuckDB's
+iceberg extension (src/fdw/handler.rs); this module is the
+Spark-native equivalent plus the streaming tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from pg_analytics_spark.errors import UnsupportedFormat
+
+#: same structural fix as delta_datasource._REPO_ROOT — planning runs
+#: in a separate python worker that doesn't inherit the driver's
+#: sys.path mutations
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _ensure_importable() -> None:
+    try:
+        import pg_analytics_spark  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+
+        if _REPO_ROOT not in sys.path:
+            sys.path.append(_REPO_ROOT)
+
+
+class _IceFilePartition(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        file_seq: int,
+        drop_rows: list[int],
+        eq_deletes: list[tuple[int, list[list[str]], list[tuple]]],
+        part_values: dict,
+        name_alts: dict[str, list[str]],
+        arrow_schema,
+    ) -> None:
+        self.file_path = file_path
+        self.file_seq = file_seq
+        self.drop_rows = drop_rows
+        self.eq_deletes = eq_deletes
+        self.part_values = part_values
+        self.name_alts = name_alts
+        self.arrow_schema = arrow_schema
+
+
+def _read_ice_partition(part: _IceFilePartition):
+    """Worker-side read: pyarrow only.  Applies position deletes by
+    physical index, then equality deletes (null-safe tuple match,
+    only those with delete_seq > this file's data_seq — the spec's
+    strict inequality), then conforms to the declared schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(part.file_path)
+    n = t.num_rows
+    if part.drop_rows:
+        keep = [True] * n
+        for r in part.drop_rows:
+            keep[r] = False
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+
+    names = set(t.column_names)
+
+    def _resolve_col(alts: list[str]):
+        for a in alts:
+            if a in names:
+                return t[a]
+        return None
+
+    for dseq, key_alts, tuples in part.eq_deletes:
+        if not (part.file_seq < dseq) or n == 0:
+            continue
+        cols = []
+        for alts in key_alts:
+            c = _resolve_col(alts)
+            cols.append(
+                c.to_pylist() if c is not None else [None] * n
+            )
+        dead = set(tuples)
+        keep = [
+            tuple(col[i] for col in cols) not in dead for i in range(n)
+        ]
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+
+    out_cols = []
+    names = set(t.column_names)
+    for field in part.arrow_schema:
+        if field.name in part.part_values:
+            v = part.part_values[field.name]
+            if v is None:
+                arr = pa.nulls(n, field.type)
+            else:
+                arr = pa.array([v] * n).cast(field.type)
+        else:
+            src = _resolve_col(
+                part.name_alts.get(field.name, [field.name])
+            )
+            if src is not None:
+                arr = src
+                if arr.type != field.type:
+                    arr = arr.cast(field.type)
+            else:
+                arr = pa.nulls(n, field.type)
+        out_cols.append(arr)
+    yield from pa.table(out_cols, schema=part.arrow_schema).to_batches()
+
+
+# ------------------------------------------------------------------ #
+# Context-free planning
+# ------------------------------------------------------------------ #
+
+
+def _load_meta(path: str) -> dict:
+    _ensure_importable()
+    from pg_analytics_spark.sources.iceberg import _latest_metadata_file
+
+    with open(_latest_metadata_file(path)) as fh:
+        return json.load(fh)
+
+
+def _spark_schema(meta: dict):
+    _ensure_importable()
+    from pg_analytics_spark.sources.iceberg import (
+        _current_fields,
+        _ice_to_spark_type,
+    )
+
+    parts = []
+    for f in _current_fields(meta):
+        ddl = _ice_to_spark_type(f["type"])
+        if ddl is None:
+            raise UnsupportedFormat(
+                f"iceberg_native: field {f['name']!r} has a nested "
+                f"type ({f['type']!r}) — read it via load_source's "
+                "iceberg reader instead"
+            )
+        parts.append(f"`{f['name']}` {ddl}")
+    return ", ".join(parts)  # DDL text: parsed JVM-side by Spark
+
+
+def _name_alternatives(meta: dict) -> dict[str, list[str]]:
+    """Current field name → every on-disk name that resolves to the
+    same field id (name-mapping aliases cover pre-RENAME files)."""
+    _ensure_importable()
+    from pg_analytics_spark.sources.iceberg import (
+        _current_fields,
+        _name_mapping_ids,
+    )
+
+    by_id: dict[int, list[str]] = {}
+    for n, fid in _name_mapping_ids(meta).items():
+        by_id.setdefault(fid, []).append(n)
+    out: dict[str, list[str]] = {}
+    for f in _current_fields(meta):
+        alts = [f["name"]]
+        for n in by_id.get(f["id"], []):
+            if n not in alts:
+                alts.append(n)
+        out[f["name"]] = alts
+    return out
+
+
+def _plan_partitions(
+    path: str,
+    meta: dict,
+    snap: dict,
+    arrow_schema,
+    only_paths: set[str] | None = None,
+) -> list[_IceFilePartition]:
+    """File plan → self-contained partitions.  Pos/eq delete files are
+    read HERE (driver-side, change-sized) so workers never touch
+    metadata.  ``only_paths`` restricts to specific data files (the
+    streaming incremental case — deletes still come from the full
+    snapshot plan so visibility rules hold)."""
+    _ensure_importable()
+    import pyarrow.parquet as pq
+
+    from pg_analytics_spark.sources.iceberg import (
+        _current_fields,
+        _delete_key_py,
+        _name_mapping_ids,
+        plan_snapshot,
+    )
+
+    data_files, pos_files, eq_files, part_proj, _pruned = plan_snapshot(
+        path, meta, snap
+    )
+    # position deletes: file_path → sorted physical row indices,
+    # keyed by the reader's canonical suffix (_delete_key_py strips
+    # file: prefixes and roots at /data/, matching the writer's URIs)
+    drops: dict[str, list[int]] = {}
+    for p in sorted(set(pos_files)):
+        t = pq.read_table(p, columns=["file_path", "pos"])
+        for fp, pos in zip(
+            t["file_path"].to_pylist(), t["pos"].to_pylist()
+        ):
+            drops.setdefault(_delete_key_py(fp), []).append(int(pos))
+    # equality deletes: (seq, per-key acceptable names, key tuples)
+    name_alts = _name_alternatives(meta)
+    id_of_name = {n: i for n, i in _name_mapping_ids(meta).items()}
+    for f in _current_fields(meta):
+        id_of_name.setdefault(f["name"], f["id"])
+    alts_of_id: dict[int, list[str]] = {}
+    for f in _current_fields(meta):
+        alts_of_id[f["id"]] = name_alts[f["name"]]
+    eq_specs: list[tuple[int, list[list[str]], list[tuple]]] = []
+    for p, dseq in sorted(eq_files):
+        t = pq.read_table(p)
+        key_alts = []
+        for c in t.column_names:
+            fid = id_of_name.get(c)
+            key_alts.append(alts_of_id.get(fid, [c]))
+        tuples = list(
+            zip(*(t[c].to_pylist() for c in t.column_names))
+        )
+        eq_specs.append((int(dseq), key_alts, tuples))
+    out = []
+    for fp in sorted(data_files):
+        if only_paths is not None and fp not in only_paths:
+            continue
+        out.append(
+            _IceFilePartition(
+                fp,
+                int(data_files[fp]),
+                sorted(drops.get(_delete_key_py(fp), [])),
+                eq_specs,
+                part_proj.get(fp, {}),
+                name_alts,
+                arrow_schema,
+            )
+        )
+    return out
+
+
+def _main_lineage(meta: dict) -> list[dict]:
+    """Current snapshot's ancestry (main lineage), OLDEST first —
+    WAP-branch-staged snapshots are excluded until published."""
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    cur = meta.get("current-snapshot-id")
+    chain = []
+    while cur is not None and cur in snaps:
+        s = snaps[cur]
+        chain.append(s)
+        cur = s.get("parent-snapshot-id")
+    chain.reverse()
+    return chain
+
+
+class _IceBatchReader(DataSourceReader):
+    def __init__(self, path: str, snapshot_id: int | None) -> None:
+        self._path = path
+        self._meta = _load_meta(path)
+        snap_id = (
+            snapshot_id
+            if snapshot_id is not None
+            else self._meta.get("current-snapshot-id")
+        )
+        snap = next(
+            (
+                s
+                for s in self._meta.get("snapshots", [])
+                if s["snapshot-id"] == snap_id
+            ),
+            None,
+        )
+        if snap is None:
+            raise UnsupportedFormat(
+                f"iceberg_native: snapshot {snap_id} not found at {path}"
+            )
+        self._snap = snap
+
+    def partitions(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return _plan_partitions(
+            self._path,
+            self._meta,
+            self._snap,
+            to_arrow_schema(self._schema_struct),
+        )
+
+    def read(self, partition):
+        yield from _read_ice_partition(partition)
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, options: dict) -> None:
+        self._path = path
+        self._skip_overwrite = (
+            str(
+                options.get("streaming-skip-overwrite-snapshots", "false")
+            ).lower()
+            == "true"
+        )
+        self._skip_delete = (
+            str(
+                options.get("streaming-skip-delete-snapshots", "false")
+            ).lower()
+            == "true"
+        )
+        _load_meta(path)  # fail fast on a non-table
+
+    def initialOffset(self) -> dict:
+        return {"seq": -1}
+
+    def latestOffset(self) -> dict:
+        meta = _load_meta(self._path)
+        chain = _main_lineage(meta)
+        return {
+            "seq": int(chain[-1].get("sequence-number", 0)) if chain else -1
+        }
+
+    def partitions(self, start: dict, end: dict):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        sseq, eseq = int(start["seq"]), int(end["seq"])
+        if eseq <= sseq:
+            return []
+        meta = _load_meta(self._path)
+        chain = _main_lineage(meta)
+        arrow_schema = to_arrow_schema(self._schema_struct)
+        by_seq = {
+            int(s.get("sequence-number", 0)): s for s in chain
+        }
+        if sseq < 0:
+            # baseline: the snapshot AT the end watermark, full scan
+            # with deletes applied
+            base = by_seq.get(eseq) or chain[-1]
+            return _plan_partitions(
+                self._path, meta, base, arrow_schema
+            )
+        from pg_analytics_spark.sources.iceberg import plan_snapshot
+
+        parts: list[_IceFilePartition] = []
+        prev = None
+        for s in chain:
+            if int(s.get("sequence-number", 0)) <= sseq:
+                prev = s
+        if prev is None:
+            raise UnsupportedFormat(
+                "iceberg_native stream: the consumed snapshot window "
+                f"(seq ≤ {sseq}) was expired from {self._path} — "
+                "restart the stream to re-baseline"
+            )
+        prev_plan = plan_snapshot(self._path, meta, prev)
+        prev_data, prev_pos, prev_eq = (
+            set(prev_plan[0]),
+            set(prev_plan[1]),
+            {p for p, _ in prev_plan[2]},
+        )
+        for s in chain:
+            seq = int(s.get("sequence-number", 0))
+            if not (sseq < seq <= eseq):
+                continue
+            op = (s.get("summary") or {}).get("operation", "append")
+            cur_plan = plan_snapshot(self._path, meta, s)
+            cur_data = set(cur_plan[0])
+            removed = prev_data - cur_data
+            new_deletes = (
+                (set(cur_plan[1]) - prev_pos)
+                or ({p for p, _ in cur_plan[2]} - prev_eq)
+            )
+            if removed or new_deletes or op != "append":
+                skippable = (
+                    self._skip_delete
+                    if op == "delete"
+                    else self._skip_overwrite
+                )
+                if not skippable:
+                    raise UnsupportedFormat(
+                        f"iceberg_native stream: snapshot seq {seq} is "
+                        f"operation={op!r} with "
+                        f"{len(removed)} removed file(s) / "
+                        f"{'new' if new_deletes else 'no new'} delete "
+                        "files — streaming reads consume APPENDs only. "
+                        "Set streaming-skip-delete-snapshots / "
+                        "streaming-skip-overwrite-snapshots to skip, "
+                        "or use the changelog scan for row-level "
+                        "changes."
+                    )
+            else:
+                added = cur_data - prev_data
+                if added:
+                    parts.extend(
+                        _plan_partitions(
+                            self._path,
+                            meta,
+                            s,
+                            arrow_schema,
+                            only_paths=added,
+                        )
+                    )
+            prev_data = cur_data
+            prev_pos, prev_eq = (
+                set(cur_plan[1]),
+                {p for p, _ in cur_plan[2]},
+            )
+        return parts
+
+    def read(self, partition):
+        yield from _read_ice_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergNativeDataSource(DataSource):
+    """``format("iceberg_native")`` — batch + streaming reads of this
+    repo's native Iceberg v2 tables through the Python DataSource
+    API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_native"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise UnsupportedFormat(
+                "iceberg_native needs .option('path', …) or load(path)"
+            )
+        return p
+
+    def schema(self):
+        return _spark_schema(_load_meta(self._path()))
+
+    def reader(self, schema):
+        r = _IceBatchReader(
+            self._path(),
+            (
+                int(self.options["snapshot_id"])
+                if "snapshot_id" in self.options
+                else None
+            ),
+        )
+        r._schema_struct = schema
+        return r
+
+    def streamReader(self, schema):
+        r = _IceStreamReader(self._path(), dict(self.options))
+        r._schema_struct = schema
+        return r

@@ -1657,6 +1657,14 @@ def _publish_snapshot(
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
+            # parent = the head this commit replaces — required for
+            # lineage walks (WAP fast-forward divergence refusal, the
+            # streaming source's main-lineage filter)
+            **(
+                {"parent-snapshot-id": prev_meta["current-snapshot-id"]}
+                if prev_meta.get("current-snapshot-id") not in (None, -1)
+                else {}
+            ),
             "summary": summary,
         }
     ]
@@ -1838,6 +1846,14 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
+            # parent = the head this commit replaces — required for
+            # lineage walks (WAP fast-forward divergence refusal, the
+            # streaming source's main-lineage filter)
+            **(
+                {"parent-snapshot-id": prev_meta["current-snapshot-id"]}
+                if prev_meta.get("current-snapshot-id") not in (None, -1)
+                else {}
+            ),
             "summary": {
                 "operation": "delete",
                 "added-delete-files": "1",
@@ -2127,6 +2143,14 @@ def compact_iceberg(spark, path: str) -> dict:
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
+            # parent = the head this commit replaces — required for
+            # lineage walks (WAP fast-forward divergence refusal, the
+            # streaming source's main-lineage filter)
+            **(
+                {"parent-snapshot-id": prev_meta["current-snapshot-id"]}
+                if prev_meta.get("current-snapshot-id") not in (None, -1)
+                else {}
+            ),
             # spec-required operation + the count fields external
             # clients expect on a replace (all values are strings)
             "summary": {
@@ -2393,6 +2417,14 @@ def update_iceberg(
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
+            # parent = the head this commit replaces — required for
+            # lineage walks (WAP fast-forward divergence refusal, the
+            # streaming source's main-lineage filter)
+            **(
+                {"parent-snapshot-id": prev_meta["current-snapshot-id"]}
+                if prev_meta.get("current-snapshot-id") not in (None, -1)
+                else {}
+            ),
             "summary": {"operation": "overwrite"},
         }
     ]
@@ -4489,6 +4521,14 @@ def merge_iceberg(
             "manifest-list": mlist,
             "timestamp-ms": now_ms,
             "sequence-number": seq,
+            # parent = the head this commit replaces — required for
+            # lineage walks (WAP fast-forward divergence refusal, the
+            # streaming source's main-lineage filter)
+            **(
+                {"parent-snapshot-id": prev_meta["current-snapshot-id"]}
+                if prev_meta.get("current-snapshot-id") not in (None, -1)
+                else {}
+            ),
             "summary": {"operation": "overwrite"},
         }
     ]

@@ -3052,6 +3052,63 @@ def delta_update_delete_roundtrip(
 
 
 @register(
+    "iceberg_native_datasource_scan",
+    oracle=_UPDATE_DELETE_ORACLE,
+    doc="The iceberg_native Python DataSource (sources/"
+    "iceberg_datasource — Spark 4's DataSource API, no Iceberg "
+    "runtime jar): spark.read.format('iceberg_native') over a native "
+    "v2 table that took merge-on-read UPDATE+DELETE (position "
+    "deletes + updated images), sharing the Delta CoW twin's "
+    "relational oracle — replay reader, Delta CoW, Iceberg MoR, and "
+    "BOTH Python DataSources all give the identical answer.  "
+    "Planning is pure-Python manifest replay in the data-source "
+    "worker; each task reads one parquet file with pyarrow and "
+    "applies its position-delete row drops and any "
+    "sequence-scoped equality deletes locally — per-file work, no "
+    "joins, the per-task shape that holds at any table size.",
+)
+def iceberg_native_datasource_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.sources.iceberg_write import (
+        delete_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_pyds")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    update_iceberg(spark, root, {"v": "v * 2"}, "v < 100000")
+    delete_iceberg(spark, root, "v > 250000")
+    register_native_datasources(spark)
+    return (
+        spark.read.format("iceberg_native")
+        .option("path", root)
+        .load()
+        .select("o_orderkey", "o_custkey", "v")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "delta_native_datasource_scan",
     oracle=_UPDATE_DELETE_ORACLE,
     doc="The delta_native Python DataSource (sources/delta_datasource "

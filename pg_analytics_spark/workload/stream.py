@@ -1233,6 +1233,80 @@ def streaming_delta_native_source(
 
 
 @register(
+    "streaming_iceberg_native_source",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="A native Iceberg table consumed AS A STREAM through the "
+    "iceberg_native Python DataSource (sources/iceberg_datasource — "
+    "the Iceberg runtime's streaming-read semantics on Spark 4's "
+    "DataSource API): the first batch is the current snapshot; a "
+    "checkpoint-resumed run consumes ONLY the new main-lineage "
+    "append snapshots, ordered by sequence number (asserted in-row) "
+    "— so WAP-branch-staged commits never stream until published and "
+    "per-trigger cost is O(new snapshots).  The accumulated batches "
+    "must equal the source relation exactly (shared append oracle).",
+)
+def streaming_iceberg_native_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    register_native_datasources(spark)
+    ev = load_source(spark, f"{sf_dir}/events.parquet", "parquet")
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/bronze_ice"
+        ck = f"{work}/ck"
+        sink = f"{work}/sink"
+        write_iceberg(
+            ev.filter(F.col("event_id") % 3 == 0), tbl, mode="overwrite"
+        )
+        batches: list[tuple[int, int]] = []
+
+        def _drain() -> None:
+            def fb(df: DataFrame, bid: int) -> None:
+                batches.append((bid, df.count()))
+                df.write.mode("append").parquet(sink)
+
+            q = (
+                spark.readStream.format("iceberg_native")
+                .option("path", tbl)
+                .load()
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _drain()  # batch 0: the initial snapshot
+        n0 = batches[0][1]
+        for m in (1, 2):
+            write_iceberg(
+                ev.filter(F.col("event_id") % 3 == m), tbl, mode="append"
+            )
+        _drain()  # resumed: ONLY the two new append snapshots
+        assert sum(n for _, n in batches[1:]) == ev.count() - n0
+        out = spark.read.parquet(sink).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias(
+                "value"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
     "streaming_wap_iceberg_publish",
     oracle="""
     SELECT event_id, user_id, event_type,

@@ -1,0 +1,139 @@
+"""The iceberg_native Python DataSource: batch + streaming reads of
+the native Iceberg v2 writer's tables through Spark 4's DataSource
+API — planning is pure-Python manifest replay, workers read with
+pyarrow only.
+
+Streaming mirrors the Iceberg runtime's streaming read: main-lineage
+append snapshots ordered by sequence number; overwrite/delete
+snapshots refuse unless the runtime's skip options are set;
+WAP-branch-staged commits stay invisible until fast-forward publish.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_analytics_spark.sources import load_source
+from pg_analytics_spark.sources.iceberg_write import (
+    delete_iceberg,
+    fast_forward_iceberg,
+    upsert_iceberg_eq,
+    write_iceberg,
+)
+
+
+@pytest.fixture()
+def ds(spark):
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+
+    register_native_datasources(spark)
+    return spark
+
+
+def _mk(spark, a, b):
+    return spark.createDataFrame(
+        [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+    )
+
+
+def test_batch_scan_with_pos_and_eq_deletes(ds, tmp_path):
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id bigint, p string, v double",
+    )
+    write_iceberg(df, d, mode="overwrite")
+    delete_iceberg(ds, d, "id < 5")  # position deletes
+    src = ds.createDataFrame(
+        [(7, "gX", -7.0), (100, "gN", 100.0)],
+        "id bigint, p string, v double",
+    )
+    upsert_iceberg_eq(ds, d, src, ["id"])  # eq delete + re-add
+    out = ds.read.format("iceberg_native").option("path", d).load()
+    ref = load_source(ds, d, "iceberg")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.select(*out.columns).collect())
+    )
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows[7] == -7.0 and rows[100] == 100.0 and 0 not in rows
+
+
+def test_batch_snapshot_id_time_travel(ds, tmp_path):
+    d = str(tmp_path / "t")
+    r0 = write_iceberg(_mk(ds, 0, 10), d, mode="overwrite")
+    write_iceberg(_mk(ds, 10, 15), d, mode="append")
+    old = (
+        ds.read.format("iceberg_native")
+        .option("path", d)
+        .option("snapshot_id", r0["snapshot_id"])
+        .load()
+    )
+    assert old.count() == 10
+    cur = ds.read.format("iceberg_native").option("path", d).load()
+    assert cur.count() == 15
+
+
+def _run_stream(spark, d, ck, acc, **opts):
+    reader = spark.readStream.format("iceberg_native").option("path", d)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+
+    def fb(df, bid):
+        acc.append((bid, sorted(r["id"] for r in df.collect())))
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_initial_then_incremental_appends(ds, tmp_path):
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_iceberg(_mk(ds, 0, 10), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    assert acc[0][1] == list(range(10))
+    write_iceberg(_mk(ds, 10, 13), d, mode="append")
+    write_iceberg(_mk(ds, 13, 15), d, mode="append")
+    _run_stream(ds, d, ck, acc)
+    assert acc[-1][1] == list(range(10, 15))
+
+
+def test_stream_wap_branch_invisible_until_publish(ds, tmp_path):
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_iceberg(_mk(ds, 0, 5), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    write_iceberg(_mk(ds, 90, 95), d, mode="append", branch="audit")
+    _run_stream(ds, d, ck, acc)
+    # staged-only commit: nothing to consume
+    assert len(acc) == 1 or acc[-1][1] == acc[0][1]
+    n_before = len(acc)
+    fast_forward_iceberg(d, "audit")
+    _run_stream(ds, d, ck, acc)
+    assert len(acc) > n_before and acc[-1][1] == list(range(90, 95))
+
+
+def test_stream_refuses_delete_unless_skipped(ds, tmp_path):
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_iceberg(_mk(ds, 0, 10), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    delete_iceberg(ds, d, "id = 0")
+    with pytest.raises(Exception, match="APPENDs only"):
+        _run_stream(ds, d, ck, acc)
+    _run_stream(
+        ds, d, ck, acc, **{"streaming-skip-delete-snapshots": "true"}
+    )
+    write_iceberg(_mk(ds, 10, 12), d, mode="append")
+    _run_stream(
+        ds, d, ck, acc, **{"streaming-skip-delete-snapshots": "true"}
+    )
+    assert acc[-1][1] == [10, 11]
