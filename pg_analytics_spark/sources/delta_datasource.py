@@ -45,11 +45,14 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from pg_analytics_spark.errors import UnsupportedFormat
@@ -424,9 +427,285 @@ class _DeltaStreamReader(DataSourceStreamReader):
         pass
 
 
+class _DeltaWriteMessage(WriterCommitMessage):
+    def __init__(self, files: list[tuple[str, int, int, str | None]]):
+        #: (relative file name, size bytes, mtime ms, stats json|None)
+        self.files = files
+
+
+def _write_task_files(path: str, schema_names: list[str], iterator):
+    """Worker-side: stream this task's Arrow batches into ONE parquet
+    file under the table root (uuid name — never clobbers), computing
+    the Delta add-action stats (numRecords + min/max/nullCount for
+    primitive columns; float/double columns containing NaN are left
+    out of min/max, the safe pruning choice) from the batches as they
+    pass through.  Returns the commit message; the file only becomes
+    visible if the DRIVER commit publishes it."""
+    import json as _json
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fname = f"part-{_uuid.uuid4().hex}.c000.parquet"
+    full = os.path.join(path, fname)
+    os.makedirs(path, exist_ok=True)
+    writer = None
+    n_rows = 0
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    skip_stats: set = set()
+    statable = (
+        pa.types.is_integer,
+        pa.types.is_floating,
+        pa.types.is_string,
+        pa.types.is_boolean,
+        pa.types.is_date,
+    )
+    for batch in iterator:
+        if writer is None:
+            writer = pq.ParquetWriter(full, batch.schema)
+        writer.write_batch(batch)
+        n_rows += batch.num_rows
+        import pyarrow.compute as pc
+
+        for i, name in enumerate(batch.schema.names):
+            col = batch.column(i)
+            nulls[name] = nulls.get(name, 0) + col.null_count
+            if name in skip_stats or not any(
+                f(col.type) for f in statable
+            ):
+                continue
+            if pa.types.is_floating(col.type) and bool(
+                pc.any(pc.is_nan(pc.drop_null(col))).as_py()
+                if len(col) - col.null_count
+                else False
+            ):
+                # NaN breaks min/max ordering — omit the column
+                skip_stats.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    if writer is None:
+        return _DeltaWriteMessage([])  # empty task: no file minted
+    writer.close()
+    st = os.stat(full)
+    stats = _json.dumps(
+        {
+            "numRecords": n_rows,
+            "minValues": {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in mins.items()
+            },
+            "maxValues": {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in maxs.items()
+            },
+            "nullCount": {k: nulls.get(k, 0) for k in schema_names},
+        }
+    )
+    return _DeltaWriteMessage(
+        [(fname, st.st_size, int(st.st_mtime * 1000), stats)]
+    )
+
+
+def _commit_files(
+    path: str,
+    schema,
+    messages,
+    overwrite: bool,
+    txn: tuple[str, int] | None = None,
+) -> None:
+    """Driver-side commit: publish the tasks' staged files as ONE
+    put-if-absent Delta commit (adds + removes for overwrite +
+    metaData when creating/replacing + SetTransaction for streaming
+    exactly-once).  Mirrors write_delta's semantics for the flat
+    (unpartitioned) layout the DataSource writer stages."""
+    _ensure_importable()
+    import time as _time
+    import uuid as _uuid
+
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_write import (
+        _encode_log_path,
+        _latest_protocol,
+        _next_version,
+        _write_commit,
+        last_txn_version,
+    )
+
+    log_dir = os.path.join(path, "_delta_log")
+    exists = os.path.isdir(log_dir)
+    if txn is not None and exists:
+        last = last_txn_version(path, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            _abort_files(path, messages)  # replayed epoch: drop stage
+            return
+    files = [
+        f for m in messages if m is not None for f in m.files
+    ]
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite" if overwrite else "Append"
+                },
+                "engineInfo": "pg_analytics_spark-delta_native-sink",
+            }
+        }
+    ]
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1])}}
+        )
+    prev_active: dict = {}
+    if exists:
+        prev_active, meta = _replay_log(log_dir)
+        if meta is None:
+            raise UnsupportedFormat(f"no Delta metaData at {path}")
+        have = {
+            (f["name"], json.dumps(f["type"]))
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        want = {
+            (f.name, json.dumps(f.jsonValue()["type"]))
+            for f in schema.fields
+        }
+        if have != want and not overwrite:
+            raise UnsupportedFormat(
+                "delta_native append schema mismatch — evolve via "
+                "write_delta(mergeSchema) or overwrite"
+            )
+        if meta.get("partitionColumns"):
+            raise UnsupportedFormat(
+                "delta_native writer stages unpartitioned files; "
+                "write partitioned tables via write_delta"
+            )
+        if have != want and overwrite:
+            exists = False  # replace: mint fresh metaData below
+        actions.append({"protocol": _latest_protocol(log_dir)})
+    if not exists:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if overwrite:
+        for p in sorted(prev_active):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for fname, size, mtime_ms, stats in files:
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_log_path(fname),
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": mtime_ms,
+                    "dataChange": True,
+                    **({"stats": stats} if stats else {}),
+                }
+            }
+        )
+    version = _next_version(log_dir) if os.path.isdir(log_dir) else 0
+    _write_commit(path, log_dir, version, actions)
+
+
+def _abort_files(path: str, messages) -> None:
+    for m in messages or []:
+        if m is None:
+            continue
+        for fname, *_rest in m.files:
+            try:
+                os.remove(os.path.join(path, fname))
+            except OSError:
+                pass
+
+
+class _DeltaBatchWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema, overwrite: bool) -> None:
+        self._path = path
+        self._schema = schema
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_task_files(
+            self._path, [f.name for f in self._schema.fields], iterator
+        )
+
+    def commit(self, messages):
+        _commit_files(self._path, self._schema, messages, self._overwrite)
+
+    def abort(self, messages):
+        _abort_files(self._path, messages)
+
+
+class _DeltaStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: each epoch commits with a
+    SetTransaction (txn) action keyed by ``txnAppId`` (option;
+    defaults to 'delta_native_sink') and the epoch id — a replayed
+    epoch finds the watermark and publishes NOTHING (its staged files
+    are removed), the delta-spark idempotent-sink contract."""
+
+    def __init__(self, path: str, schema, overwrite: bool, app_id: str):
+        if overwrite:
+            raise UnsupportedFormat(
+                "delta_native streaming sink supports append output "
+                "mode only"
+            )
+        self._path = path
+        self._schema = schema
+        self._app_id = app_id
+
+    def write(self, iterator):
+        return _write_task_files(
+            self._path, [f.name for f in self._schema.fields], iterator
+        )
+
+    def commit(self, messages, batchId: int):
+        _commit_files(
+            self._path,
+            self._schema,
+            messages,
+            overwrite=False,
+            txn=(self._app_id, int(batchId)),
+        )
+
+    def abort(self, messages, batchId: int):
+        _abort_files(self._path, messages)
+
+
 class DeltaNativeDataSource(DataSource):
-    """``format("delta_native")`` — batch + streaming reads of this
-    repo's native Delta tables through the Python DataSource API."""
+    """``format("delta_native")`` — batch + streaming reads AND writes
+    of this repo's native Delta tables through the Python DataSource
+    API."""
 
     @classmethod
     def name(cls) -> str:
@@ -463,6 +742,17 @@ class DeltaNativeDataSource(DataSource):
 
     def streamReader(self, schema):
         return _DeltaStreamReader(self._path(), dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return _DeltaBatchWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _DeltaStreamWriter(
+            self._path(),
+            schema,
+            overwrite,
+            self.options.get("txnappid", "delta_native_sink"),
+        )
 
 
 def register_native_datasources(spark) -> None:

@@ -1233,6 +1233,70 @@ def streaming_delta_native_source(
 
 
 @register(
+    "streaming_delta_native_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="writeStream.format('delta_native') — the native Delta table "
+    "as a DIRECT streaming sink (no foreachBatch): each task stages "
+    "one parquet file from its Arrow batches, the driver publishes "
+    "one put-if-absent commit per epoch carrying a SetTransaction "
+    "action, and a crash-replayed epoch (fresh checkpoint, same "
+    "txnAppId) finds the watermark and publishes NOTHING — its "
+    "staged files are removed, not committed (asserted in-row: the "
+    "table equals the source relation after BOTH runs).  This is the "
+    "sink shape Spark users expect from delta-spark, realized through "
+    "the Python DataSource writer API.",
+)
+def streaming_delta_native_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.streaming.events import read_event_stream
+
+    register_native_datasources(spark)
+    ev = load_source(spark, f"{sf_dir}/events.parquet", "parquet")
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/sink_delta"
+
+        def run(ck: str) -> None:
+            q = (
+                read_event_stream(spark, f"{sf_dir}/events.parquet")
+                .writeStream.format("delta_native")
+                .option("path", tbl)
+                .option("txnAppId", "bronze-native-sink")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(f"{work}/ck")
+        n = load_source(spark, tbl, "delta").count()
+        assert n == ev.count()
+        # crash-replay: a lost checkpoint replays epoch 0 — the txn
+        # watermark publishes nothing twice
+        run(f"{work}/ck2")
+        assert load_source(spark, tbl, "delta").count() == n
+        out = load_source(spark, tbl, "delta").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias(
+                "value"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
     "streaming_iceberg_native_source",
     oracle="""
     SELECT event_id, user_id, event_type,

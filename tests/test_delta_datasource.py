@@ -152,3 +152,104 @@ def test_stream_ignore_changes_reemits_rewritten_files(ds, tmp_path):
     # the rewritten file re-emits ALL its surviving rows (delta-spark's
     # documented ignoreChanges contract: downstream dedupes)
     assert acc[-1][1] == list(range(10))
+
+
+class TestWriter:
+    """The delta_native WRITER half: df.write.format('delta_native')
+    stages one parquet file per task (pyarrow, arrow batches) and the
+    driver publishes ONE put-if-absent Delta commit; the streaming
+    sink commits each epoch with a SetTransaction action so replays
+    publish nothing (exactly-once at the table level)."""
+
+    def test_create_append_overwrite_roundtrip(self, ds, tmp_path):
+        d = str(tmp_path / "t")
+        _mk(ds, 0, 10).write.format("delta_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        assert load_source(ds, d, "delta").count() == 10
+        _mk(ds, 10, 15).write.format("delta_native").mode(
+            "append"
+        ).option("path", d).save()
+        got = sorted(
+            r["id"] for r in load_source(ds, d, "delta").collect()
+        )
+        assert got == list(range(15))
+        _mk(ds, 0, 3).write.format("delta_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        assert load_source(ds, d, "delta").count() == 3
+        # time travel across the sink's commits still works
+        from pg_analytics_spark.sources.delta import _load_via_log
+
+        assert _load_via_log(ds, d, version=1).count() == 15
+
+    def test_add_actions_carry_stats_for_skipping(self, ds, tmp_path):
+        import json as _json
+        import os as _os
+
+        d = str(tmp_path / "t")
+        _mk(ds, 0, 100).coalesce(2).write.format("delta_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        log = _os.path.join(d, "_delta_log")
+        fn = sorted(
+            f for f in _os.listdir(log) if f.endswith(".json")
+        )[-1]
+        adds = [
+            _json.loads(line)["add"]
+            for line in open(_os.path.join(log, fn))
+            if '"add"' in line
+        ]
+        assert adds
+        st = _json.loads(adds[0]["stats"])
+        assert st["numRecords"] > 0
+        assert "id" in st["minValues"] and "id" in st["maxValues"]
+        # the replay reader's stats filter can now skip these files
+        from pg_analytics_spark.sources.delta import _load_via_log
+
+        lo = _load_via_log(ds, d, stats_filter={"id": (0, 5)})
+        assert lo.count() >= 6  # at least the matching file's rows
+
+    def test_append_schema_mismatch_refused(self, ds, tmp_path):
+        d = str(tmp_path / "t")
+        _mk(ds, 0, 5).write.format("delta_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        bad = ds.createDataFrame([(1, "x")], "id bigint, s string")
+        with pytest.raises(Exception, match="schema mismatch"):
+            bad.write.format("delta_native").mode("append").option(
+                "path", d
+            ).save()
+
+    def test_stream_sink_exactly_once_replay(self, ds, tmp_path):
+        src, d, ck = (
+            str(tmp_path / "src"),
+            str(tmp_path / "t"),
+            str(tmp_path / "ck"),
+        )
+        _mk(ds, 0, 20).write.parquet(src)
+
+        def run(ckpt):
+            q = (
+                ds.readStream.schema("id bigint, v double")
+                .parquet(src)
+                .writeStream.format("delta_native")
+                .option("path", d)
+                .option("txnAppId", "sink-test")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(ck)
+        assert load_source(ds, d, "delta").count() == 20
+        # a restarted query that LOST its checkpoint replays epoch 0 —
+        # the txn watermark publishes nothing twice
+        run(str(tmp_path / "ck2"))
+        assert load_source(ds, d, "delta").count() == 20
+        from pg_analytics_spark.sources.delta_write import (
+            last_txn_version,
+        )
+
+        assert last_txn_version(d, "sink-test") == 0
