@@ -111,6 +111,12 @@ STREAMING_ROWS = frozenset(
         "streaming_cdc_upsert",
         "streaming_iceberg_cdc_upsert",
         "streaming_txn_append",
+        # round-11 rows: each runs one or more REAL streaming engine
+        # starts (availableNow drains, some twice for crash-replay)
+        "streaming_wap_iceberg_publish",
+        "streaming_delta_native_source",
+        "streaming_iceberg_native_source",
+        "streaming_delta_native_sink",
     }
 )
 
@@ -155,6 +161,12 @@ WRITER_ROWS = frozenset(
         "iceberg_snapshot_migrate",
         "iceberg_wap_publish",
         "delta_convert_roundtrip",
+        # round-11 writer-lifecycle fixtures (build table + DML + read)
+        "iceberg_add_files_roundtrip",
+        "iceberg_snapshot_partitioned_migrate",
+        "iceberg_rewrite_data_files_roundtrip",
+        "delta_native_datasource_scan",
+        "iceberg_native_datasource_scan",
     }
 )
 
@@ -272,6 +284,20 @@ HEADLINE_NEXT8: list = [
 ]
 
 
+#: round-11 additions measure here; earlier groups frozen.
+HEADLINE_NEXT10: list = [
+    "iceberg_add_files_roundtrip",
+    "iceberg_snapshot_partitioned_migrate",
+    "iceberg_rewrite_data_files_roundtrip",
+    "streaming_wap_iceberg_publish",
+    "delta_native_datasource_scan",
+    "iceberg_native_datasource_scan",
+    "streaming_delta_native_source",
+    "streaming_iceberg_native_source",
+    "streaming_delta_native_sink",
+]
+
+
 #: round-10 additions measure here; earlier groups frozen.
 HEADLINE_NEXT9: list = [
     "delta_shallow_clone",
@@ -341,6 +367,7 @@ def main() -> None:
     timings_next7, cold_next7 = _measure(HEADLINE_NEXT7)
     timings_next8, cold_next8 = _measure(HEADLINE_NEXT8)
     timings_next9, cold_next9 = _measure(HEADLINE_NEXT9)
+    timings_next10, cold_next10 = _measure(HEADLINE_NEXT10)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -470,6 +497,28 @@ def main() -> None:
         ),
         "value_next9_writer": round(
             sum(v for k, v in timings_next9.items() if k in WRITER_ROWS),
+            3,
+        ),
+        "value_next10": round(sum(timings_next10.values()), 3),
+        "queries_next10": timings_next10,
+        "value_next10_batch": round(
+            sum(
+                v
+                for k, v in timings_next10.items()
+                if k not in WRITER_ROWS and k not in STREAMING_ROWS
+            ),
+            3,
+        ),
+        "value_next10_writer": round(
+            sum(v for k, v in timings_next10.items() if k in WRITER_ROWS),
+            3,
+        ),
+        "value_next10_streaming": round(
+            sum(
+                v
+                for k, v in timings_next10.items()
+                if k in STREAMING_ROWS
+            ),
             3,
         ),
         "runs": runs,

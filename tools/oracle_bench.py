@@ -22,6 +22,7 @@ from bench import (
     HEADLINE_NEXT7,
     HEADLINE_NEXT8,
     HEADLINE_NEXT9,
+    HEADLINE_NEXT10,
     STREAMING_ROWS,
     WRITER_ROWS,
 )
@@ -68,6 +69,13 @@ def main() -> None:
             if q not in WRITER_ROWS and q not in STREAMING_ROWS
         ]
     )
+    timings_next10 = _measure(
+        [
+            q
+            for q in HEADLINE_NEXT10
+            if q not in WRITER_ROWS and q not in STREAMING_ROWS
+        ]
+    )
     print(
         json.dumps(
             {
@@ -89,6 +97,10 @@ def main() -> None:
                     sum(timings_next9.values()), 4
                 ),
                 "queries_next9": timings_next9,
+                "value_next10_batch": round(
+                    sum(timings_next10.values()), 4
+                ),
+                "queries_next10": timings_next10,
             }
         )
     )
