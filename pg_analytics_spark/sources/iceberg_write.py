@@ -3416,19 +3416,52 @@ def expire_iceberg_snapshots(
         main_anc.add(node)
         node = (by_id.get(node) or {}).get("parent-snapshot-id")
     stop = base_kept | main_anc
-    for _name, ref in (prev_meta.get("refs") or {}).items():
+    # per-ref retention fields (spec §refs, the runtime's branch/tag
+    # retention): a ref past its max-ref-age-ms (measured from its
+    # snapshot's commit time) ages OUT of the refs map and stops
+    # pinning anything; a branch's ancestry is bounded by
+    # min-snapshots-to-keep (head always kept, default 1) and
+    # max-snapshot-age-ms (older ancestors release once the minimum
+    # is satisfied).  Absent fields keep today's safe default: the
+    # whole ref-exclusive ancestry back to main's retained lineage.
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    refs_out = dict(prev_meta.get("refs") or {})
+    for _name, ref in list(refs_out.items()):
         rid = ref.get("snapshot-id")
         if rid not in by_id:
             raise UnsupportedFormat(
                 f"refusing to expire {path}: ref {_name!r} points at "
                 f"snapshot {rid} which is not in the table metadata"
             )
+        max_ref_age = ref.get("max-ref-age-ms")
+        if (
+            max_ref_age is not None
+            and now_ms - int(by_id[rid].get("timestamp-ms") or 0)
+            > int(max_ref_age)
+        ):
+            del refs_out[_name]  # aged out: no longer a retention root
+            continue
         if ref.get("type") == "branch":
+            min_keep = int(ref.get("min-snapshots-to-keep") or 1)
+            max_age = ref.get("max-snapshot-age-ms")
             node = rid
+            kept_n = 0
             while node is not None:
                 if node != rid and node in stop:
                     break
+                if (
+                    node != rid
+                    and kept_n >= min_keep
+                    and max_age is not None
+                    and now_ms
+                    - int((by_id.get(node) or {}).get("timestamp-ms") or 0)
+                    > int(max_age)
+                ):
+                    break
                 kept_ids.add(node)
+                kept_n += 1
                 node = (by_id.get(node) or {}).get("parent-snapshot-id")
         else:
             kept_ids.add(rid)
@@ -3470,6 +3503,7 @@ def expire_iceberg_snapshots(
         drop_meta |= mt
 
     new_meta = dict(prev_meta)
+    new_meta["refs"] = refs_out  # aged-out refs leave the map here
     new_meta["snapshots"] = [
         s for s in snaps if s["snapshot-id"] in kept_ids
     ]
@@ -4002,6 +4036,9 @@ def alter_iceberg_refs(
     branch: str | None = None,
     drop: str | None = None,
     snapshot_id: int | None = None,
+    max_ref_age_ms: int | None = None,
+    max_snapshot_age_ms: int | None = None,
+    min_snapshots_to_keep: int | None = None,
 ) -> dict:
     """Snapshot REFS — Iceberg v2's named ``refs`` map (spec §refs):
     ``tag`` pins an IMMUTABLE name to a snapshot (audit marks,
@@ -4054,7 +4091,28 @@ def alter_iceberg_refs(
                     f"{refs[name].get('type')} — tags are immutable "
                     "(drop it first)"
                 )
-        refs[name] = {"snapshot-id": sid, "type": rtype}
+        entry = {"snapshot-id": sid, "type": rtype}
+        # spec §refs retention fields — consulted by expire_snapshots:
+        # max-ref-age-ms ages the REF itself out (any type);
+        # max-snapshot-age-ms / min-snapshots-to-keep bound how much
+        # of a BRANCH's ancestry the ref pins (tags pin one snapshot,
+        # so the branch-only fields are refused on them)
+        if max_ref_age_ms is not None:
+            entry["max-ref-age-ms"] = int(max_ref_age_ms)
+        if max_snapshot_age_ms is not None or min_snapshots_to_keep is not None:
+            if rtype != "branch":
+                raise UnsupportedFormat(
+                    "max-snapshot-age-ms / min-snapshots-to-keep are "
+                    "branch retention fields (a tag pins exactly one "
+                    "snapshot)"
+                )
+            if max_snapshot_age_ms is not None:
+                entry["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+            if min_snapshots_to_keep is not None:
+                entry["min-snapshots-to-keep"] = int(
+                    min_snapshots_to_keep
+                )
+        refs[name] = entry
     meta = dict(prev_meta)
     meta["refs"] = refs
     meta["last-updated-ms"] = int(_time.time() * 1000)

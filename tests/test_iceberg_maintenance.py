@@ -602,3 +602,111 @@ def test_rewrite_data_files_partitioned_and_target_size(spark, tmp_path):
     # huge target leaves nothing to do; tiny target packs nothing
     r2 = rewrite_data_files_iceberg(spark, path, target_file_size_bytes=10)
     assert r2["snapshot_id"] is None
+
+
+def test_expire_ref_level_retention(spark, tmp_path):
+    """Spec §refs retention fields: max-ref-age-ms ages a ref out of
+    the map (it stops pinning); a branch's ancestry keeps
+    min-snapshots-to-keep and releases ancestors past
+    max-snapshot-age-ms; absent fields keep the safe default (whole
+    ref-exclusive ancestry)."""
+    import time
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg import _latest_metadata_file
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+
+    def mk(a, b):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+        )
+
+    r0 = write_iceberg(mk(0, 5), path, mode="overwrite")
+    write_iceberg(mk(5, 8), path, mode="append")
+    write_iceberg(mk(8, 10), path, mode="append")
+    # an aged-out tag releases its snapshot; a fresh one pins it
+    alter_iceberg_refs(
+        path, tag="old", snapshot_id=r0["snapshot_id"], max_ref_age_ms=1
+    )
+    alter_iceberg_refs(
+        path,
+        tag="fresh",
+        snapshot_id=r0["snapshot_id"],
+        max_ref_age_ms=3_600_000,
+    )
+    time.sleep(0.01)
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    import json as _json
+
+    meta = _json.load(open(_latest_metadata_file(path)))
+    assert "old" not in (meta.get("refs") or {})
+    assert "fresh" in meta["refs"]
+    # the fresh tag still reads
+    assert (
+        load_source(
+            spark, path, "iceberg", {"ref": "fresh"}
+        ).count()
+        == 5
+    )
+    # drop the fresh tag; a second expire reclaims the snapshot
+    alter_iceberg_refs(path, drop="fresh")
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    meta = _json.load(open(_latest_metadata_file(path)))
+    assert len(meta["snapshots"]) == 1
+
+
+def test_expire_branch_ancestry_bounds(spark, tmp_path):
+    """min-snapshots-to-keep / max-snapshot-age-ms bound how much of a
+    branch's REF-EXCLUSIVE ancestry (the WAP audit window) the ref
+    pins; shared main ancestry stays governed by the table policy.
+    Absent fields keep the whole exclusive chain (the safe default)."""
+    import json as _json
+    import time
+
+    from pg_analytics_spark.sources.iceberg import _latest_metadata_file
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    def mk(a, b):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+        )
+
+    def staged(path, bounds):
+        # main base + THREE branch-staged commits (exclusive ancestry)
+        write_iceberg(mk(0, 3), path, mode="overwrite")
+        for lo in (3, 5, 7):
+            write_iceberg(
+                mk(lo, lo + 2), path, mode="append", branch="audit"
+            )
+        if bounds:
+            # re-point the ref with retention fields (branch repoint
+            # keeps the head; fields ride the refs entry)
+            meta = _json.load(open(_latest_metadata_file(path)))
+            head = meta["refs"]["audit"]["snapshot-id"]
+            alter_iceberg_refs(
+                path, branch="audit", snapshot_id=head, **bounds
+            )
+        time.sleep(0.01)
+        expire_iceberg_snapshots(spark, path, retain_last=1)
+        return _json.load(open(_latest_metadata_file(path)))
+
+    # default: the whole exclusive chain survives (3 staged + main)
+    meta = staged(str(tmp_path / "t0"), None)
+    assert len(meta["snapshots"]) == 4
+    # bounded: keep 2 of the staged chain once ages pass
+    meta = staged(
+        str(tmp_path / "t1"),
+        {"min_snapshots_to_keep": 2, "max_snapshot_age_ms": 1},
+    )
+    assert len(meta["snapshots"]) == 3  # main head + 2 staged
+    assert "audit" in meta["refs"]
