@@ -167,6 +167,7 @@ WRITER_ROWS = frozenset(
         "iceberg_rewrite_data_files_roundtrip",
         "delta_native_datasource_scan",
         "iceberg_native_datasource_scan",
+        "delta_generated_columns",
     }
 )
 
@@ -295,6 +296,7 @@ HEADLINE_NEXT10: list = [
     "streaming_delta_native_source",
     "streaming_iceberg_native_source",
     "streaming_delta_native_sink",
+    "delta_generated_columns",
 ]
 
 

@@ -1130,8 +1130,17 @@ def write_delta(
     options: dict | None = None,
     configuration: dict | None = None,
     txn: tuple[str, int] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``.
+
+    ``generated`` declares GENERATED COLUMNS on the creating commit
+    (protocol writer feature ``generatedColumns``, minWriterVersion 4;
+    the schemaString field metadata key ``delta.generationExpression``):
+    ``{"col": "sql expr"}``.  Every later write computes an absent
+    generated column and VALIDATES a provided one (mismatch refuses
+    the write); DML rewrites recompute.  Declaration is
+    creation-only, like delta-spark's.
 
     ``configuration`` sets table properties on the CREATING commit's
     metaData (TBLPROPERTIES analog) — e.g.
@@ -1170,7 +1179,43 @@ def write_delta(
         from pg_analytics_spark.sources.delta import _replay_log
 
         prev_active, prev_meta = _replay_log(log_dir)
+    if generated and version > 0:
+        raise UnsupportedFormat(
+            "generated columns are declared when the table is CREATED "
+            "(delta-spark's contract) — this table already exists"
+        )
+    if generated and (configuration or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none",):
+        raise UnsupportedFormat(
+            "generated columns + column mapping on one table is not "
+            "supported by this writer"
+        )
+    gen_map = (
+        dict(generated or {})
+        if version == 0
+        else _generated_expressions(prev_meta)
+    )
+    if gen_map:
+        # compute absent generated columns / validate provided ones
+        # BEFORE the schema is read off the dataframe
+        df = _apply_generated_columns(df, gen_map)
     schema_string = df.schema.json()
+    if generated:
+        ss = json.loads(schema_string)
+        names = {f["name"] for f in ss.get("fields", [])}
+        missing = sorted(set(generated) - names)
+        if missing:
+            raise UnsupportedFormat(
+                f"generated column(s) {missing} not in the written "
+                "schema"
+            )
+        for f in ss["fields"]:
+            if f["name"] in generated:
+                md = dict(f.get("metadata") or {})
+                md["delta.generationExpression"] = generated[f["name"]]
+                f["metadata"] = md
+        schema_string = json.dumps(ss)
     if prev_meta is not None:
         prev_parts = prev_meta.get("partitionColumns") or []
         prev_schema = prev_meta.get("schemaString")
@@ -1261,12 +1306,16 @@ def write_delta(
             }
         )
     if version == 0:
-        actions.append(
-            {
-                "protocol": map_proto
-                or {"minReaderVersion": 1, "minWriterVersion": 2}
+        proto0 = map_proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+        if generated:
+            # generatedColumns is a legacy writer feature: floor 4
+            proto0 = {
+                **proto0,
+                "minWriterVersion": max(
+                    4, int(proto0.get("minWriterVersion", 2))
+                ),
             }
-        )
+        actions.append({"protocol": proto0})
         actions.append(
             {
                 "metaData": {
@@ -1686,6 +1735,9 @@ def merge_delta(
         cdc_actions = _stage_cdc_files(
             change, path, version, part_cols, renames
         )
+    new_df = _apply_generated_columns(
+        new_df, _generated_expressions(prev_meta), recompute=True
+    )
     _check_constraints(new_df, prev_meta)
     adds, n_rows = _stage_files(
         _stage_as_physical(new_df, renames), path, version,
@@ -2082,6 +2134,9 @@ def _rewrite_where(
         # k touched files in → ~k files out (never the shuffle-partition
         # count): rewrite cost and file granularity track touched data
         new_df = new_df.coalesce(max(1, len(rewrite_abs)))
+        new_df = _apply_generated_columns(
+            new_df, _generated_expressions(prev_meta), recompute=True
+        )
         _check_constraints(new_df, prev_meta)
         renames = _phys_renames(prev_meta)
         adds, n_rows = _stage_files(
@@ -2149,6 +2204,67 @@ def _rewrite_where(
         out["dv_files"] = len(dv_readds)
         out["rows_deleted"] = rows_deleted
     return out
+
+
+def _generated_expressions(meta_like: dict | None) -> dict[str, str]:
+    """Generated-column declarations from the schemaString's field
+    metadata (protocol key ``delta.generationExpression``, writer
+    feature ``generatedColumns``)."""
+    ss = (meta_like or {}).get("schemaString")
+    if not ss:
+        return {}
+    out: dict[str, str] = {}
+    for f in json.loads(ss).get("fields", []):
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_generated_columns(
+    df: DataFrame, gen_map: dict[str, str], recompute: bool = False
+) -> DataFrame:
+    """Enforce generated columns on a batch about to be written
+    (protocol contract: the stored value MUST equal the generation
+    expression).  A column ABSENT from the batch is computed (the
+    delta-spark convenience); a PROVIDED column is validated with one
+    aggregate — any null-safe mismatch refuses the whole write before
+    staging.  ``recompute=True`` (the DML rewrite path) overwrites the
+    column from its expression instead — delta-spark recomputes when
+    an UPDATE touches the generation inputs, and recomputing is always
+    consistent by construction.  Generation expressions may not
+    reference other generated columns (the protocol's own rule), so
+    applications are independent."""
+    if not gen_map:
+        return df
+    from pyspark.sql import functions as F
+
+    have = {c.lower() for c in df.columns}
+    to_validate: list[tuple[str, str]] = []
+    for col, expr in sorted(gen_map.items()):
+        if recompute or col.lower() not in have:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            to_validate.append((col, expr))
+    if to_validate:
+        aggs = [
+            F.sum(
+                F.when(
+                    F.col(col).eqNullSafe(F.expr(expr)), F.lit(0)
+                ).otherwise(F.lit(1))
+            ).alias(f"_g{i}")
+            for i, (col, expr) in enumerate(to_validate)
+        ]
+        counts = df.agg(*aggs).first()
+        for i, (col, expr) in enumerate(to_validate):
+            n = counts[f"_g{i}"] or 0
+            if n:
+                raise UnsupportedFormat(
+                    f"generated column {col!r} violated by {n} row(s): "
+                    f"provided values must equal {expr} (or omit the "
+                    "column to have it computed) — nothing was written"
+                )
+    return df
 
 
 def _check_constraints(df: DataFrame, meta_like: dict) -> None:

@@ -3390,6 +3390,89 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_generated_columns",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 50000
+                  ELSE o_totalprice END AS v
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, v,
+           CAST(v * 2 AS DOUBLE) AS v2
+    FROM upd ORDER BY o_orderkey
+    """,
+    doc="Delta GENERATED COLUMNS (protocol writer feature "
+    "`generatedColumns`, minWriterVersion 4, schemaString metadata "
+    "key `delta.generationExpression`; delta_write."
+    "_apply_generated_columns): declared at creation, a generated "
+    "column COMPUTES when absent from a write, VALIDATES when "
+    "provided (a mismatching batch refuses before staging — asserted "
+    "in-row with zero table change), and RECOMPUTES through DML "
+    "rewrites.  The row creates orders with v2 = v * 2 computed, "
+    "appends a slice WITHOUT v2 (computed), refuses a wrong-valued "
+    "append, then UPDATEs v on a slice and the oracle replays the "
+    "whole history with the generation expression applied "
+    "relationally — stored values and expression agree everywhere.  "
+    "*2 and +constant are exact in binary, so the comparison is "
+    "value-exact.  At 100 TB enforcement is one map-side aggregate "
+    "over the batch being written, never a table scan.",
+)
+def delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.errors import UnsupportedFormat
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_write import (
+        update_delta,
+        write_delta,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_gen")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 4 != 3),
+        root,
+        mode="overwrite",
+        generated={"v2": "v * 2"},
+    )
+    # absent generated column: computed on append
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 4 == 3), root, mode="append"
+    )
+    n0 = load_source(spark, root, "delta").count()
+    # wrong provided values: the write refuses, zero table change
+    try:
+        write_delta(
+            orders.limit(5).withColumn("v2", F.lit(-1.0)),
+            root,
+            mode="append",
+        )
+        raise AssertionError("mismatching generated values accepted")
+    except UnsupportedFormat:
+        pass
+    assert load_source(spark, root, "delta").count() == n0
+    # DML recompute: bump v on a slice — v2 follows
+    update_delta(
+        spark, root, {"v": "v + 50000"}, "o_orderkey % 11 = 0"
+    )
+    return (
+        load_source(spark, root, "delta")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "v",
+            F.col("v2").cast("double").alias("v2"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "delta_check_constraints",
     oracle="""
     SELECT o_orderkey, o_custkey,

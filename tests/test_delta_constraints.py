@@ -122,3 +122,96 @@ def test_engine_sql_statements(spark, tmp_path):
     assert eng.sql(
         "SELECT COUNT(*) AS n FROM t WHERE v = -5"
     ).collect()[0]["n"] == 1
+
+
+class TestGeneratedColumns:
+    """Protocol writer feature generatedColumns (minWriterVersion 4,
+    schemaString metadata key delta.generationExpression): absent
+    columns compute, provided columns validate (mismatch refuses the
+    write), DML rewrites recompute, declaration is creation-only."""
+
+    def _mk(self, spark, a, b):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+        )
+
+    def test_create_computes_and_append_validates(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from pg_analytics_spark.sources import load_source
+        from pg_analytics_spark.sources.delta_write import write_delta
+
+        d = str(tmp_path / "t")
+        base = self._mk(spark, 0, 10).withColumn(
+            "doubled", F.expr("v * 2")
+        )
+        write_delta(
+            base, d, mode="overwrite", generated={"doubled": "v * 2"}
+        )
+        # protocol floor + metadata key on the creating commit
+        log = _os.path.join(d, "_delta_log")
+        first = _os.path.join(log, f"{0:020d}.json")
+        acts = [_json.loads(x) for x in open(first) if x.strip()]
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert proto["minWriterVersion"] >= 4
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        md = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            for f in _json.loads(meta["schemaString"])["fields"]
+        }
+        assert md["doubled"] == "v * 2"
+        # append WITHOUT the column: computed
+        write_delta(self._mk(spark, 10, 12), d, mode="append")
+        got = {
+            r["id"]: r["doubled"]
+            for r in load_source(spark, d, "delta").collect()
+        }
+        assert got[11] == 22.0 and got[3] == 6.0
+        # append with CORRECT provided values: passes
+        ok = self._mk(spark, 12, 13).withColumn(
+            "doubled", F.expr("v * 2")
+        )
+        write_delta(ok, d, mode="append")
+        # append with WRONG values: refused, nothing written
+        bad = self._mk(spark, 13, 14).withColumn("doubled", F.lit(0.0))
+        with pytest.raises(UnsupportedFormat, match="generated column"):
+            write_delta(bad, d, mode="append")
+        assert load_source(spark, d, "delta").count() == 13
+
+    def test_dml_recomputes(self, spark, tmp_path):
+        from pg_analytics_spark.sources import load_source
+        from pg_analytics_spark.sources.delta_write import (
+            update_delta,
+            write_delta,
+        )
+
+        d = str(tmp_path / "t")
+        write_delta(
+            self._mk(spark, 0, 10), d, mode="overwrite",
+            generated={"doubled": "v * 2"},
+        )
+        update_delta(spark, d, {"v": "v + 100"}, "id = 3")
+        got = {
+            r["id"]: (r["v"], r["doubled"])
+            for r in load_source(spark, d, "delta").collect()
+        }
+        assert got[3] == (103.0, 206.0)  # recomputed with the new v
+        assert got[4] == (4.0, 8.0)
+
+    def test_declaration_is_creation_only(self, spark, tmp_path):
+        from pg_analytics_spark.sources.delta_write import write_delta
+
+        d = str(tmp_path / "t")
+        write_delta(self._mk(spark, 0, 5), d, mode="overwrite")
+        with pytest.raises(UnsupportedFormat, match="CREATED"):
+            write_delta(
+                self._mk(spark, 5, 6).withColumn(
+                    "doubled", F.expr("v * 2")
+                ),
+                d,
+                mode="append",
+                generated={"doubled": "v * 2"},
+            )
