@@ -117,6 +117,7 @@ STREAMING_ROWS = frozenset(
         "streaming_delta_native_source",
         "streaming_iceberg_native_source",
         "streaming_delta_native_sink",
+        "streaming_iceberg_native_sink",
     }
 )
 
@@ -297,6 +298,7 @@ HEADLINE_NEXT10: list = [
     "streaming_iceberg_native_source",
     "streaming_delta_native_sink",
     "delta_generated_columns",
+    "streaming_iceberg_native_sink",
 ]
 
 

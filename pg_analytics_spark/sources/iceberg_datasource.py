@@ -41,9 +41,12 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from pg_analytics_spark.errors import UnsupportedFormat
@@ -485,3 +488,147 @@ class IcebergNativeDataSource(DataSource):
         r = _IceStreamReader(self._path(), dict(self.options))
         r._schema_struct = schema
         return r
+
+    def writer(self, schema, overwrite: bool):
+        return _IceBatchWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _IceStreamWriter(
+            self._path(),
+            schema,
+            overwrite,
+            self.options.get("txnappid", "iceberg_native_sink"),
+        )
+
+
+class _IceWriteMessage(WriterCommitMessage):
+    def __init__(self, files: list[tuple[str, int, int, list, list]]):
+        #: (abs path, size, rows, lower_bounds kv, upper_bounds kv)
+        self.files = files
+
+
+def _ice_table_fields(path: str, schema) -> list[dict]:
+    """Field-id-carrying schema for bounds encoding: the TABLE's
+    current fields when it exists (ids must match the metadata), else
+    ordinal ids for the creating write (commit mints the same)."""
+    _ensure_importable()
+    from pg_analytics_spark.sources.iceberg_write import (
+        _ice_type,
+        _latest_metadata,
+    )
+
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    if meta is not None:
+        sid = meta.get("current-schema-id", 0)
+        return next(
+            s
+            for s in meta.get("schemas", [])
+            if s.get("schema-id") == sid
+        )["fields"]
+    return [
+        {"id": i + 1, "name": f.name, "type": _ice_type(f)}
+        for i, f in enumerate(schema.fields)
+    ]
+
+
+def _ice_write_task(path: str, fields: list[dict], iterator):
+    """Worker-side: one parquet file per task under <table>/data/,
+    Appendix-D bounds from the finished file's footer."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    _ensure_importable()
+    from pg_analytics_spark.sources.iceberg_write import _file_bounds
+
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    full = os.path.join(data_dir, f"pyds-{_uuid.uuid4().hex}.parquet")
+    writer = None
+    for batch in iterator:
+        if writer is None:
+            writer = pq.ParquetWriter(full, batch.schema)
+        writer.write_batch(batch)
+    if writer is None:
+        return _IceWriteMessage([])
+    writer.close()
+    lowers, uppers, rows = _file_bounds(full, fields)
+    return _IceWriteMessage(
+        [(full, os.path.getsize(full), rows, lowers, uppers)]
+    )
+
+
+def _ice_abort(messages) -> None:
+    for m in messages or []:
+        if m is None:
+            continue
+        for fpath, *_rest in m.files:
+            try:
+                os.remove(fpath)
+            except OSError:
+                pass
+
+
+class _IceBatchWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, schema, overwrite: bool) -> None:
+        self._path = path
+        self._schema = schema
+        self._overwrite = overwrite
+        self._fields = _ice_table_fields(path, schema)
+
+    def write(self, iterator):
+        return _ice_write_task(self._path, self._fields, iterator)
+
+    def commit(self, messages):
+        _ensure_importable()
+        from pg_analytics_spark.sources.iceberg_write import (
+            commit_iceberg_data_files,
+        )
+
+        commit_iceberg_data_files(
+            self._path,
+            self._schema,
+            [f for m in messages if m is not None for f in m.files],
+            mode="overwrite" if self._overwrite else "append",
+        )
+
+    def abort(self, messages):
+        _ice_abort(messages)
+
+
+class _IceStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: each epoch commits one snapshot
+    whose summary records (app id, epoch id) — the watermark
+    write_iceberg's txn shares — so a crash-replayed epoch publishes
+    NOTHING and its staged files are removed."""
+
+    def __init__(self, path: str, schema, overwrite: bool, app_id: str):
+        if overwrite:
+            raise UnsupportedFormat(
+                "iceberg_native streaming sink supports append output "
+                "mode only"
+            )
+        self._path = path
+        self._schema = schema
+        self._app_id = app_id
+        self._fields = _ice_table_fields(path, schema)
+
+    def write(self, iterator):
+        return _ice_write_task(self._path, self._fields, iterator)
+
+    def commit(self, messages, batchId: int):
+        _ensure_importable()
+        from pg_analytics_spark.sources.iceberg_write import (
+            commit_iceberg_data_files,
+        )
+
+        commit_iceberg_data_files(
+            self._path,
+            self._schema,
+            [f for m in messages if m is not None for f in m.files],
+            mode="append",
+            txn=(self._app_id, int(batchId)),
+        )
+
+    def abort(self, messages, batchId: int):
+        _ice_abort(messages)

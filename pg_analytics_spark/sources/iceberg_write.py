@@ -4624,3 +4624,215 @@ def merge_iceberg(
         "files_removed": 0,
         "version": version,
     }
+
+
+def commit_iceberg_data_files(
+    path: str,
+    spark_schema,
+    files: list[tuple[str, int, int, list, list]],
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Driver-side commit of PRE-STAGED parquet data files as one v2
+    snapshot — the metadata half of :func:`write_iceberg` for writers
+    that stage their own files (the iceberg_native DataSource sink:
+    its tasks write files and compute Appendix-D bounds via
+    :func:`_file_bounds`; this publishes them).  Runs WITHOUT a
+    SparkSession (Spark's data-source workers have none).
+
+    ``files``: ``(abs_path, size_bytes, num_rows, lower_bounds,
+    upper_bounds)`` per staged file.  Unpartitioned tables only (the
+    DataSource API exposes no partitioning hook); ``txn=(app, epoch)``
+    records the streaming epoch watermark in the snapshot summary —
+    SHARED with write_iceberg's, so replays skip across both writers.
+    Creation mints the table from ``spark_schema``; appends require an
+    identical (name, type) shape; ``mode="overwrite"`` replaces the
+    live file set.  Returns write_iceberg's dict (+"skipped_txn")."""
+    if mode not in ("overwrite", "append"):
+        raise UnsupportedFormat(f"iceberg write mode {mode!r}")
+    meta_dir = os.path.join(path, "metadata")
+    prev_version, prev_meta = _latest_metadata(meta_dir)
+    if txn is not None and prev_meta is not None:
+        app_id, epoch = txn
+        last = max(
+            (
+                int(s["summary"]["streaming-epoch-id"])
+                for s in prev_meta.get("snapshots", [])
+                if (s.get("summary") or {}).get("streaming-app-id")
+                == app_id
+            ),
+            default=None,
+        )
+        if last is not None and int(epoch) <= last:
+            for f, *_rest in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return {
+                "snapshot_id": None,
+                "files": 0,
+                "rows": 0,
+                "skipped_txn": True,
+            }
+    want = [(f.name, _ice_type(f)) for f in spark_schema.fields]
+    schema_id = 0
+    prev_schemas: list[dict] = []
+    if prev_meta is None:
+        mode = "overwrite"
+        fields = [
+            {"id": i + 1, "name": n, "type": t, "required": False}
+            for i, (n, t) in enumerate(want)
+        ]
+    else:
+        prev_schemas = list(prev_meta.get("schemas", []))
+        schema_id = prev_meta.get("current-schema-id", 0)
+        fields = next(
+            s for s in prev_schemas if s.get("schema-id") == schema_id
+        )["fields"]
+        spec_id = prev_meta.get("default-spec-id", 0)
+        spec = next(
+            (
+                s
+                for s in prev_meta.get("partition-specs", [])
+                if s.get("spec-id") == spec_id
+            ),
+            {"fields": []},
+        )
+        if spec.get("fields"):
+            raise UnsupportedFormat(
+                "commit_iceberg_data_files targets unpartitioned "
+                "tables; partitioned writes go through write_iceberg"
+            )
+        if {(f["name"], f["type"]) for f in fields} != set(want):
+            raise UnsupportedFormat(
+                "iceberg staged-commit schema mismatch — evolve via "
+                "write_iceberg(mergeSchema) or overwrite there"
+            )
+    os.makedirs(meta_dir, exist_ok=True)
+    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    entries = []
+    n_rows = 0
+    for fpath, size, rows, lowers, uppers in files:
+        n_rows += int(rows)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "record_count": int(rows),
+                    "file_size_in_bytes": int(size),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                },
+            }
+        )
+    manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
+    write_container(_manifest_entry_schema([]), entries, manifest)
+    mf_entries = [
+        {
+            "manifest_path": manifest,
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": (prev_meta or {}).get(
+                "default-spec-id", 0
+            ),
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    parent_id = None
+    if mode == "append" and prev_meta is not None:
+        parent_id = prev_meta["current-snapshot-id"]
+        prev_snap = next(
+            s
+            for s in prev_meta["snapshots"]
+            if s["snapshot-id"] == parent_id
+        )
+        _schema, prev_list = read_container(prev_snap["manifest-list"])
+        mf_entries = list(prev_list) + mf_entries
+    elif prev_meta is not None:
+        parent_id = prev_meta.get("current-snapshot-id")
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_container(_MANIFEST_LIST_SCHEMA, mf_entries, mlist)
+    now_ms = int(time.time() * 1000)
+    snap_entry = {
+        "snapshot-id": snapshot_id,
+        "manifest-list": mlist,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq,
+        "summary": {
+            "operation": mode,
+            **(
+                {
+                    "streaming-app-id": txn[0],
+                    "streaming-epoch-id": str(int(txn[1])),
+                }
+                if txn is not None
+                else {}
+            ),
+        },
+    }
+    if parent_id is not None and parent_id != -1:
+        snap_entry["parent-snapshot-id"] = parent_id
+    snapshots = list((prev_meta or {}).get("snapshots", [])) + [snap_entry]
+    log = list((prev_meta or {}).get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    partition_specs = (prev_meta or {}).get("partition-specs") or [
+        {"spec-id": 0, "fields": []}
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": (prev_meta or {}).get(
+            "table-uuid", str(uuid.uuid4())
+        ),
+        "properties": dict((prev_meta or {}).get("properties", {})),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-column-id": max(
+            (prev_meta or {}).get("last-column-id", 0),
+            max(f["id"] for f in fields),
+        ),
+        "current-snapshot-id": snapshot_id,
+        "current-schema-id": schema_id,
+        "schemas": (
+            [s for s in prev_schemas if s.get("schema-id") != schema_id]
+            + [{"schema-id": schema_id, "fields": fields}]
+        ),
+        "partition-specs": partition_specs,
+        "default-spec-id": (prev_meta or {}).get("default-spec-id", 0),
+        "last-partition-id": _last_partition_field_id(partition_specs),
+        "last-updated-ms": now_ms,
+        "refs": _refs_after_commit(prev_meta, None, snapshot_id),
+        "snapshots": snapshots,
+        "snapshot-log": log,
+    }
+    version = prev_version + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        from pg_analytics_spark.errors import ConcurrentWriteError
+
+        raise ConcurrentWriteError(
+            f"iceberg metadata version {version} already exists at "
+            f"{meta_path} — another writer won the race; retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(meta_dir, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return {"snapshot_id": snapshot_id, "files": len(entries), "rows": n_rows}

@@ -1297,6 +1297,67 @@ def streaming_delta_native_sink(
 
 
 @register(
+    "streaming_iceberg_native_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+    doc="writeStream.format('iceberg_native') — the native Iceberg v2 "
+    "table as a DIRECT streaming sink (no foreachBatch): each task "
+    "stages one parquet file under data/ with Appendix-D bounds from "
+    "its own footer, the driver publishes one snapshot per epoch "
+    "whose summary records (app id, epoch id) — the same watermark "
+    "write_iceberg's txn uses — and a crash-replayed epoch (fresh "
+    "checkpoint, same txnAppId) publishes NOTHING: staged files are "
+    "removed, not committed (asserted in-row).  Shared append oracle: "
+    "the table equals the source relation after both runs.",
+)
+def streaming_iceberg_native_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.streaming.events import read_event_stream
+
+    register_native_datasources(spark)
+    ev = load_source(spark, f"{sf_dir}/events.parquet", "parquet")
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/sink_ice"
+
+        def run(ck: str) -> None:
+            q = (
+                read_event_stream(spark, f"{sf_dir}/events.parquet")
+                .writeStream.format("iceberg_native")
+                .option("path", tbl)
+                .option("txnAppId", "bronze-ice-sink")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(f"{work}/ck")
+        n = load_source(spark, tbl, "iceberg").count()
+        assert n == ev.count()
+        run(f"{work}/ck2")  # lost checkpoint: replay publishes nothing
+        assert load_source(spark, tbl, "iceberg").count() == n
+        out = load_source(spark, tbl, "iceberg").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias(
+                "value"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
     "streaming_iceberg_native_source",
     oracle="""
     SELECT event_id, user_id, event_type,

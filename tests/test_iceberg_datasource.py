@@ -137,3 +137,91 @@ def test_stream_refuses_delete_unless_skipped(ds, tmp_path):
         ds, d, ck, acc, **{"streaming-skip-delete-snapshots": "true"}
     )
     assert acc[-1][1] == [10, 11]
+
+
+class TestWriter:
+    """The iceberg_native WRITER half: tasks stage parquet under
+    <table>/data/ with Appendix-D bounds from their own footers; the
+    driver publishes one v2 snapshot (commit_iceberg_data_files).
+    The streaming sink records (app id, epoch id) in the snapshot
+    summary — the watermark write_iceberg's txn shares — so replays
+    publish nothing."""
+
+    def test_create_append_overwrite_time_travel(self, ds, tmp_path):
+        d = str(tmp_path / "t")
+        _mk(ds, 0, 10).write.format("iceberg_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        assert load_source(ds, d, "iceberg").count() == 10
+        _mk(ds, 10, 15).write.format("iceberg_native").mode(
+            "append"
+        ).option("path", d).save()
+        got = sorted(
+            r["id"] for r in load_source(ds, d, "iceberg").collect()
+        )
+        assert got == list(range(15))
+        _mk(ds, 0, 3).write.format("iceberg_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        assert load_source(ds, d, "iceberg").count() == 3
+        # prior snapshots still time-travel (order by sequence number)
+        import json as _json
+
+        from pg_analytics_spark.sources.iceberg import (
+            _latest_metadata_file,
+        )
+
+        meta = _json.load(open(_latest_metadata_file(d)))
+        snaps = sorted(
+            meta["snapshots"], key=lambda s: s["sequence-number"]
+        )
+        old = load_source(
+            ds, d, "iceberg", {"snapshot_id": snaps[1]["snapshot-id"]}
+        )
+        assert old.count() == 15
+
+    def test_bounds_feed_file_skipping(self, ds, tmp_path):
+        d = str(tmp_path / "t")
+        _mk(ds, 0, 100).repartitionByRange(4, "id").write.format(
+            "iceberg_native"
+        ).mode("overwrite").option("path", d).save()
+        out = load_source(
+            ds, d, "iceberg", {"partition_filter": [("id", "<", 10)]}
+        )
+        # bounds-pruned: fewer input files than the full scan
+        full = load_source(ds, d, "iceberg")
+        assert out.count() == 10
+        assert len(out.inputFiles()) < len(full.inputFiles())
+
+    def test_append_schema_mismatch_refused(self, ds, tmp_path):
+        d = str(tmp_path / "t")
+        _mk(ds, 0, 5).write.format("iceberg_native").mode(
+            "overwrite"
+        ).option("path", d).save()
+        bad = ds.createDataFrame([(1, "x")], "id bigint, s string")
+        with pytest.raises(Exception, match="schema mismatch"):
+            bad.write.format("iceberg_native").mode("append").option(
+                "path", d
+            ).save()
+
+    def test_stream_sink_exactly_once_replay(self, ds, tmp_path):
+        src, d = str(tmp_path / "src"), str(tmp_path / "t")
+        _mk(ds, 0, 20).write.parquet(src)
+
+        def run(ck):
+            q = (
+                ds.readStream.schema("id bigint, v double")
+                .parquet(src)
+                .writeStream.format("iceberg_native")
+                .option("path", d)
+                .option("txnAppId", "ice-sink-test")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(str(tmp_path / "ck"))
+        assert load_source(ds, d, "iceberg").count() == 20
+        run(str(tmp_path / "ck2"))  # lost checkpoint → replayed epoch
+        assert load_source(ds, d, "iceberg").count() == 20
