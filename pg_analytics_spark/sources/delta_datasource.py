@@ -330,6 +330,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        #: rate limit: at most N commits advance per trigger (bounded
+        #: micro-batches — the operational lever delta-spark exposes
+        #: as maxFilesPerTrigger; commits are the unit this source
+        #: plans in).  None = consume everything available.  The limit
+        #: is per-run: the first batch after a restart (and the
+        #: initial snapshot) is whole — partitions() plans from the
+        #: CHECKPOINTED start, so correctness never depends on it.
+        mct = options.get("maxcommitspertrigger")
+        self._max_commits = int(mct) if mct else None
+        self._last_end: int | None = None
         (
             _active,
             meta,
@@ -353,7 +363,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
         return {"version": -1}
 
     def latestOffset(self) -> dict:
-        return {"version": self._latest_version()}
+        latest = self._latest_version()
+        if self._max_commits is not None and self._last_end is not None:
+            # the initial snapshot batch is always whole (it is ONE
+            # position); only the tailing commits are rate-limited
+            latest = min(latest, self._last_end + self._max_commits)
+        self._last_end = latest
+        return {"version": latest}
 
     def _commit_actions(self, version: int) -> list[dict]:
         log_dir = os.path.join(self._path, "_delta_log")

@@ -346,6 +346,14 @@ class _IceStreamReader(DataSourceStreamReader):
             ).lower()
             == "true"
         )
+        #: rate limit: at most N main-lineage snapshots advance per
+        #: trigger (the runtime's streaming read exposes the same
+        #: lever); per-run — the baseline batch and the first batch
+        #: after a restart are whole, and partitions() plans from the
+        #: checkpointed start so correctness never depends on it
+        mst = options.get("maxsnapshotspertrigger")
+        self._max_snaps = int(mst) if mst else None
+        self._last_end: int | None = None
         _load_meta(path)  # fail fast on a non-table
 
     def initialOffset(self) -> dict:
@@ -354,9 +362,23 @@ class _IceStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         meta = _load_meta(self._path)
         chain = _main_lineage(meta)
-        return {
-            "seq": int(chain[-1].get("sequence-number", 0)) if chain else -1
-        }
+        latest = (
+            int(chain[-1].get("sequence-number", 0)) if chain else -1
+        )
+        if self._max_snaps is not None and self._last_end is not None:
+            # advance over lineage POSITIONS, not raw sequence numbers
+            # (DML snapshots consume sequence numbers too)
+            beyond = [
+                int(s.get("sequence-number", 0))
+                for s in chain
+                if int(s.get("sequence-number", 0)) > self._last_end
+            ]
+            if beyond:
+                latest = min(
+                    latest, beyond[: self._max_snaps][-1]
+                )
+        self._last_end = latest
+        return {"seq": latest}
 
     def partitions(self, start: dict, end: dict):
         from pyspark.sql.pandas.types import to_arrow_schema

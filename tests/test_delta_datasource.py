@@ -253,3 +253,34 @@ class TestWriter:
         )
 
         assert last_txn_version(d, "sink-test") == 0
+
+
+def test_stream_rate_limit_max_commits_per_trigger(ds, tmp_path):
+    """maxCommitsPerTrigger bounds how far latestOffset advances per
+    trigger (exercised at the reader-protocol level: availableNow
+    drains in one batch by design, but a processingTime query calls
+    latestOffset repeatedly and gets bounded batches)."""
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaStreamReader,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(_mk(ds, 0, 4), d, mode="overwrite")  # v0
+    for a in range(3):  # v1..v3
+        write_delta(_mk(ds, 4 + a, 5 + a), d, mode="append")
+    r = _DeltaStreamReader(d, {"maxcommitspertrigger": "1"})
+    o0 = r.initialOffset()
+    e1 = r.latestOffset()  # first call: whole backlog (baseline)
+    assert e1["version"] == 3
+    parts = r.partitions(o0, e1)
+    assert parts  # the initial snapshot at v3
+    write_delta(_mk(ds, 10, 11), d, mode="append")  # v4
+    write_delta(_mk(ds, 11, 12), d, mode="append")  # v5
+    e2 = r.latestOffset()
+    assert e2["version"] == 4  # capped: ONE commit past the last end
+    n = sum(
+        b.num_rows for p in r.partitions(e1, e2) for b in r.read(p)
+    )
+    assert n == 1  # exactly commit v4's rows
+    e3 = r.latestOffset()
+    assert e3["version"] == 5  # the next trigger advances again

@@ -225,3 +225,32 @@ class TestWriter:
         assert load_source(ds, d, "iceberg").count() == 20
         run(str(tmp_path / "ck2"))  # lost checkpoint → replayed epoch
         assert load_source(ds, d, "iceberg").count() == 20
+
+
+def test_stream_rate_limit_max_snapshots_per_trigger(ds, tmp_path):
+    """maxSnapshotsPerTrigger bounds how many main-lineage snapshots
+    latestOffset advances per trigger (reader-protocol level)."""
+    from pg_analytics_spark.sources.iceberg_datasource import (
+        _IceStreamReader,
+    )
+
+    d = str(tmp_path / "t")
+    write_iceberg(_mk(ds, 0, 4), d, mode="overwrite")  # seq 1
+    r = _IceStreamReader(d, {"maxsnapshotspertrigger": "1"})
+    r._schema_struct = (
+        ds.read.format("iceberg_native").option("path", d).load().schema
+    )
+    o0 = r.initialOffset()
+    e1 = r.latestOffset()  # baseline: whole
+    assert e1["seq"] == 1
+    assert r.partitions(o0, e1)
+    write_iceberg(_mk(ds, 4, 5), d, mode="append")  # seq 2
+    write_iceberg(_mk(ds, 5, 6), d, mode="append")  # seq 3
+    e2 = r.latestOffset()
+    assert e2["seq"] == 2  # capped at ONE snapshot
+    n = sum(
+        b.num_rows for p in r.partitions(e1, e2) for b in r.read(p)
+    )
+    assert n == 1
+    e3 = r.latestOffset()
+    assert e3["seq"] == 3
