@@ -2322,6 +2322,7 @@ class Engine:
                 "iceberg_snapshots",
                 "iceberg_manifests",
                 "iceberg_files",
+                "iceberg_refs",
             ):
                 p = _prev_code(toks, i)
                 # a SELECT-list comma must NOT trigger relation
@@ -2383,6 +2384,7 @@ class Engine:
                         "iceberg_snapshots",
                         "iceberg_manifests",
                         "iceberg_files",
+                        "iceberg_refs",
                     ):
                         # metadata tables (parity with the runtime's
                         # t.snapshots/t.files/t.manifests and DuckDB's

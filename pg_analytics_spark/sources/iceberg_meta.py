@@ -144,3 +144,45 @@ def iceberg_files(spark: SparkSession, path: str) -> DataFrame:
         "spec_id long, partition string, record_count long, "
         "file_size_in_bytes long, sequence_number long",
     )
+
+
+def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
+    """One row per named ref (the runtime's ``t.refs`` metadata
+    table): (name, type, snapshot_id, max_ref_age_ms,
+    min_snapshots_to_keep, max_snapshot_age_ms) — the retention
+    fields expire_snapshots honors; NULL where unset.  main is
+    synthesized from current-snapshot-id like the runtime does."""
+    meta = _meta(path)
+    rows = []
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur != -1:
+        rows.append(("main", "branch", int(cur), None, None, None))
+    for name, ref in sorted((meta.get("refs") or {}).items()):
+        rows.append(
+            (
+                str(name),
+                str(ref.get("type") or "branch"),
+                int(ref["snapshot-id"]),
+                (
+                    int(ref["max-ref-age-ms"])
+                    if ref.get("max-ref-age-ms") is not None
+                    else None
+                ),
+                (
+                    int(ref["min-snapshots-to-keep"])
+                    if ref.get("min-snapshots-to-keep") is not None
+                    else None
+                ),
+                (
+                    int(ref["max-snapshot-age-ms"])
+                    if ref.get("max-snapshot-age-ms") is not None
+                    else None
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "name string, type string, snapshot_id long, "
+        "max_ref_age_ms long, min_snapshots_to_keep long, "
+        "max_snapshot_age_ms long",
+    )

@@ -710,3 +710,41 @@ def test_expire_branch_ancestry_bounds(spark, tmp_path):
     )
     assert len(meta["snapshots"]) == 3  # main head + 2 staged
     assert "audit" in meta["refs"]
+
+
+def test_iceberg_refs_metadata_table(spark, tmp_path):
+    """iceberg_refs('t') — the runtime's t.refs relation: named refs
+    with their retention fields (NULL where unset), main synthesized
+    from current-snapshot-id; reachable from engine SQL."""
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+        path,
+        mode="overwrite",
+    )
+    alter_iceberg_refs(path, tag="trained_v1", max_ref_age_ms=3_600_000)
+    alter_iceberg_refs(
+        path, branch="audit", min_snapshots_to_keep=2,
+        max_snapshot_age_ms=86_400_000,
+    )
+    eng = Engine(spark=spark)
+    eng.attach("reft", [path], "iceberg")
+    rows = {
+        r["name"]: r
+        for r in eng.sql(
+            "SELECT * FROM iceberg_refs('reft') ORDER BY name"
+        ).collect()
+    }
+    assert set(rows) == {"main", "audit", "trained_v1"}
+    assert rows["trained_v1"]["type"] == "tag"
+    assert rows["trained_v1"]["max_ref_age_ms"] == 3_600_000
+    assert rows["audit"]["min_snapshots_to_keep"] == 2
+    assert rows["audit"]["max_snapshot_age_ms"] == 86_400_000
+    assert rows["main"]["snapshot_id"] == rows["audit"]["snapshot_id"]
+    assert rows["main"]["max_ref_age_ms"] is None
