@@ -299,6 +299,7 @@ HEADLINE_NEXT10: list = [
     "streaming_delta_native_sink",
     "delta_generated_columns",
     "streaming_iceberg_native_sink",
+    "sim_eval_mrr",
 ]
 
 

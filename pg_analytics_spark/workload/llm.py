@@ -3914,6 +3914,99 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_eval_mrr",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN {_MATRYOSHKA_PROBES}
+    ), pairs AS (
+      SELECT p.probe_id, e.vec_id,
+             {_MAT_COS_FULL} AS fs,
+             {_MAT_COS_TRUNC} AS ts
+      FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id
+    ), tf AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY fs DESC, vec_id
+             ) AS rf
+      FROM pairs
+    ), tt AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY ts DESC, vec_id
+             ) AS rt
+      FROM pairs
+    )
+    SELECT tf.probe_id, tf.vec_id AS truth_id,
+           CAST(tt.rt AS BIGINT) AS prefix_rank,
+           ROUND(1.0 / tt.rt, 6) AS rr
+    FROM tf JOIN tt ON tf.probe_id = tt.probe_id
+                   AND tf.vec_id = tt.vec_id
+    WHERE tf.rf = 1
+    ORDER BY tf.probe_id
+    """,
+    doc="ANN retrieval-quality evaluation by RECIPROCAL RANK: per "
+    "probe, the exact-cosine top-1 neighbor (the ground truth) is "
+    "located in the cheap prefix-dims ranking and scored 1/rank — "
+    "the per-query MRR building block every retrieval eval harness "
+    "reports beside recall@k (embed_matryoshka_recall's overlap "
+    "metric misses HOW FAR the truth fell, which 1/rank captures).  "
+    "Reported per-probe, so no cross-row float accumulation exists "
+    "anywhere: rank is an integer from the same ROUND(·,6)+(sim "
+    "DESC, id) deterministic ordering as the sim rows, and 1/rank "
+    "is one double division — value-exact.  Scale: identical "
+    "dataflow to the recall row (corpus × |probes| broadcast, two "
+    "window top-ks); both metrics share one pair scan in a real "
+    "harness.",
+)
+def sim_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from pg_analytics_spark.functions.vectors import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(
+        F.col("vec_id").isin(*_MATRYOSHKA_PROBES)
+    ).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    d = _MATRYOSHKA_DIMS
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qe"), 6).alias("fs"),
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", 1, d), F.slice("qe", 1, d)
+                ),
+                6,
+            ).alias("ts"),
+        )
+    )
+    wf = _W.partitionBy("probe_id").orderBy(F.desc("fs"), F.asc("vec_id"))
+    wt = _W.partitionBy("probe_id").orderBy(F.desc("ts"), F.asc("vec_id"))
+    ranked = pairs.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        ranked.filter(F.col("rf") == 1)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("truth_id"),
+            F.col("rt").cast("long").alias("prefix_rank"),
+            F.round(F.lit(1.0) / F.col("rt"), 6).alias("rr"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@register(
     "multimodal_audio_vad",
     oracle="""
     WITH base AS (
