@@ -444,9 +444,147 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
 
 class _DeltaWriteMessage(WriterCommitMessage):
-    def __init__(self, files: list[tuple[str, int, int, str | None]]):
-        #: (relative file name, size bytes, mtime ms, stats json|None)
+    def __init__(self, files: list):
+        #: (rel path, size bytes, mtime ms, stats json|None,
+        #:  partitionValues dict)
         self.files = files
+
+
+def _write_task_files_partitioned(
+    path: str, schema_names: list[str], part_cols: list[str], iterator
+):
+    """Partitioned worker staging: split each Arrow batch by its
+    partition tuple and stream every group into its own hive-dir
+    parquet file (``p=v/part-….parquet``, value percent-encoded the
+    way the log's partitionValues parser unquotes).  Partition
+    columns are DROPPED from the data files (the hive convention this
+    table's reader expects — it projects them back as constants from
+    each add action's partitionValues).  NULL partition values are
+    refused (delta's __HIVE_DEFAULT_PARTITION__ sentinel is out of
+    scope for this writer).  One open writer per distinct tuple per
+    task — repartition by the partition columns upstream to bound
+    fan-out; a >256-writer task refuses loudly rather than thrash."""
+    import json as _json
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    writers: dict[tuple, tuple] = {}  # tuple -> (writer, relpath, stats)
+    data_names = [c for c in schema_names if c not in part_cols]
+
+    def _stats_new():
+        return {"n": 0, "mins": {}, "maxs": {}, "nulls": {}, "skip": set()}
+
+    def _stats_update(st, batch):
+        st["n"] += batch.num_rows
+        statable = (
+            pa.types.is_integer,
+            pa.types.is_floating,
+            pa.types.is_string,
+            pa.types.is_boolean,
+            pa.types.is_date,
+        )
+        for i, name in enumerate(batch.schema.names):
+            col = batch.column(i)
+            st["nulls"][name] = st["nulls"].get(name, 0) + col.null_count
+            if name in st["skip"] or not any(
+                f(col.type) for f in statable
+            ):
+                continue
+            if pa.types.is_floating(col.type) and bool(
+                pc.any(pc.is_nan(pc.drop_null(col))).as_py()
+                if len(col) - col.null_count
+                else False
+            ):
+                st["skip"].add(name)
+                st["mins"].pop(name, None)
+                st["maxs"].pop(name, None)
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None:
+                continue
+            st["mins"][name] = (
+                lo if name not in st["mins"] else min(st["mins"][name], lo)
+            )
+            st["maxs"][name] = (
+                hi if name not in st["maxs"] else max(st["maxs"][name], hi)
+            )
+
+    for batch in iterator:
+        t = pa.Table.from_batches([batch])
+        # distinct partition tuples in this batch
+        keys = list(
+            zip(*(t[c].to_pylist() for c in part_cols))
+        )
+        distinct = sorted(set(keys), key=lambda k: tuple(map(str, k)))
+        for tup in distinct:
+            if any(v is None for v in tup):
+                raise UnsupportedFormat(
+                    "delta_native partitioned write: NULL partition "
+                    "values are not supported by this writer"
+                )
+            mask = pa.array([k == tup for k in keys])
+            group = t.filter(mask).select(data_names)
+            if tup not in writers:
+                if len(writers) >= 256:
+                    raise UnsupportedFormat(
+                        "delta_native partitioned write: >256 distinct "
+                        "partition tuples in one task — repartition by "
+                        "the partition columns first"
+                    )
+                rel_dir = "/".join(
+                    f"{c}={quote(str(v), safe='')}"
+                    for c, v in zip(part_cols, tup)
+                )
+                rel = (
+                    f"{rel_dir}/part-{_uuid.uuid4().hex}.c000.parquet"
+                )
+                full = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                writers[tup] = (
+                    pq.ParquetWriter(full, group.schema),
+                    rel,
+                    _stats_new(),
+                )
+            w, _rel, st = writers[tup]
+            for gb in group.to_batches():
+                w.write_batch(gb)
+                _stats_update(st, gb)
+    out = []
+    for tup, (w, rel, st) in writers.items():
+        w.close()
+        full = os.path.join(path, rel)
+        s = os.stat(full)
+        stats = _json.dumps(
+            {
+                "numRecords": st["n"],
+                "minValues": {
+                    k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                    for k, v in st["mins"].items()
+                },
+                "maxValues": {
+                    k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                    for k, v in st["maxs"].items()
+                },
+                "nullCount": {
+                    k: st["nulls"].get(k, 0) for k in data_names
+                },
+            }
+        )
+        out.append(
+            (
+                rel,
+                s.st_size,
+                int(s.st_mtime * 1000),
+                stats,
+                {c: str(v) for c, v in zip(part_cols, tup)},
+            )
+        )
+    return _DeltaWriteMessage(out)
 
 
 def _write_task_files(path: str, schema_names: list[str], iterator):
@@ -528,7 +666,7 @@ def _write_task_files(path: str, schema_names: list[str], iterator):
         }
     )
     return _DeltaWriteMessage(
-        [(fname, st.st_size, int(st.st_mtime * 1000), stats)]
+        [(fname, st.st_size, int(st.st_mtime * 1000), stats, {})]
     )
 
 
@@ -538,6 +676,7 @@ def _commit_files(
     messages,
     overwrite: bool,
     txn: tuple[str, int] | None = None,
+    part_cols: list[str] | None = None,
 ) -> None:
     """Driver-side commit: publish the tasks' staged files as ONE
     put-if-absent Delta commit (adds + removes for overwrite +
@@ -564,6 +703,7 @@ def _commit_files(
         if last is not None and int(txn[1]) <= last:
             _abort_files(path, messages)  # replayed epoch: drop stage
             return
+    part_cols = list(part_cols or [])
     files = [
         f for m in messages if m is not None for f in m.files
     ]
@@ -602,10 +742,11 @@ def _commit_files(
                 "delta_native append schema mismatch — evolve via "
                 "write_delta(mergeSchema) or overwrite"
             )
-        if meta.get("partitionColumns"):
+        if (meta.get("partitionColumns") or []) != part_cols:
             raise UnsupportedFormat(
-                "delta_native writer stages unpartitioned files; "
-                "write partitioned tables via write_delta"
+                f"delta_native partition mismatch: table is "
+                f"partitioned by {meta.get('partitionColumns') or []}, "
+                f"write requested {part_cols}"
             )
         if have != want and overwrite:
             exists = False  # replace: mint fresh metaData below
@@ -620,7 +761,7 @@ def _commit_files(
                     "id": str(_uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,
                 }
@@ -637,12 +778,12 @@ def _commit_files(
                     }
                 }
             )
-    for fname, size, mtime_ms, stats in files:
+    for fname, size, mtime_ms, stats, pv in files:
         actions.append(
             {
                 "add": {
                     "path": _encode_log_path(fname),
-                    "partitionValues": {},
+                    "partitionValues": pv,
                     "size": size,
                     "modificationTime": mtime_ms,
                     "dataChange": True,
@@ -666,18 +807,37 @@ def _abort_files(path: str, messages) -> None:
 
 
 class _DeltaBatchWriter(DataSourceArrowWriter):
-    def __init__(self, path: str, schema, overwrite: bool) -> None:
+    def __init__(
+        self, path: str, schema, overwrite: bool, part_cols: list[str]
+    ) -> None:
         self._path = path
         self._schema = schema
         self._overwrite = overwrite
+        names = {f.name for f in schema.fields}
+        missing = [c for c in part_cols if c not in names]
+        if missing:
+            raise UnsupportedFormat(
+                f"partitionBy column(s) {missing} not in the written "
+                "schema"
+            )
+        self._part_cols = part_cols
 
     def write(self, iterator):
-        return _write_task_files(
-            self._path, [f.name for f in self._schema.fields], iterator
-        )
+        names = [f.name for f in self._schema.fields]
+        if self._part_cols:
+            return _write_task_files_partitioned(
+                self._path, names, self._part_cols, iterator
+            )
+        return _write_task_files(self._path, names, iterator)
 
     def commit(self, messages):
-        _commit_files(self._path, self._schema, messages, self._overwrite)
+        _commit_files(
+            self._path,
+            self._schema,
+            messages,
+            self._overwrite,
+            part_cols=self._part_cols,
+        )
 
     def abort(self, messages):
         _abort_files(self._path, messages)
@@ -690,7 +850,14 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
     epoch finds the watermark and publishes NOTHING (its staged files
     are removed), the delta-spark idempotent-sink contract."""
 
-    def __init__(self, path: str, schema, overwrite: bool, app_id: str):
+    def __init__(
+        self,
+        path: str,
+        schema,
+        overwrite: bool,
+        app_id: str,
+        part_cols: list[str],
+    ):
         if overwrite:
             raise UnsupportedFormat(
                 "delta_native streaming sink supports append output "
@@ -699,11 +866,15 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         self._path = path
         self._schema = schema
         self._app_id = app_id
+        self._part_cols = part_cols
 
     def write(self, iterator):
-        return _write_task_files(
-            self._path, [f.name for f in self._schema.fields], iterator
-        )
+        names = [f.name for f in self._schema.fields]
+        if self._part_cols:
+            return _write_task_files_partitioned(
+                self._path, names, self._part_cols, iterator
+            )
+        return _write_task_files(self._path, names, iterator)
 
     def commit(self, messages, batchId: int):
         _commit_files(
@@ -712,6 +883,7 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
             messages,
             overwrite=False,
             txn=(self._app_id, int(batchId)),
+            part_cols=self._part_cols,
         )
 
     def abort(self, messages, batchId: int):
@@ -759,8 +931,14 @@ class DeltaNativeDataSource(DataSource):
     def streamReader(self, schema):
         return _DeltaStreamReader(self._path(), dict(self.options))
 
+    def _part_cols(self) -> list[str]:
+        raw = self.options.get("partitionby", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
     def writer(self, schema, overwrite: bool):
-        return _DeltaBatchWriter(self._path(), schema, overwrite)
+        return _DeltaBatchWriter(
+            self._path(), schema, overwrite, self._part_cols()
+        )
 
     def streamWriter(self, schema, overwrite: bool):
         return _DeltaStreamWriter(
@@ -768,6 +946,7 @@ class DeltaNativeDataSource(DataSource):
             schema,
             overwrite,
             self.options.get("txnappid", "delta_native_sink"),
+            self._part_cols(),
         )
 
 

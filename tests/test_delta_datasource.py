@@ -284,3 +284,61 @@ def test_stream_rate_limit_max_commits_per_trigger(ds, tmp_path):
     assert n == 1  # exactly commit v4's rows
     e3 = r.latestOffset()
     assert e3["version"] == 5  # the next trigger advances again
+
+
+def test_writer_partitioned_roundtrip(ds, tmp_path):
+    """partitionBy writes: hive-dir staging (values percent-encoded,
+    partition columns dropped from the files), per-file
+    partitionValues in the add actions, reader projects them back —
+    and the datasource reader prunes on them."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(i, "a b" if i % 2 else "z", float(i)) for i in range(20)],
+        "id bigint, p string, v double",
+    )
+    df.repartition(2, "p").write.format("delta_native").mode(
+        "overwrite"
+    ).option("path", d).option("partitionBy", "p").save()
+    back = load_source(ds, d, "delta")
+    assert back.count() == 20
+    assert {r["p"] for r in back.collect()} == {"a b", "z"}
+    # appends must match the spec; a mismatch refuses
+    df.limit(2).write.format("delta_native").mode("append").option(
+        "path", d
+    ).option("partitionBy", "p").save()
+    assert load_source(ds, d, "delta").count() == 22
+    with pytest.raises(Exception, match="partition mismatch"):
+        df.limit(1).write.format("delta_native").mode("append").option(
+            "path", d
+        ).save()
+    # log shape: hive rel paths, encoded space, partitionValues carried
+    log = _os.path.join(d, "_delta_log")
+    adds = []
+    for fn in sorted(f for f in _os.listdir(log) if f.endswith(".json")):
+        for line in open(_os.path.join(log, fn)):
+            if '"add"' in line:
+                adds.append(_json.loads(line)["add"])
+    assert all(a["partitionValues"] for a in adds)
+    assert any(a["partitionValues"].get("p") == "a b" for a in adds)
+    assert all(" " not in a["path"] for a in adds)
+    # partition columns are NOT in the data files
+    import pyarrow.parquet as _pq
+
+    from pg_analytics_spark.sources.delta_write import _decode_log_path
+
+    cols = _pq.read_schema(
+        _os.path.join(d, _decode_log_path(adds[0]["path"]))
+    ).names
+    assert "p" not in cols
+    # datasource read + partition pruning agree with the replay reader
+    out = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .load()
+        .filter(F.col("p") == "a b")
+    )
+    fresh = load_source(ds, d, "delta")
+    assert out.count() == fresh.filter(F.col("p") == "a b").count()
