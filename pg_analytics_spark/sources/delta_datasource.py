@@ -729,6 +729,33 @@ def _commit_files(
         prev_active, meta = _replay_log(log_dir)
         if meta is None:
             raise UnsupportedFormat(f"no Delta metaData at {path}")
+        # enforcement features need a SparkSession to evaluate their
+        # expressions over the batch — which the DataSource commit
+        # worker does not have.  Silently skipping them would commit
+        # WRONG data (unvalidated constraints / ungenerated columns),
+        # so such tables refuse this writer outright.
+        cfg = meta.get("configuration") or {}
+        if any(k.startswith("delta.constraints.") for k in cfg):
+            raise UnsupportedFormat(
+                "delta_native writer cannot enforce this table's CHECK "
+                "constraints (no SparkSession in the DataSource commit "
+                "path) — write via write_delta / INSERT instead"
+            )
+        if any(
+            (f.get("metadata") or {}).get("delta.generationExpression")
+            for f in json.loads(meta["schemaString"])["fields"]
+        ):
+            raise UnsupportedFormat(
+                "delta_native writer cannot compute/validate this "
+                "table's GENERATED COLUMNS (no SparkSession in the "
+                "DataSource commit path) — write via write_delta / "
+                "INSERT instead"
+            )
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            raise UnsupportedFormat(
+                "delta_native writer does not stage under column-"
+                "mapping physical names — write via write_delta"
+            )
         have = {
             (f["name"], json.dumps(f["type"]))
             for f in json.loads(meta["schemaString"])["fields"]

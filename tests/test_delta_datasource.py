@@ -342,3 +342,32 @@ def test_writer_partitioned_roundtrip(ds, tmp_path):
     )
     fresh = load_source(ds, d, "delta")
     assert out.count() == fresh.filter(F.col("p") == "a b").count()
+
+
+def test_writer_refuses_enforcement_tables(ds, tmp_path):
+    """Tables with CHECK constraints, generated columns, or column
+    mapping refuse the datasource writer LOUDLY — its sessionless
+    commit path cannot evaluate their expressions, and skipping them
+    silently would commit wrong data."""
+    from pg_analytics_spark.sources.delta_write import (
+        alter_delta_constraints,
+    )
+
+    d1 = str(tmp_path / "con")
+    write_delta(_mk(ds, 1, 5), d1, mode="overwrite")
+    alter_delta_constraints(d1, add=("v_pos", "v > 0"), spark=ds)
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _mk(ds, 5, 6).write.format("delta_native").mode("append").option(
+            "path", d1
+        ).save()
+    d2 = str(tmp_path / "gen")
+    write_delta(
+        _mk(ds, 0, 5).withColumn("v2", F.expr("v * 2")),
+        d2,
+        mode="overwrite",
+        generated={"v2": "v * 2"},
+    )
+    with pytest.raises(Exception, match="GENERATED COLUMNS"):
+        _mk(ds, 5, 6).withColumn("v2", F.expr("v * 2")).write.format(
+            "delta_native"
+        ).mode("append").option("path", d2).save()
