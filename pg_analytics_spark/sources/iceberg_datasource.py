@@ -511,8 +511,14 @@ class IcebergNativeDataSource(DataSource):
         r._schema_struct = schema
         return r
 
+    def _part_cols(self) -> list[str]:
+        raw = self.options.get("partitionby", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
     def writer(self, schema, overwrite: bool):
-        return _IceBatchWriter(self._path(), schema, overwrite)
+        return _IceBatchWriter(
+            self._path(), schema, overwrite, self._part_cols()
+        )
 
     def streamWriter(self, schema, overwrite: bool):
         return _IceStreamWriter(
@@ -520,6 +526,7 @@ class IcebergNativeDataSource(DataSource):
             schema,
             overwrite,
             self.options.get("txnappid", "iceberg_native_sink"),
+            self._part_cols(),
         )
 
 
@@ -553,11 +560,21 @@ def _ice_table_fields(path: str, schema) -> list[dict]:
     ]
 
 
-def _ice_write_task(path: str, fields: list[dict], iterator):
-    """Worker-side: one parquet file per task under <table>/data/,
-    Appendix-D bounds from the finished file's footer."""
+def _ice_write_task(
+    path: str,
+    fields: list[dict],
+    iterator,
+    part_cols: list[str] | None = None,
+):
+    """Worker-side: parquet files under <table>/data/ with Appendix-D
+    bounds from each finished file's footer.  Unpartitioned: one file
+    per task.  Identity-partitioned: one file per distinct partition
+    tuple in this task's input (source columns STAY in the files —
+    the Iceberg convention; the tuple rides the manifest entry) —
+    repartition by the partition columns upstream to bound fan-out."""
     import uuid as _uuid
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     _ensure_importable()
@@ -565,19 +582,61 @@ def _ice_write_task(path: str, fields: list[dict], iterator):
 
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    full = os.path.join(data_dir, f"pyds-{_uuid.uuid4().hex}.parquet")
-    writer = None
-    for batch in iterator:
+    if not part_cols:
+        full = os.path.join(
+            data_dir, f"pyds-{_uuid.uuid4().hex}.parquet"
+        )
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(full, batch.schema)
+            writer.write_batch(batch)
         if writer is None:
-            writer = pq.ParquetWriter(full, batch.schema)
-        writer.write_batch(batch)
-    if writer is None:
-        return _IceWriteMessage([])
-    writer.close()
-    lowers, uppers, rows = _file_bounds(full, fields)
-    return _IceWriteMessage(
-        [(full, os.path.getsize(full), rows, lowers, uppers)]
-    )
+            return _IceWriteMessage([])
+        writer.close()
+        lowers, uppers, rows = _file_bounds(full, fields)
+        return _IceWriteMessage(
+            [(full, os.path.getsize(full), rows, lowers, uppers, None)]
+        )
+    writers: dict[tuple, tuple] = {}
+    for batch in iterator:
+        t = pa.Table.from_batches([batch])
+        keys = list(zip(*(t[c].to_pylist() for c in part_cols)))
+        for tup in sorted(set(keys), key=lambda k: tuple(map(str, k))):
+            mask = pa.array([k == tup for k in keys])
+            group = t.filter(mask)
+            if tup not in writers:
+                if len(writers) >= 256:
+                    raise UnsupportedFormat(
+                        "iceberg_native partitioned write: >256 "
+                        "distinct partition tuples in one task — "
+                        "repartition by the partition columns first"
+                    )
+                full = os.path.join(
+                    data_dir, f"pyds-{_uuid.uuid4().hex}.parquet"
+                )
+                writers[tup] = (
+                    pq.ParquetWriter(full, group.schema),
+                    full,
+                )
+            w, _full = writers[tup]
+            for gb in group.to_batches():
+                w.write_batch(gb)
+    out = []
+    for tup, (w, full) in writers.items():
+        w.close()
+        lowers, uppers, rows = _file_bounds(full, fields)
+        out.append(
+            (
+                full,
+                os.path.getsize(full),
+                rows,
+                lowers,
+                uppers,
+                dict(zip(part_cols, tup)),
+            )
+        )
+    return _IceWriteMessage(out)
 
 
 def _ice_abort(messages) -> None:
@@ -592,14 +651,19 @@ def _ice_abort(messages) -> None:
 
 
 class _IceBatchWriter(DataSourceArrowWriter):
-    def __init__(self, path: str, schema, overwrite: bool) -> None:
+    def __init__(
+        self, path: str, schema, overwrite: bool, part_cols: list[str]
+    ) -> None:
         self._path = path
         self._schema = schema
         self._overwrite = overwrite
+        self._part_cols = part_cols
         self._fields = _ice_table_fields(path, schema)
 
     def write(self, iterator):
-        return _ice_write_task(self._path, self._fields, iterator)
+        return _ice_write_task(
+            self._path, self._fields, iterator, self._part_cols
+        )
 
     def commit(self, messages):
         _ensure_importable()
@@ -612,6 +676,7 @@ class _IceBatchWriter(DataSourceArrowWriter):
             self._schema,
             [f for m in messages if m is not None for f in m.files],
             mode="overwrite" if self._overwrite else "append",
+            partition_by=self._part_cols or None,
         )
 
     def abort(self, messages):
@@ -624,7 +689,14 @@ class _IceStreamWriter(DataSourceStreamArrowWriter):
     write_iceberg's txn shares — so a crash-replayed epoch publishes
     NOTHING and its staged files are removed."""
 
-    def __init__(self, path: str, schema, overwrite: bool, app_id: str):
+    def __init__(
+        self,
+        path: str,
+        schema,
+        overwrite: bool,
+        app_id: str,
+        part_cols: list[str],
+    ):
         if overwrite:
             raise UnsupportedFormat(
                 "iceberg_native streaming sink supports append output "
@@ -633,10 +705,13 @@ class _IceStreamWriter(DataSourceStreamArrowWriter):
         self._path = path
         self._schema = schema
         self._app_id = app_id
+        self._part_cols = part_cols
         self._fields = _ice_table_fields(path, schema)
 
     def write(self, iterator):
-        return _ice_write_task(self._path, self._fields, iterator)
+        return _ice_write_task(
+            self._path, self._fields, iterator, self._part_cols
+        )
 
     def commit(self, messages, batchId: int):
         _ensure_importable()
@@ -650,6 +725,7 @@ class _IceStreamWriter(DataSourceStreamArrowWriter):
             [f for m in messages if m is not None for f in m.files],
             mode="append",
             txn=(self._app_id, int(batchId)),
+            partition_by=self._part_cols or None,
         )
 
     def abort(self, messages, batchId: int):

@@ -4629,9 +4629,10 @@ def merge_iceberg(
 def commit_iceberg_data_files(
     path: str,
     spark_schema,
-    files: list[tuple[str, int, int, list, list]],
+    files: list,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Driver-side commit of PRE-STAGED parquet data files as one v2
     snapshot — the metadata half of :func:`write_iceberg` for writers
@@ -4641,8 +4642,11 @@ def commit_iceberg_data_files(
     SparkSession (Spark's data-source workers have none).
 
     ``files``: ``(abs_path, size_bytes, num_rows, lower_bounds,
-    upper_bounds)`` per staged file.  Unpartitioned tables only (the
-    DataSource API exposes no partitioning hook); ``txn=(app, epoch)``
+    upper_bounds[, partition_tuple])`` per staged file, where
+    ``partition_tuple`` maps spec field name → raw python value for
+    IDENTITY-partitioned tables (``partition_by`` declares the
+    identity source columns; non-identity transforms go through
+    write_iceberg).  ``txn=(app, epoch)``
     records the streaming epoch watermark in the snapshot summary —
     SHARED with write_iceberg's, so replays skip across both writers.
     Creation mints the table from ``spark_schema``; appends require an
@@ -4676,8 +4680,10 @@ def commit_iceberg_data_files(
                 "skipped_txn": True,
             }
     want = [(f.name, _ice_type(f)) for f in spark_schema.fields]
+    part_by = list(partition_by or [])
     schema_id = 0
     prev_schemas: list[dict] = []
+    part_fields: list[dict] = []
     if prev_meta is None:
         mode = "overwrite"
         fields = [
@@ -4700,39 +4706,117 @@ def commit_iceberg_data_files(
             {"fields": []},
         )
         if spec.get("fields"):
+            id_name = {f["id"]: f["name"] for f in fields}
+            srcs = []
+            for pf in spec["fields"]:
+                if pf.get("transform", "identity") != "identity":
+                    raise UnsupportedFormat(
+                        "commit_iceberg_data_files supports IDENTITY "
+                        "partition specs only; transform specs go "
+                        "through write_iceberg"
+                    )
+                srcs.append(id_name.get(pf["source-id"]))
+            if part_by != srcs:
+                raise UnsupportedFormat(
+                    f"iceberg staged-commit partition mismatch: table "
+                    f"spec is identity{srcs}, write declared {part_by}"
+                )
+        elif part_by:
             raise UnsupportedFormat(
-                "commit_iceberg_data_files targets unpartitioned "
-                "tables; partitioned writes go through write_iceberg"
+                "iceberg staged-commit partition mismatch: table is "
+                f"unpartitioned, write declared {part_by}"
             )
         if {(f["name"], f["type"]) for f in fields} != set(want):
             raise UnsupportedFormat(
                 "iceberg staged-commit schema mismatch — evolve via "
                 "write_iceberg(mergeSchema) or overwrite there"
             )
+    if part_by:
+        ftype = {f["name"]: f["type"] for f in fields}
+        fid = {f["name"]: f["id"] for f in fields}
+        prev_spec_fields = []
+        if prev_meta is not None:
+            sid = prev_meta.get("default-spec-id", 0)
+            prev_spec_fields = next(
+                (
+                    s
+                    for s in prev_meta.get("partition-specs", [])
+                    if s.get("spec-id") == sid
+                ),
+                {"fields": []},
+            ).get("fields", [])
+        for i, c in enumerate(part_by):
+            t = ftype.get(c)
+            if c not in fid:
+                raise UnsupportedFormat(
+                    f"partition column {c!r} not in the written schema"
+                )
+            if t not in _ICE_TO_AVRO:
+                raise UnsupportedFormat(
+                    f"identity partition column {c!r} has type {t!r} — "
+                    "int/long/string/date only"
+                )
+            prev_pf = prev_spec_fields[i] if i < len(prev_spec_fields) else None
+            part_fields.append(
+                {
+                    "source-id": (
+                        prev_pf["source-id"] if prev_pf else fid[c]
+                    ),
+                    "field-id": (
+                        prev_pf["field-id"] if prev_pf else 1000 + i
+                    ),
+                    "name": prev_pf["name"] if prev_pf else c,
+                    "transform": "identity",
+                    "_ice_type": t,
+                }
+            )
     os.makedirs(meta_dir, exist_ok=True)
     seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    import datetime as _dt
+
+    def _tuple_value(v, t):
+        if v is None:
+            return None
+        if t in ("int", "long"):
+            return int(v)
+        if t == "date":
+            if isinstance(v, _dt.date):
+                return (v - _dt.date(1970, 1, 1)).days
+            return int(v)
+        return str(v)
+
     entries = []
     n_rows = 0
-    for fpath, size, rows, lowers, uppers in files:
+    for rec in files:
+        fpath, size, rows, lowers, uppers = rec[:5]
         n_rows += int(rows)
+        data_file = {
+            "content": 0,
+            "file_path": fpath,
+            "file_format": "PARQUET",
+            "record_count": int(rows),
+            "file_size_in_bytes": int(size),
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+        }
+        if part_fields:
+            raw = rec[5] if len(rec) > 5 and rec[5] else {}
+            data_file["partition"] = {
+                pf["name"]: _tuple_value(
+                    raw.get(part_by[i]), pf["_ice_type"]
+                )
+                for i, pf in enumerate(part_fields)
+            }
         entries.append(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": fpath,
-                    "file_format": "PARQUET",
-                    "record_count": int(rows),
-                    "file_size_in_bytes": int(size),
-                    "lower_bounds": lowers or None,
-                    "upper_bounds": uppers or None,
-                },
+                "data_file": data_file,
             }
         )
     manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
-    write_container(_manifest_entry_schema([]), entries, manifest)
+    write_container(_manifest_entry_schema(part_fields), entries, manifest)
     mf_entries = [
         {
             "manifest_path": manifest,
@@ -4783,8 +4867,12 @@ def commit_iceberg_data_files(
     log = list((prev_meta or {}).get("snapshot-log", [])) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
+    spec_fields_public = [
+        {k: v for k, v in pf.items() if not k.startswith("_")}
+        for pf in part_fields
+    ]
     partition_specs = (prev_meta or {}).get("partition-specs") or [
-        {"spec-id": 0, "fields": []}
+        {"spec-id": 0, "fields": spec_fields_public}
     ]
     meta = {
         "format-version": 2,

@@ -254,3 +254,36 @@ def test_stream_rate_limit_max_snapshots_per_trigger(ds, tmp_path):
     assert n == 1
     e3 = r.latestOffset()
     assert e3["seq"] == 3
+
+
+def test_writer_identity_partitioned_roundtrip(ds, tmp_path):
+    """partitionBy (identity) writes: one staged file per distinct
+    tuple per task, source columns STAY in the files, the typed tuple
+    rides the manifest entry — so the reader's partition_filter
+    prunes at the manifest level; appends must match the spec."""
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id bigint, p string, v double",
+    )
+    df.repartition(2, "p").write.format("iceberg_native").mode(
+        "overwrite"
+    ).option("path", d).option("partitionBy", "p").save()
+    back = load_source(ds, d, "iceberg")
+    assert back.count() == 30
+    assert {r["p"] for r in back.collect()} == {"g0", "g1", "g2"}
+    # manifest-level pruning via the identity tuple
+    pruned = load_source(
+        ds, d, "iceberg", {"partition_filter": [("p", "=", "g1")]}
+    )
+    assert pruned.count() == 10
+    assert len(pruned.inputFiles()) < len(back.inputFiles())
+    # spec-matched append works; a mismatch refuses
+    df.limit(3).repartition(1).write.format("iceberg_native").mode(
+        "append"
+    ).option("path", d).option("partitionBy", "p").save()
+    assert load_source(ds, d, "iceberg").count() == 33
+    with pytest.raises(Exception, match="partition mismatch"):
+        df.limit(1).write.format("iceberg_native").mode("append").option(
+            "path", d
+        ).save()
