@@ -3863,8 +3863,14 @@ _MAT_COS_TRUNC = (
     "prefix norms).  Integer overlap counts after ROUND(·,6)+(sim "
     "DESC, id) deterministic ranking → value-exact cross-engine "
     "(the sim-row precedent).  Scale: one scan of the corpus "
-    "crossed with |probes|=4 broadcast rows, two window top-ks on "
-    "the (N×4)-row pair relation; the production path stores the "
+    "crossed with |probes|=4 broadcast rows; each top-10 is a "
+    "SEPARATE rank-limited window stage so Catalyst's "
+    "InferWindowGroupLimit inserts a PARTIAL per-input-partition "
+    "top-k BELOW the exchange — every map task forwards ≤10 rows "
+    "per probe, so the post-shuffle sort touches ≤10·P rows, never "
+    "the corpus (the earlier fused two-rank window blocked the "
+    "rewrite and funneled the whole pair relation through "
+    "|probes|=4 sort tasks).  The production path stores the "
     "prefix as its own column and this row is its acceptance gate.",
 )
 def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3892,16 +3898,27 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ts"),
         )
     )
+    # One window function per stage + a `row_number() <= k` filter
+    # directly above it is the exact shape InferWindowGroupLimit
+    # rewrites into partial/final WindowGroupLimit (plan-asserted in
+    # tests/test_plans.py): the per-probe top-k is computed map-side
+    # before the exchange instead of sorting corpus-sized partitions.
     wf = _W.partitionBy("probe_id").orderBy(F.desc("fs"), F.asc("vec_id"))
     wt = _W.partitionBy("probe_id").orderBy(F.desc("ts"), F.asc("vec_id"))
-    ranked = pairs.select(
-        "probe_id",
-        "vec_id",
-        F.row_number().over(wf).alias("rf"),
-        F.row_number().over(wt).alias("rt"),
+    tf = (
+        pairs.select("probe_id", "vec_id", "fs")
+        .withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    tt = (
+        pairs.select("probe_id", "vec_id", "ts")
+        .withColumn("rt", F.row_number().over(wt))
+        .filter(F.col("rt") <= 10)
+        .select("probe_id", "vec_id")
     )
     return (
-        ranked.filter((F.col("rf") <= 10) & (F.col("rt") <= 10))
+        tf.join(tt, ["probe_id", "vec_id"])
         .groupBy("probe_id")
         .agg(
             F.count("*").cast("long").alias("n_overlap"),
@@ -3954,14 +3971,23 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Reported per-probe, so no cross-row float accumulation exists "
     "anywhere: rank is an integer from the same ROUND(·,6)+(sim "
     "DESC, id) deterministic ordering as the sim rows, and 1/rank "
-    "is one double division — value-exact.  Scale: identical "
-    "dataflow to the recall row (corpus × |probes| broadcast, two "
-    "window top-ks); both metrics share one pair scan in a real "
-    "harness.",
+    "is one double division — value-exact.  Scale: the row never "
+    "ranks anything — it needs only the rank of ONE row per probe, "
+    "so it is two sort-free aggregate passes over the pair scan: "
+    "(1) the exact-cosine argmax per probe via max_by over a packed "
+    "BIGINT ordering key (order-preserving for (fs DESC, vec_id "
+    "ASC); primitive buffers keep it HashAggregate, map-side "
+    "combining to |probes| rows), (2) rank(truth) = 1 + COUNT of "
+    "pair rows strictly "
+    "before the truth row in the prefix ordering ((ts, vec_id) "
+    "comparison against the broadcast |probes|-row truth set).  No "
+    "window, no corpus-sized sort, parallelism = input partitions "
+    "(the earlier per-probe ranking window capped it at |probes|=4 "
+    "full-sort tasks and its unbounded rank blocked "
+    "WindowGroupLimit entirely); plan-asserted window-free in "
+    "tests/test_plans.py.",
 )
 def sim_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
-
     from pg_analytics_spark.functions.vectors import cosine_similarity
 
     emb = table(spark, sf_dir, "embeddings")
@@ -3986,21 +4012,53 @@ def sim_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ts"),
         )
     )
-    wf = _W.partitionBy("probe_id").orderBy(F.desc("fs"), F.asc("vec_id"))
-    wt = _W.partitionBy("probe_id").orderBy(F.desc("ts"), F.asc("vec_id"))
-    ranked = pairs.select(
-        "probe_id",
-        "vec_id",
-        F.row_number().over(wf).alias("rf"),
-        F.row_number().over(wt).alias("rt"),
+    # Pass 1 — ground truth per probe: argmax under (fs DESC, vec_id
+    # ASC).  A struct-valued min/max would force SortAggregate (struct
+    # buffers aren't hash-aggregable), so the ordering packs into ONE
+    # BIGINT: fs is ROUND(·,6) ∈ [−1,1], hence round(fs·1e6) is an
+    # exact integer in [−1e6,1e6] that preserves the 6-decimal order
+    # (fs·1e6 sits within ~1e−9 of an integer — never at .5, so the
+    # rounding mode is irrelevant); scaling by 2^42 (±4.4e18, inside
+    # int64) and subtracting vec_id (< 2^42) breaks ties toward the
+    # SMALLER id.  Two max_by's over that key keep primitive buffers →
+    # HashAggregate with a partial (map-side) pass, no sort anywhere.
+    ok = (
+        F.round(F.col("fs") * F.lit(1e6)).cast("long")
+        * F.lit(1 << 42).cast("long")
+        - F.col("vec_id")
     )
+    truth = pairs.groupBy("probe_id").agg(
+        F.max_by("vec_id", ok).alias("truth_id"),
+        F.max_by("ts", ok).alias("truth_ts"),
+    )
+    # Pass 2 — rank of the truth row in the prefix ordering (ts DESC,
+    # vec_id ASC) = 1 + #rows strictly before it.  Broadcast the
+    # |probes|-row truth set; one count aggregate, no sort.
     return (
-        ranked.filter(F.col("rf") == 1)
+        pairs.join(F.broadcast(truth), "probe_id")
+        .groupBy("probe_id", "truth_id")
+        .agg(
+            (
+                F.lit(1)
+                + F.count(
+                    F.when(
+                        (F.col("ts") > F.col("truth_ts"))
+                        | (
+                            (F.col("ts") == F.col("truth_ts"))
+                            & (F.col("vec_id") < F.col("truth_id"))
+                        ),
+                        1,
+                    )
+                )
+            )
+            .cast("long")
+            .alias("prefix_rank")
+        )
         .select(
             "probe_id",
-            F.col("vec_id").alias("truth_id"),
-            F.col("rt").cast("long").alias("prefix_rank"),
-            F.round(F.lit(1.0) / F.col("rt"), 6).alias("rr"),
+            "truth_id",
+            "prefix_rank",
+            F.round(F.lit(1.0) / F.col("prefix_rank"), 6).alias("rr"),
         )
         .orderBy("probe_id")
     )

@@ -573,3 +573,44 @@ def test_filtered_ann_broadcasts_and_takes_ordered(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_sim_eval_mrr_is_window_free_aggregate(spark):
+    """sim_eval_mrr's scale contract (r11 verdict #1): the row needs
+    the rank of ONE row per probe, not a ranking — so it must compile
+    to two sort-free aggregate passes (argmax-by-struct, then a
+    broadcast join + count), with NO Window/WindowGroupLimit node and
+    no Sort above the pair scan.  The old per-probe ranking window
+    funneled the whole corpus×probes relation through |probes|=4
+    full-sort tasks."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["sim_eval_mrr"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the only Sort allowed is the |probes|-row final ORDER BY, which
+    # sits above the last aggregate — i.e. no Sort between the scans
+    # and the first HashAggregate
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1, plan[:2000]
+    assert "Sort " not in plan[first_agg:], plan[:2000]
+
+
+def test_matryoshka_recall_topk_is_partial_group_limit(spark):
+    """embed_matryoshka_recall's scale contract (r11 verdict #1): each
+    per-probe top-10 is a SEPARATE rank-limited window stage, so
+    InferWindowGroupLimit inserts a Partial WindowGroupLimit BELOW the
+    exchange — map tasks forward ≤10 rows per probe and no
+    corpus-sized partition is ever sorted post-shuffle.  The old fused
+    two-rank window blocked the rewrite entirely."""
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["embed_matryoshka_recall"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both orderings rewritten: two Final + two Partial group limits
+    assert plan.count("WindowGroupLimit") == 4, plan[:3000]
+    assert plan.count("Partial") >= 2, plan[:3000]
+    # a Partial pass sits below (printed after) an Exchange
+    first_partial = plan.find("Partial")
+    assert "Exchange" in plan[:first_partial], plan[:3000]
