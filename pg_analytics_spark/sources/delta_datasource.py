@@ -417,6 +417,25 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     "change feed (read_table_changes) for row-level "
                     "changes."
                 )
+            if removes and not self._ignore_changes:
+                # delta-spark contract: ignoreDeletes covers PURE
+                # deletes (retention drops of whole files).  A commit
+                # carrying removes AND dataChange adds is a
+                # copy-on-write rewrite (UPDATE/MERGE) — emitting the
+                # rewritten files would silently duplicate rows
+                # already streamed, so it requires ignoreChanges.
+                if any(
+                    "add" in a and a["add"].get("dataChange", True)
+                    for a in actions
+                ):
+                    raise UnsupportedFormat(
+                        f"delta stream: commit {v} rewrites data "
+                        "(remove + add in one commit — UPDATE/MERGE). "
+                        "ignoreDeletes only skips pure file deletes; "
+                        "set ignoreChanges to re-emit rewritten files "
+                        "(downstream must tolerate duplicates), or "
+                        "consume the change feed."
+                    )
             for a in actions:
                 add = a.get("add")
                 if add is None or not add.get("dataChange", True):
@@ -725,6 +744,7 @@ def _commit_files(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
         )
     prev_active: dict = {}
+    replace_schema = False
     if exists:
         prev_active, meta = _replay_log(log_dir)
         if meta is None:
@@ -776,12 +796,17 @@ def _commit_files(
                 f"write requested {part_cols}"
             )
         if have != want and overwrite:
-            exists = False  # replace: mint fresh metaData below
+            replace_schema = True  # replace: mint fresh metaData below
+        # exactly ONE protocol action per commit (Delta spec): an
+        # existing table's protocol is CARRIED — including on a
+        # schema-replacing overwrite, which must never downgrade the
+        # protocol external readers negotiated features from.
         actions.append({"protocol": _latest_protocol(log_dir)})
-    if not exists:
+    else:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
+    if not exists or replace_schema:
         actions.append(
             {
                 "metaData": {

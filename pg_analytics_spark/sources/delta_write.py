@@ -1196,6 +1196,33 @@ def write_delta(
         if version == 0
         else _generated_expressions(prev_meta)
     )
+    if gen_map and version > 0 and mode == "overwrite" and prev_meta:
+        # a shape-changing overwrite of a GENERATED-COLUMNS table would
+        # either die resolving the generation inputs against the new
+        # frame or (worse) mint a metaData without the generation
+        # expressions, silently ending enforcement — refuse it up
+        # front.  Allowed: the table's own shape, with generated
+        # columns optionally omitted (they are recomputed).
+        prev_fields = {
+            f["name"]: json.dumps(f["type"])
+            for f in json.loads(prev_meta["schemaString"])["fields"]
+        }
+        new_fields = {
+            f.name: json.dumps(f.jsonValue()["type"])
+            for f in df.schema.fields
+        }
+        if not (
+            all(prev_fields.get(n) == t for n, t in new_fields.items())
+            and all(n in new_fields or n in gen_map for n in prev_fields)
+        ):
+            raise UnsupportedFormat(
+                "overwriting a GENERATED-COLUMNS table with a "
+                "different schema would drop its generation "
+                "expressions — overwrite with the table's own schema "
+                "(generated columns may be omitted; they are "
+                "recomputed), or recreate the table at a new path to "
+                "change its shape"
+            )
     if gen_map:
         # compute absent generated columns / validate provided ones
         # BEFORE the schema is read off the dataframe
@@ -1259,6 +1286,23 @@ def write_delta(
         append_evolved_schema = annotated
     else:
         schema_string = annotated
+    if gen_map and version > 0:
+        # any schemaString minted on a non-creating commit (partition
+        # respec overwrite, mergeSchema append) must CARRY the
+        # generation expressions, or enforcement silently ends for all
+        # later writers
+        def _annotate_gen(ss_json: str) -> str:
+            ss = json.loads(ss_json)
+            for f in ss.get("fields", []):
+                if f["name"] in gen_map:
+                    md = dict(f.get("metadata") or {})
+                    md["delta.generationExpression"] = gen_map[f["name"]]
+                    f["metadata"] = md
+            return json.dumps(ss)
+
+        schema_string = _annotate_gen(schema_string)
+        if append_evolved_schema is not None:
+            append_evolved_schema = _annotate_gen(append_evolved_schema)
     stage_part_cols = (
         [renames.get(c, c) for c in part_cols] if renames else part_cols
     )

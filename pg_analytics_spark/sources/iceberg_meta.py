@@ -148,8 +148,9 @@ def iceberg_files(spark: SparkSession, path: str) -> DataFrame:
 
 def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
     """One row per named ref (the runtime's ``t.refs`` metadata
-    table): (name, type, snapshot_id, max_ref_age_ms,
-    min_snapshots_to_keep, max_snapshot_age_ms) — the retention
+    table): (name, type, snapshot_id, max_reference_age_in_ms,
+    min_snapshots_to_keep, max_snapshot_age_in_ms) — the runtime's
+    exact column names, so queries written for ``t.refs`` port; the retention
     fields expire_snapshots honors; NULL where unset.  main is
     synthesized from current-snapshot-id like the runtime does."""
     meta = _meta(path)
@@ -183,6 +184,6 @@ def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "name string, type string, snapshot_id long, "
-        "max_ref_age_ms long, min_snapshots_to_keep long, "
-        "max_snapshot_age_ms long",
+        "max_reference_age_in_ms long, min_snapshots_to_keep long, "
+        "max_snapshot_age_in_ms long",
     )

@@ -454,6 +454,41 @@ def _latest_metadata(meta_dir: str) -> tuple[int, dict | None]:
         return v, json.load(fh)
 
 
+#: table-property prefix persisting each streaming app's consumed-epoch
+#: high-water mark ALONGSIDE the snapshot summaries — summaries alone
+#: die with expire_snapshots, after which a delayed crash-replay of an
+#: already-consumed epoch would re-commit duplicates.
+_TXN_PROP = "pg-analytics-spark.streaming-epoch."
+
+
+def _txn_high_water(prev_meta: dict, app_id: str) -> int | None:
+    """Max consumed epoch for ``app_id``: snapshot summaries (so
+    branch-staged epochs count, the WAP interaction) PLUS the table
+    property minted at commit, which survives snapshot expiry."""
+    vals = [
+        int(s["summary"]["streaming-epoch-id"])
+        for s in prev_meta.get("snapshots", [])
+        if (s.get("summary") or {}).get("streaming-app-id") == app_id
+    ]
+    p = (prev_meta.get("properties") or {}).get(_TXN_PROP + app_id)
+    if p is not None:
+        vals.append(int(p))
+    return max(vals, default=None)
+
+
+def _txn_props_update(props: dict, txn) -> dict:
+    """Advance (never lower) the app's property high-water mark on a
+    txn commit; mutates and returns ``props``."""
+    if txn is not None:
+        key = _TXN_PROP + str(txn[0])
+        wm = int(txn[1])
+        prev = props.get(key)
+        if prev is not None:
+            wm = max(wm, int(prev))
+        props[key] = str(wm)
+    return props
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -530,17 +565,8 @@ def write_iceberg(
         if branch == "main":
             raise UnsupportedFormat("the ref name 'main' is reserved")
     if txn is not None and prev_meta is not None:
-        app_id, epoch = txn
-        last = max(
-            (
-                int(s["summary"]["streaming-epoch-id"])
-                for s in prev_meta.get("snapshots", [])
-                if (s.get("summary") or {}).get("streaming-app-id")
-                == app_id
-            ),
-            default=None,
-        )
-        if last is not None and int(epoch) <= last:
+        last = _txn_high_water(prev_meta, txn[0])
+        if last is not None and int(txn[1]) <= last:
             return {
                 "snapshot_id": None,
                 "files": 0,
@@ -927,7 +953,9 @@ def write_iceberg(
     # resolution of files written before a RENAME COLUMN) — and any
     # field this commit minted (mergeSchema evolution) must JOIN an
     # existing mapping, or its id-less files would null-fill on read
-    props = dict((prev_meta or {}).get("properties", {}))
+    props = _txn_props_update(
+        dict((prev_meta or {}).get("properties", {})), txn
+    )
     if props.get("schema.name-mapping.default"):
         nm = json.loads(props["schema.name-mapping.default"])
         by_id = {e.get("field-id"): e for e in nm}
@@ -4657,17 +4685,8 @@ def commit_iceberg_data_files(
     meta_dir = os.path.join(path, "metadata")
     prev_version, prev_meta = _latest_metadata(meta_dir)
     if txn is not None and prev_meta is not None:
-        app_id, epoch = txn
-        last = max(
-            (
-                int(s["summary"]["streaming-epoch-id"])
-                for s in prev_meta.get("snapshots", [])
-                if (s.get("summary") or {}).get("streaming-app-id")
-                == app_id
-            ),
-            default=None,
-        )
-        if last is not None and int(epoch) <= last:
+        last = _txn_high_water(prev_meta, txn[0])
+        if last is not None and int(txn[1]) <= last:
             for f, *_rest in files:
                 try:
                     os.remove(f)
@@ -4879,7 +4898,9 @@ def commit_iceberg_data_files(
         "table-uuid": (prev_meta or {}).get(
             "table-uuid", str(uuid.uuid4())
         ),
-        "properties": dict((prev_meta or {}).get("properties", {})),
+        "properties": _txn_props_update(
+            dict((prev_meta or {}).get("properties", {})), txn
+        ),
         "location": path,
         "last-sequence-number": seq,
         "last-column-id": max(

@@ -215,3 +215,64 @@ class TestGeneratedColumns:
                 mode="append",
                 generated={"doubled": "v * 2"},
             )
+
+    def test_overwrite_keeps_generation_and_refuses_reshape(
+        self, spark, tmp_path
+    ):
+        """r11 advice: a schema-changing overwrite must not silently
+        drop generation expressions; a same-shape overwrite (generated
+        column omitted) recomputes and KEEPS enforcement, and a
+        partition-respec overwrite's re-minted metaData still carries
+        delta.generationExpression."""
+        import json as _json
+        import os as _os
+
+        from pg_analytics_spark.sources import load_source
+        from pg_analytics_spark.sources.delta_write import write_delta
+
+        d = str(tmp_path / "t")
+        write_delta(
+            self._mk(spark, 0, 5), d, mode="overwrite",
+            generated={"doubled": "v * 2"},
+        )
+        # reshape (new column set) → refused, table untouched
+        other = spark.createDataFrame(
+            [(1, "x")], "id bigint, w string"
+        )
+        with pytest.raises(UnsupportedFormat, match="GENERATED"):
+            write_delta(other, d, mode="overwrite")
+        # same shape, generated column omitted → recomputed
+        write_delta(self._mk(spark, 10, 13), d, mode="overwrite")
+        got = {
+            r["id"]: r["doubled"]
+            for r in load_source(spark, d, "delta").collect()
+        }
+        assert got == {10: 20.0, 11: 22.0, 12: 24.0}
+        # enforcement survives the overwrite
+        bad = self._mk(spark, 20, 21).withColumn("doubled", F.lit(0.0))
+        with pytest.raises(UnsupportedFormat, match="generated column"):
+            write_delta(bad, d, mode="append")
+        # partition respec re-mints metaData: expressions must ride it
+        write_delta(
+            self._mk(spark, 0, 4), d, mode="overwrite", partition_by="id"
+        )
+        log = _os.path.join(d, "_delta_log")
+        last = sorted(_os.listdir(log))[-1]
+        acts = [
+            _json.loads(x)
+            for x in open(_os.path.join(log, last))
+            if x.strip()
+        ]
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        md = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            for f in _json.loads(meta["schemaString"])["fields"]
+        }
+        assert md["doubled"] == "v * 2"
+        got = {
+            r["id"]: r["doubled"]
+            for r in load_source(spark, d, "delta").collect()
+        }
+        assert got == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0}

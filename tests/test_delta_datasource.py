@@ -371,3 +371,63 @@ def test_writer_refuses_enforcement_tables(ds, tmp_path):
         _mk(ds, 5, 6).withColumn("v2", F.expr("v * 2")).write.format(
             "delta_native"
         ).mode("append").option("path", d2).save()
+
+
+def test_stream_ignore_deletes_pure_delete_vs_rewrite(ds, tmp_path):
+    """delta-spark's ignoreDeletes contract (r11 advice): a PURE
+    whole-file delete streams past silently, but a copy-on-write
+    rewrite (remove + dataChange add in one commit) is refused —
+    emitting the rewritten file would duplicate rows already
+    streamed."""
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    # two single-file commits so a predicate can drop one whole file
+    write_delta(_mk(ds, 0, 10).coalesce(1), d, mode="overwrite")
+    write_delta(_mk(ds, 10, 20).coalesce(1), d, mode="append")
+    acc: list = []
+    _run_stream(ds, d, ck, acc, ignoreDeletes="true")
+    assert acc[0][1] == list(range(20))
+    delete_delta(ds, d, "id >= 10")  # drops the second file whole
+    write_delta(_mk(ds, 20, 22), d, mode="append")
+    _run_stream(ds, d, ck, acc, ignoreDeletes="true")
+    assert acc[-1][1] == [20, 21]  # delete skipped, append consumed
+    update_delta(ds, d, {"v": "v + 1"}, "id = 3")  # rewrite commit
+    with pytest.raises(Exception, match="rewrites data|ignoreChanges"):
+        _run_stream(ds, d, ck, acc, ignoreDeletes="true")
+
+
+def test_writer_replace_carries_single_protocol(ds, tmp_path):
+    """r11 advice: a schema-changing overwrite must emit exactly ONE
+    protocol action per commit (Delta spec) and must CARRY the table's
+    protocol, never downgrade it — external readers negotiated
+    features (e.g. deletion vectors, minReader 3) from it."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "t")
+    write_delta(_mk(ds, 0, 10), d, mode="overwrite")
+    delete_delta(ds, d, "id < 3", dv=True)  # protocol → reader 3
+    wide = ds.createDataFrame(
+        [(1, "x", 2.0)], "id bigint, tag string, v double"
+    )
+    (
+        wide.write.format("delta_native")
+        .mode("overwrite")
+        .option("path", d)
+        .save()
+    )
+    log = _os.path.join(d, "_delta_log")
+    last = sorted(f for f in _os.listdir(log) if f.endswith(".json"))[-1]
+    acts = [
+        _json.loads(x) for x in open(_os.path.join(log, last)) if x.strip()
+    ]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert len(protos) == 1, protos
+    assert protos[0]["minReaderVersion"] == 3, protos
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert len(metas) == 1  # replace minted the new schema
+    names = [
+        f["name"] for f in _json.loads(metas[0]["schemaString"])["fields"]
+    ]
+    assert names == ["id", "tag", "v"]
+    out = ds.read.format("delta_native").option("path", d).load()
+    assert [tuple(r) for r in out.collect()] == [(1, "x", 2.0)]

@@ -868,3 +868,56 @@ def test_txn_watermark_covers_branch_staged_epochs(spark, tmp_path):
     assert write_iceberg(
         inc, path, mode="append", txn=("q", 0)
     )["skipped_txn"]
+
+
+def test_txn_watermark_survives_snapshot_expiry(spark, tmp_path):
+    """r11 advice: the exactly-once high-water mark must not die with
+    the snapshots that carried it — expire_snapshots can prune every
+    summary-bearing snapshot of an app, after which a delayed
+    crash-replay of a consumed epoch would re-commit duplicates.  The
+    mark is ALSO persisted as a table property at commit time."""
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "txnexp")
+
+    def mk(a, b):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(a, b)], "id bigint, v double"
+        )
+
+    write_iceberg(mk(0, 5), path, mode="overwrite", txn=("app", 0))
+    write_iceberg(mk(5, 8), path, mode="append", txn=("app", 1))
+    # a later NON-txn compaction-style overwrite becomes the only
+    # retained snapshot — every summary carrying the app watermark
+    # is expired
+    write_iceberg(mk(0, 8), path, mode="overwrite")
+    expire_iceberg_snapshots(spark, path, retain_last=1)
+    import json as _json
+    import os as _os
+
+    meta_dir = _os.path.join(path, "metadata")
+    latest = max(
+        (f for f in _os.listdir(meta_dir) if f.endswith(".metadata.json")),
+        key=lambda f: int(f[1:].split(".")[0]),
+    )
+    meta = _json.load(open(_os.path.join(meta_dir, latest)))
+    assert not any(
+        (s.get("summary") or {}).get("streaming-app-id") == "app"
+        for s in meta["snapshots"]
+    )
+    assert (
+        meta["properties"]["pg-analytics-spark.streaming-epoch.app"]
+        == "1"
+    )
+    # the delayed crash-replay of consumed epoch 1: still a no-op
+    r = write_iceberg(mk(5, 8), path, mode="append", txn=("app", 1))
+    assert r["skipped_txn"]
+    assert load_source(spark, path, "iceberg").count() == 8
+    # the NEXT epoch applies normally
+    assert write_iceberg(
+        mk(8, 9), path, mode="append", txn=("app", 2)
+    )["rows"] == 1

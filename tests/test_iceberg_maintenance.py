@@ -743,8 +743,8 @@ def test_iceberg_refs_metadata_table(spark, tmp_path):
     }
     assert set(rows) == {"main", "audit", "trained_v1"}
     assert rows["trained_v1"]["type"] == "tag"
-    assert rows["trained_v1"]["max_ref_age_ms"] == 3_600_000
+    assert rows["trained_v1"]["max_reference_age_in_ms"] == 3_600_000
     assert rows["audit"]["min_snapshots_to_keep"] == 2
-    assert rows["audit"]["max_snapshot_age_ms"] == 86_400_000
+    assert rows["audit"]["max_snapshot_age_in_ms"] == 86_400_000
     assert rows["main"]["snapshot_id"] == rows["audit"]["snapshot_id"]
-    assert rows["main"]["max_ref_age_ms"] is None
+    assert rows["main"]["max_reference_age_in_ms"] is None
