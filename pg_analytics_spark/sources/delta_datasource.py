@@ -79,38 +79,46 @@ def _ensure_importable() -> None:
 
 
 class _DeltaFilePartition(InputPartition):
-    """Everything one task needs, pickled BY VALUE: no package code
-    runs on the worker."""
+    """Everything one task needs, pickled BY VALUE.  The deletion
+    vector travels as the table's own roaring blob (``dv_blob`` —
+    KB-scale for millions of deleted rows), never as a decoded
+    ``list[int]`` (megabytes of pickled ints per task)."""
 
     def __init__(
         self,
         file_path: str,
-        drop_rows: list[int],
+        dv_blob: bytes | None,
         part_values: dict[str, str | None],
         phys_of: dict[str, str],
         arrow_schema,
     ) -> None:
         self.file_path = file_path
-        self.drop_rows = drop_rows
+        self.dv_blob = dv_blob
         self.part_values = part_values
         self.phys_of = phys_of
         self.arrow_schema = arrow_schema
 
 
 def _read_file_partition(part: _DeltaFilePartition):
-    """Worker-side read: pyarrow only.  Yields RecordBatches conformed
-    to the declared schema — physical→logical rename (column mapping),
-    missing columns null-filled (ADD COLUMN evolution), partition
-    constants materialized from the add action's partitionValues,
-    deletion-vector rows dropped by physical index."""
+    """Worker-side read: pyarrow + the roaring decoder.  Yields
+    RecordBatches conformed to the declared schema — physical→logical
+    rename (column mapping), missing columns null-filled (ADD COLUMN
+    evolution), partition constants materialized from the add action's
+    partitionValues, deletion-vector rows decoded from the shipped
+    roaring blob and dropped by physical index."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(part.file_path)
     n = t.num_rows
-    if part.drop_rows:
+    if part.dv_blob:
+        _ensure_importable()
+        from pg_analytics_spark.sources.delta_dv import (
+            decode_roaring_array,
+        )
+
         keep = [True] * n
-        for r in part.drop_rows:
+        for r in decode_roaring_array(part.dv_blob):
             keep[r] = False
         t = t.filter(pa.array(keep))
         n = t.num_rows
@@ -241,7 +249,7 @@ def _partitions_for_adds(
     part_filters: list | None = None,
 ) -> list[_DeltaFilePartition]:
     _ensure_importable()
-    from pg_analytics_spark.sources.delta_dv import dv_deleted_rows
+    from pg_analytics_spark.sources.delta_dv import dv_blob
     from pg_analytics_spark.sources.delta_write import _decode_log_path
 
     out = []
@@ -256,11 +264,9 @@ def _partitions_for_adds(
             os.path.join(path, _decode_log_path(add["path"]))
         )
         dv = add.get("deletionVector")
-        drops = (
-            sorted(int(r) for r in dv_deleted_rows(path, dv)) if dv else []
-        )
+        blob = dv_blob(path, dv) if dv else None
         out.append(
-            _DeltaFilePartition(abs_path, drops, pv, phys_of, arrow_schema)
+            _DeltaFilePartition(abs_path, blob, pv, phys_of, arrow_schema)
         )
     return out
 

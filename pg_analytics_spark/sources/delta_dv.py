@@ -181,8 +181,12 @@ def _dv_file_path(table_path: str, descriptor: dict) -> str:
     )
 
 
-def dv_deleted_rows(table_path: str, descriptor: dict) -> list[int]:
-    """Resolve a deletionVector descriptor → sorted deleted row indices."""
+def dv_blob(table_path: str, descriptor: dict) -> bytes:
+    """Resolve a deletionVector descriptor → the raw portable
+    RoaringBitmapArray bytes (CRC-verified for file storage) WITHOUT
+    decoding.  This is the payload a scan task should ship: KB-scale
+    even for millions of deleted rows, where the decoded ``list[int]``
+    pickles to megabytes per task."""
     st = descriptor.get("storageType")
     if st == "i":
         data = z85_decode(descriptor["pathOrInlineDv"])
@@ -210,7 +214,12 @@ def dv_deleted_rows(table_path: str, descriptor: dict) -> list[int]:
         raise MissingDependency(
             f"unknown deletionVector storageType {st!r}"
         )
-    rows = decode_roaring_array(data)
+    return data
+
+
+def dv_deleted_rows(table_path: str, descriptor: dict) -> list[int]:
+    """Resolve a deletionVector descriptor → sorted deleted row indices."""
+    rows = decode_roaring_array(dv_blob(table_path, descriptor))
     card = descriptor.get("cardinality")
     if card is not None and card != len(rows):
         raise MissingDependency(

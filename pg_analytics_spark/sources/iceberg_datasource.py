@@ -70,11 +70,15 @@ def _ensure_importable() -> None:
 
 
 class _IceFilePartition(InputPartition):
+    """Position deletes travel as a roaring blob (encode_roaring_array
+    — KB-scale for millions of deleted rows), never as a decoded
+    ``list[int]`` (megabytes of pickled ints per task)."""
+
     def __init__(
         self,
         file_path: str,
         file_seq: int,
-        drop_rows: list[int],
+        drop_blob: bytes | None,
         eq_deletes: list[tuple[int, list[list[str]], list[tuple]]],
         part_values: dict,
         name_alts: dict[str, list[str]],
@@ -82,7 +86,7 @@ class _IceFilePartition(InputPartition):
     ) -> None:
         self.file_path = file_path
         self.file_seq = file_seq
-        self.drop_rows = drop_rows
+        self.drop_blob = drop_blob
         self.eq_deletes = eq_deletes
         self.part_values = part_values
         self.name_alts = name_alts
@@ -99,9 +103,14 @@ def _read_ice_partition(part: _IceFilePartition):
 
     t = pq.read_table(part.file_path)
     n = t.num_rows
-    if part.drop_rows:
+    if part.drop_blob:
+        _ensure_importable()
+        from pg_analytics_spark.sources.delta_dv import (
+            decode_roaring_array,
+        )
+
         keep = [True] * n
-        for r in part.drop_rows:
+        for r in decode_roaring_array(part.drop_blob):
             keep[r] = False
         t = t.filter(pa.array(keep))
         n = t.num_rows
@@ -223,6 +232,7 @@ def _plan_partitions(
     _ensure_importable()
     import pyarrow.parquet as pq
 
+    from pg_analytics_spark.sources.delta_dv import encode_roaring_array
     from pg_analytics_spark.sources.iceberg import (
         _current_fields,
         _delete_key_py,
@@ -270,7 +280,11 @@ def _plan_partitions(
             _IceFilePartition(
                 fp,
                 int(data_files[fp]),
-                sorted(drops.get(_delete_key_py(fp), [])),
+                (
+                    encode_roaring_array(drops[_delete_key_py(fp)])
+                    if _delete_key_py(fp) in drops
+                    else None
+                ),
                 eq_specs,
                 part_proj.get(fp, {}),
                 name_alts,

@@ -318,6 +318,67 @@ def _bucket_udf(n: int):
     return _bucket
 
 
+def _bucket_str_udf(n: int):
+    """``bucket[N]`` over STRING sources: murmur3_x86_32 (seed 0) over
+    the UTF-8 bytes (spec §bucket-transform-details) — bit-exact vs
+    the reader's reference hash (``iceberg_prune.murmur3_x86_32``,
+    property-pinned in tests).  Arrow-batched; each batch hashes its
+    DISTINCT values once and maps (a partition key column is
+    low-cardinality by design, so the per-batch distinct set is tiny).
+    The hash is defined INSIDE the closure so the UDF pickles by value
+    — no package import on the executor (the r8 driver-sim lesson)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _mm3_bytes(data: bytes) -> int:
+        c1, c2 = 0xCC9E2D51, 0x1B873593
+        h = 0
+        nb = len(data)
+        for i in range(0, nb - nb % 4, 4):
+            k = int.from_bytes(data[i : i + 4], "little")
+            k = (k * c1) & 0xFFFFFFFF
+            k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+            k = (k * c2) & 0xFFFFFFFF
+            h ^= k
+            h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+            h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+        tail = data[nb - nb % 4 :]
+        if tail:
+            k = 0
+            if len(tail) >= 3:
+                k ^= tail[2] << 16
+            if len(tail) >= 2:
+                k ^= tail[1] << 8
+            k ^= tail[0]
+            k = (k * c1) & 0xFFFFFFFF
+            k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+            k = (k * c2) & 0xFFFFFFFF
+            h ^= k
+        h ^= nb
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h  # unsigned; (h & Int.MaxValue) % n below
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for s in v:
+            if s is None or s != s:  # None / NaN
+                out.append(None)
+                continue
+            b = cache.get(s)
+            if b is None:
+                b = (_mm3_bytes(str(s).encode("utf-8")) & 0x7FFFFFFF) % n
+                cache[s] = b
+            out.append(b)
+        return pd.Series(out, dtype="Int32")
+
+    return _bucket
+
+
 def _transform_column(kind: str, param: int | None, src: str, src_type: str):
     """(partition-value Column, result iceberg type, default field
     name) for one spec transform — value semantics shared bit-for-bit
@@ -366,11 +427,21 @@ def _transform_column(kind: str, param: int | None, src: str, src_type: str):
             v = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
         elif src_type.startswith("timestamp"):
             v = F.unix_micros(c.cast("timestamp"))
+        elif src_type == "string":
+            # strings hash over their UTF-8 bytes, not an 8-byte LE
+            # encoding — a separate vectorized UDF (reader parity:
+            # iceberg_prune._bucket_bytes)
+            return (
+                _bucket_str_udf(param)(c),
+                "int",
+                f"{src}_bucket",
+            )
         else:
             raise UnsupportedFormat(
                 f"iceberg bucket[{param}] on {src!r} ({src_type}) "
                 "unsupported by the native writer — int/long/date/"
-                "timestamp sources only (strings need a real runtime)"
+                "timestamp sources only (strings hash their UTF-8 "
+                "bytes via the string branch above)"
             )
         # coalesce JVM-side so the UDF sees non-nullable int64 (see
         # _bucket_udf docstring — nullable batches become float64 and

@@ -6418,3 +6418,70 @@ def iceberg_snapshot_partitioned_migrate(
     assert res["files"] >= 4 and res["rows"] > 0
     delete_iceberg(spark, dst, "seg = 3")
     return load_source(spark, dst, "iceberg").orderBy("o_orderkey")
+
+
+@register(
+    "iceberg_bucket_string_prune",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+    doc="STRING bucket partitioning end-to-end (r11 verdict #3b — the "
+    "write side previously refused string sources while the reader "
+    "could already prune them): write_iceberg lays orders out under "
+    "bucket(8, o_orderpriority) — murmur3_x86_32 over the UTF-8 "
+    "bytes (spec §bucket-transform-details), computed by a "
+    "per-batch-distinct vectorized pandas UDF that is "
+    "property-pinned bit-exact against the reader's reference hash "
+    "(iceberg_prune._bucket_bytes) — and an equality "
+    "partition_filter probe reads back ONLY the matching bucket's "
+    "files (asserted in-row as pruned < full).  The canonical "
+    "lakehouse layout for a high-cardinality string key (user id, "
+    "document id) at 100 TB: O(1)-bucket point reads without a "
+    "hive directory per value.  Oracle: the relational filter.",
+)
+def iceberg_bucket_string_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_strbucket")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        base,
+        root,
+        mode="overwrite",
+        partition_by=["bucket(8, o_orderpriority)"],
+    )
+    full = load_source(spark, root, "iceberg")
+    pruned = load_source(
+        spark,
+        root,
+        "iceberg",
+        {"partition_filter": [["o_orderpriority", "=", "1-URGENT"]]},
+    )
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    if not 0 < n_pruned < n_full:
+        raise EngineError(
+            f"string-bucket pruning kept {n_pruned}/{n_full} files"
+        )
+    return (
+        pruned.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority", "v")
+        .orderBy("o_orderkey")
+    )

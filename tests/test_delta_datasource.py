@@ -431,3 +431,38 @@ def test_writer_replace_carries_single_protocol(ds, tmp_path):
     assert names == ["id", "tag", "v"]
     out = ds.read.format("delta_native").option("path", d).load()
     assert [tuple(r) for r in out.collect()] == [(1, "x", 2.0)]
+
+
+def test_dv_partition_payload_is_roaring_blob(ds, tmp_path):
+    """r11 verdict #4: a file with a LARGE deletion vector must ship
+    the roaring blob (KB-scale), not a pickled list[int] (megabytes
+    per task), and values must be unchanged."""
+    import pickle
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        _partitions_for_adds,
+        _table_state,
+    )
+
+    d = str(tmp_path / "t")
+    n = 120_000
+    df = ds.range(n).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    write_delta(df.coalesce(1), d, mode="overwrite")
+    delete_delta(ds, d, "id % 3 != 0", dv=True)  # 80k deleted rows
+    active, _m, part_cols, phys_of, schema = _table_state(d, None)
+    from pg_analytics_spark.sources.delta_datasource import (
+        _arrow_schema_for,
+    )
+
+    parts = _partitions_for_adds(
+        d, active, part_cols, phys_of, _arrow_schema_for(schema)
+    )
+    assert len(parts) == 1
+    blob = parts[0].dv_blob
+    assert blob is not None and len(blob) < 64_000, len(blob)
+    assert len(pickle.dumps(parts[0])) < 80_000
+    out = ds.read.format("delta_native").option("path", d).load()
+    assert out.count() == n // 3 + (1 if n % 3 else 0)
+    assert out.filter(F.col("id") % 3 != 0).count() == 0

@@ -2139,6 +2139,37 @@ def test_iceberg_bucket_udf_matches_reference_murmur3(spark):
     assert got[34] == (2017239379 & 0x7FFFFFFF) % 16
 
 
+def test_iceberg_bucket_string_udf_matches_reference_murmur3(spark):
+    """r11 verdict #5: the write-side string bucket hash (UTF-8 bytes,
+    murmur3 seed 0) must equal the reader's reference transform_value
+    — the parity that makes manifest pruning on a string bucket key
+    exact.  Pins the spec Appendix-B string value and a unicode/empty/
+    null battery."""
+    from pyspark.sql import functions as F
+
+    from pg_analytics_spark.sources.iceberg_prune import (
+        murmur3_x86_32,
+        transform_value,
+    )
+    from pg_analytics_spark.sources.iceberg_write import _bucket_str_udf
+
+    vals = [
+        "iceberg", "", "a", "ab", "abc", "abcd", "abcde",
+        "naïve-ütf8-ß", "城市", "5-LOW", "1-URGENT", "x" * 300,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v string")
+    rows = df.select(
+        "v", _bucket_str_udf(16)(F.col("v")).alias("b")
+    ).collect()
+    got = {r["v"]: r["b"] for r in rows}
+    for v in vals:
+        assert got[v] == transform_value("bucket[16]", v, "string"), v
+    assert got[None] is None
+    # spec Appendix-B pin: murmur3("iceberg") == 1210000089
+    assert got["iceberg"] == (1210000089 & 0x7FFFFFFF) % 16
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+
+
 def test_iceberg_transform_columns_match_reader_semantics(spark):
     """year/month/day/hour/truncate write-side partition values equal
     the reader's transform_value on the same inputs (the shared
@@ -2247,12 +2278,25 @@ def test_iceberg_partitioned_write_day_bucket_roundtrip(spark, tmp_path):
         write_iceberg(
             df, root, mode="append", partition_by=["days(d)", "bucket(8, k)"]
         )
-    # bucket on string sources: loud rejection, not silent wrong hash
-    sdf = spark.sql("SELECT 'a' AS s, 1 AS x")
-    with _pytest.raises(Exception, match="bucket"):
-        write_iceberg(
-            sdf, str(tmp_path / "ice_s"), partition_by=["bucket(4, s)"]
-        )
+    # bucket on string sources (r12): writes AND prunes — the UTF-8
+    # murmur3 branch, reader-parity-pinned in
+    # test_iceberg_bucket_string_udf_matches_reference_murmur3
+    sdf = spark.createDataFrame(
+        [(f"key-{i % 7}", i) for i in range(100)], "s string, x long"
+    )
+    sroot = str(tmp_path / "ice_s")
+    write_iceberg(sdf, sroot, partition_by=["bucket(4, s)"])
+    sback = load_source(spark, sroot, "iceberg")
+    assert sorted(map(tuple, sback.collect())) == sorted(
+        map(tuple, sdf.collect())
+    )
+    spruned = load_source(
+        spark, sroot, "iceberg", {"partition_filter": [["s", "=", "key-3"]]}
+    )
+    assert 0 < len(spruned.inputFiles()) < len(sback.inputFiles())
+    assert sorted(r["x"] for r in spruned.collect()) == sorted(
+        i for i in range(100) if i % 7 == 3
+    )
 
 
 def test_delta_writer_auto_checkpoints_every_10_commits(spark, tmp_path):
