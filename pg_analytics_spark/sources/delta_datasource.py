@@ -50,8 +50,12 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -277,6 +281,48 @@ def _arrow_schema_for(schema):
     return to_arrow_schema(schema)
 
 
+_RANGE_OPS = {
+    "GreaterThan": lambda a, b: a > b,
+    "GreaterThanOrEqual": lambda a, b: a >= b,
+    "LessThan": lambda a, b: a < b,
+    "LessThanOrEqual": lambda a, b: a <= b,
+}
+
+
+def _part_value_parser(dtype):
+    """Parser enabling TYPED range comparison of a hive-encoded
+    partition value: accepts both the log's string encoding and the
+    pushed filter's Python literal.  Returns None for types whose
+    string encoding can't be compared reliably (timestamps — zone and
+    format variance); such filters simply don't prune, and Spark
+    re-applies them regardless."""
+    from pyspark.sql import types as T
+
+    if dtype is None:
+        return None
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return int
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return lambda v: Decimal(str(v))
+    if isinstance(dtype, T.StringType):
+        return str
+    if isinstance(dtype, T.DateType):
+        import datetime as _dt
+
+        return lambda v: (
+            v
+            if isinstance(v, _dt.date)
+            else _dt.date.fromisoformat(str(v))
+        )
+    return None
+
+
 class _DeltaBatchReader(DataSourceReader):
     def __init__(self, path: str, version: int | None) -> None:
         self._path = path
@@ -290,12 +336,20 @@ class _DeltaBatchReader(DataSourceReader):
         self._part_filters: list = []
 
     def pushFilters(self, filters):
-        """Hive-style partition pruning: EqualTo/In on a partition
-        column prunes files by the add actions' partitionValues.
-        EVERY filter is returned as unsupported — Spark re-applies
-        them all, so pruning is an I/O saving, never a semantics
-        change (partition values compare as their string encodings,
-        which is exact for the identity transform)."""
+        """Hive-style partition pruning: EqualTo/In AND range
+        predicates (>=/>/</<= — how every real pipeline filters a
+        date-partitioned table) on a partition column prune files by
+        the add actions' partitionValues.  EVERY filter is returned as
+        unsupported — Spark re-applies them all, so pruning is an I/O
+        saving, never a semantics change.  Equality/In compare as the
+        string encodings (exact for identity values); ranges compare
+        TYPED — the partition string parses under the column's
+        declared type, because '9' > '10' lexicographically.  A NULL
+        partition value satisfies no predicate (SQL 3VL; Spark's
+        re-applied filter agrees)."""
+        types_of = {
+            f.name: f.dataType for f in self._schema.fields
+        }
         for f in filters:
             if isinstance(f, EqualTo) and len(f.attribute) == 1:
                 c = f.attribute[0]
@@ -310,6 +364,33 @@ class _DeltaBatchReader(DataSourceReader):
                     wants = {str(v) for v in f.values}
                     self._part_filters.append(
                         lambda pv, c=c, wants=wants: pv.get(c) in wants
+                    )
+            elif (
+                isinstance(
+                    f,
+                    (
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                    ),
+                )
+                and len(f.attribute) == 1
+            ):
+                c = f.attribute[0]
+                parse = _part_value_parser(types_of.get(c))
+                if c in self._part_cols and parse is not None:
+                    try:
+                        rhs = parse(f.value)
+                    except (TypeError, ValueError):
+                        yield f
+                        continue
+                    op = _RANGE_OPS[type(f).__name__]
+                    self._part_filters.append(
+                        lambda pv, c=c, rhs=rhs, op=op, parse=parse: (
+                            pv.get(c) is not None
+                            and op(parse(pv[c]), rhs)
+                        )
                     )
             yield f  # all filters re-applied by Spark
 

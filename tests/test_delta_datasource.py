@@ -466,3 +466,69 @@ def test_dv_partition_payload_is_roaring_blob(ds, tmp_path):
     out = ds.read.format("delta_native").option("path", d).load()
     assert out.count() == n // 3 + (1 if n % 3 else 0)
     assert out.filter(F.col("id") % 3 != 0).count() == 0
+
+
+def test_batch_range_filter_prunes_typed(ds, tmp_path):
+    """r11 verdict #6: >=/< pushdown against TYPED partition values —
+    the date-partitioned-pipeline shape.  Typed comparison matters:
+    lexicographic would keep day 9 > day 10.  Planner-level partition
+    counts assert the pruning; the DataFrame result pins values."""
+    import datetime as _dt
+
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaBatchReader,
+    )
+
+    d = str(tmp_path / "t")
+    rows = [
+        (i, _dt.date(2024, 1, 1 + i % 12), i % 12, float(i))
+        for i in range(48)
+    ]
+    df = ds.createDataFrame(rows, "id bigint, day date, n int, v double")
+    write_delta(
+        df.coalesce(1), d, mode="overwrite", partition_by=["day", "n"]
+    )
+
+    def planned(*filters):
+        r = _DeltaBatchReader(d, None)
+        list(r.pushFilters(list(filters)))
+        return len(r.partitions())
+
+    total = planned()
+    assert total == 12
+    # date range [2024-01-03, 2024-01-06) → 3 of 12 partitions
+    assert (
+        planned(
+            GreaterThanOrEqual(("day",), _dt.date(2024, 1, 3)),
+            LessThan(("day",), _dt.date(2024, 1, 6)),
+        )
+        == 3
+    )
+    # int range: n >= 9 → 3 partitions (typed: '9' vs '10'/'11')
+    assert planned(GreaterThanOrEqual(("n",), 9)) == 3
+    # end-to-end: values correct under the same predicates
+    out = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .load()
+        .filter(
+            (F.col("day") >= "2024-01-03") & (F.col("day") < "2024-01-06")
+        )
+    )
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(48) if 2 <= i % 12 < 5
+    ]
+    out2 = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .load()
+        .filter(F.col("n") >= 9)
+    )
+    assert sorted(r["id"] for r in out2.collect()) == [
+        i for i in range(48) if i % 12 >= 9
+    ]
