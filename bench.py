@@ -169,6 +169,8 @@ WRITER_ROWS = frozenset(
         "delta_native_datasource_scan",
         "iceberg_native_datasource_scan",
         "delta_generated_columns",
+        # round-12 writer-lifecycle fixtures
+        "iceberg_bucket_string_prune",
     }
 )
 
@@ -303,6 +305,12 @@ HEADLINE_NEXT10: list = [
 ]
 
 
+#: round-12 additions measure here; earlier groups frozen.
+HEADLINE_NEXT11: list = [
+    "iceberg_bucket_string_prune",
+]
+
+
 #: round-10 additions measure here; earlier groups frozen.
 HEADLINE_NEXT9: list = [
     "delta_shallow_clone",
@@ -373,6 +381,7 @@ def main() -> None:
     timings_next8, cold_next8 = _measure(HEADLINE_NEXT8)
     timings_next9, cold_next9 = _measure(HEADLINE_NEXT9)
     timings_next10, cold_next10 = _measure(HEADLINE_NEXT10)
+    timings_next11, cold_next11 = _measure(HEADLINE_NEXT11)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -523,6 +532,20 @@ def main() -> None:
                 v
                 for k, v in timings_next10.items()
                 if k in STREAMING_ROWS
+            ),
+            3,
+        ),
+        "value_next11": round(sum(timings_next11.values()), 3),
+        "queries_next11": timings_next11,
+        "value_next11_writer": round(
+            sum(v for k, v in timings_next11.items() if k in WRITER_ROWS),
+            3,
+        ),
+        "value_next11_batch": round(
+            sum(
+                v
+                for k, v in timings_next11.items()
+                if k not in WRITER_ROWS and k not in STREAMING_ROWS
             ),
             3,
         ),
