@@ -45,7 +45,13 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -223,12 +229,16 @@ def _plan_partitions(
     snap: dict,
     arrow_schema,
     only_paths: set[str] | None = None,
+    part_filter: list | None = None,
 ) -> list[_IceFilePartition]:
     """File plan → self-contained partitions.  Pos/eq delete files are
     read HERE (driver-side, change-sized) so workers never touch
     metadata.  ``only_paths`` restricts to specific data files (the
     streaming incremental case — deletes still come from the full
-    snapshot plan so visibility rules hold)."""
+    snapshot plan so visibility rules hold).  ``part_filter`` is the
+    reader's [col, op, value] triple list — transform-aware manifest
+    and column-bounds pruning via plan_snapshot, the same machinery
+    the DataFrame reader's partition_filter option uses."""
     _ensure_importable()
     import pyarrow.parquet as pq
 
@@ -241,7 +251,7 @@ def _plan_partitions(
     )
 
     data_files, pos_files, eq_files, part_proj, _pruned = plan_snapshot(
-        path, meta, snap
+        path, meta, snap, partition_filter=part_filter or None
     )
     # position deletes: file_path → sorted physical row indices,
     # keyed by the reader's canonical suffix (_delete_key_py strips
@@ -330,6 +340,51 @@ class _IceBatchReader(DataSourceReader):
                 f"iceberg_native: snapshot {snap_id} not found at {path}"
             )
         self._snap = snap
+        self._part_filter: list = []
+
+    def pushFilters(self, filters):
+        """Transform-aware file pruning (r12 — parity with
+        delta_native's pushdown, through the STRONGER machinery the
+        DataFrame reader's partition_filter option already tests):
+        EqualTo/In/range predicates on source columns become
+        [col, op, value] triples for plan_snapshot, which evaluates
+        them against manifest partition tuples under the table's
+        transforms (identity/bucket/truncate/year/month/day/hour) AND
+        against per-file column bounds — so even non-partition columns
+        prune when footer bounds exclude them.  EVERY filter is
+        returned as unsupported: Spark re-applies them all, pruning is
+        purely an I/O saving and conservative by construction
+        (un-prunable (transform, op, type) combinations keep the
+        file)."""
+        ops = {
+            "GreaterThan": ">",
+            "GreaterThanOrEqual": ">=",
+            "LessThan": "<",
+            "LessThanOrEqual": "<=",
+        }
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self._part_filter.append((f.attribute[0], "=", f.value))
+            elif isinstance(f, In) and len(f.attribute) == 1:
+                self._part_filter.append(
+                    (f.attribute[0], "in", list(f.values))
+                )
+            elif (
+                isinstance(
+                    f,
+                    (
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                    ),
+                )
+                and len(f.attribute) == 1
+            ):
+                self._part_filter.append(
+                    (f.attribute[0], ops[type(f).__name__], f.value)
+                )
+            yield f  # all filters re-applied by Spark
 
     def partitions(self):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -339,6 +394,7 @@ class _IceBatchReader(DataSourceReader):
             self._meta,
             self._snap,
             to_arrow_schema(self._schema_struct),
+            part_filter=self._part_filter,
         )
 
     def read(self, partition):
