@@ -171,6 +171,7 @@ WRITER_ROWS = frozenset(
         "delta_generated_columns",
         # round-12 writer-lifecycle fixtures
         "iceberg_bucket_string_prune",
+        "iceberg_native_pruned_scan",
     }
 )
 
@@ -308,6 +309,7 @@ HEADLINE_NEXT10: list = [
 #: round-12 additions measure here; earlier groups frozen.
 HEADLINE_NEXT11: list = [
     "iceberg_bucket_string_prune",
+    "iceberg_native_pruned_scan",
 ]
 
 

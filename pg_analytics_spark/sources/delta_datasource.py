@@ -361,7 +361,7 @@ class _DeltaBatchReader(DataSourceReader):
             elif isinstance(f, In) and len(f.attribute) == 1:
                 c = f.attribute[0]
                 if c in self._part_cols:
-                    wants = {str(v) for v in f.values}
+                    wants = {str(v) for v in f.value}
                     self._part_filters.append(
                         lambda pv, c=c, wants=wants: pv.get(c) in wants
                     )

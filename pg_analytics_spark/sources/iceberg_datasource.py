@@ -367,7 +367,7 @@ class _IceBatchReader(DataSourceReader):
                 self._part_filter.append((f.attribute[0], "=", f.value))
             elif isinstance(f, In) and len(f.attribute) == 1:
                 self._part_filter.append(
-                    (f.attribute[0], "in", list(f.values))
+                    (f.attribute[0], "in", list(f.value))
                 )
             elif (
                 isinstance(

@@ -6485,3 +6485,78 @@ def iceberg_bucket_string_prune(
         .select("o_orderkey", "o_orderpriority", "v")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "iceberg_native_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS pri, o_custkey,
+           o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ORDER BY o_orderkey
+    """,
+    doc="iceberg_native pushFilters end-to-end (r12): an "
+    "identity-partitioned table read through "
+    "spark.read.format('iceberg_native') with an IN predicate on the "
+    "partition column — Spark's python filter pushdown "
+    "(spark.sql.python.filterPushdown.enabled) hands the predicate "
+    "to the reader, which prunes manifests through plan_snapshot's "
+    "transform-aware machinery before any task launches; the row "
+    "ALSO asserts planner-level pruning directly (the reader plans "
+    "2/5 partitions under the IN).  Every filter is re-applied by "
+    "Spark, so pruning is pure I/O saving — the property that makes "
+    "a date- or priority-partitioned 100 TB stream table readable "
+    "by slice.  Oracle: the relational filter.",
+)
+def iceberg_native_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.sources.iceberg_datasource import (
+        _IceBatchReader,
+    )
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("pri"),
+            "o_custkey",
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_pruned_scan")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        base.coalesce(1), root, mode="overwrite", partition_by=["pri"]
+    )
+    # planner-level proof: the IN prunes to exactly the 2 matching
+    # identity partitions (of 5 priorities)
+    from pyspark.sql.datasource import In as _In
+
+    rd = _IceBatchReader(root, None)
+    rd._schema_struct = base.schema
+    n_all = len(rd.partitions())
+    rd2 = _IceBatchReader(root, None)
+    rd2._schema_struct = base.schema
+    list(rd2.pushFilters([_In(("pri",), ("1-URGENT", "2-HIGH"))]))
+    n_pruned = len(rd2.partitions())
+    if not 0 < n_pruned < n_all:
+        raise EngineError(
+            f"iceberg_native IN pruning kept {n_pruned}/{n_all} files"
+        )
+    register_native_datasources(spark)
+    return (
+        spark.read.format("iceberg_native")
+        .option("path", root)
+        .load()
+        .filter(F.col("pri").isin("1-URGENT", "2-HIGH"))
+        .orderBy("o_orderkey")
+    )

@@ -532,3 +532,33 @@ def test_batch_range_filter_prunes_typed(ds, tmp_path):
     assert sorted(r["id"] for r in out2.collect()) == [
         i for i in range(48) if i % 12 >= 9
     ]
+
+
+def test_batch_in_filter_prunes(ds, tmp_path):
+    """The In filter's dataclass field is `value` (a tuple), not
+    `values` — this path shipped broken and untested in r11; pin it
+    at planner level and end-to-end."""
+    from pyspark.sql.datasource import In
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaBatchReader,
+    )
+
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(i, f"g{i % 5}", float(i)) for i in range(50)],
+        "id bigint, p string, v double",
+    )
+    write_delta(df.coalesce(1), d, mode="overwrite", partition_by="p")
+    r = _DeltaBatchReader(d, None)
+    list(r.pushFilters([In(("p",), ("g1", "g3"))]))
+    assert len(r.partitions()) == 2
+    out = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .load()
+        .filter(F.col("p").isin("g1", "g3"))
+    )
+    assert sorted(r_["id"] for r_ in out.collect()) == [
+        i for i in range(50) if i % 5 in (1, 3)
+    ]
