@@ -1058,14 +1058,30 @@ class DeltaNativeDataSource(DataSource):
         return schema
 
     def reader(self, schema):
-        return _DeltaBatchReader(
-            self._path(),
-            (
-                int(self.options["versionasof"])
-                if "versionasof" in self.options
-                else None
-            ),
+        version = (
+            int(self.options["versionasof"])
+            if "versionasof" in self.options
+            else None
         )
+        if "timestampasof" in self.options:
+            # delta-spark's timestampAsOf: latest commit at-or-before
+            # the timestamp (epoch millis or ISO datetime, naive=UTC)
+            if version is not None:
+                raise UnsupportedFormat(
+                    "specify either versionAsOf or timestampAsOf, "
+                    "not both"
+                )
+            _ensure_importable()
+            from pg_analytics_spark.sources.delta import (
+                _resolve_timestamp,
+                _ts_ms,
+            )
+
+            version = _resolve_timestamp(
+                os.path.join(self._path(), "_delta_log"),
+                _ts_ms(self.options["timestampasof"]),
+            )
+        return _DeltaBatchReader(self._path(), version)
 
     def streamReader(self, schema):
         return _DeltaStreamReader(self._path(), dict(self.options))

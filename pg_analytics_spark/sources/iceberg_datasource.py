@@ -565,14 +565,27 @@ class IcebergNativeDataSource(DataSource):
         return _spark_schema(_load_meta(self._path()))
 
     def reader(self, schema):
-        r = _IceBatchReader(
-            self._path(),
-            (
-                int(self.options["snapshot_id"])
-                if "snapshot_id" in self.options
-                else None
-            ),
+        snap_id = (
+            int(self.options["snapshot_id"])
+            if "snapshot_id" in self.options
+            else None
         )
+        if "ref" in self.options:
+            # named ref (tag/branch, the v2 refs map) → its pinned
+            # snapshot — the DataFrame reader's `ref` option, here
+            if snap_id is not None:
+                raise UnsupportedFormat(
+                    "specify either snapshot_id or ref, not both"
+                )
+            refs = _load_meta(self._path()).get("refs") or {}
+            name = self.options["ref"]
+            if name not in refs:
+                raise UnsupportedFormat(
+                    f"iceberg ref {name!r} not found (have: "
+                    f"{sorted(refs) or 'none'})"
+                )
+            snap_id = int(refs[name]["snapshot-id"])
+        r = _IceBatchReader(self._path(), snap_id)
         r._schema_struct = schema
         return r
 

@@ -562,3 +562,38 @@ def test_batch_in_filter_prunes(ds, tmp_path):
     assert sorted(r_["id"] for r_ in out.collect()) == [
         i for i in range(50) if i % 5 in (1, 3)
     ]
+
+
+def test_batch_timestamp_as_of(ds, tmp_path):
+    """delta-spark's timestampAsOf on the DataSource: latest commit
+    at-or-before the timestamp; combining with versionAsOf refuses."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "t")
+    write_delta(_mk(ds, 0, 5), d, mode="overwrite")
+    write_delta(_mk(ds, 5, 9), d, mode="append")
+    # commit 0's timestamp from its commitInfo
+    log = _os.path.join(d, "_delta_log")
+    acts = [
+        _json.loads(x)
+        for x in open(_os.path.join(log, f"{0:020d}.json"))
+        if x.strip()
+    ]
+    ts0 = next(a["commitInfo"]["timestamp"] for a in acts if "commitInfo" in a)
+    v0 = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .option("timestampAsOf", str(ts0))
+        .load()
+    )
+    assert sorted(r["id"] for r in v0.collect()) == list(range(5))
+    with pytest.raises(Exception, match="not both"):
+        (
+            ds.read.format("delta_native")
+            .option("path", d)
+            .option("timestampAsOf", str(ts0))
+            .option("versionAsOf", 1)
+            .load()
+            .collect()
+        )

@@ -363,3 +363,43 @@ def test_batch_pushfilters_prunes_transforms_and_bounds(ds, tmp_path):
     assert sorted(r["id"] for r in out2.collect()) == [
         i for i in range(48) if i % 3 == 1
     ]
+
+
+def test_batch_ref_reads_tag_and_branch(ds, tmp_path):
+    """The DataFrame reader's `ref` option on the DataSource: a tag
+    pins its snapshot, a branch reads its head; unknown refs and
+    ref+snapshot_id combinations refuse."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        alter_iceberg_refs,
+        write_iceberg,
+    )
+
+    d = str(tmp_path / "t")
+    write_iceberg(_mk(ds, 0, 5), d, mode="overwrite")
+    alter_iceberg_refs(d, tag="v1")
+    write_iceberg(_mk(ds, 5, 9), d, mode="append")
+    write_iceberg(_mk(ds, 9, 12), d, mode="append", branch="audit")
+    tag = (
+        ds.read.format("iceberg_native")
+        .option("path", d)
+        .option("ref", "v1")
+        .load()
+    )
+    assert sorted(r["id"] for r in tag.collect()) == list(range(5))
+    br = (
+        ds.read.format("iceberg_native")
+        .option("path", d)
+        .option("ref", "audit")
+        .load()
+    )
+    assert sorted(r["id"] for r in br.collect()) == list(range(12))
+    head = ds.read.format("iceberg_native").option("path", d).load()
+    assert sorted(r["id"] for r in head.collect()) == list(range(9))
+    with pytest.raises(Exception, match="not found"):
+        (
+            ds.read.format("iceberg_native")
+            .option("path", d)
+            .option("ref", "nope")
+            .load()
+            .collect()
+        )
