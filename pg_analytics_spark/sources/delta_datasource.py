@@ -417,16 +417,25 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
-        #: rate limit: at most N commits advance per trigger (bounded
-        #: micro-batches — the operational lever delta-spark exposes
-        #: as maxFilesPerTrigger; commits are the unit this source
-        #: plans in).  None = consume everything available.  The limit
-        #: is per-run: the first batch after a restart (and the
+        #: rate limits — bounded micro-batches, the operational levers
+        #: delta-spark exposes.  maxCommitsPerTrigger caps whole
+        #: commits per trigger; maxFilesPerTrigger caps ADD FILES per
+        #: trigger with SUB-COMMIT offsets ({"version": v, "index": i}
+        #: = commit v consumed through its first i dataChange adds;
+        #: index −1 = fully consumed — the delta-spark
+        #: DeltaSourceOffset shape).  None = consume everything.  Both
+        #: limits are per-run: the first batch of a run (and the
         #: initial snapshot) is whole — partitions() plans from the
-        #: CHECKPOINTED start, so correctness never depends on it.
+        #: CHECKPOINTED start, so correctness never depends on them.
         mct = options.get("maxcommitspertrigger")
         self._max_commits = int(mct) if mct else None
-        self._last_end: int | None = None
+        mft = options.get("maxfilespertrigger")
+        self._max_files = int(mft) if mft else None
+        if self._max_files is not None and self._max_files < 1:
+            raise UnsupportedFormat(
+                "maxFilesPerTrigger must be a positive integer"
+            )
+        self._last_end: dict | None = None
         (
             _active,
             meta,
@@ -449,14 +458,55 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": -1}
 
+    @staticmethod
+    def _pos_key(v: int, i: int) -> tuple[int, int]:
+        """Sortable stream position: index −1 (commit fully consumed)
+        orders AFTER any partial index within the same version."""
+        return (v, (1 << 62) if i < 0 else i)
+
+    def _n_adds(self, version: int) -> int:
+        return sum(
+            1
+            for a in self._commit_actions(version)
+            if "add" in a and a["add"].get("dataChange", True)
+        )
+
     def latestOffset(self) -> dict:
         latest = self._latest_version()
-        if self._max_commits is not None and self._last_end is not None:
-            # the initial snapshot batch is always whole (it is ONE
-            # position); only the tailing commits are rate-limited
-            latest = min(latest, self._last_end + self._max_commits)
-        self._last_end = latest
-        return {"version": latest}
+        if self._last_end is None or (
+            self._max_commits is None and self._max_files is None
+        ):
+            # first batch of the run (the initial snapshot / restart
+            # catch-up baseline) is whole, as documented
+            self._last_end = {"version": latest, "index": -1}
+            return dict(self._last_end)
+        last_v = int(self._last_end["version"])
+        last_i = int(self._last_end.get("index", -1))
+        budget = self._max_files
+        end_v, end_i = last_v, last_i
+        commits = 0
+        v = last_v if last_i >= 0 else last_v + 1
+        while v <= latest:
+            if (
+                self._max_commits is not None
+                and commits >= self._max_commits
+            ):
+                break
+            start_i = last_i if (v == last_v and last_i >= 0) else 0
+            remaining = max(0, self._n_adds(v) - start_i)
+            if budget is not None and remaining > budget:
+                end_v, end_i = v, start_i + budget
+                budget = 0
+                break
+            end_v, end_i = v, -1
+            if budget is not None:
+                budget -= remaining
+            commits += 1
+            if budget == 0:
+                break
+            v += 1
+        self._last_end = {"version": end_v, "index": end_i}
+        return dict(self._last_end)
 
     def _commit_actions(self, version: int) -> list[dict]:
         log_dir = os.path.join(self._path, "_delta_log")
@@ -475,7 +525,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         arrow_schema = _arrow_schema_for(self._schema)
         sv, ev = int(start["version"]), int(end["version"])
-        if ev <= sv:
+        si = int(start.get("index", -1))
+        ei = int(end.get("index", -1))
+        if self._pos_key(ev, ei) <= self._pos_key(sv, si):
             return []
         if sv < 0:
             # initial snapshot AT the end version: active files with
@@ -489,7 +541,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 arrow_schema,
             )
         adds: dict[str, dict] = {}
-        for v in range(sv + 1, ev + 1):
+        first_v = sv if si >= 0 else sv + 1
+        for v in range(first_v, ev + 1):
+            commit_adds: list[dict] = []
             actions = self._commit_actions(v)
             removes = [a for a in actions if "remove" in a]
             if removes and not (
@@ -533,6 +587,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         "a deletion vector (merge-on-read DML) — set "
                         "ignoreChanges or consume the change feed"
                     )
+                commit_adds.append(add)
+            # sub-commit slicing (maxFilesPerTrigger offsets): a
+            # partially-consumed boundary commit contributes only its
+            # [start index, end index) adds, in log order
+            lo = si if (v == first_v and si >= 0) else 0
+            hi = ei if (v == ev and ei >= 0) else len(commit_adds)
+            for add in commit_adds[lo:hi]:
                 adds[add["path"]] = add
         return _partitions_for_adds(
             self._path,

@@ -597,3 +597,55 @@ def test_batch_timestamp_as_of(ds, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_stream_max_files_per_trigger_subcommit_offsets(ds, tmp_path):
+    """delta-spark's maxFilesPerTrigger: tail commits drain at most N
+    add files per trigger, with sub-commit {"version", "index"}
+    offsets splitting a multi-file commit across micro-batches.  The
+    offset walk and slicing are pinned at reader level (the Python
+    stream API never hands latestOffset the checkpointed start, so —
+    as with maxCommitsPerTrigger — the first batch of a run is whole
+    by documented contract); an end-to-end availableNow run then
+    proves no file is lost or duplicated with the option set."""
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaStreamReader,
+    )
+
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_delta(_mk(ds, 0, 4).coalesce(1), d, mode="overwrite")
+    r = _DeltaStreamReader(d, {"maxfilespertrigger": "2"})
+    assert r.initialOffset() == {"version": -1}
+    o1 = r.latestOffset()
+    assert o1 == {"version": 0, "index": -1}  # baseline: whole
+    base = r.partitions({"version": -1}, o1)
+    assert len(base) == 1
+    # backlog: a 3-file commit then a 2-file commit
+    write_delta(_mk(ds, 4, 10).repartition(3), d, mode="append")
+    write_delta(_mk(ds, 10, 14).repartition(2), d, mode="append")
+    walk = [o1]
+    seen_files = []
+    while True:
+        o_next = r.latestOffset()
+        if o_next == walk[-1]:
+            break
+        parts = r.partitions(walk[-1], o_next)
+        seen_files.extend(p.file_path for p in parts)
+        walk.append(o_next)
+    # 5 files at <=2 per trigger -> 3 tail triggers; commit 1 splits
+    assert walk[1:] == [
+        {"version": 1, "index": 2},
+        {"version": 2, "index": 1},
+        {"version": 2, "index": -1},
+    ]
+    assert len(seen_files) == 5 and len(set(seen_files)) == 5
+    # end-to-end: the same option over a fresh checkpoint loses and
+    # duplicates nothing
+    acc: list = []
+    _run_stream(ds, d, ck, acc, maxFilesPerTrigger="2")
+    assert sorted(i for _bid, batch in acc for i in batch) == list(
+        range(14)
+    )
+    write_delta(_mk(ds, 14, 16).coalesce(1), d, mode="append")
+    _run_stream(ds, d, ck, acc, maxFilesPerTrigger="2")
+    assert acc[-1][1] == [14, 15]
