@@ -6,10 +6,13 @@ structured streaming — via Spark 4's Python DataSource API.
 this repo's zero-dependency protocol writer mints, with NO JVM
 extension and no delta-spark jar: the log replay happens in Python on
 the driver, and executors receive self-contained partitions (file
-path + deleted-row indices + typed partition values + the target
-Arrow schema) so the worker-side ``read`` needs ONLY pyarrow — no
-package import can fail on a vanilla session (the round-8 executor-
-closure lesson, solved structurally this time).
+path + the deletion vector's roaring blob + typed partition values +
+the target Arrow schema).  The worker-side ``read`` needs pyarrow
+plus — only when a DV is present — the package's roaring decoder,
+reached through the same ``_ensure_importable`` repo-root fallback
+every planning method uses (the round-8 executor-closure lesson; on
+a real cluster the package ships via ``--py-files`` like any Python
+dependency).
 
 Streaming semantics mirror delta-spark's streaming source (public
 docs, "Delta table as a source"):
@@ -22,8 +25,10 @@ docs, "Delta table as a source"):
   ``ignoreDeletes`` (data-retention deletes are skipped) or
   ``ignoreChanges`` (rewritten files re-emit their rows — downstream
   must tolerate duplicates), exactly the delta-spark option contract;
-- offsets are plain ``{"version": N}`` watermarks, so checkpoint
-  recovery resumes at the next unconsumed commit.
+- offsets are ``{"version": N, "index": i}`` positions (index −1 =
+  commit fully consumed; a non-negative index is a sub-commit file
+  position minted by ``maxFilesPerTrigger``), so checkpoint recovery
+  resumes at the exact next unconsumed file.
 
 Scale: ``latestOffset``/``partitions`` are metadata-sized driver work
 (one log listing / replay); data reading is one task per file.  The
@@ -95,12 +100,17 @@ class _DeltaFilePartition(InputPartition):
         part_values: dict[str, str | None],
         phys_of: dict[str, str],
         arrow_schema,
+        dv_card: int | None = None,
     ) -> None:
         self.file_path = file_path
         self.dv_blob = dv_blob
         self.part_values = part_values
         self.phys_of = phys_of
         self.arrow_schema = arrow_schema
+        #: descriptor cardinality — verified against the decoded blob
+        #: (inline DVs carry no CRC; a truncated payload must raise,
+        #: not silently resurrect deleted rows)
+        self.dv_card = dv_card
 
 
 def _read_file_partition(part: _DeltaFilePartition):
@@ -121,8 +131,14 @@ def _read_file_partition(part: _DeltaFilePartition):
             decode_roaring_array,
         )
 
+        rows = decode_roaring_array(part.dv_blob)
+        if part.dv_card is not None and part.dv_card != len(rows):
+            raise ValueError(
+                f"deletion vector cardinality {part.dv_card} != "
+                f"decoded {len(rows)} for {part.file_path}"
+            )
         keep = [True] * n
-        for r in decode_roaring_array(part.dv_blob):
+        for r in rows:
             keep[r] = False
         t = t.filter(pa.array(keep))
         n = t.num_rows
@@ -269,8 +285,16 @@ def _partitions_for_adds(
         )
         dv = add.get("deletionVector")
         blob = dv_blob(path, dv) if dv else None
+        card = dv.get("cardinality") if dv else None
         out.append(
-            _DeltaFilePartition(abs_path, blob, pv, phys_of, arrow_schema)
+            _DeltaFilePartition(
+                abs_path,
+                blob,
+                pv,
+                phys_of,
+                arrow_schema,
+                int(card) if card is not None else None,
+            )
         )
     return out
 
@@ -305,7 +329,17 @@ def _part_value_parser(dtype):
     ):
         return int
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return float
+        import math
+
+        # Spark SQL orders NaN GREATER than every double (and equal to
+        # itself); Python NaN comparisons are all False, which would
+        # wrongly prune NaN partitions from > / >= ranges.  Compare
+        # through a (is_nan, value) key that reproduces Spark's order.
+        return lambda v: (
+            (1, 0.0)
+            if math.isnan(float(v))
+            else (0, float(v))
+        )
     if isinstance(dtype, T.DecimalType):
         from decimal import Decimal
 
@@ -382,16 +416,25 @@ class _DeltaBatchReader(DataSourceReader):
                 if c in self._part_cols and parse is not None:
                     try:
                         rhs = parse(f.value)
-                    except (TypeError, ValueError):
+                    except Exception:
                         yield f
                         continue
                     op = _RANGE_OPS[type(f).__name__]
-                    self._part_filters.append(
-                        lambda pv, c=c, rhs=rhs, op=op, parse=parse: (
-                            pv.get(c) is not None
-                            and op(parse(pv[c]), rhs)
-                        )
-                    )
+
+                    def _keep(pv, c=c, rhs=rhs, op=op, parse=parse):
+                        # NULL satisfies no range predicate (3VL);
+                        # a partition string that fails to parse
+                        # under the declared type KEEPS the file —
+                        # pruning must never fail a scan the
+                        # re-applied filter would have handled
+                        if pv.get(c) is None:
+                            return False
+                        try:
+                            return op(parse(pv[c]), rhs)
+                        except Exception:
+                            return True
+
+                    self._part_filters.append(_keep)
             yield f  # all filters re-applied by Spark
 
     def partitions(self):
@@ -431,10 +474,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._max_commits = int(mct) if mct else None
         mft = options.get("maxfilespertrigger")
         self._max_files = int(mft) if mft else None
-        if self._max_files is not None and self._max_files < 1:
-            raise UnsupportedFormat(
-                "maxFilesPerTrigger must be a positive integer"
-            )
+        for label, lim in (
+            ("maxCommitsPerTrigger", self._max_commits),
+            ("maxFilesPerTrigger", self._max_files),
+        ):
+            if lim is not None and lim < 1:
+                raise UnsupportedFormat(
+                    f"{label} must be a positive integer"
+                )
         self._last_end: dict | None = None
         (
             _active,
@@ -492,15 +539,21 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 and commits >= self._max_commits
             ):
                 break
+            if budget is None:
+                # commit-count limit only: pure arithmetic walk, no
+                # commit-log reads (partitions() reads them once)
+                end_v, end_i = v, -1
+                commits += 1
+                v += 1
+                continue
             start_i = last_i if (v == last_v and last_i >= 0) else 0
             remaining = max(0, self._n_adds(v) - start_i)
-            if budget is not None and remaining > budget:
+            if remaining > budget:
                 end_v, end_i = v, start_i + budget
                 budget = 0
                 break
             end_v, end_i = v, -1
-            if budget is not None:
-                budget -= remaining
+            budget -= remaining
             commits += 1
             if budget == 0:
                 break
@@ -1107,18 +1160,12 @@ class DeltaNativeDataSource(DataSource):
             )
         return p
 
-    def schema(self):
-        *_, schema = _table_state(
-            self._path(),
-            (
-                int(self.options["versionasof"])
-                if "versionasof" in self.options
-                else None
-            ),
-        )
-        return schema
-
-    def reader(self, schema):
+    def _as_of_version(self) -> int | None:
+        """Resolve versionAsOf / timestampAsOf to one log version —
+        shared by schema() and reader() so the DECLARED schema always
+        matches the version the partitions conform batches to (an ADD
+        COLUMN after the as-of point must not leak into the scan
+        schema)."""
         version = (
             int(self.options["versionasof"])
             if "versionasof" in self.options
@@ -1142,7 +1189,14 @@ class DeltaNativeDataSource(DataSource):
                 os.path.join(self._path(), "_delta_log"),
                 _ts_ms(self.options["timestampasof"]),
             )
-        return _DeltaBatchReader(self._path(), version)
+        return version
+
+    def schema(self):
+        *_, schema = _table_state(self._path(), self._as_of_version())
+        return schema
+
+    def reader(self, schema):
+        return _DeltaBatchReader(self._path(), self._as_of_version())
 
     def streamReader(self, schema):
         return _DeltaStreamReader(self._path(), dict(self.options))

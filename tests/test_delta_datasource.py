@@ -649,3 +649,56 @@ def test_stream_max_files_per_trigger_subcommit_offsets(ds, tmp_path):
     write_delta(_mk(ds, 14, 16).coalesce(1), d, mode="append")
     _run_stream(ds, d, ck, acc, maxFilesPerTrigger="2")
     assert acc[-1][1] == [14, 15]
+
+
+def test_range_pruning_keeps_nan_partitions(ds, tmp_path):
+    """Spark orders NaN greater than every double; Python's NaN
+    comparisons are all False — the pushed range lambda must keep
+    NaN partitions for > / >= or rows silently vanish."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaBatchReader,
+    )
+
+    d = str(tmp_path / "t")
+    df = ds.createDataFrame(
+        [(1, 1.0), (2, 9.0), (3, float("nan"))], "id bigint, p double"
+    )
+    write_delta(df.coalesce(1), d, mode="overwrite", partition_by="p")
+    r = _DeltaBatchReader(d, None)
+    list(r.pushFilters([GreaterThan(("p",), 5.0)]))
+    kept = {p.part_values["p"] for p in r.partitions()}
+    assert "1.0" not in kept and any(
+        v.lower() == "nan" for v in kept
+    ), kept
+    out = (
+        ds.read.format("delta_native")
+        .option("path", d)
+        .load()
+        .filter(F.col("p") > 5.0)
+    )
+    assert sorted(r_["id"] for r_ in out.collect()) == [2, 3]
+
+
+def test_dv_blob_cardinality_mismatch_raises(ds, tmp_path):
+    """Inline DVs carry no CRC; a blob that decodes to a different
+    bit count than the descriptor's cardinality must raise instead of
+    silently resurrecting deleted rows."""
+    from pg_analytics_spark.sources.delta_datasource import (
+        _arrow_schema_for,
+        _partitions_for_adds,
+        _read_file_partition,
+        _table_state,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(_mk(ds, 0, 100).coalesce(1), d, mode="overwrite")
+    delete_delta(ds, d, "id < 10", dv=True)
+    active, _m, pc, po, schema = _table_state(d, None)
+    parts = _partitions_for_adds(d, active, pc, po, _arrow_schema_for(schema))
+    assert len(parts) == 1 and parts[0].dv_card == 10
+    list(_read_file_partition(parts[0]))  # matching card: fine
+    parts[0].dv_card = 11  # corrupt descriptor
+    with pytest.raises(ValueError, match="cardinality"):
+        list(_read_file_partition(parts[0]))
