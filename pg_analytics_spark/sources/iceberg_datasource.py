@@ -25,9 +25,12 @@ Streaming semantics mirror the Iceberg Spark runtime's streaming read
 - only APPEND snapshots stream; an overwrite/replace/delete snapshot
   refuses loudly unless ``streaming-skip-overwrite-snapshots`` /
   ``streaming-skip-delete-snapshots`` — the runtime's exact options;
-- offsets are ``{"seq": N}`` watermarks over main-lineage sequence
-  numbers, so checkpoint recovery resumes at the next unconsumed
-  snapshot and per-trigger cost is O(new snapshots), never a rescan.
+- offsets are ``{"seq": N, "index": i}`` positions over main-lineage
+  sequence numbers (index −1 = snapshot fully consumed; a
+  non-negative index is a sub-snapshot added-file position minted by
+  the runtime's ``streaming-max-files-per-micro-batch`` option), so
+  checkpoint recovery resumes at the exact next unconsumed file and
+  per-trigger cost is O(new snapshots), never a rescan.
 
 Reference scope: the reference FDW scans Iceberg through DuckDB's
 iceberg extension (src/fdw/handler.rs); this module is the
@@ -423,11 +426,31 @@ class _IceStreamReader(DataSourceStreamReader):
         #: checkpointed start so correctness never depends on it
         mst = options.get("maxsnapshotspertrigger")
         self._max_snaps = int(mst) if mst else None
-        self._last_end: int | None = None
+        #: the runtime's streaming-max-files-per-micro-batch: at most
+        #: N ADDED data files per trigger, with SUB-SNAPSHOT offsets
+        #: ({"seq": s, "index": i} = snapshot s consumed through its
+        #: first i added files in sorted-path order; index −1 = whole)
+        mfb = options.get("streaming-max-files-per-micro-batch")
+        self._max_files = int(mfb) if mfb else None
+        for label, lim in (
+            ("maxSnapshotsPerTrigger", self._max_snaps),
+            ("streaming-max-files-per-micro-batch", self._max_files),
+        ):
+            if lim is not None and lim < 1:
+                raise UnsupportedFormat(
+                    f"{label} must be a positive integer"
+                )
+        self._last_end: dict | None = None
         _load_meta(path)  # fail fast on a non-table
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
+
+    @staticmethod
+    def _pos_key(seq: int, i: int) -> tuple[int, int]:
+        """Sortable stream position: index −1 (snapshot fully
+        consumed) orders AFTER any partial index at the same seq."""
+        return (seq, (1 << 62) if i < 0 else i)
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self._path)
@@ -435,26 +458,76 @@ class _IceStreamReader(DataSourceStreamReader):
         latest = (
             int(chain[-1].get("sequence-number", 0)) if chain else -1
         )
-        if self._max_snaps is not None and self._last_end is not None:
-            # advance over lineage POSITIONS, not raw sequence numbers
-            # (DML snapshots consume sequence numbers too)
+        if self._last_end is None or (
+            self._max_snaps is None and self._max_files is None
+        ):
+            # first batch of the run (baseline / restart catch-up) is
+            # whole, as documented
+            self._last_end = {"seq": latest, "index": -1}
+            return dict(self._last_end)
+        last_seq = int(self._last_end["seq"])
+        last_i = int(self._last_end.get("index", -1))
+        if self._max_files is None:
+            # snapshot-count limit only: advance over lineage
+            # POSITIONS, not raw sequence numbers (DML snapshots
+            # consume sequence numbers too) — no manifest reads
+            end_seq = last_seq
             beyond = [
                 int(s.get("sequence-number", 0))
                 for s in chain
-                if int(s.get("sequence-number", 0)) > self._last_end
+                if int(s.get("sequence-number", 0)) > last_seq
             ]
             if beyond:
-                latest = min(
-                    latest, beyond[: self._max_snaps][-1]
+                end_seq = beyond[: self._max_snaps][-1]
+            self._last_end = {"seq": end_seq, "index": -1}
+            return dict(self._last_end)
+        from pg_analytics_spark.sources.iceberg import plan_snapshot
+
+        budget = self._max_files
+        end_seq, end_i = last_seq, last_i
+        snaps = 0
+        prev = None
+        prev_data: set | None = None
+        for s in chain:
+            seq = int(s.get("sequence-number", 0))
+            if seq < last_seq or (seq == last_seq and last_i < 0):
+                prev = s
+                continue
+            if (
+                self._max_snaps is not None
+                and snaps >= self._max_snaps
+            ):
+                break
+            if prev_data is None:
+                prev_data = (
+                    set(plan_snapshot(self._path, meta, prev)[0])
+                    if prev is not None
+                    else set()
                 )
-        self._last_end = latest
-        return {"seq": latest}
+            cur_data = set(plan_snapshot(self._path, meta, s)[0])
+            added = len(cur_data - prev_data)
+            start_i = last_i if (seq == last_seq and last_i >= 0) else 0
+            remaining = max(0, added - start_i)
+            if remaining > budget:
+                end_seq, end_i = seq, start_i + budget
+                budget = 0
+                break
+            end_seq, end_i = seq, -1
+            budget -= remaining
+            snaps += 1
+            prev_data = cur_data
+            if budget == 0:
+                break
+        self._last_end = {"seq": end_seq, "index": end_i}
+        return dict(self._last_end)
 
     def partitions(self, start: dict, end: dict):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         sseq, eseq = int(start["seq"]), int(end["seq"])
-        if eseq <= sseq:
+        si = int(start.get("index", -1))
+        ei = int(end.get("index", -1))
+        if self._pos_key(eseq, ei) <= self._pos_key(sseq, si):
             return []
         meta = _load_meta(self._path)
         chain = _main_lineage(meta)
@@ -474,7 +547,8 @@ class _IceStreamReader(DataSourceStreamReader):
         parts: list[_IceFilePartition] = []
         prev = None
         for s in chain:
-            if int(s.get("sequence-number", 0)) <= sseq:
+            seq = int(s.get("sequence-number", 0))
+            if seq < sseq or (seq == sseq and si < 0):
                 prev = s
         if prev is None:
             raise UnsupportedFormat(
@@ -490,7 +564,8 @@ class _IceStreamReader(DataSourceStreamReader):
         )
         for s in chain:
             seq = int(s.get("sequence-number", 0))
-            if not (sseq < seq <= eseq):
+            boundary_partial = seq == sseq and si >= 0
+            if not (sseq < seq <= eseq) and not boundary_partial:
                 continue
             op = (s.get("summary") or {}).get("operation", "append")
             cur_plan = plan_snapshot(self._path, meta, s)
@@ -519,15 +594,25 @@ class _IceStreamReader(DataSourceStreamReader):
                         "changes."
                     )
             else:
-                added = cur_data - prev_data
-                if added:
+                # sub-snapshot slicing (streaming-max-files offsets):
+                # a partially-consumed boundary snapshot contributes
+                # only its [start, end) added files, sorted-path order
+                added_sorted = sorted(cur_data - prev_data)
+                lo = si if boundary_partial else 0
+                hi = (
+                    ei
+                    if (seq == eseq and ei >= 0)
+                    else len(added_sorted)
+                )
+                emit = set(added_sorted[lo:hi])
+                if emit:
                     parts.extend(
                         _plan_partitions(
                             self._path,
                             meta,
                             s,
                             arrow_schema,
-                            only_paths=added,
+                            only_paths=emit,
                         )
                     )
             prev_data = cur_data

@@ -403,3 +403,57 @@ def test_batch_ref_reads_tag_and_branch(ds, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_stream_max_files_per_micro_batch_subsnapshot_offsets(
+    ds, tmp_path
+):
+    """The runtime's streaming-max-files-per-micro-batch: tail
+    snapshots drain at most N added files per trigger with
+    sub-snapshot {"seq", "index"} offsets splitting a multi-file
+    append across micro-batches; an end-to-end availableNow run then
+    proves nothing is lost or duplicated with the option set."""
+    from pg_analytics_spark.sources.iceberg_datasource import (
+        _IceStreamReader,
+    )
+
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_iceberg(_mk(ds, 0, 4).coalesce(1), d, mode="overwrite")
+    r = _IceStreamReader(d, {"streaming-max-files-per-micro-batch": "2"})
+    r._schema_struct = _mk(ds, 0, 1).schema
+    assert r.initialOffset() == {"seq": -1}
+    o1 = r.latestOffset()
+    assert o1 == {"seq": 1, "index": -1}  # baseline whole
+    assert len(r.partitions({"seq": -1}, o1)) == 1
+    # backlog: a 3-file append then a 2-file append
+    write_iceberg(_mk(ds, 4, 10).repartition(3), d, mode="append")
+    write_iceberg(_mk(ds, 10, 14).repartition(2), d, mode="append")
+    walk = [o1]
+    files = []
+    while True:
+        nxt = r.latestOffset()
+        if nxt == walk[-1]:
+            break
+        files.extend(
+            p.file_path for p in r.partitions(walk[-1], nxt)
+        )
+        walk.append(nxt)
+    assert walk[1:] == [
+        {"seq": 2, "index": 2},
+        {"seq": 3, "index": 1},
+        {"seq": 3, "index": -1},
+    ]
+    assert len(files) == 5 and len(set(files)) == 5
+    # end-to-end under the option: no loss, no duplicates
+    acc: list = []
+    _run_stream(
+        ds, d, ck, acc, **{"streaming-max-files-per-micro-batch": "2"}
+    )
+    assert sorted(i for _b, batch in acc for i in batch) == list(
+        range(14)
+    )
+    write_iceberg(_mk(ds, 14, 16).coalesce(1), d, mode="append")
+    _run_stream(
+        ds, d, ck, acc, **{"streaming-max-files-per-micro-batch": "2"}
+    )
+    assert acc[-1][1] == [14, 15]
