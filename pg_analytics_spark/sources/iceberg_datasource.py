@@ -680,8 +680,22 @@ class IcebergNativeDataSource(DataSource):
         return r
 
     def _part_cols(self) -> list[str]:
+        """partitionBy entries — plain columns or transform specs.
+        Split is PAREN-AWARE: ``bucket(8, k)`` carries a comma."""
         raw = self.options.get("partitionby", "")
-        return [c.strip() for c in raw.split(",") if c.strip()]
+        out, depth, cur = [], 0, []
+        for ch in raw:
+            if ch == "," and depth == 0:
+                if "".join(cur).strip():
+                    out.append("".join(cur).strip())
+                cur = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
+        return out
 
     def writer(self, schema, overwrite: bool):
         return _IceBatchWriter(
@@ -736,17 +750,28 @@ def _ice_write_task(
 ):
     """Worker-side: parquet files under <table>/data/ with Appendix-D
     bounds from each finished file's footer.  Unpartitioned: one file
-    per task.  Identity-partitioned: one file per distinct partition
-    tuple in this task's input (source columns STAY in the files —
-    the Iceberg convention; the tuple rides the manifest entry) —
-    repartition by the partition columns upstream to bound fan-out."""
+    per task.  Partitioned: one file per distinct partition TUPLE in
+    this task's input (source columns STAY in the files — the Iceberg
+    convention; the tuple rides the manifest entry) — repartition by
+    the partition columns upstream to bound fan-out.  ``part_cols``
+    entries are spec strings — plain columns (identity) or transforms
+    (``days(ts)``, ``bucket(8, k)``, …): values are transformed in
+    pure Python with the READER's reference semantics
+    (``iceberg_prune.transform_value`` — the same function pruning
+    compares against, so write and read agree bit-for-bit)."""
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     _ensure_importable()
-    from pg_analytics_spark.sources.iceberg_write import _file_bounds
+    from pg_analytics_spark.sources.iceberg_prune import transform_value
+    from pg_analytics_spark.sources.iceberg_write import (
+        _canonical_transform,
+        _file_bounds,
+        _parse_transform,
+        _transform_result_type,
+    )
 
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -766,10 +791,33 @@ def _ice_write_task(
         return _IceWriteMessage(
             [(full, os.path.getsize(full), rows, lowers, uppers, None)]
         )
+    type_of = {f["name"]: f["type"] for f in fields}
+    specs = []  # (canonical transform, src col, src ice type)
+    for raw in part_cols:
+        kind, param, src = _parse_transform(raw)
+        _transform_result_type(kind, param, src, type_of[src])  # validate
+        specs.append((_canonical_transform(kind, param), src, type_of[src]))
+    tcache: dict[tuple, object] = {}
+
+    def _tvalue(idx: int, v):
+        if v is None:
+            return None
+        key = (idx, v)
+        out = tcache.get(key)
+        if out is None:
+            tr, _src, st = specs[idx]
+            out = transform_value(tr, v, st)
+            tcache[key] = out
+        return out
+
     writers: dict[tuple, tuple] = {}
     for batch in iterator:
         t = pa.Table.from_batches([batch])
-        keys = list(zip(*(t[c].to_pylist() for c in part_cols)))
+        src_cols = [t[src].to_pylist() for _tr, src, _st in specs]
+        keys = [
+            tuple(_tvalue(i, row[i]) for i in range(len(specs)))
+            for row in zip(*src_cols)
+        ]
         for tup in sorted(set(keys), key=lambda k: tuple(map(str, k))):
             mask = pa.array([k == tup for k in keys])
             group = t.filter(mask)

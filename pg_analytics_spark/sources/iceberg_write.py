@@ -456,6 +456,57 @@ def _transform_column(kind: str, param: int | None, src: str, src_type: str):
     raise UnsupportedFormat(f"iceberg partition transform {kind!r}")
 
 
+def _transform_result_type(
+    kind: str, param: int | None, src: str, src_type: str
+) -> tuple[str, str]:
+    """(result iceberg type, default spec-field name) for a partition
+    transform — mirrors :func:`_transform_column`'s result types and
+    naming WITHOUT needing a SparkSession (the sessionless
+    staged-commit path: the DataSource sink's tasks transform values
+    in pure Python via ``iceberg_prune.transform_value``)."""
+    tdateish = src_type == "date" or src_type.startswith("timestamp")
+    if kind == "identity":
+        return src_type, src
+    if kind in ("year", "month"):
+        if not tdateish:
+            raise UnsupportedFormat(
+                f"iceberg {kind}({src}) needs a date/timestamp source, "
+                f"got {src_type}"
+            )
+        return "int", f"{src}_{kind}"
+    if kind == "day":
+        if not tdateish:
+            raise UnsupportedFormat(
+                f"iceberg day({src}) needs a date/timestamp source, "
+                f"got {src_type}"
+            )
+        return "date", f"{src}_day"
+    if kind == "hour":
+        if not src_type.startswith("timestamp"):
+            raise UnsupportedFormat(
+                f"iceberg hour({src}) needs a timestamp source, "
+                f"got {src_type}"
+            )
+        return "int", f"{src}_hour"
+    if kind == "truncate":
+        if src_type not in ("int", "long", "string"):
+            raise UnsupportedFormat(
+                f"iceberg truncate[{param}]({src}) on {src_type} "
+                "unsupported — int/long/string sources only"
+            )
+        return src_type, f"{src}_trunc"
+    if kind == "bucket":
+        if src_type not in ("int", "long", "date", "string") and not (
+            src_type.startswith("timestamp")
+        ):
+            raise UnsupportedFormat(
+                f"iceberg bucket[{param}]({src}) on {src_type} "
+                "unsupported"
+            )
+        return "int", f"{src}_bucket"
+    raise UnsupportedFormat(f"iceberg partition transform {kind!r}")
+
+
 def _bounds_for_files(spark, files: list[str], fields) -> dict[str, tuple]:
     """path → (lower_bounds, upper_bounds, num_rows, size) for every
     committed data file.  Large commits compute the parquet-footer
@@ -4797,19 +4848,22 @@ def commit_iceberg_data_files(
         )
         if spec.get("fields"):
             id_name = {f["id"]: f["name"] for f in fields}
-            srcs = []
-            for pf in spec["fields"]:
-                if pf.get("transform", "identity") != "identity":
-                    raise UnsupportedFormat(
-                        "commit_iceberg_data_files supports IDENTITY "
-                        "partition specs only; transform specs go "
-                        "through write_iceberg"
-                    )
-                srcs.append(id_name.get(pf["source-id"]))
-            if part_by != srcs:
+            prev_canon = [
+                f"{pf.get('transform', 'identity')}"
+                f"({id_name.get(pf['source-id'])})"
+                for pf in spec["fields"]
+            ]
+            req_canon = [
+                (
+                    lambda kp: f"{_canonical_transform(kp[0], kp[1])}"
+                    f"({kp[2]})"
+                )(_parse_transform(p))
+                for p in part_by
+            ]
+            if req_canon != prev_canon:
                 raise UnsupportedFormat(
                     f"iceberg staged-commit partition mismatch: table "
-                    f"spec is identity{srcs}, write declared {part_by}"
+                    f"spec is {prev_canon}, write declared {req_canon}"
                 )
         elif part_by:
             raise UnsupportedFormat(
@@ -4835,16 +4889,23 @@ def commit_iceberg_data_files(
                 ),
                 {"fields": []},
             ).get("fields", [])
-        for i, c in enumerate(part_by):
+        for i, p in enumerate(part_by):
+            kind, param, c = _parse_transform(p)
             t = ftype.get(c)
             if c not in fid:
                 raise UnsupportedFormat(
-                    f"partition column {c!r} not in the written schema"
+                    f"partition source column {c!r} not in the written "
+                    "schema"
                 )
-            if t not in _ICE_TO_AVRO:
+            res_t, default_name = _transform_result_type(
+                kind, param, c, t
+            )
+            if res_t not in _ICE_TO_AVRO:
                 raise UnsupportedFormat(
-                    f"identity partition column {c!r} has type {t!r} — "
-                    "int/long/string/date only"
+                    f"iceberg partitioning "
+                    f"{_canonical_transform(kind, param)}({c}) result "
+                    f"type {res_t!r} unsupported — int/long/string/date "
+                    "results only"
                 )
             prev_pf = prev_spec_fields[i] if i < len(prev_spec_fields) else None
             part_fields.append(
@@ -4855,9 +4916,11 @@ def commit_iceberg_data_files(
                     "field-id": (
                         prev_pf["field-id"] if prev_pf else 1000 + i
                     ),
-                    "name": prev_pf["name"] if prev_pf else c,
-                    "transform": "identity",
-                    "_ice_type": t,
+                    "name": (
+                        prev_pf["name"] if prev_pf else default_name
+                    ),
+                    "transform": _canonical_transform(kind, param),
+                    "_ice_type": res_t,
                 }
             )
     os.makedirs(meta_dir, exist_ok=True)

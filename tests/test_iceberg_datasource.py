@@ -457,3 +457,97 @@ def test_stream_max_files_per_micro_batch_subsnapshot_offsets(
         ds, d, ck, acc, **{"streaming-max-files-per-micro-batch": "2"}
     )
     assert acc[-1][1] == [14, 15]
+
+
+def test_writer_transform_partitioned_roundtrip(ds, tmp_path):
+    """r12: the DataSource writer accepts TRANSFORM partition specs —
+    days(ts) + bucket(4, k) — computing partition values in pure
+    Python with the reader's reference semantics (transform_value),
+    so the minted spec prunes exactly like write_iceberg's.  Batch
+    write + read-back values + partition_filter pruning + a
+    streaming sink into the day-partitioned table."""
+    import datetime as _dt
+
+    d = str(tmp_path / "t")
+    rows = [
+        (
+            i,
+            _dt.datetime(2024, 3, 1 + i % 4, 6 + i % 12, 0, 0),
+            f"k{i % 6}",
+            float(i),
+        )
+        for i in range(48)
+    ]
+    df = ds.createDataFrame(
+        rows, "id bigint, ts timestamp_ntz, k string, v double"
+    )
+    (
+        df.coalesce(1)
+        .write.format("iceberg_native")
+        .mode("overwrite")
+        .option("path", d)
+        .option("partitionBy", "days(ts), bucket(4, k)")
+        .save()
+    )
+    import json as _json
+
+    from pg_analytics_spark.sources.iceberg import _latest_metadata_file
+
+    meta = _json.load(open(_latest_metadata_file(d)))
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec] == ["day", "bucket[4]"]
+    back = load_source(ds, d, "iceberg")
+    assert sorted(r["id"] for r in back.collect()) == list(range(48))
+    # day pruning: one of four days
+    pruned = load_source(
+        ds,
+        d,
+        "iceberg",
+        {"partition_filter": [["ts", ">=", "2024-03-02 00:00:00"],
+                              ["ts", "<", "2024-03-03 00:00:00"]]},
+    )
+    n_all, n_day = len(back.inputFiles()), len(pruned.inputFiles())
+    assert 0 < n_day < n_all
+    assert sorted(r["id"] for r in pruned.collect()) == [
+        i for i in range(48) if i % 4 == 1
+    ]
+    # appends through the STREAMING sink respect the same spec
+    src = str(tmp_path / "src")
+    more = ds.createDataFrame(
+        [
+            (100 + j, _dt.datetime(2024, 3, 9, 12, 0, 0), "k0", 1.0)
+            for j in range(4)
+        ],
+        "id bigint, ts timestamp_ntz, k string, v double",
+    )
+    more.write.parquet(src)
+    q = (
+        ds.readStream.schema("id bigint, ts timestamp_ntz, k string, v double")
+        .parquet(src)
+        .writeStream.format("iceberg_native")
+        .option("path", d)
+        .option("partitionBy", "days(ts), bucket(4, k)")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert load_source(ds, d, "iceberg").count() == 52
+    march9 = load_source(
+        ds,
+        d,
+        "iceberg",
+        {"partition_filter": [["ts", ">=", "2024-03-09 00:00:00"]]},
+    )
+    assert sorted(r["id"] for r in march9.collect()) == [100, 101, 102, 103]
+    # spec mismatch refuses
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="partition mismatch"):
+        (
+            more.write.format("iceberg_native")
+            .mode("append")
+            .option("path", d)
+            .option("partitionBy", "days(ts)")
+            .save()
+        )
