@@ -118,6 +118,8 @@ STREAMING_ROWS = frozenset(
         "streaming_iceberg_native_source",
         "streaming_delta_native_sink",
         "streaming_iceberg_native_sink",
+        # round-12: two real streaming engine starts per run
+        "streaming_iceberg_sink_day_partitioned",
     }
 )
 
@@ -310,6 +312,7 @@ HEADLINE_NEXT10: list = [
 HEADLINE_NEXT11: list = [
     "iceberg_bucket_string_prune",
     "iceberg_native_pruned_scan",
+    "streaming_iceberg_sink_day_partitioned",
 ]
 
 

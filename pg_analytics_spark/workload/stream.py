@@ -2120,3 +2120,94 @@ def iceberg_rewrite_data_files_roundtrip(
         return spark.createDataFrame(out.collect(), out.schema).orderBy(
             "user_id"
         )
+
+
+@register(
+    "streaming_iceberg_sink_day_partitioned",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    ORDER BY event_id
+    """,
+    doc="The 100 TB streaming-ingest layout end-to-end (r12): "
+    "writeStream.format('iceberg_native') with partitionBy="
+    "days(ts) — each task TRANSFORMS the partition values in pure "
+    "Python with the reader's reference semantics "
+    "(iceberg_prune.transform_value), stages one file per day per "
+    "task, and the sessionless commit mints the day-transform spec; "
+    "the read-back slices THREE DAYS out of thirty with a "
+    "partition_filter, asserting in-row that the probe scans "
+    "strictly fewer files than the table holds — manifest-level day "
+    "pruning on sink output, the property that makes a month of "
+    "clickstream queryable by slice.  Exactly-once holds: a "
+    "crash-replayed epoch (fresh checkpoint, same txnAppId) "
+    "publishes nothing.  Oracle: the relational day-range filter.",
+)
+def streaming_iceberg_sink_day_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg_analytics_spark.errors import EngineError
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.streaming.events import read_event_stream
+
+    register_native_datasources(spark)
+    ev = load_source(spark, f"{sf_dir}/events.parquet", "parquet")
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/sink_ice_days"
+
+        def run(ck: str) -> None:
+            q = (
+                read_event_stream(spark, f"{sf_dir}/events.parquet")
+                .writeStream.format("iceberg_native")
+                .option("path", tbl)
+                .option("partitionBy", "days(ts)")
+                .option("txnAppId", "bronze-ice-days")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(f"{work}/ck")
+        n = load_source(spark, tbl, "iceberg").count()
+        assert n == ev.count()
+        run(f"{work}/ck2")  # lost checkpoint: replay publishes nothing
+        assert load_source(spark, tbl, "iceberg").count() == n
+        full = load_source(spark, tbl, "iceberg")
+        sliced = load_source(
+            spark,
+            tbl,
+            "iceberg",
+            {
+                "partition_filter": [
+                    ["ts", ">=", "2024-01-10 00:00:00"],
+                    ["ts", "<", "2024-01-13 00:00:00"],
+                ]
+            },
+        )
+        n_full = len(full.inputFiles())
+        n_sliced = len(sliced.inputFiles())
+        if not 0 < n_sliced < n_full:
+            raise EngineError(
+                f"day pruning kept {n_sliced}/{n_full} files"
+            )
+        out = sliced.filter(
+            (F.col("ts") >= "2024-01-10")
+            & (F.col("ts") < "2024-01-13")
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").cast("double").alias(
+                "value"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
