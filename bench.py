@@ -554,6 +554,14 @@ def main() -> None:
             ),
             3,
         ),
+        "value_next11_streaming": round(
+            sum(
+                v
+                for k, v in timings_next11.items()
+                if k in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }

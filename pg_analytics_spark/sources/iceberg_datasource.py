@@ -441,7 +441,25 @@ class _IceStreamReader(DataSourceStreamReader):
                     f"{label} must be a positive integer"
                 )
         self._last_end: dict | None = None
+        #: snapshot-id → its data-file set.  Snapshot plans are
+        #: IMMUTABLE, so latestOffset's added-file counting never
+        #: replans a snapshot it has seen — per-trigger metadata cost
+        #: stays O(new snapshots), as the module header promises.
+        self._data_cache: dict[int, set] = {}
         _load_meta(path)  # fail fast on a non-table
+
+    def _snap_data(self, meta: dict, snap: dict) -> set:
+        sid = snap["snapshot-id"]
+        out = self._data_cache.get(sid)
+        if out is None:
+            _ensure_importable()
+            from pg_analytics_spark.sources.iceberg import plan_snapshot
+
+            out = set(plan_snapshot(self._path, meta, snap)[0])
+            if len(self._data_cache) > 64:
+                self._data_cache.pop(next(iter(self._data_cache)))
+            self._data_cache[sid] = out
+        return out
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
@@ -481,8 +499,6 @@ class _IceStreamReader(DataSourceStreamReader):
                 end_seq = beyond[: self._max_snaps][-1]
             self._last_end = {"seq": end_seq, "index": -1}
             return dict(self._last_end)
-        from pg_analytics_spark.sources.iceberg import plan_snapshot
-
         budget = self._max_files
         end_seq, end_i = last_seq, last_i
         snaps = 0
@@ -500,11 +516,11 @@ class _IceStreamReader(DataSourceStreamReader):
                 break
             if prev_data is None:
                 prev_data = (
-                    set(plan_snapshot(self._path, meta, prev)[0])
+                    self._snap_data(meta, prev)
                     if prev is not None
                     else set()
                 )
-            cur_data = set(plan_snapshot(self._path, meta, s)[0])
+            cur_data = self._snap_data(meta, s)
             added = len(cur_data - prev_data)
             start_i = last_i if (seq == last_seq and last_i >= 0) else 0
             remaining = max(0, added - start_i)
@@ -807,7 +823,11 @@ def _ice_write_task(
         if out is None:
             tr, _src, st = specs[idx]
             out = transform_value(tr, v, st)
-            tcache[key] = out
+            # bound the cache: a near-unique source (bucket over a
+            # high-cardinality id) gets no hit rate — don't hold every
+            # distinct value of a task's input in memory
+            if len(tcache) < (1 << 16):
+                tcache[key] = out
         return out
 
     writers: dict[tuple, tuple] = {}
@@ -866,6 +886,27 @@ def _ice_abort(messages) -> None:
                 pass
 
 
+def _validate_part_specs(part_cols: list[str], fields: list[dict]) -> None:
+    """Fail the write at PLAN time with a clear message — a typo'd
+    partitionBy source would otherwise die as a raw KeyError inside
+    every executor task."""
+    _ensure_importable()
+    from pg_analytics_spark.sources.iceberg_write import (
+        _parse_transform,
+        _transform_result_type,
+    )
+
+    type_of = {f["name"]: f["type"] for f in fields}
+    for raw in part_cols or []:
+        kind, param, src = _parse_transform(raw)
+        if src not in type_of:
+            raise UnsupportedFormat(
+                f"partition source column {src!r} not in the written "
+                "schema"
+            )
+        _transform_result_type(kind, param, src, type_of[src])
+
+
 class _IceBatchWriter(DataSourceArrowWriter):
     def __init__(
         self, path: str, schema, overwrite: bool, part_cols: list[str]
@@ -875,6 +916,7 @@ class _IceBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._part_cols = part_cols
         self._fields = _ice_table_fields(path, schema)
+        _validate_part_specs(part_cols, self._fields)
 
     def write(self, iterator):
         return _ice_write_task(
@@ -923,6 +965,7 @@ class _IceStreamWriter(DataSourceStreamArrowWriter):
         self._app_id = app_id
         self._part_cols = part_cols
         self._fields = _ice_table_fields(path, schema)
+        _validate_part_specs(part_cols, self._fields)
 
     def write(self, iterator):
         return _ice_write_task(

@@ -248,7 +248,23 @@ def _parse_transform(text: str) -> tuple[str, int | None, str]:
     if m.group(1):
         kind = _TRANSFORM_ALIAS.get(m.group(1).lower(), m.group(1).lower())
         return kind, None, m.group(2)
-    return m.group(3).lower(), int(m.group(4)), m.group(5)
+    param = int(m.group(4))
+    if param < 1:
+        # bucket(0, c) would be '% 0' inside every write task — refuse
+        # here (the single parse choke point) instead of an opaque
+        # executor ZeroDivisionError
+        raise UnsupportedFormat(
+            f"iceberg transform {text!r}: parameter must be >= 1"
+        )
+    return m.group(3).lower(), param, m.group(5)
+
+
+def _requested_canon(part_by_entry: str) -> str:
+    """One declared partitionBy entry → its canonical
+    ``transform(source)`` string, for comparison against a table
+    spec's fields."""
+    kind, param, src = _parse_transform(part_by_entry)
+    return f"{_canonical_transform(kind, param)}({src})"
 
 
 def _canonical_transform(kind: str, param: int | None) -> str:
@@ -382,67 +398,55 @@ def _bucket_str_udf(n: int):
 def _transform_column(kind: str, param: int | None, src: str, src_type: str):
     """(partition-value Column, result iceberg type, default field
     name) for one spec transform — value semantics shared bit-for-bit
-    with the reader's ``iceberg_prune.transform_value``."""
+    with the reader's ``iceberg_prune.transform_value``.  Result types
+    and field naming come from :func:`_transform_result_type` (ONE
+    table for both the SparkSession path and the sessionless
+    staged-commit path), this function adds only the Column
+    expressions."""
     from pyspark.sql import functions as F
 
+    res_t, name = _transform_result_type(kind, param, src, src_type)
     c = F.col(src)
     if kind == "identity":
-        return c, src_type, src
+        return c, res_t, name
     if kind == "year":
-        return (F.year(c) - F.lit(1970)).cast("int"), "int", f"{src}_year"
+        return (F.year(c) - F.lit(1970)).cast("int"), res_t, name
     if kind == "month":
         return (
             ((F.year(c) - F.lit(1970)) * 12 + F.month(c) - F.lit(1)).cast(
                 "int"
             ),
-            "int",
-            f"{src}_month",
+            res_t,
+            name,
         )
     if kind == "day":
         # result TYPE is date per the spec; the value is the day
-        return F.to_date(c), "date", f"{src}_day"
+        return F.to_date(c), res_t, name
     if kind == "hour":
         us = F.unix_micros(c.cast("timestamp"))
         w = F.lit(3_600_000_000)
         return (
             ((us - F.pmod(us, w)) / w).cast("long").cast("int"),
-            "int",
-            f"{src}_hour",
+            res_t,
+            name,
         )
     if kind == "truncate":
         if src_type == "string":
-            return F.substring(c, 1, param), "string", f"{src}_trunc"
-        if src_type in ("int", "long"):
-            w = F.lit(param)
-            out = (c - F.pmod(c, w)).cast(src_type)
-            return out, src_type, f"{src}_trunc"
-        raise UnsupportedFormat(
-            f"iceberg truncate[{param}] on {src!r} ({src_type}) "
-            "unsupported — int/long/string sources only"
-        )
+            return F.substring(c, 1, param), res_t, name
+        w = F.lit(param)
+        return (c - F.pmod(c, w)).cast(src_type), res_t, name
     if kind == "bucket":
+        if src_type == "string":
+            # strings hash over their UTF-8 bytes, not an 8-byte LE
+            # encoding — a separate vectorized UDF (reader parity:
+            # iceberg_prune._bucket_bytes)
+            return _bucket_str_udf(param)(c), res_t, name
         if src_type in ("int", "long"):
             v = c.cast("long")
         elif src_type == "date":
             v = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
-        elif src_type.startswith("timestamp"):
+        else:  # timestamp — _transform_result_type validated the set
             v = F.unix_micros(c.cast("timestamp"))
-        elif src_type == "string":
-            # strings hash over their UTF-8 bytes, not an 8-byte LE
-            # encoding — a separate vectorized UDF (reader parity:
-            # iceberg_prune._bucket_bytes)
-            return (
-                _bucket_str_udf(param)(c),
-                "int",
-                f"{src}_bucket",
-            )
-        else:
-            raise UnsupportedFormat(
-                f"iceberg bucket[{param}] on {src!r} ({src_type}) "
-                "unsupported by the native writer — int/long/date/"
-                "timestamp sources only (strings hash their UTF-8 "
-                "bytes via the string branch above)"
-            )
         # coalesce JVM-side so the UDF sees non-nullable int64 (see
         # _bucket_udf docstring — nullable batches become float64 and
         # round >2^53 keys); the isNull mask restores NULL partitions
@@ -450,8 +454,8 @@ def _transform_column(kind: str, param: int | None, src: str, src_type: str):
             _bucket_udf(param)(
                 F.coalesce(v, F.lit(0).cast("long")), v.isNull()
             ),
-            "int",
-            f"{src}_bucket",
+            res_t,
+            name,
         )
     raise UnsupportedFormat(f"iceberg partition transform {kind!r}")
 
@@ -4853,13 +4857,7 @@ def commit_iceberg_data_files(
                 f"({id_name.get(pf['source-id'])})"
                 for pf in spec["fields"]
             ]
-            req_canon = [
-                (
-                    lambda kp: f"{_canonical_transform(kp[0], kp[1])}"
-                    f"({kp[2]})"
-                )(_parse_transform(p))
-                for p in part_by
-            ]
+            req_canon = [_requested_canon(p) for p in part_by]
             if req_canon != prev_canon:
                 raise UnsupportedFormat(
                     f"iceberg staged-commit partition mismatch: table "

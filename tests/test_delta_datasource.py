@@ -639,6 +639,16 @@ def test_stream_max_files_per_trigger_subcommit_offsets(ds, tmp_path):
         {"version": 2, "index": -1},
     ]
     assert len(seen_files) == 5 and len(set(seen_files)) == 5
+    # restart path: a FRESH reader (new run) resuming from a PARTIAL
+    # checkpointed offset, JSON-roundtripped the way Spark persists
+    # offsets, must plan exactly the unconsumed slice
+    import json as _json
+
+    r2 = _DeltaStreamReader(d, {"maxfilespertrigger": "2"})
+    start = _json.loads(_json.dumps({"version": 2, "index": 1}))
+    end = _json.loads(_json.dumps({"version": 2, "index": -1}))
+    resumed = r2.partitions(start, end)
+    assert [p.file_path for p in resumed] == seen_files[4:]
     # end-to-end: the same option over a fresh checkpoint loses and
     # duplicates nothing
     acc: list = []

@@ -444,6 +444,17 @@ def test_stream_max_files_per_micro_batch_subsnapshot_offsets(
         {"seq": 3, "index": -1},
     ]
     assert len(files) == 5 and len(set(files)) == 5
+    # restart path: a FRESH reader resuming from a PARTIAL offset,
+    # JSON-roundtripped the way Spark persists offsets, plans exactly
+    # the unconsumed slice
+    import json as _json
+
+    r2 = _IceStreamReader(d, {"streaming-max-files-per-micro-batch": "2"})
+    r2._schema_struct = _mk(ds, 0, 1).schema
+    start = _json.loads(_json.dumps({"seq": 3, "index": 1}))
+    end = _json.loads(_json.dumps({"seq": 3, "index": -1}))
+    resumed = r2.partitions(start, end)
+    assert [p.file_path for p in resumed] == files[4:]
     # end-to-end under the option: no loss, no duplicates
     acc: list = []
     _run_stream(
