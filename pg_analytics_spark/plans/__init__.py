@@ -8,9 +8,12 @@ from pg_analytics_spark.plans.inspect import (
     uses_broadcast_join,
     wholestage_codegen_spans,
 )
+from pg_analytics_spark.plans.lint import iter_plan_nodes, lint_plan
 
 __all__ = [
     "explain_formatted",
+    "iter_plan_nodes",
+    "lint_plan",
     "pushed_filters",
     "read_schema_columns",
     "scan_reads_only",

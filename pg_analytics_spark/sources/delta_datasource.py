@@ -490,6 +490,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
             self._phys_of,
             self._schema,
         ) = _table_state(path)
+        #: the schema this RUN is bound to — a mid-stream metaData
+        #: action that changes it fails the stream (delta-spark's
+        #: contract; see partitions()), and a restart re-binds here
+        self._schema_fields = json.loads(meta["schemaString"])[
+            "fields"
+        ]
 
     def _latest_version(self) -> int:
         log_dir = os.path.join(self._path, "_delta_log")
@@ -598,6 +604,34 @@ class _DeltaStreamReader(DataSourceStreamReader):
         for v in range(first_v, ev + 1):
             commit_adds: list[dict] = []
             actions = self._commit_actions(v)
+            for a in actions:
+                md = a.get("metaData")
+                if md is None:
+                    continue
+                # delta-spark contract: a mid-stream schema change
+                # (ALTER TABLE ADD COLUMN / overwriteSchema) FAILS the
+                # stream — the run is bound to the schema it started
+                # with, and silently projecting old-schema batches
+                # would drop the new column (or worse on a type
+                # change).  A RESTART re-binds to the CURRENT schema
+                # and replays this commit cleanly (old files
+                # null-fill missing columns — see
+                # _read_file_partition), which is delta-spark's
+                # documented recovery (restart / schemaTrackingLocation).
+                new_fields = json.loads(md["schemaString"])["fields"]
+                new_parts = list(md.get("partitionColumns") or [])
+                if (
+                    new_fields != self._schema_fields
+                    or new_parts != self._part_cols
+                ):
+                    raise UnsupportedFormat(
+                        f"delta stream: detected schema change in "
+                        f"commit {v} — the streaming source cannot "
+                        "continue with the schema it started from. "
+                        "Restart the query to pick up the new "
+                        "schema (reads resume from the checkpoint; "
+                        "pre-evolution files null-fill added columns)."
+                    )
             removes = [a for a in actions if "remove" in a]
             if removes and not (
                 self._ignore_deletes or self._ignore_changes
@@ -692,6 +726,11 @@ def _write_task_files_partitioned(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    _ensure_importable()
+    from pg_analytics_spark.sources.arrow_part import (
+        group_take as _group_take,
+    )
+
     writers: dict[tuple, tuple] = {}  # tuple -> (writer, relpath, stats)
     data_names = [c for c in schema_names if c not in part_cols]
 
@@ -736,19 +775,17 @@ def _write_task_files_partitioned(
 
     for batch in iterator:
         t = pa.Table.from_batches([batch])
-        # distinct partition tuples in this batch
-        keys = list(
-            zip(*(t[c].to_pylist() for c in part_cols))
-        )
-        distinct = sorted(set(keys), key=lambda k: tuple(map(str, k)))
-        for tup in distinct:
+        # distinct partition tuples in this batch — Arrow hash
+        # group-by (arrow_part.group_take), not per-row Python masks
+        for tup, idx in _group_take(
+            [t[c] for c in part_cols], t.num_rows
+        ):
             if any(v is None for v in tup):
                 raise UnsupportedFormat(
                     "delta_native partitioned write: NULL partition "
                     "values are not supported by this writer"
                 )
-            mask = pa.array([k == tup for k in keys])
-            group = t.filter(mask).select(data_names)
+            group = t.take(idx).select(data_names)
             if tup not in writers:
                 if len(writers) >= 256:
                     raise UnsupportedFormat(

@@ -771,17 +771,24 @@ def _ice_write_task(
     convention; the tuple rides the manifest entry) — repartition by
     the partition columns upstream to bound fan-out.  ``part_cols``
     entries are spec strings — plain columns (identity) or transforms
-    (``days(ts)``, ``bucket(8, k)``, …): values are transformed in
-    pure Python with the READER's reference semantics
-    (``iceberg_prune.transform_value`` — the same function pruning
-    compares against, so write and read agree bit-for-bit)."""
+    (``days(ts)``, ``bucket(8, k)``, …): values are transformed
+    VECTORIZED with the READER's reference semantics
+    (``arrow_part.transform_array``, the Arrow-compute twin of
+    ``iceberg_prune.transform_value`` — parity property-pinned, so
+    write and read agree bit-for-bit), and rows split per partition
+    tuple by Arrow's hash group-by instead of per-row Python masks —
+    the 100 TB ingest path stays C-side even for
+    ``bucket(N, unique_id)``."""
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     _ensure_importable()
-    from pg_analytics_spark.sources.iceberg_prune import transform_value
+    from pg_analytics_spark.sources.arrow_part import (
+        group_take,
+        transform_array,
+    )
     from pg_analytics_spark.sources.iceberg_write import (
         _canonical_transform,
         _file_bounds,
@@ -813,34 +820,15 @@ def _ice_write_task(
         kind, param, src = _parse_transform(raw)
         _transform_result_type(kind, param, src, type_of[src])  # validate
         specs.append((_canonical_transform(kind, param), src, type_of[src]))
-    tcache: dict[tuple, object] = {}
-
-    def _tvalue(idx: int, v):
-        if v is None:
-            return None
-        key = (idx, v)
-        out = tcache.get(key)
-        if out is None:
-            tr, _src, st = specs[idx]
-            out = transform_value(tr, v, st)
-            # bound the cache: a near-unique source (bucket over a
-            # high-cardinality id) gets no hit rate — don't hold every
-            # distinct value of a task's input in memory
-            if len(tcache) < (1 << 16):
-                tcache[key] = out
-        return out
 
     writers: dict[tuple, tuple] = {}
     for batch in iterator:
         t = pa.Table.from_batches([batch])
-        src_cols = [t[src].to_pylist() for _tr, src, _st in specs]
-        keys = [
-            tuple(_tvalue(i, row[i]) for i in range(len(specs)))
-            for row in zip(*src_cols)
+        key_arrays = [
+            transform_array(tr, t[src], st) for tr, src, st in specs
         ]
-        for tup in sorted(set(keys), key=lambda k: tuple(map(str, k))):
-            mask = pa.array([k == tup for k in keys])
-            group = t.filter(mask)
+        for tup, idx in group_take(key_arrays, t.num_rows):
+            group = t.take(idx)
             if tup not in writers:
                 if len(writers) >= 256:
                     raise UnsupportedFormat(

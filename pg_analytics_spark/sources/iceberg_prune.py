@@ -129,7 +129,14 @@ def _micros(value) -> int:
         d = dt.datetime.fromisoformat(str(value))
     if d.tzinfo is not None:
         d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
-    return int((d - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000 + d.microsecond
+    # exact integer micros from the timedelta's normalized components
+    # (days may be negative, seconds/microseconds are 0..n) — the old
+    # int(total_seconds())*1e6 + d.microsecond was wrong for pre-epoch
+    # fractional seconds (truncation toward zero + a positive field)
+    delta = d - dt.datetime(1970, 1, 1)
+    return (
+        delta.days * 86_400 + delta.seconds
+    ) * 1_000_000 + delta.microseconds
 
 
 def transform_value(transform: str, value: Any, src_type: str) -> Any:

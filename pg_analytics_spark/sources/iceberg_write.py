@@ -188,7 +188,13 @@ def _encode_bound(v, ice_type: str) -> bytes | None:
         if ice_type.startswith("timestamp"):
             if isinstance(v, dt.datetime):
                 epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                v = int((v - epoch).total_seconds() * 1_000_000)
+                delta = v - epoch
+                # exact integer micros (float total_seconds() rounds
+                # at the microsecond for large magnitudes, and a
+                # 1 µs-high lower bound would wrongly prune a file)
+                v = (
+                    delta.days * 86_400 + delta.seconds
+                ) * 1_000_000 + delta.microseconds
             return struct.pack("<q", int(v))
         if ice_type == "float":
             return struct.pack("<f", float(v))

@@ -142,6 +142,66 @@ def test_stream_refuses_dml_without_options(ds, tmp_path):
         _run_stream(ds, d, ck, acc)
 
 
+def test_stream_schema_evolution_fails_then_resumes(ds, tmp_path):
+    """delta-spark's mid-stream schema-change contract (r12 verdict
+    'Next round' #5): a commit whose metaData changes the schema FAILS
+    the running stream (the run is bound to its start schema — a
+    silent projection would drop the new column), and a RESTART
+    re-binds to the current schema, replays the evolution commit
+    cleanly, and null-fills pre-evolution files."""
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaStreamReader,
+    )
+
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_delta(_mk(ds, 0, 6), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    assert acc[-1][1] == list(range(6))  # initial snapshot
+    # a LIVE reader (bound to the pre-evolution schema, as within one
+    # run of a continuous-trigger query) meets the evolution commit
+    live = _DeltaStreamReader(d, {})
+    start = live.latestOffset()  # current snapshot fully consumed
+    evolved = ds.createDataFrame(
+        [(10, 1.0, "x"), (11, 2.0, "y")],
+        "id bigint, v double, tag string",
+    )
+    write_delta(
+        evolved, d, mode="append", options={"mergeSchema": "true"}
+    )
+    end = live.latestOffset()
+    with pytest.raises(Exception, match="schema change"):
+        live.partitions(start, end)
+    # restart = fresh reader bound to the NEW schema: the evolution
+    # commit replays from the same checkpoint and delivers its rows
+    tags: list = []
+    reader = ds.readStream.format("delta_native").option("path", d)
+
+    def fb(df, bid):
+        tags.append({r["id"]: r["tag"] for r in df.collect()})
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert tags and tags[-1] == {10: "x", 11: "y"}
+    # a later same-schema append streams normally under the new run
+    write_delta(
+        ds.createDataFrame(
+            [(12, 3.0, None)], "id bigint, v double, tag string"
+        ),
+        d,
+        mode="append",
+    )
+    acc2: list = []
+    _run_stream(ds, d, ck, acc2)
+    assert acc2 and acc2[-1][1] == [12]
+
+
 def test_stream_ignore_changes_reemits_rewritten_files(ds, tmp_path):
     d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
     write_delta(_mk(ds, 0, 10).coalesce(1), d, mode="overwrite")

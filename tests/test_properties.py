@@ -418,3 +418,123 @@ def test_rewrite_pg_total_on_token_soup(parts):
     except UnsupportedDialect:
         return
     assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# arrow_part.transform_array — vectorized twin of transform_value
+# ---------------------------------------------------------------------------
+
+_XP_CASES = {
+    # src ice type -> (arrow type factory, value strategy, transforms)
+    "long": (
+        lambda pa: pa.int64(),
+        st.integers(-(2**62), 2**62),
+        ["identity", "bucket[8]", "bucket[31]", "truncate[10]",
+         "truncate[7]"],
+    ),
+    "int": (
+        lambda pa: pa.int32(),
+        st.integers(-(2**31), 2**31 - 1),
+        ["identity", "bucket[8]", "truncate[100]"],
+    ),
+    "string": (
+        lambda pa: pa.string(),
+        st.text(min_size=0, max_size=12),  # incl. non-BMP codepoints
+        ["identity", "bucket[16]", "truncate[3]", "truncate[1]"],
+    ),
+    "date": (
+        lambda pa: pa.date32(),
+        st.dates(dt.date(1901, 1, 1), dt.date(2199, 12, 31)),
+        ["identity", "bucket[8]", "year", "month", "day"],
+    ),
+    "timestamp": (
+        lambda pa: pa.timestamp("us"),
+        st.datetimes(
+            dt.datetime(1901, 1, 1), dt.datetime(2199, 12, 31)
+        ),
+        ["identity", "bucket[8]", "year", "month", "day", "hour"],
+    ),
+    "timestamptz": (
+        lambda pa: pa.timestamp("us", tz="UTC"),
+        st.datetimes(
+            dt.datetime(1901, 1, 1), dt.datetime(2199, 12, 31)
+        ),
+        ["bucket[8]", "year", "month", "day", "hour"],
+    ),
+}
+
+
+@st.composite
+def _xp_case(draw):
+    src_type = draw(st.sampled_from(sorted(_XP_CASES)))
+    _mk, vals, transforms = _XP_CASES[src_type]
+    transform = draw(st.sampled_from(transforms))
+    values = draw(
+        st.lists(st.one_of(st.none(), vals), min_size=0, max_size=24)
+    )
+    return src_type, transform, values
+
+@given(case=_xp_case())
+@settings(max_examples=120, deadline=None)
+def test_transform_array_matches_scalar(case):
+    """Bit-for-bit parity: the vectorized writer-side transform
+    (arrow_part.transform_array) agrees with the reader's reference
+    scalar (iceberg_prune.transform_value) on every element —
+    including nulls, pre-epoch timestamps with fractional seconds,
+    non-BMP string truncation, and negative truncate floors.  This is
+    the write→prune agreement contract for transform-partitioned
+    DataSource writes (VERDICT r12 item #3)."""
+    import pyarrow as pa
+
+    from pg_analytics_spark.sources.arrow_part import transform_array
+    from pg_analytics_spark.sources.iceberg_prune import transform_value
+
+    src_type, transform, values = case
+    mk, _vals, _tr = _XP_CASES[src_type]
+    arr = pa.array(values, type=mk(pa))
+    got = transform_array(transform, arr, src_type).to_pylist()
+    # the scalar path consumes what to_pylist() hands the old writer
+    want = [
+        None if v is None else transform_value(transform, v, src_type)
+        for v in arr.to_pylist()
+    ]
+    if src_type in ("date", "timestamp", "timestamptz") and transform == "identity":
+        # identity on temporals stays the source representation
+        assert got == arr.to_pylist()
+    else:
+        assert got == want, (src_type, transform, values)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_group_take_partitions_all_rows(rows):
+    """group_take is a PARTITION of the row set: every row index
+    appears in exactly one group, the group's key tuple matches the
+    rows it holds (nulls grouped together), and groups iterate in
+    stringified-key order (deterministic file naming)."""
+    import pyarrow as pa
+
+    from pg_analytics_spark.sources.arrow_part import group_take
+
+    k1 = pa.array([r[0] for r in rows], type=pa.int64())
+    k2 = pa.array([r[1] for r in rows], type=pa.string())
+    groups = list(group_take([k1, k2], len(rows)))
+    seen: list[int] = []
+    for tup, idx in groups:
+        ids = idx.to_pylist()
+        assert ids, "empty group"
+        for i in ids:
+            assert rows[i] == tup
+        seen.extend(ids)
+    assert sorted(seen) == list(range(len(rows)))
+    keys = [tuple(map(str, t)) for t, _ in groups]
+    assert keys == sorted(keys)
