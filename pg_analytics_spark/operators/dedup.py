@@ -49,6 +49,12 @@ def _persist_sketch(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (analyzed-plan semanticHash, column) → vector dimensionality; a
+#: driver-side int per corpus, never unpersisted (see
+#: embedding_semantic_pairs' dim probe)
+_DIM_CACHE: dict = {}
+
+
 def release_sketch_caches() -> int:
     """Unpersist every sketch relation cached by minhash/simhash/LSH
     pair operators in this session.  Returns the number released.
@@ -914,11 +920,26 @@ def embedding_semantic_pairs(
         n = df.count()
         n_cells = max(8, math.ceil(n / target_cell_size))
     # dim probe: one LIMIT-1 job transferring a single int (not the
-    # whole vector); skipped entirely when a codebook is supplied
+    # whole vector); skipped entirely when a codebook is supplied, and
+    # memoized per (plan, column) — the dimensionality of a stable
+    # relation never changes, so repeat callers (dedup_semantic and
+    # dedup_semantic_keep share the corpus) pay the job once (r13 job
+    # audit: one saved action per repeat call)
     if centroids is not None:
         dim = len(centroids[0])
     else:
-        dim = df.select(F.size(F.col(vec_col))).limit(1).first()[0]
+        try:
+            key = (
+                df._jdf.queryExecution().analyzed().semanticHash(),
+                vec_col,
+            )
+        except Exception:
+            key = None
+        dim = _DIM_CACHE.get(key) if key is not None else None
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col))).limit(1).first()[0]
+            if key is not None:
+                _DIM_CACHE[key] = dim
     cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
     cells = cell_assignments(df, vec_col, id_col, cents)
 

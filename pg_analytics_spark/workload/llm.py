@@ -2064,11 +2064,20 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # two-level aggregate instead of count_distinct + count in one
+    # agg: mixing distinct and plain aggregates plans an Expand that
+    # DOUBLES the exploded gram stream into the shuffle (r13 job
+    # audit); per-(gram, doc) counts first, then a tiny second
+    # aggregate over the distinct pairs — identical values, roughly
+    # half the shuffled bytes at any scale
+    per_doc = grams.groupBy("gram", "doc_id").agg(
+        F.count("*").alias("c")
+    )
     return (
-        grams.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 3)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
@@ -2425,7 +2434,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("t") >= 2)
     # three consumers (bigram counts, context counts, the scoring join)
     # read the exploded bigram relation — persist it once, like the
-    # bloom chunk relation
+    # bloom chunk relation.  (r13 note: a per-(doc, a, b)-count
+    # variant — smaller cache, count-weighted decimal terms — was
+    # A/B'd interleaved and LOST warm (1.2-1.8s vs 0.7-1.3s medians):
+    # the pre-persist shuffle it adds dominates what the smaller probe
+    # side saves at this scale; keep the exploded-cache shape.)
     bg = _persist_sketch(
         toks.select(
             "doc_id",

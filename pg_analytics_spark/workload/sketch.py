@@ -178,17 +178,53 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_orderkey AS STRING) AS tok"
     )
-    # ONE corpus scan: the exact arm needs DISTINCT tok anyway, and
-    # HLL registers are max-idempotent — regs over the distinct
-    # relation equal regs over the raw stream, so both arms share the
-    # deduped relation instead of scanning lineitem twice (r6 job
-    # audit: 7 jobs / 2 scans → one scan + two tiny aggregates)
+    # ONE corpus scan AND one downstream pass: the exact arm needs
+    # DISTINCT tok anyway, and HLL registers are max-idempotent — regs
+    # over the distinct relation equal regs over the raw stream (r6 job
+    # audit: 7 jobs / 2 scans → one scan).  r13 folds the remaining two
+    # arms into one: the 256-row register shuffle carries a per-bucket
+    # COUNT beside MAX(rho), so SUM(cnt) in the final 1-row aggregate
+    # IS the exact distinct count — no second aggregate over the cached
+    # relation, no crossJoin/broadcast job.
+    from pg_analytics_spark.operators.sketches import hll_rho_sql
+
     dt = _persist_sketch(li.distinct())
-    hashed = dt.select(shingle_hash32(F.col("tok")).alias("h32"))
-    regs = hll_build(hashed, "h32", precision=_HLL_P)
-    est = hll_estimate(regs, precision=_HLL_P)
-    exact = dt.agg(F.count("*").alias("exact_distinct"))
-    return est.crossJoin(F.broadcast(exact))
+    rem_bits = 32 - _HLL_P
+    m = 1 << _HLL_P
+    rem = f"(h32 % {1 << rem_bits})"
+    slots = dt.select(
+        shingle_hash32(F.col("tok")).alias("h32")
+    ).selectExpr(
+        f"CAST(h32 div {1 << rem_bits} AS BIGINT) AS bucket",
+        f"{hll_rho_sql(rem, rem_bits)} AS rho",
+    )
+    regs = slots.groupBy("bucket").agg(
+        F.max("rho").alias("rho"), F.count("*").alias("cnt")
+    )
+    agg = regs.agg(
+        F.count("*").alias("nonzero_buckets"),
+        F.sum(
+            F.expr("1.0D / CAST(SHIFTLEFT(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("z_present"),
+        F.sum("cnt").alias("exact_distinct"),
+    )
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        F.col("nonzero_buckets").cast("bigint").alias("nonzero_buckets"),
+        (
+            F.col("z_present")
+            + (F.lit(m) - F.col("nonzero_buckets")).cast("double")
+        ).alias("z"),
+        "exact_distinct",
+    ).select(
+        "m",
+        "nonzero_buckets",
+        F.round("z", 6).alias("z_round"),
+        F.round(F.lit(hll_alpha_m2(_HLL_P)) / F.col("z"), 4).alias(
+            "hll_est"
+        ),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+    )
 
 
 # histogram layout for l_extendedprice in CENTS: [0, 11_059_200) in 32
