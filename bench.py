@@ -315,6 +315,11 @@ HEADLINE_NEXT11: list = [
     "streaming_iceberg_sink_day_partitioned",
 ]
 
+#: round-13 additions measure here; earlier groups frozen.
+HEADLINE_NEXT12: list = [
+    "sim_eval_ndcg",
+]
+
 
 #: round-10 additions measure here; earlier groups frozen.
 HEADLINE_NEXT9: list = [
@@ -387,6 +392,7 @@ def main() -> None:
     timings_next9, cold_next9 = _measure(HEADLINE_NEXT9)
     timings_next10, cold_next10 = _measure(HEADLINE_NEXT10)
     timings_next11, cold_next11 = _measure(HEADLINE_NEXT11)
+    timings_next12, cold_next12 = _measure(HEADLINE_NEXT12)
     streaming_sub = {
         k: v for k, v in timings_next.items() if k in STREAMING_ROWS
     }
@@ -562,6 +568,16 @@ def main() -> None:
             ),
             3,
         ),
+        "value_next12": round(sum(timings_next12.values()), 3),
+        "queries_next12": timings_next12,
+        "value_next12_batch": round(
+            sum(
+                v
+                for k, v in timings_next12.items()
+                if k not in WRITER_ROWS and k not in STREAMING_ROWS
+            ),
+            3,
+        ),
         "runs": runs,
         "sf": sf,
     }
@@ -576,6 +592,7 @@ def main() -> None:
     full["queries_next5_cold"] = cold_next5
     full["queries_next6_cold"] = cold_next6
     full["queries_next7_cold"] = cold_next7
+    full["queries_next12_cold"] = cold_next12
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(full, f, indent=1)

@@ -4077,6 +4077,145 @@ def sim_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ndcg_constants() -> tuple[list[float], float]:
+    """NDCG@10 discount weights 1/log2(i+1) rounded to 12 decimals —
+    computed ONCE in Python and injected as the same literals into
+    the Spark plan and the DuckDB oracle (the hll_alpha_m2
+    convention), so no transcendental function ever evaluates inside
+    either engine — log2 is libm-dependent and NOT bit-stable across
+    engines.  IDCG is the exact decimal sum of rel_i x w_i for the
+    ideal ordering (rel 10..1), converted to float once."""
+    import math
+    from decimal import Decimal
+
+    w = [round(1.0 / math.log2(i + 1), 12) for i in range(1, 11)]
+    idcg = float(
+        sum(Decimal(str(w[r - 1])) * (11 - r) for r in range(1, 11))
+    )
+    return w, idcg
+
+
+_NDCG_W, _NDCG_IDCG = _ndcg_constants()
+_NDCG_W_SPARK = ", ".join(
+    f"CAST({w!r} AS DECIMAL(14,12))" for w in _NDCG_W
+)
+_NDCG_W_DUCK = ", ".join(
+    f"CAST({w!r} AS DECIMAL(14,12))" for w in _NDCG_W
+)
+
+
+@register(
+    "sim_eval_ndcg",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN {_MATRYOSHKA_PROBES}
+    ), pairs AS (
+      SELECT p.probe_id, e.vec_id,
+             {_MAT_COS_FULL} AS fs,
+             {_MAT_COS_TRUNC} AS ts
+      FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id
+    ), tf AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY fs DESC, vec_id
+             ) AS rf
+      FROM pairs
+    ), tt AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY ts DESC, vec_id
+             ) AS rt
+      FROM pairs
+    )
+    SELECT tf.probe_id,
+           COUNT(*)::BIGINT AS n_hits,
+           ROUND(CAST(CAST(SUM(
+             CAST(11 - tf.rf AS DECIMAL(2,0))
+             * ([{_NDCG_W_DUCK}][tt.rt])
+           ) AS VARCHAR) AS DOUBLE) / CAST('{_NDCG_IDCG!r}' AS DOUBLE),
+           6) AS ndcg_at_10
+    FROM tf JOIN tt ON tf.probe_id = tt.probe_id
+                   AND tf.vec_id = tt.vec_id
+    WHERE tf.rf <= 10 AND tt.rt <= 10
+    GROUP BY tf.probe_id
+    ORDER BY tf.probe_id
+    """,
+    doc="ANN retrieval-quality evaluation by NDCG@10 with GRADED "
+    "relevance: the exact-cosine top-10 per probe define relevance "
+    "11-rank (10 down to 1); the cheap prefix-dims ranking is scored "
+    "by position-discounted gain against the ideal ordering — the "
+    "third member of the eval triad (recall@k = overlap size, MRR = "
+    "where the single truth fell, NDCG = how well the whole graded "
+    "head is ordered).  Exactness: discount weights 1/log2(i+1) and "
+    "IDCG are Python-computed literals shared by both engines (no "
+    "in-engine transcendentals); per-position gains are exact "
+    "decimals (rel(2,0) x w(14,12)), the per-probe sum is an exact "
+    "decimal, and the oracle bridges decimal->double through VARCHAR "
+    "(base.py convention) so the one division and ROUND are the only "
+    "float ops — identical in both engines.  Scale: both rankings "
+    "are rank-limited window stages (row_number + <=10 directly "
+    "above), the exact InferWindowGroupLimit shape the matryoshka "
+    "row pins — partial per-partition top-k below the exchange, no "
+    "unbounded sort; the final join is |probes|x10 rows a side.",
+)
+def sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from pg_analytics_spark.functions.vectors import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(
+        F.col("vec_id").isin(*_MATRYOSHKA_PROBES)
+    ).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    d = _MATRYOSHKA_DIMS
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qe"), 6).alias("fs"),
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", 1, d), F.slice("qe", 1, d)
+                ),
+                6,
+            ).alias("ts"),
+        )
+    )
+    wf = _W.partitionBy("probe_id").orderBy(F.desc("fs"), F.asc("vec_id"))
+    wt = _W.partitionBy("probe_id").orderBy(F.desc("ts"), F.asc("vec_id"))
+    tf = (
+        pairs.select("probe_id", "vec_id", "fs")
+        .withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= 10)
+        .select("probe_id", "vec_id", "rf")
+    )
+    tt = (
+        pairs.select("probe_id", "vec_id", "ts")
+        .withColumn("rt", F.row_number().over(wt))
+        .filter(F.col("rt") <= 10)
+        .select("probe_id", "vec_id", "rt")
+    )
+    contrib = F.expr(
+        f"CAST(11 - rf AS DECIMAL(2,0)) * element_at(array({_NDCG_W_SPARK}), rt)"
+    )
+    return (
+        tf.join(tt, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(
+                F.sum(contrib).cast("double") / F.lit(_NDCG_IDCG), 6
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 @register(
     "multimodal_audio_vad",
     oracle="""

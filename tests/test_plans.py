@@ -614,3 +614,23 @@ def test_matryoshka_recall_topk_is_partial_group_limit(spark):
     # a Partial pass sits below (printed after) an Exchange
     first_partial = plan.find("Partial")
     assert "Exchange" in plan[:first_partial], plan[:3000]
+
+
+def test_sim_eval_ndcg_topk_is_partial_group_limit(spark):
+    """sim_eval_ndcg's scale contract (r13, same shape the r11 fix
+    gave embed_matryoshka_recall): both rankings are separate
+    rank-limited window stages, so InferWindowGroupLimit runs partial
+    per-partition top-10 below the exchange — no corpus-sized
+    partition is sorted post-shuffle, and the registry plan linter's
+    global-window rule stays silent on it."""
+    from pg_analytics_spark.plans import lint_plan
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["sim_eval_ndcg"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 4, plan[:3000]
+    first_partial = plan.find("Partial")
+    assert first_partial != -1 and "Exchange" in plan[:first_partial], (
+        plan[:3000]
+    )
+    assert lint_plan(df) == []

@@ -23,6 +23,7 @@ from bench import (
     HEADLINE_NEXT8,
     HEADLINE_NEXT9,
     HEADLINE_NEXT10,
+    HEADLINE_NEXT12,
     STREAMING_ROWS,
     WRITER_ROWS,
 )
@@ -76,6 +77,13 @@ def main() -> None:
             if q not in WRITER_ROWS and q not in STREAMING_ROWS
         ]
     )
+    timings_next12 = _measure(
+        [
+            q
+            for q in HEADLINE_NEXT12
+            if q not in WRITER_ROWS and q not in STREAMING_ROWS
+        ]
+    )
     print(
         json.dumps(
             {
@@ -101,6 +109,10 @@ def main() -> None:
                     sum(timings_next10.values()), 4
                 ),
                 "queries_next10": timings_next10,
+                "value_next12_batch": round(
+                    sum(timings_next12.values()), 4
+                ),
+                "queries_next12": timings_next12,
             }
         )
     )
