@@ -120,6 +120,8 @@ STREAMING_ROWS = frozenset(
         "streaming_iceberg_native_sink",
         # round-12: two real streaming engine starts per run
         "streaming_iceberg_sink_day_partitioned",
+        # round-13: the delta twin — same two engine starts per run
+        "streaming_delta_sink_day_partitioned",
     }
 )
 
@@ -318,6 +320,7 @@ HEADLINE_NEXT11: list = [
 #: round-13 additions measure here; earlier groups frozen.
 HEADLINE_NEXT12: list = [
     "sim_eval_ndcg",
+    "streaming_delta_sink_day_partitioned",
 ]
 
 
@@ -575,6 +578,14 @@ def main() -> None:
                 v
                 for k, v in timings_next12.items()
                 if k not in WRITER_ROWS and k not in STREAMING_ROWS
+            ),
+            3,
+        ),
+        "value_next12_streaming": round(
+            sum(
+                v
+                for k, v in timings_next12.items()
+                if k in STREAMING_ROWS
             ),
             3,
         ),

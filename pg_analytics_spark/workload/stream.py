@@ -2134,9 +2134,12 @@ def iceberg_rewrite_data_files_roundtrip(
     """,
     doc="The 100 TB streaming-ingest layout end-to-end (r12): "
     "writeStream.format('iceberg_native') with partitionBy="
-    "days(ts) — each task TRANSFORMS the partition values in pure "
-    "Python with the reader's reference semantics "
-    "(iceberg_prune.transform_value), stages one file per day per "
+    "days(ts) — each task TRANSFORMS the partition values "
+    "VECTORIZED with the reader's reference semantics "
+    "(arrow_part.transform_array, the Arrow twin of "
+    "iceberg_prune.transform_value — parity property-pinned; r13, "
+    "10x-probed flat), splits rows per day via Arrow hash group-by, "
+    "stages one file per day per "
     "task, and the sessionless commit mints the day-transform spec; "
     "the read-back slices THREE DAYS out of thirty with a "
     "partition_filter, asserting in-row that the probe scans "
@@ -2207,6 +2210,110 @@ def streaming_iceberg_sink_day_partitioned(
             F.col("value").cast("decimal(18,4)").cast("double").alias(
                 "value"
             ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "event_id"
+        )
+
+
+@register(
+    "streaming_delta_sink_day_partitioned",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      AND CAST(ts AS DATE) <  DATE '2024-01-13'
+    ORDER BY event_id
+    """,
+    doc="The day-sliced streaming-ingest layout in DELTA (r13, the "
+    "iceberg twin's hive-partitioned counterpart): a computed "
+    "day = CAST(ts AS DATE) column partitions the "
+    "writeStream.format('delta_native') sink — tasks split rows per "
+    "day via Arrow hash group-by (arrow_part.group_take; no per-row "
+    "Python), stage one hive-dir file per day per task with the "
+    "partition column dropped from the files (the log convention), "
+    "and each epoch commits exactly-once via SetTransaction.  The "
+    "read-back slices three days out of thirty: planner-level "
+    "partition counts assert IN-ROW that the typed date-range "
+    "pushFilters prune strictly fewer files than the table holds "
+    "(lexicographic comparison would keep day 9 past day 10 — the "
+    "r12 typed-pruning contract), then the DataFrame re-applies the "
+    "predicate for exactness.  Exactly-once holds: a crash-replayed "
+    "epoch (fresh checkpoint, same txnAppId) publishes nothing.  "
+    "Oracle: the relational day-range filter.",
+)
+def streaming_delta_sink_day_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as _dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from pg_analytics_spark.errors import EngineError
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.delta_datasource import (
+        _DeltaBatchReader,
+        register_native_datasources,
+    )
+    from pg_analytics_spark.streaming.events import read_event_stream
+
+    register_native_datasources(spark)
+    ev = load_source(spark, f"{sf_dir}/events.parquet", "parquet")
+    with scratch_dir(spark) as work:
+        tbl = f"{work}/sink_delta_days"
+
+        def run(ck: str) -> None:
+            q = (
+                read_event_stream(spark, f"{sf_dir}/events.parquet")
+                .withColumn("day", F.to_date("ts"))
+                .writeStream.format("delta_native")
+                .option("path", tbl)
+                .option("partitionBy", "day")
+                .option("txnAppId", "bronze-delta-days")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(f"{work}/ck")
+        n = load_source(spark, tbl, "delta").count()
+        assert n == ev.count()
+        run(f"{work}/ck2")  # lost checkpoint: replay publishes nothing
+        assert load_source(spark, tbl, "delta").count() == n
+        rd = _DeltaBatchReader(tbl, None)
+        n_all = len(rd.partitions())
+        rd2 = _DeltaBatchReader(tbl, None)
+        list(
+            rd2.pushFilters(
+                [
+                    GreaterThanOrEqual(("day",), _dt.date(2024, 1, 10)),
+                    LessThan(("day",), _dt.date(2024, 1, 13)),
+                ]
+            )
+        )
+        n_pruned = len(rd2.partitions())
+        if not 0 < n_pruned < n_all:
+            raise EngineError(
+                f"day pruning kept {n_pruned}/{n_all} files"
+            )
+        out = (
+            spark.read.format("delta_native")
+            .option("path", tbl)
+            .load()
+            .filter(
+                (F.col("day") >= "2024-01-10")
+                & (F.col("day") < "2024-01-13")
+            )
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.col("value").cast("decimal(18,4)").cast("double").alias(
+                    "value"
+                ),
+            )
         )
         return spark.createDataFrame(out.collect(), out.schema).orderBy(
             "event_id"

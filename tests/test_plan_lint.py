@@ -96,7 +96,10 @@ _COLLECT_PINS = {
     "core_sql.py": 2,
     "llm.py": 4,
     "sketch.py": 1,
-    "stream.py": 11,
+    # 12th: streaming_delta_sink_day_partitioned's bounded result
+    # round-trip (createDataFrame(out.collect(), …) of the 3-day
+    # slice — the same rows the oracle returns)
+    "stream.py": 12,
 }
 
 
