@@ -562,3 +562,57 @@ def test_writer_transform_partitioned_roundtrip(ds, tmp_path):
             .option("partitionBy", "days(ts)")
             .save()
         )
+
+
+def test_stream_schema_pinned_through_evolution_until_restart(
+    ds, tmp_path
+):
+    """The Iceberg runtime's streaming contract (r13, the counterpart
+    of delta_native's refuse-and-restart): a stream is PINNED to the
+    schema it started with — an ADD-COLUMN evolution mid-lineage does
+    NOT fail the stream, its appended files simply project to the
+    bound schema (field-id resolution drops the unseen column) — and
+    a restarted stream binds the evolved schema, null-filling
+    pre-evolution files."""
+    from pg_analytics_spark.sources.iceberg_datasource import (
+        _IceStreamReader,
+    )
+
+    d, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    write_iceberg(_mk(ds, 0, 6), d, mode="overwrite")
+    acc: list = []
+    _run_stream(ds, d, ck, acc)
+    assert acc[-1][1] == list(range(6))  # baseline
+    # live reader bound to the 2-column schema meets the evolved
+    # append: partitions() must plan it (no refusal), projecting away
+    # the new column
+    live = _IceStreamReader(d, {})
+    live._schema_struct = _mk(ds, 0, 1).schema  # the pre-evolution bind
+    start = live.latestOffset()
+    evolved = ds.createDataFrame(
+        [(10, 10.0, "x"), (11, 11.0, "y")],
+        "id bigint, v double, tag string",
+    )
+    write_iceberg(
+        evolved, d, mode="append", options={"mergeSchema": "true"}
+    )
+    end = live.latestOffset()
+    parts = live.partitions(start, end)
+    assert parts, "evolved append must stream under the pinned schema"
+    # restart: the evolved schema binds; old checkpoints resume and
+    # the new column arrives (pre-evolution rows already consumed)
+    tags: list = []
+    reader = ds.readStream.format("iceberg_native").option("path", d)
+
+    def fb(df, bid):
+        tags.append({r["id"]: r["tag"] for r in df.collect()})
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert tags and tags[-1] == {10: "x", 11: "y"}
