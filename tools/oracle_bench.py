@@ -8,6 +8,8 @@ Usage: python tools/oracle_bench.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import sys
 import time
 
@@ -43,15 +45,27 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     def _measure(names):
+        # median of `runs` (default 3) — the SAME convention bench.py
+        # applies to the Spark side since round 1.  r13: the old
+        # single-shot draw put ±15% run-to-run variance on a ~4 s
+        # denominator of sub-second queries (pair ratios swung
+        # 1.7↔2.1 on identical code); a paired controlled rerun
+        # measured first-run 4.092 vs median-of-3 4.091 on the same
+        # box, so the median is unbiased — it only stabilizes.
         timings = {}
         for name in names:
             qd = REGISTRY.get(name)
             if qd is None or not qd.oracle:
                 continue
-            t0 = time.perf_counter()
-            con.execute(qd.oracle).fetchall()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            walls = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                con.execute(qd.oracle).fetchall()
+                walls.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(walls), 4)
         return timings
 
     timings = _measure(HEADLINE)
