@@ -321,6 +321,9 @@ HEADLINE_NEXT11: list = [
 HEADLINE_NEXT12: list = [
     "sim_eval_ndcg",
     "streaming_delta_sink_day_partitioned",
+    "sim_hard_negatives",
+    "split_leakage_embedding",
+    "sim_ann_ivfpq_topk",
 ]
 
 

@@ -4391,3 +4391,280 @@ def _register_sim_ann_ivf_filtered():
 
 
 _register_sim_ann_ivf_filtered()
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe, label AS ql FROM embeddings
+      WHERE vec_id % 100 = 7
+    )
+    SELECT q_id, neighbor_id, neighbor_label, sim FROM (
+      SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             {_ANN_COS} AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {_ANN_COS} DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e, q
+      WHERE e.label <> q.ql
+    )
+    WHERE rk <= 5
+    ORDER BY q_id, sim DESC, neighbor_id
+    """,
+    doc="HARD-NEGATIVE MINING for contrastive training — for each anchor "
+    "(a deterministic 1% id slice, offset 7 so it differs from "
+    "sim_knn_join's query set) the top-5 cosine-NEAREST vectors whose "
+    "LABEL DIFFERS from the anchor's: the near-but-wrong examples a "
+    "retrieval/embedding trainer mines each epoch (in-batch negatives "
+    "miss exactly these).  Same plan family as sim_knn_join: the anchor "
+    "set broadcasts (it is the tiny side by construction), the corpus "
+    "scan is the only big input, the label-mismatch predicate is a "
+    "map-side filter on the joined row, and per-anchor top-5 is a "
+    "rank-limited window (row_number <= k) so InferWindowGroupLimit "
+    "runs partial top-k below the exchange — each map task forwards at "
+    "most 5 rows per anchor, never the scored corpus.  At 100 TB: swap "
+    "the full scan for the IVF probe (sim_ann_ivf) and keep the "
+    "mismatch filter map-side — negatives-by-construction cells are "
+    "exactly the filtered-ANN plan sim_ann_ivf_filtered pins.",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pg_analytics_spark.functions.vectors import cosine_similarity
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    sim = F.round(cosine_similarity("embedding", "qe"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("_sim"), F.asc("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("ql"))
+        .withColumn("_sim", sim)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("_sim").alias("sim"),
+        )
+        .orderBy("q_id", F.desc("sim"), "neighbor_id")
+    )
+
+
+def _register_split_leakage_embedding():
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS b, {_lsh_band_sql('embedding', b)} AS k "
+        "FROM embeddings"
+        for b in range(4)
+    )
+    split = (
+        "CASE WHEN ('0x' || substr(md5({id}::VARCHAR), 1, 8))::BIGINT "
+        "% 100 < 80 THEN 'train' "
+        "WHEN ('0x' || substr(md5({id}::VARCHAR), 1, 8))::BIGINT "
+        "% 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    sa, sb = split.format(id="id_a"), split.format(id="id_b")
+    oracle = f"""
+    WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM banded a JOIN banded c ON a.b = c.b AND a.k = c.k
+                                  AND a.vec_id < c.vec_id
+    ), verified AS (
+      SELECT id_a, id_b, {_EMB_COS_AB} AS cosine
+      FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+                JOIN embeddings eb ON eb.vec_id = cand.id_b
+      WHERE {_EMB_COS_AB} >= 0.4
+    ), crossed AS (
+      SELECT CASE WHEN {sa} = 'val' THEN id_a ELSE id_b END AS val_id,
+             cosine
+      FROM verified
+      WHERE ({sa} = 'val' AND {sb} = 'train')
+         OR ({sa} = 'train' AND {sb} = 'val')
+    )
+    SELECT val_id, COUNT(*) AS n_train_neighbors, MAX(cosine) AS max_cos
+    FROM crossed GROUP BY val_id ORDER BY val_id
+    """
+
+    @register(
+        "split_leakage_embedding",
+        oracle=oracle,
+        doc="TRAIN/VAL LEAKAGE AUDIT AT THE EMBEDDING LEVEL — the "
+        "decontamination check exact n-gram overlap "
+        "(contamination_check) misses: a val item whose near-duplicate "
+        "sits in train (paraphrase, re-crawl, format shuffle) inflates "
+        "eval without sharing a single 8-gram.  Pipeline: the same "
+        "deterministic md5 split as corpus_split_hash (split is a PURE "
+        "FUNCTION of the id — computed map-side on each pair end, "
+        "never joined), near-dup pairs from the hyperplane-LSH banding "
+        "tier (embedding_neardup_pairs_lsh: 4 bands x 8 sign bits, "
+        "exact cosine >= 0.4 verify — dedup_embedding_lsh's machinery, "
+        "so shuffle volume is 4 narrow rows per vector, never "
+        "|corpus|^2), then pairs that CROSS the split reported per val "
+        "vector: how many train neighbors leak into it and the worst "
+        "cosine.  Both sides replay the literal seeded planes and "
+        "sequential folds, so even the approximate blocking path is "
+        "value-exact.  At 100 TB this runs as one more consumer of the "
+        "banded relation the dedup pass already shuffles — leakage "
+        "audit and near-dedup share one pass.",
+    )
+    def split_leakage_embedding(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        pairs = embedding_neardup_pairs_lsh(
+            emb, "embedding", "vec_id", dim=64, threshold=0.4
+        )
+
+        def _split(col: str) -> F.Column:
+            b = (
+                F.conv(
+                    F.substring(F.md5(F.col(col).cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+            )
+            return (
+                F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            )
+
+        crossed = (
+            pairs.withColumn("_sa", _split("id_a"))
+            .withColumn("_sb", _split("id_b"))
+            .filter(
+                ((F.col("_sa") == "val") & (F.col("_sb") == "train"))
+                | ((F.col("_sa") == "train") & (F.col("_sb") == "val"))
+            )
+            .select(
+                F.when(F.col("_sa") == "val", F.col("id_a"))
+                .otherwise(F.col("id_b"))
+                .alias("val_id"),
+                "cosine",
+            )
+        )
+        return (
+            crossed.groupBy("val_id")
+            .agg(
+                F.count("*").alias("n_train_neighbors"),
+                F.max("cosine").alias("max_cos"),
+            )
+            .orderBy("val_id")
+        )
+
+
+_register_split_leakage_embedding()
+
+
+def _register_sim_ann_ivfpq():
+    """IVF+PQ composite under the value-exact gate — the seeded-
+    codebook twin of operators/similarity.ivfpq_topk (trained recall
+    tables live in tests/test_pq.py + tools/recall_probe.py, the same
+    seeded-vs-trained split as sim_ann_pq_topk / train_pq_codebooks)."""
+    from pg_analytics_spark.operators.similarity import (
+        ivf_centroids,
+        pq_seed_codebooks,
+    )
+
+    books = pq_seed_codebooks(64, m_subs=4, n_codes=8, seed=11)
+    m_subs, n_codes, sub_dim = books.shape
+    cents = ivf_centroids(64, 8, 7)
+    cell = _ivf_cell_sql("e.embedding")
+    qcell_scores = ", ".join(
+        f"list_sum([x[1]::DOUBLE * x[2] for x in list_zip(qe, {_plane_sql(c)})])"
+        for c in cents
+    )
+
+    def _sub(col: str, m: int) -> str:  # DuckDB 1-based inclusive slice
+        return f"{col}[{m * sub_dim + 1}:{(m + 1) * sub_dim}]"
+
+    def _dists(col: str, m: int) -> str:
+        ds = ", ".join(
+            "list_sum([(x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2]) "
+            f"for x in list_zip({_sub(col, m)}, {_plane_sql(c)})])"
+            for c in books[m]
+        )
+        return f"[{ds}]"
+
+    terms = []
+    for m in range(m_subs):
+        lut = ", ".join(
+            "list_sum([x[1]::DOUBLE * x[2] for x in "
+            f"list_zip({_sub('q.qe', m)}, {_plane_sql(c)})])"
+            for c in books[m]
+        )
+        code = (
+            f"list_position({_dists('e.embedding', m)}, "
+            f"list_min({_dists('e.embedding', m)}))"
+        )
+        terms.append(f"([{lut}])[{code}]")
+    adc = "(" + " + ".join(f"({t})" for t in terms) + ")"
+    oracle = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT u.cell_idx
+      FROM q, (SELECT unnest(range(1, 9)) AS cell_idx) u
+      ORDER BY ([{qcell_scores}])[u.cell_idx] DESC, u.cell_idx
+      LIMIT 2
+    ),
+    cand AS (
+      SELECT e.vec_id, ROUND({adc}, 6) AS adc
+      FROM embeddings e, q
+      WHERE {cell} IN (SELECT cell_idx FROM probe)
+      ORDER BY adc DESC, e.vec_id
+      LIMIT 50
+    )
+    SELECT e.vec_id,
+           ROUND(list_sum([x[1]::DOUBLE * x[2]::DOUBLE
+                           for x in list_zip(e.embedding, q.qe)]), 6) AS dot
+    FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, q
+    ORDER BY dot DESC, e.vec_id
+    LIMIT 10
+    """
+
+    @register(
+        "sim_ann_ivfpq_topk",
+        oracle=oracle,
+        doc="IVF+PQ — the PRODUCTION 100 TB ANN composition, now under "
+        "the value-exact gate end-to-end: probe the query's 2-of-8 "
+        "best IVF cells (sim_ann_ivf's seeded centroids), ADC-rank "
+        "ONLY the probed rows' PQ codes (sim_ann_pq_topk's seeded "
+        "codebooks — 4 bytes read per scored vector instead of 256), "
+        "exactly re-rank the top-50 candidates by true inner product.  "
+        "Cost at scale: cell filter prunes to n_probes/n_cells of the "
+        "corpus (a PARTITION filter under operators/similarity."
+        "ivf_layout), the ADC pass is memory-bandwidth-light on that "
+        "slice, the exact pass touches 50 rows; recall dials are "
+        "n_probes × n_candidates (trained-codebook tables in "
+        "tests/test_pq.py and tools/recall_probe.py).  Cells, codes, "
+        "LUTs, probe ranking and both top-k orderings replay from the "
+        "same seeded literals with fixed-order folds in both engines, "
+        "so every stage of the THREE-tier approximation is "
+        "value-exact, not rows-only.",
+    )
+    def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.similarity import ivfpq_topk
+
+        emb = table(spark, sf_dir, "embeddings")
+        qvec = _query_vec(spark, sf_dir)
+        return ivfpq_topk(
+            emb,
+            "embedding",
+            "vec_id",
+            qvec,
+            centroids=cents,
+            codebooks=books,
+            k=10,
+            n_probes=2,
+            n_candidates=50,
+        )
+
+
+_register_sim_ann_ivfpq()

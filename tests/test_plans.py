@@ -634,3 +634,62 @@ def test_sim_eval_ndcg_topk_is_partial_group_limit(spark):
         plan[:3000]
     )
     assert lint_plan(df) == []
+
+
+def test_hard_negatives_topk_is_partial_group_limit(spark):
+    """sim_hard_negatives' scale contract (r13): the per-anchor top-5
+    is a rank-limited window, so InferWindowGroupLimit runs a Partial
+    pass below the exchange — map tasks forward ≤5 rows per anchor,
+    never the scored corpus — and the anchor set BROADCASTS (the
+    corpus scan is the only big input; the label-mismatch predicate is
+    a map-side filter on the joined row, not a shuffle key)."""
+    from pg_analytics_spark.plans import lint_plan
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["sim_hard_negatives"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2, plan[:3000]
+    first_partial = plan.find("Partial")
+    assert first_partial != -1 and "Exchange" in plan[:first_partial], (
+        plan[:3000]
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert lint_plan(df) == []
+    # semantics: every mined negative's label differs from its anchor's
+    rows = df.collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    assert rows, "anchor slice empty at test SF"
+    for r in rows:
+        assert r["neighbor_label"] != labels[r["q_id"]]
+
+
+def test_split_leakage_is_mapside_split_over_lsh_pairs(spark):
+    """split_leakage_embedding's scale contract (r13): the split label
+    is a pure function of the id computed MAP-SIDE on each pair end —
+    no split-assignment join is added on top of the LSH pair
+    machinery, so the row costs exactly one more consumer of the
+    banded relation the dedup pass already shuffles (a filter + one
+    tiny aggregate)."""
+    from pg_analytics_spark.plans import lint_plan
+    from pg_analytics_spark.workload import REGISTRY
+
+    df = REGISTRY["split_leakage_embedding"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    base = REGISTRY["dedup_embedding_lsh"].spark(spark, SF_DIR)
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert plan.count(node) == base_plan.count(node), (node, plan[:3000])
+    assert "CartesianProduct" not in plan
+    assert lint_plan(df) == []
+    # semantics: each reported val_id hashes into the 'val' bucket
+    import hashlib
+
+    for r in df.collect():
+        b = int(hashlib.md5(str(r["val_id"]).encode()).hexdigest()[:8], 16) % 100
+        assert 80 <= b < 90, r
+        assert r["max_cos"] >= 0.4
+        assert r["n_train_neighbors"] >= 1
