@@ -390,6 +390,7 @@ def embedding_neardup_pairs_lsh(
     seed: int = 42,
     target_bucket_size: int = 64,
     carry_vectors: bool = True,
+    pair_predicate=None,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding — the scale
     tier of :func:`embedding_neardup_pairs`.
@@ -419,6 +420,20 @@ def embedding_neardup_pairs_lsh(
     agreement is rare by construction).
     Output: (id_a, id_b, cosine) with id_a < id_b, rounded to 6 —
     identical shape and values either way.
+
+    ``pair_predicate`` (optional ``(id_a_col, id_b_col) -> Column``)
+    filters CANDIDATE pairs before the cosine verify — the hook for
+    consumers that only want a subset of pairs (cross-split leakage,
+    incremental new-vs-history).  Filtering the operator's OUTPUT
+    instead is semantically identical but evaluates the expensive
+    per-pair dot fold on every candidate first: Catalyst merges the
+    consumer's filter into the same conjunction AFTER the cosine
+    predicate, so nothing is saved (measured at 10× sf0.1: 141.6 s
+    output-filtered vs the pushed form — see SCALE.md §Round-13).
+    With a selective predicate prefer ``carry_vectors=False``: the
+    predicate then prunes NARROW (id, id) candidate rows before the
+    vectors are ever joined on, which is the plan a cost-based SQL
+    engine picks for the same query.
 
     ``bits_per_band="auto"`` applies the measured operating rule
     (SCALE.md): bucket capacity must scale with the corpus, so bits =
@@ -489,10 +504,13 @@ def embedding_neardup_pairs_lsh(
         pair_cos = F.round(
             dot_product("va", "vb") / (F.col("_na") * F.col("_nb")), 6
         )
+        j = a.join(b, "_bk").filter(F.col("id_a") < F.col("id_b"))
+        if pair_predicate is not None:
+            # before the projection that computes the dot fold, so
+            # codegen evaluates the cheap predicate first
+            j = j.filter(pair_predicate(F.col("id_a"), F.col("id_b")))
         return (
-            a.join(b, "_bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", pair_cos.alias("cosine"))
+            j.select("id_a", "id_b", pair_cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .distinct()
         )
@@ -500,13 +518,14 @@ def embedding_neardup_pairs_lsh(
         e.withColumn("_dots", F.expr(dots))
         .select("_id", F.explode(F.expr(band_keys)).alias("_bk"))
     )
-    cand = (
-        banded.select(F.col("_id").alias("id_a"), "_bk")
-        .join(banded.select(F.col("_id").alias("id_b"), "_bk"), on="_bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = banded.select(F.col("_id").alias("id_a"), "_bk").join(
+        banded.select(F.col("_id").alias("id_b"), "_bk"), on="_bk"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    if pair_predicate is not None:
+        # narrow (id, id) rows — prune before the distinct AND before
+        # the two vector joins below
+        cand = cand.filter(pair_predicate(F.col("id_a"), F.col("id_b")))
+    cand = cand.select("id_a", "id_b").distinct()
     va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
     vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     return (

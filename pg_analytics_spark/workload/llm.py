@@ -4518,37 +4518,46 @@ def _register_split_leakage_embedding():
     def split_leakage_embedding(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        emb = table(spark, sf_dir, "embeddings")
-        pairs = embedding_neardup_pairs_lsh(
-            emb, "embedding", "vec_id", dim=64, threshold=0.4
-        )
-
-        def _split(col: str) -> F.Column:
+        def _split_of(c: F.Column) -> F.Column:
             b = (
-                F.conv(
-                    F.substring(F.md5(F.col(col).cast("string")), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
+                F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+                .cast("long")
                 % 100
             )
             return (
                 F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
             )
 
-        crossed = (
-            pairs.withColumn("_sa", _split("id_a"))
-            .withColumn("_sb", _split("id_b"))
-            .filter(
-                ((F.col("_sa") == "val") & (F.col("_sb") == "train"))
-                | ((F.col("_sa") == "train") & (F.col("_sb") == "val"))
+        def _crossing(ida: F.Column, idb: F.Column) -> F.Column:
+            sa, sb = _split_of(ida), _split_of(idb)
+            return ((sa == "val") & (sb == "train")) | (
+                (sa == "train") & (sb == "val")
             )
-            .select(
-                F.when(F.col("_sa") == "val", F.col("id_a"))
-                .otherwise(F.col("id_b"))
-                .alias("val_id"),
-                "cosine",
-            )
+
+        # test-split vectors can never appear in a val×train pair —
+        # drop them before banding (map-side, 10% less LSH work), and
+        # push the crossing predicate BELOW the cosine verify so the
+        # per-pair dot fold (an INTERPRETED 64-element HOF — the
+        # dominant per-candidate cost) only ever runs on cross-split
+        # candidates.  Measured at 10× sf0.1: output-filtered carry
+        # 141.6 s, pushed narrow 36.5 s, pushed carry 10.9 s — the
+        # A/B that chose this shape is in SCALE.md §Round-13.
+        emb = table(spark, sf_dir, "embeddings").filter(
+            _split_of(F.col("vec_id")) != "test"
+        )
+        pairs = embedding_neardup_pairs_lsh(
+            emb,
+            "embedding",
+            "vec_id",
+            dim=64,
+            threshold=0.4,
+            pair_predicate=_crossing,
+        )
+        crossed = pairs.select(
+            F.when(_split_of(F.col("id_a")) == "val", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("val_id"),
+            "cosine",
         )
         return (
             crossed.groupBy("val_id")

@@ -774,3 +774,33 @@ def test_semantic_pairs_bitexact_vs_hof_fold(spark):
         for r in ref.collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_embedding_lsh_pair_predicate_equals_post_filter(spark):
+    """pair_predicate must be a pure pushdown: for any predicate p,
+    pairs_lsh(pair_predicate=p) == pairs_lsh().filter(p) — in BOTH
+    dataflow shapes.  (The pushed form evaluates p before the per-pair
+    dot fold; the post-filter form is what a naive consumer writes.)"""
+    import pyspark.sql.functions as F
+
+    from pg_analytics_spark.operators.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def pred(ida, idb):
+        return (ida % 3 == 0) | (idb % 5 == 1)
+
+    for carry in (True, False):
+        base = embedding_neardup_pairs_lsh(
+            emb, "embedding", "vec_id", dim=64, threshold=0.3,
+            carry_vectors=carry,
+        ).filter(pred(F.col("id_a"), F.col("id_b")))
+        pushed = embedding_neardup_pairs_lsh(
+            emb, "embedding", "vec_id", dim=64, threshold=0.3,
+            carry_vectors=carry, pair_predicate=pred,
+        )
+        want = {(r.id_a, r.id_b): r.cosine for r in base.collect()}
+        got = {(r.id_a, r.id_b): r.cosine for r in pushed.collect()}
+        assert got == want and len(got) > 0, (carry, len(got), len(want))

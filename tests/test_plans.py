@@ -667,24 +667,38 @@ def test_hard_negatives_topk_is_partial_group_limit(spark):
         assert r["neighbor_label"] != labels[r["q_id"]]
 
 
-def test_split_leakage_is_mapside_split_over_lsh_pairs(spark):
+def test_split_leakage_prunes_candidates_before_verify(spark):
     """split_leakage_embedding's scale contract (r13): the split label
-    is a pure function of the id computed MAP-SIDE on each pair end —
-    no split-assignment join is added on top of the LSH pair
-    machinery, so the row costs exactly one more consumer of the
-    banded relation the dedup pass already shuffles (a filter + one
-    tiny aggregate)."""
+    is a pure function of the id (no split-assignment join anywhere),
+    and the crossing predicate is PUSHED below the cosine verify —
+    inside the band join's residual condition, ORDERED BEFORE the
+    per-pair dot fold — so the interpreted 64-element HOF fold (the
+    dominant per-candidate cost) only evaluates on cross-split
+    candidates.  Filtering the operator's output instead merges the
+    consumer filter AFTER the cosine conjunct (measured 10× sf0.1:
+    141.6 s output-filtered vs 10.9 s pushed; SCALE.md §Round-13)."""
     from pg_analytics_spark.plans import lint_plan
     from pg_analytics_spark.workload import REGISTRY
 
     df = REGISTRY["split_leakage_embedding"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    base = REGISTRY["dedup_embedding_lsh"].spark(spark, SF_DIR)
-    base_plan = base._jdf.queryExecution().executedPlan().toString()
-    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
-        assert plan.count(node) == base_plan.count(node), (node, plan[:3000])
     assert "CartesianProduct" not in plan
     assert lint_plan(df) == []
+    lines = plan.splitlines()
+    # the band join's residual condition holds BOTH the crossing
+    # predicate and the dot fold — crossing conjunct first
+    jline = next(
+        ln for ln in lines if "Join" in ln and "zip_with" in ln
+    )
+    i_md5, i_fold = jline.find("md5"), jline.find("zip_with")
+    assert -1 < i_md5 < i_fold, jline[:600]
+    # the disjunction's per-side implied constraint reaches each join
+    # input: both sides carry a derived md5 filter over the banded
+    # relation (each side drops its own never-crossing rows pre-join)
+    side_filters = [
+        ln for ln in lines if "Filter" in ln and "md5" in ln and "id_" in ln
+    ]
+    assert len(side_filters) >= 2, plan[:4000]
     # semantics: each reported val_id hashes into the 'val' bucket
     import hashlib
 
