@@ -504,13 +504,22 @@ def embedding_neardup_pairs_lsh(
         pair_cos = F.round(
             dot_product("va", "vb") / (F.col("_na") * F.col("_nb")), 6
         )
-        j = a.join(b, "_bk").filter(F.col("id_a") < F.col("id_b"))
+        # The cheap conjuncts (id order, the caller's pair predicate)
+        # guard the dot fold INSIDE the expression: Catalyst never
+        # cost-reorders AND chains and its filter-merge order is not
+        # ours to control, so a separate .filter() can end up
+        # evaluating AFTER the interpreted fold (measured 141.6 s vs
+        # 10.9 s at 10× — SCALE.md §Round-13 second wave).  A
+        # CASE WHEN guard makes the short-circuit structural; NULL
+        # fails the >= threshold verify like any non-pair.
+        guard = F.col("id_a") < F.col("id_b")
         if pair_predicate is not None:
-            # before the projection that computes the dot fold, so
-            # codegen evaluates the cheap predicate first
-            j = j.filter(pair_predicate(F.col("id_a"), F.col("id_b")))
+            guard = guard & pair_predicate(F.col("id_a"), F.col("id_b"))
         return (
-            j.select("id_a", "id_b", pair_cos.alias("cosine"))
+            a.join(b, "_bk")
+            .select(
+                "id_a", "id_b", F.when(guard, pair_cos).alias("cosine")
+            )
             .filter(F.col("cosine") >= threshold)
             .distinct()
         )

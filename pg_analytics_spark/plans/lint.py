@@ -34,6 +34,18 @@ Rules (each with a per-row whitelist in tests/test_plan_lint.py):
   expressions or Arrow-batched pandas UDFs (``ArrowEvalPythonExec``,
   ``MapInPandasExec``, …); a per-row UDF is a 10-100× tax that only
   shows up in walls at real scale.
+- ``hof-conjunct-order`` — a Filter or join condition where a cheap
+  (HOF-free) conjunct evaluates AFTER a higher-order-function
+  conjunct.  Codegen evaluates AND chains left-to-right with
+  short-circuit and Catalyst NEVER cost-reorders conjuncts, so the
+  interpreted per-row HOF fold (aggregate/zip_with/transform — no
+  codegen, ~100× a comparison) runs on every row the cheap conjunct
+  could have killed first.  This is the r13 split_leakage failure
+  class: the output-filtered form merged the md5 crossing predicate
+  AFTER the cosine fold and cost 141.6 s at 10× where the reordered
+  form costs 10.9 s (SCALE.md §Round-13 second wave) — a cost-based
+  SQL engine reorders this automatically; on Spark the ORDER in the
+  condition is programmer-controlled, so the linter enforces it.
 
 The companion source lint (no new ``.collect()`` outside the
 sanctioned bounded fixture round-trip) lives in the test module —
@@ -100,6 +112,55 @@ def iter_plan_nodes(df: DataFrame):
             stack.append((c, name))
 
 
+#: substrings that mark an interpreted higher-order-function fold in
+#: an expression's toString — the per-row costs codegen can't help
+_HOF_MARKS = ("aggregate(", "zip_with(", "reduce(", "array_sort(")
+
+
+def _flatten_and(expr) -> list:
+    """Top-level And conjuncts in EVALUATION order (left-deep,
+    left-first — the order generated code short-circuits in)."""
+    if expr.getClass().getSimpleName() == "And":
+        return _flatten_and(expr.left()) + _flatten_and(expr.right())
+    return [expr]
+
+
+def _conjunct_order_violation(cond) -> str | None:
+    """None, or a description of a cheap conjunct trapped behind a
+    HOF conjunct in ``cond``'s evaluation order."""
+    conjs = _flatten_and(cond)
+    if len(conjs) < 2:
+        return None
+    seen_hof = False
+    for c in conjs:
+        s = c.toString()
+        is_hof = any(m in s for m in _HOF_MARKS)
+        if is_hof:
+            seen_hof = True
+        elif seen_hof:
+            return (
+                "hof-conjunct-order: cheap conjunct "
+                f"'{s[:80]}' evaluates after a HOF conjunct "
+                "(reorder the filters so the comparison "
+                "short-circuits the interpreted fold)"
+            )
+    return None
+
+
+def _node_conditions(node, name: str) -> list:
+    """The boolean conditions ``node`` evaluates per row, if any."""
+    if name == "FilterExec":
+        return [node.condition()]
+    if "Join" in name:
+        try:
+            opt = node.condition()
+            if opt.isDefined():
+                return [opt.get()]
+        except Exception:
+            pass
+    return []
+
+
 def lint_plan(df: DataFrame) -> list[str]:
     """Violation strings for the rules above (empty list = clean)."""
     nodes = list(iter_plan_nodes(df))
@@ -131,4 +192,11 @@ def lint_plan(df: DataFrame) -> list[str]:
                 "rowwise-python-udf: BatchEvalPythonExec (per-row "
                 "pickled UDF — use built-ins or a pandas UDF)"
             )
+        for cond in _node_conditions(node, name):
+            try:
+                v = _conjunct_order_violation(cond)
+            except Exception:
+                v = None
+            if v is not None:
+                out.append(v)
     return out

@@ -63,6 +63,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "FIXED n_bins histogram (constant-size), built by a "
         "corpus-wide hash-agg below it",
     },
+    "sim_ann_ivf_filtered": {
+        "hof-conjunct-order": "the trapped cheap conjunct is an "
+        "optimizer-INFERRED isnotnull(vec_id) from the semi-join key "
+        "(not authored code — its position is Catalyst's); vec_id is "
+        "never null in this corpus so it kills nothing, and the cell "
+        "fold before it IS the selective conjunct",
+    },
     "sql_passthrough_positional_join": {
         "global-window": "POSITIONAL JOIN pairs rows by position of "
         "an EXPLICIT ORDER BY — a total order is the operator's "

@@ -685,20 +685,22 @@ def test_split_leakage_prunes_candidates_before_verify(spark):
     assert "CartesianProduct" not in plan
     assert lint_plan(df) == []
     lines = plan.splitlines()
-    # the band join's residual condition holds BOTH the crossing
-    # predicate and the dot fold — crossing conjunct first
+    # the verify is ONE CASE-guarded expression (the band join's
+    # residual): WHEN (id order AND md5 crossing) THEN dot fold — the
+    # cheap conjuncts short-circuit the fold STRUCTURALLY, immune to
+    # Catalyst's conjunct reordering (the filter-chain form of this
+    # row is what the hof-conjunct-order lint rule caught)
     jline = next(
         ln for ln in lines if "Join" in ln and "zip_with" in ln
     )
+    i_case = jline.find("CASE WHEN")
     i_md5, i_fold = jline.find("md5"), jline.find("zip_with")
-    assert -1 < i_md5 < i_fold, jline[:600]
-    # the disjunction's per-side implied constraint reaches each join
-    # input: both sides carry a derived md5 filter over the banded
-    # relation (each side drops its own never-crossing rows pre-join)
-    side_filters = [
-        ln for ln in lines if "Filter" in ln and "md5" in ln and "id_" in ln
-    ]
-    assert len(side_filters) >= 2, plan[:4000]
+    assert -1 < i_case < i_md5 < i_fold, jline[:600]
+    # the test-split drop is map-side at the scan feeding the banded
+    # relation (never a join against a split assignment)
+    assert any(
+        "Filter" in ln and "md5" in ln for ln in lines
+    ), plan[:4000]
     # semantics: each reported val_id hashes into the 'val' bucket
     import hashlib
 
