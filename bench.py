@@ -324,6 +324,7 @@ HEADLINE_NEXT12: list = [
     "sim_hard_negatives",
     "split_leakage_embedding",
     "sim_ann_ivfpq_topk",
+    "corpus_perplexity_filter",
 ]
 
 

@@ -2426,6 +2426,13 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "model is a reusable artifact: materialize once, score any shard.",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_doc_scores(spark, sf_dir).orderBy("doc_id")
+
+
+def _bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under the corpus-MLE bigram
+    LM — the scoring stage shared by text_bigram_logprob and
+    corpus_perplexity_filter (unordered)."""
     from pg_analytics_spark.operators.dedup import _persist_sketch
 
     d = table(spark, sf_dir, "documents")
@@ -2468,15 +2475,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term"),
         )
     )
-    return (
-        terms.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum("term").cast("double") / F.count("*"), 6
-            ).alias("avg_logprob"),
-        )
-        .orderBy("doc_id")
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum("term").cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
     )
 
 
@@ -4677,3 +4680,80 @@ def _register_sim_ann_ivfpq():
 
 
 _register_sim_ann_ivfpq()
+
+
+@register(
+    "corpus_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([t[i+1] FOR i IN range(len(t) - 1)]) AS a,
+             unnest([t[i+2] FOR i IN range(len(t) - 1)]) AS b
+      FROM toks WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b
+    ), c1 AS (
+      SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a
+    ), terms AS (
+      SELECT bg.doc_id,
+             CAST(ln(n2::DOUBLE / n1::DOUBLE) AS DECIMAL(38,18)) AS term
+      FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a)
+    ), scores AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS s
+      FROM terms GROUP BY doc_id
+    ), thr AS (SELECT quantile_cont(s, 0.1) AS thr FROM scores)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN s >= thr THEN len(t) ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(MIN(thr), 6) AS p10_threshold
+    FROM scores JOIN toks USING (doc_id), thr
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="END-TO-END LM-quality filtering — the CCNet/MassiveText "
+    "perplexity filter with no external LM: score every document "
+    "under the corpus-MLE bigram model (text_bigram_logprob's scoring "
+    "stage, shared helper), set the cut at the corpus P10 of scores "
+    "(exact linear-interpolated percentile — ONE interpolation over "
+    "rounded-to-6 doubles, the stats_percentiles convention, "
+    "bit-identical in both engines), drop the bottom decile, and "
+    "report the kept corpus per language (docs + tokens + the "
+    "threshold itself).  The threshold relation is one broadcast row; "
+    "keep/drop is a map-side comparison.  At 100 TB the count model "
+    "and the threshold are reusable artifacts: materialize the score "
+    "pass once, re-cut at any percentile without re-scoring "
+    "(exact-percentile-at-scale = the two-pass count-bucket method; "
+    "the one-pass approx tier is approx_percentile/t-digest).",
+)
+def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _bigram_doc_scores(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("s")
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(X.tokens(F.lower("text"))).alias("_nt")
+    )
+    thr = scores.agg(F.percentile("s", F.lit(0.1)).alias("thr"))
+    return (
+        scores.join(d, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("s") >= F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("s") >= F.col("thr"), F.col("_nt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(F.min("thr"), 6).alias("p10_threshold"),
+        )
+        .orderBy("lang")
+    )
