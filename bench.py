@@ -325,6 +325,7 @@ HEADLINE_NEXT12: list = [
     "split_leakage_embedding",
     "sim_ann_ivfpq_topk",
     "corpus_perplexity_filter",
+    "dedup_near_keep_best",
 ]
 
 

@@ -4757,3 +4757,74 @@ def corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _register_dedup_near_keep_best():
+    inner = _MINHASH_ORACLE.strip()
+    # packed ordering key: prefer more content, tiebreak lower id —
+    # doc_id < 2^32 and n_chars * 2^32 < 2^63, so the BIGINT is exact
+    # in both engines (the sim_eval_mrr argmax convention)
+    key = "(n_chars * 4294967296 - doc_id)"
+    oracle = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({inner})
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(u, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+    ), lab AS (
+      SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u
+    )
+    SELECT lab.cluster_id,
+           arg_max(d.doc_id, {key}) AS kept_doc_id,
+           MAX(d.n_chars) AS kept_n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM documents d JOIN lab USING (doc_id)
+    GROUP BY lab.cluster_id
+    HAVING COUNT(*) > 1
+    ORDER BY cluster_id
+    """
+
+    @register(
+        "dedup_near_keep_best",
+        oracle=oracle,
+        doc="QUALITY-AWARE near-dedup keep rule — production pipelines "
+        "keep each duplicate cluster's BEST member (longest, highest "
+        "quality score), not its lowest id: same MinHash+LSH pairs and "
+        "connected components as dedup_near_keep, then one argmax per "
+        "cluster via a packed BIGINT ordering key (n_chars * 2^32 - "
+        "doc_id: more content wins, lower id breaks ties — exact in "
+        "both engines, the sim_eval_mrr convention), reported for the "
+        "non-trivial clusters.  NO ranking window anywhere: the argmax "
+        "is max_by/arg_max inside the same hash aggregate that counts "
+        "members, so map-side partials apply and no cluster-sized "
+        "partition is ever sorted — swapping the keep rule costs one "
+        "expression, not a plan shape.",
+    )
+    def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_analytics_spark.operators.dedup import neardup_clusters
+
+        d = table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            d, "text", "doc_id",
+            num_hashes=12, bands=4, shingle_k=9, threshold=0.5,
+        ).select("id_a", "id_b")
+        clusters = neardup_clusters(d, pairs, "doc_id")
+        key = F.col("n_chars") * F.lit(4294967296) - F.col("doc_id")
+        return (
+            clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+            .groupBy("cluster_id")
+            .agg(
+                F.max_by("doc_id", key).alias("kept_doc_id"),
+                F.max("n_chars").alias("kept_n_chars"),
+                F.count("*").cast("bigint").alias("n_members"),
+            )
+            .filter(F.col("n_members") > 1)
+            .orderBy("cluster_id")
+        )
+
+
+_register_dedup_near_keep_best()
