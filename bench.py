@@ -176,6 +176,11 @@ WRITER_ROWS = frozenset(
         # round-12 writer-lifecycle fixtures
         "iceberg_bucket_string_prune",
         "iceberg_native_pruned_scan",
+        # round-13 physical-maintenance fixtures (build + DML + sweep)
+        "delta_vacuum_roundtrip",
+        "iceberg_remove_orphans_roundtrip",
+        # round-13 clustered-rewrite fixture (build + rewrite + read)
+        "iceberg_rewrite_zorder_prune",
     }
 )
 
@@ -326,6 +331,9 @@ HEADLINE_NEXT12: list = [
     "sim_ann_ivfpq_topk",
     "corpus_perplexity_filter",
     "dedup_near_keep_best",
+    "delta_vacuum_roundtrip",
+    "iceberg_remove_orphans_roundtrip",
+    "iceberg_rewrite_zorder_prune",
 ]
 
 

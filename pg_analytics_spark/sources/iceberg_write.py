@@ -3110,14 +3110,31 @@ def rewrite_data_files_iceberg(
     *,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     min_input_files: int = 2,
+    strategy: str = "binpack",
+    sort_order: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
-    """Iceberg's ``rewrite_data_files`` (bin-pack strategy): group
+    """Iceberg's ``rewrite_data_files``: ``strategy="binpack"`` groups
     SMALL data files per partition up to ``target_file_size_bytes``
-    and rewrite each group as one file, committing a single
-    ``replace`` snapshot — the DATA-tier answer to the small files a
-    long-running streaming CDC sink mints one-per-micro-batch
+    and rewrites each group as one file; ``strategy="sort"``
+    (``sort_order=[cols]``) and ``strategy="zorder"``
+    (``zorder_by=[cols]``) rewrite EVERY group with >=
+    ``min_input_files`` files CLUSTERED — range-partitioned and
+    sorted on the sort columns, or along the Morton curve of the
+    z-order columns (operators/zorder.py's compiled bin +
+    interleave expressions) — so each output file's manifest
+    lower/upper bounds are tight on the clustering columns and later
+    selective scans prune to few files (the runtime's sort/zorder
+    strategies; file-skipping is the whole point of sorted rewrites
+    at 100 TB).  All strategies commit a single ``replace`` snapshot
+    — the DATA-tier answer to the small files a long-running
+    streaming CDC sink mints one-per-micro-batch
     (streaming/cdc_upsert.py), where :func:`rewrite_manifests_iceberg`
-    only fixed the metadata tier.
+    only fixed the metadata tier.  Clustered rewrites run one Spark
+    job per file group (the runtime's per-file-group execution model:
+    each job reads only its own group's files), splitting each group
+    into ``ceil(group_bytes / target_file_size_bytes)`` range-disjoint
+    files.
 
     Semantics mirror the runtime's action:
 
@@ -3149,6 +3166,19 @@ def rewrite_data_files_iceberg(
 
     from pg_analytics_spark.sources.avro import read_container, write_container
 
+    if strategy not in ("binpack", "sort", "zorder"):
+        raise ValueError(
+            f"rewrite_data_files: unknown strategy {strategy!r} "
+            "(binpack | sort | zorder)"
+        )
+    cluster_cols = list(
+        (sort_order if strategy == "sort" else zorder_by) or []
+    )
+    if strategy != "binpack" and not cluster_cols:
+        raise ValueError(
+            f"rewrite_data_files: strategy={strategy!r} needs "
+            f"{'sort_order' if strategy == 'sort' else 'zorder_by'}=[cols]"
+        )
     meta_dir = os.path.join(path, "metadata")
     prev_version, prev_meta = _latest_metadata(meta_dir)
     if prev_meta is None:
@@ -3195,8 +3225,11 @@ def rewrite_data_files_iceberg(
             live.append(e)
         manifests.append((m, schema_m, live))
 
-    # ---- select: per (spec, partition tuple), bin-pack the files
-    # under the size target; only bins with >= min_input_files pay off
+    # ---- select: per (spec, partition tuple).  binpack takes files
+    # under the size target and bins them up to it; sort/zorder take
+    # EVERY group (clustering rewrites regardless of size — the files
+    # are assumed unsorted).  Only groups/bins with >=
+    # min_input_files pay off.
     groups: dict[tuple, list[dict]] = {}
     for m, schema_m, live in manifests:
         if schema_m is None:
@@ -3204,9 +3237,9 @@ def rewrite_data_files_iceberg(
         spec_id = m.get("partition_spec_id", 0)
         for e in live:
             rec = e["data_file"]
-            if int(rec.get("file_size_in_bytes") or 0) >= int(
-                target_file_size_bytes
-            ):
+            if strategy == "binpack" and int(
+                rec.get("file_size_in_bytes") or 0
+            ) >= int(target_file_size_bytes):
                 continue
             key = (
                 spec_id,
@@ -3219,6 +3252,10 @@ def rewrite_data_files_iceberg(
         es = sorted(
             groups[key], key=lambda e: e["data_file"]["file_path"]
         )
+        if strategy != "binpack":
+            if len(es) >= min_input_files:
+                bins.append((spec_id, es))
+            continue
         cur: list[dict] = []
         cur_bytes = 0
         for e in es:
@@ -3263,29 +3300,86 @@ def rewrite_data_files_iceberg(
         if s.get("schema-id") == prev_meta.get("current-schema-id", 0)
     )["fields"]
     colnames = [f["name"] for f in fields]
+    if cluster_cols:
+        missing = [c for c in cluster_cols if c not in colnames]
+        if missing:
+            raise ValueError(
+                f"rewrite_data_files: clustering columns {missing} not "
+                f"in the current schema {colnames}"
+            )
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
-    kept = _visible_target(
-        spark,
-        {p: data_seq_of[p] for p in selected},
-        pos_delete_paths,
-        eq_delete_files,
-        meta=prev_meta,
-        part_proj=_adoption_projection(prev_meta, prev_list),
-    )
-    bin_map = spark.createDataFrame(
-        [(os.path.abspath(p), i) for p, i in sorted(selected.items())],
-        "_ifile string, _bin int",
-    )
-    staged = (
-        kept.join(F.broadcast(bin_map), "_ifile")
-        .select(*colnames, "_bin")
-        .repartition(len(bins), "_bin")
-    )
+    part_proj = _adoption_projection(prev_meta, prev_list)
     staging = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         f"_ice_rewrite-{uuid.uuid4().hex}",
     )
-    staged.write.mode("overwrite").partitionBy("_bin").parquet(staging)
+    if strategy == "binpack":
+        kept = _visible_target(
+            spark,
+            {p: data_seq_of[p] for p in selected},
+            pos_delete_paths,
+            eq_delete_files,
+            meta=prev_meta,
+            part_proj=part_proj,
+        )
+        bin_map = spark.createDataFrame(
+            [(os.path.abspath(p), i) for p, i in sorted(selected.items())],
+            "_ifile string, _bin int",
+        )
+        staged = (
+            kept.join(F.broadcast(bin_map), "_ifile")
+            .select(*colnames, "_bin")
+            .repartition(len(bins), "_bin")
+        )
+        staged.write.mode("overwrite").partitionBy("_bin").parquet(staging)
+    else:
+        # one Spark job per file group (the runtime's per-file-group
+        # execution model — each job scans ONLY its group's files),
+        # each group split into range-disjoint clustered files
+        from pg_analytics_spark.operators.zorder import (
+            zorder_bins,
+            zorder_key_expr,
+        )
+
+        for b, (_sid, es) in enumerate(bins):
+            gfiles = {
+                e["data_file"]["file_path"]: data_seq_of[
+                    e["data_file"]["file_path"]
+                ]
+                for e in es
+            }
+            gbytes = sum(
+                int(e["data_file"].get("file_size_in_bytes") or 0)
+                for e in es
+            )
+            n_out = max(
+                1, -(-gbytes // max(1, int(target_file_size_bytes)))
+            )
+            kept_g = _visible_target(
+                spark,
+                gfiles,
+                pos_delete_paths,
+                eq_delete_files,
+                meta=prev_meta,
+                part_proj=part_proj,
+            ).select(*colnames)
+            if strategy == "sort":
+                clustered = kept_g.repartitionByRange(
+                    n_out, *cluster_cols
+                ).sortWithinPartitions(*cluster_cols)
+            else:
+                binned, bin_cols = zorder_bins(kept_g, cluster_cols)
+                clustered = (
+                    binned.withColumn(
+                        "__zkey", zorder_key_expr(bin_cols, 8)
+                    )
+                    .repartitionByRange(n_out, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .select(*colnames)
+                )
+            clustered.write.mode("overwrite").parquet(
+                os.path.join(staging, f"_bin={b}")
+            )
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     renamed: list[tuple[int, str]] = []

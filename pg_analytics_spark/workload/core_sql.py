@@ -6560,3 +6560,252 @@ def iceberg_native_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pri").isin("1-URGENT", "2-HIGH"))
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------- #
+# Physical-file maintenance under the gate: VACUUM / remove_orphan_files
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "delta_vacuum_roundtrip",
+    oracle=_ICE_UPDATE_ORACLE,
+    doc="Delta ``VACUUM`` (sources/delta_write.vacuum_delta; "
+    "delta-spark's `VACUUM tbl RETAIN n HOURS`, reference scans never "
+    "do physical cleanup — parity-plus): after a CoW UPDATE and "
+    "DELETE leave superseded pre-image files on disk, a "
+    "default-retention vacuum deletes NOTHING (the 7-day mtime guard "
+    "that keeps concurrent readers of recent versions safe — asserted "
+    "in-row), then a retention-0 vacuum physically deletes exactly "
+    "the unreferenced files: version-0 time travel, alive before the "
+    "vacuum (asserted), now fails LOUDLY instead of returning partial "
+    "rows, while the CURRENT version is bit-identical to the "
+    "relational replay oracle — vacuum must be invisible to live "
+    "readers.  The log is never touched (history stays auditable).  "
+    "At 100 TB the walk is O(files on disk) driver metadata with zero "
+    "data reads — the same cost class as the runtime's.",
+)
+def delta_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta import _load_via_log
+    from pg_analytics_spark.sources.delta_write import (
+        vacuum_delta,
+        write_delta,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_delta_vacuum")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_delta(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    n0 = base.count()
+    eng = Engine(spark=spark)
+    eng.attach("vac_tgt", [root], "delta")
+    eng.sql("UPDATE vac_tgt SET v = v * 2 WHERE v < 100000")
+    eng.sql("DELETE FROM vac_tgt WHERE v > 250000")
+    if _load_via_log(spark, root, version=0).count() != n0:
+        raise AssertionError("version-0 travel broken BEFORE vacuum")
+    res = vacuum_delta(root)  # default 168h retention: all files young
+    if res["files_deleted"] != 0:
+        raise AssertionError(f"retention guard violated: {res}")
+    res = vacuum_delta(root, retention_hours=0.0)
+    if res["files_deleted"] < 1 or res["bytes_deleted"] <= 0:
+        raise AssertionError(f"vacuum deleted nothing: {res}")
+    v0_alive = True
+    try:  # vacuumed pre-images must fail the v0 read loudly
+        _load_via_log(spark, root, version=0).count()
+    except Exception:
+        v0_alive = False
+    if v0_alive:
+        raise AssertionError("version-0 read survived a 0-retention vacuum")
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM vac_tgt ORDER BY o_orderkey"
+    )
+
+
+@register(
+    "iceberg_remove_orphans_roundtrip",
+    oracle=_ICE_UPDATE_ORACLE,
+    doc="Iceberg ``remove_orphan_files`` maintenance (sources/"
+    "iceberg_write.remove_orphan_files_iceberg; the runtime's "
+    "procedure of the same name): after MoR UPDATE/DELETE history is "
+    "expired down to one snapshot, the row plants aborted-write "
+    "debris (a stray data file and a stray metadata temp) inside the "
+    "table root; the default 72-hour guard keeps them (in-flight "
+    "writers stage files before committing — asserted deleted==0), "
+    "then an age-0 sweep deletes EXACTLY the debris: the referenced "
+    "set — every surviving metadata version's manifests, data and "
+    "delete files — is rebuilt from the metadata tree and never "
+    "touched, proven by the current version hashing bit-identical to "
+    "the relational replay oracle.  O(files) metadata walk, zero "
+    "data reads, crash-safe (a re-run just re-collects).",
+)
+def iceberg_remove_orphans_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.iceberg_write import (
+        expire_iceberg_snapshots,
+        remove_orphan_files_iceberg,
+        write_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_orphans")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(base.repartition(4, "o_orderkey"), root, mode="overwrite")
+    eng = Engine(spark=spark)
+    eng.attach("orph_tgt", [root], "iceberg")
+    eng.sql("UPDATE orph_tgt SET v = v * 2 WHERE v < 100000")
+    eng.sql("DELETE FROM orph_tgt WHERE v > 250000")
+    expire_iceberg_snapshots(spark, root, retain_last=1)
+    # aborted-write debris: a data file no manifest names + a metadata
+    # temp no version references
+    debris = [
+        _os.path.join(root, "data", "orphan-aborted-task.parquet"),
+        _os.path.join(root, "metadata", "orphan-tmp-manifest.avro"),
+    ]
+    for p in debris:
+        with open(p, "wb") as fh:
+            fh.write(b"aborted-write debris")
+    res = remove_orphan_files_iceberg(root)  # default 72h guard
+    if res["files_deleted"] != 0:
+        raise AssertionError(f"age guard violated: {res}")
+    res = remove_orphan_files_iceberg(root, older_than_hours=0.0)
+    if res["files_deleted"] < len(debris):
+        raise AssertionError(f"debris survived the sweep: {res}")
+    for p in debris:
+        if _os.path.exists(p):
+            raise AssertionError(f"orphan still on disk: {p}")
+    eng.attach("orph_tgt", [root], "iceberg")  # refresh
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, v FROM orph_tgt ORDER BY o_orderkey"
+    )
+
+
+@register(
+    "iceberg_rewrite_zorder_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey < 4000
+      AND o_custkey BETWEEN 100 AND 300
+      AND o_totalprice BETWEEN 50000 AND 150000
+    ORDER BY o_orderkey
+    """,
+    doc="Iceberg ``rewrite_data_files`` SORT/Z-ORDER strategy (r13; "
+    "the runtime's `strategy => 'sort', sort_order => 'zorder(…)'` — "
+    "sources/iceberg_write.rewrite_data_files_iceberg): the table "
+    "starts as round-robin files where EVERY file spans the full "
+    "(o_custkey, v) envelope (pushFilters plans all of them for a "
+    "small box — asserted in-row), one clustered rewrite re-lays the "
+    "data along the Morton curve (operators/zorder.py bins + "
+    "interleave, one range-shuffle per file group, one replace "
+    "snapshot), and the SAME box predicate afterwards plans strictly "
+    "fewer files through the native reader's bounds pruning — "
+    "asserted in-row.  The oracle is the relational box filter: "
+    "clustering must be invisible to values.  At 100 TB this is THE "
+    "multi-column range-query layout lever: cluster once, every "
+    "later scan prunes.",
+)
+def iceberg_rewrite_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual as _Ge,
+        LessThanOrEqual as _Le,
+    )
+
+    from pg_analytics_spark.sources.delta_datasource import (
+        register_native_datasources,
+    )
+    from pg_analytics_spark.sources.iceberg_datasource import _IceBatchReader
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+        write_iceberg,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+        )
+    )
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_ice_zorder")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    # round-robin split: every file spans the full (o_custkey, v) box
+    write_iceberg(base.repartition(4), root, mode="overwrite")
+
+    _box = [
+        _Ge(("o_custkey",), 100),
+        _Le(("o_custkey",), 300),
+        _Ge(("v",), 50000.0),
+        _Le(("v",), 150000.0),
+    ]
+
+    def _planned() -> int:
+        rd = _IceBatchReader(root, None)
+        rd._schema_struct = base.schema
+        list(rd.pushFilters(list(_box)))
+        return len(rd.partitions())
+
+    n_pre = _planned()
+    total = base.count()  # noqa: F841 — forces the write to finish
+    import glob as _glob
+
+    nbytes = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(root, "data", "*.parquet"))
+    )
+    res = rewrite_data_files_iceberg(
+        spark,
+        root,
+        strategy="zorder",
+        zorder_by=["o_custkey", "v"],
+        target_file_size_bytes=max(1, nbytes // 4),
+    )
+    if res["files_rewritten"] < 4 or res["files_added"] < 2:
+        raise AssertionError(f"zorder rewrite did not run: {res}")
+    n_post = _planned()
+    if not n_post < n_pre:
+        raise AssertionError(
+            f"zorder rewrite did not improve pruning: {n_pre} -> {n_post}"
+        )
+    register_native_datasources(spark)
+    return (
+        spark.read.format("iceberg_native")
+        .option("path", root)
+        .load()
+        .filter(
+            F.col("o_custkey").between(100, 300)
+            & F.col("v").between(50000.0, 150000.0)
+        )
+        .orderBy("o_orderkey")
+    )

@@ -748,3 +748,195 @@ def test_iceberg_refs_metadata_table(spark, tmp_path):
     assert rows["audit"]["max_snapshot_age_in_ms"] == 86_400_000
     assert rows["main"]["snapshot_id"] == rows["audit"]["snapshot_id"]
     assert rows["main"]["max_reference_age_in_ms"] is None
+
+
+def _live_data_files(path):
+    _v, meta = _latest_metadata(os.path.join(path, "metadata"))
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _s, mf = read_container(cur["manifest-list"])
+    files = []
+    for m in mf:
+        if m.get("content", 0) == 1:
+            continue
+        _s2, es = read_container(m["manifest_path"])
+        files.extend(
+            e["data_file"]["file_path"]
+            for e in es
+            if e.get("status", 0) != 2
+            and e["data_file"].get("content", 0) == 0
+        )
+    return sorted(files)
+
+
+def _col_ranges(files, col):
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        t = pq.read_table(f, columns=[col])[col]
+        import pyarrow.compute as pc
+
+        out.append((pc.min(t).as_py(), pc.max(t).as_py()))
+    return out
+
+
+def test_rewrite_sort_strategy_clusters_and_preserves_reads(
+    spark, tmp_path
+):
+    """r13: strategy='sort' rewrites every group clustered on the sort
+    column — values identical (deletes applied during the rewrite),
+    output files range-DISJOINT on the sort column, partition tuples
+    preserved per group."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    # 4 interleaved single-file commits: k mod 4 stripes, so every
+    # file spans nearly the whole k range (worst case for skipping)
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(j, j * 2) for j in range(i, 80, 4)], "k long, v long"
+        )
+        write_iceberg(
+            df.coalesce(1), path, mode="overwrite" if i == 0 else "append"
+        )
+    # an equality delete must stay applied through the rewrite
+    equality_delete_iceberg(
+        spark,
+        path,
+        spark.createDataFrame([(7,), (33,)], "k long"),
+        ["k"],
+    )
+    expect = {(j, j * 2) for j in range(80) if j not in (7, 33)}
+    assert _rows(spark, path) == expect
+    total = sum(os.path.getsize(f) for f in _live_data_files(path))
+    r = rewrite_data_files_iceberg(
+        spark,
+        path,
+        strategy="sort",
+        sort_order=["k"],
+        target_file_size_bytes=max(1, total // 3),
+    )
+    assert r["files_rewritten"] == 4 and r["files_added"] >= 2
+    assert _rows(spark, path) == expect
+    files = _live_data_files(path)
+    assert len(files) == r["files_added"]
+    ranges = sorted(_col_ranges(files, "k"))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"sorted rewrite overlaps: {ranges}"
+
+
+def test_rewrite_sort_partitioned_groups_stay_pure(spark, tmp_path):
+    """Each partition group rewrites separately; partition tuples are
+    preserved and partition pruning still works after the rewrite."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):  # 3 commits, 2 partitions each → 6 files
+        df = spark.createDataFrame(
+            [(j, j % 2, j * 10) for j in range(i * 20, (i + 1) * 20)],
+            "k long, p long, v long",
+        )
+        write_iceberg(
+            df.repartition(2, "p"),
+            path,
+            mode="overwrite" if i == 0 else "append",
+            partition_by=["p"],
+        )
+    expect = {(j, j % 2, j * 10) for j in range(60)}
+    got = {
+        (r["k"], r["p"], r["v"])
+        for r in load_source(spark, path, "iceberg").collect()
+    }
+    assert got == expect
+    r = rewrite_data_files_iceberg(
+        spark, path, strategy="sort", sort_order=["k"]
+    )
+    assert r["files_rewritten"] == 6 and r["files_added"] == 2
+    got = {
+        (r2["k"], r2["p"], r2["v"])
+        for r2 in load_source(spark, path, "iceberg").collect()
+    }
+    assert got == expect
+    # partition pruning still prunes: scan one partition, count files
+    pruned = load_source(
+        spark, path, "iceberg", {"partition_filter": [["p", "=", 0]]}
+    )
+    assert {r3["p"] for r3 in pruned.select("p").distinct().collect()} == {
+        0
+    }
+
+
+def test_rewrite_zorder_strategy_tightens_bounds(spark, tmp_path):
+    """strategy='zorder': after the rewrite a small box query on the
+    two clustered columns overlaps FEWER files' min/max envelopes than
+    before (the file-skipping payoff), and values are identical."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    # 4 files, each spanning the FULL (x, y) grid — zero skipping
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(400)]
+    for f in range(4):
+        df = spark.createDataFrame(
+            rows[f::4], "id long, x long, y long"
+        )
+        write_iceberg(
+            df.coalesce(1), path, mode="overwrite" if f == 0 else "append"
+        )
+
+    def _box_overlap_count():
+        files = _live_data_files(path)
+        n = 0
+        for (xlo, xhi), (ylo, yhi) in zip(
+            _col_ranges(files, "x"), _col_ranges(files, "y")
+        ):
+            if xlo <= 20 and xhi >= 0 and ylo <= 20 and yhi >= 0:
+                n += 1
+        return n, len(files)
+
+    pre_hit, pre_total = _box_overlap_count()
+    assert pre_hit == pre_total == 4  # every file overlaps the box
+    total = sum(os.path.getsize(f) for f in _live_data_files(path))
+    r = rewrite_data_files_iceberg(
+        spark,
+        path,
+        strategy="zorder",
+        zorder_by=["x", "y"],
+        target_file_size_bytes=max(1, total // 4),
+    )
+    assert r["files_rewritten"] == 4 and r["files_added"] >= 3
+    post_hit, post_total = _box_overlap_count()
+    assert post_hit < post_total, (post_hit, post_total)
+    got = {
+        (r2["id"], r2["x"], r2["y"])
+        for r2 in load_source(spark, path, "iceberg").collect()
+    }
+    assert got == {(i, (i * 37) % 100, (i * 61) % 100) for i in range(400)}
+
+
+def test_rewrite_strategy_validation(spark, tmp_path):
+    from pg_analytics_spark.sources.iceberg_write import (
+        rewrite_data_files_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n_appends=2)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        rewrite_data_files_iceberg(spark, path, strategy="shuffle")
+    with pytest.raises(ValueError, match="sort_order"):
+        rewrite_data_files_iceberg(spark, path, strategy="sort")
+    with pytest.raises(ValueError, match="zorder_by"):
+        rewrite_data_files_iceberg(spark, path, strategy="zorder")
+    with pytest.raises(ValueError, match="not .* the current schema"):
+        rewrite_data_files_iceberg(
+            spark, path, strategy="sort", sort_order=["nope"]
+        )
