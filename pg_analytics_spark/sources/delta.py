@@ -208,13 +208,19 @@ def _load_via_log(
     version: int | None = None,
     stats_filter: dict | None = None,
     keep_meta: bool = False,
+    keep_phys: list[str] | None = None,
 ) -> DataFrame:
     """``keep_meta=True`` keeps the internal ``_dv_file`` (absolute
     data-file path) and ``_dv_pos`` (physical parquet row index)
     columns on the result — the coordinate system deletion vectors
     address — for the DV-writing DML path (delta_write._rewrite_where).
     Already-deleted rows are still anti-joined away, so ``_dv_pos`` on
-    the survivors is exactly the physical index a NEW DV must mark."""
+    the survivors is exactly the physical index a NEW DV must mark.
+
+    ``keep_phys`` names HIDDEN physical columns to carry through the
+    schema conformance (long-typed NULL when a file group lacks them)
+    — the row-tracking materialized identity columns live outside the
+    table schema and are normally projected away."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise MissingDependency(
@@ -287,6 +293,12 @@ def _load_via_log(
         # schemas (ADD COLUMN evolution); _conform_delta then fixes
         # presence, order, and declared types against schemaString
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        phys_keep = [
+            F.col(c).cast("long").alias(c)
+            if c in df.columns
+            else F.lit(None).cast("long").alias(c)
+            for c in (keep_phys or [])
+        ]
         if mapping:
             # a physical column can be absent from every file in the
             # group (ADD COLUMN after they were written) — skip it here
@@ -296,10 +308,17 @@ def _load_via_log(
                 for c in mapping
                 if c not in part_cols and mapping[c][0] in df.columns
             ]
-            df = df.select(*data_cols, *(meta_cols if with_meta else []))
-        elif with_meta:
-            df = df.select("*", *meta_cols)
-        df = _conform_delta(df, meta, part_cols)
+            df = df.select(
+                *data_cols, *phys_keep, *(meta_cols if with_meta else [])
+            )
+        else:
+            others = [
+                F.col(c) for c in df.columns if c not in (keep_phys or [])
+            ]
+            df = df.select(
+                *others, *phys_keep, *(meta_cols if with_meta else [])
+            )
+        df = _conform_delta(df, meta, part_cols, keep_cols=keep_phys)
         for c, v in zip(part_cols, key):
             lit = F.lit(v).cast(part_types[c])
             df = df.withColumn(c, lit)
@@ -314,11 +333,14 @@ def _load_via_log(
     return out
 
 
-def _conform_delta(df: DataFrame, meta: dict, part_cols) -> DataFrame:
+def _conform_delta(
+    df: DataFrame, meta: dict, part_cols, keep_cols: list[str] | None = None
+) -> DataFrame:
     """NAME-based schema evolution: project to the CURRENT schemaString
     — columns added after a file was written surface as typed NULLs,
     dropped ones disappear, primitives cast to the declared type.
-    Internal _dv_* columns ride along untouched."""
+    Internal _dv_* columns (and any explicitly kept hidden physical
+    columns) ride along untouched."""
     schema = json.loads(meta["schemaString"])
     fields = [
         f for f in schema.get("fields", []) if f["name"] not in part_cols
@@ -334,7 +356,11 @@ def _conform_delta(df: DataFrame, meta: dict, part_cols) -> DataFrame:
             cols.append(F.col(have[name.lower()]).cast(t).alias(name))
         else:
             cols.append(F.lit(None).cast(t).alias(name))
-    keep = [c for c in df.columns if c.startswith("_dv_")]
+    keep = [
+        c
+        for c in df.columns
+        if c.startswith("_dv_") or c in (keep_cols or [])
+    ]
     return df.select(*cols, *keep)
 
 
@@ -513,6 +539,15 @@ def _read_checkpoint(path: str) -> tuple[dict[str, dict], dict | None]:
             active[add["path"]] = add
         md = row.get("metaData")
         if md and md.get("id"):
+            # pyarrow renders map<k,v> as pair lists — normalize the
+            # configuration (and format.options) back to dicts, or
+            # every property read after a checkpoint replay breaks
+            # (cfg.get on a list)
+            if isinstance(md.get("configuration"), list):
+                md["configuration"] = dict(md["configuration"])
+            fmt = md.get("format")
+            if fmt and isinstance(fmt.get("options"), list):
+                fmt["options"] = dict(fmt["options"])
             meta = md
     return active, meta
 

@@ -1014,6 +1014,12 @@ def _commit_files(
                 "delta_native writer does not stage under column-"
                 "mapping physical names — write via write_delta"
             )
+        if str(cfg.get("delta.enableRowTracking", "")).lower() == "true":
+            raise UnsupportedFormat(
+                "delta_native writer does not allocate row-tracking "
+                "ids (baseRowId / the domainMetadata high-water mark) "
+                "— write via write_delta, which assigns them"
+            )
         have = {
             (f["name"], json.dumps(f["type"]))
             for f in json.loads(meta["schemaString"])["fields"]

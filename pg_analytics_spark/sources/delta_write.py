@@ -423,6 +423,15 @@ def alter_delta(
     _active, meta = _replay_log(log_dir)
     if meta is None:
         raise UnsupportedFormat(f"Delta log has no metaData action: {path}")
+    if (rename is not None or drop is not None):
+        from pg_analytics_spark.sources import delta_rowtracking as _rtm
+
+        if _rtm.row_tracking_enabled(meta):
+            raise UnsupportedFormat(
+                "RENAME/DROP COLUMN upgrades the table to column "
+                "mapping, which this writer does not combine with row "
+                "tracking — ADD COLUMN is supported"
+            )
     schema = json.loads(meta["schemaString"])
     fields = schema.get("fields", [])
     names = [f["name"] for f in fields]
@@ -633,6 +642,23 @@ def alter_delta_properties(
                 "resolution — use ALTER TABLE RENAME/DROP COLUMN (the "
                 "upgrade annotates the schema and raises the protocol)"
             )
+        if k.startswith("delta.rowTracking.") or k == "delta.enableRowTracking":
+            raise UnsupportedFormat(
+                "SET TBLPROPERTIES: row tracking is declared when the "
+                "table is CREATED (write_delta configuration=) — "
+                "enabling it later would need a backfill this writer "
+                "does not implement"
+            )
+    from pg_analytics_spark.sources import delta_rowtracking as _rtm
+
+    if _rtm.row_tracking_enabled(meta):
+        for k in unset_props or []:
+            if k.startswith("delta.rowTracking.") or k == "delta.enableRowTracking":
+                raise UnsupportedFormat(
+                    "UNSET TBLPROPERTIES: disabling row tracking would "
+                    "orphan the materialized identity columns — "
+                    "recreate the table instead"
+                )
     cfg = dict(meta.get("configuration") or {})
     cfg.update({k: str(v) for k, v in (set_props or {}).items()})
     for k in unset_props or []:
@@ -737,6 +763,10 @@ def checkpoint_delta(path: str) -> dict:
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_type),
+            # row tracking: identities must survive the checkpoint, or
+            # a log cleanup would orphan every preserved row id
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     meta_type = pa.struct(
@@ -756,7 +786,14 @@ def checkpoint_delta(path: str) -> dict:
         ]
     )
     proto_type = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # table-feature lists (protocol 3/7) must round-trip — a
+            # checkpoint that dropped them would demote the protocol
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     rows = [
         {
@@ -770,6 +807,10 @@ def checkpoint_delta(path: str) -> dict:
                 "dataChange": False,
                 "stats": a.get("stats"),
                 "deletionVector": a.get("deletionVector"),
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
             },
             "metaData": None,
             "protocol": None,
@@ -832,12 +873,40 @@ def checkpoint_delta(path: str) -> dict:
                 },
             }
         )
+    # live domainMetadata survives the checkpoint (the row-tracking
+    # high-water mark lives here; dropping it would let a cleaned-up
+    # log re-allocate already-issued row ids)
+    from pg_analytics_spark.sources.delta_rowtracking import (
+        live_domain_metadata,
+    )
+
+    dm_type = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
+    for domain, dm in sorted(live_domain_metadata(log_dir).items()):
+        rows.append(
+            {
+                "add": None,
+                "metaData": None,
+                "protocol": None,
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": dm.get("configuration"),
+                    "removed": False,
+                },
+            }
+        )
     schema = pa.schema(
         [
             ("add", add_type),
             ("metaData", meta_type),
             ("protocol", proto_type),
             ("txn", txn_type),
+            ("domainMetadata", dm_type),
         ]
     )
     tbl = pa.Table.from_pylist(rows, schema=schema)
@@ -879,10 +948,27 @@ def compact_delta(
     active, meta = _replay_log(log_dir)
     if meta is None:
         raise UnsupportedFormat(f"no Delta table at {path}")
+    from pg_analytics_spark.sources import delta_rowtracking as _rtm
+
+    rt = _rtm.row_tracking_enabled(meta)
     n_before = len(active)
     total = sum(int(a.get("size") or 0) for a in active.values())
-    df = load_source(spark, path, "delta")
     part_cols = meta.get("partitionColumns") or []
+    rt_cols: list[str] = []
+    if rt:
+        # OPTIMIZE must PRESERVE identities: read the table WITH its
+        # current row ids and materialize them into the rewritten
+        # files under the hidden column names (values there override
+        # the fresh defaults the new adds also carry, per the spec)
+        mat_id, mat_ver = _rtm.materialized_cols(meta)
+        df = (
+            _rtm.with_current_row_ids(spark, path)
+            .withColumnRenamed("_row_id", mat_id)
+            .withColumnRenamed("_row_commit_version", mat_ver)
+        )
+        rt_cols = [mat_id, mat_ver]
+    else:
+        df = load_source(spark, path, "delta")
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     if zorder_by:
         if part_cols:
@@ -907,10 +993,48 @@ def compact_delta(
         )
     else:
         out = df.repartition(n, *part_cols) if part_cols else df.repartition(n)
-    res = write_delta(
-        out, path, mode="overwrite",
-        partition_by=part_cols or None,
-    )
+    if rt:
+        # own commit path: write_delta would read the hidden identity
+        # columns into the minted schemaString — here the table schema
+        # is UNCHANGED, the commit is a pure physical replace
+        import time as _time
+
+        version = _next_version(log_dir)
+        adds, _n_rows = _stage_files(out, path, version, part_cols, None)
+        _rtm.strip_hidden_stats(adds, (rt_cols[0], rt_cols[1]))
+        now_ms = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFileMb": target_file_mb,
+                        "zOrderBy": json.dumps(zorder_by or []),
+                    },
+                    "engineInfo": "pg_analytics_spark-native-writer",
+                }
+            }
+        ]
+        for p in sorted(active):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(_rtm.assign_fresh_row_ids(log_dir, adds, version))
+        actions.extend(adds)
+        _write_commit(path, log_dir, version, actions)
+        res = {"version": version, "files": len(adds)}
+    else:
+        res = write_delta(
+            out, path, mode="overwrite",
+            partition_by=part_cols or None,
+        )
     return {
         "files_before": n_before,
         "files_after": res["files"],
@@ -1162,6 +1286,8 @@ def write_delta(
     even when footer stats are unavailable.
     Returns {"version": n, "files": n_files, "rows": n_rows}.
     """
+    from pg_analytics_spark.sources import delta_rowtracking as _rt
+
     if mode not in ("overwrite", "append"):
         raise UnsupportedFormat(f"delta write mode {mode!r}")
     part_cols = (
@@ -1172,6 +1298,39 @@ def write_delta(
     version = _next_version(log_dir)
     if version == 0 and mode == "append":
         mode = "overwrite"  # first commit of a fresh table
+
+    rt_requested = (
+        str((configuration or {}).get(_rt.PROP_ENABLE, "")).lower()
+        == "true"
+    )
+    if rt_requested and version > 0:
+        raise UnsupportedFormat(
+            "row tracking is enabled when the table is CREATED — this "
+            "table already exists (backfill is not supported by this "
+            "writer)"
+        )
+    if rt_requested:
+        if generated:
+            raise UnsupportedFormat(
+                "row tracking + generated columns on one table is not "
+                "supported by this writer"
+            )
+        if (configuration or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise UnsupportedFormat(
+                "row tracking + column mapping on one table is not "
+                "supported by this writer"
+            )
+        # mint the hidden materialized identity column names into the
+        # creating configuration (the spec's preservation channel)
+        configuration = dict(configuration or {})
+        configuration.setdefault(
+            _rt.PROP_MAT_ID, f"_row-id-col-{uuid.uuid4().hex[:12]}"
+        )
+        configuration.setdefault(
+            _rt.PROP_MAT_VER, f"_row-ver-col-{uuid.uuid4().hex[:12]}"
+        )
 
     prev_meta = None
     append_evolved_schema = None
@@ -1320,6 +1479,19 @@ def write_delta(
                 "rows": 0,
                 "skipped_txn": True,
             }
+    rt_enabled = rt_requested or (
+        version > 0 and _rt.row_tracking_enabled(prev_meta)
+    )
+    if rt_enabled and version > 0:
+        hidden = _rt.materialized_cols(prev_meta)
+        clash = [c for c in df.columns if c in hidden]
+        if clash:
+            raise UnsupportedFormat(
+                f"column(s) {clash} collide with this table's hidden "
+                "row-tracking identity columns — rename them "
+                "(write_delta assigns fresh row ids itself; DML "
+                "preserves them)"
+            )
     _check_constraints(df, {"configuration": eff_cfg})
     adds, n_rows = _stage_files(
         _stage_as_physical(df, renames), path, version,
@@ -1358,6 +1530,15 @@ def write_delta(
                 "minWriterVersion": max(
                     4, int(proto0.get("minWriterVersion", 2))
                 ),
+            }
+        if rt_requested:
+            # rowTracking is a table feature: protocol 7 with an
+            # explicit writerFeatures list (+ its domainMetadata
+            # dependency); readers stay v1 — row ids are writer-side
+            proto0 = {
+                "minReaderVersion": int(proto0.get("minReaderVersion", 1)),
+                "minWriterVersion": 7,
+                "writerFeatures": ["domainMetadata", "rowTracking"],
             }
         actions.append({"protocol": proto0})
         actions.append(
@@ -1425,6 +1606,10 @@ def write_delta(
                 }
             }
         )
+    if rt_enabled:
+        # every add carries baseRowId + defaultRowCommitVersion; the
+        # advanced high-water mark rides a domainMetadata action
+        actions.append(_rt.assign_fresh_row_ids(log_dir, adds, version))
     actions.extend(adds)
 
     _write_commit(path, log_dir, version, actions)
@@ -1572,6 +1757,9 @@ def merge_delta(
     if not os.path.isdir(log_dir):
         raise UnsupportedFormat(f"MERGE target is not a delta table: {path}")
     prev_active, prev_meta = _replay_log(log_dir)
+    from pg_analytics_spark.sources import delta_rowtracking as _rtm
+
+    rt = _rtm.row_tracking_enabled(prev_meta)
     part_cols = prev_meta.get("partitionColumns") or []
     tbl_fields = json.loads(prev_meta["schemaString"])["fields"]
     tbl_cols = [f["name"] for f in tbl_fields]
@@ -1600,11 +1788,39 @@ def merge_delta(
 
     from pg_analytics_spark.sources import load_source
 
-    tgt = (
-        load_source(spark, path, "delta")
-        .withColumn("_tfile", F.input_file_name())
-        .withColumn("_tid", F.monotonically_increasing_id())
-    )
+    version = _next_version(log_dir)
+    if rt:
+        # rewrites must PRESERVE identities: the target scan carries
+        # each row's current (_rt_id, _rt_ver) via the shared
+        # attachment helper; inserted rows get NULL materialized
+        # values and take the new file's fresh defaults
+        from pg_analytics_spark.sources.delta import _load_via_log
+
+        tgt = (
+            _load_via_log(
+                spark, path, keep_meta=True,
+                keep_phys=list(_rtm.materialized_cols(prev_meta)),
+            )
+            .withColumnRenamed("_dv_file", "_tfile")
+            .withColumnRenamed("_dv_pos", "_tpos")
+        )
+        if "_tfile" in tgt.columns:
+            tgt = _rtm.attach_current_ids(
+                spark, path, tgt, prev_active, prev_meta
+            ).drop("_tpos")
+        else:  # empty table
+            tgt = (
+                tgt.withColumn("_tfile", F.lit(None).cast("string"))
+                .withColumn("_rt_id", F.lit(None).cast("long"))
+                .withColumn("_rt_ver", F.lit(None).cast("long"))
+            )
+        tgt = tgt.withColumn("_tid", F.monotonically_increasing_id())
+    else:
+        tgt = (
+            load_source(spark, path, "delta")
+            .withColumn("_tfile", F.input_file_name())
+            .withColumn("_tid", F.monotonically_increasing_id())
+        )
     src = source.withColumn("_smark", F.lit(1))
     cond = F.expr(on)
 
@@ -1720,6 +1936,13 @@ def merge_delta(
         # drop rows claimed by a DELETE clause
         if del_idx:
             rew = rew.filter(~F.col("_cidx").isin(del_idx))
+        if rt:
+            out_cols = out_cols + [
+                F.col(f"{target_alias}._rt_id").alias("_rt_keep_id"),
+                F.when(F.col("_cidx").isin(upd_idx or [-2]), F.lit(version))
+                .otherwise(F.col(f"{target_alias}._rt_ver"))
+                .alias("_rt_keep_ver"),
+            ]
         pieces.append(rew.select(*out_cols))
     if insert_clauses:
         anti = src.alias(source_alias).join(
@@ -1737,13 +1960,19 @@ def merge_delta(
                         F.col("_cidx") == i, F.expr(vm[col])
                     ).otherwise(e)
             out_cols.append(e.alias(col))
-        pieces.append(anti.select(*out_cols))
         if cdf_on:
             cdf_pieces.append(
                 anti.select(
                     *out_cols, F.lit("insert").alias("_change_type")
                 )
             )
+        if rt:
+            # inserted rows: NULL materialized values → fresh defaults
+            out_cols = out_cols + [
+                F.lit(None).cast("long").alias("_rt_keep_id"),
+                F.lit(None).cast("long").alias("_rt_keep_ver"),
+            ]
+        pieces.append(anti.select(*out_cols))
 
     new_df = pieces[0]
     for p in pieces[1:]:
@@ -1751,16 +1980,24 @@ def merge_delta(
     # conform to the table's declared types (same contract as INSERT)
     from pg_analytics_spark.sources.delta import _delta_type_to_spark
 
+    mat_cols = list(_rtm.materialized_cols(prev_meta)) if rt else []
     new_df = new_df.select(
         *[
             F.col(f["name"]).cast(_delta_type_to_spark(f["type"])).alias(
                 f["name"]
             )
             for f in tbl_fields
-        ]
+        ],
+        *(
+            [
+                F.col("_rt_keep_id").alias(mat_cols[0]),
+                F.col("_rt_keep_ver").alias(mat_cols[1]),
+            ]
+            if rt
+            else []
+        ),
     )
 
-    version = _next_version(log_dir)
     renames = _phys_renames(prev_meta)
     cdc_actions: list[dict] = []
     if cdf_on and cdf_pieces:
@@ -1788,6 +2025,8 @@ def merge_delta(
         [renames.get(c, c) for c in part_cols] if renames else part_cols,
         options,
     )
+    if rt:
+        _rtm.strip_hidden_stats(adds, (mat_cols[0], mat_cols[1]))
     import time as _time
 
     now_ms = int(_time.time() * 1000)
@@ -1811,6 +2050,8 @@ def merge_delta(
                 }
             }
         )
+    if rt and adds:
+        actions.append(_rtm.assign_fresh_row_ids(log_dir, adds, version))
     actions.extend(adds)
     actions.extend(cdc_actions)
     # commitInfo.timestamp = PUBLICATION time, not operation entry:
@@ -1969,13 +2210,24 @@ def _rewrite_where(
             "rows_written": 0,
         }
 
-    if dv:
+    from pg_analytics_spark.sources import delta_rowtracking as _rtm
+
+    rt = _rtm.row_tracking_enabled(prev_meta)
+    rt_cols: list[str] = []
+    if rt or dv:
         # keep_meta exposes the DV coordinate system: absolute file
         # path + PHYSICAL parquet row index (already-deleted rows are
         # gone, so every visible row's _tpos is a position a new DV
-        # may mark)
+        # may mark).  Row tracking rides the same coordinates: the
+        # CURRENT identity of a row is its materialized value when a
+        # prior rewrite preserved one, else baseRowId + _tpos.
         tgt = (
-            _load_via_log(spark, path, keep_meta=True)
+            _load_via_log(
+                spark, path, keep_meta=True,
+                keep_phys=list(_rtm.materialized_cols(prev_meta))
+                if rt
+                else None,
+            )
             .withColumnRenamed("_dv_file", "_tfile")
             .withColumnRenamed("_dv_pos", "_tpos")
         )
@@ -1987,6 +2239,11 @@ def _rewrite_where(
         tgt = tgt.withColumn("_tfile", F.lit(None).cast("string"))
         if dv:
             tgt = tgt.withColumn("_tpos", F.lit(None).cast("long"))
+    if rt and "_tpos" in tgt.columns:
+        tgt = _rtm.attach_current_ids(
+            spark, path, tgt, prev_active, prev_meta
+        )
+        rt_cols = list(_rtm.materialized_cols(prev_meta))
     match = F.expr(where) if where is not None else F.lit(True)
     # SQL three-valued logic: a NULL predicate is NOT a match — the row
     # is neither deleted nor updated.  coalesce here (not raw ~match,
@@ -2073,14 +2330,22 @@ def _rewrite_where(
         # protocol upgrade per the spec: DV tables need reader v3 /
         # writer v7 with the deletionVectors table feature (this
         # repo's replay ignores protocol actions; standard clients
-        # honor it)
+        # honor it).  MERGE with the table's current feature lists —
+        # a row-tracking table must not lose rowTracking/domainMetadata
+        cur = _latest_protocol(os.path.join(path, "_delta_log"))
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": sorted(
+                        set(cur.get("readerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(cur.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
                 }
             }
         )
@@ -2142,6 +2407,22 @@ def _rewrite_where(
         rewrite_abs = partial_abs if set_map is None else touched_abs
     if rewrite_abs:
         base = tgt.filter(F.col("_tfile").isin(rewrite_abs))
+        # row tracking: rewritten files MATERIALIZE each surviving
+        # row's identity — the row id always survives; the commit
+        # version becomes THIS version for modified rows and stays
+        # the original for rows merely copied along
+        rt_keep: list = []
+        if rt_cols:
+            rt_keep = [
+                F.col("_rt_id").alias("_rt_keep_id"),
+                (
+                    F.when(match_safe, F.lit(version)).otherwise(
+                        F.col("_rt_ver")
+                    )
+                    if set_map is not None
+                    else F.col("_rt_ver")
+                ).alias("_rt_keep_ver"),
+            ]
         if dv:
             # MoR UPDATE: ONLY the matched rows, post-SET images
             new_df = base.filter(match_safe).select(
@@ -2150,11 +2431,14 @@ def _rewrite_where(
                         F.expr(set_map[c]) if c in set_map else F.col(c)
                     ).alias(c)
                     for c in tbl_cols
-                ]
+                ],
+                *rt_keep,
             )
         elif set_map is None:
             # DELETE survivors: rows NOT matching, incl. NULL-predicate
             new_df = base.filter(~match_safe)
+            if rt_cols:
+                new_df = new_df.select(*tbl_cols, *rt_keep)
         else:
             new_df = base.select(
                 *[
@@ -2165,7 +2449,8 @@ def _rewrite_where(
                         else F.col(c)
                     ).alias(c)
                     for c in tbl_cols
-                ]
+                ],
+                *rt_keep,
             )
         new_df = new_df.select(
             *[
@@ -2173,7 +2458,15 @@ def _rewrite_where(
                 .cast(_delta_type_to_spark(f["type"]))
                 .alias(f["name"])
                 for f in tbl_fields
-            ]
+            ],
+            *(
+                [
+                    F.col("_rt_keep_id").alias(rt_cols[0]),
+                    F.col("_rt_keep_ver").alias(rt_cols[1]),
+                ]
+                if rt_cols
+                else []
+            ),
         )
         # k touched files in → ~k files out (never the shuffle-partition
         # count): rewrite cost and file granularity track touched data
@@ -2188,6 +2481,11 @@ def _rewrite_where(
             [renames.get(c, c) for c in part_cols] if renames else part_cols,
             options,
         )
+        if rt_cols:
+            # hidden identity columns: out of the stats maps, and every
+            # new file still gets FRESH defaults (shadowed row-by-row
+            # by the materialized values, per the spec)
+            _rtm.strip_hidden_stats(adds, (rt_cols[0], rt_cols[1]))
     if dv:
         # DV mode removes: fully-matched files (DELETE/UPDATE) plus a
         # remove+re-add pair for every file gaining a DV (the
@@ -2228,6 +2526,8 @@ def _rewrite_where(
                     }
                 }
             )
+    if rt and adds:
+        actions.append(_rtm.assign_fresh_row_ids(log_dir, adds, version))
     actions.extend(adds)
     actions.extend(cdc_actions)
     # commitInfo.timestamp = PUBLICATION time, not operation entry:
@@ -2663,6 +2963,14 @@ def clone_delta(
         ) from None
     if meta is None:
         raise UnsupportedFormat(f"no Delta metaData at {src}")
+    from pg_analytics_spark.sources import delta_rowtracking as _rtm
+
+    if _rtm.row_tracking_enabled(meta):
+        raise UnsupportedFormat(
+            "shallow clone of a row-tracking table is not supported by "
+            "this writer (the clone would not carry the row-id "
+            "high-water mark; fresh appends would reuse ids)"
+        )
     src_version = (
         version if version is not None else _next_version(log_dir) - 1
     )

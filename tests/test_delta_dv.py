@@ -670,3 +670,37 @@ def test_enable_dv_property_routes_statements_mor(spark, tmp_path):
     assert glob.glob(str(t) + "/deletion_vector_*.bin")
     out = load_source(spark, str(t), "delta")
     assert out.count() == 150 and out.filter("k = 1").count() == 0
+
+
+def test_property_routing_survives_checkpoint_replay(spark, tmp_path):
+    """Regression (r13): _read_checkpoint left metaData.configuration
+    as pyarrow's pair list, so EVERY property read after a checkpoint
+    replay broke (cfg.get on a list) — the delta.enableDeletionVectors
+    routing contract silently reverted DML to copy-on-write once the
+    table had a checkpoint.  Pin: checkpoint, then DELETE still takes
+    the merge-on-read DV path (same file re-added with a descriptor).
+    """
+    from pg_analytics_spark.sources.delta import _replay_log
+    from pg_analytics_spark.sources.delta_write import (
+        checkpoint_delta,
+        delete_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(400)], "v long, k long"
+    ).coalesce(2)
+    write_delta(
+        df, t, mode="overwrite",
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    checkpoint_delta(t)
+    delete_delta(spark, t, "k = 3")  # routing comes from the PROPERTY
+    active, meta = _replay_log(t + "/_delta_log")
+    assert isinstance(meta.get("configuration"), dict)
+    assert any(a.get("deletionVector") for a in active.values()), (
+        "post-checkpoint DELETE lost the DV routing property"
+    )
+    out = load_source(spark, t, "delta")
+    assert out.count() == 360 and out.filter("k = 3").count() == 0
