@@ -1145,6 +1145,15 @@ def write_iceberg(
         "refs": _refs_after_commit(prev_meta, branch, snapshot_id),
         "snapshots": snapshots,
         "snapshot-log": log,
+        # Puffin statistics entries are keyed by snapshot and survive
+        # every data commit (the spec carries them until the snapshot
+        # expires) — this metadata is rebuilt field-by-field, so the
+        # carry must be explicit
+        **(
+            {"statistics": prev_meta["statistics"]}
+            if (prev_meta or {}).get("statistics")
+            else {}
+        ),
     }
     version = prev_version + 1
     meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
@@ -3552,6 +3561,11 @@ def remove_orphan_files_iceberg(
                     meta = json.load(fh)
             except (OSError, ValueError):
                 continue
+            # Puffin statistics files are part of the referenced set —
+            # an orphan sweep must never delete a live stats file
+            for st in meta.get("statistics", []):
+                if st.get("statistics-path"):
+                    referenced.add(os.path.abspath(st["statistics-path"]))
             for snap in meta.get("snapshots", []):
                 ml = snap.get("manifest-list")
                 if not ml or not os.path.isfile(ml):
@@ -3766,6 +3780,20 @@ def expire_iceberg_snapshots(
         for e in prev_meta.get("snapshot-log", [])
         if e["snapshot-id"] in kept_ids
     ]
+    # statistics files of EXPIRED snapshots drop with them (the
+    # runtime's expireSnapshots does the same); kept-snapshot stats
+    # stay referenced
+    dropped_stats = [
+        s
+        for s in prev_meta.get("statistics", [])
+        if s.get("snapshot-id") not in kept_ids
+    ]
+    if prev_meta.get("statistics"):
+        new_meta["statistics"] = [
+            s
+            for s in prev_meta["statistics"]
+            if s.get("snapshot-id") in kept_ids
+        ]
     # invariant: the emitted metadata NEVER carries a dangling ref
     for _name, ref in (new_meta.get("refs") or {}).items():
         if ref.get("snapshot-id") not in kept_ids:
@@ -3801,7 +3829,12 @@ def expire_iceberg_snapshots(
     # only orphans (re-expire cleans them), never a broken table
     n_del = 0
     bytes_del = 0
-    for f in sorted((drop_data - keep_data) | (drop_meta - keep_meta)):
+    stats_paths = {
+        s["statistics-path"] for s in dropped_stats if s.get("statistics-path")
+    }
+    for f in sorted(
+        (drop_data - keep_data) | (drop_meta - keep_meta) | stats_paths
+    ):
         try:
             bytes_del += os.path.getsize(f)
             os.unlink(f)
@@ -5152,6 +5185,13 @@ def commit_iceberg_data_files(
         "refs": _refs_after_commit(prev_meta, None, snapshot_id),
         "snapshots": snapshots,
         "snapshot-log": log,
+        # statistics entries survive data commits (same carry as
+        # write_iceberg — this metadata is also rebuilt field-by-field)
+        **(
+            {"statistics": prev_meta["statistics"]}
+            if (prev_meta or {}).get("statistics")
+            else {}
+        ),
     }
     version = prev_version + 1
     meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
