@@ -181,6 +181,13 @@ WRITER_ROWS = frozenset(
         "iceberg_remove_orphans_roundtrip",
         # round-13 clustered-rewrite fixture (build + rewrite + read)
         "iceberg_rewrite_zorder_prune",
+        # round-13 bloom-sidecar fixture (hash-clustered table + index
+        # build + probe)
+        "bloom_index_point_lookup",
+        # round-13 row-tracking fixture (2 appends + CoW update + id read)
+        "delta_row_tracking_ids",
+        # round-13 puffin-stats fixture (table build + analyze + read)
+        "iceberg_puffin_ndv_stats",
     }
 )
 
@@ -334,6 +341,9 @@ HEADLINE_NEXT12: list = [
     "delta_vacuum_roundtrip",
     "iceberg_remove_orphans_roundtrip",
     "iceberg_rewrite_zorder_prune",
+    "bloom_index_point_lookup",
+    "delta_row_tracking_ids",
+    "iceberg_puffin_ndv_stats",
 ]
 
 
