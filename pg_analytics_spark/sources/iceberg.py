@@ -212,14 +212,17 @@ def plan_snapshot(
     list[tuple[str, int]],
     dict[str, dict[str, Any]],
     int,
+    list[tuple[str, int, int, str]],
 ]:
     """Pure-Python (no Spark) file plan for one snapshot: walk the
     manifest list and return ``(data_files path→sequence-number,
     pos_delete_files, eq_delete_files (path, seq), part_proj
     path→identity-partition constants for adopted tables, pruned
-    count)``.  Shared by the DataFrame reader and the iceberg_native
-    DataSource (whose planning runs in Spark's data-source worker,
-    where no SparkContext exists)."""
+    count, dv_entries [(puffin_path, content_offset, content_size,
+    referenced_data_file)] — v3 deletion vectors)``.  Shared by the
+    DataFrame reader and the iceberg_native DataSource (whose
+    planning runs in Spark's data-source worker, where no
+    SparkContext exists)."""
     adopted = (meta.get("properties") or {}).get(
         "adoption.contains-foreign-files"
     ) == "true"
@@ -233,6 +236,7 @@ def plan_snapshot(
     data_files: dict[str, int] = {}  # path → sequence number
     pos_delete_files: list[str] = []
     eq_delete_files: list[tuple[str, int]] = []  # (path, sequence number)
+    dv_entries: list[tuple[str, int, int, str]] = []  # v3 DVs
     for m in manifests:
         mpath = _resolve(m["manifest_path"], table_path, allow_moved_paths)
         _, entries = read_container(mpath)
@@ -247,13 +251,30 @@ def plan_snapshot(
                 continue
             df_rec = e["data_file"]
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+            path = _resolve(df_rec["file_path"], table_path, allow_moved_paths)
+            seq = e.get("sequence_number")
+            seq = m_seq if seq is None else seq
+            if is_delete_manifest and fmt == "PUFFIN":
+                # v3 DELETION VECTOR: a content=1 entry whose payload
+                # is a deletion-vector-v1 blob inside a Puffin file,
+                # scoped to exactly one referenced data file
+                dv_entries.append(
+                    (
+                        path,
+                        int(df_rec.get("content_offset") or 0),
+                        int(df_rec.get("content_size_in_bytes") or 0),
+                        _resolve(
+                            df_rec["referenced_data_file"],
+                            table_path,
+                            allow_moved_paths,
+                        ),
+                    )
+                )
+                continue
             if fmt != "PARQUET":
                 raise MissingDependency(
                     f"iceberg fallback reads parquet data files only, got {fmt}"
                 )
-            path = _resolve(df_rec["file_path"], table_path, allow_moved_paths)
-            seq = e.get("sequence_number")
-            seq = m_seq if seq is None else seq
             if is_delete_manifest:
                 # data_file.content: 1=position deletes, 2=equality deletes
                 if df_rec.get("content", 1) == 2:
@@ -289,7 +310,14 @@ def plan_snapshot(
                     if vals:
                         part_proj[path] = vals
                 data_files[path] = int(seq)
-    return data_files, pos_delete_files, eq_delete_files, part_proj, pruned
+    return (
+        data_files,
+        pos_delete_files,
+        eq_delete_files,
+        part_proj,
+        pruned,
+        dv_entries,
+    )
 
 
 def _load_via_metadata(
@@ -324,14 +352,19 @@ def _load_via_metadata(
         raise MissingDependency(
             f"current snapshot {snap_id} not in metadata: {meta_file}"
         )
-    data_files, pos_delete_files, eq_delete_files, part_proj, pruned = (
-        plan_snapshot(
-            table_path,
-            meta,
-            snap,
-            allow_moved_paths=allow_moved_paths,
-            partition_filter=partition_filter,
-        )
+    (
+        data_files,
+        pos_delete_files,
+        eq_delete_files,
+        part_proj,
+        pruned,
+        dv_entries,
+    ) = plan_snapshot(
+        table_path,
+        meta,
+        snap,
+        allow_moved_paths=allow_moved_paths,
+        partition_filter=partition_filter,
     )
     if partition_filter and not data_files:
         # every file pruned: an empty relation with the table's schema
@@ -345,7 +378,7 @@ def _load_via_metadata(
             f"Iceberg snapshot {snap_id} has no live data files"
         )
     paths = sorted(data_files)
-    if not (pos_delete_files or eq_delete_files):
+    if not (pos_delete_files or eq_delete_files or dv_entries):
         return _apply_row_predicate(
             _read_conformed(
                 spark,
@@ -364,6 +397,7 @@ def _load_via_metadata(
             eq_delete_files,
             meta,
             part_proj=part_proj or None,
+            dv_entries=dv_entries,
         ),
         partition_filter,
     )
@@ -422,13 +456,15 @@ def _apply_row_deletes(
     eq_delete_files: list[tuple[str, int]],
     meta: dict,
     part_proj: dict[str, dict[str, Any]] | None = None,
+    dv_entries: list[tuple[str, int, int, str]] | None = None,
 ) -> DataFrame:
     """Merge-on-read: positional deletes anti-join on (file,
-    _metadata.row_index); equality deletes anti-join on the delete
-    file's own columns (null-safe, per spec), applied only to data
-    files whose sequence number is BELOW the delete's.  Everything is
-    a distributed join — no driver-side row state; AQE broadcasts
-    small delete sides."""
+    _metadata.row_index); v3 DELETION VECTORS decode their roaring
+    blobs (KB-scale, driver-side) into the same (file, pos) anti-join
+    side; equality deletes anti-join on the delete file's own columns
+    (null-safe, per spec), applied only to data files whose sequence
+    number is BELOW the delete's.  Everything is a distributed join —
+    no driver-side row state; AQE broadcasts small delete sides."""
     data = _read_conformed(
         spark,
         sorted(data_files),
@@ -442,6 +478,21 @@ def _apply_row_deletes(
             F.col("pos").cast("long").alias("_ice_pos"),
         )
         data = data.join(dels, ["_ice_file", "_ice_pos"], "left_anti")
+    if dv_entries:
+        from pg_analytics_spark.sources.iceberg_dv import dv_positions_map
+
+        rows = [
+            (_delete_key_py(ref), int(pos))
+            for ref, positions in dv_positions_map(dv_entries).items()
+            for pos in positions
+        ]
+        if rows:
+            dvdf = spark.createDataFrame(
+                rows, "_ice_file string, _ice_pos long"
+            )
+            data = data.join(
+                F.broadcast(dvdf), ["_ice_file", "_ice_pos"], "left_anti"
+            )
     if eq_delete_files:
         seq_map = spark.createDataFrame(
             [(_delete_key_py(p), s) for p, s in data_files.items()],

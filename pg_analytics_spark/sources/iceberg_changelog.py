@@ -115,6 +115,7 @@ def iceberg_changelog(
         ins_files: list[str] = []
         pos_files: list[str] = []
         eq_files: list[str] = []
+        dv_new: list[tuple[str, int, int, str]] = []  # v3 DVs
         for m in cur:
             if m["manifest_path"] in par_paths:
                 continue
@@ -124,7 +125,16 @@ def iceberg_changelog(
                     continue  # EXISTING carries / DELETED tombstones
                 rec = e["data_file"]
                 if m.get("content", 0) == 1:
-                    if rec.get("content", 1) == 2:
+                    if str(rec.get("file_format", "")).upper() == "PUFFIN":
+                        dv_new.append(
+                            (
+                                rec["file_path"],
+                                int(rec.get("content_offset") or 0),
+                                int(rec.get("content_size_in_bytes") or 0),
+                                rec["referenced_data_file"],
+                            )
+                        )
+                    elif rec.get("content", 1) == 2:
                         eq_files.append(rec["file_path"])
                     else:
                         pos_files.append(rec["file_path"])
@@ -147,8 +157,12 @@ def iceberg_changelog(
                 for e in entries
                 if e.get("status", 0) != 2
             )
-        if (pos_files or eq_files or removed_live) and parent is not None:
-            data_seq, p_pos, p_eq = _scan_snapshot_files(par)
+        if (
+            pos_files or eq_files or dv_new or removed_live
+        ) and parent is not None:
+            data_seq, p_pos, p_eq, p_dvs = _scan_snapshot_files(
+                par, with_dvs=True
+            )
             if data_seq:
                 pv = _visible_target(
                     spark,
@@ -157,7 +171,46 @@ def iceberg_changelog(
                     p_eq,
                     meta=meta,
                     part_proj=_adoption_projection(meta, par),
+                    dv_entries=p_dvs,
                 )
+                if dv_new:
+                    # v3 DV delete images: positions newly covered at
+                    # this snapshot = (new DV) − (parent's DV for the
+                    # same file) — parent-covered rows were already
+                    # invisible and must not re-report
+                    from pg_analytics_spark.sources.iceberg_dv import (
+                        dv_positions_map,
+                    )
+
+                    old_map = dv_positions_map(
+                        [(e[0], e[1], e[2], e[3]) for e in p_dvs]
+                    )
+                    pairs_rows = []
+                    for ref, positions in dv_positions_map(
+                        dv_new
+                    ).items():
+                        old = set(old_map.get(ref, []))
+                        pairs_rows.extend(
+                            (ref, int(p))
+                            for p in positions
+                            if int(p) not in old
+                        )
+                    if pairs_rows:
+                        dvdf = spark.createDataFrame(
+                            pairs_rows, "_ifile string, _ipos long"
+                        )
+                        pieces.append(
+                            _tag(
+                                pv.join(
+                                    F.broadcast(dvdf),
+                                    ["_ifile", "_ipos"],
+                                    "left_semi",
+                                ),
+                                "delete",
+                                seq,
+                                sid,
+                            )
+                        )
                 if removed_live:
                     keys = [
                         os.path.abspath(p) for p in sorted(removed_live)

@@ -253,8 +253,8 @@ def _plan_partitions(
         plan_snapshot,
     )
 
-    data_files, pos_files, eq_files, part_proj, _pruned = plan_snapshot(
-        path, meta, snap, partition_filter=part_filter or None
+    data_files, pos_files, eq_files, part_proj, _pruned, dv_entries = (
+        plan_snapshot(path, meta, snap, partition_filter=part_filter or None)
     )
     # position deletes: file_path → sorted physical row indices,
     # keyed by the reader's canonical suffix (_delete_key_py strips
@@ -266,6 +266,13 @@ def _plan_partitions(
             t["file_path"].to_pylist(), t["pos"].to_pylist()
         ):
             drops.setdefault(_delete_key_py(fp), []).append(int(pos))
+    if dv_entries:
+        # v3 deletion vectors decode to the same per-file position
+        # lists (the partition payload is the roaring blob either way)
+        from pg_analytics_spark.sources.iceberg_dv import dv_positions_map
+
+        for ref, positions in dv_positions_map(dv_entries).items():
+            drops.setdefault(_delete_key_py(ref), []).extend(positions)
     # equality deletes: (seq, per-key acceptable names, key tuples)
     name_alts = _name_alternatives(meta)
     id_of_name = {n: i for n, i in _name_mapping_ids(meta).items()}
@@ -294,7 +301,9 @@ def _plan_partitions(
                 fp,
                 int(data_files[fp]),
                 (
-                    encode_roaring_array(drops[_delete_key_py(fp)])
+                    encode_roaring_array(
+                        sorted(set(drops[_delete_key_py(fp)]))
+                    )
                     if _delete_key_py(fp) in drops
                     else None
                 ),

@@ -681,6 +681,25 @@ def write_iceberg(
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     prev_version, prev_meta = _latest_metadata(meta_dir)
+    # format-version: declared at creation (options {"format-version":
+    # 3} mints a v3 table whose DELETEs are deletion vectors);
+    # existing tables keep theirs — in-place up/downgrade is a
+    # migration this writer does not do
+    fv_req = (options or {}).get("format-version")
+    if prev_meta is None:
+        fmt_version = int(fv_req) if fv_req is not None else 2
+        if fmt_version not in (2, 3):
+            raise UnsupportedFormat(
+                f"iceberg format-version {fmt_version} is not supported "
+                "(2 or 3)"
+            )
+    else:
+        fmt_version = int(prev_meta.get("format-version", 2))
+        if fv_req is not None and int(fv_req) != fmt_version:
+            raise UnsupportedFormat(
+                f"table is format-version {fmt_version}; in-place "
+                "conversion is not supported — recreate at a new path"
+            )
     schema_id = 0
     prev_schemas: list[dict] = []
     if branch is not None:
@@ -1112,7 +1131,7 @@ def write_iceberg(
                 e["names"] = list(e.get("names", [])) + [f["name"]]
         props["schema.name-mapping.default"] = json.dumps(nm)
     meta = {
-        "format-version": 2,
+        "format-version": fmt_version,
         "table-uuid": (prev_meta or {}).get("table-uuid", str(uuid.uuid4())),
         "properties": props,
         "location": path,
@@ -1532,17 +1551,20 @@ def alter_iceberg_properties(
     return {"version": version, "properties": props}
 
 
-def _scan_snapshot_files(prev_list):
+def _scan_snapshot_files(prev_list, with_dvs: bool = False):
     """Walk a snapshot's manifests → (data file→sequence number,
-    position-delete paths, [(equality-delete path, seq)]).  Sequence
-    numbers come from per-entry ``sequence_number`` when present
-    (rewrite_manifests' carried entries) else the manifest-list entry
-    (the reader resolves identically — sources/iceberg.py)."""
+    position-delete paths, [(equality-delete path, seq)][, v3 DV
+    entries [(puffin_path, offset, size, referenced_file, seq)] when
+    ``with_dvs``]).  Sequence numbers come from per-entry
+    ``sequence_number`` when present (rewrite_manifests' carried
+    entries) else the manifest-list entry (the reader resolves
+    identically — sources/iceberg.py)."""
     from pg_analytics_spark.sources.avro import read_container
 
     data_seq: dict[str, int] = {}
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, int]] = []
+    dv_entries: list[tuple[str, int, int, str, int]] = []
     for m in prev_list:
         _s2, entries = read_container(m["manifest_path"])
         m_seq = int(m.get("sequence_number") or 0)
@@ -1556,12 +1578,29 @@ def _scan_snapshot_files(prev_list):
             seq = m_seq if e_seq is None else int(e_seq)
             rec = e["data_file"]
             if m.get("content", 0) == 1:
-                if rec.get("content", 1) == 2:
+                if str(rec.get("file_format", "")).upper() == "PUFFIN":
+                    dv_entries.append(
+                        (
+                            rec["file_path"],
+                            int(rec.get("content_offset") or 0),
+                            int(rec.get("content_size_in_bytes") or 0),
+                            rec["referenced_data_file"],
+                            seq,
+                        )
+                    )
+                elif rec.get("content", 1) == 2:
                     eq_deletes.append((rec["file_path"], seq))
                 else:
                     pos_deletes.append(rec["file_path"])
             else:
                 data_seq[rec["file_path"]] = seq
+    if with_dvs:
+        return data_seq, pos_deletes, eq_deletes, dv_entries
+    if dv_entries:
+        raise UnsupportedFormat(
+            "this code path does not handle v3 deletion vectors yet — "
+            "internal: call _scan_snapshot_files(with_dvs=True)"
+        )
     return data_seq, pos_deletes, eq_deletes
 
 
@@ -1696,7 +1735,8 @@ def _adoption_projection(meta, manifest_list_entries) -> dict | None:
 
 
 def _visible_target(
-    spark, data_seq, pos_deletes, eq_deletes, meta=None, part_proj=None
+    spark, data_seq, pos_deletes, eq_deletes, meta=None, part_proj=None,
+    dv_entries=None,
 ):
     """The CURRENT snapshot's VISIBLE rows with ``_ifile``/``_ipos``
     columns — position deletes anti-joined on (file, pos), equality
@@ -1770,6 +1810,23 @@ def _visible_target(
             F.col("pos").cast("long").alias("_ipos"),
         )
         tgt = tgt.join(prior, ["_ifile", "_ipos"], "left_anti")
+    if dv_entries:
+        # v3 deletion vectors: decode the roaring blobs (KB-scale)
+        # into the same (file, pos) anti-join the pos-delete path uses
+        from pg_analytics_spark.sources.iceberg_dv import dv_positions_map
+
+        rows = [
+            (ref, int(p))
+            for ref, positions in dv_positions_map(
+                [(e[0], e[1], e[2], e[3]) for e in dv_entries]
+            ).items()
+            for p in positions
+        ]
+        if rows:
+            dvdf = spark.createDataFrame(rows, "_ifile string, _ipos long")
+            tgt = tgt.join(
+                F.broadcast(dvdf), ["_ifile", "_ipos"], "left_anti"
+            )
     if eq_deletes:
         from pg_analytics_spark.sources.iceberg import _delete_key_py
 
@@ -1882,6 +1939,182 @@ def _eq_manifest_entry_schema() -> dict:
     return base
 
 
+def _dv_manifest_entry_schema() -> dict:
+    """Manifest-entry schema for v3 DELETION-VECTOR entries: the base
+    delete shape plus the spec's ``referenced_data_file`` (the one
+    data file the DV applies to), ``content_offset`` and
+    ``content_size_in_bytes`` (the blob's span inside the Puffin
+    file), plus explicit ``sequence_number`` for carried entries."""
+    base = _manifest_entry_schema([])
+    df_fields = base["fields"][2]["type"]["fields"]
+    df_fields.insert(3, {"name": "referenced_data_file",
+                         "type": ["null", "string"]})
+    df_fields.insert(4, {"name": "content_offset",
+                         "type": ["null", "long"]})
+    df_fields.insert(5, {"name": "content_size_in_bytes",
+                         "type": ["null", "long"]})
+    return _entry_schema_with_seq(base)
+
+
+def _commit_dv_delete(
+    spark, path, prev_meta, prev_version, prev_snap, prev_list, dels,
+    existing_dvs,
+):
+    """DELETE on a format-version-3 table: the matched rows' physical
+    positions become DELETION VECTORS (Puffin deletion-vector-v1
+    blobs) — one DV per affected data file, UNIONED with the file's
+    existing DV, which this commit SUPERSEDES (the spec's one-live-DV-
+    per-file rule): delete manifests holding a superseded entry are
+    rewritten without it (other entries carried as EXISTING with
+    explicit sequence numbers), and one new delete manifest adds the
+    fresh DV entries.  O(matched rows) driver work — the same bound
+    as the Delta DV path and the blob itself."""
+    import time as _time
+
+    from pg_analytics_spark.sources.avro import read_container, write_container
+    from pg_analytics_spark.sources.iceberg_dv import (
+        read_dv_positions,
+        write_dv_puffin,
+    )
+
+    meta_dir = os.path.join(path, "metadata")
+    pos_rows = dels.collect()  # O(matched rows) — the DV payload itself
+    if not pos_rows:
+        return {
+            "snapshot_id": None,
+            "rows_deleted": 0,
+            "version": prev_version,
+        }
+    new_pos: dict[str, list[int]] = {}
+    for r in pos_rows:
+        new_pos.setdefault(
+            os.path.abspath(r["file_path"]), []
+        ).append(int(r["pos"]))
+    n_del = len(pos_rows)
+    # union with each affected file's EXISTING DV (superseded below)
+    live_dv_by_ref = {
+        os.path.abspath(e[3]): e for e in existing_dvs
+    }
+    superseded: set[tuple] = set()
+    for ref in list(new_pos):
+        old = live_dv_by_ref.get(ref)
+        if old is not None:
+            new_pos[ref].extend(read_dv_positions(old[0], old[1], old[2]))
+            superseded.add((old[0], os.path.abspath(old[3])))
+    snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    seq = prev_meta.get("last-sequence-number", 0) + 1
+    puffin_path = os.path.join(
+        meta_dir, f"dv-{snapshot_id}-{uuid.uuid4().hex}.puffin"
+    )
+    spans = write_dv_puffin(puffin_path, new_pos, snapshot_id, seq)
+
+    dv_schema = _dv_manifest_entry_schema()
+    added = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,  # ADDED: inherits the commit seq
+            "data_file": {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "referenced_data_file": ref,
+                "content_offset": spans[ref][0],
+                "content_size_in_bytes": spans[ref][1],
+                "record_count": spans[ref][2],
+                "file_size_in_bytes": os.path.getsize(puffin_path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+        for ref in sorted(new_pos)
+    ]
+    manifest = os.path.join(meta_dir, f"man-dv-{snapshot_id}.avro")
+    write_container(dv_schema, added, manifest)
+    new_mf_entry = {
+        "manifest_path": manifest,
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": prev_meta.get("default-spec-id", 0),
+        "content": 1,
+        "sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+    }
+    # carry/rewrite the previous manifests: data manifests verbatim;
+    # delete manifests verbatim UNLESS they hold a superseded DV entry
+    # — those rewrite without it (surviving entries carried EXISTING
+    # with their original sequence numbers)
+    mf_entries = []
+    for m in prev_list:
+        if m.get("content", 0) != 1:
+            mf_entries.append(m)
+            continue
+        schema_m, entries = read_container(m["manifest_path"])
+        m_seq = int(m.get("sequence_number") or 0)
+        keep = []
+        dropped = False
+        for e in entries:
+            rec = e["data_file"]
+            is_sup = (
+                str(rec.get("file_format", "")).upper() == "PUFFIN"
+                and (
+                    rec["file_path"],
+                    os.path.abspath(rec["referenced_data_file"]),
+                )
+                in superseded
+            )
+            if is_sup:
+                dropped = True
+            else:
+                keep.append(e)
+        if not dropped:
+            mf_entries.append(m)
+            continue
+        if not keep:
+            continue  # manifest emptied: drop it from the list
+        carried = [
+            {
+                **e,
+                "status": 0,
+                "sequence_number": (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else m_seq
+                ),
+            }
+            for e in keep
+        ]
+        rman = os.path.join(
+            meta_dir, f"man-dvcarry-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(_entry_schema_with_seq(schema_m), carried, rman)
+        mf_entries.append(
+            {
+                "manifest_path": rman,
+                "manifest_length": os.path.getsize(rman),
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+    mf_entries.append(new_mf_entry)
+    version = _publish_snapshot(
+        path, prev_meta, prev_version, snapshot_id, mf_entries, seq,
+        {
+            "operation": "delete",
+            "added-delete-files": "1",
+            "added-dvs": str(len(new_pos)),
+            "added-position-deletes": str(n_del),
+            "deleted-records": str(n_del),
+        },
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_deleted": n_del,
+        "version": version,
+    }
+
+
 def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
     """``DELETE FROM <iceberg table> [WHERE cond]`` as a MERGE-ON-READ
     commit (Iceberg v2 position deletes, spec §position-delete-files):
@@ -1919,8 +2152,8 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
         if s["snapshot-id"] == prev_meta["current-snapshot-id"]
     )
     _s, prev_list = read_container(prev_snap["manifest-list"])
-    data_seq, existing_pos_deletes, existing_eq_deletes = (
-        _scan_snapshot_files(prev_list)
+    data_seq, existing_pos_deletes, existing_eq_deletes, existing_dvs = (
+        _scan_snapshot_files(prev_list, with_dvs=True)
     )
     if not data_seq:
         return {"snapshot_id": None, "rows_deleted": 0, "version": prev_version}
@@ -1935,11 +2168,19 @@ def delete_iceberg(spark, path: str, where: str | None = None) -> dict:
         spark, data_seq, existing_pos_deletes, existing_eq_deletes,
         meta=prev_meta,
         part_proj=_adoption_projection(prev_meta, prev_list),
+        dv_entries=existing_dvs,
     )
     match = F.expr(where) if where is not None else F.lit(True)
     dels = tgt.filter(F.coalesce(match, F.lit(False))).select(
         F.col("_ifile").alias("file_path"), F.col("_ipos").alias("pos")
     )
+    if int(prev_meta.get("format-version", 2)) >= 3:
+        # v3: position deletes are DELETION VECTORS — new position-
+        # delete files are forbidden by the spec
+        return _commit_dv_delete(
+            spark, path, prev_meta, prev_version, prev_snap, prev_list,
+            dels, existing_dvs,
+        )
     # position-delete files must sort by (file_path, pos) per spec
     staging = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
@@ -2103,6 +2344,7 @@ def compact_iceberg(spark, path: str) -> dict:
     data_seq_of: dict[str, int] = {}
     pos_delete_paths: list[str] = []
     eq_delete_files: list[tuple[str, int]] = []
+    dv_list: list[tuple[str, int, int, str, int]] = []  # v3 DVs
     n_delete_files = 0
     for m in prev_list:
         schema_m, entries = read_container(m["manifest_path"])
@@ -2115,7 +2357,17 @@ def compact_iceberg(spark, path: str) -> dict:
             rec = e["data_file"]
             if m.get("content", 0) == 1:
                 n_delete_files += 1
-                if rec.get("content", 1) == 2:
+                if str(rec.get("file_format", "")).upper() == "PUFFIN":
+                    dv_list.append(
+                        (
+                            rec["file_path"],
+                            int(rec.get("content_offset") or 0),
+                            int(rec.get("content_size_in_bytes") or 0),
+                            rec["referenced_data_file"],
+                            seq,
+                        )
+                    )
+                elif rec.get("content", 1) == 2:
                     eq_delete_files.append((rec["file_path"], seq))
                 else:
                     pos_delete_paths.append(rec["file_path"])
@@ -2123,7 +2375,7 @@ def compact_iceberg(spark, path: str) -> dict:
                 entry_schema = entry_schema or schema_m
                 data_entries.append(e)
                 data_seq_of[rec["file_path"]] = seq
-    if not pos_delete_paths and not eq_delete_files:
+    if not pos_delete_paths and not eq_delete_files and not dv_list:
         return {
             "snapshot_id": None,
             "files_rewritten": 0,
@@ -2147,6 +2399,8 @@ def compact_iceberg(spark, path: str) -> dict:
             .distinct()
             .collect()
         }
+    # v3 DVs name their referenced file directly — no scan needed
+    affected_keys |= {_delete_key_py(e[3]) for e in dv_list}
     for dpath, dseq in eq_delete_files:
         eligible = sorted(
             p for p, s in data_seq_of.items() if s < dseq
@@ -2212,6 +2466,7 @@ def compact_iceberg(spark, path: str) -> dict:
             },
             pos_delete_paths,
             eq_delete_files,
+            dv_entries=dv_list,
             meta=prev_meta,
             # adopted files' identity partition constants materialize
             # INTO the compacted rewrite (the new files physically
@@ -2418,6 +2673,14 @@ def update_iceberg(
             "update_iceberg supports UNPARTITIONED tables; partitioned "
             "targets need write-side transforms for the new rows — use "
             "the Delta writer's copy-on-write UPDATE or an overwrite"
+        )
+    if int(prev_meta.get("format-version", 2)) >= 3:
+        raise UnsupportedFormat(
+            "UPDATE on a format-version-3 table is not supported by "
+            "this writer yet (v3 forbids new position-delete files; "
+            "the update's delete half must be a deletion vector) — "
+            "use upsert_iceberg_eq (equality deletes are v3-legal) or "
+            "DELETE + append"
         )
     fields = next(
         s for s in prev_meta.get("schemas", [])
@@ -3216,6 +3479,13 @@ def rewrite_data_files_iceberg(
                 e_seq = e.get("sequence_number")
                 seq = m_seq if e_seq is None else int(e_seq)
                 rec = e["data_file"]
+                if str(rec.get("file_format", "")).upper() == "PUFFIN":
+                    raise UnsupportedFormat(
+                        "rewrite_data_files on a table with live v3 "
+                        "deletion vectors is not supported yet — run "
+                        "compact_iceberg first (it materializes DV "
+                        "debt), then rewrite"
+                    )
                 if rec.get("content", 1) == 2:
                     eq_delete_files.append((rec["file_path"], seq))
                 else:
@@ -5159,7 +5429,11 @@ def commit_iceberg_data_files(
         {"spec-id": 0, "fields": spec_fields_public}
     ]
     meta = {
-        "format-version": 2,
+        # append to an existing table keeps ITS format-version (a v3
+        # table must not silently downgrade through this commit path)
+        "format-version": int(
+            (prev_meta or {}).get("format-version", 2)
+        ),
         "table-uuid": (prev_meta or {}).get(
             "table-uuid", str(uuid.uuid4())
         ),
