@@ -188,6 +188,8 @@ WRITER_ROWS = frozenset(
         "delta_row_tracking_ids",
         # round-13 puffin-stats fixture (table build + analyze + read)
         "iceberg_puffin_ndv_stats",
+        # round-13 v3 deletion-vector fixture (v3 build + 2 DV deletes)
+        "iceberg_v3_dv_delete_roundtrip",
     }
 )
 
@@ -344,6 +346,7 @@ HEADLINE_NEXT12: list = [
     "bloom_index_point_lookup",
     "delta_row_tracking_ids",
     "iceberg_puffin_ndv_stats",
+    "iceberg_v3_dv_delete_roundtrip",
 ]
 
 

@@ -260,6 +260,15 @@ _OPTIMIZE_STMT_RE = _re.compile(
     _re.IGNORECASE,
 )
 
+#: `ANALYZE <attached iceberg table> [(c1, c2, …)]` — the runtime's
+#: compute_table_stats: per-column KMV distinct sketches into a
+#: Puffin statistics file + the metadata `statistics` entry.
+_ANALYZE_STMT_RE = _re.compile(
+    r"^ANALYZE\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s*\(\s*(?P<cols>[\w\s,]+?)\s*\))?;?\s*$",
+    _re.IGNORECASE,
+)
+
 #: `ALTER TABLE <attached lake table> SET TBLPROPERTIES ('k'='v', …)`
 #: / `UNSET TBLPROPERTIES ('k', …)` — table-property updates through
 #: the native writers (metadata-only commits on both formats).
@@ -544,6 +553,11 @@ class Engine:
         m = _OPTIMIZE_STMT_RE.match(query.strip())
         if m:
             return self._optimize_statement(m)
+        m = _ANALYZE_STMT_RE.match(query.strip())
+        if m and self._attachments.get(m.group("name")) is not None and (
+            self._attachments[m.group("name")].format == "iceberg"
+        ):
+            return self._analyze_statement(m)
         m = _SHOW_PROPS_RE.match(query.strip())
         if m:
             return self._show_props_statement(m)
@@ -2297,6 +2311,7 @@ class Engine:
             and "duckdb_tables" not in low
             and "table_changes" not in low
             and "iceberg_" not in low
+            and "delta_row_ids" not in low
         ):
             return query
         from pg_analytics_spark.dialect import (
@@ -2323,6 +2338,8 @@ class Engine:
                 "iceberg_manifests",
                 "iceberg_files",
                 "iceberg_refs",
+                "iceberg_statistics",
+                "delta_row_ids",
             ):
                 p = _prev_code(toks, i)
                 # a SELECT-list comma must NOT trigger relation
@@ -2385,12 +2402,17 @@ class Engine:
                         "iceberg_manifests",
                         "iceberg_files",
                         "iceberg_refs",
+                        "iceberg_statistics",
                     ):
                         # metadata tables (parity with the runtime's
                         # t.snapshots/t.files/t.manifests and DuckDB's
-                        # iceberg_snapshots function)
+                        # iceberg_snapshots function; statistics reads
+                        # the Puffin sidecars back relationally)
                         from pg_analytics_spark.sources import (
                             iceberg_meta as _imeta,
+                        )
+                        from pg_analytics_spark.sources import (
+                            iceberg_puffin as _ipuf,
                         )
 
                         att = self._dml_delta_attachment(
@@ -2398,7 +2420,29 @@ class Engine:
                             lowt,
                             formats=("iceberg",),
                         )
-                        df = getattr(_imeta, lowt)(
+                        mod = (
+                            _ipuf
+                            if lowt == "iceberg_statistics"
+                            else _imeta
+                        )
+                        df = getattr(mod, lowt)(
+                            self.spark, att.files[0]
+                        )
+                        self._fs_view_seq += 1
+                        view = f"__{lowt}_{self._fs_view_seq}"
+                    elif lowt == "delta_row_ids":
+                        # the row-tracking read surface: the table
+                        # plus _row_id/_row_commit_version
+                        from pg_analytics_spark.sources.delta_rowtracking import (  # noqa: E501
+                            with_current_row_ids,
+                        )
+
+                        att = self._dml_delta_attachment(
+                            args.strip().strip("'\""),
+                            lowt,
+                            formats=("delta",),
+                        )
+                        df = with_current_row_ids(
                             self.spark, att.files[0]
                         )
                         self._fs_view_seq += 1
@@ -3392,6 +3436,43 @@ class Engine:
             ],
             "files_before int, files_after int, bytes bigint, version int",
         )
+
+    def _analyze_statement(self, m) -> DataFrame:
+        """``ANALYZE <attached iceberg table> [(c1, c2, …)]`` — the
+        runtime's compute_table_stats analog: KMV distinct sketches
+        per column into a real Puffin statistics file, the metadata
+        ``statistics`` entry committed put-if-absent
+        (sources/iceberg_puffin.compute_statistics_iceberg).  Columns
+        default to every top-level primitive column.  Returns the
+        statistics relation (what ``iceberg_statistics('t')`` reads
+        back)."""
+        from pg_analytics_spark.sources.iceberg_puffin import (
+            compute_statistics_iceberg,
+            iceberg_statistics,
+        )
+
+        att = self._dml_delta_attachment(
+            m.group("name"), "ANALYZE", formats=("iceberg",)
+        )
+        cols = [
+            c.strip()
+            for c in (m.group("cols") or "").split(",")
+            if c.strip()
+        ]
+        if not cols:
+            from pg_analytics_spark.sources import load_source
+
+            df = load_source(self.spark, att.files[0], "iceberg")
+            cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName()
+                in ("long", "integer", "short", "string", "date",
+                    "double", "float", "decimal", "boolean")
+            ]
+        compute_statistics_iceberg(self.spark, att.files[0], cols)
+        self.attach(att.name, att.files, att.format, att.options, att.columns)
+        return iceberg_statistics(self.spark, att.files[0])
 
     def _dml_metrics(self, res: dict) -> DataFrame:
         return self.spark.createDataFrame(

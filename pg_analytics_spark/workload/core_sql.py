@@ -7052,3 +7052,81 @@ def iceberg_puffin_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("column").alias("col"), "ndv", "n_in_sketch")
         .orderBy("col")
     )
+
+
+@register(
+    "iceberg_v3_dv_delete_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS v
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND o_custkey % 5 <> 2
+      AND o_custkey % 7 <> 3
+    ORDER BY o_orderkey
+    """,
+    doc="Iceberg FORMAT-VERSION 3 deletion vectors end-to-end "
+    "(sources/iceberg_dv.py; table spec v3 + Puffin blob type "
+    "deletion-vector-v1 — Iceberg 1.8's DML shape): a v3-minted "
+    "table takes two DELETEs whose matched positions become roaring "
+    "deletion vectors inside real Puffin containers (one DV per "
+    "affected data file, referenced from content=1 manifest entries "
+    "via referenced_data_file/content_offset/content_size_in_bytes); "
+    "the second DELETE UNIONS with and SUPERSEDES the first file's "
+    "vectors — the spec's one-live-DV-per-file rule, asserted in-row "
+    "(no duplicate referenced files, ZERO position-delete files "
+    "anywhere).  The read back through the native reader applies the "
+    "decoded blobs as the same (file, pos) anti-join the v2 path "
+    "uses; the oracle is the plain relational filter.  At 100 TB: "
+    "DELETE cost is O(matched rows) driver work + KB-scale blobs, "
+    "readers pay one metadata-sized decode instead of a delete-file "
+    "scan — the v3 small-delete lever.",
+)
+def iceberg_v3_dv_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg import plan_snapshot
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        delete_iceberg,
+        write_iceberg,
+    )
+
+    root = _os.path.join(_geo_fixture_dir(sf_dir), "orders_v3_dv")
+    _shutil.rmtree(root, ignore_errors=True)  # deterministic rebuild
+    write_iceberg(
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select(
+            "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+        )
+        .repartition(4),
+        root,
+        mode="overwrite",
+        options={"format-version": "3"},
+    )
+    delete_iceberg(spark, root, "o_custkey % 5 = 2")
+    delete_iceberg(spark, root, "o_custkey % 7 = 3")  # supersedes
+    _v, meta = _latest_metadata(_os.path.join(root, "metadata"))
+    if meta["format-version"] != 3:
+        raise AssertionError("table did not mint as format-version 3")
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _d, pos, _eq, _pp, _pr, dvs = plan_snapshot(root, meta, snap)
+    refs = [r for _p, _o, _s2, r in dvs]
+    if pos or not dvs or len(refs) != len(set(refs)):
+        raise AssertionError(
+            f"v3 DV invariant broken: pos_files={len(pos)} "
+            f"dvs={len(dvs)} unique_refs={len(set(refs))}"
+        )
+    return (
+        load_source(spark, root, "iceberg")
+        .select("o_orderkey", "o_custkey", "v")
+        .orderBy("o_orderkey")
+    )

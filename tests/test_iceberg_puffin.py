@@ -140,3 +140,54 @@ def test_expire_drops_expired_snapshots_stats(spark, ice_table):
     assert os.path.exists(res2["statistics_path"])  # current stays
     out = iceberg_statistics(spark, ice_table).collect()
     assert len(out) == 1 and out[0]["ndv"] == 38.0
+
+
+def test_analyze_statement_and_statistics_table_function(
+    spark, ice_table
+):
+    """SQL surface (r13): `ANALYZE t (cols)` routes to
+    compute_statistics_iceberg and `iceberg_statistics('t')` reads
+    the Puffin sidecar back as a relation."""
+    from pg_analytics_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach("t", [ice_table], "iceberg")
+    out = eng.sql("ANALYZE t (b, g)").collect()
+    assert {r["column"]: r["ndv"] for r in out} == {"b": 37.0, "g": 5.0}
+    rel = eng.sql(
+        "SELECT column, ndv, n_in_sketch FROM iceberg_statistics('t') "
+        "ORDER BY column"
+    ).collect()
+    assert [(r[0], r[1], r[2]) for r in rel] == [
+        ("b", 37.0, 37), ("g", 5.0, 5)
+    ]
+    # column-less ANALYZE sketches every primitive column
+    out2 = eng.sql("ANALYZE t").collect()
+    assert {r["column"] for r in out2} == {"id", "b", "g"}
+
+
+def test_delta_row_ids_table_function(spark, tmp_path):
+    from pg_analytics_spark.engine import Engine
+    from pg_analytics_spark.sources.delta_write import (
+        update_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, s string"
+    ).orderBy("k").coalesce(1)
+    write_delta(
+        df, path, mode="overwrite",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    update_delta(spark, path, set_map={"s": "'u'"}, where="k = 4")
+    eng = Engine(spark=spark)
+    eng.attach("rt", [path], "delta")
+    rows = eng.sql(
+        "SELECT k, _row_id, _row_commit_version FROM delta_row_ids('rt') "
+        "ORDER BY k"
+    ).collect()
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (k, k, 1 if k == 4 else 0) for k in range(6)
+    ]
