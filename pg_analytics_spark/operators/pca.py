@@ -58,18 +58,242 @@ def embedding_moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
     (schema ``MOMENT_PARTIAL_SCHEMA``): exact decimal sums, so
     union + re-sum over any split of the corpus — batches, shards,
     micro-batches — equals the single-pass build bit-for-bit
-    (streaming/moments_ingest.py is that twin)."""
+    (streaming/moments_ingest.py is that twin).
+
+    r13 optimization (guide §2.3 "aggregate before you shuffle" +
+    §4.2 "vectorized native code per Arrow batch"): the
+    posexplode build generated ``n·d(d+1)/2`` rows into the hash
+    aggregate — 41.6M decimal aggregate inputs at sf0.1 — purely to
+    compute per-cell exact sums.  This path now runs per-partition in
+    ``mapInArrow`` on EXACT INTEGER arithmetic (each element is
+    Spark's own ``cast(double AS decimal(18,9))`` as a scaled int;
+    the Gram matrix accumulates via 20-bit limb splits whose fp64
+    BLAS chunk-products are exactly representable, so every sum is
+    an exact Python int) and ships ``numPartitions × d(d+1)/2``
+    partial rows into the same final merge aggregate.  Bit-for-bit
+    equality with the exploded build — including NULL elements,
+    ragged vectors, NaN (decimal NULL), and HALF_UP shortest-repr
+    rounding at the .5 boundary — is pinned by
+    ``tests/test_operators.py::test_moment_partials_arrow_equals_exploded``;
+    the exploded reference build is kept below as
+    :func:`embedding_moment_partials_exploded`.
+    """
+    part = df.select(F.col(vec_col).alias("_v")).mapInArrow(
+        _moment_batches_exact(), MOMENT_PARTIAL_SCHEMA
+    )
+    return part.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sxi").cast("decimal(38,9)").alias("sxi"),
+        F.sum("sxj").cast("decimal(38,9)").alias("sxj"),
+        F.sum("sxx").cast("decimal(38,18)").alias("sxx"),
+    )
+
+
+def _moment_batches_exact():
+    """Build the mapInArrow kernel: exact-integer moment partials per
+    task.  Returned as a NESTED closure so Spark pickles it BY VALUE —
+    a vanilla driver's workers lack the repo sys.path, so a
+    module-level function (pickled by reference) would die on import
+    (the round-8 driver-sim rule).
+
+    EXECUTOR closure — stdlib + numpy + pyarrow only.  Mirrors Spark
+    semantics exactly:
+
+    * element → ``cast(double AS decimal(18,9))``: HALF_UP rounding of
+      the SHORTEST-REPR decimal string (BigDecimal.valueOf), NaN/inf →
+      NULL, overflow → raises (ANSI);
+    * ``n`` counts pairs where both elements are present & non-null;
+    * a sum over zero non-null inputs is NULL, and a cell exists iff
+      some row's vector covers both positions (posexplode semantics).
+    """
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        from decimal import Decimal, ROUND_HALF_UP
+
+        NINE = Decimal("1E-9")
+
+        def _exact_scale(x: float):
+            if x != x or x in (float("inf"), float("-inf")):
+                return None
+            q = Decimal(repr(x)).quantize(NINE, rounding=ROUND_HALF_UP)
+            iv = int(q.scaleb(9))
+            if abs(iv) >= 10**18:
+                # ANSI cast overflow raises (NaN/inf are NULL, overflow is
+                # an error) — mirror Spark exactly
+                raise ValueError(
+                    f"{x!r} cannot be represented as Decimal(18, 9)"
+                )
+            return iv
+
+        # clean-path accumulators (single fixed dim; Python ints = exact)
+        d_clean = None
+        n_clean = 0
+        S = None                 # Σ q_i per dim (python ints)
+        SXX = None               # Σ q_i q_j (object ndarray, python ints)
+        # degenerate-path accumulators keyed (i0, j0) — ragged / null /
+        # NaN / huge-magnitude batches take this exact row-loop
+        deg_n = {}
+        deg_sxi = {}
+        deg_sxj = {}
+        deg_sxx = {}
+        deg_sxi_cnt = {}
+        deg_sxj_cnt = {}
+        deg_sxx_cnt = {}
+        deg_pair = {}
+
+        CHUNK = 4096
+        QMAX = 2**33  # clean-path |scaled| bound → per-limb products 2^40
+
+        def _clean_rows(x):
+            # x: (m, d) float64, no element nulls, all |x|*1e9 < 2^33
+            nonlocal n_clean, S, SXX
+            m, d = x.shape
+            t = x * 1e9
+            q = np.rint(t)
+            # near the .5 boundary the float product can round differently
+            # from the shortest-repr decimal — resolve those exactly
+            frac = np.abs(t - np.floor(t) - 0.5)
+            risky = frac < 1e-5
+            qi = q.astype(np.int64)
+            if risky.any():
+                for r, c in np.argwhere(risky):
+                    qi[r, c] = _exact_scale(float(x[r, c]))
+            if S is None:
+                S = [0] * d
+                SXX = np.zeros((d, d), dtype=object)
+            hi = qi >> np.int64(20)
+            lo = qi - (hi << np.int64(20))
+            hf = hi.astype(np.float64)
+            lf = lo.astype(np.float64)
+            for s in range(0, m, CHUNK):
+                e = min(s + CHUNK, m)
+                H, L = hf[s:e], lf[s:e]
+                hh = H.T @ H
+                hl = H.T @ L
+                ll = L.T @ L
+                # exact in fp64: |limb| < 2^20, products < 2^40, chunk
+                # sums < 2^40 * 4096 = 2^52 < 2^53
+                SXX += (
+                    hh.astype(np.int64).astype(object) * (1 << 40)
+                    + (hl + hl.T).astype(np.int64).astype(object) * (1 << 20)
+                    + ll.astype(np.int64).astype(object)
+                )
+            for k, v in enumerate(qi.sum(axis=0, dtype=np.int64)):
+                S[k] += int(v)
+            n_clean += m
+
+        def _degenerate_rows(rows):
+            for vec in rows:
+                if vec is None:
+                    continue  # posexplode of a NULL array emits nothing
+                L = len(vec)
+                qs = [None if v is None else _exact_scale(v) for v in vec]
+                nn = [v is not None for v in vec]
+                for i0 in range(L):
+                    qi0 = qs[i0]
+                    for j0 in range(i0, L):
+                        key = (i0, j0)
+                        deg_pair[key] = deg_pair.get(key, 0) + 1
+                        if nn[i0] and nn[j0]:
+                            deg_n[key] = deg_n.get(key, 0) + 1
+                        if qi0 is not None:
+                            deg_sxi[key] = deg_sxi.get(key, 0) + qi0
+                            deg_sxi_cnt[key] = deg_sxi_cnt.get(key, 0) + 1
+                        if qs[j0] is not None:
+                            deg_sxj[key] = deg_sxj.get(key, 0) + qs[j0]
+                            deg_sxj_cnt[key] = deg_sxj_cnt.get(key, 0) + 1
+                            if qi0 is not None:
+                                deg_sxx[key] = (
+                                    deg_sxx.get(key, 0) + qi0 * qs[j0]
+                                )
+                                deg_sxx_cnt[key] = (
+                                    deg_sxx_cnt.get(key, 0) + 1
+                                )
+
+        for b in batches:
+            ch = b.column(0)
+            if len(ch) == 0:
+                continue
+            lens = ch.value_lengths().to_numpy(zero_copy_only=False)
+            flat = ch.flatten()
+            rect = (
+                ch.null_count == 0
+                and flat.null_count == 0
+                and lens.size > 0
+                and np.all(lens == lens[0])
+                and lens[0] > 0
+            )
+            if rect:
+                d = int(lens[0])
+                x = np.asarray(flat, dtype=np.float64).reshape(len(ch), d)
+                ok = np.isfinite(x).all() and (
+                    np.abs(x).max() * 1e9 < QMAX - 2
+                )
+                if ok and (d_clean is None or d_clean == d):
+                    d_clean = d
+                    _clean_rows(x)
+                    continue
+            _degenerate_rows(ch.to_pylist())
+
+        if not n_clean and not deg_pair:
+            return
+
+        cells = set(deg_pair)
+        if n_clean:
+            for i0 in range(d_clean):
+                for j0 in range(i0, d_clean):
+                    cells.add((i0, j0))
+        ii, jj, nn_, sxi_, sxj_, sxx_ = [], [], [], [], [], []
+        for (i0, j0) in sorted(cells):
+            n_c = deg_n.get((i0, j0), 0)
+            sxi_c = deg_sxi.get((i0, j0), 0)
+            sxj_c = deg_sxj.get((i0, j0), 0)
+            sxx_c = deg_sxx.get((i0, j0), 0)
+            sxi_cnt = deg_sxi_cnt.get((i0, j0), 0)
+            sxj_cnt = deg_sxj_cnt.get((i0, j0), 0)
+            sxx_cnt = deg_sxx_cnt.get((i0, j0), 0)
+            if n_clean and j0 < d_clean:
+                n_c += n_clean
+                sxi_c += S[i0]
+                sxj_c += S[j0]
+                sxx_c += int(SXX[i0][j0])
+                sxi_cnt += n_clean
+                sxj_cnt += n_clean
+                sxx_cnt += n_clean
+            ii.append(i0 + 1)
+            jj.append(j0 + 1)
+            nn_.append(n_c)
+            sxi_.append(Decimal(sxi_c).scaleb(-9) if sxi_cnt else None)
+            sxj_.append(Decimal(sxj_c).scaleb(-9) if sxj_cnt else None)
+            sxx_.append(Decimal(sxx_c).scaleb(-18) if sxx_cnt else None)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "i": pa.array(ii, pa.int32()),
+                "j": pa.array(jj, pa.int32()),
+                "n": pa.array(nn_, pa.int64()),
+                "sxi": pa.array(sxi_, pa.decimal128(38, 9)),
+                "sxj": pa.array(sxj_, pa.decimal128(38, 9)),
+                "sxx": pa.array(sxx_, pa.decimal128(38, 18)),
+            }
+        )
+
+    return _kernel
+
+
+def embedding_moment_partials_exploded(
+    df: DataFrame, vec_col: str
+) -> DataFrame:
+    """REFERENCE build of the decimal moment partials (the shape that
+    shipped rounds 5–12): double-posexplode into one hash aggregate.
+    Kept as the semantic oracle for the mapInArrow fast path — the
+    equality test runs both and compares bit-for-bit."""
     # cross-engine float rule (workload/base): cast FACTORS (not the
     # product) to a narrow decimal — the decimal×decimal product is
     # exact, so the sum is order-independent and bit-identical; a
     # double product cast to decimal rounds differently per engine
     fdec = "decimal(18,9)"
-    # ONE generate + ONE hash aggregate (3 decimal sums + count) — the
-    # A/B in SCALE.md's round-5 note: splitting the first moments into
-    # a separate d-group aggregate joined back measured ~40% SLOWER
-    # (extra stages cost more than the extra in-agg decimal sums), and
-    # a nested-transform upper-triangle generate lost to posexplode's
-    # generate-then-filter despite halving the discarded rows
     pairs = (
         df.select(F.col(vec_col).alias("_v"))
         .select(F.posexplode("_v").alias("_i0", "_xi"), "_v")

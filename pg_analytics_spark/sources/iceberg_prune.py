@@ -230,6 +230,24 @@ def _term_may_match(transform, op, val, pval, src_type) -> bool:
         return any(
             _term_may_match(transform, "=", v, pval, src_type) for v in val
         )
+    if transform == "identity" and isinstance(val, str):
+        # type the (string) filter literal like the source column so it
+        # compares against the TYPED partition value — without this an
+        # identity-int partition compared "1" == 1 and UNSAFELY pruned
+        # every file (r13 find: latent since the typed-tuple writer
+        # landed; exposed by test_direct_write_empty_and_partitioned_
+        # contracts)
+        try:
+            if src_type in ("int", "long"):
+                val = int(val)
+            elif src_type in ("float", "double"):
+                val = float(val)
+            elif src_type == "date":
+                val = dt.date.fromisoformat(val)
+            elif src_type.startswith("timestamp"):
+                val = dt.datetime.fromisoformat(val)
+        except ValueError:
+            raise _Unprunable()
     tv = transform_value(transform, val, src_type)
     pv = _norm_pval(pval, transform, src_type)
     if op == "=":
@@ -384,7 +402,28 @@ def file_bounds_may_match(
         if lo is None and hi is None:
             continue
 
+        def _typed(v):
+            # bounds decode as int days/micros for date/timestamp and
+            # as numerics for int/long/float/double — type the string
+            # filter literal to match (r13: untyped literals made every
+            # numeric bound comparison a no-op TypeError keep)
+            if not isinstance(v, str):
+                return v
+            if t in ("int", "long"):
+                return int(v)
+            if t in ("float", "double"):
+                return float(v)
+            if t == "date":
+                return _days(v)
+            if t.startswith("timestamp"):
+                return _micros(v)
+            return v
+
         def _term_possible(term_op, v) -> bool:
+            try:
+                v = _typed(v)
+            except ValueError:
+                return True
             try:
                 if term_op == "=":
                     return not (

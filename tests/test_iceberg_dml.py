@@ -921,3 +921,41 @@ def test_txn_watermark_survives_snapshot_expiry(spark, tmp_path):
     assert write_iceberg(
         mk(8, 9), path, mode="append", txn=("app", 2)
     )["rows"] == 1
+
+
+def test_direct_write_empty_and_partitioned_contracts(spark, tmp_path):
+    """r13 direct-write kernel pins: (1) an empty UNPARTITIONED commit
+    still carries one 0-row schema-only data file (readers refuse a
+    snapshot with zero live files); (2) a partitioned commit groups
+    per tuple with manifest partition values matching the reader's
+    transforms; (3) bounds ride the manifest (pruning drops files)."""
+    from pg_analytics_spark.sources import load_source
+    from pg_analytics_spark.sources.iceberg_write import write_iceberg
+
+    # (1) empty unpartitioned overwrite
+    p1 = str(tmp_path / "empty_tbl")
+    empty = spark.range(0).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS STRING) AS v"
+    )
+    info = write_iceberg(empty, p1, mode="overwrite")
+    assert info["rows"] == 0 and info["files"] == 1
+    back = load_source(spark, p1, "iceberg")
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["k", "v"]
+
+    # (2+3) partitioned write: tuple grouping + manifest pruning
+    p2 = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [(i, f"d-{i % 3}", i % 3) for i in range(300)],
+        "k INT, v STRING, g INT",
+    )
+    write_iceberg(df, p2, mode="overwrite", partition_by=["g"])
+    full = load_source(spark, p2, "iceberg")
+    pruned = load_source(
+        spark, p2, "iceberg", {"partition_filter": [["g", "=", "1"]]}
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(
+        r["k"] for r in pruned.select("k").collect()
+    )
+    assert got == sorted(i for i in range(300) if i % 3 == 1)

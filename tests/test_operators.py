@@ -519,6 +519,70 @@ def test_embedding_moments_fast_near_equals_exact(spark):
     assert np.allclose(ce, cf, atol=1e-6)
 
 
+def test_moment_partials_arrow_equals_exploded(spark):
+    """The r13 exact-integer mapInArrow moment build must equal the
+    posexplode+decimal reference BIT-FOR-BIT — same cells, same counts,
+    same decimal sums (incl. NULL-sum cells) — on the real corpus and
+    on adversarial ragged/null/NaN/boundary inputs."""
+    from pg_analytics_spark.operators.pca import (
+        embedding_moment_partials,
+        embedding_moment_partials_exploded,
+        finalize_moments,
+    )
+    from pg_analytics_spark.sources import load_source
+    from tests.conftest import SF_DIR
+
+    def both(df):
+        a = finalize_moments(
+            embedding_moment_partials_exploded(df, "embedding")
+        ).collect()
+        b = finalize_moments(
+            embedding_moment_partials(df, "embedding")
+        ).collect()
+        return [tuple(r) for r in a], [tuple(r) for r in b]
+
+    e = load_source(
+        spark, f"{SF_DIR}/embeddings.parquet", "parquet"
+    ).repartition(5)
+    a, b = both(e)
+    assert a == b
+
+    # ragged lengths, NULL vectors, NULL elements, NaN/inf (decimal
+    # NULL under ANSI), clean-path magnitude screen (|x| > 8.589),
+    # .5-boundary roundings, empty vector
+    adv = spark.createDataFrame(
+        [
+            ([0.1234567895, 5e-10, -5e-10, 1.5e-9],),
+            ([None, 2.0, float("nan"), 3.0],),
+            ([1.0, 2.0],),
+            (None,),
+            ([0.049999999999999996, -0.0000000005, 9.25, -12.75],),
+            ([float("inf"), -0.1234567885, 7.105427357601002e-15],),
+            ([],),
+        ],
+        "embedding array<double>",
+    )
+    a, b = both(adv)
+    assert a == b
+
+    # half-boundary fuzz: values whose *1e9 lands near .5 exercise the
+    # shortest-repr HALF_UP resolution inside the vectorized path
+    fuzz = spark.createDataFrame(
+        [
+            (
+                [
+                    (k + 0.5) / 1e9 * (1 if k % 2 else -1)
+                    for k in range(rr * 8, rr * 8 + 8)
+                ],
+            )
+            for rr in range(200)
+        ],
+        "embedding array<double>",
+    ).repartition(3)
+    a, b = both(fuzz)
+    assert a == b
+
+
 def test_embedding_moments_fast_rejects_ragged_and_null(spark):
     import pytest as _pytest
 
