@@ -568,6 +568,34 @@ def _stage_cdc_files(
             ]
         )
         part_cols = [renames.get(c, c) for c in part_cols]
+    direct = all(
+        df.schema[c].dataType.typeName() in _DIRECT_PART_TYPES
+        for c in part_cols
+    )
+    if direct:
+        # r13: direct Arrow staging (see _stage_parquet_direct) — CDC
+        # files carry no stats
+        staged = _stage_parquet_direct(
+            df,
+            os.path.join(path, "_change_data"),
+            part_cols,
+            f"cdc-{version:05d}",
+            None,
+            "snappy",
+        )
+        return [
+            {
+                "cdc": {
+                    "path": _encode_log_path(f"_change_data/{rel}"),
+                    "partitionValues": _partition_values(
+                        f"_change_data/{rel}"
+                    ),
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+            for rel, _stats, size, _mtime, _rows in staged
+        ]
     staging = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         f"_delta_cdc_stage-{uuid.uuid4().hex}",
@@ -1120,6 +1148,198 @@ def restore_delta(spark, path: str, version: int) -> dict:
     }
 
 
+#: partition-column Spark type names the direct Arrow staging kernel
+#: hive-encodes itself (int/long/short/byte → str(int), string, date →
+#: ISO, boolean → true/false); anything else (timestamp, decimal,
+#: float…) falls back to the Spark staged write whose hive formatting
+#: is authoritative for those types
+_DIRECT_PART_TYPES = frozenset(
+    {"integer", "long", "short", "byte", "string", "date", "boolean"}
+)
+
+
+def _stage_parquet_direct(
+    df: DataFrame,
+    dest_root: str,
+    part_cols: list[str],
+    fname_prefix: str,
+    schema_for_stats,
+    compression: str,
+) -> list[tuple]:
+    """DIRECT distributed parquet staging — one Spark job, one pass
+    (r13 optimization; the Iceberg writer's twin, guide §1.2/§6).
+
+    Each task groups its Arrow batches by the partition tuple and
+    writes one parquet file per tuple straight into the table tree
+    under hive-style dirs and a commit-unique name (``.tmp`` + posix
+    rename), computing the Delta footer stats in the same task.
+    Commit atomicity is unchanged: only the JSON log commit publishes
+    files, so a crash leaves unreferenced files (VACUUM's orphan
+    class).  Replaces the staged Hadoop write + driver rename walk +
+    second footer pass whose per-file and per-job constants dominated
+    every DML fixture.
+
+    Returns ``[(rel_path, stats_json|None, size, mtime_ms, rows)]``.
+    ``schema_for_stats=None`` skips stats (CDC files).
+    """
+    out_schema = (
+        "rel STRING, stats STRING, size BIGINT, mtime BIGINT, "
+        "rows BIGINT"
+    )
+    repo_root = _REPO_ROOT
+    data_idx = [i for i, c in enumerate(df.columns) if c not in part_cols]
+    part_idx = [df.columns.index(c) for c in part_cols]
+    part_names = list(part_cols)
+    # stats normally import IN the worker (vanilla-driver rule: a
+    # module-level function in the closure would pickle by reference
+    # and die on workers without the repo sys.path) — but a REPLACED
+    # _file_stats (test instrumentation) is a <locals> function that
+    # cloudpickle ships by value, so honor it
+    stats_override = (
+        _file_stats if "<locals>" in _file_stats.__qualname__ else None
+    )
+
+    def _write_partition(batches):
+        # EXECUTOR closure — repo imports via the _REPO_ROOT fallback
+        # (vanilla-driver rule: workers may lack the driver sys.path)
+        import datetime as _dt
+        import os as _os
+        import sys as _sys
+        import uuid as _uuid
+        from urllib.parse import quote as _q
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        if repo_root not in _sys.path:
+            _sys.path.insert(0, repo_root)
+        from pg_analytics_spark.sources.arrow_part import group_take
+
+        if stats_override is not None:
+            _file_stats = stats_override
+        else:
+            from pg_analytics_spark.sources.delta_write import _file_stats
+
+        def _hval(v):
+            # hive dir value — decode side is urllib unquote, so any
+            # %XX-escaping round-trips; formats mirror Spark's for the
+            # _DIRECT_PART_TYPES allowlist
+            if v is None:
+                return "__HIVE_DEFAULT_PARTITION__"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            return _q(str(v), safe="")
+
+        acc: dict[tuple, list] = {}
+        nbytes: dict[tuple, int] = {}
+        writers: dict[tuple, list] = {}  # key -> [writer, rel, dst]
+        FLUSH = 128 << 20
+
+        def _flush(key):
+            tabs = acc.pop(key, None)
+            nbytes.pop(key, None)
+            if not tabs:
+                return
+            t = tabs[0] if len(tabs) == 1 else _pa.concat_tables(tabs)
+            got = writers.get(key)
+            if got is None:
+                rel_dir = "/".join(
+                    f"{_q(c, safe='')}={_hval(v)}"
+                    for c, v in zip(part_names, key)
+                )
+                fname = f"{fname_prefix}-{_uuid.uuid4().hex}.parquet"
+                rel = f"{rel_dir}/{fname}" if rel_dir else fname
+                dst = _os.path.join(dest_root, rel)
+                _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                w = _pq.ParquetWriter(
+                    dst + ".tmp", t.schema, compression=compression
+                )
+                got = writers[key] = [w, rel, dst]
+            got[0].write_table(t)
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            data = _pa.Table.from_batches([b.select(data_idx)])
+            if not part_idx:
+                groups = [((), None)]
+            else:
+                groups = group_take(
+                    [b.column(i) for i in part_idx], b.num_rows
+                )
+            for key, idx in groups:
+                part = data if idx is None else data.take(idx)
+                key = tuple(key)
+                acc.setdefault(key, []).append(part)
+                nbytes[key] = nbytes.get(key, 0) + part.nbytes
+                if nbytes[key] >= FLUSH:
+                    _flush(key)
+        for key in list(acc):
+            _flush(key)
+        out = {"rel": [], "stats": [], "size": [], "mtime": [], "rows": []}
+        for key, (w, rel, dst) in writers.items():
+            w.close()
+            _os.replace(dst + ".tmp", dst)
+            md = _pq.ParquetFile(dst).metadata
+            out["rel"].append(rel)
+            out["stats"].append(
+                None
+                if schema_for_stats is None
+                else _file_stats(dst, schema_for_stats)
+            )
+            out["size"].append(_os.path.getsize(dst))
+            out["mtime"].append(int(_os.path.getmtime(dst) * 1000))
+            out["rows"].append(md.num_rows)
+        if out["rel"]:
+            yield _pa.RecordBatch.from_pydict(
+                {
+                    "rel": _pa.array(out["rel"], _pa.string()),
+                    "stats": _pa.array(out["stats"], _pa.string()),
+                    "size": _pa.array(out["size"], _pa.int64()),
+                    "mtime": _pa.array(out["mtime"], _pa.int64()),
+                    "rows": _pa.array(out["rows"], _pa.int64()),
+                }
+            )
+
+    os.makedirs(dest_root, exist_ok=True)
+    rows = df.mapInArrow(_write_partition, out_schema).collect()
+    staged = [
+        (r["rel"], r["stats"], int(r["size"]), int(r["mtime"]),
+         int(r["rows"]))
+        for r in rows
+    ]
+    if not staged and not part_cols:
+        # empty UNPARTITIONED write: the Spark staged path emitted one
+        # 0-row schema-only file (numRecords 0 stats) — keep that
+        # contract driver-side
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        fname = f"{fname_prefix}-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(dest_root, fname)
+        sch = to_arrow_schema(df.schema)
+        _pq.write_table(
+            _pa.table(
+                {f.name: _pa.array([], f.type) for f in sch}, schema=sch
+            ),
+            dst,
+            compression=compression,
+        )
+        stats = (
+            None
+            if schema_for_stats is None
+            else _file_stats(dst, schema_for_stats)
+        )
+        staged = [
+            (fname, stats, os.path.getsize(dst),
+             int(os.path.getmtime(dst) * 1000), 0)
+        ]
+    return staged
+
+
 def _stage_files(
     df: DataFrame,
     path: str,
@@ -1127,11 +1347,55 @@ def _stage_files(
     part_cols: list[str],
     options: dict | None,
 ) -> tuple[list[dict], int]:
-    """Distributed parquet write into a staging dir, then atomic moves
-    into the table tree with unique names.  Returns (add actions,
-    row count) — the count observes the SAME execution that produced
-    the files; footer stats ride the EXECUTORS for large commits
-    (see _stats_for_files)."""
+    """Distributed parquet staging → (add actions, row count).
+
+    r13: common partition types stage DIRECTLY from the write tasks
+    (``_stage_parquet_direct`` — pyarrow files + in-task footer stats,
+    no staging dir / rename walk / second stats pass); exotic
+    partition types (timestamp, decimal, float) keep the Spark staged
+    write whose hive value formatting is authoritative for them."""
+    direct = all(
+        df.schema[c].dataType.typeName() in _DIRECT_PART_TYPES
+        for c in part_cols
+    )
+    if direct:
+        compression = str((options or {}).get("compression", "snappy"))
+        staged = _stage_parquet_direct(
+            df, path, part_cols, f"part-{version:05d}", df.schema,
+            compression,
+        )
+        adds = []
+        n_rows = 0
+        for rel_path, stats, size, mtime_ms, rows in staged:
+            n_rows += rows
+            adds.append(
+                {
+                    "add": {
+                        "path": _encode_log_path(rel_path),
+                        "partitionValues": _partition_values(rel_path),
+                        "size": size,
+                        "modificationTime": mtime_ms,
+                        "dataChange": True,
+                        **({"stats": stats} if stats else {}),
+                    }
+                }
+            )
+        return adds, n_rows
+    return _stage_files_spark(df, path, version, part_cols, options)
+
+
+def _stage_files_spark(
+    df: DataFrame,
+    path: str,
+    version: int,
+    part_cols: list[str],
+    options: dict | None,
+) -> tuple[list[dict], int]:
+    """Spark staged write fallback (pre-r13 path) for partition types
+    the direct kernel does not hive-encode itself.  Returns (add
+    actions, row count) — the count observes the SAME execution that
+    produced the files; footer stats ride the EXECUTORS for large
+    commits (see _stats_for_files)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 

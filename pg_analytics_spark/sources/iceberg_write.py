@@ -671,6 +671,12 @@ def _write_data_files_direct(
         "bounds BINARY"
     )
     repo_root = _REPO_ROOT
+    # bounds normally import IN the worker (vanilla-driver rule) — but
+    # a REPLACED _file_bounds (test instrumentation) is a <locals>
+    # function cloudpickle ships by value, so honor it
+    bounds_override = (
+        _file_bounds if "<locals>" in _file_bounds.__qualname__ else None
+    )
 
     def _write_partition(batches):
         # EXECUTOR closure — repo imports via the _REPO_ROOT fallback
@@ -688,7 +694,13 @@ def _write_data_files_direct(
         if repo_root not in _sys.path:
             _sys.path.insert(0, repo_root)
         from pg_analytics_spark.sources.arrow_part import group_take
-        from pg_analytics_spark.sources.iceberg_write import _file_bounds
+
+        if bounds_override is not None:
+            _file_bounds = bounds_override
+        else:
+            from pg_analytics_spark.sources.iceberg_write import (
+                _file_bounds,
+            )
 
         EPOCH = _dt.date(1970, 1, 1)
 
