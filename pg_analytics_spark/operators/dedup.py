@@ -685,7 +685,12 @@ def edit_distance_pairs(
                             AND substring(_mn, i, 1) = substring(_mx, i, 1),
                             i, acc)
            )) AS _lcp""",
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the lcp relation (one row per block) is referenced by every
+    # branch below (index, probe, probe-length filter, short, partner);
+    # without materialization Spark re-plans and re-executes its
+    # scan+aggregate subtree once PER REFERENCE (5x in the physical
+    # plan).  localCheckpoint collapses those to one tiny job.
     base = (
         raw.join(F.broadcast(lcp), "_blk")
         .selectExpr(
@@ -752,8 +757,17 @@ def edit_distance_pairs(
         .distinct()
     )
 
-    # short-string path: all pairs where either side is short (partner
-    # bounded by short_len + tau), length-banded
+    # short-string path: pairs where either side is short (partner
+    # bounded by short_len + tau), length-banded.  Each unordered pair
+    # is emitted EXACTLY ONCE: a both-short pair appears in both join
+    # orders, so keep only id_a < id_b; a short-long pair can only
+    # appear with the short string on the probe side (the build side
+    # requires _len < min_len), so keep it unconditionally and
+    # normalize the id order afterwards.  The cheap id/length conjuncts
+    # run BEFORE the banded DP in the join condition (codegen
+    # short-circuits left to right), halving DP evaluations vs the
+    # old emit-both-orders-then-distinct shape — and the branch needs
+    # no distinct at all.
     shorts = base.filter(F.col("_len") < min_len)
     partners = base.filter(F.col("_len") < min_len + tau)
     cand_short = (
@@ -765,7 +779,8 @@ def edit_distance_pairs(
             "_blk",
         )
         .filter(
-            (F.col("id_a") != F.col("id_b"))
+            ((F.col("lb") >= min_len) | (F.col("id_a") < F.col("id_b")))
+            & (F.col("id_a") != F.col("id_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= tau)
         )
         .select(
@@ -778,23 +793,25 @@ def edit_distance_pairs(
             .otherwise(F.col("txt_a"))
             .alias("txt_b"),
         )
-        .distinct()
     )
 
+    # the two branches are DISJOINT — cand_long requires both lengths
+    # >= min_len, cand_short requires the probe side < min_len — and
+    # each is internally duplicate-free (cand_long by its distinct,
+    # cand_short by the exactly-once emission), so the union needs no
+    # further distinct: one full candidate shuffle saved.
     if verify_via_ids:
         # long-text mode: candidates shuffle only id pairs; the two
         # texts are joined back once for the final DP — the candidate
-        # distinct never carries document bodies
-        cand = (
-            cand_long.select("id_a", "id_b")
-            .unionByName(cand_short.select("id_a", "id_b"))
-            .distinct()
+        # relation never carries document bodies
+        cand = cand_long.select("id_a", "id_b").unionByName(
+            cand_short.select("id_a", "id_b")
         )
         ta = base.select(F.col("_id").alias("id_a"), F.col("_txt").alias("txt_a"))
         tb = base.select(F.col("_id").alias("id_b"), F.col("_txt").alias("txt_b"))
         cand = cand.join(ta, "id_a").join(tb, "id_b")
     else:
-        cand = cand_long.unionByName(cand_short).distinct()
+        cand = cand_long.unionByName(cand_short)
     return (
         cand.select(
             "id_a",

@@ -3849,6 +3849,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
+        # persist the edge relation ALREADY HASH-PARTITIONED on the
+        # iteration join key: every one of the 4 rank iterations joins
+        # edges on src, and a persisted partitioning is reused by each
+        # of them — only the node-sized rank relation moves per
+        # iteration, the edge relation is shuffled once, not 5 times
+        .repartition("src")
     )
     outw = _persist_sketch(
         edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
