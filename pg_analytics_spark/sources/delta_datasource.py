@@ -773,6 +773,44 @@ def _write_task_files_partitioned(
                 hi if name not in st["maxs"] else max(st["maxs"][name], hi)
             )
 
+    # accumulate each tuple's slices and flush as ONE table per ~64 MB
+    # (guide §4.2): a 30-day epoch otherwise writes every ~10k-row
+    # batch as 30 tiny row groups with 30×columns Python-side stats
+    # calls — the accumulated flush writes large row groups and runs
+    # min/max once per flushed table instead of once per micro-slice
+    acc: dict[tuple, list] = {}
+    acc_bytes: dict[tuple, int] = {}
+    _FLUSH = 64 << 20
+
+    def _flush(tup):
+        tabs = acc.pop(tup, None)
+        acc_bytes.pop(tup, None)
+        if not tabs:
+            return
+        t2 = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+        if tup not in writers:
+            if len(writers) >= 256:
+                raise UnsupportedFormat(
+                    "delta_native partitioned write: >256 distinct "
+                    "partition tuples in one task — repartition by "
+                    "the partition columns first"
+                )
+            rel_dir = "/".join(
+                f"{c}={quote(str(v), safe='')}"
+                for c, v in zip(part_cols, tup)
+            )
+            rel = f"{rel_dir}/part-{_uuid.uuid4().hex}.c000.parquet"
+            full = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            writers[tup] = (
+                pq.ParquetWriter(full, t2.schema),
+                rel,
+                _stats_new(),
+            )
+        w, _rel, st = writers[tup]
+        w.write_table(t2)
+        _stats_update(st, t2)
+
     for batch in iterator:
         t = pa.Table.from_batches([batch])
         # distinct partition tuples in this batch — Arrow hash
@@ -786,31 +824,12 @@ def _write_task_files_partitioned(
                     "values are not supported by this writer"
                 )
             group = t.take(idx).select(data_names)
-            if tup not in writers:
-                if len(writers) >= 256:
-                    raise UnsupportedFormat(
-                        "delta_native partitioned write: >256 distinct "
-                        "partition tuples in one task — repartition by "
-                        "the partition columns first"
-                    )
-                rel_dir = "/".join(
-                    f"{c}={quote(str(v), safe='')}"
-                    for c, v in zip(part_cols, tup)
-                )
-                rel = (
-                    f"{rel_dir}/part-{_uuid.uuid4().hex}.c000.parquet"
-                )
-                full = os.path.join(path, rel)
-                os.makedirs(os.path.dirname(full), exist_ok=True)
-                writers[tup] = (
-                    pq.ParquetWriter(full, group.schema),
-                    rel,
-                    _stats_new(),
-                )
-            w, _rel, st = writers[tup]
-            for gb in group.to_batches():
-                w.write_batch(gb)
-                _stats_update(st, gb)
+            acc.setdefault(tup, []).append(group)
+            acc_bytes[tup] = acc_bytes.get(tup, 0) + group.nbytes
+            if acc_bytes[tup] >= _FLUSH:
+                _flush(tup)
+    for tup in list(acc):
+        _flush(tup)
     out = []
     for tup, (w, rel, st) in writers.items():
         w.close()

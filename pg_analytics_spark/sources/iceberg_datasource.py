@@ -831,6 +831,35 @@ def _ice_write_task(
         specs.append((_canonical_transform(kind, param), src, type_of[src]))
 
     writers: dict[tuple, tuple] = {}
+    # accumulate each tuple's slices and flush as ONE table per
+    # ~64 MB (guide §4.2) — large row groups instead of one tiny row
+    # group per (micro-batch, tuple)
+    acc: dict[tuple, list] = {}
+    acc_bytes: dict[tuple, int] = {}
+    _FLUSH = 64 << 20
+
+    def _flush(tup):
+        tabs = acc.pop(tup, None)
+        acc_bytes.pop(tup, None)
+        if not tabs:
+            return
+        t2 = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+        if tup not in writers:
+            if len(writers) >= 256:
+                raise UnsupportedFormat(
+                    "iceberg_native partitioned write: >256 "
+                    "distinct partition tuples in one task — "
+                    "repartition by the partition columns first"
+                )
+            full = os.path.join(
+                data_dir, f"pyds-{_uuid.uuid4().hex}.parquet"
+            )
+            writers[tup] = (
+                pq.ParquetWriter(full, t2.schema),
+                full,
+            )
+        writers[tup][0].write_table(t2)
+
     for batch in iterator:
         t = pa.Table.from_batches([batch])
         key_arrays = [
@@ -838,23 +867,12 @@ def _ice_write_task(
         ]
         for tup, idx in group_take(key_arrays, t.num_rows):
             group = t.take(idx)
-            if tup not in writers:
-                if len(writers) >= 256:
-                    raise UnsupportedFormat(
-                        "iceberg_native partitioned write: >256 "
-                        "distinct partition tuples in one task — "
-                        "repartition by the partition columns first"
-                    )
-                full = os.path.join(
-                    data_dir, f"pyds-{_uuid.uuid4().hex}.parquet"
-                )
-                writers[tup] = (
-                    pq.ParquetWriter(full, group.schema),
-                    full,
-                )
-            w, _full = writers[tup]
-            for gb in group.to_batches():
-                w.write_batch(gb)
+            acc.setdefault(tup, []).append(group)
+            acc_bytes[tup] = acc_bytes.get(tup, 0) + group.nbytes
+            if acc_bytes[tup] >= _FLUSH:
+                _flush(tup)
+    for tup in list(acc):
+        _flush(tup)
     out = []
     for tup, (w, full) in writers.items():
         w.close()

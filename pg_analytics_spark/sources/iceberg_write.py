@@ -2657,29 +2657,17 @@ def compact_iceberg(spark, path: str) -> dict:
             .join(F.broadcast(idx_map), "_k")
             .select(*colnames, "_pt")
         )
-        staging = os.path.join(
-            os.path.dirname(path.rstrip("/")) or ".",
-            f"_ice_compact-{uuid.uuid4().hex}",
-        )
-        staged.write.mode("overwrite").partitionBy("_pt").parquet(staging)
         data_dir = os.path.join(path, "data")
-        renamed: list[tuple[int, str]] = []
-        for root, _dirs, names in os.walk(staging):
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(root, staging)
-                pt = int(rel.split("=", 1)[1]) if "=" in rel else 0
-                dst = os.path.join(
-                    data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
-                )
-                os.replace(os.path.join(root, name), dst)
-                renamed.append((pt, dst))
-        per_file = _bounds_for_files(
-            spark, [dst for _, dst in renamed], fields
-        )
-        for pt, dst in renamed:
-            lowers, uppers, rows, size = per_file[dst]
+        os.makedirs(data_dir, exist_ok=True)
+        # direct task-side write (the write_iceberg kernel): no
+        # staging dir, no driver rename walk, no second bounds job
+        for parts, dst, rows, size, lowers, uppers in (
+            _write_data_files_direct(
+                staged, len(colnames), data_dir, snapshot_id, fields,
+                "snappy",
+            )
+        ):
+            pt = int(parts[0])
             rec = {
                 "content": 0,
                 "file_path": dst,
@@ -2699,7 +2687,6 @@ def compact_iceberg(spark, path: str) -> dict:
                     "data_file": rec,
                 }
             )
-        shutil.rmtree(staging, ignore_errors=True)
 
     seq = prev_meta.get("last-sequence-number", 0) + 1
     manifest = os.path.join(meta_dir, f"man-compact-{snapshot_id}.avro")
@@ -3763,10 +3750,14 @@ def rewrite_data_files_iceberg(
             )
     snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
     part_proj = _adoption_projection(prev_meta, prev_list)
-    staging = os.path.join(
-        os.path.dirname(path.rstrip("/")) or ".",
-        f"_ice_rewrite-{uuid.uuid4().hex}",
-    )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    # direct task-side write (the write_iceberg kernel): each task
+    # writes its bins' files straight into data/ with footer bounds
+    # computed in the same pass — no staging dir, no driver rename
+    # walk, no second bounds job (guide §5/§6: the staged shape paid
+    # ~18 ms/file of committer overhead plus two extra passes)
+    written: list[tuple[int, str, int, int, dict, dict]] = []
     if strategy == "binpack":
         kept = _visible_target(
             spark,
@@ -3785,7 +3776,13 @@ def rewrite_data_files_iceberg(
             .select(*colnames, "_bin")
             .repartition(len(bins), "_bin")
         )
-        staged.write.mode("overwrite").partitionBy("_bin").parquet(staging)
+        for parts, dst, rows, size, lowers, uppers in (
+            _write_data_files_direct(
+                staged, len(colnames), data_dir, snapshot_id, fields,
+                "snappy",
+            )
+        ):
+            written.append((int(parts[0]), dst, rows, size, lowers, uppers))
     else:
         # one Spark job per file group (the runtime's per-file-group
         # execution model — each job scans ONLY its group's files),
@@ -3831,29 +3828,23 @@ def rewrite_data_files_iceberg(
                     .sortWithinPartitions("__zkey")
                     .select(*colnames)
                 )
-            clustered.write.mode("overwrite").parquet(
-                os.path.join(staging, f"_bin={b}")
-            )
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    renamed: list[tuple[int, str]] = []
-    for walk_root, _dirs, names in os.walk(staging):
-        for name in sorted(names):
-            if not name.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(walk_root, staging)
-            b = int(rel.split("=", 1)[1]) if "=" in rel else 0
-            dst = os.path.join(
-                data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
-            )
-            os.replace(os.path.join(walk_root, name), dst)
-            renamed.append((b, dst))
-    per_file = _bounds_for_files(spark, [d for _, d in renamed], fields)
+            # constant trailing _bin keeps the kernel on its
+            # partitioned path (one sorted file per range task; an
+            # all-deleted group yields zero files, not a schema stub)
+            for parts, dst, rows, size, lowers, uppers in (
+                _write_data_files_direct(
+                    clustered.withColumn("_bin", F.lit(b)),
+                    len(colnames), data_dir, snapshot_id, fields,
+                    "snappy",
+                )
+            ):
+                written.append(
+                    (int(parts[0]), dst, rows, size, lowers, uppers)
+                )
     seq = prev_meta.get("last-sequence-number", 0) + 1
     new_by_spec: dict[int, list[dict]] = {}
     n_added = 0
-    for b, dst in renamed:
-        lowers, uppers, rows, size = per_file[dst]
+    for b, dst, rows, size, lowers, uppers in written:
         rec = {
             "content": 0,
             "file_path": dst,
@@ -3876,7 +3867,6 @@ def rewrite_data_files_iceberg(
             }
         )
         n_added += 1
-    shutil.rmtree(staging, ignore_errors=True)
 
     # ---- manifests: delete + untouched-data manifests carry
     # VERBATIM; manifests that lost entries re-emit their survivors
