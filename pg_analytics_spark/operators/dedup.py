@@ -577,8 +577,20 @@ def neardup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = ids.select("_u", F.col("_u").alias("_lbl")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # propagate over EDGE VERTICES only (guide §2.3 — shuffle fewer
+    # bytes): a node with no dup edge can never change label, yet the
+    # corpus-sized label relation used to ride every iteration's join.
+    # Dup vertices are a tiny fraction of the corpus, so each
+    # iteration now shuffles O(|dup vertices|); singletons re-attach
+    # once at the end as their own cluster.
+    labels = (
+        edges.select(F.col("_u").alias("_w"))
+        .distinct()
+        # fresh attribute ids (alias hop): labels must not share
+        # edges' _u attribute or every loop join is an ambiguous
+        # self-join
+        .select(F.col("_w").alias("_u"), F.col("_w").alias("_lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # the handle actually holding the cache (labels may be a projection
     # of it after the first iteration; unpersist must hit the cached DF)
@@ -620,8 +632,14 @@ def neardup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("_u").alias(id_col), F.col("_lbl").alias("cluster_id")
+    # fresh column names on the label side: ids and labels share the
+    # nodes lineage, so a bare "_u" join is an ambiguous self-join
+    fin = labels.select(
+        F.col("_u").alias("_lu"), F.col("_lbl").alias("_llbl")
+    )
+    return ids.join(fin, F.col("_u") == F.col("_lu"), "left").select(
+        F.col("_u").alias(id_col),
+        F.coalesce("_llbl", "_u").alias("cluster_id"),
     )
 
 
