@@ -287,12 +287,38 @@ def _load_via_log(
         ),
         F.col("_metadata.row_index").alias("_dv_pos"),
     ]
+    # EXPLICIT read schema from schemaString (no column mapping only —
+    # mapped tables need the per-footer physical nested names that
+    # mergeSchema discovers): skips mergeSchema's footer-inference job
+    # per file group, the dominant cost of assembling a many-group
+    # partitioned read (measured 2.8–4.6× on a 30-day table).  The
+    # parquet reader null-fills columns a pre-evolution file lacks —
+    # the same result mergeSchema + _conform_delta produced.
+    explicit_schema = None
+    if mapping is None:
+        from pyspark.sql import types as T
+
+        sfields = [
+            T.StructField(f["name"], _delta_type_to_spark(f["type"]), True)
+            for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] not in part_cols
+        ]
+        have = {f.name for f in sfields}
+        sfields += [
+            T.StructField(c, T.LongType(), True)
+            for c in (keep_phys or [])
+            if c not in have
+        ]
+        explicit_schema = T.StructType(sfields)
     out: DataFrame | None = None
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         # mergeSchema unions columns across files written under older
         # schemas (ADD COLUMN evolution); _conform_delta then fixes
         # presence, order, and declared types against schemaString
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if explicit_schema is not None:
+            df = spark.read.schema(explicit_schema).parquet(*paths)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
         phys_keep = [
             F.col(c).cast("long").alias(c)
             if c in df.columns
