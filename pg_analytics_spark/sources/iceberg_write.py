@@ -3108,6 +3108,78 @@ def _stage_one_parquet(df, path: str, tag: str) -> tuple[str | None, str]:
     return part, staging
 
 
+def _stage_upsert_parts(
+    src: DataFrame, path: str, key_cols: list[str]
+) -> tuple[str | None, str | None, str, int, int]:
+    """ONE-JOB staging for :func:`upsert_iceberg_eq`: a single
+    ``coalesce(1)`` pass writes BOTH row-delta parts — the add rows
+    and the DISTINCT key tuples for the equality delete — from the
+    same Arrow batches.  The previous two-``_stage_one_parquet`` shape
+    recomputed the whole change reduction (the CDC caller's
+    ``latest_per_key`` shuffle + aggregate) a second time just to
+    project its keys; at 100 TB CDC that second pass doubles the
+    per-trigger work (guide §1.2 "don't compute things twice", §2.3).
+
+    Returns ``(add_part|None, del_part|None, staging_dir, n_rows,
+    n_keys)``.  The executor closure is package-import-free (pyarrow
+    only) per the vanilla-driver rule.
+    """
+    staging = os.path.join(
+        os.path.dirname(path.rstrip("/")) or ".",
+        f"_ice_upsboth-{uuid.uuid4().hex}",
+    )
+    os.makedirs(staging, exist_ok=True)
+    add_part = os.path.join(staging, "add.parquet")
+    del_part = os.path.join(staging, "del.parquet")
+    kcols = list(key_cols)
+
+    def _stage(batches):
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        writer = None
+        kparts = []
+        n_rows = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            t = _pa.Table.from_batches([b])
+            if writer is None:
+                writer = _pq.ParquetWriter(
+                    add_part + ".tmp", t.schema, compression="snappy"
+                )
+            writer.write_table(t)
+            kparts.append(t.select(kcols))
+            n_rows += t.num_rows
+        n_keys = 0
+        if writer is not None:
+            writer.close()
+            _os.replace(add_part + ".tmp", add_part)
+            kt = (
+                kparts[0]
+                if len(kparts) == 1
+                else _pa.concat_tables(kparts)
+            )
+            # vectorized DISTINCT (C-side hash group-by; NULL keys
+            # group together — same semantics as Spark's distinct)
+            kt = kt.group_by(kcols).aggregate([])
+            n_keys = kt.num_rows
+            _pq.write_table(kt, del_part + ".tmp", compression="snappy")
+            _os.replace(del_part + ".tmp", del_part)
+        yield _pa.RecordBatch.from_pydict(
+            {"rows": [n_rows], "keys": [n_keys]}
+        )
+
+    got = src.coalesce(1).mapInArrow(_stage, "rows BIGINT, keys BIGINT").collect()
+    n_rows = sum(r["rows"] for r in got)
+    n_keys = sum(r["keys"] for r in got)
+    if not n_rows:
+        return None, None, staging, 0, 0
+    return add_part, del_part, staging, n_rows, n_keys
+
+
 def equality_delete_iceberg(
     spark, path: str, keys, key_cols: list[str] | None = None
 ) -> dict:
@@ -3231,8 +3303,6 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
     partitioned spec need the write-side transform machinery, same
     constraint as update_iceberg).  Returns {"snapshot_id",
     "rows_upserted", "version"}."""
-    import pyarrow.parquet as _pq
-
     from pyspark.sql import functions as F
 
     from pg_analytics_spark.sources.avro import read_container, write_container
@@ -3269,15 +3339,15 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
         c = F.col(f["name"])
         conform.append((c.cast(t) if t is not None else c).alias(f["name"]))
     src = source.select(*conform)
-    add_part, add_staging = _stage_one_parquet(src, path, "upsadd")
-    n_rows = _pq.ParquetFile(add_part).metadata.num_rows if add_part else 0
-    if not n_rows:
-        shutil.rmtree(add_staging, ignore_errors=True)
-        return {"snapshot_id": None, "rows_upserted": 0, "version": prev_version}
-    del_part, del_staging = _stage_one_parquet(
-        src.select(*[F.col(c) for c in key_cols]).distinct(), path, "upsdel"
+    # ONE Spark job stages both row-delta parts (add rows + distinct
+    # delete keys) from the same pass — the keys-only second pass used
+    # to recompute the caller's whole change reduction (guide §1.2)
+    add_part, del_part, staging, n_rows, n_keys = _stage_upsert_parts(
+        src, path, list(key_cols)
     )
-    n_keys = _pq.ParquetFile(del_part).metadata.num_rows
+    if not n_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"snapshot_id": None, "rows_upserted": 0, "version": prev_version}
     if n_keys != n_rows:
         # two changes for one key in a single batch: the eq-delete
         # erases the OLD row but BOTH new images would land at
@@ -3285,8 +3355,7 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
         # MERGE raises on duplicate source keys for the same reason;
         # the caller must reduce the batch first (cdc_upsert's
         # latest_per_key is the standard reduction).
-        shutil.rmtree(add_staging, ignore_errors=True)
-        shutil.rmtree(del_staging, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
         raise UnsupportedFormat(
             f"upsert source has duplicate keys ({n_rows} rows, "
             f"{n_keys} distinct {key_cols}): reduce to one change per "
@@ -3307,8 +3376,7 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
     apath = os.path.join(data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet")
     os.replace(del_part, dpath)
     os.replace(add_part, apath)
-    shutil.rmtree(del_staging, ignore_errors=True)
-    shutil.rmtree(add_staging, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     seq = prev_meta.get("last-sequence-number", 0) + 1
     del_manifest = os.path.join(meta_dir, f"man-eqdel-{snapshot_id}.avro")
     write_container(

@@ -640,6 +640,31 @@ def test_eq_delete_null_safe_key_match(spark, tmp_path):
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
 
 
+def test_eq_upsert_empty_source_commits_nothing(spark, tmp_path):
+    """Empty change batch through the one-job twin staging (r13):
+    no snapshot, version unchanged, no staging dir left behind."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        upsert_iceberg_eq,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path)
+    v0, _ = _latest_metadata(os.path.join(root, "metadata"))
+    src = spark.range(0).selectExpr(
+        "id", "id % 4 as k", "cast(0.0 as double) as v"
+    )
+    res = upsert_iceberg_eq(spark, root, src, ["id"])
+    assert res["snapshot_id"] is None and res["rows_upserted"] == 0
+    v1, _ = _latest_metadata(os.path.join(root, "metadata"))
+    assert v1 == v0
+    leftovers = [
+        d
+        for d in os.listdir(os.path.dirname(root))
+        if d.startswith("_ice_")
+    ]
+    assert leftovers == []  # staging cleaned up on the empty path
+
+
 def test_eq_upsert_single_snapshot_and_metadata_version(spark, tmp_path):
     from pg_analytics_spark.sources.iceberg_write import (
         _latest_metadata,
