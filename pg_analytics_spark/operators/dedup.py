@@ -632,6 +632,14 @@ def neardup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    # Truncate the converged labels' lineage before handing them to the
+    # caller: the loop's plan re-embeds the whole edges subtree (the
+    # entire pair-producing pipeline) once per un-checkpointed
+    # iteration, so the caller's plan grows O(iterations)·O(pairs plan)
+    # — pure Catalyst overhead at execution time since the data is
+    # already cached.  One job over the dup-vertex-sized cached blocks.
+    labels = labels.localCheckpoint(eager=True)
+    cache_handle.unpersist()
     # fresh column names on the label side: ids and labels share the
     # nodes lineage, so a bare "_u" join is an ambiguous self-join
     fin = labels.select(
