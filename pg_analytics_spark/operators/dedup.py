@@ -577,6 +577,13 @@ def neardup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager cache fill: the initial labels below DERIVE from edges, so
+    # the first iteration's job would reference the un-materialized
+    # pair-producing pipeline through TWO branches (labels' derivation
+    # and the join's edge side) and execute it twice — for expensive
+    # pair sources (minhash LSH) that doubles the dominant cost.  One
+    # count materializes edges once; everything after reads the cache.
+    edges.count()
     # propagate over EDGE VERTICES only (guide §2.3 — shuffle fewer
     # bytes): a node with no dup edge can never change label, yet the
     # corpus-sized label relation used to ride every iteration's join.
