@@ -567,13 +567,28 @@ def neardup_clusters(
     web-graph-scale diameters).
     """
     ids = nodes.select(F.col(id_col).alias("_u")).distinct()
+    # Both edge directions come from ONE pass over the pair source
+    # (explode of the 2-element array), not a union of two selects:
+    # Spark does no common-subexpression elimination across union
+    # branches, so the union shape re-executed the entire pair-producing
+    # pipeline (minhash LSH, embedding blocking, ...) once per branch —
+    # for every caller, the pair pipeline is the dominant cost, and the
+    # explode halves it (guide §2.3 "don't compute things you throw
+    # away").  Same relation: explode+distinct ≡ union+distinct.
     edges = (
-        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("_u"), F.col("id_a").alias("_v")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("_u"), F.col("id_b").alias("_v")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("_u"), F.col("id_a").alias("_v")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e._u", "_e._v")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

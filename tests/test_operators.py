@@ -258,6 +258,33 @@ def test_neardup_clusters_chain_component(spark):
     assert all(r.cluster_id == 0 for r in out)
 
 
+def test_neardup_edges_build_single_pass_over_pairs(spark):
+    """The dup-edge build must execute the pair-producing pipeline
+    EXACTLY ONCE: both edge directions come from one explode pass, not
+    a union of two selects over the same (expensive) pair source —
+    Spark does no CSE across union branches, so the union shape ran the
+    whole minhash/embedding pair pipeline once per branch.  Counted via
+    an accumulator on the pair source: a star graph's 20 pairs must be
+    seen 20 times (once), not 40 (twice)."""
+    from pg_analytics_spark.operators.dedup import neardup_clusters
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], ["id_a", "id_b"]
+    ).mapInPandas(tag, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+    out = neardup_clusters(nodes, star, "doc_id").collect()
+    assert len(out) == 30
+    assert sum(1 for r in out if r.cluster_id == 0) == 21  # the star
+    assert acc.value == 20  # pair source executed once, not per branch
+
+
 def test_bloom_no_false_negatives_and_plan_broadcasts(spark):
     from pg_analytics_spark.operators.dedup import bloom_bits, bloom_probe
     from pg_analytics_spark.plans import explain_formatted
