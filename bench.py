@@ -618,6 +618,18 @@ def main() -> None:
         "runs": runs,
         "sf": sf,
     }
+    # Key ORDER inside the stdout line: per-query dicts first, every
+    # scalar (metric/unit, all group totals, runs, sf) LAST.  The
+    # driver archives a bounded TAIL of stdout — r12's line survived
+    # only as a 2,000-char tail and PERF_r13 could compare nothing —
+    # so the headline group totals must live in the final bytes of
+    # the line.  Keys and values are unchanged (json.loads is
+    # order-blind); the scalar block is ~1.3 KB, comfortably inside a
+    # 2,000-char tail.
+    payload = {
+        **{k: v for k, v in payload.items() if isinstance(v, dict)},
+        **{k: v for k, v in payload.items() if not isinstance(v, dict)},
+    }
     full = dict(payload)
     full["value_cold"] = round(sum(cold.values()), 3)
     full["queries_cold"] = cold

@@ -78,10 +78,27 @@ def embedding_moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
     the exploded reference build is kept below as
     :func:`embedding_moment_partials_exploded`.
     """
-    part = df.select(F.col(vec_col).alias("_v")).mapInArrow(
+    return merge_moment_partials(
+        embedding_moment_partials_raw(df, vec_col)
+    )
+
+
+def embedding_moment_partials_raw(df: DataFrame, vec_col: str) -> DataFrame:
+    """The per-task kernel output BEFORE the merge aggregate —
+    ``numPartitions × d(d+1)/2`` rows of ``MOMENT_PARTIAL_SCHEMA``.
+    Exposed so the streaming twin can union these with its state and
+    pay ONE merge aggregate per micro-batch instead of two (decimal
+    sums are exact, so any grouping of the same partial rows produces
+    bit-identical totals)."""
+    return df.select(F.col(vec_col).alias("_v")).mapInArrow(
         _moment_batches_exact(), MOMENT_PARTIAL_SCHEMA
     )
-    return part.groupBy("i", "j").agg(
+
+
+def merge_moment_partials(partials: DataFrame) -> DataFrame:
+    """The exact decimal merge aggregate over any set of partial rows
+    (task partials, micro-batch state, or both unioned)."""
+    return partials.groupBy("i", "j").agg(
         F.sum("n").alias("n"),
         F.sum("sxi").cast("decimal(38,9)").alias("sxi"),
         F.sum("sxj").cast("decimal(38,9)").alias("sxj"),

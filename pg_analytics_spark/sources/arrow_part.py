@@ -156,6 +156,68 @@ def _via_distinct(transform: str, arr, src_type: str):
     return pa.array(mapped).take(enc.indices)
 
 
+#: global per-task cap on buffered Arrow bytes across ALL partition
+#: accumulators in a write task (r14; guide §5 spill risk): the
+#: per-tuple flush threshold alone lets a task holding the allowed 256
+#: tuples accumulate tuples × threshold bytes (~16 GB at 64 MB) before
+#: any flush.  Crossing the cap flushes the LARGEST accumulator first —
+#: large row groups are preserved for the hot tuples, cold tuples keep
+#: buffering.  Env-overridable for cluster memory profiles; the default
+#: bounds a task at 256 MB of buffered payload regardless of fan-out.
+import os as _os
+
+TASK_BUFFER_CAP = int(
+    _os.environ.get("SPARK_GRAFT_WRITER_BUFFER_CAP", str(256 << 20))
+)
+
+
+class BoundedGroupBuffer:
+    """Per-key accumulate-and-flush of Arrow tables with BOTH a per-key
+    flush threshold (large row groups, guide §6.2) and a global cap on
+    total buffered bytes (guide §5).  ``flush_fn(key, table)`` receives
+    the concatenated buffered slices for one key; callers own writer
+    management inside it.  ``max_buffered`` records the high-water mark
+    of total buffered bytes (instrumentation for the bound's test)."""
+
+    def __init__(self, flush_fn, key_flush_bytes: int,
+                 total_cap_bytes: int | None = None) -> None:
+        self._flush_fn = flush_fn
+        self._key_flush = int(key_flush_bytes)
+        self._cap = int(
+            TASK_BUFFER_CAP if total_cap_bytes is None else total_cap_bytes
+        )
+        self._acc: dict = {}
+        self._nbytes: dict = {}
+        self._total = 0
+        self.max_buffered = 0
+
+    def add(self, key, table) -> None:
+        self._acc.setdefault(key, []).append(table)
+        b = table.nbytes
+        self._nbytes[key] = self._nbytes.get(key, 0) + b
+        self._total += b
+        if self._total > self.max_buffered:
+            self.max_buffered = self._total
+        if self._nbytes[key] >= self._key_flush:
+            self.flush(key)
+        while self._total >= self._cap and self._nbytes:
+            self.flush(max(self._nbytes, key=self._nbytes.get))
+
+    def flush(self, key) -> None:
+        import pyarrow as pa
+
+        tabs = self._acc.pop(key, None)
+        self._total -= self._nbytes.pop(key, 0)
+        if not tabs:
+            return
+        t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+        self._flush_fn(key, t)
+
+    def close(self) -> None:
+        for key in list(self._acc):
+            self.flush(key)
+
+
 def group_take(
     key_arrays: list, num_rows: int
 ) -> Iterator[tuple[tuple, Any]]:

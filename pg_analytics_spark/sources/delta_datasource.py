@@ -728,6 +728,9 @@ def _write_task_files_partitioned(
 
     _ensure_importable()
     from pg_analytics_spark.sources.arrow_part import (
+        BoundedGroupBuffer as _BoundedGroupBuffer,
+    )
+    from pg_analytics_spark.sources.arrow_part import (
         group_take as _group_take,
     )
 
@@ -777,17 +780,10 @@ def _write_task_files_partitioned(
     # (guide §4.2): a 30-day epoch otherwise writes every ~10k-row
     # batch as 30 tiny row groups with 30×columns Python-side stats
     # calls — the accumulated flush writes large row groups and runs
-    # min/max once per flushed table instead of once per micro-slice
-    acc: dict[tuple, list] = {}
-    acc_bytes: dict[tuple, int] = {}
-    _FLUSH = 64 << 20
-
-    def _flush(tup):
-        tabs = acc.pop(tup, None)
-        acc_bytes.pop(tup, None)
-        if not tabs:
-            return
-        t2 = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    # min/max once per flushed table instead of once per micro-slice.
+    # The buffer carries a GLOBAL per-task byte cap (guide §5): a
+    # 256-tuple task must not hold 256 × 64 MB before any flush.
+    def _write_group(tup, t2):
         if tup not in writers:
             if len(writers) >= 256:
                 raise UnsupportedFormat(
@@ -811,6 +807,7 @@ def _write_task_files_partitioned(
         w.write_table(t2)
         _stats_update(st, t2)
 
+    buf = _BoundedGroupBuffer(_write_group, 64 << 20)
     for batch in iterator:
         t = pa.Table.from_batches([batch])
         # distinct partition tuples in this batch — Arrow hash
@@ -823,13 +820,8 @@ def _write_task_files_partitioned(
                     "delta_native partitioned write: NULL partition "
                     "values are not supported by this writer"
                 )
-            group = t.take(idx).select(data_names)
-            acc.setdefault(tup, []).append(group)
-            acc_bytes[tup] = acc_bytes.get(tup, 0) + group.nbytes
-            if acc_bytes[tup] >= _FLUSH:
-                _flush(tup)
-    for tup in list(acc):
-        _flush(tup)
+            buf.add(tup, t.take(idx).select(data_names))
+    buf.close()
     out = []
     for tup, (w, rel, st) in writers.items():
         w.close()

@@ -1213,7 +1213,10 @@ def _stage_parquet_direct(
 
         if repo_root not in _sys.path:
             _sys.path.insert(0, repo_root)
-        from pg_analytics_spark.sources.arrow_part import group_take
+        from pg_analytics_spark.sources.arrow_part import (
+            BoundedGroupBuffer,
+            group_take,
+        )
 
         if stats_override is not None:
             _file_stats = stats_override
@@ -1232,17 +1235,11 @@ def _stage_parquet_direct(
                 return v.isoformat()
             return _q(str(v), safe="")
 
-        acc: dict[tuple, list] = {}
-        nbytes: dict[tuple, int] = {}
         writers: dict[tuple, list] = {}  # key -> [writer, rel, dst]
-        FLUSH = 128 << 20
 
-        def _flush(key):
-            tabs = acc.pop(key, None)
-            nbytes.pop(key, None)
-            if not tabs:
-                return
-            t = tabs[0] if len(tabs) == 1 else _pa.concat_tables(tabs)
+        # 128 MB row groups per tuple, bounded by the GLOBAL per-task
+        # buffer cap (guide §5): largest accumulator flushes first
+        def _write_group(key, t):
             got = writers.get(key)
             if got is None:
                 rel_dir = "/".join(
@@ -1259,6 +1256,7 @@ def _stage_parquet_direct(
                 got = writers[key] = [w, rel, dst]
             got[0].write_table(t)
 
+        buf = BoundedGroupBuffer(_write_group, 128 << 20)
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -1271,13 +1269,8 @@ def _stage_parquet_direct(
                 )
             for key, idx in groups:
                 part = data if idx is None else data.take(idx)
-                key = tuple(key)
-                acc.setdefault(key, []).append(part)
-                nbytes[key] = nbytes.get(key, 0) + part.nbytes
-                if nbytes[key] >= FLUSH:
-                    _flush(key)
-        for key in list(acc):
-            _flush(key)
+                buf.add(tuple(key), part)
+        buf.close()
         out = {"rel": [], "stats": [], "size": [], "mtime": [], "rows": []}
         for key, (w, rel, dst) in writers.items():
             w.close()

@@ -795,6 +795,7 @@ def _ice_write_task(
 
     _ensure_importable()
     from pg_analytics_spark.sources.arrow_part import (
+        BoundedGroupBuffer,
         group_take,
         transform_array,
     )
@@ -831,19 +832,12 @@ def _ice_write_task(
         specs.append((_canonical_transform(kind, param), src, type_of[src]))
 
     writers: dict[tuple, tuple] = {}
+
     # accumulate each tuple's slices and flush as ONE table per
     # ~64 MB (guide §4.2) — large row groups instead of one tiny row
-    # group per (micro-batch, tuple)
-    acc: dict[tuple, list] = {}
-    acc_bytes: dict[tuple, int] = {}
-    _FLUSH = 64 << 20
-
-    def _flush(tup):
-        tabs = acc.pop(tup, None)
-        acc_bytes.pop(tup, None)
-        if not tabs:
-            return
-        t2 = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    # group per (micro-batch, tuple) — under a GLOBAL per-task byte
+    # cap (guide §5): a 256-tuple task must not buffer 256 × 64 MB
+    def _write_group(tup, t2):
         if tup not in writers:
             if len(writers) >= 256:
                 raise UnsupportedFormat(
@@ -860,19 +854,15 @@ def _ice_write_task(
             )
         writers[tup][0].write_table(t2)
 
+    buf = BoundedGroupBuffer(_write_group, 64 << 20)
     for batch in iterator:
         t = pa.Table.from_batches([batch])
         key_arrays = [
             transform_array(tr, t[src], st) for tr, src, st in specs
         ]
         for tup, idx in group_take(key_arrays, t.num_rows):
-            group = t.take(idx)
-            acc.setdefault(tup, []).append(group)
-            acc_bytes[tup] = acc_bytes.get(tup, 0) + group.nbytes
-            if acc_bytes[tup] >= _FLUSH:
-                _flush(tup)
-    for tup in list(acc):
-        _flush(tup)
+            buf.add(tup, t.take(idx))
+    buf.close()
     out = []
     for tup, (w, full) in writers.items():
         w.close()

@@ -693,7 +693,10 @@ def _write_data_files_direct(
 
         if repo_root not in _sys.path:
             _sys.path.insert(0, repo_root)
-        from pg_analytics_spark.sources.arrow_part import group_take
+        from pg_analytics_spark.sources.arrow_part import (
+            BoundedGroupBuffer,
+            group_take,
+        )
 
         if bounds_override is not None:
             _file_bounds = bounds_override
@@ -711,17 +714,11 @@ def _write_data_files_direct(
                 return (v - EPOCH).days
             return v
 
-        acc: dict[tuple, list] = {}
-        nbytes: dict[tuple, int] = {}
         writers: dict[tuple, list] = {}  # key -> [writer, dst]
-        FLUSH = 128 << 20
 
-        def _flush(key):
-            tabs = acc.pop(key, None)
-            nbytes.pop(key, None)
-            if not tabs:
-                return
-            t = tabs[0] if len(tabs) == 1 else _pa.concat_tables(tabs)
+        # 128 MB row groups per tuple, bounded by the GLOBAL per-task
+        # buffer cap (guide §5): largest accumulator flushes first
+        def _write_group(key, t):
             got = writers.get(key)
             if got is None:
                 dst = _os.path.join(
@@ -734,6 +731,7 @@ def _write_data_files_direct(
                 got = writers[key] = [w, dst]
             got[0].write_table(t)
 
+        buf = BoundedGroupBuffer(_write_group, 128 << 20)
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -750,13 +748,8 @@ def _write_data_files_direct(
                 groups = group_take(key_arrays, b.num_rows)
             for key, idx in groups:
                 part = data if idx is None else data.take(idx)
-                key = tuple(_raw(v) for v in key)
-                acc.setdefault(key, []).append(part)
-                nbytes[key] = nbytes.get(key, 0) + part.nbytes
-                if nbytes[key] >= FLUSH:
-                    _flush(key)
-        for key in list(acc):
-            _flush(key)
+                buf.add(tuple(_raw(v) for v in key), part)
+        buf.close()
         out = {"parts": [], "dst": [], "rows": [], "size": [], "bounds": []}
         for key, (w, dst) in writers.items():
             w.close()
@@ -3109,36 +3102,64 @@ def _stage_one_parquet(df, path: str, tag: str) -> tuple[str | None, str]:
 
 
 def _stage_upsert_parts(
-    src: DataFrame, path: str, key_cols: list[str]
-) -> tuple[str | None, str | None, str, int, int]:
-    """ONE-JOB staging for :func:`upsert_iceberg_eq`: a single
-    ``coalesce(1)`` pass writes BOTH row-delta parts — the add rows
-    and the DISTINCT key tuples for the equality delete — from the
-    same Arrow batches.  The previous two-``_stage_one_parquet`` shape
-    recomputed the whole change reduction (the CDC caller's
-    ``latest_per_key`` shuffle + aggregate) a second time just to
-    project its keys; at 100 TB CDC that second pass doubles the
-    per-trigger work (guide §1.2 "don't compute things twice", §2.3).
+    src: DataFrame, path: str, key_cols: list[str], fields: list[dict]
+) -> tuple[list[tuple], str | None, str, int, int]:
+    """ONE-JOB, N-TASK staging for :func:`upsert_iceberg_eq`: every
+    task writes its own add file (Appendix-D bounds computed in the
+    same task) plus its own per-task-DISTINCT key file, all from the
+    same Arrow batches — so a large CDC trigger's change set is
+    written by every core that holds it, not serialized through one
+    ``coalesce(1)`` task (r14; guide §2 — the r13 shape halved the
+    passes but cemented a single-task write).  The driver then merges
+    the per-task key files (pyarrow concat + C-side hash distinct —
+    O(change-set keys), the same bytes the single delete file must
+    hold anyway) into the one equality-delete part.
 
-    Returns ``(add_part|None, del_part|None, staging_dir, n_rows,
-    n_keys)``.  The executor closure is package-import-free (pyarrow
-    only) per the vanilla-driver rule.
+    Returns ``(add_parts, del_part|None, staging_dir, n_rows,
+    n_keys)`` where ``add_parts`` is
+    ``[(path, rows, size, lowers, uppers)]`` — one per task that held
+    rows — and ``n_keys`` is the GLOBAL distinct key count (the
+    duplicate-key guard's input).  Executor closure imports the repo
+    via the _REPO_ROOT fallback (vanilla-driver rule).
     """
+    import pickle as _pickle
+
+    import pyarrow as _pa_drv
+    import pyarrow.parquet as _pq_drv
+
     staging = os.path.join(
         os.path.dirname(path.rstrip("/")) or ".",
         f"_ice_upsboth-{uuid.uuid4().hex}",
     )
     os.makedirs(staging, exist_ok=True)
-    add_part = os.path.join(staging, "add.parquet")
     del_part = os.path.join(staging, "del.parquet")
     kcols = list(key_cols)
+    repo_root = _REPO_ROOT
+    bounds_override = (
+        _file_bounds if "<locals>" in _file_bounds.__qualname__ else None
+    )
 
     def _stage(batches):
         import os as _os
+        import pickle as _pk
+        import sys as _sys
+        import uuid as _uuid
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
+        if repo_root not in _sys.path:
+            _sys.path.insert(0, repo_root)
+        if bounds_override is not None:
+            _file_bounds = bounds_override
+        else:
+            from pg_analytics_spark.sources.iceberg_write import (
+                _file_bounds,
+            )
+
+        tag = _uuid.uuid4().hex
+        add_part = _os.path.join(staging, f"add-{tag}.parquet")
+        key_part = _os.path.join(staging, f"keys-{tag}.parquet")
         writer = None
         kparts = []
         n_rows = 0
@@ -3153,31 +3174,63 @@ def _stage_upsert_parts(
             writer.write_table(t)
             kparts.append(t.select(kcols))
             n_rows += t.num_rows
-        n_keys = 0
-        if writer is not None:
-            writer.close()
-            _os.replace(add_part + ".tmp", add_part)
-            kt = (
-                kparts[0]
-                if len(kparts) == 1
-                else _pa.concat_tables(kparts)
-            )
-            # vectorized DISTINCT (C-side hash group-by; NULL keys
-            # group together — same semantics as Spark's distinct)
-            kt = kt.group_by(kcols).aggregate([])
-            n_keys = kt.num_rows
-            _pq.write_table(kt, del_part + ".tmp", compression="snappy")
-            _os.replace(del_part + ".tmp", del_part)
+        if writer is None:
+            return
+        writer.close()
+        _os.replace(add_part + ".tmp", add_part)
+        kt = (
+            kparts[0]
+            if len(kparts) == 1
+            else _pa.concat_tables(kparts)
+        )
+        # per-task vectorized DISTINCT (C-side hash group-by; NULL
+        # keys group together — Spark's distinct semantics); the
+        # driver distincts ACROSS tasks
+        kt = kt.group_by(kcols).aggregate([])
+        _pq.write_table(kt, key_part + ".tmp", compression="snappy")
+        _os.replace(key_part + ".tmp", key_part)
+        lowers, uppers, a_rows = None, None, n_rows
+        try:
+            lo, up, a_rows = _file_bounds(add_part, fields)
+            lowers, uppers = lo or None, up or None
+        except Exception:
+            pass
         yield _pa.RecordBatch.from_pydict(
-            {"rows": [n_rows], "keys": [n_keys]}
+            {
+                "add": [add_part],
+                "keys": [key_part],
+                "rows": [int(a_rows)],
+                "size": [_os.path.getsize(add_part)],
+                "bounds": [_pk.dumps((lowers, uppers))],
+            }
         )
 
-    got = src.coalesce(1).mapInArrow(_stage, "rows BIGINT, keys BIGINT").collect()
-    n_rows = sum(r["rows"] for r in got)
-    n_keys = sum(r["keys"] for r in got)
-    if not n_rows:
-        return None, None, staging, 0, 0
-    return add_part, del_part, staging, n_rows, n_keys
+    got = src.mapInArrow(
+        _stage,
+        "add STRING, keys STRING, rows BIGINT, size BIGINT, "
+        "bounds BINARY",
+    ).collect()
+    if not got:
+        return [], None, staging, 0, 0
+    add_parts = []
+    n_rows = 0
+    for r in got:
+        lowers, uppers = _pickle.loads(bytes(r["bounds"]))
+        add_parts.append(
+            (r["add"], int(r["rows"]), int(r["size"]), lowers, uppers)
+        )
+        n_rows += int(r["rows"])
+    key_tabs = [_pq_drv.read_table(r["keys"]) for r in got]
+    kt = (
+        key_tabs[0]
+        if len(key_tabs) == 1
+        else _pa_drv.concat_tables(key_tabs)
+    )
+    kt = kt.group_by(kcols).aggregate([])
+    n_keys = kt.num_rows
+    _pq_drv.write_table(kt, del_part + ".tmp", compression="snappy")
+    os.replace(del_part + ".tmp", del_part)
+    return add_parts, del_part, staging, n_rows, n_keys
 
 
 def equality_delete_iceberg(
@@ -3339,11 +3392,12 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
         c = F.col(f["name"])
         conform.append((c.cast(t) if t is not None else c).alias(f["name"]))
     src = source.select(*conform)
-    # ONE Spark job stages both row-delta parts (add rows + distinct
-    # delete keys) from the same pass — the keys-only second pass used
-    # to recompute the caller's whole change reduction (guide §1.2)
-    add_part, del_part, staging, n_rows, n_keys = _stage_upsert_parts(
-        src, path, list(key_cols)
+    # ONE Spark job, N tasks: each task stages its own add file (with
+    # task-side bounds) plus its per-task-distinct keys from the same
+    # pass — no keys-only second pass (guide §1.2), no coalesce(1)
+    # serialization of the change set (guide §2)
+    add_parts, del_part, staging, n_rows, n_keys = _stage_upsert_parts(
+        src, path, list(key_cols), fields
     )
     if not n_rows:
         shutil.rmtree(staging, ignore_errors=True)
@@ -3373,9 +3427,14 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
     dpath = os.path.join(
         data_dir, f"eqdelete-{snapshot_id}-{uuid.uuid4().hex}.parquet"
     )
-    apath = os.path.join(data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet")
     os.replace(del_part, dpath)
-    os.replace(add_part, apath)
+    adds_final = []  # (path, rows, size, lowers, uppers)
+    for add_part, a_rows, a_size, lowers, uppers in add_parts:
+        apath = os.path.join(
+            data_dir, f"{snapshot_id}-{uuid.uuid4().hex}.parquet"
+        )
+        os.replace(add_part, apath)
+        adds_final.append((apath, a_rows, a_size, lowers, uppers))
     shutil.rmtree(staging, ignore_errors=True)
     seq = prev_meta.get("last-sequence-number", 0) + 1
     del_manifest = os.path.join(meta_dir, f"man-eqdel-{snapshot_id}.avro")
@@ -3399,13 +3458,8 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
         ],
         del_manifest,
     )
-    lowers, uppers, a_rows, a_size = None, None, n_rows, os.path.getsize(apath)
-    try:
-        lo, up, a_rows = _file_bounds(apath, fields)
-        lowers, uppers = lo or None, up or None
-    except Exception:
-        pass
     add_manifest = os.path.join(meta_dir, f"man-{snapshot_id}.avro")
+    total_added = sum(a_rows for _p, a_rows, _sz, _lo, _up in adds_final)
     write_container(
         _manifest_entry_schema([]),
         [
@@ -3422,6 +3476,7 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
                     "upper_bounds": uppers,
                 },
             }
+            for apath, a_rows, a_size, lowers, uppers in adds_final
         ],
         add_manifest,
     )
@@ -3454,8 +3509,8 @@ def upsert_iceberg_eq(spark, path: str, source, key_cols: list[str]) -> dict:
             "operation": "overwrite",
             "added-delete-files": "1",
             "added-equality-deletes": str(n_keys),
-            "added-data-files": "1",
-            "added-records": str(a_rows),
+            "added-data-files": str(len(adds_final)),
+            "added-records": str(total_added),
         },
     )
     return {

@@ -21,12 +21,12 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from pg_analytics_spark.operators.pca import (
     MOMENT_PARTIAL_SCHEMA,
-    embedding_moment_partials,
+    embedding_moment_partials_raw,
     finalize_moments,
+    merge_moment_partials,
 )
 from pg_analytics_spark.streaming.state_swap import (
     commit_state,
@@ -53,31 +53,22 @@ def process_batch(
     batch_id: int,
 ) -> None:
     """Merge one micro-batch's decimal partials into the state
-    (union + re-sum — exact; all columns re-cast to the state schema
-    so precision never drifts across merges)."""
-    partials = embedding_moment_partials(batch_df, vec_col).select(
-        "i", "j", "n",
-        F.col("sxi").cast("decimal(38,9)").alias("sxi"),
-        F.col("sxj").cast("decimal(38,9)").alias("sxj"),
-        F.col("sxx").cast("decimal(38,18)").alias("sxx"),
+    (union + re-sum — exact; decimal sums are associative, so ONE
+    merge aggregate over (state ∪ raw task partials) equals the old
+    two-stage group-then-regroup bit-for-bit).
+
+    r14 optimization (guide §2.2 — don't pay two KB-scale exchanges
+    per micro-batch): the raw kernel partials union straight into the
+    state merge (one shuffle instead of two), and the merged state
+    writes directly from the same job — ``commit_state`` writes a NEW
+    snapshot dir and swaps the pointer only afterwards, so the write
+    job safely reads the old snapshot it is superseding (no collect +
+    re-upload round trip)."""
+    partials = embedding_moment_partials_raw(batch_df, vec_col)
+    merged = merge_moment_partials(
+        _read_state(spark, state_dir).unionByName(partials)
     )
-    merged = (
-        _read_state(spark, state_dir)
-        .unionByName(partials)
-        .groupBy("i", "j")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sxi").cast("decimal(38,9)").alias("sxi"),
-            F.sum("sxj").cast("decimal(38,9)").alias("sxj"),
-            F.sum("sxx").cast("decimal(38,18)").alias("sxx"),
-        )
-    )
-    # state must be fully materialized BEFORE the rename swaps the
-    # directory it was read from
-    rows = merged.collect()
-    _write_state(
-        spark.createDataFrame(rows, MOMENT_PARTIAL_SCHEMA), state_dir
-    )
+    _write_state(merged, state_dir)
 
 
 def ingest_moments(

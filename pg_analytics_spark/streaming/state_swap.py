@@ -48,10 +48,11 @@ def current_snapshot(state_dir: str, name: str) -> str | None:
 def commit_state(df: DataFrame, state_dir: str, name: str) -> None:
     """Write ``df`` as the new committed state for ``name``.
 
-    The caller must have fully materialized ``df`` (collect or
-    localCheckpoint) if it was derived from the current state — the
-    old snapshot dir survives this commit (GC happens after the
-    pointer swap), but relying on that for correctness is fragile.
+    ``df`` MAY be a lazy plan derived from the current state: the
+    write lands in a NEW uniquely-named snapshot dir, so the write job
+    reads the old snapshot while it still exists; the pointer swaps
+    only after the write succeeds, and the superseded dir is GC'd
+    last.  A crash at any instant leaves a consistent pointer.
     """
     os.makedirs(state_dir, exist_ok=True)
     snap = f"{name}-{uuid.uuid4().hex}"

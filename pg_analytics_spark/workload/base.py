@@ -131,6 +131,22 @@ def scratch_dir(spark: SparkSession):
         _SCRATCH_DEFERRED.append(d)
 
 
+def freeze(df: DataFrame) -> DataFrame:
+    """Materialize a scratch-table readback so the returned relation no
+    longer depends on the scratch files: ``localCheckpoint(eager=True)``
+    pins the computed partitions in executor storage and truncates the
+    lineage (guide §5 — the cheap lineage cut).
+
+    r14 optimization: this replaces the old
+    ``spark.createDataFrame(out.collect(), out.schema)`` freeze, which
+    moved every row JVM → driver Python (pickled rows) and back up —
+    ~2s per 100k-row readback, paid by every writer/streaming row.  The
+    schema and values are identical (localCheckpoint is an identity on
+    the relation); only the JVM→Python→JVM round trip is gone.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def _dec(col, p=28, s=6):
     """Exact-sum staging cast (see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg_analytics_spark.errors import EngineError
-from pg_analytics_spark.workload.base import _dec, davg, dsum, register, table
+from pg_analytics_spark.workload.base import (
+    _dec,
+    davg,
+    dsum,
+    freeze,
+    register,
+    table,
+)
 
 # --------------------------------------------------------------------- #
 # Q1 — pricing summary (flagship; TPC-H Q1 shape over lineitem)
@@ -5427,9 +5434,7 @@ def iceberg_eq_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = latest_per_key(e.filter(cond))
             upsert_iceberg_eq(spark, root, batch, ["user_id"])
         out = load_source(spark, root, "iceberg")
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "user_id"
-        )
+        return freeze(out.orderBy("user_id"))
 
 
 _FDW_DDL_ORACLE = """

@@ -33,7 +33,7 @@ from pg_analytics_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from pg_analytics_spark.functions import text as X
-from pg_analytics_spark.workload.base import register, scratch_dir, table
+from pg_analytics_spark.workload.base import freeze, register, scratch_dir, table
 
 # SQL fragments mirroring functions/text.py exactly -------------------- #
 
@@ -2260,9 +2260,11 @@ def _register_streaming_corpus_ingest():
                 docs.schema,
             )
             got = spark.read.parquet(out)
-            return spark.createDataFrame(got.collect(), got.schema).select(
-                "doc_id", "lang", "source", "n_tokens", "quality"
-            ).orderBy("doc_id")
+            return freeze(
+                got.select(
+                    "doc_id", "lang", "source", "n_tokens", "quality"
+                ).orderBy("doc_id")
+            )
 
 
 _register_streaming_corpus_ingest()
@@ -3131,12 +3133,10 @@ def _register_streaming_pca_moments():
                 f"{work}/ckpt",
                 e.schema,
             )
-            rows = current_moments(spark, f"{work}/state").collect()
-        return spark.createDataFrame(
-            rows,
-            "i INT, j INT, n BIGINT, sum_xi DOUBLE, sum_xj DOUBLE, "
-            "sum_xixj DOUBLE",
-        ).orderBy("i", "j")
+            # finalize_moments already orders by (i, j); freeze keeps
+            # the relation valid past the scratch state dir without the
+            # 2080-row driver round trip the old collect paid
+            return freeze(current_moments(spark, f"{work}/state"))
 
 
 _register_streaming_pca_moments()

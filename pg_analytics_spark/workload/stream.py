@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg_analytics_spark.errors import EngineError
-from pg_analytics_spark.workload.base import _dec, register, scratch_dir, table
+from pg_analytics_spark.workload.base import (
+    _dec,
+    freeze,
+    register,
+    scratch_dir,
+    table,
+)
 
 
 @register(
@@ -851,13 +857,15 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{sf_dir}/events.parquet", rollup, f"{work}/ckpt"
         )
         out = spark.read.parquet(rollup)
-        return spark.createDataFrame(
-            out.collect(), out.schema
-        ).select(
-            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
+        return freeze(
+            out.select(
+                F.col("window_start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
         )
 
 
@@ -1024,9 +1032,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{sf_dir}/events.parquet", tbl, f"{work}/ckpt"
         )
         out = load_source(spark, tbl, "delta")
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "user_id"
-        )
+        return freeze(out.orderBy("user_id"))
 
 
 @register(
@@ -1101,9 +1107,7 @@ def streaming_iceberg_cdc_upsert(
             spark, src, tbl, f"{work}/ckpt", max_files_per_trigger=1
         )
         out = load_source(spark, tbl, "iceberg")
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "user_id"
-        )
+        return freeze(out.orderBy("user_id"))
 
 
 @register(
@@ -1145,9 +1149,7 @@ def streaming_txn_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value"
             ),
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -1193,8 +1195,16 @@ def streaming_delta_native_source(
 
         def _drain() -> None:
             def fb(df: DataFrame, bid: int) -> None:
-                batches.append((bid, df.count()))
-                df.write.mode("append").parquet(sink)
+                # the batch relation is read through the Python
+                # DataSource; persist so count + sink-append execute
+                # the source read ONCE per batch, not twice (guide
+                # §5 reuse; released before the batch returns)
+                df.persist()
+                try:
+                    batches.append((bid, df.count()))
+                    df.write.mode("append").parquet(sink)
+                finally:
+                    df.unpersist()
 
             q = (
                 spark.readStream.format("delta_native")
@@ -1227,9 +1237,7 @@ def streaming_delta_native_source(
                 .alias("value"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -1291,9 +1299,7 @@ def streaming_delta_native_sink(
                 "value"
             ),
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -1352,9 +1358,7 @@ def streaming_iceberg_native_sink(
                 "value"
             ),
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -1396,8 +1400,16 @@ def streaming_iceberg_native_source(
 
         def _drain() -> None:
             def fb(df: DataFrame, bid: int) -> None:
-                batches.append((bid, df.count()))
-                df.write.mode("append").parquet(sink)
+                # the batch relation is read through the Python
+                # DataSource; persist so count + sink-append execute
+                # the source read ONCE per batch, not twice (guide
+                # §5 reuse; released before the batch returns)
+                df.persist()
+                try:
+                    batches.append((bid, df.count()))
+                    df.write.mode("append").parquet(sink)
+                finally:
+                    df.unpersist()
 
             q = (
                 spark.readStream.format("iceberg_native")
@@ -1426,9 +1438,7 @@ def streaming_iceberg_native_source(
                 "value"
             ),
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -1516,9 +1526,7 @@ def streaming_wap_iceberg_publish(
             ),
         )
         assert out.count() == staged
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -2117,9 +2125,7 @@ def iceberg_rewrite_data_files_roundtrip(
         if tt.count() != n_rows_pre:
             raise EngineError("pre-compaction snapshot changed row count")
         out = load_source(spark, tbl, "iceberg")
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "user_id"
-        )
+        return freeze(out.orderBy("user_id"))
 
 
 @register(
@@ -2211,9 +2217,7 @@ def streaming_iceberg_sink_day_partitioned(
                 "value"
             ),
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))
 
 
 @register(
@@ -2315,6 +2319,4 @@ def streaming_delta_sink_day_partitioned(
                 ),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema).orderBy(
-            "event_id"
-        )
+        return freeze(out.orderBy("event_id"))

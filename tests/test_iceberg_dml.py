@@ -688,6 +688,47 @@ def test_eq_upsert_single_snapshot_and_metadata_version(spark, tmp_path):
     assert len(meta["snapshots"]) == 2
 
 
+def test_eq_upsert_multi_partition_source_stages_parallel(
+    spark, tmp_path
+):
+    """r14: a multi-partition change set stages MULTIPLE add files —
+    one per task that holds rows — in the same single job (no
+    coalesce(1) serialization), each with its own footer bounds, and
+    the global distinct-key count still guards duplicate keys.  The
+    committed table is value-identical to the single-file shape."""
+    from pg_analytics_spark.sources.iceberg_write import (
+        _latest_metadata,
+        upsert_iceberg_eq,
+    )
+
+    root = _mk_eq_tbl(spark, tmp_path)
+    src = (
+        spark.range(90, 110)
+        .selectExpr("id", "id % 4 as k", "cast(-1.0 as double) as v")
+        .repartition(4)
+    )
+    res = upsert_iceberg_eq(spark, root, src, ["id"])
+    assert res["rows_upserted"] == 20
+    _v, meta = _latest_metadata(os.path.join(root, "metadata"))
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    n_added = int(snap["summary"]["added-data-files"])
+    assert n_added > 1, "multi-partition source serialized to one file"
+    assert int(snap["summary"]["added-records"]) == 20
+    out = load_source(spark, root, "iceberg")
+    assert out.count() == 110
+    assert out.filter("v = -1.0").count() == 20
+    # duplicate-key guard still fires on the merged global keys
+    dup = spark.createDataFrame(
+        [(7, 0, 1.0), (7, 1, 2.0)], "id long, k long, v double"
+    ).repartition(2)
+    with pytest.raises(Exception, match="duplicate keys"):
+        upsert_iceberg_eq(spark, root, dup, ["id"])
+
+
 def test_eq_upsert_batches_converge_to_argmax(spark, tmp_path):
     from pg_analytics_spark.sources.iceberg_write import (
         upsert_iceberg_eq,

@@ -538,3 +538,60 @@ def test_group_take_partitions_all_rows(rows):
     assert sorted(seen) == list(range(len(rows)))
     keys = [tuple(map(str, t)) for t, _ in groups]
     assert keys == sorted(keys)
+
+# ------------------------------------------------------------------ #
+# arrow_part.BoundedGroupBuffer — the write tasks' global byte cap
+# ------------------------------------------------------------------ #
+
+
+def test_bounded_group_buffer_caps_total_bytes():
+    """The r14 sink-memory bound (guide §5): >32 tuples fed multi-MB
+    slices must never buffer more than cap + one slice, every byte
+    reaches its key's flush exactly once, and the largest accumulator
+    flushes first when the cap is crossed."""
+    import pyarrow as pa
+
+    from pg_analytics_spark.sources.arrow_part import BoundedGroupBuffer
+
+    slice_mb = pa.table({"v": pa.array([b"x" * 1024] * 2048)})  # ~2 MB
+    per_key = slice_mb.nbytes
+    cap = 16 << 20  # 16 MB cap, far below 40 tuples x 2 MB
+    flushed: dict = {}
+
+    def _sink(key, tbl):
+        flushed[key] = flushed.get(key, 0) + tbl.nbytes
+
+    buf = BoundedGroupBuffer(_sink, key_flush_bytes=64 << 20,
+                             total_cap_bytes=cap)
+    for rnd in range(3):
+        for k in range(40):  # >32 tuples, multi-MB slices
+            buf.add(k, slice_mb)
+    # the high-water mark stays within cap + one incoming slice
+    assert buf.max_buffered <= cap + per_key
+    buf.close()
+    # conservation: every byte flushed exactly once, per key
+    assert set(flushed) == set(range(40))
+    assert all(v == 3 * per_key for v in flushed.values())
+
+
+def test_bounded_group_buffer_key_flush_precedes_cap():
+    """A key crossing its own flush threshold flushes immediately
+    (large row groups preserved) without disturbing other keys."""
+    import pyarrow as pa
+
+    from pg_analytics_spark.sources.arrow_part import BoundedGroupBuffer
+
+    t = pa.table({"v": pa.array([b"y" * 1024] * 1024)})  # ~1 MB
+    calls: list = []
+    buf = BoundedGroupBuffer(
+        lambda k, tbl: calls.append((k, tbl.num_rows)),
+        key_flush_bytes=2 * t.nbytes - 1,
+        total_cap_bytes=1 << 30,
+    )
+    buf.add("hot", t)
+    assert not calls
+    buf.add("cold", t)
+    buf.add("hot", t)  # crosses the per-key threshold -> flush now
+    assert calls == [("hot", 2048)]
+    buf.close()
+    assert ("cold", 1024) in calls
