@@ -405,8 +405,16 @@ def main() -> None:
             # same query legitimately reuse plan-matched caches (the
             # steady-state convention, unchanged since round 1), but
             # query N+1 must not be measured under the accumulated
-            # executor-storage load of every earlier query's sketches
+            # executor-storage load of every earlier query's sketches.
+            # r14: also drop Python references so the ContextCleaner
+            # can unpersist the freeze() localCheckpoint blocks the
+            # finished query pinned — same between-queries hygiene,
+            # new storage class (declared in OPTIMIZATION_r14.md)
             release_sketch_caches()
+            df = None
+            import gc
+
+            gc.collect()
         return timings, cold
 
     timings, cold = _measure(HEADLINE)

@@ -806,42 +806,104 @@ def edit_distance_pairs(
     )
 
     # short-string path: pairs where either side is short (partner
-    # bounded by short_len + tau), length-banded.  Each unordered pair
-    # is emitted EXACTLY ONCE: a both-short pair appears in both join
-    # orders, so keep only id_a < id_b; a short-long pair can only
-    # appear with the short string on the probe side (the build side
-    # requires _len < min_len), so keep it unconditionally and
-    # normalize the id order afterwards.  The cheap id/length conjuncts
-    # run BEFORE the banded DP in the join condition (codegen
-    # short-circuits left to right), halving DP evaluations vs the
-    # old emit-both-orders-then-distinct shape — and the branch needs
-    # no distinct at all.
-    shorts = base.filter(F.col("_len") < min_len)
-    partners = base.filter(F.col("_len") < min_len + tau)
-    cand_short = (
-        shorts.selectExpr("_blk", "_id AS id_a", "_txt AS txt_a", "_len AS la")
-        .join(
-            partners.selectExpr(
-                "_blk", "_id AS id_b", "_txt AS txt_b", "_len AS lb"
-            ),
-            "_blk",
+    # bounded by short_len + tau).  For small τ this runs a LOSSLESS
+    # deletion-neighborhood join (the symmetric-delete dictionary
+    # trick, public — Garbe's SymSpell): if ed(a, b) ≤ τ, deleting the
+    # substituted/deleted chars from `a` and the substituted/inserted
+    # chars from `b` (≤ τ each side, by any optimal alignment) reaches
+    # the SAME matched-character subsequence, so the ≤τ-deletion
+    # neighborhoods intersect.  Candidates are an equi-join on
+    # (block, deletion variant) — |D≤τ| ≤ Σ C(3τ+1, k) keys per short
+    # string, 29 at τ=2 — with the banded DP verifying INSIDE the join
+    # condition so the pair-dedup distinct runs over matches only.
+    # r14 (guide §3.3 cheap candidates before the DP): the previous
+    # length-banded ALL-PAIRS join ran the DP on every in-block pair —
+    # 4.5M DP evaluations on the sf0.1 names corpus vs 0.7M deletion
+    # candidates (6.5×), worth ~1s of the frozen row.  τ > 2 would
+    # explode the neighborhood (C(3τ+1, τ) keys), so large-τ calls
+    # keep the all-pairs shape below.
+    shorts_all = base.filter(F.col("_len") < min_len + tau)
+    if tau <= 2:
+        import itertools as _it
+
+        max_short = min_len + tau - 1  # longest short-path string
+        del_exprs = ["_txt"]
+        if tau >= 1:
+            for i in range(1, max_short + 1):
+                del_exprs.append(
+                    f"IF(length(_txt) >= {i}, concat("
+                    f"substring(_txt, 1, {i - 1}), "
+                    f"substring(_txt, {i + 1})), NULL)"
+                )
+        if tau >= 2:
+            for i, j in _it.combinations(range(1, max_short + 1), 2):
+                del_exprs.append(
+                    f"IF(length(_txt) >= {j}, concat("
+                    f"substring(_txt, 1, {i - 1}), "
+                    f"substring(_txt, {i + 1}, {j - i - 1}), "
+                    f"substring(_txt, {j + 1})), NULL)"
+                )
+        keys = (
+            "array_distinct(filter(array("
+            + ", ".join(del_exprs)
+            + "), x -> x IS NOT NULL))"
         )
-        .filter(
-            ((F.col("lb") >= min_len) | (F.col("id_a") < F.col("id_b")))
-            & (F.col("id_a") != F.col("id_b"))
-            & (F.abs(F.col("la") - F.col("lb")) <= tau)
+        keyed = shorts_all.selectExpr(
+            "_blk", "_id", "_txt", "_len", f"explode({keys}) AS _k"
         )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            F.when(F.col("id_a") < F.col("id_b"), F.col("txt_a"))
-            .otherwise(F.col("txt_b"))
-            .alias("txt_a"),
-            F.when(F.col("id_a") < F.col("id_b"), F.col("txt_b"))
-            .otherwise(F.col("txt_a"))
-            .alias("txt_b"),
+        cand_short = (
+            keyed.selectExpr(
+                "_blk", "_id AS id_a", "_txt AS txt_a", "_len AS la", "_k"
+            )
+            .join(
+                keyed.selectExpr(
+                    "_blk", "_id AS id_b", "_txt AS txt_b",
+                    "_len AS lb", "_k",
+                ),
+                ["_blk", "_k"],
+            )
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                # membership: at least one side is genuinely short —
+                # both-long pairs belong to the segment-filtered path
+                & (F.least("la", "lb") < min_len)
+                & (F.abs(F.col("la") - F.col("lb")) <= tau)
+                & (F.levenshtein("txt_a", "txt_b", tau) >= 0)
+            )
+            .select("id_a", "id_b", "txt_a", "txt_b")
+            .distinct()
         )
-    )
+    else:
+        # large τ: length-banded all-pairs, each unordered pair emitted
+        # EXACTLY ONCE (both-short pairs keep id_a < id_b; short-long
+        # pairs only appear with the short string on the build side)
+        shorts = base.filter(F.col("_len") < min_len)
+        cand_short = (
+            shorts.selectExpr(
+                "_blk", "_id AS id_a", "_txt AS txt_a", "_len AS la"
+            )
+            .join(
+                shorts_all.selectExpr(
+                    "_blk", "_id AS id_b", "_txt AS txt_b", "_len AS lb"
+                ),
+                "_blk",
+            )
+            .filter(
+                ((F.col("lb") >= min_len) | (F.col("id_a") < F.col("id_b")))
+                & (F.col("id_a") != F.col("id_b"))
+                & (F.abs(F.col("la") - F.col("lb")) <= tau)
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                F.when(F.col("id_a") < F.col("id_b"), F.col("txt_a"))
+                .otherwise(F.col("txt_b"))
+                .alias("txt_a"),
+                F.when(F.col("id_a") < F.col("id_b"), F.col("txt_b"))
+                .otherwise(F.col("txt_a"))
+                .alias("txt_b"),
+            )
+        )
 
     # the two branches are DISJOINT — cand_long requires both lengths
     # >= min_len, cand_short requires the probe side < min_len — and

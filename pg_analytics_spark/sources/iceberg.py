@@ -69,6 +69,12 @@ from pg_analytics_spark.sources.iceberg_prune import (
 )
 
 
+#: Tri-state memo for "is the iceberg-spark runtime installed?" —
+#: same contract as delta._NATIVE_DELTA_FORMAT (r14: skip the failing
+#: format probe's py4j exception round trip on every table load).
+_NATIVE_ICEBERG_FORMAT: bool | None = None
+
+
 def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
     if len(files) != 1:
         raise MissingDependency("iceberg source takes exactly one table path")
@@ -90,7 +96,10 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
             )
         snapshot_id = refs[str(ref)]["snapshot-id"]
     pfilter = parse_partition_filter(opts.get("partition_filter"))
+    global _NATIVE_ICEBERG_FORMAT
     try:
+        if _NATIVE_ICEBERG_FORMAT is False:
+            raise MissingDependency("iceberg runtime absent (memoized)")
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", int(snapshot_id))
@@ -98,7 +107,19 @@ def load(spark: SparkSession, files: list[str], opts: dict) -> DataFrame:
             reader = reader.option("as-of-timestamp", int(as_of))
         df = reader.load(files[0])
         df = _apply_row_predicate(df, pfilter)
-    except Exception:
+        _NATIVE_ICEBERG_FORMAT = True
+    except Exception as exc:
+        # memoize only the FORMAT being absent (see delta.load: the
+        # jar set is fixed at session start, so one failed probe is
+        # definitive); real read errors stay un-memoized
+        if _NATIVE_ICEBERG_FORMAT is None:
+            msg = str(exc)
+            if (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                _NATIVE_ICEBERG_FORMAT = False
         df = _load_via_metadata(
             spark,
             files[0],
